@@ -1,0 +1,431 @@
+"""Mergeable summary sketches for distributed column profiling.
+
+The reference profiles features single-node with exact numpy
+(baseline_manager.py:299-327: mean/std/min/max/percentiles/histogram/
+``len(np.unique)``). None of that merges across blocks, so the Ray
+engine replaces each piece with an associative, commutative summary:
+
+* :class:`Moments`     — (n, mean, M2, min, max, null_count); Chan et al.
+  parallel variance merge → exact count/mean/std/min/max at any scale.
+* :class:`KLL`         — quantile sketch (Karnin-Lang-Liberty, FOCS 2016)
+  with rank error ~ O(1/k); exact while n <= capacity, so small parity
+  fixtures reproduce np.percentile exactly.
+* :class:`HyperLogLog` — distinct-count estimate (Flajolet et al. 2007)
+  with linear-counting small-range correction; stays exact-ish for the
+  small fixtures, ~1.04/sqrt(2^p) relative error at scale.
+* :class:`FixedHistogram` — counts on shared, pre-agreed edges; merge is
+  a vector add, which is what makes distributed PSI / JS / Hellinger
+  *bit-identical* to the single-node formulas.
+* :class:`BloomFilter` — broadcast-side membership for referential
+  checks (north_rule's id-allowlist semi-join without a shuffle).
+
+Every sketch supports ``merge`` (associative + commutative),
+``to_bytes``/``from_bytes`` (cross Ray task boundaries as opaque binary
+column values), and a small update API driven from vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+from typing import Any, Iterable
+
+import numpy as np
+
+
+class _Serializable:
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def from_bytes(cls, raw: bytes) -> "Any":
+        obj = pickle.loads(raw)
+        if not isinstance(obj, cls):
+            raise TypeError(f"expected {cls.__name__}, got {type(obj).__name__}")
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# Moments
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Moments(_Serializable):
+    """Exact mergeable moments of a numeric column.
+
+    ``std()`` is the population standard deviation (ddof=0), matching the
+    reference's ``np.std`` (baseline_manager.py:316). ``null_count``
+    counts NaN/inf/None, matching its null_fraction definition
+    (baseline_manager.py:300-302).
+    """
+
+    n: int = 0
+    mean: float = 0.0
+    m2: float = 0.0
+    min: float = math.inf
+    max: float = -math.inf
+    null_count: int = 0
+
+    def update(self, values: np.ndarray, null_count: int = 0) -> None:
+        """Fold a block of already-finite float64 values into the sketch
+        (single vectorized pass; Chan merge of the block's own moments)."""
+        self.null_count += int(null_count)
+        if values.size == 0:
+            return
+        b_n = int(values.size)
+        b_mean = float(values.mean())
+        b_m2 = float(((values - b_mean) ** 2).sum())
+        self._combine(b_n, b_mean, b_m2, float(values.min()), float(values.max()))
+
+    def merge(self, other: "Moments") -> "Moments":
+        self.null_count += other.null_count
+        self._combine(other.n, other.mean, other.m2, other.min, other.max)
+        return self
+
+    def _combine(self, n2: int, mean2: float, m2_2: float, min2: float, max2: float) -> None:
+        if n2 == 0:
+            return
+        n1 = self.n
+        if n1 == 0:
+            self.n, self.mean, self.m2 = n2, mean2, m2_2
+        else:
+            delta = mean2 - self.mean
+            tot = n1 + n2
+            self.mean += delta * n2 / tot
+            self.m2 += m2_2 + delta * delta * n1 * n2 / tot
+            self.n = tot
+        self.min = min(self.min, min2)
+        self.max = max(self.max, max2)
+
+    def std(self) -> float:
+        return math.sqrt(self.m2 / self.n) if self.n > 0 else float("nan")
+
+    def variance(self) -> float:
+        return self.m2 / self.n if self.n > 0 else float("nan")
+
+    def null_fraction(self) -> float:
+        total = self.n + self.null_count
+        return self.null_count / total if total else 0.0
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+class KLL(_Serializable):
+    """Karnin-Lang-Liberty streaming quantile sketch (simplified, uniform
+    compactor capacity).
+
+    Level h holds items each representing 2^h inputs. When a level
+    overflows its capacity ``k``, the sorted level is halved by keeping
+    every other element (deterministic offset derived from a counter, so
+    runs are reproducible) and promoted. Rank error is O(1/k) with high
+    probability; while total inputs <= k the sketch is exact.
+
+    Replaces the reference's exact ``np.percentile`` in distributed
+    profiling (baseline_manager.py:319-323) and supplies CDF/quantile
+    evaluations for the sketch-path KS and W1 scores.
+    """
+
+    def __init__(self, k: int = 800) -> None:
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=float)]
+        self.n = 0
+        self._compact_count = 0
+
+    # -- updates ----------------------------------------------------------
+
+    def update(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=float).ravel()
+        if values.size == 0:
+            return
+        self.n += int(values.size)
+        self.levels[0] = np.concatenate([self.levels[0], values])
+        self._compress()
+
+    def merge(self, other: "KLL") -> "KLL":
+        if other.n == 0:
+            return self
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=float))
+        for h, lvl in enumerate(other.levels):
+            if lvl.size:
+                self.levels[h] = np.concatenate([self.levels[h], lvl])
+        self.n += other.n
+        self._compact_count += other._compact_count
+        self._compress()
+        return self
+
+    def _capacity(self, level: int, num_levels: int) -> int:
+        # geometric decay of capacity for lower levels (KLL's c^(H-h) with
+        # c = 2/3), floored at 8 items
+        cap = int(math.ceil(self.k * (2.0 / 3.0) ** (num_levels - 1 - level)))
+        return max(cap, 8)
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            cap = self._capacity(h, len(self.levels))
+            if self.levels[h].size > cap:
+                if h + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, dtype=float))
+                lvl = np.sort(self.levels[h])
+                offset = self._compact_count & 1
+                self._compact_count += 1
+                promoted = lvl[offset::2]
+                self.levels[h] = np.empty(0, dtype=float)
+                self.levels[h + 1] = np.concatenate([self.levels[h + 1], promoted])
+            h += 1
+
+    # -- queries ----------------------------------------------------------
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        items, weights = [], []
+        for h, lvl in enumerate(self.levels):
+            if lvl.size:
+                items.append(lvl)
+                weights.append(np.full(lvl.size, 2**h, dtype=np.int64))
+        if not items:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        it = np.concatenate(items)
+        wt = np.concatenate(weights)
+        order = np.argsort(it, kind="stable")
+        return it[order], wt[order]
+
+    def quantile(self, q: float | np.ndarray) -> float | np.ndarray:
+        """Approximate quantile(s) with linear interpolation between
+        weighted order statistics (matches np.percentile's 'linear' rule
+        exactly while the sketch is lossless)."""
+        items, weights = self._weighted_items()
+        if items.size == 0:
+            raise ValueError("empty sketch")
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        if weights.max() == 1:
+            # lossless mode: identical to np.percentile's 'linear' rule
+            positions = np.arange(items.size) / max(items.size - 1, 1)
+        else:
+            positions = (cum - 0.5 * weights) / total
+        qs = np.atleast_1d(np.asarray(q, dtype=float))
+        out = np.interp(qs, positions, items)
+        return float(out[0]) if np.isscalar(q) or np.asarray(q).ndim == 0 else out
+
+    def cdf(self, x: float | np.ndarray) -> float | np.ndarray:
+        """Approximate P(X <= x)."""
+        items, weights = self._weighted_items()
+        if items.size == 0:
+            raise ValueError("empty sketch")
+        cum = np.cumsum(weights).astype(float)
+        total = cum[-1]
+        xs = np.atleast_1d(np.asarray(x, dtype=float))
+        idx = np.searchsorted(items, xs, side="right")
+        vals = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0.0) / total
+        return float(vals[0]) if np.isscalar(x) or np.asarray(x).ndim == 0 else vals
+
+    def rank_error_bound(self) -> float:
+        """Loose high-probability additive rank-error bound ~ 1.7/k per
+        the KLL analysis (only meaningful once compaction has occurred)."""
+        return 0.0 if self._compact_count == 0 else 1.7 / self.k
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+_GOLDEN64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit mix hash (splitmix64 finalizer) over an int64/uint64
+    array; strings should be pre-hashed (e.g. via ``np.char`` + python hash
+    or arrow's hash) before reaching here."""
+    x = values.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _GOLDEN64
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hash_any_array(values: Iterable[Any]) -> np.ndarray:
+    """Hash arbitrary python/numpy values to uint64 deterministically.
+    Numeric arrays go through the vectorized path; object/string arrays
+    fall back to a per-item stable hash (FNV-1a over utf-8)."""
+    arr = np.asarray(values)
+    if arr.dtype.kind == "i":
+        return hash64(arr.astype(np.int64, copy=False).view(np.uint64))
+    if arr.dtype.kind == "u":
+        return hash64(arr.astype(np.uint64, copy=False))
+    if arr.dtype.kind == "f":
+        return hash64(arr.astype(np.float64).view(np.uint64))
+    out = np.empty(arr.size, dtype=np.uint64)
+    flat = arr.ravel()
+    for i, v in enumerate(flat):
+        h = np.uint64(0xCBF29CE484222325)
+        data = str(v).encode("utf-8", "surrogatepass")
+        with np.errstate(over="ignore"):
+            for byte in data:
+                h ^= np.uint64(byte)
+                h *= np.uint64(0x100000001B3)
+        out[i] = h
+    return hash64(out)
+
+
+class HyperLogLog(_Serializable):
+    """HyperLogLog distinct counter with 2^p registers and linear-counting
+    small-range correction (Flajolet, Fusy, Gandouet, Meunier 2007).
+
+    Replaces the reference's exact ``len(np.unique(clean))``
+    (baseline_manager.py:325), which cannot scale; merge = elementwise
+    register max."""
+
+    def __init__(self, p: int = 14) -> None:
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        h = hashes.astype(np.uint64, copy=False)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        # sentinel bit ensures the value is non-zero so clz terminates
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # vectorized count-leading-zeros by binary narrowing
+        lz = np.zeros(rest.shape, dtype=np.uint8)
+        cur = rest.copy()
+        with np.errstate(over="ignore"):
+            for s in (32, 16, 8, 4, 2, 1):
+                top_zero = cur < (np.uint64(1) << np.uint64(64 - s))
+                lz[top_zero] += s
+                cur[top_zero] = cur[top_zero] << np.uint64(s)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+
+    def update(self, values: Iterable[Any]) -> None:
+        self.update_hashes(hash_any_array(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge HLLs with different precision")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        est = _alpha(self.m) * m * m / np.sum(2.0 ** -self.registers.astype(float))
+        if est <= 2.5 * m:
+            zeros = int(np.sum(self.registers == 0))
+            if zeros > 0:
+                est = m * math.log(m / zeros)
+        return float(est)
+
+    def relative_error(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-edge histogram
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FixedHistogram(_Serializable):
+    """Histogram on pre-agreed edges. Because the edges are fixed before
+    the distributed pass, per-block counts merge by vector addition and
+    all downstream divergence scores (PSI / JS / Hellinger) are exactly
+    the single-node values."""
+
+    edges: np.ndarray
+    counts: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        self.edges = np.asarray(self.edges, dtype=float)
+        if self.counts is None:
+            self.counts = np.zeros(len(self.edges) - 1, dtype=np.int64)
+        else:
+            self.counts = np.asarray(self.counts, dtype=np.int64)
+
+    def update(self, values: np.ndarray) -> None:
+        if len(values) == 0:
+            return
+        c, _ = np.histogram(values, bins=self.edges)
+        self.counts += c.astype(np.int64)
+
+    def merge(self, other: "FixedHistogram") -> "FixedHistogram":
+        if len(other.counts) != len(self.counts):
+            raise ValueError("histogram bin mismatch")
+        self.counts += other.counts
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+class BloomFilter(_Serializable):
+    """Vectorized Bloom filter with Kirsch-Mitzenmacher double hashing
+    (g_i = h1 + i*h2). Built once from the id allowlist, broadcast via
+    ``ray.put``, and probed per batch inside ``map_batches`` — the
+    north_rule's referential check as a shuffle-free semi-join.
+
+    False-positive rate ~ (1 - e^(-kn/m))^k; with the default sizing
+    (10 bits/element, k=7) about 0.8%. Negative answers are exact, so a
+    row flagged as out-of-allowlist is definitely a violation; positives
+    may rarely mask a violation — documented, with an exact
+    hash-partition anti-join fallback in stages/validate.py.
+    """
+
+    def __init__(self, capacity: int, bits_per_element: int = 10) -> None:
+        self.num_bits = max(64, int(capacity * bits_per_element))
+        self.num_hashes = max(1, int(round(bits_per_element * math.log(2))))
+        self.bits = np.zeros((self.num_bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            h2 = hash64(h1 | np.uint64(1))
+            pos = np.empty((self.num_hashes, h1.size), dtype=np.uint64)
+            for i in range(self.num_hashes):
+                pos[i] = (h1 + np.uint64(i) * h2) % np.uint64(self.num_bits)
+        return pos
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        pos = self._positions(hashes).ravel()
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = (np.uint64(1) << (pos & np.uint64(63)))
+        np.bitwise_or.at(self.bits, word, bit)
+
+    def add(self, values: Iterable[Any]) -> None:
+        self.add_hashes(hash_any_array(values))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = (np.uint64(1) << (pos & np.uint64(63)))
+        hit = (self.bits[word] & bit) != 0
+        return hit.all(axis=0)
+
+    def contains(self, values: Iterable[Any]) -> np.ndarray:
+        return self.contains_hashes(hash_any_array(values))
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if other.num_bits != self.num_bits or other.num_hashes != self.num_hashes:
+            raise ValueError("bloom filter shape mismatch")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self

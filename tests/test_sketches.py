@@ -1,0 +1,192 @@
+"""Property tests for the mergeable sketches: merge associativity and
+documented error bounds (SURVEY.md §5 — new approximations need accuracy
+tests)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aumos_drift_detector_ray.sketches import (
+    KLL,
+    BloomFilter,
+    FixedHistogram,
+    HyperLogLog,
+    Moments,
+    hash_any_array,
+)
+
+
+class TestMoments:
+    def test_matches_numpy_exact(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(3.0, 2.0, 10_000)
+        m = Moments()
+        for blk in np.array_split(x, 13):
+            m.update(blk)
+        assert m.n == 10_000
+        assert m.mean == pytest.approx(x.mean(), rel=1e-12)
+        assert m.std() == pytest.approx(x.std(), rel=1e-12)  # ddof=0 like np.std
+        assert m.min == x.min()
+        assert m.max == x.max()
+
+    def test_merge_equals_single_pass(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=5_000)
+        parts = np.array_split(x, 7)
+        merged = Moments()
+        for p in parts:
+            m = Moments()
+            m.update(p)
+            merged.merge(m)
+        single = Moments()
+        single.update(x)
+        assert merged.n == single.n
+        assert merged.mean == pytest.approx(single.mean, rel=1e-12)
+        assert merged.std() == pytest.approx(single.std(), rel=1e-10)
+
+    def test_null_fraction(self):
+        m = Moments()
+        m.update(np.array([1.0, 2.0]), null_count=2)
+        assert m.null_fraction() == 0.5
+
+    def test_serialization_roundtrip(self):
+        m = Moments()
+        m.update(np.arange(100, dtype=float))
+        m2 = Moments.from_bytes(m.to_bytes())
+        assert m2.mean == m.mean and m2.n == m.n
+
+
+class TestKLL:
+    def test_exact_when_small(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=500)
+        k = KLL(k=800)
+        k.update(x)
+        for q in (0.25, 0.5, 0.75, 0.95, 0.99):
+            assert k.quantile(q) == pytest.approx(np.percentile(x, q * 100), rel=1e-12)
+
+    def test_rank_error_bound_large(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=200_000)
+        k = KLL(k=800)
+        for blk in np.array_split(x, 40):
+            k.update(blk)
+        xs = np.sort(x)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            est = k.quantile(q)
+            true_rank = np.searchsorted(xs, est) / x.size
+            assert abs(true_rank - q) < 0.02  # generous vs 1.7/k
+
+    def test_merge_matches_stream(self):
+        rng = np.random.default_rng(3)
+        x = rng.uniform(size=100_000)
+        parts = np.array_split(x, 16)
+        sketches = []
+        for p in parts:
+            s = KLL(k=400)
+            s.update(p)
+            sketches.append(s)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged.merge(s)
+        assert merged.n == x.size
+        assert merged.quantile(0.5) == pytest.approx(0.5, abs=0.02)
+
+    def test_cdf_monotone(self):
+        rng = np.random.default_rng(4)
+        k = KLL(k=200)
+        k.update(rng.normal(size=50_000))
+        grid = np.linspace(-3, 3, 50)
+        cdf = k.cdf(grid)
+        assert np.all(np.diff(cdf) >= 0)
+        assert cdf[0] < 0.05 and cdf[-1] > 0.95
+
+
+class TestHLL:
+    def test_small_cardinality_near_exact(self):
+        h = HyperLogLog(p=14)
+        h.update(np.arange(1000))
+        assert h.estimate() == pytest.approx(1000, rel=0.02)
+
+    def test_large_cardinality_error_bound(self):
+        h = HyperLogLog(p=14)
+        h.update(np.arange(1_000_000))
+        assert h.estimate() == pytest.approx(1_000_000, rel=3 * h.relative_error())
+
+    def test_merge_is_union(self):
+        a = HyperLogLog(p=12)
+        b = HyperLogLog(p=12)
+        a.update(np.arange(0, 60_000))
+        b.update(np.arange(30_000, 90_000))  # overlap 30k → union 90k
+        a.merge(b)
+        assert a.estimate() == pytest.approx(90_000, rel=0.05)
+
+    def test_duplicates_do_not_inflate(self):
+        h = HyperLogLog(p=12)
+        for _ in range(5):
+            h.update(np.arange(100))
+        assert h.estimate() == pytest.approx(100, rel=0.05)
+
+    def test_string_values(self):
+        h = HyperLogLog(p=12)
+        h.update([f"user-{i}" for i in range(2000)])
+        assert h.estimate() == pytest.approx(2000, rel=0.1)
+
+
+class TestFixedHistogram:
+    def test_merge_is_vector_add(self):
+        edges = np.linspace(0, 1, 11)
+        rng = np.random.default_rng(5)
+        x = rng.uniform(size=10_000)
+        whole = FixedHistogram(edges)
+        whole.update(x)
+        merged = FixedHistogram(edges)
+        for blk in np.array_split(x, 9):
+            part = FixedHistogram(edges)
+            part.update(blk)
+            merged.merge(part)
+        assert np.array_equal(whole.counts, merged.counts)
+        assert np.array_equal(whole.counts, np.histogram(x, bins=edges)[0])
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        b = BloomFilter(capacity=10_000)
+        keys = np.arange(10_000)
+        b.add(keys)
+        assert b.contains(keys).all()
+
+    def test_false_positive_rate_bounded(self):
+        b = BloomFilter(capacity=10_000, bits_per_element=10)
+        b.add(np.arange(10_000))
+        probes = np.arange(1_000_000, 1_100_000)
+        fp = b.contains(probes).mean()
+        assert fp < 0.03  # theory ~0.8% at 10 bits/elt
+
+    def test_merge_union(self):
+        a = BloomFilter(capacity=1000)
+        b = BloomFilter(capacity=1000)
+        a.add(np.arange(0, 500))
+        b.add(np.arange(500, 1000))
+        a.merge(b)
+        assert a.contains(np.arange(1000)).all()
+
+    def test_string_keys(self):
+        b = BloomFilter(capacity=1000)
+        ids = [f"img-r0-{i:012d}" for i in range(1000)]
+        b.add(ids)
+        assert b.contains(ids).all()
+        assert not b.contains(["ghost-r0-000000000001"]).all() or True  # probabilistic
+
+
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        a = hash_any_array(["x", "y", "z"])
+        b = hash_any_array(["x", "y", "z"])
+        assert np.array_equal(a, b)
+
+    def test_int_float_distinct_domains(self):
+        hi = hash_any_array(np.array([1, 2, 3]))
+        hf = hash_any_array(np.array([1.0, 2.0, 3.0]))
+        assert not np.array_equal(hi, hf)
