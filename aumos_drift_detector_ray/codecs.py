@@ -119,7 +119,9 @@ def _quant_table(quality: int) -> np.ndarray:
     fixture."""
     k = np.arange(8)
     freq = 1.0 + (k[:, None] + k[None, :])  # 1..15, grows with frequency
-    scale = (101.0 - quality) / 25.0  # q=90 → 0.44, q=25 → 3.04
+    # quadratic quality ramp: q=90 → 0.19 (fine steps, PSNR >> 40 dB on
+    # smooth content), q=15 → 11.8 (coarse steps incl. DC → PSNR < 40 dB)
+    scale = ((101.0 - quality) / 25.0) ** 2
     steps = 1.0 + freq * scale
     return steps
 

@@ -1,0 +1,371 @@
+"""Deduplication stages: exact, pHash near-dup, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding-cosine.
+
+The reference has no data dedup (SURVEY.md §2g — only alert fingerprint
+dedup); these are the north-rule additions (image_id uniqueness, pHash
+near-dup) plus the dedup family a large-scale training-data pipeline
+needs. Shuffle discipline:
+
+* exact dedup / uniqueness — ONE hash shuffle on the key column
+  (``groupby``), moving only scalars (``bytes`` was dropped upstream).
+* pHash near-dup — band bucketing: each 64-bit hash is exploded into B
+  prefix bands; only rows sharing a band bucket are pairwise compared
+  (Hamming <= tol within ``map_groups``). A pair at Hamming distance d
+  collides on >= 1 of B bands whenever the differing bits miss one band
+  (guaranteed for d < B by pigeonhole when bands partition the 64 bits).
+* MinHash-LSH — shingles → k minhashes → b bands of r rows
+  (k = b*r); band-bucket groupby yields candidate pairs, verified by
+  exact Jaccard. Standard LSH S-curve: P(collide) = 1-(1-s^r)^b.
+* SimHash — 64-bit weighted-projection hash of token multiset; near-dup
+  iff Hamming <= tol, banded like pHash.
+* embedding cosine — normalize + LSH random-hyperplane bucketing (or
+  brute-force within groups) for near-dup by cosine >= threshold.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..sketches import hash64, hash_any_array
+
+# ---------------------------------------------------------------------------
+# exact uniqueness / dedup
+# ---------------------------------------------------------------------------
+
+def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """Keys appearing more than once: ``groupby(key).count() > 1``.
+    One shuffle of the scalar key column."""
+    counts = ds.groupby(key).count()
+    return counts.filter(expr="count() > 1")
+
+
+def uniqueness_violations(ds: ray.data.Dataset, key: str = "image_id") -> ray.data.Dataset:
+    """Violation rows for the uniqueness constraint: every member row of
+    a duplicated key group (both the keeper and the echo are reported,
+    mirroring how a reviewer sees a dup group)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return g.iloc[0:0]
+        return g
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def dedup_exact(ds: ray.data.Dataset, key: str, order_col: str | None = None) -> ray.data.Dataset:
+    """Keep one row per key (hash-partition + per-group first; the keeper
+    is the min of ``order_col`` when given, else arbitrary-but-
+    deterministic within the group sort)."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if order_col is not None:
+            g = g.sort_values(order_col, kind="stable")
+        return g.iloc[:1]
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# pHash / SimHash banded near-dup
+# ---------------------------------------------------------------------------
+
+def _explode_bands(hash_col: str, id_cols: list[str], n_bands: int):
+    band_width = 64 // n_bands
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        n = len(h)
+        out: dict[str, Any] = {c: np.repeat(batch[c].to_numpy(zero_copy_only=False), n_bands) for c in id_cols}
+        out[hash_col] = np.repeat(h.view(np.int64), n_bands)
+        band_ids = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        shifts = (band_ids * band_width).astype(np.uint64)
+        mask = np.uint64((1 << band_width) - 1)
+        vals = (np.repeat(h, n_bands) >> shifts) & mask
+        out["band_id"] = band_ids
+        # combine band id + band value into one scalar bucket key
+        out["band_key"] = ((vals << np.uint64(6)) | band_ids.astype(np.uint64)).view(np.int64)
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    return fn
+
+
+def near_dup_pairs_hamming(
+    ds: ray.data.Dataset,
+    hash_col: str = "phash",
+    id_col: str = "image_id",
+    tol: int = 4,
+    n_bands: int = 8,
+) -> ray.data.Dataset:
+    """Candidate generation by band bucketing + exact Hamming verify.
+
+    Guarantee: with ``n_bands`` disjoint bands of 64/n_bands bits, any
+    pair with Hamming distance < n_bands shares at least one identical
+    band (pigeonhole), so recall is 1.0 for tol < n_bands. Each group is
+    pairwise-compared with vectorized popcount; groups are bounded by
+    bucket size (skewed buckets are rare for perceptual hashes of
+    distinct content; a hot bucket means真 duplicates, which we want
+    compared anyway).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, deduplicated across
+    bands.
+    """
+    from ..codecs import hamming64
+
+    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+        _explode_bands(hash_col, [id_col], n_bands), batch_format="pyarrow"
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.drop_duplicates(subset=[id_col])
+        ids = g[id_col].to_numpy()
+        hs = g[hash_col].to_numpy().astype(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        ia, ib = np.triu_indices(n, k=1)
+        d = hamming64(hs[ia], hs[ib])
+        keep = d <= tol
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": d[keep].astype(np.int64)})
+
+    pairs = exploded.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
+    # same pair can surface from multiple bands → dedup on (id_a, id_b)
+    return pairs.groupby("id_a").map_groups(
+        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
+    )
+
+
+def simhash64(texts: list[str], token_re: re.Pattern | None = None) -> np.ndarray:
+    """64-bit SimHash (Charikar 2002) of each text's token multiset:
+    sum +-1 per bit weighted by token occurrence, sign → bit."""
+    token_re = token_re or re.compile(r"\w+")
+    out = np.empty(len(texts), dtype=np.int64)
+    bit_cols = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = token_re.findall(t.lower()) if t else []
+        if not toks:
+            out[i] = 0
+            continue
+        hs = hash_any_array(toks)
+        bits = ((hs[:, None] >> bit_cols[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        word = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                word |= np.uint64(1) << np.uint64(b)
+        out[i] = word.astype(np.int64) if hasattr(word, "astype") else np.int64(word)
+    return out
+
+
+def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
+                out_col: str = "simhash") -> ray.data.Dataset:
+    class SimHasher:
+        def __init__(self) -> None:
+            self.token_re = re.compile(r"\w+")
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sh = simhash64(batch[text_col].to_pylist(), self.token_re)
+            return batch.append_column(out_col, pa.array(sh, pa.int64()))
+
+    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    if not text or len(text) < k:
+        return np.array([text or ""], dtype=object)
+    return np.array([text[i:i + k] for i in range(len(text) - k + 1)], dtype=object)
+
+
+class MinHasher:
+    """Actor-pool stage: text → k minhash signature (one permutation per
+    hash via seeded splitmix re-hash), emitted as a FixedSizeList column.
+    Shingle hashing and the k-way min are vectorized per row."""
+
+    def __init__(self, text_col: str, num_hashes: int = 128, shingle_k: int = 5) -> None:
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.shingle_k = shingle_k
+        rng = np.random.default_rng(42)
+        # Kirsch-Mitzenmacher style: h_i = a_i * h + b_i (mod 2^64)
+        self.a = rng.integers(1, 2**63, size=num_hashes, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _char_shingles(text, self.shingle_k)
+        base = hash_any_array(sh)  # (n_shingles,)
+        with np.errstate(over="ignore"):
+            mat = base[None, :] * self.a[:, None] + self.b[:, None]
+        return mat.min(axis=1)  # (num_hashes,)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([
+            self.signature(t or "") for t in texts
+        ]) if texts else np.empty((0, self.num_hashes), dtype=np.uint64)
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.astype(np.int64).ravel(), pa.int64()), self.num_hashes
+        )
+        return batch.append_column("minhash", col)
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.8,
+) -> ray.data.Dataset:
+    """MinHash + LSH near-dup candidate pairs verified by signature
+    Jaccard (fraction of equal minhashes — an unbiased estimator of set
+    Jaccard). rows = num_hashes // bands per band."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    with_sig = ds.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        fn_constructor_args=(text_col, num_hashes, shingle_k),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "band_key": pa.array([], pa.int64()),
+                             "minhash": pa.array([], pa.list_(pa.int64()))})
+        sig = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64).reshape(n, num_hashes)
+        band_vals = sig.reshape(n, bands, rows_per_band)
+        # one scalar key per band: hash of the band's row values + band idx
+        acc = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                acc = acc * np.uint64(0x100000001B3) + band_vals[:, :, r].view(np.uint64)
+            acc = hash64(acc.ravel()).reshape(n, bands)
+            keys = (acc * np.uint64(64) + np.arange(bands, dtype=np.uint64)[None, :]).view(np.int64)
+        ids = np.repeat(np.asarray(batch[id_col].to_pylist()), bands)
+        return pa.table({
+            id_col: pa.array(ids),
+            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "minhash": pa.array([list(s) for s in np.repeat(sig, bands, axis=0)]),
+        })
+
+    exploded = with_sig.map_batches(explode, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["minhash"].to_numpy())
+        ia, ib = np.triu_indices(len(ids), k=1)
+        jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = jac >= jaccard_threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+            "jaccard": jac[keep],
+        })
+
+    pairs = exploded.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
+    return pairs.groupby("id_a").map_groups(
+        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for verification / small candidate sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = set(a[i:i + k] for i in range(max(1, len(a) - k + 1)))
+    sb = set(b[i:i + k] for i in range(max(1, len(b) - k + 1)))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH (Charikar 2002): bucket = sign pattern of
+    ``n_planes`` fixed seeded projections; ``n_tables`` independent
+    tables boost recall. Pairs sharing any bucket are verified by exact
+    cosine; output (id_a, id_b, cosine >= threshold)."""
+    class Bucketer:
+        def __init__(self) -> None:
+            self.planes: list[np.ndarray] | None = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+            n, d = emb.shape
+            if self.planes is None:
+                r = np.random.default_rng(42)
+                self.planes = [r.normal(size=(n_planes, d)) for _ in range(n_tables)]
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = emb / norms
+            ids = np.repeat(np.asarray(batch[id_col].to_pylist()), n_tables)
+            keys = np.empty((n, n_tables), dtype=np.int64)
+            for t, pl in enumerate(self.planes):
+                signs = (unit @ pl.T) > 0  # (n, n_planes)
+                packed = np.packbits(signs, axis=1, bitorder="little")
+                key = np.zeros(n, dtype=np.uint64)
+                for byte in range(packed.shape[1]):
+                    key = (key << np.uint64(8)) | packed[:, byte].astype(np.uint64)
+                keys[:, t] = ((key << np.uint64(3)) | np.uint64(t)).view(np.int64)
+            return pa.table({
+                id_col: pa.array(ids),
+                "bucket": pa.array(keys.ravel(), pa.int64()),
+                "unit": pa.array([list(u) for u in np.repeat(unit, n_tables, axis=0)]),
+            })
+
+    exploded = ds.select_columns([id_col, emb_col]).map_batches(
+        Bucketer, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids = g[id_col].to_numpy()
+        u = np.stack(g["unit"].to_numpy())
+        sims = u @ u.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        a, b = ids[ia[keep]], ids[ib[keep]]
+        return pd.DataFrame({
+            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": s[keep],
+        })
+
+    pairs = exploded.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    return pairs.groupby("id_a").map_groups(
+        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
+    )

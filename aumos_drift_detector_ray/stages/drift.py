@@ -1,0 +1,204 @@
+"""Two-window drift scoring over merged profiles + detection/alert/event
+row emission.
+
+The distributed shape of the reference's intended run-monitor path
+(api/router.py:248-290 → per-feature two-sample tests → record_detection,
+core/services.py:265-370):
+
+1. Pass 1: :func:`profile.profile_dataset` on each window (reference =
+   baseline window, production = current window) — moments/KLL/HLL per
+   numeric feature, grouped counts per categorical feature.
+2. Edges: PSI decile edges from the *reference* KLL (psi.py:156-158
+   semantics, sketch quantiles instead of np.percentile) and shared
+   JS/Hellinger equal-width edges from the combined min/max
+   (jensen_shannon.py:56-58).
+3. Pass 2: both windows histogram on those fixed edges — per-block
+   counts merge exactly, so PSI/JS/Hellinger equal the single-node
+   formulas on the same binned data.
+4. Driver: scores + verdicts + severity rows (KB-scale math).
+
+KS note: D comes from the two merged KLL CDFs evaluated on the union of
+retained sketch items — |D_hat - D| <= eps_ref + eps_prod (sketch rank
+errors; exact while windows fit in sketch capacity). W1 comes from the
+quantile-function L1 distance on a uniform rank grid.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+import ray.data
+
+from ..functions import severity as sev
+from ..functions import stats
+from . import profile as prof_mod
+
+DEFAULT_NUMERIC_TESTS = ("psi", "ks", "js", "hellinger", "wasserstein")
+
+
+@dataclass(frozen=True)
+class DriftConfig:
+    """Thresholds default to the reference Settings (settings.py:24-56 /
+    GAP-166 defaults)."""
+
+    thresholds: dict[str, float] = field(
+        default_factory=lambda: dict(stats.DEFAULT_THRESHOLDS)
+    )
+    psi_bins: int = 10
+    js_bins: int = 20
+    numeric_tests: tuple[str, ...] = DEFAULT_NUMERIC_TESTS
+    w1_grid: int = 512
+
+
+def drift_edges(
+    ref_profiles: dict[str, Any],
+    prod_profiles: dict[str, Any],
+    cfg: DriftConfig,
+) -> dict[str, dict[str, np.ndarray]]:
+    """Per-feature named edge sets for the pass-2 histograms."""
+    out: dict[str, dict[str, np.ndarray]] = {}
+    for col, rp in ref_profiles["num"].items():
+        pp = prod_profiles["num"].get(col)
+        if pp is None or rp.moments.n == 0 or pp.moments.n == 0:
+            continue
+        edges: dict[str, np.ndarray] = {}
+        if rp.moments.max > rp.moments.min:
+            deciles = rp.kll.quantile(np.linspace(0.0, 1.0, cfg.psi_bins + 1))
+            edges["psi"] = np.concatenate([[-np.inf], np.asarray(deciles)[1:-1], [np.inf]])
+        lo = min(rp.moments.min, pp.moments.min)
+        hi = max(rp.moments.max, pp.moments.max)
+        if hi > lo:
+            edges["js"] = np.linspace(lo, hi, cfg.js_bins + 1)
+        if edges:
+            out[col] = edges
+    return out
+
+
+def _ks_from_sketches(ref_kll, prod_kll) -> float:
+    grid = np.unique(np.concatenate([ref_kll._weighted_items()[0],
+                                     prod_kll._weighted_items()[0]]))
+    if grid.size == 0:
+        return 0.0
+    return stats.ks_statistic_from_cdfs(grid, ref_kll.cdf(grid), prod_kll.cdf(grid))
+
+
+def score_features(
+    ref_profiles: dict[str, Any],
+    prod_profiles: dict[str, Any],
+    ref_hist: dict[str, Any],
+    prod_hist: dict[str, Any],
+    cfg: DriftConfig,
+) -> list[dict[str, Any]]:
+    """Per-(feature, test) score dicts from merged summaries. Driver-side
+    numpy over KB-scale inputs."""
+    rows: list[dict[str, Any]] = []
+    thr = cfg.thresholds
+
+    for col, rp in ref_profiles["num"].items():
+        pp = prod_profiles["num"].get(col)
+        if pp is None or rp.moments.n == 0 or pp.moments.n == 0:
+            continue
+        rh = ref_hist.get(col)
+        ph = prod_hist.get(col)
+
+        if "psi" in cfg.numeric_tests and rh is not None and "psi" in rh.histograms:
+            r = stats.psi_from_counts(
+                rh.histograms["psi"].counts,
+                ph.histograms["psi"].counts,
+                threshold=thr["psi"],
+                feature_name=col,
+            )
+            rows.append({"feature": col, "test": "psi", "score": r.psi,
+                         "threshold": thr["psi"], "details": r.to_dict()})
+
+        if "ks" in cfg.numeric_tests:
+            d = _ks_from_sketches(rp.kll, pp.kll)
+            p = stats.ks_pvalue_asymptotic(d, rp.moments.n, pp.moments.n)
+            rows.append({"feature": col, "test": "ks", "score": p,
+                         "threshold": thr["ks"],
+                         "details": {"statistic": d, "p_value": p,
+                                     "reference_size": rp.moments.n,
+                                     "production_size": pp.moments.n}})
+
+        if rh is not None and "js" in rh.histograms:
+            p_probs = stats.hist_probs(rh.histograms["js"].counts)
+            q_probs = stats.hist_probs(ph.histograms["js"].counts)
+            if "js" in cfg.numeric_tests:
+                s = stats.js_divergence_sqrt(p_probs, q_probs)
+                rows.append({"feature": col, "test": "js", "score": s,
+                             "threshold": thr["js"], "details": {"n_bins": cfg.js_bins}})
+            if "hellinger" in cfg.numeric_tests:
+                s = stats.hellinger_distance(p_probs, q_probs)
+                rows.append({"feature": col, "test": "hellinger", "score": s,
+                             "threshold": thr["hellinger"],
+                             "details": {"n_bins": cfg.js_bins}})
+
+        if "wasserstein" in cfg.numeric_tests:
+            grid = np.linspace(0.5 / cfg.w1_grid, 1 - 0.5 / cfg.w1_grid, cfg.w1_grid)
+            raw = stats.wasserstein1_from_quantiles(
+                rp.kll.quantile(grid), pp.kll.quantile(grid)
+            )
+            iqr = float(rp.kll.quantile(0.75) - rp.kll.quantile(0.25))
+            if iqr < 1e-10:
+                iqr = rp.moments.std() or 1.0
+            s = raw / iqr
+            rows.append({"feature": col, "test": "wasserstein", "score": s,
+                         "threshold": thr["wasserstein"],
+                         "details": {"raw_distance": raw, "iqr": iqr}})
+
+    for col, rc in ref_profiles.get("cat", {}).items():
+        pc_ = prod_profiles.get("cat", {}).get(col)
+        if pc_ is None or not rc.counts or not pc_.counts:
+            continue
+        r = stats.chi2_test(rc.counts, pc_.counts, threshold=thr["chi2"],
+                            feature_name=col)
+        rows.append({"feature": col, "test": "chi2", "score": r.p_value,
+                     "threshold": thr["chi2"], "details": r.to_dict()})
+    return rows
+
+
+def detections_alerts_events(
+    scores: list[dict[str, Any]],
+    run_id: str,
+    partition_id: int = -1,
+    detected_at: str = "",
+    retraining_enabled: bool = True,
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """Map score rows through the reference's record_detection flow
+    (severity, alert + kafka-event emission — core/services.py:265-370)."""
+    detections, alerts, events = [], [], []
+    for s in scores:
+        det, al, ev = sev.rows_for_score(
+            run_id, partition_id, s["feature"], s["test"], s["score"],
+            s["threshold"], s.get("details"), detected_at, retraining_enabled,
+        )
+        detections.append(det)
+        alerts.extend(al)
+        events.extend(ev)
+    return detections, alerts, events
+
+
+def two_window_drift(
+    ref_ds: ray.data.Dataset,
+    prod_ds: ray.data.Dataset,
+    numeric_cols: list[str],
+    categorical_cols: list[str] = [],
+    cfg: DriftConfig | None = None,
+) -> dict[str, Any]:
+    """Full two-window drift run: pass-1 profiles, edge derivation,
+    pass-2 fixed-edge histograms, driver-side scores."""
+    cfg = cfg or DriftConfig()
+    ref_p = prof_mod.profile_dataset(ref_ds, numeric_cols, categorical_cols)
+    prod_p = prof_mod.profile_dataset(prod_ds, numeric_cols, categorical_cols)
+    edges = drift_edges(ref_p, prod_p, cfg)
+    if edges:
+        cols = list(edges.keys())
+        ref_h = prof_mod.profile_dataset(ref_ds, cols, [], hist_edges=edges)["num"]
+        prod_h = prof_mod.profile_dataset(prod_ds, cols, [], hist_edges=edges)["num"]
+    else:
+        ref_h, prod_h = {}, {}
+    scores = score_features(ref_p, prod_p, ref_h, prod_h, cfg)
+    return {"scores": scores, "ref_profiles": ref_p, "prod_profiles": prod_p}

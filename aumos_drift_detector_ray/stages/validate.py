@@ -1,0 +1,410 @@
+"""Schema + constraint validation stages over the image+caption table.
+
+The north rule adds what the reference never had (its schema checks are
+key-equality only — ks_test.py:165-170, psi.py:211-212): a real
+column-type / constraint validation engine emitting per-partition
+pass/fail + violation rows. Layout:
+
+* :func:`check_schema` — pyarrow.Schema conformance (castability) of the
+  incoming Dataset vs the expected input_hint schema.
+* :class:`ScalarValidator` — **stateless-shape but actor-pooled** batch
+  stage for the cheap vector checks (nulls, dim ranges, fmt domain,
+  Bloom referential). The Bloom filter is fetched from the object store
+  once per actor (``ray.put`` broadcast, no shuffle).
+* :class:`DecodeValidator` — actor-pool ``map_batches`` stage that
+  decodes every payload, verifies header/decoded dims against the
+  ``w``/``h`` columns, re-derives the ground-truth pixels/caption from
+  the row's seeded identity and enforces the per-row fidelity invariant
+  (decoded-pixel allclose for lossless fmts, PSNR >= 40 dB for lossy —
+  BASELINE.json input_hint), recomputes the pHash, and then **drops the
+  ``bytes`` column** so every downstream shuffle moves only scalars.
+* :func:`violations_from_flags` / :func:`passfail_matrix` — reshape the
+  wide per-row flag table into violation rows and the per-(partition,
+  check) pass/fail matrix (the north-rule output contract).
+
+Uniqueness and pHash near-dup are shuffle stages in stages/dedup.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from .. import codecs, synth
+
+# check names — the rows of the pass/fail matrix
+SCALAR_CHECKS = (
+    "not_null_id",
+    "not_null_bytes",
+    "not_null_caption",
+    "range_dims",
+    "fmt_domain",
+    "referential",
+)
+DECODE_CHECKS = (
+    "decodable",
+    "dims_match",
+    "pixel_fidelity",
+    "caption_match",
+    "phash_match",
+)
+SHUFFLE_CHECKS = ("uniqueness", "near_dup")
+ALL_CHECKS = SCALAR_CHECKS + DECODE_CHECKS + SHUFFLE_CHECKS
+
+
+@dataclass(frozen=True)
+class ValidationConfig:
+    """Constraint thresholds + the seeded identity needed to re-derive
+    ground truth per row."""
+
+    synth_cfg: synth.SynthConfig = field(default_factory=synth.SynthConfig)
+    max_dim: int = 4096
+    allowed_fmts: tuple[str, ...] = codecs.FORMATS
+    psnr_min: float = 40.0
+    phash_tol: int = 6
+    check_fidelity: bool = True  # decode + pixel/caption/phash invariants
+
+
+def check_schema(ds: ray.data.Dataset, expected: pa.Schema = synth.IMAGE_SCHEMA) -> list[str]:
+    """Schema conformance: every expected field must exist with an
+    equal or losslessly-castable type. Returns a list of problems
+    (empty = conforms). Extra columns are allowed (metadata columns like
+    the read path)."""
+    actual = ds.schema()
+    names = dict(zip(actual.names, actual.types))
+    problems = []
+    for fld in expected:
+        if fld.name not in names:
+            problems.append(f"missing column {fld.name!r}")
+            continue
+        t = names[fld.name]
+        if t.equals(fld.type):
+            continue
+        try:
+            pa.compute.cast(pa.array([], t), fld.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            problems.append(f"column {fld.name!r} type {t} not castable to {fld.type}")
+    return problems
+
+
+def attach_partition_id(ds: ray.data.Dataset, rows_per_shard: int) -> ray.data.Dataset:
+    """Derive ``partition_id`` = row_index // rows_per_shard from each
+    row's seeded identity (the trailing digits of image_id survive every
+    injected violation, including ghost ids). Rows with no parseable
+    index get partition -1. Used when the input is synthesized in memory;
+    parquet inputs carry partition identity via their shard path."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        pids = np.full(len(ids), -1, dtype=np.int64)
+        for i, s in enumerate(ids):
+            if s:
+                tail = s.rsplit("-", 1)[-1]
+                if tail.isdigit():
+                    pids[i] = int(tail) // rows_per_shard
+        return batch.append_column("partition_id", pa.array(pids, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def partition_id_from_path(ds: ray.data.Dataset, path_column: str = "path") -> ray.data.Dataset:
+    """Turn a ``shard=<k>`` component of the read path into partition_id
+    (parquet inputs read with include_paths=True)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        paths = batch[path_column].to_pylist()
+        pids = np.full(len(paths), -1, dtype=np.int64)
+        for i, p in enumerate(paths):
+            for part in p.split("/"):
+                if part.startswith("shard="):
+                    pids[i] = int(part.split("=", 1)[1])
+                    break
+        out = batch.drop_columns([path_column])
+        return out.append_column("partition_id", pa.array(pids, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# per-worker-process cache of deserialized broadcast objects, so stateless
+# tasks pay the ray.get deserialization once per worker, not once per batch
+_BROADCAST_CACHE: dict[str, Any] = {}
+
+
+def _get_broadcast(ref: Any) -> Any:
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def make_scalar_validator(cfg: ValidationConfig, bloom_ref: Any | None = None):
+    """Vectorized scalar constraint checks as a STATELESS task function
+    (no actor reservation — the decode pool downstream needs the CPUs).
+    Bloom referential membership runs against the broadcast id allowlist
+    (``ray.put`` once; negatives exact, positives ~0.8% FP at 10
+    bits/element — see sketches.BloomFilter), cached per worker."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ok_id = pc.is_valid(batch["image_id"])
+        ok_bytes = pc.is_valid(batch["bytes"])
+        ok_caption = pc.is_valid(batch["caption"])
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        ok_range = pa.array(
+            (w > 0) & (w <= cfg.max_dim) & (h > 0) & (h <= cfg.max_dim)
+        )
+        ok_fmt = pc.is_in(batch["fmt"], value_set=pa.array(list(cfg.allowed_fmts)))
+        if bloom_ref is not None:
+            bloom = _get_broadcast(bloom_ref)
+            ids = batch["image_id"].to_pylist()
+            present = bloom.contains([s if s is not None else "" for s in ids])
+            ok_ref = pa.array(present)
+        else:
+            ok_ref = pa.array(np.ones(n, dtype=bool))
+        return (
+            batch.append_column("ok_not_null_id", ok_id)
+            .append_column("ok_not_null_bytes", ok_bytes)
+            .append_column("ok_not_null_caption", ok_caption)
+            .append_column("ok_range_dims", ok_range)
+            .append_column("ok_fmt_domain", ok_fmt)
+            .append_column("ok_referential", ok_ref)
+        )
+
+    return fn
+
+
+class DecodeValidator:
+    """Actor-pool decode + fidelity stage.
+
+    Per row: decode the payload with the declared codec; compare header
+    and decoded dims with the ``w``/``h`` columns; regenerate the row's
+    ground-truth pixels+caption from its seeded identity and enforce
+    decoded-pixel equality (lossless) / PSNR >= psnr_min (lossy), exact
+    caption equality, and pHash recompute within phash_tol Hamming bits.
+    Emits derived scalar features (byte_len, decoded dims, psnr) and
+    DROPS ``bytes`` — downstream stages shuffle scalars only.
+
+    The per-row Python loop is unavoidable (codec work is per-image);
+    the actor pool amortizes setup and parallelizes across the pool.
+    """
+
+    def __init__(self, cfg: ValidationConfig) -> None:
+        self.cfg = cfg
+        self.run = cfg.synth_cfg.run
+        self.seed = cfg.synth_cfg.seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = len(batch)
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        phs = batch["phash"].to_numpy(zero_copy_only=False)
+
+        ok_dec = np.zeros(n, dtype=bool)
+        ok_dims = np.zeros(n, dtype=bool)
+        ok_pix = np.zeros(n, dtype=bool)
+        ok_cap = np.zeros(n, dtype=bool)
+        ok_ph = np.zeros(n, dtype=bool)
+        byte_len = np.zeros(n, dtype=np.int64)
+        psnr_out = np.full(n, np.nan)
+        mean_px = np.full(n, np.nan)
+
+        for i in range(n):
+            blob, fmt = blobs[i], fmts[i]
+            byte_len[i] = len(blob) if blob is not None else 0
+            img = None
+            if blob is not None and fmt in codecs.FORMATS:
+                try:
+                    img = codecs.decode(blob, fmt)
+                    ok_dec[i] = True
+                except codecs.CodecError:
+                    pass
+            if img is not None:
+                dh, dw = img.shape[0], img.shape[1]
+                ok_dims[i] = (dw == ws[i]) and (dh == hs[i])
+                mean_px[i] = float(img.mean())
+                rec_ph = int(codecs.phash64(img))
+                ok_ph[i] = int(
+                    codecs.hamming64(np.array([rec_ph]), np.array([int(phs[i])]))[0]
+                ) <= cfg.phash_tol
+            row_idx = synth.parse_row_index(ids[i], self.run) if ids[i] else None
+            if cfg.check_fidelity and row_idx is not None:
+                truth_cap = synth.ground_truth_caption(self.seed, row_idx, cfg.synth_cfg)
+                ok_cap[i] = caps[i] == truth_cap
+                if img is not None:
+                    truth = synth.ground_truth_pixels(self.seed, row_idx, cfg.synth_cfg)
+                    if truth.shape == img.shape:
+                        p = codecs.psnr(truth, img)
+                        psnr_out[i] = p
+                        if fmt == "jpg":
+                            ok_pix[i] = p >= cfg.psnr_min
+                        else:
+                            ok_pix[i] = bool(np.array_equal(truth, img))
+            elif not cfg.check_fidelity:
+                ok_cap[i] = caps[i] is not None
+                ok_pix[i] = img is not None
+
+        out = batch.drop_columns(["bytes"])
+        for name, arr in (
+            ("ok_decodable", ok_dec),
+            ("ok_dims_match", ok_dims),
+            ("ok_pixel_fidelity", ok_pix),
+            ("ok_caption_match", ok_cap),
+            ("ok_phash_match", ok_ph),
+        ):
+            out = out.append_column(name, pa.array(arr))
+        out = out.append_column("byte_len", pa.array(byte_len, pa.int64()))
+        out = out.append_column("psnr", pa.array(psnr_out, pa.float64()))
+        out = out.append_column("mean_pixel", pa.array(mean_px, pa.float64()))
+        return out
+
+
+def run_row_validation(
+    ds: ray.data.Dataset,
+    cfg: ValidationConfig,
+    bloom_ref: Any | None = None,
+    decode_concurrency: int | tuple[int, int] = (2, 8),
+    decode_batch_size: int = 256,
+) -> ray.data.Dataset:
+    """Scalar checks (stateless tasks) then decode/fidelity checks (actor
+    pool). ``decode_batch_size`` is small because a batch carries wide
+    binary payloads; the decode pool autoscales within
+    ``decode_concurrency`` — size it BELOW the CPU count so the read and
+    scalar stages are not starved of CPUs."""
+    ds = ds.map_batches(
+        make_scalar_validator(cfg, bloom_ref),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    ds = ds.map_batches(
+        DecodeValidator,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=decode_batch_size,
+        concurrency=decode_concurrency,
+    )
+    return ds
+
+
+def violations_from_flags(flags: ray.data.Dataset) -> ray.data.Dataset:
+    """Unpivot failed checks into violation rows
+    (partition_id, image_id, check, detail)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        check_cols = [c for c in batch.column_names if c.startswith("ok_")]
+        pids, ids, checks, details = [], [], [], []
+        id_col = batch["image_id"].to_pylist()
+        pid_col = (
+            batch["partition_id"].to_pylist()
+            if "partition_id" in batch.column_names
+            else [-1] * len(batch)
+        )
+        for c in check_cols:
+            mask = pc.fill_null(pc.invert(batch[c]), True).to_numpy(zero_copy_only=False)
+            for i in np.flatnonzero(mask):
+                pids.append(pid_col[i] if pid_col[i] is not None else -1)
+                ids.append(id_col[i])
+                checks.append(c[3:])
+                details.append("")
+        return pa.table(
+            {
+                "partition_id": pa.array(pids, pa.int64()),
+                "image_id": pa.array(ids, pa.string()),
+                "check": pa.array(checks, pa.string()),
+                "detail": pa.array(details, pa.string()),
+            }
+        )
+
+    return flags.map_batches(fn, batch_format="pyarrow")
+
+
+def passfail_matrix(flags: ray.data.Dataset) -> "Any":
+    """Per-(partition, check) pass/fail + violation counts as a small
+    pyarrow Table: partial sums per block + grouped merge (no row-level
+    shuffle — counts per partition/check are pre-aggregated inside
+    map_batches, then reduced)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        check_cols = [c for c in batch.column_names if c.startswith("ok_")]
+        pid = (
+            batch["partition_id"].to_numpy(zero_copy_only=False)
+            if "partition_id" in batch.column_names
+            else np.full(len(batch), -1, dtype=np.int64)
+        )
+        uniq = np.unique(pid)
+        rows: dict[str, list[Any]] = {"partition_id": [], "check": [], "violations": [], "rows": []}
+        for p in uniq:
+            sel = pid == p
+            total = int(sel.sum())
+            for c in check_cols:
+                col = pc.fill_null(batch[c], False).to_numpy(zero_copy_only=False)
+                bad = int(total - col[sel].sum())
+                rows["partition_id"].append(int(p))
+                rows["check"].append(c[3:])
+                rows["violations"].append(bad)
+                rows["rows"].append(total)
+        return pa.table(
+            {
+                "partition_id": pa.array(rows["partition_id"], pa.int64()),
+                "check": pa.array(rows["check"], pa.string()),
+                "violations": pa.array(rows["violations"], pa.int64()),
+                "rows": pa.array(rows["rows"], pa.int64()),
+            }
+        )
+
+    partials = flags.map_batches(partial, batch_format="pyarrow")
+    tbl = partials.to_pandas()
+    agg = (
+        tbl.groupby(["partition_id", "check"], as_index=False)
+        .agg(violations=("violations", "sum"), rows=("rows", "sum"))
+        .sort_values(["partition_id", "check"])
+        .reset_index(drop=True)
+    )
+    agg["passed"] = agg["violations"] == 0
+    # "rows" was double-counted across checks within a block only if a
+    # check appears once per block — it does, so rows is consistent per
+    # (partition, check) pair.
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def build_allowlist_bloom(
+    n_rows: int,
+    run: str,
+    bits_per_element: int = 10,
+    chunk: int = 200_000,
+) -> Any:
+    """Build the id-allowlist Bloom filter (all canonical ids for the
+    run) with parallel Ray tasks over id ranges, merged on the driver,
+    then ``ray.put`` for broadcast. At 10^12 ids a Bloom at 10 bits/elt
+    is ~1.2 TB — at that scale drop to per-key-range blooms co-located
+    with hash-partitioned data; for this engine's bench scales (<=10^7)
+    a single broadcast filter is the right call."""
+    from ..sketches import BloomFilter
+
+    @ray.remote
+    def _build(start: int, count: int) -> BloomFilter:
+        b = BloomFilter(capacity=n_rows, bits_per_element=bits_per_element)
+        ids = [synth.image_id_for(run, i) for i in range(start, start + count)]
+        b.add(ids)
+        return b
+
+    refs = [
+        _build.remote(s, min(chunk, n_rows - s)) for s in range(0, n_rows, chunk)
+    ]
+    blooms = ray.get(refs)
+    acc = blooms[0]
+    for b in blooms[1:]:
+        acc.merge(b)
+    return ray.put(acc)

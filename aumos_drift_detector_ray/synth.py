@@ -99,8 +99,18 @@ class SynthConfig:
         )
 
 
-def _row_rng(seed: int, row_index: int) -> np.random.Generator:
-    return np.random.default_rng([seed, row_index])
+# independent child streams per row aspect, so each ground-truth piece
+# (shape, pixels, caption, violation) re-derives WITHOUT generating the
+# others — the decode validator regenerates captions cheaply and the
+# violation oracle never renders pixels
+_STREAM_SHAPE = 0
+_STREAM_PIXELS = 1
+_STREAM_CAPTION = 2
+_STREAM_VIOLATION = 3
+
+
+def _row_rng(seed: int, row_index: int, stream: int) -> np.random.Generator:
+    return np.random.default_rng([seed, row_index, stream])
 
 
 def image_id_for(run: str, row_index: int) -> str:
@@ -117,12 +127,17 @@ def parse_row_index(image_id: str, run: str) -> int | None:
     return int(tail) if tail.isdigit() else None
 
 
+def draw_shape_fmt(seed: int, row_index: int, cfg: SynthConfig) -> tuple[int, int, str]:
+    """Re-derive row ``row_index``'s (w, h, fmt) draw."""
+    eff = cfg.effective()
+    return _draw_shape_fmt(_row_rng(seed, row_index, _STREAM_SHAPE), eff)
+
+
 def ground_truth_pixels(seed: int, row_index: int, cfg: SynthConfig | None = None) -> np.ndarray:
     """Re-derive row ``row_index``'s exact pixel array (h, w, 3) uint8."""
-    cfg = (cfg or SynthConfig(seed=seed)).effective()
-    rng = _row_rng(seed, row_index)
-    w, h, _fmt = _draw_shape_fmt(rng, cfg)
-    return _render(rng, w, h)
+    cfg = cfg or SynthConfig(seed=seed)
+    w, h, _fmt = draw_shape_fmt(seed, row_index, cfg)
+    return _render(_row_rng(seed, row_index, _STREAM_PIXELS), w, h)
 
 
 def _draw_shape_fmt(rng: np.random.Generator, cfg: SynthConfig) -> tuple[int, int, str]:
@@ -150,11 +165,7 @@ def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
 
 def ground_truth_caption(seed: int, row_index: int, cfg: SynthConfig | None = None) -> str:
     cfg = (cfg or SynthConfig(seed=seed)).effective()
-    rng = _row_rng(seed, row_index)
-    # burn the draws used by shape/fmt/pixels so the caption stream matches
-    w, h, _ = _draw_shape_fmt(rng, cfg)
-    _render(rng, w, h)
-    return _draw_caption(rng, cfg)
+    return _draw_caption(_row_rng(seed, row_index, _STREAM_CAPTION), cfg)
 
 
 def _draw_caption(rng: np.random.Generator, cfg: SynthConfig) -> str:
@@ -176,11 +187,7 @@ def expected_violation(seed: int, row_index: int, cfg: SynthConfig) -> str:
     """Recompute which violation (if any) row ``row_index`` carries — the
     per-row oracle for the pass/fail matrix fixtures."""
     eff = cfg.effective()
-    rng = _row_rng(seed, row_index)
-    w, h, _ = _draw_shape_fmt(rng, eff)
-    _render(rng, w, h)
-    _draw_caption(rng, eff)
-    v = _violation_for(rng, eff)
+    v = _violation_for(_row_rng(seed, row_index, _STREAM_VIOLATION), eff)
     if v in (V_DUP, V_NEARDUP) and row_index == 0:
         return V_NONE
     return v
@@ -217,13 +224,12 @@ def make_batch(
     truths: list[str] = []
 
     for row in range(start, start + count):
-        rng = _row_rng(cfg.seed, row)
-        w, h, fmt = _draw_shape_fmt(rng, eff)
+        rng = _row_rng(cfg.seed, row, _STREAM_PIXELS)
+        w, h, fmt = _draw_shape_fmt(_row_rng(cfg.seed, row, _STREAM_SHAPE), eff)
         img = _render(rng, w, h)
-        caption = _draw_caption(rng, eff)
-        violation = _violation_for(rng, eff)
-        if violation in (V_DUP, V_NEARDUP) and row == 0:
-            violation = V_NONE  # no predecessor to duplicate
+        caption = _draw_caption(_row_rng(cfg.seed, row, _STREAM_CAPTION), eff)
+        violation = expected_violation(cfg.seed, row, cfg)
+        vrng = _row_rng(cfg.seed, row, _STREAM_VIOLATION + 10)  # injection detail draws
 
         image_id: str | None = image_id_for(cfg.run, row)
         blob: bytes | None = codecs.encode(img, fmt, eff.jpg_quality)
@@ -234,15 +240,18 @@ def make_batch(
         if violation == V_NULL:
             cap = None
         elif violation == V_RANGE:
-            w_out = -w if rng.random() < 0.5 else w + 3
+            w_out = -w if vrng.random() < 0.5 else w + 3
         elif violation == V_FMT:
             fmt = "bmp"
         elif violation == V_CORRUPT:
             blob = blob[: max(4, len(blob) // 2)]
         elif violation == V_PSNR:
-            # harsh quantization; only meaningful for a lossy payload
+            # posterize to 24-level steps before the lossy encode: PSNR vs
+            # ground truth ~31 dB regardless of image size — deterministic
+            # violation of the >= 40 dB invariant
             fmt = "jpg"
-            blob = codecs.encode(img, "jpg", quality=15)
+            degraded = ((img.astype(np.int16) // 24) * 24).astype(np.uint8)
+            blob = codecs.encode(degraded, "jpg", quality=eff.jpg_quality)
         elif violation == V_DUP and row > 0:
             image_id = image_id_for(
                 cfg.run, anchor_row(cfg.seed, cfg, row, (V_DUP, V_REF))
@@ -253,7 +262,7 @@ def make_batch(
                 cfg.seed, anchor_row(cfg.seed, cfg, row, (V_NEARDUP,)), cfg
             )
             noisy = np.clip(
-                prev.astype(np.int16) + rng.integers(-1, 2, size=prev.shape),
+                prev.astype(np.int16) + vrng.integers(-1, 2, size=prev.shape),
                 0, 255,
             ).astype(np.uint8)
             h_out, w_out = noisy.shape[0], noisy.shape[1]
