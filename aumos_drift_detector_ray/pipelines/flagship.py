@@ -1,0 +1,355 @@
+"""Flagship pipeline: synthesize → validate → profile → dedup → drift →
+partition-addressed outputs with lineage.
+
+End-to-end shape (the distributed analogue of the reference's
+run-monitor data path, api/router.py:248-290 → record_detection,
+core/services.py:265-370, with the north rule's validation added):
+
+1. ``synthesize_dataset`` — Ray tasks write the input table as one
+   parquet file per shard (``shard=<k>/part.parquet``), seeded per row
+   (shard-independent, resumable: existing shards are skipped).
+2. ``run_validation`` — ONE streaming Dataset job over the pending
+   shards: read (columns pruned at the scan) → stateless scalar checks →
+   actor-pool decode/fidelity stage (drops ``bytes``) → groupby
+   partition_id (a scalar-only shuffle) → per-partition writer task that
+   emits violations + pass/fail matrix rows + a pickled profile partial
+   + the lineage record (atomic, idempotent).
+3. ``run_drift`` — merges profile partials of the reference and
+   production windows (associative sketch merge, no data reread),
+   derives edges, runs ONE more histogram pass per window, scores
+   PSI/KS/chi2/JS/Hellinger/W1 per feature, and writes
+   detections/alerts/events tables with reference severity semantics.
+4. Uniqueness + pHash near-dup run as scalar shuffles over the flags
+   table (stages/dedup.py) and append to the violations output.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .. import synth
+from ..functions import stats
+from ..sources.reader import read_table
+from ..stages import dedup as dedup_mod
+from ..stages import drift as drift_mod
+from ..stages import profile as prof_mod
+from ..stages import validate as val_mod
+from ..state import checkpoint as ckpt
+
+# derived scalar features profiled for drift (image bytes never reach the
+# profiling shuffle — these are produced by the decode stage)
+NUMERIC_FEATURES = ("w", "h", "byte_len", "caption_len", "mean_pixel")
+CATEGORICAL_FEATURES = ("fmt",)
+
+
+@dataclass(frozen=True)
+class FlagshipConfig:
+    rows: int = 2_000
+    rows_per_shard: int = 500
+    synth_cfg: synth.SynthConfig = field(default_factory=synth.SynthConfig)
+    decode_concurrency: Any = (2, 8)
+    decode_batch_size: int = 256
+    phash_tol: int = 6
+
+
+# ---------------------------------------------------------------------------
+# 1. synthesis (resumable)
+# ---------------------------------------------------------------------------
+
+def synthesize_dataset(
+    out_dir: str,
+    rows: int,
+    rows_per_shard: int,
+    cfg: synth.SynthConfig,
+    max_concurrency: int = 0,
+) -> list[str]:
+    """Write the input table shard-by-shard with Ray tasks; shards that
+    already exist are skipped (generation is deterministic per row, so a
+    partial previous run is simply continued)."""
+
+    @ray.remote
+    def _one(shard: int, start: int, count: int) -> str:
+        path = os.path.join(out_dir, f"shard={shard}", "part.parquet")
+        if os.path.exists(path):
+            return path
+        tbl = synth.make_batch(start, count, cfg)
+        ckpt.atomic_write_table(path, tbl)
+        return path
+
+    tasks = []
+    for shard, start in enumerate(range(0, rows, rows_per_shard)):
+        tasks.append(_one.remote(shard, start, min(rows_per_shard, rows - start)))
+    return ray.get(tasks)
+
+
+# ---------------------------------------------------------------------------
+# 2. validation job (resumable, partition-addressed outputs)
+# ---------------------------------------------------------------------------
+
+def _shard_writer(out_dir: str, feature_cols: tuple[str, ...], cat_cols: tuple[str, ...]):
+    """Per-partition finalizer run inside ``groupby.map_groups``: writes
+    the partition's violations + matrix rows + profile partial, then the
+    lineage record. Returns the matrix rows so the driver gets the
+    global pass/fail matrix without re-reading files."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        pid = int(g["partition_id"].iloc[0])
+        ok_cols = [c for c in g.columns if c.startswith("ok_")]
+
+        # violation rows
+        recs = []
+        for c in ok_cols:
+            bad = g.loc[~g[c].fillna(False).astype(bool)]
+            for _, row in bad.iterrows():
+                recs.append((pid, row["image_id"], c[3:], ""))
+        viol = pa.table(
+            {
+                "partition_id": pa.array([r[0] for r in recs], pa.int64()),
+                "image_id": pa.array([r[1] for r in recs], pa.string()),
+                "check": pa.array([r[2] for r in recs], pa.string()),
+                "detail": pa.array([r[3] for r in recs], pa.string()),
+            }
+        )
+        ckpt.atomic_write_table(
+            os.path.join(out_dir, "violations", f"shard={pid}.parquet"), viol
+        )
+
+        # flags table for downstream shuffle checks (scalars only)
+        keep = [c for c in g.columns if c != "caption"]
+        ckpt.atomic_write_table(
+            os.path.join(out_dir, "flags", f"shard={pid}.parquet"),
+            pa.Table.from_pandas(g[keep], preserve_index=False),
+        )
+
+        # profile partial over derived features
+        profiles: dict[str, Any] = {"num": {}, "cat": {}}
+        for col in feature_cols:
+            prof = prof_mod.ColumnProfile()
+            prof.update(g[col].to_numpy(dtype=float, na_value=np.nan))
+            profiles["num"][col] = prof
+        for col in cat_cols:
+            cp = prof_mod.CategoricalProfile()
+            cp.update(pa.array(g[col].astype(str)))
+            profiles["cat"][col] = cp
+        ckpt.save_profile_partial(out_dir, pid, profiles)
+
+        # matrix rows
+        rows = []
+        for c in ok_cols:
+            nbad = int((~g[c].fillna(False).astype(bool)).sum())
+            rows.append(
+                {
+                    "partition_id": pid,
+                    "check": c[3:],
+                    "violations": nbad,
+                    "rows": len(g),
+                    "passed": nbad == 0,
+                }
+            )
+        matrix = pd.DataFrame(rows)
+        ckpt.atomic_write_table(
+            os.path.join(out_dir, "matrix", f"shard={pid}.parquet"),
+            pa.Table.from_pandas(matrix, preserve_index=False),
+        )
+
+        # lineage LAST — marks the partition complete
+        ckpt.write_lineage(
+            out_dir,
+            pid,
+            {
+                "rows": len(g),
+                "violations": int(sum(r["violations"] for r in rows)),
+                "wall_time_s": time.time() - t0,
+            },
+        )
+        return matrix
+
+    return fn
+
+
+def run_validation(
+    input_dir: str,
+    out_dir: str,
+    cfg: FlagshipConfig,
+    resume: bool = True,
+) -> pd.DataFrame:
+    """Validate all pending shards; returns the global pass/fail matrix
+    (completed shards' matrix rows are read from their outputs)."""
+    shard_files = sorted(glob.glob(os.path.join(input_dir, "shard=*", "part.parquet")))
+    done = ckpt.completed_partitions(out_dir) if resume else {}
+
+    def shard_of(path: str) -> int:
+        return int(path.split("shard=")[1].split("/")[0])
+
+    pending = [p for p in shard_files if shard_of(p) not in done]
+
+    if pending:
+        n_rows = cfg.rows
+        vcfg = val_mod.ValidationConfig(
+            synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol
+        )
+        bloom_ref = val_mod.build_allowlist_bloom(n_rows, cfg.synth_cfg.run)
+        ds = read_table(pending, include_paths=True)
+        ds = val_mod.partition_id_from_path(ds)
+        flags = val_mod.run_row_validation(
+            ds, vcfg, bloom_ref,
+            decode_concurrency=cfg.decode_concurrency,
+            decode_batch_size=cfg.decode_batch_size,
+        )
+        # caption_len derived feature for profiling
+        def add_caption_len(batch: pa.Table) -> pa.Table:
+            caps = batch["caption"].to_pylist()
+            return batch.append_column(
+                "caption_len",
+                pa.array([len(c.split()) if c else 0 for c in caps], pa.int64()),
+            )
+
+        flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
+        writer = _shard_writer(out_dir, NUMERIC_FEATURES, CATEGORICAL_FEATURES)
+        # scalar-only shuffle: group rows by their partition for the
+        # atomic per-partition finalizer
+        flags.groupby("partition_id").map_groups(
+            writer, batch_format="pandas"
+        ).materialize()
+
+    matrix_files = sorted(glob.glob(os.path.join(out_dir, "matrix", "shard=*.parquet")))
+    if not matrix_files:
+        return pd.DataFrame(columns=["partition_id", "check", "violations", "rows", "passed"])
+    return (
+        pa.concat_tables([pq.read_table(f) for f in matrix_files])
+        .to_pandas()
+        .sort_values(["partition_id", "check"])
+        .reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. shuffle checks (uniqueness, near-dup) over the flags output
+# ---------------------------------------------------------------------------
+
+def run_shuffle_checks(out_dir: str, phash_tol: int = 6) -> dict[str, int]:
+    """Exact image_id uniqueness + pHash banded near-dup over the
+    scalars-only flags table; appends violation rows."""
+    flags = read_table(os.path.join(out_dir, "flags"))
+    dup_rows = dedup_mod.uniqueness_violations(flags, "image_id")
+    dup_pdf = dup_rows.select_columns(["partition_id", "image_id"]).to_pandas()
+    dup_pdf["check"] = "uniqueness"
+    dup_pdf["detail"] = ""
+
+    pairs = dedup_mod.near_dup_pairs_hamming(
+        flags, hash_col="phash", id_col="image_id", tol=phash_tol
+    ).to_pandas()
+    near_ids = sorted(set(pairs.id_a) | set(pairs.id_b)) if len(pairs) else []
+    near_pdf = pd.DataFrame(
+        {
+            "partition_id": [-1] * len(near_ids),
+            "image_id": near_ids,
+            "check": ["near_dup"] * len(near_ids),
+            "detail": [""] * len(near_ids),
+        }
+    )
+    extra = pd.concat([dup_pdf, near_pdf], ignore_index=True)
+    ckpt.atomic_write_table(
+        os.path.join(out_dir, "violations", "shuffle_checks.parquet"),
+        pa.Table.from_pandas(extra, preserve_index=False),
+    )
+    return {"duplicate_rows": len(dup_pdf), "near_dup_ids": len(near_ids)}
+
+
+# ---------------------------------------------------------------------------
+# 4. drift scoring between two validated runs
+# ---------------------------------------------------------------------------
+
+def run_drift(
+    ref_out_dir: str,
+    prod_out_dir: str,
+    run_id: str,
+    cfg: drift_mod.DriftConfig | None = None,
+) -> dict[str, Any]:
+    """Score production-window drift against the reference window using
+    the persisted per-partition profile partials (no input re-read except
+    the fixed-edge histogram pass over the scalar flags tables)."""
+    cfg = cfg or drift_mod.DriftConfig()
+    ref_p = ckpt.load_merged_profiles(ref_out_dir)
+    prod_p = ckpt.load_merged_profiles(prod_out_dir)
+    edges = drift_mod.drift_edges(ref_p, prod_p, cfg)
+    ref_h: dict[str, Any] = {}
+    prod_h: dict[str, Any] = {}
+    if edges:
+        cols = list(edges.keys())
+        ref_flags = read_table(os.path.join(ref_out_dir, "flags"))
+        prod_flags = read_table(os.path.join(prod_out_dir, "flags"))
+        ref_h = prof_mod.profile_dataset(ref_flags, cols, [], hist_edges=edges)["num"]
+        prod_h = prof_mod.profile_dataset(prod_flags, cols, [], hist_edges=edges)["num"]
+    scores = drift_mod.score_features(ref_p, prod_p, ref_h, prod_h, cfg)
+    det, alerts, events = drift_mod.detections_alerts_events(scores, run_id)
+    for name, rows in (("detections", det), ("alerts", alerts), ("events", events)):
+        if rows:
+            ckpt.atomic_write_table(
+                os.path.join(prod_out_dir, name, "part.parquet"),
+                pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+            )
+    baseline = prof_mod.baseline_version(ref_p)
+    ckpt.atomic_write_bytes(
+        os.path.join(prod_out_dir, "baseline.json"),
+        json.dumps(baseline, sort_keys=True, default=str).encode(),
+    )
+    return {"scores": scores, "detections": det, "alerts": alerts, "events": events}
+
+
+# ---------------------------------------------------------------------------
+# end-to-end driver
+# ---------------------------------------------------------------------------
+
+def run_flagship(
+    work_dir: str,
+    rows: int = 2_000,
+    rows_per_shard: int = 500,
+    violation_rate: float = 0.05,
+    seed: int = 42,
+    resume: bool = True,
+) -> dict[str, Any]:
+    """Full demo run: clean reference window + drifted production window
+    with injected violations; validates both, scores drift, returns a
+    summary."""
+    ref_scfg = synth.SynthConfig(seed=seed, run="ref")
+    prod_scfg = synth.SynthConfig(
+        seed=seed + 1, run="prod", violation_rate=violation_rate, drift=True
+    )
+    ref_in = os.path.join(work_dir, "input_ref")
+    prod_in = os.path.join(work_dir, "input_prod")
+    ref_out = os.path.join(work_dir, "out_ref")
+    prod_out = os.path.join(work_dir, "out_prod")
+
+    synthesize_dataset(ref_in, rows, rows_per_shard, ref_scfg)
+    synthesize_dataset(prod_in, rows, rows_per_shard, prod_scfg)
+
+    ref_cfg = FlagshipConfig(rows=rows, rows_per_shard=rows_per_shard, synth_cfg=ref_scfg)
+    prod_cfg = FlagshipConfig(rows=rows, rows_per_shard=rows_per_shard, synth_cfg=prod_scfg)
+
+    ref_matrix = run_validation(ref_in, ref_out, ref_cfg, resume=resume)
+    prod_matrix = run_validation(prod_in, prod_out, prod_cfg, resume=resume)
+    shuffle_summary = run_shuffle_checks(prod_out)
+    drift_out = run_drift(ref_out, prod_out, run_id=f"flagship-{seed}")
+    return {
+        "ref_matrix": ref_matrix,
+        "prod_matrix": prod_matrix,
+        "shuffle_checks": shuffle_summary,
+        "drift": drift_out,
+        "out_dirs": {"ref": ref_out, "prod": prod_out},
+    }

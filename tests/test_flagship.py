@@ -1,0 +1,140 @@
+"""End-to-end flagship pipeline + checkpoint/resume tests (FIXTURES F1/F6)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from aumos_drift_detector_ray import synth
+
+
+@pytest.fixture(scope="module")
+def flagship_run(ray_session, tmp_path_factory):
+    from aumos_drift_detector_ray.pipelines import flagship as F
+
+    work = str(tmp_path_factory.mktemp("flagship"))
+    out = F.run_flagship(work, rows=400, rows_per_shard=100, violation_rate=0.08)
+    return work, out
+
+
+class TestFlagshipEndToEnd:
+    def test_matrix_covers_all_partitions_and_checks(self, flagship_run):
+        _, out = flagship_run
+        m = out["prod_matrix"]
+        assert set(m.partition_id) == {0, 1, 2, 3}
+        assert "pixel_fidelity" in set(m.check)
+        assert "referential" in set(m.check)
+        assert (m.rows.groupby(m.partition_id).first() > 0).all()
+
+    def test_clean_reference_window_all_pass(self, flagship_run):
+        _, out = flagship_run
+        m = out["ref_matrix"]
+        assert bool(m.passed.all()), m[~m.passed]
+
+    def test_prod_matrix_matches_violation_oracle(self, flagship_run):
+        _, out = flagship_run
+        m = out["prod_matrix"]
+        scfg = synth.SynthConfig(seed=43, run="prod", violation_rate=0.08, drift=True)
+        truth = [synth.expected_violation(43, i, scfg) for i in range(400)]
+        # deterministic scalar checks must match the oracle exactly
+        for check, code in (
+            ("not_null_caption", synth.V_NULL),
+            ("fmt_domain", synth.V_FMT),
+            ("referential", synth.V_REF),
+        ):
+            for pid in range(4):
+                expected = sum(
+                    1 for i in range(pid * 100, (pid + 1) * 100) if truth[i] == code
+                )
+                got = int(
+                    m[(m.partition_id == pid) & (m.check == check)].violations.iloc[0]
+                )
+                assert got == expected, (check, pid, got, expected)
+
+    def test_violations_and_lineage_files_exist(self, flagship_run):
+        work, out = flagship_run
+        prod_out = out["out_dirs"]["prod"]
+        assert len(glob.glob(os.path.join(prod_out, "violations", "shard=*.parquet"))) == 4
+        assert len(glob.glob(os.path.join(prod_out, "lineage", "shard=*.json"))) == 4
+        rec = json.load(open(glob.glob(os.path.join(prod_out, "lineage", "*.json"))[0]))
+        assert {"partition_id", "rows", "violations", "wall_time_s", "completed_at"} <= set(rec)
+
+    def test_drift_detected_on_shifted_window(self, flagship_run):
+        _, out = flagship_run
+        scores = {(s["feature"], s["test"]): s for s in out["drift"]["scores"]}
+        # the drift preset shifts dims, fmt mix, caption lengths
+        assert scores[("w", "psi")]["score"] >= 0.2
+        assert scores[("caption_len", "psi")]["score"] >= 0.2
+        assert scores[("fmt", "chi2")]["score"] < 0.05
+        # alerts raised with reference severity semantics
+        assert out["drift"]["alerts"]
+        kinds = {e["event_type"] for e in out["drift"]["events"]}
+        assert "drift.alert_raised" in kinds and "drift.retraining_required" in kinds
+
+    def test_detections_written(self, flagship_run):
+        _, out = flagship_run
+        prod_out = out["out_dirs"]["prod"]
+        det = pd.read_parquet(os.path.join(prod_out, "detections", "part.parquet"))
+        assert {"run_id", "feature", "test_name", "score", "threshold", "is_drifted",
+                "severity"} <= set(det.columns)
+        assert len(det) == len(out["drift"]["scores"])
+        base = json.load(open(os.path.join(prod_out, "baseline.json")))
+        assert "fingerprint" in base and len(base["fingerprint"]) == 64
+
+    def test_shuffle_checks_found_injected_dups(self, flagship_run):
+        _, out = flagship_run
+        scfg = synth.SynthConfig(seed=43, run="prod", violation_rate=0.08, drift=True)
+        truth = [synth.expected_violation(43, i, scfg) for i in range(400)]
+        n_dup = sum(1 for v in truth if v == synth.V_DUP)
+        n_near = sum(1 for v in truth if v == synth.V_NEARDUP)
+        assert out["shuffle_checks"]["duplicate_rows"] >= 2 * n_dup if n_dup else True
+        if n_near:
+            assert out["shuffle_checks"]["near_dup_ids"] >= n_near
+
+
+class TestResume:
+    def test_resume_reproduces_byte_identical_outputs(self, ray_session, tmp_path_factory):
+        from aumos_drift_detector_ray.pipelines import flagship as F
+
+        work = str(tmp_path_factory.mktemp("resume"))
+        scfg = synth.SynthConfig(seed=7, run="r", violation_rate=0.1)
+        inp = os.path.join(work, "input")
+        out1 = os.path.join(work, "out1")
+        F.synthesize_dataset(inp, 300, 100, scfg)
+        cfg = F.FlagshipConfig(rows=300, rows_per_shard=100, synth_cfg=scfg)
+        m1 = F.run_validation(inp, out1, cfg)
+
+        # simulate a crash: copy outputs, drop shard 1's outputs + lineage
+        out2 = os.path.join(work, "out2")
+        shutil.copytree(out1, out2)
+        os.unlink(os.path.join(out2, "lineage", "shard=1.json"))
+        os.unlink(os.path.join(out2, "violations", "shard=1.parquet"))
+        m2 = F.run_validation(inp, out2, cfg, resume=True)
+
+        assert m1.equals(m2)
+        for shard in (0, 1, 2):
+            a = open(os.path.join(out1, "violations", f"shard={shard}.parquet"), "rb").read()
+            b = open(os.path.join(out2, "violations", f"shard={shard}.parquet"), "rb").read()
+            assert a == b, f"shard {shard} differs after resume"
+
+    def test_completed_shards_not_rerun(self, ray_session, tmp_path_factory):
+        from aumos_drift_detector_ray.pipelines import flagship as F
+        from aumos_drift_detector_ray.state import checkpoint as ckpt
+
+        work = str(tmp_path_factory.mktemp("skip"))
+        scfg = synth.SynthConfig(seed=9, run="s")
+        inp = os.path.join(work, "input")
+        out = os.path.join(work, "out")
+        F.synthesize_dataset(inp, 200, 100, scfg)
+        cfg = F.FlagshipConfig(rows=200, rows_per_shard=100, synth_cfg=scfg)
+        F.run_validation(inp, out, cfg)
+        done = ckpt.completed_partitions(out)
+        stamps = {p: done[p]["completed_at"] for p in done}
+        F.run_validation(inp, out, cfg, resume=True)  # everything complete
+        done2 = ckpt.completed_partitions(out)
+        assert {p: done2[p]["completed_at"] for p in done2} == stamps
