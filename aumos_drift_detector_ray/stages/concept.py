@@ -1,0 +1,122 @@
+"""Streaming concept-drift stage: ordered scalar stream → detector events.
+
+Ray Data is unordered by default; the reference's detectors assume
+arrival order (adwin.py:159 — pure sequence order, no timestamps). The
+engine makes the order explicit: sort by a sequence column, then run the
+detector in a ``concurrency=1`` actor pool with ``preserve_order``
+enabled so batches arrive in sequence. For parallel streams (one logical
+stream per key, e.g. per model segment), ``per_key_concept_drift`` runs
+one detector per group inside ``map_groups`` — detectors are
+per-partition state, merged only by concatenating their event outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..state.detectors import AdwinDetector, DdmDetector, EddmDetector
+
+_DETECTORS: dict[str, Callable[..., Any]] = {
+    "adwin": AdwinDetector,
+    "ddm": DdmDetector,
+    "eddm": EddmDetector,
+}
+
+
+def make_detector(name: str, **kwargs: Any) -> Any:
+    return _DETECTORS[name](**kwargs)
+
+
+class _OrderedDetectorActor:
+    """Single-actor stage consuming sequence-ordered batches."""
+
+    def __init__(self, detector_name: str, detector_kwargs: dict[str, Any],
+                 seq_col: str, value_col: str) -> None:
+        self.det = make_detector(detector_name, **detector_kwargs)
+        self.name = detector_name
+        self.seq_col = seq_col
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        seqs = batch[self.seq_col].to_numpy(zero_copy_only=False)
+        vals = batch[self.value_col].to_numpy(zero_copy_only=False)
+        fired = self.det.update_many(np.asarray(vals, dtype=float))
+        state = self.det.get_state()
+        out_seq = [int(seqs[i]) for i in fired]
+        return pa.table({
+            "detector": pa.array([self.name] * len(out_seq), pa.string()),
+            "seq": pa.array(out_seq, pa.int64()),
+            "level": pa.array(["drift"] * len(out_seq), pa.string()),
+            "window_size": pa.array(
+                [int(state.get("window_size", state.get("n_samples", 0)))] * len(out_seq),
+                pa.int64(),
+            ),
+        })
+
+
+def ordered_concept_drift(
+    ds: ray.data.Dataset,
+    detector: str = "adwin",
+    seq_col: str = "seq",
+    value_col: str = "err",
+    detector_kwargs: dict[str, Any] | None = None,
+) -> pd.DataFrame:
+    """Global-order detector pass: sort by ``seq_col`` (the one justified
+    global sort in the engine — SURVEY.md §4), stream batches through a
+    single detector actor in order, collect drift events.
+
+    Cost note: a global sort is an all-to-all exchange and the single
+    actor serializes the scan — inherent to globally-ordered streaming
+    semantics. Prefer :func:`per_key_concept_drift` when streams are
+    per-key."""
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        events = ds.select_columns([seq_col, value_col]).sort(seq_col).map_batches(
+            _OrderedDetectorActor,
+            fn_constructor_args=(detector, detector_kwargs or {}, seq_col, value_col),
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=1,
+        ).to_pandas()
+    finally:
+        ctx.execution_options.preserve_order = prev
+    return events.sort_values("seq").reset_index(drop=True)
+
+
+def per_key_concept_drift(
+    ds: ray.data.Dataset,
+    key_col: str,
+    detector: str = "adwin",
+    seq_col: str = "seq",
+    value_col: str = "err",
+    detector_kwargs: dict[str, Any] | None = None,
+) -> pd.DataFrame:
+    """One independent detector per key: hash-shuffle by key, sort each
+    group by sequence in-memory, run the detector over the group. Scales
+    across keys; each key's stream must fit one task (bound group size
+    by windowing upstream when keys are huge)."""
+    kwargs = detector_kwargs or {}
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(seq_col, kind="stable")
+        det = make_detector(detector, **kwargs)
+        fired = det.update_many(g[value_col].to_numpy(dtype=float))
+        seqs = g[seq_col].to_numpy()
+        return pd.DataFrame({
+            "key": [g[key_col].iloc[0]] * len(fired),
+            "detector": [detector] * len(fired),
+            "seq": [int(seqs[i]) for i in fired],
+            "level": ["drift"] * len(fired),
+        })
+
+    out = ds.select_columns([key_col, seq_col, value_col]).groupby(key_col) \
+        .map_groups(per_group, batch_format="pandas").to_pandas()
+    return out.sort_values(["key", "seq"]).reset_index(drop=True) if len(out) else out

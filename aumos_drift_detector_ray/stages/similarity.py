@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column.
+
+Baseline: brute-force cosine top-k — the query matrix (small side) is
+normalized once, broadcast via ``ray.put``, and every batch does ONE
+numpy matmul against it; per-batch local top-k rows are then reduced to
+global top-k with a single small groupby (classic scatter-gather).
+Scale path: IVF — k-means-style coarse centroids (fit on a sample,
+driver-side numpy), every vector assigned to its nearest centroid in a
+``map_batches`` pass; queries probe only the ``nprobe`` nearest
+centroid partitions, turning the scan into a pruned partition read.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list[Any] | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k of each query against the whole dataset.
+
+    Per batch: one (batch, d) x (d, nq) matmul → local top-k per query →
+    tiny candidate rows; global reduce keeps the k best per query.
+    Returns (query_id, neighbor_id, cosine, rank) sorted by
+    (query_id, rank); ties broken by neighbor id for determinism.
+    """
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    q_ref = ray.put(q)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        ids = np.asarray(batch[id_col].to_pylist())
+        if emb.size == 0:
+            return pa.table({"qi": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = _normalize(emb) @ qm.T  # (n, nq)
+        kk = min(k, len(ids))
+        # local top-k per query
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        qi = np.repeat(np.arange(qm.shape[0]), kk)
+        rows = idx.T.ravel()
+        return pa.table({
+            "qi": pa.array(qi, pa.int64()),
+            "neighbor_id": pa.array(ids[rows]),
+            "cosine": pa.array(sims[rows, qi], pa.float64()),
+        })
+
+    cands = ds.select_columns([id_col, emb_col]).map_batches(
+        fn, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+
+    out_rows = []
+    for qi, g in cands.groupby("qi"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True], kind="stable").head(k)
+        for rank, (_, r) in enumerate(g.iterrows(), start=1):
+            out_rows.append((qids[qi], r.neighbor_id, float(r.cosine), rank))
+    return pd.DataFrame(out_rows, columns=["query_id", "neighbor_id", "cosine", "rank"]) \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def fit_ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    emb_col: str = "embedding",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample (normalized vectors,
+    cosine ≙ dot). The sample is bounded; the assignment pass below is
+    the distributed part."""
+    sample = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
+    x = _normalize(np.asarray(sample[emb_col].to_list(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def assign_ivf_partitions(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Add an ``ivf_cell`` column (nearest-centroid id) — the partition
+    key for pruned ANN probing; write the result partitioned by cell so
+    queries read only ``nprobe`` cells."""
+    c_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        if emb.size == 0:
+            cell = np.array([], dtype=np.int64)
+        else:
+            cell = np.argmax(_normalize(emb) @ cents.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(cell, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ivf_topk(
+    ds_with_cells: ray.data.Dataset,
+    centroids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list[Any] | None = None,
+) -> pd.DataFrame:
+    """Probe only the ``nprobe`` cells nearest to each query (union over
+    queries → one filtered brute-force pass). Approximate: recall grows
+    with nprobe; nprobe = n_centroids reproduces exact brute force."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cq = q @ np.asarray(centroids, dtype=np.float64).T
+    probe_cells = set()
+    for row in cq:
+        probe_cells.update(np.argsort(-row)[:nprobe].tolist())
+    cells = sorted(int(c) for c in probe_cells)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["ivf_cell"], value_set=pa.array(cells, pa.int64()))
+        return batch.filter(mask)
+
+    filtered = ds_with_cells.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(filtered, queries, k, emb_col, id_col, query_ids)

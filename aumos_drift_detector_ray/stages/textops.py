@@ -1,0 +1,183 @@
+"""Text-analysis stages over document tables: language ID, quality
+scoring, token counting, fingerprinting.
+
+These are the large-scale training-data operations the engine adds
+beyond the reference (which processes only abstract numeric features).
+All stages are vectorized-or-amortized ``map_batches`` bodies; the
+language-ID and tokenizer stages are callable classes (regexes + n-gram
+profiles compiled once per actor).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# crude character-trigram profiles per language for the heuristic
+# classifier; scores are log-frequency weights of very common trigrams
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
+           " to", "to ", "ed ", " in", "ion"),
+    "de": ("der", "er ", " de", "ie ", "die", "und", " un", "nd ", "ein", "ich",
+           "sch", "ch ", "en ", " ge", "ten"),
+    "fr": (" de", "de ", "es ", " le", "le ", "ent", "nt ", "la ", " la", "et ",
+           " et", "ion", "que", " qu", "les"),
+    "es": (" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu", "ue ",
+           "en ", " en", "ción", "ar ", "as "),
+}
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in on for with at by from is are was were be been "
+    "it its as that this these those he she they we you i not no".split()
+)
+
+_TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
+
+
+class LanguageId:
+    """Character-trigram language heuristic: score = fraction of the
+    text's trigrams hitting each language's common-trigram set; emits the
+    argmax language and its score. Profiles compile once per actor."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred") -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+        self.profiles = {
+            lang: frozenset(tris) for lang, tris in _LANG_PROFILES.items()
+        }
+
+    def _score(self, text: str) -> tuple[str, float]:
+        t = f" {text.lower()} "
+        tris = [t[i:i + 3] for i in range(len(t) - 2)]
+        if not tris:
+            return "und", 0.0
+        best_lang, best = "und", 0.0
+        for lang, prof in self.profiles.items():
+            hits = sum(1 for tri in tris if tri in prof)
+            frac = hits / len(tris)
+            if frac > best:
+                best_lang, best = lang, frac
+        return best_lang, best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            lang, s = self._score(t or "")
+            langs.append(lang)
+            scores.append(s)
+        return batch.append_column(self.out_col, pa.array(langs, pa.string())) \
+                    .append_column(f"{self.out_col}_score", pa.array(scores, pa.float64()))
+
+
+class QualityScorer:
+    """Document quality heuristics: length, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, digit ratio,
+    distinct-token ratio. Pandas vectorized string kernels."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.word_re = re.compile(r"[a-z']+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        batch["n_chars_q"] = s.str.len().astype("int64")
+        toks = s.str.lower().str.findall(self.word_re)
+        n_tok = toks.map(len)
+        batch["n_tokens"] = n_tok.astype("int64")
+        batch["mean_token_len"] = toks.map(
+            lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0
+        )
+        batch["stopword_ratio"] = toks.map(
+            lambda ws: sum(w in _STOPWORDS for w in ws) / len(ws) if ws else 0.0
+        )
+        batch["punct_ratio"] = (
+            s.str.count(r"[^\w\s]").astype("float64") / s.str.len().clip(lower=1)
+        )
+        batch["upper_ratio"] = (
+            s.str.count(r"[A-Z]").astype("float64") / s.str.len().clip(lower=1)
+        )
+        batch["digit_ratio"] = (
+            s.str.count(r"[0-9]").astype("float64") / s.str.len().clip(lower=1)
+        )
+        batch["distinct_token_ratio"] = toks.map(
+            lambda ws: len(set(ws)) / len(ws) if ws else 0.0
+        )
+        return batch
+
+
+def add_token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Whitespace tokens + BPE-ish subword-regex tokens per document
+    (vectorized pandas string ops)."""
+    bpe_re = re.compile(_TOKEN_RE)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("")
+        batch["ws_tokens"] = s.str.split().map(len).astype("int64")
+        batch["bpe_tokens"] = s.str.findall(bpe_re).map(len).astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def add_fingerprints(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    window: int = 64,
+) -> ray.data.Dataset:
+    """Document fingerprints: full-content md5 plus a rolling
+    (Rabin-Karp-style polynomial) hash of the first/min window —
+    content-addressed identity for exact dedup at scale."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        md5s, rolls = [], []
+        for t in texts:
+            t = t or ""
+            md5s.append(hashlib.md5(t.encode()).hexdigest())
+            # min over rolling polynomial hashes of `window`-char windows
+            # (a 1-gram winnowing fingerprint)
+            data = t.encode()
+            if len(data) <= window:
+                h = 0
+                for b in data:
+                    h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
+                rolls.append(np.int64(np.uint64(h).astype(np.int64)))
+                continue
+            base = 1000003
+            mask = 0xFFFFFFFFFFFFFFFF
+            power = pow(base, window - 1, 1 << 64)
+            h = 0
+            for b in data[:window]:
+                h = (h * base + b) & mask
+            best = h
+            for i in range(window, len(data)):
+                h = ((h - data[i - window] * power) * base + data[i]) & mask
+                if h < best:
+                    best = h
+            rolls.append(np.int64(np.uint64(best).astype(np.int64)))
+        return batch.append_column("md5", pa.array(md5s, pa.string())) \
+                    .append_column("min_rolling_hash", pa.array(rolls, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        LanguageId, fn_constructor_args=(text_col,), batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    return ds.map_batches(
+        QualityScorer, fn_constructor_args=(text_col,), batch_format="pandas",
+        concurrency=(1, 4),
+    )

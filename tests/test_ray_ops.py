@@ -1,0 +1,207 @@
+"""Tests for textops, similarity search, dedup family, and the ordered
+concept-drift stage on the driver test tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTextOps:
+    def test_token_counts_match_python(self, ray_session):
+        from aumos_drift_detector_ray.sources.reader import sf_table
+        from aumos_drift_detector_ray.stages import textops as T
+
+        ds = sf_table(SF, "documents")
+        out = T.add_token_counts(ds).to_pandas()
+        for _, r in out.head(20).iterrows():
+            assert r.ws_tokens == len(r.text.split())
+
+    def test_quality_scores_ranges(self, ray_session):
+        from aumos_drift_detector_ray.sources.reader import sf_table
+        from aumos_drift_detector_ray.stages import textops as T
+
+        out = T.quality_scores(sf_table(SF, "documents")).to_pandas()
+        for col in ("stopword_ratio", "punct_ratio", "upper_ratio",
+                    "digit_ratio", "distinct_token_ratio"):
+            assert out[col].between(0, 1).all(), col
+        assert (out.n_tokens > 0).all()
+
+    def test_language_id_english(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import textops as T
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog and the cat",
+            "this is another english sentence with the usual words in it",
+            "der schnelle braune fuchs springt und die katze ist auch da",
+        ]
+        out = T.language_id(rd.from_arrow(pa.table({"text": texts}))).to_pandas()
+        assert out.lang_pred.iloc[0] == "en"
+        assert out.lang_pred.iloc[1] == "en"
+        assert out.lang_pred.iloc[2] == "de"
+
+    def test_fingerprints_deterministic_and_dedupable(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import textops as T
+
+        texts = ["hello world " * 20, "hello world " * 20, "different text entirely"]
+        out = T.add_fingerprints(
+            rd.from_arrow(pa.table({"doc_id": [0, 1, 2], "text": texts}))
+        ).to_pandas().sort_values("doc_id")
+        assert out.md5.iloc[0] == out.md5.iloc[1] != out.md5.iloc[2]
+        assert out.min_rolling_hash.iloc[0] == out.min_rolling_hash.iloc[1]
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, ray_session):
+        import pyarrow.parquet as pq
+        from aumos_drift_detector_ray.sources.reader import sf_table
+        from aumos_drift_detector_ray.stages import similarity as S
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ids = np.asarray(tbl["vec_id"].to_pylist())
+        queries = emb[:3]
+        out = S.brute_force_topk(sf_table(SF, "embeddings"), queries, k=5,
+                                 query_ids=[0, 1, 2])
+        # numpy oracle
+        un = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        uq = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = un @ uq.T
+        for qi in range(3):
+            order = np.lexsort((ids, -sims[:, qi]))[:5]
+            got = out[out.query_id == qi].sort_values("rank").neighbor_id.tolist()
+            assert got == list(ids[order]), qi
+        # self-similarity rank 1
+        assert (out[out["rank"] == 1].neighbor_id.to_numpy() == np.array([0, 1, 2])).all()
+
+    def test_ivf_recall(self, ray_session):
+        from aumos_drift_detector_ray.sources.reader import sf_table
+        from aumos_drift_detector_ray.stages import similarity as S
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f"{SF}/embeddings.parquet")
+        emb = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        queries = emb[5:8]
+        ds = sf_table(SF, "embeddings")
+        cents = S.fit_ivf_centroids(ds, n_centroids=8)
+        with_cells = S.assign_ivf_partitions(ds, cents).materialize()
+        exact = S.brute_force_topk(ds, queries, k=5, query_ids=[5, 6, 7])
+        approx = S.ivf_topk(with_cells, cents, queries, k=5, nprobe=4,
+                            query_ids=[5, 6, 7])
+        # recall@5 of IVF with half the cells probed should be high
+        recall = []
+        for q in (5, 6, 7):
+            e = set(exact[exact.query_id == q].neighbor_id)
+            a = set(approx[approx.query_id == q].neighbor_id)
+            recall.append(len(e & a) / 5)
+        assert np.mean(recall) >= 0.6
+
+
+class TestDocDedup:
+    def test_minhash_lsh_finds_near_dups(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import dedup as D
+
+        base = ("the quick brown fox jumps over the lazy dog while the sun "
+                "sets slowly behind the distant purple mountains tonight")
+        texts = [base, base.replace("purple", "orange"), "completely different text "
+                 "about database engines and distributed query processing systems",
+                 base]
+        ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2, 3], "text": texts}))
+        pairs = D.minhash_lsh_pairs(ds, num_hashes=64, bands=16,
+                                    jaccard_threshold=0.5).to_pandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 3) in found  # exact dup
+        assert (0, 1) in found or (1, 3) in found  # near dup
+        assert all(2 not in p for p in found)
+
+    def test_simhash_close_for_similar_texts(self, ray_session):
+        from aumos_drift_detector_ray.stages.dedup import simhash64
+        from aumos_drift_detector_ray.codecs import hamming64
+
+        a = "the quick brown fox jumps over the lazy dog near the river bank"
+        b = "the quick brown fox jumps over the lazy cat near the river bank"
+        c = "astronomy telescopes reveal distant galaxies and cosmic microwave radiation"
+        h = simhash64([a, b, c])
+        assert hamming64(h[:1], h[1:2])[0] < hamming64(h[:1], h[2:3])[0]
+
+    def test_ngram_jaccard(self):
+        from aumos_drift_detector_ray.stages.dedup import ngram_jaccard
+
+        assert ngram_jaccard("abcdef", "abcdef") == 1.0
+        assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+        assert 0.0 < ngram_jaccard("abcdefgh", "abcdefzz") < 1.0
+
+    def test_exact_dedup_keeps_one_per_key(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import dedup as D
+
+        ds = rd.from_arrow(pa.table({
+            "k": ["a", "a", "b", "c", "c", "c"],
+            "v": [3, 1, 9, 5, 4, 6],
+        }))
+        out = D.dedup_exact(ds, "k", order_col="v").to_pandas().sort_values("k")
+        assert out.k.tolist() == ["a", "b", "c"]
+        assert out.v.tolist() == [1, 9, 4]  # min v kept per key
+
+    def test_embedding_near_dup(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import dedup as D
+
+        rng = np.random.default_rng(0)
+        base = rng.normal(size=16)
+        vecs = [base, base + rng.normal(scale=0.01, size=16),
+                rng.normal(size=16), rng.normal(size=16)]
+        ds = rd.from_arrow(pa.table({
+            "vec_id": [0, 1, 2, 3],
+            "embedding": [list(map(float, v)) for v in vecs],
+        }))
+        pairs = D.embedding_near_dup_pairs(ds, threshold=0.98).to_pandas()
+        found = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 1) in found
+        assert all(p == (0, 1) for p in found)
+
+
+class TestConceptStage:
+    def test_ordered_adwin_fires_at_shift(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages.concept import ordered_concept_drift
+
+        n1, n2 = 400, 400
+        seq = np.arange(n1 + n2, dtype=np.int64)
+        err = np.concatenate([np.full(n1, 0.1), np.full(n2, 0.9)])
+        # shuffle input rows — the stage must sort by seq itself
+        perm = np.random.default_rng(0).permutation(n1 + n2)
+        ds = rd.from_arrow(pa.table({"seq": seq[perm], "err": err[perm]})).repartition(4)
+        events = ordered_concept_drift(ds, "adwin")
+        assert len(events) >= 1
+        assert events.seq.iloc[0] >= n1  # fires after the shift point
+
+    def test_per_key_detectors_independent(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages.concept import per_key_concept_drift
+
+        n = 600
+        seq = np.arange(n, dtype=np.int64)
+        stable = np.full(n, 0.1)
+        shifting = np.concatenate([np.full(n // 2, 0.1), np.full(n - n // 2, 0.9)])
+        tbl = pa.table({
+            "key": ["stable"] * n + ["shifty"] * n,
+            "seq": np.concatenate([seq, seq]),
+            "err": np.concatenate([stable, shifting]),
+        })
+        events = per_key_concept_drift(rd.from_arrow(tbl), "key", "adwin")
+        assert len(events) >= 1
+        assert set(events.key) == {"shifty"}
