@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native aumos-drift-detector engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image-validation pipeline at smoke scale;
+``queries()`` exposes one callable per implemented operator/pipeline
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names and dtypes). Queries with
+no SQL analogue (stateful streaming detectors, LSH dedup, MMD, the image
+flagship) are rows-only here and are value-verified by the pytest suite
+instead.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the caller; nothing in this module (or the
+library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +19,269 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship image pipeline at smoke scale + a sanity read of the
+    sf0.001 driver tables; returns the per-partition pass/fail matrix."""
+    from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+    return Q.flagship_validation("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from aumos_drift_detector_ray.pipelines import table_queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # grouped aggregates / joins / sorts / windows
+        "q1_pricing_summary": Q.q1_pricing_summary,
+        "count_by_returnflag": Q.count_by_returnflag,
+        "events_by_type": Q.events_by_type,
+        "distinct_users_per_type": Q.distinct_users_per_type,
+        "hourly_event_counts": Q.hourly_event_counts,
+        "orders_per_segment": Q.orders_per_segment,
+        "top10_orders_by_price": Q.top10_orders_by_price,
+        "lang_counts": Q.lang_counts,
+        "nation_acctbal_stats": Q.nation_acctbal_stats,
+        # column profiling
+        "profile_lineitem": Q.profile_lineitem,
+        # text analysis / dedup
+        "doc_token_stats": Q.doc_token_stats,
+        "exact_dup_docs": Q.exact_dup_docs,
+        # drift statistics (SQL-mirroring binning)
+        "psi_events_value": Q.psi_events_value,
+        "js_hellinger_events_value": Q.js_hellinger_events_value,
+        "ks_events_value": Q.ks_events_value,
+        "chi2_events_type": Q.chi2_events_type,
+        "wasserstein_events_value": Q.wasserstein_events_value,
+        # similarity search
+        "ann_topk_embeddings": Q.ann_topk_embeddings,
+        # rows-only (non-SQL-expressible; pytest-verified)
+        "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "simhash_docs": Q.simhash_docs,
+        "embedding_neardup": Q.embedding_neardup,
+        "langid_docs": Q.langid_docs,
+        "quality_docs": Q.quality_docs,
+        "doc_fingerprints": Q.doc_fingerprints,
+        "concept_adwin_events": Q.concept_adwin_events,
+        "mmd_embeddings_labels": Q.mmd_embeddings_labels,
+        "flagship_validation": Q.flagship_validation,
+        "image_drift_scores": Q.image_drift_scores,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            -- money sums as exact scaled-integer sums (x10000) so the
+            -- distributed engine's sum order cannot produce last-ulp noise
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order,
+                   (CAST(sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0) / count(*) AS avg_qty,
+                   (CAST(sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0) / count(*) AS avg_price
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "count_by_returnflag": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_by_type": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_value,
+                   (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+                       / count(*) AS avg_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hourly_event_counts": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "orders_per_segment": """
+            SELECT c.c_mktsegment AS segment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "top10_orders_by_price": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "lang_counts": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "nation_acctbal_stats": """
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(c_acctbal) AS DOUBLE) AS min_bal,
+                   CAST(max(c_acctbal) AS DOUBLE) AS max_bal,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                       AS sum_bal
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "profile_lineitem": """
+            WITH cols AS (
+                SELECT 'l_quantity' AS col, l_quantity AS v FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+            )
+            SELECT col,
+                   CAST(count(v) AS BIGINT) AS n_vals,
+                   CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+                   CAST(min(v) AS DOUBLE) AS min_val,
+                   CAST(max(v) AS DOUBLE) AS max_val,
+                   CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0
+                       AS sum_val,
+                   (CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
+                       / count(v) AS avg_val
+            FROM cols GROUP BY col ORDER BY col
+        """,
+        "doc_token_stats": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dup_docs": """
+            SELECT md5(text) AS h,
+                   CAST(min(doc_id) AS BIGINT) AS keeper,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "psi_events_value": """
+            WITH b AS (SELECT min(value) AS lo,
+                              (max(value) - min(value)) / 10.0 AS width FROM events),
+            binned AS (
+                SELECT LEAST(CAST(floor((value - b.lo) / b.width) AS INTEGER), 9) AS bin,
+                       (event_id % 2 = 0) AS is_ref
+                FROM events, b
+            ),
+            counts AS (
+                SELECT bin,
+                       sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+                       sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS pc
+                FROM binned GROUP BY bin
+            ),
+            tot AS (SELECT sum(rc) AS nr, sum(pc) AS np FROM counts),
+            fr AS (
+                SELECT GREATEST(rc / (SELECT nr FROM tot), 0.0001) AS r,
+                       GREATEST(pc / (SELECT np FROM tot), 0.0001) AS p
+                FROM counts
+            )
+            SELECT CAST(round(sum((p - r) * ln(p / r)), 12) AS DOUBLE) AS psi FROM fr
+        """,
+        "js_hellinger_events_value": """
+            WITH b AS (SELECT min(value) AS lo,
+                              (max(value) - min(value)) / 20.0 AS width FROM events),
+            binned AS (
+                SELECT LEAST(CAST(floor((value - b.lo) / b.width) AS INTEGER), 19) AS bin,
+                       (event_id % 2 = 0) AS is_ref
+                FROM events, b
+            ),
+            counts AS (
+                SELECT s.bin,
+                       COALESCE(sum(CASE WHEN is_ref THEN 1 ELSE 0 END), 0) AS rc,
+                       COALESCE(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END), 0) AS pc
+                FROM range(0, 20) s(bin) LEFT JOIN binned ON binned.bin = s.bin
+                GROUP BY s.bin
+            ),
+            tot AS (SELECT sum(rc) AS nr, sum(pc) AS np FROM counts),
+            fr AS (
+                SELECT (rc + 1e-10) / ((SELECT nr FROM tot) + 20 * 1e-10) AS r,
+                       (pc + 1e-10) / ((SELECT np FROM tot) + 20 * 1e-10) AS p
+                FROM counts
+            )
+            SELECT
+              CAST(round(sqrt(GREATEST(0.0,
+                   0.5 * (sum(r * ln(r / ((r + p) / 2))) + sum(p * ln(p / ((r + p) / 2))))
+              )), 12) AS DOUBLE) AS js,
+              CAST(round(sqrt(sum(pow(sqrt(r) - sqrt(p), 2))) / sqrt(2.0), 12)
+                  AS DOUBLE) AS hellinger
+            FROM fr
+        """,
+        "ks_events_value": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_ref
+                FROM events
+            ),
+            tot AS (SELECT sum(is_ref) AS nr, sum(1 - is_ref) AS np FROM u),
+            c AS (
+                SELECT value,
+                       sum(is_ref) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+                       sum(1 - is_ref) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+                FROM u
+            ),
+            m AS (SELECT value, max(cr) AS cr, max(cp) AS cp FROM c GROUP BY value)
+            SELECT CAST(round(max(abs(cr / (SELECT nr FROM tot)
+                   - cp / (SELECT np FROM tot))), 12) AS DOUBLE) AS ks_stat
+            FROM m
+        """,
+        "chi2_events_type": """
+            WITH c AS (
+                SELECT event_type,
+                       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS rc,
+                       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS pc
+                FROM events GROUP BY event_type
+            ),
+            tot AS (SELECT sum(rc) AS nr, sum(pc) AS np FROM c)
+            SELECT CAST(round(sum(pow(pc - rc / (SELECT nr FROM tot) * (SELECT np FROM tot), 2)
+                         / (rc / (SELECT nr FROM tot) * (SELECT np FROM tot))), 9) AS DOUBLE)
+                   AS chi2_stat,
+                   CAST(count(*) - 1 AS BIGINT) AS dof
+            FROM c
+        """,
+        "wasserstein_events_value": """
+            WITH r AS (
+                SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+                FROM events WHERE event_id % 2 = 0
+            ),
+            p AS (
+                SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
+                FROM events WHERE event_id % 2 = 1
+            )
+            SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
+            FROM r JOIN p USING (rn)
+        """,
+        "ann_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+            ),
+            rk AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM s
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   CAST(rank AS BIGINT) AS rank
+            FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+    }

@@ -1,0 +1,559 @@
+"""Oracle-checkable Ray Data pipelines over the driver test tables.
+
+Each function takes ``sf_dir`` and returns a small result (pandas /
+pyarrow); each has a matching ANSI-SQL oracle in ``__ray_entry__.py``
+that DuckDB runs on the same parquet files. Column names and dtypes are
+chosen to match the SQL exactly (aggregates cast to BIGINT/DOUBLE).
+
+Implementation discipline: column-pruned reads, vectorized batch
+kernels, partial aggregation inside ``map_batches`` before any
+``groupby`` (the shuffle moves pre-aggregated rows, not raw rows),
+broadcast small sides for joins. Drift-statistic queries use the engine
+formulas (functions/stats.py) on exactly the binning the SQL oracle
+uses, so the comparison is value-level, not just verdict-level.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import stats
+from ..sources.reader import sf_table
+from ..stages import dedup as dedup_mod
+from ..stages import similarity as sim_mod
+from ..stages import textops as text_mod
+
+PSI_EPS = stats.PSI_EPSILON
+
+
+def _to_pdf(ds: ray.data.Dataset) -> pd.DataFrame:
+    return ds.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates (pre-aggregated shuffles)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    sums/averages/counts. Partial per-batch pandas groupby → grouped sum
+    of the partials (the shuffle moves ~6 rows per block)."""
+    ds = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # exact scaled-integer money sums: immune to distributed sum order
+        qty_c = np.round(b.l_quantity.to_numpy() * 10000).astype(np.int64)
+        base_c = np.round(b.l_extendedprice.to_numpy() * 10000).astype(np.int64)
+        disc_c = np.round(
+            (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        g = pd.DataFrame({
+            "l_returnflag": b.l_returnflag, "l_linestatus": b.l_linestatus,
+            "qty_c": qty_c, "base_c": base_c, "disc_c": disc_c,
+        }).groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), base_c=("base_c", "sum"),
+            disc_c=("disc_c", "sum"), count_order=("qty_c", "size"),
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty_c", alias_name="qty_c"),
+        Sum("base_c", alias_name="base_c"),
+        Sum("disc_c", alias_name="disc_c"),
+        Sum("count_order", alias_name="count_order"),
+    ).to_pandas()
+    out["sum_qty"] = out.qty_c.astype("float64") / 10000.0
+    out["sum_base_price"] = out.base_c.astype("float64") / 10000.0
+    out["sum_disc_price"] = out.disc_c.astype("float64") / 10000.0
+    out["avg_qty"] = out.sum_qty / out.count_order
+    out["avg_price"] = out.sum_base_price / out.count_order
+    out["count_order"] = out.count_order.astype("int64")
+    return out.drop(columns=["qty_c", "base_c", "disc_c"]) \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def count_by_returnflag(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "lineitem", columns=["l_returnflag"])
+    out = ds.groupby("l_returnflag").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out.n.astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("event_type", as_index=False).agg(
+            n_events=("value_c", "size"), value_c=("value_c", "sum")
+        )
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_c", alias_name="value_c"),
+    ).to_pandas()
+    out["n_events"] = out.n_events.astype("int64")
+    out["sum_value"] = out.value_c.astype("float64") / 100.0
+    out["avg_value"] = out.sum_value / out.n_events
+    return out.drop(columns=["value_c"]).sort_values("event_type").reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) per event_type: dedup the (type,
+    user) pairs with one grouped pass, then count pairs per type —
+    two scalar shuffles, both over pre-shrunk data."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pair_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas") \
+        .groupby(["event_type", "user_id"]).count()
+    out = pairs.groupby("event_type").count().to_pandas()
+    out = out.rename(columns={"count()": "n_users"})
+    out["n_users"] = out.n_users.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour event-time window counts (windowed aggregate as
+    bucket groupby)."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum")
+        )
+
+    out = ds.map_batches(bucket, batch_format="pandas").groupby("hour").aggregate(
+        Sum("n", alias_name="n"), Sum("value_c", alias_name="value_c")
+    ).to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["sum_value"] = out.value_c.astype("float64") / 100.0
+    out["hour"] = out.hour.astype("datetime64[us]")
+    return out.drop(columns=["value_c"]).sort_values("hour").reset_index(drop=True)
+
+
+def orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: customer (small side) shipped once via ray.put,
+    orders stream maps custkey → segment per batch, grouped sum."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        return pd.DataFrame({
+            "segment": b.o_custkey.map(lookup),
+            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+        }).groupby("segment", as_index=False).agg(
+            n_orders=("price_c", "size"), price_c=("price_c", "sum")
+        )
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("segment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("price_c", alias_name="price_c"),
+    ).to_pandas()
+    out["n_orders"] = out.n_orders.astype("int64")
+    out["sum_totalprice"] = out.price_c.astype("float64") / 100.0
+    return out.drop(columns=["price_c"]).sort_values("segment").reset_index(drop=True)
+
+
+def top10_orders_by_price(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    return out
+
+
+def lang_counts(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["lang"])
+    out = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n"})
+    out["n"] = out.n.astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def nation_acctbal_stats(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_nationkey": b.c_nationkey,
+            "min_bal": b.c_acctbal, "max_bal": b.c_acctbal,
+            "bal_c": np.round(b.c_acctbal.to_numpy() * 100).astype(np.int64),
+        }).groupby("c_nationkey", as_index=False).agg(
+            n=("bal_c", "size"), min_bal=("min_bal", "min"),
+            max_bal=("max_bal", "max"), bal_c=("bal_c", "sum"),
+        )
+
+    out = ds.map_batches(partial, batch_format="pandas").groupby("c_nationkey").aggregate(
+        Sum("n", alias_name="n"),
+        Min("min_bal", alias_name="min_bal"),
+        Max("max_bal", alias_name="max_bal"),
+        Sum("bal_c", alias_name="bal_c"),
+    ).to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["c_nationkey"] = out.c_nationkey.astype("int64")
+    out["sum_bal"] = out.bal_c.astype("float64") / 100.0
+    return out.drop(columns=["bal_c"]).sort_values("c_nationkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# column profile (the FeatureStatistics capability, exact-aggregate subset)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def profile_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Per-column stats over lineitem numerics: counts/min/max/sum/mean
+    from the mergeable Moments partials; distinct via exact grouped
+    count (the oracle-parity path — HLL is the at-scale estimate)."""
+    from ..stages import profile as P
+
+    cols = list(_PROFILE_COLS)
+    ds = sf_table(sf_dir, "lineitem", columns=cols)
+    prof = P.profile_dataset(ds, cols)
+
+    # exact scaled-integer sums per column (one extra cheap pass; immune
+    # to distributed sum ordering, matching the SQL oracle bit-for-bit)
+    def scaled(b: pa.Table) -> pa.Table:
+        out = {}
+        for col in cols:
+            v = b[col].to_numpy(zero_copy_only=False)
+            out[col] = [int(np.round(np.asarray(v, dtype=float) * 10000)
+                            .astype(np.int64).sum())]
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    sums = sf_table(sf_dir, "lineitem", columns=cols).map_batches(
+        scaled, batch_format="pyarrow"
+    ).to_pandas().sum()
+
+    rows = []
+    for col in cols:
+        m = prof["num"][col].moments
+        distinct = int(
+            sf_table(sf_dir, "lineitem", columns=[col]).groupby(col).count().count()
+        )
+        sum_val = float(sums[col]) / 10000.0
+        rows.append({
+            "col": col,
+            "n_vals": int(m.n),
+            "n_nulls": int(m.null_count),
+            "n_distinct": distinct,
+            "min_val": float(m.min),
+            "max_val": float(m.max),
+            "sum_val": sum_val,
+            "avg_val": sum_val / m.n,
+        })
+    return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# doc text queries
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document token stats with SQL-mirroring semantics: split on
+    single spaces (the synthetic text is single-space separated)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.split(" ")
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "n_chars": b.text.str.len().astype("int64"),
+            "n_tokens": toks.map(len).astype("int64"),
+            "n_distinct_tokens": toks.map(lambda t: len(set(t))).astype("int64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def exact_dup_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact text dedup groups: content md5 → (hash, keeper=min id, n).
+    Hash-partition + per-group first — the canonical exact-dedup shuffle."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": [hashlib.md5(t.encode()).hexdigest() for t in b.text],
+            "doc_id": b.doc_id,
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pandas")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": [g.h.iloc[0]],
+            "keeper": [np.int64(g.doc_id.min())],
+            "n": [np.int64(len(g))],
+        })
+
+    out = hashed.groupby("h").map_groups(per_group, batch_format="pandas").to_pandas()
+    return out.sort_values("h").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# drift statistics with SQL-mirroring binning (events value, split by
+# even/odd event_id into reference/production windows)
+# ---------------------------------------------------------------------------
+
+def _events_split_counts(sf_dir: str, n_bins: int) -> tuple[np.ndarray, np.ndarray, float, float]:
+    """Distributed equal-width binning over the global [min, max] with
+    the same floor/clamp arithmetic the SQL oracle uses. Pass 1: exact
+    min/max (Moments). Pass 2: per-block integer bin counts, vector-sum
+    merged. Exact."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    from ..stages import profile as P
+
+    m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
+    lo, hi = float(m.min), float(m.max)
+    width = (hi - lo) / float(n_bins)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        is_ref = (b["event_id"].to_numpy(zero_copy_only=False) % 2) == 0
+        bins = np.minimum(np.floor((v - lo) / width).astype(np.int64), n_bins - 1)
+        rc = np.bincount(bins[is_ref], minlength=n_bins)
+        pc_ = np.bincount(bins[~is_ref], minlength=n_bins)
+        return pa.table({"rc": pa.array([rc.tolist()]), "pc": pa.array([pc_.tolist()])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rc = np.sum(np.stack(parts.rc.to_numpy()), axis=0).astype(np.int64)
+    pc_ = np.sum(np.stack(parts.pc.to_numpy()), axis=0).astype(np.int64)
+    return rc, pc_, lo, hi
+
+
+def psi_events_value(sf_dir: str) -> pd.DataFrame:
+    """PSI over 10 equal-width bins (SQL-expressible binning; the
+    engine's reference-parity PSI uses reference-decile bins — covered by
+    the pytest parity fixtures)."""
+    rc, pc_, _, _ = _events_split_counts(sf_dir, 10)
+    r = np.maximum(rc / rc.sum(), PSI_EPS)
+    p = np.maximum(pc_ / pc_.sum(), PSI_EPS)
+    psi = float(np.round(np.sum((p - r) * np.log(p / r)), 12))
+    return pd.DataFrame({"psi": [psi]})
+
+
+def js_hellinger_events_value(sf_dir: str) -> pd.DataFrame:
+    """JS + Hellinger over 20 shared equal-width bins with the
+    reference's +1e-10 smoothing (jensen_shannon.py:61-65)."""
+    rc, pc_, _, _ = _events_split_counts(sf_dir, 20)
+    r = (rc + 1e-10) / (rc.sum() + 20 * 1e-10)
+    p = (pc_ + 1e-10) / (pc_.sum() + 20 * 1e-10)
+    m = 0.5 * (r + p)
+    js = float(np.round(np.sqrt(max(0.0, 0.5 * (np.sum(r * np.log(r / m)) + np.sum(p * np.log(p / m))))), 12))
+    hel = float(np.round(np.sqrt(np.sum((np.sqrt(r) - np.sqrt(p)) ** 2)) / np.sqrt(2.0), 12))
+    return pd.DataFrame({"js": [js], "hellinger": [hel]})
+
+
+def ks_events_value(sf_dir: str) -> pd.DataFrame:
+    """Exact two-sample KS statistic between the halves. Exact path
+    (driver ECDF over the collected column — bounded at test scale); the
+    sketch-CDF path for 10^12-row windows is exercised in
+    stages/drift.py and its tests."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
+    ref = ds.loc[ds.event_id % 2 == 0, "value"].to_numpy()
+    prod = ds.loc[ds.event_id % 2 == 1, "value"].to_numpy()
+    return pd.DataFrame({"ks_stat": [float(np.round(stats.ks_statistic_exact(ref, prod), 12))]})
+
+
+def chi2_events_type(sf_dir: str) -> pd.DataFrame:
+    """Chi-squared statistic between the halves' event_type counts
+    (expected = ref proportion x prod total, chi_squared.py:155-157)."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(is_ref=(b.event_id % 2 == 0))
+        return b.groupby(["event_type", "is_ref"], as_index=False).size()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(["event_type", "is_ref"])["size"].sum().unstack(fill_value=0)
+    rc = g[True].to_numpy(dtype=float)
+    pc_ = g[False].to_numpy(dtype=float)
+    expected = rc / rc.sum() * pc_.sum()
+    stat = float(np.round(np.sum((pc_ - expected) ** 2 / expected), 9))
+    return pd.DataFrame({"chi2_stat": [stat], "dof": [np.int64(len(g) - 1)]})
+
+
+def wasserstein_events_value(sf_dir: str) -> pd.DataFrame:
+    """Exact W1 between the equal-size halves = mean |sorted_ref -
+    sorted_prod| (quantile-function L1 for equal n)."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
+    ref = np.sort(ds.loc[ds.event_id % 2 == 0, "value"].to_numpy())
+    prod = np.sort(ds.loc[ds.event_id % 2 == 1, "value"].to_numpy())
+    assert len(ref) == len(prod), "halves must be equal-sized for this form"
+    return pd.DataFrame({"w1": [float(np.round(np.mean(np.abs(ref - prod)), 12))]})
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for the first 3 vectors as queries
+    (rank ties broken by neighbor id)."""
+    qdf = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf.embedding.to_list(), dtype=np.float64)
+    out = sim_mod.brute_force_topk(
+        sf_table(sf_dir, "embeddings"), queries, k=10,
+        query_ids=qdf.vec_id.astype("int64").tolist(),
+    )
+    return pd.DataFrame({
+        "query_id": out.query_id.astype("int64"),
+        "neighbor_id": out.neighbor_id.astype("int64"),
+        "rank": out["rank"].astype("int64"),
+    })
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL analogue; verified by pytest)
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_mod.minhash_lsh_pairs(ds, num_hashes=64, bands=16,
+                                      jaccard_threshold=0.5).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def simhash_docs(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_mod.add_simhash(ds).select_columns(["doc_id", "simhash"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dedup_mod.embedding_near_dup_pairs(ds, threshold=0.95).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def langid_docs(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.language_id(ds).select_columns(
+        ["doc_id", "lang_pred", "lang_pred_score"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.quality_scores(ds).to_pandas()
+    cols = ["doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+            "punct_ratio", "distinct_token_ratio"]
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.add_fingerprints(ds).select_columns(
+        ["doc_id", "md5", "min_rolling_hash"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
+    """ADWIN over the ordered error-indicator stream of the events table
+    (err = value above its median → binary-ish drift signal). Stateful
+    streaming — no SQL analogue."""
+    from ..stages.concept import ordered_concept_drift
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    med = float(np.median(ds.to_pandas().value.to_numpy()))
+
+    def errify(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seq": b["event_id"],
+            "err": pa.array((v > med).astype(np.float64)),
+        })
+
+    stream = ds.map_batches(errify, batch_format="pyarrow")
+    events = ordered_concept_drift(stream, "adwin", detector_kwargs={"delta": 0.002})
+    if len(events) == 0:
+        return pd.DataFrame({"detector": pd.Series([], dtype="string"),
+                             "seq": pd.Series([], dtype="int64")})
+    return events[["detector", "seq"]].reset_index(drop=True)
+
+
+def mmd_embeddings_labels(sf_dir: str) -> pd.DataFrame:
+    """MMD^2 between label groups of the embeddings table (the
+    reference's embedding-drift capability, mmd.py:67-129)."""
+    df = sf_table(sf_dir, "embeddings").to_pandas()
+    labels = sorted(df.label.unique())[:2]
+    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
+    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
+    r = stats.mmd_test(x[:300], y[:300])
+    return pd.DataFrame({
+        "mmd_squared": [r["mmd_squared"]],
+        "drift_detected": [r["drift_detected"]],
+        "n_reference": [np.int64(r["n_reference"])],
+        "n_production": [np.int64(r["n_production"])],
+    })
+
+
+def flagship_validation(sf_dir: str) -> pd.DataFrame:
+    """The image-table flagship at smoke scale: synthesizes the
+    input_hint table under /tmp (cached), validates, returns the
+    per-partition pass/fail matrix."""
+    import os
+
+    from . import flagship as F
+
+    work = os.path.join("/tmp", "aumos_flagship_smoke")
+    out = F.run_flagship(work, rows=600, rows_per_shard=150,
+                         violation_rate=0.06, resume=True)
+    m = out["prod_matrix"].copy()
+    m["violations"] = m.violations.astype("int64")
+    m["rows"] = m.rows.astype("int64")
+    m["partition_id"] = m.partition_id.astype("int64")
+    return m.reset_index(drop=True)
+
+
+def image_drift_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-(feature, test) drift scores of the flagship production window
+    vs its reference window."""
+    import os
+
+    from . import flagship as F
+
+    work = os.path.join("/tmp", "aumos_flagship_smoke")
+    out = F.run_flagship(work, rows=600, rows_per_shard=150,
+                         violation_rate=0.06, resume=True)
+    rows = [
+        {"feature": s["feature"], "test": s["test"],
+         "score": float(s["score"]), "threshold": float(s["threshold"])}
+        for s in out["drift"]["scores"]
+    ]
+    return pd.DataFrame(rows).sort_values(["feature", "test"]).reset_index(drop=True)

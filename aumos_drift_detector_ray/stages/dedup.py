@@ -43,7 +43,13 @@ def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """Keys appearing more than once: ``groupby(key).count() > 1``.
     One shuffle of the scalar key column."""
     counts = ds.groupby(key).count()
-    return counts.filter(expr="count() > 1")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater(batch["count()"], 1))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
 
 
 def uniqueness_violations(ds: ray.data.Dataset, key: str = "image_id") -> ray.data.Dataset:
