@@ -145,7 +145,8 @@ def encode_jpg(img: np.ndarray, quality: int = 90) -> bytes:
     chans = []
     for ch in range(3):
         b, _, _ = _blocks(img[:, :, ch].astype(np.float64) - 128.0)
-        coeffs = np.einsum("ij,abjk,lk->abil", c, b, c)
+        # 2-D DCT per 8x8 block: C @ X @ C.T, batched via broadcasted matmul
+        coeffs = c @ b @ c.T
         quant = np.round(coeffs / q).astype(np.int16)
         chans.append(quant.tobytes())
     payload = zlib.compress(b"".join(chans), level=6)
@@ -175,7 +176,8 @@ def decode_jpg(data: bytes) -> np.ndarray:
             body[ch * per_chan:(ch + 1) * per_chan], dtype=np.int16
         ).reshape(nby, nbx, 8, 8)
         coeffs = quant.astype(np.float64) * q
-        blocks = np.einsum("ji,abjk,kl->abil", c, coeffs, c)
+        # inverse: C.T @ X @ C per block, batched via broadcasted matmul
+        blocks = c.T @ coeffs @ c
         full = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         out[:, :, ch] = np.clip(np.round(full[:h, :w] + 128.0), 0, 255).astype(np.uint8)
     return out

@@ -87,7 +87,9 @@ def synthesize_dataset(
         if os.path.exists(path):
             return path
         tbl = synth.make_batch(start, count, cfg)
-        ckpt.atomic_write_table(path, tbl)
+        # small row groups so the validation read can fan out into many
+        # tasks (one actor-pool bundle per read task)
+        ckpt.atomic_write_table(path, tbl, row_group_size=512)
         return path
 
     tasks = []
@@ -204,7 +206,11 @@ def run_validation(
             synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol
         )
         bloom_ref = val_mod.build_allowlist_bloom(n_rows, cfg.synth_cfg.run)
-        ds = read_table(pending, include_paths=True)
+        # one read task per ~row-group so the decode actor pool receives
+        # many small bundles (Ray dispatches one actor task per bundle)
+        est_row_groups = max(1, cfg.rows // 512)
+        ds = read_table(pending, include_paths=True,
+                        override_num_blocks=min(est_row_groups, 4 * len(pending) * 10))
         ds = val_mod.partition_id_from_path(ds)
         flags = val_mod.run_row_validation(
             ds, vcfg, bloom_ref,
@@ -220,6 +226,11 @@ def run_validation(
             )
 
         flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
+        # coalesce the many small decode-output blocks before the grouped
+        # shuffle: Ray's sort-based groupby cost is dominated by block
+        # count, and the decode stage intentionally emits one block per
+        # input row group
+        flags = flags.repartition(min(256, max(16, len(pending) // 2)))
         writer = _shard_writer(out_dir, NUMERIC_FEATURES, CATEGORICAL_FEATURES)
         # scalar-only shuffle: group rows by their partition for the
         # atomic per-partition finalizer

@@ -128,28 +128,53 @@ def near_dup_pairs_hamming(
         _explode_bands(hash_col, [id_col], n_bands), batch_format="pyarrow"
     )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.drop_duplicates(subset=[id_col])
-        ids = g[id_col].to_numpy()
-        hs = g[hash_col].to_numpy().astype(np.int64)
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(n, k=1)
-        d = hamming64(hs[ia], hs[ib])
-        keep = d <= tol
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "hamming": d[keep].astype(np.int64)})
+    # COARSE bucketing: grouping by raw band_key yields millions of
+    # singleton groups and Ray's per-group overhead dominates. Instead
+    # hash band_key into ~256 coarse groups (one shuffle with bounded
+    # group count) and, inside each group, drop singleton buckets with a
+    # vectorized value_counts before the pairwise Hamming check.
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    pairs = exploded.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
-    # same pair can surface from multiple bands → dedup on (id_a, id_b)
-    return pairs.groupby("id_a").map_groups(
-        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
-    )
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
+        .repartition(64)
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["band_key"].value_counts()
+        hot = vc.index[vc.ge(2)]
+        out_a, out_b, out_d = [], [], []
+        sub_all = g[g["band_key"].isin(hot)]
+        for _, sub in sub_all.groupby("band_key", sort=False):
+            sub = sub.drop_duplicates(subset=[id_col])
+            n = len(sub)
+            if n < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            hs = sub[hash_col].to_numpy().astype(np.int64)
+            ia, ib = np.triu_indices(n, k=1)
+            d = hamming64(hs[ia], hs[ib])
+            keep = d <= tol
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_d.append(d[keep].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_d),
+        }).drop_duplicates(subset=["id_a", "id_b"])
+
+    pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
+    # same pair can surface from multiple bands → global dedup on the pair
+    def final_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(subset=["id_a", "id_b"])
+
+    return pairs.repartition(1).map_batches(final_dedup, batch_format="pandas")
 
 
 def simhash64(texts: list[str], token_re: re.Pattern | None = None) -> np.ndarray:
@@ -275,24 +300,40 @@ def minhash_lsh_pairs(
 
     exploded = with_sig.map_batches(explode, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        ids = g[id_col].to_numpy()
-        sigs = np.stack(g["minhash"].to_numpy())
-        ia, ib = np.triu_indices(len(ids), k=1)
-        jac = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = jac >= jaccard_threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame({
-            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
-            "jaccard": jac[keep],
-        })
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    pairs = exploded.groupby("band_key").map_groups(per_bucket, batch_format="pandas")
-    return pairs.groupby("id_a").map_groups(
-        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow").repartition(64)
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["band_key"].value_counts()
+        hot = vc.index[vc.ge(2)]
+        frames = []
+        for _, sub in g[g["band_key"].isin(hot)].groupby("band_key", sort=False):
+            sub = sub.drop_duplicates(subset=[id_col])
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            sigs = np.stack(sub["minhash"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), k=1)
+            jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = jac >= jaccard_threshold
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            frames.append(pd.DataFrame({
+                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                "jaccard": jac[keep],
+            }))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+
+    pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
+    return pairs.repartition(1).map_batches(
+        lambda b: b.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
     )
 
 
@@ -356,22 +397,38 @@ def embedding_near_dup_pairs(
         Bucketer, batch_format="pyarrow", concurrency=(1, 8)
     )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        ids = g[id_col].to_numpy()
-        u = np.stack(g["unit"].to_numpy())
-        sims = u @ u.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s >= threshold
-        a, b = ids[ia[keep]], ids[ib[keep]]
-        return pd.DataFrame({
-            "id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": s[keep],
-        })
+    def add_coarse(batch: pa.Table) -> pa.Table:
+        key = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    pairs = exploded.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-    return pairs.groupby("id_a").map_groups(
-        lambda g: g.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow").repartition(64)
+
+    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        vc = g["bucket"].value_counts()
+        hot = vc.index[vc.ge(2)]
+        frames = []
+        for _, sub in g[g["bucket"].isin(hot)].groupby("bucket", sort=False):
+            sub = sub.drop_duplicates(subset=[id_col])
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            u = np.stack(sub["unit"].to_numpy())
+            sims = u @ u.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            s = sims[ia, ib]
+            keep = s >= threshold
+            a, b = ids[ia[keep]], ids[ib[keep]]
+            frames.append(pd.DataFrame({
+                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": s[keep],
+            }))
+        if not frames:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+
+    pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
+    return pairs.repartition(1).map_batches(
+        lambda b: b.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
     )

@@ -276,17 +276,24 @@ def run_row_validation(
     cfg: ValidationConfig,
     bloom_ref: Any | None = None,
     decode_concurrency: int | tuple[int, int] = (2, 8),
-    decode_batch_size: int = 256,
+    decode_batch_size: int | None = None,
 ) -> ray.data.Dataset:
     """Scalar checks (stateless tasks) then decode/fidelity checks (actor
-    pool). ``decode_batch_size`` is small because a batch carries wide
-    binary payloads; the decode pool autoscales within
-    ``decode_concurrency`` — size it BELOW the CPU count so the read and
-    scalar stages are not starved of CPUs."""
+    pool).
+
+    ``batch_size=None`` is deliberate: with a batch_size set, Ray Data
+    BUNDLES many input blocks into one actor task (until the bundle
+    reaches batch_size rows — and a read task's whole output arrives as
+    one bundle), which collapses a 100-block input to ~5 huge actor
+    tasks and idles the pool. With None, every block is its own task, so
+    pool utilization is governed by the input block count — which the
+    synth writer guarantees via small shard files + 512-row row groups.
+    Size ``decode_concurrency`` BELOW the CPU count so the read and
+    scalar stages are not starved."""
     ds = ds.map_batches(
         make_scalar_validator(cfg, bloom_ref),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=decode_batch_size,
     )
     ds = ds.map_batches(
         DecodeValidator,

@@ -44,12 +44,17 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
             os.unlink(tmp)
 
 
-def atomic_write_table(path: str, table: pa.Table) -> None:
+def atomic_write_table(path: str, table: pa.Table,
+                       row_group_size: int | None = None) -> None:
+    """Atomic parquet write. ``row_group_size`` matters for INPUT shards:
+    row groups are the unit Ray's parquet reader can split into separate
+    read tasks, and downstream actor pools receive one bundle per read
+    task — small row groups are what feed a wide decode pool."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     os.close(fd)
     try:
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, row_group_size=row_group_size)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
