@@ -1,0 +1,79 @@
+"""Custom drift-test UDF registry with isolated execution.
+
+The reference runs user plugins in a subprocess with a 30 s timeout and
+JSON-marshalled data (adapters/plugin_sandbox.py:41-126, contract:
+``drift_test(reference_data, production_data) -> dict`` with at least
+``drift_detected``). The Ray-native analogue keeps the exact contract
+but executes the plugin in a **Ray task** — already a separate worker
+process — with the same timeout and the same error envelope
+``{"error": ..., "drift_detected": False}``. Registered callables can
+also be applied inside the drift stage to merged window samples.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import ray
+
+DEFAULT_TIMEOUT_SECONDS = 30  # plugin_sandbox.py:23
+
+_REGISTRY: dict[str, Callable[[list[float], list[float]], dict[str, Any]]] = {}
+
+
+def register_drift_test(
+    name: str, fn: Callable[[list[float], list[float]], dict[str, Any]]
+) -> None:
+    """Register a ``drift_test(ref, prod) -> dict`` callable under a name."""
+    _REGISTRY[name] = fn
+
+
+def registered_tests() -> dict[str, Callable]:
+    return dict(_REGISTRY)
+
+
+def run_plugin(
+    plugin: str | Callable[[list[float], list[float]], dict[str, Any]],
+    reference_data: list[float],
+    production_data: list[float],
+    timeout_seconds: int = DEFAULT_TIMEOUT_SECONDS,
+) -> dict[str, Any]:
+    """Execute a plugin (registered name, callable, or Python source
+    string defining ``drift_test``) in an isolated Ray worker with a
+    timeout. Errors and timeouts return the reference's error envelope
+    instead of raising (plugin_sandbox.py:96-126)."""
+    if isinstance(plugin, str) and plugin in _REGISTRY:
+        fn = _REGISTRY[plugin]
+        code = None
+    elif isinstance(plugin, str):
+        fn = None
+        code = plugin
+    else:
+        fn = plugin
+        code = None
+
+    @ray.remote(max_retries=0)
+    def _exec(ref: list[float], prod: list[float]) -> dict[str, Any]:
+        try:
+            if code is not None:
+                ns: dict[str, Any] = {}
+                exec(code, ns)  # user-supplied source, isolated in this worker
+                result = ns["drift_test"](ref, prod)
+            else:
+                result = fn(ref, prod)
+            if not isinstance(result, dict):
+                raise TypeError("drift_test must return a dict")
+            return result
+        except Exception as exc:  # error envelope, run continues
+            return {"error": str(exc), "drift_detected": False}
+
+    ref_obj = _exec.remote(list(reference_data), list(production_data))
+    done, _ = ray.wait([ref_obj], timeout=timeout_seconds)
+    if not done:
+        ray.cancel(ref_obj, force=True)
+        return {"error": f"plugin timed out after {timeout_seconds}s",
+                "drift_detected": False}
+    try:
+        return ray.get(done[0])
+    except Exception as exc:
+        return {"error": str(exc), "drift_detected": False}

@@ -253,7 +253,7 @@ def run_validation(
 # 3. shuffle checks (uniqueness, near-dup) over the flags output
 # ---------------------------------------------------------------------------
 
-def run_shuffle_checks(out_dir: str, phash_tol: int = 6) -> dict[str, int]:
+def run_shuffle_checks(out_dir: str, phash_tol: int = 4) -> dict[str, int]:
     """Exact image_id uniqueness + pHash banded near-dup over the
     scalars-only flags table; appends violation rows."""
     flags = read_table(os.path.join(out_dir, "flags"))

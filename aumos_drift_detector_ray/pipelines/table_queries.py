@@ -115,18 +115,20 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
-    """Exact COUNT(DISTINCT user_id) per event_type: dedup the (type,
-    user) pairs with one grouped pass, then count pairs per type —
-    two scalar shuffles, both over pre-shrunk data."""
+    """Exact COUNT(DISTINCT user_id) per event_type: per-block local
+    dedup of (type, user) pairs (map_batches, no shuffle), then a single
+    small merge of the pre-shrunk pair sets — the exact-path analogue of
+    the HLL-per-group sketch (which is the 10^12-rows path)."""
     ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def pair_dedup(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates()
 
-    pairs = ds.map_batches(pair_dedup, batch_format="pandas") \
-        .groupby(["event_type", "user_id"]).count()
-    out = pairs.groupby("event_type").count().to_pandas()
-    out = out.rename(columns={"count()": "n_users"})
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas").to_pandas()
+    out = (
+        pairs.drop_duplicates().groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "nunique"))
+    )
     out["n_users"] = out.n_users.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -248,12 +250,27 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
         scaled, batch_format="pyarrow"
     ).to_pandas().sum()
 
+    # exact distinct for all columns in ONE pass: per-block unique values
+    # (map_batches) unioned on the driver — the exact-path analogue of the
+    # per-column HLL estimate used at scale
+    def uniques(b: pa.Table) -> pa.Table:
+        return pa.table({
+            col: pa.array([np.unique(b[col].to_numpy(zero_copy_only=False)).tolist()])
+            for col in cols
+        })
+
+    uniq_parts = sf_table(sf_dir, "lineitem", columns=cols).map_batches(
+        uniques, batch_format="pyarrow"
+    ).to_pandas()
+    distinct_by_col = {
+        col: int(np.unique(np.concatenate(uniq_parts[col].to_list())).size)
+        for col in cols
+    }
+
     rows = []
     for col in cols:
         m = prof["num"][col].moments
-        distinct = int(
-            sf_table(sf_dir, "lineitem", columns=[col]).groupby(col).count().count()
-        )
+        distinct = distinct_by_col[col]
         sum_val = float(sums[col]) / 10000.0
         rows.append({
             "col": col,

