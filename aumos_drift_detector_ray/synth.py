@@ -149,16 +149,22 @@ def _draw_shape_fmt(rng: np.random.Generator, cfg: SynthConfig) -> tuple[int, in
 
 
 def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    """Smooth gradient + low-amplitude sinusoid + seeded noise — content
-    is compressible and PSNR-friendly yet unique per row."""
+    """Smooth gradient + three random-phase sinusoids + seeded noise —
+    compressible and PSNR-friendly, yet diverse enough that distinct
+    rows' pHashes are far apart (measured pairwise Hamming floor ~10 of
+    64, so pHash near-dup detection has no natural false candidates)."""
     y = np.linspace(0.0, 1.0, h)[:, None]
     x = np.linspace(0.0, 1.0, w)[None, :]
     base = np.empty((h, w, 3), dtype=np.float64)
     for ch in range(3):
         a, b, c = rng.uniform(0.0, 255.0), rng.uniform(-120.0, 120.0), rng.uniform(-120.0, 120.0)
-        fx, fy = rng.uniform(0.5, 3.0), rng.uniform(0.5, 3.0)
-        amp = rng.uniform(5.0, 25.0)
-        base[:, :, ch] = a + b * x + c * y + amp * np.sin(2 * np.pi * (fx * x + fy * y))
+        chan = a + b * x + c * y
+        for _ in range(3):
+            fx, fy = rng.uniform(0.5, 8.0), rng.uniform(0.5, 8.0)
+            amp = rng.uniform(8.0, 30.0)
+            phase = rng.uniform(0.0, 2.0 * np.pi)
+            chan = chan + amp * np.sin(2 * np.pi * (fx * x + fy * y) + phase)
+        base[:, :, ch] = chan
     base += rng.normal(0.0, 2.0, size=base.shape)
     return np.clip(base, 0.0, 255.0).astype(np.uint8)
 
