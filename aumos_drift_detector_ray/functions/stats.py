@@ -728,6 +728,73 @@ def anderson_darling_test(
 
 
 # ---------------------------------------------------------------------------
+# Classifier two-sample test (multivariate_drift.py:92-149; logistic
+# regression by gradient descent instead of sklearn GradientBoosting —
+# same decision semantics: 5-fold cross-val AUROC > threshold = drift)
+# ---------------------------------------------------------------------------
+
+def _logreg_fit(x: np.ndarray, y: np.ndarray, iters: int = 200, lr: float = 0.5) -> np.ndarray:
+    """L2-lightly-regularized logistic regression by full-batch gradient
+    descent on standardized features; returns weights incl. bias."""
+    xb = np.column_stack([x, np.ones(len(x))])
+    w = np.zeros(xb.shape[1])
+    n = len(y)
+    for _ in range(iters):
+        z = xb @ w
+        p = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+        grad = xb.T @ (p - y) / n + 1e-4 * w
+        w -= lr * grad
+    return w
+
+
+def classifier_two_sample_test(
+    reference: Any,
+    production: Any,
+    threshold: float = 0.6,
+    n_folds: int = 5,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """C2ST: train a classifier to tell reference (0) from production (1);
+    cross-validated AUROC near 0.5 = indistinguishable, above ``threshold``
+    = drift. Result shape mirrors multivariate_drift.py:138-149 (feature
+    importances = |standardized weights|)."""
+    from . import metrics as _metrics
+
+    ref = np.asarray(reference, dtype=float)
+    prod = np.asarray(production, dtype=float)
+    if ref.ndim == 1:
+        ref = ref.reshape(-1, 1)
+    if prod.ndim == 1:
+        prod = prod.reshape(-1, 1)
+    x = np.vstack([ref, prod])
+    y = np.concatenate([np.zeros(len(ref)), np.ones(len(prod))])
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    sd[sd < 1e-12] = 1.0
+    xs = (x - mu) / sd
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(y))
+    folds = np.array_split(order, n_folds)
+    proba = np.zeros(len(y))
+    for k in range(n_folds):
+        test_idx = folds[k]
+        train_idx = np.concatenate([folds[j] for j in range(n_folds) if j != k])
+        w = _logreg_fit(xs[train_idx], y[train_idx])
+        z = np.column_stack([xs[test_idx], np.ones(len(test_idx))]) @ w
+        proba[test_idx] = 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+    auroc = _metrics.auc_roc(y, proba)
+    w_full = _logreg_fit(xs, y)
+    return {
+        "test": "classifier_two_sample",
+        "auroc": float(auroc),
+        "threshold": threshold,
+        "drift_detected": bool(auroc > threshold),
+        "feature_importances": np.abs(w_full[:-1]).tolist(),
+        "n_reference": int(len(ref)),
+        "n_production": int(len(prod)),
+    }
+
+
+# ---------------------------------------------------------------------------
 # PCA reconstruction drift (multivariate_drift.py:22-89, SVD instead of sklearn)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,143 @@
+"""Tests for text embedding / LLM-output drift, multimodal stub stages,
+C2ST, and the HTML report."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from aumos_drift_detector_ray import synth
+
+
+class TestEmbedding:
+    def test_hashing_embed_deterministic_normalized(self):
+        from aumos_drift_detector_ray.stages.embed import hashing_embed
+
+        a = hashing_embed(["hello world", "other text"], dim=32)
+        b = hashing_embed(["hello world", "other text"], dim=32)
+        assert np.allclose(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_similar_texts_closer_than_different(self):
+        from aumos_drift_detector_ray.stages.embed import hashing_embed
+
+        e = hashing_embed([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely unrelated database query planning text",
+        ], dim=64)
+        assert e[0] @ e[1] > e[0] @ e[2]
+
+    def test_llm_output_drift(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.embed import llm_output_drift
+
+        rng = np.random.default_rng(42)
+        vocab_a = "alpha beta gamma delta epsilon zeta eta theta".split()
+        vocab_b = "uno dos tres cuatro cinco seis siete ocho".split()
+
+        def mk(vocab, n):
+            return [" ".join(rng.choice(vocab, 12)) for _ in range(n)]
+
+        same_a = rd.from_arrow(pa.table({"text": mk(vocab_a, 200)}))
+        same_b = rd.from_arrow(pa.table({"text": mk(vocab_a, 200)}))
+        diff = rd.from_arrow(pa.table({"text": mk(vocab_b, 200)}))
+        stable = llm_output_drift(same_a, same_b)
+        shifted = llm_output_drift(same_a, diff)
+        assert not stable["drift_detected"]
+        assert shifted["drift_detected"]
+        assert shifted["test"] == "llm_output_mmd"
+
+
+class TestMultimodal:
+    def test_image_decode_stage(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        tbl = synth.make_batch(0, 30, synth.SynthConfig(seed=1, run="m"))
+        out = decode_media(rd.from_arrow(tbl), "image").to_pandas()
+        assert "bytes" not in out.columns
+        assert out.decoded_ok.all()
+        assert (out.width == out.w).all() and (out.height == out.h).all()
+
+    def test_audio_stub_fake(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        ds = rd.from_arrow(pa.table({
+            "bytes": [b"FAKEAUDIO" * 10, b"OTHERBYTES" * 20],
+        }))
+        out = decode_media(ds, "audio", fmt_col=None).to_pandas()
+        assert out.decoded_ok.all()
+        assert out.duration_s.between(0.5, 30).all()
+
+    def test_audio_stub_strict_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        ds = rd.from_arrow(pa.table({"bytes": [b"x" * 32]}))
+        with pytest.raises(Exception):  # NotImplementedError inside the task
+            decode_media(ds, "audio", fmt_col=None, strict=True).materialize()
+
+    def test_resize_stage(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray import codecs
+        from aumos_drift_detector_ray.stages.multimodal import ImageResizer
+
+        tbl = synth.make_batch(0, 5, synth.SynthConfig(seed=2, run="m"))
+        out = rd.from_arrow(tbl).map_batches(
+            ImageResizer, fn_constructor_args=(16,), batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+        img = codecs.decode(out.bytes.iloc[0], "png")
+        assert img.shape == (16, 16, 3)
+
+    def test_frame_sample_plan(self):
+        from aumos_drift_detector_ray.stages.multimodal import frame_sample_stub
+
+        assert frame_sample_stub(10, 3) == [0, 3, 6, 9]
+
+
+class TestC2ST:
+    def test_same_distribution_near_half(self):
+        from aumos_drift_detector_ray.functions.stats import classifier_two_sample_test
+
+        rng = np.random.default_rng(42)
+        r = classifier_two_sample_test(rng.normal(size=(400, 4)),
+                                       rng.normal(size=(400, 4)))
+        assert abs(r["auroc"] - 0.5) < 0.08
+        assert not r["drift_detected"]
+
+    def test_shifted_detected(self):
+        from aumos_drift_detector_ray.functions.stats import classifier_two_sample_test
+
+        rng = np.random.default_rng(42)
+        r = classifier_two_sample_test(rng.normal(size=(400, 4)),
+                                       rng.normal(size=(400, 4)) + 1.0)
+        assert r["auroc"] > 0.6 and r["drift_detected"]
+        assert len(r["feature_importances"]) == 4
+
+
+class TestReport:
+    def test_html_report_contains_content(self):
+        from aumos_drift_detector_ray.functions.report import (
+            executive_summary, generate_html_report,
+        )
+
+        dets = [
+            {"feature": "w", "test_name": "psi", "score": 0.55, "threshold": 0.2,
+             "is_drifted": True, "severity": "critical"},
+            {"feature": "h", "test_name": "ks", "score": 0.4, "threshold": 0.05,
+             "is_drifted": False, "severity": "info"},
+        ]
+        htm = generate_html_report("run1", dets,
+                                   [{"partition_id": 0, "check": "fmt_domain",
+                                     "violations": 2, "rows": 100, "passed": False}])
+        assert "<html" in htm and "critical" in htm and "fmt_domain" in htm
+        assert "svg" in htm
+        summ = executive_summary(dets)
+        assert "1 of 2" in summ and "critical" in summ
+        assert executive_summary([]) == "No drift checks were run."
