@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmd_embeddings_labels": Q.mmd_embeddings_labels,
         "flagship_validation": Q.flagship_validation,
         "image_drift_scores": Q.image_drift_scores,
+        "c2st_embeddings": Q.c2st_embeddings,
+        "llm_output_drift_docs": Q.llm_output_drift_docs,
+        "pca_drift_embeddings": Q.pca_drift_embeddings,
+        "trend_events_value": Q.trend_events_value,
+        # windowed performance metrics (oracle-checked)
+        "windowed_accuracy_events": Q.windowed_accuracy_events,
     }
 
 
@@ -264,6 +270,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "windowed_accuracy_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(avg(CASE WHEN (user_id % 2 = 1) = (value > 10)
+                            THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS accuracy
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ann_topk_embeddings": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -63,7 +63,7 @@ class FlagshipConfig:
     synth_cfg: synth.SynthConfig = field(default_factory=synth.SynthConfig)
     decode_concurrency: Any = (2, 8)
     decode_batch_size: int = 256
-    phash_tol: int = 6
+    phash_tol: int = 9
 
 
 # ---------------------------------------------------------------------------

@@ -574,3 +574,100 @@ def image_drift_scores(sf_dir: str) -> pd.DataFrame:
         for s in out["drift"]["scores"]
     ]
     return pd.DataFrame(rows).sort_values(["feature", "test"]).reset_index(drop=True)
+
+
+def windowed_accuracy_events(sf_dir: str) -> pd.DataFrame:
+    """Windowed model-performance monitoring over a deterministic
+    prediction log derived from events (y_true = user_id % 2, y_pred =
+    value > 10): accuracy per event_type window. SQL-expressible, so the
+    oracle checks the distributed windowed-metrics stage end-to-end."""
+    from ..stages.perfmon import windowed_performance
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_id": b.event_type,
+            "y_true": (b.user_id % 2).astype("float64"),
+            "y_pred": (b.value > 10).astype("float64"),
+            "y_score": (b.value / (b.value.max() + 1.0)).astype("float64"),
+        })
+
+    log = ds.map_batches(derive, batch_format="pandas")
+    out = windowed_performance(log, window_col="window_id")
+    return pd.DataFrame({
+        "event_type": out.window_id.astype(str),
+        "n": out.labelled_count.astype("int64"),
+        "accuracy": out.accuracy.astype("float64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def c2st_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Classifier two-sample test between embedding label groups
+    (multivariate drift; no SQL analogue)."""
+    df = sf_table(sf_dir, "embeddings").to_pandas()
+    labels = sorted(df.label.unique())[:2]
+    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
+    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
+    r = stats.classifier_two_sample_test(x[:300], y[:300])
+    return pd.DataFrame({
+        "auroc": [r["auroc"]], "drift_detected": [r["drift_detected"]],
+        "n_reference": [np.int64(r["n_reference"])],
+        "n_production": [np.int64(r["n_production"])],
+    })
+
+
+def llm_output_drift_docs(sf_dir: str) -> pd.DataFrame:
+    """Semantic drift between document halves via hashing embeddings +
+    MMD (the reference's LLM-output monitoring path; no SQL analogue)."""
+    from ..stages.embed import llm_output_drift
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0))
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1))
+
+    r = llm_output_drift(
+        ds.map_batches(even, batch_format="pyarrow"),
+        ds.map_batches(odd, batch_format="pyarrow"),
+    )
+    return pd.DataFrame({
+        "mmd_squared": [r["mmd_squared"]],
+        "drift_detected": [r["drift_detected"]],
+        "n_reference_texts": [np.int64(r["n_reference_texts"])],
+        "n_production_texts": [np.int64(r["n_production_texts"])],
+    })
+
+
+def pca_drift_embeddings(sf_dir: str) -> pd.DataFrame:
+    """PCA reconstruction drift between embedding label groups
+    (multivariate_drift.py:22-89 capability; no SQL analogue)."""
+    df = sf_table(sf_dir, "embeddings").to_pandas()
+    labels = sorted(df.label.unique())[:2]
+    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
+    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
+    r = stats.pca_reconstruction_drift(x, y, n_components=8)
+    return pd.DataFrame({
+        "score": [r["score"]], "drift_detected": [r["drift_detected"]],
+        "n_components": [np.int64(r["n_components"])],
+    })
+
+
+def trend_events_value(sf_dir: str) -> pd.DataFrame:
+    """OLS trend + CUSUM change points of the hourly mean event value
+    (trend_analyzer capability over a windowed aggregate; rows-only)."""
+    from ..functions import metrics as M
+
+    hourly = hourly_event_counts(sf_dir)
+    series = (hourly.sum_value / hourly.n).to_numpy()
+    t = M.linear_trend(series)
+    cps = M.cusum_change_points(series)
+    return pd.DataFrame({
+        "slope": [t["slope"]], "r_squared": [t["r_squared"]],
+        "direction": [t["direction"]],
+        "n_change_points": [np.int64(len(cps))],
+        "seasonal": [M.is_seasonal(series)],
+    })

@@ -68,7 +68,11 @@ class ValidationConfig:
     max_dim: int = 4096
     allowed_fmts: tuple[str, ...] = codecs.FORMATS
     psnr_min: float = 40.0
-    phash_tol: int = 6
+    # self-consistency tolerance for the pHash recompute check: lossy
+    # round-trips of the diversified content flip up to ~8 bits (measured
+    # p100=8), while a *different* image is >= ~10 bits away — 9 separates
+    # the two regimes
+    phash_tol: int = 9
     check_fidelity: bool = True  # decode + pixel/caption/phash invariants
 
 

@@ -158,13 +158,13 @@ def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     base = np.empty((h, w, 3), dtype=np.float64)
     for ch in range(3):
         a, b, c = rng.uniform(0.0, 255.0), rng.uniform(-120.0, 120.0), rng.uniform(-120.0, 120.0)
-        chan = a + b * x + c * y
-        for _ in range(3):
-            fx, fy = rng.uniform(0.5, 8.0), rng.uniform(0.5, 8.0)
-            amp = rng.uniform(8.0, 30.0)
-            phase = rng.uniform(0.0, 2.0 * np.pi)
-            chan = chan + amp * np.sin(2 * np.pi * (fx * x + fy * y) + phase)
-        base[:, :, ch] = chan
+        fx, fy = rng.uniform(0.5, 8.0), rng.uniform(0.5, 8.0)
+        amp = rng.uniform(8.0, 30.0)
+        phase = rng.uniform(0.0, 2.0 * np.pi)
+        base[:, :, ch] = (
+            a + b * x + c * y
+            + amp * np.sin(2 * np.pi * (fx * x + fy * y) + phase)
+        )
     base += rng.normal(0.0, 2.0, size=base.shape)
     return np.clip(base, 0.0, 255.0).astype(np.uint8)
 
