@@ -269,6 +269,56 @@ def feature_statistics(profiles: dict[str, Any]) -> dict[str, dict[str, Any]]:
     return out
 
 
+def compare_baselines(
+    old: dict[str, Any],
+    new: dict[str, Any],
+    significance_threshold: float = 0.1,
+) -> dict[str, Any]:
+    """Quantify distributional shift between two BaselineVersion dicts
+    (baseline_manager.py:467-539): per-feature mean/std percentage
+    shifts, changed-feature list at the 10% threshold, aggregate change
+    score = min(1, mean over features of (meanΔ + 0.5·stdΔ)/1.5)."""
+    old_stats = old["feature_stats"]
+    new_stats = new["feature_stats"]
+    common = set(old_stats) & set(new_stats)
+    changed: list[str] = []
+    mean_shifts: dict[str, tuple[float, float, float]] = {}
+    std_shifts: dict[str, tuple[float, float, float]] = {}
+    total = 0.0
+    for name in common:
+        om, nm = old_stats[name]["mean"], new_stats[name]["mean"]
+        mean_pct = abs(nm - om) / abs(om) if om != 0 else 0.0
+        mean_shifts[name] = (om, nm, mean_pct)
+        os_, ns = old_stats[name]["std"], new_stats[name]["std"]
+        std_pct = abs(ns - os_) / abs(os_) if os_ != 0 else 0.0
+        std_shifts[name] = (os_, ns, std_pct)
+        total += (mean_pct + 0.5 * std_pct) / 1.5
+        if mean_pct > significance_threshold or std_pct > significance_threshold:
+            changed.append(name)
+    return {
+        "features_compared": len(common),
+        "features_changed": sorted(changed),
+        "mean_shift_by_feature": mean_shifts,
+        "std_shift_by_feature": std_shifts,
+        "distribution_change_score": min(1.0, total / len(common)) if common else 0.0,
+    }
+
+
+def dashboard_summary(detections: "Any") -> dict[str, int]:
+    """Rolling-window dashboard counts over a detections Dataset/frame
+    (repositories.py:291-359 semantics): total checks, drifted count,
+    distinct features monitored, critical count."""
+    import pandas as pd
+
+    df = detections if isinstance(detections, pd.DataFrame) else detections.to_pandas()
+    return {
+        "total_checks": int(len(df)),
+        "drifted": int(df["is_drifted"].sum()) if len(df) else 0,
+        "features_monitored": int(df["feature"].nunique()) if len(df) else 0,
+        "critical": int((df["severity"] == "critical").sum()) if len(df) else 0,
+    }
+
+
 def baseline_version(
     profiles: dict[str, Any],
     model_id: str = "default",

