@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_events_value": Q.trend_events_value,
         # windowed performance metrics (oracle-checked)
         "windowed_accuracy_events": Q.windowed_accuracy_events,
+        # joins (oracle-checked)
+        "order_lineitem_revenue": Q.order_lineitem_revenue,
+        "asof_click_before_error": Q.asof_click_before_error,
     }
 
 
@@ -270,6 +273,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "order_lineitem_revenue": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "asof_click_before_error": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+            ),
+            errors AS (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id AS error_id,
+                   CAST((SELECT c.event_id FROM clicks c
+                    WHERE c.user_id = e.user_id AND c.ts <= e.ts
+                    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS DOUBLE) AS click_id
+            FROM errors e ORDER BY error_id
         """,
         "windowed_accuracy_events": """
             SELECT event_type,

@@ -671,3 +671,68 @@ def trend_events_value(sf_dir: str) -> pd.DataFrame:
         "n_change_points": [np.int64(len(cps))],
         "seasonal": [M.is_seasonal(series)],
     })
+
+
+def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large-large partitioned hash join (lineitem x orders on orderkey)
+    then revenue per order priority — both shuffle sides are scalar
+    projections; money sums are exact scaled integers."""
+    from ..stages.joins import hash_join
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey,
+            "rev_c": np.round(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
+            ).astype(np.int64),
+        })
+
+    li_prep = li.map_batches(prep, batch_format="pandas")
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li_prep, orders, "o_orderkey", n_buckets=32)
+    out = joined.map_batches(
+        lambda b: b.groupby("r_o_orderpriority", as_index=False).agg(
+            n_items=("rev_c", "size"), rev_c=("rev_c", "sum")),
+        batch_format="pandas",
+    ).groupby("r_o_orderpriority").aggregate(
+        Sum("n_items", alias_name="n_items"), Sum("rev_c", alias_name="rev_c"),
+    ).to_pandas()
+    out = out.rename(columns={"r_o_orderpriority": "o_orderpriority"})
+    out["n_items"] = out.n_items.astype("int64")
+    out["revenue"] = out.rev_c.astype("float64") / 10000.0
+    return out.drop(columns=["rev_c"]).sort_values("o_orderpriority") \
+        .reset_index(drop=True)
+
+
+def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for every 'error' event, the same user's latest
+    'click' at or before it (ties broken toward the highest event_id)."""
+    from ..stages.joins import asof_join
+
+    ev = sf_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def split(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)).drop_columns(["event_type"])
+        return fn
+
+    errors = ev.map_batches(split("error"), batch_format="pyarrow")
+    clicks = ev.map_batches(split("click"), batch_format="pyarrow")
+
+    def sort_clicks(b: pd.DataFrame) -> pd.DataFrame:
+        # deterministic tie-break: merge_asof keeps the LAST matching row,
+        # so pre-sort ties by event_id ascending
+        return b.sort_values(["ts", "event_id"], kind="stable")
+
+    clicks = clicks.map_batches(sort_clicks, batch_format="pandas")
+    joined = asof_join(errors, clicks, key="user_id", ts="ts", n_buckets=16)
+    out = joined.to_pandas()
+    return pd.DataFrame({
+        "error_id": out.event_id.astype("int64"),
+        # nullable ints surface as float64 after pandas conversion (as the
+        # DuckDB oracle's fetchdf does) — match that representation
+        "click_id": out.r_event_id.astype("float64"),
+    }).sort_values("error_id").reset_index(drop=True)

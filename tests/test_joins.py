@@ -1,0 +1,90 @@
+"""Tests for partitioned hash join, as-of join, and range join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+class TestHashJoin:
+    def test_inner_join_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        rng = np.random.default_rng(42)
+        left = pd.DataFrame({"k": rng.integers(0, 50, 500), "a": rng.random(500)})
+        right = pd.DataFrame({"k": np.arange(40), "b": np.arange(40) * 10})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=8).to_pandas()
+        expected = left.merge(right.rename(columns={"b": "r_b"}), on="k")
+        assert len(out) == len(expected)
+        o = out.sort_values(["k", "a"]).reset_index(drop=True)
+        e = expected.sort_values(["k", "a"]).reset_index(drop=True)
+        assert np.allclose(o.a, e.a) and (o.r_b == e.r_b).all()
+
+    def test_left_join_keeps_unmatched(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+        right = pd.DataFrame({"k": [2], "b": [99]})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4, how="left").to_pandas().sort_values("k")
+        assert len(out) == 3
+        assert out.loc[out.k == 2, "r_b"].iloc[0] == 99
+        assert out.loc[out.k == 1, "r_b"].isna().all()
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import asof_join
+
+        rng = np.random.default_rng(42)
+        n = 400
+        left = pd.DataFrame({
+            "k": rng.integers(0, 10, n),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "lv": np.arange(n),
+        })
+        right = pd.DataFrame({
+            "k": rng.integers(0, 10, n),
+            "ts": rng.integers(0, 10_000, n).astype("int64"),
+            "rv": np.arange(n) * 2,
+        })
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", ts="ts", n_buckets=4).to_pandas()
+        expected = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.rename(columns={"ts": "r_ts", "rv": "r_rv"})
+                 .sort_values("r_ts", kind="stable"),
+            left_on="ts", right_on="r_ts", by="k",
+        )
+        o = out.sort_values("lv").reset_index(drop=True)
+        e = expected.sort_values("lv").reset_index(drop=True)
+        assert len(o) == len(e)
+        assert (o.r_rv.fillna(-1) == e.r_rv.fillna(-1)).all()
+
+
+class TestRangeJoin:
+    def test_point_in_interval(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import range_join
+
+        points = pd.DataFrame({
+            "k": ["a", "a", "a", "b", "b"],
+            "x": [5.0, 15.0, 25.0, 5.0, 50.0],
+            "pid": [0, 1, 2, 3, 4],
+        })
+        intervals = pd.DataFrame({
+            "k": ["a", "a", "b"],
+            "lo": [0.0, 20.0, 0.0],
+            "hi": [10.0, 30.0, 10.0],
+            "iid": [100, 101, 102],
+        })
+        out = range_join(rd.from_pandas(points), rd.from_pandas(intervals),
+                         key="k", point_col="x", lo_col="lo", hi_col="hi",
+                         n_buckets=4).to_pandas().sort_values("pid")
+        assert out.pid.tolist() == [0, 2, 3]  # 15 and 50 match nothing
+        assert out.iv_iid.tolist() == [100, 101, 102]
