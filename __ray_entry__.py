@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (oracle-checked)
         "order_lineitem_revenue": Q.order_lineitem_revenue,
         "asof_click_before_error": Q.asof_click_before_error,
+        # window functions (oracle-checked)
+        "top3_orders_per_segment": Q.top3_orders_per_segment,
+        "daily_cumulative_revenue": Q.daily_cumulative_revenue,
     }
 
 
@@ -273,6 +276,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "top3_orders_per_segment": """
+            WITH j AS (
+                SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice,
+                       row_number() OVER (PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rank
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            )
+            SELECT segment, CAST(rank AS BIGINT) AS rank,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM j WHERE rank <= 3 ORDER BY segment, rank
+        """,
+        "daily_cumulative_revenue": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS price_c
+                FROM orders GROUP BY 1
+            )
+            SELECT day, n,
+                   CAST(sum(price_c) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) / 100.0 AS cum_revenue
+            FROM d ORDER BY day
         """,
         "order_lineitem_revenue": """
             SELECT o.o_orderpriority,

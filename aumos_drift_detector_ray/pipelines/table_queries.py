@@ -736,3 +736,62 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
         # DuckDB oracle's fetchdf does) — match that representation
         "click_id": out.r_event_id.astype("float64"),
     }).sort_values("error_id").reset_index(drop=True)
+
+
+def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders by totalprice within each market segment (window
+    row_number <= 3): broadcast-join segment onto orders, per-segment
+    local top-3 inside map_batches, grouped final top-3 (the scatter-
+    gather top-k pattern — only 3 rows per segment per block shuffle)."""
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(lookup_ref)
+        b = b.assign(segment=b.o_custkey.map(lookup))
+        return b.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True], kind="stable") \
+            .groupby("segment", as_index=False).head(3)
+
+    cands = ds.map_batches(local_topk, batch_format="pandas")
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="stable").head(3)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = cands.groupby("segment").map_groups(final_topk, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "segment": out.segment,
+        "rank": out["rank"].astype("int64"),
+        "o_orderkey": out.o_orderkey.astype("int64"),
+        "o_totalprice": out.o_totalprice.astype("float64"),
+    }).sort_values(["segment", "rank"]).reset_index(drop=True)
+
+
+def daily_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
+    """Running (cumulative) revenue over order days — a windowed running
+    aggregate: exact daily partial sums (scaled ints) merge via groupby,
+    then the cumulative sum over the small ordered day series is a
+    driver-side scan (days are bounded; rows are not)."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def daily(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": b.o_orderdate.dt.floor("D"),
+            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+        }).groupby("day", as_index=False).agg(
+            n=("price_c", "size"), price_c=("price_c", "sum")
+        )
+
+    agg = ds.map_batches(daily, batch_format="pandas").groupby("day").aggregate(
+        Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")
+    ).to_pandas().sort_values("day").reset_index(drop=True)
+    agg["cum_revenue"] = (agg.price_c.cumsum().astype("float64") / 100.0)
+    agg["n"] = agg.n.astype("int64")
+    agg["day"] = agg.day.astype("datetime64[us]")
+    return agg[["day", "n", "cum_revenue"]]
