@@ -187,21 +187,41 @@ def near_dup_pairs_hamming(
         .repartition(64)
 
     def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
-        vc = g["band_key"].value_counts()
-        hot = vc.index[vc.ge(2)]
+        # vectorized bucket processing: most non-singleton buckets hold
+        # exactly 2 rows (random band collisions), so sort by band_key,
+        # run-length encode, and emit adjacent pairs for 2-runs without
+        # any per-bucket Python loop; only rare longer runs loop.
+        g = g.sort_values("band_key", kind="stable")
+        keys = g["band_key"].to_numpy()
+        if len(keys) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                                 "id_b": pd.Series([], dtype=object),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ids = g[id_col].to_numpy()
+        hs = g[hash_col].to_numpy().astype(np.int64)
+        change = np.r_[True, keys[1:] != keys[:-1]]
+        run_id = np.cumsum(change) - 1
+        counts = np.bincount(run_id)
+        starts = np.flatnonzero(change)
         out_a, out_b, out_d = [], [], []
-        sub_all = g[g["band_key"].isin(hot)]
-        for _, sub in sub_all.groupby("band_key", sort=False):
-            sub = sub.drop_duplicates(subset=[id_col])
-            n = len(sub)
-            if n < 2:
-                continue
-            ids = sub[id_col].to_numpy()
-            hs = sub[hash_col].to_numpy().astype(np.int64)
+        # runs of exactly 2: adjacent pair
+        two = starts[counts == 2]
+        if two.size:
+            d = hamming64(hs[two], hs[two + 1])
+            keep = (d <= tol) & (ids[two] != ids[two + 1])
+            a, b = ids[two[keep]], ids[two[keep] + 1]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_d.append(d[keep].astype(np.int64))
+        # rare longer runs: pairwise within the run
+        for s in starts[counts > 2]:
+            n = counts[run_id[s]]
+            sub_ids = ids[s:s + n]
+            sub_hs = hs[s:s + n]
             ia, ib = np.triu_indices(n, k=1)
-            d = hamming64(hs[ia], hs[ib])
-            keep = d <= tol
-            a, b = ids[ia[keep]], ids[ib[keep]]
+            d = hamming64(sub_hs[ia], sub_hs[ib])
+            keep = (d <= tol) & (sub_ids[ia] != sub_ids[ib])
+            a, b = sub_ids[ia[keep]], sub_ids[ib[keep]]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
             out_d.append(d[keep].astype(np.int64))
