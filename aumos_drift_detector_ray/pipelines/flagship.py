@@ -249,6 +249,129 @@ def run_validation(
     )
 
 
+def run_validation_multi(
+    jobs: list[tuple[str, str, FlagshipConfig]],
+    decode_concurrency: Any = None,
+    resume: bool = True,
+) -> dict[str, pd.DataFrame]:
+    """Validate several windows in ONE Dataset job sharing a single decode
+    actor pool and a merged id-allowlist Bloom (ids are namespaced by
+    run, so a union allowlist keeps the referential semantics): saves an
+    actor-pool startup + bloom build per extra window and packs the pool
+    across windows. Returns {run: pass/fail matrix}.
+
+    Outputs and lineage are identical to per-window ``run_validation``
+    runs (the shard writer routes each (run, partition) group to its
+    window's out_dir), so multi- and single-window runs are
+    interchangeable and resumable across each other."""
+    from ..sketches import BloomFilter
+
+    per_run: dict[str, tuple[str, str, FlagshipConfig]] = {
+        cfg.synth_cfg.run: (input_dir, out_dir, cfg)
+        for input_dir, out_dir, cfg in jobs
+    }
+    assert len(per_run) == len(jobs), "window runs must be distinct"
+
+    # pending shards per window
+    window_ds = []
+    cfg_by_run: dict[str, val_mod.ValidationConfig] = {}
+    total_rows = sum(cfg.rows for _, _, cfg in jobs)
+
+    @ray.remote
+    def _bloom_part(run: str, start: int, count: int, capacity: int) -> Any:
+        b = BloomFilter(capacity=capacity)
+        b.add([synth.image_id_for(run, i) for i in range(start, start + count)])
+        return b
+
+    bloom_tasks = []
+    for run, (input_dir, out_dir, cfg) in per_run.items():
+        cfg_by_run[run] = val_mod.ValidationConfig(
+            synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol
+        )
+        done = ckpt.completed_partitions(out_dir) if resume else {}
+        shard_files = sorted(glob.glob(os.path.join(input_dir, "shard=*", "part.parquet")))
+        pending = [
+            p for p in shard_files
+            if int(p.split("shard=")[1].split("/")[0]) not in done
+        ]
+        if not pending:
+            continue
+        for s in range(0, cfg.rows, 200_000):
+            bloom_tasks.append(
+                _bloom_part.remote(run, s, min(200_000, cfg.rows - s), total_rows)
+            )
+        ds = read_table(pending, include_paths=True)
+        ds = val_mod.partition_id_from_path(ds)
+
+        def tag(run_name):
+            def fn(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "run", pa.array([run_name] * len(batch), pa.string())
+                )
+            return fn
+
+        window_ds.append(ds.map_batches(tag(run), batch_format="pyarrow"))
+
+    if window_ds:
+        blooms = ray.get(bloom_tasks)
+        acc = blooms[0]
+        for b in blooms[1:]:
+            acc.merge(b)
+        bloom_ref = ray.put(acc)
+
+        ds = window_ds[0]
+        for other in window_ds[1:]:
+            ds = ds.union(other)
+
+        any_cfg = next(iter(cfg_by_run.values()))
+        if decode_concurrency is None:
+            decode_concurrency = (2, 8)
+        flags = ds.map_batches(
+            val_mod.make_scalar_validator(any_cfg, bloom_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).map_batches(
+            val_mod.DecodeValidator,
+            fn_constructor_args=(cfg_by_run,),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=decode_concurrency,
+        )
+
+        def add_caption_len(batch: pa.Table) -> pa.Table:
+            caps = batch["caption"].to_pylist()
+            return batch.append_column(
+                "caption_len",
+                pa.array([len(c.split()) if c else 0 for c in caps], pa.int64()),
+            )
+
+        flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
+        flags = flags.repartition(min(256, max(16, total_rows // 2000)))
+
+        out_dir_by_run = {run: od for run, (_, od, _) in per_run.items()}
+
+        def writer(g: pd.DataFrame) -> pd.DataFrame:
+            run = str(g["run"].iloc[0])
+            inner = _shard_writer(out_dir_by_run[run], NUMERIC_FEATURES,
+                                  CATEGORICAL_FEATURES)
+            return inner(g.drop(columns=["run"]))
+
+        flags.groupby(["run", "partition_id"]).map_groups(
+            writer, batch_format="pandas"
+        ).materialize()
+
+    out: dict[str, pd.DataFrame] = {}
+    for run, (_, out_dir, _) in per_run.items():
+        files = sorted(glob.glob(os.path.join(out_dir, "matrix", "shard=*.parquet")))
+        out[run] = (
+            pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+            .sort_values(["partition_id", "check"]).reset_index(drop=True)
+            if files else
+            pd.DataFrame(columns=["partition_id", "check", "violations", "rows", "passed"])
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # 3. shuffle checks (uniqueness, near-dup) over the flags output
 # ---------------------------------------------------------------------------

@@ -452,5 +452,7 @@ class BloomFilter(_Serializable):
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         if other.num_bits != self.num_bits or other.num_hashes != self.num_hashes:
             raise ValueError("bloom filter shape mismatch")
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        # arrays deserialized from Ray's object store are read-only;
+        # allocate rather than mutate in place
+        self.bits = np.bitwise_or(self.bits, other.bits)
         return self

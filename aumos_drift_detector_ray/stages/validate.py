@@ -200,13 +200,26 @@ class DecodeValidator:
     the actor pool amortizes setup and parallelizes across the pool.
     """
 
-    def __init__(self, cfg: ValidationConfig) -> None:
-        self.cfg = cfg
-        self.run = cfg.synth_cfg.run
-        self.seed = cfg.synth_cfg.seed
+    def __init__(self, cfg: "ValidationConfig | dict[str, ValidationConfig]") -> None:
+        # single config, or one per run namespace (multi-window jobs share
+        # one decode pool; the row's run is recovered from its id prefix)
+        if isinstance(cfg, dict):
+            self.cfgs = dict(cfg)
+        else:
+            self.cfgs = {cfg.synth_cfg.run: cfg}
+        self.default_cfg = next(iter(self.cfgs.values()))
+        self.prefixes = [
+            (f"img-{run}-", run) for run in self.cfgs
+        ] + [(f"ghost-{run}-", run) for run in self.cfgs]
+
+    def _cfg_for(self, image_id: str | None) -> "ValidationConfig":
+        if image_id and len(self.cfgs) > 1:
+            for prefix, run in self.prefixes:
+                if image_id.startswith(prefix):
+                    return self.cfgs[run]
+        return self.default_cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
         n = len(batch)
         ids = batch["image_id"].to_pylist()
         blobs = batch["bytes"].to_pylist()
@@ -227,6 +240,7 @@ class DecodeValidator:
 
         for i in range(n):
             blob, fmt = blobs[i], fmts[i]
+            cfg = self._cfg_for(ids[i])
             byte_len[i] = len(blob) if blob is not None else 0
             img = None
             if blob is not None and fmt in codecs.FORMATS:
@@ -243,12 +257,18 @@ class DecodeValidator:
                 ok_ph[i] = int(
                     codecs.hamming64(np.array([rec_ph]), np.array([int(phs[i])]))[0]
                 ) <= cfg.phash_tol
-            row_idx = synth.parse_row_index(ids[i], self.run) if ids[i] else None
+            row_idx = (
+                synth.parse_row_index(ids[i], cfg.synth_cfg.run) if ids[i] else None
+            )
             if cfg.check_fidelity and row_idx is not None:
-                truth_cap = synth.ground_truth_caption(self.seed, row_idx, cfg.synth_cfg)
+                truth_cap = synth.ground_truth_caption(
+                    cfg.synth_cfg.seed, row_idx, cfg.synth_cfg
+                )
                 ok_cap[i] = caps[i] == truth_cap
                 if img is not None:
-                    truth = synth.ground_truth_pixels(self.seed, row_idx, cfg.synth_cfg)
+                    truth = synth.ground_truth_pixels(
+                        cfg.synth_cfg.seed, row_idx, cfg.synth_cfg
+                    )
                     if truth.shape == img.shape:
                         p = codecs.psnr(truth, img)
                         psnr_out[i] = p

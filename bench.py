@@ -94,16 +94,13 @@ def run_headline(num_cpus: int) -> dict:
                                                                 violation_rate=0.02,
                                                                 drift=True),
                                     decode_concurrency=decode_conc)
-        # run both windows concurrently: the jobs share the cluster, so
-        # actor-pool startup / bloom build / writer phases overlap and
-        # the decode pools autoscale into whatever CPUs are free
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f1 = pool.submit(F.run_validation, ref_in, ref_out, ref_cfg, False)
-            f2 = pool.submit(F.run_validation, prod_in, prod_out, prod_cfg, False)
-            f1.result()
-            f2.result()
+        # ONE validation job over both windows: shared decode pool,
+        # merged allowlist bloom, single writer shuffle
+        F.run_validation_multi(
+            [(ref_in, ref_out, ref_cfg), (prod_in, prod_out, prod_cfg)],
+            decode_concurrency=max(2, num_cpus - 3),
+            resume=False,
+        )
         t_validate = time.time() - t0
 
         t1 = time.time()
