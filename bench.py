@@ -94,13 +94,27 @@ def run_headline(num_cpus: int) -> dict:
                                                                 violation_rate=0.02,
                                                                 drift=True),
                                     decode_concurrency=decode_conc)
-        # ONE validation job over both windows: shared decode pool,
-        # merged allowlist bloom, single writer shuffle
-        F.run_validation_multi(
-            [(ref_in, ref_out, ref_cfg), (prod_in, prod_out, prod_cfg)],
-            decode_concurrency=max(2, num_cpus - 3),
-            resume=False,
-        )
+        # A/B measured 2026-08-17: two concurrent per-window jobs beat one
+        # combined multi-window job (16-18s vs 29-30s t_validate at 32
+        # cpus) - the combined job's single wide writer shuffle and
+        # union-fed pool pack worse than two overlapping pipelines
+        mode = os.environ.get("BENCH_VALIDATE_MODE", "concurrent")
+        if mode == "multi":
+            # ONE validation job over both windows: shared decode pool,
+            # merged allowlist bloom, single writer shuffle
+            F.run_validation_multi(
+                [(ref_in, ref_out, ref_cfg), (prod_in, prod_out, prod_cfg)],
+                decode_concurrency=max(2, num_cpus - 3),
+                resume=False,
+            )
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f1 = pool.submit(F.run_validation, ref_in, ref_out, ref_cfg, False)
+                f2 = pool.submit(F.run_validation, prod_in, prod_out, prod_cfg, False)
+                f1.result()
+                f2.result()
         t_validate = time.time() - t0
 
         t1 = time.time()
