@@ -238,9 +238,13 @@ class DecodeValidator:
         psnr_out = np.full(n, np.nan)
         mean_px = np.full(n, np.nan)
 
+        rec_phs = np.zeros(n, dtype=np.int64)
+        has_img = np.zeros(n, dtype=bool)
+        tols = np.zeros(n, dtype=np.int64)
         for i in range(n):
             blob, fmt = blobs[i], fmts[i]
             cfg = self._cfg_for(ids[i])
+            tols[i] = cfg.phash_tol
             byte_len[i] = len(blob) if blob is not None else 0
             img = None
             if blob is not None and fmt in codecs.FORMATS:
@@ -253,10 +257,8 @@ class DecodeValidator:
                 dh, dw = img.shape[0], img.shape[1]
                 ok_dims[i] = (dw == ws[i]) and (dh == hs[i])
                 mean_px[i] = float(img.mean())
-                rec_ph = int(codecs.phash64(img))
-                ok_ph[i] = int(
-                    codecs.hamming64(np.array([rec_ph]), np.array([int(phs[i])]))[0]
-                ) <= cfg.phash_tol
+                rec_phs[i] = int(codecs.phash64(img))
+                has_img[i] = True
             row_idx = (
                 synth.parse_row_index(ids[i], cfg.synth_cfg.run) if ids[i] else None
             )
@@ -279,6 +281,10 @@ class DecodeValidator:
             elif not cfg.check_fidelity:
                 ok_cap[i] = caps[i] is not None
                 ok_pix[i] = img is not None
+
+        # vectorized pHash recompute check across the whole batch
+        dists = codecs.hamming64(rec_phs, np.asarray(phs, dtype=np.int64))
+        ok_ph[:] = has_img & (dists <= tols)
 
         out = batch.drop_columns(["bytes"])
         for name, arr in (
