@@ -1,0 +1,156 @@
+"""Hypothesis property tests for sketches and statistics, plus salted
+aggregation equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aumos_drift_detector_ray.functions import stats
+from aumos_drift_detector_ray.sketches import KLL, FixedHistogram, Moments
+
+
+float_lists = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=2, max_size=400,
+)
+
+
+class TestSketchProperties:
+    @given(data=float_lists, n_parts=st.integers(2, 9))
+    @settings(max_examples=40, deadline=None)
+    def test_moments_partition_invariant(self, data, n_parts):
+        x = np.asarray(data)
+        whole = Moments()
+        whole.update(x)
+        merged = Moments()
+        for blk in np.array_split(x, n_parts):
+            p = Moments()
+            p.update(blk)
+            merged.merge(p)
+        assert merged.n == whole.n
+        assert merged.min == whole.min and merged.max == whole.max
+        assert merged.mean == pytest.approx(whole.mean, rel=1e-9, abs=1e-9)
+        assert merged.std() == pytest.approx(whole.std(), rel=1e-6, abs=1e-6)
+
+    @given(data=float_lists)
+    @settings(max_examples=30, deadline=None)
+    def test_kll_quantiles_within_range_and_monotone(self, data):
+        x = np.asarray(data)
+        k = KLL(k=64)
+        k.update(x)
+        qs = np.asarray(k.quantile(np.linspace(0, 1, 9)))
+        assert np.all(qs >= x.min() - 1e-9) and np.all(qs <= x.max() + 1e-9)
+        assert np.all(np.diff(qs) >= -1e-9)
+
+    @given(data=float_lists, n_parts=st.integers(2, 6))
+    @settings(max_examples=30, deadline=None)
+    def test_fixed_histogram_merge_exact(self, data, n_parts):
+        x = np.asarray(data)
+        edges = np.linspace(x.min() - 1, x.max() + 1, 11)
+        whole = FixedHistogram(edges)
+        whole.update(x)
+        merged = FixedHistogram(edges)
+        for blk in np.array_split(x, n_parts):
+            p = FixedHistogram(edges)
+            p.update(blk)
+            merged.merge(p)
+        assert np.array_equal(whole.counts, merged.counts)
+
+
+class TestStatsProperties:
+    @given(
+        ref=st.lists(st.floats(-100, 100, allow_nan=False), min_size=30, max_size=300),
+        prod=st.lists(st.floats(-100, 100, allow_nan=False), min_size=30, max_size=300),
+        n_parts=st.integers(2, 5),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_psi_counts_path_partition_invariant(self, ref, prod, n_parts):
+        ref = np.asarray(ref)
+        prod = np.asarray(prod)
+        if np.unique(ref).size < 2:
+            return
+        edges = stats.psi_reference_edges(ref, 10)
+        whole_r, _ = np.histogram(ref, bins=edges)
+        whole_p, _ = np.histogram(prod, bins=edges)
+        part_r = np.zeros(10, dtype=np.int64)
+        part_p = np.zeros(10, dtype=np.int64)
+        for blk in np.array_split(ref, n_parts):
+            part_r += np.histogram(blk, bins=edges)[0]
+        for blk in np.array_split(prod, n_parts):
+            part_p += np.histogram(blk, bins=edges)[0]
+        assert stats.psi_from_counts(part_r, part_p).psi == \
+            stats.psi_from_counts(whole_r, whole_p).psi
+
+    @given(
+        a=st.lists(st.floats(-50, 50, allow_nan=False), min_size=5, max_size=200),
+        b=st.lists(st.floats(-50, 50, allow_nan=False), min_size=5, max_size=200),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_ks_statistic_bounds_and_symmetry(self, a, b):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        d1 = stats.ks_statistic_exact(a, b)
+        d2 = stats.ks_statistic_exact(b, a)
+        assert 0.0 <= d1 <= 1.0
+        assert d1 == pytest.approx(d2, abs=1e-12)
+
+    @given(
+        a=st.lists(st.floats(-50, 50, allow_nan=False), min_size=2, max_size=200),
+        b=st.lists(st.floats(-50, 50, allow_nan=False), min_size=2, max_size=200),
+        c_shift=st.floats(-10, 10, allow_nan=False),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_wasserstein_shift_equivariance(self, a, b, c_shift):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        base = stats.wasserstein1_exact(a, b)
+        shifted = stats.wasserstein1_exact(a + c_shift, b + c_shift)
+        assert shifted == pytest.approx(base, rel=1e-9, abs=1e-9)
+
+
+class TestSaltedAggregation:
+    def test_salted_count_matches_plain(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.aggregate import salted_grouped_count
+
+        rng = np.random.default_rng(42)
+        # heavy skew: one key holds 80% of rows
+        keys = np.where(rng.random(20_000) < 0.8, "hot", None)
+        cold = rng.integers(0, 50, 20_000).astype(str)
+        keys = np.where(keys == "hot", "hot", cold)
+        ds = rd.from_arrow(pa.table({"k": keys.tolist()}))
+        out = salted_grouped_count(ds, "k", salt=8).to_pandas().sort_values("k")
+        import collections
+        expected = collections.Counter(keys.tolist())
+        for _, row in out.iterrows():
+            assert row.n == expected[row.k], row.k
+        assert len(out) == len(expected)
+
+    def test_salted_group_apply_associative_sum(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.aggregate import salted_group_apply
+
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({
+            "k": rng.choice(["a", "b"], 5000, p=[0.9, 0.1]),
+            "v": rng.integers(0, 100, 5000),
+        })
+
+        def partial(g):
+            return pd.DataFrame({"s": [g.v.sum()], "n": [len(g)]})
+
+        def merge(g):
+            return pd.DataFrame({"k": [g.k.iloc[0]], "s": [g.s.sum()],
+                                 "n": [g.n.sum()]})
+
+        out = salted_group_apply(rd.from_pandas(df), "k", partial, merge, salt=8) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        exp = df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
+        assert (out.s.to_numpy() == exp.s.to_numpy()).all()
+        assert (out.n.to_numpy() == exp.n.to_numpy()).all()
