@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # window functions (oracle-checked)
         "top3_orders_per_segment": Q.top3_orders_per_segment,
         "daily_cumulative_revenue": Q.daily_cumulative_revenue,
+        "salted_count_by_type": Q.salted_count_by_type,
     }
 
 
@@ -276,6 +277,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "salted_count_by_type": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top3_orders_per_segment": """
             WITH j AS (

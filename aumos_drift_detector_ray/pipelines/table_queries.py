@@ -795,3 +795,15 @@ def daily_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
     agg["n"] = agg.n.astype("int64")
     agg["day"] = agg.day.astype("datetime64[us]")
     return agg[["day", "n", "cum_revenue"]]
+
+
+def salted_count_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type event counts via the salted two-phase shuffle (hot-key
+    handling path; identical result to the plain grouped count — the
+    oracle proves it)."""
+    from ..stages.aggregate import salted_grouped_count
+
+    ds = sf_table(sf_dir, "events", columns=["event_type"])
+    out = salted_grouped_count(ds, "event_type", salt=8).to_pandas()
+    out["n"] = out.n.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
