@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_segment": Q.top3_orders_per_segment,
         "daily_cumulative_revenue": Q.daily_cumulative_revenue,
         "salted_count_by_type": Q.salted_count_by_type,
+        "user_session_stats": Q.user_session_stats,
     }
 
 
@@ -277,6 +278,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "user_session_stats": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts)
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sess
+                FROM o
+            ),
+            c AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY 1, 2)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_rows
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         "salted_count_by_type": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n

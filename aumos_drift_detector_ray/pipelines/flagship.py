@@ -443,6 +443,25 @@ def run_drift(
         os.path.join(prod_out_dir, "baseline.json"),
         json.dumps(baseline, sort_keys=True, default=str).encode(),
     )
+    # self-contained HTML report + dashboard counts alongside the outputs
+    from ..functions.report import generate_html_report
+
+    matrix_files = sorted(
+        glob.glob(os.path.join(prod_out_dir, "matrix", "shard=*.parquet"))
+    )
+    matrix_rows = (
+        pa.concat_tables([pq.read_table(f) for f in matrix_files])
+        .to_pandas().to_dict("records") if matrix_files else []
+    )
+    ckpt.atomic_write_bytes(
+        os.path.join(prod_out_dir, "report.html"),
+        generate_html_report(run_id, det, matrix_rows).encode(),
+    )
+    ckpt.atomic_write_bytes(
+        os.path.join(prod_out_dir, "dashboard.json"),
+        json.dumps(prof_mod.dashboard_summary(pd.DataFrame(det))
+                   if det else {}, sort_keys=True).encode(),
+    )
     return {"scores": scores, "detections": det, "alerts": alerts, "events": events}
 
 

@@ -807,3 +807,28 @@ def salted_count_by_type(sf_dir: str) -> pd.DataFrame:
     out = salted_grouped_count(ds, "event_type", salt=8).to_pandas()
     out["n"] = out.n.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_session_stats(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-minute inactivity closes a session):
+    per user, number of sessions and the largest session's row count.
+    One hash shuffle by user; per-user windowing is a sorted scan inside
+    ``map_groups`` (the streaming-window pattern from the engine's
+    event-time toolkit)."""
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        gaps = g.ts.diff()
+        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
+        sess = new_session.cumsum()
+        counts = sess.value_counts()
+        return pd.DataFrame({
+            "user_id": [np.int64(g.user_id.iloc[0])],
+            "n_sessions": [np.int64(sess.iloc[-1])],
+            "max_session_rows": [np.int64(counts.max())],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out["user_id"] = out.user_id.astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
