@@ -179,19 +179,24 @@ def main() -> None:
 
 
 def scaling() -> None:
-    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "2"))
+    # the efficiency ratio amplifies run-to-run noise (~±10% per level on
+    # this shared sandbox), so report the MEDIAN of `repeats` runs per
+    # parallelism level rather than a single draw
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
     results = {}
     for ncpu in (8, 32):
-        best = None
+        runs = []
         for _ in range(repeats):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        BENCH_SKIP_QUERIES="1")
             out = subprocess.run([sys.executable, __file__], env=env,
                                  capture_output=True, text=True, check=True).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["t_total_s"] < best["t_total_s"]:
-                best = r
-        results[ncpu] = best
+            runs.append(json.loads(out.strip().splitlines()[-1]))
+        runs.sort(key=lambda r: r["t_total_s"])
+        results[ncpu] = runs[len(runs) // 2]
+        results[ncpu]["all_rows_per_sec"] = sorted(
+            r["validated_rows_per_sec"] for r in runs
+        )
     rps8 = results[8]["validated_rows_per_sec"]
     rps32 = results[32]["validated_rows_per_sec"]
     eff = rps32 / (4.0 * rps8)
@@ -207,6 +212,8 @@ def scaling() -> None:
                            ("t_validate_s", "t_shuffle_checks_s", "t_drift_s")},
         "breakdown_32cpu": {k: results[32][k] for k in
                             ("t_validate_s", "t_shuffle_checks_s", "t_drift_s")},
+        "all_rows_per_sec_8cpu": results[8].get("all_rows_per_sec"),
+        "all_rows_per_sec_32cpu": results[32].get("all_rows_per_sec"),
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
