@@ -379,7 +379,10 @@ def run_validation_multi(
 def run_shuffle_checks(out_dir: str, phash_tol: int = 4) -> dict[str, int]:
     """Exact image_id uniqueness + pHash banded near-dup over the
     scalars-only flags table; appends violation rows."""
-    flags = read_table(os.path.join(out_dir, "flags"))
+    # materialize once: the flags table is scalar-only (~100 B/row) and is
+    # consumed by three downstream ops (dup count, dup filter, near-dup) —
+    # pinning it avoids re-reading the shard files per consumer
+    flags = read_table(os.path.join(out_dir, "flags")).materialize()
     dup_rows = dedup_mod.uniqueness_violations(flags, "image_id")
     dup_pdf = dup_rows.select_columns(["partition_id", "image_id"]).to_pandas()
     dup_pdf["check"] = "uniqueness"

@@ -269,6 +269,29 @@ def feature_statistics(profiles: dict[str, Any]) -> dict[str, dict[str, Any]]:
     return out
 
 
+def windowed_baselines(
+    ds: "Any",
+    ts_col: str,
+    numeric_cols: Iterable[str],
+    window_rows: Iterable[int] = (1000, 5000, 20000),
+    model_id: str = "default",
+) -> dict[int, dict[str, Any]]:
+    """Multi-window baselines from the most recent N rows per window size
+    (BaselineManager.capture_multi_window_baselines semantics,
+    baseline_manager.py:364-399 — its tail slice becomes
+    ``sort(ts, descending) + limit(N)``). Returns {window: BaselineVersion}.
+    At scale, prefer a date-partition filter over the global sort; this
+    helper documents the sort-based exact form."""
+    out: dict[int, dict[str, Any]] = {}
+    cols = list(numeric_cols)
+    for w in window_rows:
+        tail = ds.sort(ts_col, descending=True).limit(int(w))
+        prof = profile_dataset(tail, cols)
+        out[int(w)] = baseline_version(prof, model_id=model_id,
+                                       model_version=f"window-{w}")
+    return out
+
+
 def compare_baselines(
     old: dict[str, Any],
     new: dict[str, Any],

@@ -137,3 +137,21 @@ class TestTwoWindowDrift:
         assert kinds.count("drift.detected") == 2
         assert "drift.alert_raised" in kinds
         assert "drift.retraining_required" in kinds
+
+
+class TestWindowedBaselines:
+    def test_tail_windows_profiled(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages import profile as P
+
+        n = 3000
+        ts = np.arange(n, dtype=np.int64)
+        vals = np.concatenate([np.zeros(n - 500), np.ones(500)])  # recent rows = 1
+        ds = rd.from_arrow(pa.table({"ts": ts, "v": vals}))
+        out = P.windowed_baselines(ds, "ts", ["v"], window_rows=(500, 2000))
+        assert set(out) == {500, 2000}
+        # the 500-row tail is all ones; the 2000-row tail mixes
+        assert out[500]["feature_stats"]["v"]["mean"] == pytest.approx(1.0)
+        assert 0 < out[2000]["feature_stats"]["v"]["mean"] < 1
+        assert out[500]["fingerprint"] != out[2000]["fingerprint"]
