@@ -435,6 +435,24 @@ def run_drift(
         prod_h = prof_mod.profile_dataset(prod_flags, cols, [], hist_edges=edges)["num"]
     scores = drift_mod.score_features(ref_p, prod_p, ref_h, prod_h, cfg)
     det, alerts, events = drift_mod.detections_alerts_events(scores, run_id)
+    # per-(partition, feature, test) scores from each shard's saved
+    # profile partial vs the merged reference (SURVEY §3a contract)
+    part_scores = drift_mod.score_partition_profiles(
+        ref_p, ckpt.load_partition_profiles(prod_out_dir), cfg
+    )
+    part_det = []
+    for s_ in part_scores:
+        d_, a_, e_ = drift_mod.detections_alerts_events(
+            [s_], run_id, partition_id=s_["partition_id"],
+        )
+        part_det.extend(d_)
+        alerts.extend(a_)
+        events.extend(e_)
+    if part_det:
+        ckpt.atomic_write_table(
+            os.path.join(prod_out_dir, "detections", "per_partition.parquet"),
+            pa.Table.from_pandas(pd.DataFrame(part_det), preserve_index=False),
+        )
     for name, rows in (("detections", det), ("alerts", alerts), ("events", events)):
         if rows:
             ckpt.atomic_write_table(

@@ -181,6 +181,76 @@ def detections_alerts_events(
     return detections, alerts, events
 
 
+def score_partition_profiles(
+    ref_profiles: dict[str, Any],
+    partition_profiles: dict[int, dict[str, Any]],
+    cfg: DriftConfig | None = None,
+) -> list[dict[str, Any]]:
+    """Per-(partition, feature, test) drift scores: each partition's saved
+    profile partial is scored against the merged reference window
+    (SURVEY §3a's per-(partition, column, test) contract). Histogram
+    counts per partition are derived from the partition's KLL CDF
+    evaluated at the reference edges (count_i ≈ n·ΔCDF — approximate
+    with the sketch's rank error; exact while the partition fits the
+    sketch), so no extra data pass is needed beyond the partials that
+    the validation job already persisted."""
+    cfg = cfg or DriftConfig()
+    thr = cfg.thresholds
+    rows: list[dict[str, Any]] = []
+
+    def kll_counts(kll, edges: np.ndarray, n: int) -> np.ndarray:
+        cdf = np.asarray(kll.cdf(edges))
+        cdf = np.clip(cdf, 0.0, 1.0)
+        # outer edges at ±inf → cdf 0/1
+        cdf[np.isneginf(edges)] = 0.0
+        cdf[np.isposinf(edges)] = 1.0
+        return np.maximum(np.diff(cdf), 0.0) * n
+
+    for pid, prod_p in sorted(partition_profiles.items()):
+        for col, rp in ref_profiles["num"].items():
+            pp = prod_p["num"].get(col)
+            if pp is None or rp.moments.n == 0 or pp.moments.n == 0:
+                continue
+            if rp.moments.max > rp.moments.min and "psi" in cfg.numeric_tests:
+                deciles = rp.kll.quantile(np.linspace(0.0, 1.0, cfg.psi_bins + 1))
+                edges = np.concatenate([[-np.inf], np.asarray(deciles)[1:-1], [np.inf]])
+                rc = kll_counts(rp.kll, edges, rp.moments.n)
+                pc_ = kll_counts(pp.kll, edges, pp.moments.n)
+                if rc.sum() > 0 and pc_.sum() > 0:
+                    r = stats.psi_from_counts(rc, pc_, threshold=thr["psi"],
+                                              feature_name=col)
+                    rows.append({"partition_id": pid, "feature": col,
+                                 "test": "psi", "score": r.psi,
+                                 "threshold": thr["psi"], "details": {}})
+            if "ks" in cfg.numeric_tests:
+                d = _ks_from_sketches(rp.kll, pp.kll)
+                p = stats.ks_pvalue_asymptotic(d, rp.moments.n, pp.moments.n)
+                rows.append({"partition_id": pid, "feature": col, "test": "ks",
+                             "score": p, "threshold": thr["ks"],
+                             "details": {"statistic": d}})
+            if "wasserstein" in cfg.numeric_tests:
+                grid = np.linspace(0.5 / cfg.w1_grid, 1 - 0.5 / cfg.w1_grid,
+                                   cfg.w1_grid)
+                raw = stats.wasserstein1_from_quantiles(
+                    rp.kll.quantile(grid), pp.kll.quantile(grid))
+                iqr = float(rp.kll.quantile(0.75) - rp.kll.quantile(0.25))
+                if iqr < 1e-10:
+                    iqr = rp.moments.std() or 1.0
+                rows.append({"partition_id": pid, "feature": col,
+                             "test": "wasserstein", "score": raw / iqr,
+                             "threshold": thr["wasserstein"], "details": {}})
+        for col, rc_ in ref_profiles.get("cat", {}).items():
+            pc2 = prod_p.get("cat", {}).get(col)
+            if pc2 is None or not rc_.counts or not pc2.counts:
+                continue
+            r = stats.chi2_test(rc_.counts, pc2.counts, threshold=thr["chi2"],
+                                feature_name=col)
+            rows.append({"partition_id": pid, "feature": col, "test": "chi2",
+                         "score": r.p_value, "threshold": thr["chi2"],
+                         "details": {"statistic": r.statistic}})
+    return rows
+
+
 def two_window_drift(
     ref_ds: ray.data.Dataset,
     prod_ds: ray.data.Dataset,

@@ -101,6 +101,20 @@ def save_profile_partial(out_dir: str, partition_id: int, profiles: dict[str, An
     return path
 
 
+def load_partition_profiles(out_dir: str) -> dict[int, dict[str, Any]]:
+    """partition_id → that shard's profile partial (unmerged)."""
+    d = os.path.join(out_dir, "profile_partials")
+    out: dict[int, dict[str, Any]] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if name.startswith("shard=") and name.endswith(".pkl"):
+            pid = int(name[len("shard="):-len(".pkl")])
+            with open(os.path.join(d, name), "rb") as f:
+                out[pid] = pickle.load(f)
+    return out
+
+
 def load_merged_profiles(out_dir: str) -> dict[str, Any]:
     """Merge all per-partition profile partials (any order — associative)."""
     d = os.path.join(out_dir, "profile_partials")

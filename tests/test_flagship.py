@@ -199,3 +199,20 @@ class TestMultiWindowValidation:
                 ckpt.completed_partitions(o1).items()} == stamps
         assert len(ckpt.completed_partitions(o2)) == 2
         assert len(multi["rb"]) > 0
+
+
+class TestPerPartitionDrift:
+    def test_per_partition_detections_written(self, flagship_run):
+        _, out = flagship_run
+        prod_out = out["out_dirs"]["prod"]
+        path = os.path.join(prod_out, "detections", "per_partition.parquet")
+        assert os.path.exists(path)
+        det = pd.read_parquet(path)
+        # every production partition scored for the numeric features
+        assert set(det.partition_id) == {0, 1, 2, 3}
+        assert {"psi", "ks", "chi2", "wasserstein"} <= set(det.test_name)
+        # the drifted window: every partition flags the width shift
+        w_psi = det[(det.feature == "w") & (det.test_name == "psi")]
+        assert len(w_psi) == 4
+        assert w_psi.is_drifted.all()
+        assert (w_psi.score >= 0.2).all()
