@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_cumulative_revenue": Q.daily_cumulative_revenue,
         "salted_count_by_type": Q.salted_count_by_type,
         "user_session_stats": Q.user_session_stats,
+        "hash_split_counts": Q.hash_split_counts,
     }
 
 
@@ -278,6 +279,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
             FROM r JOIN p USING (rn)
+        """,
+        "hash_split_counts": """
+            WITH b AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10 AS bucket
+                FROM documents
+            )
+            SELECT CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "user_session_stats": """
             WITH o AS (

@@ -832,3 +832,16 @@ def user_session_stats(sf_dir: str) -> pd.DataFrame:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
     out["user_id"] = out.user_id.astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def hash_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic content-addressed train/val/test split of documents
+    (md5-bucket assignment) — the oracle reproduces the exact same
+    bucketing in SQL, proving the split is engine-independent."""
+    from ..stages.sample import hash_split
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id"])
+    out = hash_split(ds, "doc_id").groupby("split").count().to_pandas() \
+        .rename(columns={"count()": "n"})
+    out["n"] = out.n.astype("int64")
+    return out.sort_values("split").reset_index(drop=True)

@@ -1,0 +1,134 @@
+"""Sampling and splitting operators for training-data pipelines.
+
+* :class:`ReservoirSample` — mergeable fixed-size uniform sample
+  (weighted merge of per-block reservoirs: when two reservoirs summarize
+  n1 and n2 items, draw each slot from side 1 with probability
+  n1/(n1+n2) — the standard distributed reservoir union). Used wherever
+  the engine needs a bounded uniform sample of an unbounded stream
+  (MMD inputs, C2ST inputs, driver-side fits).
+* :func:`hash_split` — deterministic content-addressed train/val/test
+  assignment: bucket = (md5 of the key's string form) mod ``buckets``.
+  Stable across runs, partitions, and engines (the DuckDB oracle
+  reproduces it bit-for-bit), which is what makes a split trustworthy at
+  10^12 rows — no RNG state to coordinate.
+* :func:`stratified_sample` — per-stratum seeded downsampling to a
+  target fraction, vectorized per batch (hash-based thresholding so the
+  decision is per-row deterministic, not dependent on batch boundaries).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..sketches import _Serializable, hash_any_array
+
+
+class ReservoirSample(_Serializable):
+    """Mergeable uniform reservoir (Vitter's algorithm R per block +
+    weighted union merge), deterministic given the seed."""
+
+    def __init__(self, k: int = 1000, seed: int = 42) -> None:
+        self.k = int(k)
+        self.n_seen = 0
+        self.items: list[Any] = []
+        self._rng = np.random.default_rng(seed)
+
+    def update(self, values: Iterable[Any]) -> None:
+        for v in values:
+            self.n_seen += 1
+            if len(self.items) < self.k:
+                self.items.append(v)
+            else:
+                j = int(self._rng.integers(0, self.n_seen))
+                if j < self.k:
+                    self.items[j] = v
+
+    def merge(self, other: "ReservoirSample") -> "ReservoirSample":
+        if other.n_seen == 0:
+            return self
+        if self.n_seen == 0:
+            self.items = list(other.items)
+            self.n_seen = other.n_seen
+            return self
+        total = self.n_seen + other.n_seen
+        p_self = self.n_seen / total
+        # draw each slot's SIDE by weight, then consume that side's
+        # (shuffled) reservoir without replacement — keeps the merged
+        # sample duplicate-free and uniform over the union
+        mine = list(self.items)
+        theirs = list(other.items)
+        self._rng.shuffle(mine)
+        self._rng.shuffle(theirs)
+        merged: list[Any] = []
+        i = j = 0
+        while len(merged) < self.k and (i < len(mine) or j < len(theirs)):
+            take_self = self._rng.random() < p_self
+            if take_self and i < len(mine):
+                merged.append(mine[i]); i += 1
+            elif j < len(theirs):
+                merged.append(theirs[j]); j += 1
+            elif i < len(mine):
+                merged.append(mine[i]); i += 1
+        self.items = merged
+        self.n_seen = total
+        return self
+
+
+def _md5_bucket(values: list[Any], buckets: int) -> np.ndarray:
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        out[i] = int(h[:8], 16) % buckets
+    return out
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key: str,
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    buckets: int = 10,
+) -> ray.data.Dataset:
+    """Add a ``split`` column ('train' | 'val' | 'test') assigned by the
+    md5 bucket of the key — content-addressed, reproducible anywhere."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch[key].to_pylist(), buckets)
+        split = np.where(
+            b < train_buckets, "train",
+            np.where(b < train_buckets + val_buckets, "val", "test"),
+        )
+        return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 1.0,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Keep each row with its stratum's fraction, decided by a
+    deterministic per-row hash threshold (hash(key, seed) / 2^64 <
+    fraction) — batch-boundary-independent, no shuffle, and exactly
+    reproducible on resume."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        strata = batch[stratum_col].to_pylist()
+        h = hash_any_array(
+            [f"{seed}:{k}" for k in batch[key_col].to_pylist()]
+        ).astype(np.float64) / float(2**64)
+        frac = np.array([fractions.get(s, default_fraction) for s in strata])
+        return batch.filter(pa.array(h < frac))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -205,3 +205,61 @@ class TestConceptStage:
         events = per_key_concept_drift(rd.from_arrow(tbl), "key", "adwin")
         assert len(events) >= 1
         assert set(events.key) == {"shifty"}
+
+
+class TestSampling:
+    def test_reservoir_uniformity_and_merge(self):
+        from aumos_drift_detector_ray.stages.sample import ReservoirSample
+
+        # distributed union: 10 per-block reservoirs over 0..9999
+        parts = []
+        for i, blk in enumerate(np.array_split(np.arange(10_000), 10)):
+            r = ReservoirSample(k=500, seed=i)
+            r.update(blk.tolist())
+            parts.append(r)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc.merge(p)
+        assert acc.n_seen == 10_000
+        assert len(acc.items) == 500
+        # roughly uniform across the range
+        items = np.array(acc.items)
+        assert items.mean() == pytest.approx(5000, abs=600)
+        assert len(set(items.tolist())) > 450
+
+    def test_hash_split_stable_and_partition_independent(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.sample import hash_split
+
+        ids = list(range(1000))
+        a = hash_split(rd.from_arrow(pa.table({"k": ids})).repartition(2), "k") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        b = hash_split(rd.from_arrow(pa.table({"k": ids})).repartition(13), "k") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert (a.split == b.split).all()
+        frac_train = (a.split == "train").mean()
+        assert 0.7 < frac_train < 0.9
+
+    def test_stratified_sample_fractions(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.sample import stratified_sample
+
+        n = 20_000
+        rng = np.random.default_rng(0)
+        t = pa.table({
+            "k": list(range(n)),
+            "s": rng.choice(["a", "b"], n).tolist(),
+        })
+        out = stratified_sample(rd.from_arrow(t), "s", {"a": 0.1, "b": 0.9}, "k") \
+            .to_pandas()
+        counts = out.s.value_counts()
+        total = pd.Series([s for s in t["s"].to_pylist()]).value_counts()
+        assert counts["a"] / total["a"] == pytest.approx(0.1, abs=0.02)
+        assert counts["b"] / total["b"] == pytest.approx(0.9, abs=0.02)
+        # determinism across partitionings
+        out2 = stratified_sample(
+            rd.from_arrow(t).repartition(7), "s", {"a": 0.1, "b": 0.9}, "k"
+        ).to_pandas()
+        assert set(out.k) == set(out2.k)
