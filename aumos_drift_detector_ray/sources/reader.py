@@ -14,7 +14,35 @@ from __future__ import annotations
 
 from typing import Any
 
+import pyarrow as pa
+
 import ray.data
+
+
+def _clean_read_schema(path: Any, columns: list[str] | None) -> "pa.Schema | None":
+    """Metadata-free (pruned) schema for ``read_parquet``.
+
+    Files written by pandas carry a pandas round-trip metadata blob;
+    ``pa.Schema.__hash__`` raises on the metadata dict, which defeats Ray
+    Data's block-schema deduplication (``transform_pyarrow.unify_schemas``
+    falls back to unifying every block's schema and logs a warning per
+    block). Passing an explicit stripped schema keeps blocks
+    metadata-free WITHOUT adding a map op (which would break the
+    metadata-only ``count()`` fast path). Returns None when the file
+    schema is already clean."""
+    import pyarrow.parquet as pq
+
+    sample = path[0] if isinstance(path, (list, tuple)) else path
+    try:
+        schema = pq.read_schema(sample)
+    except Exception:
+        return None  # directory path etc. — let Ray infer
+    if not schema.metadata:
+        return None
+    schema = schema.remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
 
 
 def read_table(
@@ -29,6 +57,11 @@ def read_table(
     """Read a table as a streaming Dataset, pruning columns and pushing
     row filters into the scan (only needed columns/row-groups leave
     storage)."""
+    if format == "auto":
+        # the reference's reference_data_uri is "parquet-or-CSV"
+        # (core/models.py:47-52); infer from the extension
+        sample = path[0] if isinstance(path, (list, tuple)) else path
+        format = "csv" if str(sample).endswith(".csv") else "parquet"
     if format == "lance":
         try:
             return ray.data.read_lance(path, columns=columns, **kwargs)
@@ -36,8 +69,21 @@ def read_table(
             raise RuntimeError(
                 "lance support requires the pylance package; use format='parquet'"
             ) from exc
+    if format == "csv":
+        ds = ray.data.read_csv(path, include_paths=include_paths, **kwargs)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        if filter is not None:
+            ds = ds.map_batches(
+                lambda t, f=filter: t.filter(f), batch_format="pyarrow"
+            )
+        return ds
     if format != "parquet":
         raise ValueError(f"unsupported format {format!r}")
+    if "schema" not in kwargs:
+        clean = _clean_read_schema(path, columns)
+        if clean is not None:
+            kwargs["schema"] = clean
     return ray.data.read_parquet(
         path,
         columns=columns,

@@ -53,6 +53,10 @@ def atomic_write_table(path: str, table: pa.Table,
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
     os.close(fd)
+    # drop schema metadata (pandas round-trip blobs): pa.Schema with
+    # metadata is unhashable, which defeats Ray Data's per-block schema
+    # dedup on every downstream read of this file
+    table = table.replace_schema_metadata(None)
     try:
         pq.write_table(table, tmp, row_group_size=row_group_size)
         os.replace(tmp, path)
