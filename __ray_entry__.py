@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_events_value": Q.ks_events_value,
         "chi2_events_type": Q.chi2_events_type,
         "wasserstein_events_value": Q.wasserstein_events_value,
+        "anderson_darling_events": Q.anderson_darling_events,
         # similarity search
         "ann_topk_embeddings": Q.ann_topk_embeddings,
         # rows-only (non-SQL-expressible; pytest-verified)
@@ -61,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": Q.quality_docs,
         "doc_fingerprints": Q.doc_fingerprints,
         "concept_adwin_events": Q.concept_adwin_events,
+        "concept_ddm_events": Q.concept_ddm_events,
+        "concept_eddm_events": Q.concept_eddm_events,
         "mmd_embeddings_labels": Q.mmd_embeddings_labels,
         "flagship_validation": Q.flagship_validation,
         "image_drift_scores": Q.image_drift_scores,
@@ -269,16 +272,93 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "wasserstein_events_value": """
-            WITH r AS (
-                SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
-                FROM events WHERE event_id % 2 = 0
+            -- W1 as the area between the two ECDFs (equals the
+            -- sorted-pair mean for equal halves); per-term arithmetic
+            -- matches the engine's distributed scan exactly, round(9)
+            -- absorbs summation-order fp noise
+            WITH c AS (
+                SELECT value,
+                       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS rc,
+                       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS pc
+                FROM events GROUP BY value
             ),
-            p AS (
-                SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn
-                FROM events WHERE event_id % 2 = 1
+            tot AS (SELECT CAST(sum(rc) AS DOUBLE) AS nr,
+                           CAST(sum(pc) AS DOUBLE) AS np FROM c),
+            s AS (
+                SELECT value,
+                       sum(rc) OVER (ORDER BY value) AS crc,
+                       sum(pc) OVER (ORDER BY value) AS cpc,
+                       lead(value) OVER (ORDER BY value) AS nxt
+                FROM c
             )
-            SELECT CAST(round(avg(abs(r.value - p.value)), 12) AS DOUBLE) AS w1
-            FROM r JOIN p USING (rn)
+            SELECT CAST(round(sum(abs(crc / t.nr - cpc / t.np)
+                                  * (nxt - value)), 9) AS DOUBLE) AS w1
+            FROM s, tot t WHERE nxt IS NOT NULL
+        """,
+        "anderson_darling_events": """
+            -- two-sample Anderson-Darling: midrank A2akN (Scholz &
+            -- Stephens 1987 eq. 7) over per-distinct-value rank sums,
+            -- plus the standardized Tn via the section-3 variance
+            WITH c AS (
+                SELECT value,
+                       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS rc,
+                       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS pc
+                FROM events GROUP BY value
+            ),
+            tot AS (SELECT sum(rc) AS nr, sum(pc) AS np, sum(rc + pc) AS n FROM c),
+            s AS (
+                SELECT rc, pc, rc + pc AS l,
+                       sum(rc) OVER (ORDER BY value) AS crc,
+                       sum(pc) OVER (ORDER BY value) AS cpc,
+                       sum(rc + pc) OVER (ORDER BY value) AS cl
+                FROM c
+            ),
+            terms AS (
+                SELECT
+                  l / t.n * pow(t.n * (crc - rc / 2) - (cl - l / 2) * t.nr, 2)
+                      / ((cl - l / 2) * (t.n - (cl - l / 2)) - t.n * l / 4) AS t_ref,
+                  l / t.n * pow(t.n * (cpc - pc / 2) - (cl - l / 2) * t.np, 2)
+                      / ((cl - l / 2) * (t.n - (cl - l / 2)) - t.n * l / 4) AS t_prod
+                FROM s, tot t
+            ),
+            a2 AS (
+                SELECT (t.n - 1) / t.n * (sum(t_ref) / t.nr + sum(t_prod) / t.np)
+                       AS a2akn
+                FROM terms, tot t GROUP BY t.n, t.nr, t.np
+            ),
+            harm AS (
+                -- 1..n-1 derived from the table itself (DuckDB's range()
+                -- cannot take a subquery bound)
+                SELECT i, sum(1.0 / i) OVER (ORDER BY i) AS hc FROM (
+                    SELECT CAST(row_number() OVER () AS DOUBLE) AS i
+                    FROM events
+                ) WHERE i <= (SELECT n FROM tot) - 1
+            ),
+            bh AS (SELECT max(hc) AS bigh FROM harm),
+            gq AS (
+                SELECT sum((bh.bigh - h.hc) / ((SELECT n FROM tot) - h.i)) AS g
+                FROM harm h, bh WHERE h.i <= (SELECT n FROM tot) - 2
+            ),
+            sig AS (
+                SELECT
+                  ((4 * g - 6) + (10 - 6 * g) * hh) * n * n * n AS an3,
+                  ((2 * g - 4) * 4 + 16 * bigh + (2 * g - 14 * bigh - 4) * hh
+                   - 8 * bigh + 4 * g - 6) * n * n AS bn2,
+                  ((6 * bigh + 2 * g - 2) * 4 + (4 * bigh - 4 * g + 6) * 2
+                   + (2 * bigh - 6) * hh + 4 * bigh) * n AS cn1,
+                  ((2 * bigh + 6) * 4 - 8 * bigh) AS dn0,
+                  n
+                FROM gq, bh,
+                     (SELECT n, 1.0 / nr + 1.0 / np AS hh FROM tot)
+            )
+            SELECT CAST(round(a2.a2akn, 6) AS DOUBLE) AS a2akn,
+                   CAST(round((a2.a2akn - 1)
+                        / sqrt((an3 + bn2 + cn1 + dn0)
+                               / ((n - 1) * (n - 2) * (n - 3))), 6)
+                        AS DOUBLE) AS tn
+            FROM a2, sig
         """,
         "hash_split_counts": """
             WITH b AS (

@@ -663,6 +663,41 @@ _AD_B2 = np.array([-0.105, -0.305, -0.362, -0.391, -0.396, -0.345, -0.154])
 _AD_SIG = np.array([0.25, 0.10, 0.05, 0.025, 0.01, 0.005, 0.001])
 
 
+def ad_normalize(
+    a2akn: float, n: int, sample_sizes: "list[int]"
+) -> tuple[float, float]:
+    """Standardized AD statistic Tn + interpolated significance from the
+    raw A2akN (variance normalization per Scholz & Stephens section 3,
+    critical-value fit + clipping to [0.001, 0.25] as scipy's
+    anderson_ksamp does). Shared by the exact-sample test below and the
+    distributed scan path (stages/scan.py) — both produce the same
+    (a2akn, n, sizes) triple, so significance is identical."""
+    k = len(sample_sizes)
+    h = (1.0 / np.asarray(sample_sizes, dtype=float)).sum()
+    big_h = (1.0 / np.arange(1, n, dtype=float)).sum()
+    inv = 1.0 / np.arange(1, n, dtype=float)
+    suffix = np.cumsum(inv[::-1])[::-1]  # suffix[j] = sum_{t=j+1..n-1} 1/t  (0-indexed)
+    idx = np.arange(1, n - 1, dtype=float)
+    g = float(np.sum(suffix[1:n - 1] / (n - idx)))
+    a_ = (4.0 * g - 6.0) * (k - 1) + (10.0 - 6.0 * g) * h
+    b_ = (2.0 * g - 4.0) * k**2 + 8.0 * big_h * k + (2.0 * g - 14.0 * big_h - 4.0) * h - 8.0 * big_h + 4.0 * g - 6.0
+    c_ = (6.0 * big_h + 2.0 * g - 2.0) * k**2 + (4.0 * big_h - 4.0 * g + 6.0) * k + (2.0 * big_h - 6.0) * h + 4.0 * big_h
+    d_ = (2.0 * big_h + 6.0) * k**2 - 4.0 * big_h * k
+    sigmasq = (a_ * n**3 + b_ * n**2 + c_ * n + d_) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
+    m = k - 1
+    tn = (a2akn - m) / math.sqrt(max(sigmasq, 1e-300))
+    critical = _AD_B0 + _AD_B1 / math.sqrt(m) + _AD_B2 / m
+    if tn < critical.min():
+        sig = 0.25
+    elif tn > critical.max():
+        sig = 0.001
+    else:
+        pf = np.polyfit(critical, np.log(_AD_SIG), 2)
+        sig = float(np.exp(np.polyval(pf, tn)))
+        sig = float(np.clip(sig, 0.001, 0.25))
+    return float(tn), float(sig)
+
+
 def anderson_darling_test(
     reference: Any, production: Any, threshold: float = 0.05
 ) -> dict[str, Any]:
@@ -691,31 +726,7 @@ def anderson_darling_test(
         inner = lj / float(n) * (n * mij - bj * ni) ** 2 / (bj * (n - bj) - n * lj / 4.0)
         a2akn += inner.sum() / ni
     a2akn *= (n - 1.0) / n
-    # variance normalization (Scholz & Stephens section 3)
-    h = (1.0 / np.array([s.size for s in samples], dtype=float)).sum()
-    big_h = (1.0 / np.arange(1, n, dtype=float)).sum()
-    g = 0.0
-    inv = 1.0 / np.arange(1, n, dtype=float)
-    suffix = np.cumsum(inv[::-1])[::-1]  # suffix[j] = sum_{t=j+1..n-1} 1/t  (0-indexed)
-    for idx in range(1, n - 1):
-        g += (1.0 / (n - idx)) * suffix[idx]
-    a_ = (4.0 * g - 6.0) * (k - 1) + (10.0 - 6.0 * g) * h
-    b_ = (2.0 * g - 4.0) * k**2 + 8.0 * big_h * k + (2.0 * g - 14.0 * big_h - 4.0) * h - 8.0 * big_h + 4.0 * g - 6.0
-    c_ = (6.0 * big_h + 2.0 * g - 2.0) * k**2 + (4.0 * big_h - 4.0 * g + 6.0) * k + (2.0 * big_h - 6.0) * h + 4.0 * big_h
-    d_ = (2.0 * big_h + 6.0) * k**2 - 4.0 * big_h * k
-    sigmasq = (a_ * n**3 + b_ * n**2 + c_ * n + d_) / ((n - 1.0) * (n - 2.0) * (n - 3.0))
-    m = k - 1
-    tn = (a2akn - m) / math.sqrt(max(sigmasq, 1e-300))
-    # critical-value fit and log-linear interpolation of significance
-    critical = _AD_B0 + _AD_B1 / math.sqrt(m) + _AD_B2 / m
-    if tn < critical.min():
-        sig = 0.25
-    elif tn > critical.max():
-        sig = 0.001
-    else:
-        pf = np.polyfit(critical, np.log(_AD_SIG), 2)
-        sig = float(np.exp(np.polyval(pf, tn)))
-        sig = float(np.clip(sig, 0.001, 0.25))
+    tn, sig = ad_normalize(a2akn, n, [s.size for s in samples])
     return {
         "test": "anderson_darling",
         "statistic": float(tn),

@@ -115,20 +115,26 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
-    """Exact COUNT(DISTINCT user_id) per event_type: per-block local
-    dedup of (type, user) pairs (map_batches, no shuffle), then a single
-    small merge of the pre-shrunk pair sets — the exact-path analogue of
-    the HLL-per-group sketch (which is the 10^12-rows path)."""
+    """Exact COUNT(DISTINCT user_id) per event_type, fully distributed:
+    per-block local dedup of (type, user) pairs shrinks the shuffle,
+    ONE hash shuffle groups the distinct pairs, then a pre-aggregated
+    per-type count (the driver only sees one row per type). The
+    HLL-per-group sketch is the estimate path at 10^12 rows."""
     ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def pair_dedup(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop_duplicates()
 
-    pairs = ds.map_batches(pair_dedup, batch_format="pandas").to_pandas()
-    out = (
-        pairs.drop_duplicates().groupby("event_type", as_index=False)
-        .agg(n_users=("user_id", "nunique"))
-    )
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas") \
+        .groupby(["event_type", "user_id"]).aggregate(Count())
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"))
+
+    out = pairs.map_batches(count_partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users")) \
+        .to_pandas()
     out["n_users"] = out.n_users.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 
@@ -250,22 +256,15 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
         scaled, batch_format="pyarrow"
     ).to_pandas().sum()
 
-    # exact distinct for all columns in ONE pass: per-block unique values
-    # (map_batches) unioned on the driver — the exact-path analogue of the
-    # per-column HLL estimate used at scale
-    def uniques(b: pa.Table) -> pa.Table:
-        return pa.table({
-            col: pa.array([np.unique(b[col].to_numpy(zero_copy_only=False)).tolist()])
-            for col in cols
-        })
+    # exact distinct for all columns in ONE unpivoted plan: per-block
+    # unique → (col, value) hash shuffle → pre-aggregated per-col count
+    # (scan.grouped_distinct_counts; the per-column HLL is the estimate
+    # path at scale)
+    from ..stages.scan import grouped_distinct_counts
 
-    uniq_parts = sf_table(sf_dir, "lineitem", columns=cols).map_batches(
-        uniques, batch_format="pyarrow"
-    ).to_pandas()
-    distinct_by_col = {
-        col: int(np.unique(np.concatenate(uniq_parts[col].to_list())).size)
-        for col in cols
-    }
+    distinct_by_col = grouped_distinct_counts(
+        sf_table(sf_dir, "lineitem", columns=cols), cols
+    )
 
     rows = []
     for col in cols:
@@ -385,15 +384,42 @@ def js_hellinger_events_value(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"js": [js], "hellinger": [hel]})
 
 
+def _events_two_sample(sf_dir: str) -> ray.data.Dataset:
+    """(value, is_ref) stream from events, split by event_id parity."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": b["value"],
+            "is_ref": pc.equal(pc.bit_wise_and(b["event_id"], 1), 0),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def _events_order_stats(sf_dir: str) -> dict:
+    """One distributed exact scan shared by the KS / W1 / AD queries
+    (cached per sf_dir for the duration of the process — the driver
+    calls the three queries back-to-back on the same input)."""
+    if sf_dir not in _ORDER_STATS_CACHE:
+        from ..stages.scan import two_sample_order_stats
+
+        _ORDER_STATS_CACHE[sf_dir] = two_sample_order_stats(
+            _events_two_sample(sf_dir))
+    return _ORDER_STATS_CACHE[sf_dir]
+
+
+_ORDER_STATS_CACHE: dict[str, dict] = {}
+
+
 def ks_events_value(sf_dir: str) -> pd.DataFrame:
-    """Exact two-sample KS statistic between the halves. Exact path
-    (driver ECDF over the collected column — bounded at test scale); the
-    sketch-CDF path for 10^12-row windows is exercised in
-    stages/drift.py and its tests."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
-    ref = ds.loc[ds.event_id % 2 == 0, "value"].to_numpy()
-    prod = ds.loc[ds.event_id % 2 == 1, "value"].to_numpy()
-    return pd.DataFrame({"ks_stat": [float(np.round(stats.ks_statistic_exact(ref, prod), 12))]})
+    """Exact two-sample KS statistic between the halves via the
+    distributed grouped-ECDF scan (stages/scan.py — no driver
+    materialization; cr/Nr terms are exact integer ratios so the value
+    is bit-identical to the single-node ECDF form). The sketch-CDF path
+    for 10^12-row windows is stages/drift.py."""
+    r = _events_order_stats(sf_dir)
+    return pd.DataFrame({"ks_stat": [float(np.round(r["ks"], 12))]})
 
 
 def chi2_events_type(sf_dir: str) -> pd.DataFrame:
@@ -415,13 +441,26 @@ def chi2_events_type(sf_dir: str) -> pd.DataFrame:
 
 
 def wasserstein_events_value(sf_dir: str) -> pd.DataFrame:
-    """Exact W1 between the equal-size halves = mean |sorted_ref -
-    sorted_prod| (quantile-function L1 for equal n)."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "value"]).to_pandas()
-    ref = np.sort(ds.loc[ds.event_id % 2 == 0, "value"].to_numpy())
-    prod = np.sort(ds.loc[ds.event_id % 2 == 1, "value"].to_numpy())
-    assert len(ref) == len(prod), "halves must be equal-sized for this form"
-    return pd.DataFrame({"w1": [float(np.round(np.mean(np.abs(ref - prod)), 12))]})
+    """Exact W1 between the halves via the distributed grouped-ECDF
+    scan: W1 = integral of |F_ref - F_prod| over value gaps (equals the
+    sorted-pair mean for equal sample sizes). Rounded at 9 decimals —
+    the fp-summation-order-safe precision for a sum of ~n tiny terms."""
+    r = _events_order_stats(sf_dir)
+    return pd.DataFrame({"w1": [float(np.round(r["w1"], 9))]})
+
+
+def anderson_darling_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Anderson-Darling between the halves (reference
+    adapters/statistical_tests/anderson_darling.py:21-72 capability):
+    midrank A2akN from the distributed grouped-rank scan, standardized
+    Tn via the shared Scholz-Stephens normalization."""
+    r = _events_order_stats(sf_dir)
+    tn, _sig = stats.ad_normalize(r["ad_a2akn"], r["n_ref"] + r["n_prod"],
+                                  [r["n_ref"], r["n_prod"]])
+    return pd.DataFrame({
+        "a2akn": [float(np.round(r["ad_a2akn"], 6))],
+        "tn": [float(np.round(tn, 6))],
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -500,14 +539,18 @@ def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
-    """ADWIN over the ordered error-indicator stream of the events table
-    (err = value above its median → binary-ish drift signal). Stateful
-    streaming — no SQL analogue."""
+def _concept_events(sf_dir: str, detector: str,
+                    detector_kwargs: dict | None = None) -> pd.DataFrame:
+    """Ordered error-indicator stream from events (err = value above its
+    median → binary drift signal) through a streaming detector. Stateful
+    streaming — no SQL analogue. The median comes from the KLL profile
+    (exact below sketch capacity; bounded rank error beyond) — no driver
+    materialization."""
+    from ..stages import profile as P
     from ..stages.concept import ordered_concept_drift
 
     ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
-    med = float(np.median(ds.to_pandas().value.to_numpy()))
+    med = float(P.profile_dataset(ds, ["value"])["num"]["value"].kll.quantile(0.5))
 
     def errify(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy(zero_copy_only=False)
@@ -517,11 +560,27 @@ def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
         })
 
     stream = ds.map_batches(errify, batch_format="pyarrow")
-    events = ordered_concept_drift(stream, "adwin", detector_kwargs={"delta": 0.002})
+    events = ordered_concept_drift(stream, detector,
+                                   detector_kwargs=detector_kwargs or {})
     if len(events) == 0:
-        return pd.DataFrame({"detector": pd.Series([], dtype="string"),
+        return pd.DataFrame({"detector": pd.Series([], dtype="object"),
                              "seq": pd.Series([], dtype="int64")})
     return events[["detector", "seq"]].reset_index(drop=True)
+
+
+def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
+    """ADWIN (adwin.py:96-343 capability) over the events error stream."""
+    return _concept_events(sf_dir, "adwin", {"delta": 0.002})
+
+
+def concept_ddm_events(sf_dir: str) -> pd.DataFrame:
+    """DDM (ddm.py:92-231 capability) over the events error stream."""
+    return _concept_events(sf_dir, "ddm")
+
+
+def concept_eddm_events(sf_dir: str) -> pd.DataFrame:
+    """EDDM (ddm.py:234-380 capability) over the events error stream."""
+    return _concept_events(sf_dir, "eddm")
 
 
 def mmd_embeddings_labels(sf_dir: str) -> pd.DataFrame:

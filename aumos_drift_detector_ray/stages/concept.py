@@ -88,6 +88,13 @@ def ordered_concept_drift(
         ).to_pandas()
     finally:
         ctx.execution_options.preserve_order = prev
+    if "seq" not in events.columns:  # no drift events fired at all
+        return pd.DataFrame({
+            "detector": pd.Series([], dtype="object"),
+            "seq": pd.Series([], dtype="int64"),
+            "level": pd.Series([], dtype="object"),
+            "window_size": pd.Series([], dtype="int64"),
+        })
     return events.sort_values("seq").reset_index(drop=True)
 
 

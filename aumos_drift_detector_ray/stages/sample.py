@@ -1,11 +1,18 @@
 """Sampling and splitting operators for training-data pipelines.
 
+* :class:`BottomKSample` — deterministic mergeable uniform sample: keep
+  the k rows whose 64-bit key hash is smallest. The hash order is a
+  fixed pseudo-random permutation of the key space, so the sample is
+  (a) uniform over distinct keys, (b) identical regardless of block
+  order / scheduling / resume (unlike any RNG-state reservoir), and
+  (c) merged by a simple k-smallest union. This is the engine's
+  preferred bounded-sample primitive (MMD / C2ST / PCA inputs, IVF
+  centroid fits).
 * :class:`ReservoirSample` — mergeable fixed-size uniform sample
   (weighted merge of per-block reservoirs: when two reservoirs summarize
   n1 and n2 items, draw each slot from side 1 with probability
-  n1/(n1+n2) — the standard distributed reservoir union). Used wherever
-  the engine needs a bounded uniform sample of an unbounded stream
-  (MMD inputs, C2ST inputs, driver-side fits).
+  n1/(n1+n2) — the standard distributed reservoir union). Kept for
+  streams with no usable key column.
 * :func:`hash_split` — deterministic content-addressed train/val/test
   assignment: bucket = (md5 of the key's string form) mod ``buckets``.
   Stable across runs, partitions, and engines (the DuckDB oracle
@@ -19,6 +26,7 @@
 from __future__ import annotations
 
 import hashlib
+import pickle
 from typing import Any, Iterable
 
 import numpy as np
@@ -28,6 +36,84 @@ import pyarrow as pa
 import ray.data
 
 from ..sketches import _Serializable, hash_any_array
+
+
+class BottomKSample(_Serializable):
+    """Keep the k rows with the smallest hash(key) — a deterministic,
+    order-independent uniform sample (bottom-k sketch; Cohen & Kaplan
+    2007). Ties on hash are broken by key order for full determinism."""
+
+    def __init__(self, k: int) -> None:
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)
+        self.rows: list[Any] = []
+        self.n_seen = 0
+
+    def update(self, keys: Iterable[Any], rows: "list[Any]") -> None:
+        h = hash_any_array(list(keys))
+        self.n_seen += len(h)
+        if len(h) == 0:
+            return
+        all_h = np.concatenate([self.hashes, h])
+        all_rows = self.rows + list(rows)
+        order = np.argsort(all_h, kind="stable")[: self.k]
+        self.hashes = all_h[order]
+        self.rows = [all_rows[i] for i in order]
+
+    def merge(self, other: "BottomKSample") -> "BottomKSample":
+        self.n_seen += other.n_seen
+        if len(other.hashes) == 0:
+            return self
+        all_h = np.concatenate([self.hashes, other.hashes])
+        all_rows = self.rows + other.rows
+        order = np.argsort(all_h, kind="stable")[: self.k]
+        self.hashes = all_h[order]
+        self.rows = [all_rows[i] for i in order]
+        return self
+
+
+def bottom_k_by_group(
+    ds: ray.data.Dataset,
+    key_col: str,
+    payload_col: str,
+    k: int,
+    group_col: str | None = None,
+) -> dict[Any, BottomKSample]:
+    """Distributed deterministic sample of ``k`` payload rows per group:
+    per-block bottom-k partials (one tiny pickled row per block), merged
+    with the profile tree-merge — the driver only ever holds
+    O(groups x k) sampled rows, never the dataset. With
+    ``group_col=None`` everything lands in the single group ``None``."""
+    from .profile import tree_merge
+
+    cols = [key_col, payload_col] + ([group_col] if group_col else [])
+    ds = ds.select_columns(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        rows = b[payload_col].to_pylist()
+        groups = b[group_col].to_pylist() if group_col else [None] * len(keys)
+        by_group: dict[Any, BottomKSample] = {}
+        order: dict[Any, tuple[list, list]] = {}
+        for g, key, row in zip(groups, keys, rows):
+            ks, rs = order.setdefault(g, ([], []))
+            ks.append(key)
+            rs.append(row)
+        payload = {}
+        for g, (ks, rs) in order.items():
+            s = BottomKSample(k)
+            s.update(ks, rs)
+            payload[f"grp:{g}"] = pickle.dumps(s, protocol=pickle.HIGHEST_PROTOCOL)
+        return pa.table({name: pa.array([v], pa.binary())
+                         for name, v in sorted(payload.items())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    merged = tree_merge(partials)
+    out: dict[Any, BottomKSample] = {}
+    for name in merged.column_names:
+        label = name.split(":", 1)[1]
+        out[label] = pickle.loads(merged[name][0].as_py())
+    return out
 
 
 class ReservoirSample(_Serializable):

@@ -1,0 +1,231 @@
+"""Distributed exact order statistics for two-sample tests.
+
+The reference computes KS / Wasserstein / Anderson-Darling on in-memory
+numpy arrays (``scipy.stats.ks_2samp`` at ks_test.py:133,
+``wasserstein_distance`` at wasserstein.py:48, ``anderson_ksamp`` at
+anderson_darling.py:40). The engine's first-choice at 10^12 rows is the
+KLL-sketch path (stages/drift.py); THIS module is the **exact**
+distributed path — it reproduces the single-node statistics bit-for-bit
+(KS) or to fp-roundoff (W1 / AD) while never materializing the data on
+the driver:
+
+1. ``map_batches`` partial: per-block ``(value, ref_count, prod_count)``
+   grouped counts (local dedup — the shuffle moves distinct values, not
+   rows).
+2. ``groupby(value).sum`` — ONE hash shuffle of distinct values.
+3. ``sort(value)`` of the *grouped* table (all-to-all of distinct
+   values; the one justified range exchange — exact ECDF scans need a
+   global value order).
+4. Pass A: one tiny summary row per sorted block (min value, count
+   sums). The driver orders summaries and derives per-block prefix
+   offsets — O(#blocks) scalars, never rows.
+5. Pass B: each block, given its broadcast offsets, computes its local
+   contribution (KS max, W1 integral part, AD inner sums) vectorized;
+   the driver folds #blocks partial scalars.
+
+Block-boundary safety: pass B batches are whole blocks of the
+materialized sorted dataset (``batch_size=None``); every batch must
+start at a recorded pass-A block min — asserted, so a bundling change
+in Ray Data would fail loudly, not corrupt results. Because step 2
+leaves values unique, no value can straddle a block boundary and the
+ECDF offsets are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def grouped_two_sample_counts(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    ref_col: str = "is_ref",
+) -> ray.data.Dataset:
+    """(value, rc, pc) with one row per distinct value: per-block local
+    grouped counts, then a grouped sum (pre-aggregated shuffle)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = b[ref_col].astype(bool)
+        g = pd.DataFrame({
+            value_col: b[value_col],
+            "rc": is_ref.astype(np.int64),
+            "pc": (~is_ref).astype(np.int64),
+        }).groupby(value_col, as_index=False).sum()
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby(value_col).aggregate(
+        Sum("rc", alias_name="rc"), Sum("pc", alias_name="pc")
+    )
+
+
+def two_sample_order_stats(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    ref_col: str = "is_ref",
+) -> dict[str, Any]:
+    """Exact KS statistic, W1 distance (ECDF-area form) and
+    Anderson-Darling A2akN (midrank form, Scholz & Stephens 1987 eq. 7 —
+    the statistic the reference's anderson_ksamp call computes) in one
+    distributed scan. Returns the raw statistics plus sample sizes; the
+    caller applies p-values / normalization (driver-side scalar math).
+    """
+    counts = grouped_two_sample_counts(ds, value_col, ref_col)
+    sorted_counts = counts.sort(value_col).materialize()
+
+    # ---- pass A: per-block summaries --------------------------------
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "rc": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        rc = b["rc"].to_numpy(zero_copy_only=False)
+        pc_ = b["pc"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_val": pa.array([float(v[0])], pa.float64()),
+            "rc": pa.array([int(rc.sum())], pa.int64()),
+            "pc": pa.array([int(pc_.sum())], pa.int64()),
+        })
+
+    summary = (
+        sorted_counts.map_batches(summarize, batch_format="pyarrow",
+                                  batch_size=None)
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    )
+    if len(summary) == 0:
+        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+                "n_ref": 0, "n_prod": 0, "n_distinct": 0}
+    mins = summary.min_val.to_numpy()
+    rc_off = np.concatenate([[0], np.cumsum(summary.rc.to_numpy())[:-1]])
+    pc_off = np.concatenate([[0], np.cumsum(summary.pc.to_numpy())[:-1]])
+    n_ref = int(summary.rc.sum())
+    n_prod = int(summary.pc.sum())
+    n = n_ref + n_prod
+    bc = ray.put({
+        "mins": mins, "rc_off": rc_off, "pc_off": pc_off,
+        "n_ref": n_ref, "n_prod": n_prod,
+    })
+
+    # ---- pass B: per-block contributions ----------------------------
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "ks": pa.array([], pa.float64()),
+            "w1": pa.array([], pa.float64()),
+            "ad_ref": pa.array([], pa.float64()),
+            "ad_prod": pa.array([], pa.float64()),
+            "n_distinct": pa.array([], pa.int64()),
+        })
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = b["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mins_ = info["mins"]
+        i = int(np.searchsorted(mins_, v[0]))
+        assert i < len(mins_) and mins_[i] == v[0], (
+            "pass-B batch does not start at a pass-A block boundary — "
+            "Ray Data bundling changed; offsets would be wrong"
+        )
+        nr, np_ = info["n_ref"], info["n_prod"]
+        ntot = nr + np_
+        cr = info["rc_off"][i] + np.cumsum(rc)      # ref count <= v, exact ints
+        cp = info["pc_off"][i] + np.cumsum(pc_)
+        fr = cr / nr
+        fp = cp / np_
+        diff = np.abs(fr - fp)
+        ks_local = float(diff.max())
+
+        # W1 (area between ECDFs): gaps to the next distinct value; the
+        # last value in the block bridges to the next block's first value
+        j = int(np.searchsorted(mins_, float(v[-1]), side="right"))
+        nxt = mins_[j] if j < len(mins_) else None
+        if nxt is not None:
+            gaps = np.diff(np.concatenate([v, [nxt]]))
+            w1_local = float(np.sum(diff * gaps))
+        else:
+            w1_local = float(np.sum(diff[:-1] * np.diff(v))) if len(v) > 1 else 0.0
+
+        # AD midrank inner sums (Scholz & Stephens eq. 7 terms)
+        lj = (rc + pc_).astype(np.float64)
+        cl = (cr + cp).astype(np.float64)
+        bj = cl - lj / 2.0
+        denom = bj * (ntot - bj) - ntot * lj / 4.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m_ref = cr - rc / 2.0
+            t_ref = lj / ntot * (ntot * m_ref - bj * nr) ** 2 / denom
+            m_prod = cp - pc_ / 2.0
+            t_prod = lj / ntot * (ntot * m_prod - bj * np_) ** 2 / denom
+        t_ref = np.where(np.isfinite(t_ref), t_ref, 0.0)
+        t_prod = np.where(np.isfinite(t_prod), t_prod, 0.0)
+        return pa.table({
+            "ks": pa.array([ks_local], pa.float64()),
+            "w1": pa.array([w1_local], pa.float64()),
+            "ad_ref": pa.array([float(t_ref.sum())], pa.float64()),
+            "ad_prod": pa.array([float(t_prod.sum())], pa.float64()),
+            "n_distinct": pa.array([len(v)], pa.int64()),
+        })
+
+    parts = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if n_ref == 0 or n_prod == 0:
+        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+                "n_ref": n_ref, "n_prod": n_prod,
+                "n_distinct": int(parts.n_distinct.sum())}
+    a2akn = (n - 1.0) / n * (
+        float(parts.ad_ref.sum()) / n_ref + float(parts.ad_prod.sum()) / n_prod
+    )
+    return {
+        "ks": float(parts.ks.max()),
+        "w1": float(parts.w1.sum()),
+        "ad_a2akn": a2akn,
+        "n_ref": n_ref,
+        "n_prod": n_prod,
+        "n_distinct": int(parts.n_distinct.sum()),
+    }
+
+
+def grouped_distinct_counts(
+    ds: ray.data.Dataset,
+    cols: list[str],
+) -> dict[str, int]:
+    """Exact COUNT(DISTINCT col) for several columns in one unpivoted
+    plan: per-block local unique (map_batches — shrinks the shuffle to
+    distinct-per-block), one hash shuffle of (col, value) pairs, then a
+    pre-aggregated count per col. Replaces driver-side unique unions
+    (the at-scale estimate is the per-column HLL in stages/profile.py).
+    """
+
+    def unpivot_unique(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            u = np.unique(b[c].to_numpy(zero_copy_only=False))
+            names.append(np.full(u.size, c, dtype=object))
+            vals.append(u.astype(np.float64))
+        return pa.table({
+            "col": pa.array(np.concatenate(names), pa.string()),
+            "v": pa.array(np.concatenate(vals), pa.float64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    pairs = ds.map_batches(unpivot_unique, batch_format="pyarrow")
+    uniq = pairs.groupby(["col", "v"]).aggregate(Count())
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("col").aggregate([("v", "count")])
+        return t.rename_columns(["col", "n"])
+
+    out = uniq.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("col").aggregate(Sum("n", alias_name="n")).to_pandas()
+    return {r.col: int(r.n) for r in out.itertuples()}

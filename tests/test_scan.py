@@ -1,0 +1,83 @@
+"""Distributed exact order statistics (stages/scan.py) vs single-node
+numpy forms — including tie-heavy inputs that exercise block-boundary
+handling in the sorted scan."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from aumos_drift_detector_ray.functions import stats
+from aumos_drift_detector_ray.stages import scan
+
+
+def _two_sample_ds(ref: np.ndarray, prod: np.ndarray, blocks: int = 7):
+    df = pd.DataFrame({
+        "value": np.concatenate([ref, prod]),
+        "is_ref": np.concatenate([
+            np.ones(len(ref), dtype=bool), np.zeros(len(prod), dtype=bool)
+        ]),
+    })
+    # shuffle rows so blocks are not pre-sorted
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    return ray.data.from_pandas(df).repartition(blocks)
+
+
+class TestTwoSampleOrderStats:
+    @pytest.mark.parametrize("tied", [False, True])
+    def test_matches_exact_numpy(self, ray_session, tied):
+        rng = np.random.default_rng(42)
+        ref = rng.normal(size=1500)
+        prod = rng.normal(0.3, 1.1, size=1300)
+        if tied:
+            # heavy ties: quantize to a small grid so identical values
+            # appear in both samples and across many blocks
+            ref = np.round(ref, 1)
+            prod = np.round(prod, 1)
+        r = scan.two_sample_order_stats(_two_sample_ds(ref, prod))
+
+        assert r["n_ref"] == 1500 and r["n_prod"] == 1300
+        # KS: bit-identical to the exact ECDF form
+        assert r["ks"] == pytest.approx(
+            stats.ks_statistic_exact(ref, prod), abs=0.0)
+
+        # W1 (ECDF area) == np.trapz-style area between ECDFs
+        allv = np.unique(np.concatenate([ref, prod]))
+        fr = np.searchsorted(np.sort(ref), allv, side="right") / len(ref)
+        fp = np.searchsorted(np.sort(prod), allv, side="right") / len(prod)
+        w1_exact = float(np.sum(np.abs(fr[:-1] - fp[:-1]) * np.diff(allv)))
+        assert r["w1"] == pytest.approx(w1_exact, rel=1e-12)
+
+        # AD: standardized Tn equals the exact-sample implementation
+        tn, sig = stats.ad_normalize(
+            r["ad_a2akn"], r["n_ref"] + r["n_prod"], [r["n_ref"], r["n_prod"]])
+        exact = stats.anderson_darling_test(ref, prod)
+        assert tn == pytest.approx(exact["statistic"], rel=1e-9, abs=1e-9)
+        assert sig == pytest.approx(exact["p_value"], rel=1e-6)
+
+    def test_equal_halves_w1_equals_paired_mean(self, ray_session):
+        rng = np.random.default_rng(3)
+        ref = rng.normal(size=1000)
+        prod = rng.normal(0.5, 1.0, size=1000)
+        r = scan.two_sample_order_stats(_two_sample_ds(ref, prod, blocks=5))
+        paired = float(np.mean(np.abs(np.sort(ref) - np.sort(prod))))
+        assert r["w1"] == pytest.approx(paired, rel=1e-10)
+
+    def test_single_block(self, ray_session):
+        ref = np.array([1.0, 2.0, 3.0])
+        prod = np.array([2.0, 3.0, 4.0])
+        r = scan.two_sample_order_stats(_two_sample_ds(ref, prod, blocks=1))
+        assert r["ks"] == pytest.approx(stats.ks_statistic_exact(ref, prod))
+
+
+class TestGroupedDistinctCounts:
+    def test_matches_nunique(self, ray_session):
+        rng = np.random.default_rng(0)
+        df = pd.DataFrame({
+            "a": rng.integers(0, 50, size=4000).astype(float),
+            "b": rng.normal(size=4000).round(2),
+        })
+        ds = ray.data.from_pandas(df).repartition(9)
+        out = scan.grouped_distinct_counts(ds, ["a", "b"])
+        assert out == {"a": int(df.a.nunique()), "b": int(df.b.nunique())}

@@ -32,7 +32,7 @@ def to_pandas(obj):
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
+        if df[c].dtype == object or not isinstance(df[c].dtype, np.dtype):
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(6)
@@ -41,7 +41,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def main(sf_dir: str) -> None:
+def main(sf_dir: str, name_filters=()) -> None:
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -58,6 +58,9 @@ def main(sf_dir: str) -> None:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    if name_filters:
+        qs = {n: f for n, f in qs.items()
+              if any(s in n for s in name_filters)}
     results = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -106,4 +109,7 @@ def main(sf_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    args = sys.argv[1:]
+    sf = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    filters = [a for a in args if "/" not in a]
+    main(sf, filters)
