@@ -583,14 +583,36 @@ def concept_eddm_events(sf_dir: str) -> pd.DataFrame:
     return _concept_events(sf_dir, "eddm")
 
 
+_EMB_SAMPLE_CACHE: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _embedding_label_samples(sf_dir: str, k: int = 300) -> tuple[np.ndarray, np.ndarray]:
+    """Bounded deterministic samples of the two smallest label groups of
+    the embeddings table via the distributed hash bottom-k sketch
+    (stages/sample.BottomKSample) — the dataset itself never reaches the
+    driver. Cached per (sf_dir, k): MMD / C2ST / PCA run back-to-back
+    on the same input."""
+    if (sf_dir, k) not in _EMB_SAMPLE_CACHE:
+        from ..stages.sample import bottom_k_by_group
+
+        ds = sf_table(sf_dir, "embeddings",
+                      columns=["vec_id", "embedding", "label"])
+        samples = bottom_k_by_group(ds, "vec_id", "embedding", k,
+                                    group_col="label")
+        labels = sorted(samples, key=lambda s: (len(s), s))[:2]
+        x = np.asarray(samples[labels[0]].rows, dtype=float)
+        y = np.asarray(samples[labels[1]].rows, dtype=float)
+        _EMB_SAMPLE_CACHE[(sf_dir, k)] = (x, y)
+    return _EMB_SAMPLE_CACHE[(sf_dir, k)]
+
+
 def mmd_embeddings_labels(sf_dir: str) -> pd.DataFrame:
     """MMD^2 between label groups of the embeddings table (the
-    reference's embedding-drift capability, mmd.py:67-129)."""
-    df = sf_table(sf_dir, "embeddings").to_pandas()
-    labels = sorted(df.label.unique())[:2]
-    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
-    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
-    r = stats.mmd_test(x[:300], y[:300])
+    reference's embedding-drift capability, mmd.py:67-129), on bounded
+    bottom-k samples (the reference itself subsamples to <=500 for the
+    bandwidth — mmd.py:56-60)."""
+    x, y = _embedding_label_samples(sf_dir)
+    r = stats.mmd_test(x, y)
     return pd.DataFrame({
         "mmd_squared": [r["mmd_squared"]],
         "drift_detected": [r["drift_detected"]],
@@ -663,12 +685,9 @@ def windowed_accuracy_events(sf_dir: str) -> pd.DataFrame:
 
 def c2st_embeddings(sf_dir: str) -> pd.DataFrame:
     """Classifier two-sample test between embedding label groups
-    (multivariate drift; no SQL analogue)."""
-    df = sf_table(sf_dir, "embeddings").to_pandas()
-    labels = sorted(df.label.unique())[:2]
-    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
-    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
-    r = stats.classifier_two_sample_test(x[:300], y[:300])
+    (multivariate drift; no SQL analogue), on bounded bottom-k samples."""
+    x, y = _embedding_label_samples(sf_dir)
+    r = stats.classifier_two_sample_test(x, y)
     return pd.DataFrame({
         "auroc": [r["auroc"]], "drift_detected": [r["drift_detected"]],
         "n_reference": [np.int64(r["n_reference"])],
@@ -703,11 +722,10 @@ def llm_output_drift_docs(sf_dir: str) -> pd.DataFrame:
 
 def pca_drift_embeddings(sf_dir: str) -> pd.DataFrame:
     """PCA reconstruction drift between embedding label groups
-    (multivariate_drift.py:22-89 capability; no SQL analogue)."""
-    df = sf_table(sf_dir, "embeddings").to_pandas()
-    labels = sorted(df.label.unique())[:2]
-    x = np.asarray(df.loc[df.label == labels[0], "embedding"].to_list(), dtype=float)
-    y = np.asarray(df.loc[df.label == labels[1], "embedding"].to_list(), dtype=float)
+    (multivariate_drift.py:22-89 capability; no SQL analogue). The PCA
+    fit runs on a bounded bottom-k sample (512/side) — the reference
+    fits on an in-memory matrix, which cannot scale past one node."""
+    x, y = _embedding_label_samples(sf_dir, k=512)
     r = stats.pca_reconstruction_drift(x, y, n_components=8)
     return pd.DataFrame({
         "score": [r["score"]], "drift_detected": [r["drift_detected"]],

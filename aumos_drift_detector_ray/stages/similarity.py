@@ -86,15 +86,20 @@ def fit_ivf_centroids(
     ds: ray.data.Dataset,
     n_centroids: int = 16,
     emb_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 42,
 ) -> np.ndarray:
-    """Lloyd's k-means on a driver-side sample (normalized vectors,
-    cosine ≙ dot). The sample is bounded; the assignment pass below is
-    the distributed part."""
-    sample = ds.select_columns([emb_col]).limit(sample_size).to_pandas()
-    x = _normalize(np.asarray(sample[emb_col].to_list(), dtype=np.float64))
+    """Lloyd's k-means on a driver-side UNIFORM sample — deterministic
+    hash bottom-k over the id column (``sample.BottomKSample``), not a
+    first-N ``limit`` which would bias centroids toward whatever rows
+    happen to sort first in storage. The sample is bounded; the
+    assignment pass below is the distributed part."""
+    from .sample import bottom_k_by_group
+
+    s = bottom_k_by_group(ds, id_col, emb_col, sample_size)["None"]
+    x = _normalize(np.asarray(s.rows, dtype=np.float64))
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
     for _ in range(iters):

@@ -71,6 +71,51 @@ class TestTwoSampleOrderStats:
         assert r["ks"] == pytest.approx(stats.ks_statistic_exact(ref, prod))
 
 
+class TestBottomKSample:
+    def test_merge_order_independent(self):
+        from aumos_drift_detector_ray.stages.sample import BottomKSample
+
+        keys = [f"k{i}" for i in range(500)]
+        rows = list(range(500))
+
+        def build(chunks):
+            parts = []
+            for lo, hi in chunks:
+                s = BottomKSample(50)
+                s.update(keys[lo:hi], rows[lo:hi])
+                parts.append(s)
+            acc = parts[0]
+            for p in parts[1:]:
+                acc.merge(p)
+            return acc
+
+        a = build([(0, 100), (100, 350), (350, 500)])
+        b = build([(350, 500), (0, 100), (100, 350)])
+        one = BottomKSample(50)
+        one.update(keys, rows)
+        assert a.rows == b.rows == one.rows
+        assert a.n_seen == 500
+
+    def test_by_group_matches_driver_sim(self, ray_session):
+        from aumos_drift_detector_ray.sketches import hash_any_array
+        from aumos_drift_detector_ray.stages.sample import bottom_k_by_group
+
+        rng = np.random.default_rng(1)
+        df = pd.DataFrame({
+            "id": np.arange(1000),
+            "val": rng.normal(size=1000),
+            "grp": np.where(np.arange(1000) % 3 == 0, "a", "b"),
+        })
+        ds = ray.data.from_pandas(df).repartition(6)
+        out = bottom_k_by_group(ds, "id", "val", 20, group_col="grp")
+        for g in ("a", "b"):
+            sub = df[df.grp == g]
+            h = hash_any_array(sub.id.tolist())
+            expect = sub.val.to_numpy()[np.argsort(h, kind="stable")[:20]]
+            assert np.allclose(sorted(out[g].rows), sorted(expect))
+            assert out[g].n_seen == len(sub)
+
+
 class TestGroupedDistinctCounts:
     def test_matches_nunique(self, ray_session):
         rng = np.random.default_rng(0)
