@@ -102,6 +102,60 @@ def dedup_exact(ds: ray.data.Dataset, key: str, order_col: str | None = None) ->
 
 
 # ---------------------------------------------------------------------------
+# shared candidate-pair plumbing
+# ---------------------------------------------------------------------------
+
+def _adaptive_coarse(n_exploded: int, target_rows: int = 4096,
+                     lo: int = 64, hi: int = 65536) -> int:
+    """Coarse-bucket fan-out sized to the exploded row count, so each
+    coarse group holds ~``target_rows`` band rows at any input scale
+    (a fixed 256 meant multi-GB groups at 10^9 rows)."""
+    return int(np.clip(n_exploded // target_rows, lo, hi))
+
+
+def _id_arrow_type(series: pd.Series) -> pa.DataType:
+    return pa.int64() if pd.api.types.is_integer_dtype(series) else pa.string()
+
+
+def _pairs_table(out_a: list, out_b: list, out_v: list,
+                 val_name: str, val_type: pa.DataType,
+                 id_type: pa.DataType) -> pa.Table:
+    """Typed candidate-pair block (consistent empty/non-empty schemas —
+    pandas object-dtype empties defeat Ray's block sizing)."""
+    a = np.concatenate(out_a) if out_a else []
+    b = np.concatenate(out_b) if out_b else []
+    v = np.concatenate(out_v) if out_v else []
+    return pa.table({
+        "id_a": pa.array(a, id_type),
+        "id_b": pa.array(b, id_type),
+        val_name: pa.array(v, val_type),
+    })
+
+
+def dedup_candidate_pairs(pairs: ray.data.Dataset, n_groups: int = 64) -> ray.data.Dataset:
+    """Global (id_a, id_b) dedup of candidate pairs (the same pair
+    surfaces from several bands/tables). Every pair key hashes to ONE of
+    ``n_groups`` coarse groups, so a grouped ``drop_duplicates`` is
+    exact while no task ever holds more than ~1/n_groups of the pairs —
+    replacing the old ``repartition(1)`` single-task finalizer."""
+
+    def add_pc(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column("pc", pa.array([], pa.int64()))
+        keys = [f"{a}|{x}" for a, x in
+                zip(b["id_a"].to_pylist(), b["id_b"].to_pylist())]
+        pc_ = (hash_any_array(keys) % np.uint64(n_groups)).astype(np.int64)
+        return b.append_column("pc", pa.array(pc_, pa.int64()))
+
+    tagged = pairs.map_batches(add_pc, batch_format="pyarrow")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["pc"])
+
+    return tagged.groupby("pc").map_groups(per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # pHash / SimHash banded near-dup
 # ---------------------------------------------------------------------------
 
@@ -169,34 +223,39 @@ def near_dup_pairs_hamming(
     """
     from ..codecs import hamming64
 
+    # adaptive fan-out from the (metadata-cheap) input row count: each
+    # coarse group holds a bounded slice of the exploded band rows
+    n_rows = ds.count()
+    n_pairs = n_bands * (n_bands - 1) // 2
+    n_coarse = _adaptive_coarse(n_rows * n_pairs)
+
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         _explode_band_pairs(hash_col, [id_col], n_bands), batch_format="pyarrow"
     )
 
     # COARSE bucketing: grouping by raw band_key yields millions of
     # singleton groups and Ray's per-group overhead dominates. Instead
-    # hash band_key into ~256 coarse groups (one shuffle with bounded
+    # hash band_key into n_coarse groups (one shuffle with bounded
     # group count) and, inside each group, drop singleton buckets with a
     # vectorized value_counts before the pairwise Hamming check.
     def add_coarse(batch: pa.Table) -> pa.Table:
         key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
         return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
     exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
-        .repartition(64)
+        .repartition(min(256, max(16, n_coarse // 4)))
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    def per_coarse(g: pd.DataFrame) -> pa.Table:
         # vectorized bucket processing: most non-singleton buckets hold
         # exactly 2 rows (random band collisions), so sort by band_key,
         # run-length encode, and emit adjacent pairs for 2-runs without
         # any per-bucket Python loop; only rare longer runs loop.
+        id_type = _id_arrow_type(g[id_col])
         g = g.sort_values("band_key", kind="stable")
         keys = g["band_key"].to_numpy()
         if len(keys) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                 "id_b": pd.Series([], dtype=object),
-                                 "hamming": pd.Series([], dtype="int64")})
+            return _pairs_table([], [], [], "hamming", pa.int64(), id_type)
         ids = g[id_col].to_numpy()
         hs = g[hash_col].to_numpy().astype(np.int64)
         change = np.r_[True, keys[1:] != keys[:-1]]
@@ -225,21 +284,19 @@ def near_dup_pairs_hamming(
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
             out_d.append(d[keep].astype(np.int64))
-        if not out_a:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=object),
-                                 "id_b": pd.Series([], dtype=object),
-                                 "hamming": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
+        df = pd.DataFrame({
             "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
             "hamming": np.concatenate(out_d),
         }).drop_duplicates(subset=["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(df.id_a.to_numpy(), id_type),
+            "id_b": pa.array(df.id_b.to_numpy(), id_type),
+            "hamming": pa.array(df.hamming.to_numpy(), pa.int64()),
+        })
 
     pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
-    # same pair can surface from multiple bands → global dedup on the pair
-    def final_dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates(subset=["id_a", "id_b"])
-
-    return pairs.repartition(1).map_batches(final_dedup, batch_format="pandas")
+    # same pair can surface from multiple bands → hash-grouped pair dedup
+    return dedup_candidate_pairs(pairs)
 
 
 def simhash64(texts: list[str], token_re: re.Pattern | None = None) -> np.ndarray:
@@ -330,6 +387,7 @@ def minhash_lsh_pairs(
     Jaccard). rows = num_hashes // bands per band."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
+    n_coarse = _adaptive_coarse(ds.count() * bands)
 
     hasher = MinHasher(text_col, num_hashes, shingle_k)
     with_sig = ds.select_columns([id_col, text_col]).map_batches(
@@ -362,15 +420,17 @@ def minhash_lsh_pairs(
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
         return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow").repartition(64)
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
+        .repartition(min(256, max(16, n_coarse // 4)))
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    def per_coarse(g: pd.DataFrame) -> pa.Table:
+        id_type = _id_arrow_type(g[id_col])
         vc = g["band_key"].value_counts()
         hot = vc.index[vc.ge(2)]
-        frames = []
+        out_a, out_b, out_j = [], [], []
         for _, sub in g[g["band_key"].isin(hot)].groupby("band_key", sort=False):
             sub = sub.drop_duplicates(subset=[id_col])
             if len(sub) < 2:
@@ -381,20 +441,23 @@ def minhash_lsh_pairs(
             jac = (sigs[ia] == sigs[ib]).mean(axis=1)
             keep = jac >= jaccard_threshold
             a, b = ids[ia[keep]], ids[ib[keep]]
-            frames.append(pd.DataFrame({
-                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
-                "jaccard": jac[keep],
-            }))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_j.append(jac[keep])
+        if not out_a:
+            return _pairs_table([], [], [], "jaccard", pa.float64(), id_type)
+        df = pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        }).drop_duplicates(subset=["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(df.id_a.to_numpy(), id_type),
+            "id_b": pa.array(df.id_b.to_numpy(), id_type),
+            "jaccard": pa.array(df.jaccard.to_numpy(), pa.float64()),
+        })
 
     pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
-    return pairs.repartition(1).map_batches(
-        lambda b: b.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
-    )
+    return dedup_candidate_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -453,21 +516,24 @@ def embedding_near_dup_pairs(
                 "unit": pa.array([list(u) for u in np.repeat(unit, n_tables, axis=0)]),
             })
 
+    n_coarse = _adaptive_coarse(ds.count() * n_tables)
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
         Bucketer(), batch_format="pyarrow"
     )
 
     def add_coarse(batch: pa.Table) -> pa.Table:
         key = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(256)).astype(np.int64)
+        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
         return batch.append_column("coarse", pa.array(coarse, pa.int64()))
 
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow").repartition(64)
+    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
+        .repartition(min(256, max(16, n_coarse // 4)))
 
-    def per_coarse(g: pd.DataFrame) -> pd.DataFrame:
+    def per_coarse(g: pd.DataFrame) -> pa.Table:
+        id_type = _id_arrow_type(g[id_col])
         vc = g["bucket"].value_counts()
         hot = vc.index[vc.ge(2)]
-        frames = []
+        out_a, out_b, out_s = [], [], []
         for _, sub in g[g["bucket"].isin(hot)].groupby("bucket", sort=False):
             sub = sub.drop_duplicates(subset=[id_col])
             if len(sub) < 2:
@@ -479,16 +545,20 @@ def embedding_near_dup_pairs(
             s = sims[ia, ib]
             keep = s >= threshold
             a, b = ids[ia[keep]], ids[ib[keep]]
-            frames.append(pd.DataFrame({
-                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b), "cosine": s[keep],
-            }))
-        if not frames:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        return pd.concat(frames).drop_duplicates(subset=["id_a", "id_b"])
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(s[keep])
+        if not out_a:
+            return _pairs_table([], [], [], "cosine", pa.float64(), id_type)
+        df = pd.DataFrame({
+            "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_s),
+        }).drop_duplicates(subset=["id_a", "id_b"])
+        return pa.table({
+            "id_a": pa.array(df.id_a.to_numpy(), id_type),
+            "id_b": pa.array(df.id_b.to_numpy(), id_type),
+            "cosine": pa.array(df.cosine.to_numpy(), pa.float64()),
+        })
 
     pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
-    return pairs.repartition(1).map_batches(
-        lambda b: b.drop_duplicates(subset=["id_a", "id_b"]), batch_format="pandas"
-    )
+    return dedup_candidate_pairs(pairs)

@@ -116,6 +116,46 @@ class TestBottomKSample:
             assert out[g].n_seen == len(sub)
 
 
+class TestDedupPairFinalization:
+    """VERDICT r1 item 4: no single task may hold the full candidate-pair
+    set; coarse fan-out must scale with input size."""
+
+    def test_adaptive_coarse_scales(self):
+        from aumos_drift_detector_ray.stages.dedup import _adaptive_coarse
+
+        assert _adaptive_coarse(10_000) == 64            # floor
+        assert _adaptive_coarse(10_000_000) == 2441      # grows with input
+        assert _adaptive_coarse(10**12) == 65536         # cap
+
+    def test_hamming_pairs_10x_no_single_task(self, ray_session):
+        from aumos_drift_detector_ray.codecs import hamming64
+        from aumos_drift_detector_ray.stages.dedup import near_dup_pairs_hamming
+
+        rng = np.random.default_rng(5)
+        n = 5000
+        base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+        # plant near-dups: every 100th hash gets a 1-bit-flipped twin
+        twins = base[::100] ^ (1 << 7)
+        hashes = np.concatenate([base, twins])
+        ids = np.arange(len(hashes), dtype=np.int64)
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"image_id": ids, "phash": hashes.astype(np.int64)})).repartition(8)
+
+        pairs_ds = near_dup_pairs_hamming(ds, tol=4, n_bands=8).materialize()
+        # the final pair set comes out of a grouped dedup, not one task
+        assert pairs_ds.num_blocks() > 1
+        pairs = pairs_ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+        # brute-force ground truth over the planted twins (random 63-bit
+        # hashes are never within tol=4 of each other by chance)
+        expect = {(int(i * 100), int(n + i)) for i in range(len(twins))}
+        got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert got == expect
+        assert (pairs.hamming == 1).all()
+        # exactly one row per pair (cross-band duplicates removed)
+        assert not pairs.duplicated(subset=["id_a", "id_b"]).any()
+
+
 class TestGroupedDistinctCounts:
     def test_matches_nunique(self, ray_session):
         rng = np.random.default_rng(0)
