@@ -102,6 +102,17 @@ def synthesize_dataset(
 # 2. validation job (resumable, partition-addressed outputs)
 # ---------------------------------------------------------------------------
 
+def add_caption_len(batch: pa.Table) -> pa.Table:
+    """Vectorized word count (captions are single-space joined — synth
+    _draw_caption; matches ``len(c.split())`` incl. null → 0)."""
+    import pyarrow.compute as pc
+
+    n = pc.list_value_length(pc.split_pattern(batch["caption"], " "))
+    return batch.append_column(
+        "caption_len", pc.fill_null(n, 0).cast(pa.int64())
+    )
+
+
 def _shard_writer(out_dir: str, feature_cols: tuple[str, ...], cat_cols: tuple[str, ...]):
     """Per-partition finalizer run inside ``groupby.map_groups``: writes
     the partition's violations + matrix rows + profile partial, then the
@@ -113,19 +124,12 @@ def _shard_writer(out_dir: str, feature_cols: tuple[str, ...], cat_cols: tuple[s
         pid = int(g["partition_id"].iloc[0])
         ok_cols = [c for c in g.columns if c.startswith("ok_")]
 
-        # violation rows
-        recs = []
-        for c in ok_cols:
-            bad = g.loc[~g[c].fillna(False).astype(bool)]
-            for _, row in bad.iterrows():
-                recs.append((pid, row["image_id"], c[3:], ""))
-        viol = pa.table(
-            {
-                "partition_id": pa.array([r[0] for r in recs], pa.int64()),
-                "image_id": pa.array([r[1] for r in recs], pa.string()),
-                "check": pa.array([r[2] for r in recs], pa.string()),
-                "detail": pa.array([r[3] for r in recs], pa.string()),
-            }
+        # violation rows (vectorized unpivot shared with
+        # validate.violations_from_flags)
+        viol = val_mod.unpivot_violations(
+            pa.Table.from_pandas(
+                g[["partition_id", "image_id", *ok_cols]], preserve_index=False
+            )
         )
         ckpt.atomic_write_table(
             os.path.join(out_dir, "violations", f"shard={pid}.parquet"), viol
@@ -217,14 +221,7 @@ def run_validation(
             decode_concurrency=cfg.decode_concurrency,
             decode_batch_size=cfg.decode_batch_size,
         )
-        # caption_len derived feature for profiling
-        def add_caption_len(batch: pa.Table) -> pa.Table:
-            caps = batch["caption"].to_pylist()
-            return batch.append_column(
-                "caption_len",
-                pa.array([len(c.split()) if c else 0 for c in caps], pa.int64()),
-            )
-
+        # caption_len derived feature for profiling (vectorized)
         flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
         # coalesce the many small decode-output blocks before the grouped
         # shuffle: Ray's sort-based groupby cost is dominated by block
@@ -337,13 +334,6 @@ def run_validation_multi(
             batch_size=None,
             concurrency=decode_concurrency,
         )
-
-        def add_caption_len(batch: pa.Table) -> pa.Table:
-            caps = batch["caption"].to_pylist()
-            return batch.append_column(
-                "caption_len",
-                pa.array([len(c.split()) if c else 0 for c in caps], pa.int64()),
-            )
 
         flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
         flags = flags.repartition(min(256, max(16, total_rows // 2000)))

@@ -335,36 +335,42 @@ def run_row_validation(
     return ds
 
 
+def unpivot_violations(batch: pa.Table) -> pa.Table:
+    """Vectorized unpivot of failed ``ok_*`` checks into violation rows
+    (partition_id, image_id, check, detail): one boolean mask + fancy
+    index per check column, no per-row Python."""
+    check_cols = [c for c in batch.column_names if c.startswith("ok_")]
+    ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+    if "partition_id" in batch.column_names:
+        pid_arr = pc.fill_null(batch["partition_id"], -1)
+        pid = np.asarray(pid_arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+    else:
+        pid = np.full(len(batch), -1, dtype=np.int64)
+    out_p, out_i, out_c = [], [], []
+    for c in check_cols:
+        mask = pc.fill_null(pc.invert(batch[c]), True).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(mask)
+        out_p.append(pid[idx])
+        out_i.append(ids[idx])
+        out_c.append(np.full(idx.size, c[3:], dtype=object))
+    n = sum(a.size for a in out_p)
+    return pa.table(
+        {
+            "partition_id": pa.array(
+                np.concatenate(out_p) if out_p else [], pa.int64()),
+            "image_id": pa.array(
+                np.concatenate(out_i) if out_i else [], pa.string()),
+            "check": pa.array(
+                np.concatenate(out_c) if out_c else [], pa.string()),
+            "detail": pa.array([""] * n, pa.string()),
+        }
+    )
+
+
 def violations_from_flags(flags: ray.data.Dataset) -> ray.data.Dataset:
     """Unpivot failed checks into violation rows
     (partition_id, image_id, check, detail)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        check_cols = [c for c in batch.column_names if c.startswith("ok_")]
-        pids, ids, checks, details = [], [], [], []
-        id_col = batch["image_id"].to_pylist()
-        pid_col = (
-            batch["partition_id"].to_pylist()
-            if "partition_id" in batch.column_names
-            else [-1] * len(batch)
-        )
-        for c in check_cols:
-            mask = pc.fill_null(pc.invert(batch[c]), True).to_numpy(zero_copy_only=False)
-            for i in np.flatnonzero(mask):
-                pids.append(pid_col[i] if pid_col[i] is not None else -1)
-                ids.append(id_col[i])
-                checks.append(c[3:])
-                details.append("")
-        return pa.table(
-            {
-                "partition_id": pa.array(pids, pa.int64()),
-                "image_id": pa.array(ids, pa.string()),
-                "check": pa.array(checks, pa.string()),
-                "detail": pa.array(details, pa.string()),
-            }
-        )
-
-    return flags.map_batches(fn, batch_format="pyarrow")
+    return flags.map_batches(unpivot_violations, batch_format="pyarrow")
 
 
 def passfail_matrix(flags: ray.data.Dataset) -> "Any":
