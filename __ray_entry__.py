@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": Q.langid_docs,
         "quality_docs": Q.quality_docs,
         "doc_fingerprints": Q.doc_fingerprints,
+        "doc_rolling_fingerprints": Q.doc_rolling_fingerprints,
         "concept_adwin_events": Q.concept_adwin_events,
         "concept_ddm_events": Q.concept_ddm_events,
         "concept_eddm_events": Q.concept_eddm_events,
@@ -85,8 +86,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _text_oracles() -> dict[str, str]:
+    """Oracle SQL for the text-analysis queries, generated from the SAME
+    constants the engine stages use (stages/textops.py) so profile edits
+    cannot desynchronize the two sides."""
+    from aumos_drift_detector_ray.stages.textops import _LANG_PROFILES, _STOPWORDS
+
+    def sql_list(items) -> str:
+        return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+    stop = sql_list(sorted(_STOPWORDS))
+    langs = list(_LANG_PROFILES)  # python dict order = tie-break priority
+    frac_cols = ",\n".join(
+        f"                   CASE WHEN len(tris) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(tris, x -> list_contains({sql_list(_LANG_PROFILES[lang])}, x))) AS DOUBLE)"
+        f" / len(tris) END AS f_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"f_{lang}" for lang in langs) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN f_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return {
+        "doc_fingerprints": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       regexp_extract_all(lower(text), '[a-z'']+') AS tk
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(tk) AS BIGINT) AS n_tokens,
+                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                       list_avg(list_transform(tk, x -> length(x))) END, 9)
+                       AS DOUBLE) AS mean_token_len,
+                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                       CAST(len(list_filter(tk, x -> list_contains({stop}, x)))
+                           AS DOUBLE) / len(tk) END, 9) AS DOUBLE)
+                       AS stopword_ratio,
+                   CAST(round(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                       AS DOUBLE) / greatest(length(text), 1), 9) AS DOUBLE)
+                       AS punct_ratio,
+                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                       CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 9)
+                       AS DOUBLE) AS distinct_token_ratio
+            FROM toks ORDER BY doc_id
+        """,
+        "langid_docs": f"""
+            WITH padded AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) < 3 THEN []
+                            ELSE list_transform(range(1, length(t) - 1),
+                                                i -> substr(t, i, 3)) END AS tris
+                FROM padded
+            ),
+            scored AS (
+                SELECT doc_id,
+{frac_cols}
+                FROM tri
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {lang_case} AS lang_pred,
+                   CAST({best} AS DOUBLE) AS lang_pred_score
+            FROM scored ORDER BY doc_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_text_oracles(),
         "q1_pricing_summary": """
             -- money sums as exact scaled-integer sums (x10000) so the
             -- distributed engine's sum order cannot produce last-ulp noise

@@ -524,17 +524,35 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_docs(sf_dir: str) -> pd.DataFrame:
+    """Per-document quality heuristics; ratio columns rounded at 9
+    decimals so the SQL oracle (naive list_avg summation order) and the
+    numpy pairwise mean agree bit-for-bit after rounding."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.quality_scores(ds).to_pandas()
     cols = ["doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
             "punct_ratio", "distinct_token_ratio"]
-    return out[cols].sort_values("doc_id").reset_index(drop=True)
+    out = out[cols].sort_values("doc_id").reset_index(drop=True)
+    for c in ("mean_token_len", "stopword_ratio", "punct_ratio",
+              "distinct_token_ratio"):
+        out[c] = out[c].round(9)
+    return out
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Content-addressed document identity: md5 (oracle: DuckDB md5())."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.add_fingerprints(ds).select_columns(
-        ["doc_id", "md5", "min_rolling_hash"]
+        ["doc_id", "md5"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_rolling_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing-style min rolling hash per document (vectorized
+    Rabin-Karp; no SQL analogue — mod-2^64 polynomial arithmetic)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_mod.add_fingerprints(ds).select_columns(
+        ["doc_id", "min_rolling_hash"]
     ).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 

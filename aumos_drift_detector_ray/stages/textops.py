@@ -127,42 +127,56 @@ def add_token_counts(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.D
     return ds.map_batches(fn, batch_format="pandas")
 
 
+_RH_BASE = np.uint64(1000003)
+# base is odd -> invertible mod 2^64; prefix-sum trick below needs it
+_RH_BINV = np.uint64(pow(1000003, -1, 1 << 64))
+
+
+def min_rolling_hash(data: bytes, window: int = 64) -> int:
+    """Min over rolling polynomial (Rabin-Karp) hashes of
+    ``window``-byte windows, mod 2^64 — a 1-gram winnowing fingerprint.
+
+    Vectorized: H_i = base^(i+w-1) * (A_{i+w-1} - A_{i-1}) where
+    A_j = sum d[t] * base^(-t); uint64 wraparound arithmetic makes the
+    modular algebra free (no per-byte Python loop)."""
+    d = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = d.size
+    if n == 0:
+        return 0
+    with np.errstate(over="ignore"):
+        powers = np.multiply.accumulate(
+            np.concatenate([np.ones(1, np.uint64),
+                            np.full(n - 1, _RH_BASE, np.uint64)]))
+        if n <= window:
+            h = np.uint64((d * powers[::-1]).sum())
+            return int(h.view(np.int64))
+        ipowers = np.multiply.accumulate(
+            np.concatenate([np.ones(1, np.uint64),
+                            np.full(n - 1, _RH_BINV, np.uint64)]))
+        prefix = np.concatenate([np.zeros(1, np.uint64),
+                                 np.cumsum(d * ipowers, dtype=np.uint64)])
+        # windows start at i = 0..n-window
+        hi = prefix[window:] - prefix[:-window]          # A_{i+w-1} - A_{i-1}
+        h = np.uint64((powers[window - 1:] * hi).min())
+    return int(h.view(np.int64))
+
+
 def add_fingerprints(
     ds: ray.data.Dataset,
     text_col: str = "text",
     window: int = 64,
 ) -> ray.data.Dataset:
-    """Document fingerprints: full-content md5 plus a rolling
-    (Rabin-Karp-style polynomial) hash of the first/min window —
-    content-addressed identity for exact dedup at scale."""
+    """Document fingerprints: full-content md5 plus the min rolling
+    polynomial hash (``min_rolling_hash``) — content-addressed identity
+    for exact dedup at scale."""
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         md5s, rolls = [], []
         for t in texts:
-            t = t or ""
-            md5s.append(hashlib.md5(t.encode()).hexdigest())
-            # min over rolling polynomial hashes of `window`-char windows
-            # (a 1-gram winnowing fingerprint)
-            data = t.encode()
-            if len(data) <= window:
-                h = 0
-                for b in data:
-                    h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
-                rolls.append(np.int64(np.uint64(h).astype(np.int64)))
-                continue
-            base = 1000003
-            mask = 0xFFFFFFFFFFFFFFFF
-            power = pow(base, window - 1, 1 << 64)
-            h = 0
-            for b in data[:window]:
-                h = (h * base + b) & mask
-            best = h
-            for i in range(window, len(data)):
-                h = ((h - data[i - window] * power) * base + data[i]) & mask
-                if h < best:
-                    best = h
-            rolls.append(np.int64(np.uint64(best).astype(np.int64)))
+            data = (t or "").encode()
+            md5s.append(hashlib.md5(data).hexdigest())
+            rolls.append(min_rolling_hash(data, window))
         return batch.append_column("md5", pa.array(md5s, pa.string())) \
                     .append_column("min_rolling_hash", pa.array(rolls, pa.int64()))
 

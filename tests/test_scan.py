@@ -156,6 +156,36 @@ class TestDedupPairFinalization:
         assert not pairs.duplicated(subset=["id_a", "id_b"]).any()
 
 
+class TestMinRollingHash:
+    def test_matches_per_byte_loop(self):
+        """Vectorized prefix-sum Rabin-Karp == the straightforward
+        per-byte loop for every length regime (empty / sub-window /
+        exact-window / long)."""
+        from aumos_drift_detector_ray.stages.textops import min_rolling_hash
+
+        def ref(data: bytes, window: int = 64) -> int:
+            base, mask = 1000003, 0xFFFFFFFFFFFFFFFF
+            if len(data) <= window:
+                h = 0
+                for b in data:
+                    h = (h * base + b) & mask
+                return int(np.uint64(h).astype(np.int64))
+            power = pow(base, window - 1, 1 << 64)
+            h = 0
+            for b in data[:window]:
+                h = (h * base + b) & mask
+            best = h
+            for i in range(window, len(data)):
+                h = ((h - data[i - window] * power) * base + data[i]) & mask
+                best = min(best, h)
+            return int(np.uint64(best).astype(np.int64))
+
+        rng = np.random.default_rng(0)
+        for n in (0, 1, 5, 63, 64, 65, 100, 553, 2000):
+            data = bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            assert min_rolling_hash(data) == ref(data), n
+
+
 class TestGroupedDistinctCounts:
     def test_matches_nunique(self, ray_session):
         rng = np.random.default_rng(0)
