@@ -13,6 +13,8 @@ from __future__ import annotations
 import html
 from typing import Any
 
+import numpy as np
+
 _SEV_COLORS = {"critical": "#c0392b", "warning": "#e67e22", "info": "#2980b9"}
 
 
@@ -53,14 +55,53 @@ def executive_summary(detections: list[dict[str, Any]]) -> str:
     )
 
 
+def trend_summaries(
+    part_scores: list[dict[str, Any]],
+) -> list[dict[str, Any]]:
+    """Per-(feature, test) trend of the score across ordered partitions,
+    with the reference's linear time-to-critical extrapolation
+    (report_generator.py:617-624): partitions-until-threshold when the
+    score is rising toward it. Only score-increasing tests (drift iff
+    score >= threshold) get an extrapolation — p-value tests drift
+    downward."""
+    from . import metrics as M
+
+    increasing = {"psi", "wasserstein", "js", "hellinger", "mmd"}
+    series: dict[tuple[str, str], list[tuple[int, float, float]]] = {}
+    for s in part_scores:
+        key = (s["feature"], s["test"])
+        series.setdefault(key, []).append(
+            (int(s.get("partition_id", -1)), float(s["score"]),
+             float(s["threshold"]))
+        )
+    out = []
+    for (feature, test), pts in sorted(series.items()):
+        pts.sort()
+        vals = np.asarray([p[1] for p in pts], dtype=float)
+        threshold = pts[-1][2]
+        t = M.linear_trend(vals)
+        ttc = (
+            M.time_to_critical(t["slope"], float(vals[-1]), threshold)
+            if test in increasing and len(vals) >= 2 else None
+        )
+        out.append({
+            "feature": feature, "test": test,
+            "slope": t["slope"], "direction": t["direction"],
+            "current": float(vals[-1]), "threshold": threshold,
+            "time_to_critical": ttc,
+        })
+    return out
+
+
 def generate_html_report(
     run_name: str,
     detections: list[dict[str, Any]],
     matrix_rows: list[dict[str, Any]] | None = None,
+    trends: list[dict[str, Any]] | None = None,
 ) -> str:
-    """Single-file HTML report: summary prose, drift-score table with
-    severity colors, score sparkline, optional per-partition pass/fail
-    matrix."""
+    """Single-file HTML report: executive summary prose, drift-score
+    table with severity colors, score sparkline, optional per-partition
+    pass/fail matrix and score-trend / time-to-critical table."""
     rows_html = []
     for d in sorted(detections, key=lambda r: (not r.get("is_drifted", False),
                                                r.get("feature", ""))):
@@ -88,6 +129,23 @@ def generate_html_report(
             "<table><tr><th>partition</th><th>check</th><th>violations</th>"
             f"<th>rows</th><th>status</th></tr>{cells}</table>"
         )
+    trend_html = ""
+    if trends:
+        tcells = "".join(
+            f"<tr><td>{html.escape(str(t['feature']))}</td>"
+            f"<td>{html.escape(str(t['test']))}</td>"
+            f"<td>{t['current']:.6g}</td>"
+            f"<td>{html.escape(str(t['direction']))}</td>"
+            f"<td>{t['slope']:.3g}</td>"
+            f"<td>{'%.1f partitions' % t['time_to_critical'] if t.get('time_to_critical') is not None else '—'}</td></tr>"
+            for t in trends
+        )
+        trend_html = (
+            "<h2>Score trend &amp; time to critical</h2>"
+            "<table><tr><th>feature</th><th>test</th><th>current</th>"
+            "<th>direction</th><th>slope</th><th>time to critical</th></tr>"
+            f"{tcells}</table>"
+        )
     scores = [float(d.get("score", 0.0)) for d in detections]
     return f"""<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>Drift report — {html.escape(run_name)}</title>
@@ -105,5 +163,6 @@ def generate_html_report(
 <th>severity</th><th>verdict</th></tr>
 {''.join(rows_html)}
 </table>
+{trend_html}
 {matrix_html}
 </body></html>"""

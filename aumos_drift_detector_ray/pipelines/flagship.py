@@ -455,7 +455,7 @@ def run_drift(
         json.dumps(baseline, sort_keys=True, default=str).encode(),
     )
     # self-contained HTML report + dashboard counts alongside the outputs
-    from ..functions.report import generate_html_report
+    from ..functions.report import generate_html_report, trend_summaries
 
     matrix_files = sorted(
         glob.glob(os.path.join(prod_out_dir, "matrix", "shard=*.parquet"))
@@ -464,9 +464,10 @@ def run_drift(
         pa.concat_tables([pq.read_table(f) for f in matrix_files])
         .to_pandas().to_dict("records") if matrix_files else []
     )
+    trends = trend_summaries(part_scores)
     ckpt.atomic_write_bytes(
         os.path.join(prod_out_dir, "report.html"),
-        generate_html_report(run_id, det, matrix_rows).encode(),
+        generate_html_report(run_id, det, matrix_rows, trends=trends).encode(),
     )
     ckpt.atomic_write_bytes(
         os.path.join(prod_out_dir, "dashboard.json"),

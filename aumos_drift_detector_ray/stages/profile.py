@@ -346,17 +346,35 @@ def baseline_version(
     profiles: dict[str, Any],
     model_id: str = "default",
     model_version: str = "v1",
+    quantile_grid: int = 129,
 ) -> dict[str, Any]:
     """BaselineVersion-shaped snapshot with the reference's canonical-JSON
-    SHA-256 fingerprint (baseline_manager.py:140-158, 643-658)."""
+    SHA-256 fingerprint (baseline_manager.py:140-158, 643-658).
+
+    Beyond the reference's FeatureStatistics fields, the export carries a
+    ``feature_quantiles`` block (a ``quantile_grid``-point CDF per
+    feature from the KLL sketch) so an IMPORTED baseline can be scored
+    against without re-profiling the reference window — the load half of
+    export_baseline/import_baseline (baseline_manager.py:563-615). The
+    fingerprint stays over ``feature_stats`` only (reference parity)."""
     stats = feature_statistics(profiles)
     canonical = json.dumps(
         {name: s for name, s in sorted(stats.items())}, sort_keys=True, default=str
     )
+    probs = np.linspace(0.0, 1.0, quantile_grid)
+    quantiles = {
+        col: {
+            "probs": probs.tolist(),
+            "values": np.asarray(prof.kll.quantile(probs)).tolist(),
+        }
+        for col, prof in profiles["num"].items()
+        if prof.moments.n > 0
+    }
     return {
         "model_id": model_id,
         "model_version": model_version,
         "feature_stats": stats,
+        "feature_quantiles": quantiles,
         "sample_count": max((s["count"] for s in stats.values()), default=0),
         "fingerprint": hashlib.sha256(canonical.encode()).hexdigest(),
         "categorical_counts": {
@@ -364,3 +382,26 @@ def baseline_version(
             for col, prof in profiles.get("cat", {}).items()
         },
     }
+
+
+def load_baseline(raw: "str | bytes | dict[str, Any]",
+                  verify_fingerprint: bool = True) -> dict[str, Any]:
+    """Import a baseline JSON export (the import/activate half of the
+    reference's baseline round-trip, baseline_manager.py:589-615):
+    parse, verify the canonical-JSON SHA-256 fingerprint over
+    feature_stats, return the baseline dict ready for
+    ``drift.score_against_baseline``."""
+    baseline = raw if isinstance(raw, dict) else json.loads(raw)
+    if "feature_stats" not in baseline:
+        raise ValueError("baseline import missing feature_stats")
+    if verify_fingerprint:
+        canonical = json.dumps(
+            {n: s for n, s in sorted(baseline["feature_stats"].items())},
+            sort_keys=True, default=str,
+        )
+        digest = hashlib.sha256(canonical.encode()).hexdigest()
+        if digest != baseline.get("fingerprint"):
+            raise ValueError(
+                "baseline fingerprint mismatch: stats were modified after export"
+            )
+    return baseline
