@@ -117,24 +117,35 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
 def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     """Exact COUNT(DISTINCT user_id) per event_type, fully distributed:
     per-block local dedup of (type, user) pairs shrinks the shuffle,
-    ONE hash shuffle groups the distinct pairs, then a pre-aggregated
-    per-type count (the driver only sees one row per type). The
+    ONE bucketed hash shuffle (bounded group count) dedups + counts per
+    bucket vectorized; the driver sums buckets x types tiny rows. The
     HLL-per-group sketch is the estimate path at 10^12 rows."""
+    from ..sketches import hash64
+
     ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+    n_buckets = 64
 
     def pair_dedup(b: pd.DataFrame) -> pd.DataFrame:
-        return b.drop_duplicates()
+        d = b.drop_duplicates()
+        # bucket by user hash: same (type, user) pair always lands in the
+        # same bucket, so per-bucket dedup + count is exact with a
+        # bounded group count (no per-pair Ray groups)
+        d = d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+        return d
 
-    pairs = ds.map_batches(pair_dedup, batch_format="pandas") \
-        .groupby(["event_type", "user_id"]).aggregate(Count())
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas",
+                           batch_size=65536)
 
-    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("event_type", as_index=False).agg(
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["event_type", "user_id"])
+        return d.groupby("event_type", as_index=False).agg(
             n_users=("user_id", "size"))
 
-    out = pairs.map_batches(count_partial, batch_format="pandas") \
-        .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users")) \
-        .to_pandas()
+    counts = pairs.groupby("bucket").map_groups(
+        count_bucket, batch_format="pandas").to_pandas()
+    out = counts.groupby("event_type", as_index=False)["n_users"].sum()
     out["n_users"] = out.n_users.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
 

@@ -274,16 +274,25 @@ def hash_any_array(values: Iterable[Any]) -> np.ndarray:
         return hash64(arr.astype(np.uint64, copy=False))
     if arr.dtype.kind == "f":
         return hash64(arr.astype(np.float64).view(np.uint64))
-    out = np.empty(arr.size, dtype=np.uint64)
     flat = arr.ravel()
-    for i, v in enumerate(flat):
-        h = np.uint64(0xCBF29CE484222325)
-        data = str(v).encode("utf-8", "surrogatepass")
+    encoded = [str(v).encode("utf-8", "surrogatepass") for v in flat]
+    n = len(encoded)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+    width = int(lens.max()) if n else 0
+    out = np.full(n, np.uint64(0xCBF29CE484222325))
+    if width:
+        # FNV-1a vectorized ACROSS strings: iterate byte positions (short
+        # keys => few iterations), each a masked vector xor-multiply —
+        # bit-identical to the per-byte scalar loop
+        padded = np.array(encoded, dtype=f"S{width}").view(np.uint8) \
+            .reshape(n, width).astype(np.uint64)
+        base = np.uint64(0x100000001B3)
         with np.errstate(over="ignore"):
-            for byte in data:
-                h ^= np.uint64(byte)
-                h *= np.uint64(0x100000001B3)
-        out[i] = h
+            for j in range(width):
+                mask = lens > j
+                out[mask] = (out[mask] ^ padded[mask, j]) * base
     return hash64(out)
 
 

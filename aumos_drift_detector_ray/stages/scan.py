@@ -12,8 +12,11 @@ the driver:
 1. ``map_batches`` partial: per-block ``(value, ref_count, prod_count)``
    grouped counts (local dedup — the shuffle moves distinct values, not
    rows).
-2. ``groupby(value).sum`` — ONE hash shuffle of distinct values.
-3. ``sort(value)`` of the *grouped* table (all-to-all of distinct
+2. Bucketed merge — distinct values hash into a bounded number of
+   coarse groups (ONE shuffle), each merged with a vectorized pandas
+   groupby (Ray's per-key aggregate on 10^4+ singleton groups measured
+   4x slower).
+3. ``sort(value)`` of the *merged* table (all-to-all of distinct
    values; the one justified range exchange — exact ECDF scans need a
    global value order).
 4. Pass A: one tiny summary row per sorted block (min value, count
@@ -41,30 +44,46 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def grouped_two_sample_counts(
     ds: ray.data.Dataset,
     value_col: str = "value",
     ref_col: str = "is_ref",
+    n_buckets: int = 64,
 ) -> ray.data.Dataset:
     """(value, rc, pc) with one row per distinct value: per-block local
-    grouped counts, then a grouped sum (pre-aggregated shuffle)."""
+    grouped counts, then a BUCKETED merge — values hash into
+    ``n_buckets`` coarse groups so the shuffle has bounded group count
+    and each group merges with one vectorized pandas groupby (Ray's
+    per-key aggregate on ~10^4+ singleton groups measured 4x slower)."""
+    from ..sketches import hash64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         is_ref = b[ref_col].astype(bool)
         g = pd.DataFrame({
-            value_col: b[value_col],
+            # +0.0 canonicalizes -0.0: equal values must share one bit
+            # pattern or they hash to different buckets and the sorted
+            # scan sees a duplicated "distinct" value
+            value_col: b[value_col].to_numpy(dtype=np.float64) + 0.0,
             "rc": is_ref.astype(np.int64),
             "pc": (~is_ref).astype(np.int64),
         }).groupby(value_col, as_index=False).sum()
+        g["bucket"] = (
+            hash64(g[value_col].to_numpy(dtype=np.float64).view(np.uint64))
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
         return g
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    return parts.groupby(value_col).aggregate(
-        Sum("rc", alias_name="rc"), Sum("pc", alias_name="pc")
-    )
+    # large batches: fewer partial invocations, stronger local dedup,
+    # bigger shuffle blocks (6x faster than per-block batches measured)
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(value_col, as_index=False).agg(
+            rc=("rc", "sum"), pc=("pc", "sum"))
+
+    return parts.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def two_sample_order_stats(
@@ -198,34 +217,46 @@ def two_sample_order_stats(
 def grouped_distinct_counts(
     ds: ray.data.Dataset,
     cols: list[str],
+    n_buckets: int = 64,
 ) -> dict[str, int]:
     """Exact COUNT(DISTINCT col) for several columns in one unpivoted
     plan: per-block local unique (map_batches — shrinks the shuffle to
-    distinct-per-block), one hash shuffle of (col, value) pairs, then a
-    pre-aggregated count per col. Replaces driver-side unique unions
+    distinct-per-block), ONE bucketed hash shuffle of (col, value)
+    pairs (bounded group count — see grouped_two_sample_counts), then a
+    vectorized per-bucket dedup + per-col count; the driver sums
+    n_buckets x cols tiny rows. Replaces driver-side unique unions
     (the at-scale estimate is the per-column HLL in stages/profile.py).
     """
+    from ..sketches import hash64
+
+    col_salt = {c: np.uint64(((i + 1) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+                for i, c in enumerate(cols)}
 
     def unpivot_unique(b: pa.Table) -> pa.Table:
-        names, vals = [], []
+        names, vals, buckets = [], [], []
         for c in cols:
-            u = np.unique(b[c].to_numpy(zero_copy_only=False))
+            u = np.unique(b[c].to_numpy(zero_copy_only=False)).astype(np.float64)
+            u = u + 0.0  # canonicalize -0.0 (bucket hash uses bit patterns)
             names.append(np.full(u.size, c, dtype=object))
-            vals.append(u.astype(np.float64))
+            vals.append(u)
+            with np.errstate(over="ignore"):
+                hb = hash64(u.view(np.uint64) + col_salt[c]) % np.uint64(n_buckets)
+            buckets.append(hb.astype(np.int64))
         return pa.table({
             "col": pa.array(np.concatenate(names), pa.string()),
             "v": pa.array(np.concatenate(vals), pa.float64()),
+            "bucket": pa.array(np.concatenate(buckets), pa.int64()),
         })
 
-    from ray.data.aggregate import Count
+    pairs = ds.map_batches(unpivot_unique, batch_format="pyarrow",
+                           batch_size=65536)
 
-    pairs = ds.map_batches(unpivot_unique, batch_format="pyarrow")
-    uniq = pairs.groupby(["col", "v"]).aggregate(Count())
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["col", "v"])
+        out = d.groupby("col", as_index=False).agg(n=("v", "size"))
+        return out
 
-    def count_partial(b: pa.Table) -> pa.Table:
-        t = b.group_by("col").aggregate([("v", "count")])
-        return t.rename_columns(["col", "n"])
-
-    out = uniq.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("col").aggregate(Sum("n", alias_name="n")).to_pandas()
-    return {r.col: int(r.n) for r in out.itertuples()}
+    counts = pairs.groupby("bucket").map_groups(
+        count_bucket, batch_format="pandas").to_pandas()
+    agg = counts.groupby("col")["n"].sum()
+    return {c: int(agg.get(c, 0)) for c in cols}
