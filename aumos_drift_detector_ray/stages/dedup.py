@@ -39,19 +39,29 @@ from ..sketches import hash64, hash_any_array, hash_char_shingles
 # exact uniqueness / dedup
 # ---------------------------------------------------------------------------
 
-def duplicate_keys(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
-    """Keys appearing more than once: ``groupby(key).count() > 1``.
-    One shuffle of the scalar key column."""
-    # coalesce blocks first: Ray's sort-based groupby cost scales with
-    # block count more than row count at these sizes
-    counts = ds.repartition(32).groupby(key).count()
+def duplicate_keys(ds: ray.data.Dataset, key: str,
+                   n_buckets: int = 64) -> ray.data.Dataset:
+    """Keys appearing more than once. ONE bucketed shuffle of the scalar
+    key column: per-block local counts, keys hashed into ``n_buckets``
+    coarse groups, each merged with a vectorized pandas value-count
+    (Ray's per-key groupby().count() on ~10^5 singleton groups measured
+    4x slower). Output: (key, count()) rows for duplicated keys only."""
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def local_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(key, as_index=False).agg(n=(key, "size"))
+        g["bucket"] = (hash_any_array(g[key].tolist())
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
 
-        return batch.filter(pc.greater(batch["count()"], 1))
+    parts = ds.select_columns([key]).map_batches(
+        local_counts, batch_format="pandas", batch_size=65536)
 
-    return counts.map_batches(keep, batch_format="pyarrow")
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(key, as_index=False)["n"].sum()
+        m = m[m.n > 1].rename(columns={"n": "count()"})
+        return m
+
+    return parts.groupby("bucket").map_groups(merge, batch_format="pandas")
 
 
 def uniqueness_violations(
@@ -68,7 +78,7 @@ def uniqueness_violations(
     hash-partition group pass (a second shuffle)."""
     import pyarrow.compute as pc
 
-    dups = duplicate_keys(ds, key)
+    dups = duplicate_keys(ds, key).materialize()  # consumed twice below
     n_dups = dups.count()
     if n_dups == 0:
         return ds.limit(0)
@@ -105,11 +115,13 @@ def dedup_exact(ds: ray.data.Dataset, key: str, order_col: str | None = None) ->
 # shared candidate-pair plumbing
 # ---------------------------------------------------------------------------
 
-def _adaptive_coarse(n_exploded: int, target_rows: int = 4096,
+def _adaptive_coarse(n_exploded: int, target_rows: int = 32768,
                      lo: int = 64, hi: int = 65536) -> int:
     """Coarse-bucket fan-out sized to the exploded row count, so each
     coarse group holds ~``target_rows`` band rows at any input scale
-    (a fixed 256 meant multi-GB groups at 10^9 rows)."""
+    (a fixed 256 meant multi-GB groups at 10^9 rows; too-small targets
+    pay Ray per-group overhead — the in-group verify is vectorized, so
+    groups should be as large as comfortably fit a task's memory)."""
     return int(np.clip(n_exploded // target_rows, lo, hi))
 
 

@@ -124,7 +124,7 @@ class TestDedupPairFinalization:
         from aumos_drift_detector_ray.stages.dedup import _adaptive_coarse
 
         assert _adaptive_coarse(10_000) == 64            # floor
-        assert _adaptive_coarse(10_000_000) == 2441      # grows with input
+        assert _adaptive_coarse(10_000_000) == 305       # grows with input
         assert _adaptive_coarse(10**12) == 65536         # cap
 
     def test_hamming_pairs_10x_no_single_task(self, ray_session):
