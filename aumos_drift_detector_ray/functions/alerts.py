@@ -137,3 +137,67 @@ def evaluate_drift_trigger(
     return {"model_id": model_id, "triggered": True, "outcome": "triggered",
             "drift_score": drift_score, "test_name": test_name,
             "event_type": "drift.retraining_required"}
+
+
+# ---------------------------------------------------------------------------
+# alert lifecycle / monitor status transitions (core/services.py control
+# plane: _VALID_STATUS_TRANSITIONS services.py:33-37, acknowledge_alert
+# services.py:455-497 — NotFound / already-acknowledged conflicts)
+# ---------------------------------------------------------------------------
+
+VALID_STATUS_TRANSITIONS: dict[str, tuple[str, ...]] = {
+    "active": ("paused", "disabled"),
+    "paused": ("active", "disabled"),
+    "disabled": ("active",),
+}
+
+
+class TransitionConflict(ValueError):
+    """Raised for an invalid monitor status transition or a duplicate
+    alert acknowledgement (the reference's ConflictError)."""
+
+
+def validate_status_transition(current: str, new: str) -> str:
+    """Monitor status state machine (services.py:199-204): returns the
+    new status or raises TransitionConflict."""
+    allowed = VALID_STATUS_TRANSITIONS.get(current, ())
+    if new not in allowed:
+        raise TransitionConflict(
+            f"Cannot transition monitor from '{current}' to '{new}'."
+        )
+    return new
+
+
+def acknowledge_alerts(
+    alerts: "Any",
+    alert_ids: "list[str]",
+    acknowledged_by: str,
+    acknowledged_at: str = "",
+    id_col: str = "fingerprint",
+) -> "Any":
+    """Acknowledge alert rows in an alerts table (pandas frame of the
+    engine's alerts output): sets acknowledged / acknowledged_by /
+    acknowledged_at (models.py:204-212 fields). Raises
+    TransitionConflict for an already-acknowledged alert and KeyError
+    for an unknown id — the reference's conflict semantics
+    (services.py:473-483). Returns the updated frame (the caller
+    rewrites the alerts parquet — idempotent partition-addressed
+    output)."""
+    import pandas as pd
+
+    df = alerts.copy()
+    for col, default in (("acknowledged", False),
+                         ("acknowledged_by", None),
+                         ("acknowledged_at", None)):
+        if col not in df.columns:
+            df[col] = default
+    for aid in alert_ids:
+        mask = df[id_col] == aid
+        if not mask.any():
+            raise KeyError(f"Drift alert {aid} not found.")
+        if bool(df.loc[mask, "acknowledged"].any()):
+            raise TransitionConflict(f"Alert {aid} is already acknowledged.")
+        df.loc[mask, "acknowledged"] = True
+        df.loc[mask, "acknowledged_by"] = acknowledged_by
+        df.loc[mask, "acknowledged_at"] = acknowledged_at or pd.Timestamp.utcnow().isoformat()
+    return df

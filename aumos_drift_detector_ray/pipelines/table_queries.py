@@ -886,17 +886,28 @@ def daily_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
     driver-side scan (days are bounded; rows are not)."""
     ds = sf_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
 
+    from ..sketches import hash64
+
     def daily(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
+        g = pd.DataFrame({
             "day": b.o_orderdate.dt.floor("D"),
             "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
         }).groupby("day", as_index=False).agg(
             n=("price_c", "size"), price_c=("price_c", "sum")
         )
+        # bucketed merge: thousands of day-groups pay Ray's per-key
+        # aggregate overhead; hash days into 32 coarse groups instead
+        g["bucket"] = (hash64(g.day.astype("int64").to_numpy().view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
 
-    agg = ds.map_batches(daily, batch_format="pandas").groupby("day").aggregate(
-        Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c")
-    ).to_pandas().sort_values("day").reset_index(drop=True)
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("day", as_index=False).agg(
+            n=("n", "sum"), price_c=("price_c", "sum"))
+
+    agg = ds.map_batches(daily, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas().sort_values("day").reset_index(drop=True)
     agg["cum_revenue"] = (agg.price_c.cumsum().astype("float64") / 100.0)
     agg["n"] = agg.n.astype("int64")
     agg["day"] = agg.day.astype("datetime64[us]")

@@ -12,11 +12,66 @@ when the dependency exists.
 
 from __future__ import annotations
 
+import threading
 from typing import Any
 
 import pyarrow as pa
 
 import ray.data
+
+# Datasource construction triggers fsspec's lazy `implementations.http`
+# import, which (with aiohttp absent) FAILS with ModuleNotFoundError —
+# handled by Ray — but because a failed import is removed from
+# sys.modules and retried on EVERY read, two CONCURRENT reads can race
+# the retry and one thread gets a bare ImportError Ray does not catch
+# (path_util._is_http_filesystem catches ModuleNotFoundError only).
+#
+# Defuse: import fsspec.implementations.http ONCE at module load with a
+# throwaway stub aiohttp/yarl in sys.modules just long enough for the
+# import to succeed and stay cached (we never read http:// URLs; the
+# stubs are removed immediately so real `import aiohttp` elsewhere
+# still fails cleanly). If the warm-up doesn't take, fall back to
+# serializing datasource construction with a lock.
+
+
+def _defuse_fsspec_http_import_race() -> bool:
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return True  # real deps present; import is cached, no race
+    except ImportError:
+        pass
+    added = []
+    stubs: dict[str, dict[str, Any]] = {
+        "aiohttp": {"ClientSession": object, "ClientError": Exception,
+                    "ClientResponseError": Exception, "ClientTimeout": object,
+                    "TCPConnector": object},
+        "yarl": {"URL": str},
+    }
+    for name, attrs in stubs.items():
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(mod, k, v)
+            sys.modules[name] = mod
+            added.append(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return "fsspec.implementations.http" in sys.modules
+    except Exception:
+        return False
+    finally:
+        for name in added:
+            sys.modules.pop(name, None)
+
+
+_FSSPEC_HTTP_CACHED = _defuse_fsspec_http_import_race()
+_READ_CONSTRUCT_LOCK: Any = (
+    threading.Lock() if not _FSSPEC_HTTP_CACHED else
+    __import__("contextlib").nullcontext()
+)
 
 
 def _clean_read_schema(path: Any, columns: list[str] | None) -> "pa.Schema | None":
@@ -70,7 +125,8 @@ def read_table(
                 "lance support requires the pylance package; use format='parquet'"
             ) from exc
     if format == "csv":
-        ds = ray.data.read_csv(path, include_paths=include_paths, **kwargs)
+        with _READ_CONSTRUCT_LOCK:
+            ds = ray.data.read_csv(path, include_paths=include_paths, **kwargs)
         if columns is not None:
             ds = ds.select_columns(columns)
         if filter is not None:
@@ -84,13 +140,14 @@ def read_table(
         clean = _clean_read_schema(path, columns)
         if clean is not None:
             kwargs["schema"] = clean
-    return ray.data.read_parquet(
-        path,
-        columns=columns,
-        filter=filter,
-        include_paths=include_paths,
-        **kwargs,
-    )
+    with _READ_CONSTRUCT_LOCK:
+        return ray.data.read_parquet(
+            path,
+            columns=columns,
+            filter=filter,
+            include_paths=include_paths,
+            **kwargs,
+        )
 
 
 def sf_table(sf_dir: str, name: str, columns: list[str] | None = None,

@@ -78,7 +78,8 @@ def run_headline(num_cpus: int) -> dict:
     # FIXED pool size per window job (autoscaling pools were observed to
     # stay at their minimum and idle the cluster); two window jobs run
     # concurrently, so each gets just under half the CPUs
-    decode_conc = max(2, (num_cpus - 4) // 2)
+    decode_conc = int(os.environ.get("BENCH_DECODE_CONC", "0")) \
+        or max(2, (num_cpus - 4) // 2)
     try:
         # warm the page cache so we measure compute+shuffle, not first read
         from aumos_drift_detector_ray.sources.reader import read_table
@@ -107,19 +108,30 @@ def run_headline(num_cpus: int) -> dict:
                 decode_concurrency=max(2, num_cpus - 3),
                 resume=False,
             )
+            t_validate = time.time() - t0
+            t1 = time.time()
+            F.run_shuffle_checks(prod_out)
+            t_shuffle = time.time() - t1
         else:
             from concurrent.futures import ThreadPoolExecutor
 
+            # the prod-window shuffle checks depend only on the prod
+            # flags output, so they OVERLAP the still-running ref-window
+            # validation instead of waiting for both windows
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f1 = pool.submit(F.run_validation, ref_in, ref_out, ref_cfg, False)
                 f2 = pool.submit(F.run_validation, prod_in, prod_out, prod_cfg, False)
-                f1.result()
                 f2.result()
-        t_validate = time.time() - t0
-
-        t1 = time.time()
-        F.run_shuffle_checks(prod_out)
-        t_shuffle = time.time() - t1
+                F.run_shuffle_checks(prod_out)
+                t_checks_done = time.time() - t0
+                f1.result()
+                t_validations_done = time.time() - t0
+            # honest wall: everything before drift scoring. The segment
+            # split is approximate under overlap (checks run while the
+            # ref window may still be validating).
+            wall_vs = max(t_checks_done, t_validations_done)
+            t_validate = t_validations_done
+            t_shuffle = wall_vs - t_validations_done
 
         t2 = time.time()
         F.run_drift(ref_out, prod_out, run_id="bench")
@@ -182,7 +194,7 @@ def scaling() -> None:
     # the efficiency ratio amplifies run-to-run noise (~±10% per level on
     # this shared sandbox), so report the MEDIAN of `repeats` runs per
     # parallelism level rather than a single draw
-    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_SCALING_REPEATS", "5"))
     results = {}
     for ncpu in (8, 32):
         runs = []

@@ -273,3 +273,43 @@ class TestPlugins:
         r = P.run_plugin("def drift_test(ref, prod):\n    raise RuntimeError('boom')\n",
                          [1.0], [1.0])
         assert r == {"error": "boom", "drift_detected": False}
+
+
+class TestAlertLifecycle:
+    """Control-plane status transitions + acknowledge conflicts
+    (core/services.py:33-37, 455-497 semantics)."""
+
+    def test_monitor_status_transitions(self):
+        from aumos_drift_detector_ray.functions.alerts import (
+            TransitionConflict, validate_status_transition)
+
+        assert validate_status_transition("active", "paused") == "paused"
+        assert validate_status_transition("paused", "disabled") == "disabled"
+        assert validate_status_transition("disabled", "active") == "active"
+        import pytest as _pytest
+        with _pytest.raises(TransitionConflict):
+            validate_status_transition("disabled", "paused")
+        with _pytest.raises(TransitionConflict):
+            validate_status_transition("active", "active")
+
+    def test_acknowledge_alert_conflicts(self):
+        import pandas as pd
+        import pytest as _pytest
+
+        from aumos_drift_detector_ray.functions.alerts import (
+            TransitionConflict, acknowledge_alerts)
+        from aumos_drift_detector_ray.functions.severity import alert_row
+
+        rows = [alert_row("run", 0, "w", "psi", 0.5, 0.2),
+                alert_row("run", 1, "h", "ks", 0.001, 0.05)]
+        df = pd.DataFrame(rows)
+        fid = df.fingerprint.iloc[0]
+        out = acknowledge_alerts(df, [fid], "operator-1", "2026-08-17T00:00:00")
+        assert bool(out.loc[out.fingerprint == fid, "acknowledged"].all())
+        assert (out.loc[out.fingerprint == fid, "acknowledged_by"] == "operator-1").all()
+        assert not out.loc[out.fingerprint != fid, "acknowledged"].any()
+        # double-ack conflicts; unknown id raises
+        with _pytest.raises(TransitionConflict):
+            acknowledge_alerts(out, [fid], "operator-2")
+        with _pytest.raises(KeyError):
+            acknowledge_alerts(out, ["nope"], "operator-2")
