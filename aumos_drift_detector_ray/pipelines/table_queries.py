@@ -740,6 +740,7 @@ def llm_output_drift_docs(sf_dir: str) -> pd.DataFrame:
     r = llm_output_drift(
         ds.map_batches(even, batch_format="pyarrow"),
         ds.map_batches(odd, batch_format="pyarrow"),
+        id_col="doc_id",
     )
     return pd.DataFrame({
         "mmd_squared": [r["mmd_squared"]],

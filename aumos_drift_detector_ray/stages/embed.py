@@ -91,13 +91,35 @@ def llm_output_drift(
     threshold: float = 0.05,
     sample_per_side: int = 500,
     dim: int = 64,
+    id_col: str | None = None,
 ) -> dict[str, Any]:
     """Semantic drift between two text windows: embed bounded samples of
     each side (the MMD U-statistic is O(n^2), and the reference itself
     caps the bandwidth sample at 500 — mmd.py:56-60), then MMD^2 with
-    the llm_output_mmd result shape (llm_output_monitor.py:63-99)."""
-    ref = embed_texts(ref_ds.limit(sample_per_side), text_col, dim).to_pandas()
-    prod = embed_texts(prod_ds.limit(sample_per_side), text_col, dim).to_pandas()
+    the llm_output_mmd result shape (llm_output_monitor.py:63-99).
+
+    With ``id_col`` the samples come from the deterministic hash
+    bottom-k sketch (uniform, order-independent); without an id column
+    ``limit()`` takes the first N in block order — fine for unordered
+    storage, biased if the table is time-clustered."""
+    if id_col is not None:
+        from .sample import bottom_k_by_group
+
+        def pick(ds):
+            import pandas as pd
+
+            s = bottom_k_by_group(ds.select_columns([id_col, text_col]),
+                                  id_col, text_col, sample_per_side)["None"]
+            texts = [t or "" for t in s.rows]
+            return pd.DataFrame({
+                text_col: texts,
+                "embedding": list(hashing_embed(texts, dim)),
+            })
+
+        ref, prod = pick(ref_ds), pick(prod_ds)
+    else:
+        ref = embed_texts(ref_ds.limit(sample_per_side), text_col, dim).to_pandas()
+        prod = embed_texts(prod_ds.limit(sample_per_side), text_col, dim).to_pandas()
     if len(ref) == 0 or len(prod) == 0:
         return {"test": "llm_output_mmd", "drift_detected": False,
                 "mmd_squared": 0.0, "reason": "empty_inputs"}
