@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": Q.events_by_type,
         "distinct_users_per_type": Q.distinct_users_per_type,
         "hourly_event_counts": Q.hourly_event_counts,
+        "sliding_4h_event_stats": Q.sliding_4h_event_stats,
         "orders_per_segment": Q.orders_per_segment,
         "top10_orders_by_price": Q.top10_orders_by_price,
         "lang_counts": Q.lang_counts,
@@ -203,6 +204,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
                        AS sum_value
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "sliding_4h_event_stats": """
+            -- trailing 4h RANGE window over the hourly series (gaps
+            -- shorten the effective window, matching the engine's
+            -- searchsorted scan)
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            )
+            SELECT hour,
+                   CAST(sum(n) OVER w AS BIGINT) AS n_4h,
+                   CAST(sum(value_c) OVER w AS DOUBLE) / 100.0
+                       AS sum_value_4h
+            FROM h
+            WINDOW w AS (ORDER BY hour
+                         RANGE BETWEEN INTERVAL 3 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY hour
         """,
         "orders_per_segment": """
             SELECT c.c_mktsegment AS segment,

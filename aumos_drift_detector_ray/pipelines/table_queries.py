@@ -172,6 +172,45 @@ def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     return out.drop(columns=["value_c"]).sort_values("hour").reset_index(drop=True)
 
 
+def sliding_4h_event_stats(sf_dir: str) -> pd.DataFrame:
+    """Trailing 4-hour sliding-window counts/sums per event hour (RANGE
+    window semantics — gaps shorten the window): per-block hourly
+    partials merge in one bucketed shuffle (unbounded rows → bounded
+    hour series); the sliding scan is a vectorized driver pass over the
+    bounded series (stages/aggregate.sliding_time_window_sums)."""
+    from ..sketches import hash64
+    from ..stages.aggregate import sliding_time_window_sums
+
+    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def hourly(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+        g["bucket"] = (hash64(g.hour.astype("int64").to_numpy().view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("hour", as_index=False).agg(
+            n=("n", "sum"), value_c=("value_c", "sum"))
+
+    agg = ds.map_batches(hourly, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    epoch_hours = (agg.hour.astype("datetime64[us]").astype("int64")
+                   // 3_600_000_000).to_numpy()
+    n4 = sliding_time_window_sums(epoch_hours, agg.n.to_numpy(), 4)
+    v4 = sliding_time_window_sums(epoch_hours, agg.value_c.to_numpy(), 4)
+    return pd.DataFrame({
+        "hour": agg.hour.astype("datetime64[us]"),
+        "n_4h": n4.astype("int64"),
+        "sum_value_4h": v4.astype("float64") / 100.0,
+    })
+
+
 def orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Broadcast join: customer (small side) shipped once via ray.put,
     orders stream maps custkey → segment per batch, grouped sum."""
@@ -319,26 +358,33 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
 
 def exact_dup_docs(sf_dir: str) -> pd.DataFrame:
     """Exact text dedup groups: content md5 → (hash, keeper=min id, n).
-    Hash-partition + per-group first — the canonical exact-dedup shuffle."""
+    The canonical exact-dedup shuffle, bucketed: md5 keys hash into 64
+    coarse groups (same content → same group), each reduced with one
+    vectorized pandas groupby — no per-content-hash Ray groups."""
+    from ..sketches import hash_any_array
+
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b.text]
         return pd.DataFrame({
-            "h": [hashlib.md5(t.encode()).hexdigest() for t in b.text],
+            "h": h,
             "doc_id": b.doc_id,
+            "bucket": (hash_any_array(h) % np.uint64(64)).astype(np.int64),
         })
 
-    hashed = ds.map_batches(add_hash, batch_format="pandas")
+    hashed = ds.map_batches(add_hash, batch_format="pandas", batch_size=65536)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "h": [g.h.iloc[0]],
-            "keeper": [np.int64(g.doc_id.min())],
-            "n": [np.int64(len(g))],
-        })
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(
+            keeper=("doc_id", "min"), n=("doc_id", "size"))
+        out["keeper"] = out.keeper.astype("int64")
+        out["n"] = out.n.astype("int64")
+        return out
 
-    out = hashed.groupby("h").map_groups(per_group, batch_format="pandas").to_pandas()
-    return out.sort_values("h").reset_index(drop=True)
+    out = hashed.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    return out[["h", "keeper", "n"]].sort_values("h").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -86,3 +86,29 @@ def salted_group_apply(
 
     partials = salted.groupby([key, "__salt"]).map_groups(p1, batch_format="pandas")
     return partials.groupby(key).map_groups(merge_fn, batch_format="pandas")
+
+
+def sliding_time_window_sums(
+    bucket_starts: "Any",
+    values: "Any",
+    width_buckets: int,
+) -> "Any":
+    """Trailing time-window sums over an ORDERED, possibly-gappy bucket
+    series: out[i] = sum of values[j] for buckets within
+    (start[i] - width, start[i]] — RANGE-window semantics, not
+    ROWS-window (gaps shorten the effective window).
+
+    The intended use is the engine's sliding-window aggregate: raw rows
+    reduce to per-bucket partials with ONE bucketed shuffle (unbounded
+    input -> bounded series), then this vectorized scan runs on the
+    driver over the bounded series. ``bucket_starts`` must be sorted
+    ascending, in integer bucket units (e.g. epoch hours); ``width_buckets``
+    counts buckets, window inclusive of the current bucket."""
+    import numpy as np
+
+    starts = np.asarray(bucket_starts, dtype=np.int64)
+    vals = np.asarray(values)
+    cs = np.concatenate([[0], np.cumsum(vals)])
+    lo = np.searchsorted(starts, starts - (width_buckets - 1), side="left")
+    hi = np.arange(1, len(starts) + 1)
+    return cs[hi] - cs[lo]

@@ -196,3 +196,16 @@ class TestGroupedDistinctCounts:
         ds = ray.data.from_pandas(df).repartition(9)
         out = scan.grouped_distinct_counts(ds, ["a", "b"])
         assert out == {"a": int(df.a.nunique()), "b": int(df.b.nunique())}
+
+
+class TestSlidingTimeWindow:
+    def test_gappy_range_semantics(self):
+        from aumos_drift_detector_ray.stages.aggregate import (
+            sliding_time_window_sums)
+
+        hours = np.array([0, 1, 2, 5, 6, 10])
+        vals = np.array([1, 2, 3, 4, 5, 6])
+        out = sliding_time_window_sums(hours, vals, 4)
+        # window (t-4, t]: gaps shorten the effective window
+        # h=5 covers hours 2..5 -> 3+4; h=6 covers 3..6 -> 4+5
+        assert out.tolist() == [1, 3, 6, 7, 9, 6]
