@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (oracle-checked)
         "order_lineitem_revenue": Q.order_lineitem_revenue,
         "asof_click_before_error": Q.asof_click_before_error,
+        "events_value_band_counts": Q.events_value_band_counts,
         # window functions (oracle-checked)
         "top3_orders_per_segment": Q.top3_orders_per_segment,
         "daily_cumulative_revenue": Q.daily_cumulative_revenue,
@@ -526,6 +527,16 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1 ORDER BY 1
+        """,
+        "events_value_band_counts": """
+            WITH bands(band, lo, hi) AS (
+                VALUES ('b0', 0.0, 5.0), ('b1', 5.0, 10.0),
+                       ('b2', 10.0, 20.0), ('b3', 20.0, 1e18)
+            )
+            SELECT e.event_type, b.band, CAST(count(*) AS BIGINT) AS n
+            FROM events e JOIN bands b
+              ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "asof_click_before_error": """
             WITH clicks AS (

@@ -860,6 +860,35 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def events_value_band_counts(sf_dir: str) -> pd.DataFrame:
+    """Range join (point-in-interval per key): events (point = value)
+    against a per-type interval table of fixed value bands, then counts
+    per (type, band). Exercises stages/joins.range_join end-to-end with
+    a SQL oracle (the oracle reproduces the interval join directly)."""
+    from ..stages.joins import range_join
+
+    ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    types = sorted(ev.groupby("event_type").count().to_pandas().event_type)
+    bands = [("b0", 0.0, 5.0), ("b1", 5.0, 10.0),
+             ("b2", 10.0, 20.0), ("b3", 20.0, 1e18)]
+    iv = pd.DataFrame([
+        {"event_type": t, "band": b, "lo": lo, "hi": hi}
+        for t in types for b, lo, hi in bands
+    ])
+    joined = range_join(ev, ray.data.from_pandas(iv), key="event_type",
+                        point_col="value", lo_col="lo", hi_col="hi")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["event_type", "iv_band"], as_index=False) \
+            .agg(n=("value", "size"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "iv_band"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().rename(columns={"iv_band": "band"})
+    out["n"] = out.n.astype("int64")
+    return out.sort_values(["event_type", "band"]).reset_index(drop=True)
+
+
 def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     """As-of join: for every 'error' event, the same user's latest
     'click' at or before it (ties broken toward the highest event_id)."""
@@ -976,25 +1005,38 @@ def salted_count_by_type(sf_dir: str) -> pd.DataFrame:
 def user_session_stats(sf_dir: str) -> pd.DataFrame:
     """Gap-based sessionization (30-minute inactivity closes a session):
     per user, number of sessions and the largest session's row count.
-    One hash shuffle by user; per-user windowing is a sorted scan inside
-    ``map_groups`` (the streaming-window pattern from the engine's
-    event-time toolkit)."""
+    One bucketed hash shuffle by user (bounded group count — all of a
+    user's rows land in one bucket); the per-bucket sessionizer is fully
+    vectorized across the bucket's users."""
+    from ..sketches import hash64
+
     ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        gaps = g.ts.diff()
-        new_session = gaps.isna() | (gaps > pd.Timedelta(minutes=30))
-        sess = new_session.cumsum()
-        counts = sess.value_counts()
-        return pd.DataFrame({
-            "user_id": [np.int64(g.user_id.iloc[0])],
-            "n_sessions": [np.int64(sess.iloc[-1])],
-            "max_session_rows": [np.int64(counts.max())],
-        })
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized sessionization over ALL of the bucket's users at
+        # once: sort by (user, ts); a session break is a user change or
+        # a >30min gap; two-level groupby gives per-session sizes, then
+        # per-user counts/max — no per-user Python
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        gaps = g.ts.diff()
+        new_s = g.user_id.ne(g.user_id.shift()) | (gaps > pd.Timedelta(minutes=30))
+        sid = new_s.cumsum()
+        per_sess = g.groupby([g.user_id, sid], sort=False).size()
+        out = per_sess.groupby(level=0).agg(["size", "max"]).reset_index()
+        out.columns = ["user_id", "n_sessions", "max_session_rows"]
+        return out
+
+    out = ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
     out["user_id"] = out.user_id.astype("int64")
+    out["n_sessions"] = out.n_sessions.astype("int64")
+    out["max_session_rows"] = out.max_session_rows.astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
 
