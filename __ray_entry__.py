@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_embeddings": Q.ann_topk_embeddings,
         # rows-only (non-SQL-expressible; pytest-verified)
         "minhash_dedup_docs": Q.minhash_dedup_docs,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "simhash_docs": Q.simhash_docs,
         "embedding_neardup": Q.embedding_neardup,
         "langid_docs": Q.langid_docs,

@@ -61,7 +61,9 @@ class FlagshipConfig:
     rows: int = 2_000
     rows_per_shard: int = 500
     synth_cfg: synth.SynthConfig = field(default_factory=synth.SynthConfig)
-    decode_concurrency: Any = (2, 8)
+    # None = elastic task pool (decode state is ~free to build); set a
+    # pool size for the actor-pool shape when per-worker state is heavy
+    decode_concurrency: Any = None
     decode_batch_size: int = 256
     phash_tol: int = 9
 

@@ -30,11 +30,33 @@ import ray.data
 from ..sketches import hash_any_array
 
 
+def _key_hashes(col: pa.ChunkedArray) -> np.ndarray:
+    """uint64 key hashes canonicalized PER VALUE: integral numeric keys
+    hash identically whether stored as int64 or float64. hash_any_array
+    is type-sensitive (it hashes bit patterns), and a join side whose
+    int key was degraded to float64 by an upstream nullable union would
+    otherwise bucket 317.0 differently from 317 — silently dropping
+    matches."""
+    from ..sketches import hash64
+
+    if pa.types.is_integer(col.type):
+        vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return hash64(vals.view(np.uint64))
+    if pa.types.is_floating(col.type):
+        vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+        whole = np.isfinite(vals) & (np.floor(vals) == vals) \
+            & (np.abs(vals) < 2**62)
+        as_int = np.where(whole, vals, 0.0).astype(np.int64)
+        h_int = hash64(as_int.view(np.uint64))
+        h_float = hash64(vals.view(np.uint64))
+        return np.where(whole, h_int, h_float)
+    return hash_any_array(col.to_pylist())
+
+
 def _tag_and_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
                     prefix: str) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch[key].to_pylist()
-        bucket = (hash_any_array(keys) % np.uint64(n_buckets)).astype(np.int64)
+        bucket = (_key_hashes(batch[key]) % np.uint64(n_buckets)).astype(np.int64)
         renamed = batch.rename_columns([
             c if c == key else f"{prefix}{c}" for c in batch.column_names
         ])
@@ -86,13 +108,30 @@ def hash_join(
     """
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
-    l_cols = [c if c == key else f"{left_prefix}{c}" for c in left.schema().names]
-    r_cols = [c if c == key else f"{right_prefix}{c}" for c in right.schema().names]
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = [c if c == key else f"{left_prefix}{c}" for c in l_schema.names]
+    r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
+    # int columns degrade to float inside mixed union blocks (the other
+    # side's rows pad them with nulls); restore per side before merging
+    # so chained joins keep integer keys
+    def _is_int(t: Any) -> bool:  # arrow DataType or numpy dtype (pandas blocks)
+        if isinstance(t, pa.DataType):
+            return pa.types.is_integer(t)
+        return getattr(t, "kind", "") in ("i", "u")
+
+    l_ints = [c for c, t in zip(l_cols, l_schema.types) if _is_int(t)]
+    r_ints = [c for c, t in zip(r_cols, r_schema.types) if _is_int(t)]
     both = _union_aligned(lt, rt)
 
+    def _restore_ints(df: pd.DataFrame, cols: "list[str]") -> pd.DataFrame:
+        for c in cols:
+            if c in df.columns and df[c].dtype.kind == "f":
+                df = df.assign(**{c: df[c].astype("int64")})
+        return df
+
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, l_cols]
-        r = g.loc[g["__side"] == 1, r_cols]
+        l = _restore_ints(g.loc[g["__side"] == 0, l_cols], l_ints)
+        r = _restore_ints(g.loc[g["__side"] == 1, r_cols], r_ints)
         if len(r) == 0:
             if how == "left":
                 return l

@@ -305,33 +305,46 @@ def run_row_validation(
     ds: ray.data.Dataset,
     cfg: ValidationConfig,
     bloom_ref: Any | None = None,
-    decode_concurrency: int | tuple[int, int] = (2, 8),
+    decode_concurrency: "int | tuple[int, int] | None" = None,
     decode_batch_size: int | None = None,
 ) -> ray.data.Dataset:
-    """Scalar checks (stateless tasks) then decode/fidelity checks (actor
-    pool).
+    """Scalar checks (stateless tasks) then decode/fidelity checks.
+
+    ``decode_concurrency=None`` (default) runs the decode stage as an
+    ELASTIC TASK pool: this repo's decode state (codec tables) measures
+    ~0 ms to build, so pinning a fixed actor pool only pays ~1 s of
+    process startup per actor and caps elasticity — measured effective
+    parallelism was ~10 of 28 actors on a 7 s stage. Pass a concurrency
+    to get the actor-pool shape instead, which is the right one when
+    per-worker state is genuinely heavy (model weights, big indexes):
+    setup runs once per actor in ``__init__``, not per task.
 
     ``batch_size=None`` is deliberate: with a batch_size set, Ray Data
-    BUNDLES many input blocks into one actor task (until the bundle
-    reaches batch_size rows — and a read task's whole output arrives as
-    one bundle), which collapses a 100-block input to ~5 huge actor
-    tasks and idles the pool. With None, every block is its own task, so
-    pool utilization is governed by the input block count — which the
-    synth writer guarantees via small shard files + 512-row row groups.
-    Size ``decode_concurrency`` BELOW the CPU count so the read and
-    scalar stages are not starved."""
+    BUNDLES many input blocks into one task (until the bundle reaches
+    batch_size rows — and a read task's whole output arrives as one
+    bundle), which collapses a 100-block input to ~5 huge tasks. With
+    None, every block is its own task, so parallelism is governed by the
+    input block count — which the synth writer guarantees via small
+    shard files + 512-row row groups."""
     ds = ds.map_batches(
         make_scalar_validator(cfg, bloom_ref),
         batch_format="pyarrow",
         batch_size=decode_batch_size,
     )
-    ds = ds.map_batches(
-        DecodeValidator,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=decode_batch_size,
-        concurrency=decode_concurrency,
-    )
+    if decode_concurrency is None:
+        ds = ds.map_batches(
+            DecodeValidator(cfg),
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+        )
+    else:
+        ds = ds.map_batches(
+            DecodeValidator,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=decode_batch_size,
+            concurrency=decode_concurrency,
+        )
     return ds
 
 

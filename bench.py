@@ -75,11 +75,11 @@ def run_headline(num_cpus: int) -> dict:
     work = tempfile.mkdtemp(prefix="aumos_bench_out_")
     ref_out = os.path.join(work, "ref")
     prod_out = os.path.join(work, "prod")
-    # FIXED pool size per window job (autoscaling pools were observed to
-    # stay at their minimum and idle the cluster); two window jobs run
-    # concurrently, so each gets just under half the CPUs
-    decode_conc = int(os.environ.get("BENCH_DECODE_CONC", "0")) \
-        or max(2, (num_cpus - 4) // 2)
+    # default None = elastic decode task pool (decode state is free to
+    # build; a fixed actor pool paid ~1s startup per actor and capped
+    # effective parallelism). BENCH_DECODE_CONC=N forces the actor-pool
+    # shape with N actors per window for comparison.
+    decode_conc = int(os.environ.get("BENCH_DECODE_CONC", "0")) or None
     try:
         # warm the page cache so we measure compute+shuffle, not first read
         from aumos_drift_detector_ray.sources.reader import read_table

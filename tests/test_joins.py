@@ -88,3 +88,41 @@ class TestRangeJoin:
                          n_buckets=4).to_pandas().sort_values("pid")
         assert out.pid.tolist() == [0, 2, 3]  # 15 and 50 match nothing
         assert out.iv_iid.tolist() == [100, 101, 102]
+
+
+class TestChainedJoinKeyTypes:
+    def test_int_key_survives_chained_joins(self, ray_session):
+        """Regression: a join output's int key degrades to float64 inside
+        mixed union blocks; bucketing the next join by float bit pattern
+        silently dropped matches (317.0 hashed != 317)."""
+        import ray.data as rd
+
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        pairs = pd.DataFrame({"id_a": [1, 2, 3], "id_b": [10, 20, 30]})
+        docs = pd.DataFrame({"doc_id": range(40),
+                             "text": [f"t{i}" for i in range(40)]})
+        left = rd.from_pandas(pairs.rename(columns={"id_a": "doc_id"}))
+        j1 = hash_join(left, rd.from_pandas(docs), "doc_id", n_buckets=8)
+
+        def rekey(b):
+            return b.rename(columns={"doc_id": "id_a", "r_text": "text_a",
+                                     "id_b": "doc_id"})
+
+        j2 = hash_join(j1.map_batches(rekey, batch_format="pandas"),
+                       rd.from_pandas(docs), "doc_id", n_buckets=8)
+        out = j2.to_pandas().sort_values("id_a").reset_index(drop=True)
+        assert len(out) == 3  # every pair matched through BOTH joins
+        assert out.doc_id.tolist() == [10, 20, 30]
+        assert out.r_text.tolist() == ["t10", "t20", "t30"]
+
+    def test_float_key_with_fractional_values(self, ray_session):
+        import ray.data as rd
+
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        l = rd.from_pandas(pd.DataFrame({"k": [0.5, 1.0, 2.25], "a": [1, 2, 3]}))
+        r = rd.from_pandas(pd.DataFrame({"k": [0.5, 2.25, 9.75], "b": [7, 8, 9]}))
+        out = hash_join(l, r, "k", n_buckets=4).to_pandas().sort_values("k")
+        assert out.k.tolist() == [0.5, 2.25]
+        assert out.r_b.tolist() == [7, 8]
