@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_output_drift_docs": Q.llm_output_drift_docs,
         "pca_drift_embeddings": Q.pca_drift_embeddings,
         "trend_events_value": Q.trend_events_value,
+        "trend_hourly_slope": Q.trend_hourly_slope,
         # windowed performance metrics (oracle-checked)
         "windowed_accuracy_events": Q.windowed_accuracy_events,
         # joins (oracle-checked)
@@ -551,6 +552,29 @@ def oracle_sql() -> dict[str, str]:
                     WHERE c.user_id = e.user_id AND c.ts <= e.ts
                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS DOUBLE) AS click_id
             FROM errors e ORDER BY error_id
+        """,
+        "trend_hourly_slope": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                           / 100.0 AS sum_value
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(row_number() OVER (ORDER BY hour) - 1 AS DOUBLE) AS x,
+                       sum_value / n AS y
+                FROM h
+            ),
+            r AS (SELECT regr_slope(y, x) AS slope, regr_r2(y, x) AS r2,
+                         avg(y) AS ym FROM s)
+            SELECT CAST(round(slope, 9) AS DOUBLE) AS slope,
+                   CAST(round(r2, 9) AS DOUBLE) AS r_squared,
+                   CASE WHEN abs(CASE WHEN ym != 0 THEN slope / abs(ym)
+                                      ELSE slope END) < 0.005 THEN 'stable'
+                        WHEN slope > 0 THEN 'increasing'
+                        ELSE 'decreasing' END AS direction
+            FROM r
         """,
         "windowed_accuracy_events": """
             SELECT event_type,

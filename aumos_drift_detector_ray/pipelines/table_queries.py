@@ -873,6 +873,25 @@ def trend_events_value(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def trend_hourly_slope(sf_dir: str) -> pd.DataFrame:
+    """OLS trend of the hourly mean event value (trend_analyzer.py
+    linear-trend capability), oracle-checked: DuckDB's regr_slope /
+    regr_r2 over (row index, hourly mean) reproduce the engine's OLS
+    formulas; round(9) absorbs accumulation-order fp noise. The full
+    trend bundle (CUSUM change points, seasonality) stays in the
+    rows-only ``trend_events_value``."""
+    from ..functions import metrics as M
+
+    hourly = hourly_event_counts(sf_dir)
+    series = (hourly.sum_value / hourly.n).to_numpy()
+    t = M.linear_trend(series)
+    return pd.DataFrame({
+        "slope": [float(np.round(t["slope"], 9))],
+        "r_squared": [float(np.round(t["r_squared"], 9))],
+        "direction": [t["direction"]],
+    })
+
+
 def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     """Large-large partitioned hash join (lineitem x orders on orderkey)
     then revenue per order priority — both shuffle sides are scalar
