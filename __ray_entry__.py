@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_acctbal_stats": Q.nation_acctbal_stats,
         # column profiling
         "profile_lineitem": Q.profile_lineitem,
+        "lineitem_price_quantiles": Q.lineitem_price_quantiles,
         # text analysis / dedup
         "doc_token_stats": Q.doc_token_stats,
         "exact_dup_docs": Q.exact_dup_docs,
@@ -271,6 +272,16 @@ def oracle_sql() -> dict[str, str]:
                    (CAST(sum(CAST(round(v * 10000) AS BIGINT)) AS DOUBLE) / 10000.0)
                        / count(v) AS avg_val
             FROM cols GROUP BY col ORDER BY col
+        """,
+        "lineitem_price_quantiles": """
+            WITH q AS (
+                SELECT quantile_cont(l_extendedprice,
+                                     [0.25, 0.5, 0.75, 0.95, 0.99]) AS v
+                FROM lineitem
+            )
+            SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p,
+                   CAST(round(unnest(v), 9) AS DOUBLE) AS value
+            FROM q
         """,
         "doc_token_stats": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -334,6 +334,23 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
 
 
+def lineitem_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed quantiles of l_extendedprice (np.percentile /
+    quantile_cont linear interpolation) via the grouped-counts sorted
+    scan (stages/scan.exact_quantiles) — the exact complement of the
+    KLL approximate path; the driver holds per-block summaries only."""
+    from ..stages.scan import exact_quantiles
+
+    probs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    vals = exact_quantiles(
+        sf_table(sf_dir, "lineitem", columns=["l_extendedprice"]),
+        "l_extendedprice", probs)
+    return pd.DataFrame({
+        "p": np.asarray(probs, dtype="float64"),
+        "value": np.round(np.asarray(vals, dtype="float64"), 9),
+    })
+
+
 # ---------------------------------------------------------------------------
 # doc text queries
 # ---------------------------------------------------------------------------

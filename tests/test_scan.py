@@ -209,3 +209,17 @@ class TestSlidingTimeWindow:
         # window (t-4, t]: gaps shorten the effective window
         # h=5 covers hours 2..5 -> 3+4; h=6 covers 3..6 -> 4+5
         assert out.tolist() == [1, 3, 6, 7, 9, 6]
+
+
+class TestExactQuantiles:
+    @pytest.mark.parametrize("tied", [False, True])
+    def test_matches_np_percentile(self, ray_session, tied):
+        rng = np.random.default_rng(11)
+        vals = rng.normal(size=3000)
+        if tied:
+            vals = np.round(vals, 1)
+        ds = ray.data.from_pandas(pd.DataFrame({"x": vals})).repartition(7)
+        probs = [0.0, 0.1, 0.25, 0.5, 0.9, 0.99, 1.0]
+        out = scan.exact_quantiles(ds, "x", probs)
+        expect = np.percentile(vals, [p * 100 for p in probs])
+        assert np.allclose(out, expect, rtol=0, atol=1e-12)
