@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_adwin_events": Q.concept_adwin_events,
         "concept_ddm_events": Q.concept_ddm_events,
         "concept_eddm_events": Q.concept_eddm_events,
+        "concept_adwin_per_user": Q.concept_adwin_per_user,
+        "shap_importance_lineitem": Q.shap_importance_lineitem,
+        "cbpe_accuracy_events": Q.cbpe_accuracy_events,
         "mmd_embeddings_labels": Q.mmd_embeddings_labels,
         "flagship_validation": Q.flagship_validation,
         "image_drift_scores": Q.image_drift_scores,
@@ -563,6 +566,38 @@ def oracle_sql() -> dict[str, str]:
                     WHERE c.user_id = e.user_id AND c.ts <= e.ts
                     ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS DOUBLE) AS click_id
             FROM errors e ORDER BY error_id
+        """,
+        "shap_importance_lineitem": """
+            -- pooled-std mean shift + 0.5|ln std ratio| (the reference's
+            -- SHAP approximation, feature_importance.py:195-209) between
+            -- even/odd l_orderkey halves, from per-half avg/stddev_pop
+            WITH cols AS (
+                SELECT 'l_quantity' AS feature, l_quantity AS v,
+                       l_orderkey % 2 AS half FROM lineitem
+                UNION ALL SELECT 'l_extendedprice', l_extendedprice,
+                       l_orderkey % 2 FROM lineitem
+                UNION ALL SELECT 'l_discount', l_discount,
+                       l_orderkey % 2 FROM lineitem
+                UNION ALL SELECT 'l_tax', l_tax,
+                       l_orderkey % 2 FROM lineitem
+            ),
+            s AS (
+                SELECT feature,
+                       avg(CASE WHEN half = 0 THEN v END) AS mr,
+                       CASE WHEN stddev_pop(CASE WHEN half = 0 THEN v END) = 0
+                            THEN 1.0 ELSE stddev_pop(CASE WHEN half = 0 THEN v END)
+                       END AS sr,
+                       avg(CASE WHEN half = 1 THEN v END) AS mp,
+                       CASE WHEN stddev_pop(CASE WHEN half = 1 THEN v END) = 0
+                            THEN 1.0 ELSE stddev_pop(CASE WHEN half = 1 THEN v END)
+                       END AS sp
+                FROM cols GROUP BY feature
+            )
+            SELECT feature,
+                   CAST(round(
+                       abs(mp - mr) / sqrt((pow(sr, 2) + pow(sp, 2)) / 2)
+                       + 0.5 * abs(ln(sp / sr)), 9) AS DOUBLE) AS shap
+            FROM s ORDER BY feature
         """,
         "trend_hourly_slope": """
             WITH h AS (

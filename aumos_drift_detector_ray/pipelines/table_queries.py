@@ -707,6 +707,99 @@ def _concept_events(sf_dir: str, detector: str,
     return events[["detector", "seq"]].reset_index(drop=True)
 
 
+def shap_importance_lineitem(sf_dir: str) -> pd.DataFrame:
+    """SHAP-approximation feature importance (feature_importance.py:
+    195-209 formula: pooled-std mean shift + 0.5|ln std ratio|) between
+    the even/odd l_orderkey halves of lineitem, computed from MERGED
+    MOMENTS (shap_from_moments — the sketch path; no raw arrays). The
+    oracle reproduces the formula from stddev_pop/avg per half."""
+    from ..functions.importance import shap_from_moments
+    from ..stages import profile as P
+
+    cols = list(_PROFILE_COLS)
+    ds = sf_table(sf_dir, "lineitem", columns=["l_orderkey", *cols])
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(b["l_orderkey"], 1), parity)
+            return b.filter(keep).drop_columns(["l_orderkey"])
+        return fn
+
+    ref_p = P.profile_dataset(ds.map_batches(half(0), batch_format="pyarrow"), cols)
+    prod_p = P.profile_dataset(ds.map_batches(half(1), batch_format="pyarrow"), cols)
+
+    def stats_of(p):
+        return {c: {"mean": p["num"][c].moments.mean,
+                    "std": p["num"][c].moments.std()} for c in cols}
+
+    shap = shap_from_moments(stats_of(ref_p), stats_of(prod_p))
+    out = pd.DataFrame({
+        "feature": sorted(shap),
+        "shap": [float(np.round(shap[c], 9)) for c in sorted(shap)],
+    })
+    return out.reset_index(drop=True)
+
+
+def cbpe_accuracy_events(sf_dir: str) -> pd.DataFrame:
+    """CBPE accuracy estimation (cbpe.py:20-137 capability): isotonic
+    confidence→correctness calibration fit on the labelled even-event_id
+    half, estimating accuracy for the unlabelled odd half, with the
+    reference's 200-draw bootstrap CI (seed 42). Stateful estimator —
+    no SQL analogue; bounded driver inputs come from the grouped halves."""
+    from ..state.estimators import CBPEEstimator
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        p = (b.value.clip(0, 20) / 20.0).to_numpy()
+        return pd.DataFrame({
+            "is_ref": (b.event_id % 2 == 0),
+            "p0": 1.0 - p, "p1": p,
+            "y": (b.user_id % 2).astype("int64"),
+        })
+
+    df = ds.map_batches(derive, batch_format="pandas").to_pandas()
+    ref = df[df.is_ref]
+    prod = df[~df.is_ref]
+    est = CBPEEstimator().fit(ref[["p0", "p1"]].to_numpy(), ref.y.to_numpy())
+    r = est.estimate(prod[["p0", "p1"]].to_numpy())
+    return pd.DataFrame({
+        "estimated_accuracy": [float(np.round(r["estimated_value"], 9))],
+        "ci_lower": [float(np.round(r["confidence_interval_95"]["lower"], 9))],
+        "ci_upper": [float(np.round(r["confidence_interval_95"]["upper"], 9))],
+        "n_samples": [np.int64(r["n_samples"])],
+    })
+
+
+def concept_adwin_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-key streaming concept drift (one independent ADWIN per user —
+    stages/concept.per_key_concept_drift): the parallel-streams shape
+    that scales across keys. Rows-only (stateful streaming)."""
+    from ..stages import profile as P
+    from ..stages.concept import per_key_concept_drift
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    med = float(P.profile_dataset(ds, ["value"])["num"]["value"].kll.quantile(0.5))
+
+    def errify(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "seq": b["event_id"],
+            "err": pa.array((v > med).astype(np.float64)),
+        })
+
+    stream = ds.map_batches(errify, batch_format="pyarrow")
+    events = per_key_concept_drift(stream, "user_id", "adwin",
+                                   detector_kwargs={"delta": 0.002})
+    if len(events) == 0:
+        return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                             "seq": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({"key": events.key.astype("int64"),
+                        "seq": events.seq.astype("int64")})
+    return out.sort_values(["key", "seq"]).reset_index(drop=True)
+
+
 def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
     """ADWIN (adwin.py:96-343 capability) over the events error stream."""
     return _concept_events(sf_dir, "adwin", {"delta": 0.002})
