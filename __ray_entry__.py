@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_adwin_per_user": Q.concept_adwin_per_user,
         "shap_importance_lineitem": Q.shap_importance_lineitem,
         "cbpe_accuracy_events": Q.cbpe_accuracy_events,
+        "dle_loss_events": Q.dle_loss_events,
         "mmd_embeddings_labels": Q.mmd_embeddings_labels,
         "flagship_validation": Q.flagship_validation,
         "image_drift_scores": Q.image_drift_scores,

@@ -771,6 +771,38 @@ def cbpe_accuracy_events(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def dle_loss_events(sf_dir: str) -> pd.DataFrame:
+    """DLE direct loss estimation (dle.py:21-159 capability): boosted
+    stumps fit on the labelled even-event_id half predict per-sample
+    log-loss for the unlabelled odd half; scoring applies the fitted
+    model via a stateless vectorized batch map (the actor-pool shape at
+    scale). Rows-only (iterative model fit — no SQL analogue)."""
+    from ..state.estimators import DLEEstimator
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        p = (b.value.clip(0, 20) / 20.0).to_numpy()
+        return pd.DataFrame({
+            "is_ref": (b.event_id % 2 == 0),
+            "x": b.value.astype("float64"),
+            "p0": 1.0 - p, "p1": p,
+            "y": (b.user_id % 2).astype("int64"),
+        })
+
+    df = ds.map_batches(derive, batch_format="pandas").to_pandas()
+    ref, prod = df[df.is_ref], df[~df.is_ref]
+    est = DLEEstimator(n_estimators=20)
+    losses = DLEEstimator.per_sample_logloss(
+        ref[["p0", "p1"]].to_numpy(), ref.y.to_numpy())
+    est.fit(ref[["x"]].to_numpy(), losses)
+    pred = est.predict(prod[["x"]].to_numpy())
+    return pd.DataFrame({
+        "estimated_mean_loss": [float(np.round(np.mean(pred), 9))],
+        "n_samples": [np.int64(len(pred))],
+    })
+
+
 def concept_adwin_per_user(sf_dir: str) -> pd.DataFrame:
     """Per-key streaming concept drift (one independent ADWIN per user —
     stages/concept.per_key_concept_drift): the parallel-streams shape

@@ -110,20 +110,38 @@ def per_key_concept_drift(
     group by sequence in-memory, run the detector over the group. Scales
     across keys; each key's stream must fit one task (bound group size
     by windowing upstream when keys are huge)."""
-    kwargs = detector_kwargs or {}
+    from ..sketches import hash_any_array
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(seq_col, kind="stable")
-        det = make_detector(detector, **kwargs)
-        fired = det.update_many(g[value_col].to_numpy(dtype=float))
-        seqs = g[seq_col].to_numpy()
+    kwargs = detector_kwargs or {}
+    n_buckets = 128
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash_any_array(b[key_col].tolist()) % np.uint64(n_buckets)
+        ).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one detector per key; keys are bucketed so Ray sees a bounded
+        # group count — the per-key loop runs inside one task (detector
+        # state is inherently sequential per stream)
+        g = g.sort_values([key_col, seq_col], kind="stable")
+        keys_out, seqs_out = [], []
+        for k, gk in g.groupby(key_col, sort=False):
+            det = make_detector(detector, **kwargs)
+            fired = det.update_many(gk[value_col].to_numpy(dtype=float))
+            if fired:
+                seqs = gk[seq_col].to_numpy()
+                keys_out.extend([k] * len(fired))
+                seqs_out.extend(int(seqs[i]) for i in fired)
         return pd.DataFrame({
-            "key": [g[key_col].iloc[0]] * len(fired),
-            "detector": [detector] * len(fired),
-            "seq": [int(seqs[i]) for i in fired],
-            "level": ["drift"] * len(fired),
+            "key": keys_out,
+            "detector": [detector] * len(keys_out),
+            "seq": pd.Series(seqs_out, dtype="int64"),
+            "level": ["drift"] * len(keys_out),
         })
 
-    out = ds.select_columns([key_col, seq_col, value_col]).groupby(key_col) \
-        .map_groups(per_group, batch_format="pandas").to_pandas()
+    out = ds.select_columns([key_col, seq_col, value_col]) \
+        .map_batches(add_bucket, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
     return out.sort_values(["key", "seq"]).reset_index(drop=True) if len(out) else out
