@@ -35,7 +35,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object or not isinstance(df[c].dtype, np.dtype):
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].round(6)
+            df[c] = df[c].round(9)
         elif np.issubdtype(df[c].dtype, np.datetime64):
             df[c] = df[c].astype("datetime64[us]").astype(str)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
