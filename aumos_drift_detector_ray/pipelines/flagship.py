@@ -323,19 +323,27 @@ def run_validation_multi(
             ds = ds.union(other)
 
         any_cfg = next(iter(cfg_by_run.values()))
-        if decode_concurrency is None:
-            decode_concurrency = (2, 8)
         flags = ds.map_batches(
             val_mod.make_scalar_validator(any_cfg, bloom_ref),
             batch_format="pyarrow",
             batch_size=None,
-        ).map_batches(
-            val_mod.DecodeValidator,
-            fn_constructor_args=(cfg_by_run,),
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=decode_concurrency,
         )
+        if decode_concurrency is None:
+            # elastic task pool (decode state is ~free to build; see
+            # validate.run_row_validation)
+            flags = flags.map_batches(
+                val_mod.DecodeValidator(cfg_by_run),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        else:
+            flags = flags.map_batches(
+                val_mod.DecodeValidator,
+                fn_constructor_args=(cfg_by_run,),
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=decode_concurrency,
+            )
 
         flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
         flags = flags.repartition(min(256, max(16, total_rows // 2000)))

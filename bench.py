@@ -105,7 +105,7 @@ def run_headline(num_cpus: int) -> dict:
             # merged allowlist bloom, single writer shuffle
             F.run_validation_multi(
                 [(ref_in, ref_out, ref_cfg), (prod_in, prod_out, prod_cfg)],
-                decode_concurrency=max(2, num_cpus - 3),
+                decode_concurrency=decode_conc,
                 resume=False,
             )
             t_validate = time.time() - t0
