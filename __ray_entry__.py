@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # column profiling
         "profile_lineitem": Q.profile_lineitem,
         "lineitem_price_quantiles": Q.lineitem_price_quantiles,
+        "value_quantiles_per_type": Q.value_quantiles_per_type,
         # text analysis / dedup
         "doc_token_stats": Q.doc_token_stats,
         "exact_dup_docs": Q.exact_dup_docs,
@@ -286,6 +287,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p,
                    CAST(round(unnest(v), 9) AS DOUBLE) AS value
             FROM q
+        """,
+        "value_quantiles_per_type": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, [0.25, 0.5, 0.75]) AS v
+                FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   unnest([0.25, 0.5, 0.75]) AS p,
+                   CAST(round(unnest(v), 9) AS DOUBLE) AS value
+            FROM q ORDER BY event_type, p
         """,
         "doc_token_stats": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id,

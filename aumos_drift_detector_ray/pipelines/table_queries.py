@@ -351,6 +351,19 @@ def lineitem_price_quantiles(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group quantiles of event value per event_type
+    (scan.grouped_exact_quantiles — grouped-counts sorted scan with
+    per-(block, group) offsets); matches quantile_cont ... GROUP BY."""
+    from ..stages.scan import grouped_exact_quantiles
+
+    out = grouped_exact_quantiles(
+        sf_table(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", [0.25, 0.5, 0.75])
+    out["value"] = out.value.round(9)
+    return out.sort_values(["event_type", "p"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # doc text queries
 # ---------------------------------------------------------------------------

@@ -346,3 +346,119 @@ def exact_quantiles(
     lo = np.array([val_by_rank[r] for r in lo_ranks])
     hi = np.array([val_by_rank[r] for r in hi_ranks])
     return lo + (hi - lo) * (x - lo_ranks)
+
+
+def grouped_exact_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    probs: "list[float]",
+) -> pd.DataFrame:
+    """EXACT per-group quantiles (quantile_cont semantics), distributed:
+    (group, value) counts -> bucketed merge -> sort by (group, value);
+    the driver walks per-block, PER-GROUP count summaries (a block holds
+    at most a handful of groups once sorted) to derive each group's rank
+    offsets, then the sorted blocks answer targeted rank lookups.
+    Returns a frame (group, p, value). The per-group KLL profile is the
+    one-pass approximate path; this is the exact complement."""
+    from ..sketches import hash64, hash_any_array
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: b[group_col],
+            value_col: b[value_col].to_numpy(dtype=np.float64) + 0.0,
+        }).groupby([group_col, value_col], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        vh = hash64(g[value_col].to_numpy(dtype=np.float64).view(np.uint64))
+        gh = hash_any_array(g[group_col].tolist())
+        with np.errstate(over="ignore"):
+            g["bucket"] = ((vh ^ gh) % np.uint64(64)).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([group_col, value_col], as_index=False).agg(n=("n", "sum"))
+
+    counts = parts.groupby("bucket").map_groups(merge, batch_format="pandas")
+    sorted_counts = counts.sort([group_col, value_col]).materialize()
+
+    # ---- pass A: per-block, per-group count summaries ----------------
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "first_val": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = b.groupby(group_col, as_index=False, sort=False).agg(
+            first_val=(value_col, "first"), n=(value_col, "size"))
+        out["n"] = b.groupby(group_col, sort=False)["n"].sum().to_numpy()
+        return out
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    ).to_pandas().sort_values([group_col, "first_val"]).reset_index(drop=True)
+
+    # per-group totals and per-(group, block) start offsets, keyed by the
+    # block's first (group, value) pair
+    offsets: dict = {}
+    totals: dict = {}
+    for grp, sub in summary.groupby(group_col, sort=False):
+        cum = 0
+        for _, row in sub.iterrows():
+            offsets[(grp, float(row.first_val))] = cum
+            cum += int(row.n)
+        totals[grp] = cum
+
+    # target ranks per group
+    probs_arr = np.asarray(probs, dtype=float)
+    need: dict = {}
+    for grp, total in totals.items():
+        x = probs_arr * (total - 1)
+        need[grp] = np.unique(np.concatenate(
+            [np.floor(x).astype(np.int64), np.ceil(x).astype(np.int64)]))
+    bc = ray.put({"offsets": offsets, "need": need})
+
+    # ---- pass B: targeted rank lookups -------------------------------
+    def lookup(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "rank": pd.Series([], dtype="int64"),
+                                 "value": pd.Series([], dtype="float64")})
+        info = ray.get(bc)
+        rows_g, rows_r, rows_v = [], [], []
+        for grp, sub in b.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy()
+            n = sub["n"].to_numpy()
+            start = info["offsets"][(grp, float(v[0]))]
+            cum = start + np.cumsum(n)
+            nd = info["need"].get(grp)
+            if nd is None:
+                continue
+            inside = nd[(nd >= start) & (nd < cum[-1])]
+            if inside.size == 0:
+                continue
+            idx = np.searchsorted(cum, inside, side="right")
+            rows_g.extend([grp] * inside.size)
+            rows_r.extend(inside.tolist())
+            rows_v.extend(v[idx].tolist())
+        return pd.DataFrame({group_col: rows_g,
+                             "rank": pd.Series(rows_r, dtype="int64"),
+                             "value": pd.Series(rows_v, dtype="float64")})
+
+    ranks = sorted_counts.map_batches(
+        lookup, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    val_by = {(g, r): v for g, r, v in
+              zip(ranks[group_col], ranks["rank"], ranks["value"])}
+    out_rows = []
+    for grp, total in sorted(totals.items()):
+        x = probs_arr * (total - 1)
+        lo = np.floor(x).astype(np.int64)
+        hi = np.ceil(x).astype(np.int64)
+        vals = np.array([val_by[(grp, r)] for r in lo]) + (
+            np.array([val_by[(grp, r)] for r in hi])
+            - np.array([val_by[(grp, r)] for r in lo])
+        ) * (x - lo)
+        for p, v in zip(probs_arr, vals):
+            out_rows.append({group_col: grp, "p": float(p), "value": float(v)})
+    return pd.DataFrame(out_rows)

@@ -223,3 +223,20 @@ class TestExactQuantiles:
         out = scan.exact_quantiles(ds, "x", probs)
         expect = np.percentile(vals, [p * 100 for p in probs])
         assert np.allclose(out, expect, rtol=0, atol=1e-12)
+
+
+class TestGroupedExactQuantiles:
+    def test_matches_np_percentile_per_group(self, ray_session):
+        rng = np.random.default_rng(21)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c"], size=5000, p=[0.6, 0.3, 0.1]),
+            "x": np.round(rng.normal(size=5000), 2),  # ties across blocks
+        })
+        ds = ray.data.from_pandas(df).repartition(9)
+        probs = [0.1, 0.5, 0.9]
+        out = scan.grouped_exact_quantiles(ds, "g", "x", probs)
+        for g in ("a", "b", "c"):
+            vals = df.loc[df.g == g, "x"].to_numpy()
+            expect = np.percentile(vals, [p * 100 for p in probs])
+            got = out.loc[out.g == g].sort_values("p").value.to_numpy()
+            assert np.allclose(got, expect, rtol=0, atol=1e-12), g
