@@ -588,43 +588,40 @@ def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
 
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """Two-tier near-dup: MinHash-LSH candidate pairs (loose signature
-    threshold) verified by EXACT character-shingle Jaccard. Texts reach
-    the pairs through two partitioned hash joins on doc_id (no broadcast
-    of the corpus); the exact-Jaccard kernel runs per candidate pair —
-    bounded by the candidate rate, not the corpus."""
-    from ..stages.joins import hash_join
-
+    threshold) verified by EXACT character-shingle Jaccard. Candidate
+    texts are gathered with a broadcast semi-join (the id set is bounded
+    by the candidate rate — never the corpus; hash_join is the fallback
+    for dirty corpora); the exact-Jaccard kernel runs per pair."""
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     # materialize the candidate set once: it is BOUNDED (candidate rate x
-    # corpus, scalars only) and consumed by two joins whose schema probes
-    # would otherwise re-execute the whole LSH pipeline
+    # corpus, scalars only)
     cands = dedup_mod.minhash_lsh_pairs(
         docs, num_hashes=64, bands=16, jaccard_threshold=0.35).materialize()
+    cdf = cands.to_pandas()
+    if len(cdf):
+        # gather ONLY the candidate texts with a broadcast semi-join
+        # (the id set is bounded by the candidate rate; at a dirty-corpus
+        # scale where it is not, stages/joins.hash_join is the fallback),
+        # then verify each pair with the exact shingle Jaccard
+        need_ids = pa.array(sorted(set(cdf.id_a) | set(cdf.id_b)),
+                            pa.int64())
+        iref = ray.put(need_ids)
 
-    def a_key(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(columns={"id_a": "doc_id"})
+        def keep(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(iref)))
 
-    j1 = hash_join(cands.map_batches(a_key, batch_format="pandas"), docs,
-                   "doc_id", n_buckets=16)
-
-    def b_key(b: pd.DataFrame) -> pd.DataFrame:
-        return b.rename(columns={"doc_id": "id_a", "r_text": "text_a",
-                                 "id_b": "doc_id"})
-
-    j2 = hash_join(j1.map_batches(b_key, batch_format="pandas").materialize(),
-                   docs, "doc_id", n_buckets=16)
-
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        ex = [dedup_mod.ngram_jaccard(a, t, k=5)
-              for a, t in zip(b.text_a, b.r_text)]
-        return pd.DataFrame({
-            "id_a": b.id_a.astype("int64"),
-            "id_b": b.doc_id.astype("int64"),
-            "sig_jaccard": b.jaccard.astype("float64"),
+        texts = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+        by_id = dict(zip(texts.doc_id, texts.text))
+        ex = [dedup_mod.ngram_jaccard(by_id[a], by_id[b], k=5)
+              for a, b in zip(cdf.id_a, cdf.id_b)]
+        out = pd.DataFrame({
+            "id_a": cdf.id_a.astype("int64"),
+            "id_b": cdf.id_b.astype("int64"),
+            "sig_jaccard": cdf.jaccard.astype("float64"),
             "exact_jaccard": np.round(np.asarray(ex, dtype="float64"), 9),
         })
-
-    out = j2.map_batches(verify, batch_format="pandas").to_pandas()
+    else:
+        out = cdf
     if len(out) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
