@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_count_by_type": Q.salted_count_by_type,
         "user_session_stats": Q.user_session_stats,
         "hash_split_counts": Q.hash_split_counts,
+        "curated_training_split": Q.curated_training_split,
     }
 
 
@@ -143,6 +144,33 @@ def _text_oracles() -> dict[str, str]:
                        CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 9)
                        AS DOUBLE) AS distinct_token_ratio
             FROM toks ORDER BY doc_id
+        """,
+        "curated_training_split": f"""
+            -- dedup (min doc_id per content md5) -> quality filter
+            -- (>=30 tokens, stopword ratio <= 0.25) -> md5-bucket split
+            WITH             k AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+            ),
+            q AS (
+                SELECT d.doc_id,
+                       regexp_extract_all(lower(d.text), '[a-z'']+') AS tk
+                FROM documents d JOIN k USING (doc_id)
+            ),
+            f AS (
+                SELECT doc_id FROM q
+                WHERE len(tk) >= 30
+                  AND CAST(len(list_filter(tk, x -> list_contains({stop}, x)))
+                      AS DOUBLE) / greatest(len(tk), 1) <= 0.25
+            ),
+            b AS (
+                SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 10 AS bucket
+                FROM f
+            )
+            SELECT CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1 ORDER BY 1
         """,
         "langid_docs": f"""
             WITH padded AS (

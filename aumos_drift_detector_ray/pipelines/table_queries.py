@@ -1258,6 +1258,58 @@ def user_session_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def curated_training_split(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation composition — the LLM training-data story in
+    one oracle-checked pipeline: exact content dedup (keep min doc_id
+    per md5, bucketed merge) → partitioned hash semi-join back to the
+    corpus → vectorized quality filter (token count + stopword ratio) →
+    content-addressed train/val/test split → split counts. Every stage
+    is the scalable shape (no broadcast of corpus-sized sets)."""
+    from ..sketches import hash_any_array
+    from ..stages.joins import hash_join
+    from ..stages.sample import hash_split
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # 1. dedup keepers: (md5 → min doc_id) via the bucketed content merge
+    def add_hash(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b.text]
+        return pd.DataFrame({
+            "h": h, "doc_id": b.doc_id,
+            "bucket": (hash_any_array(h) % np.uint64(64)).astype(np.int64),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+        return out[["doc_id"]]
+
+    keepers = docs.map_batches(add_hash, batch_format="pandas",
+                               batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    # 2. semi-join corpus to keepers (both sides scale; no broadcast)
+    kept = hash_join(docs, keepers, "doc_id", n_buckets=16)
+
+    # 3. quality filter (vectorized; mirrors the QualityScorer kernels)
+    word_re = text_mod.QualityScorer().word_re
+
+    def quality_keep(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.str.lower().str.findall(word_re)
+        n_tok = toks.map(len)
+        stop = toks.map(lambda ws: sum(w in text_mod._STOPWORDS for w in ws))
+        ratio = np.where(n_tok > 0, stop / n_tok.clip(lower=1), 0.0)
+        keep = (n_tok >= 30) & (ratio <= 0.25)
+        return b.loc[keep, ["doc_id"]]
+
+    curated = kept.map_batches(quality_keep, batch_format="pandas")
+
+    # 4. content-addressed split + counts
+    out = hash_split(curated, "doc_id").groupby("split").count().to_pandas() \
+        .rename(columns={"count()": "n"})
+    out["n"] = out.n.astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
 def hash_split_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic content-addressed train/val/test split of documents
     (md5-bucket assignment) — the oracle reproduces the exact same
