@@ -129,6 +129,10 @@ def two_sample_order_stats(
     n_ref = int(summary.rc.sum())
     n_prod = int(summary.pc.sum())
     n = n_ref + n_prod
+    if n_ref == 0 or n_prod == 0:  # one-sided input: nothing to compare
+        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+                "n_ref": n_ref, "n_prod": n_prod,
+                "n_distinct": int(sorted_counts.count())}
     bc = ray.put({
         "mins": mins, "rc_off": rc_off, "pc_off": pc_off,
         "n_ref": n_ref, "n_prod": n_prod,
@@ -197,10 +201,6 @@ def two_sample_order_stats(
     parts = sorted_counts.map_batches(
         contrib, batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    if n_ref == 0 or n_prod == 0:
-        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
-                "n_ref": n_ref, "n_prod": n_prod,
-                "n_distinct": int(parts.n_distinct.sum())}
     a2akn = (n - 1.0) / n * (
         float(parts.ad_ref.sum()) / n_ref + float(parts.ad_prod.sum()) / n_prod
     )

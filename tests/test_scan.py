@@ -240,3 +240,12 @@ class TestGroupedExactQuantiles:
             expect = np.percentile(vals, [p * 100 for p in probs])
             got = out.loc[out.g == g].sort_values("p").value.to_numpy()
             assert np.allclose(got, expect, rtol=0, atol=1e-12), g
+
+
+class TestOneSidedInput:
+    def test_empty_side_returns_zeros(self, ray_session):
+        ref = np.array([1.0, 2.0, 3.0])
+        r = scan.two_sample_order_stats(
+            _two_sample_ds(ref, np.array([]), blocks=2))
+        assert r == {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+                     "n_ref": 3, "n_prod": 0, "n_distinct": 3}
