@@ -171,7 +171,8 @@ def dedup_candidate_pairs(pairs: ray.data.Dataset, n_groups: int = 64) -> ray.da
 # pHash / SimHash banded near-dup
 # ---------------------------------------------------------------------------
 
-def _explode_band_pairs(hash_col: str, id_cols: list[str], n_bands: int):
+def _explode_band_pairs(hash_col: str, id_cols: list[str], n_bands: int,
+                        n_coarse: int | None = None):
     """Explode each hash into C(n_bands, 2) band-PAIR keys.
 
     Single 64/n_bands-bit bands collide massively at scale (an 8-bit band
@@ -208,7 +209,10 @@ def _explode_band_pairs(hash_col: str, id_cols: list[str], n_bands: int):
                 | (vi << np.uint64(band_width))
                 | vj
             )
-        out["band_key"] = key.reshape(-1).view(np.int64)
+        flat = key.reshape(-1)
+        out["band_key"] = flat.view(np.int64)
+        if n_coarse is not None:  # fused coarse-bucket assignment
+            out["coarse"] = (hash64(flat) % np.uint64(n_coarse)).astype(np.int64)
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
     return fn
@@ -241,22 +245,16 @@ def near_dup_pairs_hamming(
     n_pairs = n_bands * (n_bands - 1) // 2
     n_coarse = _adaptive_coarse(n_rows * n_pairs)
 
-    exploded = ds.select_columns([id_col, hash_col]).map_batches(
-        _explode_band_pairs(hash_col, [id_col], n_bands), batch_format="pyarrow"
-    )
-
     # COARSE bucketing: grouping by raw band_key yields millions of
     # singleton groups and Ray's per-group overhead dominates. Instead
-    # hash band_key into n_coarse groups (one shuffle with bounded
-    # group count) and, inside each group, drop singleton buckets with a
-    # vectorized value_counts before the pairwise Hamming check.
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
-        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
-
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
-        .repartition(min(256, max(16, n_coarse // 4)))
+    # hash band_key into n_coarse groups (one shuffle with bounded group
+    # count — fused into the explode map) and, inside each group, drop
+    # singleton buckets with a vectorized value_counts before the
+    # pairwise Hamming check.
+    exploded = ds.select_columns([id_col, hash_col]).map_batches(
+        _explode_band_pairs(hash_col, [id_col], n_bands, n_coarse),
+        batch_format="pyarrow",
+    ).repartition(min(256, max(16, n_coarse // 4)))
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
         # vectorized bucket processing: most non-singleton buckets hold
@@ -441,7 +439,8 @@ def minhash_lsh_pairs(
         if n == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "band_key": pa.array([], pa.int64()),
-                             "minhash": pa.array([], pa.list_(pa.int64()))})
+                             "minhash": pa.array([], pa.list_(pa.int64())),
+                             "coarse": pa.array([], pa.int64())})
         sig = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64).reshape(n, num_hashes)
         band_vals = sig.reshape(n, bands, rows_per_band)
         # one scalar key per band: hash of the band's row values + band idx
@@ -452,20 +451,16 @@ def minhash_lsh_pairs(
             acc = hash64(acc.ravel()).reshape(n, bands)
             keys = (acc * np.uint64(64) + np.arange(bands, dtype=np.uint64)[None, :]).view(np.int64)
         ids = np.repeat(np.asarray(batch[id_col].to_pylist()), bands)
+        flat = keys.ravel()
+        coarse = (hash64(flat.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
         return pa.table({
             id_col: pa.array(ids),
-            "band_key": pa.array(keys.ravel(), pa.int64()),
+            "band_key": pa.array(flat, pa.int64()),
             "minhash": pa.array([list(s) for s in np.repeat(sig, bands, axis=0)]),
+            "coarse": pa.array(coarse, pa.int64()),
         })
 
-    exploded = with_sig.map_batches(explode, batch_format="pyarrow")
-
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
-        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
-
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
+    exploded = with_sig.map_batches(explode, batch_format="pyarrow") \
         .repartition(min(256, max(16, n_coarse // 4)))
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
@@ -552,24 +547,20 @@ def embedding_near_dup_pairs(
                 for byte in range(packed.shape[1]):
                     key = (key << np.uint64(8)) | packed[:, byte].astype(np.uint64)
                 keys[:, t] = ((key << np.uint64(3)) | np.uint64(t)).view(np.int64)
+            flat = keys.ravel()
+            coarse = (hash64(flat.view(np.uint64))
+                      % np.uint64(n_coarse)).astype(np.int64)
             return pa.table({
                 id_col: pa.array(ids),
-                "bucket": pa.array(keys.ravel(), pa.int64()),
+                "bucket": pa.array(flat, pa.int64()),
                 "unit": pa.array([list(u) for u in np.repeat(unit, n_tables, axis=0)]),
+                "coarse": pa.array(coarse, pa.int64()),
             })
 
     n_coarse = _adaptive_coarse(ds.count() * n_tables)
     exploded = ds.select_columns([id_col, emb_col]).map_batches(
         Bucketer(), batch_format="pyarrow"
-    )
-
-    def add_coarse(batch: pa.Table) -> pa.Table:
-        key = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-        coarse = (hash64(key.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
-        return batch.append_column("coarse", pa.array(coarse, pa.int64()))
-
-    exploded = exploded.map_batches(add_coarse, batch_format="pyarrow") \
-        .repartition(min(256, max(16, n_coarse // 4)))
+    ).repartition(min(256, max(16, n_coarse // 4)))
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
         id_type = _id_arrow_type(g[id_col])
