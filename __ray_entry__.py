@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_by_returnflag": Q.count_by_returnflag,
         "events_by_type": Q.events_by_type,
         "distinct_users_per_type": Q.distinct_users_per_type,
+        "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         "hourly_event_counts": Q.hourly_event_counts,
         "sliding_4h_event_stats": Q.sliding_4h_event_stats,
         "orders_per_segment": Q.orders_per_segment,

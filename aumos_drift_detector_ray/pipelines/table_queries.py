@@ -150,6 +150,38 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def approx_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """HLL-sketch COUNT(DISTINCT) per event_type — the 10^12-rows
+    estimate path exposed beside the exact query (the driver records
+    rows-only; pytest bounds the relative error vs the exact counts).
+    Per-block per-type HLL partials merge on the driver (types x blocks
+    KB-scale blobs)."""
+    import pickle
+
+    from ..sketches import HyperLogLog, hash_any_array
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in b.groupby("event_type", sort=False):
+            h = HyperLogLog(p=14)
+            h.update_hashes(hash_any_array(sub.user_id.to_numpy(np.int64)))
+            rows.append((t, pickle.dumps(h)))
+        return pd.DataFrame(rows, columns=["event_type", "hll"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out_rows = []
+    for t, sub in parts.groupby("event_type"):
+        acc = pickle.loads(sub.hll.iloc[0])
+        for raw in sub.hll.iloc[1:]:
+            acc.merge(pickle.loads(raw))
+        out_rows.append({"event_type": t,
+                         "n_users_approx": np.int64(round(acc.estimate()))})
+    return pd.DataFrame(out_rows).sort_values("event_type").reset_index(drop=True)
+
+
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""

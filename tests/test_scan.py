@@ -249,3 +249,17 @@ class TestOneSidedInput:
             _two_sample_ds(ref, np.array([]), blocks=2))
         assert r == {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
                      "n_ref": 3, "n_prod": 0, "n_distinct": 3}
+
+
+class TestApproxDistinctQuery:
+    def test_hll_within_error_of_exact(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        exact = Q.distinct_users_per_type(sf).set_index("event_type").n_users
+        approx = Q.approx_distinct_users_per_type(sf) \
+            .set_index("event_type").n_users_approx
+        assert set(exact.index) == set(approx.index)
+        for t in exact.index:
+            rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
+            assert rel < 0.05, (t, exact[t], approx[t])
