@@ -160,6 +160,11 @@ def run_queries() -> dict[str, float]:
         "psi_events_value", "ks_events_value", "chi2_events_type",
         "ann_topk_embeddings", "minhash_dedup_docs", "doc_token_stats",
         "concept_adwin_events",
+        # round-2 operators
+        "anderson_darling_events", "lineitem_price_quantiles",
+        "value_quantiles_per_type", "sliding_4h_event_stats",
+        "events_value_band_counts", "exact_dup_docs", "user_session_stats",
+        "curated_training_split",
     ]
     qs = E.queries()
     out = {}
