@@ -437,11 +437,17 @@ def minhash_lsh_pairs(
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "band_key": pa.array([], pa.int64()),
-                             "minhash": pa.array([], pa.list_(pa.int64())),
-                             "coarse": pa.array([], pa.int64())})
-        sig = np.asarray(batch["minhash"].to_pylist(), dtype=np.int64).reshape(n, num_hashes)
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "band_key": pa.array([], pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), num_hashes),
+                "coarse": pa.array([], pa.int64()),
+            })
+        # zero-copy out of the FixedSizeList column (no python lists)
+        mh = batch["minhash"].combine_chunks()
+        sig = np.asarray(mh.flatten().to_numpy(zero_copy_only=False),
+                         dtype=np.int64).reshape(n, num_hashes)
         band_vals = sig.reshape(n, bands, rows_per_band)
         # one scalar key per band: hash of the band's row values + band idx
         acc = np.zeros((n, bands), dtype=np.uint64)
@@ -453,10 +459,13 @@ def minhash_lsh_pairs(
         ids = np.repeat(np.asarray(batch[id_col].to_pylist()), bands)
         flat = keys.ravel()
         coarse = (hash64(flat.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
+        rep = np.repeat(sig, bands, axis=0)  # (n*bands, num_hashes)
+        mh_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(rep.ravel(), pa.int64()), num_hashes)
         return pa.table({
             id_col: pa.array(ids),
             "band_key": pa.array(flat, pa.int64()),
-            "minhash": pa.array([list(s) for s in np.repeat(sig, bands, axis=0)]),
+            "minhash": mh_col,
             "coarse": pa.array(coarse, pa.int64()),
         })
 
