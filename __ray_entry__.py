@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": Q.quality_docs,
         "doc_fingerprints": Q.doc_fingerprints,
         "doc_rolling_fingerprints": Q.doc_rolling_fingerprints,
+        "packed_sequence_stats": Q.packed_sequence_stats,
         "concept_adwin_events": Q.concept_adwin_events,
         "concept_ddm_events": Q.concept_ddm_events,
         "concept_eddm_events": Q.concept_eddm_events,

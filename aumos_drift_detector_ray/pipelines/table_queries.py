@@ -874,6 +874,35 @@ def concept_adwin_per_user(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["key", "seq"]).reset_index(drop=True)
 
 
+def packed_sequence_stats(sf_dir: str) -> pd.DataFrame:
+    """Greedy sequence packing of documents into 256-token training
+    sequences (textops.pack_sequences — per-block first-fit-decreasing,
+    the standard parallel approximation), aggregated to packing
+    efficiency stats. Rows-only (bin packing has no SQL analogue)."""
+    from ..stages.textops import pack_sequences
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    packed = pack_sequences(ds, max_tokens=256)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ok = ~b.truncated
+        return pd.DataFrame({
+            "n_sequences": [np.int64(len(b))],
+            "n_docs": [np.int64(b.n_docs.sum())],
+            "n_truncated": [np.int64(b.truncated.sum())],
+            "fill_tokens": [np.int64(b.loc[ok, "total_tokens"].sum())],
+            "fill_capacity": [np.int64(256 * int(ok.sum()))],
+        })
+
+    agg = packed.map_batches(partial, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({
+        "n_sequences": [np.int64(agg.n_sequences)],
+        "n_docs": [np.int64(agg.n_docs)],
+        "n_truncated": [np.int64(agg.n_truncated)],
+        "mean_fill": [float(np.round(agg.fill_tokens / max(agg.fill_capacity, 1), 6))],
+    })
+
+
 def concept_adwin_events(sf_dir: str) -> pd.DataFrame:
     """ADWIN (adwin.py:96-343 capability) over the events error stream."""
     return _concept_events(sf_dir, "adwin", {"delta": 0.002})

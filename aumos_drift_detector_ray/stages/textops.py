@@ -194,3 +194,53 @@ def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
 def quality_scores(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
     fn = QualityScorer(text_col)
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    token_re: "re.Pattern | None" = None,
+) -> ray.data.Dataset:
+    """Greedy sequence packing for LLM training batches: documents are
+    packed into sequences whose whitespace-token total stays <= 
+    ``max_tokens`` (over-long documents become single truncation-marked
+    sequences). Packing is PER BLOCK — the industry-standard
+    approximation: a global optimal packing would serialize the corpus,
+    while per-block first-fit-decreasing loses only a few percent fill
+    and keeps the stage embarrassingly parallel. Emits one row per
+    packed sequence: (seq_key, n_docs, total_tokens, truncated); seq_key
+    is content-addressed (hash of member ids) so re-execution / resume
+    emits identical rows."""
+    from ..sketches import hash_any_array
+
+    def pack(b: pd.DataFrame) -> pd.DataFrame:
+        n_tok = b[text_col].fillna("").str.split().map(len).to_numpy()
+        ids = b[id_col].to_numpy()
+        order = np.argsort(-n_tok, kind="stable")  # first-fit-decreasing
+        bins: list[list[int]] = []
+        bin_tot: list[int] = []
+        for i in order:
+            t = int(n_tok[i])
+            if t >= max_tokens:
+                bins.append([i]); bin_tot.append(t)
+                continue
+            for bi in range(len(bins)):
+                if bin_tot[bi] + t <= max_tokens:
+                    bins[bi].append(i); bin_tot[bi] += t
+                    break
+            else:
+                bins.append([i]); bin_tot.append(t)
+        keys = hash_any_array([
+            "|".join(str(ids[i]) for i in sorted(members)) for members in bins
+        ]).astype(np.int64)
+        return pd.DataFrame({
+            "seq_key": keys,
+            "n_docs": pd.Series([len(m) for m in bins], dtype="int64"),
+            "total_tokens": pd.Series(bin_tot, dtype="int64"),
+            "truncated": pd.Series([bin_tot[i] > max_tokens
+                                    for i in range(len(bins))], dtype="bool"),
+        })
+
+    return ds.map_batches(pack, batch_format="pandas", batch_size=4096)

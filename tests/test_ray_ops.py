@@ -263,3 +263,36 @@ class TestSampling:
             rd.from_arrow(t).repartition(7), "s", {"a": 0.1, "b": 0.9}, "k"
         ).to_pandas()
         assert set(out.k) == set(out2.k)
+
+
+class TestSequencePacking:
+    def test_packing_invariants(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.textops import pack_sequences
+
+        rng = np.random.default_rng(4)
+        texts = [" ".join(["w"] * int(n))
+                 for n in rng.integers(5, 120, size=400)]
+        texts.append(" ".join(["w"] * 999))  # over-long: must truncate alone
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        packed = pack_sequences(
+            rd.from_pandas(df).repartition(4), max_tokens=256).to_pandas()
+
+        # every doc lands in exactly one sequence
+        assert int(packed.n_docs.sum()) == len(texts)
+        # non-truncated sequences respect the budget
+        ok = packed[~packed.truncated]
+        assert (ok.total_tokens <= 256).all()
+        # the over-long doc is a lone truncated sequence
+        tr = packed[packed.truncated]
+        assert len(tr) == 1 and int(tr.n_docs.iloc[0]) == 1 \
+            and int(tr.total_tokens.iloc[0]) == 999
+        # first-fit-decreasing packs reasonably tight
+        fill = ok.total_tokens.sum() / (256 * len(ok))
+        assert fill > 0.7
+        # content-addressed keys: re-running yields identical rows
+        again = pack_sequences(
+            rd.from_pandas(df).repartition(4), max_tokens=256).to_pandas()
+        a = packed.sort_values("seq_key").reset_index(drop=True)
+        b = again.sort_values("seq_key").reset_index(drop=True)
+        assert a.equals(b)
