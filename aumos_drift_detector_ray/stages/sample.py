@@ -116,6 +116,52 @@ def bottom_k_by_group(
     return out
 
 
+class WeightedBottomK(_Serializable):
+    """Deterministic weight-proportional sample without replacement
+    (Efraimidis & Spirakis 2006): item priority = -ln(u)/w with
+    u = hash(key)/2^64; the k SMALLEST priorities form a sample where
+    inclusion probability scales with weight. Same determinism/merge
+    properties as :class:`BottomKSample` (hash replaces the RNG), so
+    resume and block order cannot change the sample."""
+
+    def __init__(self, k: int) -> None:
+        self.k = int(k)
+        self.priorities = np.empty(0, dtype=np.float64)
+        self.rows: list[Any] = []
+        self.n_seen = 0
+
+    @staticmethod
+    def _priority(keys: Iterable[Any], weights: np.ndarray) -> np.ndarray:
+        u = (hash_any_array(list(keys)).astype(np.float64) + 0.5) / float(2**64)
+        w = np.asarray(weights, dtype=np.float64)
+        if (w <= 0).any():
+            raise ValueError("weights must be positive")
+        return -np.log(u) / w
+
+    def update(self, keys: Iterable[Any], weights: np.ndarray,
+               rows: "list[Any]") -> None:
+        p = self._priority(keys, weights)
+        self.n_seen += len(p)
+        if len(p) == 0:
+            return
+        all_p = np.concatenate([self.priorities, p])
+        all_rows = self.rows + list(rows)
+        order = np.argsort(all_p, kind="stable")[: self.k]
+        self.priorities = all_p[order]
+        self.rows = [all_rows[i] for i in order]
+
+    def merge(self, other: "WeightedBottomK") -> "WeightedBottomK":
+        self.n_seen += other.n_seen
+        if len(other.priorities) == 0:
+            return self
+        all_p = np.concatenate([self.priorities, other.priorities])
+        all_rows = self.rows + other.rows
+        order = np.argsort(all_p, kind="stable")[: self.k]
+        self.priorities = all_p[order]
+        self.rows = [all_rows[i] for i in order]
+        return self
+
+
 class ReservoirSample(_Serializable):
     """Mergeable uniform reservoir (Vitter's algorithm R per block +
     weighted union merge), deterministic given the seed."""

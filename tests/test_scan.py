@@ -263,3 +263,49 @@ class TestApproxDistinctQuery:
         for t in exact.index:
             rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
             assert rel < 0.05, (t, exact[t], approx[t])
+
+
+class TestWeightedBottomK:
+    def test_merge_order_independent(self):
+        from aumos_drift_detector_ray.stages.sample import WeightedBottomK
+
+        keys = [f"k{i}" for i in range(600)]
+        w = np.ones(600); w[::3] = 5.0
+        rows = list(range(600))
+
+        def build(chunks):
+            acc = None
+            for lo, hi in chunks:
+                s = WeightedBottomK(40)
+                s.update(keys[lo:hi], w[lo:hi], rows[lo:hi])
+                acc = s if acc is None else acc.merge(s)
+            return acc
+
+        a = build([(0, 200), (200, 400), (400, 600)])
+        b = build([(400, 600), (0, 200), (200, 400)])
+        one = WeightedBottomK(40)
+        one.update(keys, w, rows)
+        assert a.rows == b.rows == one.rows
+
+    def test_weight_proportional_inclusion(self):
+        from aumos_drift_detector_ray.stages.sample import WeightedBottomK
+
+        n = 4000
+        keys = [f"item-{i}" for i in range(n)]
+        w = np.ones(n)
+        heavy = np.arange(n) % 10 == 0          # 10% of items, weight 10
+        w[heavy] = 10.0
+        s = WeightedBottomK(400)
+        s.update(keys, w, list(range(n)))
+        got_heavy = sum(1 for r in s.rows if r % 10 == 0)
+        # heavy items are 10% of the population but carry ~53% of total
+        # weight; expect roughly half the sample, far above 10%
+        assert 0.35 < got_heavy / 400 < 0.7
+
+    def test_rejects_nonpositive_weights(self):
+        from aumos_drift_detector_ray.stages.sample import WeightedBottomK
+
+        s = WeightedBottomK(5)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            s.update(["a"], np.array([0.0]), [1])
