@@ -162,6 +162,31 @@ class WeightedBottomK(_Serializable):
         return self
 
 
+def weighted_bottom_k(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    payload_col: str,
+    k: int,
+) -> WeightedBottomK:
+    """Distributed weight-proportional sample of ``k`` payload rows:
+    per-block :class:`WeightedBottomK` partials merged with the profile
+    tree-merge — deterministic under any block schedule."""
+    from .profile import tree_merge
+
+    ds = ds.select_columns([key_col, weight_col, payload_col])
+
+    def partial(b: pd.DataFrame) -> pa.Table:
+        s = WeightedBottomK(k)
+        s.update(b[key_col].tolist(), b[weight_col].to_numpy(dtype=float),
+                 b[payload_col].tolist())
+        return pa.table({"wbk": pa.array([pickle.dumps(s)], pa.binary())})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = tree_merge(partials)
+    return pickle.loads(merged["wbk"][0].as_py())
+
+
 class ReservoirSample(_Serializable):
     """Mergeable uniform reservoir (Vitter's algorithm R per block +
     weighted union merge), deterministic given the seed."""

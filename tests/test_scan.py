@@ -309,3 +309,22 @@ class TestWeightedBottomK:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             s.update(["a"], np.array([0.0]), [1])
+
+
+class TestWeightedBottomKDataset:
+    def test_matches_driver_sim(self, ray_session):
+        from aumos_drift_detector_ray.stages.sample import (
+            WeightedBottomK, weighted_bottom_k)
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({
+            "id": [f"d{i}" for i in range(1500)],
+            "w": rng.uniform(0.5, 5.0, size=1500),
+            "val": np.arange(1500),
+        })
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = weighted_bottom_k(ds, "id", "w", "val", 50)
+        ref = WeightedBottomK(50)
+        ref.update(df.id.tolist(), df.w.to_numpy(), df.val.tolist())
+        assert got.rows == ref.rows
+        assert got.n_seen == 1500
