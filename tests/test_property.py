@@ -154,3 +154,76 @@ class TestSaltedAggregation:
         exp = df.groupby("k", as_index=False).agg(s=("v", "sum"), n=("v", "size"))
         assert (out.s.to_numpy() == exp.s.to_numpy()).all()
         assert (out.n.to_numpy() == exp.n.to_numpy()).all()
+
+
+class TestRound2Properties:
+    @given(st.binary(min_size=0, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_min_rolling_hash_equals_byte_loop(self, data):
+        from aumos_drift_detector_ray.stages.textops import min_rolling_hash
+
+        base, mask, window = 1000003, 0xFFFFFFFFFFFFFFFF, 64
+        if len(data) <= window:
+            h = 0
+            for b in data:
+                h = (h * base + b) & mask
+            expect = int(np.uint64(h).astype(np.int64))
+        else:
+            power = pow(base, window - 1, 1 << 64)
+            h = 0
+            for b in data[:window]:
+                h = (h * base + b) & mask
+            best = h
+            for i in range(window, len(data)):
+                h = ((h - data[i - window] * power) * base + data[i]) & mask
+                best = min(best, h)
+            expect = int(np.uint64(best).astype(np.int64))
+        assert min_rolling_hash(data) == expect
+
+    @given(st.lists(st.text(max_size=24), min_size=0, max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_string_hash_equals_fnv_loop(self, values):
+        from aumos_drift_detector_ray.sketches import hash64, hash_any_array
+
+        got = hash_any_array(values)
+        for i, v in enumerate(values):
+            h = np.uint64(0xCBF29CE484222325)
+            with np.errstate(over="ignore"):
+                for byte in str(v).encode("utf-8", "surrogatepass"):
+                    h ^= np.uint64(byte)
+                    h *= np.uint64(0x100000001B3)
+            assert got[i] == hash64(np.array([h]))[0]
+
+    @given(st.lists(st.integers(min_value=0, max_value=500), min_size=1,
+                    max_size=80, unique=True),
+           st.integers(min_value=1, max_value=12))
+    @settings(max_examples=60, deadline=None)
+    def test_sliding_window_vs_naive(self, hours, width):
+        from aumos_drift_detector_ray.stages.aggregate import (
+            sliding_time_window_sums)
+
+        hours = sorted(hours)
+        vals = np.arange(1, len(hours) + 1)
+        got = sliding_time_window_sums(np.array(hours), vals, width)
+        for i, h in enumerate(hours):
+            expect = sum(v for hh, v in zip(hours, vals)
+                         if h - width < hh <= h)
+            assert got[i] == expect
+
+    @given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                    max_size=200, unique=True),
+           st.integers(min_value=1, max_value=20),
+           st.integers(min_value=1, max_value=199))
+    @settings(max_examples=40, deadline=None)
+    def test_bottom_k_split_invariance(self, keys, k, cut):
+        from aumos_drift_detector_ray.stages.sample import BottomKSample
+
+        cut = min(cut, len(keys))
+        whole = BottomKSample(k)
+        whole.update(keys, list(keys))
+        a, b = BottomKSample(k), BottomKSample(k)
+        a.update(keys[:cut], list(keys[:cut]))
+        b.update(keys[cut:], list(keys[cut:]))
+        merged = a.merge(b)
+        assert merged.rows == whole.rows
+        assert merged.n_seen == whole.n_seen
