@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_cumulative_revenue": Q.daily_cumulative_revenue,
         "salted_count_by_type": Q.salted_count_by_type,
         "user_session_stats": Q.user_session_stats,
+        "event_gap_stats": Q.event_gap_stats,
         "hash_split_counts": Q.hash_split_counts,
         "curated_training_split": Q.curated_training_split,
     }
@@ -525,6 +526,20 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split,
                    CAST(count(*) AS BIGINT) AS n
             FROM b GROUP BY 1 ORDER BY 1
+        """,
+        "event_gap_stats": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(round(CAST(sum(gap_us) AS DOUBLE) / 1000000
+                        / count(gap_us), 9) AS DOUBLE) AS avg_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "user_session_stats": """
             WITH o AS (

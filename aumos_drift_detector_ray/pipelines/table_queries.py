@@ -1371,6 +1371,44 @@ def curated_training_split(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("split").reset_index(drop=True)
 
 
+def event_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """LAG-window representative: per event, the gap to the same user's
+    previous event; aggregated to (event_type, n_gaps, avg_gap_s). One
+    bucketed shuffle by user (a user's stream co-locates), vectorized
+    per-bucket lag via sort + shift, exact integer-microsecond sums."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        prev_ts = g.ts.shift()
+        same_user = g.user_id.eq(g.user_id.shift())
+        gap_us = (g.ts.astype("datetime64[us]").astype("int64")
+                  - prev_ts.astype("datetime64[us]").astype("int64").fillna(0))
+        ok = same_user.to_numpy()
+        d = pd.DataFrame({
+            "event_type": g.event_type.to_numpy()[ok],
+            "gap_us": gap_us.to_numpy()[ok],
+        })
+        return d.groupby("event_type", as_index=False).agg(
+            n_gaps=("gap_us", "size"), gap_us=("gap_us", "sum"))
+
+    out = ds.map_batches(add_bucket, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas().groupby("event_type", as_index=False).sum()
+    out["n_gaps"] = out.n_gaps.astype("int64")
+    out["avg_gap_s"] = np.round(
+        out.gap_us.astype("float64") / 1e6 / out.n_gaps, 9)
+    return out.drop(columns=["gap_us"]).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
 def hash_split_counts(sf_dir: str) -> pd.DataFrame:
     """Deterministic content-addressed train/val/test split of documents
     (md5-bucket assignment) — the oracle reproduces the exact same
