@@ -328,3 +328,19 @@ class TestWeightedBottomKDataset:
         ref.update(df.id.tolist(), df.w.to_numpy(), df.val.tolist())
         assert got.rows == ref.rows
         assert got.n_seen == 1500
+
+
+class TestDegenerateDistributions:
+    def test_all_identical_values(self, ray_session):
+        ref = np.full(50, 7.0)
+        prod = np.full(60, 7.0)
+        r = scan.two_sample_order_stats(_two_sample_ds(ref, prod, blocks=3))
+        assert r["ks"] == 0.0 and r["w1"] == 0.0
+        assert np.isfinite(r["ad_a2akn"])  # l=N denominator masked to 0
+        assert r["n_distinct"] == 1
+
+    def test_constant_column_quantiles(self, ray_session):
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"x": np.full(100, 3.5)})).repartition(4)
+        out = scan.exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
+        assert np.allclose(out, 3.5)
