@@ -266,15 +266,24 @@ def hash64(values: np.ndarray) -> np.ndarray:
 def hash_any_array(values: Iterable[Any]) -> np.ndarray:
     """Hash arbitrary python/numpy values to uint64 deterministically.
     Numeric arrays go through the vectorized path; object/string arrays
-    fall back to a per-item stable hash (FNV-1a over utf-8)."""
-    arr = np.asarray(values)
+    fall back to a per-item stable hash (FNV-1a over utf-8).
+
+    String inputs are encoded from the ORIGINAL python objects, never a
+    numpy ``U``/``S`` coercion — numpy fixed-width strings silently strip
+    trailing NUL characters, which would break the FNV-of-utf-8 contract
+    (keys differing only in trailing NULs must not collide)."""
+    if isinstance(values, np.ndarray):
+        arr, items = values, None
+    else:
+        items = values if isinstance(values, (list, tuple)) else list(values)
+        arr = np.asarray(items)
     if arr.dtype.kind == "i":
         return hash64(arr.astype(np.int64, copy=False).view(np.uint64))
     if arr.dtype.kind == "u":
         return hash64(arr.astype(np.uint64, copy=False))
     if arr.dtype.kind == "f":
         return hash64(arr.astype(np.float64).view(np.uint64))
-    flat = arr.ravel()
+    flat = arr.ravel() if items is None or arr.ndim != 1 else items
     encoded = [str(v).encode("utf-8", "surrogatepass") for v in flat]
     n = len(encoded)
     if n == 0:
