@@ -678,6 +678,55 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def verified_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup document pairs with EXACT 5-char-shingle Jaccard >= 0.5:
+    MinHash-LSH candidates at a loose signature threshold (0.35; high
+    recall — the corpus's planted near-dups sit at J >= 0.9 where the
+    16-band×4-row miss probability is < 1e-9) verified by the exact
+    shingle-set kernel (dedup.ngram_jaccard). The SQL oracle computes
+    the ground-truth ALL-PAIRS shingle Jaccard, so a green row
+    structurally proves both LSH recall and the exact-verify tier on
+    this corpus (the oracle side is O(n²) — oracle-only, never the
+    engine path)."""
+    out = ngram_jaccard_pairs(sf_dir)
+    keep = out[out.exact_jaccard >= 0.5]
+    return pd.DataFrame({
+        "id_a": keep.id_a.astype("int64").to_numpy(),
+        "id_b": keep.id_b.astype("int64").to_numpy(),
+        "jaccard": keep.exact_jaccard.astype("float64").to_numpy(),
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def label_cosine_pairs(sf_dir: str) -> pd.DataFrame:
+    """Blocked exact near-dup over embeddings: all pairs WITHIN a label
+    block with cosine >= 0.4 (label is the blocking key — the
+    exact-verify tier of embedding dedup as groupby(label).map_groups;
+    at scale the block is the partition unit and the all-pairs kernel
+    runs only inside it). Exactly SQL-checkable since blocked semantics
+    are a plain equi-self-join."""
+    ds = sf_table(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding", "label"])
+
+    def pairs_in_block(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g.vec_id.to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.asarray(g.embedding.to_list(), dtype=np.float64)[order]
+        unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cos = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= 0.4
+        return pd.DataFrame({
+            "id_a": ids[ia[keep]],
+            "id_b": ids[ib[keep]],
+            "cosine": np.round(cos[ia[keep], ib[keep]], 9),
+        })
+
+    out = ds.groupby("label").map_groups(
+        pairs_in_block, batch_format="pandas").to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def langid_docs(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.language_id(ds).select_columns(
@@ -782,66 +831,120 @@ def shap_importance_lineitem(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+_EVENTS_HALF_SAMPLE_CACHE: dict[str, dict] = {}
+
+
+def _events_half_samples(sf_dir: str, k: int = 2000) -> dict:
+    """Bounded deterministic per-half samples of the derived
+    (x, p1, y) event rows via the distributed hash bottom-k sketch
+    (stages/sample.BottomKSample) — fit inputs for the label-free
+    estimators; the events table itself never reaches the driver.
+    Cached per sf_dir: CBPE and DLE run back-to-back on the same
+    input."""
+    if sf_dir not in _EVENTS_HALF_SAMPLE_CACHE:
+        from ..stages.sample import bottom_k_by_group
+
+        ds = sf_table(sf_dir, "events",
+                      columns=["event_id", "user_id", "value"])
+
+        def derive(b: pd.DataFrame) -> pd.DataFrame:
+            x = b.value.to_numpy(dtype=np.float64)
+            p = np.clip(x, 0, 20) / 20.0
+            y = (b.user_id % 2).to_numpy(dtype=np.float64)
+            return pd.DataFrame({
+                "event_id": b.event_id.astype("int64"),
+                "half": np.where(b.event_id % 2 == 0, "ref", "prod"),
+                "payload": list(np.column_stack([x, p, y])),
+            })
+
+        d2 = ds.map_batches(derive, batch_format="pandas",
+                            batch_size=65536)
+        _EVENTS_HALF_SAMPLE_CACHE[sf_dir] = bottom_k_by_group(
+            d2, "event_id", "payload", k, group_col="half")
+    return _EVENTS_HALF_SAMPLE_CACHE[sf_dir]
+
+
 def cbpe_accuracy_events(sf_dir: str) -> pd.DataFrame:
     """CBPE accuracy estimation (cbpe.py:20-137 capability): isotonic
-    confidence→correctness calibration fit on the labelled even-event_id
-    half, estimating accuracy for the unlabelled odd half, with the
-    reference's 200-draw bootstrap CI (seed 42). Stateful estimator —
-    no SQL analogue; bounded driver inputs come from the grouped halves."""
+    confidence→correctness calibration fit on a BOUNDED bottom-k sample
+    of the labelled even-event_id half (the same bounded-fit shape as
+    MMD/C2ST/PCA), then the estimated accuracy for the unlabelled odd
+    half is the EXACT mean of the calibrated confidence over the full
+    production stream — a stateless broadcast-model ``map_batches`` with
+    a mergeable (sum, count) reduce, no driver materialization. The
+    reference's 200-draw seed-42 bootstrap CI runs on the bounded
+    production sample. Rows-only (stateful estimator, no SQL analogue)."""
     from ..state.estimators import CBPEEstimator
 
-    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    samples = _events_half_samples(sf_dir)
+    ref = np.asarray(samples["ref"].rows, dtype=float)       # x, p1, y
+    prod_s = np.asarray(samples["prod"].rows, dtype=float)
+    est = CBPEEstimator().fit(
+        np.column_stack([1.0 - ref[:, 1], ref[:, 1]]), ref[:, 2])
+    model = ray.put(est)
 
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        p = (b.value.clip(0, 20) / 20.0).to_numpy()
-        return pd.DataFrame({
-            "is_ref": (b.event_id % 2 == 0),
-            "p0": 1.0 - p, "p1": p,
-            "y": (b.user_id % 2).astype("int64"),
-        })
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
 
-    df = ds.map_batches(derive, batch_format="pandas").to_pandas()
-    ref = df[df.is_ref]
-    prod = df[~df.is_ref]
-    est = CBPEEstimator().fit(ref[["p0", "p1"]].to_numpy(), ref.y.to_numpy())
-    r = est.estimate(prod[["p0", "p1"]].to_numpy())
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(model)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        p1 = np.clip(b["value"].to_numpy(zero_copy_only=False), 0, 20) / 20.0
+        p1 = p1[(eid % 2) == 1]
+        cal = m.calibrate(np.column_stack([1.0 - p1, p1]))
+        return pa.table({"s": pa.array([float(cal.sum())]),
+                         "n": pa.array([np.int64(cal.size)])})
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    n_prod = int(parts.n.sum())
+    acc = float(parts.s.sum() / max(n_prod, 1))
+
+    cal_s = est.calibrate(np.column_stack([1.0 - prod_s[:, 1], prod_s[:, 1]]))
+    rng = np.random.default_rng(42)
+    n = cal_s.size
+    draws = np.array([cal_s[rng.integers(0, n, size=n)].mean()
+                      for _ in range(200)])
     return pd.DataFrame({
-        "estimated_accuracy": [float(np.round(r["estimated_value"], 9))],
-        "ci_lower": [float(np.round(r["confidence_interval_95"]["lower"], 9))],
-        "ci_upper": [float(np.round(r["confidence_interval_95"]["upper"], 9))],
-        "n_samples": [np.int64(r["n_samples"])],
+        "estimated_accuracy": [float(np.round(acc, 9))],
+        "ci_lower": [float(np.round(np.percentile(draws, 2.5), 9))],
+        "ci_upper": [float(np.round(np.percentile(draws, 97.5), 9))],
+        "n_samples": [np.int64(n_prod)],
     })
 
 
 def dle_loss_events(sf_dir: str) -> pd.DataFrame:
     """DLE direct loss estimation (dle.py:21-159 capability): boosted
-    stumps fit on the labelled even-event_id half predict per-sample
-    log-loss for the unlabelled odd half; scoring applies the fitted
-    model via a stateless vectorized batch map (the actor-pool shape at
-    scale). Rows-only (iterative model fit — no SQL analogue)."""
+    stumps fit on a BOUNDED bottom-k sample of the labelled even-event_id
+    half; the estimated mean loss for the unlabelled odd half is the
+    EXACT mean of the model prediction over the full production stream
+    (stateless broadcast-model ``map_batches`` + mergeable (sum, count)
+    reduce — the actor-pool shape at scale, no driver materialization).
+    Rows-only (iterative model fit — no SQL analogue)."""
     from ..state.estimators import DLEEstimator
 
-    ds = sf_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
-
-    def derive(b: pd.DataFrame) -> pd.DataFrame:
-        p = (b.value.clip(0, 20) / 20.0).to_numpy()
-        return pd.DataFrame({
-            "is_ref": (b.event_id % 2 == 0),
-            "x": b.value.astype("float64"),
-            "p0": 1.0 - p, "p1": p,
-            "y": (b.user_id % 2).astype("int64"),
-        })
-
-    df = ds.map_batches(derive, batch_format="pandas").to_pandas()
-    ref, prod = df[df.is_ref], df[~df.is_ref]
-    est = DLEEstimator(n_estimators=20)
+    samples = _events_half_samples(sf_dir)
+    ref = np.asarray(samples["ref"].rows, dtype=float)       # x, p1, y
     losses = DLEEstimator.per_sample_logloss(
-        ref[["p0", "p1"]].to_numpy(), ref.y.to_numpy())
-    est.fit(ref[["x"]].to_numpy(), losses)
-    pred = est.predict(prod[["x"]].to_numpy())
+        np.column_stack([1.0 - ref[:, 1], ref[:, 1]]), ref[:, 2])
+    est = DLEEstimator(n_estimators=20).fit(ref[:, [0]], losses)
+    model = ray.put(est)
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def score(b: pa.Table) -> pa.Table:
+        m = ray.get(model)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        x = b["value"].to_numpy(zero_copy_only=False)[(eid % 2) == 1]
+        pred = m.predict(x.reshape(-1, 1))
+        return pa.table({"s": pa.array([float(pred.sum())]),
+                         "n": pa.array([np.int64(pred.size)])})
+
+    parts = ds.map_batches(score, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    n_prod = int(parts.n.sum())
     return pd.DataFrame({
-        "estimated_mean_loss": [float(np.round(np.mean(pred), 9))],
-        "n_samples": [np.int64(len(pred))],
+        "estimated_mean_loss": [float(np.round(parts.s.sum() / max(n_prod, 1), 9))],
+        "n_samples": [np.int64(n_prod)],
     })
 
 
