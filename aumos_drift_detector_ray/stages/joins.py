@@ -19,8 +19,6 @@ them. Three tiers:
 
 from __future__ import annotations
 
-from typing import Any
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -91,6 +89,65 @@ def _union_aligned(lt: ray.data.Dataset, rt: ray.data.Dataset) -> ray.data.Datas
     return lt2.union(rt2)
 
 
+_NULLABLE_INT = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
+def _np_col(s: pd.Series) -> np.ndarray:
+    """Numpy view of a possibly-nullable-int column for numeric kernels:
+    lossless native dtype when null-free, float64+NaN when nulls exist
+    (null keys/points never match, NaN comparisons are always False)."""
+    if isinstance(s.dtype, pd.api.extensions.ExtensionDtype):
+        if s.isna().any():
+            return s.to_numpy(dtype="float64", na_value=np.nan)
+        return s.to_numpy(dtype=str(s.dtype).lower())
+    return s.to_numpy()
+
+
+def _pa_type(t) -> pa.DataType:
+    """Normalize a Ray Schema type to arrow: pandas-block datasets report
+    numpy dtypes / python classes (str for object columns) instead of
+    arrow DataTypes."""
+    if isinstance(t, pa.DataType):
+        return t
+    if t in (str, np.str_, object, np.object_):
+        return pa.string()
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, ValueError):
+        return pa.string()
+
+
+def _arrow_out(df: pd.DataFrame, fields: "dict[str, pa.DataType]") -> pa.Table:
+    """Convert a bucket's merged pandas frame to arrow against the FIXED
+    output schema (original input types, in the frame's column order):
+    nullable Int columns round-trip to plain arrow ints, all-null object
+    columns keep their declared type instead of inferring ``null`` — so
+    every bucket emits an identical block schema."""
+    schema = pa.schema([(c, fields[c]) for c in df.columns])
+    return pa.Table.from_pandas(df, schema=schema, preserve_index=False) \
+        .replace_schema_metadata(None)  # pandas metadata defeats Ray's
+    # block-schema dedup (unhashable dict) and spams schema warnings
+
+
+def _group_to_frames(g: pa.Table, l_cols: "list[str]", r_cols: "list[str]",
+                     ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Split a co-grouped bucket into left/right pandas frames WITHOUT
+    the int64→float64 null-degradation: integer columns map to pandas
+    nullable Int dtypes (lossless for the full int64 range — no 2^53
+    float precision loss, no ValueError on genuine nulls), so the union
+    padding nulls of the other side never corrupt this side's dtypes.
+    Nullable ints round-trip back to plain arrow ints on output."""
+    df = g.to_pandas(types_mapper=_NULLABLE_INT.get)
+    side = df["__side"].to_numpy()
+    return (df.loc[side == 0, l_cols].reset_index(drop=True),
+            df.loc[side == 1, r_cols].reset_index(drop=True))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -104,44 +161,25 @@ def hash_join(
 
     Both sides are bucketed by key hash and co-grouped; each bucket task
     performs a pandas merge. Non-key column collisions are disambiguated
-    with ``right_prefix``. ``how``: 'inner' | 'left'.
-    """
+    with ``right_prefix``. ``how``: 'inner' | 'left'. Every bucket —
+    including buckets where one side is empty — emits the SAME merged
+    column set (the pandas merge of possibly-empty frames), so block
+    schemas are consistent across the dataset."""
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = [c if c == key else f"{left_prefix}{c}" for c in l_schema.names]
     r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
-    # int columns degrade to float inside mixed union blocks (the other
-    # side's rows pad them with nulls); restore per side before merging
-    # so chained joins keep integer keys
-    def _is_int(t: Any) -> bool:  # arrow DataType or numpy dtype (pandas blocks)
-        if isinstance(t, pa.DataType):
-            return pa.types.is_integer(t)
-        return getattr(t, "kind", "") in ("i", "u")
-
-    l_ints = [c for c, t in zip(l_cols, l_schema.types) if _is_int(t)]
-    r_ints = [c for c, t in zip(r_cols, r_schema.types) if _is_int(t)]
+    fields = {**{c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)},
+              **{c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}}
     both = _union_aligned(lt, rt)
 
-    def _restore_ints(df: pd.DataFrame, cols: "list[str]") -> pd.DataFrame:
-        for c in cols:
-            if c in df.columns and df[c].dtype.kind == "f":
-                df = df.assign(**{c: df[c].astype("int64")})
-        return df
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = _restore_ints(g.loc[g["__side"] == 0, l_cols], l_ints)
-        r = _restore_ints(g.loc[g["__side"] == 1, r_cols], r_ints)
-        if len(r) == 0:
-            if how == "left":
-                return l
-            return l.iloc[0:0]
-        if len(l) == 0:
-            return l
-        return l.merge(r, on=key, how=how)
+    def per_bucket(g: pa.Table) -> pa.Table:
+        l, r = _group_to_frames(g, l_cols, r_cols)
+        return _arrow_out(l.merge(r, on=key, how=how), fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
 
 
@@ -161,25 +199,39 @@ def asof_join(
     rows co-locate in one bucket; timestamps sort within the bucket)."""
     lt = _tag_and_bucket(left, key, 0, n_buckets, "")
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
-    l_cols = list(left.schema().names)
-    r_cols = [c if c == key else f"{right_prefix}{c}" for c in right.schema().names]
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
+    fields = {**{c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)},
+              **{c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}}
     both = _union_aligned(lt, rt)
     r_ts = f"{right_prefix}{ts}"
+    out_cols = l_cols + [c for c in r_cols if c != key]
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == 0, l_cols].sort_values(ts, kind="stable")
-        r = g.loc[g["__side"] == 1, r_cols].sort_values(r_ts, kind="stable")
-        if len(l) == 0:
-            return l
-        if len(r) == 0:
-            return l
-        merged = pd.merge_asof(
+    def _np_sort_keys(df: pd.DataFrame, cols: "list[str]") -> pd.DataFrame:
+        # merge_asof needs plain numpy on/by columns; the asof contract
+        # requires non-null keys/timestamps, so the downcast is lossless
+        for c in cols:
+            if isinstance(df[c].dtype, pd.api.extensions.ExtensionDtype):
+                df = df.assign(**{c: _np_col(df[c])})
+        return df
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        l, r = _group_to_frames(g, l_cols, r_cols)
+        l = _np_sort_keys(l, [key, ts]).sort_values(ts, kind="stable")
+        r = _np_sort_keys(r, [key, r_ts]).sort_values(r_ts, kind="stable")
+        if len(l) == 0 or len(r) == 0:
+            # same merged column set AND schema as matched buckets: the
+            # missing right-side columns are all-null, typed by _arrow_out
+            extra = {c: pd.Series([None] * len(l), dtype="object")
+                     for c in out_cols if c not in l.columns}
+            return _arrow_out(l.assign(**extra), fields)
+        return _arrow_out(pd.merge_asof(
             l, r, left_on=ts, right_on=r_ts, by=key, direction=direction,
-        )
-        return merged
+        ), fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )
 
 
@@ -200,24 +252,35 @@ def range_join(
 
     lt = _tag_and_bucket(points, key, 0, n_buckets, "")
     rt = _tag_and_bucket(intervals, key, 1, n_buckets, "iv_")
-    p_cols = list(points.schema().names)
-    iv_cols = [c if c == key else f"iv_{c}" for c in intervals.schema().names]
+    p_schema, iv_schema = points.schema(), intervals.schema()
+    p_cols = list(p_schema.names)
+    iv_cols = [c if c == key else f"iv_{c}" for c in iv_schema.names]
+    fields = {**{c: _pa_type(t) for c, t in zip(p_cols, p_schema.types)},
+              **{c: _pa_type(t) for c, t in zip(iv_cols, iv_schema.types)}}
     both = _union_aligned(lt, rt)
     lo, hi = f"iv_{lo_col}", f"iv_{hi_col}"
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        p = g.loc[g["__side"] == 0, p_cols]
-        iv = g.loc[g["__side"] == 1, iv_cols]
+    def per_bucket(g: pa.Table) -> pa.Table:
+        p, iv = _group_to_frames(g, p_cols, iv_cols)
+
+        def empty() -> pa.Table:
+            extra = {c: pd.Series([], dtype=iv[c].dtype)
+                     for c in iv_cols if c != key}
+            return _arrow_out(p.iloc[0:0].assign(**extra), fields)
+
         if len(p) == 0 or len(iv) == 0:
-            return p.iloc[0:0]
+            return empty()
+        # group the intervals ONCE (not an O(keys x intervals) rescan)
+        iv_by_key = {k: ivk.sort_values(lo, kind="stable")
+                     for k, ivk in iv.groupby(key, sort=False)}
         outs = []
         for k, pk in p.groupby(key, sort=False):
-            ivk = iv[iv[key] == k].sort_values(lo, kind="stable")
-            if len(ivk) == 0:
+            ivk = iv_by_key.get(k)
+            if ivk is None:
                 continue
-            los = ivk[lo].to_numpy()
-            his = ivk[hi].to_numpy()
-            vals = pk[point_col].to_numpy()
+            los = _np_col(ivk[lo])
+            his = _np_col(ivk[hi])
+            vals = _np_col(pk[point_col])
             idx = np.searchsorted(los, vals, side="right") - 1
             ok = (idx >= 0) & (vals < his[np.clip(idx, 0, len(his) - 1)])
             matched = pk.loc[ok].reset_index(drop=True)
@@ -228,9 +291,9 @@ def range_join(
                 [matched, ividx.drop(columns=[key])], axis=1
             ))
         if not outs:
-            return p.iloc[0:0]
-        return pd.concat(outs, ignore_index=True)
+            return empty()
+        return _arrow_out(pd.concat(outs, ignore_index=True), fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
-        per_bucket, batch_format="pandas"
+        per_bucket, batch_format="pyarrow"
     )

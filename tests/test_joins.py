@@ -126,3 +126,95 @@ class TestChainedJoinKeyTypes:
         out = hash_join(l, r, "k", n_buckets=4).to_pandas().sort_values("k")
         assert out.k.tolist() == [0.5, 2.25]
         assert out.r_b.tolist() == [7, 8]
+
+
+class TestJoinSchemaConsistency:
+    def test_left_join_empty_right_buckets_keep_right_columns(self, ray_session):
+        """Regression: buckets whose right side is empty used to emit
+        blocks WITHOUT the r_* columns (Ray logged 'RefBundle with a
+        different schema'); every bucket must emit the merged schema."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        # many left keys, right side present for only ONE key → most of
+        # the 16 buckets have an empty right side
+        left = pd.DataFrame({"k": np.arange(64), "a": np.arange(64) * 2})
+        right = pd.DataFrame({"k": [3], "b": [99]})
+        ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                       n_buckets=16, how="left")
+        out = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(out.columns) == ["k", "a", "r_b"]
+        assert len(out) == 64
+        assert out.loc[out.k == 3, "r_b"].iloc[0] == 99
+        assert out.loc[out.k != 3, "r_b"].isna().all()
+        # schema is consistent: arrow type for r_b is integral, not null/object
+        t = ds.schema().types[list(ds.schema().names).index("r_b")]
+        import pyarrow as pa_
+        assert pa_.types.is_integer(t)
+
+    def test_inner_join_empty_buckets_keep_schema(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": np.arange(40), "a": np.arange(40)})
+        right = pd.DataFrame({"k": [2], "b": [5]})
+        ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                       n_buckets=8)
+        out = ds.to_pandas()
+        assert list(out.columns) == ["k", "a", "r_b"]
+        assert out.k.tolist() == [2]
+
+    def test_asof_join_empty_right_buckets_keep_columns(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import asof_join
+
+        left = pd.DataFrame({"k": np.arange(32), "ts": np.arange(32),
+                             "lv": np.arange(32)})
+        right = pd.DataFrame({"k": [1], "ts": [0], "rv": [7]})
+        out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                        key="k", ts="ts", n_buckets=8).to_pandas()
+        assert set(out.columns) == {"k", "ts", "lv", "r_ts", "r_rv"}
+        assert len(out) == 32
+        assert out.loc[out.k == 1, "r_rv"].iloc[0] == 7
+
+    def test_range_join_empty_interval_buckets_keep_columns(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import range_join
+
+        points = pd.DataFrame({"k": np.arange(32), "x": np.full(32, 5.0),
+                               "pid": np.arange(32)})
+        intervals = pd.DataFrame({"k": [1], "lo": [0.0], "hi": [10.0],
+                                  "iid": [100]})
+        out = range_join(rd.from_pandas(points), rd.from_pandas(intervals),
+                         key="k", point_col="x", lo_col="lo", hi_col="hi",
+                         n_buckets=8).to_pandas()
+        assert set(out.columns) == {"k", "x", "pid", "iv_lo", "iv_hi", "iv_iid"}
+        assert out.pid.tolist() == [1]
+
+    def test_nullable_int_column_survives(self, ray_session):
+        """Int columns with genuine nulls must not crash the int-restore
+        (old .astype('int64') raised on NaN) and keep integer identity."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3],
+                             "a": pd.array([10, None, 30], dtype="Int64")})
+        right = pd.DataFrame({"k": [1, 2, 3], "b": [7, 8, 9]})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4).to_pandas().sort_values("k")
+        assert out.r_b.tolist() == [7, 8, 9]
+        assert out.a.isna().tolist() == [False, True, False]
+        assert out.a.dropna().astype("int64").tolist() == [10, 30]
+
+    def test_huge_int_values_exact(self, ray_session):
+        """int64 values above 2^53 must round-trip exactly through the
+        bucketed join (the old float64 union degradation corrupted them)."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        big = [2**60 + 1, 2**61 + 3, 2**62 + 7]
+        left = pd.DataFrame({"k": [1, 2, 3], "a": np.array(big, dtype="int64")})
+        right = pd.DataFrame({"k": [2], "b": [5]})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4, how="left").to_pandas().sort_values("k")
+        assert out.a.astype("int64").tolist() == big
