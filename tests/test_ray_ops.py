@@ -171,6 +171,27 @@ class TestDocDedup:
         assert (0, 1) in found
         assert all(p == (0, 1) for p in found)
 
+    def test_embedding_bucketer_ships_scalars_only(self):
+        """Scale regression: the LSH candidate shuffle must carry ONLY
+        scalar columns — no embedding payload (the old explode shipped
+        the unit vector x n_tables as python lists through the shuffle)."""
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages.dedup import HyperplaneBucketer
+
+        rng = np.random.default_rng(1)
+        batch = pa.table({
+            "vec_id": list(range(8)),
+            "embedding": [list(map(float, rng.normal(size=16)))
+                          for _ in range(8)],
+        })
+        out = HyperplaneBucketer("embedding", "vec_id", n_planes=12,
+                                 n_tables=4, n_coarse=32)(batch)
+        assert out.column_names == ["vec_id", "bucket", "coarse"]
+        for name in out.column_names:
+            t = out.schema.field(name).type
+            assert not (pa.types.is_list(t) or pa.types.is_fixed_size_list(t))
+        assert len(out) == 8 * 4
+
 
 class TestConceptStage:
     def test_ordered_adwin_fires_at_shift(self, ray_session):
