@@ -88,7 +88,10 @@ def synthesize_dataset(
         path = os.path.join(out_dir, f"shard={shard}", "part.parquet")
         if os.path.exists(path):
             return path
-        tbl = synth.make_batch(start, count, cfg)
+        # ref-truth columns ride in the same parquet (columnar: pruned by
+        # every reader except the decode stage, which uses them instead
+        # of the per-row seeded re-render)
+        tbl = synth.make_batch(start, count, cfg, with_ref_truth=True)
         # small row groups so the validation read can fan out into many
         # tasks (one actor-pool bundle per read task)
         ckpt.atomic_write_table(path, tbl, row_group_size=512)

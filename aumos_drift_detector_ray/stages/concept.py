@@ -34,29 +34,57 @@ def make_detector(name: str, **kwargs: Any) -> Any:
 
 
 class _OrderedDetectorActor:
-    """Single-actor stage consuming sequence-ordered batches."""
+    """Single-actor stage consuming sequence-ordered batches.
+
+    With ``checkpoint_path`` set, the actor atomically persists
+    {detector snapshot, last processed seq, cumulative events} after
+    every batch, so an interrupted stream resumes from the last
+    completed batch (driver side: :func:`ordered_concept_drift` filters
+    already-processed rows and seeds the actor with the snapshot)."""
 
     def __init__(self, detector_name: str, detector_kwargs: dict[str, Any],
-                 seq_col: str, value_col: str) -> None:
+                 seq_col: str, value_col: str,
+                 init_snapshot: dict[str, Any] | None = None,
+                 checkpoint_path: str | None = None,
+                 prior_events: list[dict[str, Any]] | None = None) -> None:
         self.det = make_detector(detector_name, **detector_kwargs)
+        if init_snapshot is not None:
+            self.det.restore(init_snapshot)
         self.name = detector_name
         self.seq_col = seq_col
         self.value_col = value_col
+        self.checkpoint_path = checkpoint_path
+        self.events_acc: list[dict[str, Any]] = list(prior_events or [])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         seqs = batch[self.seq_col].to_numpy(zero_copy_only=False)
         vals = batch[self.value_col].to_numpy(zero_copy_only=False)
         fired = self.det.update_many(np.asarray(vals, dtype=float))
-        state = self.det.get_state()
         out_seq = [int(seqs[i]) for i in fired]
+        # window size captured AT each firing inside update_many — exact
+        # and independent of batch boundaries (required for resume
+        # equivalence)
+        wsizes = [int(w) for w in self.det._fired_sizes]
+        if self.checkpoint_path and len(seqs):
+            import pickle
+
+            from ..state.checkpoint import atomic_write_bytes
+
+            self.events_acc.extend(
+                {"detector": self.name, "seq": s, "level": "drift",
+                 "window_size": w} for s, w in zip(out_seq, wsizes)
+            )
+            atomic_write_bytes(self.checkpoint_path, pickle.dumps({
+                "detector": self.name,
+                "last_seq": int(seqs[-1]),
+                "snapshot": self.det.snapshot(),
+                "events": self.events_acc,
+            }, protocol=pickle.HIGHEST_PROTOCOL))
         return pa.table({
             "detector": pa.array([self.name] * len(out_seq), pa.string()),
             "seq": pa.array(out_seq, pa.int64()),
             "level": pa.array(["drift"] * len(out_seq), pa.string()),
-            "window_size": pa.array(
-                [int(state.get("window_size", state.get("n_samples", 0)))] * len(out_seq),
-                pa.int64(),
-            ),
+            "window_size": pa.array(wsizes, pa.int64()),
         })
 
 
@@ -66,35 +94,65 @@ def ordered_concept_drift(
     seq_col: str = "seq",
     value_col: str = "err",
     detector_kwargs: dict[str, Any] | None = None,
+    checkpoint_path: str | None = None,
 ) -> pd.DataFrame:
     """Global-order detector pass: sort by ``seq_col`` (the one justified
     global sort in the engine — SURVEY.md §4), stream batches through a
     single detector actor in order, collect drift events.
 
+    ``checkpoint_path``: persist detector state per batch and RESUME an
+    interrupted stream — rows with seq <= the checkpoint's last
+    processed seq are filtered at the scan, the detector restores its
+    snapshot, and previously-emitted events are merged into the result,
+    so the resumed event list equals the uninterrupted run's (reference
+    capability: adwin.py:48-78 AdwinState snapshot; tested by
+    tests/test_detectors.py TestStreamResume).
+
     Cost note: a global sort is an all-to-all exchange and the single
     actor serializes the scan — inherent to globally-ordered streaming
     semantics. Prefer :func:`per_key_concept_drift` when streams are
     per-key."""
+    import os
+    import pickle
+
+    prior = None
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path, "rb") as f:
+            prior = pickle.load(f)
+        assert prior["detector"] == detector, \
+            f"checkpoint holds {prior['detector']!r}, stream runs {detector!r}"
+        ds = ds.filter(expr=f"{seq_col} > {prior['last_seq']}")
+
     ctx = ray.data.DataContext.get_current()
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
     try:
         events = ds.select_columns([seq_col, value_col]).sort(seq_col).map_batches(
             _OrderedDetectorActor,
-            fn_constructor_args=(detector, detector_kwargs or {}, seq_col, value_col),
+            fn_constructor_args=(detector, detector_kwargs or {}, seq_col,
+                                 value_col,
+                                 prior["snapshot"] if prior else None,
+                                 checkpoint_path,
+                                 prior["events"] if prior else None),
             batch_format="pyarrow",
             batch_size=8192,
             concurrency=1,
         ).to_pandas()
     finally:
         ctx.execution_options.preserve_order = prev
-    if "seq" not in events.columns:  # no drift events fired at all
-        return pd.DataFrame({
-            "detector": pd.Series([], dtype="object"),
-            "seq": pd.Series([], dtype="int64"),
-            "level": pd.Series([], dtype="object"),
-            "window_size": pd.Series([], dtype="int64"),
-        })
+    empty = pd.DataFrame({
+        "detector": pd.Series([], dtype="object"),
+        "seq": pd.Series([], dtype="int64"),
+        "level": pd.Series([], dtype="object"),
+        "window_size": pd.Series([], dtype="int64"),
+    })
+    if "seq" not in events.columns:  # no drift events fired this run
+        events = empty
+    if prior and prior["events"]:
+        events = pd.concat(
+            [pd.DataFrame(prior["events"]), events], ignore_index=True)
+    if len(events) == 0:
+        return empty
     return events.sort_values("seq").reset_index(drop=True)
 
 

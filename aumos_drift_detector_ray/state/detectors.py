@@ -37,11 +37,33 @@ class DriftLevel(str, Enum):
     DRIFT = "drift"
 
 
+class _Snapshotable:
+    """Checkpoint/resume surface shared by the streaming detectors.
+
+    ``snapshot()`` captures the FULL internal state (unlike
+    ``get_state()``, the reference-parity summary dict) so an
+    interrupted ordered stream can continue mid-way with bit-identical
+    future behavior (reference capability: adwin.py:48-78 AdwinState);
+    ``restore()`` reinstates it. All detector attributes are plain
+    picklable python values."""
+
+    def snapshot(self) -> dict[str, Any]:
+        import copy
+
+        return copy.deepcopy(self.__dict__)
+
+    def restore(self, snap: dict[str, Any]) -> "Any":
+        import copy
+
+        self.__dict__.update(copy.deepcopy(snap))
+        return self
+
+
 # ---------------------------------------------------------------------------
 # ADWIN
 # ---------------------------------------------------------------------------
 
-class AdwinDetector:
+class AdwinDetector(_Snapshotable):
     """ADaptive WINdowing with an exponential-histogram window.
 
     Buckets are stored newest-last per level as parallel (total, size)
@@ -87,10 +109,12 @@ class AdwinDetector:
         indices at which drift fired — the batch API used by the actor
         stage so per-element Python overhead stays inside one call."""
         fired = []
+        self._fired_sizes = []  # window size AT each firing (batch-invariant)
         for i, v in enumerate(np.asarray(values, dtype=float)):
             self.update(float(v))
             if self._drift_now:
                 fired.append(i)
+                self._fired_sizes.append(self._count)
         return fired
 
     def detect(self) -> DriftLevel:
@@ -159,7 +183,7 @@ class AdwinDetector:
 # DDM
 # ---------------------------------------------------------------------------
 
-class DdmDetector:
+class DdmDetector(_Snapshotable):
     """Drift Detection Method over a Bernoulli error stream.
 
     Deviation note: the reference's ``_reset_state`` (ddm.py:140-148)
@@ -218,10 +242,12 @@ class DdmDetector:
 
     def update_many(self, values: np.ndarray) -> list[int]:
         fired = []
+        self._fired_sizes = []  # sample count AT each firing (batch-invariant)
         for i, v in enumerate(np.asarray(values, dtype=float)):
             self.update(float(v))
             if self._level is DriftLevel.DRIFT:
                 fired.append(i)
+                self._fired_sizes.append(self._n)
         return fired
 
     def detect(self) -> DriftLevel:
@@ -243,7 +269,7 @@ class DdmDetector:
 # EDDM
 # ---------------------------------------------------------------------------
 
-class EddmDetector:
+class EddmDetector(_Snapshotable):
     """Enhanced DDM tracking inter-error distances (gradual drift)."""
 
     def __init__(
@@ -302,10 +328,12 @@ class EddmDetector:
 
     def update_many(self, values: np.ndarray) -> list[int]:
         fired = []
+        self._fired_sizes = []  # sample count AT each firing (batch-invariant)
         for i, v in enumerate(np.asarray(values, dtype=float)):
             self.update(float(v))
             if self._level is DriftLevel.DRIFT:
                 fired.append(i)
+                self._fired_sizes.append(self._n)
         return fired
 
     def detect(self) -> DriftLevel:

