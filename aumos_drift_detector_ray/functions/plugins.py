@@ -17,6 +17,37 @@ from typing import Any, Callable
 import ray
 
 DEFAULT_TIMEOUT_SECONDS = 30  # plugin_sandbox.py:23
+DEFAULT_MEMORY_LIMIT_MB = 512  # plugin_sandbox.py:56-65
+
+
+def _call_with_memory_cap(fn: Callable[[], Any], limit_mb: int) -> Any:
+    """Run ``fn`` under an rlimit heap cap of current-usage + limit_mb
+    (the reference sandbox's 512 MB declaration). RLIMIT_DATA rather
+    than RLIMIT_AS: Ray workers map the plasma store into their address
+    space, so an absolute AS cap would trip on pre-existing mappings.
+    The soft limit is restored afterwards — Ray reuses worker processes
+    and a leftover cap would poison later tasks. A blown cap raises
+    MemoryError, which the caller turns into the error envelope."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_DATA)
+        vmdata_kb = 0
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmData:"):
+                    vmdata_kb = int(line.split()[1])
+                    break
+        cap = vmdata_kb * 1024 + limit_mb * 2**20
+        if hard != resource.RLIM_INFINITY:
+            cap = min(cap, hard)
+        resource.setrlimit(resource.RLIMIT_DATA, (cap, hard))
+    except (ImportError, OSError, ValueError):  # non-Linux / restricted
+        return fn()
+    try:
+        return fn()
+    finally:
+        resource.setrlimit(resource.RLIMIT_DATA, (soft, hard))
 
 _REGISTRY: dict[str, Callable[[list[float], list[float]], dict[str, Any]]] = {}
 
@@ -37,11 +68,14 @@ def run_plugin(
     reference_data: list[float],
     production_data: list[float],
     timeout_seconds: int = DEFAULT_TIMEOUT_SECONDS,
+    memory_limit_mb: int = DEFAULT_MEMORY_LIMIT_MB,
 ) -> dict[str, Any]:
     """Execute a plugin (registered name, callable, or Python source
     string defining ``drift_test``) in an isolated Ray worker with a
-    timeout. Errors and timeouts return the reference's error envelope
-    instead of raising (plugin_sandbox.py:96-126)."""
+    timeout and a heap cap (reference: 30 s / 512 MB,
+    plugin_sandbox.py:23,56-65). Errors, timeouts and blown memory caps
+    return the reference's error envelope instead of raising
+    (plugin_sandbox.py:96-126)."""
     if isinstance(plugin, str) and plugin in _REGISTRY:
         fn = _REGISTRY[plugin]
         code = None
@@ -54,16 +88,21 @@ def run_plugin(
 
     @ray.remote(max_retries=0)
     def _exec(ref: list[float], prod: list[float]) -> dict[str, Any]:
-        try:
+        def call() -> Any:
             if code is not None:
                 ns: dict[str, Any] = {}
                 exec(code, ns)  # user-supplied source, isolated in this worker
-                result = ns["drift_test"](ref, prod)
-            else:
-                result = fn(ref, prod)
+                return ns["drift_test"](ref, prod)
+            return fn(ref, prod)
+
+        try:
+            result = _call_with_memory_cap(call, memory_limit_mb)
             if not isinstance(result, dict):
                 raise TypeError("drift_test must return a dict")
             return result
+        except MemoryError:
+            return {"error": f"plugin exceeded the {memory_limit_mb} MB "
+                             "memory limit", "drift_detected": False}
         except Exception as exc:  # error envelope, run continues
             return {"error": str(exc), "drift_detected": False}
 

@@ -108,11 +108,12 @@ def synthesize_dataset(
 # ---------------------------------------------------------------------------
 
 def add_caption_len(batch: pa.Table) -> pa.Table:
-    """Vectorized word count (captions are single-space joined — synth
-    _draw_caption; matches ``len(c.split())`` incl. null → 0)."""
+    """Vectorized word count = ``len(c.split())`` for ANY whitespace
+    (count of non-space runs; '' → 0, repeated/leading/trailing
+    whitespace adds nothing), null → 0."""
     import pyarrow.compute as pc
 
-    n = pc.list_value_length(pc.split_pattern(batch["caption"], " "))
+    n = pc.count_substring_regex(batch["caption"], r"\S+")
     return batch.append_column(
         "caption_len", pc.fill_null(n, 0).cast(pa.int64())
     )

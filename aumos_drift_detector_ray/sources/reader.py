@@ -59,7 +59,15 @@ def _defuse_fsspec_http_import_race() -> bool:
             added.append(name)
     try:
         import fsspec.implementations.http  # noqa: F401
-        return "fsspec.implementations.http" in sys.modules
+        if "fsspec.implementations.http" in sys.modules:
+            # the cached module is bound to the throwaway stubs: mark it
+            # so any future real http:// use can detect the situation
+            # and evict it (read_table documents that http URLs are
+            # unsupported in this sandbox) instead of hitting confusing
+            # AttributeErrors on the stub classes
+            sys.modules["fsspec.implementations.http"]._aumos_stubbed = True
+            return True
+        return False
     except Exception:
         return False
     finally:
@@ -111,7 +119,23 @@ def read_table(
 ) -> ray.data.Dataset:
     """Read a table as a streaming Dataset, pruning columns and pushing
     row filters into the scan (only needed columns/row-groups leave
-    storage)."""
+    storage).
+
+    Supported URL schemes: local paths and any fsspec filesystem whose
+    dependencies are installed. ``http(s)://`` is NOT supported in this
+    sandbox (aiohttp absent): the fsspec http module is pre-cached
+    against stub classes (tagged ``_aumos_stubbed``) purely to defuse a
+    concurrent-import race — evict it from ``sys.modules`` and install
+    aiohttp before reading http URLs."""
+    sample = path[0] if isinstance(path, (list, tuple)) else path
+    if str(sample).startswith(("http://", "https://")) and _FSSPEC_HTTP_CACHED:
+        import sys as _sys
+
+        mod = _sys.modules.get("fsspec.implementations.http")
+        if getattr(mod, "_aumos_stubbed", False):
+            raise RuntimeError(
+                "http(s):// reads need aiohttp, which is not installed; "
+                "the cached fsspec http module is a stub")
     if format == "auto":
         # the reference's reference_data_uri is "parquet-or-CSV"
         # (core/models.py:47-52); infer from the extension

@@ -72,6 +72,56 @@ class BottomKSample(_Serializable):
         return self
 
 
+def _merge_long_sketches(batch: pa.Table) -> pa.Table:
+    """Merge a batch of long-format (grp, sketch) partial rows: one
+    output row per group. Every block shares ONE fixed schema, so the
+    tree-merge rounds never depend on Ray's cross-block schema
+    unification (the old wide format emitted one column per group
+    PRESENT in each block — skewed group-to-block layouts risked unify
+    errors)."""
+    acc: dict[str, Any] = {}
+    for g, blob in zip(batch["grp"].to_pylist(), batch["sketch"].to_pylist()):
+        if blob is None:
+            continue
+        s = pickle.loads(blob)
+        if g in acc:
+            acc[g].merge(s)
+        else:
+            acc[g] = s
+    gs = sorted(acc)
+    return pa.table({
+        "grp": pa.array(gs, pa.string()),
+        "sketch": pa.array(
+            [pickle.dumps(acc[g], protocol=pickle.HIGHEST_PROTOCOL)
+             for g in gs], pa.binary()),
+    })
+
+
+def _long_tree_merge(partials: ray.data.Dataset, fanout: int = 32,
+                     driver_threshold: int = 64) -> dict[str, Any]:
+    """O(log n)-deep reduction of long-format (grp, sketch) partials to
+    {grp: sketch} — the long-format sibling of profile.tree_merge."""
+    import math
+
+    import ray as _ray
+
+    ds = partials.materialize()
+    for _ in range(6):  # 32^6 ≈ 10^9 partial rows — far beyond any input
+        n = ds.count()
+        if n <= driver_threshold:
+            break
+        ds = ds.repartition(max(1, math.ceil(n / fanout))).map_batches(
+            _merge_long_sketches, batch_format="pyarrow", batch_size=fanout
+        )
+    tables = [t for t in (_ray.get(r) for r in ds.to_arrow_refs())
+              if t.num_rows > 0]
+    if not tables:
+        return {}
+    final = _merge_long_sketches(pa.concat_tables(tables))
+    return {g: pickle.loads(b) for g, b in
+            zip(final["grp"].to_pylist(), final["sketch"].to_pylist())}
+
+
 def bottom_k_by_group(
     ds: ray.data.Dataset,
     key_col: str,
@@ -80,12 +130,10 @@ def bottom_k_by_group(
     group_col: str | None = None,
 ) -> dict[Any, BottomKSample]:
     """Distributed deterministic sample of ``k`` payload rows per group:
-    per-block bottom-k partials (one tiny pickled row per block), merged
-    with the profile tree-merge — the driver only ever holds
-    O(groups x k) sampled rows, never the dataset. With
-    ``group_col=None`` everything lands in the single group ``None``."""
-    from .profile import tree_merge
-
+    per-block bottom-k partials in a FIXED long-format schema (one
+    (grp, sketch) row per group per block), tree-merged — the driver
+    only ever holds O(groups x k) sampled rows, never the dataset. With
+    ``group_col=None`` everything lands in the single group ``'None'``."""
     cols = [key_col, payload_col] + ([group_col] if group_col else [])
     ds = ds.select_columns(cols)
 
@@ -93,27 +141,25 @@ def bottom_k_by_group(
         keys = b[key_col].to_pylist()
         rows = b[payload_col].to_pylist()
         groups = b[group_col].to_pylist() if group_col else [None] * len(keys)
-        by_group: dict[Any, BottomKSample] = {}
-        order: dict[Any, tuple[list, list]] = {}
+        order: dict[str, tuple[list, list]] = {}
         for g, key, row in zip(groups, keys, rows):
-            ks, rs = order.setdefault(g, ([], []))
+            ks, rs = order.setdefault(str(g), ([], []))
             ks.append(key)
             rs.append(row)
-        payload = {}
-        for g, (ks, rs) in order.items():
+        gs = sorted(order)
+        blobs = []
+        for g in gs:
+            ks, rs = order[g]
             s = BottomKSample(k)
             s.update(ks, rs)
-            payload[f"grp:{g}"] = pickle.dumps(s, protocol=pickle.HIGHEST_PROTOCOL)
-        return pa.table({name: pa.array([v], pa.binary())
-                         for name, v in sorted(payload.items())})
+            blobs.append(pickle.dumps(s, protocol=pickle.HIGHEST_PROTOCOL))
+        return pa.table({
+            "grp": pa.array(gs, pa.string()),
+            "sketch": pa.array(blobs, pa.binary()),
+        })
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    merged = tree_merge(partials)
-    out: dict[Any, BottomKSample] = {}
-    for name in merged.column_names:
-        label = name.split(":", 1)[1]
-        out[label] = pickle.loads(merged[name][0].as_py())
-    return out
+    return _long_tree_merge(partials)
 
 
 class WeightedBottomK(_Serializable):

@@ -274,6 +274,29 @@ class TestPlugins:
                          [1.0], [1.0])
         assert r == {"error": "boom", "drift_detected": False}
 
+    def test_memory_hog_fails_cleanly(self, ray_session):
+        """A plugin exceeding the 512 MB sandbox cap (reference
+        plugin_sandbox.py:56-65) gets the error-dict envelope, and the
+        worker survives for subsequent plugins (soft limit restored)."""
+        from aumos_drift_detector_ray.functions import plugins as P
+
+        hog = (
+            "def drift_test(ref, prod):\n"
+            "    buf = []\n"
+            "    for _ in range(2000):\n"     # ~2 GB attempt in 1 MB chunks
+            "        buf.append(bytearray(1024 * 1024))\n"
+            "    return {'drift_detected': False, 'n': len(buf)}\n"
+        )
+        r = P.run_plugin(hog, [1.0], [1.0], memory_limit_mb=256)
+        assert r["drift_detected"] is False
+        assert "memory limit" in r["error"]
+        # worker not poisoned: a well-behaved plugin still runs
+        ok = P.run_plugin(
+            "def drift_test(ref, prod):\n"
+            "    return {'drift_detected': False, 'n': len(prod)}\n",
+            [1.0], [2.0, 3.0])
+        assert ok == {"drift_detected": False, "n": 2}
+
 
 class TestAlertLifecycle:
     """Control-plane status transitions + acknowledge conflicts
