@@ -170,17 +170,16 @@ def decode_jpg(data: bytes) -> np.ndarray:
         raise CodecError("jpg payload length mismatch")
     c = _dct_matrix()
     q = _quant_table(int(quality))
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    for ch in range(3):
-        quant = np.frombuffer(
-            body[ch * per_chan:(ch + 1) * per_chan], dtype=np.int16
-        ).reshape(nby, nbx, 8, 8)
-        coeffs = quant.astype(np.float64) * q
-        # inverse: C.T @ X @ C per block, batched via broadcasted matmul
-        blocks = c.T @ coeffs @ c
-        full = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
-        out[:, :, ch] = np.clip(np.round(full[:h, :w] + 128.0), 0, 255).astype(np.uint8)
-    return out
+    # all 3 channels in ONE broadcasted inverse transform (identical
+    # per-block arithmetic to the per-channel loop, ~40% fewer python
+    # dispatches per image)
+    quant = np.frombuffer(body, dtype=np.int16).reshape(3, nby, nbx, 8, 8)
+    coeffs = quant.astype(np.float64) * q
+    blocks = c.T @ coeffs @ c  # C.T @ X @ C per 8x8 block, batched
+    full = blocks.transpose(0, 1, 3, 2, 4).reshape(3, nby * 8, nbx * 8)
+    out = np.clip(np.round(full[:, :h, :w] + 128.0), 0, 255) \
+        .astype(np.uint8).transpose(1, 2, 0)
+    return np.ascontiguousarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -236,16 +235,25 @@ def _luma(img: np.ndarray) -> np.ndarray:
     )
 
 
+@lru_cache(maxsize=64)
+def _resize_indices(h: int, w: int, size: int) -> tuple[np.ndarray, np.ndarray]:
+    """(flat target-bin indices, per-bin counts) for area resampling —
+    cached per source shape (images arrive in a handful of size
+    buckets, so the index build + count bincount amortize to zero)."""
+    yi = (np.arange(h) * size // h).astype(np.int64)
+    xi = (np.arange(w) * size // w).astype(np.int64)
+    tgt = (yi[:, None] * size + xi[None, :]).ravel()
+    cnts = np.bincount(tgt, minlength=size * size).astype(np.float64)
+    cnts[cnts == 0] = 1.0
+    return tgt, cnts
+
+
 def _resize_area(img: np.ndarray, size: int = 32) -> np.ndarray:
     """Area-average resample of a 2-D array to (size, size) — deterministic
     and dependency-free (box filter via bincount over target indices)."""
     h, w = img.shape
-    yi = (np.arange(h) * size // h).astype(np.int64)
-    xi = (np.arange(w) * size // w).astype(np.int64)
-    tgt = yi[:, None] * size + xi[None, :]
-    sums = np.bincount(tgt.ravel(), weights=img.ravel(), minlength=size * size)
-    cnts = np.bincount(tgt.ravel(), minlength=size * size)
-    cnts[cnts == 0] = 1
+    tgt, cnts = _resize_indices(h, w, size)
+    sums = np.bincount(tgt, weights=img.ravel(), minlength=size * size)
     return (sums / cnts).reshape(size, size)
 
 
@@ -258,7 +266,9 @@ def phash64(img: np.ndarray) -> np.int64:
     coeffs = c @ small @ c.T
     block = coeffs[:8, :8].copy().ravel()
     rest = block[1:]  # drop DC
-    med = np.median(rest)
+    # median of the fixed 63 coefficients = 32nd smallest — a direct
+    # partition, bit-identical to np.median for odd-length input
+    med = np.partition(rest, 31)[31]
     bits = np.concatenate([[False], rest > med])  # MSB fixed 0, then 63 bits
     packed = np.packbits(bits.astype(np.uint8), bitorder="big")
     return np.int64(packed.view(">u8")[0].astype(np.uint64).astype(np.int64))

@@ -107,14 +107,12 @@ def attach_partition_id(ds: ray.data.Dataset, rows_per_shard: int) -> ray.data.D
     parquet inputs carry partition identity via their shard path."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"].to_pylist()
-        pids = np.full(len(ids), -1, dtype=np.int64)
-        for i, s in enumerate(ids):
-            if s:
-                tail = s.rsplit("-", 1)[-1]
-                if tail.isdigit():
-                    pids[i] = int(tail) // rows_per_shard
-        return batch.append_column("partition_id", pa.array(pids, pa.int64()))
+        # vectorized: trailing digit run → int → // rows_per_shard
+        tail = pc.extract_regex(batch["image_id"], r"-(?P<idx>[0-9]+)$")
+        idx = pc.struct_field(tail, "idx").cast(pa.int64())
+        pids = pc.fill_null(
+            pc.divide(idx, pa.scalar(rows_per_shard, pa.int64())), -1)
+        return batch.append_column("partition_id", pids)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -124,15 +122,11 @@ def partition_id_from_path(ds: ray.data.Dataset, path_column: str = "path") -> r
     (parquet inputs read with include_paths=True)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        paths = batch[path_column].to_pylist()
-        pids = np.full(len(paths), -1, dtype=np.int64)
-        for i, p in enumerate(paths):
-            for part in p.split("/"):
-                if part.startswith("shard="):
-                    pids[i] = int(part.split("=", 1)[1])
-                    break
+        # vectorized: first "shard=<k>" path component
+        m = pc.extract_regex(batch[path_column], r"(?:^|/)shard=(?P<k>[0-9]+)")
+        pids = pc.fill_null(pc.struct_field(m, "k").cast(pa.int64()), -1)
         out = batch.drop_columns([path_column])
-        return out.append_column("partition_id", pa.array(pids, pa.int64()))
+        return out.append_column("partition_id", pids)
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
