@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_per_type": Q.approx_distinct_users_per_type,
         "doc_rolling_fingerprints": Q.doc_rolling_fingerprints,
         "packed_sequence_stats": Q.packed_sequence_stats,
+        "media_feature_stats": Q.media_feature_stats,
     }
 
 

@@ -1,0 +1,199 @@
+"""Dependency-free audio/video codecs + deterministic media synthesis.
+
+Audio is REAL standard WAV: a canonical RIFF/WAVE PCM16 encoder/decoder
+implemented with struct + numpy (PCM WAV is a plain header + sample
+bytes — no external codec library involved), so the multimodal audio
+stage (stages/multimodal.py) genuinely decodes payloads and computes
+features (duration, RMS, zero-crossing rate, spectral centroid) from
+the actual samples. Compressed audio (mp3/ogg/...) would need external
+libraries and remains a declared stub in the stage.
+
+Video is a simple frame-container format ``VD01``: header (magic,
+frame count, fps-milli) + length-prefixed frames, each encoded with the
+in-repo image codecs (codecs.py). Decode, frame sampling and per-frame
+feature extraction are therefore fully real; inter-frame-compressed
+formats (h264/vp9/...) remain declared stubs.
+
+The reference never touches media (its features are abstract float
+arrays); these codecs exist so the engine's multimodal columns are
+first-class: binary payload + typed metadata in, scalar features out,
+with the wide-payload discipline (drop the binary column before any
+shuffle).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from . import codecs
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM16)
+# ---------------------------------------------------------------------------
+
+
+class MediaError(ValueError):
+    """Raised when a media payload cannot be decoded."""
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Canonical RIFF/WAVE PCM16 bytes from (n,) mono or (n, ch)
+    int16 samples."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = np.ascontiguousarray(s).tobytes()
+    byte_rate = sample_rate * ch * 2
+    block_align = ch * 2
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate,
+                                byte_rate, block_align, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """(samples (n, ch) int16, sample_rate) from RIFF/WAVE PCM16 bytes.
+    Walks the chunk list (a general WAV may carry LIST/fact chunks
+    before data)."""
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise MediaError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise MediaError("short fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise MediaError("missing fmt/data chunk")
+    audio_format, ch, rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise MediaError(f"unsupported WAV encoding (fmt={audio_format}, "
+                         f"bits={bits}); only PCM16 is built in")
+    if ch == 0 or len(data) % (2 * ch):
+        raise MediaError("data chunk length inconsistent with channels")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, ch)
+    return samples, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict[str, float]:
+    """Standard scalar features from PCM samples (channel-averaged):
+    duration, RMS (of [-1, 1] normalized signal), zero-crossing rate,
+    spectral centroid (Hz, rfft magnitude weighted)."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x / 32768.0
+    n = x.size
+    if n == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "zcr": 0.0,
+                "spectral_centroid_hz": 0.0}
+    rms = float(np.sqrt(np.mean(x * x)))
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if n > 1 else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    tot = float(mag.sum())
+    centroid = float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+    return {"duration_s": n / float(rate), "rms": rms, "zcr": zcr,
+            "spectral_centroid_hz": centroid}
+
+
+# ---------------------------------------------------------------------------
+# VD01 frame-container video
+# ---------------------------------------------------------------------------
+
+MAGIC_VIDEO = b"VD01"
+
+
+def encode_video(frames: "list[np.ndarray]", fps: float,
+                 frame_fmt: str = "png") -> bytes:
+    """Container bytes from a list of (h, w, 3) uint8 frames, each
+    encoded with the in-repo image codec ``frame_fmt``."""
+    out = [MAGIC_VIDEO, struct.pack("<IH", len(frames),
+                                    int(round(fps * 100)))]
+    for f in frames:
+        enc = codecs.encode(f, frame_fmt)
+        out.append(struct.pack("<I", len(enc)))
+        out.append(enc)
+    return b"".join(out)
+
+
+def video_info(blob: bytes) -> tuple[int, float]:
+    """(n_frames, fps) from the header alone — no frame decode."""
+    if len(blob) < 10 or blob[:4] != MAGIC_VIDEO:
+        raise MediaError("not a VD01 payload")
+    n, fps100 = struct.unpack("<IH", blob[4:10])
+    return n, fps100 / 100.0
+
+
+def decode_video_frames(blob: bytes, every: int = 1,
+                        frame_fmt: str | None = None) -> "list[np.ndarray]":
+    """Decode every ``every``-th frame (1 = all). The per-frame codec is
+    sniffed from each frame's magic unless ``frame_fmt`` is given."""
+    n, _fps = video_info(blob)
+    pos = 10
+    frames: list[np.ndarray] = []
+    for i in range(n):
+        if pos + 4 > len(blob):
+            raise MediaError("truncated frame table")
+        (size,) = struct.unpack("<I", blob[pos:pos + 4])
+        body = blob[pos + 4:pos + 4 + size]
+        if len(body) != size:
+            raise MediaError("truncated frame payload")
+        if i % max(1, every) == 0:
+            fmt = frame_fmt
+            if fmt is None:
+                fmt = {codecs.MAGIC_RAW: "raw", codecs.MAGIC_PNG: "png",
+                       codecs.MAGIC_JPG: "jpg"}.get(body[:4])
+                if fmt is None:
+                    raise MediaError("unknown frame codec magic")
+            frames.append(codecs.decode(body, fmt))
+        pos += 4 + size
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthesis (tests / benches)
+# ---------------------------------------------------------------------------
+
+
+def synth_audio(seed: int, row_index: int, rate: int = 8000,
+                max_seconds: float = 2.0) -> bytes:
+    """Seeded deterministic WAV: a few sinusoids + noise, PCM16 mono."""
+    rng = np.random.default_rng([seed, row_index, 7])
+    n = int(rate * rng.uniform(0.25, max_seconds))
+    t = np.arange(n) / rate
+    x = np.zeros(n)
+    for _ in range(3):
+        x += rng.uniform(0.05, 0.3) * np.sin(
+            2 * np.pi * rng.uniform(80.0, 2000.0) * t + rng.uniform(0, 2 * np.pi))
+    x += rng.normal(0, 0.01, n)
+    pcm = np.clip(x * 32767.0, -32768, 32767).astype(np.int16)
+    return encode_wav(pcm, rate)
+
+
+def synth_video(seed: int, row_index: int, n_frames: int = 8,
+                size: int = 32, fps: float = 24.0) -> bytes:
+    """Seeded deterministic VD01 clip: per-frame renders from the image
+    synth kernel with a drifting phase so frames differ."""
+    from . import synth as _synth
+
+    frames = [
+        _synth._render(np.random.default_rng([seed, row_index, 11, k]),
+                       size, size)
+        for k in range(n_frames)
+    ]
+    return encode_video(frames, fps, frame_fmt="png")

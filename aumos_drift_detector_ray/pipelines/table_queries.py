@@ -1523,3 +1523,40 @@ def hash_split_counts(sf_dir: str) -> pd.DataFrame:
         .rename(columns={"count()": "n"})
     out["n"] = out.n.astype("int64")
     return out.sort_values("split").reset_index(drop=True)
+
+
+def media_feature_stats(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode demo over a deterministic seeded media table
+    (one WAV + one VD01 clip per sampled document id — no external
+    data): the REAL audio/video decode stages (stages/multimodal.py,
+    media_codecs.py) run in strict mode, frame sampling included, and
+    the per-modality features aggregate to one row. Rows-only (payload
+    synthesis has no SQL analogue)."""
+    from .. import media_codecs as M
+    from ..stages.multimodal import decode_media, sample_frames
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(120, n_docs))
+
+    audio = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([f"a{i}" for i in range(n)]),
+        "bytes": pa.array([M.synth_audio(42, i) for i in range(n)],
+                          pa.binary()),
+    }))
+    video = ray.data.from_arrow(pa.table({
+        "media_id": pa.array([f"v{i}" for i in range(n // 4)]),
+        "bytes": pa.array([M.synth_video(42, i, n_frames=6)
+                           for i in range(n // 4)], pa.binary()),
+    }))
+    af = decode_media(audio, "audio", fmt_col=None, strict=True).to_pandas()
+    vf = decode_media(video, "video", fmt_col=None, strict=True).to_pandas()
+    frames = sample_frames(video, every=3).count()
+    return pd.DataFrame({
+        "n_audio": [np.int64(len(af))],
+        "audio_ok": [np.int64(af.decoded_ok.sum())],
+        "mean_duration_s": [float(np.round(af.duration_s.mean(), 9))],
+        "mean_rms": [float(np.round(af.rms.mean(), 9))],
+        "n_video": [np.int64(len(vf))],
+        "video_ok": [np.int64(vf.decoded_ok.sum())],
+        "n_sampled_frames": [np.int64(frames)],
+    })

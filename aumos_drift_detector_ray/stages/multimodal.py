@@ -1,14 +1,23 @@
 """Multimodal binary-column stages: decode / feature-extract / resize /
 frame-sample over opaque ``binary`` payloads with typed metadata.
 
-Images are fully supported via the in-repo codecs (stages/validate.py).
-Audio/video decoding libraries are not available in this environment, so
-those decode paths are STUBS: the Ray-side plumbing — schema handling,
-actor signature, batch sizing for wide binary rows, output layout — is
-real and tested, and each stub either raises ``NotImplementedError``
-(``strict=True``) or produces a clearly-labelled deterministic fake
-derived from the payload bytes (``strict=False``), so downstream
-pipeline shapes can be exercised end-to-end.
+All three modalities have REAL decode paths with in-repo codecs:
+
+* image — the deterministic raw/png-like/jpg-like codecs (codecs.py);
+* audio — standard RIFF/WAVE PCM16 (media_codecs.decode_wav) with
+  features computed from the actual samples (duration, RMS,
+  zero-crossing rate, spectral centroid);
+* video — the VD01 frame container (media_codecs.decode_video_frames),
+  frames encoded with the image codecs; frame sampling and per-frame
+  features are real.
+
+COMPRESSED formats (mp3/ogg, h264/vp9, wire-format png/jpeg) require
+codec libraries not present in this environment: those payloads raise
+``NotImplementedError`` when ``strict=True`` or produce a
+clearly-labelled deterministic fake (``strict=False``) so downstream
+pipeline shapes still exercise end-to-end. The Ray-side plumbing —
+schema handling, actor signature, batch sizing for wide binary rows,
+drop-payload-before-shuffle discipline — is identical either way.
 """
 
 from __future__ import annotations
@@ -20,7 +29,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .. import codecs
+from .. import codecs, media_codecs
 from ..sketches import hash_any_array
 
 MODALITIES = ("image", "audio", "video")
@@ -32,24 +41,35 @@ class MediaDecoder:
     Output columns: ``decoded_ok`` (bool), ``media_nbytes`` (int64), and
     per-modality features:
 
-    * image — ``width``/``height``/``mean_pixel`` via the real codecs;
-    * audio — ``duration_s``/``rms`` (STUB: deterministic fake from a
-      hash of the payload, or NotImplementedError when strict);
-    * video — ``n_frames``/``fps`` (STUB, same policy).
+    * image — ``width``/``height``/``mean_pixel``;
+    * audio — ``duration_s``/``rms``/``zcr``/``spectral_centroid_hz``
+      (real, from decoded PCM);
+    * video — ``n_frames``/``fps``/``mean_frame_luma`` (real, from
+      decoded frames sampled every ``frame_every``).
     """
 
     def __init__(self, modality: str, bytes_col: str = "bytes",
-                 fmt_col: str | None = "fmt", strict: bool = False) -> None:
+                 fmt_col: str | None = "fmt", strict: bool = False,
+                 frame_every: int = 4) -> None:
         if modality not in MODALITIES:
             raise ValueError(f"unknown modality {modality!r}")
         self.modality = modality
         self.bytes_col = bytes_col
         self.fmt_col = fmt_col
         self.strict = strict
+        self.frame_every = max(1, frame_every)
 
     def _fake_scalar(self, blob: bytes, lo: float, hi: float) -> float:
         h = int(hash_any_array([blob[:64].hex()])[0])
         return lo + (h % 10_000) / 10_000.0 * (hi - lo)
+
+    def _stub_or_raise(self, what: str) -> None:
+        if self.strict:
+            raise NotImplementedError(
+                f"{what} decoding requires codec libraries not available "
+                "in this environment; pass strict=False for a "
+                "deterministic stub"
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.bytes_col].to_pylist()
@@ -62,6 +82,7 @@ class MediaDecoder:
         f1 = np.full(n, np.nan)
         f2 = np.full(n, np.nan)
         f3 = np.full(n, np.nan)
+        f4 = np.full(n, np.nan)
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             if blob is None:
                 continue
@@ -75,32 +96,56 @@ class MediaDecoder:
                     f3[i] = float(img.mean())
                 except codecs.CodecError:
                     pass
-            else:
-                if self.strict:
-                    raise NotImplementedError(
-                        f"{self.modality} decoding requires codec libraries not "
-                        "available in this environment; pass strict=False for a "
-                        "deterministic stub"
-                    )
-                ok[i] = len(blob) >= 8
-                if self.modality == "audio":
-                    f1[i] = self._fake_scalar(blob, 0.5, 30.0)   # duration_s
-                    f2[i] = self._fake_scalar(blob, 0.01, 0.5)   # rms
-                else:
-                    f1[i] = float(int(self._fake_scalar(blob, 24, 3000)))  # n_frames
-                    f2[i] = 24.0 if nbytes[i] % 2 == 0 else 30.0          # fps
+            elif self.modality == "audio":
+                if blob[:4] == b"RIFF":
+                    try:
+                        samples, rate = media_codecs.decode_wav(blob)
+                        feats = media_codecs.audio_features(samples, rate)
+                        ok[i] = True
+                        f1[i] = feats["duration_s"]
+                        f2[i] = feats["rms"]
+                        f3[i] = feats["zcr"]
+                        f4[i] = feats["spectral_centroid_hz"]
+                    except media_codecs.MediaError:
+                        pass
+                else:  # compressed audio (mp3/ogg/...) — declared stub
+                    self._stub_or_raise(f"compressed audio ({fmt or '?'})")
+                    ok[i] = len(blob) >= 8
+                    f1[i] = self._fake_scalar(blob, 0.5, 30.0)
+                    f2[i] = self._fake_scalar(blob, 0.01, 0.5)
+            else:  # video
+                if blob[:4] == media_codecs.MAGIC_VIDEO:
+                    try:
+                        nf, fps = media_codecs.video_info(blob)
+                        frames = media_codecs.decode_video_frames(
+                            blob, every=self.frame_every)
+                        ok[i] = True
+                        f1[i] = float(nf)
+                        f2[i] = fps
+                        if frames:
+                            f3[i] = float(np.mean(
+                                [codecs._luma(fr).mean() for fr in frames]))
+                    except (media_codecs.MediaError, codecs.CodecError):
+                        pass
+                else:  # inter-frame-compressed video — declared stub
+                    self._stub_or_raise(f"compressed video ({fmt or '?'})")
+                    ok[i] = len(blob) >= 8
+                    f1[i] = float(int(self._fake_scalar(blob, 24, 3000)))
+                    f2[i] = 24.0 if nbytes[i] % 2 == 0 else 30.0
 
         names = {
-            "image": ("width", "height", "mean_pixel"),
-            "audio": ("duration_s", "rms", "unused"),
-            "video": ("n_frames", "fps", "unused"),
+            "image": ("width", "height", "mean_pixel", None),
+            "audio": ("duration_s", "rms", "zcr", "spectral_centroid_hz"),
+            "video": ("n_frames", "fps", "mean_frame_luma", None),
         }[self.modality]
         out = batch.append_column("decoded_ok", pa.array(ok)) \
                    .append_column("media_nbytes", pa.array(nbytes, pa.int64())) \
                    .append_column(names[0], pa.array(f1, pa.float64())) \
                    .append_column(names[1], pa.array(f2, pa.float64()))
-        if self.modality == "image":
+        if names[2] is not None:
             out = out.append_column(names[2], pa.array(f3, pa.float64()))
+        if names[3] is not None:
+            out = out.append_column(names[3], pa.array(f4, pa.float64()))
         return out
 
 
@@ -162,7 +207,64 @@ class ImageResizer:
         return batch.set_column(idx, self.bytes_col, pa.array(out_blobs, pa.binary()))
 
 
+class FrameSampler:
+    """Actor-pool frame-extraction stage: one INPUT video row →
+    ``ceil(n_frames / every)`` OUTPUT rows, each carrying a sampled
+    frame re-encoded with the image codec plus (id, frame_index). The
+    flat-map shape a frame-level training pipeline needs; downstream
+    image stages (decode/validate/dedup) apply unchanged."""
+
+    def __init__(self, every: int, bytes_col: str = "bytes",
+                 id_col: str = "media_id", frame_fmt: str = "png") -> None:
+        self.every = max(1, every)
+        self.bytes_col = bytes_col
+        self.id_col = id_col
+        self.frame_fmt = frame_fmt
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.bytes_col].to_pylist()
+        out_ids: list[Any] = []
+        out_idx: list[int] = []
+        out_frames: list[bytes] = []
+        for mid, blob in zip(ids, blobs):
+            if blob is None:
+                continue
+            try:
+                frames = media_codecs.decode_video_frames(blob, every=self.every)
+            except (media_codecs.MediaError, codecs.CodecError):
+                continue
+            for k, fr in enumerate(frames):
+                out_ids.append(mid)
+                out_idx.append(k * self.every)
+                out_frames.append(codecs.encode(fr, self.frame_fmt))
+        return pa.table({
+            self.id_col: pa.array(out_ids),
+            "frame_index": pa.array(out_idx, pa.int64()),
+            "frame_bytes": pa.array(out_frames, pa.binary()),
+            "fmt": pa.array([self.frame_fmt] * len(out_frames), pa.string()),
+        })
+
+
+def sample_frames(
+    ds: ray.data.Dataset,
+    every: int,
+    bytes_col: str = "bytes",
+    id_col: str = "media_id",
+    concurrency: Any = (1, 8),
+) -> ray.data.Dataset:
+    """Video rows → frame rows (see :class:`FrameSampler`). Small
+    batches: each input row can explode into many wide frame rows."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_args=(every, bytes_col, id_col),
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample_stub(n_frames: int, every: int) -> list[int]:
-    """Deterministic frame-sampling plan (video stub): indices of the
-    frames a real decoder would extract."""
+    """Deterministic frame-sampling plan: indices the sampler extracts
+    (kept for API compatibility with the r2 stub)."""
     return list(range(0, max(0, n_frames), max(1, every)))

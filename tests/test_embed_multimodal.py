@@ -141,3 +141,118 @@ class TestReport:
         summ = executive_summary(dets)
         assert "1 of 2" in summ and "critical" in summ
         assert executive_summary([]) == "No drift checks were run."
+
+
+class TestRealMediaCodecs:
+    def test_wav_roundtrip_mono_and_stereo(self):
+        import numpy as np
+        from aumos_drift_detector_ray import media_codecs as M
+
+        rng = np.random.default_rng(3)
+        mono = (rng.normal(0, 0.2, 800) * 32767).astype(np.int16)
+        s, rate = M.decode_wav(M.encode_wav(mono, 8000))
+        assert rate == 8000 and np.array_equal(s[:, 0], mono)
+        stereo = (rng.normal(0, 0.2, (500, 2)) * 32767).astype(np.int16)
+        s2, rate2 = M.decode_wav(M.encode_wav(stereo, 16000))
+        assert rate2 == 16000 and np.array_equal(s2, stereo)
+
+    def test_wav_rejects_garbage_and_nonpcm(self):
+        import pytest as _pytest
+        from aumos_drift_detector_ray import media_codecs as M
+
+        with _pytest.raises(M.MediaError):
+            M.decode_wav(b"not a wav at all" * 4)
+
+    def test_audio_features_match_numpy_reference(self):
+        import numpy as np
+        from aumos_drift_detector_ray import media_codecs as M
+
+        rate = 8000
+        t = np.arange(rate) / rate
+        pcm = np.clip(0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767,
+                      -32768, 32767).astype(np.int16)
+        f = M.audio_features(pcm, rate)
+        assert abs(f["duration_s"] - 1.0) < 1e-9
+        # RMS of 0.5 sine ~ 0.3536 (int16 quantization tolerance)
+        assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+        # a pure 440 Hz tone's spectral centroid is ~440 Hz
+        assert abs(f["spectral_centroid_hz"] - 440.0) < 15.0
+        # zero crossings of a 440 Hz tone: 2 * 440 per second
+        assert abs(f["zcr"] - 2 * 440.0 / rate) < 5e-3
+
+    def test_video_container_roundtrip_and_sampling(self):
+        import numpy as np
+        from aumos_drift_detector_ray import media_codecs as M
+
+        rng = np.random.default_rng(4)
+        frames = [rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+                  for _ in range(7)]
+        blob = M.encode_video(frames, fps=24.0, frame_fmt="raw")
+        n, fps = M.video_info(blob)
+        assert (n, fps) == (7, 24.0)
+        dec = M.decode_video_frames(blob)
+        assert len(dec) == 7
+        assert all(np.array_equal(a, b) for a, b in zip(dec, frames))
+        every3 = M.decode_video_frames(blob, every=3)
+        assert len(every3) == 3
+        assert np.array_equal(every3[1], frames[3])
+
+    def test_audio_stage_real_wav(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray import media_codecs as M
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        blobs = [M.synth_audio(42, i) for i in range(10)]
+        ds = rd.from_arrow(pa.table({"bytes": blobs}))
+        out = decode_media(ds, "audio", fmt_col=None, strict=True).to_pandas()
+        assert out.decoded_ok.all()          # real decode, strict mode OK
+        assert (out.duration_s > 0).all()
+        assert out.rms.between(0.001, 1.0).all()
+        assert (out.spectral_centroid_hz > 0).all()
+        # features equal the direct numpy reference for row 0
+        s, r = M.decode_wav(blobs[0])
+        f = M.audio_features(s, r)
+        assert abs(out.duration_s.iloc[0] - f["duration_s"]) < 1e-12
+
+    def test_video_stage_real_container(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray import media_codecs as M
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        blobs = [M.synth_video(42, i, n_frames=6) for i in range(5)]
+        ds = rd.from_arrow(pa.table({"bytes": blobs}))
+        out = decode_media(ds, "video", fmt_col=None, strict=True).to_pandas()
+        assert out.decoded_ok.all()
+        assert (out.n_frames == 6).all() and (out.fps == 24.0).all()
+        assert out.mean_frame_luma.between(0, 255).all()
+
+    def test_frame_sampler_explodes_video_rows(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray import codecs, media_codecs as M
+        from aumos_drift_detector_ray.stages.multimodal import sample_frames
+
+        blobs = [M.synth_video(42, i, n_frames=8) for i in range(3)]
+        ds = rd.from_arrow(pa.table({
+            "media_id": [f"v{i}" for i in range(3)], "bytes": blobs,
+        }))
+        out = sample_frames(ds, every=4).to_pandas()
+        assert len(out) == 3 * 2  # 8 frames sampled every 4 → 2 per video
+        assert sorted(out.frame_index.unique()) == [0, 4]
+        img = codecs.decode(out.frame_bytes.iloc[0], "png")
+        assert img.shape == (32, 32, 3)
+
+    def test_compressed_audio_still_stubbed(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+        import pytest as _pytest
+        from aumos_drift_detector_ray.stages.multimodal import decode_media
+
+        ds = rd.from_arrow(pa.table({"bytes": [b"ID3\x04fakemp3" * 4]}))
+        with _pytest.raises(Exception):  # NotImplementedError inside task
+            decode_media(ds, "audio", fmt_col=None, strict=True).materialize()
+        out = decode_media(ds, "audio", fmt_col=None, strict=False).to_pandas()
+        assert out.decoded_ok.all() and out.duration_s.between(0.5, 30).all()
