@@ -197,3 +197,52 @@ def synth_video(seed: int, row_index: int, n_frames: int = 8,
         for k in range(n_frames)
     ]
     return encode_video(frames, fps, frame_fmt="png")
+
+
+# ---------------------------------------------------------------------------
+# 64-bit perceptual fingerprints (near-dup over media columns)
+# ---------------------------------------------------------------------------
+
+
+def audio_fingerprint64(samples: np.ndarray, rate: int) -> np.int64:
+    """64-bit spectral fingerprint: channel-averaged signal → rfft →
+    energy in 64 log-spaced frequency bands → bit = band energy above
+    the median band energy. Robust to low-level noise and small edits
+    (a perturbed copy differs in few bits; unrelated clips are ~32 bits
+    apart), so the existing banded-Hamming machinery
+    (stages/dedup.near_dup_pairs_hamming) applies unchanged."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    if x.size < 128:
+        x = np.pad(x, (0, 128 - x.size))
+    mag = np.abs(np.fft.rfft(x / 32768.0))
+    freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+    # 64 log-spaced bands over [20 Hz, Nyquist]
+    lo, hi = 20.0, rate / 2.0
+    edges = np.logspace(np.log10(lo), np.log10(hi), 65)
+    idx = np.searchsorted(freqs, edges)
+    energy = np.array([
+        float((mag[idx[k]:max(idx[k + 1], idx[k] + 1)] ** 2).sum())
+        for k in range(64)
+    ])
+    bits = energy > np.median(energy)
+    packed = np.packbits(bits.astype(np.uint8), bitorder="big")
+    return np.int64(packed.view(">u8")[0].astype(np.uint64).astype(np.int64))
+
+
+def video_fingerprint64(blob: bytes, every: int = 1) -> np.int64:
+    """64-bit clip fingerprint: per-frame pHash bits → per-bit MAJORITY
+    vote across sampled frames. Frame-order-insensitive and robust to
+    per-frame noise; near-identical clips land within a few bits."""
+    frames = decode_video_frames(blob, every=every)
+    if not frames:
+        raise MediaError("no frames to fingerprint")
+    hs = np.array([int(codecs.phash64(f)) for f in frames],
+                  dtype=np.int64).view(np.uint64)
+    bitcounts = np.zeros(64, dtype=np.int64)
+    for j in range(64):
+        bitcounts[j] = int(((hs >> np.uint64(63 - j)) & np.uint64(1)).sum())
+    bits = bitcounts * 2 > len(hs)  # majority
+    packed = np.packbits(bits.astype(np.uint8), bitorder="big")
+    return np.int64(packed.view(">u8")[0].astype(np.uint64).astype(np.int64))

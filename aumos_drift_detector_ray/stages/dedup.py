@@ -303,6 +303,8 @@ def near_dup_pairs_hamming(
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
             out_d.append(d[keep].astype(np.int64))
+        if not out_a:  # candidates existed but none survived the verify
+            return _pairs_table([], [], [], "hamming", pa.int64(), id_type)
         df = pd.DataFrame({
             "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
             "hamming": np.concatenate(out_d),

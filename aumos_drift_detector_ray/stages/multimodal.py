@@ -268,3 +268,61 @@ def frame_sample_stub(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling plan: indices the sampler extracts
     (kept for API compatibility with the r2 stub)."""
     return list(range(0, max(0, n_frames), max(1, every)))
+
+
+class MediaFingerprinter:
+    """Actor-pool stage: binary media payload → 64-bit perceptual
+    fingerprint column (``media_fp``), audio via 64-band spectral bits,
+    video via per-bit majority of frame pHashes. Near-dup detection then
+    reuses the banded-Hamming shuffle unchanged:
+
+        fp = add_media_fingerprint(ds, "audio")
+        pairs = dedup.near_dup_pairs_hamming(fp, hash_col="media_fp",
+                                             id_col="media_id", tol=6)
+    """
+
+    def __init__(self, modality: str, bytes_col: str = "bytes",
+                 frame_every: int = 2) -> None:
+        if modality not in ("audio", "video"):
+            raise ValueError("fingerprints exist for audio/video payloads")
+        self.modality = modality
+        self.bytes_col = bytes_col
+        self.frame_every = max(1, frame_every)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.bytes_col].to_pylist()
+        fps = np.zeros(len(blobs), dtype=np.int64)
+        ok = np.zeros(len(blobs), dtype=bool)
+        for i, blob in enumerate(blobs):
+            if blob is None:
+                continue
+            try:
+                if self.modality == "audio":
+                    samples, rate = media_codecs.decode_wav(blob)
+                    fps[i] = media_codecs.audio_fingerprint64(samples, rate)
+                else:
+                    fps[i] = media_codecs.video_fingerprint64(
+                        blob, every=self.frame_every)
+                ok[i] = True
+            except (media_codecs.MediaError, codecs.CodecError):
+                pass
+        return batch.append_column("media_fp", pa.array(fps, pa.int64())) \
+                    .append_column("fp_ok", pa.array(ok))
+
+
+def add_media_fingerprint(
+    ds: ray.data.Dataset,
+    modality: str,
+    bytes_col: str = "bytes",
+    concurrency: Any = (1, 8),
+) -> ray.data.Dataset:
+    """Fingerprint stage + drop the payload (shuffles move scalars
+    only) — the media analogue of the image pHash column."""
+    out = ds.map_batches(
+        MediaFingerprinter,
+        fn_constructor_args=(modality, bytes_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    return out.drop_columns([bytes_col])

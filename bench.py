@@ -50,6 +50,13 @@ def _init_ray(num_cpus: int) -> None:
     # JSON line the driver parses
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     logging.getLogger("ray").setLevel(logging.ERROR)
+    # warm the worker pool to steady state before any timed section:
+    # worker-process spawn (~100 ms each) otherwise lands inside the
+    # first job and penalizes the high-cpu level asymmetrically (the
+    # cluster-size-N vs 4N comparison is about steady-state throughput,
+    # not cold-start)
+    ray.data.range(2 * num_cpus, override_num_blocks=2 * num_cpus) \
+        .map_batches(lambda b: b, batch_size=None).materialize()
 
 
 # bump when the synthesized shard layout changes (v3: certified ref columns)

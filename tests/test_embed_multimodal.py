@@ -256,3 +256,80 @@ class TestRealMediaCodecs:
             decode_media(ds, "audio", fmt_col=None, strict=True).materialize()
         out = decode_media(ds, "audio", fmt_col=None, strict=False).to_pandas()
         assert out.decoded_ok.all() and out.duration_s.between(0.5, 30).all()
+
+
+class TestMediaFingerprints:
+    def test_audio_fingerprint_near_dup_vs_distinct(self):
+        import numpy as np
+        from aumos_drift_detector_ray import codecs, media_codecs as M
+
+        rng = np.random.default_rng(5)
+        s0, r = M.decode_wav(M.synth_audio(42, 0))
+        fp0 = M.audio_fingerprint64(s0, r)
+        # tiny additive noise → few bits flip
+        noisy = np.clip(s0.astype(np.int32)
+                        + rng.integers(-50, 51, s0.shape), -32768, 32767
+                        ).astype(np.int16)
+        fp_noisy = M.audio_fingerprint64(noisy, r)
+        d_near = int(codecs.hamming64(np.array([fp0]), np.array([fp_noisy]))[0])
+        assert d_near <= 6
+        # unrelated clip → far apart
+        s1, r1 = M.decode_wav(M.synth_audio(42, 1))
+        fp1 = M.audio_fingerprint64(s1, r1)
+        d_far = int(codecs.hamming64(np.array([fp0]), np.array([fp1]))[0])
+        assert d_far > d_near and d_far >= 10
+
+    def test_video_fingerprint_near_dup_vs_distinct(self):
+        import numpy as np
+        from aumos_drift_detector_ray import codecs, media_codecs as M
+
+        rng = np.random.default_rng(6)
+        blob0 = M.synth_video(42, 0, n_frames=6)
+        frames = M.decode_video_frames(blob0)
+        noisy = [np.clip(f.astype(np.int16)
+                         + rng.integers(-1, 2, f.shape), 0, 255
+                         ).astype(np.uint8) for f in frames]
+        blob_noisy = M.encode_video(noisy, 24.0, frame_fmt="png")
+        fp0 = M.video_fingerprint64(blob0)
+        fpn = M.video_fingerprint64(blob_noisy)
+        d_near = int(codecs.hamming64(np.array([fp0]), np.array([fpn]))[0])
+        assert d_near <= 4
+        blob1 = M.synth_video(42, 3, n_frames=6)
+        fp1 = M.video_fingerprint64(blob1)
+        d_far = int(codecs.hamming64(np.array([fp0]), np.array([fp1]))[0])
+        assert d_far > d_near and d_far >= 8
+
+    def test_media_neardup_pipeline_end_to_end(self, ray_session):
+        """Planted near-identical audio pair found by the fingerprint
+        stage + the existing banded-Hamming shuffle; distinct clips are
+        not paired."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray import media_codecs as M
+        from aumos_drift_detector_ray.stages import dedup
+        from aumos_drift_detector_ray.stages.multimodal import (
+            add_media_fingerprint)
+
+        rng = np.random.default_rng(9)
+        blobs, ids = [], []
+        for i in range(12):
+            blobs.append(M.synth_audio(42, i))
+            ids.append(i)
+        # plant: clip 12 = noisy copy of clip 0
+        s0, r = M.decode_wav(blobs[0])
+        noisy = np.clip(s0.astype(np.int32)
+                        + rng.integers(-30, 31, s0.shape), -32768, 32767
+                        ).astype(np.int16)
+        blobs.append(M.encode_wav(noisy, r))
+        ids.append(12)
+        ds = rd.from_arrow(pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }))
+        fp = add_media_fingerprint(ds, "audio")
+        pairs = dedup.near_dup_pairs_hamming(
+            fp, hash_col="media_fp", id_col="media_id", tol=6).to_pandas()
+        found = {tuple(sorted((a, b)))
+                 for a, b in zip(pairs.id_a, pairs.id_b)}
+        assert (0, 12) in found
