@@ -387,8 +387,13 @@ def run_shuffle_checks(out_dir: str, phash_tol: int = 4) -> dict[str, int]:
     # consumed by three downstream ops (dup count, dup filter, near-dup) —
     # pinning it avoids re-reading the shard files per consumer
     flags = read_table(os.path.join(out_dir, "flags")).materialize()
-    dup_rows = dedup_mod.uniqueness_violations(flags, "image_id")
-    dup_pdf = dup_rows.select_columns(["partition_id", "image_id"]).to_pandas()
+    # prune to the two consumed columns BEFORE the dup scan: the keep
+    # filter then streams 2-column blocks only (and every bundle shares
+    # one schema — mixing pruned and full blocks in one execution logs
+    # "RefBundle with a different schema")
+    dup_rows = dedup_mod.uniqueness_violations(
+        flags.select_columns(["partition_id", "image_id"]), "image_id")
+    dup_pdf = dup_rows.to_pandas()
     dup_pdf["check"] = "uniqueness"
     dup_pdf["detail"] = ""
 

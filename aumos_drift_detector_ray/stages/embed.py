@@ -32,13 +32,21 @@ from ..sketches import hash_char_shingles
 
 
 def hashing_embed(texts: list[str], dim: int = 64, ngram: int = 3) -> np.ndarray:
-    """Deterministic signed n-gram hashing embeddings, L2-normalized."""
-    out = np.zeros((len(texts), dim), dtype=np.float64)
-    for i, t in enumerate(texts):
-        h = hash_char_shingles((t or "").lower(), ngram)
-        idx = (h % np.uint64(dim)).astype(np.int64)
-        sign = np.where((h >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
-        np.add.at(out[i], idx, sign)
+    """Deterministic signed n-gram hashing embeddings, L2-normalized.
+    Batched across rows: ONE scatter-add over a flat (n*dim) buffer
+    (row offsets fold the row index into the bucket index) — exact
+    (±1 integer-valued adds are order-independent), no per-row loop."""
+    n = len(texts)
+    out = np.zeros(n * dim, dtype=np.float64)
+    shingles = [hash_char_shingles((t or "").lower(), ngram) for t in texts]
+    lens = np.fromiter((len(s) for s in shingles), dtype=np.int64, count=n)
+    if n and lens.sum():
+        allh = np.concatenate(shingles)
+        idx = (allh % np.uint64(dim)).astype(np.int64)
+        sign = np.where((allh >> np.uint64(63)) & np.uint64(1), -1.0, 1.0)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        np.add.at(out, rows * dim + idx, sign)
+    out = out.reshape(n, dim)
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms

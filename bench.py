@@ -30,7 +30,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "60000"))
+BENCH_ROWS = int(os.environ.get("BENCH_IMAGE_ROWS", "120000"))
 ROWS_PER_SHARD = int(os.environ.get("BENCH_ROWS_PER_SHARD", "1000"))
 INPUT_CACHE = os.environ.get("BENCH_INPUT_DIR", "/tmp/aumos_bench_input")
 
