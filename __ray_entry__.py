@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": Q.langid_docs,
         "quality_docs": Q.quality_docs,
         "doc_fingerprints": Q.doc_fingerprints,
+        "bpe_token_stats": Q.bpe_token_stats,
+        "embedding_neardup": Q.embedding_neardup,
         # --- oracle-checked: drift statistics (SQL-mirroring binning) ---
         "psi_events_value": Q.psi_events_value,
         "js_hellinger_events_value": Q.js_hellinger_events_value,
@@ -83,14 +85,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_drift_scores": Q.image_drift_scores,
         "minhash_dedup_docs": Q.minhash_dedup_docs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
-        "embedding_neardup": Q.embedding_neardup,
         "simhash_docs": Q.simhash_docs,
         "concept_adwin_events": Q.concept_adwin_events,
         "concept_ddm_events": Q.concept_ddm_events,
         "concept_eddm_events": Q.concept_eddm_events,
-        "cbpe_accuracy_events": Q.cbpe_accuracy_events,
         # --- entries 51+ (outside the driver's 50-query window; judge /
         # tools/check_oracle.py re-verify these locally) ---
+        "cbpe_accuracy_events": Q.cbpe_accuracy_events,
         "dle_loss_events": Q.dle_loss_events,
         "mmd_embeddings_labels": Q.mmd_embeddings_labels,
         "c2st_embeddings": Q.c2st_embeddings,
@@ -114,6 +115,9 @@ def _text_oracles() -> dict[str, str]:
     def sql_list(items) -> str:
         return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
 
+    from aumos_drift_detector_ray.stages.textops import BPE_PRETOKEN_PATTERN
+
+    bpe_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
     stop = sql_list(sorted(_STOPWORDS))
     langs = list(_LANG_PROFILES)  # python dict order = tie-break priority
     frac_cols = ",\n".join(
@@ -129,6 +133,42 @@ def _text_oracles() -> dict[str, str]:
         "doc_fingerprints": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5
             FROM documents ORDER BY doc_id
+        """,
+        "bpe_token_stats": f"""
+            -- same RE2-compatible GPT-2-style pre-tokenizer pattern the
+            -- engine uses (generated from textops.BPE_PRETOKEN_PATTERN)
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{bpe_pat}')) AS n,
+                       length(text) AS ln
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_bpe_tokens,
+                   CAST(round(CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(ln AS DOUBLE) / n END, 9) AS DOUBLE)
+                       AS chars_per_token
+            FROM t ORDER BY doc_id
+        """,
+        "embedding_neardup": """
+            -- ground-truth ALL-PAIRS cosine >= 0.95 (O(n^2): oracle-only;
+            -- the engine path is hyperplane-LSH + exact-cosine verify, so
+            -- a green row proves no false positives AND no missed pairs)
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+                   CAST(b.vec_id AS BIGINT) AS id_b,
+                   CAST(round(list_inner_product(a.v, b.v)
+                        / (sqrt(list_inner_product(a.v, a.v))
+                           * sqrt(list_inner_product(b.v, b.v))), 9)
+                       AS DOUBLE) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))) >= 0.95
+            ORDER BY 1, 2
         """,
         "verified_neardup_pairs": """
             -- ground-truth ALL-PAIRS 5-char-shingle Jaccard >= 0.5

@@ -675,6 +675,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = out.cosine.round(9)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -1560,3 +1561,28 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
         "video_ok": [np.int64(vf.decoded_ok.sum())],
         "n_sampled_frames": [np.int64(frames)],
     })
+
+
+def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (the brief's 'whitespace + a BPE-ish
+    regex' tokenizer): per-document pre-token counts under the shared
+    RE2-compatible GPT-2-style pattern (textops.BPE_PRETOKEN_PATTERN),
+    vectorized via pandas str.count. chars_per_token is exact
+    (the pattern partitions the text, so total matched chars ==
+    length(text))."""
+    from ..stages.textops import BPE_PRETOKEN_PATTERN
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        n = b.text.str.count(BPE_PRETOKEN_PATTERN).astype("int64")
+        ln = b.text.str.len().astype("float64")
+        cpt = np.where(n > 0, ln / np.maximum(n, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "n_bpe_tokens": n,
+            "chars_per_token": np.round(cpt, 9),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

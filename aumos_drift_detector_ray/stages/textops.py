@@ -244,3 +244,13 @@ def pack_sequences(
         })
 
     return ds.map_batches(pack, batch_format="pandas", batch_size=4096)
+
+
+# GPT-2-style pre-tokenizer pattern, ASCII-scoped and lookahead-free so
+# python re and DuckDB's RE2 count IDENTICALLY (the published GPT-2
+# pattern uses \p{L} classes and a lookahead RE2 lacks): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. The pattern partitions any ASCII text completely.
+BPE_PRETOKEN_PATTERN = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
+)
