@@ -200,6 +200,14 @@ def _explode_band_pairs(hash_col: str, id_cols: list[str], n_bands: int,
     pair_ids = np.arange(n_pairs, dtype=np.uint64)
 
     def fn(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols: dict[str, Any] = {
+                c: batch[c].combine_chunks() for c in id_cols}
+            cols[hash_col] = pa.array([], pa.int64())
+            cols["band_key"] = pa.array([], pa.int64())
+            if n_coarse is not None:
+                cols["coarse"] = pa.array([], pa.int64())
+            return pa.table(cols)
         h = batch[hash_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         n = len(h)
         out: dict[str, Any] = {
@@ -551,6 +559,14 @@ class HyperplaneBucketer:
         self.planes: list[np.ndarray] | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            # explicit empty schema; ALSO must not build the planes here
+            # (an empty first batch would pin d=0 into the actor state)
+            return pa.table({
+                self.id_col: batch[self.id_col].combine_chunks(),
+                "bucket": pa.array([], pa.int64()),
+                "coarse": pa.array([], pa.int64()),
+            })
         emb = _emb_matrix(batch[self.emb_col])
         n, d = emb.shape
         if self.planes is None:

@@ -184,6 +184,9 @@ def run_queries() -> dict[str, float]:
         "value_quantiles_per_type", "sliding_4h_event_stats",
         "events_value_band_counts", "exact_dup_docs", "user_session_stats",
         "curated_training_split",
+        # round-3 operators
+        "verified_neardup_pairs", "label_cosine_pairs", "bpe_token_stats",
+        "media_feature_stats",
     ]
     qs = E.queries()
     out = {}

@@ -317,3 +317,33 @@ class TestSequencePacking:
         a = packed.sort_values("seq_key").reset_index(drop=True)
         b = again.sort_values("seq_key").reset_index(drop=True)
         assert a.equals(b)
+
+    def test_empty_batches_keep_explode_schemas(self):
+        """Empty input batches must not poison actor state (the LSH
+        bucketer builds its hyperplanes from the first batch's dim) or
+        infer null-typed columns in the band explode."""
+        import pyarrow as pa
+        import numpy as np
+        from aumos_drift_detector_ray.stages.dedup import (
+            HyperplaneBucketer, _explode_band_pairs)
+
+        b = HyperplaneBucketer("embedding", "vec_id", 12, 4, 32)
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "embedding": pa.array([], pa.list_(pa.float64()))})
+        out0 = b(empty)
+        assert out0.schema.field("bucket").type == pa.int64()
+        assert b.planes is None  # dim not pinned by the empty batch
+        full = pa.table({
+            "vec_id": [0, 1],
+            "embedding": [list(map(float, np.arange(16))),
+                          list(map(float, np.arange(16)[::-1]))],
+        })
+        out1 = b(full)
+        assert len(out1) == 2 * 4 and b.planes[0].shape == (12, 16)
+
+        fn = _explode_band_pairs("phash", ["image_id"], 8, 32)
+        e = fn(pa.table({"image_id": pa.array([], pa.string()),
+                         "phash": pa.array([], pa.int64())}))
+        assert e.schema.field("band_key").type == pa.int64()
+        assert e.schema.field("image_id").type == pa.string()
+        assert len(e) == 0
