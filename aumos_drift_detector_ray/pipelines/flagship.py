@@ -119,15 +119,39 @@ def add_caption_len(batch: pa.Table) -> pa.Table:
     )
 
 
-def _shard_writer(out_dir: str, feature_cols: tuple[str, ...], cat_cols: tuple[str, ...]):
-    """Per-partition finalizer run inside ``groupby.map_groups``: writes
-    the partition's violations + matrix rows + profile partial, then the
-    lineage record. Returns the matrix rows so the driver gets the
-    global pass/fail matrix without re-reading files."""
+def _shard_writer(out_dir: str, feature_cols: tuple[str, ...],
+                  cat_cols: tuple[str, ...],
+                  expected_rows: "tuple[int, int] | None" = None):
+    """Per-partition finalizer: writes the partition's violations +
+    matrix rows + profile partial, then the lineage record. Returns the
+    matrix rows so the driver gets the global pass/fail matrix without
+    re-reading files.
 
-    def fn(g: pd.DataFrame) -> pd.DataFrame:
+    Runs either inside ``groupby.map_groups`` (one partition per call —
+    the grouped-shuffle path) or as a plain ``map_batches`` over
+    partition-ALIGNED blocks (shuffle-free); a batch holding several
+    partitions is split internally. ``expected_rows=(total, per_shard)``
+    arms the alignment guard: every partition written must be COMPLETE
+    (exactly its expected row count), so a misaligned block layout fails
+    loudly instead of silently writing partial partition outputs."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in batch.groupby("partition_id", sort=False):
+            outs.append(_write_one(g))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            columns=["partition_id", "check", "violations", "rows", "passed"])
+
+    def _write_one(g: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         pid = int(g["partition_id"].iloc[0])
+        if expected_rows is not None:
+            total, per_shard = expected_rows
+            want = min(per_shard, total - pid * per_shard)
+            assert len(g) == want, (
+                f"partition {pid}: writer received {len(g)} of {want} rows "
+                "— input blocks are not partition-aligned; use the grouped "
+                "writer path (groupby('partition_id').map_groups)")
         ok_cols = [c for c in g.columns if c.startswith("ok_")]
 
         # violation rows (vectorized unpivot shared with
@@ -216,11 +240,14 @@ def run_validation(
             synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol
         )
         bloom_ref = val_mod.build_allowlist_bloom(n_rows, cfg.synth_cfg.run)
-        # one read task per ~row-group so the decode actor pool receives
-        # many small bundles (Ray dispatches one actor task per bundle)
-        est_row_groups = max(1, cfg.rows // 512)
+        # ONE block per shard file: blocks then stay partition-aligned
+        # through the (block-preserving) map stages, so the per-partition
+        # finalizer below runs as a plain map over whole blocks — NO
+        # repartition + sort-groupby exchange (the r2 design note). At
+        # cluster scale parallelism = #files >> cores; the grouped-write
+        # path remains in run_validation_multi for non-aligned inputs.
         ds = read_table(pending, include_paths=True,
-                        override_num_blocks=min(est_row_groups, 4 * len(pending) * 10))
+                        override_num_blocks=len(pending))
         ds = val_mod.partition_id_from_path(ds)
         flags = val_mod.run_row_validation(
             ds, vcfg, bloom_ref,
@@ -229,16 +256,10 @@ def run_validation(
         )
         # caption_len derived feature for profiling (vectorized)
         flags = flags.map_batches(add_caption_len, batch_format="pyarrow")
-        # coalesce the many small decode-output blocks before the grouped
-        # shuffle: Ray's sort-based groupby cost is dominated by block
-        # count, and the decode stage intentionally emits one block per
-        # input row group
-        flags = flags.repartition(min(256, max(16, len(pending) // 2)))
-        writer = _shard_writer(out_dir, NUMERIC_FEATURES, CATEGORICAL_FEATURES)
-        # scalar-only shuffle: group rows by their partition for the
-        # atomic per-partition finalizer
-        flags.groupby("partition_id").map_groups(
-            writer, batch_format="pandas"
+        writer = _shard_writer(out_dir, NUMERIC_FEATURES, CATEGORICAL_FEATURES,
+                               expected_rows=(cfg.rows, cfg.rows_per_shard))
+        flags.map_batches(
+            writer, batch_format="pandas", batch_size=None,
         ).materialize()
 
     matrix_files = sorted(glob.glob(os.path.join(out_dir, "matrix", "shard=*.parquet")))
