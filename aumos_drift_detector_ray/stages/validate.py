@@ -284,7 +284,7 @@ class DecodeValidator:
                     )
                 ok_cap[i] = caps[i] == truth_cap
                 if img is not None:
-                    if use_ref and zlib.crc32(img.tobytes()) == ref_crcs[i]:
+                    if use_ref and zlib.crc32(img) == ref_crcs[i]:
                         # decoded raster IS the certified canonical
                         # decode → reuse the certified psnr-vs-truth
                         # (NaN encodes the truth/decode shape mismatch)
