@@ -80,6 +80,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitem_revenue": Q.order_lineitem_revenue,
         "asof_click_before_error": Q.asof_click_before_error,
         "events_value_band_counts": Q.events_value_band_counts,
+        # --- oracle-checked: semi/anti joins, set ops, grouped argmin/
+        # argmax, grouped bivariate stats, robust dispersion (round 3) ---
+        "customers_without_big_orders": Q.customers_without_big_orders,
+        "stale_orders_per_priority": Q.stale_orders_per_priority,
+        "users_in_click_and_error": Q.users_in_click_and_error,
+        "corr_slope_value_hour_per_type": Q.corr_slope_value_hour_per_type,
+        "first_event_counts_per_type": Q.first_event_counts_per_type,
+        "top_user_by_value_per_type": Q.top_user_by_value_per_type,
+        "type_pair_user_jaccard": Q.type_pair_user_jaccard,
+        "mad_value_per_type": Q.mad_value_per_type,
         # --- rows-only (non-SQL-expressible; pytest-verified) ---
         "flagship_validation": Q.flagship_validation,
         "image_drift_scores": Q.image_drift_scores,
@@ -284,6 +294,81 @@ def _text_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     return {
         **_text_oracles(),
+        "customers_without_big_orders": """
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice >= 300000)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "stale_orders_per_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (WHERE o_orderkey NOT IN (
+                       SELECT l_orderkey FROM lineitem
+                       WHERE l_shipdate >= TIMESTAMP '1997-01-01'))
+                       AS BIGINT) AS n_stale
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "users_in_click_and_error": """
+            SELECT CAST(count(*) AS BIGINT) AS n_users FROM (
+                SELECT user_id FROM events WHERE event_type = 'click'
+                INTERSECT
+                SELECT user_id FROM events WHERE event_type = 'error') t
+        """,
+        "corr_slope_value_hour_per_type": """
+            -- engine side computes EXACT integer moments of
+            -- (round(value*100), hour); corr/slope are scale-invariant /
+            -- rescaled, so corr over the same rounded cents matches to
+            -- well under the round(6) print precision
+            WITH s AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) / 100.0 AS v,
+                              CAST(hour(ts) AS DOUBLE) AS x
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   round(corr(v, x), 6) AS corr_vh,
+                   round(regr_slope(v, x), 6) AS slope_vh
+            FROM s GROUP BY 1 ORDER BY 1
+        """,
+        "first_event_counts_per_type": """
+            WITH r AS (SELECT event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+                       FROM events)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_first
+            FROM r WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "top_user_by_value_per_type": """
+            SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+                   max_value
+            FROM (SELECT event_type, user_id, value AS max_value,
+                         row_number() OVER (PARTITION BY event_type
+                             ORDER BY value DESC, user_id ASC) AS rn
+                  FROM events) t
+            WHERE rn = 1 ORDER BY event_type
+        """,
+        "type_pair_user_jaccard": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+                 c AS (SELECT a.event_type AS t1, b.event_type AS t2,
+                              CAST(count(*) AS BIGINT) AS n_common
+                       FROM d a JOIN d b USING (user_id)
+                       WHERE a.event_type < b.event_type GROUP BY 1, 2),
+                 s AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1)
+            SELECT t1, t2, n_common,
+                   CAST(sa.n + sb.n - n_common AS BIGINT) AS n_union,
+                   round(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE),
+                         9) AS jaccard
+            FROM c JOIN s sa ON sa.event_type = c.t1
+                   JOIN s sb ON sb.event_type = c.t2
+            ORDER BY t1, t2
+        """,
+        "mad_value_per_type": """
+            SELECT event_type,
+                   median(value) AS median_value,
+                   mad(value) AS mad_value
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
         "q1_pricing_summary": """
             -- money sums as exact scaled-integer sums (x10000) so the
             -- distributed engine's sum order cannot produce last-ulp noise

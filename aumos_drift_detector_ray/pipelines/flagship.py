@@ -218,14 +218,56 @@ def _shard_writer(out_dir: str, feature_cols: tuple[str, ...],
     return fn
 
 
+def _fused_shard_validator(out_dir: str, vcfg: "val_mod.ValidationConfig",
+                           bloom_ref: Any, expected_rows: tuple[int, int]):
+    """Whole-shard task: read one shard file → scalar checks → decode/
+    fidelity → caption_len → per-partition writer, all inside ONE task.
+
+    The input Dataset carries only file PATHS, so payload bytes never
+    enter the object store and the whole job is a single fused operator:
+    every CPU slot runs end-to-end shard work with no read-vs-map
+    resource split, no inter-operator queueing, and trivially
+    partition-aligned blocks (one task == one shard file). This is the
+    per-shard whole-file map suggested by the r2 review for dropping the
+    writer exchange, extended to the read side. At cluster scale,
+    parallelism = #shard files >> cores and the scheduler pulls paths,
+    so the shape is unchanged at 100 TB (paths are metadata; payloads
+    stream disk → worker heap → scalar outputs only)."""
+    scalar = val_mod.make_scalar_validator(vcfg, bloom_ref)
+    decode = val_mod.DecodeValidator(vcfg)  # cheap state; ships pickled
+    writer = _shard_writer(out_dir, NUMERIC_FEATURES, CATEGORICAL_FEATURES,
+                           expected_rows=expected_rows)
+
+    def fn(batch: pa.Table) -> pd.DataFrame:
+        outs = []
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(path)
+            pid = int(path.split("shard=")[1].split("/")[0])
+            tbl = tbl.append_column(
+                "partition_id", pa.array(np.full(len(tbl), pid, dtype=np.int64)))
+            tbl = add_caption_len(decode(scalar(tbl)))
+            outs.append(writer(tbl.to_pandas()))
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+            columns=["partition_id", "check", "violations", "rows", "passed"])
+
+    return fn
+
+
 def run_validation(
     input_dir: str,
     out_dir: str,
     cfg: FlagshipConfig,
     resume: bool = True,
+    fused: bool = True,
 ) -> pd.DataFrame:
     """Validate all pending shards; returns the global pass/fail matrix
-    (completed shards' matrix rows are read from their outputs)."""
+    (completed shards' matrix rows are read from their outputs).
+
+    ``fused=True`` (default) runs the whole-shard single-operator path
+    (see ``_fused_shard_validator``); ``fused=False`` keeps the staged
+    Dataset pipeline (read → scalar → decode pool → writer), which is
+    the right shape when the decode stage needs an actor pool with heavy
+    per-worker state or a different batch size than the input blocks."""
     shard_files = sorted(glob.glob(os.path.join(input_dir, "shard=*", "part.parquet")))
     done = ckpt.completed_partitions(out_dir) if resume else {}
 
@@ -234,7 +276,18 @@ def run_validation(
 
     pending = [p for p in shard_files if shard_of(p) not in done]
 
-    if pending:
+    if pending and fused and cfg.decode_concurrency is None:
+        vcfg = val_mod.ValidationConfig(
+            synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol
+        )
+        bloom_ref = val_mod.build_allowlist_bloom(cfg.rows, cfg.synth_cfg.run)
+        fn = _fused_shard_validator(out_dir, vcfg, bloom_ref,
+                                    (cfg.rows, cfg.rows_per_shard))
+        (ray.data.from_items([{"path": p} for p in pending],
+                             override_num_blocks=len(pending))
+         .map_batches(fn, batch_format="pyarrow", batch_size=None)
+         .materialize())
+    elif pending:
         n_rows = cfg.rows
         vcfg = val_mod.ValidationConfig(
             synth_cfg=cfg.synth_cfg, phash_tol=cfg.phash_tol

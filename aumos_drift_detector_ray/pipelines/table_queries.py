@@ -1539,16 +1539,26 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
     n = int(min(120, n_docs))
 
-    audio = ray.data.from_arrow(pa.table({
-        "media_id": pa.array([f"a{i}" for i in range(n)]),
-        "bytes": pa.array([M.synth_audio(42, i) for i in range(n)],
-                          pa.binary()),
-    }))
-    video = ray.data.from_arrow(pa.table({
-        "media_id": pa.array([f"v{i}" for i in range(n // 4)]),
-        "bytes": pa.array([M.synth_video(42, i, n_frames=6)
-                           for i in range(n // 4)], pa.binary()),
-    }))
+    # payloads are synthesized INSIDE tasks (the driver ships only row
+    # ids), so the media table scales like any other source: at 100 TB
+    # the id range fans out over the cluster and payload bytes are born
+    # in worker heaps, never on the driver
+    def synth_batch(prefix: str, make):
+        def fn(b: pa.Table) -> pa.Table:
+            idx = b["id"].to_numpy()
+            return pa.table({
+                "media_id": pa.array([f"{prefix}{i}" for i in idx]),
+                "bytes": pa.array([make(int(i)) for i in idx], pa.binary()),
+            })
+        return fn
+
+    audio = ray.data.range(n, override_num_blocks=max(1, n // 32)) \
+        .map_batches(synth_batch("a", lambda i: M.synth_audio(42, i)),
+                     batch_format="pyarrow")
+    video = ray.data.range(max(1, n // 4),
+                           override_num_blocks=max(1, n // 64)) \
+        .map_batches(synth_batch("v", lambda i: M.synth_video(42, i, n_frames=6)),
+                     batch_format="pyarrow")
     af = decode_media(audio, "audio", fmt_col=None, strict=True).to_pandas()
     vf = decode_media(video, "video", fmt_col=None, strict=True).to_pandas()
     frames = sample_frames(video, every=3).count()
@@ -1586,3 +1596,304 @@ def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=65536) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: semi/anti joins, set ops, grouped argmin/argmax,
+# grouped bivariate statistics, robust dispersion (MAD)
+# ---------------------------------------------------------------------------
+
+def customers_without_big_orders(sf_dir: str,
+                                 threshold: float = 300000.0) -> pd.DataFrame:
+    """ANTI join (NOT EXISTS): customers with no order of totalprice >=
+    threshold, counted per nation. The right side is pre-filtered and
+    per-block deduped before the bucketed anti join (joins.hash_join
+    how='anti'), so the shuffle carries distinct keys only — the
+    scalable NOT IN shape (no broadcast of an unbounded key set)."""
+    from ..stages.joins import hash_join
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.loc[b.o_totalprice >= threshold, ["o_custkey"]].drop_duplicates()
+        return pd.DataFrame({"c_custkey": d.o_custkey})
+
+    big = orders.map_batches(prep, batch_format="pandas", batch_size=65536)
+    anti = hash_join(cust, big, "c_custkey", n_buckets=32, how="anti")
+    out = anti.map_batches(
+        lambda b: b.groupby("c_nationkey", as_index=False).agg(
+            n_customers=("c_custkey", "size")),
+        batch_format="pandas",
+    ).groupby("c_nationkey").aggregate(
+        Sum("n_customers", alias_name="n_customers")).to_pandas()
+    if len(out) == 0:  # typed empty result (no customer qualifies)
+        return pd.DataFrame({"nationkey": pd.Series([], dtype="int64"),
+                             "n_customers": pd.Series([], dtype="int64")})
+    out = out.rename(columns={"c_nationkey": "nationkey"})
+    out["nationkey"] = out.nationkey.astype("int64")
+    out["n_customers"] = out.n_customers.astype("int64")
+    return out.sort_values("nationkey").reset_index(drop=True)
+
+
+def stale_orders_per_priority(sf_dir: str,
+                              cutoff: str = "1997-01-01") -> pd.DataFrame:
+    """Per order priority: total orders and orders with NO lineitem
+    shipped on/after the cutoff — a filtered SEMI/ANTI join composed
+    with a pre-aggregated count. Both join sides ship scalar keys only;
+    the anti side is per-block deduped before the bucketed exchange."""
+    from ..stages.joins import hash_join
+
+    orders = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    cut = pd.Timestamp(cutoff)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.loc[b.l_shipdate >= cut, ["l_orderkey"]].drop_duplicates()
+        return pd.DataFrame({"o_orderkey": d.l_orderkey})
+
+    recent = li.map_batches(prep, batch_format="pandas", batch_size=65536)
+    stale = hash_join(orders, recent, "o_orderkey", n_buckets=32, how="anti")
+
+    def count_prio(col: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby("o_orderpriority", as_index=False).agg(
+                n=("o_orderkey", "size"))
+        return fn
+
+    totals = orders.map_batches(count_prio("n"), batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n")).to_pandas()
+    stale_n = stale.map_batches(count_prio("n"), batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = totals.merge(stale_n, on="o_orderpriority", how="left",
+                       suffixes=("_orders", "_stale"))
+    return pd.DataFrame({
+        "o_orderpriority": out.o_orderpriority,
+        "n_orders": out.n_orders.astype("int64"),
+        "n_stale": out.n_stale.fillna(0).astype("int64"),
+    }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def users_in_click_and_error(sf_dir: str) -> pd.DataFrame:
+    """Distinct-set INTERSECTION cardinality: users appearing in BOTH
+    'click' and 'error' events. Per-block flag aggregation shrinks the
+    shuffle to <= one row per (user, block); ONE bucketed hash exchange
+    resolves each user's global flags (same user always lands in the
+    same bucket, so per-bucket AND-of-ORs is exact)."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b[b.event_type.isin(("click", "error"))]
+        t = pd.DataFrame({
+            "user_id": d.user_id,
+            "has_click": (d.event_type == "click").to_numpy(),
+            "has_error": (d.event_type == "error").to_numpy(),
+        }).groupby("user_id", as_index=False).agg(
+            has_click=("has_click", "max"), has_error=("has_error", "max"))
+        t["bucket"] = (hash64(t.user_id.to_numpy(np.int64).view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return t
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("user_id").agg(hc=("has_click", "max"),
+                                     he=("has_error", "max"))
+        return pd.DataFrame({"n": [int((a.hc & a.he).sum())]})
+
+    n = parts.groupby("bucket").map_groups(
+        count_bucket, batch_format="pandas").to_pandas().n.sum()
+    return pd.DataFrame({"n_users": np.array([n], dtype=np.int64)})
+
+
+def corr_slope_value_hour_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped bivariate statistics: Pearson corr and OLS slope of
+    (value vs hour-of-day) per event type, via EXACT integer moment
+    sums (value is cents-precision → scaled int64; hour ∈ [0,23]): the
+    per-block partials and the grouped Sum are order-independent, the
+    final corr/slope arithmetic runs in overflow-free Python ints on
+    ~5 driver rows. round(6) absorbs only the oracle's own float
+    accumulation, not ours."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.round(b.value.to_numpy() * 100).astype(np.int64)
+        x = b.ts.dt.hour.to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b.event_type, "n": np.int64(1),
+            "sx": x, "sy": v, "sxx": x * x, "syy": v * v, "sxy": x * v,
+        }).groupby("event_type", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+        ).to_pandas()
+
+    rows = []
+    for r in m.itertuples(index=False):
+        n, sx, sy, sxx, syy, sxy = (int(r.n), int(r.sx), int(r.sy),
+                                    int(r.sxx), int(r.syy), int(r.sxy))
+        cov_n = n * sxy - sx * sy          # n^2 * covariance (exact int)
+        var_x = n * sxx - sx * sx
+        var_y = n * syy - sy * sy
+        corr = cov_n / float(np.sqrt(float(var_x) * float(var_y))) \
+            if var_x > 0 and var_y > 0 else float("nan")
+        # slope in original units: value = cents/100
+        slope = (cov_n / var_x) / 100.0 if var_x > 0 else float("nan")
+        rows.append({"event_type": r.event_type, "n": np.int64(n),
+                     "corr_vh": float(np.round(corr, 6)),
+                     "slope_vh": float(np.round(slope, 6))})
+    return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+
+
+def first_event_counts_per_type(sf_dir: str) -> pd.DataFrame:
+    """Distributed row_number()=1 dedup (each user's FIRST event by
+    (ts, event_id)), counted per event type. Per-block argmin reduce
+    shrinks every block to <= one row per user; ONE bucketed exchange
+    on user hash finalizes the argmin per user; the surviving rows are
+    count-aggregated per type. The mergeable-argmin shape — never a
+    global sort."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events",
+                  columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = 64
+
+    def reduce_block(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.sort_values(["ts", "event_id"]).drop_duplicates(
+            "user_id", keep="first")
+        d = d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+        return d
+
+    parts = ds.map_batches(reduce_block, batch_format="pandas",
+                           batch_size=65536)
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).drop_duplicates(
+            "user_id", keep="first")
+
+    firsts = parts.groupby("bucket").map_groups(
+        reduce_bucket, batch_format="pandas")
+    out = firsts.map_batches(
+        lambda b: b.groupby("event_type", as_index=False).agg(
+            n_first=("user_id", "size")),
+        batch_format="pandas",
+    ).groupby("event_type").aggregate(
+        Sum("n_first", alias_name="n_first")).to_pandas()
+    out["n_first"] = out.n_first.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def top_user_by_value_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped ARGMAX (max_by with deterministic ties): per event type
+    the (value DESC, user_id ASC)-first row. Every block reduces to
+    <= one row per type before the tiny per-type merge — the mergeable
+    argmax shape (no global sort, no topk shuffle)."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+
+    def reduce_fn(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["value", "user_id"],
+                             ascending=[False, True]).drop_duplicates(
+            "event_type", keep="first")
+
+    out = ds.map_batches(reduce_fn, batch_format="pandas", batch_size=65536) \
+        .groupby("event_type").map_groups(reduce_fn, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "event_type": out.event_type,
+        "user_id": out.user_id.astype("int64"),
+        "max_value": out.value.astype("float64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def type_pair_user_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise set similarity: Jaccard of distinct-user sets between
+    every pair of event types. Distinct (type, user) pairs are bucketed
+    by user hash; each bucket emits pair-intersection partial counts
+    (per-user self-join — bounded: a user has <= #types rows) and
+    per-type distinct counts; a grouped Sum merges partials and the
+    driver finalizes |A∩B| / |A∪B| on ~#types² rows. Exact integers
+    throughout — jaccard is a ratio of exact counts."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        d = d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+        return d
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["user_id", "event_type"])
+        m = d.merge(d, on="user_id")
+        m = m[m.event_type_x < m.event_type_y]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+        singles = d.groupby("event_type", as_index=False).size()
+        return pd.concat([
+            pd.DataFrame({"t1": pairs.event_type_x, "t2": pairs.event_type_y,
+                          "n": pairs["size"].astype("int64")}),
+            pd.DataFrame({"t1": singles.event_type, "t2": "",
+                          "n": singles["size"].astype("int64")}),
+        ], ignore_index=True)
+
+    merged = parts.groupby("bucket").map_groups(
+        bucket_counts, batch_format="pandas"
+    ).groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n")).to_pandas()
+
+    singles = dict(zip(merged.loc[merged.t2 == "", "t1"],
+                       merged.loc[merged.t2 == "", "n"]))
+    pairs = merged[merged.t2 != ""]
+    union = np.array([singles[a] + singles[b] for a, b in
+                      zip(pairs.t1, pairs.t2)], dtype=np.int64) \
+        - pairs.n.to_numpy(np.int64)
+    return pd.DataFrame({
+        "t1": pairs.t1, "t2": pairs.t2,
+        "n_common": pairs.n.astype("int64"),
+        "n_union": union,
+        "jaccard": np.round(pairs.n.to_numpy(np.int64) / union, 9),
+    }).sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
+def mad_value_per_type(sf_dir: str) -> pd.DataFrame:
+    """Robust dispersion: median absolute deviation of value per event
+    type — composed from TWO grouped exact-quantile scans (median, then
+    median of |value − group median| with the ~#groups medians
+    broadcast into the second scan's per-block partial). Matches
+    DuckDB's mad() (quantile_cont interpolation) exactly: medians of
+    cents-precision doubles interpolate to exactly-representable
+    quarter-cents, so no rounding is needed."""
+    from ..stages.scan import grouped_exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    med = grouped_exact_quantiles(ds, "event_type", "value", [0.5])
+    med_by_type = dict(zip(med.event_type, med.value))
+    med_ref = ray.put(med_by_type)
+
+    def absdev(b: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(med_ref)
+        m = b.event_type.map(lookup).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "absdev": np.abs(b.value.to_numpy(dtype=np.float64) - m),
+        })
+
+    dev = ds.map_batches(absdev, batch_format="pandas", batch_size=65536)
+    mad = grouped_exact_quantiles(dev, "event_type", "absdev", [0.5])
+    return pd.DataFrame({
+        "event_type": mad.event_type,
+        "median_value": mad.event_type.map(med_by_type).astype("float64"),
+        "mad_value": mad.value.astype("float64"),
+    }).sort_values("event_type").reset_index(drop=True)

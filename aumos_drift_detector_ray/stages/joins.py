@@ -65,12 +65,18 @@ def _tag_and_bucket(ds: ray.data.Dataset, key: str, side: int, n_buckets: int,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _union_aligned(lt: ray.data.Dataset, rt: ray.data.Dataset) -> ray.data.Dataset:
+def _union_aligned(lt: ray.data.Dataset, rt: ray.data.Dataset,
+                   l_fields: "dict[str, pa.DataType]",
+                   r_fields: "dict[str, pa.DataType]") -> ray.data.Dataset:
     """Union two datasets with different column sets by adding the other
-    side's columns as typed nulls (Ray's union needs matching schemas)."""
-    ls, rs = lt.schema(), rt.schema()
-    l_fields = dict(zip(ls.names, ls.types))
-    r_fields = dict(zip(rs.names, rs.types))
+    side's columns as typed nulls (Ray's union needs matching schemas).
+    Callers pass each side's TAGGED column→type dict (renamed input
+    columns; ``__bucket``/``__side`` are appended here) — computed from
+    the INPUT schemas, not fetched from the tagged datasets, so an
+    empty side (schema() is None after a map) still aligns correctly."""
+    tag = {"__bucket": pa.int64(), "__side": pa.int8()}
+    l_fields = {**l_fields, **tag}
+    r_fields = {**r_fields, **tag}
     all_names = list(l_fields) + [n for n in r_fields if n not in l_fields]
 
     def pad(missing: dict[str, pa.DataType]):
@@ -161,21 +167,29 @@ def hash_join(
 
     Both sides are bucketed by key hash and co-grouped; each bucket task
     performs a pandas merge. Non-key column collisions are disambiguated
-    with ``right_prefix``. ``how``: 'inner' | 'left'. Every bucket —
-    including buckets where one side is empty — emits the SAME merged
-    column set (the pandas merge of possibly-empty frames), so block
-    schemas are consistent across the dataset."""
+    with ``right_prefix``. ``how``: 'inner' | 'left' | 'semi' | 'anti'
+    (semi/anti keep left rows with ≥0 match on the deduped right keys —
+    left columns only, no row multiplication, the scalable EXISTS / NOT
+    EXISTS shape). Every bucket — including buckets where one side is
+    empty — emits the SAME merged column set (the pandas merge of
+    possibly-empty frames), so block schemas are consistent across the
+    dataset."""
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = [c if c == key else f"{left_prefix}{c}" for c in l_schema.names]
     r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
-    fields = {**{c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)},
-              **{c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}}
-    both = _union_aligned(lt, rt)
+    l_f = {c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)}
+    r_f = {c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}
+    fields = dict(l_f) if how in ("semi", "anti") else {**l_f, **r_f}
+    both = _union_aligned(lt, rt, l_f, r_f)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         l, r = _group_to_frames(g, l_cols, r_cols)
+        if how in ("semi", "anti"):
+            present = l[key].isin(r[key].dropna().unique())
+            keep = present if how == "semi" else ~present
+            return _arrow_out(l.loc[keep].reset_index(drop=True), fields)
         return _arrow_out(l.merge(r, on=key, how=how), fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
@@ -202,9 +216,10 @@ def asof_join(
     l_schema, r_schema = left.schema(), right.schema()
     l_cols = list(l_schema.names)
     r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
-    fields = {**{c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)},
-              **{c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}}
-    both = _union_aligned(lt, rt)
+    l_f = {c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)}
+    r_f = {c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}
+    fields = {**l_f, **r_f}
+    both = _union_aligned(lt, rt, l_f, r_f)
     r_ts = f"{right_prefix}{ts}"
     out_cols = l_cols + [c for c in r_cols if c != key]
 
@@ -255,9 +270,10 @@ def range_join(
     p_schema, iv_schema = points.schema(), intervals.schema()
     p_cols = list(p_schema.names)
     iv_cols = [c if c == key else f"iv_{c}" for c in iv_schema.names]
-    fields = {**{c: _pa_type(t) for c, t in zip(p_cols, p_schema.types)},
-              **{c: _pa_type(t) for c, t in zip(iv_cols, iv_schema.types)}}
-    both = _union_aligned(lt, rt)
+    p_f = {c: _pa_type(t) for c, t in zip(p_cols, p_schema.types)}
+    iv_f = {c: _pa_type(t) for c, t in zip(iv_cols, iv_schema.types)}
+    fields = {**p_f, **iv_f}
+    both = _union_aligned(lt, rt, p_f, iv_f)
     lo, hi = f"iv_{lo_col}", f"iv_{hi_col}"
 
     def per_bucket(g: pa.Table) -> pa.Table:

@@ -36,6 +36,67 @@ class TestHashJoin:
         assert out.loc[out.k == 1, "r_b"].isna().all()
 
 
+class TestSemiAntiJoin:
+    def _mk(self):
+        rng = np.random.default_rng(7)
+        left = pd.DataFrame({"k": rng.integers(0, 60, 400),
+                             "a": np.arange(400)})
+        right = pd.DataFrame({"k": np.repeat(np.arange(0, 60, 3), 2),
+                              "b": np.arange(40)})
+        return left, right
+
+    def test_semi_matches_isin(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left, right = self._mk()
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=8, how="semi").to_pandas()
+        expected = left[left.k.isin(right.k.unique())]
+        assert sorted(out.columns) == ["a", "k"]  # left columns only
+        assert len(out) == len(expected)  # no row multiplication
+        o = out.sort_values("a").reset_index(drop=True)
+        e = expected.sort_values("a").reset_index(drop=True)
+        assert (o.k.to_numpy() == e.k.to_numpy()).all()
+        assert (o.a.to_numpy() == e.a.to_numpy()).all()
+
+    def test_anti_is_complement_of_semi(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left, right = self._mk()
+        semi = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                         n_buckets=8, how="semi").to_pandas()
+        anti = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                         n_buckets=8, how="anti").to_pandas()
+        assert len(semi) + len(anti) == len(left)
+        assert not anti.k.isin(right.k.unique()).any()
+
+    def test_anti_empty_right(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]})
+        right = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64")})
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4, how="anti").to_pandas()
+        assert len(out) == 3 and sorted(out.columns) == ["a", "k"]
+
+    def test_null_keys_never_match(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"),
+                             "a": [10, 20, 30]})
+        right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                              "b": [1, 2]})
+        semi = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                         n_buckets=4, how="semi").to_pandas()
+        # NULL = NULL is not a match (SQL semantics): only k=1 survives
+        assert semi.a.tolist() == [10]
+
+
 class TestAsofJoin:
     def test_matches_pandas_merge_asof(self, ray_session):
         import ray.data as rd

@@ -1,0 +1,86 @@
+"""Round-3 query/operator tests: semi/anti joins, set intersection,
+grouped bivariate stats, distributed row_number()=1 / argmax, set-pair
+Jaccard, grouped MAD — each compared against its DuckDB oracle at
+sf0.001 (the same comparison the driver's correctness gate runs at
+sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+NEW_QUERIES = [
+    "customers_without_big_orders",
+    "stale_orders_per_priority",
+    "users_in_click_and_error",
+    "corr_slope_value_hour_per_type",
+    "first_event_counts_per_type",
+    "top_user_by_value_per_type",
+    "type_pair_user_jaccard",
+    "mad_value_per_type",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _oracle(name: str) -> pd.DataFrame:
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(E.oracle_sql()[name]).df()
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_duckdb_oracle(name, ray_session):
+    import __ray_entry__ as E
+
+    got = _canon(E.queries()[name](SF))
+    want = _canon(_oracle(name))
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}")
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=False, rtol=0, atol=1e-9)
+
+
+def test_anti_join_result_nonempty_at_sf001():
+    """Guard against the anti-join query degenerating to an empty (and
+    therefore vacuously passing) comparison at test scale."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"""SELECT count(*) FROM '{SF}/customer.parquet'
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM '{SF}/orders.parquet'
+                WHERE o_totalprice >= 300000)""").fetchone()[0]
+    assert n > 0
+
+
+def test_first_event_total_equals_distinct_users(ray_session):
+    """Σ per-type first-event counts == #distinct users (every user has
+    exactly one first event)."""
+    import __ray_entry__ as E
+
+    got = E.queries()["first_event_counts_per_type"](SF)
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert int(got.n_first.sum()) == n_users
