@@ -1251,7 +1251,12 @@ def events_value_band_counts(sf_dir: str) -> pd.DataFrame:
     from ..stages.joins import range_join
 
     ev = sf_table(sf_dir, "events", columns=["event_type", "value"])
-    types = sorted(ev.groupby("event_type").count().to_pandas().event_type)
+    # enumerate the interval-key domain with a per-block distinct + tiny
+    # driver union (the domain is small by construction — it is the join
+    # key set), NOT a groupby shuffle over the full table
+    types = sorted(set(ev.map_batches(
+        lambda b: pd.DataFrame({"event_type": b.event_type.unique()}),
+        batch_format="pandas").to_pandas().event_type))
     bands = [("b0", 0.0, 5.0), ("b1", 5.0, 10.0),
              ("b2", 10.0, 20.0), ("b3", 20.0, 1e18)]
     iv = pd.DataFrame([
@@ -1265,9 +1270,11 @@ def events_value_band_counts(sf_dir: str) -> pd.DataFrame:
         return b.groupby(["event_type", "iv_band"], as_index=False) \
             .agg(n=("value", "size"))
 
-    out = joined.map_batches(partial, batch_format="pandas") \
-        .groupby(["event_type", "iv_band"]).aggregate(Sum("n", alias_name="n")) \
-        .to_pandas().rename(columns={"iv_band": "band"})
+    # per-block partials are bounded (<= #types x #bands rows each), so the
+    # final merge is a tiny driver groupby — no shuffle, no Ray Aggregate
+    out = joined.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby(["event_type", "iv_band"], as_index=False).agg(n=("n", "sum")) \
+        .rename(columns={"iv_band": "band"})
     out["n"] = out.n.astype("int64")
     return out.sort_values(["event_type", "band"]).reset_index(drop=True)
 

@@ -250,6 +250,41 @@ def asof_join(
     )
 
 
+def _range_sweep(p: pd.DataFrame, iv_by_key: dict, key: str,
+                 point_col: str, lo: str, hi: str, key_cols: list,
+                 iv_cols: list, fields: dict) -> pa.Table:
+    """Shared per-key sorted-interval sweep: for each point, the interval
+    with the greatest lo <= point (searchsorted), kept iff point < hi.
+    ``iv_by_key`` maps key -> interval frame sorted by ``lo``."""
+    def empty() -> pa.Table:
+        extra = {c: pd.Series([], dtype="object")
+                 for c in iv_cols if c != key}
+        return _arrow_out(p.iloc[0:0].assign(**extra), fields)
+
+    if len(p) == 0 or not iv_by_key:
+        return empty()
+    outs = []
+    for k, pk in p.groupby(key, sort=False):
+        ivk = iv_by_key.get(k)
+        if ivk is None:
+            continue
+        los = _np_col(ivk[lo])
+        his = _np_col(ivk[hi])
+        vals = _np_col(pk[point_col])
+        idx = np.searchsorted(los, vals, side="right") - 1
+        ok = (idx >= 0) & (vals < his[np.clip(idx, 0, len(his) - 1)])
+        matched = pk.loc[ok].reset_index(drop=True)
+        if len(matched) == 0:
+            continue
+        ividx = ivk.iloc[idx[ok]].reset_index(drop=True)
+        outs.append(pd.concat(
+            [matched, ividx.drop(columns=[key])], axis=1
+        ))
+    if not outs:
+        return empty()
+    return _arrow_out(pd.concat(outs, ignore_index=True), fields)
+
+
 def range_join(
     points: ray.data.Dataset,
     intervals: ray.data.Dataset,
@@ -258,57 +293,56 @@ def range_join(
     lo_col: str,
     hi_col: str,
     n_buckets: int = 64,
+    broadcast_limit: int | None = 100_000,
 ) -> ray.data.Dataset:
     """Point-in-interval join per key: emit (point row + interval row)
-    for every interval with lo <= point < hi. Buckets by key; per bucket,
-    sorted-interval sweep with searchsorted (intervals assumed
-    non-overlapping per key for the fast path; overlapping intervals fall
-    back to a vectorized mask per point chunk)."""
+    for every interval with lo <= point < hi. Intervals are assumed
+    non-overlapping per key (the searchsorted sweep picks the greatest
+    lo <= point).
 
-    lt = _tag_and_bucket(points, key, 0, n_buckets, "")
-    rt = _tag_and_bucket(intervals, key, 1, n_buckets, "iv_")
+    Two execution shapes, picked by the INTERVAL side's size:
+
+    - ``intervals.count() <= broadcast_limit`` (the dimension-table
+      case — band tables, SLA tiers, config ranges): the interval table
+      is put in the object store ONCE and every point block is swept by
+      a stateless ``map_batches`` — NO shuffle, no repartition; the
+      points side streams. This is the 100 TB shape when the interval
+      side is bounded.
+    - otherwise: both sides are hash-bucketed by key and co-grouped;
+      each bucket runs the same sweep (one all-to-all exchange, needed
+      only when the interval side itself is data-scale). Pass
+      ``broadcast_limit=None`` to force this path."""
     p_schema, iv_schema = points.schema(), intervals.schema()
     p_cols = list(p_schema.names)
     iv_cols = [c if c == key else f"iv_{c}" for c in iv_schema.names]
     p_f = {c: _pa_type(t) for c, t in zip(p_cols, p_schema.types)}
     iv_f = {c: _pa_type(t) for c, t in zip(iv_cols, iv_schema.types)}
     fields = {**p_f, **iv_f}
-    both = _union_aligned(lt, rt, p_f, iv_f)
     lo, hi = f"iv_{lo_col}", f"iv_{hi_col}"
+
+    if broadcast_limit is not None and intervals.count() <= broadcast_limit:
+        iv = intervals.to_pandas().rename(
+            columns={c: f"iv_{c}" for c in iv_schema.names if c != key})
+        iv_by_key = {k: ivk.sort_values(lo, kind="stable")
+                     for k, ivk in iv.groupby(key, sort=False)}
+        iv_ref = ray.put(iv_by_key)
+
+        def sweep_batch(b: pa.Table) -> pa.Table:
+            return _range_sweep(b.to_pandas(), ray.get(iv_ref), key,
+                                point_col, lo, hi, p_cols, iv_cols, fields)
+
+        return points.map_batches(sweep_batch, batch_format="pyarrow")
+
+    lt = _tag_and_bucket(points, key, 0, n_buckets, "")
+    rt = _tag_and_bucket(intervals, key, 1, n_buckets, "iv_")
+    both = _union_aligned(lt, rt, p_f, iv_f)
 
     def per_bucket(g: pa.Table) -> pa.Table:
         p, iv = _group_to_frames(g, p_cols, iv_cols)
-
-        def empty() -> pa.Table:
-            extra = {c: pd.Series([], dtype=iv[c].dtype)
-                     for c in iv_cols if c != key}
-            return _arrow_out(p.iloc[0:0].assign(**extra), fields)
-
-        if len(p) == 0 or len(iv) == 0:
-            return empty()
-        # group the intervals ONCE (not an O(keys x intervals) rescan)
         iv_by_key = {k: ivk.sort_values(lo, kind="stable")
                      for k, ivk in iv.groupby(key, sort=False)}
-        outs = []
-        for k, pk in p.groupby(key, sort=False):
-            ivk = iv_by_key.get(k)
-            if ivk is None:
-                continue
-            los = _np_col(ivk[lo])
-            his = _np_col(ivk[hi])
-            vals = _np_col(pk[point_col])
-            idx = np.searchsorted(los, vals, side="right") - 1
-            ok = (idx >= 0) & (vals < his[np.clip(idx, 0, len(his) - 1)])
-            matched = pk.loc[ok].reset_index(drop=True)
-            if len(matched) == 0:
-                continue
-            ividx = ivk.iloc[idx[ok]].reset_index(drop=True)
-            outs.append(pd.concat(
-                [matched, ividx.drop(columns=[key])], axis=1
-            ))
-        if not outs:
-            return empty()
-        return _arrow_out(pd.concat(outs, ignore_index=True), fields)
+        return _range_sweep(p, iv_by_key, key, point_col, lo, hi,
+                            p_cols, iv_cols, fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
         per_bucket, batch_format="pyarrow"

@@ -150,6 +150,34 @@ class TestRangeJoin:
         assert out.pid.tolist() == [0, 2, 3]  # 15 and 50 match nothing
         assert out.iv_iid.tolist() == [100, 101, 102]
 
+    def test_broadcast_and_bucketed_paths_agree(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import range_join
+
+        rng = np.random.default_rng(11)
+        points = pd.DataFrame({
+            "k": rng.choice(["a", "b", "c"], 500),
+            "x": rng.uniform(0, 100, 500),
+            "pid": np.arange(500),
+        })
+        intervals = pd.DataFrame({
+            "k": np.repeat(["a", "b", "c"], 4),
+            "lo": np.tile([0.0, 25.0, 50.0, 75.0], 3),
+            "hi": np.tile([25.0, 50.0, 75.0, 100.0], 3),
+            "band": list("wxyz") * 3,
+        })
+        kw = dict(key="k", point_col="x", lo_col="lo", hi_col="hi",
+                  n_buckets=4)
+        bc = range_join(rd.from_pandas(points), rd.from_pandas(intervals),
+                        **kw).to_pandas()          # broadcast (default)
+        bk = range_join(rd.from_pandas(points), rd.from_pandas(intervals),
+                        broadcast_limit=None, **kw).to_pandas()  # forced shuffle
+        bc = bc.sort_values("pid").reset_index(drop=True)
+        bk = bk.sort_values("pid").reset_index(drop=True)
+        assert len(bc) == 500 and bc.pid.tolist() == bk.pid.tolist()
+        assert bc.iv_band.tolist() == bk.iv_band.tolist()
+        assert sorted(bc.columns) == sorted(bk.columns)
+
 
 class TestChainedJoinKeyTypes:
     def test_int_key_survives_chained_joins(self, ray_session):
