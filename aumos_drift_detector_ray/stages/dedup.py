@@ -240,7 +240,7 @@ def near_dup_pairs_hamming(
     hash_col: str = "phash",
     id_col: str = "image_id",
     tol: int = 4,
-    n_bands: int = 8,
+    n_bands: int | None = None,
 ) -> ray.data.Dataset:
     """Candidate generation by band bucketing + exact Hamming verify.
 
@@ -251,11 +251,22 @@ def near_dup_pairs_hamming(
     carry 2x the band bits, keeping buckets near-singleton even at large
     row counts (a hot bucket means real near-duplicates).
 
+    ``n_bands=None`` picks the SMALLEST band count that still guarantees
+    recall at ``tol`` (``max(4, tol + 2)``): fewer bands means
+    quadratically fewer exploded band-pair rows through the shuffle
+    (C(6,2)=15 vs C(8,2)=28 for tol=4) AND wider, more selective band
+    values — both directly cut shuffle bytes and verify work. Bands
+    cover the low ``n_bands * (64 // n_bands)`` bits only; differing
+    bits in any uncovered top bits never dirty a band (recall
+    unaffected) and the verify computes true 64-bit Hamming.
+
     Returns (id_a, id_b, hamming) with id_a < id_b, deduplicated across
     bands.
     """
     from ..codecs import hamming64
 
+    if n_bands is None:
+        n_bands = max(4, tol + 2)
     # adaptive fan-out from the (metadata-cheap) input row count: each
     # coarse group holds a bounded slice of the exploded band rows
     n_rows = ds.count()
