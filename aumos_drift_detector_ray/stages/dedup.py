@@ -125,6 +125,20 @@ def _adaptive_coarse(n_exploded: int, target_rows: int = 32768,
     return int(np.clip(n_exploded // target_rows, lo, hi))
 
 
+def _shuffle_parts(n_exploded: int, target_rows: int = 4096,
+                   hi: int = 256) -> int:
+    """Block count for the pre-groupby repartition, sized to the
+    exploded row volume. A count far above what the data fills makes
+    Ray's sort emit EMPTY schema-less partition blocks ("RefBundle with
+    a different schema" log spam at small scale); too FEW partitions
+    serialize the per-group candidate verify (2 parts at 80k exploded
+    rows measured 1.7x slower than 16 — the hot-bucket loop inside each
+    group is the bound, not the shuffle). ~``target_rows`` exploded rows
+    per partition keeps every core busy from ~100k exploded rows up
+    while collapsing to 1-2 partitions on toy inputs."""
+    return int(np.clip(n_exploded // target_rows, 1, hi))
+
+
 def _id_arrow_type(series: pd.Series) -> pa.DataType:
     return pa.int64() if pd.api.types.is_integer_dtype(series) else pa.string()
 
@@ -272,6 +286,7 @@ def near_dup_pairs_hamming(
     n_rows = ds.count()
     n_pairs = n_bands * (n_bands - 1) // 2
     n_coarse = _adaptive_coarse(n_rows * n_pairs)
+    n_parts = _shuffle_parts(n_rows * n_pairs)
 
     # COARSE bucketing: grouping by raw band_key yields millions of
     # singleton groups and Ray's per-group overhead dominates. Instead
@@ -282,7 +297,7 @@ def near_dup_pairs_hamming(
     exploded = ds.select_columns([id_col, hash_col]).map_batches(
         _explode_band_pairs(hash_col, [id_col], n_bands, n_coarse),
         batch_format="pyarrow",
-    ).repartition(min(256, max(16, n_coarse // 4)))
+    ).repartition(n_parts)
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
         # vectorized bucket processing: most non-singleton buckets hold
@@ -455,29 +470,59 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 5,
     jaccard_threshold: float = 0.8,
+    sig_in_shuffle_limit: int | None = 2_000_000,
 ) -> ray.data.Dataset:
     """MinHash + LSH near-dup candidate pairs verified by signature
     Jaccard (fraction of equal minhashes — an unbiased estimator of set
-    Jaccard). rows = num_hashes // bands per band."""
+    Jaccard). rows = num_hashes // bands per band.
+
+    Two execution shapes, picked by input size (the same size-gated
+    hybrid as ``joins.range_join``; both measured 2026-08-17):
+
+    - ``ds.count() <= sig_in_shuffle_limit``: signatures ride the band
+      shuffle as a zero-copy FixedSizeList column and the verify runs
+      inline in the grouped task — ONE streaming pipeline, two all-to-all
+      exchanges. At small/medium corpus sizes the extra payload
+      (bands x num_hashes x 8 B per doc) is cheap and the single
+      execution wins (~3.5 s vs ~6 s at 5k docs x 32 cpus: the
+      scalars path's extra barriers + corpus re-scan dominate tiny
+      data).
+    - larger (or ``sig_in_shuffle_limit=None``): the shuffle carries
+      SCALARS ONLY — (id, band_key, coarse), ~24 B per exploded row —
+      because shipping the signature per band copy multiplies shuffle
+      bytes by bands x num_hashes x 8 B per doc (8 KB/doc at 64x16 —
+      ~8x the text itself), which is the 100 TB killer. The verify tier
+      then re-hashes ONLY the candidate texts, gathered by a broadcast
+      semi-join on the bounded candidate-id set (the embedding-near-dup
+      pattern; for a dirty corpus where even the candidate set is
+      data-scale, swap the gather for ``stages/joins.hash_join``) —
+      the hasher is seeded, so recomputed signatures are identical to
+      the bucketing pass.
+    """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
-    n_coarse = _adaptive_coarse(ds.count() * bands)
+    n_rows = ds.count()
+    n_coarse = _adaptive_coarse(n_rows * bands)
+    n_parts = _shuffle_parts(n_rows * bands)
+    sig_in_shuffle = (sig_in_shuffle_limit is not None
+                      and n_rows <= sig_in_shuffle_limit)
 
     hasher = MinHasher(text_col, num_hashes, shingle_k)
-    with_sig = ds.select_columns([id_col, text_col]).map_batches(
-        hasher, batch_format="pyarrow",
-    )
+    texts_only = ds.select_columns([id_col, text_col])
+    with_sig = texts_only.map_batches(hasher, batch_format="pyarrow")
 
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({
+            cols: dict[str, Any] = {
                 id_col: pa.array([], pa.int64()),
                 "band_key": pa.array([], pa.int64()),
-                "minhash": pa.FixedSizeListArray.from_arrays(
-                    pa.array([], pa.int64()), num_hashes),
                 "coarse": pa.array([], pa.int64()),
-            })
+            }
+            if sig_in_shuffle:
+                cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), num_hashes)
+            return pa.table(cols)
         # zero-copy out of the FixedSizeList column (no python lists)
         mh = batch["minhash"].combine_chunks()
         sig = np.asarray(mh.flatten().to_numpy(zero_copy_only=False),
@@ -493,18 +538,19 @@ def minhash_lsh_pairs(
         ids = np.repeat(np.asarray(batch[id_col].to_pylist()), bands)
         flat = keys.ravel()
         coarse = (hash64(flat.view(np.uint64)) % np.uint64(n_coarse)).astype(np.int64)
-        rep = np.repeat(sig, bands, axis=0)  # (n*bands, num_hashes)
-        mh_col = pa.FixedSizeListArray.from_arrays(
-            pa.array(rep.ravel(), pa.int64()), num_hashes)
-        return pa.table({
+        cols = {
             id_col: pa.array(ids),
             "band_key": pa.array(flat, pa.int64()),
-            "minhash": mh_col,
             "coarse": pa.array(coarse, pa.int64()),
-        })
+        }
+        if sig_in_shuffle:
+            rep = np.repeat(sig, bands, axis=0)  # (n*bands, num_hashes)
+            cols["minhash"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(rep.ravel(), pa.int64()), num_hashes)
+        return pa.table(cols)
 
     exploded = with_sig.map_batches(explode, batch_format="pyarrow") \
-        .repartition(min(256, max(16, n_coarse // 4)))
+        .repartition(n_parts)
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
         id_type = _id_arrow_type(g[id_col])
@@ -516,28 +562,72 @@ def minhash_lsh_pairs(
             if len(sub) < 2:
                 continue
             ids = sub[id_col].to_numpy()
-            sigs = np.stack(sub["minhash"].to_numpy())
             ia, ib = np.triu_indices(len(ids), k=1)
-            jac = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep = jac >= jaccard_threshold
-            a, b = ids[ia[keep]], ids[ib[keep]]
+            if sig_in_shuffle:  # inline verify on the shipped signatures
+                sigs = np.stack(sub["minhash"].to_numpy())
+                jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+                keepm = jac >= jaccard_threshold
+                ia, ib = ia[keepm], ib[keepm]
+                out_j.append(jac[keepm])
+            a, b = ids[ia], ids[ib]
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
-            out_j.append(jac[keep])
         if not out_a:
             return _pairs_table([], [], [], "jaccard", pa.float64(), id_type)
         df = pd.DataFrame({
             "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-            "jaccard": np.concatenate(out_j),
+            **({"jaccard": np.concatenate(out_j)} if sig_in_shuffle else {}),
         }).drop_duplicates(subset=["id_a", "id_b"])
-        return pa.table({
+        cols = {
             "id_a": pa.array(df.id_a.to_numpy(), id_type),
             "id_b": pa.array(df.id_b.to_numpy(), id_type),
-            "jaccard": pa.array(df.jaccard.to_numpy(), pa.float64()),
-        })
+        }
+        if sig_in_shuffle:
+            cols["jaccard"] = pa.array(df.jaccard.to_numpy(), pa.float64())
+        return pa.table(cols)
 
-    pairs = exploded.groupby("coarse").map_groups(per_coarse, batch_format="pandas")
-    return dedup_candidate_pairs(pairs)
+    cand = exploded.groupby("coarse").map_groups(
+        per_coarse, batch_format="pandas")
+    if sig_in_shuffle:
+        # verified pairs, possibly repeated across bands → grouped dedup,
+        # still fully streaming (nothing materializes on the driver)
+        return dedup_candidate_pairs(cand)
+
+    # --- scalars-only path: bounded candidate collect + re-gather verify
+    # the candidate set is ALREADY collected for the verify-tier gather
+    # below (bounded by the band-collision rate), so cross-band pair
+    # dedup is a driver drop_duplicates — paying dedup_candidate_pairs'
+    # extra hash-grouped shuffle here would buy nothing
+    cdf = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    id_type = (pa.int64() if len(cdf) == 0 or
+               pd.api.types.is_integer_dtype(cdf.id_a)
+               else pa.string())
+    if len(cdf) == 0:
+        return ray.data.from_arrow(
+            _pairs_table([], [], [], "jaccard", pa.float64(), id_type))
+
+    # bounded signature re-gather: broadcast the candidate-id set, filter
+    # the corpus to candidate texts, re-hash those rows only
+    need_ids = pa.array(sorted(set(cdf.id_a) | set(cdf.id_b)))
+    iref = ray.put(need_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return b.filter(_pc.is_in(b[id_col], value_set=ray.get(iref)))
+
+    sub = texts_only.map_batches(keep, batch_format="pyarrow") \
+        .map_batches(hasher, batch_format="pyarrow").to_pandas()
+    sig_rows = np.stack(sub["minhash"].to_numpy())
+    row_of = {i: r for r, i in enumerate(sub[id_col])}
+    sa = sig_rows[[row_of[i] for i in cdf.id_a]]
+    sb = sig_rows[[row_of[i] for i in cdf.id_b]]
+    jac = (sa == sb).mean(axis=1)
+    m = jac >= jaccard_threshold
+    return ray.data.from_arrow(pa.table({
+        "id_a": pa.array(cdf.id_a.to_numpy()[m], id_type),
+        "id_b": pa.array(cdf.id_b.to_numpy()[m], id_type),
+        "jaccard": pa.array(jac[m], pa.float64()),
+    }))
 
 
 # ---------------------------------------------------------------------------
@@ -650,11 +740,12 @@ def embedding_near_dup_pairs(
     table_queries.ngram_jaccard_pairs), and the exact-cosine verify runs
     as a stateless map over the pair stream."""
     n_coarse = _adaptive_coarse(ds.count() * n_tables)
+    n_parts = _shuffle_parts(ds.count() * n_tables)
     vecs = ds.select_columns([id_col, emb_col])
     exploded = vecs.map_batches(
         HyperplaneBucketer(emb_col, id_col, n_planes, n_tables, n_coarse),
         batch_format="pyarrow",
-    ).repartition(min(256, max(16, n_coarse // 4)))
+    ).repartition(n_parts)
 
     def per_coarse(g: pd.DataFrame) -> pa.Table:
         id_type = _id_arrow_type(g[id_col])

@@ -123,6 +123,32 @@ class TestDocDedup:
         assert (0, 1) in found or (1, 3) in found  # near dup
         assert all(2 not in p for p in found)
 
+    def test_minhash_lsh_paths_agree(self, ray_session):
+        """sig-in-shuffle (small-side default) and scalars-only +
+        re-gather (the 100 TB shape) must produce identical pairs AND
+        identical signature-jaccard values."""
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import dedup as D
+
+        rng = np.random.default_rng(7)
+        words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                 "river", "mountain", "forest", "desert", "ocean", "valley"]
+        texts = [" ".join(rng.choice(words, 30)) for _ in range(60)]
+        for i in range(0, 12, 2):  # plant near-dup twins
+            texts[i + 1] = texts[i].replace(texts[i].split()[0], "omega", 1)
+        ds = rd.from_arrow(pa.table(
+            {"doc_id": list(range(60)), "text": texts}))
+        kw = dict(num_hashes=64, bands=16, jaccard_threshold=0.4)
+        fast = D.minhash_lsh_pairs(ds, **kw).to_pandas() \
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        scal = D.minhash_lsh_pairs(ds, sig_in_shuffle_limit=None, **kw) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert len(fast) > 0
+        assert fast.id_a.tolist() == scal.id_a.tolist()
+        assert fast.id_b.tolist() == scal.id_b.tolist()
+        assert np.allclose(fast.jaccard, scal.jaccard)
+
     def test_simhash_close_for_similar_texts(self, ray_session):
         from aumos_drift_detector_ray.stages.dedup import simhash64
         from aumos_drift_detector_ray.codecs import hamming64
