@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rolling_fingerprints": Q.doc_rolling_fingerprints,
         "packed_sequence_stats": Q.packed_sequence_stats,
         "media_feature_stats": Q.media_feature_stats,
+        "media_neardup_pairs": Q.media_neardup_pairs,
     }
 
 

@@ -206,10 +206,15 @@ def synth_video(seed: int, row_index: int, n_frames: int = 8,
 
 def audio_fingerprint64(samples: np.ndarray, rate: int) -> np.int64:
     """64-bit spectral fingerprint: channel-averaged signal → rfft →
-    energy in 64 log-spaced frequency bands → bit = band energy above
-    the median band energy. Robust to low-level noise and small edits
-    (a perturbed copy differs in few bits; unrelated clips are ~32 bits
-    apart), so the existing banded-Hamming machinery
+    energy DENSITY (per-bin mean) in 65 log-spaced frequency bands →
+    bit k = density[k] > density[k+1] (adjacent-band difference coding,
+    the Haitsma-Kalker 2002 audio-fingerprint bit shape). Density, not
+    band SUM: log-spaced bands grow geometrically wider, so summed
+    energy encodes the band widths themselves — near-constant across
+    unrelated clips (measured: unrelated synthetic clips collided at
+    Hamming 0 under sum-vs-median coding; difference-of-density gives
+    twins 0 / unrelated >= ~18, median ~31). Robust to low-level noise
+    and small edits, so the existing banded-Hamming machinery
     (stages/dedup.near_dup_pairs_hamming) applies unchanged."""
     x = np.asarray(samples, dtype=np.float64)
     if x.ndim == 2:
@@ -218,15 +223,15 @@ def audio_fingerprint64(samples: np.ndarray, rate: int) -> np.int64:
         x = np.pad(x, (0, 128 - x.size))
     mag = np.abs(np.fft.rfft(x / 32768.0))
     freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
-    # 64 log-spaced bands over [20 Hz, Nyquist]
+    # 65 log-spaced bands over [20 Hz, Nyquist] → 64 difference bits
     lo, hi = 20.0, rate / 2.0
-    edges = np.logspace(np.log10(lo), np.log10(hi), 65)
+    edges = np.logspace(np.log10(lo), np.log10(hi), 66)
     idx = np.searchsorted(freqs, edges)
-    energy = np.array([
-        float((mag[idx[k]:max(idx[k + 1], idx[k] + 1)] ** 2).sum())
-        for k in range(64)
+    dens = np.array([
+        float((mag[idx[k]:max(idx[k + 1], idx[k] + 1)] ** 2).mean())
+        for k in range(65)
     ])
-    bits = energy > np.median(energy)
+    bits = dens[:-1] > dens[1:]
     packed = np.packbits(bits.astype(np.uint8), bitorder="big")
     return np.int64(packed.view(">u8")[0].astype(np.uint64).astype(np.int64))
 

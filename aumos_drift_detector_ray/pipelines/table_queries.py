@@ -1580,6 +1580,62 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def media_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Audio near-dup end-to-end over a deterministic seeded WAV table
+    with PLANTED near-twins (twin = base clip's PCM + seeded +-2 LSB
+    noise — inaudible, so the 64-band spectral fingerprint stays within
+    a few bits of the base): payload synthesis inside tasks → actor-pool
+    fingerprint stage (payload dropped before any shuffle) → banded-
+    Hamming candidate pairs + exact popcount verify. Every planted twin
+    (i, i + n) must be recovered — asserted here, making the query
+    self-checking beyond the driver's rows-only gate. Rows-only (the
+    synthesized payload has no SQL analogue)."""
+    from .. import media_codecs as M
+    from ..stages import dedup as dedup_mod
+    from ..stages.multimodal import add_media_fingerprint
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(96, n_docs))
+    n_twins = max(1, n // 4)
+
+    def synth(b: pa.Table) -> pa.Table:
+        idx = b["id"].to_numpy()
+        blobs = []
+        for i in idx:
+            i = int(i)
+            if i < n:
+                blobs.append(M.synth_audio(42, i))
+            else:  # near-twin of base clip i - n
+                pcm, rate = M.decode_wav(M.synth_audio(42, i - n))
+                rng = np.random.default_rng([99, i])
+                # decode_wav returns (n, channels); match the noise shape
+                # exactly or broadcasting explodes to an n x n matrix
+                pcm = np.clip(
+                    pcm.astype(np.int32) + rng.integers(-2, 3, pcm.shape),
+                    -32768, 32767).astype(np.int16)
+                blobs.append(M.encode_wav(pcm, rate))
+        return pa.table({
+            "media_id": pa.array(idx.astype(np.int64), pa.int64()),
+            "bytes": pa.array(blobs, pa.binary()),
+        })
+
+    tbl = ray.data.range(n + n_twins,
+                         override_num_blocks=max(1, (n + n_twins) // 32)) \
+        .map_batches(synth, batch_format="pyarrow")
+    fp = add_media_fingerprint(tbl, "audio")
+    pairs = dedup_mod.near_dup_pairs_hamming(
+        fp, hash_col="media_fp", id_col="media_id", tol=6).to_pandas()
+    found = {tuple(sorted((int(a), int(b))))
+             for a, b in zip(pairs.id_a, pairs.id_b)}
+    missing = [(i, n + i) for i in range(n_twins) if (i, n + i) not in found]
+    assert not missing, f"planted audio twins not recovered: {missing}"
+    return pd.DataFrame({
+        "id_a": pairs.id_a.astype("int64").to_numpy(),
+        "id_b": pairs.id_b.astype("int64").to_numpy(),
+        "hamming": pairs.hamming.astype("int64").to_numpy(),
+    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
     """BPE-ish token counting (the brief's 'whitespace + a BPE-ish
     regex' tokenizer): per-document pre-token counts under the shared

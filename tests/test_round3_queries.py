@@ -84,3 +84,19 @@ def test_first_event_total_equals_distinct_users(ray_session):
         f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
     ).fetchone()[0]
     assert int(got.n_first.sum()) == n_users
+
+
+def test_media_neardup_recovers_planted_twins_only(ray_session):
+    """media_neardup_pairs plants n//4 near-twin audio clips (+-2 LSB
+    PCM noise); with the density-difference fingerprint the result must
+    be EXACTLY the planted (i, n+i) pairs — zero false positives
+    (unrelated synthetic clips measure >= ~18 bits apart, far beyond
+    tol=6) and zero misses (the query itself asserts recall)."""
+    import __ray_entry__ as E
+
+    got = E.queries()["media_neardup_pairs"](SF)
+    n, n_twins = 96, 24
+    assert len(got) == n_twins
+    assert got.id_a.tolist() == list(range(n_twins))
+    assert got.id_b.tolist() == [n + i for i in range(n_twins)]
+    assert (got.hamming <= 6).all()
