@@ -125,18 +125,27 @@ def _adaptive_coarse(n_exploded: int, target_rows: int = 32768,
     return int(np.clip(n_exploded // target_rows, lo, hi))
 
 
-def _shuffle_parts(n_exploded: int, target_rows: int = 4096,
+def _shuffle_parts(n_exploded: int, small_target: int = 4096,
+                   big_target: int = 1_000_000, base_parts: int = 16,
                    hi: int = 256) -> int:
     """Block count for the pre-groupby repartition, sized to the
-    exploded row volume. A count far above what the data fills makes
-    Ray's sort emit EMPTY schema-less partition blocks ("RefBundle with
-    a different schema" log spam at small scale); too FEW partitions
-    serialize the per-group candidate verify (2 parts at 80k exploded
-    rows measured 1.7x slower than 16 — the hot-bucket loop inside each
-    group is the bound, not the shuffle). ~``target_rows`` exploded rows
-    per partition keeps every core busy from ~100k exploded rows up
-    while collapsing to 1-2 partitions on toy inputs."""
-    return int(np.clip(n_exploded // target_rows, 1, hi))
+    exploded row volume. Three regimes (each measured 2026-08-17 on
+    the 120k-row flagship near-dup / 80k-row LSH workloads):
+
+    - toy inputs (< ~64k exploded rows): 1-15 partitions — a count far
+      above what the data fills makes Ray's sort emit EMPTY schema-less
+      partition blocks ("RefBundle with a different schema" log spam),
+      while too few serialize the per-group verify (2 parts at 80k rows
+      measured 1.7x slower than 16).
+    - the broad middle: ``base_parts`` — per-partition sort/shuffle
+      overhead is real and grows with the count (16/32/64/256 parts on
+      1.8M exploded rows: 1.75/2.9/3.6/10 s), so do NOT scale the count
+      with volume while a partition still fits a task comfortably.
+    - huge inputs: one partition per ~``big_target`` exploded rows so a
+      partition's bytes stay bounded (scalar rows ≈ 40 B → ~40 MB), up
+      to ``hi``."""
+    par = min(n_exploded // small_target, base_parts)
+    return int(np.clip(max(par, n_exploded // big_target), 1, hi))
 
 
 def _id_arrow_type(series: pd.Series) -> pa.DataType:
