@@ -1581,59 +1581,81 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def media_neardup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Audio near-dup end-to-end over a deterministic seeded WAV table
-    with PLANTED near-twins (twin = base clip's PCM + seeded +-2 LSB
-    noise — inaudible, so the 64-band spectral fingerprint stays within
-    a few bits of the base): payload synthesis inside tasks → actor-pool
-    fingerprint stage (payload dropped before any shuffle) → banded-
-    Hamming candidate pairs + exact popcount verify. Every planted twin
-    (i, i + n) must be recovered — asserted here, making the query
-    self-checking beyond the driver's rows-only gate. Rows-only (the
-    synthesized payload has no SQL analogue)."""
+    """Audio AND video near-dup end-to-end over deterministic seeded
+    media tables with PLANTED near-twins — audio twin = base clip's PCM
+    + seeded +-2 LSB noise (inaudible; density-difference fingerprint
+    stays within a few bits), video twin = base clip's frames + seeded
+    +-1 pixel noise (frame-pHash majority fingerprint within ~8 bits,
+    unrelated clips >= ~14): payload synthesis inside tasks →
+    actor-pool fingerprint stage (payload dropped before any shuffle) →
+    banded-Hamming candidate pairs + exact popcount verify, per
+    modality. Every planted twin (i, i + n) must be recovered —
+    asserted here, making the query self-checking beyond the driver's
+    rows-only gate. Rows-only (the synthesized payload has no SQL
+    analogue)."""
     from .. import media_codecs as M
     from ..stages import dedup as dedup_mod
     from ..stages.multimodal import add_media_fingerprint
 
     n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
-    n = int(min(96, n_docs))
-    n_twins = max(1, n // 4)
 
-    def synth(b: pa.Table) -> pa.Table:
-        idx = b["id"].to_numpy()
-        blobs = []
-        for i in idx:
-            i = int(i)
-            if i < n:
-                blobs.append(M.synth_audio(42, i))
-            else:  # near-twin of base clip i - n
-                pcm, rate = M.decode_wav(M.synth_audio(42, i - n))
-                rng = np.random.default_rng([99, i])
-                # decode_wav returns (n, channels); match the noise shape
-                # exactly or broadcasting explodes to an n x n matrix
-                pcm = np.clip(
-                    pcm.astype(np.int32) + rng.integers(-2, 3, pcm.shape),
-                    -32768, 32767).astype(np.int16)
-                blobs.append(M.encode_wav(pcm, rate))
-        return pa.table({
-            "media_id": pa.array(idx.astype(np.int64), pa.int64()),
-            "bytes": pa.array(blobs, pa.binary()),
+    def make_audio(i: int, n: int) -> bytes:
+        if i < n:
+            return M.synth_audio(42, i)
+        pcm, rate = M.decode_wav(M.synth_audio(42, i - n))
+        rng = np.random.default_rng([99, i])
+        # decode_wav returns (n, channels); match the noise shape
+        # exactly or broadcasting explodes to an n x n matrix
+        pcm = np.clip(
+            pcm.astype(np.int32) + rng.integers(-2, 3, pcm.shape),
+            -32768, 32767).astype(np.int16)
+        return M.encode_wav(pcm, rate)
+
+    def make_video(i: int, n: int) -> bytes:
+        if i < n:
+            return M.synth_video(42, i, n_frames=6)
+        rng = np.random.default_rng([77, i - n])
+        frames = M.decode_video_frames(M.synth_video(42, i - n, n_frames=6))
+        noisy = [np.clip(f.astype(np.int16) + rng.integers(-1, 2, f.shape),
+                         0, 255).astype(np.uint8) for f in frames]
+        return M.encode_video(noisy, 24.0, frame_fmt="png")
+
+    def run_modality(modality: str, make, n: int, tol: int) -> pd.DataFrame:
+        n_twins = max(1, n // 4)
+
+        def synth(b: pa.Table) -> pa.Table:
+            idx = b["id"].to_numpy()
+            return pa.table({
+                "media_id": pa.array(idx.astype(np.int64), pa.int64()),
+                "bytes": pa.array([make(int(i), n) for i in idx],
+                                  pa.binary()),
+            })
+
+        tbl = ray.data.range(n + n_twins,
+                             override_num_blocks=max(1, (n + n_twins) // 16)) \
+            .map_batches(synth, batch_format="pyarrow")
+        fp = add_media_fingerprint(tbl, modality)
+        pairs = dedup_mod.near_dup_pairs_hamming(
+            fp, hash_col="media_fp", id_col="media_id", tol=tol).to_pandas()
+        found = {tuple(sorted((int(a), int(b))))
+                 for a, b in zip(pairs.id_a, pairs.id_b)}
+        missing = [(i, n + i) for i in range(n_twins)
+                   if (i, n + i) not in found]
+        assert not missing, \
+            f"planted {modality} twins not recovered: {missing}"
+        return pd.DataFrame({
+            "modality": np.repeat(modality, len(pairs)),
+            "id_a": pairs.id_a.astype("int64").to_numpy(),
+            "id_b": pairs.id_b.astype("int64").to_numpy(),
+            "hamming": pairs.hamming.astype("int64").to_numpy(),
         })
 
-    tbl = ray.data.range(n + n_twins,
-                         override_num_blocks=max(1, (n + n_twins) // 32)) \
-        .map_batches(synth, batch_format="pyarrow")
-    fp = add_media_fingerprint(tbl, "audio")
-    pairs = dedup_mod.near_dup_pairs_hamming(
-        fp, hash_col="media_fp", id_col="media_id", tol=6).to_pandas()
-    found = {tuple(sorted((int(a), int(b))))
-             for a, b in zip(pairs.id_a, pairs.id_b)}
-    missing = [(i, n + i) for i in range(n_twins) if (i, n + i) not in found]
-    assert not missing, f"planted audio twins not recovered: {missing}"
-    return pd.DataFrame({
-        "id_a": pairs.id_a.astype("int64").to_numpy(),
-        "id_b": pairs.id_b.astype("int64").to_numpy(),
-        "hamming": pairs.hamming.astype("int64").to_numpy(),
-    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    out = pd.concat([
+        run_modality("audio", make_audio, int(min(96, n_docs)), tol=6),
+        run_modality("video", make_video, int(min(36, n_docs)), tol=8),
+    ], ignore_index=True)
+    return out.sort_values(["modality", "id_a", "id_b"]) \
+        .reset_index(drop=True)
 
 
 def bpe_token_stats(sf_dir: str) -> pd.DataFrame:

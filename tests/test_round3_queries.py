@@ -87,16 +87,19 @@ def test_first_event_total_equals_distinct_users(ray_session):
 
 
 def test_media_neardup_recovers_planted_twins_only(ray_session):
-    """media_neardup_pairs plants n//4 near-twin audio clips (+-2 LSB
-    PCM noise); with the density-difference fingerprint the result must
-    be EXACTLY the planted (i, n+i) pairs — zero false positives
-    (unrelated synthetic clips measure >= ~18 bits apart, far beyond
-    tol=6) and zero misses (the query itself asserts recall)."""
+    """media_neardup_pairs plants n//4 near-twins per modality (audio:
+    +-2 LSB PCM noise; video: +-1 pixel frame noise); the result must be
+    EXACTLY the planted (i, n+i) pairs per modality — zero false
+    positives (unrelated audio clips measure >= ~18 bits apart vs
+    tol=6, unrelated videos >= ~14 vs tol=8) and zero misses (the query
+    itself asserts recall)."""
     import __ray_entry__ as E
 
     got = E.queries()["media_neardup_pairs"](SF)
-    n, n_twins = 96, 24
-    assert len(got) == n_twins
-    assert got.id_a.tolist() == list(range(n_twins))
-    assert got.id_b.tolist() == [n + i for i in range(n_twins)]
-    assert (got.hamming <= 6).all()
+    for modality, n, tol in (("audio", 96, 6), ("video", 36, 8)):
+        sub = got[got.modality == modality].reset_index(drop=True)
+        n_twins = n // 4
+        assert len(sub) == n_twins, (modality, len(sub))
+        assert sub.id_a.tolist() == list(range(n_twins))
+        assert sub.id_b.tolist() == [n + i for i in range(n_twins)]
+        assert (sub.hamming <= tol).all()
