@@ -323,8 +323,11 @@ def range_join(
     if broadcast_limit is not None and intervals.count() <= broadcast_limit:
         iv = intervals.to_pandas().rename(
             columns={c: f"iv_{c}" for c in iv_schema.names if c != key})
-        iv_by_key = {k: ivk.sort_values(lo, kind="stable")
-                     for k, ivk in iv.groupby(key, sort=False)}
+        # an empty Dataset's to_pandas() loses its columns entirely —
+        # an inner join with nothing matches nothing
+        iv_by_key = {} if len(iv) == 0 else {
+            k: ivk.sort_values(lo, kind="stable")
+            for k, ivk in iv.groupby(key, sort=False)}
         iv_ref = ray.put(iv_by_key)
 
         def sweep_batch(b: pa.Table) -> pa.Table:

@@ -150,6 +150,29 @@ class TestRangeJoin:
         assert out.pid.tolist() == [0, 2, 3]  # 15 and 50 match nothing
         assert out.iv_iid.tolist() == [100, 101, 102]
 
+    def test_broadcast_empty_intervals(self, ray_session):
+        """Empty interval table through the broadcast path: zero rows
+        out, full merged column set (an empty Dataset's to_pandas()
+        loses its columns — the join must not)."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import range_join
+
+        points = pd.DataFrame({"k": ["a", "b"], "x": [1.0, 2.0],
+                               "pid": [0, 1]})
+        iv = pd.DataFrame({"k": pd.Series([], dtype=object),
+                           "lo": pd.Series([], dtype=float),
+                           "hi": pd.Series([], dtype=float),
+                           "band": pd.Series([], dtype=object)})
+        out = range_join(rd.from_pandas(points), rd.from_pandas(iv),
+                         key="k", point_col="x", lo_col="lo",
+                         hi_col="hi").materialize()
+        # Dataset.to_pandas() drops columns when every block is empty (a
+        # Ray quirk), so assert on the Dataset schema — what downstream
+        # operators consume
+        assert out.count() == 0
+        assert sorted(out.schema().names) == sorted(
+            ["k", "x", "pid", "iv_lo", "iv_hi", "iv_band"])
+
     def test_broadcast_and_bucketed_paths_agree(self, ray_session):
         import ray.data as rd
         from aumos_drift_detector_ray.stages.joins import range_join
