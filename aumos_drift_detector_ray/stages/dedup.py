@@ -582,7 +582,12 @@ def minhash_lsh_pairs(
             out_a.append(np.minimum(a, b))
             out_b.append(np.maximum(a, b))
         if not out_a:
-            return _pairs_table([], [], [], "jaccard", pa.float64(), id_type)
+            # empty block schema must MATCH the branch's non-empty one
+            if sig_in_shuffle:
+                return _pairs_table([], [], [], "jaccard", pa.float64(),
+                                    id_type)
+            return pa.table({"id_a": pa.array([], id_type),
+                             "id_b": pa.array([], id_type)})
         df = pd.DataFrame({
             "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
             **({"jaccard": np.concatenate(out_j)} if sig_in_shuffle else {}),
@@ -607,7 +612,10 @@ def minhash_lsh_pairs(
     # below (bounded by the band-collision rate), so cross-band pair
     # dedup is a driver drop_duplicates — paying dedup_candidate_pairs'
     # extra hash-grouped shuffle here would buy nothing
-    cdf = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
+    cdf = cand.to_pandas()
+    if "id_a" not in cdf.columns:  # all-empty blocks lose their columns
+        cdf = pd.DataFrame({"id_a": [], "id_b": []})
+    cdf = cdf.drop_duplicates(subset=["id_a", "id_b"])
     id_type = (pa.int64() if len(cdf) == 0 or
                pd.api.types.is_integer_dtype(cdf.id_a)
                else pa.string())

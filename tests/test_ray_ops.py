@@ -149,6 +149,24 @@ class TestDocDedup:
         assert fast.id_b.tolist() == scal.id_b.tolist()
         assert np.allclose(fast.jaccard, scal.jaccard)
 
+    def test_minhash_lsh_scalars_path_no_candidates(self, ray_session):
+        """Scalars-only path with a corpus of all-distinct texts: no
+        band collisions anywhere → empty typed result (the all-empty
+        candidate collect must not KeyError on lost columns)."""
+        import ray.data as rd
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import dedup as D
+
+        rng = np.random.default_rng(3)
+        texts = ["".join(rng.choice(list("abcdefghijklmnop"), 120))
+                 for _ in range(20)]
+        ds = rd.from_arrow(pa.table(
+            {"doc_id": list(range(20)), "text": texts}))
+        out = D.minhash_lsh_pairs(ds, num_hashes=64, bands=16,
+                                  jaccard_threshold=0.5,
+                                  sig_in_shuffle_limit=None).to_pandas()
+        assert len(out) == 0
+
     def test_simhash_close_for_similar_texts(self, ray_session):
         from aumos_drift_detector_ray.stages.dedup import simhash64
         from aumos_drift_detector_ray.codecs import hamming64
