@@ -468,6 +468,11 @@ def run_shuffle_checks(out_dir: str, phash_tol: int = 4) -> dict[str, int]:
     dup_rows = dedup_mod.uniqueness_violations(
         flags.select_columns(["partition_id", "image_id"]), "image_id")
     dup_pdf = dup_rows.to_pandas()
+    if "image_id" not in dup_pdf.columns:
+        # a fully-clean window: the empty Dataset's to_pandas() loses
+        # its columns — keep the violation-row schema stable regardless
+        dup_pdf = pd.DataFrame({"partition_id": pd.Series([], dtype="int64"),
+                                "image_id": pd.Series([], dtype="object")})
     dup_pdf["check"] = "uniqueness"
     dup_pdf["detail"] = ""
 

@@ -216,3 +216,26 @@ class TestPerPartitionDrift:
         assert len(w_psi) == 4
         assert w_psi.is_drifted.all()
         assert (w_psi.score >= 0.2).all()
+
+
+class TestCleanWindowShuffleChecks:
+    def test_clean_window_keeps_violation_schema(self, ray_session, tmp_path):
+        """A window with NO duplicates and NO near-dups must still write
+        shuffle_checks.parquet with the full stable violation-row schema
+        (empty Datasets lose their columns in to_pandas — the writer
+        compensates)."""
+        import pyarrow.parquet as pq
+        from aumos_drift_detector_ray import synth
+        from aumos_drift_detector_ray.pipelines import flagship as F
+
+        scfg = synth.SynthConfig(seed=7, run="ref")
+        work = str(tmp_path / "clean")
+        F.synthesize_dataset(work + "/in", 400, 100, scfg)
+        cfg = F.FlagshipConfig(rows=400, rows_per_shard=100, synth_cfg=scfg)
+        F.run_validation(work + "/in", work + "/out", cfg, resume=False)
+        summary = F.run_shuffle_checks(work + "/out")
+        assert summary == {"duplicate_rows": 0, "near_dup_ids": 0}
+        t = pq.read_table(work + "/out/violations/shuffle_checks.parquet")
+        assert t.schema.names == ["partition_id", "image_id", "check",
+                                  "detail"]
+        assert len(t) == 0
