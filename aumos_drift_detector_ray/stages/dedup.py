@@ -56,10 +56,17 @@ def duplicate_keys(ds: ray.data.Dataset, key: str,
     parts = ds.select_columns([key]).map_batches(
         local_counts, batch_format="pandas", batch_size=65536)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         m = g.groupby(key, as_index=False)["n"].sum()
-        m = m[m.n > 1].rename(columns={"n": "count()"})
-        return m
+        m = m[m.n > 1]
+        # typed arrow out: empty pandas object columns make Ray's block
+        # sizing log "Error calculating size" per block
+        key_type = (pa.int64() if pd.api.types.is_integer_dtype(g[key])
+                    else pa.string())
+        return pa.table({
+            key: pa.array(m[key].to_numpy(), key_type),
+            "count()": pa.array(m.n.to_numpy(), pa.int64()),
+        })
 
     return parts.groupby("bucket").map_groups(merge, batch_format="pandas")
 
