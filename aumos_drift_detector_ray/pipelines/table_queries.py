@@ -1566,9 +1566,13 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
                            override_num_blocks=max(1, n // 64)) \
         .map_batches(synth_batch("v", lambda i: M.synth_video(42, i, n_frames=6)),
                      batch_format="pyarrow")
-    af = decode_media(audio, "audio", fmt_col=None, strict=True).to_pandas()
-    vf = decode_media(video, "video", fmt_col=None, strict=True).to_pandas()
-    frames = sample_frames(video, every=3).count()
+    # elastic task pools: these stages carry trivial state, and actor
+    # startup (~1 s/actor) dominates the bounded demo input
+    af = decode_media(audio, "audio", fmt_col=None, strict=True,
+                      concurrency=None).to_pandas()
+    vf = decode_media(video, "video", fmt_col=None, strict=True,
+                      concurrency=None).to_pandas()
+    frames = sample_frames(video, every=3, concurrency=None).count()
     return pd.DataFrame({
         "n_audio": [np.int64(len(af))],
         "audio_ok": [np.int64(af.decoded_ok.sum())],
@@ -1634,7 +1638,7 @@ def media_neardup_pairs(sf_dir: str) -> pd.DataFrame:
         tbl = ray.data.range(n + n_twins,
                              override_num_blocks=max(1, (n + n_twins) // 16)) \
             .map_batches(synth, batch_format="pyarrow")
-        fp = add_media_fingerprint(tbl, modality)
+        fp = add_media_fingerprint(tbl, modality, concurrency=None)
         pairs = dedup_mod.near_dup_pairs_hamming(
             fp, hash_col="media_fp", id_col="media_id", tol=tol).to_pandas()
         found = {tuple(sorted((int(a), int(b))))

@@ -149,6 +149,27 @@ class MediaDecoder:
         return out
 
 
+_TASK_STAGE_CACHE: dict[tuple, Any] = {}
+
+
+def _task_stage(cls, args: tuple):
+    """Task-pool variant of an actor stage: a plain function that builds
+    the stage instance ONCE PER WORKER PROCESS (module-level cache) and
+    reuses it across tasks. For cheap-state stages, actor-pool startup
+    (~1 s/actor) dominates bounded inputs — the same evidence that moved
+    the flagship decode from a pinned pool to elastic tasks. Heavy-state
+    stages (models, big indexes) should keep the actor pool."""
+    key = (cls.__qualname__, args)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _TASK_STAGE_CACHE.get(key)
+        if inst is None:
+            inst = _TASK_STAGE_CACHE.setdefault(key, cls(*args))
+        return inst(batch)
+
+    return fn
+
+
 def decode_media(
     ds: ray.data.Dataset,
     modality: str,
@@ -161,14 +182,22 @@ def decode_media(
     """Run the decode/feature stage and DROP the binary column after —
     the standard wide-payload discipline (shuffles move scalars only).
     ``batch_size=None`` keeps one task per (small) input block, which is
-    how wide binary rows should flow (see stages/validate.py notes)."""
-    out = ds.map_batches(
-        MediaDecoder,
-        fn_constructor_args=(modality, bytes_col, fmt_col, strict),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    how wide binary rows should flow (see stages/validate.py notes).
+    ``concurrency=None`` runs as an elastic task pool (cheap stage
+    state; see :func:`_task_stage`)."""
+    if concurrency is None:
+        out = ds.map_batches(
+            _task_stage(MediaDecoder, (modality, bytes_col, fmt_col, strict)),
+            batch_format="pyarrow", batch_size=batch_size,
+        )
+    else:
+        out = ds.map_batches(
+            MediaDecoder,
+            fn_constructor_args=(modality, bytes_col, fmt_col, strict),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return out.drop_columns([bytes_col])
 
 
@@ -254,7 +283,13 @@ def sample_frames(
     concurrency: Any = (1, 8),
 ) -> ray.data.Dataset:
     """Video rows → frame rows (see :class:`FrameSampler`). Small
-    batches: each input row can explode into many wide frame rows."""
+    batches: each input row can explode into many wide frame rows.
+    ``concurrency=None`` runs as an elastic task pool."""
+    if concurrency is None:
+        return ds.map_batches(
+            _task_stage(FrameSampler, (every, bytes_col, id_col)),
+            batch_format="pyarrow", batch_size=16,
+        )
     return ds.map_batches(
         FrameSampler,
         fn_constructor_args=(every, bytes_col, id_col),
@@ -317,12 +352,19 @@ def add_media_fingerprint(
     concurrency: Any = (1, 8),
 ) -> ray.data.Dataset:
     """Fingerprint stage + drop the payload (shuffles move scalars
-    only) — the media analogue of the image pHash column."""
-    out = ds.map_batches(
-        MediaFingerprinter,
-        fn_constructor_args=(modality, bytes_col),
-        batch_format="pyarrow",
-        batch_size=None,
-        concurrency=concurrency,
-    )
+    only) — the media analogue of the image pHash column.
+    ``concurrency=None`` runs as an elastic task pool."""
+    if concurrency is None:
+        out = ds.map_batches(
+            _task_stage(MediaFingerprinter, (modality, bytes_col)),
+            batch_format="pyarrow", batch_size=None,
+        )
+    else:
+        out = ds.map_batches(
+            MediaFingerprinter,
+            fn_constructor_args=(modality, bytes_col),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=concurrency,
+        )
     return out.drop_columns([bytes_col])
