@@ -279,6 +279,27 @@ class TestMediaFingerprints:
         d_far = int(codecs.hamming64(np.array([fp0]), np.array([fp1]))[0])
         assert d_far > d_near and d_far >= 10
 
+    def test_audio_fingerprint_gain_invariant(self):
+        """Difference-of-density bits compare RATIOS of band energies, so
+        an ATTENUATING gain change (volume down) leaves the fingerprint
+        essentially unchanged — only int16 re-quantization at near-equal
+        adjacent densities can flip a bit or two. (Amplifying gains are
+        excluded: they clip these near-full-scale synth clips, which
+        legitimately spreads harmonics across bands.)"""
+        import numpy as np
+        from aumos_drift_detector_ray import codecs, media_codecs as M
+
+        for i in range(6):
+            s0, r = M.decode_wav(M.synth_audio(42, i))
+            fp0 = M.audio_fingerprint64(s0, r)
+            for gain in (0.25, 0.5):
+                scaled = np.clip(s0.astype(np.float64) * gain,
+                                 -32768, 32767).astype(np.int16)
+                fp_g = M.audio_fingerprint64(scaled, r)
+                d = int(codecs.hamming64(np.array([fp0]),
+                                         np.array([fp_g]))[0])
+                assert d <= 4, (i, gain, d)
+
     def test_video_fingerprint_near_dup_vs_distinct(self):
         import numpy as np
         from aumos_drift_detector_ray import codecs, media_codecs as M
