@@ -50,7 +50,8 @@ def brute_force_topk(
 
     def fn(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        from .dedup import _emb_matrix
+        emb = _emb_matrix(batch[emb_col])
         ids = np.asarray(batch[id_col].to_pylist())
         if emb.size == 0:
             return pa.table({"qi": pa.array([], pa.int64()),
@@ -126,7 +127,8 @@ def assign_ivf_partitions(
 
     def fn(batch: pa.Table) -> pa.Table:
         cents = ray.get(c_ref)
-        emb = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        from .dedup import _emb_matrix
+        emb = _emb_matrix(batch[emb_col])
         if emb.size == 0:
             cell = np.array([], dtype=np.int64)
         else:
