@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequence_stats": Q.packed_sequence_stats,
         "media_feature_stats": Q.media_feature_stats,
         "media_neardup_pairs": Q.media_neardup_pairs,
+        "ivf_topk_embeddings": Q.ivf_topk_embeddings,
     }
 
 

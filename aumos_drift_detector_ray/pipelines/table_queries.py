@@ -607,6 +607,41 @@ def ann_topk_embeddings(sf_dir: str) -> pd.DataFrame:
 # rows-only queries (no SQL analogue; verified by pytest)
 # ---------------------------------------------------------------------------
 
+def ivf_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN (the scale path): k-means-style centroids fit on a
+    deterministic distributed sample → per-row nearest-centroid cell →
+    top-k probing only the nprobe nearest cells per query. SELF-CHECKED
+    against brute force: mean recall@10 over the 3 query vectors must be
+    >= 0.6 at nprobe=4 of 16 cells (the pytest bound), asserted here so
+    the driver's rows-only gate still exercises the accuracy contract.
+    Rows-only (nearest-neighbor ranking has no tractable SQL analogue —
+    the brute-force variant ``ann_topk_embeddings`` carries the exact
+    oracle)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf.embedding.to_list(), dtype=np.float64)
+    qids = qdf.vec_id.astype("int64").tolist()
+
+    cents = sim_mod.fit_ivf_centroids(emb, n_centroids=16)
+    with_cells = sim_mod.assign_ivf_partitions(emb, cents)
+    approx = sim_mod.ivf_topk(with_cells, cents, queries, k=10, nprobe=4,
+                              query_ids=qids)
+    exact = sim_mod.brute_force_topk(emb, queries, k=10, query_ids=qids)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / max(1, len(e)))
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.6, f"IVF recall@10 too low: {recalls}"
+    out = pd.DataFrame({
+        "query_id": approx.query_id.astype("int64"),
+        "neighbor_id": approx.neighbor_id.astype("int64"),
+        "rank": approx["rank"].astype("int64"),
+    }).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    return out
+
+
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = dedup_mod.minhash_lsh_pairs(ds, num_hashes=64, bands=16,

@@ -103,3 +103,14 @@ def test_media_neardup_recovers_planted_twins_only(ray_session):
         assert sub.id_a.tolist() == list(range(n_twins))
         assert sub.id_b.tolist() == [n + i for i in range(n_twins)]
         assert (sub.hamming <= tol).all()
+
+
+def test_ivf_topk_query_runs_and_selfchecks(ray_session):
+    """ivf_topk_embeddings asserts its own recall bound vs brute force;
+    here just verify shape and determinism across two runs."""
+    import __ray_entry__ as E
+
+    a = E.queries()["ivf_topk_embeddings"](SF)
+    b = E.queries()["ivf_topk_embeddings"](SF)
+    assert list(a.columns) == ["query_id", "neighbor_id", "rank"]
+    assert len(a) == 30 and a.equals(b)
