@@ -590,9 +590,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM events GROUP BY event_type
             ),
             tot AS (SELECT sum(rc) AS nr, sum(pc) AS np FROM c)
-            SELECT CAST(round(sum(pow(pc - rc / (SELECT nr FROM tot) * (SELECT np FROM tot), 2)
-                         / (rc / (SELECT nr FROM tot) * (SELECT np FROM tot))), 9) AS DOUBLE)
-                   AS chi2_stat,
+            -- a production-only category (rc = 0) makes the statistic
+            -- INFINITE by the engine's (and scipy's) semantics; plain
+            -- SQL would silently DROP that term because DuckDB division
+            -- by zero yields NULL, so the case is lifted out explicitly
+            SELECT CAST(CASE WHEN bool_or(rc = 0) THEN 'infinity'::DOUBLE
+                        ELSE round(sum(pow(pc - rc / (SELECT nr FROM tot) * (SELECT np FROM tot), 2)
+                             / (rc / (SELECT nr FROM tot) * (SELECT np FROM tot))), 9)
+                        END AS DOUBLE) AS chi2_stat,
                    CAST(count(*) - 1 AS BIGINT) AS dof
             FROM c
         """,
@@ -700,7 +705,8 @@ def oracle_sql() -> dict[str, str]:
             WITH g AS (
                 SELECT event_type,
                        epoch_us(ts) - lag(epoch_us(ts)) OVER (
-                           PARTITION BY user_id ORDER BY ts) AS gap_us
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap_us
                 FROM events
             )
             SELECT event_type,
@@ -850,10 +856,15 @@ def oracle_sql() -> dict[str, str]:
             FROM r
         """,
         "windowed_accuracy_events": """
+            -- windows under 2 labelled rows report 0.0, mirroring the
+            -- reference's insufficient-observations guard
+            -- (performance_monitor.py:308-310) that the engine ports
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,
-                   CAST(avg(CASE WHEN (user_id % 2 = 1) = (value > 10)
-                            THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS accuracy
+                   CAST(CASE WHEN count(*) >= 2 THEN
+                        avg(CASE WHEN (user_id % 2 = 1) = (value > 10)
+                            THEN 1.0 ELSE 0.0 END) ELSE 0.0 END
+                        AS DOUBLE) AS accuracy
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "ann_topk_embeddings": """

@@ -1524,7 +1524,8 @@ def event_gap_stats(sf_dir: str) -> pd.DataFrame:
     per-bucket lag via sort + shift, exact integer-microsecond sums."""
     from ..sketches import hash64
 
-    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    ds = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"])
 
     def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(bucket=(
@@ -1532,7 +1533,10 @@ def event_gap_stats(sf_dir: str) -> pd.DataFrame:
             % np.uint64(64)).astype(np.int64))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="stable")
+        # event_id tie-break: a gap's attributed event_type depends on
+        # which of two EQUAL-ts events is "current" — undefined in SQL
+        # window order and in a bare ts sort; the unique key pins both
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         prev_ts = g.ts.shift()
         same_user = g.user_id.eq(g.user_id.shift())
         gap_us = (g.ts.astype("datetime64[us]").astype("int64")
@@ -1836,27 +1840,35 @@ def users_in_click_and_error(sf_dir: str) -> pd.DataFrame:
 def corr_slope_value_hour_per_type(sf_dir: str) -> pd.DataFrame:
     """Grouped bivariate statistics: Pearson corr and OLS slope of
     (value vs hour-of-day) per event type, via EXACT integer moment
-    sums (value is cents-precision → scaled int64; hour ∈ [0,23]): the
-    per-block partials and the grouped Sum are order-independent, the
-    final corr/slope arithmetic runs in overflow-free Python ints on
-    ~5 driver rows. round(6) absorbs only the oracle's own float
-    accumulation, not ours."""
+    sums (value is cents-precision → scaled ints; hour ∈ [0,23]).
+    Moments are accumulated in arbitrary-precision Python ints (an
+    int64 v² overflows silently once |value| > ~3e7 — caught by the
+    fuzz oracle gate) and shipped as STRINGS; the driver merge is
+    bounded (#blocks x #types rows — the standard bounded-partial
+    pattern). The partials are order-independent, so the result is
+    deterministic and exact at any magnitude. round(6) absorbs only
+    the oracle's own float accumulation, not ours."""
     ds = sf_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    MCOLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = np.round(b.value.to_numpy() * 100).astype(np.int64)
         x = b.ts.dt.hour.to_numpy().astype(np.int64)
-        return pd.DataFrame({
-            "event_type": b.event_type, "n": np.int64(1),
-            "sx": x, "sy": v, "sxx": x * x, "syy": v * v, "sxy": x * v,
+        vo = v.astype(object)  # python-int lane: exact at any width
+        g = pd.DataFrame({
+            "event_type": b.event_type.to_numpy(), "n": 1,
+            "sx": x, "sy": vo, "sxx": x * x, "syy": vo * vo,
+            "sxy": x * vo,
         }).groupby("event_type", as_index=False).sum()
+        for c in MCOLS:
+            g[c] = g[c].map(lambda t: str(int(t)))
+        return g
 
-    m = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
-        .groupby("event_type").aggregate(
-            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
-        ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    for c in MCOLS:
+        parts[c] = parts[c].map(int)
+    m = parts.groupby("event_type", as_index=False).sum()
 
     rows = []
     for r in m.itertuples(index=False):

@@ -1,0 +1,105 @@
+"""Adversarial randomized oracle gate: synthesize a RANDOM events table
+(seeded; deliberately nasty distributions) alongside the fixed sf0.001
+tables, then run the same engine-vs-DuckDB comparison as
+tools/check_oracle.py over every events-centric oracle query.
+
+Guards against overfitting to the driver testdata's tame distributions.
+The generated table stresses exactly the spots where distributed
+implementations silently diverge from SQL:
+
+- duplicate timestamps (sort / as-of tie-breaks)
+- values exactly ON the band edges 5.0 / 10.0 / 20.0 (< vs <=)
+- negative zero (-0.0) and repeated identical values (hash bucketing,
+  quantile mass points)
+- one dominant event_type (hot-key skew) + a type with a single row
+- a user with one event (session edge) + a user with hundreds
+- sub-second timestamp ties across users, events out of event_id order
+
+Usage:  python tools/fuzz_oracle.py [seed] [n_rows]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+
+# every oracle-checked query whose inputs are events only
+EVENT_QUERIES = [
+    "events_by_type", "distinct_users_per_type", "hourly_event_counts",
+    "psi_events_value", "ks_events_value", "chi2_events_type",
+    "js_hellinger_events_value", "wasserstein_events_value",
+    "anderson_darling_events", "value_quantiles_per_type",
+    "sliding_4h_event_stats", "user_session_stats", "event_gap_stats",
+    "events_value_band_counts", "windowed_accuracy_events",
+    "trend_hourly_slope", "users_in_click_and_error",
+    "corr_slope_value_hour_per_type", "first_event_counts_per_type",
+    "top_user_by_value_per_type", "type_pair_user_jaccard",
+    "mad_value_per_type", "asof_click_before_error", "hash_split_counts",
+]
+
+
+def synth_events(seed: int, n: int) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    types = np.array(["click", "view", "purchase", "error", "signup",
+                      "lonely"])
+    # hot-key skew + a single-row type
+    p = np.array([0.55, 0.2, 0.1, 0.08, 0.07, 0.0])
+    event_type = rng.choice(types[:5], n, p=p[:5] / p[:5].sum())
+    event_type[n - 1] = "lonely"
+    # one power user, one single-event user, the rest zipf-ish
+    user_id = rng.zipf(1.5, n).astype(np.int64) % 97
+    user_id[: n // 5] = 7          # power user
+    user_id[n - 2] = 9999          # single-event user
+    # timestamps: coarse grid -> many exact ties; shuffled vs event_id
+    base = pd.Timestamp("2024-01-01")
+    step = rng.integers(0, 6 * 3600, n) * 1_000_000  # whole seconds, 6h span
+    ts = base + pd.to_timedelta(step, unit="us")
+    # values: band edges, -0.0, repeats, negatives, huge
+    value = np.round(rng.exponential(8.0, n), 2)
+    edge_idx = rng.choice(n, n // 10, replace=False)
+    value[edge_idx] = rng.choice([0.0, 5.0, 10.0, 20.0, -0.0], n // 10)
+    value[rng.choice(n, n // 20, replace=False)] = -3.5
+    value[rng.choice(n, 3, replace=False)] = 1e9
+    value[rng.choice(n, n // 15, replace=False)] = 42.42  # mass point
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": ts.values.astype("datetime64[us]"),
+        "user_id": user_id,
+        "event_type": event_type,
+        "value": value,
+        "props": ['{"k": %d}' % k for k in rng.integers(0, 100, n)],
+    })
+
+
+def main(seed: int = 0, n: int = 4000) -> None:
+    work = f"/tmp/fuzz_oracle_seed{seed}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f != "events.parquet":
+            os.symlink(os.path.join(BASE, f), os.path.join(work, f))
+    tbl = pa.Table.from_pandas(synth_events(seed, n), preserve_index=False)
+    pq.write_table(tbl.replace_schema_metadata(None),
+                   os.path.join(work, "events.parquet"),
+                   row_group_size=512)  # many row groups -> many blocks
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_oracle  # noqa: E402
+
+    check_oracle.main(work, EVENT_QUERIES)
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    main(int(args[0]) if args else 0,
+         int(args[1]) if len(args) > 1 else 4000)
