@@ -19,6 +19,51 @@ import ray
 DEFAULT_TIMEOUT_SECONDS = 30  # plugin_sandbox.py:23
 DEFAULT_MEMORY_LIMIT_MB = 512  # plugin_sandbox.py:56-65
 
+# Extra driver-side grace on top of the in-worker deadline: covers Ray
+# scheduling/worker-startup delay, which the reference's subprocess
+# timeout (measured from exec start) never charges to the plugin.
+_SCHEDULING_GRACE_SECONDS = 60
+
+
+class _PluginTimeout(Exception):
+    pass
+
+
+class _deadline:
+    """In-worker execution deadline via SIGALRM (Ray tasks run on the
+    worker's main thread). Mirrors the reference sandbox, which times
+    the plugin's *execution*, not its queueing: a task that waits in
+    the scheduler for 29 s still gets its full 30 s budget. No-op off
+    the main thread or where signals are unavailable."""
+
+    def __init__(self, seconds: float) -> None:
+        self.seconds = seconds
+        self._armed = False
+
+    def __enter__(self) -> "_deadline":
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        try:
+            def _raise(signum: int, frame: Any) -> None:
+                raise _PluginTimeout()
+
+            self._old = signal.signal(signal.SIGALRM, _raise)
+            signal.setitimer(signal.ITIMER_REAL, self.seconds)
+            self._armed = True
+        except (ValueError, OSError):
+            pass
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        if self._armed:
+            import signal
+
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, self._old)
+
 
 def _call_with_memory_cap(fn: Callable[[], Any], limit_mb: int) -> Any:
     """Run ``fn`` under an rlimit heap cap of current-usage + limit_mb
@@ -96,10 +141,14 @@ def run_plugin(
             return fn(ref, prod)
 
         try:
-            result = _call_with_memory_cap(call, memory_limit_mb)
+            with _deadline(timeout_seconds):
+                result = _call_with_memory_cap(call, memory_limit_mb)
             if not isinstance(result, dict):
                 raise TypeError("drift_test must return a dict")
             return result
+        except _PluginTimeout:
+            return {"error": f"plugin timed out after {timeout_seconds}s",
+                    "drift_detected": False}
         except MemoryError:
             return {"error": f"plugin exceeded the {memory_limit_mb} MB "
                              "memory limit", "drift_detected": False}
@@ -107,7 +156,11 @@ def run_plugin(
             return {"error": str(exc), "drift_detected": False}
 
     ref_obj = _exec.remote(list(reference_data), list(production_data))
-    done, _ = ray.wait([ref_obj], timeout=timeout_seconds)
+    # Backstop only (plugin blocked in C code that SIGALRM can't
+    # interrupt, or a wedged worker): the real budget is the in-worker
+    # deadline above.
+    done, _ = ray.wait([ref_obj],
+                       timeout=timeout_seconds + _SCHEDULING_GRACE_SECONDS)
     if not done:
         ray.cancel(ref_obj, force=True)
         return {"error": f"plugin timed out after {timeout_seconds}s",

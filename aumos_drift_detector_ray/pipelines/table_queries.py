@@ -2033,3 +2033,162 @@ def mad_value_per_type(sf_dir: str) -> pd.DataFrame:
         "median_value": mad.event_type.map(med_by_type).astype("float64"),
         "mad_value": mad.value.astype("float64"),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
+    """Conditional-aggregation PIVOT: one row per hour-of-day with a
+    count column per event type (the crosstab/pivot relational shape).
+    Per-block 2-D partials (hour × type, <= 24 × #types rows) merge in
+    ONE tiny grouped sum — the shuffle never sees raw rows, and the
+    output is bounded (24 × (#types + 1)) regardless of input size.
+    The type column set is the bounded, known domain; at corpus scale
+    the domain comes from config or a distinct pre-pass."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "hour_of_day": b.ts.dt.hour.to_numpy().astype(np.int64),
+            "event_type": b.event_type,
+        }).groupby(["hour_of_day", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+        wide = g.pivot_table(index="hour_of_day", columns="event_type",
+                             values="n", aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=types, fill_value=0).reset_index()
+        wide.columns = ["hour_of_day"] + [f"n_{t}" for t in types]
+        return wide
+
+    cols = [f"n_{t}" for t in types]
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).groupby("hour_of_day").aggregate(
+        *[Sum(c, alias_name=c) for c in cols]).to_pandas()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    out["n_total"] = out[cols].sum(axis=1).astype("int64")
+    out["hour_of_day"] = out.hour_of_day.astype("int64")
+    return out.sort_values("hour_of_day").reset_index(drop=True)
+
+
+def order_rollup_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (o_orderpriority, o_orderstatus): counts and
+    exact money sums at all three grouping levels. ONE distributed
+    partial pass at the finest grain; the coarser levels are derived
+    driver-side from the bounded finest-grain table (5 × 3 rows) — a
+    rollup never needs more than the finest-grain shuffle. Rolled-up
+    keys use the 'ALL' sentinel (COALESCE in the oracle) so schemas
+    stay non-null."""
+    ds = sf_table(sf_dir, "orders",
+                  columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b.o_orderpriority,
+            "o_orderstatus": b.o_orderstatus,
+            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+        }).groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("price_c", "size"), price_c=("price_c", "sum"))
+
+    fine = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+            Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c"),
+        ).to_pandas()
+
+    mid = fine.groupby("o_orderpriority", as_index=False).agg(
+        n=("n", "sum"), price_c=("price_c", "sum"))
+    mid["o_orderstatus"] = "ALL"
+    top = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "n": [fine.n.sum()], "price_c": [fine.price_c.sum()],
+    })
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["n"] = out.n.astype("int64")
+    out["sum_price"] = out.price_c.astype("float64") / 100.0
+    return out.drop(columns=["price_c"]).sort_values(
+        ["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+def top_tokens_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Classic distributed word count with exact global top-k: per-block
+    token counts (vectorized np.unique over regex tokens) shrink the
+    shuffle to partial counts; tokens are hash-bucketed so each token
+    lives wholly in one bucket — per-bucket top-k is therefore globally
+    correct after the driver's tiny (#buckets × k) merge. No global
+    sort, no full-vocabulary driver table."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        # one regex scan over the whole block ('\n' can't appear inside
+        # a [a-z']+ token, so doc boundaries never merge tokens)
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        m = m.sort_values(["n", "token"], ascending=[False, True],
+                          kind="stable").head(k)
+        return m
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    per_bucket = parts.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
+    out = per_bucket.sort_values(["n", "token"], ascending=[False, True],
+                                 kind="stable").head(k)
+    out["n"] = out.n.astype("int64")
+    return out[["token", "n"]].reset_index(drop=True)
+
+
+def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns in ONE moments pass: per-block exact scaled-integer sums of
+    every column, square and cross product (python-int lane, overflow-
+    proof) shipped as strings; the driver merge is bounded (#blocks
+    rows). All C(4,2) correlations derive from the single merged moment
+    vector — the one-pass multivariate-moments shape."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    scale = {"l_quantity": 100, "l_extendedprice": 100,
+             "l_discount": 100, "l_tax": 100}
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    ds = sf_table(sf_dir, "lineitem", columns=cols)
+    moment_names = (["n"] + [f"s_{c}" for c in cols]
+                    + [f"ss_{c}" for c in cols]
+                    + [f"sp_{a}_{b}" for a, b in pairs])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = {c: np.round(b[c].to_numpy() * scale[c]).astype(np.int64)
+             .astype(object) for c in cols}
+        row: dict[str, str] = {"n": str(len(b))}
+        for c in cols:
+            row[f"s_{c}"] = str(int(v[c].sum()))
+            row[f"ss_{c}"] = str(int((v[c] * v[c]).sum()))
+        for a, b2 in pairs:
+            row[f"sp_{a}_{b2}"] = str(int((v[a] * v[b2]).sum()))
+        return pd.DataFrame([row])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    m = {name: sum(int(x) for x in parts[name]) for name in moment_names}
+    n = m["n"]
+    rows = []
+    for a, b2 in pairs:
+        var_a = n * m[f"ss_{a}"] - m[f"s_{a}"] ** 2
+        var_b = n * m[f"ss_{b2}"] - m[f"s_{b2}"] ** 2
+        cov_n = n * m[f"sp_{a}_{b2}"] - m[f"s_{a}"] * m[f"s_{b2}"]
+        corr = cov_n / float(np.sqrt(float(var_a) * float(var_b))) \
+            if var_a > 0 and var_b > 0 else float("nan")
+        rows.append({"col_a": a, "col_b": b2,
+                     "corr": float(np.round(corr, 6))})
+    return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
+        .reset_index(drop=True)

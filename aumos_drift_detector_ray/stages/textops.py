@@ -40,6 +40,10 @@ _STOPWORDS = frozenset(
 
 _TOKEN_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?|[0-9]+|[^\sA-Za-z0-9]"
 
+# lowercase word tokens; shared by QualityScorer and the word-count
+# queries so the engine and the SQL oracles tokenize identically
+WORD_RE = re.compile(r"[a-z']+")
+
 
 class LanguageId:
     """Character-trigram language heuristic: score = fraction of the
@@ -84,7 +88,7 @@ class QualityScorer:
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
-        self.word_re = re.compile(r"[a-z']+")
+        self.word_re = WORD_RE
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch[self.text_col].fillna("")

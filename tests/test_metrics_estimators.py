@@ -274,6 +274,29 @@ class TestPlugins:
                          [1.0], [1.0])
         assert r == {"error": "boom", "drift_detected": False}
 
+    def test_timeout_is_execution_time_not_queue_time(self, ray_session):
+        """The 30 s budget (reference plugin_sandbox.py:23) is enforced
+        INSIDE the worker via SIGALRM, so it measures plugin execution
+        only — Ray scheduling delay never eats the budget (a busy-suite
+        flake in round 3). A sleepy plugin trips the deadline and the
+        worker survives for the next plugin."""
+        from aumos_drift_detector_ray.functions import plugins as P
+
+        sleepy = (
+            "def drift_test(ref, prod):\n"
+            "    import time\n"
+            "    time.sleep(30)\n"
+            "    return {'drift_detected': False}\n"
+        )
+        r = P.run_plugin(sleepy, [1.0], [1.0], timeout_seconds=1)
+        assert r == {"error": "plugin timed out after 1s",
+                     "drift_detected": False}
+        ok = P.run_plugin(
+            "def drift_test(ref, prod):\n"
+            "    return {'drift_detected': False, 'n': len(prod)}\n",
+            [1.0], [2.0])
+        assert ok == {"drift_detected": False, "n": 1}
+
     def test_memory_hog_fails_cleanly(self, ray_session):
         """A plugin exceeding the 512 MB sandbox cap (reference
         plugin_sandbox.py:56-65) gets the error-dict envelope, and the

@@ -26,6 +26,11 @@ NEW_QUERIES = [
     "top_user_by_value_per_type",
     "type_pair_user_jaccard",
     "mad_value_per_type",
+    # pivot / rollup / word-count top-k / correlation matrix
+    "events_type_hour_pivot",
+    "order_rollup_stats",
+    "top_tokens_docs",
+    "lineitem_corr_matrix",
 ]
 
 
@@ -43,7 +48,7 @@ def _oracle(name: str) -> pd.DataFrame:
     import __ray_entry__ as E
 
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events"):
+    for t in ("customer", "orders", "lineitem", "events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(E.oracle_sql()[name]).df()
