@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_feature_stats": Q.media_feature_stats,
         "media_neardup_pairs": Q.media_neardup_pairs,
         "ivf_topk_embeddings": Q.ivf_topk_embeddings,
+        "lsh_topk_embeddings": Q.lsh_topk_embeddings,
         # --- oracle-checked additions past the 50-entry driver window
         # (tools/check_oracle.py and the judge verify these locally) ---
         "events_type_hour_pivot": Q.events_type_hour_pivot,
@@ -309,6 +310,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
                    CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
                    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type NOT IN
+                        ('click','error','purchase','signup','view'))
+                        AS BIGINT) AS n_other,
                    CAST(count(*) AS BIGINT) AS n_total
             FROM events GROUP BY 1 ORDER BY 1
         """,

@@ -2040,25 +2040,30 @@ def events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
     count column per event type (the crosstab/pivot relational shape).
     Per-block 2-D partials (hour × type, <= 24 × #types rows) merge in
     ONE tiny grouped sum — the shuffle never sees raw rows, and the
-    output is bounded (24 × (#types + 1)) regardless of input size.
-    The type column set is the bounded, known domain; at corpus scale
-    the domain comes from config or a distinct pre-pass."""
+    output is bounded (24 × (#types + 2)) regardless of input size.
+    The type column set is the bounded, known domain; rows whose type
+    is OUTSIDE it land in ``n_other`` and still count in ``n_total``
+    (the fuzz oracle gate caught the original sum-of-knowns total
+    undercounting on a surprise type). At corpus scale the domain comes
+    from config or a distinct pre-pass."""
     types = ["click", "error", "purchase", "signup", "view"]
     ds = sf_table(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        et = b.event_type.where(b.event_type.isin(types), "other")
         g = pd.DataFrame({
             "hour_of_day": b.ts.dt.hour.to_numpy().astype(np.int64),
-            "event_type": b.event_type,
+            "event_type": et,
         }).groupby(["hour_of_day", "event_type"], as_index=False).agg(
             n=("event_type", "size"))
         wide = g.pivot_table(index="hour_of_day", columns="event_type",
                              values="n", aggfunc="sum", fill_value=0)
-        wide = wide.reindex(columns=types, fill_value=0).reset_index()
-        wide.columns = ["hour_of_day"] + [f"n_{t}" for t in types]
+        wide = wide.reindex(columns=types + ["other"], fill_value=0) \
+            .reset_index()
+        wide.columns = ["hour_of_day"] + [f"n_{t}" for t in types + ["other"]]
         return wide
 
-    cols = [f"n_{t}" for t in types]
+    cols = [f"n_{t}" for t in types + ["other"]]
     out = ds.map_batches(partial, batch_format="pandas",
                          batch_size=65536).groupby("hour_of_day").aggregate(
         *[Sum(c, alias_name=c) for c in cols]).to_pandas()
@@ -2192,3 +2197,33 @@ def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
                      "corr": float(np.round(corr, 6))})
     return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
         .reset_index(drop=True)
+
+
+def lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH ANN (the bucket-probe scale path alongside IVF):
+    candidates = vectors sharing any of the 8 sign-pattern buckets with
+    a query (one-bit multiprobe), exact cosine over the survivors.
+    SELF-CHECKED against brute force: mean recall@10 over the 3 query
+    vectors must be >= 0.6 (same bound as IVF), asserted here so the
+    driver's rows-only gate exercises the accuracy contract. Rows-only
+    (``ann_topk_embeddings`` carries the exact-SQL oracle)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf.embedding.to_list(), dtype=np.float64)
+    qids = qdf.vec_id.astype("int64").tolist()
+
+    approx = sim_mod.lsh_topk(emb, queries, k=10, n_planes=8, n_tables=8,
+                              multiprobe=1, query_ids=qids)
+    exact = sim_mod.brute_force_topk(emb, queries, k=10, query_ids=qids)
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / max(1, len(e)))
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.6, f"LSH recall@10 too low: {recalls}"
+    return pd.DataFrame({
+        "query_id": approx.query_id.astype("int64"),
+        "neighbor_id": approx.neighbor_id.astype("int64"),
+        "rank": approx["rank"].astype("int64"),
+    }).sort_values(["query_id", "rank"]).reset_index(drop=True)

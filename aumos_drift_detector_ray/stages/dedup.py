@@ -699,23 +699,13 @@ class HyperplaneBucketer:
         emb = _emb_matrix(batch[self.emb_col])
         n, d = emb.shape
         if self.planes is None:
-            r = np.random.default_rng(42)
-            self.planes = [r.normal(size=(self.n_planes, d))
-                           for _ in range(self.n_tables)]
+            self.planes = hyperplane_planes(d, self.n_planes, self.n_tables)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = emb / norms
         ids = np.repeat(batch[self.id_col].to_numpy(zero_copy_only=False),
                         self.n_tables)
-        keys = np.empty((n, self.n_tables), dtype=np.int64)
-        for t, pl in enumerate(self.planes):
-            signs = (unit @ pl.T) > 0  # (n, n_planes)
-            packed = np.packbits(signs, axis=1, bitorder="little")
-            key = np.zeros(n, dtype=np.uint64)
-            for byte in range(packed.shape[1]):
-                key = (key << np.uint64(8)) | packed[:, byte].astype(np.uint64)
-            keys[:, t] = ((key << np.uint64(3)) | np.uint64(t)).view(np.int64)
-        flat = keys.ravel()
+        flat = hyperplane_keys(unit, self.planes).ravel()
         coarse = (hash64(flat.view(np.uint64))
                   % np.uint64(self.n_coarse)).astype(np.int64)
         return pa.table({
@@ -723,6 +713,34 @@ class HyperplaneBucketer:
             "bucket": pa.array(flat, pa.int64()),
             "coarse": pa.array(coarse, pa.int64()),
         })
+
+
+def hyperplane_planes(d: int, n_planes: int, n_tables: int,
+                      seed: int = 42) -> list[np.ndarray]:
+    """The deterministic random-hyperplane family shared by every LSH
+    consumer (near-dup bucketing, ANN bucket probing): ``n_tables``
+    independent (n_planes, d) Gaussian matrices."""
+    r = np.random.default_rng(seed)
+    return [r.normal(size=(n_planes, d)) for _ in range(n_tables)]
+
+
+def hyperplane_keys(unit: np.ndarray,
+                    planes: list[np.ndarray]) -> np.ndarray:
+    """(n, n_tables) int64 LSH bucket keys: per table, the sign pattern
+    of the unit vectors against that table's planes, bit-packed, with
+    the table id in the low 3 bits so keys never collide across tables
+    (n_tables <= 8). Vectorized: one matmul + packbits per table."""
+    n = unit.shape[0]
+    n_tables = len(planes)
+    keys = np.empty((n, n_tables), dtype=np.int64)
+    for t, pl in enumerate(planes):
+        signs = (unit @ pl.T) > 0  # (n, n_planes)
+        packed = np.packbits(signs, axis=1, bitorder="little")
+        key = np.zeros(n, dtype=np.uint64)
+        for byte in range(packed.shape[1]):
+            key = (key << np.uint64(8)) | packed[:, byte].astype(np.uint64)
+        keys[:, t] = ((key << np.uint64(3)) | np.uint64(t)).view(np.int64)
+    return keys
 
 
 def _emb_matrix(col: "pa.ChunkedArray") -> np.ndarray:

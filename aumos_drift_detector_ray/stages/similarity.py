@@ -166,3 +166,70 @@ def ivf_topk(
 
     filtered = ds_with_cells.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(filtered, queries, k, emb_col, id_col, query_ids)
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: list[Any] | None = None,
+) -> pd.DataFrame:
+    """Hyperplane-LSH ANN (Charikar 2002), the bucket-pruned scale path
+    alongside IVF: every vector hashes to ``n_tables`` sign-pattern
+    bucket keys (dedup.hyperplane_keys — the same family the near-dup
+    bucketer uses); a candidate is any vector sharing a bucket with a
+    query in ANY table. ``multiprobe=1`` additionally probes every
+    one-bit-flip neighbor of each query bucket (n_planes extra keys per
+    query per table, computed driver-side — queries are the small side)
+    so recall survives boundary-straddling queries. The probe-key set
+    is broadcast once; the filter pass is a stateless vectorized
+    ``np.isin`` over per-batch keys, then one brute-force pass over the
+    surviving candidates. At corpus scale the bucket key doubles as the
+    partition key so probing becomes a pruned partition read (the same
+    layout contract as assign_ivf_partitions)."""
+    from .dedup import _emb_matrix, hyperplane_keys, hyperplane_planes
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    d = q.shape[1]
+    planes = hyperplane_planes(d, n_planes, n_tables)
+
+    probe = {int(x) for x in hyperplane_keys(q, planes).ravel()}
+    if multiprobe >= 1:
+        for t, pl in enumerate(planes):
+            proj = q @ pl.T  # (nq, n_planes)
+            for bit in range(n_planes):
+                flipped = proj.copy()
+                flipped[:, bit] = -flipped[:, bit]
+                # re-pack the flipped sign pattern through the shared
+                # packer by faking unit vectors is wasteful; pack inline
+                signs = flipped > 0
+                packed = np.packbits(signs, axis=1, bitorder="little")
+                key = np.zeros(len(q), dtype=np.uint64)
+                for byte in range(packed.shape[1]):
+                    key = ((key << np.uint64(8))
+                           | packed[:, byte].astype(np.uint64))
+                probe.update(
+                    int(x) for x in
+                    ((key << np.uint64(3)) | np.uint64(t)).view(np.int64))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    probe_ref = ray.put(probe_arr)
+    planes_ref = ray.put(planes)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch
+        keys_sorted = ray.get(probe_ref)
+        pls = ray.get(planes_ref)
+        emb = _emb_matrix(batch[emb_col])
+        keys = hyperplane_keys(_normalize(emb), pls)  # (n, n_tables)
+        hit = np.isin(keys, keys_sorted).any(axis=1)
+        return batch.filter(pa.array(hit))
+
+    filtered = ds.select_columns([id_col, emb_col]).map_batches(
+        keep, batch_format="pyarrow", batch_size=4096)
+    return brute_force_topk(filtered, queries, k, emb_col, id_col, query_ids)

@@ -119,3 +119,29 @@ def test_ivf_topk_query_runs_and_selfchecks(ray_session):
     b = E.queries()["ivf_topk_embeddings"](SF)
     assert list(a.columns) == ["query_id", "neighbor_id", "rank"]
     assert len(a) == 30 and a.equals(b)
+
+
+def test_lsh_topk_query_runs_and_selfchecks(ray_session):
+    """lsh_topk_embeddings asserts its own recall bound vs brute force;
+    here verify shape, determinism, and that multiprobe strictly grows
+    (or keeps) the candidate set vs no-probe."""
+    import __ray_entry__ as E
+    import numpy as np
+    from aumos_drift_detector_ray.sources.reader import sf_table
+    from aumos_drift_detector_ray.stages import similarity as sim
+
+    a = E.queries()["lsh_topk_embeddings"](SF)
+    b = E.queries()["lsh_topk_embeddings"](SF)
+    assert list(a.columns) == ["query_id", "neighbor_id", "rank"]
+    assert len(a) == 30 and a.equals(b)
+
+    emb = sf_table(SF, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 2").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf.embedding.to_list(), dtype=np.float64)
+    no_probe = sim.lsh_topk(emb, queries, k=10, multiprobe=0)
+    probed = sim.lsh_topk(emb, queries, k=10, multiprobe=1)
+    # the query vector itself always shares its own bucket -> rank 1
+    for qi in (0, 1):
+        top = probed[probed.query_id == qi].iloc[0]
+        assert top.neighbor_id == qdf.vec_id.tolist()[qi] and top["rank"] == 1
+    assert len(probed) >= len(no_probe)

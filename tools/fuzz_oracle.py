@@ -45,6 +45,7 @@ EVENT_QUERIES = [
     "corr_slope_value_hour_per_type", "first_event_counts_per_type",
     "top_user_by_value_per_type", "type_pair_user_jaccard",
     "mad_value_per_type", "asof_click_before_error", "hash_split_counts",
+    "events_type_hour_pivot",
 ]
 
 
