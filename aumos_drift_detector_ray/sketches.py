@@ -474,3 +474,60 @@ class BloomFilter(_Serializable):
         # allocate rather than mutate in place
         self.bits = np.bitwise_or(self.bits, other.bits)
         return self
+
+class RangePartitionedBloom:
+    """Hash-range-sharded Bloom allowlist: ``n_ranges`` independent
+    BloomFilters, each stored as its OWN object-store entry and owning
+    the ids whose hash lands in its range. The scale path promised in
+    validate.build_allowlist_bloom for 10^12-id allowlists (a single
+    10-bits/elt filter is ~1.2 TB there): no worker ever materializes
+    the whole filter — ``contains`` fetches (and caches actor-locally)
+    only the range shards the batch's ids actually hash into, so a task
+    holding a hash-partitioned slice of the data touches O(1) shards.
+
+    Drop-in for BloomFilter at the probe site (same ``contains``
+    contract: negatives exact, positives ~FP-rate). The handle itself
+    is tiny (a list of ObjectRefs); Ray preserves nested refs through
+    serialization, so the handle can be broadcast with ``ray.put`` like
+    the single filter."""
+
+    def __init__(self, refs: list[Any]) -> None:
+        if not refs:
+            raise ValueError("need at least one range shard")
+        self.refs = list(refs)
+        self._cache: dict[int, BloomFilter] = {}
+
+    @property
+    def n_ranges(self) -> int:
+        return len(self.refs)
+
+    @staticmethod
+    def range_of(hashes: np.ndarray, n_ranges: int) -> np.ndarray:
+        """The shard an id belongs to — shared by build and probe (and,
+        at cluster scale, by the data's own hash partitioning so shard
+        fetches are node-local). Derived from an independent REHASH of
+        the id hash: ``h % n_ranges`` would correlate with the Bloom's
+        own ``h % num_bits`` probe position whenever the moduli share a
+        factor, constraining every id in a shard to a coset of the bit
+        array and measurably inflating the FP rate (caught by the
+        forged-id test at n_ranges=4)."""
+        with np.errstate(over="ignore"):
+            rehashed = hash64(hashes.astype(np.uint64)
+                              ^ np.uint64(0x9E3779B97F4A7C15))
+        return (rehashed % np.uint64(n_ranges)).astype(np.int64)
+
+    def _shard(self, r: int) -> BloomFilter:
+        if r not in self._cache:
+            import ray
+
+            self._cache[r] = ray.get(self.refs[r])
+        return self._cache[r]
+
+    def contains(self, values: Iterable[Any]) -> np.ndarray:
+        h = hash_any_array(values)
+        rr = self.range_of(h, self.n_ranges)
+        out = np.zeros(h.size, dtype=bool)
+        for r in np.unique(rr):
+            sel = rr == r
+            out[sel] = self._shard(int(r)).contains_hashes(h[sel])
+        return out

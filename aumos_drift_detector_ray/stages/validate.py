@@ -470,27 +470,61 @@ def build_allowlist_bloom(
     run: str,
     bits_per_element: int = 10,
     chunk: int = 200_000,
+    n_ranges: int | None = None,
 ) -> Any:
     """Build the id-allowlist Bloom filter (all canonical ids for the
     run) with parallel Ray tasks over id ranges, merged on the driver,
-    then ``ray.put`` for broadcast. At 10^12 ids a Bloom at 10 bits/elt
-    is ~1.2 TB — at that scale drop to per-key-range blooms co-located
-    with hash-partitioned data; for this engine's bench scales (<=10^7)
-    a single broadcast filter is the right call."""
-    from ..sketches import BloomFilter
+    then ``ray.put`` for broadcast. At 10^12 ids a single Bloom at
+    10 bits/elt is ~1.2 TB, so pass ``n_ranges`` to build the
+    hash-range-sharded variant instead (sketches.RangePartitionedBloom):
+    each shard is its own object-store entry and probe tasks fetch only
+    the shards their batch's ids hash into — same ``contains`` contract,
+    never the whole filter in one heap. For this engine's bench scales
+    (<=10^7) the single broadcast filter is the right call and stays
+    the default."""
+    from ..sketches import BloomFilter, RangePartitionedBloom, hash_any_array
+
+    if n_ranges is None:
+        @ray.remote
+        def _build(start: int, count: int) -> BloomFilter:
+            b = BloomFilter(capacity=n_rows, bits_per_element=bits_per_element)
+            ids = [synth.image_id_for(run, i)
+                   for i in range(start, start + count)]
+            b.add(ids)
+            return b
+
+        refs = [
+            _build.remote(s, min(chunk, n_rows - s))
+            for s in range(0, n_rows, chunk)
+        ]
+        blooms = ray.get(refs)
+        acc = blooms[0]
+        for b in blooms[1:]:
+            acc.merge(b)
+        return ray.put(acc)
+
+    cap = max(64, n_rows // n_ranges + 1)
 
     @ray.remote
-    def _build(start: int, count: int) -> BloomFilter:
-        b = BloomFilter(capacity=n_rows, bits_per_element=bits_per_element)
+    def _build_sharded(start: int, count: int) -> list[BloomFilter]:
+        shards = [BloomFilter(capacity=cap, bits_per_element=bits_per_element)
+                  for _ in range(n_ranges)]
         ids = [synth.image_id_for(run, i) for i in range(start, start + count)]
-        b.add(ids)
-        return b
+        h = hash_any_array(ids)
+        rr = RangePartitionedBloom.range_of(h, n_ranges)
+        for r in np.unique(rr):
+            shards[int(r)].add_hashes(h[rr == r])
+        return shards
 
-    refs = [
-        _build.remote(s, min(chunk, n_rows - s)) for s in range(0, n_rows, chunk)
+    chunk_refs = [
+        _build_sharded.remote(s, min(chunk, n_rows - s))
+        for s in range(0, n_rows, chunk)
     ]
-    blooms = ray.get(refs)
-    acc = blooms[0]
-    for b in blooms[1:]:
-        acc.merge(b)
-    return ray.put(acc)
+    per_chunk = ray.get(chunk_refs)
+    shard_refs = []
+    for r in range(n_ranges):
+        acc = per_chunk[0][r]
+        for shards in per_chunk[1:]:
+            acc.merge(shards[r])
+        shard_refs.append(ray.put(acc))  # one store entry PER shard
+    return ray.put(RangePartitionedBloom(shard_refs))

@@ -217,3 +217,70 @@ class TestRefTruthColumns:
             assert t["ref_row"][i].as_py() == i
             assert t["ref_caption"][i].as_py() == \
                 synth.ground_truth_caption(scfg.seed, i, scfg)
+
+
+class TestRangePartitionedBloom:
+    """The 10^12-scale referential path: hash-range-sharded allowlist
+    blooms, one object-store entry per shard, probes fetch only the
+    shards a batch touches (validate.build_allowlist_bloom n_ranges)."""
+
+    def test_same_verdicts_as_single_bloom_on_allowlist(self, ray_session):
+        import ray as _ray
+        from aumos_drift_detector_ray.stages import validate as V
+        from aumos_drift_detector_ray import synth
+
+        n = 500
+        single = _ray.get(V.build_allowlist_bloom(n, "rb"))
+        sharded = _ray.get(V.build_allowlist_bloom(n, "rb", n_ranges=4))
+        ids = [synth.image_id_for("rb", i) for i in range(n)]
+        # membership is exact for true members in BOTH variants
+        assert single.contains(ids).all()
+        assert sharded.contains(ids).all()
+        # negatives are exact in expectation ~99%+; forged ids must be
+        # overwhelmingly rejected by both
+        forged = [f"forged-{i}" for i in range(1000)]
+        assert (~sharded.contains(forged)).mean() > 0.95
+        assert (~single.contains(forged)).mean() > 0.95
+
+    def test_probe_fetches_only_touched_shards(self, ray_session):
+        import ray as _ray
+        import numpy as np
+        from aumos_drift_detector_ray.sketches import (RangePartitionedBloom,
+                                                       hash_any_array)
+        from aumos_drift_detector_ray.stages import validate as V
+        from aumos_drift_detector_ray import synth
+
+        n, n_ranges = 400, 8
+        handle = _ray.get(V.build_allowlist_bloom(n, "rb2", n_ranges=n_ranges))
+        assert handle.n_ranges == n_ranges and not handle._cache
+        ids = [synth.image_id_for("rb2", i) for i in range(50)]
+        touched = set(np.unique(RangePartitionedBloom.range_of(
+            hash_any_array(ids), n_ranges)).tolist())
+        assert handle.contains(ids).all()
+        # lazy: exactly the touched shards were fetched, not all 8
+        assert set(handle._cache) == touched
+        assert len(touched) < n_ranges or len(ids) > 6 * n_ranges
+
+    def test_scalar_validator_accepts_sharded_handle(self, ray_session):
+        """make_scalar_validator's referential check is agnostic to the
+        bloom variant (same contains contract)."""
+        import pyarrow as pa
+        from aumos_drift_detector_ray.stages import validate as V
+        from aumos_drift_detector_ray import synth
+
+        n = 200
+        ref = V.build_allowlist_bloom(n, "rb3", n_ranges=4)
+        cfg = V.ValidationConfig()
+        fn = V.make_scalar_validator(cfg, ref)
+        good = [synth.image_id_for("rb3", i) for i in range(5)]
+        batch = pa.table({
+            "image_id": good + ["forged-zzz"],
+            "bytes": [b"x"] * 6,
+            "caption": ["c"] * 6,
+            "w": [4] * 6, "h": [4] * 6,
+            "fmt": ["raw"] * 6,
+        })
+        out = fn(batch)
+        flags = out["ok_referential"].to_pylist()
+        assert flags[:5] == [True] * 5
+        assert flags[5] is False
