@@ -122,6 +122,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rollup_stats": Q.order_rollup_stats,
         "top_tokens_docs": Q.top_tokens_docs,
         "lineitem_corr_matrix": Q.lineitem_corr_matrix,
+        "tpch_q3_top_orders": Q.tpch_q3_top_orders,
+        "tpch_q5_region_revenue": Q.tpch_q5_region_revenue,
+        "tpch_q6_revenue_delta": Q.tpch_q6_revenue_delta,
+        "tpch_q14_promo_share": Q.tpch_q14_promo_share,
+        "priority_price_dense_rank": Q.priority_price_dense_rank,
+        "active_user_outer_counts": Q.active_user_outer_counts,
     }
 
 
@@ -948,5 +954,101 @@ def oracle_sql() -> dict[str, str]:
                    CAST(neighbor_id AS BIGINT) AS neighbor_id,
                    CAST(rank AS BIGINT) AS rank
             FROM rk WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "tpch_q3_top_orders": """
+            -- exact scaled-integer revenue (x10000), dates as strings
+            WITH rev AS (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                      * 10000) AS BIGINT)) AS rev_c
+                FROM lineitem
+                WHERE l_shipdate > TIMESTAMP '1998-07-01'
+                GROUP BY 1)
+            SELECT CAST(o.o_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(rev_c AS DOUBLE) / 10000.0 AS revenue,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o.o_orderpriority
+            FROM rev
+            JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-07-01'
+            ORDER BY rev_c DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5_region_revenue": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_c
+                FROM lineitem)
+            SELECT n.n_name,
+                   CAST(sum(rev_c) AS DOUBLE) / 10000.0 AS revenue
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = li.l_suppkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+              AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q6_revenue_delta": """
+            -- discount band over CENTS ints (identical rounding to the
+            -- engine); revenue = exact scaled-int sum / 10^4
+            SELECT CAST(sum(CAST(round(l_extendedprice * l_discount
+                                       * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+              AND l_shipdate <  TIMESTAMP '1999-01-01'
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 4 AND 6
+              AND l_quantity < 24
+        """,
+        "tpch_q14_promo_share": """
+            WITH j AS (
+                SELECT CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_c,
+                       p.p_type = 'PROMO' AS is_promo
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1999-04-01'),
+            s AS (
+                SELECT sum(CASE WHEN is_promo THEN rev_c ELSE 0 END)
+                           AS promo_c,
+                       sum(rev_c) AS total_c
+                FROM j)
+            SELECT CAST(promo_c AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(total_c AS DOUBLE) / 10000.0 AS total_revenue,
+                   round((100.0 * promo_c) / total_c, 6) AS promo_pct
+            FROM s
+        """,
+        "priority_price_dense_rank": """
+            WITH rk AS (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC)
+                           AS price_rank
+                FROM orders)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderpriority, o_totalprice,
+                   CAST(price_rank AS BIGINT) AS price_rank
+            FROM rk WHERE price_rank <= 3
+            ORDER BY o_orderpriority, price_rank, o_orderkey
+        """,
+        "active_user_outer_counts": """
+            WITH p AS (
+                SELECT user_id, count(*) AS n_purchase FROM events
+                WHERE event_type = 'purchase' AND value > 150.0 GROUP BY 1),
+            e AS (
+                SELECT user_id, count(*) AS n_error FROM events
+                WHERE event_type = 'error' AND value > 150.0 GROUP BY 1)
+            SELECT CAST(COALESCE(p.user_id, e.user_id) AS BIGINT) AS user_id,
+                   CAST(COALESCE(n_purchase, 0) AS BIGINT) AS n_purchase,
+                   CAST(COALESCE(n_error, 0) AS BIGINT) AS n_error
+            FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+            ORDER BY user_id
         """,
     }

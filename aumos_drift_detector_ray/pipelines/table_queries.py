@@ -2227,3 +2227,280 @@ def lsh_topk_embeddings(sf_dir: str) -> pd.DataFrame:
         "neighbor_id": approx.neighbor_id.astype("int64"),
         "rank": approx["rank"].astype("int64"),
     }).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join analytics + windowed rank + full-outer join
+# (round 3, session 3 — the classic relational shapes over the same
+#  bucketed hash-join machinery, each with an exact SQL oracle)
+# ---------------------------------------------------------------------------
+
+def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-10 open orders of BUILDING-segment customers
+    by outstanding lineitem revenue. Scale plan: the customer filter is
+    a SEMI join (EXISTS — no row growth, right side ships deduped keys
+    only); lineitem revenue is pre-aggregated PER ORDER before the
+    order join (the join shuffle moves one row per order, not one per
+    lineitem); top-10 is a per-block partial merged on the driver
+    (O(#blocks × 10) driver rows). Money sums are exact scaled ints."""
+    from ..stages.joins import hash_join
+
+    CUT = pd.Timestamp("1998-07-01")
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = cust.map_batches(
+        lambda b: b.loc[b.c_mktsegment == "BUILDING", ["c_custkey"]],
+        batch_format="pandas")
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_orderpriority"])
+    ord_f = orders.map_batches(
+        lambda b: b.loc[b.o_orderdate < CUT].rename(
+            columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    ord_b = hash_join(ord_f, building, "c_custkey", n_buckets=16, how="semi")
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b.l_shipdate > CUT]
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey,
+            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+                              .to_numpy() * 10000).astype(np.int64),
+        }).groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    rev = li.map_batches(li_prep, batch_format="pandas", batch_size=65536) \
+        .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+    joined = hash_join(rev, ord_b, "o_orderkey", n_buckets=16)
+
+    def block_top(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["rev_c", "o_orderkey"],
+                             ascending=[False, True]).head(10)
+
+    parts = joined.map_batches(block_top, batch_format="pandas").to_pandas()
+    top = parts.sort_values(["rev_c", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+    return pd.DataFrame({
+        "l_orderkey": top.o_orderkey.astype("int64").to_numpy(),
+        "revenue": top.rev_c.astype("float64").to_numpy() / 10000.0,
+        "o_orderdate": pd.to_datetime(top.r_o_orderdate)
+            .dt.strftime("%Y-%m-%d").to_numpy(),
+        "o_orderpriority": top.r_o_orderpriority.to_numpy(),
+    }).reset_index(drop=True)
+
+
+def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: 1998 revenue per ASIA nation where the supplying
+    supplier and the ordering customer share a nation. Scale plan:
+    nation⋈region is a FIXED 25-row dimension → broadcast dict;
+    customer/orders/supplier all join through the bucketed hash join
+    (supplier scales with SF, so it is NOT broadcast); every join input
+    is pre-projected to scalars; the final groupby moves ≤5
+    pre-aggregated rows per block."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1998-01-01"), pd.Timestamp("1999-01-01")
+    nat = sf_table(sf_dir, "nation").to_pandas()
+    reg = sf_table(sf_dir, "region").to_pandas()
+    asia = set(reg.loc[reg.r_name == "ASIA", "r_regionkey"].astype(int))
+    nk_to_name = {int(r.n_nationkey): r.n_name for r in nat.itertuples()
+                  if int(r.n_regionkey) in asia}
+    nk_ref = ray.put(nk_to_name)
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_asia = cust.map_batches(
+        lambda b: b.loc[b.c_nationkey.isin(list(ray.get(nk_ref)))],
+        batch_format="pandas")
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    ord_f = orders.map_batches(
+        lambda b: b.loc[(b.o_orderdate >= LO) & (b.o_orderdate < HI),
+                        ["o_orderkey", "o_custkey"]].rename(
+            columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    oc = hash_join(ord_f, cust_asia, "c_custkey", n_buckets=16).map_batches(
+        lambda b: b[["o_orderkey", "r_c_nationkey"]].rename(
+            columns={"r_c_nationkey": "c_nationkey"}),
+        batch_format="pandas")
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey, "s_suppkey": b.l_suppkey,
+            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+                              .to_numpy() * 10000).astype(np.int64)})
+
+    lio = hash_join(li.map_batches(li_prep, batch_format="pandas",
+                                   batch_size=65536),
+                    oc, "o_orderkey", n_buckets=32)
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    full = hash_join(lio, supp, "s_suppkey", n_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b.r_c_nationkey.astype("Int64")
+                  == b.r_s_nationkey.astype("Int64")]
+        names = b.r_c_nationkey.astype("int64").map(ray.get(nk_ref))
+        return pd.DataFrame({"n_name": names, "rev_c": b.rev_c}) \
+            .groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    out = full.map_batches(partial, batch_format="pandas") \
+        .groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c")) \
+        .to_pandas()
+    out["revenue"] = out.rev_c.astype("float64") / 10000.0
+    return out.drop(columns=["rev_c"]) \
+        .sort_values(["revenue", "n_name"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+def tpch_q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan-filter-
+    aggregate with NO shuffle at all: each block emits one (sum, count)
+    partial scalar row; the driver folds O(#blocks) rows. The discount
+    band compares CENTS integers (no float-equality hazard); the SQL
+    oracle applies the identical rounding."""
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_discount", "l_quantity",
+                           "l_extendedprice"])
+    LO, HI = pd.Timestamp("1998-01-01"), pd.Timestamp("1999-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        disc_c = np.round(b.l_discount.to_numpy() * 100).astype(np.int64)
+        m = ((b.l_shipdate >= LO) & (b.l_shipdate < HI)).to_numpy() \
+            & (disc_c >= 4) & (disc_c <= 6) & (b.l_quantity.to_numpy() < 24)
+        rev_c = np.round(b.l_extendedprice.to_numpy()[m]
+                         * b.l_discount.to_numpy()[m] * 10000).astype(np.int64)
+        return pd.DataFrame({"rev_c": [int(rev_c.sum())],
+                             "n": [int(m.sum())]})
+
+    parts = li.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    return pd.DataFrame({
+        "revenue": [float(parts.rev_c.sum()) / 10000.0],
+        "n": np.array([parts.n.sum()], dtype="int64"),
+    })
+
+
+def tpch_q14_promo_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape: PROMO revenue share for a ship-quarter. The
+    part side joins through the bucketed hash join (part scales with
+    SF); the reduce is two scalar integer partials per block. The pct
+    division mirrors the SQL's (100.0 * promo / total) IEEE op order
+    exactly, so the rounded doubles are bit-identical."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1999-01-01"), pd.Timestamp("1999-04-01")
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+
+    def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI)]
+        return pd.DataFrame({
+            "p_partkey": b.l_partkey,
+            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+                              .to_numpy() * 10000).astype(np.int64)})
+
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    joined = hash_join(li.map_batches(li_prep, batch_format="pandas",
+                                      batch_size=65536),
+                       part, "p_partkey", n_buckets=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        promo = (b.r_p_type == "PROMO").to_numpy()
+        rc = b.rev_c.to_numpy(dtype="int64")
+        return pd.DataFrame({"promo_c": [int(rc[promo].sum())],
+                             "total_c": [int(rc.sum())]})
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    promo_c, total_c = int(parts.promo_c.sum()), int(parts.total_c.sum())
+    pct = float(np.round((100.0 * promo_c) / total_c, 6)) if total_c else 0.0
+    return pd.DataFrame({"promo_revenue": [promo_c / 10000.0],
+                         "total_revenue": [total_c / 10000.0],
+                         "promo_pct": [pct]})
+
+
+def priority_price_dense_rank(sf_dir: str) -> pd.DataFrame:
+    """Distributed ``dense_rank() <= 3`` over o_totalprice per order
+    priority, ties included — WITHOUT a global sort: pass 1 collects
+    each block's top-3 DISTINCT prices per priority (bounded partials,
+    driver-merged into a #priorities × 3 value table), pass 2 broadcast-
+    filters rows to those values and assigns the rank by position. Rows
+    tied on a top-3 price all surface, exactly like the SQL window."""
+    ds = sf_table(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for pri, g in b.groupby("o_orderpriority", sort=False):
+            vals = np.unique(g.o_totalprice.to_numpy())[::-1][:3]
+            outs.append(pd.DataFrame({"o_orderpriority": pri,
+                                      "o_totalprice": vals}))
+        if not outs:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "o_totalprice": pd.Series([], dtype="float64")})
+        return pd.concat(outs, ignore_index=True)
+
+    tops = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    top3 = {pri: np.unique(g.o_totalprice.to_numpy())[::-1][:3]
+            for pri, g in tops.groupby("o_orderpriority")}
+    ref = ray.put(top3)
+
+    def rank_map(b: pd.DataFrame) -> pd.DataFrame:
+        t3 = ray.get(ref)
+        outs = []
+        for pri, g in b.groupby("o_orderpriority", sort=False):
+            vals = t3.get(pri)
+            if vals is None or len(vals) == 0:
+                continue
+            keep = np.isin(g.o_totalprice.to_numpy(), vals)
+            g2 = g.loc[keep]
+            rank = np.searchsorted(-vals, -g2.o_totalprice.to_numpy()) + 1
+            outs.append(g2.assign(price_rank=rank.astype("int64")))
+        if not outs:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderpriority": pd.Series([], dtype="object"),
+                "o_totalprice": pd.Series([], dtype="float64"),
+                "price_rank": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)[
+            ["o_orderkey", "o_orderpriority", "o_totalprice", "price_rank"]]
+
+    out = ds.map_batches(rank_map, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_orderpriority", "price_rank", "o_orderkey"]) \
+        .reset_index(drop=True)
+
+
+def active_user_outer_counts(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER hash join: per-user counts of high-value purchases vs
+    high-value errors — both sides pre-aggregated to one row per key
+    before the join (the outer join's key column coalesces across
+    sides inside each bucket; missing-side counts zero-fill). The
+    threshold makes the sides genuinely one-sided for some users, so
+    the outer semantics are exercised, not degenerate."""
+    from ..stages.joins import hash_join
+
+    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def side(etype: str, name: str) -> ray.data.Dataset:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.loc[(b.event_type == etype) & (b.value > 150.0)]
+            return b.groupby("user_id", as_index=False).agg(
+                **{name: ("value", "size")})
+
+        return ev.map_batches(partial, batch_format="pandas") \
+            .groupby("user_id").aggregate(Sum(name, alias_name=name))
+
+    joined = hash_join(side("purchase", "n_purchase"),
+                       side("error", "n_error"), "user_id",
+                       n_buckets=16, how="outer").to_pandas()
+    return pd.DataFrame({
+        "user_id": joined.user_id.astype("int64"),
+        "n_purchase": joined.n_purchase.fillna(0).astype("int64"),
+        "n_error": joined.r_n_error.fillna(0).astype("int64"),
+    }).sort_values("user_id").reset_index(drop=True)

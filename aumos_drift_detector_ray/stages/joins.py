@@ -167,13 +167,16 @@ def hash_join(
 
     Both sides are bucketed by key hash and co-grouped; each bucket task
     performs a pandas merge. Non-key column collisions are disambiguated
-    with ``right_prefix``. ``how``: 'inner' | 'left' | 'semi' | 'anti'
-    (semi/anti keep left rows with ≥0 match on the deduped right keys —
-    left columns only, no row multiplication, the scalable EXISTS / NOT
-    EXISTS shape). Every bucket — including buckets where one side is
-    empty — emits the SAME merged column set (the pandas merge of
-    possibly-empty frames), so block schemas are consistent across the
-    dataset."""
+    with ``right_prefix``. ``how``: 'inner' | 'left' | 'right' | 'outer'
+    | 'semi' | 'anti' (semi/anti keep left rows with ≥0 match on the
+    deduped right keys — left columns only, no row multiplication, the
+    scalable EXISTS / NOT EXISTS shape; 'outer' is the full outer join —
+    unmatched rows of EITHER side survive with the other side's columns
+    null, and the key column is coalesced across sides, which works
+    per-bucket because both sides of a key co-locate in one bucket).
+    Every bucket — including buckets where one side is empty — emits the
+    SAME merged column set (the pandas merge of possibly-empty frames),
+    so block schemas are consistent across the dataset."""
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
     l_schema, r_schema = left.schema(), right.schema()

@@ -330,3 +330,60 @@ class TestJoinSchemaConsistency:
         out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
                         n_buckets=4, how="left").to_pandas().sort_values("k")
         assert out.a.astype("int64").tolist() == big
+
+
+class TestRightOuterJoin:
+    def _mk(self):
+        left = pd.DataFrame({"k": [1, 2, 2, 3], "a": [10, 20, 21, 30]})
+        right = pd.DataFrame({"k": [2, 3, 4], "b": [200, 300, 400]})
+        return left, right
+
+    def test_right_join_keeps_unmatched_right(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left, right = self._mk()
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4, how="right").to_pandas()
+        exp = left.merge(right.rename(columns={"b": "r_b"}), on="k",
+                         how="right")
+        assert len(out) == len(exp) == 4  # k=2 twice, k=3, k=4 (no left)
+        o = out.sort_values(["k", "r_b"]).reset_index(drop=True)
+        assert o.k.tolist() == [2, 2, 3, 4]
+        assert o.loc[o.k == 4, "a"].isna().all()
+        assert o.r_b.tolist() == [200, 200, 300, 400]
+
+    def test_outer_join_coalesces_key_both_sides(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left, right = self._mk()
+        out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                        n_buckets=4, how="outer").to_pandas()
+        # k=1 left-only, k=2 (x2) matched, k=3 matched, k=4 right-only
+        assert len(out) == 5
+        o = out.sort_values(["k", "a"]).reset_index(drop=True)
+        assert o.k.tolist() == [1, 2, 2, 3, 4]  # key coalesced, no nulls
+        assert o.loc[o.k == 1, "r_b"].isna().all()
+        assert o.loc[o.k == 4, "a"].isna().all()
+        # matched rows carry both sides
+        assert o.loc[o.k == 3, "a"].iloc[0] == 30
+        assert o.loc[o.k == 3, "r_b"].iloc[0] == 300
+
+    def test_outer_join_empty_buckets_keep_schema(self, ray_session):
+        """Outer join with keys spread over many mostly-empty buckets:
+        every bucket must emit the merged schema with integer types."""
+        import ray.data as rd
+        import pyarrow as pa_
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = pd.DataFrame({"k": np.arange(0, 40, 2), "a": np.arange(20)})
+        right = pd.DataFrame({"k": np.arange(1, 41, 2), "b": np.arange(20)})
+        ds = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k",
+                       n_buckets=16, how="outer")
+        out = ds.to_pandas()
+        assert len(out) == 40  # disjoint keys: every row survives
+        assert list(out.columns) == ["k", "a", "r_b"]
+        assert out.k.isna().sum() == 0
+        t = ds.schema().types[list(ds.schema().names).index("k")]
+        assert pa_.types.is_integer(t)

@@ -31,6 +31,13 @@ NEW_QUERIES = [
     "order_rollup_stats",
     "top_tokens_docs",
     "lineitem_corr_matrix",
+    # TPC-H multi-join shapes, dense_rank window, full-outer join
+    "tpch_q3_top_orders",
+    "tpch_q5_region_revenue",
+    "tpch_q6_revenue_delta",
+    "tpch_q14_promo_share",
+    "priority_price_dense_rank",
+    "active_user_outer_counts",
 ]
 
 
@@ -48,7 +55,8 @@ def _oracle(name: str) -> pd.DataFrame:
     import __ray_entry__ as E
 
     con = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events", "documents"):
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(E.oracle_sql()[name]).df()
