@@ -128,6 +128,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q14_promo_share": Q.tpch_q14_promo_share,
         "priority_price_dense_rank": Q.priority_price_dense_rank,
         "active_user_outer_counts": Q.active_user_outer_counts,
+        "pii_redacted_docs": Q.pii_redacted_docs,
+        "props_json_field_stats": Q.props_json_field_stats,
+        "user_value_moving_avg": Q.user_value_moving_avg,
     }
 
 
@@ -305,6 +308,38 @@ def _text_oracles() -> dict[str, str]:
         """,
     }
 
+
+def _pii_oracle() -> str:
+    """Oracle for pii_redacted_docs, generated from the SAME pattern
+    list the engine stage uses (stages/textops.PII_PATTERNS) — both
+    sides are RE2, so global regexp_replace rewrites identically."""
+    from aumos_drift_detector_ray.stages.textops import PII_PATTERNS
+
+    step = """planted AS (
+                SELECT doc_id,
+                       COALESCE(text, '') || ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                       || ' call 555-010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                           AS t, CAST(0 AS BIGINT) AS n
+                FROM documents)"""
+    prev = "planted"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        step += f""",
+            r{i} AS (
+                SELECT doc_id,
+                       regexp_replace(t, '{p}', '{repl}', 'g') AS t,
+                       n + len(regexp_extract_all(t, '{p}')) AS n
+                FROM {prev})"""
+        prev = f"r{i}"
+    return f"""
+            WITH {step}
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n AS BIGINT) AS n_redactions, md5(t) AS md5
+            FROM {prev} ORDER BY doc_id
+        """
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1050,5 +1085,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(n_error, 0) AS BIGINT) AS n_error
             FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
             ORDER BY user_id
+        """,
+        "pii_redacted_docs": _pii_oracle(),
+        "props_json_field_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+                WHERE json_extract(props, '$.k') IS NOT NULL)
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
+        "user_value_moving_avg": """
+            -- trailing 3-row window per user; exact cents-int window sum
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                        AS DOUBLE) / (100.0 * count(*) OVER w) AS mavg3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY user_id, event_id
         """,
     }

@@ -2504,3 +2504,96 @@ def active_user_outer_counts(sf_dir: str) -> pd.DataFrame:
         "n_purchase": joined.n_purchase.fillna(0).astype("int64"),
         "n_error": joined.r_n_error.fillna(0).astype("int64"),
     }).sort_values("user_id").reset_index(drop=True)
+
+
+def pii_redacted_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (stages/textops.redact_pii) proven oracle-exact:
+    both sides plant the SAME deterministic email/phone/IPv4 into each
+    document (string concat of doc_id — the corpus has no natural PII),
+    redact with the shared RE2 pattern set, and compare md5 of the
+    redacted text plus the per-row masked-span count. Everything is a
+    stateless vectorized map; streams at any scale."""
+    from ..stages.textops import redact_pii
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.doc_id.astype("int64")
+        b = b.copy()
+        b["text"] = (
+            b.text.fillna("") + " contact user" + d.astype(str)
+            + "@mail.example.com call 555-010-"
+            + (d % 10000).astype(str).str.zfill(4)
+            + " from 10.0.0." + (d % 255).astype(str)
+        )
+        return b
+
+    red = redact_pii(ds.map_batches(plant, batch_format="pandas"),
+                     text_col="text", out_col="redacted")
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "n_redactions": b.n_redactions.astype("int64"),
+            "md5": [hashlib.md5(t.encode()).hexdigest() for t in b.redacted],
+        })
+
+    out = red.map_batches(digest, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def props_json_field_stats(sf_dir: str) -> pd.DataFrame:
+    """JSON field extraction over the events ``props`` column (the
+    schema-on-read shape: payload parsed at query time, never stored
+    wide). The fixed-key fast path is a vectorized regex pull of $.k —
+    semantically json_extract for this flat payload — then grouped
+    exact-int stats with per-block partials."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b.props.fillna("").str.extract(r'"k"\s*:\s*(-?[0-9]+)',
+                                           expand=False)
+        good = k.notna()
+        return pd.DataFrame({
+            "event_type": b.event_type[good],
+            "k": k[good].astype("int64"),
+        }).groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k")).to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["sum_k"] = out.sum_k.astype("int64")
+    out["max_k"] = out.max_k.astype("int64")
+    out["avg_k"] = out.sum_k.astype("float64") / out.n.astype("float64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def user_value_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user ROWS-window moving average (3-row trailing) over the
+    time-ordered event stream — the lead/lag window family. Each user's
+    stream sorts INSIDE its group task (hash-partitioned by user like
+    sessionization; no global sort); sums are exact cents integers and
+    the final division mirrors the SQL's IEEE op order."""
+    ds = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        v = np.round(g.value.to_numpy() * 100).astype(np.int64)
+        c = np.concatenate([[0], np.cumsum(v)])
+        n = len(v)
+        lo = np.maximum(np.arange(n) - 2, 0)
+        win_sum = c[np.arange(n) + 1] - c[lo]
+        cnt = (np.arange(n) - lo + 1).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g.event_id.astype("int64").to_numpy(),
+            "user_id": g.user_id.astype("int64").to_numpy(),
+            "mavg3": win_sum.astype("float64") / (100.0 * cnt),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)

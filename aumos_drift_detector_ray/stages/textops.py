@@ -258,3 +258,43 @@ def pack_sequences(
 BPE_PRETOKEN_PATTERN = (
     "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+|\s+"
 )
+
+
+# PII redaction patterns — RE2-compatible (no lookaround/backrefs) so
+# pyarrow.compute (RE2) and DuckDB's regexp_replace (also RE2) rewrite
+# IDENTICALLY; applied in this fixed order (email before ipv4: an email
+# domain can contain dotted digits).
+PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "[PHONE]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
+               out_col: str | None = None) -> ray.data.Dataset:
+    """Mask emails / phone numbers / IPv4 addresses in ``text_col`` —
+    the standard pre-training text-cleaning pass. Fully vectorized:
+    one ``pc.count_substring_regex`` + ``pc.replace_substring_regex``
+    pair per pattern over the Arrow column (zero Python per row), so
+    the stage streams at 100 TB like any other stateless map. Adds
+    ``<out_col>`` (redacted text) and ``n_redactions`` (total masked
+    spans per row)."""
+    import pyarrow.compute as pc
+
+    dst = out_col or f"{text_col}_redacted"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        # null text redacts to "" with 0 masked spans (a null count would
+        # otherwise poison the int64 cast)
+        col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n = np.zeros(len(batch), dtype=np.int64)
+        for _, pat, repl in PII_PATTERNS:
+            n += np.asarray(
+                pc.count_substring_regex(col, pat).to_numpy(
+                    zero_copy_only=False), dtype=np.int64)
+            col = pc.replace_substring_regex(col, pat, repl)
+        return batch.append_column(dst, col).append_column(
+            "n_redactions", pa.array(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -38,6 +38,10 @@ NEW_QUERIES = [
     "tpch_q14_promo_share",
     "priority_price_dense_rank",
     "active_user_outer_counts",
+    # PII redaction / JSON extraction / per-key ROWS window
+    "pii_redacted_docs",
+    "props_json_field_stats",
+    "user_value_moving_avg",
 ]
 
 
@@ -153,3 +157,34 @@ def test_lsh_topk_query_runs_and_selfchecks(ray_session):
         top = probed[probed.query_id == qi].iloc[0]
         assert top.neighbor_id == qdf.vec_id.tolist()[qi] and top["rank"] == 1
     assert len(probed) >= len(no_probe)
+
+
+class TestRedactPii:
+    def test_masks_all_three_kinds_and_counts(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.textops import redact_pii
+
+        df = pd.DataFrame({"text": [
+            "mail a.b+c@x-y.co or ship to 10.20.30.40 now",
+            "call 555-123-4567 please",
+            "clean text with no pii at all",
+            None,
+        ]})
+        out = redact_pii(rd.from_pandas(df), out_col="redacted").to_pandas()
+        assert out.redacted.tolist()[:3] == [
+            "mail [EMAIL] or ship to [IP] now",
+            "call [PHONE] please",
+            "clean text with no pii at all",
+        ]
+        assert out.n_redactions.tolist() == [2, 1, 0, 0]
+
+    def test_email_wins_over_ip_inside_domain(self, ray_session):
+        """Pattern ORDER contract: a dotted-digit domain is consumed by
+        the email pattern, not split by the ipv4 pattern."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.textops import redact_pii
+
+        df = pd.DataFrame({"text": ["u@1.2.3.4a.com end"]})
+        out = redact_pii(rd.from_pandas(df), out_col="redacted").to_pandas()
+        assert out.redacted.tolist() == ["[EMAIL] end"]
+        assert out.n_redactions.tolist() == [1]
