@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redacted_docs": Q.pii_redacted_docs,
         "props_json_field_stats": Q.props_json_field_stats,
         "user_value_moving_avg": Q.user_value_moving_avg,
+        "embedding_dim_stats": Q.embedding_dim_stats,
+        "user_event_sequences": Q.user_event_sequences,
     }
 
 
@@ -1109,5 +1111,24 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
             ORDER BY user_id, event_id
+        """,
+        "embedding_dim_stats": """
+            WITH u AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings)
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(v) / count(*), 6) AS mean_v,
+                   round(sqrt((sum(v * v) - sum(v) * sum(v) / count(*))
+                              / (count(*) - 1)), 6) AS std_v
+            FROM u GROUP BY dim ORDER BY dim
+        """,
+        "user_event_sequences": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   md5(string_agg(event_type, '->'
+                                  ORDER BY ts, event_id)) AS seq_md5
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

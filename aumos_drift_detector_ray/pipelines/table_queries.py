@@ -2597,3 +2597,59 @@ def user_value_moving_avg(sf_dir: str) -> pd.DataFrame:
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
         .to_pandas()
     return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension mean/std over the embedding column (feature-level
+    vector drift input). Each block contributes ONE (n, Σv, Σv²) partial
+    per dimension via a zero-copy matrix view — the driver folds
+    O(#blocks × dim) scalars; no shuffle, no unnest row explosion (the
+    SQL oracle pays the 64× row blow-up instead). Formulas mirror the
+    SQL text exactly; both sides round to 6dp."""
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        dim = len(flat) // max(1, len(b))
+        m = flat.reshape(len(b), dim)
+        return pd.DataFrame({
+            "n": np.full(dim, len(b), dtype=np.int64),
+            "s": m.sum(axis=0), "ss": (m * m).sum(axis=0),
+            "dim": np.arange(1, dim + 1, dtype=np.int64),
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+    n, s, ss = (g.n.to_numpy(dtype="float64"), g.s.to_numpy(),
+                g.ss.to_numpy())
+    return pd.DataFrame({
+        "dim": g.dim.astype("int64"),
+        "n": g.n.astype("int64"),
+        "mean_v": np.round(s / n, 6),
+        "std_v": np.round(np.sqrt((ss - s * s / n) / (n - 1)), 6),
+    }).sort_values("dim").reset_index(drop=True)
+
+
+def user_event_sequences(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key string aggregation (the string_agg / sequence-
+    modeling shape): each user's time-ordered event-type trail, reduced
+    to an md5 so the result stays small. Hash-partitioned per-user group
+    tasks sort locally — no global sort."""
+    ds = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        seq = "->".join(g.event_type.tolist())
+        return pd.DataFrame({
+            "user_id": [int(g.user_id.iloc[0])],
+            "n_events": np.array([len(g)], dtype="int64"),
+            "seq_md5": [hashlib.md5(seq.encode()).hexdigest()],
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas") \
+        .to_pandas()
+    out["user_id"] = out.user_id.astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -42,6 +42,9 @@ NEW_QUERIES = [
     "pii_redacted_docs",
     "props_json_field_stats",
     "user_value_moving_avg",
+    # per-dim vector stats / ordered per-key string aggregation
+    "embedding_dim_stats",
+    "user_event_sequences",
 ]
 
 
@@ -60,7 +63,7 @@ def _oracle(name: str) -> pd.DataFrame:
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents"):
+              "orders", "lineitem", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return con.execute(E.oracle_sql()[name]).df()
