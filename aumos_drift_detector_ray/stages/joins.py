@@ -176,7 +176,11 @@ def hash_join(
     per-bucket because both sides of a key co-locate in one bucket).
     Every bucket — including buckets where one side is empty — emits the
     SAME merged column set (the pandas merge of possibly-empty frames),
-    so block schemas are consistent across the dataset."""
+    so block schemas are consistent across the dataset. (On TOY inputs
+    Ray's internal sort may additionally emit zero-row zero-COLUMN
+    partition blocks of its own — the 'RefBundle with a different
+    schema … new schema: .' log line; those never reach the bucket UDF
+    and vanish once the input fills ``n_buckets`` sort ranges.)"""
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
     l_schema, r_schema = left.schema(), right.schema()

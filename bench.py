@@ -191,6 +191,9 @@ def run_queries() -> dict[str, float]:
         # round-3 operators
         "verified_neardup_pairs", "label_cosine_pairs", "bpe_token_stats",
         "media_feature_stats",
+        # round-3 session-3 operators: multi-join TPC-H shape, PII
+        # redaction, per-dim vector stats
+        "tpch_q5_region_revenue", "pii_redacted_docs", "embedding_dim_stats",
     ]
     qs = E.queries()
     out = {}
