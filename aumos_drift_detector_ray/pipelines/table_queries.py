@@ -2496,9 +2496,17 @@ def active_user_outer_counts(sf_dir: str) -> pd.DataFrame:
         return ev.map_batches(partial, batch_format="pandas") \
             .groupby("user_id").aggregate(Sum(name, alias_name=name))
 
-    joined = hash_join(side("purchase", "n_purchase"),
-                       side("error", "n_error"), "user_id",
-                       n_buckets=16, how="outer").to_pandas()
+    joined = hash_join(
+        side("purchase", "n_purchase"), side("error", "n_error"),
+        "user_id", n_buckets=16, how="outer",
+        # explicit fields: a side can be EMPTY (no qualifying events),
+        # and Ray reports no schema for an empty derived dataset
+        left_fields={"user_id": pa.int64(), "n_purchase": pa.int64()},
+        right_fields={"user_id": pa.int64(), "n_error": pa.int64()},
+    ).to_pandas()
+    for c in ("user_id", "n_purchase", "r_n_error"):
+        if c not in joined.columns:  # all-empty-block to_pandas quirk
+            joined[c] = pd.Series([], dtype="float64")
     return pd.DataFrame({
         "user_id": joined.user_id.astype("int64"),
         "n_purchase": joined.n_purchase.fillna(0).astype("int64"),

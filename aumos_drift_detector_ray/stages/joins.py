@@ -162,6 +162,8 @@ def hash_join(
     how: str = "inner",
     left_prefix: str = "",
     right_prefix: str = "r_",
+    left_fields: "dict[str, pa.DataType] | None" = None,
+    right_fields: "dict[str, pa.DataType] | None" = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join of two large Datasets on ``key``.
 
@@ -180,14 +182,32 @@ def hash_join(
     Ray's internal sort may additionally emit zero-row zero-COLUMN
     partition blocks of its own — the 'RefBundle with a different
     schema … new schema: .' log line; those never reach the bucket UDF
-    and vanish once the input fills ``n_buckets`` sort ranges.)"""
+    and vanish once the input fills ``n_buckets`` sort ranges.)
+
+    ``left_fields``/``right_fields`` (column → arrow type, in column
+    order) let a caller join a side whose ``schema()`` is None — a
+    possibly-EMPTY derived dataset (e.g. the aggregate of a filtered
+    stream): Ray reports no schema for an empty post-map dataset, so
+    the join cannot infer the column set itself.
+    """
+
+    def _fields(ds2, explicit, prefix):
+        if explicit is not None:
+            return {(c if c == key else f"{prefix}{c}"): _pa_type(t)
+                    for c, t in explicit.items()}
+        sch = ds2.schema()
+        if sch is None:
+            raise ValueError(
+                "hash_join: side has no schema (empty derived dataset?) — "
+                "pass left_fields/right_fields explicitly")
+        return {(c if c == key else f"{prefix}{c}"): _pa_type(t)
+                for c, t in zip(sch.names, sch.types)}
+
     lt = _tag_and_bucket(left, key, 0, n_buckets, left_prefix)
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
-    l_schema, r_schema = left.schema(), right.schema()
-    l_cols = [c if c == key else f"{left_prefix}{c}" for c in l_schema.names]
-    r_cols = [c if c == key else f"{right_prefix}{c}" for c in r_schema.names]
-    l_f = {c: _pa_type(t) for c, t in zip(l_cols, l_schema.types)}
-    r_f = {c: _pa_type(t) for c, t in zip(r_cols, r_schema.types)}
+    l_f = _fields(left, left_fields, left_prefix)
+    r_f = _fields(right, right_fields, right_prefix)
+    l_cols, r_cols = list(l_f), list(r_f)
     fields = dict(l_f) if how in ("semi", "anti") else {**l_f, **r_f}
     both = _union_aligned(lt, rt, l_f, r_f)
 

@@ -387,3 +387,45 @@ class TestRightOuterJoin:
         assert out.k.isna().sum() == 0
         t = ds.schema().types[list(ds.schema().names).index("k")]
         assert pa_.types.is_integer(t)
+
+
+class TestExplicitFields:
+    def test_outer_join_with_empty_derived_side(self, ray_session):
+        """A filtered-to-empty derived dataset has schema() None; the
+        join must still work when the caller passes explicit fields
+        (fuzz-caught: active_user_outer_counts with no qualifying
+        purchases)."""
+        import pyarrow as pa_
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 2], "a": [10, 20]})) \
+            .map_batches(lambda b: b[b.a > 999], batch_format="pandas")
+        right = rd.from_pandas(pd.DataFrame({"k": [2, 3], "b": [7, 8]}))
+        out = hash_join(
+            left, right, "k", n_buckets=4, how="outer",
+            left_fields={"k": pa_.int64(), "a": pa_.int64()},
+        ).to_pandas().sort_values("k")
+        assert out.k.tolist() == [2, 3]       # right rows survive
+        assert out.a.isna().all()
+        assert out.r_b.tolist() == [7, 8]
+
+    def test_missing_schema_without_fields_raises(self, ray_session):
+        """The aggregate of a filtered-to-empty stream is the shape that
+        actually loses its schema (a plain empty map block still carries
+        dtypes)."""
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+        from aumos_drift_detector_ray.stages.joins import hash_join
+
+        left = rd.from_pandas(pd.DataFrame({"k": [1], "a": [1]})) \
+            .map_batches(lambda b: b[b.a > 9], batch_format="pandas") \
+            .groupby("k").aggregate(Sum("a", alias_name="a"))
+        right = rd.from_pandas(pd.DataFrame({"k": [1], "b": [1]}))
+        if left.schema() is None:  # Ray-version-dependent; the fuzz shape
+            with pytest.raises(ValueError, match="left_fields"):
+                hash_join(left, right, "k", n_buckets=4)
+        else:  # schema survived: the join must simply work
+            out = hash_join(left, right, "k", n_buckets=4,
+                            how="outer").to_pandas()
+            assert out.k.tolist() == [1] and out.r_b.tolist() == [1]
