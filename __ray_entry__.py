@@ -201,7 +201,7 @@ def _text_oracles() -> dict[str, str]:
             ORDER BY 1, 2
         """,
         "verified_neardup_pairs": """
-            -- ground-truth ALL-PAIRS 5-char-shingle Jaccard >= 0.5
+            -- ground-truth ALL-PAIRS 5-char-shingle Jaccard >= 0.8
             -- (O(n^2): oracle-only; the engine path is LSH + exact verify)
             WITH sh AS (
                 SELECT doc_id,
@@ -217,7 +217,7 @@ def _text_oracles() -> dict[str, str]:
                        AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                  / len(list_distinct(a.s || b.s)), 9) >= 0.5
+                  / len(list_distinct(a.s || b.s)), 9) >= 0.8
             ORDER BY 1, 2
         """,
         "label_cosine_pairs": """

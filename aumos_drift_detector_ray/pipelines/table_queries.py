@@ -663,7 +663,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     # materialize the candidate set once: it is BOUNDED (candidate rate x
     # corpus, scalars only)
     cands = dedup_mod.minhash_lsh_pairs(
-        docs, num_hashes=64, bands=16, jaccard_threshold=0.35).materialize()
+        docs, num_hashes=128, bands=32, jaccard_threshold=0.35).materialize()
     cdf = cands.to_pandas()
     if len(cdf):
         # gather ONLY the candidate texts with a broadcast semi-join
@@ -715,17 +715,20 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 
 def verified_neardup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Near-dup document pairs with EXACT 5-char-shingle Jaccard >= 0.5:
-    MinHash-LSH candidates at a loose signature threshold (0.35; high
-    recall — the corpus's planted near-dups sit at J >= 0.9 where the
-    16-band×4-row miss probability is < 1e-9) verified by the exact
-    shingle-set kernel (dedup.ngram_jaccard). The SQL oracle computes
-    the ground-truth ALL-PAIRS shingle Jaccard, so a green row
-    structurally proves both LSH recall and the exact-verify tier on
-    this corpus (the oracle side is O(n²) — oracle-only, never the
+    """Near-dup document pairs with EXACT 5-char-shingle Jaccard >= 0.8:
+    MinHash-LSH candidates (128 hashes, 32 bands × 4 rows, loose 0.35
+    signature threshold) verified by the exact shingle-set kernel
+    (dedup.ngram_jaccard). The LSH miss probability AT the keep
+    threshold is (1-0.8⁴)³² ≈ 5e-8 — the exactness claim holds at the
+    threshold the query keeps, for ANY corpus, not just tame ones (the
+    earlier J>=0.5 keep at 16 bands missed ~35% of borderline pairs on
+    an adversarial corpus — caught by tools/fuzz_oracle.py --docs). The
+    SQL oracle computes the ground-truth ALL-PAIRS shingle Jaccard, so
+    a green row structurally proves both LSH recall and the exact-
+    verify tier (the oracle side is O(n²) — oracle-only, never the
     engine path)."""
     out = ngram_jaccard_pairs(sf_dir)
-    keep = out[out.exact_jaccard >= 0.5]
+    keep = out[out.exact_jaccard >= 0.8]
     return pd.DataFrame({
         "id_a": keep.id_a.astype("int64").to_numpy(),
         "id_b": keep.id_b.astype("int64").to_numpy(),

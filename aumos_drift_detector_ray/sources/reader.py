@@ -140,7 +140,10 @@ def read_table(
         # the reference's reference_data_uri is "parquet-or-CSV"
         # (core/models.py:47-52); infer from the extension
         sample = path[0] if isinstance(path, (list, tuple)) else path
-        format = "csv" if str(sample).endswith(".csv") else "parquet"
+        s = str(sample)
+        format = ("csv" if s.endswith(".csv")
+                  else "jsonl" if s.endswith((".jsonl", ".json"))
+                  else "parquet")
     if format == "lance":
         try:
             return ray.data.read_lance(path, columns=columns, **kwargs)
@@ -151,6 +154,20 @@ def read_table(
     if format == "csv":
         with _READ_CONSTRUCT_LOCK:
             ds = ray.data.read_csv(path, include_paths=include_paths, **kwargs)
+        if columns is not None:
+            ds = ds.select_columns(columns)
+        if filter is not None:
+            ds = ds.map_batches(
+                lambda t, f=filter: t.filter(f), batch_format="pyarrow"
+            )
+        return ds
+    if format in ("json", "jsonl"):
+        # newline-delimited JSON (export/log dumps); same prune/filter
+        # contract as CSV — selection happens post-scan (JSONL has no
+        # row-group pruning to push down)
+        with _READ_CONSTRUCT_LOCK:
+            ds = ray.data.read_json(path, include_paths=include_paths,
+                                    **kwargs)
         if columns is not None:
             ds = ds.select_columns(columns)
         if filter is not None:

@@ -39,3 +39,31 @@ class TestReadTable:
         import pyarrow as pa
 
         assert pa.table(batch).schema.metadata is None
+
+
+@pytest.fixture()
+def jsonl_file(tmp_path):
+    p = tmp_path / "ref.jsonl"
+    p.write_text('{"image_id": "a", "w": 4}\n'
+                 '{"image_id": "b", "w": 5}\n'
+                 '{"image_id": "c", "w": 6}\n')
+    return str(p)
+
+
+class TestReadJsonl:
+    def test_jsonl_explicit(self, ray_session, jsonl_file):
+        out = read_table(jsonl_file, format="jsonl",
+                         columns=["image_id", "w"]).to_pandas()
+        assert sorted(out.columns) == ["image_id", "w"]
+        assert sorted(out.w.tolist()) == [4, 5, 6]
+
+    def test_jsonl_auto_by_extension(self, ray_session, jsonl_file):
+        ds = read_table(jsonl_file, format="auto")
+        assert set(ds.schema().names) == {"image_id", "w"}
+
+    def test_jsonl_filter_pushes_into_scan(self, ray_session, jsonl_file):
+        import pyarrow.dataset as pads
+
+        out = read_table(jsonl_file, format="jsonl",
+                         filter=pads.field("w") > 4).to_pandas()
+        assert sorted(out.w.tolist()) == [5, 6]

