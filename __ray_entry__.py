@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_avg": Q.user_value_moving_avg,
         "embedding_dim_stats": Q.embedding_dim_stats,
         "user_event_sequences": Q.user_event_sequences,
+        "decontaminate_docs": Q.decontaminate_docs,
     }
 
 
@@ -341,6 +342,27 @@ def _pii_oracle() -> str:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(n AS BIGINT) AS n_redactions, md5(t) AS md5
             FROM {prev} ORDER BY doc_id
+        """
+
+def _decon_oracle() -> str:
+    """Oracle for decontaminate_docs, generated from the SAME snippet
+    list the engine stage uses (stages/textops.DECON_BENCH)."""
+    from aumos_drift_detector_ray.stages.textops import DECON_BENCH
+
+    nb = len(DECON_BENCH)
+    esc = [s.replace("'", "''") for s in DECON_BENCH]
+    cases = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(esc))
+    hits = " OR ".join(f"position('{s}' IN t) > 0" for s in esc)
+    return f"""
+            WITH planted AS (
+                SELECT doc_id, source,
+                       CASE WHEN doc_id % 37 = 0
+                            THEN COALESCE(text, '') || ' ' ||
+                                 CASE doc_id % {nb} {cases} END
+                            ELSE COALESCE(text, '') END AS t
+                FROM documents)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+            FROM planted WHERE {hits} ORDER BY doc_id
         """
 
 def oracle_sql() -> dict[str, str]:
@@ -1131,4 +1153,5 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY ts, event_id)) AS seq_md5
             FROM events GROUP BY user_id ORDER BY user_id
         """,
+        "decontaminate_docs": _decon_oracle(),
     }

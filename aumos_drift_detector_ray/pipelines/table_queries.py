@@ -2664,3 +2664,39 @@ def user_event_sequences(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     out["user_id"] = out.user_id.astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (the pretraining-curation pass that
+    drops training docs containing evaluation-set text): deterministic
+    benchmark snippets are planted into every 37th doc on BOTH sides
+    (the corpus has no natural contamination), then the broadcast
+    substring scan (textops.flag_contaminated) flags them. Returns the
+    contaminated (doc_id, source) rows — what a curation pipeline would
+    subtract. Scale shape: benchmark set broadcast once, one vectorized
+    substring pass per snippet per block; for benchmark sets too large
+    to scan, the hashed n-gram + semi-join tier documented on the stage
+    applies."""
+    from ..stages.textops import DECON_BENCH, flag_contaminated
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    nb = len(DECON_BENCH)
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.doc_id.astype("int64")
+        b = b.copy()
+        which = np.array(DECON_BENCH, dtype=object)[(d % nb).to_numpy()]
+        planted = b.text.fillna("") + " " + pd.Series(which, index=b.index)
+        b["text"] = b.text.fillna("").where((d % 37 != 0), planted)
+        return b
+
+    flagged = flag_contaminated(ds.map_batches(plant, batch_format="pandas"),
+                                DECON_BENCH)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.contaminated]
+        return pd.DataFrame({"doc_id": b.doc_id.astype("int64"),
+                             "source": b.source})
+
+    out = flagged.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

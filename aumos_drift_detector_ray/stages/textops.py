@@ -298,3 +298,43 @@ def redact_pii(ds: ray.data.Dataset, text_col: str = "text",
             "n_redactions", pa.array(n, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def flag_contaminated(ds: ray.data.Dataset, benchmark_texts: "list[str]",
+                      text_col: str = "text",
+                      out_col: str = "contaminated") -> ray.data.Dataset:
+    """Benchmark decontamination flag — the pretraining-curation pass
+    that drops training documents containing evaluation-set text
+    (public method: substring / n-gram overlap vs the benchmark set).
+
+    Small benchmark sets (the common case: eval suites are MBs, the
+    corpus is TBs) broadcast ONCE via ``ray.put`` and every block is
+    scanned with vectorized ``pc.match_substring`` — one pass per
+    benchmark string, zero Python per row, and only the boolean flag is
+    added (the filter composes downstream). For benchmark sets too
+    large to scan per-string, compose the hashed n-gram tier instead:
+    ``add_fingerprints`` / ``min_rolling_hash`` bucket both sides and a
+    semi-join drops colliding docs (same shape as dedup)."""
+    import pyarrow.compute as pc
+
+    bench_ref = ray.put(list(benchmark_texts))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        hit = np.zeros(len(batch), dtype=bool)
+        for b in ray.get(bench_ref):
+            hit |= np.asarray(pc.match_substring(col, b).to_numpy(
+                zero_copy_only=False), dtype=bool)
+        return batch.append_column(out_col, pa.array(hit, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# deterministic benchmark snippets for the decontamination demo query —
+# shared with the generated SQL oracle (__ray_entry__) so the two sides
+# can never desynchronize
+DECON_BENCH: "list[str]" = [
+    "which of the following best completes the passage answer",
+    "select the correct option from the choices given below",
+    "the assistant should respond with the letter of the answer",
+]

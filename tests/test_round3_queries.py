@@ -45,6 +45,8 @@ NEW_QUERIES = [
     # per-dim vector stats / ordered per-key string aggregation
     "embedding_dim_stats",
     "user_event_sequences",
+    # benchmark decontamination
+    "decontaminate_docs",
 ]
 
 

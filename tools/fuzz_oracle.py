@@ -99,7 +99,7 @@ DOC_QUERIES = [
     "lang_counts", "doc_token_stats", "langid_docs", "quality_docs",
     "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
     "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
-    "verified_neardup_pairs",
+    "verified_neardup_pairs", "decontaminate_docs",
 ]
 
 
