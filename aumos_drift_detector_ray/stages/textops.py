@@ -338,3 +338,45 @@ DECON_BENCH: "list[str]" = [
     "select the correct option from the choices given below",
     "the assistant should respond with the letter of the answer",
 ]
+
+
+# deterministic accented prefix planted by the normalization demo query —
+# the synthetic corpus is pure ASCII, so without it the accent-stripping
+# and unicode-normalization steps would be untested no-ops. Shared with
+# the generated SQL oracle (__ray_entry__) so both sides plant the same
+# bytes.
+NORM_PROBE = "Café  MÜnchen\trésumé "
+
+
+def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
+                   out_col: str | None = None) -> ray.data.Dataset:
+    """Canonical text normalization — the standard pretraining-corpus
+    cleaning pass (public method: unicode NFC/NFD normalize, strip
+    accents, case-fold, collapse whitespace). Contract (mirrors DuckDB's
+    ``lower(strip_accents(nfc_normalize(x)))`` + whitespace collapse so
+    the oracle can verify bit-for-bit):
+
+      1. NFD-decompose, drop combining marks (``\\p{Mn}``) — equivalent
+         to DuckDB ``strip_accents`` for precomposed Latin input
+         (decomposition leaves base letters; no recomposition needed).
+      2. unicode lowercase.
+      3. collapse ``\\s+`` runs to one space, trim ends.
+
+    Fully vectorized: every step is one ``pyarrow.compute`` kernel over
+    the Arrow column (utf8_normalize / replace_substring_regex /
+    utf8_lower / utf8_trim_whitespace) — zero Python per row, streams at
+    100 TB like any stateless map. Null text normalizes to ""."""
+    import pyarrow.compute as pc
+
+    dst = out_col or f"{text_col}_norm"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        col = pc.utf8_normalize(col, form="NFD")
+        col = pc.replace_substring_regex(col, r"\p{Mn}", "")
+        col = pc.utf8_lower(col)
+        col = pc.replace_substring_regex(col, r"\s+", " ")
+        col = pc.utf8_trim_whitespace(col)
+        return batch.append_column(dst, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

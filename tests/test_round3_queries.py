@@ -193,3 +193,16 @@ class TestRedactPii:
         out = redact_pii(rd.from_pandas(df), out_col="redacted").to_pandas()
         assert out.redacted.tolist() == ["[EMAIL] end"]
         assert out.n_redactions.tolist() == [1]
+
+
+def test_tpch_q5_hash_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Q5's dimension sides are size-gated: below _BROADCAST_JOIN_MAX_ROWS
+    they broadcast, above it the bucketed hash_join fallback runs. Force
+    the gate to 0 and assert both paths produce identical revenue."""
+    from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+    fast = Q.tpch_q5_region_revenue(SF)
+    monkeypatch.setattr(Q, "_BROADCAST_JOIN_MAX_ROWS", 0)
+    slow = Q.tpch_q5_region_revenue(SF)
+    pd.testing.assert_frame_equal(fast.reset_index(drop=True),
+                                  slow.reset_index(drop=True))
