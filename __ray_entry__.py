@@ -134,6 +134,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": Q.embedding_dim_stats,
         "user_event_sequences": Q.user_event_sequences,
         "decontaminate_docs": Q.decontaminate_docs,
+        "normalized_docs": Q.normalized_docs,
+        "doc_frequency_top_terms": Q.doc_frequency_top_terms,
+        "weekly_user_retention": Q.weekly_user_retention,
+        "mode_value_band_per_type": Q.mode_value_band_per_type,
+        "hourly_type_entropy": Q.hourly_type_entropy,
+        "amended_events_latest_dedup": Q.amended_events_latest_dedup,
+        "fuzzy_part_name_pairs": Q.fuzzy_part_name_pairs,
+        "value_quartile_band_counts": Q.value_quartile_band_counts,
+        "window_stats_drift": Q.window_stats_drift,
+        "rolling_7d_distinct_users": Q.rolling_7d_distinct_users,
     }
 
 
@@ -364,6 +374,67 @@ def _decon_oracle() -> str:
             SELECT CAST(doc_id AS BIGINT) AS doc_id, source
             FROM planted WHERE {hits} ORDER BY doc_id
         """
+
+
+
+def _norm_oracle() -> str:
+    """Oracle for normalized_docs, generated from the SAME accented
+    probe the Ray pipeline plants (textops.NORM_PROBE), so the unicode
+    normalization steps are observably tested on the ASCII corpus."""
+    from aumos_drift_detector_ray.stages.textops import NORM_PROBE
+
+    probe_sql = NORM_PROBE.replace("'", "''")
+    return f"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(strip_accents(nfc_normalize(
+                        '{probe_sql}' || coalesce(text, '')))),
+                        '\\s+', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id, md5(norm) AS norm_md5,
+               CAST(length(norm) AS BIGINT) AS n_norm_chars
+        FROM n ORDER BY doc_id
+    """
+
+
+
+
+def _wsd_oracle() -> str:
+    """Oracle for window_stats_drift, generated from the SAME column
+    list (table_queries.WSD_COLS) with float operations mirroring the
+    engine's order exactly (exact integer cents sums -> DOUBLE -> the
+    same division sequence), so mean/std/range compare bit-for-bit
+    before the shared 6dp rounding."""
+    from aumos_drift_detector_ray.pipelines.table_queries import WSD_COLS
+
+    parts = []
+    for c in WSD_COLS:
+        mean = ("((CAST(sum(CAST(round({c} * 10000) AS BIGINT)) "
+                "FILTER ({f}) AS DOUBLE) / 10000.0) / count({c}) FILTER ({f}))")
+        ss = ("((CAST(sum(CAST(round({c} * 10000) AS HUGEINT) "
+              "* CAST(round({c} * 10000) AS HUGEINT)) FILTER ({f}) "
+              "AS DOUBLE) / 100000000.0) / count({c}) FILTER ({f}))")
+        ref, prod = "l_orderkey % 2 = 0", "l_orderkey % 2 <> 0"
+        m_r, m_p = mean.format(c=c, f=ref), mean.format(c=c, f=prod)
+        v_r = f"greatest({ss.format(c=c, f=ref)} - {m_r} * {m_r}, 0.0)"
+        v_p = f"greatest({ss.format(c=c, f=prod)} - {m_p} * {m_p}, 0.0)"
+        parts.append(f"""
+            SELECT '{c}' AS col,
+                   CAST(count(*) FILTER ({ref}) AS BIGINT) AS n_ref,
+                   CAST(count(*) FILTER ({prod}) AS BIGINT) AS n_prod,
+                   CAST(round({m_r}, 6) AS DOUBLE) AS mean_ref,
+                   CAST(round({m_p}, 6) AS DOUBLE) AS mean_prod,
+                   CAST(round(abs({m_p} - {m_r}), 6) AS DOUBLE) AS mean_shift,
+                   CAST(round(sqrt({v_r}), 6) AS DOUBLE) AS std_ref,
+                   CAST(round(sqrt({v_p}), 6) AS DOUBLE) AS std_prod,
+                   CAST(round(max({c}) FILTER ({ref})
+                        - min({c}) FILTER ({ref}), 6) AS DOUBLE) AS range_ref,
+                   CAST(round(max({c}) FILTER ({prod})
+                        - min({c}) FILTER ({prod}), 6) AS DOUBLE) AS range_prod
+            FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col"
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1154,4 +1225,110 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "decontaminate_docs": _decon_oracle(),
+        "normalized_docs": _norm_oracle(),
+        "doc_frequency_top_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_distinct(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z'']+'))) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n_docs
+            FROM t GROUP BY token
+            ORDER BY n_docs DESC, token LIMIT 20
+        """,
+        "weekly_user_retention": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+                FROM events
+            )
+            SELECT a.week,
+                   CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(count(b.user_id) AS BIGINT) AS n_retained
+            FROM uw a LEFT JOIN uw b
+                 ON b.user_id = a.user_id
+                AND b.week = a.week + INTERVAL 7 DAY
+            GROUP BY a.week ORDER BY a.week
+        """,
+        "mode_value_band_per_type": """
+            WITH c AS (
+                SELECT event_type, CAST(floor(value) AS BIGINT) AS band,
+                       count(*) AS n
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY n DESC, band ASC) AS rn
+                FROM c
+            )
+            SELECT event_type, band AS mode_band, CAST(n AS BIGINT) AS n_mode
+            FROM r WHERE rn = 1 ORDER BY event_type
+        """,
+        "hourly_type_entropy": """
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(round(entropy(event_type), 6) AS DOUBLE)
+                       AS type_entropy
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        "window_stats_drift": _wsd_oracle(),
+        "rolling_7d_distinct_users": """
+            WITH uw AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+                FROM events
+            ), days AS (SELECT DISTINCT day FROM uw)
+            SELECT days.day,
+                   CAST(count(DISTINCT uw.user_id) AS BIGINT) AS n_users_7d
+            FROM days JOIN uw
+                 ON uw.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+            GROUP BY 1 ORDER BY 1
+        """,
+        "value_quartile_band_counts": """
+            WITH th AS (
+                SELECT quantile_disc(value, [0.25, 0.5, 0.75]) AS q
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN value < q[1] THEN 0
+                             WHEN value < q[2] THEN 1
+                             WHEN value < q[3] THEN 2
+                             ELSE 3 END AS BIGINT) AS band,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events CROSS JOIN th
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "fuzzy_part_name_pairs": """
+            WITH p AS (SELECT p_partkey, p_brand,
+                              coalesce(p_name, '') AS name FROM part)
+            SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+                   CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             AND abs(length(a.name) - length(b.name)) <= 2
+             AND levenshtein(a.name, b.name) <= 2
+            ORDER BY a_key, b_key
+        """,
+        "amended_events_latest_dedup": """
+            WITH unioned AS (
+                SELECT event_id, ts, event_type, value FROM events
+                UNION ALL
+                SELECT event_id, ts + INTERVAL 1 HOUR, event_type,
+                       value + 10 AS value
+                FROM events WHERE event_type = 'purchase'
+            ), latest AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id
+                    ORDER BY ts DESC, value DESC) AS rn
+                FROM unioned
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM latest WHERE rn = 1
+            GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -1,0 +1,65 @@
+"""Vectorized string edit distance for fuzzy-match verify tiers.
+
+``levenshtein_many`` computes classic Levenshtein distance (unit-cost
+insert / delete / substitute — DuckDB ``levenshtein()`` semantics) for P
+string pairs at once. The DP recurrence is sequential in both string
+positions, but every cell update is vectorized ACROSS the P pairs, so
+the Python loop count is O(maxlen_a x maxlen_b) regardless of how many
+pairs a block carries — the right shape for a candidate-pair verify
+stage (thousands of pairs per block, strings tens of chars long).
+
+Strings are compared by UTF-8 BYTE, matching DuckDB for ASCII input
+(the only input the engine feeds it; documented contract).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_matrix(strs: "list[str]") -> "tuple[np.ndarray, np.ndarray]":
+    """Encode strings to a zero-padded uint8 matrix + length vector."""
+    enc = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64,
+                       count=len(enc))
+    width = int(lens.max()) if len(enc) and lens.max() else 1
+    mat = np.zeros((len(enc), width), dtype=np.uint8)
+    for i, e in enumerate(enc):
+        if e:
+            mat[i, : len(e)] = np.frombuffer(e, dtype=np.uint8)
+    return mat, lens
+
+
+def levenshtein_many(a: "list[str]", b: "list[str]") -> np.ndarray:
+    """Levenshtein distance for each (a[i], b[i]) pair, vectorized
+    across pairs. Returns int64[P]."""
+    if len(a) != len(b):
+        raise ValueError("levenshtein_many needs equal-length lists")
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    am, alen = _to_matrix(a)
+    bm, blen = _to_matrix(b)
+    la, lb = am.shape[1], bm.shape[1]
+    out = np.empty(n, dtype=np.int64)
+    # pairs with an empty a-side never enter the i-loop snapshot below
+    out[alen == 0] = blen[alen == 0]
+
+    # prev[p, j] = D(i-1, j) for pair p; row 0 is D(0, j) = j
+    prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64),
+                           (n, lb + 1)).copy()
+    cur = np.empty_like(prev)
+    rows = np.arange(n)
+    for i in range(1, la + 1):
+        cur[:, 0] = i
+        ai = am[:, i - 1][:, None]          # [P, 1]
+        sub_cost = (bm != ai).astype(np.int64)  # [P, lb]
+        # deletion (prev[j] + 1) and substitution (prev[j-1] + cost)
+        # vectorize over j; insertion (cur[j-1] + 1) is sequential in j
+        del_sub = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + sub_cost)
+        for j in range(1, lb + 1):
+            cur[:, j] = np.minimum(del_sub[:, j - 1], cur[:, j - 1] + 1)
+        done = alen == i
+        if done.any():
+            out[rows[done]] = cur[done, blen[done]]
+        prev, cur = cur, prev
+    return out

@@ -678,15 +678,28 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
             return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(iref)))
 
         texts = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
-        by_id = dict(zip(texts.doc_id, texts.text))
-        ex = [dedup_mod.ngram_jaccard(by_id[a], by_id[b], k=5)
-              for a, b in zip(cdf.id_a, cdf.id_b)]
-        out = pd.DataFrame({
-            "id_a": cdf.id_a.astype("int64"),
-            "id_b": cdf.id_b.astype("int64"),
-            "sig_jaccard": cdf.jaccard.astype("float64"),
-            "exact_jaccard": np.round(np.asarray(ex, dtype="float64"), 9),
-        })
+        tref = ray.put(dict(zip(texts.doc_id, texts.text)))
+        del texts
+
+        def verify(b: pd.DataFrame) -> pd.DataFrame:
+            # exact shingle-set verify runs DISTRIBUTED over pair
+            # batches (the per-pair set kernel is Python-level; driver-
+            # side it serializes, worker-side it parallelizes), with the
+            # bounded candidate texts broadcast once per worker
+            from ..functions.broadcast import get_broadcast
+            by_id = get_broadcast(tref)
+            ex = [dedup_mod.ngram_jaccard(by_id[a], by_id[b], k=5)
+                  for a, b in zip(b.id_a, b.id_b)]
+            return pd.DataFrame({
+                "id_a": b.id_a.astype("int64"),
+                "id_b": b.id_b.astype("int64"),
+                "sig_jaccard": b.jaccard.astype("float64"),
+                "exact_jaccard": np.round(np.asarray(ex, dtype="float64"), 9),
+            })
+
+        n_parts = int(max(1, min(32, len(cdf) // 64 + 1)))
+        out = cands.repartition(n_parts).map_batches(
+            verify, batch_format="pandas").to_pandas()
     else:
         out = cdf
     if len(out) == 0:
@@ -2757,3 +2770,443 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
 
     out = flagged.map_batches(pick, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-3 batch 2: normalization / doc-frequency / retention / mode /
+# entropy / union-latest-dedup
+# ---------------------------------------------------------------------------
+
+def normalized_docs(sf_dir: str) -> pd.DataFrame:
+    """Canonical text normalization (stages/textops.normalize_text):
+    NFD + strip combining marks + lower + whitespace collapse, proven
+    oracle-exact against DuckDB lower(strip_accents(nfc_normalize(x)))
+    + regexp_replace. The corpus is pure ASCII, so a deterministic
+    accented probe (textops.NORM_PROBE — shared with the generated SQL)
+    is prefixed to every document to make the unicode steps observable.
+    Output is the md5 + char length of the normalized text (content-
+    addressed, order-insensitive)."""
+    from ..stages.textops import NORM_PROBE, normalize_text
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(b: pa.Table) -> pa.Table:
+        col = pc.fill_null(pc.cast(b["text"], pa.string()), "")
+        col = pc.binary_join_element_wise(
+            pa.array([NORM_PROBE] * len(b), pa.string()), col, "")
+        return b.set_column(b.schema.get_field_index("text"), "text", col)
+
+    norm = normalize_text(ds.map_batches(plant, batch_format="pyarrow"))
+
+    def digest(b: pd.DataFrame) -> pd.DataFrame:
+        texts = b.text_norm.astype(str)
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "norm_md5": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                         for t in texts],
+            "n_norm_chars": texts.str.len().astype("int64"),
+        })
+
+    out = norm.map_batches(digest, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_frequency_top_terms(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Document-frequency top-k (the IDF numerator of TF-IDF): number
+    of DISTINCT documents containing each token. Per-block partials are
+    already exact df contributions (one row per doc, tokens deduped
+    per doc with C-level regex + np.unique), so the shuffle moves
+    (token, partial-df) rows only; tokens are hash-bucketed so each
+    token lives wholly in one bucket — per-bucket top-k is globally
+    correct after the driver's tiny (#buckets x k) merge (same shape as
+    top_tokens_docs)."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks: "list[str]" = []
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks.extend(set(WORD_RE.findall(t)))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n_docs": c.astype(np.int64),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n_docs=("n_docs", "sum"))
+        return m.sort_values(["n_docs", "token"],
+                             ascending=[False, True]).head(k)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["n_docs", "token"],
+                          ascending=[False, True]).head(k)
+    out["n_docs"] = out.n_docs.astype("int64")
+    return out[["token", "n_docs"]].reset_index(drop=True)
+
+
+def weekly_user_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly cohort retention: per Monday-based week, the number of
+    active users and how many of them are also active the NEXT week —
+    the training-data freshness / engagement-drift primitive. Shape:
+    per-block distinct (user, week) pairs shrink the shuffle, a per-user
+    group emits (week, retained) rows from its own sorted week set
+    (users are small groups), and a grouped Sum folds per-week counts.
+    No self-join: the retained flag is a per-user set lookup."""
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        week = b.ts.dt.normalize() - pd.to_timedelta(
+            b.ts.dt.weekday, unit="D")
+        return pd.DataFrame({"user_id": b.user_id.astype("int64"),
+                             "week": week}).drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        weeks = np.sort(g.week.unique())
+        nxt = set(weeks)
+        retained = np.fromiter(
+            ((w + np.timedelta64(7, "D")) in nxt for w in weeks),
+            dtype=np.int64, count=len(weeks))
+        return pd.DataFrame({"week": weeks,
+                             "n_active": np.ones(len(weeks), np.int64),
+                             "n_retained": retained})
+
+    out = ds.map_batches(pairs, batch_format="pandas") \
+        .groupby("user_id").map_groups(per_user, batch_format="pandas") \
+        .groupby("week").aggregate(Sum("n_active", alias_name="n_active"),
+                                   Sum("n_retained", alias_name="n_retained")) \
+        .to_pandas()
+    out["n_active"] = out.n_active.astype("int64")
+    out["n_retained"] = out.n_retained.astype("int64")
+    out["week"] = out.week.astype("datetime64[us]")
+    return out.sort_values("week").reset_index(drop=True)
+
+
+def mode_value_band_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with a deterministic tie rule: per event type, the
+    most frequent integer value band (floor(value)), ties resolved to
+    the smallest band (SQL oracle: row_number over (n DESC, band ASC)
+    — DuckDB's own mode() leaves ties unspecified, so the rule is made
+    explicit on both sides). Partial (type, band) counts shrink the
+    shuffle; the per-type argmax merge is the mergeable-argmax shape."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["value"])
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "band": np.floor(b.value.to_numpy()).astype(np.int64),
+        }).groupby(["event_type", "band"], as_index=False).agg(
+            n=("band", "size"))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("band", as_index=False).agg(n=("n", "sum"))
+        m = m.sort_values(["n", "band"], ascending=[False, True]).head(1)
+        return pd.DataFrame({"event_type": g.event_type.iloc[:1],
+                             "mode_band": m.band.to_numpy()[:1],
+                             "n_mode": m.n.to_numpy()[:1]})
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby("event_type").map_groups(per_type, batch_format="pandas") \
+        .to_pandas()
+    out["mode_band"] = out.mode_band.astype("int64")
+    out["n_mode"] = out.n_mode.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def hourly_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (log2, DuckDB entropy() semantics) of the
+    event-type distribution per hour-of-day — the categorical-balance
+    drift primitive. Partial (hour, type) counts shrink the shuffle to
+    <= 24 x #types rows; entropy is computed from EXACT merged integer
+    counts (deterministic — no float sum-order hazard), rounded at 6dp
+    on both sides."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour_of_day": b.ts.dt.hour.astype("int64"),
+            "event_type": b.event_type,
+        }).groupby(["hour_of_day", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    def per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("event_type", as_index=False).agg(n=("n", "sum"))
+        c = m.n.to_numpy(np.float64)
+        p = c / c.sum()
+        ent = float(-(p * np.log2(p)).sum())
+        return pd.DataFrame({"hour_of_day": g.hour_of_day.iloc[:1].astype("int64"),
+                             "n": np.array([int(c.sum())], np.int64),
+                             "type_entropy": np.round([ent], 6)})
+
+    out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby("hour_of_day").map_groups(per_hour, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("hour_of_day").reset_index(drop=True)
+
+
+def amended_events_latest_dedup(sf_dir: str) -> pd.DataFrame:
+    """Multi-source union + keep-latest dedup: the late-arrival /
+    amendment reconciliation pass (CDC-style upsert semantics). A
+    derived 'amendment feed' (every purchase re-emitted 1h later with
+    value+10) is unioned with the base stream via Dataset.union; the
+    winner per event_id is (ts DESC, value DESC)-first. Shape: per-block
+    keep-latest partials shrink the shuffle, event_ids are hash-bucketed
+    (64 coarse groups — no per-key Ray groups) and each bucket resolves
+    its winners vectorized; per-type aggregates then fold exactly."""
+    from ..sketches import hash64
+
+    cols = ["event_id", "ts", "event_type", "value"]
+    base = sf_table(sf_dir, "events", columns=cols)
+
+    def amend(t: pa.Table) -> pa.Table:
+        # arrow in/out so union blocks keep ONE block type + schema
+        # (mixing pandas-producing maps into a union of arrow-read
+        # blocks trips Ray's block-type consistency check)
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        ts = pc.add(t["ts"], pa.scalar(3_600_000_000,
+                                       pa.duration("us")))
+        val = pc.add(t["value"], pa.scalar(10.0, pa.float64()))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+        return t.set_column(t.schema.get_field_index("value"), "value", val)
+
+    feed = base.map_batches(amend, batch_format="pyarrow")
+    unioned = base.union(feed)
+    n_buckets = 64
+
+    def keep_latest(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["event_id", "ts", "value"],
+                          ascending=[True, False, False], kind="stable") \
+            .drop_duplicates("event_id", keep="first")
+        return b.assign(bucket=(
+            hash64(b.event_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_id", "ts", "value"],
+                          ascending=[True, False, False], kind="stable") \
+            .drop_duplicates("event_id", keep="first")
+        return pd.DataFrame({
+            "event_type": g.event_type,
+            "value_c": np.round(g.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("event_type", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    out = unioned.map_batches(keep_latest, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                         Sum("value_c", alias_name="value_c")) \
+        .to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["sum_value"] = out.value_c.astype("float64") / 100.0
+    return out.drop(columns=["value_c"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+def fuzzy_part_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Blocked fuzzy matching (edit-distance record linkage): part-name
+    pairs within the same p_brand block at Levenshtein distance <= 2 —
+    the classic data-cleaning / entity-resolution operator. Shape:
+    brand is the blocking key (each Ray group holds ~n/25 parts); inside
+    a block, candidate pairs are generated with np.triu_indices, cheap
+    vectorized prefilters (|len diff| <= 2, mirrored in the SQL oracle)
+    cut the pair set, and functions/textdist.levenshtein_many verifies
+    survivors with a DP vectorized ACROSS pairs (python loop count is
+    O(maxlen^2), independent of pair count). At corpus scale the
+    blocking key must keep groups bounded — compose a second key (name
+    length band, first token) exactly as dedup's banded tiers do."""
+    from ..functions.textdist import levenshtein_many
+
+    ds = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("p_partkey")
+        keys = g.p_partkey.to_numpy(np.int64)
+        names = g.p_name.fillna("").to_numpy(dtype=object)
+        lens = np.fromiter((len(s) for s in names), dtype=np.int64,
+                           count=len(names))
+        ia, ib = np.triu_indices(len(g), k=1)
+        keep = np.abs(lens[ia] - lens[ib]) <= 2
+        ia, ib = ia[keep], ib[keep]
+        empty = pd.DataFrame({"a_key": pd.Series([], dtype=np.int64),
+                              "b_key": pd.Series([], dtype=np.int64),
+                              "dist": pd.Series([], dtype=np.int64)})
+        if not len(ia):
+            return empty
+        dist = levenshtein_many(list(names[ia]), list(names[ib]))
+        hit = dist <= 2
+        if not hit.any():
+            return empty
+        return pd.DataFrame({"a_key": keys[ia[hit]], "b_key": keys[ib[hit]],
+                             "dist": dist[hit].astype(np.int64)})
+
+    out = ds.groupby("p_brand").map_groups(block_pairs,
+                                           batch_format="pandas").to_pandas()
+    return out.sort_values(["a_key", "b_key"]).reset_index(drop=True)
+
+
+def value_quartile_band_counts(sf_dir: str) -> pd.DataFrame:
+    """Global discrete-quartile banding: exact quantile_disc thresholds
+    of event value (stages/scan.exact_quantiles method='inverted_cdf' —
+    thresholds are ACTUAL data values, so the band comparison is
+    bit-exact against the SQL oracle with no interpolation hazard), then
+    a map-side np.searchsorted bands every row and partial (type, band)
+    counts fold through one tiny shuffle. Two passes over the column:
+    the distinct-value order-statistics scan, then the banding scan."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    th = exact_quantiles(ds, "value", [0.25, 0.5, 0.75],
+                         method="inverted_cdf")
+    th_ref = ray.put(np.asarray(th, dtype=np.float64))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(th_ref)
+        band = np.searchsorted(t, b.value.to_numpy(np.float64),
+                               side="right").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b.event_type, "band": band,
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby(["event_type", "band"], as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "band"], as_index=False).agg(
+            n=("n", "sum"), value_c=("value_c", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    out = merge(parts)
+    out["n"] = out.n.astype("int64")
+    out["band"] = out.band.astype("int64")
+    out["sum_value"] = out.value_c.astype("float64") / 100.0
+    return out.drop(columns=["value_c"]) \
+        .sort_values(["event_type", "band"]).reset_index(drop=True)
+
+
+#: columns profiled by window_stats_drift — shared with the generated
+#: SQL oracle (__ray_entry__._wsd_oracle) so the two sides cannot
+#: desynchronize
+WSD_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def window_stats_drift(sf_dir: str) -> pd.DataFrame:
+    """Per-column stats drift between two windows — the baseline-vs-
+    production column-profile comparison at the heart of the validation
+    engine (reference capability: baseline_manager.py capture/compare),
+    as ONE no-shuffle scan: each block emits exact integer partials
+    (n, null count, min, max, cents sum, cents sum-of-squares) per
+    (column, window) and the driver folds O(#blocks x #cols) scalar
+    rows. Mean/std come from exact integer sums (order-independent);
+    the SQL oracle computes the same FILTERed aggregates (generated in
+    __ray_entry__ from the SAME WSD_COLS list, mirroring the float op
+    order so mean/std compare bit-for-bit before the 6dp rounding)."""
+    cols = WSD_COLS
+    ds = sf_table(sf_dir, "lineitem", columns=["l_orderkey"] + cols)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.l_orderkey % 2 == 0).to_numpy()
+        rows = []
+        for c in cols:
+            v = b[c].to_numpy(dtype=np.float64)
+            cents = np.round(v * 10000).astype(np.int64)
+            nul = np.isnan(v)
+            for w, m in (("ref", is_ref), ("prod", ~is_ref)):
+                vm = v[m & ~nul]
+                cm = cents[m & ~nul]
+                rows.append({
+                    "col": c, "window": w, "n": int(m.sum()),
+                    "n_null": int((m & nul).sum()),
+                    "min_v": float(vm.min()) if len(vm) else np.inf,
+                    "max_v": float(vm.max()) if len(vm) else -np.inf,
+                    "sum_c": int(cm.sum()),
+                    "sumsq_c": int((cm.astype(object) ** 2).sum()),
+                })
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby(["col", "window"], as_index=False).agg(
+        n=("n", "sum"), n_null=("n_null", "sum"), min_v=("min_v", "min"),
+        max_v=("max_v", "max"), sum_c=("sum_c", "sum"),
+        sumsq_c=("sumsq_c", "sum"))
+    piv = agg.pivot(index="col", columns="window")
+    out_rows = []
+    for c in cols:
+        r = {}
+        for w in ("ref", "prod"):
+            n = int(piv.loc[c, ("n", w)]) - int(piv.loc[c, ("n_null", w)])
+            s = float(piv.loc[c, ("sum_c", w)]) / 10000.0
+            ss = float(piv.loc[c, ("sumsq_c", w)]) / 10000.0 ** 2
+            mean = s / n
+            var = max(ss / n - mean * mean, 0.0)
+            r[w] = {"n": int(piv.loc[c, ("n", w)]),
+                    "mean": mean, "std": float(np.sqrt(var)),
+                    "min": float(piv.loc[c, ("min_v", w)]),
+                    "max": float(piv.loc[c, ("max_v", w)])}
+        out_rows.append({
+            "col": c,
+            "n_ref": r["ref"]["n"], "n_prod": r["prod"]["n"],
+            "mean_ref": float(np.round(r["ref"]["mean"], 6)),
+            "mean_prod": float(np.round(r["prod"]["mean"], 6)),
+            "mean_shift": float(np.round(
+                abs(r["prod"]["mean"] - r["ref"]["mean"]), 6)),
+            "std_ref": float(np.round(r["ref"]["std"], 6)),
+            "std_prod": float(np.round(r["prod"]["std"], 6)),
+            "range_ref": float(np.round(r["ref"]["max"] - r["ref"]["min"], 6)),
+            "range_prod": float(np.round(r["prod"]["max"] - r["prod"]["min"], 6)),
+        })
+    out = pd.DataFrame(out_rows)
+    for c in ("n_ref", "n_prod"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def rolling_7d_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Trailing 7-day DISTINCT-user window per day — the sliding-window
+    COUNT(DISTINCT) that plain window functions cannot express. Shape:
+    per-block distinct (user, day) pairs shrink the shuffle; each user
+    group expands its own active days into covered window days (a
+    bounded <= 7x set union per user, no cross-user state) and emits
+    (day, 1) contribution rows; a grouped Sum folds exact counts. Days
+    with no events are excluded on both sides (the oracle joins the
+    distinct-day set)."""
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"user_id": b.user_id.astype("int64"),
+                             "day": b.ts.dt.normalize()}).drop_duplicates()
+
+    pair_ds = ds.map_batches(pairs, batch_format="pandas")
+    all_days = np.sort(pd.unique(pair_ds.select_columns(["day"])
+                                 .to_pandas().day))
+    days_ref = ray.put(all_days)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.sort(g.day.unique())
+        covered = np.unique(np.concatenate(
+            [days + np.timedelta64(i, "D") for i in range(7)]))
+        from ..functions.broadcast import get_broadcast
+        valid = get_broadcast(days_ref)
+        covered = covered[np.isin(covered, valid)]
+        return pd.DataFrame({"day": covered,
+                             "n": np.ones(len(covered), np.int64)})
+
+    out = pair_ds.groupby("user_id").map_groups(per_user,
+                                                batch_format="pandas") \
+        .groupby("day").aggregate(Sum("n", alias_name="n_users_7d")) \
+        .to_pandas()
+    out["n_users_7d"] = out.n_users_7d.astype("int64")
+    out["day"] = out.day.astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)

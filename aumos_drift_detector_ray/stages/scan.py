@@ -266,9 +266,14 @@ def exact_quantiles(
     ds: ray.data.Dataset,
     value_col: str,
     probs: "list[float]",
+    method: str = "linear",
 ) -> np.ndarray:
-    """EXACT linear-interpolated quantiles (np.percentile / SQL
-    quantile_cont semantics) of one column, distributed: per-block
+    """EXACT quantiles of one column, distributed. ``method='linear'``
+    is np.percentile / SQL quantile_cont interpolation;
+    ``method='inverted_cdf'`` is SQL quantile_disc (the smallest data
+    value whose CDF reaches p — always an actual data value, so
+    downstream comparisons against the threshold are bit-exact on both
+    sides of an oracle). Shape: per-block
     grouped value counts -> bucketed merge -> sort -> the driver holds
     only per-block (min, count) summaries and asks the two blocks
     covering each target rank for their values. The KLL sketch
@@ -311,10 +316,19 @@ def exact_quantiles(
     if total == 0:
         return np.full(len(probs), np.nan)
     offs = np.concatenate([[0], np.cumsum(summary.n.to_numpy())])
-    # target (possibly fractional) ranks over the sorted multiset
-    x = np.asarray(probs, dtype=float) * (total - 1)
-    lo_ranks = np.floor(x).astype(np.int64)
-    hi_ranks = np.ceil(x).astype(np.int64)
+    if method == "inverted_cdf":
+        # quantile_disc: 0-based rank ceil(n*p) - 1, clipped at the ends
+        x = np.asarray(probs, dtype=float) * total
+        lo_ranks = np.clip(np.ceil(x).astype(np.int64) - 1, 0, total - 1)
+        hi_ranks = lo_ranks
+        x = lo_ranks.astype(float)
+    elif method == "linear":
+        # target (possibly fractional) ranks over the sorted multiset
+        x = np.asarray(probs, dtype=float) * (total - 1)
+        lo_ranks = np.floor(x).astype(np.int64)
+        hi_ranks = np.ceil(x).astype(np.int64)
+    else:
+        raise ValueError(f"unknown quantile method {method!r}")
     need = np.unique(np.concatenate([lo_ranks, hi_ranks]))
     mins = summary.min_val.to_numpy()
     bc = ray.put({"mins": mins, "offs": offs, "need": need})

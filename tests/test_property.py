@@ -227,3 +227,36 @@ class TestRound2Properties:
         merged = a.merge(b)
         assert merged.rows == whole.rows
         assert merged.n_seen == whole.n_seen
+
+
+class TestTextDist:
+    def test_levenshtein_many_matches_reference(self):
+        """Vectorized DP vs a scalar reference implementation."""
+        from aumos_drift_detector_ray.functions.textdist import levenshtein_many
+
+        def ref(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        import numpy as np
+        rng = np.random.default_rng(11)
+        alpha = "abcde"
+        a = ["".join(rng.choice(list(alpha), rng.integers(0, 9)))
+             for _ in range(300)]
+        b = ["".join(rng.choice(list(alpha), rng.integers(0, 9)))
+             for _ in range(300)]
+        got = levenshtein_many(a, b)
+        want = np.array([ref(x, y) for x, y in zip(a, b)])
+        assert (got == want).all()
+
+    def test_levenshtein_many_empty_and_edge(self):
+        from aumos_drift_detector_ray.functions.textdist import levenshtein_many
+        assert list(levenshtein_many([], [])) == []
+        assert list(levenshtein_many(["", "ab", "x"],
+                                     ["ab", "", "x"])) == [2, 2, 0]

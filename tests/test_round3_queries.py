@@ -47,6 +47,18 @@ NEW_QUERIES = [
     "user_event_sequences",
     # benchmark decontamination
     "decontaminate_docs",
+    # normalization / doc-frequency / retention / mode / entropy /
+    # union-latest-dedup
+    "normalized_docs",
+    "doc_frequency_top_terms",
+    "weekly_user_retention",
+    "mode_value_band_per_type",
+    "hourly_type_entropy",
+    "amended_events_latest_dedup",
+    "fuzzy_part_name_pairs",
+    "value_quartile_band_counts",
+    "window_stats_drift",
+    "rolling_7d_distinct_users",
 ]
 
 

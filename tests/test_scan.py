@@ -344,3 +344,24 @@ class TestDegenerateDistributions:
             pd.DataFrame({"x": np.full(100, 3.5)})).repartition(4)
         out = scan.exact_quantiles(ds, "x", [0.0, 0.5, 1.0])
         assert np.allclose(out, 3.5)
+
+
+def test_exact_quantiles_inverted_cdf_matches_quantile_disc(ray_session):
+    """method='inverted_cdf' must reproduce DuckDB quantile_disc (always
+    an actual data value — the bit-exact threshold contract)."""
+    import duckdb
+    import ray.data
+    from aumos_drift_detector_ray.stages.scan import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(50, 20, 999), 2)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": vals}))
+    probs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_quantiles(ds, "v", probs, method="inverted_cdf")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [list(vals)])
+    for p, g in zip(probs, got):
+        want = con.execute(
+            f"SELECT quantile_disc(v, {p}) FROM t").fetchone()[0]
+        assert g == want, (p, g, want)
+        assert g in vals
