@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartile_band_counts": Q.value_quartile_band_counts,
         "window_stats_drift": Q.window_stats_drift,
         "rolling_7d_distinct_users": Q.rolling_7d_distinct_users,
+        "neardup_clusters": Q.neardup_clusters,
+        "session_funnel_counts": Q.session_funnel_counts,
+        "heavy_hitter_tokens": Q.heavy_hitter_tokens,
     }
 
 
@@ -1273,6 +1276,75 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         "window_stats_drift": _wsd_oracle(),
+        "neardup_clusters": """
+            -- ground-truth pair graph (all-pairs shingle Jaccard >= 0.8,
+            -- oracle-only O(n^2)) closed transitively with a recursive
+            -- CTE (min-label propagation to a fixpoint)
+            WITH RECURSIVE sh AS MATERIALIZED (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text) - 3, 2)),
+                           i -> substr(text, i, 5))) AS s
+                FROM documents
+            ),
+            pairs AS MATERIALIZED (
+                SELECT CAST(a.doc_id AS BIGINT) AS ia,
+                       CAST(b.doc_id AS BIGINT) AS ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s)), 9) >= 0.8
+            ),
+            edges AS MATERIALIZED (
+                SELECT ia AS a, ib AS b FROM pairs
+                UNION SELECT ib, ia FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            lab AS (
+                SELECT n, n AS lbl FROM nodes
+                UNION
+                SELECT e.b AS n, least(l.lbl, e.b) AS lbl
+                FROM lab l JOIN edges e ON e.a = l.n
+            ),
+            final AS (SELECT n, min(lbl) AS root FROM lab GROUP BY n)
+            SELECT root AS cluster_root,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "session_funnel_counts": """
+            WITH o AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts)
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, event_type,
+                       sum(new_s) OVER (ORDER BY user_id, ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sess
+                FROM o
+            ),
+            v AS (
+                SELECT sess,
+                       min(ts) FILTER (event_type = 'view') AS minv
+                FROM s GROUP BY sess
+            ),
+            c AS (
+                SELECT s.sess,
+                       max(CASE WHEN v.minv IS NOT NULL THEN 1 ELSE 0 END)
+                           AS has_view,
+                       max(CASE WHEN s.event_type = 'purchase'
+                                 AND s.ts > v.minv THEN 1 ELSE 0 END) AS conv
+                FROM s JOIN v USING (sess) GROUP BY s.sess
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(has_view) AS BIGINT) AS n_with_view,
+                   CAST(sum(conv) AS BIGINT) AS n_converted
+            FROM c
+        """,
         "rolling_7d_distinct_users": """
             WITH uw AS (
                 SELECT DISTINCT user_id,

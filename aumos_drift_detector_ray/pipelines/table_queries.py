@@ -3210,3 +3210,117 @@ def rolling_7d_distinct_users(sf_dir: str) -> pd.DataFrame:
     out["n_users_7d"] = out.n_users_7d.astype("int64")
     out["day"] = out.day.astype("datetime64[us]")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def neardup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup CLUSTERS (connected components over the verified pair
+    graph) — the step that turns pairwise dedup into 'keep one per
+    group'. Engine path: LSH candidates -> distributed exact verify
+    (verified_neardup_pairs) -> union-find over the surviving pairs.
+    The pair set is bounded by the candidate rate (the same documented
+    contract every dedup finalize step in stages/dedup.py relies on),
+    so the union-find runs on the driver over scalars; at a corpus
+    scale where components outgrow that bound, iterate min-label
+    propagation as a hash_join loop (each round is one bucketed join —
+    the standard distributed-CC shape). The SQL oracle recomputes the
+    ground-truth all-pairs Jaccard graph and closes it transitively
+    with a recursive CTE, so a green row proves candidate recall,
+    exact verify AND the clustering."""
+    pairs = verified_neardup_pairs(sf_dir)
+    parent: "dict[int, int]" = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = pd.Series({n: find(n) for n in parent}, name="cluster_root")
+    out = roots.groupby(roots).size().rename("n_members").reset_index()
+    out["cluster_root"] = out.cluster_root.astype("int64")
+    out["n_members"] = out.n_members.astype("int64")
+    return out.sort_values("cluster_root").reset_index(drop=True)
+
+
+def session_funnel_counts(sf_dir: str) -> pd.DataFrame:
+    """Sessionized funnel conversion: of all 30-minute-gap sessions, how
+    many contain a 'view', and how many of those CONVERT (a 'purchase'
+    strictly after the session's first view) — the ordered-sequence
+    pattern query. Same one-shuffle bucketed sessionizer as
+    user_session_stats, fully vectorized inside the bucket (session
+    min-view-ts via groupby transform, no per-session Python); each
+    bucket emits 3 partial counters and the driver folds #buckets rows."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        new_s = g.user_id.ne(g.user_id.shift()) \
+            | (g.ts.diff() > pd.Timedelta(minutes=30))
+        sid = new_s.cumsum()
+        view_ts = g.ts.where(g.event_type == "view")
+        minv = view_ts.groupby(sid, sort=False).transform("min")
+        conv_row = (g.event_type == "purchase") & (g.ts > minv)
+        per_sess = pd.DataFrame({
+            "has_view": view_ts.notna(), "conv": conv_row,
+        }).groupby(sid, sort=False).max()
+        return pd.DataFrame({
+            "n_sessions": [np.int64(len(per_sess))],
+            "n_with_view": [np.int64(per_sess.has_view.sum())],
+            "n_converted": [np.int64(per_sess.conv.sum())],
+        })
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_sessions": [np.int64(parts.n_sessions.sum())],
+        "n_with_view": [np.int64(parts.n_with_view.sum())],
+        "n_converted": [np.int64(parts.n_converted.sum())],
+    })
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 512, m: int = 20) -> pd.DataFrame:
+    """Approximate heavy hitters over document tokens via the mergeable
+    Misra-Gries summary (sketches.MisraGries) — the one-pass bounded-
+    memory path for 10^12-row vocabularies where exact per-token counts
+    would shuffle the whole vocabulary. Each block folds its tokens into
+    one k-counter summary (vectorized pre-aggregation), the driver
+    merges O(#blocks) summaries of <= k entries each, and the result
+    carries EXACT error bounds: lower <= true count <= upper, with every
+    token of frequency > n/(k+1) guaranteed present (pytest asserts both
+    invariants against the exact counts). Rows-only: sketches have no
+    SQL analogue; the exact complement is top_tokens_docs."""
+    from ..sketches import MisraGries
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        mg = MisraGries(k).update_many(WORD_RE.findall(blob))
+        return pd.DataFrame({"sketch": [mg.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged = MisraGries(k)
+    for raw in parts.sketch:
+        merged = merged.merge(MisraGries.from_bytes(raw))
+    rows = merged.top(m)
+    return pd.DataFrame({
+        "token": [r[0] for r in rows],
+        "lower_bound": np.array([r[1] for r in rows], np.int64),
+        "upper_bound": np.array([r[2] for r in rows], np.int64),
+    })

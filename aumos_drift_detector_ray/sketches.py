@@ -531,3 +531,76 @@ class RangePartitionedBloom:
             sel = rr == r
             out[sel] = self._shard(int(r)).contains_hashes(h[sel])
         return out
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (SpaceSaving-style mergeable summary)
+# ---------------------------------------------------------------------------
+
+class MisraGries(_Serializable):
+    """Mergeable Misra-Gries frequency summary with k counters.
+
+    Guarantees (standard, public results — Misra & Gries 1982; merge
+    rule from Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+    - ``estimate(x) <= true_count(x) <= estimate(x) + error`` where
+      ``error`` is the summary's accumulated decrement total (tracked
+      exactly in ``self.error``, always <= n/(k+1)).
+    - every item with true count > n/(k+1) is PRESENT in the summary.
+    - merging summaries preserves both properties with errors adding.
+
+    The update path is vectorized: a batch is pre-aggregated with
+    np.unique, counters are updated dict-at-once, and the k-trim
+    subtracts the (k+1)-th largest count from everyone (the Mergeable
+    Summaries decrement rule) — no per-item Python beyond dict ops on
+    at most (k + #distinct-in-batch) keys."""
+
+    def __init__(self, k: int = 256) -> None:
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        self.k = int(k)
+        self.counts: "dict[Any, int]" = {}
+        self.error = 0  # total decrement applied so far (exact)
+
+    def update_many(self, values: "Iterable[Any]",
+                    weights: "np.ndarray | None" = None) -> "MisraGries":
+        vals = list(values)
+        if not vals:
+            return self
+        u, idx = np.unique(np.asarray(vals, dtype=object),
+                           return_inverse=True)
+        if weights is None:
+            c = np.bincount(idx, minlength=len(u)).astype(np.int64)
+        else:
+            c = np.bincount(idx, weights=np.asarray(weights, dtype=np.int64),
+                            minlength=len(u)).astype(np.int64)
+        for v, n in zip(u, c):
+            self.counts[v] = self.counts.get(v, 0) + int(n)
+        self._trim()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(min(self.k, other.k))
+        out.counts = dict(self.counts)
+        for v, n in other.counts.items():
+            out.counts[v] = out.counts.get(v, 0) + n
+        out.error = self.error + other.error
+        out._trim()
+        return out
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64,
+                           count=len(self.counts))
+        # (k+1)-th largest count is the decrement (Mergeable Summaries)
+        dec = int(np.partition(vals, -self.k - 1)[-self.k - 1])
+        self.error += dec
+        self.counts = {v: n - dec for v, n in self.counts.items()
+                       if n - dec > 0}
+
+    def top(self, m: int) -> "list[tuple[Any, int, int]]":
+        """Top-m entries as (item, lower_bound, upper_bound), ordered by
+        lower bound descending then item ascending (deterministic)."""
+        items = sorted(self.counts.items(), key=lambda t: (-t[1], str(t[0])))
+        return [(v, n, n + self.error) for v, n in items[:m]]

@@ -194,6 +194,11 @@ def run_queries() -> dict[str, float]:
         # round-3 session-3 operators: multi-join TPC-H shape, PII
         # redaction, per-dim vector stats
         "tpch_q5_region_revenue", "pii_redacted_docs", "embedding_dim_stats",
+        # round-3 session-4 operators: normalization, fuzzy linkage,
+        # window stats drift, funnel, heavy hitters, rolling distinct
+        "normalized_docs", "fuzzy_part_name_pairs", "window_stats_drift",
+        "session_funnel_counts", "heavy_hitter_tokens",
+        "rolling_7d_distinct_users",
     ]
     qs = E.queries()
     out = {}

@@ -59,6 +59,8 @@ NEW_QUERIES = [
     "value_quartile_band_counts",
     "window_stats_drift",
     "rolling_7d_distinct_users",
+    "neardup_clusters",
+    "session_funnel_counts",
 ]
 
 
@@ -218,3 +220,24 @@ def test_tpch_q5_hash_join_fallback_matches_broadcast(ray_session, monkeypatch):
     slow = Q.tpch_q5_region_revenue(SF)
     pd.testing.assert_frame_equal(fast.reset_index(drop=True),
                                   slow.reset_index(drop=True))
+
+
+def test_heavy_hitter_tokens_bounds_vs_exact(ray_session):
+    """MG summary invariants vs exact counts at sf0.001: bounds contain
+    the true count; every token above n/(k+1) is reported or reportable;
+    the top-10 by lower bound matches the exact top-10."""
+    import re
+    import pyarrow.parquet as pq
+    from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+    got = Q.heavy_hitter_tokens(SF, k=512, m=10)
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]) \
+        .column("text").to_pylist()
+    true: dict = {}
+    for t in texts:
+        for tok in re.findall(r"[a-z']+", (t or "").lower()):
+            true[tok] = true.get(tok, 0) + 1
+    for _, r in got.iterrows():
+        assert r.lower_bound <= true[r.token] <= r.upper_bound
+    exact_top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got.token) == [t for t, _ in exact_top]

@@ -190,3 +190,39 @@ class TestHashing:
         hi = hash_any_array(np.array([1, 2, 3]))
         hf = hash_any_array(np.array([1.0, 2.0, 3.0]))
         assert not np.array_equal(hi, hf)
+
+
+class TestMisraGries:
+    def test_bounds_and_presence_guarantee(self):
+        from aumos_drift_detector_ray.sketches import MisraGries
+
+        rng = np.random.default_rng(3)
+        # zipf-ish stream with planted heavy hitters
+        items = (["hot%d" % i for i in range(5) for _ in range(500)]
+                 + [f"t{int(x)}" for x in rng.zipf(1.3, 4000) % 997])
+        rng.shuffle(items)
+        k = 64
+        chunks = [items[i::7] for i in range(7)]
+        sketches = [MisraGries(k).update_many(c) for c in chunks]
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = merged.merge(s)
+        true = {}
+        for it in items:
+            true[it] = true.get(it, 0) + 1
+        n = len(items)
+        assert merged.error <= n // (k + 1) + 1
+        for tok, cnt in merged.counts.items():
+            assert cnt <= true[tok] <= cnt + merged.error
+        thresh = n / (k + 1)
+        for tok, cnt in true.items():
+            if cnt > thresh:
+                assert tok in merged.counts, (tok, cnt, thresh)
+
+    def test_weighted_update_and_roundtrip(self):
+        from aumos_drift_detector_ray.sketches import MisraGries
+        mg = MisraGries(4).update_many(["a", "b"], np.array([10, 3]))
+        raw = mg.to_bytes()
+        back = MisraGries.from_bytes(raw)
+        assert back.counts == {"a": 10, "b": 3}
+        assert back.top(1)[0] == ("a", 10, 10)
