@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": Q.neardup_clusters,
         "session_funnel_counts": Q.session_funnel_counts,
         "heavy_hitter_tokens": Q.heavy_hitter_tokens,
+        "key_skew_stats": Q.key_skew_stats,
+        "pattern_profile_docs": Q.pattern_profile_docs,
+        "event_type_transitions": Q.event_type_transitions,
     }
 
 
@@ -391,7 +394,8 @@ def _norm_oracle() -> str:
         WITH n AS (
             SELECT doc_id,
                    trim(regexp_replace(lower(strip_accents(nfc_normalize(
-                        '{probe_sql}' || coalesce(text, '')))),
+                        replace('{probe_sql}' || coalesce(text, ''),
+                                chr(0), '')))),
                         '\\s+', ' ', 'g')) AS norm
             FROM documents
         )
@@ -437,6 +441,38 @@ def _wsd_oracle() -> str:
                         - min({c}) FILTER ({prod}), 6) AS DOUBLE) AS range_prod
             FROM lineitem""")
     return " UNION ALL ".join(parts) + " ORDER BY col"
+
+
+
+
+def _pattern_profile_oracle() -> str:
+    """Oracle for pattern_profile_docs, generated from the SAME
+    PII_PATTERNS list (both sides RE2) and the same planting rule."""
+    from aumos_drift_detector_ray.stages.textops import PII_PATTERNS
+
+    hits = []
+    for name, pat, _ in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        hits.append(
+            f"CAST(sum(CASE WHEN regexp_matches(t, '{p}') "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{name}")
+    hits.append("CAST(sum(CASE WHEN regexp_matches(t, '[0-9]') "
+                "THEN 1 ELSE 0 END) AS BIGINT) AS n_digit")
+    return f"""
+        WITH planted AS (
+            SELECT source,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                        COALESCE(text, '') || ' reach user'
+                        || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                        || ' or 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                   ELSE COALESCE(text, '') END AS t
+            FROM documents
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n, {", ".join(hits)}
+        FROM planted GROUP BY source ORDER BY source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1308,6 +1344,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "key_skew_stats": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(n) AS BIGINT) AS max_n,
+                   CAST(round(CAST(sum(n) AS DOUBLE) / count(*), 6)
+                        AS DOUBLE) AS mean_n,
+                   CAST(round(quantile_cont(n, 0.5), 6) AS DOUBLE) AS p50,
+                   CAST(round(quantile_cont(n, 0.9), 6) AS DOUBLE) AS p90,
+                   CAST(round(quantile_cont(n, 0.99), 6) AS DOUBLE) AS p99
+            FROM c
+        """,
+        "pattern_profile_docs": _pattern_profile_oracle(),
+        "event_type_transitions": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "session_funnel_counts": """
             WITH o AS (

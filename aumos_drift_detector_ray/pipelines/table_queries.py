@@ -3324,3 +3324,123 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 512, m: int = 20) -> pd.DataFrame:
         "lower_bound": np.array([r[1] for r in rows], np.int64),
         "upper_bound": np.array([r[2] for r in rows], np.int64),
     })
+
+
+def key_skew_stats(sf_dir: str) -> pd.DataFrame:
+    """Partition-skew diagnostics: the distribution of per-key (user)
+    row counts — n_keys, max, mean and exact p50/p90/p99 — the numbers
+    that decide when a groupby needs salting (the engine's own
+    hot-key/salting playbook, stages/aggregate.py). Shape: one
+    pre-aggregated shuffle builds the per-key count table; the exact
+    order-statistics scan (scan.exact_quantiles) answers the quantiles
+    over it; Max/Sum aggregates fold the rest. The counts table is
+    materialized once (#keys rows, spillable) so the three consumers
+    don't recompute the shuffle."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+
+    # column named "key_n", not "n": scan.exact_quantiles uses "n" as
+    # its internal count column and a clash makes the frame ambiguous
+    counts = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("user_id").aggregate(Sum("n", alias_name="key_n")) \
+        .materialize()
+    q = exact_quantiles(counts, "key_n", [0.5, 0.9, 0.99])
+    agg = counts.aggregate(Count(), Max("key_n"), Sum("key_n"))
+    n_keys = int(agg["count()"])
+    total = int(agg["sum(key_n)"])
+    return pd.DataFrame({
+        "n_keys": [np.int64(n_keys)],
+        "max_n": [np.int64(agg["max(key_n)"])],
+        "mean_n": [float(np.round(total / n_keys, 6))],
+        "p50": [float(np.round(q[0], 6))],
+        "p90": [float(np.round(q[1], 6))],
+        "p99": [float(np.round(q[2], 6))],
+    })
+
+
+def pattern_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """String-pattern profiling per source: the fraction-of-rows-
+    matching report (email / phone / IPv4 / any-digit rates) a
+    validation engine runs to infer semantic column types. Deterministic
+    PII is planted on every third document (the corpus has none), the
+    SAME RE2 patterns as redact_pii scan each block vectorized
+    (pc.match_substring_regex), and per-source match counts fold through
+    one tiny shuffle. Oracle generated from the shared PII_PATTERNS."""
+    from ..stages.textops import PII_PATTERNS
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def plant(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.doc_id.astype("int64")
+        b = b.copy()
+        planted = (
+            b.text.fillna("") + " reach user" + d.astype(str)
+            + "@mail.example.com or 555-010-"
+            + (d % 10000).astype(str).str.zfill(4)
+            + " at 10.0.0." + (d % 255).astype(str)
+        )
+        b["text"] = b.text.fillna("").where((d % 3 != 0), planted)
+        return b
+
+    def profile(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        cols = {"source": t["source"],
+                "n": pa.array(np.ones(len(t), np.int64))}
+        for name, pat, _ in PII_PATTERNS:
+            hit = pc.match_substring_regex(txt, pat)
+            cols[f"n_{name}"] = pc.cast(hit, pa.int64())
+        cols["n_digit"] = pc.cast(
+            pc.match_substring_regex(txt, r"[0-9]"), pa.int64())
+        return pa.table(cols)
+
+    keys = [f"n_{name}" for name, _, _ in PII_PATTERNS] + ["n_digit"]
+    out = ds.map_batches(plant, batch_format="pandas") \
+        .map_batches(profile, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n", alias_name="n"),
+            *[Sum(k, alias_name=k) for k in keys]) \
+        .to_pandas()
+    for k in ["n"] + keys:
+        out[k] = out[k].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def event_type_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts of the per-user event-type
+    sequence ((prev_type, type) pairs under deterministic (ts, event_id)
+    ordering — the sequence-model / behavioral-drift primitive). One
+    bucketed shuffle by user; inside a bucket the lag is one vectorized
+    shift over the (user, ts, event_id)-sorted frame; per-bucket partial
+    counts fold through a tiny grouped Sum."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                             "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.event_type.shift()
+        same_user = g.user_id.eq(g.user_id.shift())
+        d = pd.DataFrame({"prev_type": prev[same_user],
+                          "event_type": g.event_type[same_user]})
+        return d.groupby(["prev_type", "event_type"], as_index=False) \
+            .agg(n=("event_type", "size"))
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby(["prev_type", "event_type"], as_index=False) \
+        .agg(n=("n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)

@@ -356,6 +356,11 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
     ``lower(strip_accents(nfc_normalize(x)))`` + whitespace collapse so
     the oracle can verify bit-for-bit):
 
+      0. strip NUL characters (control-char garbage; DuckDB's
+         utf8proc-backed functions are NUL-truncating, so removing NUL
+         FIRST is both the sane cleaning rule and what keeps the two
+         sides comparable — caught by tools/fuzz_oracle.py --docs on an
+         adversarial corpus with embedded NUL).
       1. NFD-decompose, drop combining marks (``\\p{Mn}``) — equivalent
          to DuckDB ``strip_accents`` for precomposed Latin input
          (decomposition leaves base letters; no recomposition needed).
@@ -372,6 +377,7 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
 
     def fn(batch: pa.Table) -> pa.Table:
         col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        col = pc.replace_substring(col, pattern="\x00", replacement="")
         col = pc.utf8_normalize(col, form="NFD")
         col = pc.replace_substring_regex(col, r"\p{Mn}", "")
         col = pc.utf8_lower(col)

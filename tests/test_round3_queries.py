@@ -61,6 +61,9 @@ NEW_QUERIES = [
     "rolling_7d_distinct_users",
     "neardup_clusters",
     "session_funnel_counts",
+    "key_skew_stats",
+    "pattern_profile_docs",
+    "event_type_transitions",
 ]
 
 

@@ -57,6 +57,12 @@ EVENT_QUERIES = [
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
     "user_value_moving_avg", "user_event_sequences",
+    # session-4: mode/entropy/union-dedup/banding/retention/rolling
+    # distinct/funnel/skew/transitions
+    "mode_value_band_per_type", "hourly_type_entropy",
+    "amended_events_latest_dedup", "value_quartile_band_counts",
+    "weekly_user_retention", "rolling_7d_distinct_users",
+    "session_funnel_counts", "key_skew_stats", "event_type_transitions",
 ]
 
 
@@ -100,6 +106,8 @@ DOC_QUERIES = [
     "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
     "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
     "verified_neardup_pairs", "decontaminate_docs",
+    # session-4: normalization, doc-frequency, pattern profiling
+    "normalized_docs", "doc_frequency_top_terms", "pattern_profile_docs",
 ]
 
 
