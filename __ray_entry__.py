@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_stats": Q.key_skew_stats,
         "pattern_profile_docs": Q.pattern_profile_docs,
         "event_type_transitions": Q.event_type_transitions,
+        "impute_missing_values": Q.impute_missing_values,
+        "k_anonymity_events": Q.k_anonymity_events,
+        "embedding_covariance": Q.embedding_covariance,
     }
 
 
@@ -1344,6 +1347,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "impute_missing_values": """
+            WITH x AS (
+                SELECT event_type,
+                       CASE WHEN event_id % 11 = 0 THEN NULL
+                            ELSE CAST(round(value * 100) AS BIGINT)
+                       END AS cents
+                FROM events
+            ),
+            m AS (
+                SELECT event_type,
+                       count(*) FILTER (cents IS NULL) AS n_miss,
+                       count(cents) AS n_ok,
+                       CAST(sum(cents) AS DOUBLE) / 100.0 AS s_ok
+                FROM x GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(n_miss AS BIGINT) AS n_imputed,
+                   CAST(round(s_ok / n_ok, 6) AS DOUBLE) AS fill_mean,
+                   CAST(round((s_ok + n_miss * (s_ok / n_ok))
+                        / (n_ok + n_miss), 6) AS DOUBLE) AS mean_after
+            FROM m ORDER BY event_type
+        """,
+        "k_anonymity_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
+                       CAST(floor(value / 10.0) AS BIGINT) AS band,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2, 3
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_combos,
+                   CAST(count(*) FILTER (n < 5) AS BIGINT) AS n_below_k,
+                   CAST(coalesce(sum(n) FILTER (n < 5), 0) AS BIGINT)
+                       AS rows_below_k
+            FROM c
+        """,
+        "embedding_covariance": """
+            WITH u AS (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ), f AS (SELECT * FROM u WHERE dim <= 8)
+            SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+                   round((sum(a.v * b.v)
+                          - sum(a.v) * sum(b.v) / count(*))
+                         / (count(*) - 1), 6) AS cov
+            FROM f a JOIN f b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "key_skew_stats": """
             WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)

@@ -3444,3 +3444,110 @@ def event_type_transitions(sf_dir: str) -> pd.DataFrame:
         .agg(n=("n", "sum"))
     out["n"] = out.n.astype("int64")
     return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def impute_missing_values(sf_dir: str) -> pd.DataFrame:
+    """Missing-value imputation (per-group mean fill) — the data-repair
+    transform of a curation pipeline, oracle-proven: deterministic
+    nulls are planted (event_id % 11 == 0; the corpus has none), the
+    per-type means of the REMAINING values are computed exactly (cents
+    integers, one tiny pre-aggregated shuffle), broadcast, and a
+    map-side pass fills the holes. Output audits the repair per type:
+    rows imputed and the post-imputation mean, float op order mirrored
+    by the SQL oracle."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type",
+                                             "value"])
+
+    def plant_and_partial(b: pd.DataFrame) -> pd.DataFrame:
+        miss = (b.event_id % 11 == 0).to_numpy()
+        cents = np.round(b.value.to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b.event_type, "miss": miss, "cents": cents,
+        }).groupby(["event_type", "miss"], as_index=False).agg(
+            n=("cents", "size"), cents=("cents", "sum"))
+
+    parts = ds.map_batches(plant_and_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    g = parts.groupby(["event_type", "miss"], as_index=False).agg(
+        n=("n", "sum"), cents=("cents", "sum"))
+    piv = g.pivot(index="event_type", columns="miss").fillna(0)
+    out_rows = []
+    for t in piv.index:
+        n_ok = int(piv.loc[t, ("n", False)])
+        n_miss = int(piv.loc[t, ("n", True)]) if ("n", True) in piv.columns else 0
+        s_ok = float(piv.loc[t, ("cents", False)]) / 100.0
+        fill_mean = s_ok / n_ok
+        total = s_ok + n_miss * fill_mean
+        out_rows.append({
+            "event_type": t,
+            "n_imputed": np.int64(n_miss),
+            "fill_mean": float(np.round(fill_mean, 6)),
+            "mean_after": float(np.round(total / (n_ok + n_miss), 6)),
+        })
+    return pd.DataFrame(out_rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+def k_anonymity_events(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """k-anonymity audit over quasi-identifiers (event_type,
+    hour-of-day, floor(value/10) band) — the privacy-validation check a
+    release pipeline runs before publishing. One pre-aggregated shuffle
+    builds combo counts; the report is the number of distinct combos,
+    how many fall below k, and how many ROWS sit in those re-identifiable
+    combos."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "hour_of_day": b.ts.dt.hour.astype("int64"),
+            "band": np.floor(b.value.to_numpy() / 10.0).astype(np.int64),
+        }).groupby(["event_type", "hour_of_day", "band"],
+                   as_index=False).agg(n=("band", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    combos = parts.groupby(["event_type", "hour_of_day", "band"],
+                           as_index=False).agg(n=("n", "sum"))
+    small = combos[combos.n < k]
+    return pd.DataFrame({
+        "n_combos": [np.int64(len(combos))],
+        "n_below_k": [np.int64(len(small))],
+        "rows_below_k": [np.int64(small.n.sum())],
+    })
+
+
+def embedding_covariance(sf_dir: str, dims: int = 8) -> pd.DataFrame:
+    """Sample covariance of the first ``dims`` embedding dimensions —
+    the distributed linear-algebra primitive under PCA/whitening
+    (X^T X partials per block). Each block emits ONE (n, Σxi, Σxj,
+    Σxixj) partial row per (i <= j) pair from a zero-copy matrix view;
+    the driver folds O(#blocks × dims²) scalars — no shuffle, no unnest
+    explosion (the SQL oracle pays the row blow-up + self-join instead).
+    Formulas mirror the SQL text; both sides round at 6dp."""
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+    iu, ju = np.triu_indices(dims)
+
+    def partial(b: pa.Table) -> pd.DataFrame:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        dim = len(flat) // max(1, len(b))
+        m = flat.reshape(len(b), dim)[:, :dims]
+        prod = m.T @ m
+        s = m.sum(axis=0)
+        return pd.DataFrame({
+            "i": (iu + 1).astype(np.int64), "j": (ju + 1).astype(np.int64),
+            "n": np.full(len(iu), len(b), dtype=np.int64),
+            "si": s[iu], "sj": s[ju], "sij": prod[iu, ju],
+        })
+
+    parts = emb.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = parts.groupby(["i", "j"], as_index=False).agg(
+        n=("n", "sum"), si=("si", "sum"), sj=("sj", "sum"),
+        sij=("sij", "sum"))
+    n = g.n.to_numpy(dtype="float64")
+    cov = (g.sij.to_numpy() - g.si.to_numpy() * g.sj.to_numpy() / n) / (n - 1)
+    return pd.DataFrame({
+        "i": g.i.astype("int64"), "j": g.j.astype("int64"),
+        "cov": np.round(cov, 6),
+    }).sort_values(["i", "j"]).reset_index(drop=True)

@@ -64,6 +64,9 @@ NEW_QUERIES = [
     "key_skew_stats",
     "pattern_profile_docs",
     "event_type_transitions",
+    "impute_missing_values",
+    "k_anonymity_events",
+    "embedding_covariance",
 ]
 
 
