@@ -3019,37 +3019,58 @@ def fuzzy_part_name_pairs(sf_dir: str) -> pd.DataFrame:
     pairs within the same p_brand block at Levenshtein distance <= 2 —
     the classic data-cleaning / entity-resolution operator. Shape:
     brand is the blocking key (each Ray group holds ~n/25 parts); inside
-    a block, candidate pairs are generated with np.triu_indices, cheap
-    vectorized prefilters (|len diff| <= 2, mirrored in the SQL oracle)
-    cut the pair set, and functions/textdist.levenshtein_many verifies
-    survivors with a DP vectorized ACROSS pairs (python loop count is
-    O(maxlen^2), independent of pair count). At corpus scale the
-    blocking key must keep groups bounded — compose a second key (name
-    length band, first token) exactly as dedup's banded tiers do."""
+    a block, the DP runs over DISTINCT-name pairs only (the standard
+    fuzzy-dedup move: edit distance cost scales with vocabulary², never
+    rows² — at sf0.1 that is ~2k name pairs instead of ~250k row pairs)
+    after a |len diff| <= 2 prefilter mirrored in the SQL oracle;
+    matches then expand vectorized to the row-key pairs (same-name
+    groups are dist-0 cliques, no DP at all). levenshtein_many's DP is
+    vectorized ACROSS pairs (python loop count O(maxlen²), independent
+    of pair count). At corpus scale the blocking key must keep groups
+    bounded — compose a second key (name length band, first token)
+    exactly as dedup's banded tiers do."""
     from ..functions.textdist import levenshtein_many
 
     ds = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_name"])
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("p_partkey")
-        keys = g.p_partkey.to_numpy(np.int64)
-        names = g.p_name.fillna("").to_numpy(dtype=object)
-        lens = np.fromiter((len(s) for s in names), dtype=np.int64,
-                           count=len(names))
-        ia, ib = np.triu_indices(len(g), k=1)
-        keep = np.abs(lens[ia] - lens[ib]) <= 2
-        ia, ib = ia[keep], ib[keep]
         empty = pd.DataFrame({"a_key": pd.Series([], dtype=np.int64),
                               "b_key": pd.Series([], dtype=np.int64),
                               "dist": pd.Series([], dtype=np.int64)})
-        if not len(ia):
+        keys = g.p_partkey.to_numpy(np.int64)
+        names = g.p_name.fillna("").to_numpy(dtype=object)
+        uniq, inv = np.unique(names.astype(str), return_inverse=True)
+        key_groups = [keys[inv == u] for u in range(len(uniq))]
+        ulens = np.fromiter((len(s) for s in uniq), dtype=np.int64,
+                            count=len(uniq))
+        # distinct-name candidate pairs, i <= j (i == j is the exact-
+        # duplicate clique at dist 0 — no DP needed)
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        keep = np.abs(ulens[ia] - ulens[ib]) <= 2
+        ia, ib = ia[keep], ib[keep]
+        if len(ia):
+            nd = levenshtein_many(list(uniq[ia]), list(uniq[ib]))
+            hit = nd <= 2
+            ia, ib, nd = ia[hit], ib[hit], nd[hit]
+        else:
+            nd = np.empty(0, dtype=np.int64)
+        a_out, b_out, d_out = [], [], []
+        for u, grp in enumerate(key_groups):       # same-name cliques
+            if len(grp) > 1:
+                ga, gb = np.triu_indices(len(grp), k=1)
+                a_out.append(grp[ga]); b_out.append(grp[gb])
+                d_out.append(np.zeros(len(ga), np.int64))
+        for i, j, d in zip(ia, ib, nd):            # cross-name matches
+            ka, kb = key_groups[i], key_groups[j]
+            aa = np.repeat(ka, len(kb)); bb = np.tile(kb, len(ka))
+            lo = np.minimum(aa, bb); hi = np.maximum(aa, bb)
+            a_out.append(lo); b_out.append(hi)
+            d_out.append(np.full(len(lo), d, np.int64))
+        if not a_out:
             return empty
-        dist = levenshtein_many(list(names[ia]), list(names[ib]))
-        hit = dist <= 2
-        if not hit.any():
-            return empty
-        return pd.DataFrame({"a_key": keys[ia[hit]], "b_key": keys[ib[hit]],
-                             "dist": dist[hit].astype(np.int64)})
+        return pd.DataFrame({"a_key": np.concatenate(a_out),
+                             "b_key": np.concatenate(b_out),
+                             "dist": np.concatenate(d_out)})
 
     out = ds.groupby("p_brand").map_groups(block_pairs,
                                            batch_format="pandas").to_pandas()
