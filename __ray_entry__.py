@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_missing_values": Q.impute_missing_values,
         "k_anonymity_events": Q.k_anonymity_events,
         "embedding_covariance": Q.embedding_covariance,
+        "late_events_report": Q.late_events_report,
     }
 
 
@@ -1347,6 +1348,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "late_events_report": """
+            WITH w AS (
+                SELECT event_type,
+                       CASE WHEN max(ts) OVER (ORDER BY event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - ts > INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS late
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(late) AS BIGINT) AS n_late
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "impute_missing_values": """
             WITH x AS (

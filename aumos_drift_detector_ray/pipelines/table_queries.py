@@ -3572,3 +3572,66 @@ def embedding_covariance(sf_dir: str, dims: int = 8) -> pd.DataFrame:
         "i": g.i.astype("int64"), "j": g.j.astype("int64"),
         "cov": np.round(cov, 6),
     }).sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def late_events_report(sf_dir: str) -> pd.DataFrame:
+    """Late-arrival detection via a distributed PREFIX SCAN (Blelloch
+    two-phase running max) over the stream order: an event is LATE when
+    the running max event-time so far exceeds its own timestamp by more
+    than 1 hour — the watermark primitive of streaming ingestion. Phase
+    A: each block emits (min_eid, max_eid, max_ts) scalars; the driver
+    sorts the O(#blocks) partials, asserts the event_id ranges are
+    disjoint (guaranteed by ordered parquet reads; a shuffled input
+    would need a sort first — documented partitioning assumption), and
+    broadcasts per-block carry-in prefix maxima. Phase B: each block
+    combines its carry-in with a vectorized np.maximum.accumulate and
+    emits per-type late-count partials."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "ts",
+                                             "event_type"])
+
+    def summary(b: pd.DataFrame) -> pd.DataFrame:
+        e = b.event_id.to_numpy(np.int64)
+        return pd.DataFrame({"min_eid": [int(e.min())],
+                             "max_eid": [int(e.max())],
+                             "max_ts": [b.ts.max()]})
+
+    parts = ds.map_batches(summary, batch_format="pandas") \
+        .to_pandas().sort_values("min_eid").reset_index(drop=True)
+    assert (parts.min_eid.to_numpy()[1:]
+            > parts.max_eid.to_numpy()[:-1]).all(), \
+        "block event_id ranges overlap — input not ordered; sort first"
+    # exclusive carry-in prefix max per block, keyed by min_eid
+    carry = {}
+    running = pd.Timestamp.min
+    for r in parts.itertuples():
+        carry[int(r.min_eid)] = running
+        running = max(running, r.max_ts)
+    cref = ray.put(carry)
+
+    def late_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        b = b.sort_values("event_id", kind="stable")
+        carry_map = get_broadcast(cref)
+        first = int(b.event_id.iloc[0])
+        # both passes slice identical deterministic read blocks with the
+        # same default batch_size, so batch starts align; assert loudly
+        # if Ray ever re-slices (same contract as scan.py's boundary
+        # assert)
+        assert first in carry_map, "phase A/B batch boundary drift"
+        cin = carry_map[first]
+        run = np.maximum.accumulate(b.ts.to_numpy())
+        run = np.maximum(run, np.datetime64(cin) if cin > pd.Timestamp.min
+                         else run.min())
+        late = (run - b.ts.to_numpy()) > np.timedelta64(3600, "s")
+        return pd.DataFrame({"event_type": b.event_type,
+                             "late": late.astype(np.int64)}) \
+            .groupby("event_type", as_index=False).agg(
+                n=("late", "size"), n_late=("late", "sum"))
+
+    out = ds.map_batches(late_partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                         Sum("n_late", alias_name="n_late")) \
+        .to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["n_late"] = out.n_late.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

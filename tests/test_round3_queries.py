@@ -67,6 +67,7 @@ NEW_QUERIES = [
     "impute_missing_values",
     "k_anonymity_events",
     "embedding_covariance",
+    "late_events_report",
 ]
 
 

@@ -63,7 +63,7 @@ EVENT_QUERIES = [
     "amended_events_latest_dedup", "value_quartile_band_counts",
     "weekly_user_retention", "rolling_7d_distinct_users",
     "session_funnel_counts", "key_skew_stats", "event_type_transitions",
-    "impute_missing_values", "k_anonymity_events",
+    "impute_missing_values", "k_anonymity_events", "late_events_report",
 ]
 
 
