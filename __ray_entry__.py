@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_events": Q.k_anonymity_events,
         "embedding_covariance": Q.embedding_covariance,
         "late_events_report": Q.late_events_report,
+        "hot_user_enriched_revenue": Q.hot_user_enriched_revenue,
     }
 
 
@@ -1348,6 +1349,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "hot_user_enriched_revenue": """
+            WITH c AS (SELECT user_id, count(*) AS user_n
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT) * c.user_n)
+                        AS DOUBLE) / 100.0 AS weighted_value
+            FROM events e JOIN c USING (user_id)
+            GROUP BY 1 ORDER BY 1
         """,
         "late_events_report": """
             WITH w AS (

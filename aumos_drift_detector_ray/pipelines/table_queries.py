@@ -3197,35 +3197,46 @@ def window_stats_drift(sf_dir: str) -> pd.DataFrame:
 def rolling_7d_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Trailing 7-day DISTINCT-user window per day — the sliding-window
     COUNT(DISTINCT) that plain window functions cannot express. Shape:
-    per-block distinct (user, day) pairs shrink the shuffle; each user
-    group expands its own active days into covered window days (a
-    bounded <= 7x set union per user, no cross-user state) and emits
-    (day, 1) contribution rows; a grouped Sum folds exact counts. Days
-    with no events are excluded on both sides (the oracle joins the
-    distinct-day set)."""
+    per-block distinct (user, day) pairs shrink the shuffle; users are
+    hash-bucketed (64 coarse groups, never per-key Ray groups) and each
+    bucket expands its pairs into covered window days with ONE
+    vectorized x7 repeat + per-user dedup (bounded: <= 7x the distinct
+    pairs), filtered to the broadcast distinct-day set; a grouped Sum
+    folds exact counts. Days with no events are excluded on both sides
+    (the oracle joins the distinct-day set)."""
+    from ..sketches import hash64
+
     ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = 64
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"user_id": b.user_id.astype("int64"),
-                             "day": b.ts.dt.normalize()}).drop_duplicates()
+        d = pd.DataFrame({"user_id": b.user_id.astype("int64"),
+                          "day": b.ts.dt.normalize()}).drop_duplicates()
+        return d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
 
-    pair_ds = ds.map_batches(pairs, batch_format="pandas")
+    pair_ds = ds.map_batches(pairs, batch_format="pandas",
+                             batch_size=65536)
     all_days = np.sort(pd.unique(pair_ds.select_columns(["day"])
                                  .to_pandas().day))
     days_ref = ray.put(all_days)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        days = np.sort(g.day.unique())
-        covered = np.unique(np.concatenate(
-            [days + np.timedelta64(i, "D") for i in range(7)]))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.broadcast import get_broadcast
+        d = g[["user_id", "day"]].drop_duplicates()
+        users = np.repeat(d.user_id.to_numpy(np.int64), 7)
+        days = (np.repeat(d.day.to_numpy(), 7)
+                + np.tile(np.arange(7), len(d)).astype("timedelta64[D]"))
+        cov = pd.DataFrame({"user_id": users, "day": days}) \
+            .drop_duplicates()
         valid = get_broadcast(days_ref)
-        covered = covered[np.isin(covered, valid)]
-        return pd.DataFrame({"day": covered,
-                             "n": np.ones(len(covered), np.int64)})
+        cov = cov[np.isin(cov.day.to_numpy(), valid)]
+        return cov.groupby("day", as_index=False).agg(
+            n=("user_id", "size"))
 
-    out = pair_ds.groupby("user_id").map_groups(per_user,
-                                                batch_format="pandas") \
+    out = pair_ds.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pandas") \
         .groupby("day").aggregate(Sum("n", alias_name="n_users_7d")) \
         .to_pandas()
     out["n_users_7d"] = out.n_users_7d.astype("int64")
@@ -3635,3 +3646,54 @@ def late_events_report(sf_dir: str) -> pd.DataFrame:
     out["n"] = out.n.astype("int64")
     out["n_late"] = out.n_late.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
+    """Skew-resistant enrichment join: every event joined to its user's
+    total event count (a derived per-user dimension) through the SALTED
+    hash join (stages/joins.salted_hash_join — one hot user spreads
+    over 16 salt buckets instead of serializing one task; the brief's
+    hot-key handling applied to JOINS, complementing the salted
+    two-phase aggregation). Output: per type, exact count and the
+    count-weighted value sum (cents integers end-to-end)."""
+    from ..stages.joins import salted_hash_join
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type",
+                                             "value"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("user_id", as_index=False).agg(
+            user_n=("user_id", "size"))
+
+    dim = ds.select_columns(["user_id"]) \
+        .map_batches(count_partial, batch_format="pandas",
+                     batch_size=65536) \
+        .groupby("user_id").aggregate(Sum("user_n", alias_name="user_n"))
+
+    def fact_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": b.user_id.astype("int64"),
+            "event_type": b.event_type,
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        })
+
+    joined = salted_hash_join(
+        ds.map_batches(fact_prep, batch_format="pandas", batch_size=65536),
+        dim, "user_id", salt=16)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "w_c": b.value_c.to_numpy(np.int64)
+            * b.r_user_n.to_numpy(np.int64),
+        }).groupby("event_type", as_index=False).agg(
+            n=("w_c", "size"), w_c=("w_c", "sum"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                         Sum("w_c", alias_name="w_c")) \
+        .to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["weighted_value"] = out.w_c.astype("float64") / 100.0
+    return out.drop(columns=["w_c"]).sort_values("event_type") \
+        .reset_index(drop=True)

@@ -377,3 +377,48 @@ def range_join(
     return both.repartition(n_buckets).groupby("__bucket").map_groups(
         per_bucket, batch_format="pyarrow"
     )
+
+
+def salted_hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    salt: int = 16,
+    n_buckets: int = 64,
+    right_prefix: str = "r_",
+) -> ray.data.Dataset:
+    """Skew-resistant inner hash join for INTEGER keys: the left (big,
+    possibly hot-keyed) side gets a row-counter salt so one hot key
+    spreads across ``salt`` bucket tasks; the right (dimension) side is
+    replicated once per salt value (cost: |right| x salt rows — use
+    only when right is the small side; the unsalted ``hash_join``
+    handles balanced keys, ``broadcast`` dicts handle tiny sides). The
+    join runs on the composite key*salt+salt_id, so the existing
+    bucketed ``hash_join`` machinery is reused unchanged. Same salting
+    rationale as aggregate.salted_grouped_count (hot fmt/w-h buckets in
+    the north rule)."""
+    skey = "__salted_key"
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        n = len(b)
+        s = np.arange(n, dtype=np.int64) % salt
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(skey, pa.array(k * salt + s, pa.int64()))
+
+    def replicate_right(b: pa.Table) -> pa.Table:
+        idx = np.repeat(np.arange(len(b), dtype=np.int64), salt)
+        rep = b.take(pa.array(idx))
+        s = np.tile(np.arange(salt, dtype=np.int64), len(b))
+        k = rep[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        return rep.append_column(skey, pa.array(k * salt + s, pa.int64()))
+
+    l = left.map_batches(salt_left, batch_format="pyarrow")
+    r = right.map_batches(replicate_right, batch_format="pyarrow")
+    joined = hash_join(l, r, skey, n_buckets=n_buckets,
+                       right_prefix=right_prefix)
+
+    def drop_salt(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=[c for c in (skey, f"{right_prefix}{key}")
+                               if c in b.columns])
+
+    return joined.map_batches(drop_salt, batch_format="pandas")

@@ -429,3 +429,26 @@ class TestExplicitFields:
             out = hash_join(left, right, "k", n_buckets=4,
                             how="outer").to_pandas()
             assert out.k.tolist() == [1] and out.r_b.tolist() == [1]
+
+
+def test_salted_hash_join_matches_plain_on_skewed_keys(ray_session):
+    """One hot key (80% of rows) — the salted join must produce exactly
+    the plain join's multiset of rows."""
+    import ray.data
+    from aumos_drift_detector_ray.stages.joins import hash_join, salted_hash_join
+
+    rng = np.random.default_rng(2)
+    n = 5000
+    keys = rng.integers(0, 50, n).astype(np.int64)
+    keys[: int(n * 0.8)] = 7
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "w": np.arange(50, dtype=np.int64) * 10})
+    lds, rds = ray.data.from_pandas(left), ray.data.from_pandas(right)
+
+    plain = hash_join(lds, rds, "k", n_buckets=8).to_pandas()
+    salted = salted_hash_join(lds, rds, "k", salt=8, n_buckets=8).to_pandas()
+    cols = ["k", "v", "r_w"]
+    a = plain[cols].sort_values(cols).reset_index(drop=True)
+    b = salted[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

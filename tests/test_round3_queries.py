@@ -68,6 +68,7 @@ NEW_QUERIES = [
     "k_anonymity_events",
     "embedding_covariance",
     "late_events_report",
+    "hot_user_enriched_revenue",
 ]
 
 

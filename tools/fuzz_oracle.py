@@ -64,6 +64,7 @@ EVENT_QUERIES = [
     "weekly_user_retention", "rolling_7d_distinct_users",
     "session_funnel_counts", "key_skew_stats", "event_type_transitions",
     "impute_missing_values", "k_anonymity_events", "late_events_report",
+    "hot_user_enriched_revenue",
 ]
 
 
