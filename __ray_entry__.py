@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": Q.embedding_covariance,
         "late_events_report": Q.late_events_report,
         "hot_user_enriched_revenue": Q.hot_user_enriched_revenue,
+        "kmeans_embeddings": Q.kmeans_embeddings,
     }
 
 

@@ -3697,3 +3697,19 @@ def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
     out["weighted_value"] = out.w_c.astype("float64") / 100.0
     return out.drop(columns=["w_c"]).sort_values("event_type") \
         .reset_index(drop=True)
+
+
+def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Distributed k-means over the embeddings table (5 Lloyd
+    iterations, k=8 — stages/similarity.distributed_kmeans: broadcast
+    centroids, one matmul + k partials per block per iteration, driver
+    folds O(#blocks x k) scalars). Rows-only: iterative ML has no SQL
+    analogue; pytest asserts the Lloyd invariants (inertia
+    non-increasing, parity with a single-node numpy reference)."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, inertia, sizes = sim_mod.distributed_kmeans(ds, k=8, iters=5)
+    return pd.DataFrame({
+        "cluster": np.arange(len(sizes), dtype=np.int64),
+        "n_members": sizes.astype(np.int64),
+        "final_inertia": np.round(np.full(len(sizes), inertia[-1]), 6),
+    })

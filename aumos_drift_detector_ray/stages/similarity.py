@@ -233,3 +233,69 @@ def lsh_topk(
     filtered = ds.select_columns([id_col, emb_col]).map_batches(
         keep, batch_format="pyarrow", batch_size=4096)
     return brute_force_topk(filtered, queries, k, emb_col, id_col, query_ids)
+
+
+def distributed_kmeans(
+    ds: ray.data.Dataset,
+    k: int = 8,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 5,
+    seed: int = 42,
+) -> "tuple[np.ndarray, list[float], np.ndarray]":
+    """FULLY distributed Lloyd's k-means (Euclidean, unnormalized) —
+    the iterative-algorithm shape: per iteration, centroids broadcast
+    via ray.put, every block emits k (count, vector-sum, sq-dist-sum)
+    partials from one matmul, and the driver folds O(#blocks x k)
+    scalars into the next centroids. Contrast with fit_ivf_centroids
+    (sample-fit, one distributed assignment): here EVERY row votes in
+    every iteration — the scale path when the sample path biases.
+    Init is deterministic: the k sample rows of the hash bottom-k
+    (seeded shuffle). Returns (centroids, per-iteration inertia,
+    final cluster sizes); inertia is monotonically non-increasing
+    (Lloyd invariant, asserted by tests)."""
+    from .dedup import _emb_matrix
+    from .sample import bottom_k_by_group
+
+    s = bottom_k_by_group(ds, id_col, emb_col, max(k * 4, 64))["None"]
+    x0 = np.asarray(s.rows, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = x0[rng.choice(len(x0), size=min(k, len(x0)), replace=False)].copy()
+    inertia: "list[float]" = []
+    sizes = np.zeros(len(cents), dtype=np.int64)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: "pa.Table") -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            c = get_broadcast(cref)
+            m = _emb_matrix(batch[emb_col]).astype(np.float64)
+            # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2): one matmul
+            scores = m @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = np.argmax(scores, axis=1)
+            d2 = (m * m).sum(axis=1) - 2.0 * scores[
+                np.arange(len(m)), assign]
+            rows = []
+            for ci in range(len(c)):
+                sel = assign == ci
+                rows.append({
+                    "c": ci, "n": int(sel.sum()),
+                    "s": m[sel].sum(axis=0).tobytes(),
+                    "d2": float(d2[sel].sum()),
+                })
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        dim = cents.shape[1]
+        new = np.zeros_like(cents)
+        sizes = np.zeros(len(cents), dtype=np.int64)
+        total_d2 = 0.0
+        for r in parts.itertuples():
+            sizes[r.c] += r.n
+            new[r.c] += np.frombuffer(r.s, dtype=np.float64, count=dim)
+            total_d2 += r.d2
+        inertia.append(total_d2)
+        nz = sizes > 0
+        cents[nz] = new[nz] / sizes[nz][:, None]
+    return cents, inertia, sizes

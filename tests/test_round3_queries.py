@@ -264,3 +264,37 @@ def test_driver_window_is_fully_oracle_backed():
     assert not missing, f"rows-only queries inside the driver window: {missing}"
     # and every oracle key must correspond to a real query
     assert not (oracles - set(names))
+
+
+def test_distributed_kmeans_lloyd_invariants(ray_session):
+    """Inertia is monotonically non-increasing, sizes cover every row,
+    and the distributed fold matches a single-node numpy Lloyd run from
+    the same deterministic init (within float fold tolerance)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from aumos_drift_detector_ray.stages import similarity as S
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    cents, inertia, sizes = S.distributed_kmeans(ds, k=4, iters=4)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    n_rows = len(t)
+    assert sizes.sum() == n_rows
+    assert all(a >= b - 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+
+    # single-node reference with the SAME init path
+    from aumos_drift_detector_ray.stages.sample import bottom_k_by_group
+    s = bottom_k_by_group(ds, "vec_id", "embedding", max(4 * 4, 64))["None"]
+    x0 = np.asarray(s.rows, dtype=np.float64)
+    rng = np.random.default_rng(42)
+    ref = x0[rng.choice(len(x0), size=4, replace=False)].copy()
+    m = np.asarray(t.column("embedding").combine_chunks().flatten(),
+                   dtype=np.float64).reshape(n_rows, -1)
+    for _ in range(4):
+        d = ((m[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(4):
+            if (a == c).any():
+                ref[c] = m[a == c].mean(axis=0)
+    assert np.allclose(ref, cents, atol=1e-8), np.abs(ref - cents).max()
