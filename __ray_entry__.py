@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events_report": Q.late_events_report,
         "hot_user_enriched_revenue": Q.hot_user_enriched_revenue,
         "kmeans_embeddings": Q.kmeans_embeddings,
+        "tfidf_top_terms_per_doc": Q.tfidf_top_terms_per_doc,
+        "bigram_counts_docs": Q.bigram_counts_docs,
     }
 
 
@@ -1350,6 +1352,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "tfidf_top_terms_per_doc": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1),
+            nd AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+                SELECT tf.doc_id, tf.token,
+                       round(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df), 6)
+                           AS score
+                FROM tf JOIN df USING (token) CROSS JOIN nd
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, token ASC) AS rank
+                FROM sc
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rank AS BIGINT) AS rank, token,
+                   CAST(score AS DOUBLE) AS score
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "bigram_counts_docs": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS l
+                FROM documents
+            ),
+            b AS (
+                SELECT unnest(list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i + 1])) AS bigram
+                FROM t WHERE len(l) >= 2
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
         "hot_user_enriched_revenue": """
             WITH c AS (SELECT user_id, count(*) AS user_n

@@ -3713,3 +3713,108 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
         "n_members": sizes.astype(np.int64),
         "final_inertia": np.round(np.full(len(sizes), inertia[-1]), 6),
     })
+
+
+def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
+    """Per-document TF-IDF top terms (score = tf x ln(N/df)) — the
+    classic relevance/keyword-extraction pass. Two passes: (1) the
+    document-frequency table (exact per-block partials, same shape as
+    doc_frequency_top_terms) collects to a broadcast dict — bounded by
+    VOCABULARY size, with the hash-join-on-token fallback documented
+    for corpora whose vocabulary outgrows a broadcast; (2) each block
+    scores its own docs vectorized and emits only top-n rows per doc.
+    Ranking uses (round(score, 6) DESC, token ASC) on BOTH sides so
+    float ulp differences between libm implementations cannot flip
+    ranks."""
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks: "list[str]" = []
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks.extend(set(WORD_RE.findall(t)))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+
+    parts = ds.map_batches(df_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    df_map = parts.groupby("token")["df"].sum().to_dict()
+    # total docs: exact count from the dataset (metadata fast path)
+    total_docs = ds.count()
+    dref = ray.put(df_map)
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        dfm = get_broadcast(dref)
+        rows = []
+        for did, t in zip(b.doc_id.astype("int64"),
+                          b.text.fillna("").astype(str).str.lower()):
+            toks = WORD_RE.findall(t)
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            dfv = np.fromiter((dfm[x] for x in u), dtype=np.float64,
+                              count=len(u))
+            sc = np.round(c * np.log(total_docs / dfv), 6)
+            order = np.lexsort((u, -sc))[:topn]
+            for r, i in enumerate(order, 1):
+                rows.append((did, r, u[i], sc[i]))
+        return pd.DataFrame(rows, columns=["doc_id", "rank", "token",
+                                           "score"]) \
+            if rows else pd.DataFrame({
+                "doc_id": pd.Series([], dtype=np.int64),
+                "rank": pd.Series([], dtype=np.int64),
+                "token": pd.Series([], dtype=object),
+                "score": pd.Series([], dtype=np.float64)})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    out["doc_id"] = out.doc_id.astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["score"] = out.score.astype("float64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def bigram_counts_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-k word BIGRAMS (the n-gram extension of the word count):
+    per-block bigram counts from one vectorized shift-pair over each
+    doc's token array, hash-bucketed so each bigram lives wholly in one
+    bucket — per-bucket top-k is globally exact after the driver's tiny
+    merge (same proof as top_tokens_docs)."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        grams: "list[str]" = []
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks = WORD_RE.findall(t)
+            grams.extend(f"{a} {b_}" for a, b_ in zip(toks, toks[1:]))
+        if not grams:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(grams, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "bigram": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        return m.sort_values(["n", "bigram"],
+                             ascending=[False, True]).head(k)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    out["n"] = out.n.astype("int64")
+    return out[["bigram", "n"]].reset_index(drop=True)

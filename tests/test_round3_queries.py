@@ -69,6 +69,8 @@ NEW_QUERIES = [
     "embedding_covariance",
     "late_events_report",
     "hot_user_enriched_revenue",
+    "tfidf_top_terms_per_doc",
+    "bigram_counts_docs",
 ]
 
 
