@@ -3730,19 +3730,31 @@ def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
+    from ..sketches import hash_any_array
+
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         toks: "list[str]" = []
         for t in b.text.fillna("").astype(str).str.lower():
             toks.extend(set(WORD_RE.findall(t)))
         if not toks:
             return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 "df": pd.Series([], dtype=np.int64)})
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
         u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        return pd.DataFrame({"token": u, "df": c.astype(np.int64)})
+        return pd.DataFrame({
+            "token": u, "df": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(32)).astype(np.int64)})
 
+    def df_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("token", as_index=False).agg(df=("df", "sum"))
+
+    # the per-token merge happens IN Ray (bucketed groupby), so the
+    # driver receives one row per vocabulary entry, never vocab x blocks
     parts = ds.map_batches(df_partial, batch_format="pandas",
-                           batch_size=65536).to_pandas()
-    df_map = parts.groupby("token")["df"].sum().to_dict()
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(df_merge, batch_format="pandas") \
+        .to_pandas()
+    df_map = dict(zip(parts.token, parts.df))
     # total docs: exact count from the dataset (metadata fast path)
     total_docs = ds.count()
     dref = ray.put(df_map)
