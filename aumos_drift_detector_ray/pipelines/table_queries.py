@@ -3677,9 +3677,16 @@ def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
             "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
         })
 
+    # salt trades dimension replication (|dim| x salt shuffle rows) for
+    # hot-key spread; with a USER-level dim (|dim| ~ |fact| / events-per-
+    # user) keep salt small — 4 here spreads a hot user over 4 tasks at
+    # 4x dim replication (salt 16 measured 13.4 s vs ~6 s at sf0.1/32)
     joined = salted_hash_join(
         ds.map_batches(fact_prep, batch_format="pandas", batch_size=65536),
-        dim, "user_id", salt=16)
+        dim, "user_id", salt=4, n_buckets=32,
+        left_fields={"user_id": pa.int64(), "event_type": pa.string(),
+                     "value_c": pa.int64()},
+        right_fields={"user_id": pa.int64(), "user_n": pa.int64()})
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

@@ -386,6 +386,8 @@ def salted_hash_join(
     salt: int = 16,
     n_buckets: int = 64,
     right_prefix: str = "r_",
+    left_fields: "dict[str, pa.DataType] | None" = None,
+    right_fields: "dict[str, pa.DataType] | None" = None,
 ) -> ray.data.Dataset:
     """Skew-resistant inner hash join for INTEGER keys: the left (big,
     possibly hot-keyed) side gets a row-counter salt so one hot key
@@ -396,7 +398,14 @@ def salted_hash_join(
     join runs on the composite key*salt+salt_id, so the existing
     bucketed ``hash_join`` machinery is reused unchanged. Same salting
     rationale as aggregate.salted_grouped_count (hot fmt/w-h buckets in
-    the north rule)."""
+    the north rule).
+
+    Pass ``left_fields``/``right_fields`` (column → type, like
+    hash_join's) whenever a side is a DERIVED dataset: Ray resolves
+    ``schema()`` on a derived dataset by EXECUTING it, so without
+    explicit fields the join pays a full extra execution of that side
+    just to learn its columns (measured: the schema probe alone re-ran
+    a per-user aggregate for 6.4 s at sf0.1)."""
     skey = "__salted_key"
 
     def salt_left(b: pa.Table) -> pa.Table:
@@ -414,8 +423,11 @@ def salted_hash_join(
 
     l = left.map_batches(salt_left, batch_format="pyarrow")
     r = right.map_batches(replicate_right, batch_format="pyarrow")
+    lf = dict(left_fields, **{skey: pa.int64()}) if left_fields else None
+    rf = dict(right_fields, **{skey: pa.int64()}) if right_fields else None
     joined = hash_join(l, r, skey, n_buckets=n_buckets,
-                       right_prefix=right_prefix)
+                       right_prefix=right_prefix,
+                       left_fields=lf, right_fields=rf)
 
     def drop_salt(b: pd.DataFrame) -> pd.DataFrame:
         return b.drop(columns=[c for c in (skey, f"{right_prefix}{key}")

@@ -198,7 +198,9 @@ def run_queries() -> dict[str, float]:
         # window stats drift, funnel, heavy hitters, rolling distinct
         "normalized_docs", "fuzzy_part_name_pairs", "window_stats_drift",
         "session_funnel_counts", "heavy_hitter_tokens",
-        "rolling_7d_distinct_users",
+        "rolling_7d_distinct_users", "late_events_report",
+        "hot_user_enriched_revenue", "kmeans_embeddings",
+        "tfidf_top_terms_per_doc", "neardup_clusters",
     ]
     qs = E.queries()
     out = {}
