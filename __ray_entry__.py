@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": Q.kmeans_embeddings,
         "tfidf_top_terms_per_doc": Q.tfidf_top_terms_per_doc,
         "bigram_counts_docs": Q.bigram_counts_docs,
+        "order_cube_stats": Q.order_cube_stats,
+        "doc_sentences": Q.doc_sentences,
+        "daily_psi_timeline": Q.daily_psi_timeline,
     }
 
 
@@ -1352,6 +1355,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "order_cube_stats": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
+        """,
+        "doc_sentences": """
+            WITH l AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), '.') AS parts
+                FROM documents
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(generate_subscripts(parts, 1) AS BIGINT) AS sent_idx,
+                   md5(unnest(parts)) AS sent_md5,
+                   CAST(length(unnest(parts)) AS BIGINT) AS n_chars
+            FROM l ORDER BY doc_id, sent_idx
+        """,
+        "daily_psi_timeline": """
+            WITH b AS (SELECT min(value) AS lo,
+                              (max(value) - min(value)) / 10.0 AS width
+                       FROM events),
+            binned AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       LEAST(CAST(floor((value - b.lo) / b.width)
+                                  AS INTEGER), 9) AS bin
+                FROM events, b
+            ),
+            counts AS (SELECT day, bin, count(*) AS n
+                       FROM binned GROUP BY 1, 2),
+            grid AS (
+                SELECT day, bin
+                FROM (SELECT DISTINCT day FROM binned)
+                CROSS JOIN (SELECT unnest(range(10)) AS bin)
+            ),
+            filled AS (
+                SELECT g.day, g.bin, COALESCE(c.n, 0) AS n
+                FROM grid g LEFT JOIN counts c USING (day, bin)
+            ),
+            gl AS (SELECT bin, sum(n) AS gn FROM filled GROUP BY 1),
+            gt AS (SELECT sum(gn) AS t FROM gl),
+            dt AS (SELECT day, sum(n) AS t FROM filled GROUP BY 1),
+            fr AS (
+                SELECT f.day,
+                       GREATEST(f.n / dt.t, 0.0001) AS p,
+                       GREATEST(gl.gn / (SELECT t FROM gt), 0.0001) AS r
+                FROM filled f JOIN dt USING (day) JOIN gl USING (bin)
+            )
+            SELECT fr.day, CAST(dt.t AS BIGINT) AS n,
+                   CAST(round(sum((p - r) * ln(p / r)), 9) AS DOUBLE) AS psi
+            FROM fr JOIN dt USING (day)
+            GROUP BY fr.day, dt.t ORDER BY fr.day
         """,
         "tfidf_top_terms_per_doc": """
             WITH tok AS (

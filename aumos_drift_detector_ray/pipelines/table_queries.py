@@ -3837,3 +3837,114 @@ def bigram_counts_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out = out.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     out["n"] = out.n.astype("int64")
     return out[["bigram", "n"]].reset_index(drop=True)
+
+
+def order_cube_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (o_orderpriority, o_orderstatus): all FOUR grouping
+    sets from ONE finest-grain distributed pass (the rollup's sibling —
+    a cube never needs more than the finest-grain shuffle either; the
+    extra (ALL, status) level is one more driver-side fold of the
+    bounded 5 x 3 table)."""
+    ds = sf_table(sf_dir, "orders",
+                  columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": b.o_orderpriority,
+            "o_orderstatus": b.o_orderstatus,
+            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+        }).groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
+            n=("price_c", "size"), price_c=("price_c", "sum"))
+
+    fine = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
+        .groupby(["o_orderpriority", "o_orderstatus"]).aggregate(
+            Sum("n", alias_name="n"), Sum("price_c", alias_name="price_c"),
+        ).to_pandas()
+
+    mid_p = fine.groupby("o_orderpriority", as_index=False).agg(
+        n=("n", "sum"), price_c=("price_c", "sum"))
+    mid_p["o_orderstatus"] = "ALL"
+    mid_s = fine.groupby("o_orderstatus", as_index=False).agg(
+        n=("n", "sum"), price_c=("price_c", "sum"))
+    mid_s["o_orderpriority"] = "ALL"
+    top = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "n": [fine.n.sum()], "price_c": [fine.price_c.sum()],
+    })
+    out = pd.concat([fine, mid_p, mid_s, top], ignore_index=True)
+    out["n"] = out.n.astype("int64")
+    out["sum_price"] = out.price_c.astype("float64") / 100.0
+    return out.drop(columns=["price_c"]).sort_values(
+        ["o_orderpriority", "o_orderstatus"]).reset_index(drop=True)
+
+
+def doc_sentences(sf_dir: str) -> pd.DataFrame:
+    """Row explosion via Dataset.flat_map: one output row per
+    '.'-separated sentence with its 1-based index — the
+    document-to-segment restructuring pass (chunking for training /
+    retrieval). flat_map is Ray Data's row-level API; it is the right
+    tool for genuinely per-row fan-out logic, while the vectorized
+    sibling (map_batches emitting exploded tables) is preferred when a
+    kernel exists — this query deliberately exercises the flat_map
+    surface on the bounded documents table."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(row: "dict[str, Any]") -> "list[dict[str, Any]]":
+        text = row["text"] or ""
+        return [{"doc_id": int(row["doc_id"]), "sent_idx": i,
+                 "sent_md5": hashlib.md5(s.encode("utf-8")).hexdigest(),
+                 "n_chars": len(s)}
+                for i, s in enumerate(text.split("."), 1)]
+
+    out = ds.flat_map(explode).to_pandas()
+    out["doc_id"] = out.doc_id.astype("int64")
+    out["sent_idx"] = out.sent_idx.astype("int64")
+    out["n_chars"] = out.n_chars.astype("int64")
+    return out.sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+
+
+def daily_psi_timeline(sf_dir: str) -> pd.DataFrame:
+    """Drift TIMELINE: per-day PSI of that day's value distribution
+    against the global distribution over shared global equal-width bins
+    — the monitoring dashboard's primary series (reference capability:
+    drift-score history, trend_analyzer.py). One exact min/max pass,
+    then ONE pass emitting per-block (day, bin) integer counts; the
+    driver folds a bounded (#days x 10 + 10) table and evaluates the
+    PSI formula per day with the same eps clamp as psi_events_value.
+    Missing (day, bin) cells count as zero on BOTH sides (the SQL
+    oracle left-joins a generated day x bin grid — absent rows would
+    silently drop the eps terms)."""
+    n_bins = 10
+    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+    from ..stages import profile as P
+
+    m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
+    lo, hi = float(m.min), float(m.max)
+    width = (hi - lo) / float(n_bins)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = b.value.to_numpy(np.float64)
+        bins = np.minimum(np.floor((v - lo) / width).astype(np.int64),
+                          n_bins - 1)
+        return pd.DataFrame({"day": b.ts.dt.normalize(), "bin": bins}) \
+            .groupby(["day", "bin"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counts = parts.groupby(["day", "bin"], as_index=False).agg(n=("n", "sum"))
+    gbin = counts.groupby("bin")["n"].sum()
+    gvec = np.zeros(n_bins, dtype=np.float64)
+    gvec[gbin.index.to_numpy()] = gbin.to_numpy()
+    r = np.maximum(gvec / gvec.sum(), PSI_EPS)
+    rows = []
+    for day, g in counts.groupby("day"):
+        dvec = np.zeros(n_bins, dtype=np.float64)
+        dvec[g.bin.to_numpy()] = g.n.to_numpy()
+        p = np.maximum(dvec / dvec.sum(), PSI_EPS)
+        rows.append({"day": day, "n": np.int64(dvec.sum()),
+                     "psi": float(np.round(
+                         np.sum((p - r) * np.log(p / r)), 9))})
+    out = pd.DataFrame(rows)
+    out["day"] = out.day.astype("datetime64[us]")
+    return out.sort_values("day").reset_index(drop=True)

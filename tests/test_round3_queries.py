@@ -71,6 +71,9 @@ NEW_QUERIES = [
     "hot_user_enriched_revenue",
     "tfidf_top_terms_per_doc",
     "bigram_counts_docs",
+    "order_cube_stats",
+    "doc_sentences",
+    "daily_psi_timeline",
 ]
 
 

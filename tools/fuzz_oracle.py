@@ -64,7 +64,7 @@ EVENT_QUERIES = [
     "weekly_user_retention", "rolling_7d_distinct_users",
     "session_funnel_counts", "key_skew_stats", "event_type_transitions",
     "impute_missing_values", "k_anonymity_events", "late_events_report",
-    "hot_user_enriched_revenue",
+    "hot_user_enriched_revenue", "daily_psi_timeline",
 ]
 
 
@@ -110,7 +110,7 @@ DOC_QUERIES = [
     "verified_neardup_pairs", "decontaminate_docs",
     # session-4: normalization, doc-frequency, pattern profiling
     "normalized_docs", "doc_frequency_top_terms", "pattern_profile_docs",
-    "tfidf_top_terms_per_doc", "bigram_counts_docs",
+    "tfidf_top_terms_per_doc", "bigram_counts_docs", "doc_sentences",
 ]
 
 
