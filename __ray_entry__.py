@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_cube_stats": Q.order_cube_stats,
         "doc_sentences": Q.doc_sentences,
         "daily_psi_timeline": Q.daily_psi_timeline,
+        "cusum_hourly_mean": Q.cusum_hourly_mean,
     }
 
 
@@ -1355,6 +1356,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "cusum_hourly_mean": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            x AS (
+                SELECT hour,
+                       (CAST(value_c AS DOUBLE) / 100.0) / n AS xv
+                FROM h
+            ),
+            st AS (
+                SELECT sum(xv) / count(*) AS mean,
+                       sqrt(sum((xv - (SELECT sum(xv) / count(*) FROM x))
+                                * (xv - (SELECT sum(xv) / count(*) FROM x)))
+                            / count(*)) AS sd,
+                       count(*) AS nh
+                FROM x
+            ),
+            cs AS (
+                SELECT hour,
+                       sum(xv - st.mean) OVER (ORDER BY hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           / st.sd AS s
+                FROM x, st
+            ),
+            r AS (
+                SELECT hour, abs(s) AS a,
+                       row_number() OVER (ORDER BY abs(s) DESC, hour) AS rn
+                FROM cs
+            )
+            SELECT CAST((SELECT nh FROM st) AS BIGINT) AS n_hours,
+                   CAST(round(a, 9) AS DOUBLE) AS max_abs_cusum,
+                   hour AS argmax_hour
+            FROM r WHERE rn = 1
         """,
         "order_cube_stats": """
             SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,

@@ -3948,3 +3948,40 @@ def daily_psi_timeline(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows)
     out["day"] = out.day.astype("datetime64[us]")
     return out.sort_values("day").reset_index(drop=True)
+
+
+def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
+    """Oracle-exact CUSUM change-point statistic over the hourly mean
+    value series (reference capability: trend_analyzer's CUSUM — the
+    rows-only twin is trend_events_value): standardized cumulative sums
+    S_i = cumsum(x_i - mean(x)) / stddev_pop(x), reporting the maximum
+    |S_i| and where it occurs. Hourly means come from exact cents
+    partials (one tiny pre-aggregated shuffle); the cumulative sum runs
+    in hour order on BOTH sides (SQL ordered window), so even the float
+    accumulation order matches."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    mean = x.sum() / len(x)
+    sd = np.sqrt(((x - mean) ** 2).sum() / len(x))
+    s = np.cumsum(x - mean) / sd
+    i = int(np.argmax(np.abs(s)))
+    return pd.DataFrame({
+        "n_hours": [np.int64(len(x))],
+        "max_abs_cusum": [float(np.round(np.abs(s)[i], 9))],
+        "argmax_hour": [pd.Timestamp(hourly.hour.iloc[i])
+                        .to_datetime64().astype("datetime64[us]")],
+    })

@@ -74,6 +74,7 @@ NEW_QUERIES = [
     "order_cube_stats",
     "doc_sentences",
     "daily_psi_timeline",
+    "cusum_hourly_mean",
 ]
 
 

@@ -226,3 +226,20 @@ class TestMisraGries:
         back = MisraGries.from_bytes(raw)
         assert back.counts == {"a": 10, "b": 3}
         assert back.top(1)[0] == ("a", 10, 10)
+
+
+class TestBroadcastCache:
+    def test_memoizes_and_evicts(self, ray_session):
+        import ray
+        from aumos_drift_detector_ray.functions import broadcast as B
+
+        B._cache.clear()
+        refs = [ray.put({"i": i}) for i in range(B._MAX_ENTRIES + 2)]
+        first = B.get_broadcast(refs[0])
+        assert B.get_broadcast(refs[0]) is first  # memoized, same object
+        for r in refs[1:]:
+            B.get_broadcast(r)
+        assert len(B._cache) <= B._MAX_ENTRIES  # FIFO-bounded
+        # evicted entries are re-fetchable (correctness never depends on
+        # cache state)
+        assert B.get_broadcast(refs[0]) == {"i": 0}
