@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentences": Q.doc_sentences,
         "daily_psi_timeline": Q.daily_psi_timeline,
         "cusum_hourly_mean": Q.cusum_hourly_mean,
+        "ewma_stream_value": Q.ewma_stream_value,
     }
 
 
@@ -1356,6 +1357,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "ewma_stream_value": """
+            WITH o AS (
+                SELECT value,
+                       row_number() OVER (ORDER BY event_id) AS rn,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST(round(sum(value * 0.02 * pow(0.98, n - rn)), 9)
+                        AS DOUBLE) AS ewma
+            FROM o
         """,
         "cusum_hourly_mean": """
             WITH h AS (

@@ -3985,3 +3985,43 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
         "argmax_hour": [pd.Timestamp(hourly.hour.iloc[i])
                         .to_datetime64().astype("datetime64[us]")],
     })
+
+
+def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:
+    """EWMA of the event value stream in event_id order — a LINEAR
+    RECURRENCE (y_i = (1-a) y_{i-1} + a x_i, y_0 = 0) evaluated as an
+    associative scan: each block reduces to the affine composition
+    (A, B) with y_out = A y_in + B, where A = (1-a)^k and
+    B = a * sum((1-a)^{k-i} x_i) (one vectorized dot with a powers
+    vector), and the driver composes O(#blocks) affine maps in stream
+    order — the same two-phase shape as the late-event prefix max, for
+    recurrences instead of max. Ordered-input assumption asserted. The
+    SQL oracle evaluates the closed form a * sum(x_i (1-a)^{N-i});
+    float underflow of the deep powers is IEEE-identical on both
+    sides."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    beta = 1.0 - alpha
+
+    def affine(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values("event_id", kind="stable")
+        x = b.value.to_numpy(np.float64)
+        k = len(x)
+        pw = np.power(beta, np.arange(k - 1, -1, -1, dtype=np.float64))
+        return pd.DataFrame({
+            "min_eid": [int(b.event_id.iloc[0])],
+            "max_eid": [int(b.event_id.iloc[-1])],
+            "a": [float(np.power(beta, k))],
+            "bsum": [float(alpha * (pw @ x))],
+            "k": [np.int64(k)],
+        })
+
+    parts = ds.map_batches(affine, batch_format="pandas") \
+        .to_pandas().sort_values("min_eid").reset_index(drop=True)
+    assert (parts.min_eid.to_numpy()[1:]
+            > parts.max_eid.to_numpy()[:-1]).all(), \
+        "block event_id ranges overlap — input not ordered; sort first"
+    y = 0.0
+    for r in parts.itertuples():
+        y = r.a * y + r.bsum
+    return pd.DataFrame({"n": [np.int64(parts.k.sum())],
+                         "ewma": [float(np.round(y, 9))]})

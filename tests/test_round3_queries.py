@@ -75,6 +75,7 @@ NEW_QUERIES = [
     "doc_sentences",
     "daily_psi_timeline",
     "cusum_hourly_mean",
+    "ewma_stream_value",
 ]
 
 
