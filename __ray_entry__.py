@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_psi_timeline": Q.daily_psi_timeline,
         "cusum_hourly_mean": Q.cusum_hourly_mean,
         "ewma_stream_value": Q.ewma_stream_value,
+        "inverted_index_tokens": Q.inverted_index_tokens,
+        "part_name_clusters": Q.part_name_clusters,
     }
 
 
@@ -1355,6 +1357,49 @@ def oracle_sql() -> dict[str, str]:
             ),
             final AS (SELECT n, min(lbl) AS root FROM lab GROUP BY n)
             SELECT root AS cluster_root,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "inverted_index_tokens": """
+            WITH t AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_distinct(regexp_extract_all(
+                           lower(coalesce(text, '')), '[a-z'']+'))) AS token
+                FROM documents
+            ),
+            p AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS df,
+                       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                                      ORDER BY doc_id)) AS postings_md5
+                FROM t GROUP BY token
+            )
+            SELECT token, df, postings_md5
+            FROM p ORDER BY df DESC, token LIMIT 50
+        """,
+        "part_name_clusters": """
+            WITH RECURSIVE p AS MATERIALIZED (
+                SELECT p_partkey, p_brand, coalesce(p_name, '') AS name
+                FROM part
+            ),
+            pairs AS MATERIALIZED (
+                SELECT a.p_partkey AS ia, b.p_partkey AS ib
+                FROM p a JOIN p b
+                  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+                 AND abs(length(a.name) - length(b.name)) <= 2
+                 AND levenshtein(a.name, b.name) <= 2
+            ),
+            edges AS MATERIALIZED (
+                SELECT ia AS a, ib AS b FROM pairs
+                UNION SELECT ib, ia FROM pairs),
+            nodes AS (SELECT DISTINCT a AS n FROM edges),
+            lab AS (
+                SELECT n, n AS lbl FROM nodes
+                UNION
+                SELECT e.b AS n, least(l.lbl, e.b) AS lbl
+                FROM lab l JOIN edges e ON e.a = l.n
+            ),
+            final AS (SELECT n, min(lbl) AS root FROM lab GROUP BY n)
+            SELECT CAST(root AS BIGINT) AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
         """,

@@ -4025,3 +4025,83 @@ def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:
         y = r.a * y + r.bsum
     return pd.DataFrame({"n": [np.int64(parts.k.sum())],
                          "ewma": [float(np.round(y, 9))]})
+
+
+def inverted_index_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Inverted-index construction (token → ordered posting list) for
+    the top-k document-frequency tokens — the search/retrieval index
+    build as a data pipeline. Per-block distinct (token, doc) postings
+    shrink the shuffle; tokens are hash-bucketed so each token's
+    posting list assembles wholly in one bucket task (sorted, content-
+    addressed to md5 so the driver result stays tiny no matter how long
+    the lists get); the global top-k cut is exact for the same reason
+    the word-count top-k is."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def postings(b: pd.DataFrame) -> pd.DataFrame:
+        toks, docs = [], []
+        for did, t in zip(b.doc_id.astype("int64"),
+                          b.text.fillna("").astype(str).str.lower()):
+            u = sorted(set(WORD_RE.findall(t)))
+            toks.extend(u)
+            docs.extend([did] * len(u))
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        ta = np.asarray(toks, dtype=object)
+        return pd.DataFrame({
+            "token": ta, "doc_id": np.asarray(docs, dtype=np.int64),
+            "bucket": (hash_any_array(ta)
+                       % np.uint64(n_buckets)).astype(np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"])
+        rows = []
+        for tok, grp in g.groupby("token", sort=False):
+            ids = grp.doc_id.to_numpy()
+            lst = ",".join(str(i) for i in ids)
+            rows.append((tok, len(ids),
+                         hashlib.md5(lst.encode()).hexdigest()))
+        return pd.DataFrame(rows, columns=["token", "df", "postings_md5"])
+
+    out = ds.map_batches(postings, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["df", "token"], ascending=[False, True]).head(k)
+    out["df"] = out.df.astype("int64")
+    return out.reset_index(drop=True)
+
+
+def part_name_clusters(sf_dir: str) -> pd.DataFrame:
+    """Entity-resolution CLUSTERS: connected components over the fuzzy
+    part-name match graph (fuzzy_part_name_pairs: blocked Levenshtein
+    <= 2) — duplicate-listing consolidation end-to-end. Union-find runs
+    on the bounded pair output (documented contract; the distributed
+    min-label hash_join loop is the scale escape hatch, as in
+    neardup_clusters); the SQL oracle recomputes the pair graph with
+    DuckDB levenshtein and closes it transitively."""
+    pairs = fuzzy_part_name_pairs(sf_dir)
+    parent: "dict[int, int]" = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.a_key, pairs.b_key):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    roots = pd.Series({n: find(n) for n in parent}, name="cluster_root")
+    out = roots.groupby(roots).size().rename("n_members").reset_index()
+    out["cluster_root"] = out.cluster_root.astype("int64")
+    out["n_members"] = out.n_members.astype("int64")
+    return out.sort_values("cluster_root").reset_index(drop=True)

@@ -76,6 +76,8 @@ NEW_QUERIES = [
     "daily_psi_timeline",
     "cusum_hourly_mean",
     "ewma_stream_value",
+    "inverted_index_tokens",
+    "part_name_clusters",
 ]
 
 

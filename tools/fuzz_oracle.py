@@ -112,6 +112,7 @@ DOC_QUERIES = [
     # session-4: normalization, doc-frequency, pattern profiling
     "normalized_docs", "doc_frequency_top_terms", "pattern_profile_docs",
     "tfidf_top_terms_per_doc", "bigram_counts_docs", "doc_sentences",
+    "inverted_index_tokens",
 ]
 
 
