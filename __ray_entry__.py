@@ -767,7 +767,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "psi_events_value": """
             WITH b AS (SELECT min(value) AS lo,
-                              (max(value) - min(value)) / 10.0 AS width FROM events),
+                              CASE WHEN max(value) = min(value) THEN 1.0
+                                   ELSE (max(value) - min(value)) / 10.0
+                              END AS width FROM events),
             binned AS (
                 SELECT LEAST(CAST(floor((value - b.lo) / b.width) AS INTEGER), 9) AS bin,
                        (event_id % 2 = 0) AS is_ref
@@ -789,7 +791,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "js_hellinger_events_value": """
             WITH b AS (SELECT min(value) AS lo,
-                              (max(value) - min(value)) / 20.0 AS width FROM events),
+                              CASE WHEN max(value) = min(value) THEN 1.0
+                                   ELSE (max(value) - min(value)) / 20.0
+                              END AS width FROM events),
             binned AS (
                 SELECT LEAST(CAST(floor((value - b.lo) / b.width) AS INTEGER), 19) AS bin,
                        (event_id % 2 = 0) AS is_ref
@@ -1405,7 +1409,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ewma_stream_value": """
             WITH o AS (
-                SELECT value,
+                SELECT LEAST(GREATEST(value, 0.0), 100.0) AS value,
                        row_number() OVER (ORDER BY event_id) AS rn,
                        count(*) OVER () AS n
                 FROM events
@@ -1476,7 +1480,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "daily_psi_timeline": """
             WITH b AS (SELECT min(value) AS lo,
-                              (max(value) - min(value)) / 10.0 AS width
+                              CASE WHEN max(value) = min(value) THEN 1.0
+                                   ELSE (max(value) - min(value)) / 10.0
+                              END AS width
                        FROM events),
             binned AS (
                 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

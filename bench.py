@@ -320,6 +320,7 @@ def scaling() -> None:
         f"best_rows_per_sec_{lo}cpu": best[lo],
         f"best_rows_per_sec_{hi}cpu": best[hi],
         "scaling_efficiency": round(eff_best, 3),
+        "scaling_efficiency_estimator": f"best-of-{repeats}",
         "scaling_efficiency_median": round(eff, 3),
         "hw_cpu_calibration": hw,
         "drift_score_latency_s_hi": results[hi]["drift_score_latency_s"],
