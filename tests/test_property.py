@@ -260,3 +260,61 @@ class TestTextDist:
         assert list(levenshtein_many([], [])) == []
         assert list(levenshtein_many(["", "ab", "x"],
                                      ["ab", "", "x"])) == [2, 2, 0]
+
+
+class TestSession4Properties:
+    @given(st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                    max_size=40),
+           st.lists(st.text(min_size=0, max_size=12), min_size=1,
+                    max_size=40))
+    @settings(max_examples=60, deadline=None)
+    def test_levenshtein_many_matches_scalar_dp_on_unicode(self, a, b):
+        """The pair-vectorized DP equals the scalar byte-level DP for
+        arbitrary unicode (the kernel's contract is BYTE edit distance;
+        DuckDB parity is asserted separately on the ASCII domain the
+        engine feeds it)."""
+        from aumos_drift_detector_ray.functions.textdist import (
+            levenshtein_many,
+        )
+
+        n = min(len(a), len(b))
+        a, b = a[:n], b[:n]
+
+        def ref(x: bytes, y: bytes) -> int:
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (cx != cy)))
+                prev = cur
+            return prev[-1]
+
+        got = levenshtein_many(a, b)
+        want = [ref(x.encode("utf-8"), y.encode("utf-8"))
+                for x, y in zip(a, b)]
+        assert list(got) == want
+
+    @given(st.lists(st.sampled_from([f"t{i}" for i in range(30)]),
+                    min_size=1, max_size=400),
+           st.integers(2, 6), st.integers(4, 16))
+    @settings(max_examples=40, deadline=None)
+    def test_misra_gries_merge_invariants_any_split(self, items, parts, k):
+        """For ANY split of the stream into parts and ANY k: merged
+        bounds contain every true count, and every item above n/(k+1)
+        survives the merge."""
+        from aumos_drift_detector_ray.sketches import MisraGries
+
+        chunks = [items[i::parts] for i in range(parts)]
+        merged = MisraGries(k)
+        for c in chunks:
+            merged = merged.merge(MisraGries(k).update_many(c))
+        true: dict = {}
+        for it in items:
+            true[it] = true.get(it, 0) + 1
+        for tok, cnt in merged.counts.items():
+            assert cnt <= true[tok] <= cnt + merged.error, (tok, k)
+        thresh = len(items) / (k + 1)
+        for tok, cnt in true.items():
+            if cnt > thresh:
+                assert tok in merged.counts, (tok, cnt, thresh, k)
