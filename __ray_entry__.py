@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_stream_value": Q.ewma_stream_value,
         "inverted_index_tokens": Q.inverted_index_tokens,
         "part_name_clusters": Q.part_name_clusters,
+        "user_ewma_stats": Q.user_ewma_stats,
     }
 
 
@@ -1363,6 +1364,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "user_ewma_stats": """
+            WITH o AS (
+                SELECT user_id,
+                       LEAST(GREATEST(value, 0.0), 100.0) AS v,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS k
+                FROM events
+            ),
+            e AS (
+                SELECT user_id,
+                       sum(v * 0.1 * pow(0.9, k - rn)) AS ew
+                FROM o GROUP BY user_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(round(sum(ew) / count(*), 6) AS DOUBLE) AS mean_ewma,
+                   CAST(round(min(ew), 6) AS DOUBLE) AS min_ewma,
+                   CAST(round(max(ew), 6) AS DOUBLE) AS max_ewma
+            FROM e
         """,
         "inverted_index_tokens": """
             WITH t AS (

@@ -4128,3 +4128,60 @@ def part_name_clusters(sf_dir: str) -> pd.DataFrame:
     out["cluster_root"] = out.cluster_root.astype("int64")
     out["n_members"] = out.n_members.astype("int64")
     return out.sort_values("cluster_root").reset_index(drop=True)
+
+
+def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
+    """Per-KEY EWMA (the grouped sibling of ewma_stream_value): each
+    user's final smoothed value over their (ts, event_id)-ordered,
+    [0,100]-winsorized event values, reduced to global stats (count /
+    mean / min / max of the per-user EWMAs). Users hash-bucket into 64
+    coarse groups; inside a bucket every user segment evaluates the
+    closed form a*sum(x_i (1-a)^{k-i}) with ONE vectorized pass
+    (per-segment reversed cumulative powers via segment offsets — no
+    per-user Python loop). Winsorizing bounds magnitudes so the 6dp
+    oracle compare sits far above float ulp."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                             "value"])
+    beta = 1.0 - alpha
+    n_buckets = 64
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        x = np.clip(g.value.to_numpy(np.float64), 0.0, 100.0)
+        uid = g.user_id.to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        # position within segment, counted from the segment END:
+        # weight_i = beta^(k - 1 - pos_from_start) = beta^pos_from_end
+        idx = np.arange(len(uid))
+        seg_end = np.repeat(ends, ends - starts)
+        from_end = (seg_end - 1) - idx
+        w = np.power(beta, from_end.astype(np.float64)) * alpha
+        wx = w * x
+        sums = np.add.reduceat(wx, starts)
+        e = sums  # per-user final EWMA, y_0 = 0 convention
+        return pd.DataFrame({
+            "n_users": [np.int64(len(starts))],
+            "sum_e": [float(e.sum())],
+            "min_e": [float(e.min())],
+            "max_e": [float(e.max())],
+        })
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    n = int(parts.n_users.sum())
+    return pd.DataFrame({
+        "n_users": [np.int64(n)],
+        "mean_ewma": [float(np.round(parts.sum_e.sum() / n, 6))],
+        "min_ewma": [float(np.round(parts.min_e.min(), 6))],
+        "max_ewma": [float(np.round(parts.max_e.max(), 6))],
+    })

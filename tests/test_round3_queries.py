@@ -78,6 +78,7 @@ NEW_QUERIES = [
     "ewma_stream_value",
     "inverted_index_tokens",
     "part_name_clusters",
+    "user_ewma_stats",
 ]
 
 

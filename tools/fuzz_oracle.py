@@ -65,7 +65,7 @@ EVENT_QUERIES = [
     "session_funnel_counts", "key_skew_stats", "event_type_transitions",
     "impute_missing_values", "k_anonymity_events", "late_events_report",
     "hot_user_enriched_revenue", "daily_psi_timeline",
-    "cusum_hourly_mean", "ewma_stream_value",
+    "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
 ]
 
 
