@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_tokens": Q.inverted_index_tokens,
         "part_name_clusters": Q.part_name_clusters,
         "user_ewma_stats": Q.user_ewma_stats,
+        "embedding_dim_medians": Q.embedding_dim_medians,
+        "completeness_report": Q.completeness_report,
     }
 
 
@@ -489,6 +491,26 @@ def _pattern_profile_oracle() -> str:
         SELECT source, CAST(count(*) AS BIGINT) AS n, {", ".join(hits)}
         FROM planted GROUP BY source ORDER BY source
     """
+
+
+
+
+def _completeness_oracle() -> str:
+    """Oracle for completeness_report, generated from the SAME
+    (table, columns) spec the engine sweeps."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        COMPLETENESS_COLS,
+    )
+
+    parts = []
+    for table, cols in COMPLETENESS_COLS:
+        for c in cols:
+            parts.append(
+                f"SELECT '{table}' AS tbl, '{c}' AS column, "
+                f"CAST(count(*) AS BIGINT) AS n_rows, "
+                f"CAST(count(*) - count({c}) AS BIGINT) AS n_null "
+                f"FROM {table}")
+    return " UNION ALL ".join(parts) + " ORDER BY tbl, \"column\""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1364,6 +1386,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        "completeness_report": _completeness_oracle(),
+        "embedding_dim_medians": """
+            WITH u AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(round(quantile_cont(v, 0.5), 9) AS DOUBLE)
+                       AS median_v
+            FROM u GROUP BY dim ORDER BY dim
         """,
         "user_ewma_stats": """
             WITH o AS (

@@ -4185,3 +4185,74 @@ def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
         "min_ewma": [float(np.round(parts.min_e.min(), 6))],
         "max_ewma": [float(np.round(parts.max_e.max(), 6))],
     })
+
+
+def embedding_dim_medians(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-dimension median of the embedding vectors — robust
+    per-feature center for vector drift baselines (the mean/std sibling
+    is embedding_dim_stats). Composition: a zero-copy flatten explodes
+    each block's FixedSizeList matrix into (dim, v) rows (one reshape,
+    no Python per element), then the grouped exact-quantile scan
+    (stages/scan.grouped_exact_quantiles) answers quantile_cont(0.5)
+    per dimension distributed."""
+    from ..stages.scan import grouped_exact_quantiles
+
+    emb = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        dim = len(flat) // max(1, len(b))
+        dims = np.tile(np.arange(1, dim + 1, dtype=np.int64), len(b))
+        return pa.table({"dim": pa.array(dims), "v": pa.array(flat)})
+
+    rows = emb.map_batches(explode, batch_format="pyarrow")
+    out = grouped_exact_quantiles(rows, "dim", "v", [0.5])
+    out = out.rename(columns={"dim": "dim", "value": "median_v"})
+    out["dim"] = out.dim.astype("int64")
+    out["median_v"] = np.round(out.median_v.astype("float64"), 9)
+    return out[["dim", "median_v"]].sort_values("dim").reset_index(drop=True)
+
+
+#: (table, columns) swept by completeness_report — shared with the
+#: generated SQL oracle (__ray_entry__) so the two sides cannot drift
+COMPLETENESS_COLS: "list[tuple[str, list[str]]]" = [
+    ("customer", ["c_custkey", "c_mktsegment", "c_acctbal"]),
+    ("orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+    ("lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+    ("events", ["event_id", "user_id", "value", "props"]),
+    ("documents", ["doc_id", "text", "lang"]),
+    ("embeddings", ["vec_id", "label"]),
+]
+
+
+def completeness_report(sf_dir: str) -> pd.DataFrame:
+    """Cross-TABLE completeness audit (row counts + per-column null
+    counts over every registered table) — the schema-conformance sweep
+    a validation engine runs before anything else (reference
+    capability: api/schemas.py validation surface, generalized to the
+    whole catalog). One column-pruned streaming pass per table, exact
+    integer partials per block, driver folds #tables x #cols scalar
+    rows. The SQL oracle is GENERATED from the same COMPLETENESS_COLS
+    spec."""
+    frames = []
+    for table, cols in COMPLETENESS_COLS:
+        ds = sf_table(sf_dir, table, columns=cols)
+
+        def partial(b: pd.DataFrame, cols=cols) -> pd.DataFrame:
+            return pd.DataFrame({
+                "column": cols,
+                "n_rows": np.full(len(cols), len(b), dtype=np.int64),
+                "n_null": [int(b[c].isna().sum()) for c in cols],
+            })
+
+        p = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+        agg = p.groupby("column", as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_null=("n_null", "sum"))
+        agg.insert(0, "tbl", table)
+        frames.append(agg)
+    out = pd.concat(frames, ignore_index=True)
+    out["n_rows"] = out.n_rows.astype("int64")
+    out["n_null"] = out.n_null.astype("int64")
+    return out.sort_values(["tbl", "column"]).reset_index(drop=True)

@@ -79,6 +79,8 @@ NEW_QUERIES = [
     "inverted_index_tokens",
     "part_name_clusters",
     "user_ewma_stats",
+    "embedding_dim_medians",
+    "completeness_report",
 ]
 
 
