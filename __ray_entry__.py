@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ewma_stats": Q.user_ewma_stats,
         "embedding_dim_medians": Q.embedding_dim_medians,
         "completeness_report": Q.completeness_report,
+        "outlier_counts_per_type": Q.outlier_counts_per_type,
     }
 
 
@@ -1388,6 +1389,25 @@ def oracle_sql() -> dict[str, str]:
             FROM final GROUP BY root ORDER BY cluster_root
         """,
         "completeness_report": _completeness_oracle(),
+        "outlier_counts_per_type": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.25) AS q1,
+                       quantile_cont(value, 0.75) AS q3
+                FROM events GROUP BY event_type
+            ),
+            f AS (
+                SELECT event_type,
+                       q1 - 1.5 * (q3 - q1) AS lo,
+                       q3 + 1.5 * (q3 - q1) AS hi
+                FROM q
+            )
+            SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM events e JOIN f USING (event_type)
+            GROUP BY e.event_type ORDER BY e.event_type
+        """,
         "embedding_dim_medians": """
             WITH u AS (
                 SELECT generate_subscripts(embedding, 1) AS dim,

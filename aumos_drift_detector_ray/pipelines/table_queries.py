@@ -4256,3 +4256,44 @@ def completeness_report(sf_dir: str) -> pd.DataFrame:
     out["n_rows"] = out.n_rows.astype("int64")
     out["n_null"] = out.n_null.astype("int64")
     return out.sort_values(["tbl", "column"]).reset_index(drop=True)
+
+
+def outlier_counts_per_type(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier audit per event type: EXACT grouped quartiles
+    (scan.grouped_exact_quantiles) give q1/q3, fences are q1-1.5*IQR /
+    q3+1.5*IQR, and one vectorized counting pass tallies rows outside
+    them — the robust data-quality outlier screen. Fences are computed
+    with the SAME float ops on the SAME quantile_cont doubles in the
+    SQL oracle, so the boundary comparisons agree bit-for-bit."""
+    from ..stages.scan import grouped_exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    qs = grouped_exact_quantiles(ds, "event_type", "value", [0.25, 0.75])
+    piv = qs.pivot(index="event_type", columns="p", values="value")
+    fences = {}
+    for t in piv.index:
+        q1, q3 = float(piv.loc[t, 0.25]), float(piv.loc[t, 0.75])
+        iqr = q3 - q1
+        fences[t] = (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+    fref = ray.put(fences)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        f = get_broadcast(fref)
+        lo = b.event_type.map(lambda t: f[t][0]).to_numpy(np.float64)
+        hi = b.event_type.map(lambda t: f[t][1]).to_numpy(np.float64)
+        v = b.value.to_numpy(np.float64)
+        out = (v < lo) | (v > hi)
+        return pd.DataFrame({"event_type": b.event_type,
+                             "is_out": out.astype(np.int64)}) \
+            .groupby("event_type", as_index=False).agg(
+                n=("is_out", "size"), n_outliers=("is_out", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_outliers", alias_name="n_outliers")).to_pandas()
+    out["n"] = out.n.astype("int64")
+    out["n_outliers"] = out.n_outliers.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -81,6 +81,7 @@ NEW_QUERIES = [
     "user_ewma_stats",
     "embedding_dim_medians",
     "completeness_report",
+    "outlier_counts_per_type",
 ]
 
 

@@ -66,6 +66,7 @@ EVENT_QUERIES = [
     "impute_missing_values", "k_anonymity_events", "late_events_report",
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
+    "outlier_counts_per_type",
 ]
 
 
