@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_medians": Q.embedding_dim_medians,
         "completeness_report": Q.completeness_report,
         "outlier_counts_per_type": Q.outlier_counts_per_type,
+        "order_count_histogram": Q.order_count_histogram,
     }
 
 
@@ -1389,6 +1390,19 @@ def oracle_sql() -> dict[str, str]:
             FROM final GROUP BY root ORDER BY cluster_root
         """,
         "completeness_report": _completeness_oracle(),
+        "order_count_histogram": """
+            WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS k
+                       FROM orders GROUP BY 1),
+            h AS (SELECT k, CAST(count(*) AS BIGINT) AS n_customers
+                  FROM c GROUP BY k)
+            SELECT * FROM h
+            UNION ALL
+            SELECT 0 AS k,
+                   (SELECT count(*) FROM customer)
+                   - (SELECT count(DISTINCT o_custkey) FROM orders)
+                       AS n_customers
+            ORDER BY k
+        """,
         "outlier_counts_per_type": """
             WITH q AS (
                 SELECT event_type,

@@ -4297,3 +4297,39 @@ def outlier_counts_per_type(sf_dir: str) -> pd.DataFrame:
     out["n"] = out.n.astype("int64")
     out["n_outliers"] = out.n_outliers.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def order_count_histogram(sf_dir: str) -> pd.DataFrame:
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders, including the k=0 bucket (customers with no orders) — the
+    F-statistic profile behind uniques estimators and engagement
+    cohorts. Shape: one pre-aggregated shuffle builds per-customer
+    order counts, a second TINY groupby folds counts-of-counts
+    (#distinct k values), and the k=0 bucket is exact arithmetic:
+    |customer| (parquet metadata count) minus distinct buyers."""
+    orders = sf_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", as_index=False).agg(
+            k=("o_custkey", "size"))
+
+    per_cust = orders.map_batches(partial, batch_format="pandas",
+                                  batch_size=65536) \
+        .groupby("o_custkey").aggregate(Sum("k", alias_name="k"))
+
+    def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("k", as_index=False).agg(
+            n_customers=("k", "size"))
+
+    hist = per_cust.map_batches(hist_partial, batch_format="pandas",
+                                batch_size=65536) \
+        .groupby("k").aggregate(Sum("n_customers",
+                                    alias_name="n_customers")) \
+        .to_pandas()
+    n_cust = sf_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_buyers = int(hist.n_customers.sum())
+    zero = pd.DataFrame({"k": [0], "n_customers": [n_cust - n_buyers]})
+    out = pd.concat([zero, hist], ignore_index=True)
+    out["k"] = out.k.astype("int64")
+    out["n_customers"] = out.n_customers.astype("int64")
+    return out.sort_values("k").reset_index(drop=True)

@@ -82,6 +82,7 @@ NEW_QUERIES = [
     "embedding_dim_medians",
     "completeness_report",
     "outlier_counts_per_type",
+    "order_count_histogram",
 ]
 
 
