@@ -499,18 +499,27 @@ def _pattern_profile_oracle() -> str:
 
 def _completeness_oracle() -> str:
     """Oracle for completeness_report, generated from the SAME
-    (table, columns) spec the engine sweeps."""
+    (table, columns) spec the engine sweeps. Float columns count NaN
+    as missing (pandas isna treats NULL and NaN identically, so the
+    SQL mirrors that shared definition of 'missing')."""
     from aumos_drift_detector_ray.pipelines.table_queries import (
         COMPLETENESS_COLS,
     )
 
+    FLOATY = {"c_acctbal", "o_totalprice", "l_quantity",
+              "l_extendedprice", "value"}
     parts = []
     for table, cols in COMPLETENESS_COLS:
         for c in cols:
+            if c in FLOATY:
+                missing = (f"count(*) - count(CASE WHEN {c} IS NOT NULL "
+                           f"AND NOT isnan({c}) THEN 1 END)")
+            else:
+                missing = f"count(*) - count({c})"
             parts.append(
                 f"SELECT '{table}' AS tbl, '{c}' AS column, "
                 f"CAST(count(*) AS BIGINT) AS n_rows, "
-                f"CAST(count(*) - count({c}) AS BIGINT) AS n_null "
+                f"CAST({missing} AS BIGINT) AS n_null "
                 f"FROM {table}")
     return " UNION ALL ".join(parts) + " ORDER BY tbl, \"column\""
 
@@ -1441,6 +1450,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY ts, event_id) AS rn,
                        count(*) OVER (PARTITION BY user_id) AS k
                 FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
             ),
             e AS (
                 SELECT user_id,

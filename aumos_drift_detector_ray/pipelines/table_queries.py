@@ -4153,6 +4153,10 @@ def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
             % np.uint64(n_buckets)).astype(np.int64))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # null/NaN values are EXCLUDED on both sides (the SQL oracle
+        # filters IS NOT NULL AND NOT isnan) — pandas cannot tell SQL
+        # NULL from float NaN, so exclusion is the shared contract
+        g = g.loc[~g.value.isna()]
         g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         x = np.clip(g.value.to_numpy(np.float64), 0.0, 100.0)
         uid = g.user_id.to_numpy(np.int64)
@@ -4165,6 +4169,10 @@ def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
         from_end = (seg_end - 1) - idx
         w = np.power(beta, from_end.astype(np.float64)) * alpha
         wx = w * x
+        if not len(uid):
+            return pd.DataFrame({"n_users": [np.int64(0)],
+                                 "sum_e": [0.0], "min_e": [np.inf],
+                                 "max_e": [-np.inf]})
         sums = np.add.reduceat(wx, starts)
         e = sums  # per-user final EWMA, y_0 = 0 convention
         return pd.DataFrame({
@@ -4235,24 +4243,26 @@ def completeness_report(sf_dir: str) -> pd.DataFrame:
     integer partials per block, driver folds #tables x #cols scalar
     rows. The SQL oracle is GENERATED from the same COMPLETENESS_COLS
     spec."""
-    frames = []
+    # the six table sweeps are independent: union their partial streams
+    # into ONE pipeline so the scans overlap instead of running serially
+    partials = []
     for table, cols in COMPLETENESS_COLS:
         ds = sf_table(sf_dir, table, columns=cols)
 
-        def partial(b: pd.DataFrame, cols=cols) -> pd.DataFrame:
+        def partial(b: pd.DataFrame, cols=cols,
+                    table=table) -> pd.DataFrame:
             return pd.DataFrame({
+                "tbl": table,
                 "column": cols,
                 "n_rows": np.full(len(cols), len(b), dtype=np.int64),
                 "n_null": [int(b[c].isna().sum()) for c in cols],
             })
 
-        p = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=65536).to_pandas()
-        agg = p.groupby("column", as_index=False).agg(
-            n_rows=("n_rows", "sum"), n_null=("n_null", "sum"))
-        agg.insert(0, "tbl", table)
-        frames.append(agg)
-    out = pd.concat(frames, ignore_index=True)
+        partials.append(ds.map_batches(partial, batch_format="pandas",
+                                       batch_size=65536))
+    p = partials[0].union(*partials[1:]).to_pandas()
+    out = p.groupby(["tbl", "column"], as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_null=("n_null", "sum"))
     out["n_rows"] = out.n_rows.astype("int64")
     out["n_null"] = out.n_null.astype("int64")
     return out.sort_values(["tbl", "column"]).reset_index(drop=True)
@@ -4280,8 +4290,12 @@ def outlier_counts_per_type(sf_dir: str) -> pd.DataFrame:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.broadcast import get_broadcast
         f = get_broadcast(fref)
-        lo = b.event_type.map(lambda t: f[t][0]).to_numpy(np.float64)
-        hi = b.event_type.map(lambda t: f[t][1]).to_numpy(np.float64)
+        # Series.map with a DICT is a vectorized take — no per-row
+        # Python on the table-wide pass
+        lo_map = {t: v[0] for t, v in f.items()}
+        hi_map = {t: v[1] for t, v in f.items()}
+        lo = b.event_type.map(lo_map).to_numpy(np.float64)
+        hi = b.event_type.map(hi_map).to_numpy(np.float64)
         v = b.value.to_numpy(np.float64)
         out = (v < lo) | (v > hi)
         return pd.DataFrame({"event_type": b.event_type,
