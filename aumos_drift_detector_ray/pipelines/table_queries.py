@@ -3609,9 +3609,17 @@ def late_events_report(sf_dir: str) -> pd.DataFrame:
     would need a sort first — documented partitioning assumption), and
     broadcasts per-block carry-in prefix maxima. Phase B: each block
     combines its carry-in with a vectorized np.maximum.accumulate and
-    emits per-type late-count partials."""
+    emits per-type late-count partials.
+
+    Both phases map the SAME materialized block structure with
+    ``batch_size=None`` (one batch per block), so phase-B batches tile
+    phase-A summaries by construction — no reliance on Ray reproducing
+    byte-identical slicing across two independent executions. The carry
+    lookup is a searchsorted over the sorted phase-A min_eids (range
+    semantics), so even a future Ray that re-slices materialized blocks
+    degrades to the enclosing block's carry instead of hard-failing."""
     ds = sf_table(sf_dir, "events", columns=["event_id", "ts",
-                                             "event_type"])
+                                             "event_type"]).materialize()
 
     def summary(b: pd.DataFrame) -> pd.DataFrame:
         e = b.event_id.to_numpy(np.int64)
@@ -3619,40 +3627,40 @@ def late_events_report(sf_dir: str) -> pd.DataFrame:
                              "max_eid": [int(e.max())],
                              "max_ts": [b.ts.max()]})
 
-    parts = ds.map_batches(summary, batch_format="pandas") \
+    parts = ds.map_batches(summary, batch_format="pandas",
+                           batch_size=None) \
         .to_pandas().sort_values("min_eid").reset_index(drop=True)
     assert (parts.min_eid.to_numpy()[1:]
             > parts.max_eid.to_numpy()[:-1]).all(), \
         "block event_id ranges overlap — input not ordered; sort first"
-    # exclusive carry-in prefix max per block, keyed by min_eid
-    carry = {}
-    running = pd.Timestamp.min
-    for r in parts.itertuples():
-        carry[int(r.min_eid)] = running
-        running = max(running, r.max_ts)
-    cref = ray.put(carry)
+    # exclusive carry-in prefix max per block, aligned with sorted
+    # min_eids; carry[j] = max ts over all blocks strictly before j
+    min_eids = parts.min_eid.to_numpy(np.int64)
+    maxes = parts.max_ts.to_numpy().astype("datetime64[us]")
+    carry = np.empty(len(maxes), dtype="datetime64[us]")
+    # identity for max: far before any representable event time
+    carry[0] = np.datetime64(-(2 ** 62), "us")
+    if len(maxes) > 1:
+        carry[1:] = np.maximum.accumulate(maxes)[:-1]
+    cref = ray.put({"min_eids": min_eids, "carry": carry})
 
     def late_partial(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.broadcast import get_broadcast
         b = b.sort_values("event_id", kind="stable")
-        carry_map = get_broadcast(cref)
+        info = get_broadcast(cref)
         first = int(b.event_id.iloc[0])
-        # both passes slice identical deterministic read blocks with the
-        # same default batch_size, so batch starts align; assert loudly
-        # if Ray ever re-slices (same contract as scan.py's boundary
-        # assert)
-        assert first in carry_map, "phase A/B batch boundary drift"
-        cin = carry_map[first]
+        j = int(np.searchsorted(info["min_eids"], first, side="right")) - 1
+        cin = info["carry"][max(j, 0)]
         run = np.maximum.accumulate(b.ts.to_numpy())
-        run = np.maximum(run, np.datetime64(cin) if cin > pd.Timestamp.min
-                         else run.min())
+        run = np.maximum(run, cin)
         late = (run - b.ts.to_numpy()) > np.timedelta64(3600, "s")
         return pd.DataFrame({"event_type": b.event_type,
                              "late": late.astype(np.int64)}) \
             .groupby("event_type", as_index=False).agg(
                 n=("late", "size"), n_late=("late", "sum"))
 
-    out = ds.map_batches(late_partial, batch_format="pandas") \
+    out = ds.map_batches(late_partial, batch_format="pandas",
+                         batch_size=None) \
         .groupby("event_type").aggregate(Sum("n", alias_name="n"),
                                          Sum("n_late", alias_name="n_late")) \
         .to_pandas()

@@ -137,6 +137,11 @@ def ordered_concept_drift(
             batch_format="pyarrow",
             batch_size=8192,
             concurrency=1,
+            # no silent actor restart: constructor args live in the
+            # object store and can be lost by the time a restart needs
+            # them (ray#53727, core_worker.cc:2246 log spam); recovery
+            # is the checkpoint/resume path, which is exact
+            max_restarts=0,
         ).to_pandas()
     finally:
         ctx.execution_options.preserve_order = prev

@@ -408,17 +408,32 @@ def salted_hash_join(
     a per-user aggregate for 6.4 s at sf0.1)."""
     skey = "__salted_key"
 
+    def _int_key(b: pa.Table, side: str) -> np.ndarray:
+        # enforce the INTEGER-key contract loudly: a null-bearing key
+        # column degrades to float and NaN.astype(int64) fabricates
+        # garbage composite keys (SQL semantics: null never matches) —
+        # fail instead of silently joining on garbage
+        assert pa.types.is_integer(b[key].type), \
+            f"salted_hash_join requires an integer {side} key; " \
+            f"{key!r} is {b[key].type} (nulls degrade keys to float — " \
+            f"drop null keys upstream)"
+        assert b[key].null_count == 0, \
+            f"salted_hash_join {side} key {key!r} has nulls; drop them " \
+            "upstream (SQL null-never-matches semantics)"
+        return b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+
     def salt_left(b: pa.Table) -> pa.Table:
         n = len(b)
         s = np.arange(n, dtype=np.int64) % salt
-        k = b[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _int_key(b, "left")
         return b.append_column(skey, pa.array(k * salt + s, pa.int64()))
 
     def replicate_right(b: pa.Table) -> pa.Table:
+        k0 = _int_key(b, "right")
         idx = np.repeat(np.arange(len(b), dtype=np.int64), salt)
         rep = b.take(pa.array(idx))
         s = np.tile(np.arange(salt, dtype=np.int64), len(b))
-        k = rep[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = k0[idx]
         return rep.append_column(skey, pa.array(k * salt + s, pa.int64()))
 
     l = left.map_batches(salt_left, batch_format="pyarrow")

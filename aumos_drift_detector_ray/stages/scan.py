@@ -317,9 +317,15 @@ def exact_quantiles(
         return np.full(len(probs), np.nan)
     offs = np.concatenate([[0], np.cumsum(summary.n.to_numpy())])
     if method == "inverted_cdf":
-        # quantile_disc: 0-based rank ceil(n*p) - 1, clipped at the ends
+        # quantile_disc: 0-based rank ceil(n*p) - 1, clipped at the ends.
+        # Half-ulp guard: when p*total floats marginally ABOVE the exact
+        # integer (non-dyadic p, large n), a bare ceil would pick the
+        # next rank and break the bit-exact-threshold contract vs
+        # DuckDB's integer-exact rank; nudging by 1e-9 rows is far below
+        # any legitimate fractional part at representable sizes.
         x = np.asarray(probs, dtype=float) * total
-        lo_ranks = np.clip(np.ceil(x).astype(np.int64) - 1, 0, total - 1)
+        lo_ranks = np.clip(np.ceil(x - 1e-9).astype(np.int64) - 1,
+                           0, total - 1)
         hi_ranks = lo_ranks
         x = lo_ranks.astype(float)
     elif method == "linear":

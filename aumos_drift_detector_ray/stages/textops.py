@@ -320,9 +320,13 @@ def flag_contaminated(ds: ray.data.Dataset, benchmark_texts: "list[str]",
     bench_ref = ray.put(list(benchmark_texts))
 
     def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
         col = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
         hit = np.zeros(len(batch), dtype=bool)
-        for b in ray.get(bench_ref):
+        # get_broadcast: deserialize the benchmark list once per worker,
+        # not once per batch (a plain ray.get re-unpickles every call)
+        for b in get_broadcast(bench_ref):
             hit |= np.asarray(pc.match_substring(col, b).to_numpy(
                 zero_copy_only=False), dtype=bool)
         return batch.append_column(out_col, pa.array(hit, pa.bool_()))
