@@ -3264,32 +3264,18 @@ def neardup_clusters(sf_dir: str) -> pd.DataFrame:
     (verified_neardup_pairs) -> union-find over the surviving pairs.
     The pair set is bounded by the candidate rate (the same documented
     contract every dedup finalize step in stages/dedup.py relies on),
-    so the union-find runs on the driver over scalars; at a corpus
-    scale where components outgrow that bound, iterate min-label
-    propagation as a hash_join loop (each round is one bucketed join —
-    the standard distributed-CC shape). The SQL oracle recomputes the
-    ground-truth all-pairs Jaccard graph and closes it transitively
-    with a recursive CTE, so a green row proves candidate recall,
-    exact verify AND the clustering."""
+    so under stages/graph.DRIVER_CC_GATE pairs the union-find runs on
+    the driver over scalars; above it, stages/graph.cc_labels iterates
+    distributed min-label propagation (one bucketed hash_join + one
+    grouped min per round) — both paths output-identical (pytest
+    TestClusterPaths). The SQL oracle recomputes the ground-truth
+    all-pairs Jaccard graph and closes it transitively with a
+    recursive CTE, so a green row proves candidate recall, exact
+    verify AND the clustering."""
+    from ..stages.graph import cluster_sizes
+
     pairs = verified_neardup_pairs(sf_dir)
-    parent: "dict[int, int]" = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs.id_a, pairs.id_b):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    roots = pd.Series({n: find(n) for n in parent}, name="cluster_root")
-    out = roots.groupby(roots).size().rename("n_members").reset_index()
-    out["cluster_root"] = out.cluster_root.astype("int64")
-    out["n_members"] = out.n_members.astype("int64")
-    return out.sort_values("cluster_root").reset_index(drop=True)
+    return cluster_sizes(pairs, "id_a", "id_b")
 
 
 def session_funnel_counts(sf_dir: str) -> pd.DataFrame:
@@ -4113,29 +4099,15 @@ def part_name_clusters(sf_dir: str) -> pd.DataFrame:
     """Entity-resolution CLUSTERS: connected components over the fuzzy
     part-name match graph (fuzzy_part_name_pairs: blocked Levenshtein
     <= 2) — duplicate-listing consolidation end-to-end. Union-find runs
-    on the bounded pair output (documented contract; the distributed
-    min-label hash_join loop is the scale escape hatch, as in
-    neardup_clusters); the SQL oracle recomputes the pair graph with
-    DuckDB levenshtein and closes it transitively."""
+    on the bounded pair output under stages/graph.DRIVER_CC_GATE, the
+    distributed min-label propagation loop (stages/graph.cc_labels)
+    above it — both paths output-identical; the SQL oracle recomputes
+    the pair graph with DuckDB levenshtein and closes it
+    transitively."""
+    from ..stages.graph import cluster_sizes
+
     pairs = fuzzy_part_name_pairs(sf_dir)
-    parent: "dict[int, int]" = {}
-
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(pairs.a_key, pairs.b_key):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    roots = pd.Series({n: find(n) for n in parent}, name="cluster_root")
-    out = roots.groupby(roots).size().rename("n_members").reset_index()
-    out["cluster_root"] = out.cluster_root.astype("int64")
-    out["n_members"] = out.n_members.astype("int64")
-    return out.sort_values("cluster_root").reset_index(drop=True)
+    return cluster_sizes(pairs, "a_key", "b_key")
 
 
 def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:

@@ -93,7 +93,19 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
     value[rng.choice(n, n // 20, replace=False)] = -3.5
     value[rng.choice(n, 3, replace=False)] = 1e9
     value[rng.choice(n, n // 15, replace=False)] = 42.42  # mass point
-    return pd.DataFrame({
+    # ties-heavy discrete plateau: ~25% of rows quantized to integers
+    # 0..4 — stresses rank-based statistics (Anderson-Darling's
+    # Scholz-Stephens tie correction, KS step alignment, quantile mass)
+    tie_idx = rng.choice(n, n // 4, replace=False)
+    value[tie_idx] = rng.integers(0, 5, n // 4).astype(np.float64)
+    # missing data: true float NaN AND SQL NULL (distinct index sets) —
+    # every value-consuming query must apply the shared contract
+    # 'exclude null/NaN on both sides' (pandas cannot tell them apart;
+    # DuckDB can — isnan() vs IS NULL)
+    value[rng.choice(n, n // 30, replace=False)] = np.nan
+    null_mask = np.zeros(n, dtype=bool)
+    null_mask[rng.choice(n, n // 30, replace=False)] = True
+    df = pd.DataFrame({
         "event_id": np.arange(n, dtype=np.int64),
         "ts": ts.values.astype("datetime64[us]"),
         "user_id": user_id,
@@ -101,6 +113,8 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
         "value": value,
         "props": ['{"k": %d}' % k for k in rng.integers(0, 100, n)],
     })
+    df.attrs["value_null_mask"] = null_mask
+    return df
 
 
 # documents-centric oracle queries (the --docs mode); verified_neardup's
@@ -191,7 +205,13 @@ def main(seed: int = 0, n: int = 4000) -> None:
     for f in os.listdir(BASE):
         if f.endswith(".parquet") and f != "events.parquet":
             os.symlink(os.path.join(BASE, f), os.path.join(work, f))
-    tbl = pa.Table.from_pandas(synth_events(seed, n), preserve_index=False)
+    df = synth_events(seed, n)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    # from_pandas turns NaN into NULL; rebuild the value column so true
+    # NaN survives as NaN and only value_null_mask positions are NULL
+    vcol = pa.array(df.value.to_numpy(np.float64),
+                    mask=df.attrs["value_null_mask"])
+    tbl = tbl.set_column(tbl.schema.get_field_index("value"), "value", vcol)
     pq.write_table(tbl.replace_schema_metadata(None),
                    os.path.join(work, "events.parquet"),
                    row_group_size=512)  # many row groups -> many blocks
