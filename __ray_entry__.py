@@ -524,7 +524,56 @@ def _completeness_oracle() -> str:
     return " UNION ALL ".join(parts) + " ORDER BY tbl, \"column\""
 
 
+#: the shared missing-data contract for value-consuming event queries:
+#: null AND NaN value rows are excluded on BOTH sides (the Ray side via
+#: table_queries.sf_events_clean — pandas cannot tell SQL NULL from
+#: float NaN, so both drop; here via a filtered derived table swapped
+#: in for every `FROM events` reference). Without this, DuckDB errors
+#: on CAST(round(NaN*100) AS BIGINT) and NaN>x comparisons diverge
+#: (DuckDB sorts NaN above infinity; numpy comparisons are False).
+_EVENTS_CLEAN_SUB = ("(SELECT * FROM events WHERE value IS NOT NULL "
+                     "AND NOT isnan(value))")
+
+#: every oracle query that consumes events.value — kept in one list so
+#: the contract cannot be applied piecemeal
+_VALUE_CLEAN_QUERIES = [
+    "events_by_type", "hourly_event_counts", "sliding_4h_event_stats",
+    "value_quantiles_per_type", "psi_events_value",
+    "js_hellinger_events_value", "ks_events_value",
+    "wasserstein_events_value", "anderson_darling_events",
+    "trend_hourly_slope", "windowed_accuracy_events",
+    "corr_slope_value_hour_per_type", "top_user_by_value_per_type",
+    "mad_value_per_type", "active_user_outer_counts",
+    "user_value_moving_avg", "mode_value_band_per_type",
+    "amended_events_latest_dedup", "value_quartile_band_counts",
+    "impute_missing_values", "k_anonymity_events",
+    "hot_user_enriched_revenue", "daily_psi_timeline",
+    "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
+    "outlier_counts_per_type",
+]
+
+
+def _clean_events_sql(sql: str) -> str:
+    """Swap every `FROM events [alias]` for the null/NaN-filtered
+    derived table (two-step with a placeholder so the subquery's own
+    `FROM events` is never re-matched). Single-letter tokens after the
+    table name are aliases; anything longer is a SQL keyword (GROUP /
+    WHERE / ORDER / JOIN / WINDOW ...) in this codebase's oracle SQL."""
+    import re
+
+    sql = re.sub(r"\bFROM events\s+(?=[a-z]\b)", "FROM __EC__ ", sql)
+    sql = re.sub(r"\bFROM events\b", "FROM __EC__ events", sql)
+    return sql.replace("__EC__", _EVENTS_CLEAN_SUB)
+
+
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_raw()
+    for _n in _VALUE_CLEAN_QUERIES:
+        d[_n] = _clean_events_sql(d[_n])
+    return d
+
+
+def _oracle_sql_raw() -> dict[str, str]:
     return {
         **_text_oracles(),
         "events_type_hour_pivot": """

@@ -40,6 +40,29 @@ def _to_pdf(ds: ray.data.Dataset) -> pd.DataFrame:
     return ds.to_pandas()
 
 
+def sf_events_clean(sf_dir: str, columns: "list[str]") -> ray.data.Dataset:
+    """events table with null/NaN ``value`` rows EXCLUDED — the shared
+    missing-data contract for every value-consuming query: pandas
+    cannot tell SQL NULL from float NaN once a batch materializes, so
+    both are dropped here and every matching SQL oracle filters
+    ``value IS NOT NULL AND NOT isnan(value)`` (EVENTS_VALUE_FILTER in
+    __ray_entry__). Without this, round(NaN*100).astype(int64) is an
+    undefined C cast fabricating silent garbage — caught by
+    tools/fuzz_oracle.py once it started planting NaN/NULL values.
+    ``value`` must be in ``columns``; the filter is one vectorized
+    Arrow kernel per block (zero-copy, stream-safe)."""
+    assert "value" in columns, "sf_events_clean requires the value column"
+    ds = sf_table(sf_dir, "events", columns=columns)
+
+    def drop_missing(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        ok = pc.and_kleene(v.is_valid(),
+                           pc.invert(pc.is_nan(pc.cast(v, pa.float64()))))
+        return b.filter(pc.fill_null(ok, False))
+
+    return ds.map_batches(drop_missing, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # grouped aggregates (pre-aggregated shuffles)
 # ---------------------------------------------------------------------------
@@ -94,7 +117,7 @@ def count_by_returnflag(sf_dir: str) -> pd.DataFrame:
 
 
 def events_by_type(sf_dir: str) -> pd.DataFrame:
-    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -185,7 +208,7 @@ def approx_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""
-    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -213,7 +236,7 @@ def sliding_4h_event_stats(sf_dir: str) -> pd.DataFrame:
     from ..sketches import hash64
     from ..stages.aggregate import sliding_time_window_sums
 
-    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
 
     def hourly(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
@@ -390,7 +413,7 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
     from ..stages.scan import grouped_exact_quantiles
 
     out = grouped_exact_quantiles(
-        sf_table(sf_dir, "events", columns=["event_type", "value"]),
+        sf_events_clean(sf_dir, ["event_type", "value"]),
         "event_type", "value", [0.25, 0.5, 0.75])
     out["value"] = out.value.round(9)
     return out.sort_values(["event_type", "p"]).reset_index(drop=True)
@@ -459,7 +482,7 @@ def _events_split_counts(sf_dir: str, n_bins: int) -> tuple[np.ndarray, np.ndarr
     the same floor/clamp arithmetic the SQL oracle uses. Pass 1: exact
     min/max (Moments). Pass 2: per-block integer bin counts, vector-sum
     merged. Exact."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    ds = sf_events_clean(sf_dir, ["event_id", "value"])
     from ..stages import profile as P
 
     m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
@@ -507,7 +530,7 @@ def js_hellinger_events_value(sf_dir: str) -> pd.DataFrame:
 
 def _events_two_sample(sf_dir: str) -> ray.data.Dataset:
     """(value, is_ref) stream from events, split by event_id parity."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    ds = sf_events_clean(sf_dir, ["event_id", "value"])
 
     def prep(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -1156,7 +1179,7 @@ def windowed_accuracy_events(sf_dir: str) -> pd.DataFrame:
     oracle checks the distributed windowed-metrics stage end-to-end."""
     from ..stages.perfmon import windowed_performance
 
-    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "user_id", "value"])
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -1866,7 +1889,7 @@ def corr_slope_value_hour_per_type(sf_dir: str) -> pd.DataFrame:
     pattern). The partials are order-independent, so the result is
     deterministic and exact at any magnitude. round(6) absorbs only
     the oracle's own float accumulation, not ours."""
-    ds = sf_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "ts", "value"])
     MCOLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -1950,7 +1973,7 @@ def top_user_by_value_per_type(sf_dir: str) -> pd.DataFrame:
     the (value DESC, user_id ASC)-first row. Every block reduces to
     <= one row per type before the tiny per-type merge — the mergeable
     argmax shape (no global sort, no topk shuffle)."""
-    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "user_id", "value"])
 
     def reduce_fn(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(["value", "user_id"],
@@ -2031,7 +2054,7 @@ def mad_value_per_type(sf_dir: str) -> pd.DataFrame:
     quarter-cents, so no rounding is needed."""
     from ..stages.scan import grouped_exact_quantiles
 
-    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
     med = grouped_exact_quantiles(ds, "event_type", "value", [0.5])
     med_by_type = dict(zip(med.event_type, med.value))
     med_ref = ray.put(med_by_type)
@@ -2564,7 +2587,7 @@ def active_user_outer_counts(sf_dir: str) -> pd.DataFrame:
     the outer semantics are exercised, not degenerate."""
     from ..stages.joins import hash_join
 
-    ev = sf_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    ev = sf_events_clean(sf_dir, ["user_id", "event_type", "value"])
 
     def side(etype: str, name: str) -> ray.data.Dataset:
         def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -2664,8 +2687,7 @@ def user_value_moving_avg(sf_dir: str) -> pd.DataFrame:
     stream sorts INSIDE its group task (hash-partitioned by user like
     sessionization; no global sort); sums are exact cents integers and
     the final division mirrors the SQL's IEEE op order."""
-    ds = sf_table(sf_dir, "events",
-                  columns=["event_id", "user_id", "ts", "value"])
+    ds = sf_events_clean(sf_dir, ["event_id", "user_id", "ts", "value"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
@@ -2978,7 +3000,7 @@ def amended_events_latest_dedup(sf_dir: str) -> pd.DataFrame:
     from ..sketches import hash64
 
     cols = ["event_id", "ts", "event_type", "value"]
-    base = sf_table(sf_dir, "events", columns=cols)
+    base = sf_events_clean(sf_dir, cols)
 
     def amend(t: pa.Table) -> pa.Table:
         # arrow in/out so union blocks keep ONE block type + schema
@@ -3098,7 +3120,7 @@ def value_quartile_band_counts(sf_dir: str) -> pd.DataFrame:
     the distinct-value order-statistics scan, then the banding scan."""
     from ..stages.scan import exact_quantiles
 
-    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
     th = exact_quantiles(ds, "value", [0.25, 0.5, 0.75],
                          method="inverted_cdf")
     th_ref = ray.put(np.asarray(th, dtype=np.float64))
@@ -3485,9 +3507,10 @@ def impute_missing_values(sf_dir: str) -> pd.DataFrame:
     integers, one tiny pre-aggregated shuffle), broadcast, and a
     map-side pass fills the holes. Output audits the repair per type:
     rows imputed and the post-imputation mean, float op order mirrored
-    by the SQL oracle."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type",
-                                             "value"])
+    by the SQL oracle. Natural null/NaN values are excluded FIRST on
+    both sides (sf_events_clean) — the planted nulls are the
+    experiment's controlled missingness."""
+    ds = sf_events_clean(sf_dir, ["event_id", "event_type", "value"])
 
     def plant_and_partial(b: pd.DataFrame) -> pd.DataFrame:
         miss = (b.event_id % 11 == 0).to_numpy()
@@ -3526,7 +3549,7 @@ def k_anonymity_events(sf_dir: str, k: int = 5) -> pd.DataFrame:
     builds combo counts; the report is the number of distinct combos,
     how many fall below k, and how many ROWS sit in those re-identifiable
     combos."""
-    ds = sf_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = sf_events_clean(sf_dir, ["ts", "event_type", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -3665,8 +3688,7 @@ def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
     count-weighted value sum (cents integers end-to-end)."""
     from ..stages.joins import salted_hash_join
 
-    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type",
-                                             "value"])
+    ds = sf_events_clean(sf_dir, ["user_id", "event_type", "value"])
 
     def count_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("user_id", as_index=False).agg(
@@ -3729,14 +3751,31 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
+#: vocabulary size above which TF-IDF scoring leaves the broadcast-dict
+#: path for the token-keyed hash join — module-level so tests can
+#: gate-force the join path
+TFIDF_BROADCAST_GATE = 2_000_000
+
+
+def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3,
+                            broadcast_gate: "int | None" = None
+                            ) -> pd.DataFrame:
     """Per-document TF-IDF top terms (score = tf x ln(N/df)) — the
-    classic relevance/keyword-extraction pass. Two passes: (1) the
-    document-frequency table (exact per-block partials, same shape as
-    doc_frequency_top_terms) collects to a broadcast dict — bounded by
-    VOCABULARY size, with the hash-join-on-token fallback documented
-    for corpora whose vocabulary outgrows a broadcast; (2) each block
-    scores its own docs vectorized and emits only top-n rows per doc.
+    classic relevance/keyword-extraction pass, size-gated two ways:
+
+    * vocabulary <= TFIDF_BROADCAST_GATE (the common case — even web
+      vocabularies are millions, not billions): the document-frequency
+      table (exact per-block partials, per-token merge IN Ray so the
+      driver sees one row per vocab entry) collects to a broadcast
+      dict, and each block scores its own docs vectorized, emitting
+      only top-n rows per doc.
+    * vocabulary ABOVE the gate (10^8+-token web corpora): nothing
+      vocabulary-sized touches the driver — the df table stays a
+      Dataset and joins (doc_id, token, tf) rows on token via the
+      bucketed hash_join; per-doc top-n resolves inside doc-bucketed
+      group tasks. Both paths are output-identical (pytest
+      TestTfidfPaths), and the oracle gate runs green on either.
+
     Ranking uses (round(score, 6) DESC, token ASC) on BOTH sides so
     float ulp differences between libm implementations cannot flip
     ranks."""
@@ -3744,7 +3783,7 @@ def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
-    from ..sketches import hash_any_array
+    from ..sketches import hash64, hash_any_array
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         toks: "list[str]" = []
@@ -3762,16 +3801,40 @@ def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
     def df_merge(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("token", as_index=False).agg(df=("df", "sum"))
 
-    # the per-token merge happens IN Ray (bucketed groupby), so the
-    # driver receives one row per vocabulary entry, never vocab x blocks
-    parts = ds.map_batches(df_partial, batch_format="pandas",
+    # the per-token merge happens IN Ray (bucketed groupby); materialize
+    # so the vocab-size probe and the chosen path don't re-execute it
+    df_ds = ds.map_batches(df_partial, batch_format="pandas",
                            batch_size=65536) \
         .groupby("bucket").map_groups(df_merge, batch_format="pandas") \
-        .to_pandas()
-    df_map = dict(zip(parts.token, parts.df))
+        .materialize()
     # total docs: exact count from the dataset (metadata fast path)
     total_docs = ds.count()
-    dref = ray.put(df_map)
+    gate = TFIDF_BROADCAST_GATE if broadcast_gate is None else broadcast_gate
+
+    if df_ds.count() <= gate:
+        out = _tfidf_score_broadcast(ds, df_ds, total_docs, topn, WORD_RE)
+    else:
+        out = _tfidf_score_join(ds, df_ds, total_docs, topn, WORD_RE,
+                                hash64)
+    out["doc_id"] = out.doc_id.astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    out["score"] = out.score.astype("float64")
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+_TFIDF_EMPTY = {
+    "doc_id": pd.Series([], dtype=np.int64),
+    "rank": pd.Series([], dtype=np.int64),
+    "token": pd.Series([], dtype=object),
+    "score": pd.Series([], dtype=np.float64),
+}
+
+
+def _tfidf_score_broadcast(ds: ray.data.Dataset, df_ds: ray.data.Dataset,
+                           total_docs: int, topn: int,
+                           word_re) -> pd.DataFrame:
+    parts = df_ds.to_pandas()
+    dref = ray.put(dict(zip(parts.token, parts.df)))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
         from ..functions.broadcast import get_broadcast
@@ -3779,7 +3842,7 @@ def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
         rows = []
         for did, t in zip(b.doc_id.astype("int64"),
                           b.text.fillna("").astype(str).str.lower()):
-            toks = WORD_RE.findall(t)
+            toks = word_re.findall(t)
             if not toks:
                 continue
             u, c = np.unique(np.asarray(toks, dtype=object),
@@ -3792,17 +3855,71 @@ def tfidf_top_terms_per_doc(sf_dir: str, topn: int = 3) -> pd.DataFrame:
                 rows.append((did, r, u[i], sc[i]))
         return pd.DataFrame(rows, columns=["doc_id", "rank", "token",
                                            "score"]) \
-            if rows else pd.DataFrame({
-                "doc_id": pd.Series([], dtype=np.int64),
-                "rank": pd.Series([], dtype=np.int64),
-                "token": pd.Series([], dtype=object),
-                "score": pd.Series([], dtype=np.float64)})
+            if rows else pd.DataFrame(_TFIDF_EMPTY)
 
-    out = ds.map_batches(score, batch_format="pandas").to_pandas()
-    out["doc_id"] = out.doc_id.astype("int64")
-    out["rank"] = out["rank"].astype("int64")
-    out["score"] = out.score.astype("float64")
-    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return ds.map_batches(score, batch_format="pandas").to_pandas()
+
+
+def _tfidf_score_join(ds: ray.data.Dataset, df_ds: ray.data.Dataset,
+                      total_docs: int, topn: int, word_re,
+                      hash64) -> pd.DataFrame:
+    """Join-path scoring: (doc_id, token, tf) rows hash_join the df
+    Dataset on token (string keys bucket via the same canonical hash
+    both sides), then per-doc top-n resolves in doc-bucketed group
+    tasks — per-doc rows co-locate, the driver only ever sees topn
+    rows per doc."""
+    from ..stages.joins import hash_join
+
+    def tf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        docs, toks, tfs = [], [], []
+        for did, t in zip(b.doc_id.astype("int64"),
+                          b.text.fillna("").astype(str).str.lower()):
+            found = word_re.findall(t)
+            if not found:
+                continue
+            u, c = np.unique(np.asarray(found, dtype=object),
+                             return_counts=True)
+            docs.append(np.full(len(u), did, dtype=np.int64))
+            toks.append(u)
+            tfs.append(c.astype(np.int64))
+        if not docs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "token": pd.Series([], dtype=object),
+                                 "tf": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"doc_id": np.concatenate(docs),
+                             "token": np.concatenate(toks),
+                             "tf": np.concatenate(tfs)})
+
+    joined = hash_join(
+        ds.map_batches(tf_rows, batch_format="pandas", batch_size=65536),
+        df_ds.drop_columns(["bucket"]) if "bucket" in
+        (df_ds.schema().names or []) else df_ds,
+        "token", n_buckets=32,
+        left_fields={"doc_id": pa.int64(), "token": pa.string(),
+                     "tf": pa.int64()},
+        right_fields={"token": pa.string(), "df": pa.int64()})
+
+    def scored(b: pd.DataFrame) -> pd.DataFrame:
+        sc = np.round(b.tf.to_numpy(np.float64)
+                      * np.log(total_docs / b.r_df.to_numpy(np.float64)), 6)
+        d = pd.DataFrame({"doc_id": b.doc_id.astype("int64"),
+                          "token": b.token, "score": sc})
+        d["dbucket"] = (hash64(d.doc_id.to_numpy(np.int64)
+                               .view(np.uint64))
+                        % np.uint64(64)).astype(np.int64)
+        return d
+
+    def per_doc_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "score", "token"],
+                          ascending=[True, False, True], kind="stable")
+        top = g.groupby("doc_id", sort=False).head(topn).copy()
+        top["rank"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return top[["doc_id", "rank", "token", "score"]]
+
+    out = joined.map_batches(scored, batch_format="pandas") \
+        .groupby("dbucket").map_groups(per_doc_topn, batch_format="pandas") \
+        .to_pandas()
+    return out if len(out) else pd.DataFrame(_TFIDF_EMPTY)
 
 
 def bigram_counts_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
@@ -3922,7 +4039,7 @@ def daily_psi_timeline(sf_dir: str) -> pd.DataFrame:
     oracle left-joins a generated day x bin grid — absent rows would
     silently drop the eps terms)."""
     n_bins = 10
-    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
     from ..stages import profile as P
 
     m = P.profile_dataset(ds, ["value"])["num"]["value"].moments
@@ -3968,7 +4085,7 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
     partials (one tiny pre-aggregated shuffle); the cumulative sum runs
     in hour order on BOTH sides (SQL ordered window), so even the float
     accumulation order matches."""
-    ds = sf_table(sf_dir, "events", columns=["ts", "value"])
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -4012,7 +4129,7 @@ def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:
     like a planted 1e9 would make a fixed-decimal compare sub-ulp: the
     engine's composed per-block sums and the SQL's single global sum
     may then legitimately differ in the 9th decimal)."""
-    ds = sf_table(sf_dir, "events", columns=["event_id", "value"])
+    ds = sf_events_clean(sf_dir, ["event_id", "value"])
     beta = 1.0 - alpha
 
     def affine(b: pd.DataFrame) -> pd.DataFrame:
@@ -4257,7 +4374,7 @@ def outlier_counts_per_type(sf_dir: str) -> pd.DataFrame:
     SQL oracle, so the boundary comparisons agree bit-for-bit."""
     from ..stages.scan import grouped_exact_quantiles
 
-    ds = sf_table(sf_dir, "events", columns=["event_type", "value"])
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
     qs = grouped_exact_quantiles(ds, "event_type", "value", [0.25, 0.75])
     piv = qs.pivot(index="event_type", columns="p", values="value")
     fences = {}
