@@ -239,3 +239,78 @@ class TestCleanWindowShuffleChecks:
         assert t.schema.names == ["partition_id", "image_id", "check",
                                   "detail"]
         assert len(t) == 0
+
+
+class TestNoCertificatePath:
+    def test_matrix_identical_without_ref_truth(self, ray_session,
+                                                tmp_path_factory):
+        """use_ref_truth=False drops the source-certified columns at the
+        read (full ground-truth re-render — the honest real-world
+        decode rate bench.py reports): the pass/fail matrix and the
+        violation files must be byte-identical either way."""
+        from aumos_drift_detector_ray.pipelines import flagship as F
+
+        work = str(tmp_path_factory.mktemp("nocert"))
+        scfg = synth.SynthConfig(seed=11, run="nc", violation_rate=0.1)
+        inp = os.path.join(work, "input")
+        F.synthesize_dataset(inp, 300, 100, scfg)
+        base = F.FlagshipConfig(rows=300, rows_per_shard=100, synth_cfg=scfg)
+        nocert = F.FlagshipConfig(rows=300, rows_per_shard=100,
+                                  synth_cfg=scfg, use_ref_truth=False)
+        m1 = F.run_validation(inp, os.path.join(work, "a"), base)
+        m2 = F.run_validation(inp, os.path.join(work, "b"), nocert)
+        assert m1.equals(m2)
+        for shard in (0, 1, 2):
+            a = open(os.path.join(work, "a", "violations",
+                                  f"shard={shard}.parquet"), "rb").read()
+            b = open(os.path.join(work, "b", "violations",
+                                  f"shard={shard}.parquet"), "rb").read()
+            assert a == b, f"shard {shard} differs without certificates"
+
+
+class TestPipelinedWindows:
+    def test_pipelined_matches_serial_loop(self, ray_session,
+                                           tmp_path_factory):
+        """run_windows_pipelined (drift of window k overlapping
+        validation of window k+1) must produce exactly the serial
+        validate-then-score loop's outputs for every window."""
+        from aumos_drift_detector_ray.pipelines import flagship as F
+
+        work = str(tmp_path_factory.mktemp("pipew"))
+        ref_cfg = F.FlagshipConfig(
+            rows=300, rows_per_shard=100,
+            synth_cfg=synth.SynthConfig(seed=5, run="ref"))
+        jobs = []
+        for i, run in enumerate(("w1", "w2")):
+            scfg = synth.SynthConfig(seed=6 + i, run=run,
+                                     violation_rate=0.1, drift=True)
+            inp = os.path.join(work, f"in_{run}")
+            F.synthesize_dataset(inp, 300, 100, scfg)
+            jobs.append((inp, scfg))
+        F.synthesize_dataset(os.path.join(work, "in_ref"), 300, 100,
+                             ref_cfg.synth_cfg)
+
+        def cfg_of(scfg):
+            return F.FlagshipConfig(rows=300, rows_per_shard=100,
+                                    synth_cfg=scfg)
+
+        # serial reference
+        F.run_validation(os.path.join(work, "in_ref"),
+                         os.path.join(work, "s_ref"), ref_cfg)
+        serial = {}
+        for inp, scfg in jobs:
+            out = os.path.join(work, f"s_{scfg.run}")
+            F.run_validation(inp, out, cfg_of(scfg))
+            serial[scfg.run] = F.run_drift(os.path.join(work, "s_ref"),
+                                           out, run_id=scfg.run)
+
+        piped = F.run_windows_pipelined(
+            os.path.join(work, "in_ref"), os.path.join(work, "p_ref"),
+            ref_cfg,
+            [(inp, os.path.join(work, f"p_{scfg.run}"), cfg_of(scfg))
+             for inp, scfg in jobs])
+
+        assert sorted(piped) == sorted(serial)
+        for run in serial:
+            assert piped[run]["scores"] == serial[run]["scores"]
+            assert piped[run]["detections"] == serial[run]["detections"]
