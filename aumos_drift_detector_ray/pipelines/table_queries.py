@@ -285,7 +285,8 @@ def orders_per_segment(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
+        from ..functions.broadcast import get_broadcast
+        lookup = get_broadcast(lookup_ref)
         return pd.DataFrame({
             "segment": b.o_custkey.map(lookup),
             "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
@@ -1407,8 +1408,8 @@ def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        b = b.assign(segment=b.o_custkey.map(lookup))
+        from ..functions.broadcast import get_broadcast
+        b = b.assign(segment=b.o_custkey.map(get_broadcast(lookup_ref)))
         return b.sort_values(["o_totalprice", "o_orderkey"],
                              ascending=[False, True], kind="stable") \
             .groupby("segment", as_index=False).head(3)
@@ -2071,7 +2072,8 @@ def mad_value_per_type(sf_dir: str) -> pd.DataFrame:
     med_ref = ray.put(med_by_type)
 
     def absdev(b: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(med_ref)
+        from ..functions.broadcast import get_broadcast
+        lookup = get_broadcast(med_ref)
         m = b.event_type.map(lookup).to_numpy(dtype=np.float64)
         return pd.DataFrame({
             "event_type": b.event_type,
@@ -2404,8 +2406,9 @@ def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
 
         oc = orders.map_batches(ord_map, batch_format="pandas")
     else:
+        from ..functions.broadcast import get_broadcast as _gb
         cust_asia = cust.map_batches(
-            lambda b: b.loc[b.c_nationkey.isin(list(ray.get(nk_ref)))],
+            lambda b: b.loc[b.c_nationkey.isin(list(_gb(nk_ref)))],
             batch_format="pandas")
         ord_f = orders.map_batches(
             lambda b: b.loc[(b.o_orderdate >= LO) & (b.o_orderdate < HI),
@@ -2445,7 +2448,7 @@ def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
             cnk = b.r_c_nationkey.astype("int64")
             snk = b.s_suppkey.map(get_broadcast(s_ref))
             b = b.loc[snk.to_numpy() == cnk.to_numpy()]
-            names = b.r_c_nationkey.astype("int64").map(ray.get(nk_ref))
+            names = b.r_c_nationkey.astype("int64").map(get_broadcast(nk_ref))
             return pd.DataFrame({"n_name": names, "rev_c": b.rev_c}) \
                 .groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
 
@@ -2454,9 +2457,10 @@ def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
         full = hash_join(lio, supp, "s_suppkey", n_buckets=16)
 
         def partial(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
             b = b.loc[b.r_c_nationkey.astype("Int64")
                       == b.r_s_nationkey.astype("Int64")]
-            names = b.r_c_nationkey.astype("int64").map(ray.get(nk_ref))
+            names = b.r_c_nationkey.astype("int64").map(get_broadcast(nk_ref))
             return pd.DataFrame({"n_name": names, "rev_c": b.rev_c}) \
                 .groupby("n_name", as_index=False).agg(rev_c=("rev_c", "sum"))
 

@@ -843,7 +843,8 @@ def embedding_near_dup_pairs(
     vref = ray.put((row_of, unit))
 
     def verify(b: pa.Table) -> pa.Table:
-        row_of_, unit_ = ray.get(vref)
+        from ..functions.broadcast import get_broadcast
+        row_of_, unit_ = get_broadcast(vref)
         ia = b["id_a"].to_numpy(zero_copy_only=False)
         ib = b["id_b"].to_numpy(zero_copy_only=False)
         ua = unit_[[row_of_[i] for i in ia]]

@@ -358,7 +358,8 @@ def range_join(
         iv_ref = ray.put(iv_by_key)
 
         def sweep_batch(b: pa.Table) -> pa.Table:
-            return _range_sweep(b.to_pandas(), ray.get(iv_ref), key,
+            from ..functions.broadcast import get_broadcast
+            return _range_sweep(b.to_pandas(), get_broadcast(iv_ref), key,
                                 point_col, lo, hi, p_cols, iv_cols, fields)
 
         return points.map_batches(sweep_batch, batch_format="pyarrow")
