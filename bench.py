@@ -84,8 +84,11 @@ def _ensure_inputs() -> tuple[str, str]:
         with open(marker, "w") as f:
             f.write(INPUT_SCHEMA_VERSION)
 
-    ref_dir = os.path.join(INPUT_CACHE, f"ref_{BENCH_ROWS}")
-    prod_dir = os.path.join(INPUT_CACHE, f"prod_{BENCH_ROWS}")
+    # shard size participates in the cache key: a dir synthesized at a
+    # different BENCH_ROWS_PER_SHARD would trip the writer's
+    # partition-alignment guard (shard files are reused if present)
+    ref_dir = os.path.join(INPUT_CACHE, f"ref_{BENCH_ROWS}x{ROWS_PER_SHARD}")
+    prod_dir = os.path.join(INPUT_CACHE, f"prod_{BENCH_ROWS}x{ROWS_PER_SHARD}")
     F.synthesize_dataset(ref_dir, BENCH_ROWS, ROWS_PER_SHARD,
                          synth.SynthConfig(seed=42, run="ref"))
     F.synthesize_dataset(prod_dir, BENCH_ROWS, ROWS_PER_SHARD,
@@ -352,6 +355,12 @@ def scaling() -> None:
         f"all_rows_per_sec_{hi}cpu": results[hi].get("all_rows_per_sec"),
     }
     os.makedirs("BENCH", exist_ok=True)
+    # --spill appends its row to this file; a scaling re-run must not
+    # silently drop that separately-measured evidence, so carry it over.
+    spill_rows = []
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            spill_rows = [ln for ln in f if ln.startswith("| spill row:")]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured\n\n"
@@ -381,6 +390,8 @@ def scaling() -> None:
             f"| total @ {lo} cpus (s) | {summary[f't_total_s_{lo}cpu']} |\n"
             f"| total @ {hi} cpus (s) | {summary[f't_total_s_{hi}cpu']} |\n"
         )
+        for ln in spill_rows:
+            f.write(ln)
     print(json.dumps(summary))
 
 
