@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_tokens_verified": Q.heavy_hitter_tokens_verified,
         "packed_sequence_audit": Q.packed_sequence_audit,
         "rolling_fingerprint_audit": Q.rolling_fingerprint_audit,
+        "doc_repetition_stats": Q.doc_repetition_stats,
     }
 
 
@@ -1943,5 +1944,57 @@ def _oracle_sql_raw() -> dict[str, str]:
                        / 100.0 AS sum_value
             FROM latest WHERE rn = 1
             GROUP BY 1 ORDER BY 1
+        """,
+        "doc_repetition_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS pos,
+                       len(string_split(text, ' ')) AS n
+                FROM documents
+            ),
+            tc AS (SELECT doc_id, tok, count(*) AS c
+                   FROM toks GROUP BY 1, 2),
+            top_tok AS (SELECT doc_id, max(c) AS top_token_n
+                        FROM tc GROUP BY 1),
+            big AS (
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ),
+            bc AS (SELECT doc_id, bg, count(*) AS c
+                   FROM big GROUP BY 1, 2),
+            top_big AS (SELECT doc_id, max(c) AS top_bigram_n
+                        FROM bc GROUP BY 1),
+            tri AS (
+                SELECT a.doc_id,
+                       a.tok || ' ' || b.tok || ' ' || c.tok AS tg
+                FROM toks a
+                JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            ),
+            tric AS (SELECT doc_id, tg, count(*) AS c
+                     FROM tri GROUP BY 1, 2),
+            dup_tri AS (SELECT doc_id,
+                               sum(CASE WHEN c > 1 THEN c ELSE 0 END)
+                                   AS dup_trigram_pos_n
+                        FROM tric GROUP BY 1),
+            n_t AS (SELECT doc_id, any_value(n) AS n_tokens
+                    FROM toks GROUP BY 1)
+            SELECT CAST(n_t.doc_id AS BIGINT) AS doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(top_token_n AS BIGINT) AS top_token_n,
+                   CAST(COALESCE(top_bigram_n, 0) AS BIGINT)
+                       AS top_bigram_n,
+                   CAST(COALESCE(dup_trigram_pos_n, 0) AS BIGINT)
+                       AS dup_trigram_pos_n,
+                   (top_token_n * 10 >= n_tokens
+                    OR COALESCE(dup_trigram_pos_n, 0) > 0) AS repetitive
+            FROM n_t
+            LEFT JOIN top_tok USING (doc_id)
+            LEFT JOIN top_big USING (doc_id)
+            LEFT JOIN dup_tri USING (doc_id)
+            ORDER BY doc_id
         """,
     }

@@ -4624,3 +4624,67 @@ def order_count_histogram(sf_dir: str) -> pd.DataFrame:
     out["k"] = out.k.astype("int64")
     out["n_customers"] = out.n_customers.astype("int64")
     return out.sort_values("k").reset_index(drop=True)
+
+
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition metrics per document (Rae et al. 2021
+    §A1.1 quality heuristics, re-expressed over the single-space token
+    convention shared with doc_token_stats): most-frequent token count,
+    most-frequent adjacent-bigram count, number of trigram positions
+    covered by a trigram that repeats within the doc, and a boolean
+    `repetitive` gate (top token covers >=10% of positions OR any
+    duplicated trigram). All counts are integers and the gate is
+    integer arithmetic, so the DuckDB oracle compare is bit-exact.
+
+    Scale shape: metrics are doc-local, so this is one embarrassingly
+    parallel map_batches — no shuffle, no cross-doc state. Within a
+    batch everything is one exploded token frame + vectorized pandas
+    groupbys (no per-row Python beyond the initial split)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b.text.fillna("").astype(str).str.split(" ")
+        n = toks.map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(b.doc_id.to_numpy(dtype=np.int64), n)
+        flat = (np.concatenate(toks.to_numpy()) if len(b)
+                else np.array([], dtype=object)).astype(object)
+
+        long = pd.DataFrame({"doc_id": doc, "tok": flat})
+        tc = long.groupby(["doc_id", "tok"], sort=False).size()
+        top_tok = tc.groupby(level=0).max()
+
+        # docs are contiguous after repeat(): doc equality at lag 1/2
+        # marks within-doc adjacency, so n-grams come from pure shifts
+        m2 = doc[1:] == doc[:-1]
+        bg = pd.DataFrame({
+            "doc_id": doc[:-1][m2],
+            "g": flat[:-1][m2] + " " + flat[1:][m2],
+        })
+        top_big = (bg.groupby(["doc_id", "g"], sort=False).size()
+                   .groupby(level=0).max()) if len(bg) else pd.Series(dtype=np.int64)
+
+        m3 = doc[2:] == doc[:-2]
+        tg = pd.DataFrame({
+            "doc_id": doc[:-2][m3],
+            "g": flat[:-2][m3] + " " + flat[1:-1][m3] + " " + flat[2:][m3],
+        })
+        if len(tg):
+            tgc = tg.groupby(["doc_id", "g"], sort=False).size()
+            dup_tri = tgc[tgc > 1].groupby(level=0).sum()
+        else:
+            dup_tri = pd.Series(dtype=np.int64)
+
+        out = pd.DataFrame({
+            "doc_id": b.doc_id.to_numpy(dtype=np.int64),
+            "n_tokens": n,
+        })
+        out["top_token_n"] = out.doc_id.map(top_tok).fillna(0).astype("int64")
+        out["top_bigram_n"] = out.doc_id.map(top_big).fillna(0).astype("int64")
+        out["dup_trigram_pos_n"] = (
+            out.doc_id.map(dup_tri).fillna(0).astype("int64"))
+        out["repetitive"] = ((out.top_token_n * 10 >= out.n_tokens)
+                             | (out.dup_trigram_pos_n > 0))
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -68,3 +68,34 @@ class TestEventsCleanContract:
             bare = re.findall(r"\bFROM events\b(?! WHERE value IS NOT NULL)",
                               d[n])
             assert not bare, f"{n} still references unfiltered events"
+
+
+class TestDocRepetitionStats:
+    def test_known_micro_corpus(self, ray_session, tmp_path):
+        """Hand-checked metrics: 'a b a b a' -> top token a x3, top
+        bigram ('a b' or 'b a') x2, no duplicated trigram ('a b a' and
+        'b a b' each occur... 'a b a' occurs twice -> 2 dup positions);
+        'x y z' -> all counts 1, not repetitive (1*10 < 3 is false ->
+        top_token covers 1/3 >= 10% so repetitive IS true for tiny
+        docs; assert the integer rule, not intuition)."""
+        import pyarrow.parquet as pq2
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["a b a b a", "p q r s t u v w x y z"]),
+        })
+        os.makedirs(tmp_path / "d", exist_ok=True)
+        pq2.write_table(t, str(tmp_path / "d" / "documents.parquet"))
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.doc_repetition_stats(str(tmp_path / "d"))
+        r0 = out[out.doc_id == 0].iloc[0]
+        assert r0.n_tokens == 5 and r0.top_token_n == 3
+        assert r0.top_bigram_n == 2
+        # trigrams of doc0: 'a b a','b a b','a b a' -> 'a b a' has c=2
+        assert r0.dup_trigram_pos_n == 2
+        assert bool(r0.repetitive)
+        r1 = out[out.doc_id == 1].iloc[0]
+        assert r1.n_tokens == 11 and r1.top_token_n == 1
+        assert r1.top_bigram_n == 1 and r1.dup_trigram_pos_n == 0
+        assert not bool(r1.repetitive)  # 1*10 < 11 and no dup trigram

@@ -134,6 +134,8 @@ DOC_QUERIES = [
     # fingerprint determinism)
     "heavy_hitter_tokens_verified", "packed_sequence_audit",
     "rolling_fingerprint_audit",
+    # round-4 session 2: Gopher-style repetition metrics
+    "doc_repetition_stats",
 ]
 
 
