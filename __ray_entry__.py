@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequence_audit": Q.packed_sequence_audit,
         "rolling_fingerprint_audit": Q.rolling_fingerprint_audit,
         "doc_repetition_stats": Q.doc_repetition_stats,
+        "simhash_dup_audit": Q.simhash_dup_audit,
     }
 
 
@@ -1996,5 +1997,11 @@ def _oracle_sql_raw() -> dict[str, str]:
             LEFT JOIN top_big USING (doc_id)
             LEFT JOIN dup_tri USING (doc_id)
             ORDER BY doc_id
+        """,
+        "simhash_dup_audit": """
+            SELECT md5(text) AS h,
+                   CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS simhash_consistent
+            FROM documents GROUP BY 1 ORDER BY 1
         """,
     }

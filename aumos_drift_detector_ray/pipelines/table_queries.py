@@ -4688,3 +4688,49 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=65536) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_dup_audit(sf_dir: str) -> pd.DataFrame:
+    """SimHash consistency audit over exact-duplicate groups: identical
+    texts MUST produce identical 64-bit simhashes (simhash is a pure
+    function of the token multiset — reference parity for the simhash
+    tier of dedup). Output: one row per content-md5 group with its
+    SQL-exact member count and `simhash_consistent` (distinct simhash
+    values within the group == 1), which the DuckDB oracle pins to
+    literal TRUE — any nondeterminism or hash-kernel regression flips
+    the boolean and the value-hash compare goes red.
+
+    Scale shape: identical to exact_dup_docs — md5 keys hash into 64
+    coarse buckets (same content -> same bucket), one vectorized pandas
+    groupby per bucket; simhash rides the shuffle as ONE int64 scalar
+    per row (never the text)."""
+    from ..sketches import hash_any_array
+    from ..stages import dedup as D
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = D.add_simhash(ds)
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in b.text]
+        return pd.DataFrame({
+            "h": h,
+            "simhash": b.simhash.astype("int64"),
+            "bucket": (hash_any_array(h) % np.uint64(64)).astype(np.int64),
+        })
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h").agg(
+            n=("simhash", "size"),
+            n_sim=("simhash", "nunique")).reset_index()
+        return pd.DataFrame({
+            "h": out.h,
+            "n": out.n.astype("int64"),
+            "simhash_consistent": (out.n_sim == 1),
+        })
+
+    out = hashed.map_batches(prep, batch_format="pandas",
+                             batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    return out[["h", "n", "simhash_consistent"]] \
+        .sort_values("h").reset_index(drop=True)

@@ -135,7 +135,7 @@ DOC_QUERIES = [
     "heavy_hitter_tokens_verified", "packed_sequence_audit",
     "rolling_fingerprint_audit",
     # round-4 session 2: Gopher-style repetition metrics
-    "doc_repetition_stats",
+    "doc_repetition_stats", "simhash_dup_audit",
 ]
 
 
