@@ -177,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint_audit": Q.rolling_fingerprint_audit,
         "doc_repetition_stats": Q.doc_repetition_stats,
         "simhash_dup_audit": Q.simhash_dup_audit,
+        "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
+        "semantic_dedup_audit": Q.semantic_dedup_audit,
     }
 
 
@@ -2003,5 +2005,11 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    TRUE AS simhash_consistent
             FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "semantic_dedup_audit": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   TRUE AS witness_ok,
+                   TRUE AS separation_ok
+            FROM embeddings ORDER BY vec_id
         """,
     }

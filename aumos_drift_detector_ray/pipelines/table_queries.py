@@ -4734,3 +4734,64 @@ def simhash_dup_audit(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     return out[["h", "n", "simhash_consistent"]] \
         .sort_values("h").reset_index(drop=True)
+
+
+def semantic_dedup_embeddings(sf_dir: str, k: int = 16,
+                              threshold: float = 0.4) -> pd.DataFrame:
+    """SemDeDup survivor set over the embeddings table (see
+    stages/dedup.semantic_dedup): k-means clusters, greedy intra-
+    cluster cosine prune at 0.4 (the near-dup band of this corpus). Rows-only driver check (cluster
+    assignments depend on the seeded sample fit); the oracle-exact
+    anchor is semantic_dedup_audit."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dedup_mod.semantic_dedup(ds, k=k, threshold=threshold) \
+        .to_pandas()
+    out["keeper_cos"] = out.keeper_cos.round(9)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def semantic_dedup_audit(sf_dir: str, k: int = 16,
+                         threshold: float = 0.4) -> pd.DataFrame:
+    """Invariant audit of the SemDeDup greedy prune, re-verified from
+    the raw cosine matrix (not the greedy loop's own bookkeeping):
+    `witness_ok` — every pruned vector's recorded keeper IS a kept,
+    lower-id, same-cluster vector with cosine >= threshold (and kept
+    rows record no keeper); `separation_ok` — every kept vector has
+    cosine < threshold to EVERY kept lower-id vector in its cluster.
+    The DuckDB oracle pins both to literal TRUE over the full vec_id
+    roster, so a prune-rule regression (or a vector dropped/duplicated
+    by the groupby) flips the value-hash red."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    from ..stages import similarity as S
+
+    cents = S.fit_ivf_centroids(ds, n_centroids=k)
+    assigned = S.assign_ivf_partitions(ds, cents)
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        # run the greedy prune, then re-check its output against the
+        # cosine matrix (not the loop's own bookkeeping)
+        ids, cos = dedup_mod._cluster_cosine(g, "vec_id", "embedding")
+        kept, keeper, _ = dedup_mod._greedy_semantic_prune(
+            ids, cos, threshold)
+
+        pos = {v: i for i, v in enumerate(ids)}
+        witness = np.zeros(len(ids), dtype=bool)
+        separation = np.ones(len(ids), dtype=bool)
+        for i in range(len(ids)):
+            if kept[i]:
+                witness[i] = keeper[i] == -1
+                lower_kept = [j for j in range(i) if kept[j]]
+                if lower_kept:
+                    separation[i] = bool(
+                        np.max(cos[i, lower_kept]) < threshold)
+            else:
+                ki = pos.get(keeper[i])
+                witness[i] = (ki is not None and kept[ki]
+                              and ids[ki] < ids[i]
+                              and cos[i, ki] >= threshold)
+        return pd.DataFrame({"vec_id": ids, "witness_ok": witness,
+                             "separation_ok": separation})
+
+    out = assigned.groupby("ivf_cell").map_groups(
+        audit, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -766,7 +766,7 @@ def embedding_near_dup_pairs(
     ds: ray.data.Dataset,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
-    threshold: float = 0.95,
+    threshold: float = 0.45,
     n_planes: int = 12,
     n_tables: int = 4,
 ) -> ray.data.Dataset:
@@ -857,3 +857,87 @@ def embedding_near_dup_pairs(
         })
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _cluster_cosine(g: pd.DataFrame, id_col: str,
+                    emb_col: str) -> "tuple[np.ndarray, np.ndarray]":
+    """(sorted ids, pairwise cosine matrix) for one cluster group —
+    zero-norm rows treated as unit to avoid divide-by-zero."""
+    order = np.argsort(g[id_col].to_numpy(dtype=np.int64), kind="stable")
+    ids = g[id_col].to_numpy(dtype=np.int64)[order]
+    m = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    m = m / n[:, None]
+    return ids, m @ m.T
+
+
+def _greedy_semantic_prune(
+    ids: np.ndarray, cos: np.ndarray, threshold: float,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """The SemDeDup greedy rule over one cluster (ids ascending):
+    keep a vector iff its max cosine to the already-kept set is
+    < threshold. Returns (kept mask, keeper_id per row [-1 if kept],
+    keeper cosine [NaN if kept])."""
+    kept = np.zeros(len(ids), dtype=bool)
+    keeper = np.full(len(ids), -1, dtype=np.int64)
+    kcos = np.full(len(ids), np.nan)
+    kept_idx: "list[int]" = []
+    for i in range(len(ids)):
+        if kept_idx:
+            c = cos[i, kept_idx]
+            j = int(np.argmax(c))
+            if c[j] >= threshold:
+                keeper[i] = ids[kept_idx[j]]
+                kcos[i] = c[j]
+                continue
+        kept[i] = True
+        kept_idx.append(i)
+    return kept, keeper, kcos
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    k: int = 16,
+    threshold: float = 0.4,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then inside each cluster greedily
+    prune vectors whose cosine to an already-KEPT lower-id vector is
+    >= `threshold` (the kept set is the semantic-dedup survivor set;
+    chains a~b~c with a!~c keep a AND c — the greedy rule, not the
+    naive any-lower-id rule, which over-prunes).
+
+    Scale shape: centroids are sample-fit (similarity.fit_ivf_centroids
+    — deterministic hash bottom-k sample) and broadcast once; the
+    assignment is one matmul per block; the prune is
+    groupby(cluster).map_groups with an O(|cluster|^2) cosine matrix
+    PER CLUSTER — the cluster is the partition unit (pick k so
+    n/k vectors' pairwise matrix fits a worker; at 100 TB that means
+    k grows with the corpus, exactly the SemDeDup paper's recipe).
+
+    Returns a Dataset of (vec_id, cluster, kept, keeper_id, keeper_cos)
+    where keeper_id is the kept vector that pruned this one (-1 for
+    kept rows; keeper_cos the corresponding cosine, NaN for kept)."""
+    from . import similarity as S
+
+    cents = S.fit_ivf_centroids(ds, n_centroids=k, emb_col=emb_col,
+                                id_col=id_col)
+    assigned = S.assign_ivf_partitions(ds, cents, emb_col=emb_col)
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids, cos = _cluster_cosine(g, id_col, emb_col)
+        kept, keeper, kcos = _greedy_semantic_prune(ids, cos, threshold)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": np.full(len(ids), int(g["ivf_cell"].iloc[0]),
+                               dtype=np.int64),
+            "kept": kept,
+            "keeper_id": keeper,
+            "keeper_cos": kcos,
+        })
+
+    return assigned.groupby("ivf_cell").map_groups(
+        prune, batch_format="pandas")

@@ -99,3 +99,41 @@ class TestDocRepetitionStats:
         assert r1.n_tokens == 11 and r1.top_token_n == 1
         assert r1.top_bigram_n == 1 and r1.dup_trigram_pos_n == 0
         assert not bool(r1.repetitive)  # 1*10 < 11 and no dup trigram
+
+
+class TestSemanticDedup:
+    def test_greedy_chain_keeps_endpoints(self, ray_session, tmp_path):
+        """Chain a~b~c with a!~c (2-D unit vectors at 0, 50 and 100
+        degrees, threshold 0.4): greedy SemDeDup keeps a AND c, pruning
+        only b — the naive any-lower-id rule would wrongly prune c."""
+        import math
+
+        import pyarrow.parquet as pq2
+        import ray as _ray
+
+        ang = [0.0, math.radians(50), math.radians(100)]
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+            "embedding": pa.array(
+                [[math.cos(a), math.sin(a)] for a in ang],
+                type=pa.list_(pa.float32())),
+            "label": pa.array([0, 0, 0], type=pa.int32()),
+        })
+        os.makedirs(tmp_path / "e", exist_ok=True)
+        pq2.write_table(t, str(tmp_path / "e" / "embeddings.parquet"))
+        from aumos_drift_detector_ray.stages import dedup as D
+        from aumos_drift_detector_ray.sources.reader import read_table
+
+        ds = read_table(str(tmp_path / "e" / "embeddings.parquet"))
+        out = D.semantic_dedup(ds, k=1, threshold=0.4).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+        assert list(out.kept) == [True, False, True]
+        assert out.keeper_id.iloc[1] == 0
+        assert abs(out.keeper_cos.iloc[1] - math.cos(ang[1])) < 1e-6
+
+    def test_audit_booleans_hold_on_sf0001(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        a = Q.semantic_dedup_audit("/root/testdata/sf0.001")
+        assert len(a) > 0
+        assert a.witness_ok.all() and a.separation_ok.all()
