@@ -1220,8 +1220,17 @@ def _oracle_sql_raw() -> dict[str, str]:
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id < 3),
             s AS (
+                -- zero-vector convention: cosine with a zero-norm
+                -- vector is 0 (the engine normalizes zero rows to the
+                -- zero vector); DuckDB's list_cosine_similarity would
+                -- return -1 there
                 SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qe, e.embedding) AS sim
+                       CASE WHEN list_dot_product(q.qe, q.qe) = 0
+                             OR list_dot_product(e.embedding,
+                                                 e.embedding) = 0
+                            THEN 0.0
+                            ELSE list_cosine_similarity(q.qe, e.embedding)
+                       END AS sim
                 FROM q CROSS JOIN embeddings e
             ),
             rk AS (

@@ -59,8 +59,18 @@ def brute_force_topk(
                              "cosine": pa.array([], pa.float64())})
         sims = _normalize(emb) @ qm.T  # (n, nq)
         kk = min(k, len(ids))
-        # local top-k per query
-        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        # local top-k per query with the SAME (cosine desc, id asc)
+        # tie-break as the global reduce — a plain argpartition keeps an
+        # ARBITRARY k-subset of tied rows, silently dropping the
+        # lowest-id winners before the reduce ever sees them (caught by
+        # tools/fuzz_oracle.py --emb: a zero-vector query ties every
+        # neighbor). Stable argsort over the id order realizes the
+        # two-key sort for any id dtype.
+        by_id = np.argsort(ids, kind="stable")
+        idx = np.empty((kk, qm.shape[0]), dtype=np.int64)
+        for j in range(qm.shape[0]):
+            order = by_id[np.argsort(-sims[by_id, j], kind="stable")]
+            idx[:, j] = order[:kk]
         qi = np.repeat(np.arange(qm.shape[0]), kk)
         rows = idx.T.ravel()
         return pa.table({

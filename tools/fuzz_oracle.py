@@ -189,6 +189,66 @@ def synth_docs(seed: int, n: int) -> pd.DataFrame:
     })
 
 
+# embeddings-centric oracle queries (the --emb mode). The rows-only ANN
+# queries are deliberately EXCLUDED: their recall>=0.6 self-assert is a
+# statistical bound that adversarial geometry may legitimately break.
+EMB_QUERIES = [
+    "label_cosine_pairs", "embedding_neardup", "ann_topk_embeddings",
+    "embedding_dim_stats", "embedding_covariance",
+    "embedding_dim_medians", "semantic_dedup_audit",
+]
+
+
+def synth_embeddings(seed: int, n: int, d: int = 16) -> pd.DataFrame:
+    """Adversarial embeddings table: zero vectors (norm handling),
+    exact-duplicate vectors (cosine exactly 1.0, dedup keepers),
+    antipodal pairs (cosine -1), tiny-norm vectors (float-precision
+    stress), one huge-magnitude vector, axis-aligned one-hot rows
+    (sparse dims) and duplicate labels across clusters."""
+    rng = np.random.default_rng(seed)
+    m = rng.normal(0, 1, (n, d))
+    m[: n // 20] = 0.0                          # zero vectors
+    for i in range(n // 20, n // 10):           # exact duplicates
+        m[n - 1 - i] = m[i]
+    m[n // 10] = -m[n // 10 + 1]                # antipodal pair
+    m[n // 8] *= 1e-12                          # tiny norm
+    # large-but-bounded magnitude: covariance's 6-decimal oracle
+    # contract absorbs summation-order ulps only within a moderate
+    # dynamic range (1e9 would make double-sum association visible
+    # ABOVE 1e-6 — a float fact, not an engine bug)
+    m[n // 7] *= 1e3
+    for i in range(n // 6, n // 6 + d):         # one-hot axis rows
+        m[i] = 0.0
+        m[i, (i - n // 6) % d] = 1.0
+    return pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r.astype(np.float32).tolist() for r in m],
+        "label": rng.integers(0, 6, n).astype(np.int32),
+    })
+
+
+def main_emb(seed: int = 0, n: int = 400) -> None:
+    work = f"/tmp/fuzz_emb_seed{seed}"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            os.symlink(os.path.join(BASE, f), os.path.join(work, f))
+    df = synth_embeddings(seed, n)
+    tbl = pa.table({
+        "vec_id": pa.array(df.vec_id.to_numpy()),
+        "embedding": pa.array(df.embedding.tolist(),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(df.label.to_numpy(), pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(work, "embeddings.parquet"),
+                   row_group_size=64)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_oracle  # noqa: E402
+
+    check_oracle.main(work, EMB_QUERIES)
+
+
 def main_docs(seed: int = 0, n: int = 400) -> None:
     work = f"/tmp/fuzz_docs_seed{seed}"
     shutil.rmtree(work, ignore_errors=True)
@@ -236,6 +296,10 @@ if __name__ == "__main__":
         rest = args[1:]
         main_docs(int(rest[0]) if rest else 0,
                   int(rest[1]) if len(rest) > 1 else 400)
+    elif args and args[0] == "--emb":
+        rest = args[1:]
+        main_emb(int(rest[0]) if rest else 0,
+                 int(rest[1]) if len(rest) > 1 else 400)
     else:
         main(int(args[0]) if args else 0,
              int(args[1]) if len(args) > 1 else 4000)
