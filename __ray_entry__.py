@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_audit": Q.simhash_dup_audit,
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         "semantic_dedup_audit": Q.semantic_dedup_audit,
+        "incremental_dedup_docs": Q.incremental_dedup_docs,
     }
 
 
@@ -2020,5 +2021,17 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS witness_ok,
                    TRUE AS separation_ok
             FROM embeddings ORDER BY vec_id
+        """,
+        "incremental_dedup_docs": """
+            WITH s AS (SELECT count(*) // 2 AS split FROM documents),
+            inc AS (SELECT doc_id, md5(text) AS h
+                    FROM documents, s WHERE doc_id >= split),
+            hist AS (SELECT DISTINCT md5(text) AS h
+                     FROM documents, s WHERE doc_id < split)
+            SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+                   (i.h IN (SELECT h FROM hist)) AS dup_of_history,
+                   i.doc_id > min(i.doc_id)
+                       OVER (PARTITION BY i.h) AS dup_within_batch
+            FROM inc i ORDER BY doc_id
         """,
     }

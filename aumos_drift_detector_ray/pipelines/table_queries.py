@@ -4795,3 +4795,113 @@ def semantic_dedup_audit(sf_dir: str, k: int = 16,
     out = assigned.groupby("ivf_cell").map_groups(
         audit, batch_format="pandas").to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def incremental_dedup_docs(sf_dir: str,
+                           history_broadcast_gate: int = 5_000_000,
+                           force_shuffle: bool = False) -> pd.DataFrame:
+    """Incremental-ingest dedup: treat docs with doc_id < median as the
+    HISTORICAL corpus and the rest as the INCOMING shard; flag each
+    incoming doc as (a) an exact dup of history and/or (b) an intra-
+    shard echo (same text at a lower incoming doc_id). This is the
+    100 TB ingestion pattern: history is represented by its content-
+    hash fingerprint INDEX, never re-read per shard.
+
+    Two shapes, size-gated on the history fingerprint count:
+    - broadcast (history fingerprints <= gate): distinct history
+      hashes ship once via ray.put; incoming blocks flag membership
+      with one vectorized isin — no shuffle touches history.
+    - shuffle (beyond the gate, or force_shuffle=True): history rows
+      collapse to (h, -1) markers and union with incoming (h, doc_id);
+      ONE hash-bucketed groupby computes both flags per group. Same
+      output, proven by TestIncrementalDedupPaths."""
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    split = n_docs // 2
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_h(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "h": [hashlib.md5(t.encode()).hexdigest() for t in b.text],
+        })
+
+    hashed = docs.map_batches(add_h, batch_format="pandas",
+                              batch_size=65536).materialize()
+    history = hashed.filter(expr=f"doc_id < {split}")
+    incoming = hashed.filter(expr=f"doc_id >= {split}")
+
+    from ..sketches import hash_any_array
+
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
+        return out[["doc_id", "dup_of_history", "dup_within_batch"]] \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    n_hist = history.count()
+    if not force_shuffle and n_hist <= history_broadcast_gate:
+        hist_h = pa.array(
+            history.groupby("h").count().select_columns(["h"])
+            .to_pandas().h)
+        href = ray.put(hist_h)
+
+        def flag_hist(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            hh = get_broadcast(href)
+            b = b.copy()
+            b["dup_of_history"] = pc.is_in(
+                pa.array(b.h), value_set=hh).to_numpy(
+                    zero_copy_only=False)
+            return b
+
+        flagged = incoming.map_batches(flag_hist, batch_format="pandas",
+                                       batch_size=65536)
+
+        # intra-shard echoes: one bucketed shuffle of (h, doc_id)
+        def bucketize(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["bucket"] = (hash_any_array(b.h.tolist())
+                           % np.uint64(64)).astype(np.int64)
+            return b
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.copy()
+            g["dup_within_batch"] = (
+                g.doc_id > g.groupby("h").doc_id.transform("min"))
+            return g[["doc_id", "dup_of_history", "dup_within_batch"]]
+
+        out = flagged.map_batches(bucketize, batch_format="pandas") \
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas") \
+            .to_pandas()
+        return finish(out)
+
+    # shuffle path: history markers union incoming, one grouped pass
+    def mark_hist(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": np.full(len(b), -1, np.int64),
+                             "h": b.h})
+
+    unioned = history.map_batches(mark_hist, batch_format="pandas") \
+        .union(incoming)
+
+    def bucketize_u(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (hash_any_array(b.h.tolist())
+                       % np.uint64(64)).astype(np.int64)
+        return b
+
+    def per_bucket_u(g: pd.DataFrame) -> pd.DataFrame:
+        inc = g[g.doc_id >= 0].copy()
+        if not len(inc):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "dup_of_history": pd.Series([], dtype=bool),
+                "dup_within_batch": pd.Series([], dtype=bool)})
+        hist_h = set(g.loc[g.doc_id < 0, "h"])
+        inc["dup_of_history"] = inc.h.isin(hist_h)
+        inc["dup_within_batch"] = (
+            inc.doc_id > inc.groupby("h").doc_id.transform("min"))
+        return inc[["doc_id", "dup_of_history", "dup_within_batch"]]
+
+    out = unioned.map_batches(bucketize_u, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket_u,
+                                      batch_format="pandas").to_pandas()
+    return finish(out)

@@ -137,3 +137,13 @@ class TestSemanticDedup:
         a = Q.semantic_dedup_audit("/root/testdata/sf0.001")
         assert len(a) > 0
         assert a.witness_ok.all() and a.separation_ok.all()
+
+
+class TestIncrementalDedupPaths:
+    def test_shuffle_path_matches_broadcast_path(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        fast = Q.incremental_dedup_docs(SF)
+        slow = Q.incremental_dedup_docs(SF, force_shuffle=True)
+        assert len(fast) > 0
+        pd.testing.assert_frame_equal(fast, slow)

@@ -17,6 +17,7 @@ implementations silently diverge from SQL:
 
 Usage:  python tools/fuzz_oracle.py [seed] [n_rows]          # events mode
         python tools/fuzz_oracle.py --docs [seed] [n_docs]   # documents mode
+        python tools/fuzz_oracle.py --emb [seed] [n_vecs]    # embeddings mode
 
 The --docs mode synthesizes an adversarial documents table (empty /
 whitespace-only docs, punctuation floods, giant unbroken tokens,
@@ -136,6 +137,7 @@ DOC_QUERIES = [
     "rolling_fingerprint_audit",
     # round-4 session 2: Gopher-style repetition metrics
     "doc_repetition_stats", "simhash_dup_audit",
+    "incremental_dedup_docs",
 ]
 
 
