@@ -318,3 +318,48 @@ class TestSession4Properties:
         for tok, cnt in true.items():
             if cnt > thresh:
                 assert tok in merged.counts, (tok, cnt, thresh, k)
+
+
+class TestSemanticPruneProperties:
+    @given(
+        vecs=st.lists(
+            st.lists(st.floats(min_value=-5, max_value=5,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=3, max_size=3),
+            min_size=1, max_size=40),
+        threshold=st.floats(min_value=0.1, max_value=0.99),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_greedy_prune_invariants(self, vecs, threshold):
+        """For ANY cluster and threshold: (1) every pruned row's keeper
+        is a kept lower-id row with cosine >= threshold; (2) every kept
+        row has cosine < threshold to every kept lower-id row; (3) the
+        first row is always kept; (4) partition: kept XOR has-keeper."""
+        import pandas as pd
+
+        from aumos_drift_detector_ray.stages.dedup import (
+            _cluster_cosine,
+            _greedy_semantic_prune,
+        )
+
+        g = pd.DataFrame({
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [np.asarray(v, dtype=np.float64) for v in vecs],
+        })
+        ids, cos = _cluster_cosine(g, "vec_id", "embedding")
+        kept, keeper, kcos = _greedy_semantic_prune(ids, cos, threshold)
+        assert kept[0]
+        pos = {v: i for i, v in enumerate(ids)}
+        kept_set = {ids[i] for i in range(len(ids)) if kept[i]}
+        for i in range(len(ids)):
+            if kept[i]:
+                assert keeper[i] == -1 and np.isnan(kcos[i])
+                for j in range(i):
+                    if kept[j]:
+                        assert cos[i, j] < threshold
+            else:
+                ki = pos[keeper[i]]
+                assert keeper[i] in kept_set
+                assert keeper[i] < ids[i]
+                assert cos[i, ki] >= threshold
+                assert kcos[i] == cos[i, ki]
