@@ -902,6 +902,7 @@ def semantic_dedup(
     threshold: float = 0.4,
     emb_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cluster_rows: int = 200_000,
 ) -> "ray.data.Dataset":
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then inside each cluster greedily
@@ -928,6 +929,14 @@ def semantic_dedup(
     assigned = S.assign_ivf_partitions(ds, cents, emb_col=emb_col)
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
+        # loud failure beats a silent worker OOM: the O(c^2) cosine
+        # matrix is the per-cluster cost model — a cluster past the
+        # guard means k is too small for this corpus (raise k; the
+        # SemDeDup paper scales k with corpus size for this reason)
+        assert len(g) <= max_cluster_rows, (
+            f"semantic_dedup cluster of {len(g)} rows exceeds "
+            f"max_cluster_rows={max_cluster_rows}; raise k (currently "
+            f"{k}) so the per-cluster pairwise matrix stays bounded")
         ids, cos = _cluster_cosine(g, id_col, emb_col)
         kept, keeper, kcos = _greedy_semantic_prune(ids, cos, threshold)
         return pd.DataFrame({
