@@ -215,6 +215,10 @@ def run_queries() -> dict[str, float]:
         "rolling_7d_distinct_users", "late_events_report",
         "hot_user_enriched_revenue", "kmeans_embeddings",
         "tfidf_top_terms_per_doc", "neardup_clusters",
+        # round-4 session-2 operators: repetition quality metrics,
+        # SemDeDup, incremental-ingest dedup
+        "doc_repetition_stats", "semantic_dedup_embeddings",
+        "incremental_dedup_docs",
     ]
     qs = E.queries()
     out = {}
