@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_embeddings": Q.semantic_dedup_embeddings,
         "semantic_dedup_audit": Q.semantic_dedup_audit,
         "incremental_dedup_docs": Q.incremental_dedup_docs,
+        "kmeans_invariant_audit": Q.kmeans_invariant_audit,
+        "ann_recall_audit": Q.ann_recall_audit,
     }
 
 
@@ -2033,5 +2035,17 @@ def _oracle_sql_raw() -> dict[str, str]:
                    i.doc_id > min(i.doc_id)
                        OVER (PARTITION BY i.h) AS dup_within_batch
             FROM inc i ORDER BY doc_id
+        """,
+        "kmeans_invariant_audit": """
+            SELECT CAST(i AS BIGINT) AS iter,
+                   TRUE AS nonincreasing,
+                   (SELECT count(*) FROM embeddings) AS n_total
+            FROM generate_series(1, 5) t(i) ORDER BY iter
+        """,
+        "ann_recall_audit": """
+            SELECT CAST(vec_id AS BIGINT) AS query_id,
+                   TRUE AS ivf_recall_ok,
+                   TRUE AS lsh_recall_ok
+            FROM embeddings WHERE vec_id < 3 ORDER BY query_id
         """,
     }

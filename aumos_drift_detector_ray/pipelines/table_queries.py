@@ -4905,3 +4905,56 @@ def incremental_dedup_docs(sf_dir: str,
         .groupby("bucket").map_groups(per_bucket_u,
                                       batch_format="pandas").to_pandas()
     return finish(out)
+
+
+def kmeans_invariant_audit(sf_dir: str, k: int = 8,
+                           iters: int = 5) -> pd.DataFrame:
+    """Lloyd-invariant audit for the distributed k-means, oracle-exact:
+    per iteration, `nonincreasing` asserts inertia[i] <= inertia[i-1]
+    (up to 1e-9 relative fp slack — Lloyd's monotonicity, the classic
+    correctness witness for a distributed assign/update split), and
+    `n_total` is the row count CONSERVED through the final partial fold
+    (sum of cluster sizes — every row assigned exactly once), which the
+    SQL side matches against COUNT(*) FROM embeddings. A lost or
+    double-counted block, or a broken centroid update, flips a value
+    the driver hash-compares."""
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    _, inertia, sizes = sim_mod.distributed_kmeans(ds, k=k, iters=iters)
+    inert = np.asarray(inertia)
+    ok = np.ones(len(inert), dtype=bool)
+    ok[1:] = inert[1:] <= inert[:-1] * (1 + 1e-9) + 1e-12
+    return pd.DataFrame({
+        "iter": np.arange(1, len(inert) + 1, dtype=np.int64),
+        "nonincreasing": ok,
+        "n_total": np.full(len(inert), int(sizes.sum()), dtype=np.int64),
+    })
+
+
+def ann_recall_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """ANN accuracy audit, oracle-exact: recall@10 of the IVF
+    (nprobe=4 of 16 cells) and hyperplane-LSH (8 planes x 8 tables,
+    one-bit multiprobe) paths against the exact brute-force top-k, per
+    query vector. The booleans pin the >= 0.6 accuracy contract the
+    rows-only queries self-assert, making an index/probe regression
+    visible to the driver's value-hash compare (not just to pytest)."""
+    emb = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    queries = np.asarray(qdf.embedding.to_list(), dtype=np.float64)
+    qids = qdf.vec_id.astype("int64").tolist()
+
+    exact = sim_mod.brute_force_topk(emb, queries, k=k, query_ids=qids)
+    cents = sim_mod.fit_ivf_centroids(emb, n_centroids=16)
+    ivf = sim_mod.ivf_topk(sim_mod.assign_ivf_partitions(emb, cents),
+                           cents, queries, k=k, nprobe=4, query_ids=qids)
+    lsh = sim_mod.lsh_topk(emb, queries, k=k, n_planes=8, n_tables=8,
+                           multiprobe=1, query_ids=qids)
+
+    rows = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        ri = len(e & set(ivf[ivf.query_id == q].neighbor_id)) / max(1, len(e))
+        rl = len(e & set(lsh[lsh.query_id == q].neighbor_id)) / max(1, len(e))
+        rows.append({"query_id": np.int64(q),
+                     "ivf_recall_ok": ri >= 0.6,
+                     "lsh_recall_ok": rl >= 0.6})
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)

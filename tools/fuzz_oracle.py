@@ -198,6 +198,9 @@ EMB_QUERIES = [
     "label_cosine_pairs", "embedding_neardup", "ann_topk_embeddings",
     "embedding_dim_stats", "embedding_covariance",
     "embedding_dim_medians", "semantic_dedup_audit",
+    # Lloyd monotonicity holds for ANY input; the ANN recall audit is
+    # excluded for the same statistical-bound reason as ivf/lsh_topk
+    "kmeans_invariant_audit",
 ]
 
 
