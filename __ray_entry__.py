@@ -974,7 +974,7 @@ def _oracle_sql_raw() -> dict[str, str]:
                 FROM c
             )
             SELECT CAST(round(sum(abs(crc / t.nr - cpc / t.np)
-                                  * (nxt - value)), 9) AS DOUBLE) AS w1
+                                  * (nxt - value)), 6) AS DOUBLE) AS w1
             FROM s, tot t WHERE nxt IS NOT NULL
         """,
         "anderson_darling_events": """

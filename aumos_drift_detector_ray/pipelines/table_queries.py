@@ -599,10 +599,13 @@ def chi2_events_type(sf_dir: str) -> pd.DataFrame:
 def wasserstein_events_value(sf_dir: str) -> pd.DataFrame:
     """Exact W1 between the halves via the distributed grouped-ECDF
     scan: W1 = integral of |F_ref - F_prod| over value gaps (equals the
-    sorted-pair mean for equal sample sizes). Rounded at 9 decimals —
-    the fp-summation-order-safe precision for a sum of ~n tiny terms."""
+    sorted-pair mean for equal sample sizes). Rounded at 6 decimals on
+    BOTH sides: W1's magnitude scales with the value range, and at
+    |w1| ~ 5e5 (1e9-scale outliers) summation-order ulps reach ~1e-9 —
+    straddling a 9-dp rounding boundary (caught by fuzz seed 4); 6 dp
+    keeps the compare exact through |w1| ~ 1e6 at double precision."""
     r = _events_order_stats(sf_dir)
-    return pd.DataFrame({"w1": [float(np.round(r["w1"], 9))]})
+    return pd.DataFrame({"w1": [float(np.round(r["w1"], 6))]})
 
 
 def anderson_darling_events(sf_dir: str) -> pd.DataFrame:
