@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": Q.incremental_dedup_docs,
         "kmeans_invariant_audit": Q.kmeans_invariant_audit,
         "ann_recall_audit": Q.ann_recall_audit,
+        "dup_ngram_grams": Q.dup_ngram_grams,
+        "doc_dup_span_coverage": Q.doc_dup_span_coverage,
     }
 
 
@@ -2047,5 +2049,51 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS ivf_recall_ok,
                    TRUE AS lsh_recall_ok
             FROM embeddings WHERE vec_id < 3 ORDER BY query_id
+        """,
+        # exact-substring (duplicated 8-gram span) dedup, Lee et al. 2022;
+        # NUL stripped first on both sides (utf8proc NUL-truncation
+        # contract shared with normalize_text)
+        "dup_ngram_grams": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(replace(text, chr(0), ''), ' ') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 0)),
+                           i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t
+            )
+            SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+            FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2
+            ORDER BY ndocs DESC, gram LIMIT 15
+        """,
+        "doc_dup_span_coverage": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(replace(text, chr(0), ''), ' ') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 0)),
+                           i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t
+            ),
+            d AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_pos,
+                   CAST(count(*) FILTER (WHERE gram IN (SELECT gram FROM d))
+                        AS BIGINT) AS dup_pos,
+                   (count(*) FILTER (WHERE gram IN (SELECT gram FROM d)) * 2
+                        >= count(*)) AS half_dup
+            FROM g GROUP BY doc_id ORDER BY doc_id
         """,
     }

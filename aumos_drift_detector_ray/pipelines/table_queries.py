@@ -4961,3 +4961,88 @@ def ann_recall_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
                      "ivf_recall_ok": ri >= 0.6,
                      "lsh_recall_ok": rl >= 0.6})
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
+def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15) -> pd.DataFrame:
+    """Exact cross-document duplicated-span detection (Lee et al. 2022):
+    the top-k token 8-grams appearing in >= 2 distinct documents, with
+    their distinct-doc counts. The exchange relation (distinct
+    (gram, doc) pairs from textops.ngram_doc_pairs) is hash-bucketed by
+    gram, so each gram lives wholly in one bucket: per-bucket ndocs and
+    top-k are globally correct after the driver's tiny (#buckets x k)
+    merge — no global sort, no full-gram-table driver materialization.
+    Ordering (ndocs DESC, gram ASC) is deterministic on both sides."""
+    from ..stages.textops import ngram_doc_pairs
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_doc_pairs(ds, n=n)
+
+    def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("gram", as_index=False).agg(ndocs=("doc_id", "size"))
+        m = m[m.ndocs >= 2]
+        return m.sort_values(["ndocs", "gram"], ascending=[False, True],
+                             kind="stable").head(k)
+
+    per_bucket = pairs.groupby("bucket").map_groups(
+        bucket_top, batch_format="pandas").to_pandas()
+    out = per_bucket.sort_values(["ndocs", "gram"],
+                                 ascending=[False, True],
+                                 kind="stable").head(k)
+    out["ndocs"] = out.ndocs.astype("int64")
+    return out[["gram", "ndocs"]].reset_index(drop=True)
+
+
+def doc_dup_span_coverage(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Per-document duplicated-span coverage, the removal signal of
+    exact-substring dedup: for every doc with >= 1 n-gram position,
+    how many of its n-gram positions carry a gram that also appears in
+    ANOTHER document (``dup_pos`` of ``n_pos``), plus the integer-
+    arithmetic gate ``half_dup`` (dup_pos*2 >= n_pos) a curation
+    pipeline would drop on. Counts are integers so the DuckDB compare
+    is bit-exact.
+
+    Scale shape: the gram-keyed groupby marks duplicated grams and
+    re-emits per-doc dup counts WITHOUT any broadcast (the dup-gram set
+    can be corpus-sized, so unlike decontaminate_docs there is no
+    size-gated dict side-channel — the mark rides the same shuffle that
+    computed it); a second small groupby(doc_id) folds bucket partials.
+    Driver sees O(#docs) rows, the per-doc result itself."""
+    from ..stages.textops import ngram_doc_pairs
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_doc_pairs(ds, n=n)
+
+    def bucket_dup(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("gram")["doc_id"].transform("size")
+        d = g[nd.to_numpy() >= 2]
+        if not len(d):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "dup_pos": pd.Series([], dtype=np.int64)})
+        out = d.groupby("doc_id", as_index=False).agg(dup_pos=("cnt", "sum"))
+        out["dup_pos"] = out.dup_pos.astype("int64")
+        return out
+
+    dup = pairs.groupby("bucket").map_groups(bucket_dup,
+                                             batch_format="pandas") \
+        .groupby("doc_id").sum("dup_pos").to_pandas() \
+        .rename(columns={"sum(dup_pos)": "dup_pos"})
+
+    def npos_fn(b: pd.DataFrame) -> pd.DataFrame:
+        txt = b.text.fillna("").astype(str) \
+            .str.replace("\x00", "", regex=False)
+        npos = (txt.str.split(" ").map(len).to_numpy(dtype=np.int64)
+                - np.int64(n - 1))
+        keep = npos > 0
+        return pd.DataFrame({
+            "doc_id": b.doc_id.to_numpy(dtype=np.int64)[keep],
+            "n_pos": npos[keep],
+        })
+
+    base = ds.map_batches(npos_fn, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    out = base.merge(dup, on="doc_id", how="left")
+    out["dup_pos"] = out.dup_pos.fillna(0).astype("int64")
+    out["n_pos"] = out.n_pos.astype("int64")
+    out["half_dup"] = out.dup_pos * 2 >= out.n_pos
+    return out.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "n_pos", "dup_pos", "half_dup"]]

@@ -390,3 +390,76 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
         return batch.append_column(dst, col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_doc_pairs(
+    ds: ray.data.Dataset, n: int = 8, text_col: str = "text",
+    id_col: str = "doc_id", n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Distinct (token n-gram, document) pairs with per-doc occurrence
+    counts — the exchange relation behind exact-substring (duplicated
+    span) deduplication a la Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): a span duplicated across
+    documents shows up as an n-gram whose distinct-doc count is >= 2.
+
+    Tokens are the single-space-split convention shared with
+    doc_token_stats / doc_repetition_stats; NUL bytes are stripped
+    first (DuckDB's utf8proc-backed functions NUL-truncate, so removing
+    NUL keeps engine and oracle comparable — same contract as
+    normalize_text). Output columns: ``gram`` (the n tokens joined by
+    one space), ``doc_id``, ``cnt`` (occurrences of the gram inside
+    that doc), ``bucket`` (hash bucket of the gram so each gram lives
+    wholly in one bucket after a groupby).
+
+    Scale shape: one embarrassingly-parallel map_batches; within a
+    block the grams come from pure numpy shifts over the exploded token
+    array (documents are contiguous after repeat(), so doc equality at
+    lag n-1 marks validity — no per-row Python), and the per-block
+    (gram, doc) dedup shrinks the shuffle to distinct pairs. A document
+    never spans blocks, so per-block-distinct pairs are globally
+    distinct and a downstream ``groupby("gram"|"bucket")`` sees exact
+    per-doc counts. The shuffle ships the gram STRINGS — that is the
+    inherent cost of exact-substring dedup (the MapReduce formulation
+    of Lee et al.'s suffix-array method ships n-grams too); at 10^12
+    rows you would shuffle hash64(gram) only and re-verify the bounded
+    collision set, the same size-gated hybrid minhash_lsh_pairs uses.
+    """
+    from ..sketches import hash_any_array
+
+    assert n >= 2
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "gram": pd.Series([], dtype=object),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "cnt": pd.Series([], dtype=np.int64),
+            "bucket": pd.Series([], dtype=np.int64),
+        })
+        if not len(b):
+            return empty
+        txt = b[text_col].fillna("").astype(str) \
+            .str.replace("\x00", "", regex=False)
+        toks = txt.str.split(" ")
+        ln = toks.map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(b[id_col].to_numpy(dtype=np.int64), ln)
+        flat = np.concatenate(toks.to_numpy()).astype(object)
+        npos = len(flat) - n + 1
+        if npos <= 0:
+            return empty
+        # contiguity => doc[i] == doc[i+n-1] implies all middles equal
+        valid = doc[n - 1:] == doc[:-(n - 1)]
+        gram = flat[:npos]
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[j:j + npos]
+        df = pd.DataFrame({"gram": gram[valid], "doc_id": doc[:npos][valid]})
+        if not len(df):
+            return empty
+        agg = df.groupby(["gram", "doc_id"], sort=False).size() \
+            .rename("cnt").reset_index()
+        agg["cnt"] = agg.cnt.astype("int64")
+        agg["bucket"] = (hash_any_array(agg.gram.to_numpy(dtype=object))
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return agg
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=65536)

@@ -147,3 +147,84 @@ class TestIncrementalDedupPaths:
         slow = Q.incremental_dedup_docs(SF, force_shuffle=True)
         assert len(fast) > 0
         pd.testing.assert_frame_equal(fast, slow)
+
+
+class TestDupNgramSpans:
+    """Exact-substring (duplicated 8-gram span) dedup: engine output vs
+    hand-computed ground truth on a crafted corpus covering the edge
+    cases — exact-dup docs, a partially-overlapping doc, a within-doc
+    repeated gram (must NOT count as cross-doc), an empty doc, and a
+    doc shorter than n."""
+
+    def _write_docs(self, tmp_path):
+        docs = [
+            (0, "a b c d e f g h i j"),          # 3 gram positions
+            (1, "x a b c d e f g h z"),          # shares 1 gram with 0/4
+            (2, "q w e r t y u i"),              # 1 unique position
+            (3, ""),                             # no positions
+            (4, "a b c d e f g h i j"),          # exact dup of doc 0
+            (5, "m m m m m m m m m"),            # same gram twice, 1 doc
+            (6, "a b c"),                        # shorter than n
+        ]
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs], pa.string()),
+        })
+        os.makedirs(tmp_path / "sf", exist_ok=True)
+        pq.write_table(t, str(tmp_path / "sf" / "documents.parquet"))
+        return str(tmp_path / "sf")
+
+    def test_dup_grams_ground_truth(self, ray_session, tmp_path):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.dup_ngram_grams(self._write_docs(tmp_path))
+        expect = pd.DataFrame({
+            "gram": ["a b c d e f g h",
+                     "b c d e f g h i",
+                     "c d e f g h i j"],
+            "ndocs": np.array([3, 2, 2], dtype=np.int64),
+        })
+        pd.testing.assert_frame_equal(out, expect)
+
+    def test_coverage_ground_truth(self, ray_session, tmp_path):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.doc_dup_span_coverage(self._write_docs(tmp_path))
+        expect = pd.DataFrame({
+            "doc_id": np.array([0, 1, 2, 4, 5], dtype=np.int64),
+            "n_pos": np.array([3, 3, 1, 3, 2], dtype=np.int64),
+            "dup_pos": np.array([3, 1, 0, 3, 0], dtype=np.int64),
+            "half_dup": [True, False, False, True, False],
+        })
+        pd.testing.assert_frame_equal(out, expect)
+
+    def test_matches_bruteforce_at_sf0001(self, ray_session):
+        """Invariant vs a driver-side brute force over the real table:
+        every (gram, ndocs) the engine reports must equal the python
+        recount, and coverage must equal the per-doc recount."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        import collections
+
+        docs = pd.read_parquet(SF + "/documents.parquet",
+                               columns=["doc_id", "text"])
+        gram_docs: dict = collections.defaultdict(set)
+        per_doc: dict = {}
+        for did, txt in zip(docs.doc_id, docs.text.fillna("")):
+            toks = str(txt).replace("\x00", "").split(" ")
+            grams = [" ".join(toks[i:i + 8])
+                     for i in range(len(toks) - 7)]
+            if grams:
+                per_doc[int(did)] = grams
+            for g in grams:
+                gram_docs[g].add(int(did))
+
+        out = Q.dup_ngram_grams(SF)
+        for g, nd in zip(out.gram, out.ndocs):
+            assert len(gram_docs[g]) == nd >= 2
+
+        cov = Q.doc_dup_span_coverage(SF).set_index("doc_id")
+        assert sorted(cov.index) == sorted(per_doc)
+        for did, grams in per_doc.items():
+            dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+            assert cov.loc[did, "n_pos"] == len(grams)
+            assert cov.loc[did, "dup_pos"] == dup

@@ -138,6 +138,8 @@ DOC_QUERIES = [
     # round-4 session 2: Gopher-style repetition metrics
     "doc_repetition_stats", "simhash_dup_audit",
     "incremental_dedup_docs",
+    # round-4 session 3: exact-substring (dup 8-gram span) dedup
+    "dup_ngram_grams", "doc_dup_span_coverage",
 ]
 
 
