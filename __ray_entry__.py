@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_audit": Q.ann_recall_audit,
         "dup_ngram_grams": Q.dup_ngram_grams,
         "doc_dup_span_coverage": Q.doc_dup_span_coverage,
+        "kll_quantile_audit": Q.kll_quantile_audit,
     }
 
 
@@ -563,7 +564,7 @@ _VALUE_CLEAN_QUERIES = [
     "impute_missing_values", "k_anonymity_events",
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
-    "outlier_counts_per_type",
+    "outlier_counts_per_type", "kll_quantile_audit",
 ]
 
 
@@ -2095,5 +2096,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                    (count(*) FILTER (WHERE gram IN (SELECT gram FROM d)) * 2
                         >= count(*)) AS half_dup
             FROM g GROUP BY doc_id ORDER BY doc_id
+        """,
+        # exact/sketch sandwich: exact_q is quantile_disc (bit-exact vs
+        # scan.exact_quantiles inverted_cdf); the KLL rank-error gate
+        # folds into a boolean pinned TRUE
+        "kll_quantile_audit": """
+            WITH q AS (
+                SELECT quantile_disc(value,
+                    [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+                FROM events
+            )
+            SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
+                   unnest(qs) AS exact_q,
+                   TRUE AS kll_ok
+            FROM q ORDER BY p
         """,
     }

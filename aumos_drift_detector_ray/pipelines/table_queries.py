@@ -5046,3 +5046,65 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8) -> pd.DataFrame:
     out["half_dup"] = out.dup_pos * 2 >= out.n_pos
     return out.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "n_pos", "dup_pos", "half_dup"]]
+
+
+def kll_quantile_audit(sf_dir: str) -> pd.DataFrame:
+    """KLL quantile-sketch guarantee audit via the exact/sketch
+    sandwich (same shape as approx_distinct_users_per_type): the
+    SQL-matched column is the EXACT distributed quantile_disc of
+    events.value at seven probes (scan.exact_quantiles inverted_cdf —
+    bit-exact vs DuckDB), and the mergeable KLL(k=800) path folds into
+    ``kll_ok`` = |true_rank(estimate) − p| <= 0.02 (generous vs the
+    O(1/k) ≈ 0.2% analytic bound; mirrors test_sketches'
+    rank-error gate so a compaction regression flips the boolean and
+    the driver's value-hash compare goes red). This is the north-star
+    sketch the profiling stage ships at 10^12 rows, now visible to the
+    oracle gate. Per-block partials: one KLL per block (KB-scale
+    blobs), merged on the driver; the true-rank check is one more
+    vectorized count pass (P=7 comparisons per block)."""
+    import pickle
+
+    from ..sketches import KLL
+    from ..stages.scan import exact_quantiles
+
+    probs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def sk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = KLL(k=800)
+        s.update(b.value.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"sk": [pickle.dumps(s)]})
+
+    parts = ds.map_batches(sk_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged = pickle.loads(parts.sk.iloc[0])
+    for raw in parts.sk.iloc[1:]:
+        merged.merge(pickle.loads(raw))
+    est = np.asarray(merged.quantile(np.asarray(probs)), dtype=np.float64)
+
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # both rank bounds: with heavy ties (mass points) the estimate's
+        # rank is the INTERVAL [count(<), count(<=)] — a perfect sketch
+        # still lands anywhere inside it, so the gate tests interval
+        # distance to p, not a point rank
+        v = b.value.to_numpy(dtype=np.float64)
+        lt = (v[:, None] < est[None, :]).sum(axis=0).astype(np.int64)
+        le = (v[:, None] <= est[None, :]).sum(axis=0).astype(np.int64)
+        out = {f"lt{i}": [lt[i]] for i in range(len(probs))}
+        out.update({f"le{i}": [le[i]] for i in range(len(probs))})
+        out["n"] = [np.int64(len(v))]
+        return pd.DataFrame(out)
+
+    ranks = ds.map_batches(rank_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas().sum()
+    n = float(ranks["n"])
+    ok = [(float(ranks[f"lt{i}"]) / n - p) <= 0.02
+          and (p - float(ranks[f"le{i}"]) / n) <= 0.02
+          for i, p in enumerate(probs)]
+
+    exact = exact_quantiles(ds, "value", probs, method="inverted_cdf")
+    return pd.DataFrame({
+        "p": np.asarray(probs, dtype=np.float64),
+        "exact_q": np.asarray(exact, dtype=np.float64),
+        "kll_ok": pd.Series(ok, dtype="bool"),
+    })

@@ -219,6 +219,9 @@ def run_queries() -> dict[str, float]:
         # SemDeDup, incremental-ingest dedup
         "doc_repetition_stats", "semantic_dedup_embeddings",
         "incremental_dedup_docs",
+        # round-4 session-3 operators: exact-substring (dup 8-gram
+        # span) dedup and the KLL quantile-sketch audit
+        "dup_ngram_grams", "doc_dup_span_coverage", "kll_quantile_audit",
     ]
     qs = E.queries()
     out = {}

@@ -228,3 +228,24 @@ class TestDupNgramSpans:
             dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
             assert cov.loc[did, "n_pos"] == len(grams)
             assert cov.loc[did, "dup_pos"] == dup
+
+
+class TestKllQuantileAudit:
+    def test_gate_true_and_exact_matches_duckdb(self, ray_session):
+        """The sandwich's exact column must equal DuckDB quantile_disc
+        on the same clean-value relation, and every KLL rank-error gate
+        must hold on the real table."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kll_quantile_audit(SF)
+        assert out.kll_ok.all()
+        exp = duckdb.sql(f"""
+            SELECT unnest(quantile_disc(value,
+                [0.01,0.1,0.25,0.5,0.75,0.9,0.99])) AS q
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        np.testing.assert_array_equal(out.exact_q.to_numpy(),
+                                      exp.q.to_numpy())

@@ -69,7 +69,7 @@ EVENT_QUERIES = [
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type",
     # round-4: exact/sketch sandwich
-    "approx_distinct_users_per_type",
+    "approx_distinct_users_per_type", "kll_quantile_audit",
 ]
 
 
