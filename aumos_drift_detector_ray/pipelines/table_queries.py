@@ -4963,7 +4963,8 @@ def ann_recall_audit(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
-def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15) -> pd.DataFrame:
+def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15,
+                    hash_shuffle: bool = False) -> pd.DataFrame:
     """Exact cross-document duplicated-span detection (Lee et al. 2022):
     the top-k token 8-grams appearing in >= 2 distinct documents, with
     their distinct-doc counts. The exchange relation (distinct
@@ -4971,11 +4972,18 @@ def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15) -> pd.DataFrame:
     gram, so each gram lives wholly in one bucket: per-bucket ndocs and
     top-k are globally correct after the driver's tiny (#buckets x k)
     merge — no global sort, no full-gram-table driver materialization.
-    Ordering (ndocs DESC, gram ASC) is deterministic on both sides."""
-    from ..stages.textops import ngram_doc_pairs
+    Ordering (ndocs DESC, gram ASC) is deterministic on both sides.
+
+    ``hash_shuffle=True`` is the 10^12-row path: the wide exchange
+    carries int64 scalars only and the gram strings are re-gathered for
+    the bounded candidate set (textops.dup_gram_candidate_pairs — a
+    provable superset, so this exact groupby stays bit-identical;
+    path-agreement is pytest-pinned)."""
+    from ..stages.textops import dup_gram_candidate_pairs, ngram_doc_pairs
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = ngram_doc_pairs(ds, n=n)
+    pairs = (dup_gram_candidate_pairs(ds, n=n) if hash_shuffle
+             else ngram_doc_pairs(ds, n=n))
 
     def bucket_top(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("gram", as_index=False).agg(ndocs=("doc_id", "size"))
@@ -4992,7 +5000,8 @@ def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15) -> pd.DataFrame:
     return out[["gram", "ndocs"]].reset_index(drop=True)
 
 
-def doc_dup_span_coverage(sf_dir: str, n: int = 8) -> pd.DataFrame:
+def doc_dup_span_coverage(sf_dir: str, n: int = 8,
+                          hash_shuffle: bool = False) -> pd.DataFrame:
     """Per-document duplicated-span coverage, the removal signal of
     exact-substring dedup: for every doc with >= 1 n-gram position,
     how many of its n-gram positions carry a gram that also appears in
@@ -5006,11 +5015,17 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8) -> pd.DataFrame:
     can be corpus-sized, so unlike decontaminate_docs there is no
     size-gated dict side-channel — the mark rides the same shuffle that
     computed it); a second small groupby(doc_id) folds bucket partials.
-    Driver sees O(#docs) rows, the per-doc result itself."""
-    from ..stages.textops import ngram_doc_pairs
+    Driver sees O(#docs) rows, the per-doc result itself.
+
+    ``hash_shuffle=True`` swaps the string exchange for the
+    scalars-only + bounded-candidate-re-gather path (superset-exact —
+    see dup_ngram_grams); this per-gram bucket kernel is unchanged
+    because candidates keep full (gram, doc_id, cnt) fidelity."""
+    from ..stages.textops import dup_gram_candidate_pairs, ngram_doc_pairs
 
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = ngram_doc_pairs(ds, n=n)
+    pairs = (dup_gram_candidate_pairs(ds, n=n) if hash_shuffle
+             else ngram_doc_pairs(ds, n=n))
 
     def bucket_dup(g: pd.DataFrame) -> pd.DataFrame:
         nd = g.groupby("gram")["doc_id"].transform("size")
@@ -5022,10 +5037,15 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8) -> pd.DataFrame:
         out["dup_pos"] = out.dup_pos.astype("int64")
         return out
 
+    # bucket partials are <= #docs x #buckets rows (each bucket emits at
+    # most one row per doc), so the driver fold is bounded by the result
+    # size itself — cheaper than a second all-to-all groupby(doc_id)
     dup = pairs.groupby("bucket").map_groups(bucket_dup,
                                              batch_format="pandas") \
-        .groupby("doc_id").sum("dup_pos").to_pandas() \
-        .rename(columns={"sum(dup_pos)": "dup_pos"})
+        .to_pandas()
+    dup = (dup.groupby("doc_id", as_index=False).agg(dup_pos=("dup_pos",
+                                                              "sum"))
+           if len(dup) else dup)
 
     def npos_fn(b: pd.DataFrame) -> pd.DataFrame:
         txt = b.text.fillna("").astype(str) \

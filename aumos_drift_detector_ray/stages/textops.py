@@ -392,9 +392,49 @@ def normalize_text(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _block_gram_pairs(b: pd.DataFrame, n: int, text_col: str,
+                      id_col: str) -> pd.DataFrame:
+    """Per-block distinct (gram, doc_id, cnt) over the single-space
+    token convention (NUL stripped first — utf8proc contract). Grams
+    come from pure numpy shifts over the exploded token array
+    (documents are contiguous after repeat(), so doc equality at lag
+    n-1 marks validity — no per-row Python). Returns an EMPTY frame
+    with the right dtypes when the block yields no positions."""
+    empty = pd.DataFrame({
+        "gram": pd.Series([], dtype=object),
+        "doc_id": pd.Series([], dtype=np.int64),
+        "cnt": pd.Series([], dtype=np.int64),
+    })
+    if not len(b):
+        return empty
+    txt = b[text_col].fillna("").astype(str) \
+        .str.replace("\x00", "", regex=False)
+    toks = txt.str.split(" ")
+    ln = toks.map(len).to_numpy(dtype=np.int64)
+    doc = np.repeat(b[id_col].to_numpy(dtype=np.int64), ln)
+    flat = np.concatenate(toks.to_numpy()).astype(object)
+    npos = len(flat) - n + 1
+    if npos <= 0:
+        return empty
+    # contiguity => doc[i] == doc[i+n-1] implies all middles equal
+    valid = doc[n - 1:] == doc[:-(n - 1)]
+    gram = flat[:npos]
+    for j in range(1, n):
+        gram = gram + " "
+        gram = gram + flat[j:j + npos]
+    df = pd.DataFrame({"gram": gram[valid], "doc_id": doc[:npos][valid]})
+    if not len(df):
+        return empty
+    agg = df.groupby(["gram", "doc_id"], sort=False).size() \
+        .rename("cnt").reset_index()
+    agg["cnt"] = agg.cnt.astype("int64")
+    return agg
+
+
 def ngram_doc_pairs(
     ds: ray.data.Dataset, n: int = 8, text_col: str = "text",
     id_col: str = "doc_id", n_buckets: int = 32,
+    payload: str = "gram",
 ) -> ray.data.Dataset:
     """Distinct (token n-gram, document) pairs with per-doc occurrence
     counts — the exchange relation behind exact-substring (duplicated
@@ -406,60 +446,91 @@ def ngram_doc_pairs(
     doc_token_stats / doc_repetition_stats; NUL bytes are stripped
     first (DuckDB's utf8proc-backed functions NUL-truncate, so removing
     NUL keeps engine and oracle comparable — same contract as
-    normalize_text). Output columns: ``gram`` (the n tokens joined by
-    one space), ``doc_id``, ``cnt`` (occurrences of the gram inside
-    that doc), ``bucket`` (hash bucket of the gram so each gram lives
-    wholly in one bucket after a groupby).
+    normalize_text). Output columns: ``doc_id``, ``cnt`` (occurrences
+    of the gram inside that doc), ``bucket`` (hash bucket so each gram
+    lives wholly in one bucket after a groupby), plus — depending on
+    ``payload`` — ``gram`` (the n tokens joined by one space) or ``h``
+    (int64 view of the gram's FNV-64 hash, scalars only).
 
-    Scale shape: one embarrassingly-parallel map_batches; within a
-    block the grams come from pure numpy shifts over the exploded token
-    array (documents are contiguous after repeat(), so doc equality at
-    lag n-1 marks validity — no per-row Python), and the per-block
-    (gram, doc) dedup shrinks the shuffle to distinct pairs. A document
-    never spans blocks, so per-block-distinct pairs are globally
-    distinct and a downstream ``groupby("gram"|"bucket")`` sees exact
-    per-doc counts. The shuffle ships the gram STRINGS — that is the
-    inherent cost of exact-substring dedup (the MapReduce formulation
-    of Lee et al.'s suffix-array method ships n-grams too); at 10^12
-    rows you would shuffle hash64(gram) only and re-verify the bounded
-    collision set, the same size-gated hybrid minhash_lsh_pairs uses.
+    Scale shape: one embarrassingly-parallel map_batches with per-block
+    (gram, doc) dedup; a document never spans blocks, so per-block-
+    distinct pairs are globally distinct and a downstream
+    ``groupby("gram"|"h"|"bucket")`` sees exact per-doc counts.
+    ``payload="gram"`` ships the gram STRINGS through the shuffle —
+    fine up to corpus scales where the exchange fits the object store.
+    ``payload="hash"`` is the 10^12-row path: the shuffle carries three
+    int64 scalars per pair and dup-gram candidates are re-gathered
+    bounded afterwards (dup_gram_candidate_pairs), the same
+    scalars-only + bounded-re-gather hybrid minhash_lsh_pairs uses.
     """
     from ..sketches import hash_any_array
 
     assert n >= 2
+    assert payload in ("gram", "hash")
 
     def fn(b: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "gram": pd.Series([], dtype=object),
-            "doc_id": pd.Series([], dtype=np.int64),
-            "cnt": pd.Series([], dtype=np.int64),
-            "bucket": pd.Series([], dtype=np.int64),
-        })
-        if not len(b):
-            return empty
-        txt = b[text_col].fillna("").astype(str) \
-            .str.replace("\x00", "", regex=False)
-        toks = txt.str.split(" ")
-        ln = toks.map(len).to_numpy(dtype=np.int64)
-        doc = np.repeat(b[id_col].to_numpy(dtype=np.int64), ln)
-        flat = np.concatenate(toks.to_numpy()).astype(object)
-        npos = len(flat) - n + 1
-        if npos <= 0:
-            return empty
-        # contiguity => doc[i] == doc[i+n-1] implies all middles equal
-        valid = doc[n - 1:] == doc[:-(n - 1)]
-        gram = flat[:npos]
-        for j in range(1, n):
-            gram = gram + " "
-            gram = gram + flat[j:j + npos]
-        df = pd.DataFrame({"gram": gram[valid], "doc_id": doc[:npos][valid]})
-        if not len(df):
-            return empty
-        agg = df.groupby(["gram", "doc_id"], sort=False).size() \
-            .rename("cnt").reset_index()
-        agg["cnt"] = agg.cnt.astype("int64")
-        agg["bucket"] = (hash_any_array(agg.gram.to_numpy(dtype=object))
-                         % np.uint64(n_buckets)).astype(np.int64)
-        return agg
+        agg = _block_gram_pairs(b, n, text_col, id_col)
+        h = hash_any_array(agg.gram.to_numpy(dtype=object))
+        agg["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+        if payload == "hash":
+            agg["h"] = h.view(np.int64)
+            return agg[["h", "doc_id", "cnt", "bucket"]]
+        return agg[["gram", "doc_id", "cnt", "bucket"]]
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=65536)
+
+
+def dup_gram_candidate_pairs(
+    ds: ray.data.Dataset, n: int = 8, text_col: str = "text",
+    id_col: str = "doc_id", candidate_gate: int = 2_000_000,
+    n_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(gram, doc_id, cnt) rows restricted to CANDIDATE duplicated
+    grams, found via the scalars-only shuffle: pass 1 ships (h, doc_id)
+    int64 pairs and flags hashes seen on >= 2 rows per bucket; pass 2
+    re-scans the corpus emitting the string pairs ONLY for grams whose
+    hash is in the flagged set (broadcast once via ray.put, membership
+    by vectorized searchsorted). The candidate set is a SUPERSET of the
+    true dup grams (hash collisions and multi-gram-per-doc collisions
+    only ever add candidates), so an exact downstream
+    ``groupby("gram")`` keeps correctness bit-identical to the
+    string-shuffle path — path-agreement is pytest-pinned.
+
+    Bound: |candidates| <= #true-dup grams + expected collisions
+    (#grams^2 / 2^64, negligible). ``candidate_gate`` fails loudly if
+    an adversarial corpus exceeds the driver's candidate budget —
+    resize or fall back to ngram_doc_pairs(payload="gram")."""
+    import ray as _ray
+
+    from ..functions.broadcast import get_broadcast
+    from ..sketches import hash_any_array
+
+    pairs_h = ngram_doc_pairs(ds, n=n, text_col=text_col, id_col=id_col,
+                              payload="hash")
+
+    def bucket_cand(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("h", sort=False)["doc_id"].size()
+        return pd.DataFrame({"h": c.index[c.to_numpy() >= 2]})
+
+    cand = pairs_h.groupby("bucket").map_groups(
+        bucket_cand, batch_format="pandas").to_pandas()
+    if len(cand) > candidate_gate:
+        raise ValueError(
+            f"dup-gram candidate set ({len(cand)} hashes) exceeds the "
+            f"driver gate ({candidate_gate}); raise candidate_gate or "
+            "use ngram_doc_pairs(payload='gram')")
+    hset_ref = _ray.put(np.sort(cand.h.to_numpy(dtype=np.int64)))
+
+    def regather(b: pd.DataFrame) -> pd.DataFrame:
+        hset = get_broadcast(hset_ref)
+        agg = _block_gram_pairs(b, n, text_col, id_col)
+        hu = hash_any_array(agg.gram.to_numpy(dtype=object))
+        agg["bucket"] = (hu % np.uint64(n_buckets)).astype(np.int64)
+        h = hu.view(np.int64)
+        idx = np.searchsorted(hset, h)
+        idx[idx >= len(hset)] = max(len(hset) - 1, 0)
+        keep = (hset[idx] == h) if len(hset) else np.zeros(len(h), bool)
+        return agg[keep]
+
+    return ds.map_batches(regather, batch_format="pandas",
+                          batch_size=65536)

@@ -249,3 +249,36 @@ class TestKllQuantileAudit:
         """).df()
         np.testing.assert_array_equal(out.exact_q.to_numpy(),
                                       exp.q.to_numpy())
+
+
+class TestDupNgramHashPath:
+    """The scalars-only shuffle + bounded candidate re-gather path must
+    be bit-identical to the gram-string shuffle path (superset-exact:
+    hash collisions only ever ADD candidates, the exact groupby prunes
+    them)."""
+
+    def test_grams_path_agreement(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        a = Q.dup_ngram_grams(SF)
+        b = Q.dup_ngram_grams(SF, hash_shuffle=True)
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_coverage_path_agreement(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        a = Q.doc_dup_span_coverage(SF)
+        b = Q.doc_dup_span_coverage(SF, hash_shuffle=True)
+        assert a.dup_pos.sum() > 0
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_candidate_gate_fails_loudly(self, ray_session):
+        from aumos_drift_detector_ray.stages.textops import (
+            dup_gram_candidate_pairs,
+        )
+        from aumos_drift_detector_ray.pipelines.table_queries import sf_table
+
+        ds = sf_table(SF, "documents", columns=["doc_id", "text"])
+        with pytest.raises(ValueError, match="candidate_gate"):
+            dup_gram_candidate_pairs(ds, candidate_gate=0).count()
