@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_grams": Q.dup_ngram_grams,
         "doc_dup_span_coverage": Q.doc_dup_span_coverage,
         "kll_quantile_audit": Q.kll_quantile_audit,
+        "doc_dup_span_stats": Q.doc_dup_span_stats,
     }
 
 
@@ -295,20 +296,24 @@ def _text_oracles() -> dict[str, str]:
                        regexp_extract_all(lower(text), '[a-z'']+') AS tk
                 FROM documents
             )
+            -- RAW doubles, no rounding: single divisions of exact
+            -- integers are bit-identical on both sides, and round(9)
+            -- breaks on trailing-5 half-cases (29/1024; np half-even
+            -- vs DuckDB half-away — fuzz --docs seed 5)
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(tk) AS BIGINT) AS n_tokens,
-                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-                       list_avg(list_transform(tk, x -> length(x))) END, 9)
+                   CAST(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                       list_avg(list_transform(tk, x -> length(x))) END
                        AS DOUBLE) AS mean_token_len,
-                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                   CAST(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
                        CAST(len(list_filter(tk, x -> list_contains({stop}, x)))
-                           AS DOUBLE) / len(tk) END, 9) AS DOUBLE)
+                           AS DOUBLE) / len(tk) END AS DOUBLE)
                        AS stopword_ratio,
-                   CAST(round(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
-                       AS DOUBLE) / greatest(length(text), 1), 9) AS DOUBLE)
+                   CAST(CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                       AS DOUBLE) / greatest(length(text), 1) AS DOUBLE)
                        AS punct_ratio,
-                   CAST(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-                       CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END, 9)
+                   CAST(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                       CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END
                        AS DOUBLE) AS distinct_token_ratio
             FROM toks ORDER BY doc_id
         """,
@@ -2110,5 +2115,54 @@ def _oracle_sql_raw() -> dict[str, str]:
                    unnest(qs) AS exact_q,
                    TRUE AS kll_ok
             FROM q ORDER BY p
+        """,
+        # maximal duplicated spans: gaps-and-islands over duplicated
+        # 8-gram positions (runs = consecutive pos with a cross-doc
+        # duplicated gram; span tokens = run + 7)
+        "doc_dup_span_stats": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(replace(text, chr(0), ''), ' ') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(generate_series(1,
+                           greatest(len(toks) - 7, 0))) AS pos,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 0)),
+                           i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t
+            ),
+            d AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            m AS (
+                SELECT doc_id, pos,
+                       gram IN (SELECT gram FROM d) AS isdup
+                FROM g
+            ),
+            runs AS (
+                SELECT doc_id, count(*) AS run
+                FROM (SELECT doc_id, pos,
+                             pos - row_number() OVER (
+                                 PARTITION BY doc_id ORDER BY pos) AS grp
+                      FROM m WHERE isdup)
+                GROUP BY doc_id, grp
+            ),
+            mx AS (SELECT doc_id, max(run) AS mr FROM runs GROUP BY doc_id),
+            agg AS (
+                SELECT doc_id, count(*) AS n_pos,
+                       count(*) FILTER (WHERE isdup) AS dup_pos
+                FROM m GROUP BY doc_id
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+                   CAST(a.n_pos AS BIGINT) AS n_pos,
+                   CAST(a.dup_pos AS BIGINT) AS dup_pos,
+                   CAST(coalesce(mx.mr + 7, 0) AS BIGINT)
+                       AS longest_dup_span
+            FROM agg a LEFT JOIN mx ON a.doc_id = mx.doc_id
+            ORDER BY doc_id
         """,
     }

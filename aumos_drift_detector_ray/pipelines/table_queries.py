@@ -828,18 +828,20 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_docs(sf_dir: str) -> pd.DataFrame:
-    """Per-document quality heuristics; ratio columns rounded at 9
-    decimals so the SQL oracle (naive list_avg summation order) and the
-    numpy pairwise mean agree bit-for-bit after rounding."""
+    """Per-document quality heuristics, compared RAW (no rounding):
+    every ratio is a single IEEE division of exactly-representable
+    integer numerators/denominators (token-length sums stay far below
+    2^53, so numpy's pairwise and SQL's naive accumulation both hit the
+    exact integer sum), making the doubles bit-identical on both sides.
+    Rounding at 9 dp was WEAKER: a ratio like 29/1024 =
+    0.0283203125 is an exact trailing-5 half-case where np.round
+    (half-to-even) and DuckDB round() (half-away-from-zero) disagree —
+    caught by tools/fuzz_oracle.py --docs seed 5."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.quality_scores(ds).to_pandas()
     cols = ["doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
             "punct_ratio", "distinct_token_ratio"]
-    out = out[cols].sort_values("doc_id").reset_index(drop=True)
-    for c in ("mean_token_len", "stopword_ratio", "punct_ratio",
-              "distinct_token_ratio"):
-        out[c] = out[c].round(9)
-    return out
+    return out[cols].sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -5128,3 +5130,95 @@ def kll_quantile_audit(sf_dir: str) -> pd.DataFrame:
         "exact_q": np.asarray(exact, dtype=np.float64),
         "kll_ok": pd.Series(ok, dtype="bool"),
     })
+
+
+def doc_dup_span_stats(sf_dir: str, n: int = 8,
+                       broadcast_gate: int = 5_000_000) -> pd.DataFrame:
+    """MAXIMAL duplicated-span statistics per document — the actual
+    span-removal semantic of exact-substring dedup (Lee et al. 2022
+    delete the duplicated character range, not the whole doc): for each
+    doc with >= 1 n-gram position, the longest run of consecutive
+    positions whose gram is cross-doc duplicated, reported as
+    ``longest_dup_span`` in TOKENS (run + n - 1; 0 when the doc has no
+    duplicated position). Integer outputs, bit-exact vs the DuckDB
+    gaps-and-islands oracle.
+
+    Scale shape: the exact dup-gram set comes from the same bucketed
+    (gram, doc) exchange as doc_dup_span_coverage; the driver then
+    broadcasts the dup gram strings ONCE (``ray.put`` + per-worker
+    get_broadcast cache) for a doc-local positional pass — runs are a
+    per-doc property, so the second pass is embarrassingly parallel
+    with numpy run-length math, no per-row Python. The broadcast is
+    bounded by the true dup-gram count and gated loudly at
+    ``broadcast_gate`` (the corpus-dependent quantity; raise it or
+    pre-filter with the hash tier when a pathological corpus exceeds
+    it — same convention as incremental_dedup_docs)."""
+    from ..functions.broadcast import get_broadcast
+    from ..stages.textops import ngram_doc_pairs
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_doc_pairs(ds, n=n)
+
+    def bucket_dup_grams(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("gram", sort=False)["doc_id"].size()
+        return pd.DataFrame({"gram": c.index[c.to_numpy() >= 2]})
+
+    dup = pairs.groupby("bucket").map_groups(
+        bucket_dup_grams, batch_format="pandas").to_pandas()
+    if len(dup) > broadcast_gate:
+        raise ValueError(
+            f"dup-gram set ({len(dup)}) exceeds broadcast_gate "
+            f"({broadcast_gate}); raise the gate or pre-filter")
+    dup_ref = ray.put(frozenset(dup.gram))
+
+    def per_doc(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                              for c in ("doc_id", "n_pos", "dup_pos",
+                                        "longest_dup_span")})
+        if not len(b):
+            return empty
+        dset = get_broadcast(dup_ref)
+        txt = b.text.fillna("").astype(str) \
+            .str.replace("\x00", "", regex=False)
+        toks = txt.str.split(" ")
+        ln = toks.map(len).to_numpy(dtype=np.int64)
+        ids = b.doc_id.to_numpy(dtype=np.int64)
+        npos_doc = ln - np.int64(n - 1)
+        keep_doc = npos_doc > 0
+        doc = np.repeat(ids, ln)
+        flat = np.concatenate(toks.to_numpy()).astype(object)
+        L = len(flat) - n + 1
+        if L <= 0:
+            return empty
+        # same shift construction as textops._block_gram_pairs; docs
+        # are contiguous, so cross-doc positions (valid=False) act as
+        # natural run breakers — no per-doc Python loop anywhere
+        valid = doc[n - 1:] == doc[:-(n - 1)]
+        gram = flat[:L]
+        for j in range(1, n):
+            gram = gram + " "
+            gram = gram + flat[j:j + L]
+        m = valid & pd.Series(gram).isin(dset).to_numpy()
+        dpos = doc[:L]
+        dup_per_doc = pd.Series(m).groupby(pd.Series(dpos)).sum()
+        edges = np.diff(np.concatenate(
+            ([0], m.astype(np.int8), [0])))
+        starts = np.flatnonzero(edges == 1)
+        ends = np.flatnonzero(edges == -1)
+        runs = pd.Series(ends - starts).groupby(
+            pd.Series(dpos[starts])).max()
+        out = pd.DataFrame({
+            "doc_id": ids[keep_doc],
+            "n_pos": npos_doc[keep_doc],
+        })
+        out["dup_pos"] = out.doc_id.map(dup_per_doc).fillna(0) \
+            .astype("int64")
+        longest = out.doc_id.map(runs).fillna(0).astype("int64")
+        out["longest_dup_span"] = np.where(longest > 0,
+                                           longest + np.int64(n - 1),
+                                           np.int64(0))
+        return out
+
+    res = ds.map_batches(per_doc, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)

@@ -222,6 +222,7 @@ def run_queries() -> dict[str, float]:
         # round-4 session-3 operators: exact-substring (dup 8-gram
         # span) dedup and the KLL quantile-sketch audit
         "dup_ngram_grams", "doc_dup_span_coverage", "kll_quantile_audit",
+        "doc_dup_span_stats",
     ]
     qs = E.queries()
     out = {}

@@ -4,6 +4,7 @@ aggregation equivalence."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -363,3 +364,38 @@ class TestSemanticPruneProperties:
                 assert keeper[i] < ids[i]
                 assert cos[i, ki] >= threshold
                 assert kcos[i] == cos[i, ki]
+
+
+class TestNgramBlockKernel:
+    """textops._block_gram_pairs (numpy shift construction over the
+    exploded token array) must agree with a naive per-doc Python
+    reference on arbitrary corpora — including empty docs, single-space
+    runs (empty tokens), NUL bytes, and docs shorter than n."""
+
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab \x00'", min_size=0, max_size=40),
+            min_size=0, max_size=12),
+        n=st.integers(min_value=2, max_value=5),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_matches_naive(self, texts, n):
+        import collections
+
+        from aumos_drift_detector_ray.stages.textops import (
+            _block_gram_pairs,
+        )
+
+        b = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+        })
+        got = _block_gram_pairs(b, n, "text", "doc_id")
+        want: dict = collections.Counter()
+        for did, t in zip(b.doc_id, texts):
+            toks = t.replace("\x00", "").split(" ")
+            for i in range(len(toks) - n + 1):
+                want[(" ".join(toks[i:i + n]), int(did))] += 1
+        got_map = {(g, int(d)): int(c)
+                   for g, d, c in zip(got.gram, got.doc_id, got.cnt)}
+        assert got_map == dict(want)

@@ -282,3 +282,50 @@ class TestDupNgramHashPath:
         ds = sf_table(SF, "documents", columns=["doc_id", "text"])
         with pytest.raises(ValueError, match="candidate_gate"):
             dup_gram_candidate_pairs(ds, candidate_gate=0).count()
+
+    def test_hash_path_agreement_adversarial(self, ray_session, tmp_path):
+        """Path agreement again, on the adversarial fuzz corpus (NUL,
+        giant tokens, planted dup clusters / near-dup pairs) — the
+        inputs most likely to expose a hash/re-gather divergence."""
+        sys.path.insert(0, "/root/repo/tools")
+        from fuzz_oracle import synth_docs
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        df = synth_docs(seed=7, n=200)
+        os.makedirs(tmp_path / "fz", exist_ok=True)
+        df.to_parquet(str(tmp_path / "fz" / "documents.parquet"),
+                      index=False)
+        sf = str(tmp_path / "fz")
+        a = Q.dup_ngram_grams(sf)
+        b = Q.dup_ngram_grams(sf, hash_shuffle=True)
+        assert len(a) > 0  # planted dup clusters guarantee shared spans
+        pd.testing.assert_frame_equal(a, b)
+        ca = Q.doc_dup_span_coverage(sf)
+        cb = Q.doc_dup_span_coverage(sf, hash_shuffle=True)
+        pd.testing.assert_frame_equal(ca, cb)
+
+
+class TestDupSpanStats:
+    def test_ground_truth(self, ray_session, tmp_path):
+        """Crafted corpus: whole-doc duplication (span = full doc), a
+        single shared gram inside a longer doc (span = n), a unique
+        doc, and a within-doc-only repeat (span = 0)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        sf = TestDupNgramSpans()._write_docs(tmp_path)
+        out = Q.doc_dup_span_stats(sf)
+        expect = pd.DataFrame({
+            "doc_id": np.array([0, 1, 2, 4, 5], dtype=np.int64),
+            "n_pos": np.array([3, 3, 1, 3, 2], dtype=np.int64),
+            "dup_pos": np.array([3, 1, 0, 3, 0], dtype=np.int64),
+            "longest_dup_span": np.array([10, 8, 0, 10, 0],
+                                         dtype=np.int64),
+        })
+        pd.testing.assert_frame_equal(out, expect)
+
+    def test_broadcast_gate_fails_loudly(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with pytest.raises(ValueError, match="broadcast_gate"):
+            Q.doc_dup_span_stats(SF, broadcast_gate=0)

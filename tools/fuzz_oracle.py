@@ -139,7 +139,7 @@ DOC_QUERIES = [
     "doc_repetition_stats", "simhash_dup_audit",
     "incremental_dedup_docs",
     # round-4 session 3: exact-substring (dup 8-gram span) dedup
-    "dup_ngram_grams", "doc_dup_span_coverage",
+    "dup_ngram_grams", "doc_dup_span_coverage", "doc_dup_span_stats",
 ]
 
 
