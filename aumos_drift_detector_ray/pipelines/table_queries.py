@@ -28,6 +28,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import stats
+from ..functions.rounding import round_half_away
 from ..sources.reader import sf_table
 from ..stages import dedup as dedup_mod
 from ..stages import similarity as sim_mod
@@ -77,9 +78,9 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         # exact scaled-integer money sums: immune to distributed sum order
-        qty_c = np.round(b.l_quantity.to_numpy() * 10000).astype(np.int64)
-        base_c = np.round(b.l_extendedprice.to_numpy() * 10000).astype(np.int64)
-        disc_c = np.round(
+        qty_c = round_half_away(b.l_quantity.to_numpy() * 10000).astype(np.int64)
+        base_c = round_half_away(b.l_extendedprice.to_numpy() * 10000).astype(np.int64)
+        disc_c = round_half_away(
             (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
         ).astype(np.int64)
         g = pd.DataFrame({
@@ -122,7 +123,7 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": b.event_type,
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         }).groupby("event_type", as_index=False).agg(
             n_events=("value_c", "size"), value_c=("value_c", "sum")
         )
@@ -224,7 +225,7 @@ def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "hour": b.ts.dt.floor("h"),
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         }).groupby("hour", as_index=False).agg(
             n=("value_c", "size"), value_c=("value_c", "sum")
         )
@@ -252,7 +253,7 @@ def sliding_4h_event_stats(sf_dir: str) -> pd.DataFrame:
     def hourly(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
             "hour": b.ts.dt.floor("h"),
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         }).groupby("hour", as_index=False).agg(
             n=("value_c", "size"), value_c=("value_c", "sum"))
         g["bucket"] = (hash64(g.hour.astype("int64").to_numpy().view(np.uint64))
@@ -289,7 +290,7 @@ def orders_per_segment(sf_dir: str) -> pd.DataFrame:
         lookup = get_broadcast(lookup_ref)
         return pd.DataFrame({
             "segment": b.o_custkey.map(lookup),
-            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+            "price_c": round_half_away(b.o_totalprice.to_numpy() * 100).astype(np.int64),
         }).groupby("segment", as_index=False).agg(
             n_orders=("price_c", "size"), price_c=("price_c", "sum")
         )
@@ -324,7 +325,7 @@ def nation_acctbal_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "c_nationkey": b.c_nationkey,
             "min_bal": b.c_acctbal, "max_bal": b.c_acctbal,
-            "bal_c": np.round(b.c_acctbal.to_numpy() * 100).astype(np.int64),
+            "bal_c": round_half_away(b.c_acctbal.to_numpy() * 100).astype(np.int64),
         }).groupby("c_nationkey", as_index=False).agg(
             n=("bal_c", "size"), min_bal=("min_bal", "min"),
             max_bal=("max_bal", "max"), bal_c=("bal_c", "sum"),
@@ -365,7 +366,7 @@ def profile_lineitem(sf_dir: str) -> pd.DataFrame:
         out = {}
         for col in cols:
             v = b[col].to_numpy(zero_copy_only=False)
-            out[col] = [int(np.round(np.asarray(v, dtype=float) * 10000)
+            out[col] = [int(round_half_away(np.asarray(v, dtype=float) * 10000)
                             .astype(np.int64).sum())]
         return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
 
@@ -414,7 +415,7 @@ def lineitem_price_quantiles(sf_dir: str) -> pd.DataFrame:
         "l_extendedprice", probs)
     return pd.DataFrame({
         "p": np.asarray(probs, dtype="float64"),
-        "value": np.round(np.asarray(vals, dtype="float64"), 9),
+        "value": round_half_away(np.asarray(vals, dtype="float64"), 9),
     })
 
 
@@ -427,7 +428,7 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_exact_quantiles(
         sf_events_clean(sf_dir, ["event_type", "value"]),
         "event_type", "value", [0.25, 0.5, 0.75])
-    out["value"] = out.value.round(9)
+    out["value"] = round_half_away(out.value.to_numpy(), 9)
     return out.sort_values(["event_type", "p"]).reset_index(drop=True)
 
 
@@ -524,7 +525,7 @@ def psi_events_value(sf_dir: str) -> pd.DataFrame:
     rc, pc_, _, _ = _events_split_counts(sf_dir, 10)
     r = np.maximum(rc / rc.sum(), PSI_EPS)
     p = np.maximum(pc_ / pc_.sum(), PSI_EPS)
-    psi = float(np.round(np.sum((p - r) * np.log(p / r)), 12))
+    psi = float(round_half_away(np.sum((p - r) * np.log(p / r)), 12))
     return pd.DataFrame({"psi": [psi]})
 
 
@@ -535,8 +536,8 @@ def js_hellinger_events_value(sf_dir: str) -> pd.DataFrame:
     r = (rc + 1e-10) / (rc.sum() + 20 * 1e-10)
     p = (pc_ + 1e-10) / (pc_.sum() + 20 * 1e-10)
     m = 0.5 * (r + p)
-    js = float(np.round(np.sqrt(max(0.0, 0.5 * (np.sum(r * np.log(r / m)) + np.sum(p * np.log(p / m))))), 12))
-    hel = float(np.round(np.sqrt(np.sum((np.sqrt(r) - np.sqrt(p)) ** 2)) / np.sqrt(2.0), 12))
+    js = float(round_half_away(np.sqrt(max(0.0, 0.5 * (np.sum(r * np.log(r / m)) + np.sum(p * np.log(p / m))))), 12))
+    hel = float(round_half_away(np.sqrt(np.sum((np.sqrt(r) - np.sqrt(p)) ** 2)) / np.sqrt(2.0), 12))
     return pd.DataFrame({"js": [js], "hellinger": [hel]})
 
 
@@ -575,7 +576,7 @@ def ks_events_value(sf_dir: str) -> pd.DataFrame:
     is bit-identical to the single-node ECDF form). The sketch-CDF path
     for 10^12-row windows is stages/drift.py."""
     r = _events_order_stats(sf_dir)
-    return pd.DataFrame({"ks_stat": [float(np.round(r["ks"], 12))]})
+    return pd.DataFrame({"ks_stat": [float(round_half_away(r["ks"], 12))]})
 
 
 def chi2_events_type(sf_dir: str) -> pd.DataFrame:
@@ -592,7 +593,7 @@ def chi2_events_type(sf_dir: str) -> pd.DataFrame:
     rc = g[True].to_numpy(dtype=float)
     pc_ = g[False].to_numpy(dtype=float)
     expected = rc / rc.sum() * pc_.sum()
-    stat = float(np.round(np.sum((pc_ - expected) ** 2 / expected), 9))
+    stat = float(round_half_away(np.sum((pc_ - expected) ** 2 / expected), 9))
     return pd.DataFrame({"chi2_stat": [stat], "dof": [np.int64(len(g) - 1)]})
 
 
@@ -605,7 +606,7 @@ def wasserstein_events_value(sf_dir: str) -> pd.DataFrame:
     straddling a 9-dp rounding boundary (caught by fuzz seed 4); 6 dp
     keeps the compare exact through |w1| ~ 1e6 at double precision."""
     r = _events_order_stats(sf_dir)
-    return pd.DataFrame({"w1": [float(np.round(r["w1"], 6))]})
+    return pd.DataFrame({"w1": [float(round_half_away(r["w1"], 6))]})
 
 
 def anderson_darling_events(sf_dir: str) -> pd.DataFrame:
@@ -617,8 +618,8 @@ def anderson_darling_events(sf_dir: str) -> pd.DataFrame:
     tn, _sig = stats.ad_normalize(r["ad_a2akn"], r["n_ref"] + r["n_prod"],
                                   [r["n_ref"], r["n_prod"]])
     return pd.DataFrame({
-        "a2akn": [float(np.round(r["ad_a2akn"], 6))],
-        "tn": [float(np.round(tn, 6))],
+        "a2akn": [float(round_half_away(r["ad_a2akn"], 6))],
+        "tn": [float(round_half_away(tn, 6))],
     })
 
 
@@ -734,7 +735,7 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
                 "id_a": b.id_a.astype("int64"),
                 "id_b": b.id_b.astype("int64"),
                 "sig_jaccard": b.jaccard.astype("float64"),
-                "exact_jaccard": np.round(np.asarray(ex, dtype="float64"), 9),
+                "exact_jaccard": round_half_away(np.asarray(ex, dtype="float64"), 9),
             })
 
         n_parts = int(max(1, min(32, len(cdf) // 64 + 1)))
@@ -763,7 +764,7 @@ def embedding_neardup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "cosine": pd.Series([], dtype="float64")})
-    out["cosine"] = out.cosine.round(9)
+    out["cosine"] = round_half_away(out.cosine.to_numpy(), 9)
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
@@ -811,7 +812,7 @@ def label_cosine_pairs(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "id_a": ids[ia[keep]],
             "id_b": ids[ib[keep]],
-            "cosine": np.round(cos[ia[keep], ib[keep]], 9),
+            "cosine": round_half_away(cos[ia[keep], ib[keep]], 9),
         })
 
     out = ds.groupby("label").map_groups(
@@ -920,7 +921,7 @@ def shap_importance_lineitem(sf_dir: str) -> pd.DataFrame:
     shap = shap_from_moments(stats_of(ref_p), stats_of(prod_p))
     out = pd.DataFrame({
         "feature": sorted(shap),
-        "shap": [float(np.round(shap[c], 9)) for c in sorted(shap)],
+        "shap": [float(round_half_away(shap[c], 9)) for c in sorted(shap)],
     })
     return out.reset_index(drop=True)
 
@@ -999,9 +1000,9 @@ def cbpe_accuracy_events(sf_dir: str) -> pd.DataFrame:
     draws = np.array([cal_s[rng.integers(0, n, size=n)].mean()
                       for _ in range(200)])
     return pd.DataFrame({
-        "estimated_accuracy": [float(np.round(acc, 9))],
-        "ci_lower": [float(np.round(np.percentile(draws, 2.5), 9))],
-        "ci_upper": [float(np.round(np.percentile(draws, 97.5), 9))],
+        "estimated_accuracy": [float(round_half_away(acc, 9))],
+        "ci_lower": [float(round_half_away(np.percentile(draws, 2.5), 9))],
+        "ci_upper": [float(round_half_away(np.percentile(draws, 97.5), 9))],
         "n_samples": [np.int64(n_prod)],
     })
 
@@ -1037,7 +1038,7 @@ def dle_loss_events(sf_dir: str) -> pd.DataFrame:
                            batch_size=65536).to_pandas()
     n_prod = int(parts.n.sum())
     return pd.DataFrame({
-        "estimated_mean_loss": [float(np.round(parts.s.sum() / max(n_prod, 1), 9))],
+        "estimated_mean_loss": [float(round_half_away(parts.s.sum() / max(n_prod, 1), 9))],
         "n_samples": [np.int64(n_prod)],
     })
 
@@ -1096,7 +1097,7 @@ def packed_sequence_stats(sf_dir: str) -> pd.DataFrame:
         "n_sequences": [np.int64(agg.n_sequences)],
         "n_docs": [np.int64(agg.n_docs)],
         "n_truncated": [np.int64(agg.n_truncated)],
-        "mean_fill": [float(np.round(agg.fill_tokens / max(agg.fill_capacity, 1), 6))],
+        "mean_fill": [float(round_half_away(agg.fill_tokens / max(agg.fill_capacity, 1), 6))],
     })
 
 
@@ -1296,8 +1297,8 @@ def trend_hourly_slope(sf_dir: str) -> pd.DataFrame:
     series = (hourly.sum_value / hourly.n).to_numpy()
     t = M.linear_trend(series)
     return pd.DataFrame({
-        "slope": [float(np.round(t["slope"], 9))],
-        "r_squared": [float(np.round(t["r_squared"], 9))],
+        "slope": [float(round_half_away(t["slope"], 9))],
+        "r_squared": [float(round_half_away(t["r_squared"], 9))],
         "direction": [t["direction"]],
     })
 
@@ -1314,7 +1315,7 @@ def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
     def prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "o_orderkey": b.l_orderkey,
-            "rev_c": np.round(
+            "rev_c": round_half_away(
                 (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
             ).astype(np.int64),
         })
@@ -1450,7 +1451,7 @@ def daily_cumulative_revenue(sf_dir: str) -> pd.DataFrame:
     def daily(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({
             "day": b.o_orderdate.dt.floor("D"),
-            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+            "price_c": round_half_away(b.o_totalprice.to_numpy() * 100).astype(np.int64),
         }).groupby("day", as_index=False).agg(
             n=("price_c", "size"), price_c=("price_c", "sum")
         )
@@ -1611,7 +1612,7 @@ def event_gap_stats(sf_dir: str) -> pd.DataFrame:
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
         .to_pandas().groupby("event_type", as_index=False).sum()
     out["n_gaps"] = out.n_gaps.astype("int64")
-    out["avg_gap_s"] = np.round(
+    out["avg_gap_s"] = round_half_away(
         out.gap_us.astype("float64") / 1e6 / out.n_gaps, 9)
     return out.drop(columns=["gap_us"]).sort_values("event_type") \
         .reset_index(drop=True)
@@ -1673,8 +1674,8 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_audio": [np.int64(len(af))],
         "audio_ok": [np.int64(af.decoded_ok.sum())],
-        "mean_duration_s": [float(np.round(af.duration_s.mean(), 9))],
-        "mean_rms": [float(np.round(af.rms.mean(), 9))],
+        "mean_duration_s": [float(round_half_away(af.duration_s.mean(), 9))],
+        "mean_rms": [float(round_half_away(af.rms.mean(), 9))],
         "n_video": [np.int64(len(vf))],
         "video_ok": [np.int64(vf.decoded_ok.sum())],
         "n_sampled_frames": [np.int64(frames)],
@@ -1777,7 +1778,7 @@ def bpe_token_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": b.doc_id.astype("int64"),
             "n_bpe_tokens": n,
-            "chars_per_token": np.round(cpt, 9),
+            "chars_per_token": round_half_away(cpt, 9),
         })
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=65536) \
@@ -1910,7 +1911,7 @@ def corr_slope_value_hour_per_type(sf_dir: str) -> pd.DataFrame:
     MCOLS = ("n", "sx", "sy", "sxx", "syy", "sxy")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        v = np.round(b.value.to_numpy() * 100).astype(np.int64)
+        v = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
         x = b.ts.dt.hour.to_numpy().astype(np.int64)
         vo = v.astype(object)  # python-int lane: exact at any width
         g = pd.DataFrame({
@@ -1940,8 +1941,8 @@ def corr_slope_value_hour_per_type(sf_dir: str) -> pd.DataFrame:
         # slope in original units: value = cents/100
         slope = (cov_n / var_x) / 100.0 if var_x > 0 else float("nan")
         rows.append({"event_type": r.event_type, "n": np.int64(n),
-                     "corr_vh": float(np.round(corr, 6)),
-                     "slope_vh": float(np.round(slope, 6))})
+                     "corr_vh": float(round_half_away(corr, 6)),
+                     "slope_vh": float(round_half_away(slope, 6))})
     return pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
 
 
@@ -2057,7 +2058,7 @@ def type_pair_user_jaccard(sf_dir: str) -> pd.DataFrame:
         "t1": pairs.t1, "t2": pairs.t2,
         "n_common": pairs.n.astype("int64"),
         "n_union": union,
-        "jaccard": np.round(pairs.n.to_numpy(np.int64) / union, 9),
+        "jaccard": round_half_away(pairs.n.to_numpy(np.int64) / union, 9),
     }).sort_values(["t1", "t2"]).reset_index(drop=True)
 
 
@@ -2148,7 +2149,7 @@ def order_rollup_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "o_orderpriority": b.o_orderpriority,
             "o_orderstatus": b.o_orderstatus,
-            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+            "price_c": round_half_away(b.o_totalprice.to_numpy() * 100).astype(np.int64),
         }).groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
             n=("price_c", "size"), price_c=("price_c", "sum"))
 
@@ -2231,7 +2232,7 @@ def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
                     + [f"sp_{a}_{b}" for a, b in pairs])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        v = {c: np.round(b[c].to_numpy() * scale[c]).astype(np.int64)
+        v = {c: round_half_away(b[c].to_numpy() * scale[c]).astype(np.int64)
              .astype(object) for c in cols}
         row: dict[str, str] = {"n": str(len(b))}
         for c in cols:
@@ -2253,7 +2254,7 @@ def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
         corr = cov_n / float(np.sqrt(float(var_a) * float(var_b))) \
             if var_a > 0 and var_b > 0 else float("nan")
         rows.append({"col_a": a, "col_b": b2,
-                     "corr": float(np.round(corr, 6))})
+                     "corr": float(round_half_away(corr, 6))})
     return pd.DataFrame(rows).sort_values(["col_a", "col_b"]) \
         .reset_index(drop=True)
 
@@ -2326,7 +2327,7 @@ def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
         b = b.loc[b.l_shipdate > CUT]
         return pd.DataFrame({
             "o_orderkey": b.l_orderkey,
-            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+            "rev_c": round_half_away((b.l_extendedprice * (1 - b.l_discount))
                               .to_numpy() * 10000).astype(np.int64),
         }).groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
 
@@ -2433,7 +2434,7 @@ def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
     def li_prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "o_orderkey": b.l_orderkey, "s_suppkey": b.l_suppkey,
-            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+            "rev_c": round_half_away((b.l_extendedprice * (1 - b.l_discount))
                               .to_numpy() * 10000).astype(np.int64)})
 
     lio = hash_join(li.map_batches(li_prep, batch_format="pandas",
@@ -2491,10 +2492,10 @@ def tpch_q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
     LO, HI = pd.Timestamp("1998-01-01"), pd.Timestamp("1999-01-01")
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        disc_c = np.round(b.l_discount.to_numpy() * 100).astype(np.int64)
+        disc_c = round_half_away(b.l_discount.to_numpy() * 100).astype(np.int64)
         m = ((b.l_shipdate >= LO) & (b.l_shipdate < HI)).to_numpy() \
             & (disc_c >= 4) & (disc_c <= 6) & (b.l_quantity.to_numpy() < 24)
-        rev_c = np.round(b.l_extendedprice.to_numpy()[m]
+        rev_c = round_half_away(b.l_extendedprice.to_numpy()[m]
                          * b.l_discount.to_numpy()[m] * 10000).astype(np.int64)
         return pd.DataFrame({"rev_c": [int(rev_c.sum())],
                              "n": [int(m.sum())]})
@@ -2524,7 +2525,7 @@ def tpch_q14_promo_share(sf_dir: str) -> pd.DataFrame:
         b = b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI)]
         return pd.DataFrame({
             "p_partkey": b.l_partkey,
-            "rev_c": np.round((b.l_extendedprice * (1 - b.l_discount))
+            "rev_c": round_half_away((b.l_extendedprice * (1 - b.l_discount))
                               .to_numpy() * 10000).astype(np.int64)})
 
     part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
@@ -2540,7 +2541,7 @@ def tpch_q14_promo_share(sf_dir: str) -> pd.DataFrame:
 
     parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
     promo_c, total_c = int(parts.promo_c.sum()), int(parts.total_c.sum())
-    pct = float(np.round((100.0 * promo_c) / total_c, 6)) if total_c else 0.0
+    pct = float(round_half_away((100.0 * promo_c) / total_c, 6)) if total_c else 0.0
     return pd.DataFrame({"promo_revenue": [promo_c / 10000.0],
                          "total_revenue": [total_c / 10000.0],
                          "promo_pct": [pct]})
@@ -2711,7 +2712,7 @@ def user_value_moving_avg(sf_dir: str) -> pd.DataFrame:
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], kind="stable")
-        v = np.round(g.value.to_numpy() * 100).astype(np.int64)
+        v = round_half_away(g.value.to_numpy() * 100).astype(np.int64)
         c = np.concatenate([[0], np.cumsum(v)])
         n = len(v)
         lo = np.maximum(np.arange(n) - 2, 0)
@@ -2756,8 +2757,8 @@ def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "dim": g.dim.astype("int64"),
         "n": g.n.astype("int64"),
-        "mean_v": np.round(s / n, 6),
-        "std_v": np.round(np.sqrt((ss - s * s / n) / (n - 1)), 6),
+        "mean_v": round_half_away(s / n, 6),
+        "std_v": round_half_away(np.sqrt((ss - s * s / n) / (n - 1)), 6),
     }).sort_values("dim").reset_index(drop=True)
 
 
@@ -3000,7 +3001,7 @@ def hourly_type_entropy(sf_dir: str) -> pd.DataFrame:
         ent = float(-(p * np.log2(p)).sum())
         return pd.DataFrame({"hour_of_day": g.hour_of_day.iloc[:1].astype("int64"),
                              "n": np.array([int(c.sum())], np.int64),
-                             "type_entropy": np.round([ent], 6)})
+                             "type_entropy": round_half_away([ent], 6)})
 
     out = ds.map_batches(partial, batch_format="pandas", batch_size=65536) \
         .groupby("hour_of_day").map_groups(per_hour, batch_format="pandas") \
@@ -3051,7 +3052,7 @@ def amended_events_latest_dedup(sf_dir: str) -> pd.DataFrame:
             .drop_duplicates("event_id", keep="first")
         return pd.DataFrame({
             "event_type": g.event_type,
-            "value_c": np.round(g.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(g.value.to_numpy() * 100).astype(np.int64),
         }).groupby("event_type", as_index=False).agg(
             n=("value_c", "size"), value_c=("value_c", "sum"))
 
@@ -3151,7 +3152,7 @@ def value_quartile_band_counts(sf_dir: str) -> pd.DataFrame:
                                side="right").astype(np.int64)
         return pd.DataFrame({
             "event_type": b.event_type, "band": band,
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         }).groupby(["event_type", "band"], as_index=False).agg(
             n=("value_c", "size"), value_c=("value_c", "sum"))
 
@@ -3194,7 +3195,7 @@ def window_stats_drift(sf_dir: str) -> pd.DataFrame:
         rows = []
         for c in cols:
             v = b[c].to_numpy(dtype=np.float64)
-            cents = np.round(v * 10000).astype(np.int64)
+            cents = round_half_away(v * 10000).astype(np.int64)
             nul = np.isnan(v)
             for w, m in (("ref", is_ref), ("prod", ~is_ref)):
                 vm = v[m & ~nul]
@@ -3232,14 +3233,14 @@ def window_stats_drift(sf_dir: str) -> pd.DataFrame:
         out_rows.append({
             "col": c,
             "n_ref": r["ref"]["n"], "n_prod": r["prod"]["n"],
-            "mean_ref": float(np.round(r["ref"]["mean"], 6)),
-            "mean_prod": float(np.round(r["prod"]["mean"], 6)),
-            "mean_shift": float(np.round(
+            "mean_ref": float(round_half_away(r["ref"]["mean"], 6)),
+            "mean_prod": float(round_half_away(r["prod"]["mean"], 6)),
+            "mean_shift": float(round_half_away(
                 abs(r["prod"]["mean"] - r["ref"]["mean"]), 6)),
-            "std_ref": float(np.round(r["ref"]["std"], 6)),
-            "std_prod": float(np.round(r["prod"]["std"], 6)),
-            "range_ref": float(np.round(r["ref"]["max"] - r["ref"]["min"], 6)),
-            "range_prod": float(np.round(r["prod"]["max"] - r["prod"]["min"], 6)),
+            "std_ref": float(round_half_away(r["ref"]["std"], 6)),
+            "std_prod": float(round_half_away(r["prod"]["std"], 6)),
+            "range_ref": float(round_half_away(r["ref"]["max"] - r["ref"]["min"], 6)),
+            "range_prod": float(round_half_away(r["prod"]["max"] - r["prod"]["min"], 6)),
         })
     out = pd.DataFrame(out_rows)
     for c in ("n_ref", "n_prod"):
@@ -3594,10 +3595,10 @@ def key_skew_stats(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_keys": [np.int64(n_keys)],
         "max_n": [np.int64(agg["max(key_n)"])],
-        "mean_n": [float(np.round(total / n_keys, 6))],
-        "p50": [float(np.round(q[0], 6))],
-        "p90": [float(np.round(q[1], 6))],
-        "p99": [float(np.round(q[2], 6))],
+        "mean_n": [float(round_half_away(total / n_keys, 6))],
+        "p50": [float(round_half_away(q[0], 6))],
+        "p90": [float(round_half_away(q[1], 6))],
+        "p99": [float(round_half_away(q[2], 6))],
     })
 
 
@@ -3699,7 +3700,7 @@ def impute_missing_values(sf_dir: str) -> pd.DataFrame:
 
     def plant_and_partial(b: pd.DataFrame) -> pd.DataFrame:
         miss = (b.event_id % 11 == 0).to_numpy()
-        cents = np.round(b.value.to_numpy() * 100).astype(np.int64)
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
         return pd.DataFrame({
             "event_type": b.event_type, "miss": miss, "cents": cents,
         }).groupby(["event_type", "miss"], as_index=False).agg(
@@ -3720,8 +3721,8 @@ def impute_missing_values(sf_dir: str) -> pd.DataFrame:
         out_rows.append({
             "event_type": t,
             "n_imputed": np.int64(n_miss),
-            "fill_mean": float(np.round(fill_mean, 6)),
-            "mean_after": float(np.round(total / (n_ok + n_miss), 6)),
+            "fill_mean": float(round_half_away(fill_mean, 6)),
+            "mean_after": float(round_half_away(total / (n_ok + n_miss), 6)),
         })
     return pd.DataFrame(out_rows).sort_values("event_type") \
         .reset_index(drop=True)
@@ -3788,7 +3789,7 @@ def embedding_covariance(sf_dir: str, dims: int = 8) -> pd.DataFrame:
     cov = (g.sij.to_numpy() - g.si.to_numpy() * g.sj.to_numpy() / n) / (n - 1)
     return pd.DataFrame({
         "i": g.i.astype("int64"), "j": g.j.astype("int64"),
-        "cov": np.round(cov, 6),
+        "cov": round_half_away(cov, 6),
     }).sort_values(["i", "j"]).reset_index(drop=True)
 
 
@@ -3888,7 +3889,7 @@ def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "user_id": b.user_id.astype("int64"),
             "event_type": b.event_type,
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         })
 
     # salt trades dimension replication (|dim| x salt shuffle rows) for
@@ -3932,7 +3933,7 @@ def kmeans_embeddings(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "cluster": np.arange(len(sizes), dtype=np.int64),
         "n_members": sizes.astype(np.int64),
-        "final_inertia": np.round(np.full(len(sizes), inertia[-1]), 6),
+        "final_inertia": round_half_away(np.full(len(sizes), inertia[-1]), 6),
     })
 
 
@@ -4034,7 +4035,7 @@ def _tfidf_score_broadcast(ds: ray.data.Dataset, df_ds: ray.data.Dataset,
                              return_counts=True)
             dfv = np.fromiter((dfm[x] for x in u), dtype=np.float64,
                               count=len(u))
-            sc = np.round(c * np.log(total_docs / dfv), 6)
+            sc = round_half_away(c * np.log(total_docs / dfv), 6)
             order = np.lexsort((u, -sc))[:topn]
             for r, i in enumerate(order, 1):
                 rows.append((did, r, u[i], sc[i]))
@@ -4085,7 +4086,7 @@ def _tfidf_score_join(ds: ray.data.Dataset, df_ds: ray.data.Dataset,
         right_fields={"token": pa.string(), "df": pa.int64()})
 
     def scored(b: pd.DataFrame) -> pd.DataFrame:
-        sc = np.round(b.tf.to_numpy(np.float64)
+        sc = round_half_away(b.tf.to_numpy(np.float64)
                       * np.log(total_docs / b.r_df.to_numpy(np.float64)), 6)
         d = pd.DataFrame({"doc_id": b.doc_id.astype("int64"),
                           "token": b.token, "score": sc})
@@ -4161,7 +4162,7 @@ def order_cube_stats(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({
             "o_orderpriority": b.o_orderpriority,
             "o_orderstatus": b.o_orderstatus,
-            "price_c": np.round(b.o_totalprice.to_numpy() * 100).astype(np.int64),
+            "price_c": round_half_away(b.o_totalprice.to_numpy() * 100).astype(np.int64),
         }).groupby(["o_orderpriority", "o_orderstatus"], as_index=False).agg(
             n=("price_c", "size"), price_c=("price_c", "sum"))
 
@@ -4254,7 +4255,7 @@ def daily_psi_timeline(sf_dir: str) -> pd.DataFrame:
         dvec[g.bin.to_numpy()] = g.n.to_numpy()
         p = np.maximum(dvec / dvec.sum(), PSI_EPS)
         rows.append({"day": day, "n": np.int64(dvec.sum()),
-                     "psi": float(np.round(
+                     "psi": float(round_half_away(
                          np.sum((p - r) * np.log(p / r)), 9))})
     out = pd.DataFrame(rows)
     out["day"] = out.day.astype("datetime64[us]")
@@ -4275,7 +4276,7 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "hour": b.ts.dt.floor("h"),
-            "value_c": np.round(b.value.to_numpy() * 100).astype(np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
         }).groupby("hour", as_index=False).agg(
             n=("value_c", "size"), value_c=("value_c", "sum"))
 
@@ -4292,7 +4293,7 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
     i = int(np.argmax(np.abs(s)))
     return pd.DataFrame({
         "n_hours": [np.int64(len(x))],
-        "max_abs_cusum": [float(np.round(np.abs(s)[i], 9))],
+        "max_abs_cusum": [float(round_half_away(np.abs(s)[i], 9))],
         "argmax_hour": [pd.Timestamp(hourly.hour.iloc[i])
                         .to_datetime64().astype("datetime64[us]")],
     })
@@ -4339,7 +4340,7 @@ def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:
     for r in parts.itertuples():
         y = r.a * y + r.bsum
     return pd.DataFrame({"n": [np.int64(parts.k.sum())],
-                         "ewma": [float(np.round(y, 9))]})
+                         "ewma": [float(round_half_away(y, 9))]})
 
 
 def inverted_index_tokens(sf_dir: str, k: int = 50) -> pd.DataFrame:
@@ -4471,9 +4472,9 @@ def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:
     n = int(parts.n_users.sum())
     return pd.DataFrame({
         "n_users": [np.int64(n)],
-        "mean_ewma": [float(np.round(parts.sum_e.sum() / n, 6))],
-        "min_ewma": [float(np.round(parts.min_e.min(), 6))],
-        "max_ewma": [float(np.round(parts.max_e.max(), 6))],
+        "mean_ewma": [float(round_half_away(parts.sum_e.sum() / n, 6))],
+        "min_ewma": [float(round_half_away(parts.min_e.min(), 6))],
+        "max_ewma": [float(round_half_away(parts.max_e.max(), 6))],
     })
 
 
@@ -4500,7 +4501,7 @@ def embedding_dim_medians(sf_dir: str) -> pd.DataFrame:
     out = grouped_exact_quantiles(rows, "dim", "v", [0.5])
     out = out.rename(columns={"dim": "dim", "value": "median_v"})
     out["dim"] = out.dim.astype("int64")
-    out["median_v"] = np.round(out.median_v.astype("float64"), 9)
+    out["median_v"] = round_half_away(out.median_v.astype("float64"), 9)
     return out[["dim", "median_v"]].sort_values("dim").reset_index(drop=True)
 
 
@@ -4751,7 +4752,7 @@ def semantic_dedup_embeddings(sf_dir: str, k: int = 16,
     ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = dedup_mod.semantic_dedup(ds, k=k, threshold=threshold) \
         .to_pandas()
-    out["keeper_cos"] = out.keeper_cos.round(9)
+    out["keeper_cos"] = round_half_away(out.keeper_cos.to_numpy(), 9)
     return out.sort_values("vec_id").reset_index(drop=True)
 
 

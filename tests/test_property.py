@@ -399,3 +399,43 @@ class TestNgramBlockKernel:
         got_map = {(g, int(d)): int(c)
                    for g, d, c in zip(got.gram, got.doc_id, got.cnt)}
         assert got_map == dict(want)
+
+
+class TestRoundHalfAway:
+    """functions.rounding.round_half_away must be bit-identical to
+    DuckDB round(DOUBLE, k) — including dyadic trailing-5 half-cases
+    (n/2^e), the |y| >= 2^52 integral regime, negatives, +-0, +-inf."""
+
+    def test_matches_duckdb(self):
+        import duckdb
+
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away,
+        )
+
+        rng = np.random.default_rng(11)
+        parts = [rng.integers(1, min(2 ** e, 2 ** 31), 60) / (2.0 ** e)
+                 for e in range(1, 24)]
+        parts += [rng.normal(0, s, 800)
+                  for s in (1e-9, 1e-3, 1.0, 1e3, 1e9, 1e15)]
+        parts.append(np.array([0.0, -0.0, np.inf, -np.inf,
+                               29 / 1024, 0.0283203125]))
+        xs = np.concatenate(parts)
+        xs = np.concatenate([xs, -xs])
+        con = duckdb.connect()
+        for k in (0, 2, 6, 9, 12):
+            d = con.execute(
+                "SELECT round(x, ?) r FROM (SELECT unnest(?::DOUBLE[]) x)",
+                [k, [float(v) for v in xs]]).df().r.to_numpy()
+            c = round_half_away(xs, k)
+            np.testing.assert_array_equal(d, c)
+
+    def test_scalar_in_float_out(self):
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away,
+        )
+
+        assert round_half_away(0.0283203125, 9) == 0.028320313
+        assert round_half_away(-0.0283203125, 9) == -0.028320313
+        assert isinstance(round_half_away(1.5), float)
+        assert round_half_away(2.5) == 3.0  # np.round would give 2.0

@@ -96,6 +96,13 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
     value[rng.choice(n, n // 20, replace=False)] = -3.5
     value[rng.choice(n, 3, replace=False)] = 1e9
     value[rng.choice(n, n // 15, replace=False)] = 42.42  # mass point
+    # dyadic values (odd k / 2^10): after any exact integer arithmetic
+    # their decimal expansion terminates with a 5 at the 10th digit —
+    # the trailing-5 half-case where np.round (half-even) and DuckDB
+    # round() (half-away) disagree. Gates the round_half_away contract
+    # (caught live on quality_docs by --docs seed 5).
+    value[rng.choice(n, n // 25, replace=False)] = (
+        2 * rng.integers(0, 2 ** 9, n // 25) + 1) / 1024.0
     # ties-heavy discrete plateau: ~25% of rows quantized to integers
     # 0..4 — stresses rank-based statistics (Anderson-Darling's
     # Scholz-Stephens tie correction, KS step alignment, quantile mass)
@@ -180,6 +187,12 @@ def synth_docs(seed: int, n: int) -> pd.DataFrame:
         texts.append(t)
     for i in range(n // 10):                 # exact-duplicate clusters
         texts[n - 1 - i] = texts[i]
+    # power-of-2 char lengths: ratios like punct/1024 are dyadic
+    # trailing-5 half-cases for any round(9) contract (the quality_docs
+    # class caught by seed 5) — plant them deterministically
+    for j, ln2 in enumerate((256, 1024, 2048)):
+        base = ("ab c! " * (ln2 // 6 + 1))[:ln2]
+        texts[(n // 2 + j) % n] = base
     for i in range(n // 10, n // 10 + n // 20):   # near-dup pairs
         base = " ".join(rng.choice(vocab, 60))
         texts[i] = base
