@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_span_coverage": Q.doc_dup_span_coverage,
         "kll_quantile_audit": Q.kll_quantile_audit,
         "doc_dup_span_stats": Q.doc_dup_span_stats,
+        "global_value_rank_sample": Q.global_value_rank_sample,
     }
 
 
@@ -570,6 +571,7 @@ _VALUE_CLEAN_QUERIES = [
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
+    "global_value_rank_sample",
 ]
 
 
@@ -2101,6 +2103,21 @@ def _oracle_sql_raw() -> dict[str, str]:
                    (count(*) FILTER (WHERE gram IN (SELECT gram FROM d)) * 2
                         >= count(*)) AS half_dup
             FROM g GROUP BY doc_id ORDER BY doc_id
+        """,
+        # global rank transform (scan.global_rank): ranks computed over
+        # ALL rows, id % 97 slice surfaced; pct_rank is the same int64
+        # division on both sides (bit-identical, no rounding)
+        "global_value_rank_sample": """
+            SELECT event_id, value, rnk,
+                   (rnk - 1) / GREATEST(n - 1, 1) AS pct_rank
+            FROM (
+                SELECT event_id, value,
+                       rank() OVER (ORDER BY value) AS rnk,
+                       count(*) OVER () AS n
+                FROM events
+            )
+            WHERE event_id % 97 = 0
+            ORDER BY event_id
         """,
         # exact/sketch sandwich: exact_q is quantile_disc (bit-exact vs
         # scan.exact_quantiles inverted_cdf); the KLL rank-error gate

@@ -5223,3 +5223,27 @@ def doc_dup_span_stats(sf_dir: str, n: int = 8,
     res = ds.map_batches(per_doc, batch_format="pandas",
                          batch_size=65536).to_pandas()
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def global_value_rank_sample(sf_dir: str) -> pd.DataFrame:
+    """Global rank + percent_rank transform over EVERY event value
+    (scan.global_rank: sampled equi-depth splits -> per-block bucket
+    histograms -> one groupby exchange; ties-min, no driver sort), with
+    a deterministic event_id % 97 slice surfaced so the oracle compare
+    stays bounded while the RANKS THEMSELVES are computed over the full
+    table. Oracle: SQL rank() OVER (ORDER BY value). pct_rank divides
+    the same two int64s on both sides — bit-identical IEEE division,
+    no rounding contract needed."""
+    from ..stages.scan import global_rank
+
+    ds = sf_events_clean(sf_dir, ["event_id", "value"])
+    ranked, total = global_rank(ds, "value", n_buckets=32)
+
+    def keep(b: pa.Table) -> pa.Table:
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(eid % 97 == 0))
+
+    df = ranked.map_batches(keep, batch_format="pyarrow").to_pandas()
+    df["pct_rank"] = (df.rnk.to_numpy() - 1) / max(total - 1, 1)
+    return (df.sort_values("event_id").reset_index(drop=True)
+            [["event_id", "value", "rnk", "pct_rank"]])

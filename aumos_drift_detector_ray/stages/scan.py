@@ -482,3 +482,104 @@ def grouped_exact_quantiles(
         for p, v in zip(probs_arr, vals):
             out_rows.append({group_col: grp, "p": float(p), "value": float(v)})
     return pd.DataFrame(out_rows)
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    value_col: str,
+    n_buckets: int = 64,
+    sample_per_block: int = 64,
+    out_col: str = "rnk",
+) -> "tuple[ray.data.Dataset, int]":
+    """Global rank transform: every row gets its SQL
+    ``rank() OVER (ORDER BY value_col)`` (ties share the min rank) —
+    WITHOUT a driver-side sort or any full materialization. The
+    TeraSort shape, rank-exact:
+
+    1. Split sampling: one light scan collects up to ``sample_per_block``
+       evenly-spaced order statistics per block (bounded driver state:
+       blocks x sample scalars); ``n_buckets - 1`` equi-depth splits are
+       cut from the pooled sample. Split *quality* only affects balance,
+       never correctness.
+    2. Count scan: per-block histogram over the splits
+       (``searchsorted(side='right')`` — all rows of an equal value land
+       in ONE bucket, so ties never straddle a boundary). The driver
+       prefix-sums #buckets scalars into exclusive rank offsets.
+    3. The one justified exchange: rows ride a ``groupby(bucket)`` and
+       each group assigns ``rank = offset[bucket] + (#local values < v)
+       + 1`` via ``np.unique`` — vectorized, no per-row Python.
+
+    The result is invariant to block layout and ``n_buckets`` (splits
+    move rows between buckets, offsets move with them). Returns
+    ``(ranked_dataset, total_rows)`` — the total lets callers derive
+    ``percent_rank = (rank - 1) / (n - 1)`` without another scan.
+
+    Scale notes: the input executes three times (two single-column
+    scans + the shuffle) — callers with an expensive upstream should
+    materialize it first. A heavy-hitter value forms one hot bucket;
+    that co-location is INHERENT to exact ties-min rank (every equal
+    row needs the same rank), and the group kernel stays O(group) with
+    one unique+cumsum. NaN/null must be handled upstream (e.g.
+    sf_events_clean) — ranks over NaN are meaningless.
+    """
+    # pass 1: evenly-spaced per-block order stats -> equi-depth splits
+    def sample_block(b: pa.Table) -> pa.Table:
+        v = np.sort(b[value_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64, copy=False))
+        if v.size == 0:
+            return pa.table({"s": pa.array([], pa.float64())})
+        take = v[np.linspace(0, v.size - 1,
+                             min(sample_per_block, v.size)).astype(np.int64)]
+        return pa.table({"s": pa.array(take, pa.float64())})
+
+    samp = ds.map_batches(sample_block, batch_format="pyarrow").to_pandas()
+    # a fully-empty input yields no batches at all -> zero-column frame
+    pooled = (np.sort(samp["s"].to_numpy())
+              if "s" in samp.columns else np.array([], dtype=np.float64))
+    if pooled.size == 0:
+        return ds.map_batches(
+            lambda b: b.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow"), 0
+    splits = np.unique(
+        pooled[np.linspace(0, pooled.size - 1, n_buckets + 1)
+               .astype(np.int64)][1:-1])
+
+    # pass 2: per-block bucket histograms -> driver prefix offsets
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        bk = np.searchsorted(splits, v, side="right")
+        cnt = np.bincount(bk, minlength=splits.size + 1)
+        return pa.table({"bucket": pa.array(np.arange(cnt.size), pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    hist = (ds.map_batches(bucket_counts, batch_format="pyarrow")
+            .to_pandas().groupby("bucket")["cnt"].sum())
+    counts = np.zeros(splits.size + 1, dtype=np.int64)
+    counts[hist.index.to_numpy()] = hist.to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    off_ref = ray.put(offsets)
+
+    # pass 3: bucket tag -> ONE exchange -> in-group ties-min rank
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__rbucket",
+            pa.array(np.searchsorted(splits, v, side="right"), pa.int64()))
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        offs = get_broadcast(off_ref)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        _, inv, cnts = np.unique(v, return_inverse=True, return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        base = int(offs[int(g["__rbucket"][0].as_py())])
+        rnk = base + starts[inv] + 1
+        return g.drop_columns(["__rbucket"]).append_column(
+            out_col, pa.array(rnk, pa.int64()))
+
+    ranked = (ds.map_batches(tag, batch_format="pyarrow")
+              .groupby("__rbucket")
+              .map_groups(rank_group, batch_format="pyarrow"))
+    return ranked, total

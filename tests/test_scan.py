@@ -367,3 +367,43 @@ def test_exact_quantiles_inverted_cdf_matches_quantile_disc(ray_session):
             f"SELECT quantile_disc(v, {p}) FROM t").fetchone()[0]
         assert g == want, (p, g, want)
         assert g in vals
+
+
+class TestGlobalRank:
+    """scan.global_rank == pandas rank(method='min'), invariant to
+    n_buckets / block layout, ties co-located, exact offsets."""
+
+    def _frame(self):
+        rng = np.random.default_rng(7)
+        v = rng.normal(0, 10, 500)
+        v[rng.choice(500, 120, replace=False)] = 42.42   # heavy mass point
+        v[rng.choice(500, 40, replace=False)] = -3.5
+        return pd.DataFrame({"id": np.arange(500, dtype=np.int64), "v": v})
+
+    def test_matches_pandas_min_rank(self, ray_session):
+        from aumos_drift_detector_ray.stages.scan import global_rank
+
+        df = self._frame()
+        want = df.v.rank(method="min").astype("int64").to_numpy()
+        for nb, parts in ((3, 2), (17, 7), (64, 11)):
+            ds = ray.data.from_pandas(df).repartition(parts)
+            ranked, total = global_rank(ds, "v", n_buckets=nb)
+            got = ranked.to_pandas().sort_values("id")
+            assert total == len(df)
+            np.testing.assert_array_equal(got.rnk.to_numpy(), want)
+
+    def test_all_equal_and_empty(self, ray_session):
+        from aumos_drift_detector_ray.stages.scan import global_rank
+
+        ds = ray.data.from_pandas(pd.DataFrame(
+            {"id": np.arange(50, dtype=np.int64),
+             "v": np.full(50, 1.25)})).repartition(4)
+        ranked, total = global_rank(ds, "v", n_buckets=8)
+        assert total == 50
+        assert (ranked.to_pandas().rnk == 1).all()
+
+        empty = ray.data.from_pandas(pd.DataFrame(
+            {"id": pd.Series([], dtype="int64"),
+             "v": pd.Series([], dtype="float64")}))
+        _, total0 = global_rank(empty, "v")
+        assert total0 == 0
