@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantile_audit": Q.kll_quantile_audit,
         "doc_dup_span_stats": Q.doc_dup_span_stats,
         "global_value_rank_sample": Q.global_value_rank_sample,
+        "bloom_join_order_stats": Q.bloom_join_order_stats,
     }
 
 
@@ -2181,5 +2182,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                        AS longest_dup_span
             FROM agg a LEFT JOIN mx ON a.doc_id = mx.doc_id
             ORDER BY doc_id
+        """,
+        # bloom semi/anti join (joins.bloom_semi_join): EXISTS / NOT
+        # EXISTS against high-balance customers; exact scaled-integer
+        # money sums per priority on each side
+        "bloom_join_order_stats": """
+            WITH hb AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal > 7000.0
+            ),
+            sides AS (
+                SELECT 'in_high_bal' AS side, o_orderpriority, o_totalprice
+                FROM orders o
+                WHERE EXISTS (SELECT 1 FROM hb
+                              WHERE hb.c_custkey = o.o_custkey)
+                UNION ALL
+                SELECT 'not_in_high_bal', o_orderpriority, o_totalprice
+                FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM hb
+                                  WHERE hb.c_custkey = o.o_custkey)
+            )
+            SELECT side, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_price
+            FROM sides
+            GROUP BY side, o_orderpriority
+            ORDER BY side, o_orderpriority
         """,
     }

@@ -5247,3 +5247,54 @@ def global_value_rank_sample(sf_dir: str) -> pd.DataFrame:
     df["pct_rank"] = (df.rnk.to_numpy() - 1) / max(total - 1, 1)
     return (df.sort_values("event_id").reset_index(drop=True)
             [["event_id", "value", "rnk", "pct_rank"]])
+
+
+def bloom_join_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi AND anti join of orders against high-balance customers via
+    ``joins.bloom_semi_join``: a Bloom filter over the right keys prunes
+    the left BEFORE the exchange (negatives never shuffle; for 'anti'
+    they bypass the join entirely), bloom positives ride the exact
+    hash_join — result bit-equal to EXISTS / NOT EXISTS. Output is the
+    per-priority count + exact scaled-integer money sum of each side
+    (bounded: 2 x #priorities rows)."""
+    from ..stages.joins import bloom_semi_join
+
+    orders = sf_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    n_cust = cust.count()   # parquet metadata count: bloom capacity bound
+
+    def high_bal(b: pa.Table) -> pa.Table:
+        keep = pc.greater(b["c_acctbal"], 7000.0)
+        return pa.table({"o_custkey": b["c_custkey"].filter(keep)})
+
+    right = cust.map_batches(high_bal, batch_format="pyarrow")
+    rfields = {"o_custkey": pa.int64()}
+
+    def agg(ds: ray.data.Dataset, side: str) -> pd.DataFrame:
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_orderpriority": b.o_orderpriority,
+                "price_c": round_half_away(
+                    b.o_totalprice.to_numpy() * 100).astype(np.int64),
+            }).groupby("o_orderpriority", as_index=False).agg(
+                n=("price_c", "size"), price_c=("price_c", "sum"))
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        g = parts.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum"), price_c=("price_c", "sum"))
+        return pd.DataFrame({
+            "side": side, "o_orderpriority": g.o_orderpriority,
+            "n": g.n.astype("int64"), "sum_price": g.price_c / 100.0})
+
+    out = pd.concat([
+        agg(bloom_semi_join(orders, right, "o_custkey", how="semi",
+                            right_capacity=n_cust, right_fields=rfields),
+            "in_high_bal"),
+        agg(bloom_semi_join(orders, right, "o_custkey", how="anti",
+                            right_capacity=n_cust, right_fields=rfields),
+            "not_in_high_bal"),
+    ], ignore_index=True)
+    return (out.sort_values(["side", "o_orderpriority"])
+            .reset_index(drop=True))

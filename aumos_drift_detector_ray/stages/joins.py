@@ -450,3 +450,96 @@ def salted_hash_join(
                                if c in b.columns])
 
     return joined.map_batches(drop_salt, batch_format="pandas")
+
+
+def build_key_bloom(
+    ds: ray.data.Dataset,
+    key: str,
+    capacity: int | None = None,
+    bits_per_element: int = 10,
+):
+    """Distributed Bloom filter over one key column: per-block partial
+    filters (all identically sized, so they OR-merge), folded with the
+    O(log n) long-format tree merge — the driver never sees more than
+    ``driver_threshold`` partials at once. Returns the merged
+    BloomFilter (broadcast it with ``ray.put``). ``capacity`` defaults
+    to ``ds.count()`` (one cheap metadata pass on a parquet read; pass
+    it explicitly when the input is a derived pipeline you don't want
+    executed twice)."""
+    import pickle
+
+    from ..sketches import BloomFilter
+    from .sample import _long_tree_merge
+
+    cap = int(capacity if capacity is not None else ds.count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(capacity=max(cap, 1),
+                        bits_per_element=bits_per_element)
+        b = b.filter(b[key].is_valid())   # null keys are never members
+        f.add_hashes(_key_hashes(b[key]))
+        return pa.table({"grp": pa.array(["bloom"], pa.string()),
+                         "sketch": pa.array(
+                             [pickle.dumps(f, protocol=pickle.HIGHEST_PROTOCOL)],
+                             pa.binary())})
+
+    merged = _long_tree_merge(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536))
+    return merged.get("bloom",
+                      BloomFilter(capacity=max(cap, 1),
+                                  bits_per_element=bits_per_element))
+
+
+def bloom_semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key: str,
+    how: str = "semi",
+    n_buckets: int = 64,
+    bits_per_element: int = 10,
+    right_capacity: int | None = None,
+    left_fields: "dict[str, pa.DataType] | None" = None,
+    right_fields: "dict[str, pa.DataType] | None" = None,
+) -> ray.data.Dataset:
+    """EXACT semi/anti join where a Bloom filter over the right keys
+    prunes the left side BEFORE the exchange — the classic 100 TB
+    shuffle-volume optimization. Bloom negatives are definite
+    non-matches (dropped for 'semi', kept directly for 'anti' with NO
+    shuffle at all); only bloom positives — true matches plus the ~0.8%
+    false-positive sliver at 10 bits/element — ride the exact
+    ``hash_join`` verification, so the result equals ``hash_join(left,
+    right, how=...)`` bit-for-bit while the exchange carries
+    ``|matches| + fp·|left|`` rows instead of ``|left|``.
+
+    Null left keys are never bloom members (exact NOT-IN SQL semantics
+    differ — this is the EXISTS / NOT EXISTS shape, like hash_join's
+    semi/anti). The filter is sized from ``right_capacity`` (default:
+    ``right.count()``); at allowlist scales beyond a single broadcast
+    filter, build a sketches.RangePartitionedBloom with
+    validate.build_allowlist_bloom instead and probe per batch."""
+    if how not in ("semi", "anti"):
+        raise ValueError(f"bloom_semi_join: how must be semi/anti, got {how!r}")
+    bloom = build_key_bloom(right, key, capacity=right_capacity,
+                            bits_per_element=bits_per_element)
+    bloom_ref = ray.put(bloom)
+
+    def probe(b: pa.Table, want_hit: bool) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+
+        f = get_broadcast(bloom_ref)
+        hit = f.contains_hashes(_key_hashes(b[key]))
+        # null keys match nothing: force them to the 'miss' side
+        valid = b[key].is_valid().to_numpy(zero_copy_only=False)
+        hit = hit & valid
+        return b.filter(pa.array(hit if want_hit else ~hit))
+
+    candidates = left.map_batches(
+        lambda b: probe(b, True), batch_format="pyarrow")
+    verified = hash_join(candidates, right, key, n_buckets=n_buckets,
+                         how=how, left_fields=left_fields,
+                         right_fields=right_fields)
+    if how == "semi":
+        return verified
+    definite_miss = left.map_batches(
+        lambda b: probe(b, False), batch_format="pyarrow")
+    return definite_miss.union(verified)

@@ -452,3 +452,83 @@ def test_salted_hash_join_matches_plain_on_skewed_keys(ray_session):
     a = plain[cols].sort_values(cols).reset_index(drop=True)
     b = salted[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestBloomSemiJoin:
+    """bloom_semi_join must equal hash_join(how=semi/anti) bit-for-bit:
+    the Bloom filter only prunes definite non-matches before the
+    exchange; positives are verified by the exact join."""
+
+    def _mk(self):
+        rng = np.random.default_rng(11)
+        left = pd.DataFrame({"k": rng.integers(0, 500, 3000).astype(np.int64),
+                             "a": np.arange(3000, dtype=np.int64)})
+        # sparse right side: most left rows are bloom negatives
+        right = pd.DataFrame({"k": np.arange(0, 500, 17, dtype=np.int64),
+                              "b": np.arange(30, dtype=np.int64)})
+        return left, right
+
+    @pytest.mark.parametrize("how", ["semi", "anti"])
+    def test_matches_hash_join(self, ray_session, how):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import (
+            bloom_semi_join, hash_join)
+
+        left, right = self._mk()
+        lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+        exact = hash_join(lds, rds, "k", n_buckets=8, how=how).to_pandas()
+        bloom = bloom_semi_join(lds, rds, "k", how=how,
+                                n_buckets=8).to_pandas()
+        e = exact.sort_values(["a"]).reset_index(drop=True)[["k", "a"]]
+        b = bloom.sort_values(["a"]).reset_index(drop=True)[["k", "a"]]
+        pd.testing.assert_frame_equal(e, b)
+
+    def test_semi_plus_anti_partition_left(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import bloom_semi_join
+
+        left, right = self._mk()
+        lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+        semi = bloom_semi_join(lds, rds, "k", how="semi").to_pandas()
+        anti = bloom_semi_join(lds, rds, "k", how="anti").to_pandas()
+        assert len(semi) + len(anti) == len(left)
+        assert set(semi.a) | set(anti.a) == set(left.a)
+        assert semi.k.isin(right.k).all()
+        assert not anti.k.isin(right.k).any()
+
+    def test_null_left_keys_are_anti_rows(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import bloom_semi_join
+
+        left = pd.DataFrame({"k": pd.array([1, None, 3, None], dtype="Int64"),
+                             "a": [10, 20, 30, 40]})
+        right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                              "b": [1, 2]})
+        lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+        semi = bloom_semi_join(lds, rds, "k", how="semi").to_pandas()
+        anti = bloom_semi_join(lds, rds, "k", how="anti").to_pandas()
+        # EXISTS semantics: NULL = NULL is never a match
+        assert sorted(semi.a.tolist()) == [10]
+        assert sorted(anti.a.tolist()) == [20, 30, 40]
+
+    def test_float_degraded_keys_still_match(self, ray_session):
+        """Key canonicalization: an int64 right side must match a left
+        side whose key column degraded to float64 (nullable upstream)."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import bloom_semi_join
+
+        left = pd.DataFrame({"k": np.array([1.0, 2.0, 5.0, np.nan]),
+                             "a": [1, 2, 3, 4]})
+        right = pd.DataFrame({"k": np.array([2, 5], dtype=np.int64),
+                              "b": [0, 0]})
+        semi = bloom_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                               "k", how="semi").to_pandas()
+        assert sorted(semi.a.tolist()) == [2, 3]
+
+    def test_rejects_bad_how(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import bloom_semi_join
+
+        with pytest.raises(ValueError, match="semi/anti"):
+            bloom_semi_join(rd.from_items([{"k": 1}]),
+                            rd.from_items([{"k": 1}]), "k", how="inner")
