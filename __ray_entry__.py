@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_span_stats": Q.doc_dup_span_stats,
         "global_value_rank_sample": Q.global_value_rank_sample,
         "bloom_join_order_stats": Q.bloom_join_order_stats,
+        "bigram_lm_doc_scores": Q.bigram_lm_doc_scores,
     }
 
 
@@ -2208,5 +2209,39 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM sides
             GROUP BY side, o_orderpriority
             ORDER BY side, o_orderpriority
+        """,
+        # bigram-LM quality scoring in exact count space (CCNet shape):
+        # per doc, Σ corpus bigram count / Σ prefix count / hapax count
+        # over the doc's own adjacent-token positions; avg is the same
+        # single IEEE division on both sides (int -> double exact)
+        "bigram_lm_doc_scores": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS ts
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ts) - 1, 0)),
+                           i -> ts[i])) AS w1,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(ts) - 1, 0)),
+                           i -> ts[i + 1])) AS w2
+                FROM toks
+            ),
+            bg AS (SELECT w1, w2, count(*) AS c FROM pos GROUP BY 1, 2),
+            pf AS (SELECT w1, sum(c) AS cp FROM bg GROUP BY 1)
+            SELECT p.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(b.c) AS BIGINT) AS sum_bg_count,
+                   CAST(sum(f.cp) AS BIGINT) AS sum_prefix_count,
+                   CAST(count(*) FILTER (WHERE b.c = 1) AS BIGINT)
+                       AS n_hapax_bigrams,
+                   CAST(sum(b.c) AS DOUBLE) / count(*) AS avg_bg_count
+            FROM pos p JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
+                       JOIN pf f ON p.w1 = f.w1
+            GROUP BY p.doc_id ORDER BY p.doc_id
         """,
     }

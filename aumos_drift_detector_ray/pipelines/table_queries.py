@@ -4844,9 +4844,11 @@ def incremental_dedup_docs(sf_dir: str,
 
     n_hist = history.count()
     if not force_shuffle and n_hist <= history_broadcast_gate:
-        hist_h = pa.array(
-            history.groupby("h").count().select_columns(["h"])
-            .to_pandas().h)
+        hp = history.groupby("h").count().select_columns(["h"]).to_pandas()
+        # an EMPTY history (first-ever ingest / degenerate 1-doc corpus)
+        # materializes with no columns at all — not an empty 'h' column
+        hist_h = pa.array(hp["h"] if "h" in hp.columns else [],
+                          type=pa.string())
         href = ray.put(hist_h)
 
         def flag_hist(b: pd.DataFrame) -> pd.DataFrame:
@@ -4996,6 +4998,9 @@ def dup_ngram_grams(sf_dir: str, n: int = 8, k: int = 15,
 
     per_bucket = pairs.groupby("bucket").map_groups(
         bucket_top, batch_format="pandas").to_pandas()
+    if "gram" not in per_bucket.columns:   # zero-gram corpus: no blocks
+        per_bucket = pd.DataFrame({"gram": pd.Series([], dtype=object),
+                                   "ndocs": pd.Series([], dtype=np.int64)})
     out = per_bucket.sort_values(["ndocs", "gram"],
                                  ascending=[False, True],
                                  kind="stable").head(k)
@@ -5046,6 +5051,9 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
     dup = pairs.groupby("bucket").map_groups(bucket_dup,
                                              batch_format="pandas") \
         .to_pandas()
+    if "doc_id" not in dup.columns:        # zero-gram corpus: no blocks
+        dup = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "dup_pos": pd.Series([], dtype=np.int64)})
     dup = (dup.groupby("doc_id", as_index=False).agg(dup_pos=("dup_pos",
                                                               "sum"))
            if len(dup) else dup)
@@ -5063,6 +5071,9 @@ def doc_dup_span_coverage(sf_dir: str, n: int = 8,
 
     base = ds.map_batches(npos_fn, batch_format="pandas",
                           batch_size=65536).to_pandas()
+    if "doc_id" not in base.columns:       # no doc has >= 1 position
+        base = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_pos": pd.Series([], dtype=np.int64)})
     out = base.merge(dup, on="doc_id", how="left")
     out["dup_pos"] = out.dup_pos.fillna(0).astype("int64")
     out["n_pos"] = out.n_pos.astype("int64")
@@ -5170,7 +5181,8 @@ def doc_dup_span_stats(sf_dir: str, n: int = 8,
         raise ValueError(
             f"dup-gram set ({len(dup)}) exceeds broadcast_gate "
             f"({broadcast_gate}); raise the gate or pre-filter")
-    dup_ref = ray.put(frozenset(dup.gram))
+    dup_ref = ray.put(frozenset(
+        dup.gram if "gram" in dup.columns else ()))
 
     def per_doc(b: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({c: pd.Series([], dtype=np.int64)
@@ -5298,3 +5310,207 @@ def bloom_join_order_stats(sf_dir: str) -> pd.DataFrame:
     ], ignore_index=True)
     return (out.sort_values(["side", "o_orderpriority"])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model quality scoring (CCNet-shaped, count space)
+# ---------------------------------------------------------------------------
+
+BIGRAM_BROADCAST_GATE = 2_000_000
+
+
+def _bigram_positions(b: pd.DataFrame, word_re):
+    """Per-block (doc_id, w1, w2) adjacent-token pairs. Tokenization is
+    the corpus-wide WORD_RE convention (lowercase [a-z']+ runs), same
+    regex the SQL oracle replicates. Docs with < 2 tokens emit nothing."""
+    dids, w1s, w2s = [], [], []
+    for did, t in zip(b.doc_id.astype("int64"),
+                      b.text.fillna("").astype(str).str.lower()):
+        toks = word_re.findall(t)
+        if len(toks) < 2:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        dids.append(np.full(len(arr) - 1, did, dtype=np.int64))
+        w1s.append(arr[:-1])
+        w2s.append(arr[1:])
+    if not dids:
+        e = np.empty(0, dtype=object)
+        return np.empty(0, np.int64), e, e
+    return np.concatenate(dids), np.concatenate(w1s), np.concatenate(w2s)
+
+
+_BIGRAM_SEP = "\x1f"  # cannot appear in [a-z']+ tokens
+
+
+def bigram_lm_doc_scores(sf_dir: str,
+                         broadcast_gate: "int | None" = None
+                         ) -> pd.DataFrame:
+    """Bigram language-model scoring of every document against a model
+    TRAINED ON THE CORPUS ITSELF — the CCNet / Gopher quality-filter
+    shape (train n-gram LM, score each doc, filter by perplexity band),
+    with the score kept in EXACT COUNT SPACE so the oracle contract is
+    bit-exact: per doc, the number of bigram positions, the sum over
+    positions of the corpus-wide bigram count c(w1,w2), the sum of the
+    prefix count c(w1,.) (the bigram-MLE denominator), and the number of
+    hapax bigrams (corpus count == 1 — the doc's own novel transitions).
+    log-space perplexity = Σ log(c(w1,w2)/c(w1,.)) is a trivial driver
+    postprocess deliberately NOT in the oracle columns: libm log/exp ulp
+    differences between numpy and DuckDB would make the compare flaky
+    (the repo's rounding-contract lesson from round 4).
+
+    Scale shape: ONE tokenization pass produces per-block exact partial
+    counts in long format ((kind, key, n): bigram counts keyed by
+    w1\\x1fw2 AND prefix counts keyed by w1); a bucketed merge makes
+    them exact corpus counts without the driver seeing the vocabulary.
+    Scoring is size-gated like tfidf_top_terms_per_doc:
+
+    * vocab rows <= BIGRAM_BROADCAST_GATE: counts collect to two
+      broadcast dicts; each block scores its own docs — ZERO further
+      shuffles (a doc's positions never leave its block).
+    * above the gate (web corpora): (doc_id, gram, w1) position rows
+      hash_join the count Datasets on gram then on w1, and per-doc sums
+      fold via pre-aggregated partials + a grouped Sum. Nothing
+      vocabulary-sized ever reaches the driver.
+
+    Both paths output-identical (pytest TestBigramLmPaths); oracle green
+    on either."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, w1, w2 = _bigram_positions(b, WORD_RE)
+        if len(w1) == 0:
+            return pd.DataFrame({"kind": pd.Series([], dtype=object),
+                                 "key": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        gram = (pd.Series(w1, dtype=object) + _BIGRAM_SEP
+                + pd.Series(w2, dtype=object)).to_numpy()
+        ug, cg = np.unique(gram, return_counts=True)
+        up, cp = np.unique(w1, return_counts=True)
+        key = np.concatenate([ug, up])
+        return pd.DataFrame({
+            "kind": np.concatenate([np.full(len(ug), "bg", dtype=object),
+                                    np.full(len(up), "pf", dtype=object)]),
+            "key": key,
+            "n": np.concatenate([cg, cp]).astype(np.int64),
+            "bucket": (hash_any_array(key)
+                       % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def count_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["kind", "key"], as_index=False).agg(n=("n", "sum"))
+
+    counts_ds = ds.map_batches(count_partial, batch_format="pandas",
+                               batch_size=65536) \
+        .groupby("bucket").map_groups(count_merge, batch_format="pandas") \
+        .materialize()
+    gate = BIGRAM_BROADCAST_GATE if broadcast_gate is None else broadcast_gate
+
+    if counts_ds.count() <= gate:
+        out = _bigram_score_broadcast(ds, counts_ds, WORD_RE)
+    else:
+        out = _bigram_score_join(ds, counts_ds, WORD_RE)
+    for c in ["doc_id", "n_bigrams", "sum_bg_count", "sum_prefix_count",
+              "n_hapax_bigrams"]:
+        out[c] = out[c].astype("int64")
+    out["avg_bg_count"] = (out.sum_bg_count.to_numpy(np.float64)
+                           / out.n_bigrams.to_numpy(np.float64))
+    cols = ["doc_id", "n_bigrams", "sum_bg_count", "sum_prefix_count",
+            "n_hapax_bigrams", "avg_bg_count"]
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+_BIGRAM_EMPTY = {
+    "doc_id": pd.Series([], dtype=np.int64),
+    "n_bigrams": pd.Series([], dtype=np.int64),
+    "sum_bg_count": pd.Series([], dtype=np.int64),
+    "sum_prefix_count": pd.Series([], dtype=np.int64),
+    "n_hapax_bigrams": pd.Series([], dtype=np.int64),
+}
+
+
+def _bigram_score_broadcast(ds: ray.data.Dataset,
+                            counts_ds: ray.data.Dataset,
+                            word_re) -> pd.DataFrame:
+    parts = counts_ds.to_pandas()
+    is_bg = parts.kind == "bg"
+    ref = ray.put((dict(zip(parts.key[is_bg], parts.n[is_bg])),
+                   dict(zip(parts.key[~is_bg], parts.n[~is_bg]))))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        bgm, pfm = get_broadcast(ref)
+        did, w1, w2 = _bigram_positions(b, word_re)
+        if len(did) == 0:
+            return pd.DataFrame(_BIGRAM_EMPTY)
+        gram = (pd.Series(w1, dtype=object) + _BIGRAM_SEP
+                + pd.Series(w2, dtype=object)).to_numpy()
+        c = np.fromiter((bgm[g] for g in gram), np.int64, count=len(gram))
+        cp = np.fromiter((pfm[w] for w in w1), np.int64, count=len(w1))
+        d = pd.DataFrame({"doc_id": did, "c": c, "cp": cp,
+                          "hap": (c == 1).astype(np.int64)})
+        g = d.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("c", "size"), sum_bg_count=("c", "sum"),
+            sum_prefix_count=("cp", "sum"), n_hapax_bigrams=("hap", "sum"))
+        return g  # a doc lives wholly in one block: rows are final
+
+    return ds.map_batches(score, batch_format="pandas").to_pandas()
+
+
+def _bigram_score_join(ds: ray.data.Dataset, counts_ds: ray.data.Dataset,
+                       word_re) -> pd.DataFrame:
+    """Join-path scoring for vocabularies beyond the broadcast gate:
+    position rows join the count table on gram, then on w1 prefix; the
+    per-doc fold is pre-aggregated per block before one grouped Sum."""
+    from ..stages.joins import hash_join
+
+    def pos_rows(b: pd.DataFrame) -> pd.DataFrame:
+        did, w1, w2 = _bigram_positions(b, word_re)
+        gram = (pd.Series(w1, dtype=object) + _BIGRAM_SEP
+                + pd.Series(w2, dtype=object)).to_numpy() \
+            if len(did) else np.empty(0, dtype=object)
+        return pd.DataFrame({"doc_id": did, "gram": gram, "w1": w1})
+
+    def bg_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b.kind == "bg"]
+        return pd.DataFrame({"gram": k.key.to_numpy(dtype=object),
+                             "c": k.n.to_numpy(np.int64)})
+
+    def pf_rows(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b.kind == "pf"]
+        return pd.DataFrame({"w1": k.key.to_numpy(dtype=object),
+                             "cp": k.n.to_numpy(np.int64)})
+
+    pos_ds = ds.map_batches(pos_rows, batch_format="pandas")
+    bg_ds = counts_ds.map_batches(bg_rows, batch_format="pandas")
+    pf_ds = counts_ds.map_batches(pf_rows, batch_format="pandas")
+    pos_f = {"doc_id": pa.int64(), "gram": pa.string(), "w1": pa.string()}
+    j1 = hash_join(pos_ds, bg_ds, "gram", left_fields=pos_f,
+                   right_fields={"gram": pa.string(), "c": pa.int64()})
+    j2 = hash_join(j1, pf_ds, "w1",
+                   left_fields={**pos_f, "r_c": pa.int64()},
+                   right_fields={"w1": pa.string(), "cp": pa.int64()})
+
+    def partial_sums(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame(_BIGRAM_EMPTY)
+        d = pd.DataFrame({"doc_id": b.doc_id.to_numpy(np.int64),
+                          "c": b.r_c.to_numpy(np.int64),
+                          "cp": b.r_cp.to_numpy(np.int64)})
+        d["hap"] = (d.c == 1).astype(np.int64)
+        return d.groupby("doc_id", as_index=False).agg(
+            n_bigrams=("c", "size"), sum_bg_count=("c", "sum"),
+            sum_prefix_count=("cp", "sum"), n_hapax_bigrams=("hap", "sum"))
+
+    out = j2.map_batches(partial_sums, batch_format="pandas") \
+        .groupby("doc_id").aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("sum_bg_count", alias_name="sum_bg_count"),
+            Sum("sum_prefix_count", alias_name="sum_prefix_count"),
+            Sum("n_hapax_bigrams", alias_name="n_hapax_bigrams")) \
+        .to_pandas()
+    return out

@@ -519,7 +519,10 @@ def dup_gram_candidate_pairs(
             f"dup-gram candidate set ({len(cand)} hashes) exceeds the "
             f"driver gate ({candidate_gate}); raise candidate_gate or "
             "use ngram_doc_pairs(payload='gram')")
-    hset_ref = _ray.put(np.sort(cand.h.to_numpy(dtype=np.int64)))
+    # a zero-dup corpus materializes with NO columns, not an empty 'h'
+    hset_ref = _ray.put(np.sort(cand.h.to_numpy(dtype=np.int64))
+                        if "h" in cand.columns
+                        else np.empty(0, dtype=np.int64))
 
     def regather(b: pd.DataFrame) -> pd.DataFrame:
         hset = get_broadcast(hset_ref)

@@ -329,3 +329,101 @@ class TestDupSpanStats:
 
         with pytest.raises(ValueError, match="broadcast_gate"):
             Q.doc_dup_span_stats(SF, broadcast_gate=0)
+
+
+class TestBigramLmPaths:
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        """Size gate on the bigram/prefix count table: below the gate
+        the counts broadcast as dicts and scoring is shuffle-free;
+        forcing the gate to 0 runs the gram-keyed then prefix-keyed
+        hash_join path — identical output."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        fast = Q.bigram_lm_doc_scores(SF)
+        slow = Q.bigram_lm_doc_scores(SF, broadcast_gate=0)
+        assert len(fast) > 0
+        pd.testing.assert_frame_equal(fast, slow)
+
+    def test_count_space_semantics_vs_brute_force(self, ray_session):
+        """Tiny corpus brute-force: corpus bigram counts / prefix counts
+        / hapax flags computed by a dict loop must match the distributed
+        result row for row."""
+        import pyarrow.parquet as pq
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+        import collections, tempfile, os
+
+        docs = ["the cat sat on the mat",
+                "the cat ran",
+                "a dog sat on the mat",
+                "singleton",          # < 2 tokens: no output row
+                "THE CAT SAT on the MAT!"]
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                "text": pa.array(docs),
+                "lang": pa.array(["en"] * len(docs)),
+                "source": pa.array(["t"] * len(docs)),
+                "n_chars": pa.array([len(t) for t in docs],
+                                    pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.bigram_lm_doc_scores(d)
+
+        bg = collections.Counter()
+        pf = collections.Counter()
+        toks_by_doc = {}
+        for i, t in enumerate(docs):
+            toks = WORD_RE.findall(t.lower())
+            toks_by_doc[i] = toks
+            for a, b in zip(toks, toks[1:]):
+                bg[(a, b)] += 1
+                pf[a] += 1
+        expect = []
+        for i, toks in toks_by_doc.items():
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            expect.append({
+                "doc_id": i, "n_bigrams": len(pairs),
+                "sum_bg_count": sum(bg[p] for p in pairs),
+                "sum_prefix_count": sum(pf[a] for a, _ in pairs),
+                "n_hapax_bigrams": sum(bg[p] == 1 for p in pairs),
+            })
+        e = pd.DataFrame(expect)
+        e["avg_bg_count"] = e.sum_bg_count / e.n_bigrams
+        pd.testing.assert_frame_equal(
+            out, e.astype({c: "int64" for c in e.columns[:5]}))
+
+
+class TestDegenerateCorpus:
+    def test_one_doc_corpus_runs_everywhere(self, ray_session, tmp_path):
+        """A 1-document corpus (empty history split, zero cross-doc
+        dup grams) must degrade to empty/zero results, not
+        AttributeError on column-less empty materializations — the
+        empty-shard reality of a 100 TB ingest. Caught by running the
+        docs fuzz gate at n=1."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        pq.write_table(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["the cat sat on the mat " * 4]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["t"]),
+            "n_chars": pa.array([92], pa.int64()),
+        }), os.path.join(tmp_path, "documents.parquet"))
+        d = str(tmp_path)
+
+        inc = Q.incremental_dedup_docs(d)
+        assert len(inc) == 1 and not inc.dup_of_history.iloc[0]
+        inc2 = Q.incremental_dedup_docs(d, force_shuffle=True)
+        pd.testing.assert_frame_equal(inc, inc2)
+        assert len(Q.dup_ngram_grams(d)) == 0
+        assert len(Q.dup_ngram_grams(d, hash_shuffle=True)) == 0
+        cov = Q.doc_dup_span_coverage(d)
+        assert cov.dup_pos.tolist() == [0]
+        cov2 = Q.doc_dup_span_coverage(d, hash_shuffle=True)
+        pd.testing.assert_frame_equal(cov, cov2)
+        st = Q.doc_dup_span_stats(d)
+        assert st.longest_dup_span.tolist() == [0]
+        lm = Q.bigram_lm_doc_scores(d)
+        assert len(lm) == 1 and lm.n_bigrams.iloc[0] == 23
