@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_value_rank_sample": Q.global_value_rank_sample,
         "bloom_join_order_stats": Q.bloom_join_order_stats,
         "bigram_lm_doc_scores": Q.bigram_lm_doc_scores,
+        "value_band_pair_stats": Q.value_band_pair_stats,
     }
 
 
@@ -573,7 +574,7 @@ _VALUE_CLEAN_QUERIES = [
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
-    "global_value_rank_sample",
+    "global_value_rank_sample", "value_band_pair_stats",
 ]
 
 
@@ -2243,5 +2244,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM pos p JOIN bg b ON p.w1 = b.w1 AND p.w2 = b.w2
                        JOIN pf f ON p.w1 = f.w1
             GROUP BY p.doc_id ORDER BY p.doc_id
+        """,
+        # band join (joins.band_join): abs(l.value - r.value) <= eps
+        # pairs of (non-click, click) events, per-type pair count +
+        # distinct matched left events — exact integers
+        "value_band_pair_stats": """
+            WITH l AS (
+                SELECT event_id, event_type, value FROM events
+                WHERE event_type <> 'click'
+            ),
+            r AS (
+                SELECT value FROM events WHERE event_type = 'click'
+            )
+            SELECT l.event_type,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT l.event_id) AS BIGINT) AS n_matched
+            FROM l JOIN r ON abs(l.value - r.value) <= 0.05
+            GROUP BY l.event_type ORDER BY l.event_type
         """,
     }

@@ -5514,3 +5514,66 @@ def _bigram_score_join(ds: ray.data.Dataset, counts_ds: ray.data.Dataset,
             Sum("n_hapax_bigrams", alias_name="n_hapax_bigrams")) \
         .to_pandas()
     return out
+
+
+def value_band_pair_stats(sf_dir: str, eps: float = 0.05) -> pd.DataFrame:
+    """Tolerance-join statistics via ``joins.band_join``: every
+    (non-click event, click event) pair whose values differ by at most
+    ``eps``, aggregated per left event type as the pair count and the
+    number of DISTINCT left events with >= 1 match. The join itself is
+    the banded one-exchange shape (no O(n*m) nested loop); the distinct
+    count folds through a left-id-bucketed exchange (a left row's pairs
+    all live in ONE band bucket, but blocks may split, so distinctness
+    is resolved by key, never by block boundaries). Counts are integers
+    — bit-exact vs the SQL band predicate, shared null/NaN contract."""
+    from ..sketches import hash64
+    from ..stages.joins import band_join
+
+    ev = sf_events_clean(sf_dir, ["event_id", "event_type", "value"])
+    left = ev.map_batches(
+        lambda b: b.filter(pc.not_equal(b["event_type"], "click")),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda b: pa.table(
+            {"value": b["value"].filter(
+                pc.equal(b["event_type"], "click"))}),
+        batch_format="pyarrow")
+    f = {"event_id": pa.int64(), "event_type": pa.string(),
+         "value": pa.float64()}
+    pairs = band_join(left, right, "value", eps,
+                      left_fields=f, right_fields={"value": pa.float64()})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "event_id": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        g = b.groupby(["event_type", "event_id"], as_index=False) \
+            .agg(n_pairs=("value", "size"))
+        ids = g.event_id.to_numpy(np.int64)
+        g["event_id"] = ids
+        g["n_pairs"] = g.n_pairs.astype(np.int64)
+        g["bucket"] = (hash64(ids.view(np.uint64))
+                       % np.uint64(64)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "event_id"], as_index=False) \
+            .agg(n_pairs=("n_pairs", "sum"))
+        return m.groupby("event_type", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), n_matched=("event_id", "size"))
+
+    parts = pairs.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "event_type" not in parts.columns:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype="int64"),
+                             "n_matched": pd.Series([], dtype="int64")})
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_pairs=("n_pairs", "sum"), n_matched=("n_matched", "sum"))
+    out["n_pairs"] = out.n_pairs.astype("int64")
+    out["n_matched"] = out.n_matched.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

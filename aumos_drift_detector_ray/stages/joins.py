@@ -543,3 +543,139 @@ def bloom_semi_join(
     definite_miss = left.map_batches(
         lambda b: probe(b, False), batch_format="pyarrow")
     return definite_miss.union(verified)
+
+
+def band_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    value_col: str,
+    eps: float,
+    n_buckets: int = 64,
+    right_prefix: str = "r_",
+    left_fields: "dict[str, pa.DataType] | None" = None,
+    right_fields: "dict[str, pa.DataType] | None" = None,
+) -> ray.data.Dataset:
+    """Non-equi BAND join: every (l, r) pair with
+    ``abs(l.value - r.value) <= eps`` — the similarity/tolerance join
+    (sensor alignment, price matching, measurement reconciliation) that
+    a naive engine runs as an O(n*m) nested loop.
+
+    Shape: both sides band by ``floor(value / (2*eps))`` and the right
+    side replicates to bands {b-1, b, b+1} (3x small-side rows, NOT
+    n*m); bands hash into ``n_buckets`` coarse buckets, so one exchange
+    per side co-locates every candidate pair. Band width 2*eps makes
+    the adjacency guarantee airtight under fp rounding: a true match
+    has real band distance <= 0.5, and a computed floor deviates only
+    within ulp of a boundary, so +-1 replication can never miss a pair.
+    Inside a bucket, rights sort once by (band, value) and each left
+    band-group finds its candidate range via two vectorized
+    searchsorteds over a WIDENED window (+ ulp-scaled slack, a strict
+    superset); the final mask is the literal ``abs(lv - rv) <= eps`` —
+    the SAME IEEE expression SQL evaluates, so the result is bit-equal
+    to the SQL band predicate, including values exactly ON the edge.
+
+    Non-finite values (NULL/NaN/+-inf) can never satisfy the predicate
+    (NaN compares false, inf differences are inf/NaN) and are dropped
+    at the tag step. Pairs within a pair-dense band explode output
+    size by nature of the predicate itself — aggregate downstream, or
+    pre-bucket value ranges, when eps spans a mass point."""
+    if not (eps > 0):
+        raise ValueError(f"band_join: eps must be > 0, got {eps!r}")
+    bw = 2.0 * float(eps)
+
+    def _fields(ds2, explicit, prefix):
+        if explicit is not None:
+            return {f"{prefix}{c}": _pa_type(t) for c, t in explicit.items()}
+        sch = ds2.schema()
+        if sch is None:
+            raise ValueError(
+                "band_join: side has no schema (empty derived dataset?)"
+                " — pass left_fields/right_fields explicitly")
+        return {f"{prefix}{c}": _pa_type(t)
+                for c, t in zip(sch.names, sch.types)}
+
+    from ..sketches import hash64
+
+    def _tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            v = np.asarray(b[value_col].to_numpy(zero_copy_only=False),
+                           np.float64)
+            ok = np.isfinite(v)
+            b = b.filter(pa.array(ok))
+            v = v[ok]
+            band = np.floor(v / bw).astype(np.int64)
+            prefix = "" if side == 0 else right_prefix
+            b = b.rename_columns([f"{prefix}{c}" for c in b.column_names])
+            if side == 1:  # replicate right to bands {b-1, b, b+1}
+                idx = np.repeat(np.arange(len(b), dtype=np.int64), 3)
+                b = b.take(pa.array(idx))
+                band = (band[:, None]
+                        + np.array([-1, 0, 1], np.int64)).ravel()
+            bucket = (hash64(band.view(np.uint64))
+                      % np.uint64(n_buckets)).astype(np.int64)
+            return b.append_column("__band", pa.array(band, pa.int64())) \
+                .append_column("__bucket", pa.array(bucket, pa.int64())) \
+                .append_column("__side", pa.array(
+                    np.full(len(b), side, dtype=np.int8)))
+
+        return fn
+
+    l_f = {**_fields(left, left_fields, ""), "__band": pa.int64()}
+    r_f = {**_fields(right, right_fields, right_prefix),
+           "__band": pa.int64()}
+    fields = {**{c: t for c, t in l_f.items() if c != "__band"},
+              **{c: t for c, t in r_f.items() if c != "__band"}}
+    l_cols, r_cols = list(l_f), list(r_f)
+    out_cols = list(fields)
+    lt = left.map_batches(_tag(0), batch_format="pyarrow")
+    rt = right.map_batches(_tag(1), batch_format="pyarrow")
+    both = _union_aligned(lt, rt, l_f, r_f)
+    rv_col = f"{right_prefix}{value_col}"
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        l, r = _group_to_frames(g, l_cols, r_cols)
+        if not len(l) or not len(r):
+            return _arrow_out(pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in out_cols}
+            ).astype({c: "float64" for c in (value_col, rv_col)}), fields)
+        r = r.sort_values(["__band", rv_col], kind="stable") \
+            .reset_index(drop=True)
+        r_bands = r["__band"].to_numpy(np.int64)
+        r_vals = _np_col(r[rv_col])
+        outs = []
+        for band, lg in l.groupby("__band", sort=False):
+            s, e = np.searchsorted(r_bands, [band, band + 1])
+            if s == e:
+                continue
+            rv = r_vals[s:e]
+            lv = _np_col(lg[value_col])
+            # widened candidate window (superset): eps + ulp-scaled
+            # slack; the exact predicate decides membership below
+            slack = eps * (1 + 1e-9) + np.abs(lv) * 4e-16
+            lo = np.searchsorted(rv, lv - slack, side="left")
+            hi = np.searchsorted(rv, lv + slack, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            li = np.repeat(np.arange(len(lv)), counts)
+            ri = (np.arange(total, dtype=np.int64)
+                  - np.repeat(counts.cumsum() - counts, counts)
+                  + np.repeat(lo, counts))
+            exact = np.abs(lv[li] - rv[ri]) <= eps
+            if not exact.any():
+                continue
+            lpart = lg.iloc[li[exact]].reset_index(drop=True)
+            rpart = r.iloc[s + ri[exact]].reset_index(drop=True)
+            outs.append(pd.concat(
+                [lpart.drop(columns="__band"),
+                 rpart.drop(columns="__band")], axis=1))
+        if not outs:
+            return _arrow_out(pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in out_cols}
+            ).astype({c: "float64" for c in (value_col, rv_col)}), fields)
+        return _arrow_out(pd.concat(outs, ignore_index=True), fields)
+
+    return both.repartition(n_buckets).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )

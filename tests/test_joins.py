@@ -532,3 +532,66 @@ class TestBloomSemiJoin:
         with pytest.raises(ValueError, match="semi/anti"):
             bloom_semi_join(rd.from_items([{"k": 1}]),
                             rd.from_items([{"k": 1}]), "k", how="inner")
+
+
+class TestBandJoin:
+    """band_join must equal the brute-force |lv - rv| <= eps predicate
+    bit-for-bit, including values exactly ON the edge and fp-hostile
+    magnitudes."""
+
+    def _brute(self, left, right, eps):
+        pairs = []
+        for _, lr in left.iterrows():
+            for _, rr in right.iterrows():
+                if np.isfinite(lr.v) and np.isfinite(rr.v) \
+                        and abs(lr.v - rr.v) <= eps:
+                    pairs.append((lr.a, rr.b))
+        return sorted(pairs)
+
+    def test_matches_brute_force_with_edges(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import band_join
+
+        rng = np.random.default_rng(3)
+        eps = 0.05
+        lv = np.round(rng.uniform(0, 20, 400), 2)
+        rv = np.round(rng.uniform(0, 20, 300), 2)
+        # exact-edge pairs (diff exactly eps), mass point, band-boundary
+        lv[:3] = [5.00, 10.00, 0.10]
+        rv[:3] = [5.05, 9.95, 0.05]
+        lv[3:6] = 42.42
+        rv[3:6] = 42.42
+        # NaN / inf never match
+        lv[6], rv[6] = np.nan, np.inf
+        left = pd.DataFrame({"v": lv, "a": np.arange(400, dtype=np.int64)})
+        right = pd.DataFrame({"v": rv, "b": np.arange(300, dtype=np.int64)})
+        out = band_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "v", eps, n_buckets=8).to_pandas()
+        got = sorted(zip(out.a.astype(np.int64), out.r_b.astype(np.int64)))
+        assert got == self._brute(left, right, eps)
+
+    def test_large_magnitudes_and_negatives(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import band_join
+
+        rng = np.random.default_rng(9)
+        eps = 0.5
+        lv = np.concatenate([rng.uniform(-1e9, 1e9, 100),
+                             np.array([1e9, -1e9, 0.0, -0.0])])
+        rv = lv + rng.uniform(-1.0, 1.0, len(lv))  # half in, half out
+        left = pd.DataFrame({"v": lv,
+                             "a": np.arange(len(lv), dtype=np.int64)})
+        right = pd.DataFrame({"v": rv,
+                              "b": np.arange(len(rv), dtype=np.int64)})
+        out = band_join(rd.from_pandas(left), rd.from_pandas(right),
+                        "v", eps, n_buckets=8).to_pandas()
+        got = sorted(zip(out.a.astype(np.int64), out.r_b.astype(np.int64)))
+        assert got == self._brute(left, right, eps)
+
+    def test_rejects_bad_eps(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import band_join
+
+        with pytest.raises(ValueError, match="eps"):
+            band_join(rd.from_items([{"v": 1.0}]),
+                      rd.from_items([{"v": 1.0}]), "v", 0.0)

@@ -72,6 +72,8 @@ EVENT_QUERIES = [
     "approx_distinct_users_per_type", "kll_quantile_audit",
     # round-4: global rank transform (ties-min over mass points + NaN)
     "global_value_rank_sample",
+    # round-4 session 4: band join (edge values / mass points / NaN)
+    "value_band_pair_stats",
 ]
 
 
