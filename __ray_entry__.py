@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join_order_stats": Q.bloom_join_order_stats,
         "bigram_lm_doc_scores": Q.bigram_lm_doc_scores,
         "value_band_pair_stats": Q.value_band_pair_stats,
+        "bpe_merge_table": Q.bpe_merge_table,
     }
 
 
@@ -591,6 +592,51 @@ def _clean_events_sql(sql: str) -> str:
     return sql.replace("__EC__", _EVENTS_CLEAN_SUB)
 
 
+def _bpe_merge_sql(k: int = 8) -> str:
+    """Generated oracle for bpe_merge_table: the FULL BPE merge loop
+    unrolled as k CTE stages (pair count -> argmax -> single-char
+    replace). Single-byte symbol encoding (merge i = chr('A'+i-1))
+    makes replace() exactly BPE's leftmost non-overlapping apply and
+    bytewise string order exactly the engine's numeric pair order.
+    chr(1)||chr(1) is a never-matching pattern for exhausted stages."""
+    stages = ["""toks AS (SELECT regexp_extract_all(
+                     lower(coalesce(text, '')), '[a-z'']+') AS ts
+                 FROM documents),
+        words0 AS (SELECT t AS s, CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t)"""]
+    selects = []
+    for i in range(1, k + 1):
+        ch = chr(ord("A") + i - 1)
+        prev = f"words{i-1}"
+        stages.append(f"""pairs{i} AS (
+            SELECT pair, sum(n) AS c FROM (
+                SELECT unnest(list_transform(
+                    generate_series(1, length(s) - 1),
+                    j -> substring(s, j, 2))) AS pair, n
+                FROM {prev} WHERE length(s) >= 2
+            ) GROUP BY pair
+        ),
+        best{i} AS (SELECT pair, c FROM pairs{i}
+                    ORDER BY c DESC, pair ASC LIMIT 1),
+        words{i} AS (SELECT replace(s, coalesce((SELECT pair FROM best{i}),
+                                       chr(1) || chr(1)), '{ch}') AS s, n
+                     FROM {prev})""")
+        e = f"(SELECT pair FROM best{i})"
+        for j in range(1, i):
+            cj = chr(ord("A") + j - 1)
+            e = f"replace({e}, '{cj}', (SELECT e FROM exp{j}))"
+        stages.append(f"exp{i} AS (SELECT {e} AS e)")
+        selects.append(
+            f"SELECT {i} AS rank, (SELECT pair FROM best{i}) AS pair, "
+            f"(SELECT CAST(c AS BIGINT) FROM best{i}) AS pair_count, "
+            f"(SELECT e FROM exp{i}) AS expansion")
+    union = " UNION ALL ".join(selects)
+    return ("WITH " + ",\n".join(stages)
+            + f" SELECT CAST(rank AS BIGINT) AS rank, pair, pair_count, "
+              f"expansion FROM ({union}) WHERE pair IS NOT NULL "
+              f"ORDER BY rank")
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_raw()
     for _n in _VALUE_CLEAN_QUERIES:
@@ -601,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
 def _oracle_sql_raw() -> dict[str, str]:
     return {
         **_text_oracles(),
+        "bpe_merge_table": _bpe_merge_sql(8),
         "events_type_hour_pivot": """
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

@@ -5577,3 +5577,62 @@ def value_band_pair_stats(sf_dir: str, eps: float = 0.05) -> pd.DataFrame:
     out["n_pairs"] = out.n_pairs.astype("int64")
     out["n_matched"] = out.n_matched.astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def bpe_merge_table(sf_dir: str, k: int = 8,
+                    vocab_gate: "int | None" = None) -> pd.DataFrame:
+    """BPE tokenizer training over the corpus (Sennrich et al. 2016):
+    the first ``k`` learned merges with their selection-time weighted
+    pair counts and full expansions. The corpus-sized work is the
+    distributed exact word count (per-block np.unique partials,
+    hash-bucketed merge — the same one-exchange shape as
+    doc_frequency_top_terms); the merge loop then runs on the BOUNDED
+    distinct-word table exactly like production trainers (HF tokenizers
+    / SentencePiece hold the word-count table in memory — vocab is
+    ~10^7 even for web corpora, gated loudly at ``BPE_VOCAB_GATE``).
+
+    Oracle: the SQL side INDEPENDENTLY recomputes the entire merge loop
+    as k unrolled CTE stages (pair count -> argmax(count DESC, pair
+    ASC) -> single-char replace), bit-exact because every symbol is
+    encoded as one single-byte char (merge i = chr('A'+i-1)), making
+    SQL's bytewise string compare equal the engine's numeric pair order
+    and plain replace() equal BPE's leftmost non-overlapping apply."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import BPE_VOCAB_GATE, WORD_RE, learn_bpe_merges
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks: "list[str]" = []
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks.extend(WORD_RE.findall(t))
+        if not toks:
+            return pd.DataFrame({"word": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pd.DataFrame({
+            "word": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64)})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("word", as_index=False).agg(n=("n", "sum"))
+
+    wc = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    gate = BPE_VOCAB_GATE if vocab_gate is None else vocab_gate
+    if len(wc) > gate:
+        raise ValueError(
+            f"bpe_merge_table: vocab ({len(wc)}) exceeds gate ({gate}); "
+            "prune with a min-count filter before training")
+    if "word" not in wc.columns:
+        wc = pd.DataFrame({"word": pd.Series([], dtype=object),
+                           "n": pd.Series([], dtype=np.int64)})
+    out = learn_bpe_merges(wc.word.tolist(), wc.n.to_numpy(np.int64), k=k)
+    out["rank"] = out["rank"].astype("int64")
+    out["pair_count"] = out.pair_count.astype("int64")
+    return out

@@ -537,3 +537,80 @@ def dup_gram_candidate_pairs(
 
     return ds.map_batches(regather, batch_format="pandas",
                           batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_VOCAB_GATE = 50_000_000
+
+
+def learn_bpe_merges(words: "list[str]", counts: np.ndarray,
+                     k: int = 8) -> pd.DataFrame:
+    """Learn ``k`` BPE merges from a (word, count) table — the merge
+    loop of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016). Operates on the BOUNDED distinct-word table, exactly like
+    production trainers (the corpus-sized work is the distributed word
+    count that produces the table; the loop itself is vocab-sized).
+
+    Conventions (shared bit-for-bit with the SQL oracle):
+    - pair counting weights every ADJACENT symbol pair by its word's
+      corpus count, overlaps included ('aaa' has two (a,a) pairs);
+    - selection is (count DESC, pair ASC) — pair compare is bytewise
+      on the encoded 2-char string, which equals the numeric
+      (char1, char2) order because all symbols are single-byte;
+    - merge i is encoded as chr('A'+i-1), so every symbol stays ONE
+      character and applying a merge is a plain leftmost
+      non-overlapping substring replace ('abab' -> 'AA', 'aaa' ->
+      'Aa') with no boundary ambiguity;
+    - stops early when no pair remains (k capped at 26 merge chars).
+
+    Each iteration is one vectorized pass: the vocab joins into a
+    single NUL-sentineled string, char codes come from a utf-32 view,
+    pair codes pack into uint64 and np.bincount folds the weighted
+    counts — no per-pair Python. Only the merge APPLICATION is a
+    str.replace loop over the (bounded) vocab."""
+    if k > 26:
+        raise ValueError("learn_bpe_merges: k > 26 merge chars")
+    counts = np.asarray(counts, dtype=np.int64)
+    words = list(words)
+    exp: dict[str, str] = {}
+    rows = []
+    for i in range(k):
+        lens = pd.Series(words, dtype=object).str.len() \
+            .to_numpy(dtype=np.int64) if words else np.empty(0, np.int64)
+        keep = lens >= 2
+        if not keep.any():
+            break
+        ws = [w for w, kp in zip(words, keep) if kp]
+        cs, ls = counts[keep], lens[keep]
+        joined = "\x00".join(ws)
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        wid = np.full(len(codes), -1, dtype=np.int64)
+        wid[codes != 0] = np.repeat(np.arange(len(ws)), ls)
+        valid = (codes[:-1] != 0) & (codes[1:] != 0)
+        if not valid.any():
+            break
+        pair_code = ((codes[:-1].astype(np.uint64) << np.uint64(32))
+                     | codes[1:].astype(np.uint64))[valid]
+        w = cs[wid[:-1][valid]]
+        u, inv = np.unique(pair_code, return_inverse=True)
+        totals = np.bincount(inv, weights=w).astype(np.int64)
+        b = np.lexsort((u, -totals))[0]
+        c1 = chr(int(u[b] >> np.uint64(32)))
+        c2 = chr(int(u[b] & np.uint64(0xFFFFFFFF)))
+        pair, char = c1 + c2, chr(ord("A") + i)
+        expansion = exp.get(c1, c1) + exp.get(c2, c2)
+        exp[char] = expansion
+        rows.append({"rank": np.int64(i + 1), "pair": pair,
+                     "pair_count": np.int64(totals[b]),
+                     "expansion": expansion})
+        words = [wd.replace(pair, char) for wd in words]
+    return pd.DataFrame(rows, columns=["rank", "pair", "pair_count",
+                                       "expansion"]) \
+        if rows else pd.DataFrame({
+            "rank": pd.Series([], dtype=np.int64),
+            "pair": pd.Series([], dtype=object),
+            "pair_count": pd.Series([], dtype=np.int64),
+            "expansion": pd.Series([], dtype=object)})

@@ -427,3 +427,61 @@ class TestDegenerateCorpus:
         assert st.longest_dup_span.tolist() == [0]
         lm = Q.bigram_lm_doc_scores(d)
         assert len(lm) == 1 and lm.n_bigrams.iloc[0] == 23
+
+
+class TestBpeMerges:
+    def _brute(self, words, counts, k):
+        import collections
+        exp, out, ws = {}, [], list(words)
+        for i in range(k):
+            stats = collections.Counter()
+            for w, c in zip(ws, counts):
+                for a, b in zip(w, w[1:]):
+                    stats[a + b] += c
+            if not stats:
+                break
+            pair, c = sorted(stats.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[0]
+            ch = chr(ord("A") + i)
+            expn = exp.get(pair[0], pair[0]) + exp.get(pair[1], pair[1])
+            exp[ch] = expn
+            out.append((i + 1, pair, c, expn))
+            ws = [w.replace(pair, ch) for w in ws]
+        return out
+
+    def test_overlap_and_double_merge_conventions(self, ray_session):
+        """'aaa' counts two (a,a) pairs but applies leftmost
+        non-overlapping ('Aa'); 'abab' merges twice ('AA'); a later
+        merge may consume an earlier merge char (expansion tracks it)."""
+        from aumos_drift_detector_ray.stages.textops import learn_bpe_merges
+
+        words = ["aaa", "abab", "xab"]
+        counts = np.array([5, 3, 4], dtype=np.int64)
+        got = learn_bpe_merges(words, counts, k=3)
+        want = self._brute(words, counts, 3)
+        assert list(map(tuple, got.to_numpy())) == want
+        # merge 1 must be (a,b): count 3+3+4=10 beats (a,a)'s 10? tie ->
+        # 'aa' < 'ab' lexicographically, so (a,a) wins the tie
+        assert got.pair.iloc[0] == "aa" and got.pair_count.iloc[0] == 10
+
+    def test_random_vocab_matches_brute_force(self, ray_session):
+        from aumos_drift_detector_ray.stages.textops import learn_bpe_merges
+
+        rng = np.random.default_rng(17)
+        alpha = list("abcde'")
+        words = list({"".join(rng.choice(alpha,
+                                         rng.integers(1, 9)))
+                      for _ in range(300)})
+        counts = rng.integers(1, 50, len(words)).astype(np.int64)
+        got = learn_bpe_merges(words, counts, k=10)
+        want = self._brute(words, counts, 10)
+        assert list(map(tuple, got.to_numpy())) == want
+
+    def test_exhausted_vocab_stops_early(self, ray_session):
+        from aumos_drift_detector_ray.stages.textops import learn_bpe_merges
+
+        got = learn_bpe_merges(["ab"], np.array([1]), k=5)
+        # merge 1 consumes the only pair; nothing left to merge
+        assert got.pair.tolist() == ["ab"] and len(got) == 1
+        empty = learn_bpe_merges(["a", "b"], np.array([2, 3]), k=5)
+        assert len(empty) == 0

@@ -151,8 +151,9 @@ DOC_QUERIES = [
     "incremental_dedup_docs",
     # round-4 session 3: exact-substring (dup 8-gram span) dedup
     "dup_ngram_grams", "doc_dup_span_coverage", "doc_dup_span_stats",
-    # round-4 session 4: bigram-LM count-space quality scoring
-    "bigram_lm_doc_scores",
+    # round-4 session 4: bigram-LM count-space quality scoring + BPE
+    # merge learning (full merge-loop parity vs the unrolled SQL)
+    "bigram_lm_doc_scores", "bpe_merge_table",
 ]
 
 
