@@ -5268,8 +5268,11 @@ def bloom_join_order_stats(sf_dir: str) -> pd.DataFrame:
     they bypass the join entirely), bloom positives ride the exact
     hash_join — result bit-equal to EXISTS / NOT EXISTS. Output is the
     per-priority count + exact scaled-integer money sum of each side
-    (bounded: 2 x #priorities rows)."""
-    from ..stages.joins import bloom_semi_join
+    (bounded: 2 x #priorities rows). The right side materializes once,
+    ONE bloom build feeds the single semi join, and the anti side is
+    derived by EXACT INTEGER SUBTRACTION (anti = all - semi per
+    priority) — complementary aggregates never need the second join."""
+    from ..stages.joins import bloom_semi_join, build_key_bloom
 
     orders = sf_table(
         sf_dir, "orders",
@@ -5281,10 +5284,11 @@ def bloom_join_order_stats(sf_dir: str) -> pd.DataFrame:
         keep = pc.greater(b["c_acctbal"], 7000.0)
         return pa.table({"o_custkey": b["c_custkey"].filter(keep)})
 
-    right = cust.map_batches(high_bal, batch_format="pyarrow")
+    right = cust.map_batches(high_bal, batch_format="pyarrow").materialize()
     rfields = {"o_custkey": pa.int64()}
+    bloom = build_key_bloom(right, "o_custkey", capacity=n_cust)
 
-    def agg(ds: ray.data.Dataset, side: str) -> pd.DataFrame:
+    def agg(ds: ray.data.Dataset) -> pd.DataFrame:
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame({
                 "o_orderpriority": b.o_orderpriority,
@@ -5294,20 +5298,25 @@ def bloom_join_order_stats(sf_dir: str) -> pd.DataFrame:
                 n=("price_c", "size"), price_c=("price_c", "sum"))
 
         parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        g = parts.groupby("o_orderpriority", as_index=False).agg(
+        return parts.groupby("o_orderpriority", as_index=False).agg(
             n=("n", "sum"), price_c=("price_c", "sum"))
+
+    semi = agg(bloom_semi_join(orders, right, "o_custkey", how="semi",
+                               right_fields=rfields, bloom=bloom))
+    total = agg(orders)
+    anti = total.merge(semi, on="o_orderpriority", how="left",
+                       suffixes=("", "_s")).fillna(0)
+    anti["n"] = anti.n - anti.n_s.astype(np.int64)
+    anti["price_c"] = anti.price_c - anti.price_c_s.astype(np.int64)
+    anti = anti[anti.n > 0][["o_orderpriority", "n", "price_c"]]
+
+    def fin(g: pd.DataFrame, side: str) -> pd.DataFrame:
         return pd.DataFrame({
             "side": side, "o_orderpriority": g.o_orderpriority,
             "n": g.n.astype("int64"), "sum_price": g.price_c / 100.0})
 
-    out = pd.concat([
-        agg(bloom_semi_join(orders, right, "o_custkey", how="semi",
-                            right_capacity=n_cust, right_fields=rfields),
-            "in_high_bal"),
-        agg(bloom_semi_join(orders, right, "o_custkey", how="anti",
-                            right_capacity=n_cust, right_fields=rfields),
-            "not_in_high_bal"),
-    ], ignore_index=True)
+    out = pd.concat([fin(semi, "in_high_bal"),
+                     fin(anti, "not_in_high_bal")], ignore_index=True)
     return (out.sort_values(["side", "o_orderpriority"])
             .reset_index(drop=True))
 

@@ -500,6 +500,7 @@ def bloom_semi_join(
     right_capacity: int | None = None,
     left_fields: "dict[str, pa.DataType] | None" = None,
     right_fields: "dict[str, pa.DataType] | None" = None,
+    bloom=None,
 ) -> ray.data.Dataset:
     """EXACT semi/anti join where a Bloom filter over the right keys
     prunes the left side BEFORE the exchange — the classic 100 TB
@@ -516,11 +517,16 @@ def bloom_semi_join(
     semi/anti). The filter is sized from ``right_capacity`` (default:
     ``right.count()``); at allowlist scales beyond a single broadcast
     filter, build a sketches.RangePartitionedBloom with
-    validate.build_allowlist_bloom instead and probe per batch."""
+    validate.build_allowlist_bloom instead and probe per batch.
+
+    ``bloom``: a prebuilt filter from ``build_key_bloom`` — pass it
+    when running several joins against the same right side (e.g. the
+    semi AND anti halves of a partition) so the build runs once."""
     if how not in ("semi", "anti"):
         raise ValueError(f"bloom_semi_join: how must be semi/anti, got {how!r}")
-    bloom = build_key_bloom(right, key, capacity=right_capacity,
-                            bits_per_element=bits_per_element)
+    if bloom is None:
+        bloom = build_key_bloom(right, key, capacity=right_capacity,
+                                bits_per_element=bits_per_element)
     bloom_ref = ray.put(bloom)
 
     def probe(b: pa.Table, want_hit: bool) -> pa.Table:
@@ -674,6 +680,156 @@ def band_join(
             return _arrow_out(pd.DataFrame(
                 {c: pd.Series([], dtype="object") for c in out_cols}
             ).astype({c: "float64" for c in (value_col, rv_col)}), fields)
+        return _arrow_out(pd.concat(outs, ignore_index=True), fields)
+
+    return both.repartition(n_buckets).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def interval_overlap_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    lo_col: str,
+    hi_col: str,
+    band_width: float,
+    n_buckets: int = 64,
+    right_prefix: str = "r_",
+    left_fields: "dict[str, pa.DataType] | None" = None,
+    right_fields: "dict[str, pa.DataType] | None" = None,
+) -> ray.data.Dataset:
+    """Interval OVERLAP join: every (l, r) pair of closed intervals
+    with ``l.lo <= r.hi AND r.lo <= l.hi`` — the genomics/session/
+    time-range join (DuckDB runs it as IEJoin; a naive engine as an
+    O(n*m) nested loop).
+
+    Shape: each interval replicates to every band of width
+    ``band_width`` it touches (floor(lo/w)..floor(hi/w); the RIGHT side
+    extends +-1 band so computed floors — which can deviate one band at
+    an fp boundary — can never hide a real shared band), bands hash
+    into coarse buckets, and each band group resolves pairs with one
+    sorted searchsorted prefix (r.lo <= l.hi — literally half the SQL
+    predicate, no arithmetic, no widening needed) + the exact
+    remaining comparison. A pair sharing several bands is emitted in
+    exactly ONE: the band where max(l.first_band, r.first_band) lands.
+    Replication factor is len/band_width + 1 per row — pick
+    ``band_width`` near the typical interval length; correctness is
+    independent of the choice, only the replication/band-population
+    tradeoff moves.
+
+    Contract: finite intervals with lo <= hi (asserted loudly —
+    NaN rows are dropped as never-matching, but inf endpoints or
+    inverted intervals would need unbounded replication)."""
+    if not (band_width > 0):
+        raise ValueError(
+            f"interval_overlap_join: band_width must be > 0, "
+            f"got {band_width!r}")
+    bw = float(band_width)
+
+    from ..sketches import hash64
+
+    def _fields(ds2, explicit, prefix):
+        if explicit is not None:
+            return {f"{prefix}{c}": _pa_type(t) for c, t in explicit.items()}
+        sch = ds2.schema()
+        if sch is None:
+            raise ValueError(
+                "interval_overlap_join: side has no schema — pass "
+                "left_fields/right_fields explicitly")
+        return {f"{prefix}{c}": _pa_type(t)
+                for c, t in zip(sch.names, sch.types)}
+
+    def _tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            lo = np.asarray(b[lo_col].to_numpy(zero_copy_only=False),
+                            np.float64)
+            hi = np.asarray(b[hi_col].to_numpy(zero_copy_only=False),
+                            np.float64)
+            nan = np.isnan(lo) | np.isnan(hi)   # never matches: drop
+            if np.isinf(lo[~nan]).any() or np.isinf(hi[~nan]).any():
+                raise ValueError("interval_overlap_join: inf endpoint")
+            if (hi[~nan] < lo[~nan]).any():
+                raise ValueError(
+                    "interval_overlap_join: inverted interval (hi < lo)")
+            b = b.filter(pa.array(~nan))
+            lo, hi = lo[~nan], hi[~nan]
+            blo = np.floor(lo / bw).astype(np.int64)
+            bhi = np.floor(hi / bw).astype(np.int64)
+            if side == 1:                        # fp-safety extension
+                blo -= 1
+                bhi += 1
+            counts = bhi - blo + 1
+            total = int(counts.sum())
+            idx = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+            band = (np.arange(total, dtype=np.int64)
+                    - np.repeat(counts.cumsum() - counts, counts)
+                    + np.repeat(blo, counts))
+            prefix = "" if side == 0 else right_prefix
+            b = b.rename_columns([f"{prefix}{c}" for c in b.column_names])
+            b = b.take(pa.array(idx))
+            bucket = (hash64(band.view(np.uint64))
+                      % np.uint64(n_buckets)).astype(np.int64)
+            return b.append_column("__band", pa.array(band, pa.int64())) \
+                .append_column("__blo", pa.array(
+                    np.repeat(blo, counts), pa.int64())) \
+                .append_column("__bucket", pa.array(bucket, pa.int64())) \
+                .append_column("__side", pa.array(
+                    np.full(total, side, dtype=np.int8)))
+
+        return fn
+
+    tag = {"__band": pa.int64(), "__blo": pa.int64()}
+    l_f = {**_fields(left, left_fields, ""), **tag}
+    r_f = {**_fields(right, right_fields, right_prefix), **tag}
+    fields = {**{c: t for c, t in l_f.items() if c not in tag},
+              **{c: t for c, t in r_f.items() if c not in tag}}
+    l_cols, r_cols = list(l_f), list(r_f)
+    out_cols = list(fields)
+    lt = left.map_batches(_tag(0), batch_format="pyarrow")
+    rt = right.map_batches(_tag(1), batch_format="pyarrow")
+    both = _union_aligned(lt, rt, l_f, r_f)
+    r_lo, r_hi = f"{right_prefix}{lo_col}", f"{right_prefix}{hi_col}"
+
+    def _empty() -> pa.Table:
+        return _arrow_out(pd.DataFrame(
+            {c: pd.Series([], dtype="object") for c in out_cols}), fields)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        l, r = _group_to_frames(g, l_cols, r_cols)
+        if not len(l) or not len(r):
+            return _empty()
+        r = r.sort_values(["__band", r_lo], kind="stable") \
+            .reset_index(drop=True)
+        r_bands = r["__band"].to_numpy(np.int64)
+        r_los = _np_col(r[r_lo])
+        r_his = _np_col(r[r_hi])
+        r_blos = r["__blo"].to_numpy(np.int64)
+        outs = []
+        for band, lg in l.groupby("__band", sort=False):
+            s, e = np.searchsorted(r_bands, [band, band + 1])
+            if s == e:
+                continue
+            llo = _np_col(lg[lo_col])
+            lhi = _np_col(lg[hi_col])
+            lblo = lg["__blo"].to_numpy(np.int64)
+            hi_idx = np.searchsorted(r_los[s:e], lhi, side="right")
+            total = int(hi_idx.sum())
+            if total == 0:
+                continue
+            li = np.repeat(np.arange(len(lg)), hi_idx)
+            ri = (np.arange(total, dtype=np.int64)
+                  - np.repeat(hi_idx.cumsum() - hi_idx, hi_idx))
+            keep = (r_his[s + ri] >= llo[li]) \
+                & (np.maximum(lblo[li], r_blos[s + ri]) == band)
+            if not keep.any():
+                continue
+            outs.append(pd.concat(
+                [lg.iloc[li[keep]].reset_index(drop=True)
+                 .drop(columns=["__band", "__blo"]),
+                 r.iloc[s + ri[keep]].reset_index(drop=True)
+                 .drop(columns=["__band", "__blo"])], axis=1))
+        if not outs:
+            return _empty()
         return _arrow_out(pd.concat(outs, ignore_index=True), fields)
 
     return both.repartition(n_buckets).groupby("__bucket").map_groups(

@@ -223,6 +223,11 @@ def run_queries() -> dict[str, float]:
         # span) dedup and the KLL quantile-sketch audit
         "dup_ngram_grams", "doc_dup_span_coverage", "kll_quantile_audit",
         "doc_dup_span_stats",
+        # round-4 session-4 operators: global rank, bloom semi/anti
+        # join, bigram-LM scoring, band join, BPE merge learning
+        "global_value_rank_sample", "bloom_join_order_stats",
+        "bigram_lm_doc_scores", "value_band_pair_stats",
+        "bpe_merge_table",
     ]
     qs = E.queries()
     out = {}

@@ -595,3 +595,91 @@ class TestBandJoin:
         with pytest.raises(ValueError, match="eps"):
             band_join(rd.from_items([{"v": 1.0}]),
                       rd.from_items([{"v": 1.0}]), "v", 0.0)
+
+
+class TestIntervalOverlapJoin:
+    def _brute(self, left, right):
+        pairs = []
+        for _, lr in left.iterrows():
+            for _, rr in right.iterrows():
+                if lr.lo <= rr.hi and rr.lo <= lr.hi:
+                    pairs.append((lr.a, rr.b))
+        return sorted(pairs)
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import (
+            interval_overlap_join)
+
+        rng = np.random.default_rng(5)
+        n, m = 300, 250
+        llo = rng.uniform(0, 100, n)
+        rlo = rng.uniform(0, 100, m)
+        left = pd.DataFrame({"lo": llo, "hi": llo + rng.uniform(0, 8, n),
+                             "a": np.arange(n, dtype=np.int64)})
+        right = pd.DataFrame({"lo": rlo, "hi": rlo + rng.uniform(0, 3, m),
+                              "b": np.arange(m, dtype=np.int64)})
+        # touching endpoints (closed intervals), zero-length intervals,
+        # band-boundary values, one giant interval spanning many bands
+        left.loc[0, ["lo", "hi"]] = [10.0, 20.0]
+        right.loc[0, ["lo", "hi"]] = [20.0, 25.0]   # touch at 20
+        left.loc[1, ["lo", "hi"]] = [5.0, 5.0]      # zero-length
+        right.loc[1, ["lo", "hi"]] = [5.0, 5.0]
+        left.loc[2, ["lo", "hi"]] = [0.0, 99.5]     # giant
+        out = interval_overlap_join(
+            rd.from_pandas(left), rd.from_pandas(right), "lo", "hi",
+            band_width=4.0, n_buckets=8).to_pandas()
+        got = sorted(zip(out.a.astype(np.int64), out.r_b.astype(np.int64)))
+        assert got == self._brute(left, right)
+        # no duplicate pairs despite multi-band co-location
+        assert len(got) == len(set(got))
+
+    def test_band_width_independence(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import (
+            interval_overlap_join)
+
+        rng = np.random.default_rng(8)
+        llo = rng.uniform(-50, 50, 120)
+        rlo = rng.uniform(-50, 50, 120)
+        left = pd.DataFrame({"lo": llo, "hi": llo + rng.uniform(0, 5, 120),
+                             "a": np.arange(120, dtype=np.int64)})
+        right = pd.DataFrame({"lo": rlo, "hi": rlo + rng.uniform(0, 5, 120),
+                              "b": np.arange(120, dtype=np.int64)})
+        outs = []
+        for w in (0.5, 3.0, 40.0):
+            o = interval_overlap_join(
+                rd.from_pandas(left), rd.from_pandas(right), "lo", "hi",
+                band_width=w, n_buckets=8).to_pandas()
+            outs.append(sorted(zip(o.a.astype(np.int64),
+                                   o.r_b.astype(np.int64))))
+        assert outs[0] == outs[1] == outs[2] == self._brute(left, right)
+
+    def test_contract_violations_raise(self, ray_session):
+        import ray.data as rd
+        import ray.exceptions
+        from aumos_drift_detector_ray.stages.joins import (
+            interval_overlap_join)
+
+        good = rd.from_items([{"lo": 1.0, "hi": 2.0}])
+        bad = rd.from_items([{"lo": 3.0, "hi": 1.0}])
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="inverted interval"):
+            interval_overlap_join(good, bad, "lo", "hi",
+                                  band_width=1.0).materialize()
+        with pytest.raises(ValueError, match="band_width"):
+            interval_overlap_join(good, good, "lo", "hi", band_width=0.0)
+
+    def test_nan_rows_dropped(self, ray_session):
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import (
+            interval_overlap_join)
+
+        left = pd.DataFrame({"lo": [1.0, np.nan], "hi": [2.0, np.nan],
+                             "a": np.array([0, 1], dtype=np.int64)})
+        right = pd.DataFrame({"lo": [1.5], "hi": [3.0],
+                              "b": np.array([0], dtype=np.int64)})
+        out = interval_overlap_join(
+            rd.from_pandas(left), rd.from_pandas(right), "lo", "hi",
+            band_width=1.0, n_buckets=4).to_pandas()
+        assert out.a.tolist() == [0]
