@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_doc_scores": Q.bigram_lm_doc_scores,
         "value_band_pair_stats": Q.value_band_pair_stats,
         "bpe_merge_table": Q.bpe_merge_table,
+        "order_window_overlap_stats": Q.order_window_overlap_stats,
     }
 
 
@@ -2308,5 +2309,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(count(DISTINCT l.event_id) AS BIGINT) AS n_matched
             FROM l JOIN r ON abs(l.value - r.value) <= 0.05
             GROUP BY l.event_type ORDER BY l.event_type
+        """,
+        # interval-overlap join (joins.interval_overlap_join): open
+        # orders' 10-day windows vs finished orders' 5-day windows,
+        # closed-interval overlap, per-priority pair + distinct counts
+        "order_window_overlap_stats": """
+            WITH l AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(datediff('day', TIMESTAMP '1992-01-01',
+                                     o_orderdate) AS DOUBLE) AS lo,
+                       CAST(datediff('day', TIMESTAMP '1992-01-01',
+                                     o_orderdate) + 10 AS DOUBLE) AS hi
+                FROM orders WHERE o_orderstatus = 'O'
+            ),
+            r AS (
+                SELECT CAST(datediff('day', TIMESTAMP '1992-01-01',
+                                     o_orderdate) AS DOUBLE) AS lo,
+                       CAST(datediff('day', TIMESTAMP '1992-01-01',
+                                     o_orderdate) + 5 AS DOUBLE) AS hi
+                FROM orders WHERE o_orderstatus = 'F'
+            )
+            SELECT l.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT l.o_orderkey) AS BIGINT)
+                       AS n_matched
+            FROM l JOIN r ON l.lo <= r.hi AND r.lo <= l.hi
+            GROUP BY l.o_orderpriority ORDER BY l.o_orderpriority
         """,
     }

@@ -5645,3 +5645,79 @@ def bpe_merge_table(sf_dir: str, k: int = 8,
     out["rank"] = out["rank"].astype("int64")
     out["pair_count"] = out.pair_count.astype("int64")
     return out
+
+
+def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap join statistics via
+    ``joins.interval_overlap_join``: open ('O') orders get a 10-day
+    fulfillment window, finished ('F') orders a 5-day one (both derived
+    identically on the SQL side from o_orderdate), and every
+    overlapping (open, finished) window pair — touching endpoints
+    included — counts toward the open order's priority. Output per
+    priority: pair count and distinct open orders with >= 1 overlap.
+    The distinct fold rides a left-key-bucketed exchange (an interval's
+    pairs may span bands when the pair's canonical band differs, so
+    distinctness resolves by key, never by block). Integers — bit-exact
+    vs the SQL range predicate."""
+    from ..sketches import hash64
+    from ..stages.joins import interval_overlap_join
+
+    base = pd.Timestamp("1992-01-01")
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderstatus",
+                               "o_orderpriority", "o_orderdate"])
+
+    def mk(status: str, days: int, keep_cols: "list[str]"):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            k = b[b.o_orderstatus == status]
+            lo = ((k.o_orderdate - base).dt.days).to_numpy(np.float64)
+            out = {"lo": lo, "hi": lo + float(days)}
+            for c in keep_cols:
+                out[c] = k[c].to_numpy()
+            return pd.DataFrame(out)
+
+        return fn
+
+    left = orders.map_batches(mk("O", 10, ["o_orderkey", "o_orderpriority"]),
+                              batch_format="pandas")
+    right = orders.map_batches(mk("F", 5, []), batch_format="pandas")
+    lf = {"lo": pa.float64(), "hi": pa.float64(),
+          "o_orderkey": pa.int64(), "o_orderpriority": pa.string()}
+    rf = {"lo": pa.float64(), "hi": pa.float64()}
+    pairs = interval_overlap_join(left, right, "lo", "hi", band_width=10.0,
+                                  left_fields=lf, right_fields=rf)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series([], dtype=object),
+                "o_orderkey": pd.Series([], dtype=np.int64),
+                "n_pairs": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        g = b.groupby(["o_orderpriority", "o_orderkey"],
+                      as_index=False).agg(n_pairs=("lo", "size"))
+        ids = g.o_orderkey.to_numpy(np.int64)
+        g["o_orderkey"] = ids
+        g["n_pairs"] = g.n_pairs.astype(np.int64)
+        g["bucket"] = (hash64(ids.view(np.uint64))
+                       % np.uint64(64)).astype(np.int64)
+        return g
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["o_orderpriority", "o_orderkey"],
+                      as_index=False).agg(n_pairs=("n_pairs", "sum"))
+        return m.groupby("o_orderpriority", as_index=False).agg(
+            n_pairs=("n_pairs", "sum"), n_matched=("o_orderkey", "size"))
+
+    parts = pairs.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if "o_orderpriority" not in parts.columns:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_pairs": pd.Series([], dtype="int64"),
+                             "n_matched": pd.Series([], dtype="int64")})
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_pairs=("n_pairs", "sum"), n_matched=("n_matched", "sum"))
+    out["n_pairs"] = out.n_pairs.astype("int64")
+    out["n_matched"] = out.n_matched.astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -227,7 +227,7 @@ def run_queries() -> dict[str, float]:
         # join, bigram-LM scoring, band join, BPE merge learning
         "global_value_rank_sample", "bloom_join_order_stats",
         "bigram_lm_doc_scores", "value_band_pair_stats",
-        "bpe_merge_table",
+        "bpe_merge_table", "order_window_overlap_stats",
     ]
     qs = E.queries()
     out = {}
