@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_band_pair_stats": Q.value_band_pair_stats,
         "bpe_merge_table": Q.bpe_merge_table,
         "order_window_overlap_stats": Q.order_window_overlap_stats,
+        "bpe_tokenized_doc_stats": Q.bpe_tokenized_doc_stats,
     }
 
 
@@ -600,10 +601,22 @@ def _bpe_merge_sql(k: int = 8) -> str:
     makes replace() exactly BPE's leftmost non-overlapping apply and
     bytewise string order exactly the engine's numeric pair order.
     chr(1)||chr(1) is a never-matching pattern for exhausted stages."""
+    stages, selects = _bpe_stage_ctes(k)
+    union = " UNION ALL ".join(selects)
+    return ("WITH " + ",\n".join(stages)
+            + f" SELECT CAST(rank AS BIGINT) AS rank, pair, pair_count, "
+              f"expansion FROM ({union}) WHERE pair IS NOT NULL "
+              f"ORDER BY rank")
+
+
+def _bpe_stage_ctes(k: int) -> "tuple[list[str], list[str]]":
+    """Shared CTE builder for the BPE oracles: words{i} carries both the
+    ORIGINAL word w (the join key for tokenization) and the current
+    encoded form s."""
     stages = ["""toks AS (SELECT regexp_extract_all(
                      lower(coalesce(text, '')), '[a-z'']+') AS ts
                  FROM documents),
-        words0 AS (SELECT t AS s, CAST(count(*) AS BIGINT) AS n
+        words0 AS (SELECT t AS w, t AS s, CAST(count(*) AS BIGINT) AS n
                    FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t)"""]
     selects = []
     for i in range(1, k + 1):
@@ -619,8 +632,9 @@ def _bpe_merge_sql(k: int = 8) -> str:
         ),
         best{i} AS (SELECT pair, c FROM pairs{i}
                     ORDER BY c DESC, pair ASC LIMIT 1),
-        words{i} AS (SELECT replace(s, coalesce((SELECT pair FROM best{i}),
-                                       chr(1) || chr(1)), '{ch}') AS s, n
+        words{i} AS (SELECT w, replace(s,
+                         coalesce((SELECT pair FROM best{i}),
+                                  chr(1) || chr(1)), '{ch}') AS s, n
                      FROM {prev})""")
         e = f"(SELECT pair FROM best{i})"
         for j in range(1, i):
@@ -631,11 +645,30 @@ def _bpe_merge_sql(k: int = 8) -> str:
             f"SELECT {i} AS rank, (SELECT pair FROM best{i}) AS pair, "
             f"(SELECT CAST(c AS BIGINT) FROM best{i}) AS pair_count, "
             f"(SELECT e FROM exp{i}) AS expansion")
-    union = " UNION ALL ".join(selects)
-    return ("WITH " + ",\n".join(stages)
-            + f" SELECT CAST(rank AS BIGINT) AS rank, pair, pair_count, "
-              f"expansion FROM ({union}) WHERE pair IS NOT NULL "
-              f"ORDER BY rank")
+    return stages, selects
+
+
+def _bpe_tokenize_sql(k: int = 8) -> str:
+    """Generated oracle for bpe_tokenized_doc_stats: the same unrolled
+    merge loop, then every document's words join the final encoded
+    vocabulary words{k} on the ORIGINAL word — per doc, word count,
+    initial symbol count and post-merge BPE token count (one encoded
+    char = one token), plus the exact-division compression ratio."""
+    stages, _ = _bpe_stage_ctes(k)
+    return ("WITH " + ",\n".join(stages) + f""",
+        docw AS (
+            SELECT doc_id, unnest(regexp_extract_all(
+                lower(coalesce(text, '')), '[a-z'']+')) AS w
+            FROM documents
+        )
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(length(d.w)) AS BIGINT) AS n_syms,
+               CAST(sum(length(v.s)) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(length(d.w)) AS DOUBLE)
+                   / sum(length(v.s)) AS compression
+        FROM docw d JOIN words{k} v ON d.w = v.w
+        GROUP BY d.doc_id ORDER BY d.doc_id""")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -649,6 +682,7 @@ def _oracle_sql_raw() -> dict[str, str]:
     return {
         **_text_oracles(),
         "bpe_merge_table": _bpe_merge_sql(8),
+        "bpe_tokenized_doc_stats": _bpe_tokenize_sql(8),
         "events_type_hour_pivot": """
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

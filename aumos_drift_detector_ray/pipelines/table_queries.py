@@ -5606,8 +5606,26 @@ def bpe_merge_table(sf_dir: str, k: int = 8,
     encoded as one single-byte char (merge i = chr('A'+i-1)), making
     SQL's bytewise string compare equal the engine's numeric pair order
     and plain replace() equal BPE's leftmost non-overlapping apply."""
+    from ..stages.textops import learn_bpe_merges
+
+    wc = _bpe_word_counts(sf_dir, vocab_gate)
+    out = learn_bpe_merges(wc.word.tolist(), wc.n.to_numpy(np.int64), k=k)
+    out["rank"] = out["rank"].astype("int64")
+    out["pair_count"] = out.pair_count.astype("int64")
+    return out
+
+
+def _bpe_word_counts(sf_dir: str,
+                     vocab_gate: "int | None" = None) -> pd.DataFrame:
+    """Distributed exact (word, count) table over the corpus — the
+    corpus-sized pass shared by ``bpe_merge_table`` and
+    ``bpe_tokenized_doc_stats``: per-block np.unique partials,
+    hash-bucketed merge (one exchange of bounded vocab rows). Gated
+    loudly at ``BPE_VOCAB_GATE`` distinct words, production-trainer
+    style (HF tokenizers / SentencePiece hold this table in memory;
+    vocab is ~10^7 even for web corpora)."""
     from ..sketches import hash_any_array
-    from ..stages.textops import BPE_VOCAB_GATE, WORD_RE, learn_bpe_merges
+    from ..stages.textops import BPE_VOCAB_GATE, WORD_RE
 
     ds = sf_table(sf_dir, "documents", columns=["text"])
     n_buckets = 32
@@ -5636,15 +5654,76 @@ def bpe_merge_table(sf_dir: str, k: int = 8,
     gate = BPE_VOCAB_GATE if vocab_gate is None else vocab_gate
     if len(wc) > gate:
         raise ValueError(
-            f"bpe_merge_table: vocab ({len(wc)}) exceeds gate ({gate}); "
+            f"bpe word count: vocab ({len(wc)}) exceeds gate ({gate}); "
             "prune with a min-count filter before training")
     if "word" not in wc.columns:
         wc = pd.DataFrame({"word": pd.Series([], dtype=object),
                            "n": pd.Series([], dtype=np.int64)})
-    out = learn_bpe_merges(wc.word.tolist(), wc.n.to_numpy(np.int64), k=k)
-    out["rank"] = out["rank"].astype("int64")
-    out["pair_count"] = out.pair_count.astype("int64")
-    return out
+    return wc
+
+
+def bpe_tokenized_doc_stats(sf_dir: str, k: int = 8,
+                            vocab_gate: "int | None" = None) -> pd.DataFrame:
+    """Tokenize the corpus with the learned BPE vocabulary (the apply
+    half of Sennrich et al. 2016, complementing ``bpe_merge_table``'s
+    train half): per document — word count, initial symbol count, and
+    post-merge BPE token count (every encoded char = one token, since
+    merges stay single-byte), plus the exact-division compression
+    ratio n_syms / n_bpe_tokens.
+
+    Two corpus passes, no shuffle on the second: (1) the shared
+    one-exchange distributed word count feeds the bounded, gated merge
+    learning; (2) the distinct-word -> encoded-length map (vocab-sized,
+    broadcast ONCE via ray.put and memoized per worker through
+    ``get_broadcast``) rides a stateless map_batches over documents —
+    doc_id is the row key, so per-doc stats need no exchange. Every
+    corpus word is in the vocab by construction (same WORD_RE + lower
+    pass built it). Docs with zero words are dropped (oracle inner-join
+    semantics)."""
+    from ..functions.broadcast import get_broadcast
+    from ..stages.textops import WORD_RE, apply_bpe_merges, learn_bpe_merges
+
+    wc = _bpe_word_counts(sf_dir, vocab_gate)
+    merges = learn_bpe_merges(wc.word.tolist(), wc.n.to_numpy(np.int64), k=k)
+    encoded = apply_bpe_merges(wc.word.tolist(), merges.pair.tolist())
+    enc_len = {w: len(e) for w, e in zip(wc.word.tolist(), encoded)}
+    enc_ref = ray.put(enc_len)
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "n_words": pd.Series([], dtype=np.int64),
+            "n_syms": pd.Series([], dtype=np.int64),
+            "n_bpe_tokens": pd.Series([], dtype=np.int64),
+            "compression": pd.Series([], dtype=np.float64)})
+        if not len(b):
+            return empty
+        lists = b.text.fillna("").astype(str).str.lower().str.findall(WORD_RE)
+        n_words = lists.map(len).to_numpy(np.int64)
+        keep = n_words > 0
+        if not keep.any():
+            return empty
+        enc = get_broadcast(enc_ref)
+        reps = n_words[keep]
+        flat = pd.Series(np.concatenate(
+            [np.asarray(ws, dtype=object)
+             for ws, kp in zip(lists, keep) if kp]), dtype=object)
+        seg = np.repeat(np.arange(len(reps)), reps)
+        n_syms = np.bincount(
+            seg, weights=flat.str.len().to_numpy(np.int64)).astype(np.int64)
+        n_bpe = np.bincount(
+            seg, weights=flat.map(enc).to_numpy(np.int64)).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": b.doc_id.to_numpy(np.int64)[keep],
+            "n_words": reps,
+            "n_syms": n_syms,
+            "n_bpe_tokens": n_bpe,
+            "compression": n_syms.astype(np.float64) / n_bpe})
+
+    return docs.map_batches(fn, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:

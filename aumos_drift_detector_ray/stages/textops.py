@@ -614,3 +614,17 @@ def learn_bpe_merges(words: "list[str]", counts: np.ndarray,
             "pair": pd.Series([], dtype=object),
             "pair_count": pd.Series([], dtype=np.int64),
             "expansion": pd.Series([], dtype=object)})
+
+
+def apply_bpe_merges(words: "list[str]", pairs: "list[str]") -> "list[str]":
+    """Apply learned BPE merges (in rank order) to each word: merge i
+    replaces its 2-char pair with chr('A'+i) via leftmost
+    non-overlapping ``str.replace`` — the exact apply convention of
+    ``learn_bpe_merges`` and of the SQL oracle's unrolled replace()
+    stages, so encoded length == BPE token count (all symbols stay
+    single-byte)."""
+    out = list(words)
+    for i, p in enumerate(pairs):
+        ch = chr(ord("A") + i)
+        out = [w.replace(p, ch) for w in out]
+    return out

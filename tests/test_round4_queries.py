@@ -485,3 +485,49 @@ class TestBpeMerges:
         assert got.pair.tolist() == ["ab"] and len(got) == 1
         empty = learn_bpe_merges(["a", "b"], np.array([2, 3]), k=5)
         assert len(empty) == 0
+
+    def test_apply_matches_training_final_state(self, ray_session):
+        """apply_bpe_merges replays the same leftmost-non-overlapping
+        replaces the trainer did, so applying the learned merges to the
+        training vocab reproduces the trainer's final encoded words."""
+        from aumos_drift_detector_ray.stages.textops import (
+            apply_bpe_merges, learn_bpe_merges)
+
+        rng = np.random.default_rng(23)
+        alpha = list("abcd'")
+        words = list({"".join(rng.choice(alpha, rng.integers(1, 9)))
+                      for _ in range(200)})
+        counts = rng.integers(1, 30, len(words)).astype(np.int64)
+        merges = learn_bpe_merges(words, counts, k=6)
+        # brute: replay the replace chain by hand
+        ws = list(words)
+        for i, p in enumerate(merges.pair):
+            ws = [w.replace(p, chr(ord("A") + i)) for w in ws]
+        assert apply_bpe_merges(words, merges.pair.tolist()) == ws
+
+
+class TestBpeTokenizedDocStats:
+    def test_invariants_and_conservation(self, ray_session):
+        """Per-doc BPE tokenization stats: symbol count >= token count
+        >= word count (each merge shrinks, each word is >= 1 token),
+        compression is the exact ratio, and the summed word/symbol
+        counts conserve against an independent corpus-side count."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.bpe_tokenized_doc_stats(SF)
+        assert len(out) > 0
+        assert (out.n_syms >= out.n_bpe_tokens).all()
+        assert (out.n_bpe_tokens >= out.n_words).all()
+        assert np.allclose(out.compression,
+                           out.n_syms / out.n_bpe_tokens)
+        docs = pd.read_parquet(os.path.join(SF, "documents.parquet"),
+                               columns=["doc_id", "text"])
+        lists = docs.text.fillna("").str.lower().str.findall(WORD_RE)
+        nw = lists.map(len)
+        want_words = int(nw.sum())
+        want_syms = int(lists.map(lambda ws: sum(map(len, ws))).sum())
+        assert int(out.n_words.sum()) == want_words
+        assert int(out.n_syms.sum()) == want_syms
+        # inner-join semantics: zero-word docs are absent
+        assert set(out.doc_id) == set(docs.doc_id[nw > 0])

@@ -153,7 +153,7 @@ DOC_QUERIES = [
     "dup_ngram_grams", "doc_dup_span_coverage", "doc_dup_span_stats",
     # round-4 session 4: bigram-LM count-space quality scoring + BPE
     # merge learning (full merge-loop parity vs the unrolled SQL)
-    "bigram_lm_doc_scores", "bpe_merge_table",
+    "bigram_lm_doc_scores", "bpe_merge_table", "bpe_tokenized_doc_stats",
 ]
 
 
