@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_table": Q.bpe_merge_table,
         "order_window_overlap_stats": Q.order_window_overlap_stats,
         "bpe_tokenized_doc_stats": Q.bpe_tokenized_doc_stats,
+        "shingle_cosine_pairs": Q.shingle_cosine_pairs,
     }
 
 
@@ -683,6 +684,45 @@ def _oracle_sql_raw() -> dict[str, str]:
         **_text_oracles(),
         "bpe_merge_table": _bpe_merge_sql(8),
         "bpe_tokenized_doc_stats": _bpe_tokenize_sql(8),
+        # count-space shingle cosine: integers end-to-end, the threshold
+        # cross-multiplied in HUGEINT, cosine one exactly-rounded fp op
+        # (same shingle convention as dup_ngram_grams: single-space
+        # split, NUL stripped, 8-token grams)
+        "shingle_cosine_pairs": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split(replace(text, chr(0), ''), ' ') AS toks
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(toks) - 7, 0)),
+                           i -> array_to_string(toks[i:i+7], ' '))) AS gram
+                FROM t
+            ),
+            tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+                   FROM g GROUP BY doc_id, gram),
+            keep AS (SELECT gram FROM tf GROUP BY gram
+                     HAVING count(*) <= 50),
+            v AS (SELECT tf.* FROM tf JOIN keep USING (gram)),
+            nrm AS (SELECT doc_id, CAST(sum(c*c) AS BIGINT) AS nn
+                    FROM v GROUP BY doc_id),
+            d AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                         CAST(sum(x.c * y.c) AS BIGINT) AS dot
+                  FROM v x JOIN v y
+                  ON x.gram = y.gram AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2)
+            SELECT d.doc_a, d.doc_b, d.dot,
+                   na.nn AS norm_a, nb.nn AS norm_b,
+                   d.dot / sqrt(CAST(na.nn AS DOUBLE)
+                                * CAST(nb.nn AS DOUBLE)) AS cosine
+            FROM d JOIN nrm na ON d.doc_a = na.doc_id
+                   JOIN nrm nb ON d.doc_b = nb.doc_id
+            WHERE CAST(d.dot AS HUGEINT) * d.dot * 4
+                  >= CAST(1 AS HUGEINT) * na.nn * nb.nn
+            ORDER BY doc_a, doc_b
+        """,
         "events_type_hour_pivot": """
             SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hour_of_day,
                    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,

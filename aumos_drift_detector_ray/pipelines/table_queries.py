@@ -5726,6 +5726,182 @@ def bpe_tokenized_doc_stats(sf_dir: str, k: int = 8,
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def _segment_pairs(sizes: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """All within-segment index pairs (i < j) for contiguous segments of
+    the given sizes, fully vectorized (no per-segment Python): row j
+    with local index l pairs as the RIGHT element with its l
+    predecessors, so total pairs = sum l."""
+    sizes = sizes.astype(np.int64)
+    tot = int(sizes.sum())
+    if not len(sizes) or tot == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
+    loc = np.arange(tot, dtype=np.int64) - np.repeat(starts, sizes)
+    right = np.repeat(np.arange(tot, dtype=np.int64), loc)
+    csum = np.concatenate(([0], np.cumsum(loc)[:-1])).astype(np.int64)
+    off = np.arange(len(right), dtype=np.int64) - np.repeat(csum, loc)
+    left = np.repeat(np.repeat(starts, sizes), loc) + off
+    return left, right
+
+
+def shingle_cosine_pairs(sf_dir: str, n: int = 8, df_limit: int = 50,
+                         t_num: int = 1, t_den: int = 2) -> pd.DataFrame:
+    """Count-space cosine similarity between document shingle vectors —
+    the weighted cousin of n-gram Jaccard near-dup: each doc is the
+    vector of its token n-gram occurrence counts over the df-pruned
+    shingle space (grams in <= ``df_limit`` docs; shingles are near-
+    unique so pruning drops only degenerate hot grams), and pairs with
+    cosine >= t_num/t_den survive. EVERYTHING is integer until the last
+    step: dot products and norms are exact int64 sums (order-free, so
+    the distributed fold cannot drift), the threshold is the cross-
+    multiplied predicate dot^2 * t_den^2 >= t_num^2 * norm_a * norm_b
+    evaluated in arbitrary-precision Python ints (mirroring SQL
+    HUGEINT), and the reported cosine is a single exactly-rounded
+    fp division+sqrt on both sides — bit-exact, no rounding contract.
+
+    Scale shape (inverted-index candidate join, the standard near-dup
+    topology): one corpus pass emits the (gram, doc, cnt) exchange
+    relation (textops.ngram_doc_pairs, a doc never spans blocks);
+    per-gram-bucket groups fold pair partials (a, b, cnt_a*cnt_b) for
+    grams with df <= df_limit — fanout bounded by C(df_limit, 2) per
+    gram — plus per-(bucket, doc) norm partials. The materialized
+    intermediate holds int64 scalars only (bounded candidate partials +
+    <= one norm row per bucket x doc). A pair-keyed exchange sums dots,
+    a doc-keyed exchange sums norms, and two partitioned hash_joins
+    attach norms to the bounded pair table; only threshold survivors
+    reach the driver."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+    from ..stages.textops import ngram_doc_pairs
+
+    empty = pd.DataFrame({
+        "doc_a": pd.Series([], dtype=np.int64),
+        "doc_b": pd.Series([], dtype=np.int64),
+        "dot": pd.Series([], dtype=np.int64),
+        "norm_a": pd.Series([], dtype=np.int64),
+        "norm_b": pd.Series([], dtype=np.int64),
+        "cosine": pd.Series([], dtype=np.float64)})
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    rel = ngram_doc_pairs(ds, n=n)
+
+    part_cols = {"a": np.int64, "b": np.int64, "v": np.int64,
+                 "kind": np.int64}
+
+    def _empty_parts() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in part_cols.items()})
+
+    def per_gram_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return _empty_parts()
+        g = g.sort_values(["gram", "doc_id"], kind="stable")
+        sizes = g.groupby("gram", sort=False).size().to_numpy(np.int64)
+        keep_grp = sizes <= df_limit
+        gk = g[np.repeat(keep_grp, sizes)]
+        if not len(gk):
+            return _empty_parts()
+        doc = gk.doc_id.to_numpy(np.int64)
+        cnt = gk.cnt.to_numpy(np.int64)
+        out = [pd.DataFrame({"a": doc, "v": cnt * cnt})
+               .groupby("a", as_index=False).agg(v=("v", "sum"))
+               .assign(b=np.int64(-1), kind=np.int64(1))]
+        li, ri = _segment_pairs(sizes[keep_grp])
+        if len(li):
+            # doc_id ascending + distinct within a gram group => a < b
+            out.append(pd.DataFrame({
+                "a": doc[li], "b": doc[ri], "v": cnt[li] * cnt[ri]})
+                .groupby(["a", "b"], as_index=False).agg(v=("v", "sum"))
+                .assign(kind=np.int64(0)))
+        return pd.concat(out)[list(part_cols)]
+
+    parts = rel.groupby("bucket").map_groups(
+        per_gram_bucket, batch_format="pandas").materialize()
+    if parts.count() == 0:
+        return empty
+
+    n_buckets = 64
+
+    def bucket_pairs(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b.kind == 0]
+        a = k.a.to_numpy(np.int64)
+        bb = k.b.to_numpy(np.int64)
+        h = hash64(hash64(a.view(np.uint64)) ^ bb.view(np.uint64))
+        return pd.DataFrame({
+            "a": a, "b": bb, "v": k.v.to_numpy(np.int64),
+            "bucket": (h % np.uint64(n_buckets)).astype(np.int64)})
+
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["a", "b"], as_index=False).agg(dot=("v", "sum"))
+        out["dot"] = out["dot"].astype("int64")
+        return out[["a", "b", "dot"]]
+
+    dots = parts.map_batches(bucket_pairs, batch_format="pandas") \
+        .groupby("bucket").map_groups(sum_pairs, batch_format="pandas")
+
+    def bucket_norms(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b.kind == 1]
+        a = k.a.to_numpy(np.int64)
+        return pd.DataFrame({
+            "a": a, "v": k.v.to_numpy(np.int64),
+            "bucket": (hash64(a.view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)})
+
+    def sum_norms(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("a", as_index=False).agg(nn=("v", "sum"))
+        out["nn"] = out.nn.astype("int64")
+        return out[["a", "nn"]]
+
+    norms = parts.map_batches(bucket_norms, batch_format="pandas") \
+        .groupby("bucket").map_groups(sum_norms, batch_format="pandas")
+
+    j1 = hash_join(
+        dots, norms, key="a",
+        left_fields={"a": pa.int64(), "b": pa.int64(), "dot": pa.int64()},
+        right_fields={"a": pa.int64(), "nn": pa.int64()})
+    def _rename(mapping: "dict[str, str]"):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [mapping.get(c, c) for c in t.column_names])
+        return fn
+
+    j1b = j1.map_batches(_rename({"a": "doc_a", "r_nn": "norm_a"}),
+                         batch_format="pyarrow")
+    norms_b = norms.map_batches(_rename({"a": "b"}),
+                                batch_format="pyarrow")
+    j2 = hash_join(
+        j1b, norms_b, key="b",
+        left_fields={"doc_a": pa.int64(), "b": pa.int64(),
+                     "dot": pa.int64(), "norm_a": pa.int64()},
+        right_fields={"b": pa.int64(), "nn": pa.int64()})
+
+    t2n, t2d = t_num * t_num, t_den * t_den
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        d = b["dot"].to_numpy(np.int64)
+        na = b["norm_a"].to_numpy(np.int64)
+        nb = b["r_nn"].to_numpy(np.int64)
+        # arbitrary-precision predicate (SQL HUGEINT parity; int64
+        # dot^2 could overflow on adversarial heavy-repeat corpora)
+        ok = np.fromiter(
+            (int(x) * int(x) * t2d >= t2n * int(p) * int(q)
+             for x, p, q in zip(d, na, nb)), dtype=bool, count=len(d))
+        k = b[ok]
+        na, nb, d = na[ok], nb[ok], d[ok]
+        return pd.DataFrame({
+            "doc_a": k["doc_a"].to_numpy(np.int64),
+            "doc_b": k["b"].to_numpy(np.int64),
+            "dot": d, "norm_a": na, "norm_b": nb,
+            "cosine": d / np.sqrt(na.astype(np.float64)
+                                  * nb.astype(np.float64))})
+
+    out = j2.map_batches(finish, batch_format="pandas").to_pandas()
+    if not len(out):
+        return empty
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
     """Interval-overlap join statistics via
     ``joins.interval_overlap_join``: open ('O') orders get a 10-day

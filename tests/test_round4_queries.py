@@ -531,3 +531,41 @@ class TestBpeTokenizedDocStats:
         assert int(out.n_syms.sum()) == want_syms
         # inner-join semantics: zero-word docs are absent
         assert set(out.doc_id) == set(docs.doc_id[nw > 0])
+
+
+class TestShingleCosinePairs:
+    def test_segment_pairs_enumeration(self):
+        from aumos_drift_detector_ray.pipelines.table_queries import \
+            _segment_pairs
+
+        import itertools
+        sizes = np.array([3, 1, 0, 4, 2], dtype=np.int64)
+        li, ri = _segment_pairs(sizes)
+        got = set(zip(li.tolist(), ri.tolist()))
+        want, off = set(), 0
+        for s in sizes:
+            want |= set(itertools.combinations(range(off, off + s), 2))
+            off += s
+        assert got == want and len(li) == len(want)
+        li0, ri0 = _segment_pairs(np.array([], dtype=np.int64))
+        assert len(li0) == 0 and len(ri0) == 0
+
+    def test_invariants(self, ray_session):
+        """Pairs are ordered and unique, integer parts satisfy the
+        cross-multiplied threshold exactly, and cosine is the single
+        fp op over the integer parts (Cauchy-Schwarz bounds dot)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.shingle_cosine_pairs(SF)
+        assert len(out) > 0
+        assert (out.doc_a < out.doc_b).all()
+        assert not out.duplicated(["doc_a", "doc_b"]).any()
+        for _, r in out.iterrows():
+            d, na, nb = int(r["dot"]), int(r.norm_a), int(r.norm_b)
+            assert d * d * 4 >= na * nb          # t = 1/2 predicate
+            assert d * d <= na * nb              # Cauchy-Schwarz
+        assert np.array_equal(
+            out.cosine.to_numpy(),
+            out["dot"].to_numpy(np.int64)
+            / np.sqrt(out.norm_a.to_numpy(np.float64)
+                      * out.norm_b.to_numpy(np.float64)))

@@ -154,6 +154,7 @@ DOC_QUERIES = [
     # round-4 session 4: bigram-LM count-space quality scoring + BPE
     # merge learning (full merge-loop parity vs the unrolled SQL)
     "bigram_lm_doc_scores", "bpe_merge_table", "bpe_tokenized_doc_stats",
+    "shingle_cosine_pairs",
 ]
 
 
@@ -319,14 +320,15 @@ def main(seed: int = 0, n: int = 4000) -> None:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    if args and args[0] == "--docs":
-        rest = args[1:]
-        main_docs(int(rest[0]) if rest else 0,
-                  int(rest[1]) if len(rest) > 1 else 400)
-    elif args and args[0] == "--emb":
-        rest = args[1:]
-        main_emb(int(rest[0]) if rest else 0,
-                 int(rest[1]) if len(rest) > 1 else 400)
+    flags = [a for a in args if a.startswith("--")]
+    rest = [a for a in args if not a.startswith("--")]
+    unknown = [f for f in flags if f not in ("--docs", "--emb")]
+    if unknown:
+        sys.exit(f"fuzz_oracle: unknown flag(s) {unknown}")
+    seed = int(rest[0]) if rest else 0
+    if "--docs" in flags:
+        main_docs(seed, int(rest[1]) if len(rest) > 1 else 400)
+    elif "--emb" in flags:
+        main_emb(seed, int(rest[1]) if len(rest) > 1 else 400)
     else:
-        main(int(args[0]) if args else 0,
-             int(args[1]) if len(args) > 1 else 4000)
+        main(seed, int(rest[1]) if len(rest) > 1 else 4000)
