@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_window_overlap_stats": Q.order_window_overlap_stats,
         "bpe_tokenized_doc_stats": Q.bpe_tokenized_doc_stats,
         "shingle_cosine_pairs": Q.shingle_cosine_pairs,
+        "tpch_q18_large_orders": Q.tpch_q18_large_orders,
+        "tpch_q10_returned_items": Q.tpch_q10_returned_items,
     }
 
 
@@ -1420,6 +1422,42 @@ def _oracle_sql_raw() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1998-01-01'
               AND o.o_orderdate <  TIMESTAMP '1999-01-01'
             GROUP BY 1 ORDER BY revenue DESC, n_name
+        """,
+        # Q18: quantities are integral doubles so sum(l_quantity) is
+        # exact; BIGINT threshold compare = engine's int64 count space
+        "tpch_q18_large_orders": """
+            WITH s AS (
+                SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+                FROM lineitem GROUP BY 1
+                HAVING CAST(sum(l_quantity) AS BIGINT) > 250
+            )
+            SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, CAST(s.qty AS DOUBLE) AS sum_qty
+            FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
+                   JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        # Q10: revenue folded in cents*100 ints (engine space); the
+        # ORDER BY uses the int to avoid fp-tie divergence
+        "tpch_q10_returned_items": """
+            WITH li AS (
+                SELECT l_orderkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev_c
+                FROM lineitem WHERE l_returnflag = 'R'),
+            s AS (
+                SELECT o.o_custkey AS c_custkey,
+                       CAST(sum(li.rev_c) AS BIGINT) AS rev_c
+                FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+                WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT s.c_custkey, c.c_name,
+                   CAST(s.rev_c AS DOUBLE) / 10000.0 AS revenue,
+                   c.c_acctbal, n.n_name
+            FROM s JOIN customer c ON c.c_custkey = s.c_custkey
+                   JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ORDER BY s.rev_c DESC, s.c_custkey LIMIT 20
         """,
         "tpch_q6_revenue_delta": """
             -- discount band over CENTS ints (identical rounding to the

@@ -5902,6 +5902,187 @@ def shingle_cosine_pairs(sf_dir: str, n: int = 8, df_limit: int = 50,
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def tpch_q18_large_orders(sf_dir: str, qty_threshold: int = 250,
+                          k: int = 100) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume customer orders): orders whose
+    lineitem quantity total exceeds ``qty_threshold``, with the
+    customer's name, top-``k`` by order value. Scale plan: per-block
+    PARTIAL order-quantity sums shrink the lineitem exchange to
+    distinct orderkeys per block before the bucketed groupby
+    (quantities are integral doubles, so the fold runs in exact int64
+    count space); the heavy-order survivors — selectivity-bounded but
+    NOT assumed driver-bounded at 10^12 rows — join orders through the
+    partitioned ``hash_join``; the final top-k is per-block k + a
+    driver merge of <= k x blocks rows, and customer names resolve
+    with a broadcast semi-join on the <= k winning custkeys (never a
+    full-customer broadcast or shuffle). Exercises the reference's
+    threshold-rollup dashboard capability (repositories.py:291-359) as
+    the classic Q18."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    empty = pd.DataFrame({
+        "c_name": pd.Series([], dtype=object),
+        "o_custkey": pd.Series([], dtype=np.int64),
+        "o_orderkey": pd.Series([], dtype=np.int64),
+        "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+        "o_totalprice": pd.Series([], dtype=np.float64),
+        "sum_qty": pd.Series([], dtype=np.float64)})
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "qty": round_half_away(
+                b.l_quantity.to_numpy()).astype(np.int64)}) \
+            .groupby("o_orderkey", as_index=False).agg(qty=("qty", "sum"))
+        g["bucket"] = (hash64(g.o_orderkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_orderkey", as_index=False).agg(qty=("qty", "sum"))
+        m = m[m.qty > qty_threshold]
+        m["qty"] = m.qty.astype("int64")
+        return m[["o_orderkey", "qty"]]
+
+    big = li.map_batches(partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(fold, batch_format="pandas")
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_totalprice",
+                               "o_orderdate"])
+    j = hash_join(orders, big, "o_orderkey", n_buckets=16,
+                  right_fields={"o_orderkey": pa.int64(),
+                                "qty": pa.int64()})
+
+    def block_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(k)
+
+    top = j.map_batches(block_topk, batch_format="pandas").to_pandas()
+    if not len(top):
+        return empty
+    top = top.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+
+    # <= k winner keys: tiny enough to ride the task closure (an arrow
+    # filter keeps empty blocks arrow-typed — no object-dtype empties)
+    keys = pa.array(sorted(set(top.o_custkey.astype(int))), type=pa.int64())
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    names = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey",
+                    how="left")
+    return pd.DataFrame({
+        "c_name": out.c_name.astype(object),
+        "o_custkey": out.o_custkey.astype("int64"),
+        "o_orderkey": out.o_orderkey.astype("int64"),
+        "o_orderdate": out.o_orderdate,
+        "o_totalprice": out.o_totalprice.astype("float64"),
+        "sum_qty": out.r_qty.to_numpy(np.int64).astype(np.float64),
+    }).reset_index(drop=True)
+
+
+def tpch_q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to
+    returned lineitems ('R') for orders placed in 1997-Q1, per
+    customer, top-``k`` with name / account balance / nation. Scale
+    plan: the returned-lineitem scan pre-aggregates exact cents-int
+    revenue per orderkey inside each block; the bucketed ``hash_join``
+    against the date-filtered orders projection resolves custkeys; a
+    custkey-bucketed exchange folds per-customer revenue; top-k is
+    per-block k + driver merge; customer attributes resolve with a
+    broadcast semi-join on the <= k winners and nation names ride the
+    fixed 25-row broadcast dict (q5 convention). Revenue stays int64
+    cents through every fold — the fp division happens once on the
+    final k rows (oracle-identical)."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    empty = pd.DataFrame({
+        "c_custkey": pd.Series([], dtype=np.int64),
+        "c_name": pd.Series([], dtype=object),
+        "revenue": pd.Series([], dtype=np.float64),
+        "c_acctbal": pd.Series([], dtype=np.float64),
+        "n_name": pd.Series([], dtype=object)})
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                           "l_discount"])
+
+    def li_part(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.l_returnflag == "R"]
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "rev_c": round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                * 10000).astype(np.int64)}) \
+            .groupby("o_orderkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    ord_f = sf_table(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda b: b.loc[(b.o_orderdate >= LO) & (b.o_orderdate < HI),
+                            ["o_orderkey", "o_custkey"]],
+            batch_format="pandas")
+
+    j = hash_join(
+        li.map_batches(li_part, batch_format="pandas", batch_size=65536),
+        ord_f, "o_orderkey", n_buckets=16,
+        left_fields={"o_orderkey": pa.int64(), "rev_c": pa.int64()},
+        right_fields={"o_orderkey": pa.int64(), "o_custkey": pa.int64()})
+
+    n_buckets = 32
+
+    def cust_part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"c_custkey": b.r_o_custkey.to_numpy(np.int64),
+                          "rev_c": b.rev_c.to_numpy(np.int64)}) \
+            .groupby("c_custkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        g["bucket"] = (hash64(g.c_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("c_custkey", as_index=False).agg(rev_c=("rev_c", "sum"))
+        m["rev_c"] = m.rev_c.astype("int64")
+        return m.sort_values(["rev_c", "c_custkey"],
+                             ascending=[False, True]).head(k)
+
+    top = j.map_batches(cust_part, batch_format="pandas") \
+        .groupby("bucket").map_groups(fold_topk, batch_format="pandas") \
+        .to_pandas()
+    if not len(top) or "c_custkey" not in top.columns:
+        return empty
+    top = top.sort_values(["rev_c", "c_custkey"],
+                          ascending=[False, True]).head(k)
+
+    keys = pa.array(sorted(set(top.c_custkey.astype(int))), type=pa.int64())
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_name", "c_acctbal",
+                             "c_nationkey"])
+    attrs = cust.map_batches(
+        lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=keys)),
+        batch_format="pyarrow").to_pandas()
+    nat = sf_table(sf_dir, "nation").to_pandas()
+    nk_name = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    out = top.merge(attrs, on="c_custkey", how="left")
+    return pd.DataFrame({
+        "c_custkey": out.c_custkey.astype("int64"),
+        "c_name": out.c_name.astype(object),
+        "revenue": out.rev_c.to_numpy(np.int64).astype(np.float64) / 10000.0,
+        "c_acctbal": out.c_acctbal.astype("float64"),
+        "n_name": out.c_nationkey.astype(int).map(nk_name).astype(object),
+    }).reset_index(drop=True)
+
+
 def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
     """Interval-overlap join statistics via
     ``joins.interval_overlap_join``: open ('O') orders get a 10-day

@@ -569,3 +569,36 @@ class TestShingleCosinePairs:
             out["dot"].to_numpy(np.int64)
             / np.sqrt(out.norm_a.to_numpy(np.float64)
                       * out.norm_b.to_numpy(np.float64)))
+
+
+class TestTpchQ18Q10:
+    def test_q18_threshold_and_order(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q18_large_orders(SF)
+        assert len(out) > 0
+        assert (out.sum_qty > 250).all()
+        # top-k order: totalprice desc, orderkey asc on ties
+        v = list(zip(-out.o_totalprice, out.o_orderkey))
+        assert v == sorted(v)
+        assert out.c_name.notna().all()
+
+    def test_q10_revenue_matches_brute(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q10_returned_items(SF)
+        li = pd.read_parquet(os.path.join(SF, "lineitem.parquet"))
+        o = pd.read_parquet(os.path.join(SF, "orders.parquet"))
+        li = li[li.l_returnflag == "R"]
+        j = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        j = j[(j.o_orderdate >= "1997-01-01") & (j.o_orderdate < "1997-04-01")]
+        rev_c = np.round(
+            (j.l_extendedprice * (1 - j.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        want = pd.DataFrame({"c": j.o_custkey.to_numpy(), "r": rev_c}) \
+            .groupby("c").r.sum().sort_values(ascending=False)
+        assert len(out) == min(20, len(want))
+        got = dict(zip(out.c_custkey,
+                       np.round(out.revenue * 10000).astype(np.int64)))
+        for ck, rc in got.items():
+            assert want[ck] == rc
