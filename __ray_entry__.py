@@ -969,8 +969,10 @@ def _oracle_sql_raw() -> dict[str, str]:
                                      [0.25, 0.5, 0.75, 0.95, 0.99]) AS v
                 FROM lineitem
             )
+            -- bit-exact: the engine interpolates with DuckDB's own
+            -- lo*(1-f)+hi*f evaluation, so no rounding contract
             SELECT unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS p,
-                   CAST(round(unnest(v), 9) AS DOUBLE) AS value
+                   unnest(v) AS value
             FROM q
         """,
         "value_quantiles_per_type": """
@@ -981,7 +983,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT event_type,
                    unnest([0.25, 0.5, 0.75]) AS p,
-                   CAST(round(unnest(v), 9) AS DOUBLE) AS value
+                   unnest(v) AS value
             FROM q ORDER BY event_type, p
         """,
         "doc_token_stats": """

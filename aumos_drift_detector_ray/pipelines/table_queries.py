@@ -413,9 +413,11 @@ def lineitem_price_quantiles(sf_dir: str) -> pd.DataFrame:
     vals = exact_quantiles(
         sf_table(sf_dir, "lineitem", columns=["l_extendedprice"]),
         "l_extendedprice", probs)
+    # bit-exact vs quantile_cont (shared lo*(1-f)+hi*f evaluation) —
+    # no rounding contract needed
     return pd.DataFrame({
         "p": np.asarray(probs, dtype="float64"),
-        "value": round_half_away(np.asarray(vals, dtype="float64"), 9),
+        "value": np.asarray(vals, dtype="float64"),
     })
 
 
@@ -428,7 +430,6 @@ def value_quantiles_per_type(sf_dir: str) -> pd.DataFrame:
     out = grouped_exact_quantiles(
         sf_events_clean(sf_dir, ["event_type", "value"]),
         "event_type", "value", [0.25, 0.5, 0.75])
-    out["value"] = round_half_away(out.value.to_numpy(), 9)
     return out.sort_values(["event_type", "p"]).reset_index(drop=True)
 
 

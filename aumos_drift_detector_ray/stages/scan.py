@@ -365,7 +365,12 @@ def exact_quantiles(
     val_by_rank = dict(zip(ranks["rank"], ranks["value"]))
     lo = np.array([val_by_rank[r] for r in lo_ranks])
     hi = np.array([val_by_rank[r] for r in hi_ranks])
-    return lo + (hi - lo) * (x - lo_ranks)
+    # DuckDB quantile_cont evaluates lo*(1-f) + hi*f (NOT the
+    # lo + (hi-lo)*f form numpy uses — the two differ by an ulp on
+    # large-magnitude values); matching the evaluation makes linear
+    # quantiles bit-exact vs the oracle with no rounding contract
+    f = x - lo_ranks
+    return lo * (1.0 - f) + hi * f
 
 
 def grouped_exact_quantiles(
@@ -475,10 +480,11 @@ def grouped_exact_quantiles(
         x = probs_arr * (total - 1)
         lo = np.floor(x).astype(np.int64)
         hi = np.ceil(x).astype(np.int64)
-        vals = np.array([val_by[(grp, r)] for r in lo]) + (
-            np.array([val_by[(grp, r)] for r in hi])
-            - np.array([val_by[(grp, r)] for r in lo])
-        ) * (x - lo)
+        # DuckDB's quantile_cont evaluation: lo*(1-f) + hi*f (bit-exact
+        # parity, no rounding contract — see exact_quantiles)
+        f = x - lo
+        vals = (np.array([val_by[(grp, r)] for r in lo]) * (1.0 - f)
+                + np.array([val_by[(grp, r)] for r in hi]) * f)
         for p, v in zip(probs_arr, vals):
             out_rows.append({group_col: grp, "p": float(p), "value": float(v)})
     return pd.DataFrame(out_rows)
