@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_cosine_pairs": Q.shingle_cosine_pairs,
         "tpch_q18_large_orders": Q.tpch_q18_large_orders,
         "tpch_q10_returned_items": Q.tpch_q10_returned_items,
+        "ohlc_resample_events": Q.ohlc_resample_events,
     }
 
 
@@ -581,6 +582,7 @@ _VALUE_CLEAN_QUERIES = [
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
+    "ohlc_resample_events",
 ]
 
 
@@ -1438,6 +1440,18 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
                    JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        # OHLC resample: all outputs are SELECTED input doubles (ordered
+        # first/last + extrema), bit-exact with no rounding contract
+        "ohlc_resample_events": """
+            SELECT event_type,
+                   epoch_us(ts) // 21600000000 AS bucket,
+                   first(value ORDER BY ts, event_id) AS "open",
+                   max(value) AS high,
+                   min(value) AS low,
+                   last(value ORDER BY ts, event_id) AS "close",
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
         """,
         # Q10: revenue folded in cents*100 ints (engine space); the
         # ORDER BY uses the int to avoid fp-tie divergence

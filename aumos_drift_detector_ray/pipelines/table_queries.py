@@ -6084,6 +6084,100 @@ def tpch_q10_returned_items(sf_dir: str, k: int = 20) -> pd.DataFrame:
     }).reset_index(drop=True)
 
 
+def ohlc_resample_events(sf_dir: str,
+                         bucket_us: int = 21_600_000_000) -> pd.DataFrame:
+    """OHLC time-bucket resample per event_type (6-hour buckets): open
+    and close are the values at the lexicographic min / max
+    (ts, event_id) row of the bucket (event_id is unique, so selection
+    is deterministic under ts ties), high/low the value extrema, n the
+    row count. Every output is a SELECTED input double — no arithmetic
+    — so the oracle compare is bit-exact with no rounding contract.
+
+    Scale shape: the classic mergeable arg-min/arg-max aggregate —
+    per-block partials reduce each (type, bucket) group to one
+    9-scalar row (open/close candidate keys + values, extrema, count);
+    one bucketed exchange folds partials with the same lexicographic
+    compare; the driver sees one row per (type, bucket). Mirrors the
+    reference's windowed metric rollups
+    (performance_monitor.py:149-295) as telemetry downsampling."""
+    from ..sketches import hash64, hash_any_array
+
+    n_buckets = 32
+    part_empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "bucket": pd.Series([], dtype=np.int64),
+        "o_ts": pd.Series([], dtype=np.int64),
+        "o_eid": pd.Series([], dtype=np.int64),
+        "open": pd.Series([], dtype=np.float64),
+        "c_ts": pd.Series([], dtype=np.int64),
+        "c_eid": pd.Series([], dtype=np.int64),
+        "close": pd.Series([], dtype=np.float64),
+        "low": pd.Series([], dtype=np.float64),
+        "high": pd.Series([], dtype=np.float64),
+        "n": pd.Series([], dtype=np.int64),
+        "xb": pd.Series([], dtype=np.int64)})
+
+    def _fold(d: pd.DataFrame) -> pd.DataFrame:
+        """Fold candidate rows: per (type, bucket), open from the
+        lexicographic-min (o_ts, o_eid) candidate, close from the
+        lexicographic-max (c_ts, c_eid) one."""
+        keys = ["event_type", "bucket"]
+        d = d.sort_values(keys + ["o_ts", "o_eid"], kind="stable")
+        ga = d.groupby(keys, as_index=False, sort=False).agg(
+            o_ts=("o_ts", "first"), o_eid=("o_eid", "first"),
+            open=("open", "first"), low=("low", "min"),
+            high=("high", "max"), n=("n", "sum"))
+        d = d.sort_values(keys + ["c_ts", "c_eid"], kind="stable")
+        gb = d.groupby(keys, as_index=False, sort=False).agg(
+            c_ts=("c_ts", "last"), c_eid=("c_eid", "last"),
+            close=("close", "last"))
+        out = ga.merge(gb, on=keys)
+        out["n"] = out.n.astype("int64")
+        return out[["event_type", "bucket", "o_ts", "o_eid", "open",
+                    "c_ts", "c_eid", "close", "low", "high", "n"]]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return part_empty
+        ts = b.ts.to_numpy("datetime64[us]").view(np.int64)
+        d = pd.DataFrame({
+            "event_type": b.event_type.to_numpy(object),
+            "bucket": ts // np.int64(bucket_us),
+            "o_ts": ts, "o_eid": b.event_id.to_numpy(np.int64),
+            "open": b.value.to_numpy(np.float64)})
+        d["c_ts"], d["c_eid"], d["close"] = d.o_ts, d.o_eid, d["open"]
+        d["low"], d["high"] = d["open"], d["open"]
+        d["n"] = np.int64(1)
+        out = _fold(d)
+        with np.errstate(over="ignore"):
+            out["xb"] = ((hash_any_array(out.event_type.tolist())
+                          ^ hash64(out.bucket.to_numpy(np.int64)
+                                   .view(np.uint64)))
+                         % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return _fold(g)
+
+    ds = sf_events_clean(sf_dir, ["event_id", "ts", "event_type", "value"])
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("xb").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    if not len(out) or "event_type" not in out.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "bucket": pd.Series([], dtype=np.int64),
+            "open": pd.Series([], dtype=np.float64),
+            "high": pd.Series([], dtype=np.float64),
+            "low": pd.Series([], dtype=np.float64),
+            "close": pd.Series([], dtype=np.float64),
+            "n": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["event_type", "bucket"]) \
+        .reset_index(drop=True)[["event_type", "bucket", "open", "high",
+                                 "low", "close", "n"]]
+
+
 def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
     """Interval-overlap join statistics via
     ``joins.interval_overlap_join``: open ('O') orders get a 10-day

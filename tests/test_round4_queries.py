@@ -571,6 +571,27 @@ class TestShingleCosinePairs:
                       * out.norm_b.to_numpy(np.float64)))
 
 
+class TestOhlcResample:
+    def test_matches_pandas_brute(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ohlc_resample_events(SF)
+        e = pd.read_parquet(os.path.join(SF, "events.parquet"),
+                            columns=["event_id", "ts", "event_type",
+                                     "value"])
+        e = e[e.value.notna()]
+        e["bucket"] = e.ts.astype("int64") // 21_600_000_000
+        e = e.sort_values(["event_type", "bucket", "ts", "event_id"])
+        want = e.groupby(["event_type", "bucket"], as_index=False).agg(
+            open=("value", "first"), high=("value", "max"),
+            low=("value", "min"), close=("value", "last"),
+            n=("value", "size"))
+        want["n"] = want.n.astype("int64")
+        pd.testing.assert_frame_equal(
+            out, want.sort_values(["event_type", "bucket"])
+            .reset_index(drop=True))
+
+
 class TestTpchQ18Q10:
     def test_q18_threshold_and_order(self, ray_session):
         from aumos_drift_detector_ray.pipelines import table_queries as Q
