@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18_large_orders": Q.tpch_q18_large_orders,
         "tpch_q10_returned_items": Q.tpch_q10_returned_items,
         "ohlc_resample_events": Q.ohlc_resample_events,
+        "event_cube_stats": Q.event_cube_stats,
     }
 
 
@@ -582,7 +583,7 @@ _VALUE_CLEAN_QUERIES = [
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
-    "ohlc_resample_events",
+    "ohlc_resample_events", "event_cube_stats",
 ]
 
 
@@ -1440,6 +1441,24 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM s JOIN orders o ON o.o_orderkey = s.l_orderkey
                    JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+        """,
+        # distributed CUBE: sentinels 'ALL'/-1 never collide with real
+        # keys; exact cents-int sums; same bounded-output slice
+        "event_cube_stats": """
+            WITH c AS (
+                SELECT coalesce(event_type, 'ALL') AS event_type,
+                       coalesce(user_id, -1) AS user_id,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS BIGINT) AS v_c
+                FROM events
+                GROUP BY CUBE (event_type, user_id)
+            )
+            SELECT event_type, user_id, n,
+                   CAST(v_c AS DOUBLE) / 100.0 AS sum_value
+            FROM c
+            WHERE user_id = -1 OR user_id % 13 = 0
+            ORDER BY event_type, user_id
         """,
         # OHLC resample: all outputs are SELECTED input doubles (ordered
         # first/last + extrema), bit-exact with no rounding contract

@@ -6178,6 +6178,72 @@ def ohlc_resample_events(sf_dir: str,
                                  "low", "close", "n"]]
 
 
+def event_cube_stats(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (event_type, user_id) — the distributed cube,
+    complementing order_rollup_stats' driver-derivable rollup: user_id
+    is high-cardinality, so the user-level grouping sets can NOT be
+    folded driver-side; instead every block derives all FOUR grouping
+    sets from its finest-grain partial (sentinels: event_type 'ALL',
+    user_id -1 — both domains never collide) and ONE hash-bucketed
+    exchange folds them, exactly the partial-cube expansion a
+    warehouse engine plans. Sums ride exact cents ints. The OUTPUT is
+    kept bounded with a deterministic slice (user rows where
+    user_id % 13 == 0, plus every type-level and grand-total row) —
+    the cube itself is computed in full."""
+    from ..sketches import hash64, hash_any_array
+
+    ds = sf_events_clean(sf_dir, ["event_type", "user_id", "value"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        fine = pd.DataFrame({
+            "event_type": b.event_type.to_numpy(object),
+            "user_id": b.user_id.to_numpy(np.int64),
+            "v_c": round_half_away(b.value.to_numpy(np.float64)
+                                   * 100).astype(np.int64)}) \
+            .groupby(["event_type", "user_id"], as_index=False).agg(
+                n=("v_c", "size"), v_c=("v_c", "sum"))
+        by_type = fine.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), v_c=("v_c", "sum")).assign(user_id=np.int64(-1))
+        by_user = fine.groupby("user_id", as_index=False).agg(
+            n=("n", "sum"), v_c=("v_c", "sum")).assign(event_type="ALL")
+        grand = pd.DataFrame({
+            "event_type": ["ALL"], "user_id": [np.int64(-1)],
+            "n": [fine.n.sum()], "v_c": [fine.v_c.sum()]})
+        out = pd.concat([fine, by_type, by_user, grand],
+                        ignore_index=True)[
+            ["event_type", "user_id", "n", "v_c"]]
+        with np.errstate(over="ignore"):
+            out["bucket"] = ((hash_any_array(out.event_type.tolist())
+                              ^ hash64(out.user_id.to_numpy(np.int64)
+                                       .view(np.uint64)))
+                             % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "user_id"], as_index=False).agg(
+            n=("n", "sum"), v_c=("v_c", "sum"))
+        # bounded-output slice (computation above is the full cube)
+        m = m[(m.user_id == -1) | (m.user_id % 13 == 0)]
+        m["n"] = m.n.astype("int64")
+        m["v_c"] = m.v_c.astype("int64")
+        return m
+
+    out = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    if not len(out) or "event_type" not in out.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "user_id": pd.Series([], dtype=np.int64),
+            "n": pd.Series([], dtype=np.int64),
+            "sum_value": pd.Series([], dtype=np.float64)})
+    out["sum_value"] = out.v_c.to_numpy(np.int64).astype(np.float64) / 100.0
+    return out.drop(columns=["v_c"]) \
+        .sort_values(["event_type", "user_id"]).reset_index(drop=True)
+
+
 def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
     """Interval-overlap join statistics via
     ``joins.interval_overlap_join``: open ('O') orders get a 10-day
