@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q10_returned_items": Q.tpch_q10_returned_items,
         "ohlc_resample_events": Q.ohlc_resample_events,
         "event_cube_stats": Q.event_cube_stats,
+        "neardup_triangle_stats": Q.neardup_triangle_stats,
     }
 
 
@@ -1675,6 +1676,47 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # same ground-truth pair graph as neardup_clusters; triangles
+        # by 3-way self-join on the canonical a<b<c ordering, credited
+        # to each corner; degree over the symmetric edge set
+        "neardup_triangle_stats": """
+            WITH sh AS MATERIALIZED (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(text) - 3, 2)),
+                           i -> substr(text, i, 5))) AS s
+                FROM documents
+            ),
+            pairs AS MATERIALIZED (
+                SELECT CAST(a.doc_id AS BIGINT) AS ia,
+                       CAST(b.doc_id AS BIGINT) AS ib
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(a.s || b.s)), 9) >= 0.8
+            ),
+            edges AS (
+                SELECT ia AS a, ib AS b FROM pairs
+                UNION SELECT ib, ia FROM pairs),
+            deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS degree
+                    FROM edges GROUP BY a),
+            tri AS (
+                SELECT p.ia AS a, p.ib AS b, q.ib AS c
+                FROM pairs p
+                JOIN pairs q ON q.ia = p.ib
+                JOIN pairs r ON r.ia = p.ia AND r.ib = q.ib
+            ),
+            tc AS (
+                SELECT n, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT a AS n FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+                GROUP BY n
+            )
+            SELECT d.n AS doc_id, d.degree,
+                   coalesce(tc.n_triangles, 0) AS n_triangles
+            FROM deg d LEFT JOIN tc ON tc.n = d.n
+            ORDER BY doc_id
         """,
         "completeness_report": _completeness_oracle(),
         "order_count_histogram": """

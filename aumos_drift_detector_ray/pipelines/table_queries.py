@@ -28,6 +28,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import stats
+from ..functions.arrays import segment_pairs as _segment_pairs
 from ..functions.rounding import round_half_away
 from ..sources.reader import sf_table
 from ..stages import dedup as dedup_mod
@@ -3322,6 +3323,25 @@ def neardup_clusters(sf_dir: str) -> pd.DataFrame:
     return cluster_sizes(pairs, "id_a", "id_b")
 
 
+def neardup_triangle_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document triangle counts over the verified near-dup pair
+    graph — the density signal that separates a true duplicate CLUSTER
+    (near-clique: triangles everywhere) from chains of borderline
+    pairs (no triangles), which dedup keep-policies treat differently.
+    Engine: LSH candidates -> distributed exact verify
+    (verified_neardup_pairs) -> stages/graph.triangle_counts (driver
+    adjacency-intersection under DRIVER_TRI_GATE pairs; degree-oriented
+    distributed wedge-join above it — pytest-pinned output-identical).
+    The SQL oracle recomputes the ground-truth all-pairs Jaccard graph
+    and counts triangles by 3-way self-join, so a green row proves
+    recall, exact verify AND the triangle fold. Integers — bit-exact."""
+    from ..stages.graph import triangle_counts
+
+    pairs = verified_neardup_pairs(sf_dir)
+    out = triangle_counts(pairs, "id_a", "id_b")
+    return out.rename(columns={"node": "doc_id"})
+
+
 def session_funnel_counts(sf_dir: str) -> pd.DataFrame:
     """Sessionized funnel conversion: of all 30-minute-gap sessions, how
     many contain a 'view', and how many of those CONVERT (a 'purchase'
@@ -5727,23 +5747,6 @@ def bpe_tokenized_doc_stats(sf_dir: str, k: int = 8,
         .sort_values("doc_id").reset_index(drop=True)
 
 
-def _segment_pairs(sizes: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
-    """All within-segment index pairs (i < j) for contiguous segments of
-    the given sizes, fully vectorized (no per-segment Python): row j
-    with local index l pairs as the RIGHT element with its l
-    predecessors, so total pairs = sum l."""
-    sizes = sizes.astype(np.int64)
-    tot = int(sizes.sum())
-    if not len(sizes) or tot == 0:
-        z = np.empty(0, dtype=np.int64)
-        return z, z
-    starts = np.concatenate(([0], np.cumsum(sizes)[:-1])).astype(np.int64)
-    loc = np.arange(tot, dtype=np.int64) - np.repeat(starts, sizes)
-    right = np.repeat(np.arange(tot, dtype=np.int64), loc)
-    csum = np.concatenate(([0], np.cumsum(loc)[:-1])).astype(np.int64)
-    off = np.arange(len(right), dtype=np.int64) - np.repeat(csum, loc)
-    left = np.repeat(np.repeat(starts, sizes), loc) + off
-    return left, right
 
 
 def shingle_cosine_pairs(sf_dir: str, n: int = 8, df_limit: int = 50,

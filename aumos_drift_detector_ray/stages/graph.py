@@ -181,3 +181,201 @@ def cluster_sizes(pairs: pd.DataFrame, a_col: str, b_col: str,
     out["cluster_root"] = out.cluster_root.astype("int64")
     out["n_members"] = out.n_members.astype("int64")
     return out.sort_values("cluster_root").reset_index(drop=True)
+
+
+def _driver_triangles(pairs: pd.DataFrame, a_col: str,
+                      b_col: str) -> pd.DataFrame:
+    """Exact per-node triangle counts on the driver (bounded pair
+    sets): for each edge (u, v), every common neighbor w closes one
+    triangle — incrementing w at edge (u, v) credits each triangle to
+    each of its nodes exactly once (a triangle is seen from all three
+    of its edges, each time crediting the opposite node)."""
+    a = pairs[a_col].to_numpy(np.int64)
+    b = pairs[b_col].to_numpy(np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    e = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    adj: "dict[int, list]" = {}
+    for u, v in e:
+        adj.setdefault(int(u), []).append(int(v))
+        adj.setdefault(int(v), []).append(int(u))
+    adj_s = {n: np.asarray(sorted(ns), dtype=np.int64)
+             for n, ns in adj.items()}
+    tri = {n: 0 for n in adj_s}
+    for u, v in e:
+        for w in np.intersect1d(adj_s[int(u)], adj_s[int(v)],
+                                assume_unique=True):
+            tri[int(w)] += 1
+    return pd.DataFrame({
+        "node": pd.Series(list(adj_s), dtype="int64"),
+        "degree": pd.Series([len(adj_s[n]) for n in adj_s],
+                            dtype="int64"),
+        "n_triangles": pd.Series([tri[n] for n in adj_s],
+                                 dtype="int64"),
+    }).sort_values("node").reset_index(drop=True)
+
+
+def _dist_triangles(pairs: pd.DataFrame, a_col: str, b_col: str,
+                    n_buckets: int = 16) -> pd.DataFrame:
+    """Distributed per-node triangle counts — the degree-oriented
+    wedge-join (the MapReduce triangle-count shape of Suri & Vassilvitskii,
+    WWW 2011): orient every edge from the lower (degree, id) endpoint
+    to the higher, so each node's FORWARD degree is O(sqrt(E)); a
+    bucketed group per apex emits its forward-neighbor wedges (v, w)
+    via the vectorized segment-pair expansion; one hash_join of wedges
+    against the oriented edge set on a mixed (v, w) key — followed by
+    an exact (v, w) equality filter, so hash collisions cannot count —
+    closes triangles; per-node +1 partials fold through a final
+    grouped sum. Nothing graph-sized lands on the driver except the
+    output (one row per non-isolated node).
+
+    Takes the pair set as a DataFrame for path parity with the driver
+    tier; the Dataset plumbing starts at the first map_batches."""
+    from ..functions.arrays import segment_pairs
+    from ..sketches import hash64
+    from .joins import hash_join
+
+    a = pairs[a_col].to_numpy(np.int64)
+    b = pairs[b_col].to_numpy(np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    keep = lo != hi
+    e = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    edges = ray.data.from_pandas(
+        pd.DataFrame({"u": e[:, 0], "v": e[:, 1]}))
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].to_numpy(zero_copy_only=False), np.int64)
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.concatenate([u, v])
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64),
+                                         pa.int64())})
+
+    from ray.data.aggregate import Sum
+    deg = edges.map_batches(sym, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("one", alias_name="degree"))
+
+    # orient: join degree onto both endpoints
+    j1 = hash_join(edges, deg.map_batches(
+        lambda t: t.rename_columns(["u", "du"]), batch_format="pyarrow"),
+        "u", n_buckets=n_buckets,
+        left_fields={"u": pa.int64(), "v": pa.int64()},
+        right_fields={"u": pa.int64(), "du": pa.int64()})
+    j2 = hash_join(j1.map_batches(
+        lambda t: t.rename_columns(
+            [{"u": "u", "v": "v", "r_du": "du"}.get(c, c)
+             for c in t.column_names]), batch_format="pyarrow"),
+        deg.map_batches(
+            lambda t: t.rename_columns(["v", "dv"]),
+            batch_format="pyarrow"),
+        "v", n_buckets=n_buckets,
+        left_fields={"u": pa.int64(), "v": pa.int64(), "du": pa.int64()},
+        right_fields={"v": pa.int64(), "dv": pa.int64()})
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].to_numpy(zero_copy_only=False), np.int64)
+        v = np.asarray(t["v"].to_numpy(zero_copy_only=False), np.int64)
+        du = np.asarray(t["du"].to_numpy(zero_copy_only=False), np.int64)
+        dv = np.asarray(t["r_dv"].to_numpy(zero_copy_only=False), np.int64)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        s = np.where(fwd, u, v)
+        d = np.where(fwd, v, u)
+        bucket = (hash64(s.view(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"s": pa.array(s, pa.int64()),
+                         "d": pa.array(d, pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    oriented = j2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def key(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return hash64(hash64(x.view(np.uint64))
+                      ^ y.view(np.uint64)).view(np.int64)
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # apex s is wholly in this bucket; forward neighbors sorted
+        g = g.sort_values(["s", "d"], kind="stable")
+        sizes = g.groupby("s", sort=False).size().to_numpy(np.int64)
+        li, ri = segment_pairs(sizes)
+        if not len(li):
+            return pd.DataFrame({
+                "apex": pd.Series([], dtype=np.int64),
+                "wv": pd.Series([], dtype=np.int64),
+                "ww": pd.Series([], dtype=np.int64),
+                "k": pd.Series([], dtype=np.int64)})
+        s = g.s.to_numpy(np.int64)
+        d = g.d.to_numpy(np.int64)
+        return pd.DataFrame({"apex": s[li], "wv": d[li], "ww": d[ri],
+                             "k": key(d[li], d[ri])})
+
+    wedge_ds = oriented.groupby("bucket").map_groups(
+        wedges, batch_format="pandas")
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["s"].to_numpy(zero_copy_only=False), np.int64)
+        d = np.asarray(t["d"].to_numpy(zero_copy_only=False), np.int64)
+        # a wedge (v, w) is apex-ordered, not orientation-ordered:
+        # match BOTH orderings of the closing edge
+        return pa.table({
+            "es": pa.array(np.concatenate([s, d]), pa.int64()),
+            "ed": pa.array(np.concatenate([d, s]), pa.int64()),
+            "k": pa.array(np.concatenate([key(s, d), key(d, s)]),
+                          pa.int64())})
+
+    ek = oriented.map_batches(edge_keys, batch_format="pyarrow")
+
+    closed = hash_join(
+        wedge_ds, ek, "k", n_buckets=n_buckets,
+        left_fields={"apex": pa.int64(), "wv": pa.int64(),
+                     "ww": pa.int64(), "k": pa.int64()},
+        right_fields={"es": pa.int64(), "ed": pa.int64(),
+                      "k": pa.int64()})
+
+    def emit(t: pa.Table) -> pa.Table:
+        wv = np.asarray(t["wv"].to_numpy(zero_copy_only=False), np.int64)
+        ww = np.asarray(t["ww"].to_numpy(zero_copy_only=False), np.int64)
+        es = np.asarray(t["r_es"].to_numpy(zero_copy_only=False), np.int64)
+        ed = np.asarray(t["r_ed"].to_numpy(zero_copy_only=False), np.int64)
+        apex = np.asarray(t["apex"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        ok = (wv == es) & (ww == ed)     # exact match: collisions die
+        n = np.concatenate([apex[ok], wv[ok], ww[ok]])
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64),
+                                         pa.int64())})
+
+    tri = closed.map_batches(emit, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("one", alias_name="n_triangles")) \
+        .to_pandas()
+    if "node" not in tri.columns:      # zero closed wedges: empty fold
+        tri = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                            "n_triangles": pd.Series([], dtype=np.int64)})
+
+    out = deg.to_pandas().merge(tri, on="node", how="left")
+    out["n_triangles"] = out.n_triangles.fillna(0).astype("int64")
+    out["degree"] = out.degree.astype("int64")
+    out["node"] = out.node.astype("int64")
+    return out[["node", "degree", "n_triangles"]] \
+        .sort_values("node").reset_index(drop=True)
+
+
+#: pair count above which triangle counting leaves the driver
+DRIVER_TRI_GATE = 2_000_000
+
+
+def triangle_counts(pairs: pd.DataFrame, a_col: str, b_col: str,
+                    driver_gate: "int | None" = None) -> pd.DataFrame:
+    """(node, degree, n_triangles) for the undirected simple graph of a
+    pair list — driver adjacency-intersection under ``driver_gate``
+    pairs, degree-oriented distributed wedge-join above it. Both paths
+    dedupe edges and ignore self-loops; output-identical (pytest
+    asserts it on paths / cliques / bowties / dup edges)."""
+    gate = DRIVER_TRI_GATE if driver_gate is None else driver_gate
+    if not len(pairs):
+        return pd.DataFrame({
+            "node": pd.Series([], dtype=np.int64),
+            "degree": pd.Series([], dtype=np.int64),
+            "n_triangles": pd.Series([], dtype=np.int64)})
+    if len(pairs) <= gate:
+        return _driver_triangles(pairs, a_col, b_col)
+    return _dist_triangles(pairs, a_col, b_col)

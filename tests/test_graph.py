@@ -78,3 +78,65 @@ class TestClusterPaths:
 
     def test_default_gate_is_driver_sized(self):
         assert G.DRIVER_CC_GATE >= 1_000_000
+
+
+def _brute_triangles(pairs: pd.DataFrame) -> pd.DataFrame:
+    import itertools
+    adj = {}
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for u, v, w in itertools.combinations(sorted(adj), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            tri[u] += 1
+            tri[v] += 1
+            tri[w] += 1
+    return pd.DataFrame({
+        "node": sorted(adj),
+        "degree": [len(adj[n]) for n in sorted(adj)],
+        "n_triangles": [tri[n] for n in sorted(adj)],
+    }).astype("int64")
+
+
+class TestTrianglePaths:
+    def _graph(self, seed: int) -> pd.DataFrame:
+        rng = np.random.default_rng(seed)
+        rows = []
+        # clique of 5 (10 triangles/node-pairs), a bowtie, a path, a
+        # dup edge, a self-loop, random noise edges
+        for a, b in [(i, j) for i in range(5) for j in range(i + 1, 5)]:
+            rows.append((a, b))
+        rows += [(10, 11), (11, 12), (10, 12), (12, 13), (13, 14),
+                 (12, 14)]                       # bowtie at 12
+        rows += [(20, 21), (21, 22), (22, 23)]   # path: no triangles
+        rows += [(0, 1), (30, 30)]               # dup edge + self-loop
+        n = rng.integers(10, 30)
+        ra = rng.integers(40, 60, n)
+        rb = rng.integers(40, 60, n)
+        rows += list(zip(ra.tolist(), rb.tolist()))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]).astype("int64")
+
+    def test_driver_matches_brute(self, ray_session):
+        pairs = self._graph(1)
+        got = G.triangle_counts(pairs, "id_a", "id_b", driver_gate=10**9)
+        assert got.equals(_brute_triangles(pairs))
+
+    def test_distributed_matches_driver(self, ray_session):
+        pairs = self._graph(2)
+        drv = G.triangle_counts(pairs, "id_a", "id_b", driver_gate=10**9)
+        dist = G.triangle_counts(pairs, "id_a", "id_b", driver_gate=0)
+        assert dist.equals(drv)
+        assert dist.equals(_brute_triangles(pairs))
+
+    def test_empty_and_no_triangles(self, ray_session):
+        empty = G.triangle_counts(
+            pd.DataFrame({"id_a": [], "id_b": []}), "id_a", "id_b")
+        assert len(empty) == 0
+        assert list(empty.columns) == ["node", "degree", "n_triangles"]
+        path = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+        out = G.triangle_counts(path, "id_a", "id_b", driver_gate=0)
+        assert out.n_triangles.sum() == 0 and len(out) == 3

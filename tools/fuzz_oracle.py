@@ -155,7 +155,7 @@ DOC_QUERIES = [
     # round-4 session 4: bigram-LM count-space quality scoring + BPE
     # merge learning (full merge-loop parity vs the unrolled SQL)
     "bigram_lm_doc_scores", "bpe_merge_table", "bpe_tokenized_doc_stats",
-    "shingle_cosine_pairs",
+    "shingle_cosine_pairs", "neardup_triangle_stats",
 ]
 
 
