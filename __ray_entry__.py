@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_resample_events": Q.ohlc_resample_events,
         "event_cube_stats": Q.event_cube_stats,
         "neardup_triangle_stats": Q.neardup_triangle_stats,
+        "asof_next_purchase_after_signup": Q.asof_next_purchase_after_signup,
     }
 
 
@@ -1676,6 +1677,25 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # forward as-of: earliest purchase at/after each signup, ties
+        # to the lowest event_id (row_number over (ts, event_id))
+        "asof_next_purchase_after_signup": """
+            WITH s AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'signup'),
+            p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+            j AS (
+                SELECT s.event_id AS signup_id, p.event_id AS pid,
+                       row_number() OVER (PARTITION BY s.event_id
+                                          ORDER BY p.ts, p.event_id) AS rn
+                FROM s JOIN p ON p.user_id = s.user_id AND p.ts >= s.ts
+            )
+            SELECT s.event_id AS signup_id,
+                   CAST(j.pid AS DOUBLE) AS purchase_id
+            FROM s LEFT JOIN (SELECT signup_id, pid FROM j WHERE rn = 1) j
+                   ON j.signup_id = s.event_id
+            ORDER BY signup_id
         """,
         # same ground-truth pair graph as neardup_clusters; triangles
         # by 3-way self-join on the canonical a<b<c ordering, credited

@@ -1406,6 +1406,41 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def asof_next_purchase_after_signup(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join (the direction complement of
+    asof_click_before_error): for every 'signup' event, the same
+    user's EARLIEST 'purchase' at or after it, ties broken toward the
+    lowest event_id (merge_asof direction='forward' keeps the FIRST
+    matching row, so purchases pre-sort by (ts, event_id)). Same
+    key-bucketed exchange as the backward join; the SQL oracle ranks
+    the join candidates with row_number() OVER (ORDER BY ts, event_id)
+    — integer ids, bit-exact."""
+    from ..stages.joins import asof_join
+
+    ev = sf_table(sf_dir, "events",
+                  columns=["event_id", "user_id", "event_type", "ts"])
+
+    def split(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["event_type"], kind)) \
+                .drop_columns(["event_type"])
+        return fn
+
+    signups = ev.map_batches(split("signup"), batch_format="pyarrow")
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow") \
+        .map_batches(lambda b: b.sort_values(["ts", "event_id"],
+                                             kind="stable"),
+                     batch_format="pandas")
+    joined = asof_join(signups, purchases, key="user_id", ts="ts",
+                       n_buckets=16, direction="forward")
+    out = joined.to_pandas()
+    return pd.DataFrame({
+        "signup_id": out.event_id.astype("int64"),
+        # nullable ints surface as float64 (matching DuckDB fetchdf)
+        "purchase_id": out.r_event_id.astype("float64"),
+    }).sort_values("signup_id").reset_index(drop=True)
+
+
 def top3_orders_per_segment(sf_dir: str) -> pd.DataFrame:
     """Top-3 orders by totalprice within each market segment (window
     row_number <= 3): broadcast-join segment onto orders, per-segment

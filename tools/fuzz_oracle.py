@@ -54,7 +54,7 @@ EVENT_QUERIES = [
     "trend_hourly_slope", "users_in_click_and_error",
     "corr_slope_value_hour_per_type", "first_event_counts_per_type",
     "top_user_by_value_per_type", "type_pair_user_jaccard",
-    "mad_value_per_type", "asof_click_before_error", "hash_split_counts",
+    "mad_value_per_type", "asof_click_before_error", "asof_next_purchase_after_signup", "hash_split_counts",
     "events_type_hour_pivot",
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
