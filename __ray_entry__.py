@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cube_stats": Q.event_cube_stats,
         "neardup_triangle_stats": Q.neardup_triangle_stats,
         "asof_next_purchase_after_signup": Q.asof_next_purchase_after_signup,
+        "order_skyline": Q.order_skyline,
     }
 
 
@@ -1677,6 +1678,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # 2-D skyline: pure-comparison dominance, bit-exact
+        "order_skyline": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders o
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders x
+                WHERE x.o_totalprice <= o.o_totalprice
+                  AND x.o_orderdate <= o.o_orderdate
+                  AND (x.o_totalprice < o.o_totalprice
+                       OR x.o_orderdate < o.o_orderdate)
+            )
+            ORDER BY o_orderkey
         """,
         # forward as-of: earliest purchase at/after each signup, ties
         # to the lowest event_id (row_number over (ts, event_id))

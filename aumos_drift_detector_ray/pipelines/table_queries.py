@@ -1406,6 +1406,47 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def order_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto frontier) of orders minimizing
+    (o_totalprice, o_orderdate) — 'no other order is both cheaper and
+    earlier': the multi-objective shortlist query. Distributed via the
+    skyline merge property (skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B))): each block reduces to its LOCAL
+    frontier with one vectorized lexsort + prefix-minima kernel
+    (functions/arrays.skyline2d_mask — no pairwise work), the bounded
+    union of local frontiers (expected O(log n) points per block for
+    non-degenerate data; worst case documented: a globally sorted
+    anti-chain keeps everything) folds through the same kernel on the
+    driver. Dominance uses <=/< comparisons only — no arithmetic, so
+    the match vs the SQL NOT EXISTS oracle is bit-exact."""
+    from ..functions.arrays import skyline2d_mask
+
+    ds = sf_table(sf_dir, "orders",
+                  columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return b
+        keep = skyline2d_mask(
+            b.o_totalprice.to_numpy(np.float64),
+            b.o_orderdate.to_numpy("datetime64[us]").view(np.int64))
+        return b[keep]
+
+    cand = ds.map_batches(local, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "o_totalprice": pd.Series([], dtype=np.float64),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+    keep = skyline2d_mask(
+        cand.o_totalprice.to_numpy(np.float64),
+        cand.o_orderdate.to_numpy("datetime64[us]").view(np.int64))
+    out = cand[keep].sort_values("o_orderkey").reset_index(drop=True)
+    out["o_orderkey"] = out.o_orderkey.astype("int64")
+    return out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+
+
 def asof_next_purchase_after_signup(sf_dir: str) -> pd.DataFrame:
     """FORWARD as-of join (the direction complement of
     asof_click_before_error): for every 'signup' event, the same

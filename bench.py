@@ -228,6 +228,13 @@ def run_queries() -> dict[str, float]:
         "global_value_rank_sample", "bloom_join_order_stats",
         "bigram_lm_doc_scores", "value_band_pair_stats",
         "bpe_merge_table", "order_window_overlap_stats",
+        # round-4 session-5 operators: BPE apply, shingle cosine,
+        # TPC-H Q18/Q10, OHLC resample, distributed cube, triangles,
+        # forward as-of
+        "bpe_tokenized_doc_stats", "shingle_cosine_pairs",
+        "tpch_q18_large_orders", "tpch_q10_returned_items",
+        "ohlc_resample_events", "event_cube_stats",
+        "neardup_triangle_stats", "asof_next_purchase_after_signup",
     ]
     qs = E.queries()
     out = {}

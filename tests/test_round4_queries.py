@@ -592,6 +592,43 @@ class TestOhlcResample:
             .reset_index(drop=True))
 
 
+class TestSkyline:
+    def test_kernel_matches_brute_dominance(self):
+        from aumos_drift_detector_ray.functions.arrays import skyline2d_mask
+
+        rng = np.random.default_rng(5)
+        for trial in range(30):
+            n = int(rng.integers(1, 120))
+            # coarse grids force ties, duplicates, and equal-axis cases
+            p = rng.integers(0, 8, n).astype(np.float64)
+            d = rng.integers(0, 8, n).astype(np.int64)
+            got = skyline2d_mask(p, d)
+            want = np.array([
+                not any((p[j] <= p[i] and d[j] <= d[i]
+                         and (p[j] < p[i] or d[j] < d[i]))
+                        for j in range(n))
+                for i in range(n)])
+            assert np.array_equal(got, want), (trial, p, d)
+
+    def test_merge_property_and_query(self, ray_session):
+        from aumos_drift_detector_ray.functions.arrays import skyline2d_mask
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(6)
+        p = rng.normal(0, 1, 400)
+        d = rng.integers(0, 50, 400).astype(np.int64)
+        whole = skyline2d_mask(p, d)
+        ka, kb = skyline2d_mask(p[:200], d[:200]), skyline2d_mask(
+            p[200:], d[200:])
+        cp = np.concatenate([p[:200][ka], p[200:][kb]])
+        cd = np.concatenate([d[:200][ka], d[200:][kb]])
+        merged = set(zip(cp[skyline2d_mask(cp, cd)], cd[skyline2d_mask(cp, cd)]))
+        assert merged == set(zip(p[whole], d[whole]))
+        out = Q.order_skyline(SF)
+        assert len(out) > 0
+        assert out.o_orderkey.is_monotonic_increasing
+
+
 class TestTpchQ18Q10:
     def test_q18_threshold_and_order(self, ray_session):
         from aumos_drift_detector_ray.pipelines import table_queries as Q
