@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_triangle_stats": Q.neardup_triangle_stats,
         "asof_next_purchase_after_signup": Q.asof_next_purchase_after_signup,
         "order_skyline": Q.order_skyline,
+        "token_source_drift": Q.token_source_drift,
     }
 
 
@@ -1678,6 +1679,38 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # vocabulary drift in exact count space: the chi-square
+        # numerator family with the fp division removed (zero cells
+        # contribute rowtot*coltot via the cross join)
+        "token_source_drift": """
+            WITH tok AS (
+                SELECT source, unnest(regexp_extract_all(
+                    lower(coalesce(text, '')), '[a-z'']+')) AS w
+                FROM documents
+            ),
+            obs AS (SELECT w, source, CAST(count(*) AS BIGINT) AS n
+                    FROM tok GROUP BY 1, 2),
+            row_t AS (SELECT w, CAST(sum(n) AS BIGINT) AS rt
+                      FROM obs GROUP BY 1),
+            col_t AS (SELECT source, CAST(sum(n) AS BIGINT) AS ct
+                      FROM obs GROUP BY 1),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+            cells AS (SELECT r.w, c.source, r.rt, c.ct
+                      FROM row_t r CROSS JOIN col_t c),
+            sc AS (
+                SELECT f.w,
+                       CAST(sum(abs(CAST(coalesce(o.n, 0) AS HUGEINT)
+                                    * (SELECT t FROM tot)
+                                    - CAST(f.rt AS HUGEINT) * f.ct))
+                            AS BIGINT) AS score
+                FROM cells f LEFT JOIN obs o
+                     ON o.w = f.w AND o.source = f.source
+                GROUP BY f.w
+            )
+            SELECT s.w AS token, s.score, r.rt AS row_total
+            FROM sc s JOIN row_t r ON r.w = s.w
+            ORDER BY s.score DESC, s.w LIMIT 20
         """,
         # 2-D skyline: pure-comparison dominance, bit-exact
         "order_skyline": """

@@ -1406,6 +1406,99 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def token_source_drift(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Vocabulary drift across sources in EXACT count space: for every
+    token, the unnormalized contingency deviation
+    score = sum_s |obs(t,s)*T - rowtot(t)*coltot(s)| over ALL sources
+    (zero cells included — they contribute rowtot*coltot), i.e. the
+    chi-square numerator family with the fp division removed, so the
+    whole computation stays integer and the oracle compare is bit-exact
+    with no rounding contract. Top-k tokens by (score DESC, token ASC).
+
+    Scale shape: per-block (source, token) partial counts bucket by
+    token hash (a token's full contingency row lives in ONE bucket);
+    the 20-entry source-total vector broadcasts via ray.put; each
+    bucket pivots its tokens to a dense token x source count matrix
+    (vectorized abs/sum, no per-cell Python) and emits its local top-k
+    — globally correct after the driver's (#buckets x k) merge because
+    tokens never span buckets. Products are int64-safe under the loud
+    T < 2^31 gate (obs <= T and rowtot*coltot <= T^2 < 2^62); beyond it
+    the fold moves to object ints, documented here."""
+    from ..functions.broadcast import get_broadcast
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    docs = sf_table(sf_dir, "documents", columns=["source", "text"])
+    n_buckets = 32
+    empty = pd.DataFrame({
+        "token": pd.Series([], dtype=object),
+        "score": pd.Series([], dtype=np.int64),
+        "row_total": pd.Series([], dtype=np.int64)})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b.text.fillna("").astype(str).str.lower().str.findall(WORD_RE)
+        reps = lists.map(len).to_numpy(np.int64)
+        if reps.sum() == 0:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "w": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "source": np.repeat(b.source.to_numpy(object), reps),
+            "w": np.concatenate([np.asarray(x, dtype=object)
+                                 for x in lists])}) \
+            .groupby(["source", "w"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g.n.astype("int64")
+        g["bucket"] = (hash_any_array(g.w.to_numpy(object))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    parts = docs.map_batches(partial, batch_format="pandas",
+                             batch_size=65536).materialize()
+
+    # global source totals (bounded: one row per source) + T
+    def col_part(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).agg(ct=("n", "sum"))
+
+    col = parts.map_batches(col_part, batch_format="pandas").to_pandas()
+    if not len(col):
+        return empty
+    col = col.groupby("source", as_index=False).agg(ct=("ct", "sum"))
+    col = col.sort_values("source").reset_index(drop=True)
+    total = int(col.ct.sum())
+    assert total < 2 ** 31, \
+        "token_source_drift: T >= 2^31 — move the fold to object ints"
+    col_ref = ray.put({"sources": col.source.tolist(),
+                       "ct": col.ct.to_numpy(np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty
+        info = get_broadcast(col_ref)
+        m = g.groupby(["w", "source"], as_index=False).agg(n=("n", "sum"))
+        pivot = m.pivot_table(index="w", columns="source", values="n",
+                              fill_value=0, aggfunc="sum") \
+            .reindex(columns=info["sources"], fill_value=0)
+        obs = pivot.to_numpy(np.int64)
+        rt = obs.sum(axis=1)
+        score = np.abs(obs * np.int64(total)
+                       - rt[:, None] * info["ct"][None, :]).sum(axis=1)
+        out = pd.DataFrame({"token": pivot.index.to_numpy(object),
+                            "score": score.astype(np.int64),
+                            "row_total": rt.astype(np.int64)})
+        return out.sort_values(["score", "token"],
+                               ascending=[False, True]).head(k)
+
+    top = parts.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    if not len(top) or "token" not in top.columns:
+        return empty
+    return top.sort_values(["score", "token"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+
+
 def order_skyline(sf_dir: str) -> pd.DataFrame:
     """2-D skyline (Pareto frontier) of orders minimizing
     (o_totalprice, o_orderdate) — 'no other order is both cheaper and
