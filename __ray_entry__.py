@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_next_purchase_after_signup": Q.asof_next_purchase_after_signup,
         "order_skyline": Q.order_skyline,
         "token_source_drift": Q.token_source_drift,
+        "ntile_value_bands_per_type": Q.ntile_value_bands_per_type,
     }
 
 
@@ -588,6 +589,7 @@ _VALUE_CLEAN_QUERIES = [
     "outlier_counts_per_type", "kll_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
+    "ntile_value_bands_per_type",
 ]
 
 
@@ -1679,6 +1681,21 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # NTILE(4) bands: deterministic (value, event_id) ordering;
+        # min/max per tile are rank selections — bit-exact
+        "ntile_value_bands_per_type": """
+            WITH r AS (
+                SELECT event_type, value,
+                       ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS tile
+                FROM events
+            )
+            SELECT event_type, CAST(tile AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS lo, max(value) AS hi
+            FROM r GROUP BY event_type, tile
+            ORDER BY event_type, tile
         """,
         # vocabulary drift in exact count space: the chi-square
         # numerator family with the fp division removed (zero cells

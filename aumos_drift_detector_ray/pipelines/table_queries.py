@@ -1406,6 +1406,25 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def ntile_value_bands_per_type(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """NTILE(k) window-function report per event_type: each type's
+    values split into k SQL-ntile tiles (first n%k tiles one row
+    bigger), reporting per-tile row count and min/max value. Ordering
+    is the deterministic (value, event_id), and because value is the
+    PRIMARY sort key a tile's min/max are the values AT its boundary
+    ranks in the per-group sorted multiset — pure rank SELECTIONS
+    through scan._grouped_rank_values (the shared grouped
+    order-statistics engine), never a per-row window materialization.
+    Every output is an actual input double: bit-exact, no rounding
+    contract."""
+    from ..stages.scan import grouped_ntile_bands
+
+    out = grouped_ntile_bands(
+        sf_events_clean(sf_dir, ["event_type", "value"]),
+        "event_type", "value", k=k)
+    return out.sort_values(["event_type", "tile"]).reset_index(drop=True)
+
+
 def token_source_drift(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Vocabulary drift across sources in EXACT count space: for every
     token, the unnormalized contingency deviation

@@ -373,19 +373,21 @@ def exact_quantiles(
     return lo * (1.0 - f) + hi * f
 
 
-def grouped_exact_quantiles(
+def _grouped_rank_values(
     ds: ray.data.Dataset,
     group_col: str,
     value_col: str,
-    probs: "list[float]",
-) -> pd.DataFrame:
-    """EXACT per-group quantiles (quantile_cont semantics), distributed:
-    (group, value) counts -> bucketed merge -> sort by (group, value);
-    the driver walks per-block, PER-GROUP count summaries (a block holds
-    at most a handful of groups once sorted) to derive each group's rank
+    need_fn,
+) -> "tuple[dict, dict]":
+    """Shared engine of the grouped order-statistics family
+    (grouped_exact_quantiles, grouped_ntile_bands): (group, value)
+    counts -> bucketed merge -> sort by (group, value); the driver
+    walks per-block, PER-GROUP count summaries (a block holds at most
+    a handful of groups once sorted) to derive each group's rank
     offsets, then the sorted blocks answer targeted rank lookups.
-    Returns a frame (group, p, value). The per-group KLL profile is the
-    one-pass approximate path; this is the exact complement."""
+    ``need_fn(total) -> int64 array`` names the 0-based ranks a group
+    of ``total`` rows must surface. Returns (totals: group -> n,
+    val_by: (group, rank) -> value)."""
     from ..sketches import hash64, hash_any_array
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -434,13 +436,9 @@ def grouped_exact_quantiles(
             cum += int(row.n)
         totals[grp] = cum
 
-    # target ranks per group
-    probs_arr = np.asarray(probs, dtype=float)
     need: dict = {}
     for grp, total in totals.items():
-        x = probs_arr * (total - 1)
-        need[grp] = np.unique(np.concatenate(
-            [np.floor(x).astype(np.int64), np.ceil(x).astype(np.int64)]))
+        need[grp] = np.unique(np.asarray(need_fn(total), dtype=np.int64))
     bc = ray.put({"offsets": offsets, "need": need})
 
     # ---- pass B: targeted rank lookups -------------------------------
@@ -475,6 +473,29 @@ def grouped_exact_quantiles(
     ).to_pandas()
     val_by = {(g, r): v for g, r, v in
               zip(ranks[group_col], ranks["rank"], ranks["value"])}
+    return totals, val_by
+
+
+def grouped_exact_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    probs: "list[float]",
+) -> pd.DataFrame:
+    """EXACT per-group quantiles (quantile_cont semantics, DuckDB's
+    lo*(1-f)+hi*f evaluation — bit-exact, no rounding contract),
+    distributed via the shared grouped rank-lookup engine
+    (_grouped_rank_values). Returns a frame (group, p, value). The
+    per-group KLL profile is the one-pass approximate path; this is
+    the exact complement."""
+    probs_arr = np.asarray(probs, dtype=float)
+
+    def need_fn(total: int) -> np.ndarray:
+        x = probs_arr * (total - 1)
+        return np.concatenate([np.floor(x).astype(np.int64),
+                               np.ceil(x).astype(np.int64)])
+
+    totals, val_by = _grouped_rank_values(ds, group_col, value_col, need_fn)
     out_rows = []
     for grp, total in sorted(totals.items()):
         x = probs_arr * (total - 1)
@@ -488,6 +509,63 @@ def grouped_exact_quantiles(
         for p, v in zip(probs_arr, vals):
             out_rows.append({group_col: grp, "p": float(p), "value": float(v)})
     return pd.DataFrame(out_rows)
+
+
+def _ntile_sizes(total: int, k: int) -> np.ndarray:
+    """SQL NTILE(k) tile sizes for a ``total``-row partition: the first
+    total % k tiles get total // k + 1 rows, the rest total // k."""
+    base, extra = divmod(total, k)
+    return np.array([base + (1 if t < extra else 0) for t in range(k)],
+                    dtype=np.int64)
+
+
+def grouped_ntile_bands(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    k: int = 4,
+) -> pd.DataFrame:
+    """Per-group NTILE(k) band report: for every (group, tile) — row
+    count plus the tile's min and max value, ordering rows by
+    (value, row-id) exactly as SQL's deterministic
+    ``ntile(k) OVER (PARTITION BY group ORDER BY value, id)``. Because
+    the primary sort key is the value, a tile's min/max are the values
+    AT its boundary ranks in the per-group sorted multiset — targeted
+    rank SELECTIONS through the shared grouped rank-lookup engine, so
+    every output is an actual input double and the oracle compare is
+    bit-exact with no rounding contract. Empty tiles (total < k) are
+    omitted, matching the GROUP BY of the windowed oracle."""
+
+    def need_fn(total: int) -> np.ndarray:
+        sizes = _ntile_sizes(total, k)
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        nz = sizes > 0
+        return np.concatenate([starts[nz], ends[nz] - 1])
+
+    totals, val_by = _grouped_rank_values(ds, group_col, value_col, need_fn)
+    out_rows = []
+    for grp, total in sorted(totals.items()):
+        sizes = _ntile_sizes(total, k)
+        ends = np.cumsum(sizes)
+        starts = ends - sizes
+        for t in range(k):
+            if sizes[t] == 0:
+                continue
+            out_rows.append({
+                group_col: grp, "tile": np.int64(t + 1),
+                "n": np.int64(sizes[t]),
+                "lo": val_by[(grp, int(starts[t]))],
+                "hi": val_by[(grp, int(ends[t] - 1))]})
+    out = pd.DataFrame(out_rows,
+                       columns=[group_col, "tile", "n", "lo", "hi"])
+    return out.astype({"tile": "int64", "n": "int64"}) if len(out) else \
+        pd.DataFrame({group_col: pd.Series([], dtype=object),
+                      "tile": pd.Series([], dtype="int64"),
+                      "n": pd.Series([], dtype="int64"),
+                      "lo": pd.Series([], dtype="float64"),
+                      "hi": pd.Series([], dtype="float64")})
+
 
 
 def global_rank(
