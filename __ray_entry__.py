@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": Q.order_skyline,
         "token_source_drift": Q.token_source_drift,
         "ntile_value_bands_per_type": Q.ntile_value_bands_per_type,
+        "order_price_consistency": Q.order_price_consistency,
     }
 
 
@@ -1681,6 +1682,35 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # cross-table consistency: all measures exact cents ints; the
+        # 1% band is the integer cross-multiply, not an fp ratio
+        "order_price_consistency": """
+            WITH s AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS li_c
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT o.o_orderstatus,
+                       CAST(round(o.o_totalprice * 100) AS BIGINT) AS tp_c,
+                       s.li_c
+                FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey
+            )
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(count(*) FILTER (li_c IS NULL) AS BIGINT)
+                       AS n_no_lineitems,
+                   CAST(count(*) FILTER (tp_c = li_c) AS BIGINT)
+                       AS n_exact,
+                   CAST(count(*) FILTER (abs(tp_c - li_c) * 100 <= tp_c)
+                        AS BIGINT) AS n_within_1pct,
+                   CAST(count(*) FILTER (tp_c > li_c) AS BIGINT) AS n_over,
+                   CAST(count(*) FILTER (tp_c < li_c) AS BIGINT) AS n_under,
+                   CAST(coalesce(sum(abs(tp_c - li_c)), 0) AS BIGINT)
+                       AS abs_gap_c
+            FROM j GROUP BY 1 ORDER BY 1
         """,
         # NTILE(4) bands: deterministic (value, event_id) ordering;
         # min/max per tile are rank selections — bit-exact

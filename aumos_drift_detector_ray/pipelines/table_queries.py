@@ -1406,6 +1406,71 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def order_price_consistency(sf_dir: str) -> pd.DataFrame:
+    """Cross-table consistency validation (the reference's constraint-
+    check capability aimed at a DERIVED invariant): per order status,
+    does o_totalprice equal the order's lineitem extendedprice sum?
+    Reports orders checked, orders with no lineitems at all (the
+    referential signal), exact matches, matches within 1%, over/under
+    counts and the total absolute gap — every measure an exact
+    cents-int (the 1% band is the integer cross-multiply
+    |tp - li| * 100 <= tp, no fp ratio). The synthetic corpus does NOT
+    maintain the invariant, which is the point: a consistency check
+    must report violations, not assume them away.
+
+    Scale shape: per-block partial lineitem sums per orderkey, one
+    bucketed exchange, LEFT hash_join from the orders projection (so
+    lineitem-less orders survive with a null sum), then per-block
+    partial counters per status — the driver folds #blocks x 3 rows."""
+    from ..stages.joins import hash_join
+
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice"])
+
+    def li_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "li_c": round_half_away(
+                b.l_extendedprice.to_numpy() * 100).astype(np.int64)}) \
+            .groupby("o_orderkey", as_index=False).agg(li_c=("li_c", "sum"))
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderstatus",
+                               "o_totalprice"])
+    j = hash_join(orders,
+                  li.map_batches(li_part, batch_format="pandas",
+                                 batch_size=65536),
+                  "o_orderkey", n_buckets=16, how="left",
+                  right_fields={"o_orderkey": pa.int64(),
+                                "li_c": pa.int64()})
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        tp = round_half_away(
+            b.o_totalprice.to_numpy(np.float64) * 100).astype(np.int64)
+        li_f = b.r_li_c.to_numpy(np.float64)   # nullable -> float + NaN
+        has = ~np.isnan(li_f)
+        lic = np.where(has, li_f, 0.0).astype(np.int64)
+        diff = tp - lic
+        d = pd.DataFrame({
+            "o_orderstatus": b.o_orderstatus.to_numpy(object),
+            "n_orders": np.int64(1),
+            "n_no_lineitems": (~has).astype(np.int64),
+            "n_exact": (has & (diff == 0)).astype(np.int64),
+            "n_within_1pct": (has & (np.abs(diff) * 100 <= tp))
+            .astype(np.int64),
+            "n_over": (has & (diff > 0)).astype(np.int64),
+            "n_under": (has & (diff < 0)).astype(np.int64),
+            "abs_gap_c": np.where(has, np.abs(diff), 0).astype(np.int64),
+        })
+        return d.groupby("o_orderstatus", as_index=False).sum()
+
+    out = j.map_batches(part, batch_format="pandas").to_pandas() \
+        .groupby("o_orderstatus", as_index=False).sum()
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def ntile_value_bands_per_type(sf_dir: str, k: int = 4) -> pd.DataFrame:
     """NTILE(k) window-function report per event_type: each type's
     values split into k SQL-ntile tiles (first n%k tiles one row
