@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_source_drift": Q.token_source_drift,
         "ntile_value_bands_per_type": Q.ntile_value_bands_per_type,
         "order_price_consistency": Q.order_price_consistency,
+        "winsorized_value_mean_per_type": Q.winsorized_value_mean_per_type,
     }
 
 
@@ -590,7 +591,7 @@ _VALUE_CLEAN_QUERIES = [
     "outlier_counts_per_type", "kll_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
-    "ntile_value_bands_per_type",
+    "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
 ]
 
 
@@ -1682,6 +1683,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # winsorized mean: quantile_disc thresholds are actual data
+        # values (bit-exact clamp); mean via cents ints + round(6)
+        "winsorized_value_mean_per_type": """
+            WITH q AS (
+                SELECT event_type,
+                       quantile_disc(value, 0.05) AS lo,
+                       quantile_disc(value, 0.95) AS hi
+                FROM events GROUP BY 1
+            ),
+            c AS (
+                SELECT e.event_type,
+                       CAST(round(least(greatest(e.value, q.lo), q.hi)
+                                  * 100) AS BIGINT) AS v_c
+                FROM events e JOIN q USING (event_type)
+            )
+            SELECT c.event_type, CAST(count(*) AS BIGINT) AS n,
+                   q.lo, q.hi,
+                   round(CAST(sum(c.v_c) AS DOUBLE) / 100.0 / count(*), 6)
+                       AS winsorized_mean
+            FROM c JOIN q ON q.event_type = c.event_type
+            GROUP BY c.event_type, q.lo, q.hi ORDER BY c.event_type
         """,
         # cross-table consistency: all measures exact cents ints; the
         # 1% band is the integer cross-multiply, not an fp ratio

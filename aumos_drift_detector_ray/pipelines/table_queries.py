@@ -1406,6 +1406,61 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def winsorized_value_mean_per_type(sf_dir: str) -> pd.DataFrame:
+    """Winsorized mean per event_type: values clamped to the type's
+    [p05, p95] quantile_disc thresholds (ACTUAL data values — the disc
+    choice makes the clamp boundary bit-exact on both sides), then the
+    robust mean in exact cents ints with the shared
+    round-half-away(6 dp) contract on the final division. The
+    trimmed/robust-moments capability of the reference's baseline
+    profiling (baseline_manager.py:299-327) as a distributed two-pass:
+    (1) grouped disc quantiles through scan._grouped_rank_values,
+    (2) broadcast thresholds + per-block clamp partials, one tiny fold
+    (#blocks x #types scalar rows)."""
+    from ..functions.broadcast import get_broadcast
+    from ..stages.scan import grouped_disc_quantiles
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+    q = grouped_disc_quantiles(ds, "event_type", "value", [0.05, 0.95])
+    if not len(q):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "lo": pd.Series([], dtype=np.float64),
+            "hi": pd.Series([], dtype=np.float64),
+            "winsorized_mean": pd.Series([], dtype=np.float64)})
+    piv = q.pivot_table(index="event_type", columns="p", values="value")
+    th = {t: (float(piv.loc[t, 0.05]), float(piv.loc[t, 0.95]))
+          for t in piv.index}
+    th_ref = ray.put(th)
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        t = get_broadcast(th_ref)
+        lo = b.event_type.map(lambda x: t[x][0]).to_numpy(np.float64)
+        hi = b.event_type.map(lambda x: t[x][1]).to_numpy(np.float64)
+        v = np.minimum(np.maximum(b.value.to_numpy(np.float64), lo), hi)
+        return pd.DataFrame({
+            "event_type": b.event_type.to_numpy(object),
+            "n": np.int64(1),
+            "v_c": round_half_away(v * 100).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    agg = ds.map_batches(part, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("event_type", as_index=False).sum()
+    agg["n"] = agg.n.astype("int64")
+    out = pd.DataFrame({
+        "event_type": agg.event_type,
+        "n": agg.n,
+        "lo": agg.event_type.map(lambda x: th[x][0]),
+        "hi": agg.event_type.map(lambda x: th[x][1]),
+        "winsorized_mean": round_half_away(
+            agg.v_c.to_numpy(np.int64) / 100.0
+            / agg.n.to_numpy(np.int64), 6),
+    })
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def order_price_consistency(sf_dir: str) -> pd.DataFrame:
     """Cross-table consistency validation (the reference's constraint-
     check capability aimed at a DERIVED invariant): per order status,

@@ -519,6 +519,35 @@ def _ntile_sizes(total: int, k: int) -> np.ndarray:
                     dtype=np.int64)
 
 
+def grouped_disc_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    probs: "list[float]",
+) -> pd.DataFrame:
+    """EXACT per-group quantile_disc (inverted-CDF: the smallest data
+    value whose CDF reaches p — always an ACTUAL data value, so
+    downstream threshold comparisons are bit-exact on both sides of an
+    oracle), via the shared grouped rank-lookup engine. The same
+    half-ulp rank guard as the global exact_quantiles inverted_cdf
+    path. Returns a frame (group, p, value)."""
+    probs_arr = np.asarray(probs, dtype=float)
+
+    def ranks_for(total: int) -> np.ndarray:
+        x = probs_arr * total
+        return np.clip(np.ceil(x - 1e-9).astype(np.int64) - 1,
+                       0, total - 1)
+
+    totals, val_by = _grouped_rank_values(ds, group_col, value_col,
+                                          ranks_for)
+    out_rows = []
+    for grp, total in sorted(totals.items()):
+        for p, r in zip(probs_arr, ranks_for(total)):
+            out_rows.append({group_col: grp, "p": float(p),
+                             "value": val_by[(grp, int(r))]})
+    return pd.DataFrame(out_rows)
+
+
 def grouped_ntile_bands(
     ds: ray.data.Dataset,
     group_col: str,
