@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_value_bands_per_type": Q.ntile_value_bands_per_type,
         "order_price_consistency": Q.order_price_consistency,
         "winsorized_value_mean_per_type": Q.winsorized_value_mean_per_type,
+        "embedding_quantization_audit": Q.embedding_quantization_audit,
     }
 
 
@@ -1683,6 +1684,31 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # int8 quantization audit: order-free extremes + one fixed
+        # sequence of exactly-rounded fp ops, replicated verbatim
+        "embedding_quantization_audit": """
+            WITH u AS (
+                SELECT generate_subscripts(embedding, 1) AS dim,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings
+            ),
+            st AS (SELECT dim, min(v) AS mn, max(v) AS mx
+                   FROM u GROUP BY 1),
+            sc AS (SELECT dim, mn, mx, (mx - mn) / 255.0 AS scale
+                   FROM st),
+            e AS (
+                SELECT u.dim,
+                       CASE WHEN s.scale = 0 THEN 0.0
+                            ELSE abs(u.v - (s.mn
+                                 + round((u.v - s.mn) / s.scale)
+                                   * s.scale)) END AS err
+                FROM u JOIN sc s USING (dim)
+            )
+            SELECT CAST(s.dim AS BIGINT) AS dim, s.mn, s.mx, s.scale,
+                   max(e.err) AS max_abs_err
+            FROM e JOIN sc s USING (dim)
+            GROUP BY 1, 2, 3, 4 ORDER BY dim
         """,
         # winsorized mean: quantile_disc thresholds are actual data
         # values (bit-exact clamp); mean via cents ints + round(6)

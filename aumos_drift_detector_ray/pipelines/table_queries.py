@@ -1406,6 +1406,70 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def embedding_quantization_audit(sf_dir: str) -> pd.DataFrame:
+    """Int8 (256-level) per-dimension embedding quantization error
+    audit — the vector-compression step an ANN index applies before
+    storing 10^12 embeddings, with its reconstruction error measured
+    rather than assumed: per dim, the min/max calibration range, the
+    scale (range/255), and the max absolute reconstruction error of
+    round-to-nearest codes. Every reported number is either an order-
+    free extreme (min/max/max-of-abs) or one fixed sequence of exactly-
+    rounded fp ops replicated verbatim in the oracle SQL — bit-exact,
+    no rounding contract (a SUM of errors would be order-dependent; the
+    MAX is not, which is why the audit reports max error).
+
+    Scale shape: two passes, both with O(dims) partials per block —
+    (1) per-block column min/max folds the 64 x #blocks calibration
+    rows on the driver, (2) broadcast (mn, scale) + per-block error-
+    matrix column max. Constant dims quantize to code 0 with zero
+    error (the scale==0 guard, mirrored in SQL)."""
+    from ..functions.broadcast import get_broadcast
+
+    ds = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def mm_part(b: pd.DataFrame) -> pd.DataFrame:
+        m = np.asarray(b.embedding.to_list(), dtype=np.float64)
+        d = m.shape[1]
+        return pd.DataFrame({"dim": np.arange(1, d + 1, dtype=np.int64),
+                             "mn": m.min(axis=0), "mx": m.max(axis=0)})
+
+    mm = ds.map_batches(mm_part, batch_format="pandas",
+                        batch_size=65536).to_pandas() \
+        .groupby("dim", as_index=False).agg(mn=("mn", "min"),
+                                            mx=("mx", "max"))
+    if not len(mm):
+        return pd.DataFrame({
+            "dim": pd.Series([], dtype=np.int64),
+            "mn": pd.Series([], dtype=np.float64),
+            "mx": pd.Series([], dtype=np.float64),
+            "scale": pd.Series([], dtype=np.float64),
+            "max_abs_err": pd.Series([], dtype=np.float64)})
+    mm = mm.sort_values("dim").reset_index(drop=True)
+    mn = mm.mn.to_numpy(np.float64)
+    scale = (mm.mx.to_numpy(np.float64) - mn) / 255.0
+    cal_ref = ray.put({"mn": mn, "scale": scale})
+
+    def err_part(b: pd.DataFrame) -> pd.DataFrame:
+        cal = get_broadcast(cal_ref)
+        m = np.asarray(b.embedding.to_list(), dtype=np.float64)
+        mn_, sc_ = cal["mn"][None, :], cal["scale"][None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            code = round_half_away((m - mn_) / sc_)
+            err = np.abs(m - (mn_ + code * sc_))
+        err = np.where(sc_ == 0.0, 0.0, err)
+        return pd.DataFrame({
+            "dim": np.arange(1, m.shape[1] + 1, dtype=np.int64),
+            "max_abs_err": err.max(axis=0)})
+
+    emax = ds.map_batches(err_part, batch_format="pandas",
+                          batch_size=65536).to_pandas() \
+        .groupby("dim", as_index=False).agg(max_abs_err=("max_abs_err",
+                                                         "max"))
+    out = mm.merge(emax, on="dim")
+    out["scale"] = scale
+    return out[["dim", "mn", "mx", "scale", "max_abs_err"]]
+
+
 def winsorized_value_mean_per_type(sf_dir: str) -> pd.DataFrame:
     """Winsorized mean per event_type: values clamped to the type's
     [p05, p95] quantile_disc thresholds (ACTUAL data values — the disc

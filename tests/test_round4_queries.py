@@ -592,6 +592,29 @@ class TestOhlcResample:
             .reset_index(drop=True))
 
 
+class TestQuantizationAudit:
+    def test_constant_dim_and_bound(self, ray_session, tmp_path):
+        """Constant dims quantize with zero error (the scale==0 guard);
+        non-degenerate dims keep max error within scale/2 + fp slack."""
+        import pyarrow.parquet as pq
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(11)
+        m = rng.normal(0, 1, (50, 4)).astype(np.float32)
+        m[:, 2] = 7.5                       # constant dim
+        t = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                      "embedding": pa.array(list(m),
+                                            pa.list_(pa.float32())),
+                      "label": pa.array([0] * 50, pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = Q.embedding_quantization_audit(str(tmp_path))
+        assert len(out) == 4
+        row = out[out.dim == 3].iloc[0]
+        assert row.scale == 0.0 and row.max_abs_err == 0.0
+        ok = out[out.dim != 3]
+        assert (ok.max_abs_err <= ok.scale / 2 * (1 + 1e-9)).all()
+
+
 class TestSkyline:
     def test_kernel_matches_brute_dominance(self):
         from aumos_drift_detector_ray.functions.arrays import skyline2d_mask

@@ -226,7 +226,7 @@ EMB_QUERIES = [
     "embedding_dim_medians", "semantic_dedup_audit",
     # Lloyd monotonicity holds for ANY input; the ANN recall audit is
     # excluded for the same statistical-bound reason as ivf/lsh_topk
-    "kmeans_invariant_audit",
+    "kmeans_invariant_audit", "embedding_quantization_audit",
 ]
 
 
