@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_consistency": Q.order_price_consistency,
         "winsorized_value_mean_per_type": Q.winsorized_value_mean_per_type,
         "embedding_quantization_audit": Q.embedding_quantization_audit,
+        "trending_tokens_daily": Q.trending_tokens_daily,
     }
 
 
@@ -1684,6 +1685,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # trending tokens per synthetic day (doc_id % 7): integers,
+        # ties token ASC
+        "trending_tokens_daily": """
+            WITH tok AS (
+                SELECT doc_id % 7 AS day, unnest(regexp_extract_all(
+                    lower(coalesce(text, '')), '[a-z'']+')) AS w
+                FROM documents
+            ),
+            c AS (SELECT day, w AS token, CAST(count(*) AS BIGINT) AS n
+                  FROM tok GROUP BY 1, 2),
+            r AS (SELECT day, token, n,
+                         row_number() OVER (PARTITION BY day
+                                            ORDER BY n DESC, token) AS rn
+                  FROM c)
+            SELECT CAST(day AS BIGINT) AS day, token, n
+            FROM r WHERE rn <= 3 ORDER BY day, n DESC, token
         """,
         # int8 quantization audit: order-free extremes + one fixed
         # sequence of exactly-rounded fp ops, replicated verbatim

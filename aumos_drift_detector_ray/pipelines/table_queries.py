@@ -1406,6 +1406,70 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def trending_tokens_daily(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Trending terms per day — the monitoring query a curation
+    pipeline tails: top-k tokens of each event day by event count
+    (ties: token ASC), joining events to the textual props field is
+    out of scope so the corpus is documents keyed into synthetic days
+    by doc_id % 7 (deterministic on both sides; the documents table
+    carries no timestamp). Two small scalar exchanges: (day, token)
+    partial counts hash-bucket by (day, token) so each pair's count is
+    exact in one group; a day-keyed second exchange folds per-day
+    top-k (each day wholly in one group). Integers — bit-exact."""
+    from ..sketches import hash64, hash_any_array
+    from ..stages.textops import WORD_RE
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype=np.int64),
+        "token": pd.Series([], dtype=object),
+        "n": pd.Series([], dtype=np.int64)})
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lists = b.text.fillna("").astype(str).str.lower().str.findall(WORD_RE)
+        reps = lists.map(len).to_numpy(np.int64)
+        if reps.sum() == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype=np.int64),
+                "token": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        g = pd.DataFrame({
+            "day": np.repeat(b.doc_id.to_numpy(np.int64) % 7, reps),
+            "token": np.concatenate([np.asarray(x, dtype=object)
+                                     for x in lists])}) \
+            .groupby(["day", "token"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g.n.astype("int64")
+        with np.errstate(over="ignore"):
+            g["bucket"] = ((hash_any_array(g.token.to_numpy(object))
+                            ^ hash64(g.day.to_numpy(np.int64)
+                                     .view(np.uint64)))
+                           % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    counts = docs.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby(["day", "token"], as_index=False)
+            .agg(n=("n", "sum")), batch_format="pandas")
+
+    def per_day(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable").groupby("day").head(k)
+        out["n"] = out.n.astype("int64")
+        return out[["day", "token", "n"]]
+
+    top = counts.groupby("day").map_groups(
+        per_day, batch_format="pandas").to_pandas()
+    if not len(top) or "day" not in top.columns:
+        return empty
+    return top.sort_values(["day", "n", "token"],
+                           ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
 def embedding_quantization_audit(sf_dir: str) -> pd.DataFrame:
     """Int8 (256-level) per-dimension embedding quantization error
     audit — the vector-compression step an ANN index applies before

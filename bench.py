@@ -235,6 +235,10 @@ def run_queries() -> dict[str, float]:
         "tpch_q18_large_orders", "tpch_q10_returned_items",
         "ohlc_resample_events", "event_cube_stats",
         "neardup_triangle_stats", "asof_next_purchase_after_signup",
+        "order_skyline", "token_source_drift",
+        "ntile_value_bands_per_type", "order_price_consistency",
+        "winsorized_value_mean_per_type", "embedding_quantization_audit",
+        "trending_tokens_daily",
     ]
     qs = E.queries()
     out = {}
