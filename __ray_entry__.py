@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_value_mean_per_type": Q.winsorized_value_mean_per_type,
         "embedding_quantization_audit": Q.embedding_quantization_audit,
         "trending_tokens_daily": Q.trending_tokens_daily,
+        "snapshot_diff_docs": Q.snapshot_diff_docs,
     }
 
 
@@ -1685,6 +1686,40 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # snapshot diff: second snapshot DERIVED identically on both
+        # sides (change %7, drop %11, clone %13 as new keys); classes
+        # via full outer join on doc_id + md5 compare — integers
+        "snapshot_diff_docs": """
+            WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS h
+                       FROM documents),
+            bsrc AS (SELECT doc_id,
+                            CASE WHEN doc_id % 7 = 0
+                                 THEN coalesce(text, '') || ' v2'
+                                 ELSE coalesce(text, '') END AS t
+                     FROM documents),
+            b AS (
+                SELECT doc_id, md5(t) AS h FROM bsrc
+                WHERE doc_id % 11 != 0
+                UNION ALL
+                SELECT doc_id + 1000000, md5(t) FROM bsrc
+                WHERE doc_id % 13 = 0
+            ),
+            fj AS (
+                SELECT a.h AS ha, b.h AS hb
+                FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+            ),
+            c AS (
+                SELECT CASE WHEN ha IS NULL THEN 'added'
+                            WHEN hb IS NULL THEN 'removed'
+                            WHEN ha = hb THEN 'same'
+                            ELSE 'changed' END AS class,
+                       coalesce(ha, hb) AS h
+                FROM fj
+            )
+            SELECT class, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_md5
+            FROM c GROUP BY 1 ORDER BY 1
         """,
         # trending tokens per synthetic day (doc_id % 7): integers,
         # ties token ASC

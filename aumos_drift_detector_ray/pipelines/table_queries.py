@@ -1406,6 +1406,99 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def snapshot_diff_docs(sf_dir: str) -> pd.DataFrame:
+    """Dataset-version diff (the Delta-Lake-style snapshot compare a
+    curation pipeline runs between ingests): rows classified
+    added / removed / changed / same by keyed full-outer join on
+    doc_id with md5 content compare. The second snapshot is DERIVED
+    deterministically from the first on both sides (the testdata has
+    one version): every 7th doc's text gains a ' v2' suffix (changed),
+    every 11th is dropped (removed), and every 13th is re-ingested as
+    a new doc_id + 10^6 clone (added) — drop beats change when both
+    apply, clones of dropped docs still appear (they are new keys).
+    Output: one row per class with row count and distinct-md5 count —
+    integers, bit-exact.
+
+    Scale shape: both snapshots stream as block maps (the derived
+    snapshot is a map over the SAME read — no second scan of storage),
+    content hashes ride the keyed full-outer ``hash_join`` (16-way
+    bucketed), and per-block class partials fold to 4 rows."""
+    from ..stages.joins import hash_join
+
+    docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def snap_a(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b.doc_id.to_numpy(np.int64),
+            "h": [hashlib.md5(t.encode()).hexdigest()
+                  for t in b.text.fillna("")]})
+
+    def snap_b(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.doc_id.to_numpy(np.int64)
+        txt = b.text.fillna("")
+        changed = (d % 7 == 0)
+        t2 = np.where(changed, txt + " v2", txt)
+        keep = d % 11 != 0
+        out = pd.DataFrame({"doc_id": d[keep], "h": [
+            hashlib.md5(t.encode()).hexdigest() for t in t2[keep]]})
+        new = d % 13 == 0
+        if new.any():
+            out = pd.concat([out, pd.DataFrame({
+                "doc_id": d[new] + 1_000_000,
+                "h": [hashlib.md5(t.encode()).hexdigest()
+                      for t in t2[new]]})], ignore_index=True)
+        return out
+
+    a = docs.map_batches(snap_a, batch_format="pandas", batch_size=65536)
+    bset = docs.map_batches(snap_b, batch_format="pandas",
+                            batch_size=65536)
+    j = hash_join(a, bset, "doc_id", n_buckets=16, how="outer",
+                  left_fields={"doc_id": pa.int64(), "h": pa.string()},
+                  right_fields={"doc_id": pa.int64(), "h": pa.string()})
+
+    from ..sketches import hash_any_array
+
+    def classify(b: pd.DataFrame) -> pd.DataFrame:
+        ha, hb = b["h"], b["r_h"]
+        cls = np.where(
+            ha.isna(), "added",
+            np.where(hb.isna(), "removed",
+                     np.where(ha == hb, "same", "changed")))
+        d = pd.DataFrame({"class": cls,
+                          "h": np.where(ha.isna(), hb, ha)})
+        # per-block partial: row counts + the DISTINCT (class, h) pairs
+        # (the same md5 may span join buckets, so distinctness resolves
+        # in a second (class, h)-keyed exchange, never per block)
+        cnt = d.groupby("class", as_index=False).agg(n_rows=("h", "size"))
+        cnt["h"] = ""
+        dist = d.drop_duplicates().assign(n_rows=np.int64(0))
+        out = pd.concat([cnt[["class", "h", "n_rows"]],
+                         dist[["class", "h", "n_rows"]]],
+                        ignore_index=True)
+        out["bk"] = (hash_any_array((out["class"] + "|" + out["h"])
+                                    .tolist())
+                     % np.uint64(32)).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g[g.h == ""].groupby("class", as_index=False) \
+            .agg(n_rows=("n_rows", "sum"))
+        dh = g[g.h != ""][["class", "h"]].drop_duplicates() \
+            .groupby("class", as_index=False).agg(nd=("h", "nunique"))
+        return cnt.merge(dh, on="class", how="outer") \
+            .fillna({"n_rows": 0, "nd": 0})
+
+    parts = j.map_batches(classify, batch_format="pandas") \
+        .groupby("bk").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    res = parts.groupby("class", as_index=False).agg(
+        n_rows=("n_rows", "sum"), nd=("nd", "sum"))
+    res["n_rows"] = res.n_rows.astype("int64")
+    res["n_distinct_md5"] = res.nd.astype("int64")
+    return res[["class", "n_rows", "n_distinct_md5"]] \
+        .sort_values("class").reset_index(drop=True)
+
+
 def trending_tokens_daily(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Trending terms per day — the monitoring query a curation
     pipeline tails: top-k tokens of each event day by event count

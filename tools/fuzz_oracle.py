@@ -157,7 +157,7 @@ DOC_QUERIES = [
     # merge learning (full merge-loop parity vs the unrolled SQL)
     "bigram_lm_doc_scores", "bpe_merge_table", "bpe_tokenized_doc_stats",
     "shingle_cosine_pairs", "neardup_triangle_stats",
-    "token_source_drift", "trending_tokens_daily",
+    "token_source_drift", "trending_tokens_daily", "snapshot_diff_docs",
 ]
 
 
