@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantization_audit": Q.embedding_quantization_audit,
         "trending_tokens_daily": Q.trending_tokens_daily,
         "snapshot_diff_docs": Q.snapshot_diff_docs,
+        "fd_violation_profile": Q.fd_violation_profile,
     }
 
 
@@ -1686,6 +1687,31 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # FD violation profiling: RHS compared as VARCHAR on both
+        # sides (the engine ships rhs as str for a uniform exchange)
+        "fd_violation_profile": """
+            WITH u AS (
+                SELECT 'l_orderkey->l_returnflag' AS fd,
+                       l_orderkey AS lhs,
+                       CAST(l_returnflag AS VARCHAR) AS rhs FROM lineitem
+                UNION ALL
+                SELECT 'l_partkey->l_suppkey', l_partkey,
+                       CAST(l_suppkey AS VARCHAR) FROM lineitem
+                UNION ALL
+                SELECT 'l_suppkey->l_linestatus', l_suppkey,
+                       CAST(l_linestatus AS VARCHAR) FROM lineitem
+            ),
+            per_key AS (
+                SELECT fd, lhs,
+                       CAST(count(DISTINCT rhs) AS BIGINT) AS k
+                FROM u GROUP BY fd, lhs
+            )
+            SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(count(*) FILTER (k > 1) AS BIGINT)
+                       AS n_violating_keys,
+                   CAST(max(k) AS BIGINT) AS max_distinct_rhs
+            FROM per_key GROUP BY fd ORDER BY fd
         """,
         # snapshot diff: second snapshot DERIVED identically on both
         # sides (change %7, drop %11, clone %13 as new keys); classes

@@ -1406,6 +1406,66 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def fd_violation_profile(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency violation profiling — the schema-discovery
+    step of a validation engine (does column A determine column B?):
+    for each declared candidate FD over lineitem, the number of
+    distinct LHS keys, how many of them witness more than one RHS
+    value (violations), and the worst key's RHS cardinality. All three
+    candidate FDs share ONE corpus pass: each block emits its distinct
+    (fd, lhs, rhs) triples (local dedup shrinks the exchange), a
+    (fd, lhs)-hash-bucketed exchange makes per-key RHS sets exact in
+    one group, and the driver folds #buckets x #fds partial rows.
+    Integers — bit-exact."""
+    from ..sketches import hash64, hash_any_array
+
+    fds = [("l_orderkey->l_returnflag", "l_orderkey", "l_returnflag"),
+           ("l_partkey->l_suppkey", "l_partkey", "l_suppkey"),
+           ("l_suppkey->l_linestatus", "l_suppkey", "l_linestatus")]
+    cols = sorted({c for _, a, b in fds for c in (a, b)})
+    ds = sf_table(sf_dir, "lineitem", columns=cols)
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for name, a, c in fds:
+            d = pd.DataFrame({
+                "fd": name,
+                "lhs": b[a].to_numpy(np.int64),
+                "rhs": b[c].astype(str).to_numpy(object),
+            }).drop_duplicates()
+            outs.append(d)
+        out = pd.concat(outs, ignore_index=True)
+        with np.errstate(over="ignore"):
+            out["bucket"] = ((hash_any_array(out.fd.tolist())
+                              ^ hash64(out.lhs.to_numpy(np.int64)
+                                       .view(np.uint64)))
+                             % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["fd", "lhs", "rhs"]].drop_duplicates()
+        per_key = d.groupby(["fd", "lhs"], as_index=False) \
+            .agg(k=("rhs", "nunique"))
+        out = per_key.groupby("fd", as_index=False).agg(
+            n_keys=("k", "size"),
+            n_violating_keys=("k", lambda s: int((s > 1).sum())),
+            max_distinct_rhs=("k", "max"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("fd", as_index=False).agg(
+        n_keys=("n_keys", "sum"),
+        n_violating_keys=("n_violating_keys", "sum"),
+        max_distinct_rhs=("max_distinct_rhs", "max"))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("fd").reset_index(drop=True)
+
+
 def snapshot_diff_docs(sf_dir: str) -> pd.DataFrame:
     """Dataset-version diff (the Delta-Lake-style snapshot compare a
     curation pipeline runs between ingests): rows classified
