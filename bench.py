@@ -238,7 +238,8 @@ def run_queries() -> dict[str, float]:
         "order_skyline", "token_source_drift",
         "ntile_value_bands_per_type", "order_price_consistency",
         "winsorized_value_mean_per_type", "embedding_quantization_audit",
-        "trending_tokens_daily",
+        "trending_tokens_daily", "snapshot_diff_docs",
+        "fd_violation_profile",
     ]
     qs = E.queries()
     out = {}
