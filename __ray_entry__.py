@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_tokens_daily": Q.trending_tokens_daily,
         "snapshot_diff_docs": Q.snapshot_diff_docs,
         "fd_violation_profile": Q.fd_violation_profile,
+        "monthly_revenue_momentum": Q.monthly_revenue_momentum,
+        "event_type_trigrams": Q.event_type_trigrams,
     }
 
 
@@ -1687,6 +1689,41 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # per-user ordered trigrams: double-lead window, ints
+        "event_type_trigrams": """
+            WITH s AS (
+                SELECT event_type AS t1,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t2,
+                       lead(event_type, 2) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS t3
+                FROM events
+            )
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # month-over-month momentum: exact cents ints; pct_change is
+        # one fp division of two exact ints (first month NULL == NaN)
+        "monthly_revenue_momentum": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) * 100
+                            + month(o_orderdate) AS BIGINT) AS month,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS rev_c,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY 1
+            ),
+            l AS (SELECT month, n_orders, rev_c,
+                         lag(rev_c) OVER (ORDER BY month) AS prev
+                  FROM m)
+            SELECT month, n_orders,
+                   CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+                   CAST(rev_c - prev AS DOUBLE) / 100.0 AS delta,
+                   CAST(rev_c - prev AS DOUBLE) / CAST(prev AS DOUBLE)
+                       AS pct_change
+            FROM l ORDER BY month
         """,
         # FD violation profiling: RHS compared as VARCHAR on both
         # sides (the engine ships rhs as str for a uniform exchange)

@@ -1406,6 +1406,103 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def event_type_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Ordered behavior mining one step past the bigram transition
+    matrix: counts of consecutive event-type TRIGRAMS within each
+    user's (ts, event_id)-ordered stream. Same one-exchange bucketed
+    sessionizer shape as event_type_transitions — a user's events
+    co-locate in one hash bucket, two vectorized shifts mark trigram
+    windows (rows 3+ of each user run), per-bucket partial counts fold
+    through the bounded (|type-alphabet|^3) trigram table. Integers —
+    bit-exact vs the double-lead window oracle."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+    n_buckets = 64
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "t1": pd.Series([], dtype=object),
+            "t2": pd.Series([], dtype=object),
+            "t3": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+        if len(g) < 3:
+            return empty
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        u = g.user_id.to_numpy(np.int64)
+        t = g.event_type.to_numpy(object)
+        same3 = (u[2:] == u[:-2])
+        if not same3.any():
+            return empty
+        d = pd.DataFrame({"t1": t[:-2][same3], "t2": t[1:-1][same3],
+                          "t3": t[2:][same3]})
+        out = d.groupby(["t1", "t2", "t3"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out.n.astype("int64")
+        return out
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    if not len(parts) or "t1" not in parts.columns:
+        return pd.DataFrame({
+            "t1": pd.Series([], dtype=object),
+            "t2": pd.Series([], dtype=object),
+            "t3": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False).agg(
+        n=("n", "sum"))
+    out["n"] = out.n.astype("int64")
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def monthly_revenue_momentum(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month order revenue with lag + percent change — the
+    trend-monitoring rollup (reference capability: trend_analyzer.py's
+    windowed deltas) as a distributed aggregate: per-block (month,
+    cents) partials fold through one tiny exchange (months are bounded
+    — one row per month reaches the driver), the lag/delta series
+    resolves driver-side on that bounded table. revenue and delta stay
+    exact ints; pct_change is ONE fp division of two exact ints on
+    both sides (first month: SQL NULL == pandas NaN under the driver's
+    canonical compare)."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.o_orderdate.dt.year.to_numpy(np.int64) * 100 \
+            + b.o_orderdate.dt.month.to_numpy(np.int64)
+        return pd.DataFrame({
+            "month": m,
+            "rev_c": round_half_away(
+                b.o_totalprice.to_numpy() * 100).astype(np.int64)}) \
+            .groupby("month", as_index=False).agg(
+                rev_c=("rev_c", "sum"), n=("rev_c", "size"))
+
+    agg = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("month", as_index=False).agg(rev_c=("rev_c", "sum"),
+                                              n=("n", "sum")) \
+        .sort_values("month").reset_index(drop=True)
+    prev = agg.rev_c.shift(1)
+    delta = agg.rev_c - prev
+    out = pd.DataFrame({
+        "month": agg.month.astype("int64"),
+        "n_orders": agg.n.astype("int64"),
+        "revenue": agg.rev_c.to_numpy(np.int64).astype(np.float64) / 100.0,
+        "delta": delta.astype("float64") / 100.0,
+        "pct_change": (delta.to_numpy(np.float64)
+                       / prev.to_numpy(np.float64)),
+    })
+    return out
+
+
 def fd_violation_profile(sf_dir: str) -> pd.DataFrame:
     """Functional-dependency violation profiling — the schema-discovery
     step of a validation engine (does column A determine column B?):

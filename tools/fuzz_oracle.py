@@ -65,7 +65,7 @@ EVENT_QUERIES = [
     "mode_value_band_per_type", "hourly_type_entropy",
     "amended_events_latest_dedup", "value_quartile_band_counts",
     "weekly_user_retention", "rolling_7d_distinct_users",
-    "session_funnel_counts", "key_skew_stats", "event_type_transitions",
+    "session_funnel_counts", "key_skew_stats", "event_type_transitions", "event_type_trigrams",
     "impute_missing_values", "k_anonymity_events", "late_events_report",
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
