@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violation_profile": Q.fd_violation_profile,
         "monthly_revenue_momentum": Q.monthly_revenue_momentum,
         "event_type_trigrams": Q.event_type_trigrams,
+        "daily_open_order_backlog": Q.daily_open_order_backlog,
     }
 
 
@@ -1689,6 +1690,32 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # sweep-line backlog: +1/-1 deltas + windowed cumsum, ints
+        "daily_open_order_backlog": """
+            WITH d AS (
+                SELECT CAST(datediff('day', TIMESTAMP '1992-01-01',
+                                     o_orderdate) AS BIGINT) AS day,
+                       CASE WHEN o_orderstatus = 'O' THEN 10
+                            ELSE 5 END AS win
+                FROM orders
+            ),
+            deltas AS (
+                SELECT day, 1 AS delta, 1 AS n_opened, 0 AS n_closed
+                FROM d
+                UNION ALL
+                SELECT day + win + 1, -1, 0, 1 FROM d
+            ),
+            g AS (
+                SELECT day, CAST(sum(delta) AS BIGINT) AS delta,
+                       CAST(sum(n_opened) AS BIGINT) AS n_opened,
+                       CAST(sum(n_closed) AS BIGINT) AS n_closed
+                FROM deltas GROUP BY day
+            )
+            SELECT day, n_opened, n_closed,
+                   CAST(sum(delta) OVER (ORDER BY day) AS BIGINT)
+                       AS backlog
+            FROM g ORDER BY day
         """,
         # per-user ordered trigrams: double-lead window, ints
         "event_type_trigrams": """

@@ -1406,6 +1406,49 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def daily_open_order_backlog(sf_dir: str) -> pd.DataFrame:
+    """Sweep-line backlog time series: per day, how many orders opened,
+    how many closed, and the running count of orders whose fulfillment
+    window covers the day (open 'O' orders get a 10-day window, others
+    5 — the order_window_overlap_stats convention). The interval-
+    stabbing pattern WITHOUT an interval join: each order contributes
+    two integer DELTAS (+1 at window start, -1 the day after window
+    end), per-block delta partials fold through one day-keyed
+    exchange, and the cumulative sum resolves driver-side over the
+    BOUNDED distinct-day table (the calendar, not the data, bounds it).
+    Integers — bit-exact vs the windowed-cumsum oracle."""
+    base = pd.Timestamp("1992-01-01")
+    ds = sf_table(sf_dir, "orders",
+                  columns=["o_orderdate", "o_orderstatus"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d0 = (b.o_orderdate - base).dt.days.to_numpy(np.int64)
+        win = np.where(b.o_orderstatus.to_numpy(object) == "O", 10, 5) \
+            .astype(np.int64)
+        days = np.concatenate([d0, d0 + win + 1])
+        delta = np.concatenate([np.ones(len(d0), np.int64),
+                                -np.ones(len(d0), np.int64)])
+        opened = np.concatenate([np.ones(len(d0), np.int64),
+                                 np.zeros(len(d0), np.int64)])
+        closed = np.concatenate([np.zeros(len(d0), np.int64),
+                                 np.ones(len(d0), np.int64)])
+        return pd.DataFrame({"day": days, "delta": delta,
+                             "n_opened": opened, "n_closed": closed}) \
+            .groupby("day", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("day", as_index=False).sum().sort_values("day") \
+        .reset_index(drop=True)
+    out = pd.DataFrame({
+        "day": agg.day.astype("int64"),
+        "n_opened": agg.n_opened.astype("int64"),
+        "n_closed": agg.n_closed.astype("int64"),
+        "backlog": agg.delta.cumsum().astype("int64"),
+    })
+    return out
+
+
 def event_type_trigrams(sf_dir: str) -> pd.DataFrame:
     """Ordered behavior mining one step past the bigram transition
     matrix: counts of consecutive event-type TRIGRAMS within each
