@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_momentum": Q.monthly_revenue_momentum,
         "event_type_trigrams": Q.event_type_trigrams,
         "daily_open_order_backlog": Q.daily_open_order_backlog,
+        "customer_revenue_gini": Q.customer_revenue_gini,
     }
 
 
@@ -1690,6 +1691,29 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # Gini: exact integer rank-sum (tie-order-invariant), one fixed
+        # double sequence at the end on both sides
+        "customer_revenue_gini": """
+            WITH c AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ),
+            r AS (SELECT rev_c,
+                         row_number() OVER (ORDER BY rev_c) AS pos
+                  FROM c),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT) AS t,
+                         CAST(sum(CAST(pos AS HUGEINT) * rev_c) AS HUGEINT)
+                             AS spx
+                  FROM r)
+            SELECT n AS n_customers,
+                   CAST(t AS DOUBLE) / 100.0 AS total_revenue,
+                   CAST(2 * spx AS DOUBLE) / CAST(n * t AS DOUBLE)
+                   - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+            FROM s
         """,
         # sweep-line backlog: +1/-1 deltas + windowed cumsum, ints
         "daily_open_order_backlog": """

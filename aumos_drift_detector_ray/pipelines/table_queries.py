@@ -1406,6 +1406,56 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the inequality/skew diagnostic a pipeline uses to decide salting:
+    gini = 2*sum(pos * x)/(n * sum(x)) - (n+1)/n over the value-sorted
+    per-customer revenues. The order-statistics moment sum(pos * x)
+    comes from scan.weighted_rank_sum (distinct-value exchange +
+    per-block position-weighted folds in arbitrary-precision ints), so
+    n, total and the rank sum are EXACT; the reported gini is a fixed
+    sequence of exactly-rounded double ops replicated in SQL
+    (tie-order-invariant: equal revenues contribute the same sum under
+    any row_number tie break). Per-customer revenue folds in exact
+    cents ints through a block-partial + single exchange."""
+    from ..sketches import hash64
+    from ..stages.scan import weighted_rank_sum
+
+    ds = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": b.o_custkey.to_numpy(np.int64),
+            "rev_c": round_half_away(
+                b.o_totalprice.to_numpy() * 100).astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False).agg(rev_c=("rev_c",
+                                                             "sum"))
+        g["bucket"] = (hash64(g.o_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    per_cust = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_custkey", as_index=False)
+            .agg(rev_c=("rev_c", "sum")).astype({"rev_c": "int64"}),
+            batch_format="pandas") \
+        .select_columns(["rev_c"])
+
+    n, total_c, spx = weighted_rank_sum(per_cust, "rev_c")
+    if n == 0:
+        return pd.DataFrame({"n_customers": pd.Series([], dtype=np.int64),
+                             "total_revenue": pd.Series([], dtype=np.float64),
+                             "gini": pd.Series([], dtype=np.float64)})
+    gini = (float(2 * spx) / float(n * total_c)
+            - float(n + 1) / float(n))
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)],
+        "total_revenue": [float(total_c) / 100.0],
+        "gini": [gini]})
+
+
 def daily_open_order_backlog(sf_dir: str) -> pd.DataFrame:
     """Sweep-line backlog time series: per day, how many orders opened,
     how many closed, and the running count of orders whose fulfillment

@@ -262,6 +262,90 @@ def grouped_distinct_counts(
     return {c: int(agg.get(c, 0)) for c in cols}
 
 
+def weighted_rank_sum(ds: ray.data.Dataset,
+                      value_col: str) -> "tuple[int, int, int]":
+    """EXACT (n, sum_x, sum over sorted positions of pos * x) of an
+    int64 column, distributed — the order-statistics moment behind
+    Lorenz/Gini concentration. Positions are 1-based over the value-
+    sorted multiset; within a tie group every assignment of the
+    distinct positions yields the same sum (equal x), so the result is
+    tie-order-invariant and matches any SQL row_number() ordering.
+
+    Shape: grouped (value, count) partials -> bucketed merge -> value
+    sort (the same distinct-value exchange as exact_quantiles); pass A
+    derives per-block 0-based rank offsets from one summary row per
+    block; pass B computes each block's position-weighted contribution
+    IN ARBITRARY-PRECISION PYTHON INTS (pos*x products overflow int64
+    at 10^12-row x cents scale), shipping one decimal string per block;
+    the driver folds #blocks exact integers."""
+    from ..sketches import hash64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            value_col: b[value_col].to_numpy(dtype=np.int64),
+        }).groupby(value_col, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["bucket"] = (
+            hash64(g[value_col].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(value_col, as_index=False).agg(n=("n", "sum"))
+
+    counts = parts.groupby("bucket").map_groups(
+        merge, batch_format="pandas")
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"min_val": pa.array([int(v[0])], pa.int64()),
+                         "n": pa.array([int(n.sum())], pa.int64())})
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("min_val").reset_index(drop=True)
+    if not len(summary):
+        return 0, 0, 0
+    offs = np.concatenate([[0], np.cumsum(summary.n.to_numpy())[:-1]])
+    bc = ray.put({"mins": summary.min_val.to_numpy(), "offs": offs})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({"n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.string()),
+                          "spx": pa.array([], pa.string())})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(info["mins"], int(v[0])))
+        assert info["mins"][i] == v[0], "block boundary drift"
+        start = int(info["offs"][i])       # 0-based rank of block head
+        sx, spx, s = 0, 0, start
+        for x, k in zip(v.tolist(), n.tolist()):
+            sx += x * k
+            # positions s+1 .. s+k (1-based): sum = k*(s+1) + k*(k-1)/2
+            spx += x * (k * (s + 1) + k * (k - 1) // 2)
+            s += k
+        return pa.table({"n": pa.array([int(n.sum())], pa.int64()),
+                         "sx": pa.array([str(sx)], pa.string()),
+                         "spx": pa.array([str(spx)], pa.string())})
+
+    rows = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None).to_pandas()
+    return (int(rows.n.sum()),
+            sum(int(x) for x in rows.sx),
+            sum(int(x) for x in rows.spx))
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     value_col: str,
