@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_trigrams": Q.event_type_trigrams,
         "daily_open_order_backlog": Q.daily_open_order_backlog,
         "customer_revenue_gini": Q.customer_revenue_gini,
+        "benford_first_digit_profile": Q.benford_first_digit_profile,
     }
 
 
@@ -1691,6 +1692,22 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # Benford screen: leading digit of the exact cents int via
+        # string head; share = one exact-int division per digit
+        "benford_first_digit_profile": """
+            WITH t AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                            AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+                WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+            ),
+            g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1)
+            SELECT digit, n,
+                   CAST(n AS DOUBLE) / (SELECT sum(n) FROM g) AS share
+            FROM g ORDER BY digit
         """,
         # Gini: exact integer rank-sum (tie-order-invariant), one fixed
         # double sequence at the end on both sides

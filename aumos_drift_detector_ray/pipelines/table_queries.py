@@ -1406,6 +1406,34 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def benford_first_digit_profile(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-digit profile of order values — the fraud/
+    fabrication screen a validation engine runs on monetary columns:
+    counts and shares of the leading digit of the exact cents-integer
+    amount (string head of the int — no fp formatting ambiguity; the
+    share is one exact-int division per digit). Per-block digit
+    partials fold to <= 9 rows. Bit-exact."""
+    ds = sf_table(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        tp = round_half_away(
+            b.o_totalprice.to_numpy(np.float64) * 100).astype(np.int64)
+        tp = tp[tp > 0]
+        d = pd.Series(tp).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": d, "n": np.int64(1)}) \
+            .groupby("digit", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas",
+                         batch_size=65536).to_pandas() \
+        .groupby("digit", as_index=False).sum().sort_values("digit")
+    total = int(agg.n.sum())
+    return pd.DataFrame({
+        "digit": agg.digit.astype("int64"),
+        "n": agg.n.astype("int64"),
+        "share": agg.n.to_numpy(np.int64) / np.float64(total),
+    }).reset_index(drop=True)
+
+
 def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of revenue concentration across customers —
     the inequality/skew diagnostic a pipeline uses to decide salting:
