@@ -239,7 +239,9 @@ def run_queries() -> dict[str, float]:
         "ntile_value_bands_per_type", "order_price_consistency",
         "winsorized_value_mean_per_type", "embedding_quantization_audit",
         "trending_tokens_daily", "snapshot_diff_docs",
-        "fd_violation_profile",
+        "fd_violation_profile", "monthly_revenue_momentum",
+        "event_type_trigrams", "daily_open_order_backlog",
+        "customer_revenue_gini", "benford_first_digit_profile",
     ]
     qs = E.queries()
     out = {}
