@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_open_order_backlog": Q.daily_open_order_backlog,
         "customer_revenue_gini": Q.customer_revenue_gini,
         "benford_first_digit_profile": Q.benford_first_digit_profile,
+        "weekly_median_value_per_type": Q.weekly_median_value_per_type,
     }
 
 
@@ -601,6 +602,7 @@ _VALUE_CLEAN_QUERIES = [
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
+    "weekly_median_value_per_type",
 ]
 
 
@@ -1692,6 +1694,19 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # weekly median timeline: quantile_disc = rank selection
+        "weekly_median_value_per_type": """
+            WITH k AS (
+                SELECT event_type,
+                       CAST(isoyear(ts) AS VARCHAR) || '-W'
+                       || lpad(CAST(week(ts) AS VARCHAR), 2, '0') AS week,
+                       value
+                FROM events
+            )
+            SELECT event_type, week,
+                   quantile_disc(value, 0.5) AS median_value
+            FROM k GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # Benford screen: leading digit of the exact cents int via
         # string head; share = one exact-int division per digit

@@ -1406,6 +1406,41 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def weekly_median_value_per_type(sf_dir: str) -> pd.DataFrame:
+    """Median-value drift timeline: per (event_type, ISO-week-start)
+    the EXACT quantile_disc median of value — the robust center a
+    monitoring dashboard trends (mean timelines chase outliers). The
+    composite (type, week) key rides the shared grouped rank-lookup
+    engine as one group column, so medians are rank SELECTIONS (actual
+    data values, bit-exact, no rounding contract). One distinct-value
+    exchange total, not one per week."""
+    from ..stages.scan import grouped_disc_quantiles
+
+    ds = sf_events_clean(sf_dir, ["event_type", "ts", "value"])
+
+    def keyed(b: pd.DataFrame) -> pd.DataFrame:
+        week = b.ts.dt.isocalendar().year.astype(str) + "-W" \
+            + b.ts.dt.isocalendar().week.astype(str).str.zfill(2)
+        return pd.DataFrame({
+            "grp": b.event_type.to_numpy(object) + "|" + week.to_numpy(object),
+            "value": b.value.to_numpy(np.float64)})
+
+    q = grouped_disc_quantiles(
+        ds.map_batches(keyed, batch_format="pandas", batch_size=65536),
+        "grp", "value", [0.5])
+    if not len(q):
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "week": pd.Series([], dtype=object),
+            "median_value": pd.Series([], dtype=np.float64)})
+    parts = q.grp.str.split("|", n=1, expand=True)
+    out = pd.DataFrame({
+        "event_type": parts[0].to_numpy(object),
+        "week": parts[1].to_numpy(object),
+        "median_value": q.value.to_numpy(np.float64)})
+    return out.sort_values(["event_type", "week"]).reset_index(drop=True)
+
+
 def benford_first_digit_profile(sf_dir: str) -> pd.DataFrame:
     """Benford's-law first-digit profile of order values — the fraud/
     fabrication screen a validation engine runs on monetary columns:

@@ -46,6 +46,7 @@ BASE = "/root/testdata/sf0.001"
 EVENT_QUERIES = [
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
+    "weekly_median_value_per_type",
     "events_by_type", "distinct_users_per_type", "hourly_event_counts",
     "psi_events_value", "ks_events_value", "chi2_events_type",
     "js_hellinger_events_value", "wasserstein_events_value",
