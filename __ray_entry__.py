@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_revenue_gini": Q.customer_revenue_gini,
         "benford_first_digit_profile": Q.benford_first_digit_profile,
         "weekly_median_value_per_type": Q.weekly_median_value_per_type,
+        "tpch_q7_trade_matrix": Q.tpch_q7_trade_matrix,
     }
 
 
@@ -1694,6 +1695,29 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # Q7: bilateral trade volume, exact scaled-int revenue
+        "tpch_q7_trade_matrix": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 10000) AS BIGINT) AS rev
+                FROM lineitem)
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS year,
+                   CAST(sum(li.rev) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = li.l_suppkey
+            JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+            JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name != n2.n_name
+              AND year(o.o_orderdate) BETWEEN 1995 AND 1996
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         # weekly median timeline: quantile_disc = rank selection
         "weekly_median_value_per_type": """

@@ -1406,6 +1406,160 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     }).sort_values("error_id").reset_index(drop=True)
 
 
+def tpch_q7_trade_matrix(sf_dir: str,
+                         nations: "tuple[str, str]" = ("NATION_1",
+                                                       "NATION_2"),
+                         years: "tuple[int, int]" = (1995, 1996)) \
+        -> pd.DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue
+    between the nation pair per (customer nation, supplier nation,
+    year), both directions, cross-nation only. Same scale plan as Q5:
+    customer and supplier resolve through size-gated broadcast dicts
+    FILTERED to the two nations (map-side semi-join — most rows die
+    before the shuffle), falling back to bucketed hash_joins above
+    ``_BROADCAST_JOIN_MAX_ROWS``; lineitem x orders is always the
+    partitioned hash join; revenue folds in exact 10^-4-scaled ints
+    with <= #pair-year rows per block reaching the exchange."""
+    from ..functions.broadcast import get_broadcast
+    from ..stages.joins import hash_join
+
+    nat = sf_table(sf_dir, "nation").to_pandas()
+    name_by_key = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    pair_keys = {k for k, v in name_by_key.items() if v in nations}
+    lo_y, hi_y = years
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+    small = (cust.count() <= _BROADCAST_JOIN_MAX_ROWS
+             and supp.count() <= _BROADCAST_JOIN_MAX_ROWS)
+
+    def _ord_cols(b: pd.DataFrame) -> pd.DataFrame:
+        y = b.o_orderdate.dt.year.to_numpy(np.int64)
+        keep = (y >= lo_y) & (y <= hi_y)
+        return pd.DataFrame({"o_orderkey": b.o_orderkey.to_numpy(
+            np.int64)[keep], "o_custkey": b.o_custkey.to_numpy(
+            np.int64)[keep], "year": y[keep]})
+
+    def _li_cols(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "l_suppkey": b.l_suppkey.to_numpy(np.int64),
+            "rev": round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                * 10000).astype(np.int64)})
+
+    if small:
+        cdf = cust.to_pandas()
+        cdf = cdf[cdf.c_nationkey.isin(pair_keys)]
+        c_ref = ray.put(dict(zip(cdf.c_custkey.astype(int),
+                                 cdf.c_nationkey.astype(int))))
+        sdf = supp.to_pandas()
+        sdf = sdf[sdf.s_nationkey.isin(pair_keys)]
+        s_ref = ray.put(dict(zip(sdf.s_suppkey.astype(int),
+                                 sdf.s_nationkey.astype(int))))
+        del cdf, sdf
+
+        def ord_map(b: pd.DataFrame) -> pd.DataFrame:
+            d = _ord_cols(b)
+            nk = d.o_custkey.map(get_broadcast(c_ref))
+            keep = nk.notna()
+            return pd.DataFrame({
+                "o_orderkey": d.o_orderkey[keep],
+                "cust_nk": nk[keep].astype(np.int64),
+                "year": d.year[keep]})
+
+        def li_map(b: pd.DataFrame) -> pd.DataFrame:
+            d = _li_cols(b)
+            nk = d.l_suppkey.map(get_broadcast(s_ref))
+            keep = nk.notna()
+            return pd.DataFrame({
+                "o_orderkey": d.o_orderkey[keep],
+                "supp_nk": nk[keep].astype(np.int64),
+                "rev": d.rev[keep]})
+
+        oc = orders.map_batches(ord_map, batch_format="pandas",
+                                batch_size=65536)
+        ls = li.map_batches(li_map, batch_format="pandas",
+                            batch_size=65536)
+    else:
+        cust_f = cust.map_batches(
+            lambda b: b[b.c_nationkey.isin(pair_keys)].rename(
+                columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas")
+        oc = hash_join(
+            orders.map_batches(_ord_cols, batch_format="pandas"),
+            cust_f, "o_custkey", n_buckets=16,
+            left_fields={"o_orderkey": pa.int64(),
+                         "o_custkey": pa.int64(), "year": pa.int64()},
+            right_fields={"o_custkey": pa.int64(),
+                          "c_nationkey": pa.int64()}) \
+            .map_batches(lambda b: pd.DataFrame({
+                "o_orderkey": b.o_orderkey.astype("int64"),
+                "cust_nk": b.r_c_nationkey.astype("int64"),
+                "year": b.year.astype("int64")}),
+                batch_format="pandas")
+        supp_f = supp.map_batches(
+            lambda b: b[b.s_nationkey.isin(pair_keys)].rename(
+                columns={"s_suppkey": "l_suppkey"}),
+            batch_format="pandas")
+        ls = hash_join(
+            li.map_batches(_li_cols, batch_format="pandas"),
+            supp_f, "l_suppkey", n_buckets=16,
+            left_fields={"o_orderkey": pa.int64(),
+                         "l_suppkey": pa.int64(), "rev": pa.int64()},
+            right_fields={"l_suppkey": pa.int64(),
+                          "s_nationkey": pa.int64()}) \
+            .map_batches(lambda b: pd.DataFrame({
+                "o_orderkey": b.o_orderkey.astype("int64"),
+                "supp_nk": b.r_s_nationkey.astype("int64"),
+                "rev": b.rev.astype("int64")}),
+                batch_format="pandas")
+
+    j = hash_join(ls, oc, "o_orderkey", n_buckets=32,
+                  left_fields={"o_orderkey": pa.int64(),
+                               "supp_nk": pa.int64(), "rev": pa.int64()},
+                  right_fields={"o_orderkey": pa.int64(),
+                                "cust_nk": pa.int64(),
+                                "year": pa.int64()})
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b.supp_nk.to_numpy(np.int64)
+              != b.r_cust_nk.to_numpy(np.int64)]
+        return pd.DataFrame({
+            "cust_nk": b.r_cust_nk.to_numpy(np.int64),
+            "supp_nk": b.supp_nk.to_numpy(np.int64),
+            "year": b.r_year.to_numpy(np.int64),
+            "rev": b.rev.to_numpy(np.int64),
+        }).groupby(["cust_nk", "supp_nk", "year"], as_index=False).agg(
+            rev=("rev", "sum"), n=("rev", "size"))
+
+    out = j.map_batches(fold, batch_format="pandas").to_pandas()
+    if not len(out):
+        return pd.DataFrame({
+            "cust_nation": pd.Series([], dtype=object),
+            "supp_nation": pd.Series([], dtype=object),
+            "year": pd.Series([], dtype=np.int64),
+            "revenue": pd.Series([], dtype=np.float64),
+            "n": pd.Series([], dtype=np.int64)})
+    out = out.groupby(["cust_nk", "supp_nk", "year"], as_index=False) \
+        .agg(rev=("rev", "sum"), n=("n", "sum"))
+    res = pd.DataFrame({
+        "cust_nation": out.cust_nk.astype(int).map(name_by_key)
+        .astype(object),
+        "supp_nation": out.supp_nk.astype(int).map(name_by_key)
+        .astype(object),
+        "year": out.year.astype("int64"),
+        "revenue": out.rev.to_numpy(np.int64).astype(np.float64) / 10000.0,
+        "n": out.n.astype("int64")})
+    return res.sort_values(["cust_nation", "supp_nation", "year"]) \
+        .reset_index(drop=True)
+
+
 def weekly_median_value_per_type(sf_dir: str) -> pd.DataFrame:
     """Median-value drift timeline: per (event_type, ISO-week-start)
     the EXACT quantile_disc median of value — the robust center a

@@ -592,6 +592,24 @@ class TestOhlcResample:
             .reset_index(drop=True))
 
 
+class TestQ7Paths:
+    def test_join_fallback_matches_broadcast(self, ray_session,
+                                             monkeypatch):
+        """Above the broadcast gate Q7 must run the hash_join path for
+        customer AND supplier — output identical to the broadcast
+        dicts."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # default pair is empty at sf0.001 — use a populated one here
+        # (the sf0.01 oracle gate checks the default parameters)
+        kw = dict(nations=("NATION_11", "NATION_20"), years=(1995, 2001))
+        fast = Q.tpch_q7_trade_matrix(SF, **kw)
+        monkeypatch.setattr(Q, "_BROADCAST_JOIN_MAX_ROWS", 0)
+        slow = Q.tpch_q7_trade_matrix(SF, **kw)
+        assert len(fast) > 0
+        pd.testing.assert_frame_equal(fast, slow)
+
+
 class TestQuantizationAudit:
     def test_constant_dim_and_bound(self, ray_session, tmp_path):
         """Constant dims quantize with zero error (the scale==0 guard);
