@@ -242,6 +242,7 @@ def run_queries() -> dict[str, float]:
         "fd_violation_profile", "monthly_revenue_momentum",
         "event_type_trigrams", "daily_open_order_backlog",
         "customer_revenue_gini", "benford_first_digit_profile",
+        "weekly_median_value_per_type", "tpch_q7_trade_matrix",
     ]
     qs = E.queries()
     out = {}
