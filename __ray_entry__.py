@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_first_digit_profile": Q.benford_first_digit_profile,
         "weekly_median_value_per_type": Q.weekly_median_value_per_type,
         "tpch_q7_trade_matrix": Q.tpch_q7_trade_matrix,
+        "lorenz_revenue_deciles": Q.lorenz_revenue_deciles,
     }
 
 
@@ -1695,6 +1696,36 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT root AS cluster_root,
                    CAST(count(*) AS BIGINT) AS n_members
             FROM final GROUP BY root ORDER BY cluster_root
+        """,
+        # Lorenz deciles: exact prefix sums at rank boundaries; the
+        # boundary fp expression is replicated verbatim
+        "lorenz_revenue_deciles": """
+            WITH c AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ),
+            r AS (SELECT rev_c,
+                         row_number() OVER (ORDER BY rev_c) AS pos
+                  FROM c),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(sum(CAST(rev_c AS HUGEINT)) AS HUGEINT)
+                              AS t
+                   FROM r),
+            d AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS decile),
+            b AS (SELECT decile,
+                         CAST(greatest(least(ceil(
+                             (decile / 10.0) * (SELECT cnt FROM nn)
+                             - 1e-9), (SELECT cnt FROM nn)), 1)
+                             AS BIGINT) AS cum_rank
+                  FROM d)
+            SELECT b.decile, b.cum_rank,
+                   CAST((SELECT CAST(coalesce(sum(CAST(rev_c AS HUGEINT)),
+                                              0) AS HUGEINT)
+                         FROM r WHERE r.pos <= b.cum_rank) AS DOUBLE)
+                   / CAST((SELECT t FROM nn) AS DOUBLE) AS cum_share
+            FROM b ORDER BY b.decile
         """,
         # Q7: bilateral trade volume, exact scaled-int revenue
         "tpch_q7_trade_matrix": """

@@ -1623,6 +1623,57 @@ def benford_first_digit_profile(sf_dir: str) -> pd.DataFrame:
     }).reset_index(drop=True)
 
 
+def lorenz_revenue_deciles(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve of customer revenue concentration: for each decile
+    d, the share of total revenue held by the poorest ceil(d/10 * n)
+    customers — the curve whose area complement is
+    customer_revenue_gini. Prefix sums at the decile rank boundaries
+    come from scan.prefix_sums_at_ranks (distinct-value exchange;
+    whole-block sums fold driver-side, boundary blocks answer their
+    partial prefix in arbitrary-precision ints), so cum_rank and the
+    prefix are EXACT and tie-order-invariant; cum_share is one fp
+    division of two exact ints, and the rank boundary fp expression
+    ceil((d/10.0)*n - 1e-9) is replicated verbatim in SQL."""
+    from ..sketches import hash64
+    from ..stages.scan import prefix_sums_at_ranks
+
+    ds = sf_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": b.o_custkey.to_numpy(np.int64),
+            "rev_c": round_half_away(
+                b.o_totalprice.to_numpy() * 100).astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False).agg(rev_c=("rev_c",
+                                                             "sum"))
+        g["bucket"] = (hash64(g.o_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    per_cust = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_custkey", as_index=False)
+            .agg(rev_c=("rev_c", "sum")).astype({"rev_c": "int64"}),
+            batch_format="pandas") \
+        .select_columns(["rev_c"])
+
+    fracs = [d / 10.0 for d in range(1, 11)]
+    n, total, pref = prefix_sums_at_ranks(per_cust, "rev_c", fracs)
+    if n == 0:
+        return pd.DataFrame({
+            "decile": pd.Series([], dtype=np.int64),
+            "cum_rank": pd.Series([], dtype=np.int64),
+            "cum_share": pd.Series([], dtype=np.float64)})
+    rows = []
+    for d, f in enumerate(fracs, 1):
+        r = int(min(max(np.ceil(f * n - 1e-9), 1), n))
+        rows.append({"decile": np.int64(d), "cum_rank": np.int64(r),
+                     "cum_share": float(pref[r]) / float(total)})
+    return pd.DataFrame(rows)
+
+
 def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
     """Gini coefficient of revenue concentration across customers —
     the inequality/skew diagnostic a pipeline uses to decide salting:

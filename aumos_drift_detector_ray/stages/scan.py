@@ -346,6 +346,113 @@ def weighted_rank_sum(ds: ray.data.Dataset,
             sum(int(x) for x in rows.spx))
 
 
+def prefix_sums_at_ranks(ds: ray.data.Dataset, value_col: str,
+                         fracs: "list[float]") \
+        -> "tuple[int, int, dict[int, int]]":
+    """EXACT value prefix sums at fractional rank boundaries of an
+    int64 column — the Lorenz-curve moment: for each f the sum of the
+    lowest ceil(f*n) values in the sorted multiset (tie-invariant:
+    equal values make any tie order yield the same prefix sum).
+    Returns (n, total, {target_rank_1based: exact prefix sum}).
+
+    Same distinct-value exchange as weighted_rank_sum; pass A derives
+    per-block rank offsets AND exact per-block value sums (decimal
+    strings — int64 overflows at 10^12 x cents scale); the driver sums
+    whole blocks below each boundary and pass B answers the boundary
+    block's partial prefix in arbitrary-precision ints."""
+    from ..sketches import hash64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            value_col: b[value_col].to_numpy(dtype=np.int64),
+        }).groupby(value_col, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["bucket"] = (
+            hash64(g[value_col].to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return g
+
+    counts = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby(value_col, as_index=False)
+            .agg(n=("n", "sum")), batch_format="pandas")
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.string())})
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = sum(int(x) * int(k) for x, k in zip(v, n))
+        return pa.table({"min_val": pa.array([int(v[0])], pa.int64()),
+                         "n": pa.array([int(n.sum())], pa.int64()),
+                         "vsum": pa.array([str(s)], pa.string())})
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("min_val").reset_index(drop=True)
+    if not len(summary):
+        return 0, 0, {}
+    bn = summary.n.to_numpy(np.int64)
+    offs = np.concatenate([[0], np.cumsum(bn)])      # block start ranks
+    total_n = int(offs[-1])
+    bsums = [int(x) for x in summary.vsum]
+    total = sum(bsums)
+    # 1-based boundary ranks ceil(f*n) with the usual half-ulp guard
+    targets = sorted({int(r) for r in np.clip(
+        np.ceil(np.asarray(fracs, dtype=float) * total_n - 1e-9),
+        1, total_n).astype(np.int64)})
+    # whole blocks strictly below each target's block
+    below: "dict[int, int]" = {}
+    blk_of: "dict[int, int]" = {}
+    for r in targets:
+        i = int(np.searchsorted(offs, r, side="left")) - 1
+        i = max(i, 0)
+        blk_of[r] = i
+        below[r] = sum(bsums[:i])
+    bc = ray.put({"mins": summary.min_val.to_numpy(), "offs": offs[:-1],
+                  "targets": targets,
+                  "blk_of": blk_of})
+
+    def boundary(b: pa.Table) -> pa.Table:
+        empty = pa.table({"r": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.string())})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(info["mins"], int(v[0])))
+        assert info["mins"][i] == v[0], "block boundary drift"
+        mine = [r for r in info["targets"] if info["blk_of"][r] == i]
+        if not mine:
+            return empty
+        start = int(info["offs"][i])
+        rs, ps = [], []
+        for r in mine:
+            need = r - start          # rows of this block below/at r
+            acc, left = 0, need
+            for x, k in zip(v.tolist(), n.tolist()):
+                take = min(left, k)
+                acc += x * take
+                left -= take
+                if left == 0:
+                    break
+            rs.append(r)
+            ps.append(str(acc))
+        return pa.table({"r": pa.array(rs, pa.int64()),
+                         "part": pa.array(ps, pa.string())})
+
+    parts = sorted_counts.map_batches(
+        boundary, batch_format="pyarrow", batch_size=None).to_pandas()
+    part_by = dict(zip(parts.r, (int(x) for x in parts.part)))
+    return total_n, total, {r: below[r] + part_by.get(r, 0)
+                            for r in targets}
+
+
 def exact_quantiles(
     ds: ray.data.Dataset,
     value_col: str,
