@@ -217,32 +217,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_median_value_per_type": Q.weekly_median_value_per_type,
         "tpch_q7_trade_matrix": Q.tpch_q7_trade_matrix,
         "lorenz_revenue_deciles": Q.lorenz_revenue_deciles,
+        "curation_funnel_report": Q.curation_funnel_report,
     }
 
 
-def _text_oracles() -> dict[str, str]:
-    """Oracle SQL for the text-analysis queries, generated from the SAME
-    constants the engine stages use (stages/textops.py) so profile edits
-    cannot desynchronize the two sides."""
+def _sql_list(items) -> str:
+    return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
+
+
+def _langid_sql_parts() -> "tuple[str, str, str, str]":
+    """(stop_list, frac_cols, best, lang_case) fragments generated from
+    the SAME constants the engine stages use (stages/textops.py) so
+    profile edits cannot desynchronize engine and oracle — shared by
+    the langid/quality oracles and the curation funnel oracle."""
     from aumos_drift_detector_ray.stages.textops import _LANG_PROFILES, _STOPWORDS
 
-    def sql_list(items) -> str:
-        return "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in items) + "]"
-
-    from aumos_drift_detector_ray.stages.textops import BPE_PRETOKEN_PATTERN
-
-    bpe_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
-    stop = sql_list(sorted(_STOPWORDS))
+    stop = _sql_list(sorted(_STOPWORDS))
     langs = list(_LANG_PROFILES)  # python dict order = tie-break priority
     frac_cols = ",\n".join(
         f"                   CASE WHEN len(tris) = 0 THEN 0.0 ELSE "
-        f"CAST(len(list_filter(tris, x -> list_contains({sql_list(_LANG_PROFILES[lang])}, x))) AS DOUBLE)"
+        f"CAST(len(list_filter(tris, x -> list_contains({_sql_list(_LANG_PROFILES[lang])}, x))) AS DOUBLE)"
         f" / len(tris) END AS f_{lang}" for lang in langs
     )
     best = "greatest(" + ", ".join(f"f_{lang}" for lang in langs) + ")"
     lang_case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
         f"WHEN f_{lang} = {best} THEN '{lang}'" for lang in langs
     ) + " END"
+    return stop, frac_cols, best, lang_case
+
+
+def _text_oracles() -> dict[str, str]:
+    """Oracle SQL for the text-analysis queries, generated from the SAME
+    constants the engine stages use (stages/textops.py) so profile edits
+    cannot desynchronize the two sides."""
+    from aumos_drift_detector_ray.stages.textops import BPE_PRETOKEN_PATTERN
+
+    sql_list = _sql_list
+    bpe_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    stop, frac_cols, best, lang_case = _langid_sql_parts()
     return {
         "doc_fingerprints": """
             SELECT CAST(doc_id AS BIGINT) AS doc_id, md5(text) AS md5
@@ -430,6 +442,65 @@ def _pii_oracle() -> str:
                    CAST(n AS BIGINT) AS n_redactions, md5(t) AS md5
             FROM {prev} ORDER BY doc_id
         """
+
+def _funnel_oracle() -> str:
+    """Oracle for curation_funnel_report: each stage reuses the SQL
+    fragment its standalone query already proved (langid CTEs via
+    _langid_sql_parts, the curated_training_split quality gate, the
+    exact-dup md5 keeper, the _decon_oracle plant/hit convention)."""
+    from aumos_drift_detector_ray.stages.textops import DECON_BENCH
+
+    stop, frac_cols, best, lang_case = _langid_sql_parts()
+    nb = len(DECON_BENCH)
+    esc = [x.replace("'", "''") for x in DECON_BENCH]
+    cases = " ".join(f"WHEN {i} THEN '{x}'" for i, x in enumerate(esc))
+    hits = " OR ".join(f"position('{x}' IN pt) > 0" for x in esc)
+    return f"""
+            WITH padded AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) < 3 THEN []
+                            ELSE list_transform(range(1, length(t) - 1),
+                                                i -> substr(t, i, 3)) END AS tris
+                FROM padded
+            ),
+            scored AS (SELECT doc_id,
+{frac_cols}
+                FROM tri),
+            en AS (SELECT doc_id FROM scored WHERE {lang_case} = 'en'),
+            q AS (SELECT d.doc_id, d.text,
+                         regexp_extract_all(lower(d.text), '[a-z'']+') AS tk
+                  FROM documents d JOIN en USING (doc_id)),
+            f AS (SELECT doc_id, text FROM q WHERE len(tk) >= 30
+                  AND CAST(len(list_filter(tk, x -> list_contains({stop}, x)))
+                      AS DOUBLE) / greatest(len(tk), 1) <= 0.25),
+            k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+            planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 37 = 0
+                            THEN COALESCE(text, '') || ' ' ||
+                                 CASE doc_id % {nb} {cases} END
+                            ELSE COALESCE(text, '') END AS pt
+                FROM documents),
+            bad AS (SELECT doc_id FROM planted WHERE {hits}),
+            clean AS (SELECT k.doc_id FROM k LEFT JOIN bad USING (doc_id)
+                      WHERE bad.doc_id IS NULL)
+            SELECT * FROM (
+                SELECT 's1_total' AS stage,
+                       CAST(count(*) AS BIGINT) AS n_docs FROM documents
+                UNION ALL SELECT 's2_lang_en',
+                       CAST(count(*) AS BIGINT) FROM en
+                UNION ALL SELECT 's3_quality',
+                       CAST(count(*) AS BIGINT) FROM f
+                UNION ALL SELECT 's4_dedup_keeper',
+                       CAST(count(*) AS BIGINT) FROM k
+                UNION ALL SELECT 's5_decontaminated',
+                       CAST(count(*) AS BIGINT) FROM clean
+            ) ORDER BY stage
+        """
+
 
 def _decon_oracle() -> str:
     """Oracle for decontaminate_docs, generated from the SAME snippet
@@ -1616,6 +1687,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "decontaminate_docs": _decon_oracle(),
+        "curation_funnel_report": _funnel_oracle(),
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """
             WITH t AS (

@@ -1623,6 +1623,89 @@ def benford_first_digit_profile(sf_dir: str) -> pd.DataFrame:
     }).reset_index(drop=True)
 
 
+def curation_funnel_report(sf_dir: str) -> pd.DataFrame:
+    """The END-TO-END curation pipeline a pretraining-data user runs,
+    as one composed streaming flow with a stage-count funnel report:
+    total docs -> language filter (predicted 'en', the langid_docs
+    profile) -> quality gate (>= 30 tokens, stopword ratio <= 0.25 —
+    the curated_training_split gate) -> exact-dedup keeper (min doc_id
+    per content md5) -> benchmark decontamination (the
+    decontaminate_docs planted-on-every-37th convention; contaminated
+    keepers are dropped). ONE corpus pass computes every per-doc flag
+    (language, quality, md5, contamination), then a single md5-keyed
+    scalar exchange resolves keepers; stage counts fold from per-block
+    partials. Every stage reuses the oracle fragment its standalone
+    query already proved (langid CTEs, quality gate SQL, md5 keeper,
+    decon plant), so the funnel is bit-exact end to end."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import DECON_BENCH, _STOPWORDS, WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lang = text_mod.language_id(ds)
+    q = text_mod.quality_scores(lang)
+    nb = len(DECON_BENCH)
+    stop = frozenset(_STOPWORDS)
+
+    def flags(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.doc_id.astype("int64")
+        txt = b.text.fillna("")
+        which = np.array(DECON_BENCH, dtype=object)[(d % nb).to_numpy()]
+        planted = txt.where(
+            (d % 37 != 0), txt + " " + pd.Series(which, index=b.index))
+        contaminated = np.zeros(len(b), dtype=bool)
+        for s in DECON_BENCH:
+            contaminated |= planted.str.contains(s, regex=False) \
+                .to_numpy(bool)
+        return pd.DataFrame({
+            "doc_id": d.to_numpy(np.int64),
+            "is_en": (b.lang_pred == "en").to_numpy(bool),
+            "is_q": ((b.n_tokens >= 30)
+                     & (b.stopword_ratio <= 0.25)).to_numpy(bool),
+            "md5": [hashlib.md5(t.encode()).hexdigest() for t in txt],
+            "contaminated": contaminated})
+
+    per_doc = q.map_batches(flags, batch_format="pandas",
+                            batch_size=65536).materialize()
+
+    def stage_counts(b: pd.DataFrame) -> pd.DataFrame:
+        en = b.is_en.to_numpy(bool)
+        qq = en & b.is_q.to_numpy(bool)
+        return pd.DataFrame({"n_total": [np.int64(len(b))],
+                             "n_en": [np.int64(en.sum())],
+                             "n_quality": [np.int64(qq.sum())]})
+
+    cnt = per_doc.map_batches(stage_counts,
+                              batch_format="pandas").to_pandas().sum()
+
+    def keeper_part(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[b.is_en.to_numpy(bool) & b.is_q.to_numpy(bool)]
+        return pd.DataFrame({
+            "md5": k.md5.to_numpy(object),
+            "doc_id": k.doc_id.to_numpy(np.int64),
+            "contaminated": k.contaminated.to_numpy(bool),
+            "bucket": (hash_any_array(k.md5.to_numpy(object))
+                       % np.uint64(32)).astype(np.int64)})
+
+    def keeper_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["md5", "doc_id"], kind="stable")
+        k = g.groupby("md5", as_index=False).first()
+        return pd.DataFrame({
+            "n_keep": [np.int64(len(k))],
+            "n_clean": [np.int64((~k.contaminated.to_numpy(bool)).sum())]})
+
+    kk = per_doc.map_batches(keeper_part, batch_format="pandas") \
+        .groupby("bucket").map_groups(keeper_fold,
+                                      batch_format="pandas").to_pandas()
+    n_keep = int(kk.n_keep.sum()) if len(kk) else 0
+    n_clean = int(kk.n_clean.sum()) if len(kk) else 0
+    return pd.DataFrame({
+        "stage": ["s1_total", "s2_lang_en", "s3_quality",
+                  "s4_dedup_keeper", "s5_decontaminated"],
+        "n_docs": np.array([int(cnt.n_total), int(cnt.n_en),
+                            int(cnt.n_quality), n_keep, n_clean],
+                           dtype=np.int64)})
+
+
 def lorenz_revenue_deciles(sf_dir: str) -> pd.DataFrame:
     """Lorenz curve of customer revenue concentration: for each decile
     d, the share of total revenue held by the poorest ceil(d/10 * n)

@@ -159,6 +159,7 @@ DOC_QUERIES = [
     "bigram_lm_doc_scores", "bpe_merge_table", "bpe_tokenized_doc_stats",
     "shingle_cosine_pairs", "neardup_triangle_stats",
     "token_source_drift", "trending_tokens_daily", "snapshot_diff_docs",
+    "curation_funnel_report",
 ]
 
 
