@@ -243,7 +243,7 @@ def run_queries() -> dict[str, float]:
         "event_type_trigrams", "daily_open_order_backlog",
         "customer_revenue_gini", "benford_first_digit_profile",
         "weekly_median_value_per_type", "tpch_q7_trade_matrix",
-        "lorenz_revenue_deciles",
+        "lorenz_revenue_deciles", "curation_funnel_report",
     ]
     qs = E.queries()
     out = {}
