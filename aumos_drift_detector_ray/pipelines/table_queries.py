@@ -696,61 +696,79 @@ def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
-    """Two-tier near-dup: MinHash-LSH candidate pairs (loose signature
-    threshold) verified by EXACT character-shingle Jaccard. Candidate
-    texts are gathered with a broadcast semi-join (the id set is bounded
-    by the candidate rate — never the corpus; hash_join is the fallback
-    for dirty corpora); the exact-Jaccard kernel runs per pair."""
+def _ngram_jaccard_pairs_ds(sf_dir: str) -> "ray.data.Dataset | None":
+    """Dataset-native core of the two-tier near-dup: MinHash-LSH
+    candidate pairs (loose signature threshold) verified by EXACT
+    character-shingle Jaccard — the verified pair set STAYS a Dataset
+    (columns id_a, id_b, sig_jaccard, exact_jaccard) so downstream
+    graph finalizes (connected components, triangles) consume it
+    without a driver transit. The only things that land on the driver
+    here are the DISTINCT candidate doc-id list and their texts (both
+    bounded by the candidate rate, broadcast once — hash_join is the
+    fallback for dirty corpora where they are not). Returns None when
+    there are no candidates (an empty derived Dataset has no schema)."""
     docs = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     # materialize the candidate set once: it is BOUNDED (candidate rate x
     # corpus, scalars only)
     cands = dedup_mod.minhash_lsh_pairs(
         docs, num_hashes=128, bands=32, jaccard_threshold=0.35).materialize()
-    cdf = cands.to_pandas()
-    if len(cdf):
-        # gather ONLY the candidate texts with a broadcast semi-join
-        # (the id set is bounded by the candidate rate; at a dirty-corpus
-        # scale where it is not, stages/joins.hash_join is the fallback),
-        # then verify each pair with the exact shingle Jaccard
-        need_ids = pa.array(sorted(set(cdf.id_a) | set(cdf.id_b)),
-                            pa.int64())
-        iref = ray.put(need_ids)
+    n_cand = cands.count()
+    if n_cand == 0:
+        return None
+    # distinct candidate ids via per-block unique + one grouped fold —
+    # the DISTINCT id list is what reaches the driver, never the pairs
+    def both_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            np.asarray(t["id_a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(t["id_b"].to_numpy(zero_copy_only=False), np.int64)]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
 
-        def keep(b: pa.Table) -> pa.Table:
-            return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(iref)))
+    need = cands.map_batches(both_ids, batch_format="pyarrow") \
+        .groupby("doc_id").count().to_pandas()
+    need_ids = pa.array(np.sort(need.doc_id.to_numpy(np.int64)), pa.int64())
+    iref = ray.put(need_ids)
 
-        texts = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
-        tref = ray.put(dict(zip(texts.doc_id, texts.text)))
-        del texts
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(iref)))
 
-        def verify(b: pd.DataFrame) -> pd.DataFrame:
-            # exact shingle-set verify runs DISTRIBUTED over pair
-            # batches (the per-pair set kernel is Python-level; driver-
-            # side it serializes, worker-side it parallelizes), with the
-            # bounded candidate texts broadcast once per worker
-            from ..functions.broadcast import get_broadcast
-            by_id = get_broadcast(tref)
-            ex = [dedup_mod.ngram_jaccard(by_id[a], by_id[b], k=5)
-                  for a, b in zip(b.id_a, b.id_b)]
-            return pd.DataFrame({
-                "id_a": b.id_a.astype("int64"),
-                "id_b": b.id_b.astype("int64"),
-                "sig_jaccard": b.jaccard.astype("float64"),
-                "exact_jaccard": round_half_away(np.asarray(ex, dtype="float64"), 9),
-            })
+    texts = docs.map_batches(keep, batch_format="pyarrow").to_pandas()
+    tref = ray.put(dict(zip(texts.doc_id, texts.text)))
+    del texts
 
-        n_parts = int(max(1, min(32, len(cdf) // 64 + 1)))
-        out = cands.repartition(n_parts).map_batches(
-            verify, batch_format="pandas").to_pandas()
-    else:
-        out = cdf
-    if len(out) == 0:
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        # exact shingle-set verify runs DISTRIBUTED over pair
+        # batches (the per-pair set kernel is Python-level; driver-
+        # side it serializes, worker-side it parallelizes), with the
+        # bounded candidate texts broadcast once per worker
+        from ..functions.broadcast import get_broadcast
+        by_id = get_broadcast(tref)
+        ex = [dedup_mod.ngram_jaccard(by_id[a], by_id[b], k=5)
+              for a, b in zip(b.id_a, b.id_b)]
+        return pd.DataFrame({
+            "id_a": b.id_a.astype("int64"),
+            "id_b": b.id_b.astype("int64"),
+            "sig_jaccard": b.jaccard.astype("float64"),
+            "exact_jaccard": round_half_away(np.asarray(ex, dtype="float64"), 9),
+        })
+
+    n_parts = int(max(1, min(32, n_cand // 64 + 1)))
+    return cands.repartition(n_parts).map_batches(
+        verify, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing frame of :func:`_ngram_jaccard_pairs_ds` (the
+    oracle query surface — the pair set is bounded by the candidate
+    rate, so the collect is safe HERE; scale consumers use the Dataset
+    core directly)."""
+    ds = _ngram_jaccard_pairs_ds(sf_dir)
+    if ds is None:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),
                              "sig_jaccard": pd.Series([], dtype="float64"),
                              "exact_jaccard": pd.Series([], dtype="float64")})
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return ds.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
 
 
 def simhash_docs(sf_dir: str) -> pd.DataFrame:
@@ -783,13 +801,33 @@ def verified_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     a green row structurally proves both LSH recall and the exact-
     verify tier (the oracle side is O(n²) — oracle-only, never the
     engine path)."""
-    out = ngram_jaccard_pairs(sf_dir)
-    keep = out[out.exact_jaccard >= 0.8]
-    return pd.DataFrame({
-        "id_a": keep.id_a.astype("int64").to_numpy(),
-        "id_b": keep.id_b.astype("int64").to_numpy(),
-        "jaccard": keep.exact_jaccard.astype("float64").to_numpy(),
-    }).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ds = _verified_neardup_pairs_ds(sf_dir)
+    if ds is None:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    return ds.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+
+def _verified_neardup_pairs_ds(sf_dir: str) -> "ray.data.Dataset | None":
+    """Dataset-native verified near-dup pair set (id_a, id_b, jaccard
+    with exact shingle Jaccard >= 0.8) — the edge list the graph
+    finalizes (neardup_clusters / neardup_triangle_stats) consume
+    WITHOUT a driver transit: the keep-filter runs per batch and the
+    result flows straight into cluster_sizes/triangle_counts' Dataset
+    gate paths. Returns None when there are no candidates."""
+    ds = _ngram_jaccard_pairs_ds(sf_dir)
+    if ds is None:
+        return None
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["exact_jaccard"], pa.scalar(0.8))
+        b = b.filter(m)
+        return pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                         "jaccard": b["exact_jaccard"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def label_cosine_pairs(sf_dir: str) -> pd.DataFrame:
@@ -1390,13 +1428,12 @@ def asof_click_before_error(sf_dir: str) -> pd.DataFrame:
     errors = ev.map_batches(split("error"), batch_format="pyarrow")
     clicks = ev.map_batches(split("click"), batch_format="pyarrow")
 
-    def sort_clicks(b: pd.DataFrame) -> pd.DataFrame:
-        # deterministic tie-break: merge_asof keeps the LAST matching row,
-        # so pre-sort ties by event_id ascending
-        return b.sort_values(["ts", "event_id"], kind="stable")
-
-    clicks = clicks.map_batches(sort_clicks, batch_format="pandas")
-    joined = asof_join(errors, clicks, key="user_id", ts="ts", n_buckets=16)
+    # deterministic tie-break: merge_asof keeps the LAST matching row, so
+    # tied (ts) clicks sort by event_id ascending INSIDE the bucket
+    # (per-input-block pre-sorting is not enough — ties arriving in
+    # different blocks interleave after the bucket shuffle)
+    joined = asof_join(errors, clicks, key="user_id", ts="ts", n_buckets=16,
+                       right_tiebreak="event_id")
     out = joined.to_pandas()
     return pd.DataFrame({
         "error_id": out.event_id.astype("int64"),
@@ -2506,7 +2543,8 @@ def asof_next_purchase_after_signup(sf_dir: str) -> pd.DataFrame:
     asof_click_before_error): for every 'signup' event, the same
     user's EARLIEST 'purchase' at or after it, ties broken toward the
     lowest event_id (merge_asof direction='forward' keeps the FIRST
-    matching row, so purchases pre-sort by (ts, event_id)). Same
+    matching row; the (ts, event_id) tie-break is enforced by the
+    bucket-local sort via ``right_tiebreak``). Same
     key-bucketed exchange as the backward join; the SQL oracle ranks
     the join candidates with row_number() OVER (ORDER BY ts, event_id)
     — integer ids, bit-exact."""
@@ -2522,12 +2560,12 @@ def asof_next_purchase_after_signup(sf_dir: str) -> pd.DataFrame:
         return fn
 
     signups = ev.map_batches(split("signup"), batch_format="pyarrow")
-    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow") \
-        .map_batches(lambda b: b.sort_values(["ts", "event_id"],
-                                             kind="stable"),
-                     batch_format="pandas")
+    purchases = ev.map_batches(split("purchase"), batch_format="pyarrow")
+    # tie-break enforced inside the bucket sort (not a per-block
+    # pre-sort, which the bucket shuffle would scramble for tied ts)
     joined = asof_join(signups, purchases, key="user_id", ts="ts",
-                       n_buckets=16, direction="forward")
+                       n_buckets=16, direction="forward",
+                       right_tiebreak="event_id")
     out = joined.to_pandas()
     return pd.DataFrame({
         "signup_id": out.event_id.astype("int64"),
@@ -4201,6 +4239,19 @@ def amended_events_latest_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def fuzzy_part_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Driver-facing frame of :func:`_fuzzy_part_name_pairs_ds` — the
+    match-pair output is bounded (near-dup rate x vocabulary), so the
+    collect is safe here; scale consumers (part_name_clusters) use the
+    Dataset core directly."""
+    out = _fuzzy_part_name_pairs_ds(sf_dir).to_pandas()
+    if "a_key" not in out.columns:     # empty derived dataset
+        out = pd.DataFrame({"a_key": pd.Series([], dtype=np.int64),
+                            "b_key": pd.Series([], dtype=np.int64),
+                            "dist": pd.Series([], dtype=np.int64)})
+    return out.sort_values(["a_key", "b_key"]).reset_index(drop=True)
+
+
+def _fuzzy_part_name_pairs_ds(sf_dir: str) -> ray.data.Dataset:
     """Blocked fuzzy matching (edit-distance record linkage): part-name
     pairs within the same p_brand block at Levenshtein distance <= 2 —
     the classic data-cleaning / entity-resolution operator. Shape:
@@ -4258,9 +4309,8 @@ def fuzzy_part_name_pairs(sf_dir: str) -> pd.DataFrame:
                              "b_key": np.concatenate(b_out),
                              "dist": np.concatenate(d_out)})
 
-    out = ds.groupby("p_brand").map_groups(block_pairs,
-                                           batch_format="pandas").to_pandas()
-    return out.sort_values(["a_key", "b_key"]).reset_index(drop=True)
+    return ds.groupby("p_brand").map_groups(block_pairs,
+                                            batch_format="pandas")
 
 
 def value_quartile_band_counts(sf_dir: str) -> pd.DataFrame:
@@ -4446,10 +4496,17 @@ def neardup_clusters(sf_dir: str) -> pd.DataFrame:
     TestClusterPaths). The SQL oracle recomputes the ground-truth
     all-pairs Jaccard graph and closes it transitively with a
     recursive CTE, so a green row proves candidate recall, exact
-    verify AND the clustering."""
+    verify AND the clustering. The pair set stays a DATASET end-to-end
+    into the gate (distributed count()) — above DRIVER_CC_GATE it
+    feeds cc_labels without ever landing on the driver."""
     from ..stages.graph import cluster_sizes
 
-    pairs = verified_neardup_pairs(sf_dir)
+    pairs = _verified_neardup_pairs_ds(sf_dir)
+    if pairs is None:
+        return cluster_sizes(
+            pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")}),
+            "id_a", "id_b")
     return cluster_sizes(pairs, "id_a", "id_b")
 
 
@@ -4464,10 +4521,16 @@ def neardup_triangle_stats(sf_dir: str) -> pd.DataFrame:
     distributed wedge-join above it — pytest-pinned output-identical).
     The SQL oracle recomputes the ground-truth all-pairs Jaccard graph
     and counts triangles by 3-way self-join, so a green row proves
-    recall, exact verify AND the triangle fold. Integers — bit-exact."""
+    recall, exact verify AND the triangle fold. Integers — bit-exact.
+    The pair set stays a DATASET into the gate (distributed count());
+    above DRIVER_TRI_GATE the edge list dedupes distributedly and
+    feeds the wedge-join without a driver transit."""
     from ..stages.graph import triangle_counts
 
-    pairs = verified_neardup_pairs(sf_dir)
+    pairs = _verified_neardup_pairs_ds(sf_dir)
+    if pairs is None:
+        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
     out = triangle_counts(pairs, "id_a", "id_b")
     return out.rename(columns={"node": "doc_id"})
 
@@ -5557,11 +5620,13 @@ def part_name_clusters(sf_dir: str) -> pd.DataFrame:
     distributed min-label propagation loop (stages/graph.cc_labels)
     above it — both paths output-identical; the SQL oracle recomputes
     the pair graph with DuckDB levenshtein and closes it
-    transitively."""
+    transitively. The edge list stays a DATASET into the gate
+    (distributed count()) — above the gate it feeds cc_labels without
+    a driver transit."""
     from ..stages.graph import cluster_sizes
 
-    pairs = fuzzy_part_name_pairs(sf_dir)
-    return cluster_sizes(pairs, "a_key", "b_key")
+    return cluster_sizes(_fuzzy_part_name_pairs_ds(sf_dir),
+                         "a_key", "b_key")
 
 
 def user_ewma_stats(sf_dir: str, alpha: float = 0.1) -> pd.DataFrame:

@@ -159,15 +159,36 @@ def _driver_union_find(pairs: pd.DataFrame, a_col: str,
 DRIVER_CC_GATE = 2_000_000
 
 
-def cluster_sizes(pairs: pd.DataFrame, a_col: str, b_col: str,
+def cluster_sizes(pairs: "pd.DataFrame | ray.data.Dataset",
+                  a_col: str, b_col: str,
                   driver_gate: "int | None" = None) -> pd.DataFrame:
     """(cluster_root, n_members) for the connected components of a pair
     list — driver union-find under ``driver_gate`` pairs, distributed
     min-label propagation above it (the size-gate pattern every dedup
     finalize in this engine uses). Both paths share the min-node-id
     root convention, so they are output-identical (pytest asserts it on
-    graphs spanning paths/cliques/singleton edges)."""
+    graphs spanning paths/cliques/singleton edges).
+
+    ``pairs`` may be a **Dataset** (the 100 TB path): the gate then
+    reads a distributed ``count()`` and an above-gate pair set feeds
+    :func:`cc_labels` directly — the pairs NEVER land on the driver
+    (only the per-cluster size fold does, one row per component).
+    Below the gate the Dataset collapses to pandas, bounded by the
+    gate itself."""
     gate = DRIVER_CC_GATE if driver_gate is None else driver_gate
+    if isinstance(pairs, ray.data.Dataset):
+        if pairs.count() > gate:
+            labels = cc_labels(pairs, a=a_col, b=b_col)
+            out = labels.groupby("lbl").count().to_pandas() \
+                .rename(columns={"lbl": "cluster_root",
+                                 "count()": "n_members"})
+            out["cluster_root"] = out.cluster_root.astype("int64")
+            out["n_members"] = out.n_members.astype("int64")
+            return out.sort_values("cluster_root").reset_index(drop=True)
+        pairs = pairs.to_pandas()          # bounded by the gate
+        if a_col not in pairs.columns:     # empty derived dataset
+            pairs = pd.DataFrame({a_col: pd.Series([], dtype="int64"),
+                                  b_col: pd.Series([], dtype="int64")})
     if len(pairs) <= gate:
         lab = _driver_union_find(pairs, a_col, b_col)
         out = lab.groupby("root").size().rename("n_members").reset_index()
@@ -215,7 +236,37 @@ def _driver_triangles(pairs: pd.DataFrame, a_col: str,
     }).sort_values("node").reset_index(drop=True)
 
 
-def _dist_triangles(pairs: pd.DataFrame, a_col: str, b_col: str,
+def _normalize_edges_ds(pairs: ray.data.Dataset, a_col: str, b_col: str,
+                        n_buckets: int = 16) -> ray.data.Dataset:
+    """Distributed edge normalization: orient every pair low→high, drop
+    self-loops, dedupe globally. Per-block np.unique shrinks the
+    shuffle; the global dedupe is ONE bucketed exchange keyed by a hash
+    of the (u, v) pair (equal edges land in the same bucket, so the
+    per-bucket drop_duplicates is globally exact). Nothing edge-sized
+    touches the driver."""
+    from ..sketches import hash64
+
+    def norm(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(t[b_col].to_numpy(zero_copy_only=False), np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        e = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        bucket = (hash64(hash64(e[:, 0].view(np.uint64))
+                         ^ e[:, 1].view(np.uint64))
+                  % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"u": pa.array(e[:, 0], pa.int64()),
+                         "v": pa.array(e[:, 1], pa.int64()),
+                         "bucket": pa.array(bucket, pa.int64())})
+
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return pairs.map_batches(norm, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedupe, batch_format="pandas")
+
+
+def _dist_triangles(edges: ray.data.Dataset,
                     n_buckets: int = 16) -> pd.DataFrame:
     """Distributed per-node triangle counts — the degree-oriented
     wedge-join (the MapReduce triangle-count shape of Suri & Vassilvitskii,
@@ -229,19 +280,12 @@ def _dist_triangles(pairs: pd.DataFrame, a_col: str, b_col: str,
     grouped sum. Nothing graph-sized lands on the driver except the
     output (one row per non-isolated node).
 
-    Takes the pair set as a DataFrame for path parity with the driver
-    tier; the Dataset plumbing starts at the first map_batches."""
+    Takes a NORMALIZED edge Dataset (columns u < v, deduped, no
+    self-loops — :func:`_normalize_edges_ds`); the pair set never
+    transits the driver."""
     from ..functions.arrays import segment_pairs
     from ..sketches import hash64
     from .joins import hash_join
-
-    a = pairs[a_col].to_numpy(np.int64)
-    b = pairs[b_col].to_numpy(np.int64)
-    lo, hi = np.minimum(a, b), np.maximum(a, b)
-    keep = lo != hi
-    e = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
-    edges = ray.data.from_pandas(
-        pd.DataFrame({"u": e[:, 0], "v": e[:, 1]}))
 
     def sym(t: pa.Table) -> pa.Table:
         u = np.asarray(t["u"].to_numpy(zero_copy_only=False), np.int64)
@@ -359,23 +403,44 @@ def _dist_triangles(pairs: pd.DataFrame, a_col: str, b_col: str,
         .sort_values("node").reset_index(drop=True)
 
 
-#: pair count above which triangle counting leaves the driver
-DRIVER_TRI_GATE = 2_000_000
+#: pair count above which triangle counting leaves the driver.
+#: 100k (not the CC gate's 2M): _driver_triangles runs a per-edge
+#: Python loop with np.intersect1d on the driver — minutes of
+#: single-threaded work near a 2M gate, while the distributed
+#: wedge-join tier is pytest-pinned output-identical and parallel.
+DRIVER_TRI_GATE = 100_000
 
 
-def triangle_counts(pairs: pd.DataFrame, a_col: str, b_col: str,
+def triangle_counts(pairs: "pd.DataFrame | ray.data.Dataset",
+                    a_col: str, b_col: str,
                     driver_gate: "int | None" = None) -> pd.DataFrame:
     """(node, degree, n_triangles) for the undirected simple graph of a
     pair list — driver adjacency-intersection under ``driver_gate``
     pairs, degree-oriented distributed wedge-join above it. Both paths
     dedupe edges and ignore self-loops; output-identical (pytest
-    asserts it on paths / cliques / bowties / dup edges)."""
+    asserts it on paths / cliques / bowties / dup edges).
+
+    ``pairs`` may be a **Dataset** (the 100 TB path): the gate reads a
+    distributed ``count()``; above it the edge list is normalized and
+    deduped distributedly (:func:`_normalize_edges_ds`) and fed to the
+    wedge-join without ever landing on the driver. Below the gate the
+    Dataset collapses to pandas, bounded by the gate."""
     gate = DRIVER_TRI_GATE if driver_gate is None else driver_gate
+    empty = pd.DataFrame({
+        "node": pd.Series([], dtype=np.int64),
+        "degree": pd.Series([], dtype=np.int64),
+        "n_triangles": pd.Series([], dtype=np.int64)})
+    if isinstance(pairs, ray.data.Dataset):
+        n = pairs.count()
+        if n == 0:
+            return empty
+        if n > gate:
+            return _dist_triangles(_normalize_edges_ds(pairs, a_col, b_col))
+        pairs = pairs.to_pandas()          # bounded by the gate
     if not len(pairs):
-        return pd.DataFrame({
-            "node": pd.Series([], dtype=np.int64),
-            "degree": pd.Series([], dtype=np.int64),
-            "n_triangles": pd.Series([], dtype=np.int64)})
+        return empty
     if len(pairs) <= gate:
         return _driver_triangles(pairs, a_col, b_col)
-    return _dist_triangles(pairs, a_col, b_col)
+    lo_hi = pairs[[a_col, b_col]].astype("int64")
+    return _dist_triangles(
+        _normalize_edges_ds(ray.data.from_pandas(lo_hi), a_col, b_col))

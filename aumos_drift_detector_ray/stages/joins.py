@@ -232,12 +232,21 @@ def asof_join(
     n_buckets: int = 64,
     right_prefix: str = "r_",
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> ray.data.Dataset:
     """As-of join: for each left row, the latest (direction='backward')
     right row of the same ``key`` with ``right.ts <= left.ts``. Both
     sides hash-bucket by key; each bucket sorts by ts and runs
     ``pd.merge_asof`` (the documented partitioning assumption: a key's
-    rows co-locate in one bucket; timestamps sort within the bucket)."""
+    rows co-locate in one bucket; timestamps sort within the bucket).
+
+    ``right_tiebreak`` names a right-side column (unprefixed) that
+    orders tied right timestamps INSIDE the bucket: merge_asof keeps the
+    last (backward) / first (forward) row in sort order, so without it
+    tied rows that arrived in different input blocks interleave
+    arbitrarily after the bucket shuffle. Pass it whenever the right
+    side can hold (key, ts) duplicates and the caller documents a
+    tie-break (pre-sorting per input block is NOT enough)."""
     lt = _tag_and_bucket(left, key, 0, n_buckets, "")
     rt = _tag_and_bucket(right, key, 1, n_buckets, right_prefix)
     l_schema, r_schema = left.schema(), right.schema()
@@ -258,10 +267,14 @@ def asof_join(
                 df = df.assign(**{c: _np_col(df[c])})
         return df
 
+    r_tb = (f"{right_prefix}{right_tiebreak}"
+            if right_tiebreak and right_tiebreak != key else right_tiebreak)
+
     def per_bucket(g: pa.Table) -> pa.Table:
         l, r = _group_to_frames(g, l_cols, r_cols)
         l = _np_sort_keys(l, [key, ts]).sort_values(ts, kind="stable")
-        r = _np_sort_keys(r, [key, r_ts]).sort_values(r_ts, kind="stable")
+        r_sort = [r_ts, r_tb] if r_tb else [r_ts]
+        r = _np_sort_keys(r, [key, r_ts]).sort_values(r_sort, kind="stable")
         if len(l) == 0 or len(r) == 0:
             # same merged column set AND schema as matched buckets: the
             # missing right-side columns are all-null, typed by _arrow_out

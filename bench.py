@@ -278,7 +278,25 @@ def main() -> None:
     import ray
 
     ray.shutdown()
+    # Full result (incl. the per-query dict, which alone exceeds the
+    # driver's 2000-char capture tail) goes to a file; the FINAL stdout
+    # line is a compact summary that fits the tail so the driver's
+    # `parsed` field is populated (round-4 lesson: the full line got
+    # tail-truncated mid-JSON and parsed as null).
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/queries_last.json", "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {k: v for k, v in result.items() if k != "queries"}
+    compact["metric"] = ("flagship validate+profile+score wall (s) over "
+                         f"{headline['rows']} image rows")
+    if queries:
+        compact["num_queries"] = len(queries)
+        compact["queries_total_s"] = round(sum(queries.values()), 2)
+        compact["queries"] = dict(sorted(
+            queries.items(), key=lambda kv: -kv[1])[:5])
+        compact["queries_file"] = "BENCH/queries_last.json"
     print(json.dumps(result))
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _hw_cpu_scaling(levels: tuple[int, int], dur: float = 5.0) -> dict:

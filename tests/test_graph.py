@@ -79,6 +79,28 @@ class TestClusterPaths:
     def test_default_gate_is_driver_sized(self):
         assert G.DRIVER_CC_GATE >= 1_000_000
 
+    def test_dataset_input_above_gate_never_lands_on_driver(self,
+                                                            ray_session):
+        """Dataset pair flow (the 100 TB path): above the gate the pair
+        set feeds cc_labels directly; poisoning the input's to_pandas
+        proves no driver transit. Below the gate the collapse is
+        bounded by the gate and must match."""
+        import ray
+
+        pairs = _mixed_graph(7)
+        expect = G.cluster_sizes(pairs, "id_a", "id_b", driver_gate=10**9)
+
+        def boom(*a, **k):
+            raise AssertionError("pair Dataset must not land on the driver")
+
+        ds = ray.data.from_pandas(pairs).repartition(4)
+        ds.to_pandas = boom
+        got = G.cluster_sizes(ds, "id_a", "id_b", driver_gate=0)
+        assert got.equals(expect)
+        below = G.cluster_sizes(ray.data.from_pandas(pairs),
+                                "id_a", "id_b", driver_gate=10**9)
+        assert below.equals(expect)
+
 
 def _brute_triangles(pairs: pd.DataFrame) -> pd.DataFrame:
     import itertools
@@ -131,6 +153,41 @@ class TestTrianglePaths:
         dist = G.triangle_counts(pairs, "id_a", "id_b", driver_gate=0)
         assert dist.equals(drv)
         assert dist.equals(_brute_triangles(pairs))
+
+    def test_dataset_input_above_gate_never_lands_on_driver(self,
+                                                            ray_session):
+        """The 100 TB contract: a pair DATASET above the gate flows into
+        the distributed tiers without ever being collected — asserted by
+        poisoning the input object's to_pandas (derived datasets are new
+        objects, so only a driver transit of the pair set trips it).
+        Duplicate edges split across blocks prove the distributed
+        dedupe inside _normalize_edges_ds."""
+        import ray
+
+        pairs = self._graph(5)
+        # plant the SAME edge in several blocks (reversed too)
+        dup = pd.DataFrame({"id_a": [0, 1, 2], "id_b": [1, 0, 0]})
+        pairs = pd.concat([pairs, dup], ignore_index=True)
+        expect = G.triangle_counts(pairs, "id_a", "id_b",
+                                   driver_gate=10**9)
+
+        def boom(*a, **k):
+            raise AssertionError("pair Dataset must not land on the driver")
+
+        ds = ray.data.from_pandas(pairs).repartition(4)
+        ds.to_pandas = boom
+        got = G.triangle_counts(ds, "id_a", "id_b", driver_gate=0)
+        assert got.equals(expect)
+
+    def test_dataset_input_below_gate_matches(self, ray_session):
+        import ray
+
+        pairs = self._graph(6)
+        expect = G.triangle_counts(pairs, "id_a", "id_b",
+                                   driver_gate=10**9)
+        got = G.triangle_counts(ray.data.from_pandas(pairs),
+                                "id_a", "id_b", driver_gate=10**9)
+        assert got.equals(expect)
 
     def test_empty_and_no_triangles(self, ray_session):
         empty = G.triangle_counts(

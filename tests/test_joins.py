@@ -127,6 +127,34 @@ class TestAsofJoin:
         assert len(o) == len(e)
         assert (o.r_rv.fillna(-1) == e.r_rv.fillna(-1)).all()
 
+    def test_right_tiebreak_survives_cross_block_ties(self, ray_session):
+        """Tied (key, ts) right rows planted in SEPARATE input blocks in
+        adversarial (descending-id) order: the documented tie-break must
+        come from asof_join's bucket-local sort, not input block order.
+        Forward keeps the lowest id, backward the highest."""
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages.joins import asof_join
+
+        left = pd.DataFrame({"k": [1, 1], "ts": [100, 300], "lv": [0, 1]})
+        # 4 right rows all tied at (k=1, ts=200), ids descending so a
+        # block-order-dependent implementation picks the WRONG one; one
+        # row per block via override_num_blocks
+        right = pd.DataFrame({"k": [1] * 4, "ts": [200] * 4,
+                              "rid": [40, 30, 20, 10]})
+        r_ds = rd.from_pandas(right).repartition(4)
+        fwd = asof_join(rd.from_pandas(left), r_ds, key="k", ts="ts",
+                        n_buckets=2, direction="forward",
+                        right_tiebreak="rid").to_pandas()
+        fwd = fwd.sort_values("lv")
+        assert fwd.r_rid.tolist()[0] == 10      # earliest ts, lowest id
+        assert pd.isna(fwd.r_rid.tolist()[1])   # no purchase >= 300
+        back = asof_join(rd.from_pandas(left), r_ds, key="k", ts="ts",
+                         n_buckets=2, direction="backward",
+                         right_tiebreak="rid").to_pandas()
+        back = back.sort_values("lv")
+        assert pd.isna(back.r_rid.tolist()[0])  # no click <= 100
+        assert back.r_rid.tolist()[1] == 40     # latest ts, highest id
+
 
 class TestRangeJoin:
     def test_point_in_interval(self, ray_session):
