@@ -896,6 +896,54 @@ def _greedy_semantic_prune(
     return kept, keeper, kcos
 
 
+def _greedy_semantic_prune_chunked(
+    ids: np.ndarray, unit: np.ndarray, threshold: float,
+    chunk: int = 1024,
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Memory-bounded SemDeDup greedy rule — decision-identical to
+    :func:`_greedy_semantic_prune` (kept/keeper bit-equal,
+    pytest-pinned; the recorded cosine can differ ~1 ulp because BLAS
+    gemms of different shapes round differently) but it NEVER
+    materializes the c x c cosine matrix: per chunk it computes one
+    (chunk x kept) and one (chunk x chunk) cosine block, so peak
+    memory is O(c * chunk) while compute stays the O(c^2) the greedy
+    rule inherently needs (200k rows x 1024 chunk = ~1.6 GB peak vs
+    320 GB for the full matrix). ``unit`` rows must be unit-normalized
+    and ids ascending. The kept order (earlier-kept first) matches the
+    reference kernel's, so argmax tie-breaks agree bit-for-bit."""
+    n = len(ids)
+    kept = np.zeros(n, dtype=bool)
+    keeper = np.full(n, -1, dtype=np.int64)
+    kcos = np.full(n, np.nan)
+    kept_rows: "list[int]" = []        # global row indices, kept order
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        cu = unit[s:e]
+        cos_prev = cu @ unit[kept_rows].T if kept_rows else None
+        cos_self = cu @ cu.T
+        n_prev = len(kept_rows)
+        loc: "list[int]" = []          # locally-kept offsets, this chunk
+        for i in range(e - s):
+            row = None
+            if cos_prev is not None and loc:
+                row = np.concatenate([cos_prev[i], cos_self[i, loc]])
+            elif cos_prev is not None:
+                row = cos_prev[i]
+            elif loc:
+                row = cos_self[i, loc]
+            if row is not None:
+                j = int(np.argmax(row))
+                if row[j] >= threshold:
+                    g = kept_rows[j] if j < n_prev else s + loc[j - n_prev]
+                    keeper[s + i] = ids[g]
+                    kcos[s + i] = row[j]
+                    continue
+            kept[s + i] = True
+            loc.append(i)
+        kept_rows.extend(s + l for l in loc)
+    return kept, keeper, kcos
+
+
 def semantic_dedup(
     ds: "ray.data.Dataset",
     k: int = 16,
@@ -914,10 +962,13 @@ def semantic_dedup(
     Scale shape: centroids are sample-fit (similarity.fit_ivf_centroids
     — deterministic hash bottom-k sample) and broadcast once; the
     assignment is one matmul per block; the prune is
-    groupby(cluster).map_groups with an O(|cluster|^2) cosine matrix
-    PER CLUSTER — the cluster is the partition unit (pick k so
-    n/k vectors' pairwise matrix fits a worker; at 100 TB that means
-    k grows with the corpus, exactly the SemDeDup paper's recipe).
+    groupby(cluster).map_groups running the CHUNKED greedy kernel
+    (_greedy_semantic_prune_chunked): O(|cluster| * chunk) peak memory
+    — never the full |cluster|^2 matrix — with the O(|cluster|^2)
+    compute the greedy rule inherently needs. The cluster is still the
+    partition unit: max_cluster_rows bounds per-cluster COMPUTE (200k
+    rows = ~1.6 GB peak memory but 4e10 flops); past it, raise k (the
+    SemDeDup paper scales k with corpus size for this reason).
 
     Returns a Dataset of (vec_id, cluster, kept, keeper_id, keeper_cos)
     where keeper_id is the kept vector that pruned this one (-1 for
@@ -929,16 +980,24 @@ def semantic_dedup(
     assigned = S.assign_ivf_partitions(ds, cents, emb_col=emb_col)
 
     def prune(g: pd.DataFrame) -> pd.DataFrame:
-        # loud failure beats a silent worker OOM: the O(c^2) cosine
-        # matrix is the per-cluster cost model — a cluster past the
-        # guard means k is too small for this corpus (raise k; the
-        # SemDeDup paper scales k with corpus size for this reason)
+        # loud failure beats a silent runaway task: memory is chunked
+        # (O(c * chunk), never c^2) so the guard now bounds per-cluster
+        # COMPUTE — a cluster past it means k is too small for this
+        # corpus (raise k; the SemDeDup paper scales k with corpus
+        # size for this reason)
         assert len(g) <= max_cluster_rows, (
             f"semantic_dedup cluster of {len(g)} rows exceeds "
             f"max_cluster_rows={max_cluster_rows}; raise k (currently "
-            f"{k}) so the per-cluster pairwise matrix stays bounded")
-        ids, cos = _cluster_cosine(g, id_col, emb_col)
-        kept, keeper, kcos = _greedy_semantic_prune(ids, cos, threshold)
+            f"{k}) so the per-cluster O(c^2) greedy compute stays bounded")
+        order = np.argsort(g[id_col].to_numpy(dtype=np.int64),
+                           kind="stable")
+        ids = g[id_col].to_numpy(dtype=np.int64)[order]
+        m = np.stack(g[emb_col].to_numpy()[order]).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        unit = m / n[:, None]
+        kept, keeper, kcos = _greedy_semantic_prune_chunked(
+            ids, unit, threshold)
         return pd.DataFrame({
             "vec_id": ids,
             "cluster": np.full(len(ids), int(g["ivf_cell"].iloc[0]),
