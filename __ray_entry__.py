@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7_trade_matrix": Q.tpch_q7_trade_matrix,
         "lorenz_revenue_deciles": Q.lorenz_revenue_deciles,
         "curation_funnel_report": Q.curation_funnel_report,
+        # round-5 operators
+        "ann_recall_audit": Q.ann_recall_audit,
+        "media_feature_audit": Q.media_feature_audit,
     }
 
 
@@ -1688,6 +1691,60 @@ def _oracle_sql_raw() -> dict[str, str]:
         """,
         "decontaminate_docs": _decon_oracle(),
         "curation_funnel_report": _funnel_oracle(),
+        # exact/approx sandwich for the ANN tier: the md5 anchors the
+        # brute-force cosine top-10 (same ranking CTE as
+        # ann_topk_embeddings — already bit-exact vs the engine), and
+        # the recall booleans are pinned to literal TRUE (the engine
+        # computes recall@10 of IVF/LSH vs brute force and asserts the
+        # >= 0.5 per-query / >= 0.6 mean bounds before returning)
+        "ann_recall_audit": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       CASE WHEN list_dot_product(q.qe, q.qe) = 0
+                             OR list_dot_product(e.embedding,
+                                                 e.embedding) = 0
+                            THEN 0.0
+                            ELSE list_cosine_similarity(q.qe, e.embedding)
+                       END AS sim
+                FROM q CROSS JOIN embeddings e
+            ),
+            rk AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM s
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   md5(string_agg(CAST(neighbor_id AS VARCHAR), ','
+                                  ORDER BY rank)) AS exact_topk_md5,
+                   TRUE AS ivf_recall_ok,
+                   TRUE AS lsh_recall_ok
+            FROM rk WHERE rank <= 10
+            GROUP BY query_id ORDER BY query_id
+        """,
+        # media-tier invariant audit: the cardinalities are exact
+        # functions of the documents roster (the synthesized media
+        # table's sizing rule), the booleans pin decode/fingerprint
+        # invariants the engine re-verifies each run (strict decode,
+        # duration/RMS envelopes, double-pass fingerprint determinism,
+        # planted ±2-LSB twin within Hamming 6)
+        "media_feature_audit": """
+            WITH n AS (SELECT LEAST(120, count(*)) AS na FROM documents)
+            SELECT CAST(na AS BIGINT) AS n_audio,
+                   CAST(GREATEST(1, na // 4) AS BIGINT) AS n_video,
+                   CAST(2 * GREATEST(1, na // 4) AS BIGINT)
+                       AS n_sampled_frames,
+                   TRUE AS audio_all_decoded,
+                   TRUE AS video_all_decoded,
+                   TRUE AS duration_in_bounds,
+                   TRUE AS rms_in_bounds,
+                   TRUE AS audio_fp_deterministic,
+                   TRUE AS video_fp_deterministic,
+                   TRUE AS audio_twin_within_tol
+            FROM n
+        """,
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """
             WITH t AS (
