@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 operators
         "ann_recall_audit": Q.ann_recall_audit,
         "media_feature_audit": Q.media_feature_audit,
+        "paragraph_dedup_stats": Q.paragraph_dedup_stats,
     }
 
 
@@ -339,13 +340,19 @@ def _text_oracles() -> dict[str, str]:
         "quality_docs": f"""
             WITH toks AS (
                 SELECT doc_id, text,
-                       regexp_extract_all(lower(text), '[a-z'']+') AS tk
+                       regexp_extract_all(lower(text), '[a-z'']+') AS tk,
+                       string_split(text, chr(10)) AS ln,
+                       -- explicit ASCII class (python \\S is unicode-
+                       -- aware, RE2 \\S is not — the class matches in
+                       -- both engines identically)
+                       regexp_extract_all(text, '[^ \\t\\n\\r\\f\\v]+') AS ww
                 FROM documents
-            )
+            ),
             -- RAW doubles, no rounding: single divisions of exact
             -- integers are bit-identical on both sides, and round(9)
             -- breaks on trailing-5 half-cases (29/1024; np half-even
             -- vs DuckDB half-away — fuzz --docs seed 5)
+            m AS (
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST(len(tk) AS BIGINT) AS n_tokens,
                    CAST(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
@@ -360,8 +367,42 @@ def _text_oracles() -> dict[str, str]:
                        AS punct_ratio,
                    CAST(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
                        CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) END
-                       AS DOUBLE) AS distinct_token_ratio
-            FROM toks ORDER BY doc_id
+                       AS DOUBLE) AS distinct_token_ratio,
+                   -- Gopher A1.1 shape signals (mirroring the fused
+                   -- QualityScorer pass): '#' chars + non-overlapping
+                   -- '...' runs per word, bullet-start / ellipsis-end
+                   -- line fractions, alpha-containing whitespace words
+                   CAST(CAST(length(text) - length(replace(text, '#', ''))
+                       + len(regexp_extract_all(text, '\\.{{3}}'))
+                       AS DOUBLE) / greatest(len(tk), 1) AS DOUBLE)
+                       AS symbol_word_ratio,
+                   CAST(len(ln) AS BIGINT) AS n_lines,
+                   CAST(CAST(len(list_filter(ln,
+                       x -> ltrim(x, ' ') LIKE '-%'
+                         OR ltrim(x, ' ') LIKE '*%'
+                         OR ltrim(x, ' ') LIKE '•%')) AS DOUBLE)
+                       / len(ln) AS DOUBLE) AS bullet_line_frac,
+                   CAST(CAST(len(list_filter(ln,
+                       x -> rtrim(x, ' ') LIKE '%...'
+                         OR rtrim(x, ' ') LIKE '%…')) AS DOUBLE)
+                       / len(ln) AS DOUBLE) AS ellipsis_line_frac,
+                   CAST(CASE WHEN len(ww) = 0 THEN 0.0 ELSE
+                       CAST(len(list_filter(ww,
+                           x -> regexp_matches(x, '[A-Za-z]')))
+                           AS DOUBLE) / len(ww) END AS DOUBLE)
+                       AS alpha_word_frac
+            FROM toks
+            )
+            SELECT *,
+                   n_tokens >= 50 AND n_tokens <= 100000
+                       AS gopher_word_count_ok,
+                   mean_token_len >= 3.0 AND mean_token_len <= 10.0
+                       AS gopher_mean_word_ok,
+                   symbol_word_ratio <= 0.1 AS gopher_symbol_ok,
+                   bullet_line_frac <= 0.9 AS gopher_bullet_ok,
+                   ellipsis_line_frac <= 0.3 AS gopher_ellipsis_ok,
+                   alpha_word_frac >= 0.8 AS gopher_alpha_ok
+            FROM m ORDER BY doc_id
         """,
         "curated_training_split": f"""
             -- dedup (min doc_id per content md5) -> quality filter
@@ -1744,6 +1785,31 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS video_fp_deterministic,
                    TRUE AS audio_twin_within_tol
             FROM n
+        """,
+        # CCNet-style paragraph dedup: same split/trim/md5 pipeline in
+        # SQL; integers + one exact division — bit-exact
+        "paragraph_dedup_stats": """
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS raw
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, md5(trim(raw, ' ')) AS h
+                FROM lines WHERE trim(raw, ' ') != ''
+            ),
+            df AS (
+                SELECT h, count(DISTINCT doc_id) AS nd
+                FROM p GROUP BY h
+            )
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_paras,
+                   CAST(CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS DOUBLE) AS dup_para_frac
+            FROM p JOIN df USING (h)
+            GROUP BY p.doc_id ORDER BY doc_id
         """,
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """

@@ -931,11 +931,20 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
     Rounding at 9 dp was WEAKER: a ratio like 29/1024 =
     0.0283203125 is an exact trailing-5 half-case where np.round
     (half-to-even) and DuckDB round() (half-away-from-zero) disagree —
-    caught by tools/fuzz_oracle.py --docs seed 5."""
+    caught by tools/fuzz_oracle.py --docs seed 5. Round 5 extends the
+    surface to the full Gopher §A1.1 rule set (symbol-to-word ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, and the six
+    rule booleans at the paper's thresholds) — all from the same fused
+    QualityScorer pass, all SQL-recomputed."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = text_mod.quality_scores(ds).to_pandas()
     cols = ["doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
-            "punct_ratio", "distinct_token_ratio"]
+            "punct_ratio", "distinct_token_ratio",
+            "symbol_word_ratio", "n_lines", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac",
+            "gopher_word_count_ok", "gopher_mean_word_ok",
+            "gopher_symbol_ok", "gopher_bullet_ok",
+            "gopher_ellipsis_ok", "gopher_alpha_ok"]
     return out[cols].sort_values("doc_id").reset_index(drop=True)
 
 
@@ -6498,6 +6507,71 @@ def kll_quantile_audit(sf_dir: str) -> pd.DataFrame:
         "exact_q": np.asarray(exact, dtype=np.float64),
         "kll_ok": pd.Series(ok, dtype="bool"),
     })
+
+
+def paragraph_dedup_stats(sf_dir: str,
+                          n_buckets: int = 32) -> pd.DataFrame:
+    """CCNet-style PARAGRAPH-level dedup stats (Wenzek et al. 2020 —
+    the paragraph-hash tier between exact whole-doc dedup and the
+    gram-level exact-substring tier): paragraphs are non-empty
+    space-trimmed lines; a paragraph is a DUP if its md5 appears in
+    >= 2 distinct documents. Per doc: paragraph count, dup-paragraph
+    count (with multiplicity) and the dup fraction (exact IEEE division
+    of integers). Docs with zero non-empty lines emit no row (mirrored
+    in SQL).
+
+    Scale shape — the inverted-index pattern in two bounded exchanges:
+    per-block explode to (h, doc_id, cnt) partials (per-block
+    multiplicity pre-fold shrinks the shuffle), ONE paragraph-hash-
+    bucketed groupby computes each hash's distinct-doc count and tags
+    its member rows in place (no separate join back), then ONE
+    doc-keyed groupby folds per-doc totals. Content hashes ride the
+    exchange as md5 strings; nothing corpus-sized lands on the driver.
+    The SQL oracle recomputes the same split/trim/md5 pipeline with
+    string_split + unnest — bit-exact integers and division."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.assign(line=b.text.fillna("").str.split("\n")) \
+            .explode("line")
+        d["line"] = d.line.fillna("").str.strip(" ")
+        d = d[d.line != ""]
+        if not len(d):
+            return pd.DataFrame({"h": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        d["h"] = [hashlib.md5(t.encode()).hexdigest() for t in d.line]
+        g = d.groupby(["h", "doc_id"], as_index=False).size() \
+            .rename(columns={"size": "cnt"})
+        hb = np.frombuffer(
+            b"".join(bytes.fromhex(x[:8]) for x in g.h), dtype=">u4")
+        g["bucket"] = (hb % np.uint32(n_buckets)).astype(np.int64)
+        return g.astype({"doc_id": "int64", "cnt": "int64"})
+
+    def tag_dups(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of one hash co-locate in this bucket: distinct-doc
+        # count per hash, dup tag applied to members in place
+        nd = g.groupby("h")["doc_id"].transform("nunique")
+        return pd.DataFrame({
+            "doc_id": g.doc_id.astype("int64"),
+            "n_paras": g.cnt.astype("int64"),
+            "n_dup": np.where(nd >= 2, g.cnt, 0).astype("int64"),
+        })
+
+    from ray.data.aggregate import Sum
+
+    tagged = ds.map_batches(explode, batch_format="pandas",
+                            batch_size=8192) \
+        .groupby("bucket").map_groups(tag_dups, batch_format="pandas")
+    out = tagged.groupby("doc_id").aggregate(
+        Sum("n_paras", alias_name="n_paras"),
+        Sum("n_dup", alias_name="n_dup_paras")).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_paras": "int64",
+                      "n_dup_paras": "int64"})
+    out["dup_para_frac"] = (out.n_dup_paras.to_numpy(np.float64)
+                            / out.n_paras.to_numpy(np.float64))
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def doc_dup_span_stats(sf_dir: str, n: int = 8,

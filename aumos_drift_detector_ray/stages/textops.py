@@ -82,9 +82,19 @@ class LanguageId:
 
 
 class QualityScorer:
-    """Document quality heuristics: length, mean token length,
-    punctuation ratio, stopword ratio, uppercase ratio, digit ratio,
-    distinct-token ratio. Pandas vectorized string kernels."""
+    """Document quality heuristics in ONE fused per-block pass: length,
+    mean token length, punctuation ratio, stopword ratio, uppercase
+    ratio, digit ratio, distinct-token ratio, PLUS the remaining Gopher
+    document-filter signals (Rae et al. 2021 §A1.1 — repetition lives
+    in repetition_stats): symbol-to-word ratio ('#' or '...' per
+    word), bullet-start and ellipsis-end line fractions, and the
+    fraction of whitespace words containing an alphabetic character —
+    each with its Gopher rule boolean at the paper's thresholds
+    (50<=words<=100k, 3<=mean word length<=10, symbol ratio<=0.1,
+    bullet lines<=0.9, ellipsis lines<=0.3, alpha words>=0.8). Every
+    ratio is a single IEEE division of exact integers, so the DuckDB
+    oracle reproduces the doubles (and the rule booleans) bit-for-bit.
+    Pandas vectorized string kernels."""
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
@@ -114,6 +124,40 @@ class QualityScorer:
         batch["distinct_token_ratio"] = toks.map(
             lambda ws: len(set(ws)) / len(ws) if ws else 0.0
         )
+        # --- Gopher §A1.1 line/symbol/word-shape rules (same pass) ---
+        # symbol-to-word: '#' chars + non-overlapping '...' runs per
+        # word (RE2 leftmost non-overlap counts match DuckDB's
+        # regexp_extract_all on the same pattern)
+        n_sym = (s.str.count("#") + s.str.count(r"\.{3}")).astype("int64")
+        batch["symbol_word_ratio"] = (
+            n_sym.astype("float64") / n_tok.clip(lower=1))
+        lines = s.str.split("\n")
+        batch["n_lines"] = lines.map(len).astype("int64")
+        batch["bullet_line_frac"] = lines.map(
+            lambda ls: sum(x.lstrip(" ").startswith(("-", "*", "•"))
+                           for x in ls) / len(ls))
+        batch["ellipsis_line_frac"] = lines.map(
+            lambda ls: sum(x.rstrip(" ").endswith(("...", "…"))
+                           for x in ls) / len(ls))
+        # alphabetic-word fraction over WHITESPACE words (the WORD_RE
+        # tokens are alphabetic by construction, so the Gopher rule
+        # must look at raw whitespace words). Explicit ASCII class, NOT
+        # \S: python re's \S is unicode-aware (excludes U+00A0 etc.)
+        # while DuckDB's RE2 \S is ASCII — the explicit class reads
+        # identically in both engines
+        ws_words = s.str.findall(r"[^ \t\n\r\f\v]+")
+        batch["alpha_word_frac"] = ws_words.map(
+            lambda ws: (sum(any(c.isascii() and c.isalpha() for c in w)
+                            for w in ws) / len(ws)) if ws else 0.0)
+        batch["gopher_word_count_ok"] = (
+            (batch["n_tokens"] >= 50) & (batch["n_tokens"] <= 100_000))
+        batch["gopher_mean_word_ok"] = (
+            (batch["mean_token_len"] >= 3.0)
+            & (batch["mean_token_len"] <= 10.0))
+        batch["gopher_symbol_ok"] = batch["symbol_word_ratio"] <= 0.1
+        batch["gopher_bullet_ok"] = batch["bullet_line_frac"] <= 0.9
+        batch["gopher_ellipsis_ok"] = batch["ellipsis_line_frac"] <= 0.3
+        batch["gopher_alpha_ok"] = batch["alpha_word_frac"] >= 0.8
         return batch
 
 

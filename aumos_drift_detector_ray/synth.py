@@ -26,6 +26,7 @@ with injected shifts for the two-window drift fixtures (F2).
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
+from functools import lru_cache
 from typing import Any
 
 import numpy as np
@@ -148,13 +149,34 @@ def _draw_shape_fmt(rng: np.random.Generator, cfg: SynthConfig) -> tuple[int, in
     return w, h, ("raw", "png", "jpg")[fi]
 
 
+@lru_cache(maxsize=64)
+def _axis01(n: int) -> np.ndarray:
+    """Cached linspace(0, 1, n) — _render calls it twice per row and
+    the size buckets repeat, so the per-row allocation is pure waste.
+    Frozen read-only: a mutation would silently corrupt every later
+    render of the same size bucket."""
+    arr = np.linspace(0.0, 1.0, n)
+    arr.flags.writeable = False
+    return arr
+
+
 def _render(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     """Smooth gradient + three random-phase sinusoids + seeded noise —
     compressible and PSNR-friendly, yet diverse enough that distinct
     rows' pHashes are far apart (measured pairwise Hamming floor ~10 of
-    64, so pHash near-dup detection has no natural false candidates)."""
-    y = np.linspace(0.0, 1.0, h)[:, None]
-    x = np.linspace(0.0, 1.0, w)[None, :]
+    64, so pHash near-dup detection has no natural false candidates).
+
+    Perf note (round-5 no-cert-rate investigation): this kernel IS the
+    honest-decode-rate bottleneck (~1 ms/row: rng.normal ~0.45 ms
+    irreducible under the bit-identity contract, sin + broadcasts the
+    rest) and the per-channel (h, w) loop is the FASTEST bit-identical
+    form measured — fused (h, w, 3) and channel-first (3, h, w)
+    variants were 10-50% SLOWER (3-element / strided inner loops).
+    Only the linspace is cached; everything else must replay the
+    original draw order and IEEE op order to keep every existing
+    payload, crc certificate and parity fixture byte-identical."""
+    y = _axis01(h)[:, None]
+    x = _axis01(w)[None, :]
     base = np.empty((h, w, 3), dtype=np.float64)
     for ch in range(3):
         a, b, c = rng.uniform(0.0, 255.0), rng.uniform(-120.0, 120.0), rng.uniform(-120.0, 120.0)

@@ -26,9 +26,42 @@ class TestTextOps:
 
         out = T.quality_scores(sf_table(SF, "documents")).to_pandas()
         for col in ("stopword_ratio", "punct_ratio", "upper_ratio",
-                    "digit_ratio", "distinct_token_ratio"):
+                    "digit_ratio", "distinct_token_ratio",
+                    "bullet_line_frac", "ellipsis_line_frac",
+                    "alpha_word_frac"):
             assert out[col].between(0, 1).all(), col
         assert (out.n_tokens > 0).all()
+
+    def test_gopher_rules_fixtures(self, ray_session):
+        """Gopher §A1.1 rule fixtures: each rule exercised on a doc
+        engineered to sit on the right side of its threshold."""
+        import pyarrow as pa
+        import ray.data as rd
+        from aumos_drift_detector_ray.stages import textops as T
+
+        texts = [
+            "- one\n- two\n- three\nplain",     # 3/4 bullet lines
+            "wait...\nmore…\nplain\nplain",     # 2/4 ellipsis lines
+            "## tags # here...",                # 4 symbols / 2 words
+            "a b c 1 2 3",                      # 3/6 alpha words
+            " ".join(["word"] * 60),            # clean: all rules pass
+        ]
+        out = T.quality_scores(
+            rd.from_arrow(pa.table({"text": texts}))).to_pandas()
+        assert out.n_lines.tolist() == [4, 4, 1, 1, 1]
+        assert out.bullet_line_frac[0] == 0.75
+        assert bool(out.gopher_bullet_ok[0])            # 0.75 <= 0.9
+        assert out.ellipsis_line_frac[1] == 0.5
+        assert not bool(out.gopher_ellipsis_ok[1])      # 0.5 > 0.3
+        assert out.symbol_word_ratio[2] == 2.0          # (3+1)/2
+        assert not bool(out.gopher_symbol_ok[2])
+        assert out.alpha_word_frac[3] == 0.5
+        assert not bool(out.gopher_alpha_ok[3])
+        assert not bool(out.gopher_word_count_ok[3])    # 3 words < 50
+        r = out.iloc[4]
+        assert bool(r.gopher_word_count_ok and r.gopher_mean_word_ok
+                    and r.gopher_symbol_ok and r.gopher_bullet_ok
+                    and r.gopher_ellipsis_ok and r.gopher_alpha_ok)
 
     def test_language_id_english(self, ray_session):
         import ray.data as rd
