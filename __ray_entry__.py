@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_audit": Q.ann_recall_audit,
         "media_feature_audit": Q.media_feature_audit,
         "paragraph_dedup_stats": Q.paragraph_dedup_stats,
+        "neardup_clusters_distributed": Q.neardup_clusters_distributed,
+        "neardup_triangles_distributed": Q.neardup_triangles_distributed,
     }
 
 
@@ -817,6 +819,12 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_raw()
     for _n in _VALUE_CLEAN_QUERIES:
         d[_n] = _clean_events_sql(d[_n])
+    # gate-forced distributed graph tiers answer the SAME questions as
+    # their size-gated defaults — identical ground-truth SQL (the
+    # engine side differs: driver_gate=0 forces the min-label-
+    # propagation / wedge-join path a 10^12-row corpus would take)
+    d["neardup_clusters_distributed"] = d["neardup_clusters"]
+    d["neardup_triangles_distributed"] = d["neardup_triangle_stats"]
     return d
 
 

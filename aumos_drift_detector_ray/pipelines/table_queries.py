@@ -4684,6 +4684,38 @@ def neardup_triangle_stats(sf_dir: str) -> pd.DataFrame:
     return out.rename(columns={"node": "doc_id"})
 
 
+def neardup_clusters_distributed(sf_dir: str) -> pd.DataFrame:
+    """Gate-forced DISTRIBUTED tier of neardup_clusters: the same
+    verified pair Dataset runs the min-label-propagation +
+    pointer-doubling loop (graph.cc_labels, driver_gate=0) — the exact
+    path a 10^12-row corpus takes — against the SAME recursive-CTE
+    ground-truth oracle. Makes the 100 TB tier oracle-visible (the
+    default-gate entry proves the driver tier; path agreement between
+    the two is additionally pytest-pinned)."""
+    from ..stages.graph import cluster_sizes
+
+    pairs = _verified_neardup_pairs_ds(sf_dir)
+    if pairs is None:
+        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+    return cluster_sizes(pairs, "id_a", "id_b", driver_gate=0)
+
+
+def neardup_triangles_distributed(sf_dir: str) -> pd.DataFrame:
+    """Gate-forced DISTRIBUTED tier of neardup_triangle_stats: the
+    degree-oriented wedge-join (graph._dist_triangles via
+    driver_gate=0, distributed edge dedupe included) against the same
+    3-way self-join ground-truth SQL — the 100 TB tier oracle-visible."""
+    from ..stages.graph import triangle_counts
+
+    pairs = _verified_neardup_pairs_ds(sf_dir)
+    if pairs is None:
+        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+    out = triangle_counts(pairs, "id_a", "id_b", driver_gate=0)
+    return out.rename(columns={"node": "doc_id"})
+
+
 def session_funnel_counts(sf_dir: str) -> pd.DataFrame:
     """Sessionized funnel conversion: of all 30-minute-gap sessions, how
     many contain a 'view', and how many of those CONVERT (a 'purchase'

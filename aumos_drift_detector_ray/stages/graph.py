@@ -177,6 +177,11 @@ def cluster_sizes(pairs: "pd.DataFrame | ray.data.Dataset",
     gate itself."""
     gate = DRIVER_CC_GATE if driver_gate is None else driver_gate
     if isinstance(pairs, ray.data.Dataset):
+        # materialize ONCE before the gate: count() and the consumption
+        # that follows would otherwise each re-execute the upstream
+        # pipeline (LSH + exact verify is expensive); blocks stay in
+        # the (spillable) object store, never on the driver
+        pairs = pairs.materialize()
         if pairs.count() > gate:
             labels = cc_labels(pairs, a=a_col, b=b_col)
             out = labels.groupby("lbl").count().to_pandas() \
@@ -431,6 +436,9 @@ def triangle_counts(pairs: "pd.DataFrame | ray.data.Dataset",
         "degree": pd.Series([], dtype=np.int64),
         "n_triangles": pd.Series([], dtype=np.int64)})
     if isinstance(pairs, ray.data.Dataset):
+        # materialize ONCE: count() + the consumption after would each
+        # re-execute the upstream pipeline otherwise
+        pairs = pairs.materialize()
         n = pairs.count()
         if n == 0:
             return empty
