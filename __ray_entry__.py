@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup_stats": Q.paragraph_dedup_stats,
         "neardup_clusters_distributed": Q.neardup_clusters_distributed,
         "neardup_triangles_distributed": Q.neardup_triangles_distributed,
+        "tokenizer_fertility_by_lang": Q.tokenizer_fertility_by_lang,
+        "ngram_decontamination_stats": Q.ngram_decontamination_stats,
     }
 
 
@@ -454,6 +456,46 @@ def _text_oracles() -> dict[str, str]:
                    CAST({best} AS DOUBLE) AS lang_pred_score
             FROM scored ORDER BY doc_id
         """,
+        # tokenizer fertility per predicted language: the langid CTEs
+        # and the BPE pre-token / whitespace-word patterns are the SAME
+        # generated fragments the other text oracles use; integer sums
+        # + one exact division
+        "tokenizer_fertility_by_lang": f"""
+            WITH padded AS (
+                SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+            ),
+            tri AS (
+                SELECT doc_id,
+                       CASE WHEN length(t) < 3 THEN []
+                            ELSE list_transform(range(1, length(t) - 1),
+                                                i -> substr(t, i, 3)) END AS tris
+                FROM padded
+            ),
+            scored AS (
+                SELECT doc_id,
+{frac_cols}
+                FROM tri
+            ),
+            lab AS (
+                SELECT doc_id, {lang_case} AS lang_pred FROM scored
+            ),
+            cnt AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{bpe_pat}')) AS n_tok,
+                       len(regexp_extract_all(text,
+                           '[^ \\t\\n\\r\\f\\v]+')) AS n_w
+                FROM documents
+            )
+            SELECT lang_pred,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(n_w), 0) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN coalesce(sum(n_w), 0) = 0 THEN 0.0
+                        ELSE CAST(sum(n_tok) AS DOUBLE) / sum(n_w) END
+                        AS DOUBLE) AS fertility
+            FROM lab JOIN cnt USING (doc_id)
+            GROUP BY lang_pred ORDER BY lang_pred
+        """,
     }
 
 
@@ -569,6 +611,53 @@ def _decon_oracle() -> str:
             FROM planted WHERE {hits} ORDER BY doc_id
         """
 
+
+
+def _decon_ngram_oracle(n: int = 5) -> str:
+    """Oracle for ngram_decontamination_stats: the SAME plant rule as
+    _decon_oracle, the SAME [a-z']+ token convention as the other text
+    oracles, and the benchmark gram index generated by the SAME helper
+    the engine uses (table_queries._decon_bench_grams)."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _decon_bench_grams,
+    )
+    from aumos_drift_detector_ray.stages.textops import DECON_BENCH
+
+    nb = len(DECON_BENCH)
+    esc = [s.replace("'", "''") for s in DECON_BENCH]
+    cases = " ".join(f"WHEN {i} THEN '{s}'" for i, s in enumerate(esc))
+    bench = _sql_list(_decon_bench_grams(n))
+    join = " || ' ' || ".join(f"w[i + {j}]" for j in range(n)) \
+        .replace("w[i + 0]", "w[i]")
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 37 = 0
+                            THEN COALESCE(text, '') || ' ' ||
+                                 CASE doc_id % {nb} {cases} END
+                            ELSE COALESCE(text, '') END AS t
+                FROM documents),
+            tk AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(t), '[a-z'']+') AS w
+                FROM planted),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < {n} THEN []
+                            ELSE list_distinct(list_transform(
+                                range(1, len(w) - {n - 2}),
+                                i -> {join})) END AS grams
+                FROM tk)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_grams,
+                   CAST(len(list_filter(grams,
+                        x -> list_contains({bench}, x))) AS BIGINT)
+                       AS n_overlap,
+                   len(list_filter(grams,
+                        x -> list_contains({bench}, x))) >= 1
+                       AS contaminated_ngram
+            FROM g ORDER BY doc_id
+        """
 
 
 def _norm_oracle() -> str:
@@ -1739,6 +1828,7 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "decontaminate_docs": _decon_oracle(),
+        "ngram_decontamination_stats": _decon_ngram_oracle(),
         "curation_funnel_report": _funnel_oracle(),
         # exact/approx sandwich for the ANN tier: the md5 anchors the
         # brute-force cosine top-10 (same ranking CTE as

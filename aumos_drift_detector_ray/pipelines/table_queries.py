@@ -948,6 +948,48 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
     return out[cols].sort_values("doc_id").reset_index(drop=True)
 
 
+def tokenizer_fertility_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer FERTILITY per predicted language (subword tokens per
+    whitespace word — the standard multilingual-tokenizer health
+    metric: high fertility on a language means the vocab underserves
+    it): langid stage → per-block vectorized BPE-pretoken and
+    whitespace-word counts → map-side per-language partial sums → one
+    tiny grouped fold. Integer sums stay far below 2^53, so the final
+    fertility division is one exact IEEE op — bit-identical to the SQL
+    oracle, which composes the SAME langid CTE fragments
+    (_langid_sql_parts) and the SAME RE2 pattern constants the engine
+    stages use."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.textops import BPE_PRETOKEN_PATTERN
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    lang = text_mod.language_id(ds)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b.text.fillna("")
+        return pd.DataFrame({
+            "lang_pred": b.lang_pred,
+            "n_docs": np.ones(len(b), dtype=np.int64),
+            "n_tokens": s.str.count(BPE_PRETOKEN_PATTERN)
+            .astype("int64"),
+            "n_words": s.str.count(r"[^ \t\n\r\f\v]+").astype("int64"),
+        }).groupby("lang_pred", as_index=False).sum()
+
+    out = lang.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("lang_pred").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_words", alias_name="n_words")).to_pandas()
+    out = out.astype({"n_docs": "int64", "n_tokens": "int64",
+                      "n_words": "int64"})
+    nt = out.n_tokens.to_numpy(np.float64)
+    nw = out.n_words.to_numpy(np.float64)
+    out["fertility"] = np.where(nw > 0, nt / np.maximum(nw, 1.0), 0.0)
+    return out.sort_values("lang_pred").reset_index(drop=True)
+
+
 def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     """Content-addressed document identity: md5 (oracle: DuckDB md5())."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4137,6 +4179,87 @@ def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
                              "source": b.source})
 
     out = flagged.map_batches(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _decon_bench_grams(n: int = 5) -> "list[str]":
+    """Distinct word n-grams of the benchmark snippets under the
+    shared [a-z']+ token convention — the contamination index both the
+    engine and the generated SQL oracle test membership against."""
+    from ..stages.textops import DECON_BENCH, WORD_RE
+
+    grams = set()
+    for s in DECON_BENCH:
+        w = WORD_RE.findall(s.lower())
+        for i in range(len(w) - n + 1):
+            grams.add(" ".join(w[i:i + n]))
+    return sorted(grams)
+
+
+def ngram_decontamination_stats(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """N-GRAM overlap decontamination (the GPT-3 appendix-C method —
+    the fuzzy tier above decontaminate_docs' exact-substring scan:
+    catches contaminated docs even after small edits break the
+    substring): per document, the count of DISTINCT word 5-grams
+    shared with the benchmark set, plus the contamination flag
+    (>= 1 shared gram). Benchmark snippets are planted into every
+    37th doc (same deterministic rule as decontaminate_docs — the
+    corpus has no natural contamination) on BOTH sides.
+
+    Scale shape: the benchmark GRAM INDEX (tiny) broadcasts once;
+    per-block the gram construction is the same pure-numpy shift
+    kernel the exact-substring dedup uses (no per-row Python), and
+    membership is one vectorized isin — shuffle-free; per-doc rows
+    emit directly. Integers + a boolean — bit-exact vs the SQL oracle,
+    which rebuilds the same grams via list_transform over the same
+    [a-z']+ tokens."""
+    from ..stages.textops import DECON_BENCH, WORD_RE
+
+    bench = set(_decon_bench_grams(n))
+    bref = ray.put(bench)
+    nb = len(DECON_BENCH)
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        bset = get_broadcast(bref)
+        d = b.doc_id.astype("int64")
+        which = np.array(DECON_BENCH, dtype=object)[(d % nb).to_numpy()]
+        planted = b.text.fillna("") + " " + pd.Series(which, index=b.index)
+        txt = b.text.fillna("").where((d % 37 != 0), planted)
+        toks = txt.str.lower().str.findall(WORD_RE)
+        ln = toks.map(len).to_numpy(np.int64)
+        ids = d.to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": ids,
+            "n_grams": np.zeros(len(b), dtype=np.int64),
+            "n_overlap": np.zeros(len(b), dtype=np.int64),
+        })
+        if ln.sum() >= n:
+            doc = np.repeat(ids, ln)
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks])
+            npos = len(flat) - n + 1
+            if npos > 0:
+                valid = doc[n - 1:] == doc[:-(n - 1)]
+                gram = flat[:npos]
+                for j in range(1, n):
+                    gram = gram + " "
+                    gram = gram + flat[j:j + npos]
+                df = pd.DataFrame({"gram": gram[valid],
+                                   "doc_id": doc[:npos][valid]}) \
+                    .drop_duplicates()
+                ng = df.groupby("doc_id").size()
+                ov = df[df.gram.isin(bset)].groupby("doc_id").size()
+                out["n_grams"] = ng.reindex(ids, fill_value=0) \
+                    .to_numpy(np.int64)
+                out["n_overlap"] = ov.reindex(ids, fill_value=0) \
+                    .to_numpy(np.int64)
+        out["contaminated_ngram"] = out.n_overlap >= 1
+        return out
+
+    out = ds.map_batches(stats, batch_format="pandas",
+                         batch_size=65536).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -244,6 +244,12 @@ def run_queries() -> dict[str, float]:
         "customer_revenue_gini", "benford_first_digit_profile",
         "weekly_median_value_per_type", "tpch_q7_trade_matrix",
         "lorenz_revenue_deciles", "curation_funnel_report",
+        # round-5 operators: ANN/media invariant audits, paragraph
+        # dedup, gate-forced distributed graph tier, tokenizer
+        # fertility, n-gram decontamination
+        "ann_recall_audit", "media_feature_audit",
+        "paragraph_dedup_stats", "neardup_clusters_distributed",
+        "tokenizer_fertility_by_lang", "ngram_decontamination_stats",
     ]
     qs = E.queries()
     out = {}

@@ -137,7 +137,8 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
 # documents-centric oracle queries (the --docs mode); verified_neardup's
 # ground-truth SQL is O(n^2), so keep n modest (<= ~600)
 DOC_QUERIES = [
-    "paragraph_dedup_stats",
+    "paragraph_dedup_stats", "tokenizer_fertility_by_lang",
+    "ngram_decontamination_stats",
     "lang_counts", "doc_token_stats", "langid_docs", "quality_docs",
     "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
     "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
