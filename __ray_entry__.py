@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_triangles_distributed": Q.neardup_triangles_distributed,
         "tokenizer_fertility_by_lang": Q.tokenizer_fertility_by_lang,
         "ngram_decontamination_stats": Q.ngram_decontamination_stats,
+        "pq_codebook_audit": Q.pq_codebook_audit,
     }
 
 
@@ -1908,6 +1909,18 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS DOUBLE) / count(*) AS DOUBLE) AS dup_para_frac
             FROM p JOIN df USING (h)
             GROUP BY p.doc_id ORDER BY doc_id
+        """,
+        # product-quantization audit: roster-derived cardinalities plus
+        # structural booleans (pinned-mean candidate => PQ MSE <= mean
+        # MSE for ANY input; codes in range; double-pass determinism)
+        "pq_codebook_audit": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+                   CAST(4 AS BIGINT) AS m,
+                   CAST(LEAST(16, count(*)) AS BIGINT) AS k,
+                   TRUE AS codes_in_range,
+                   TRUE AS pq_mse_le_mean_mse,
+                   TRUE AS pq_deterministic
+            FROM embeddings
         """,
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """

