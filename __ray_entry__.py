@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility_by_lang": Q.tokenizer_fertility_by_lang,
         "ngram_decontamination_stats": Q.ngram_decontamination_stats,
         "pq_codebook_audit": Q.pq_codebook_audit,
+        "cms_token_counts_audit": Q.cms_token_counts_audit,
     }
 
 
@@ -1921,6 +1922,19 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS pq_mse_le_mean_mse,
                    TRUE AS pq_deterministic
             FROM embeddings
+        """,
+        # count-min audit: exact top-20 token counts (the proven word
+        # count SQL) + the sketch's structural lower-bound boolean
+        "cms_token_counts_audit": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z'']+'))
+                    AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS n,
+                   TRUE AS cms_ge_exact
+            FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT 20
         """,
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """

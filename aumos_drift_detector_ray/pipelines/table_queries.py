@@ -3606,6 +3606,60 @@ def top_tokens_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["token", "n"]].reset_index(drop=True)
 
 
+def cms_token_counts_audit(sf_dir: str, k: int = 20,
+                           depth: int = 4,
+                           width: int = 2048) -> pd.DataFrame:
+    """Count-min sketch audit via the exact/sketch sandwich (the
+    kll_quantile_audit pattern, over the frequency domain): the
+    SQL-matched columns are the EXACT global top-k token counts (the
+    proven top_tokens_docs pipeline — per-block np.unique partials,
+    token-bucketed exchange, bounded driver merge), and the mergeable
+    CMS path (per-block sketches over hashed tokens, elementwise-add
+    fold on the driver — KB-scale blobs, the 10^12-row frequency
+    summary shape) pins ``cms_ge_exact`` = estimate >= true count,
+    the sketch's STRUCTURAL lower-bound guarantee (holds for ANY
+    input — counters only over-count), to literal TRUE in SQL. The
+    probabilistic upper bound (est <= true + e/width * n, w.p.
+    1-e^-depth) is asserted loudly engine-side at a generous 4x slack
+    but deliberately kept OUT of the hashed output columns
+    (adversarial inputs may legitimately exceed any fixed slack)."""
+    import pickle
+
+    from ..sketches import CountMinSketch, hash_any_array
+    from ..stages.textops import WORD_RE
+
+    exact = top_tokens_docs(sf_dir, k)
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def sk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        s = CountMinSketch(depth=depth, width=width)
+        if toks:
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            s.update_hashed(hash_any_array(u), c)
+        return pd.DataFrame({"sk": [pickle.dumps(s)]})
+
+    parts = ds.map_batches(sk_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged = pickle.loads(parts.sk.iloc[0])
+    for raw in parts.sk.iloc[1:]:
+        merged.merge(pickle.loads(raw))
+    est = merged.estimate_hashed(
+        hash_any_array(exact.token.to_numpy(dtype=object)))
+    over = est - exact.n.to_numpy(np.int64)
+    slack = 4.0 * np.e / width * merged.n
+    assert (over <= slack).all(), (
+        f"CMS overestimate {over.max()} exceeds 4x analytic slack "
+        f"{slack:.1f} — hashing regression")
+    return pd.DataFrame({
+        "token": exact.token,
+        "n": exact.n.astype("int64"),
+        "cms_ge_exact": (est >= exact.n.to_numpy(np.int64)),
+    }).reset_index(drop=True)
+
+
 def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's numeric
     columns in ONE moments pass: per-block exact scaled-integer sums of

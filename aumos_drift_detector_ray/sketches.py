@@ -604,3 +604,61 @@ class MisraGries(_Serializable):
         lower bound descending then item ascending (deterministic)."""
         items = sorted(self.counts.items(), key=lambda t: (-t[1], str(t[0])))
         return [(v, n, n + self.error) for v, n in items[:m]]
+
+
+class CountMinSketch(_Serializable):
+    """Mergeable count-min sketch (Cormode & Muthukrishnan, J.
+    Algorithms 2005): ``depth`` x ``width`` int64 counters; each item
+    increments one counter per row (row hash = hash64 of the item hash
+    xor a fixed per-row seed), and a point query reads the MINIMUM
+    across rows.
+
+    Guarantees (the standard public results):
+    - ``estimate(x) >= true_count(x)`` ALWAYS — counters only ever
+      over-count (this structural bound is what the oracle audit pins);
+    - ``estimate(x) <= true_count(x) + (e/width) * n`` with probability
+      ``1 - e^-depth`` — the probabilistic upper bound (reported, not
+      pinned: adversarial inputs may legitimately exceed it).
+    - merging is elementwise addition; both properties survive merges.
+
+    Updates are vectorized: callers pass pre-hashed uint64 item ids
+    (sketches.hash_any_array) with counts; each row is one hash64 +
+    modulo + np.add.at scatter — no per-item Python."""
+
+    _SEED = np.uint64(0x9E3779B97F4A7C15)        # golden-ratio odd step
+
+    def __init__(self, depth: int = 4, width: int = 2048) -> None:
+        self.depth = int(depth)
+        self.width = int(width)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.n = 0
+
+    def _rows(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        seeds = (np.arange(1, self.depth + 1, dtype=np.uint64)
+                 * self._SEED)
+        return (hash64(h[None, :] ^ seeds[:, None])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def update_hashed(self, h: np.ndarray, counts: np.ndarray) -> None:
+        if not len(h):
+            return
+        counts = np.asarray(counts, dtype=np.int64)
+        idx = self._rows(h)
+        for r in range(self.depth):
+            np.add.at(self.table[r], idx[r], counts)
+        self.n += int(counts.sum())
+
+    def estimate_hashed(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=np.int64)
+        idx = self._rows(h)
+        return self.table[np.arange(self.depth)[:, None], idx] \
+            .min(axis=0).astype(np.int64)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CountMinSketch shape mismatch")
+        self.table += other.table
+        self.n += other.n
+        return self

@@ -250,6 +250,7 @@ def run_queries() -> dict[str, float]:
         "ann_recall_audit", "media_feature_audit",
         "paragraph_dedup_stats", "neardup_clusters_distributed",
         "tokenizer_fertility_by_lang", "ngram_decontamination_stats",
+        "pq_codebook_audit", "cms_token_counts_audit",
     ]
     qs = E.queries()
     out = {}

@@ -228,6 +228,47 @@ class TestMisraGries:
         assert back.top(1)[0] == ("a", 10, 10)
 
 
+class TestCountMinSketch:
+    def test_lower_bound_and_merge_equivalence(self):
+        """estimate >= true ALWAYS; merged block sketches == one-shot
+        sketch bit-for-bit (elementwise add); pickle round-trip."""
+        import pickle
+
+        from aumos_drift_detector_ray.sketches import (CountMinSketch,
+                                                       hash_any_array)
+
+        rng = np.random.default_rng(7)
+        items = np.array([f"tok{i}" for i in rng.zipf(1.3, 5000) % 300],
+                         dtype=object)
+        u, c = np.unique(items, return_counts=True)
+        h = hash_any_array(u)
+        one = CountMinSketch(depth=4, width=512)
+        one.update_hashed(h, c)
+        est = one.estimate_hashed(h)
+        assert (est >= c).all()                      # structural bound
+        assert one.n == c.sum()
+        # split into 7 partials, merge — identical table
+        parts = []
+        for ch in np.array_split(np.arange(len(u)), 7):
+            s = CountMinSketch(depth=4, width=512)
+            s.update_hashed(h[ch], c[ch])
+            parts.append(s)
+        merged = parts[0]
+        for s in parts[1:]:
+            merged.merge(pickle.loads(pickle.dumps(s)))
+        assert np.array_equal(merged.table, one.table)
+        assert merged.n == one.n
+        # mean overestimate within a few x the analytic expectation
+        over = est - c
+        assert over.mean() <= 4 * c.sum() / 512
+
+    def test_shape_mismatch_raises(self):
+        from aumos_drift_detector_ray.sketches import CountMinSketch
+
+        with pytest.raises(ValueError):
+            CountMinSketch(4, 512).merge(CountMinSketch(4, 1024))
+
+
 class TestBroadcastCache:
     def test_memoizes_and_evicts(self, ray_session):
         import ray
