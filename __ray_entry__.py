@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_decontamination_stats": Q.ngram_decontamination_stats,
         "pq_codebook_audit": Q.pq_codebook_audit,
         "cms_token_counts_audit": Q.cms_token_counts_audit,
+        "dsir_hashed_ngram_features": Q.dsir_hashed_ngram_features,
     }
 
 
@@ -1935,6 +1936,45 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # DSIR hashed n-gram importance features (Xie et al. 2023):
+        # word uni+bigrams -> md5 % 1024 buckets; target model counts
+        # lang='en' grams, raw model counts all grams; per-doc exact
+        # position-summed bucket counts (log-weight resample is a
+        # driver postprocess, kept out per the libm-log contract)
+        "dsir_hashed_ngram_features": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS w
+                FROM documents),
+            g AS (
+                SELECT doc_id, lang, unnest(w) AS gram FROM toks
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(CASE WHEN len(w) < 2 THEN []
+                              ELSE list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1]) END)
+                           AS gram
+                FROM toks),
+            hb AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                           % 1024 AS b
+                FROM g),
+            tc AS (SELECT b, count(*) AS c FROM hb
+                   WHERE lang = 'en' GROUP BY b),
+            rc AS (SELECT b, count(*) AS c FROM hb GROUP BY b)
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(count(hb.b) AS BIGINT) AS n_grams,
+                   CAST(coalesce(sum(coalesce(tc.c, 0)), 0) AS BIGINT)
+                       AS target_hits,
+                   CAST(coalesce(sum(rc.c), 0) AS BIGINT) AS raw_hits
+            FROM documents d
+            LEFT JOIN hb ON d.doc_id = hb.doc_id
+            LEFT JOIN tc ON hb.b = tc.b
+            LEFT JOIN rc ON hb.b = rc.b
+            GROUP BY d.doc_id ORDER BY d.doc_id
         """,
         "normalized_docs": _norm_oracle(),
         "doc_frequency_top_terms": """

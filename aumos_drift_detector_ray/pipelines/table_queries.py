@@ -3660,6 +3660,124 @@ def cms_token_counts_audit(sf_dir: str, k: int = 20,
     }).reset_index(drop=True)
 
 
+_DSIR_B = 1024        # hashed-feature buckets (fixed => 100 TB shape)
+
+
+def _dsir_doc_grams(b: pd.DataFrame, target_lang: str
+                    ) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Per-block (doc_id-repeat, gram, is_target) for word unigrams +
+    space-joined bigrams — the hashed n-gram feature convention of DSIR
+    (Xie et al., NeurIPS 2023). Tokenization is the corpus-wide WORD_RE
+    [a-z']+ convention the SQL oracles replicate; the space joiner
+    cannot appear inside a token, so bigram strings are unambiguous and
+    md5-able identically on both sides."""
+    from ..stages.textops import WORD_RE
+
+    dids, grams, tmask = [], [], []
+    for did, lang, t in zip(b.doc_id.astype("int64"), b.lang,
+                            b.text.fillna("").astype(str).str.lower()):
+        toks = WORD_RE.findall(t)
+        if not toks:
+            continue
+        arr = np.asarray(toks, dtype=object)
+        g = arr if len(arr) < 2 else np.concatenate(
+            [arr, arr[:-1] + " " + arr[1:]])
+        dids.append(np.full(len(g), did, dtype=np.int64))
+        grams.append(g)
+        tmask.append(np.full(len(g), lang == target_lang, dtype=bool))
+    if not dids:
+        return (np.empty(0, np.int64), np.empty(0, dtype=object),
+                np.empty(0, bool))
+    return (np.concatenate(dids), np.concatenate(grams),
+            np.concatenate(tmask))
+
+
+def _dsir_bucket_of(grams: np.ndarray) -> np.ndarray:
+    """md5-derived hashed-feature bucket per gram, matching the SQL
+    recipe CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % B.
+    md5 runs once per DISTINCT gram (vocab-bounded Python loop, the
+    same amortization as the exact-dedup md5 keeper), then the inverse
+    map scatters buckets back to positions."""
+    uniq, inv = np.unique(grams, return_inverse=True)
+    bk = np.fromiter(
+        (int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % _DSIR_B
+         for g in uniq), dtype=np.int64, count=len(uniq))
+    return bk[inv]
+
+
+def dsir_hashed_ngram_features(sf_dir: str,
+                               target_lang: str = "en") -> pd.DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023) — over hashed n-gram features, the method's actual
+    scalability trick: every word unigram/bigram hashes into a FIXED
+    B=1024-bucket feature space, so the two bag-of-ngrams models
+    (target = lang == 'en' docs, raw = the whole corpus) are each one
+    8 KB int64 vector regardless of corpus size. Two shuffle-free
+    passes:
+
+    1. per-block bucket-count partials (np.add.at over md5 buckets)
+       -> driver fold of blocks x B rows (KB-scale);
+    2. the two fitted vectors broadcast once (ray.put); each block
+       scores its own docs by indexed gather + groupby — a doc's
+       grams never leave its block.
+
+    Output stays in EXACT COUNT SPACE (the bigram_lm_doc_scores
+    contract): per doc, the gram-position count and the position-summed
+    target/raw bucket counts — everything the hashed feature extractor,
+    the two model fits, and the per-doc scoring gather compute. The
+    smoothed log importance weight
+    log w = sum_pos[log(tc_b+1) - log(rc_b+1)] - G*log((tT+B)/(rT+B))
+    and the Gumbel top-k resample are a trivial driver postprocess
+    deliberately NOT in the oracle columns (libm log ulp differences
+    between numpy and DuckDB — the repo's round-4 rounding-contract
+    lesson)."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        tvec = np.zeros(_DSIR_B, np.int64)
+        rvec = np.zeros(_DSIR_B, np.int64)
+        _, grams, tmask = _dsir_doc_grams(b, target_lang)
+        if len(grams):
+            bk = _dsir_bucket_of(grams)
+            np.add.at(rvec, bk, 1)
+            np.add.at(tvec, bk[tmask], 1)
+        return pd.DataFrame({"bucket": np.arange(_DSIR_B, dtype=np.int64),
+                             "t_n": tvec, "r_n": rvec})
+
+    parts = ds.map_batches(count_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    fold = parts.groupby("bucket").agg(t_n=("t_n", "sum"),
+                                       r_n=("r_n", "sum"))
+    tvec = np.zeros(_DSIR_B, np.int64)
+    rvec = np.zeros(_DSIR_B, np.int64)
+    tvec[fold.index.to_numpy()] = fold.t_n.to_numpy(np.int64)
+    rvec[fold.index.to_numpy()] = fold.r_n.to_numpy(np.int64)
+    model_ref = ray.put((tvec, rvec))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        tc, rc = ray.get(model_ref)
+        dids, grams, _ = _dsir_doc_grams(b, target_lang)
+        base = pd.DataFrame({
+            "doc_id": b.doc_id.astype("int64"),
+            "n_grams": np.int64(0), "target_hits": np.int64(0),
+            "raw_hits": np.int64(0)}).set_index("doc_id")
+        if len(grams):
+            bk = _dsir_bucket_of(grams)
+            per = pd.DataFrame({"doc_id": dids, "t": tc[bk], "r": rc[bk]}) \
+                .groupby("doc_id").agg(n_grams=("t", "size"),
+                                       target_hits=("t", "sum"),
+                                       raw_hits=("r", "sum"))
+            base.loc[per.index, ["n_grams", "target_hits", "raw_hits"]] = \
+                per[["n_grams", "target_hits", "raw_hits"]].to_numpy()
+        return base.reset_index().astype({
+            "doc_id": "int64", "n_grams": "int64",
+            "target_hits": "int64", "raw_hits": "int64"})
+
+    out = ds.map_batches(score, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def lineitem_corr_matrix(sf_dir: str) -> pd.DataFrame:
     """Pairwise Pearson correlation matrix over lineitem's numeric
     columns in ONE moments pass: per-block exact scaled-integer sums of

@@ -251,6 +251,7 @@ def run_queries() -> dict[str, float]:
         "paragraph_dedup_stats", "neardup_clusters_distributed",
         "tokenizer_fertility_by_lang", "ngram_decontamination_stats",
         "pq_codebook_audit", "cms_token_counts_audit",
+        "dsir_hashed_ngram_features",
     ]
     qs = E.queries()
     out = {}

@@ -1,0 +1,106 @@
+"""Round-5 tests: DSIR hashed n-gram importance features — tiny-corpus
+brute-force semantics, md5-bucket parity with the SQL recipe, and the
+all-docs output contract (empty / null-text docs emit zero rows'
+worth of grams but still appear)."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_docs(d: str, texts: list, langs: list) -> None:
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+
+class TestDsirFeatures:
+    def test_brute_force_semantics(self, ray_session):
+        """Dict-loop ground truth: uni+bigram md5 buckets, target
+        (lang='en') and raw bucket counts, per-doc position sums."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        texts = ["the cat sat on the mat",
+                 "le chat noir",          # non-target doc
+                 "",                      # empty: 0 grams, still a row
+                 None,                    # null text
+                 "cat",                   # single token: unigram only
+                 "the cat sat on the mat"]  # exact dup of doc 0
+        langs = ["en", "fr", "en", "de", "en", "en"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, langs)
+            out = Q.dsir_hashed_ngram_features(d)
+
+        def buckets(t):
+            toks = WORD_RE.findall((t or "").lower())
+            grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            return [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    % Q._DSIR_B for g in grams]
+
+        tc = collections.Counter()
+        rc = collections.Counter()
+        per_doc = {}
+        for i, (t, lg) in enumerate(zip(texts, langs)):
+            bks = buckets(t)
+            per_doc[i] = bks
+            rc.update(bks)
+            if lg == "en":
+                tc.update(bks)
+        exp = pd.DataFrame({
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "n_grams": [len(per_doc[i]) for i in range(len(texts))],
+            "target_hits": [sum(tc[b] for b in per_doc[i])
+                            for i in range(len(texts))],
+            "raw_hits": [sum(rc[b] for b in per_doc[i])
+                         for i in range(len(texts))],
+        }).astype({"n_grams": "int64", "target_hits": "int64",
+                   "raw_hits": "int64"})
+        pd.testing.assert_frame_equal(out, exp)
+        # exact-dup docs score identically; the non-target doc's grams
+        # still hit the raw model
+        assert out.loc[0].tolist()[1:] == out.loc[5].tolist()[1:]
+        assert out.loc[1, "raw_hits"] > 0
+
+    def test_sf_runs_and_driver_postprocess(self, ray_session):
+        """sf0.001 smoke: every doc appears exactly once, double runs
+        are bit-identical (block order can't leak into the fold), and
+        the log importance weight (the driver postprocess the oracle
+        contract excludes) is finite. (No 'en scores higher' assertion:
+        the synthetic corpus draws the same vocabulary for every lang,
+        so the target/raw models legitimately coincide.)"""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.sources.reader import sf_table
+
+        out = Q.dsir_hashed_ngram_features(SF)
+        docs = sf_table(SF, "documents",
+                        columns=["doc_id", "lang"]).to_pandas()
+        assert sorted(out.doc_id) == sorted(docs.doc_id)
+        assert out.doc_id.is_unique
+        pd.testing.assert_frame_equal(
+            out, Q.dsir_hashed_ngram_features(SF))
+        nz = out[out.n_grams > 0]
+        w = (np.log((nz.target_hits + 1) / (nz.raw_hits + 1))
+             / nz.n_grams)
+        assert np.isfinite(w).all()
+        # target hits can never exceed raw hits (target grams are a
+        # subset of raw grams, bucketwise)
+        assert (out.target_hits <= out.raw_hits).all()
+        assert (out.raw_hits >= out.n_grams).all()  # own grams count
