@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codebook_audit": Q.pq_codebook_audit,
         "cms_token_counts_audit": Q.cms_token_counts_audit,
         "dsir_hashed_ngram_features": Q.dsir_hashed_ngram_features,
+        "kmv_distinct_audit": Q.kmv_distinct_audit,
     }
 
 
@@ -1936,6 +1937,16 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # KMV bottom-k distinct sketch audit: exact distinct count +
+        # the two structural booleans (exact below k; merge order-
+        # insensitive) pinned to literal TRUE for any input
+        "kmv_distinct_audit": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS kmv_small_exact,
+                   TRUE AS kmv_merge_commutes
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         # DSIR hashed n-gram importance features (Xie et al. 2023):
         # word uni+bigrams -> md5 % 1024 buckets; target model counts

@@ -218,6 +218,71 @@ def approx_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     }).sort_values("event_type").reset_index(drop=True)
 
 
+def kmv_distinct_audit(sf_dir: str, k: int = 64) -> pd.DataFrame:
+    """KMV / bottom-k distinct sketch per event_type (Bar-Yossef et
+    al. 2002; Beyer et al. SIGMOD 2007) — the exact/sketch sandwich
+    completing the mergeable-summary family (KLL quantiles, HLL
+    distinct, Bloom membership, Misra-Gries heavy hitters, count-min
+    frequency, KMV set cardinality). SQL-matched columns: the exact
+    distributed distinct count (``distinct_users_per_type``'s bucketed
+    path) plus two STRUCTURAL booleans pinned to literal TRUE —
+
+    * ``kmv_small_exact``: below k distinct hashes the sketch holds
+      ALL of them, so the estimate is exact (any input, modulo 2^-64
+      hash collisions — the same caveat as every hash-keyed dedup);
+    * ``kmv_merge_commutes``: bottom-k of a union is
+      order-insensitive — folding block partials forward vs reversed
+      yields bit-identical hash arrays.
+
+    The saturated-regime estimate ((k-1)*2^64/h_(k), sigma ~
+    1/sqrt(k-2) ~ 12.6% at k=64) is asserted loudly engine-side at a
+    4-sigma 50% relative bound but kept OUT of the hashed columns
+    (probabilistic, adversarial inputs may exceed any fixed slack).
+    Per-block per-type partials merge on the driver: types x blocks
+    KB-scale blobs, the 10^12-row shape."""
+    import pickle
+
+    from ..sketches import KMinValues, hash64
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in b.groupby("event_type", sort=False):
+            s = KMinValues(k=k)
+            s.update_hashes(
+                hash64(sub.user_id.to_numpy(np.int64).view(np.uint64)))
+            rows.append((t, pickle.dumps(s)))
+        return pd.DataFrame(rows, columns=["event_type", "kmv"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    fwd, rev = {}, {}
+    for t, sub in parts.groupby("event_type"):
+        blobs = list(sub.kmv)
+        for dst, order in ((fwd, blobs), (rev, blobs[::-1])):
+            acc = pickle.loads(order[0])
+            for raw in order[1:]:
+                acc.merge(pickle.loads(raw))
+            dst[t] = acc
+    exact = distinct_users_per_type(sf_dir)  # (event_type, n_users)
+    small_ok, commute_ok = [], []
+    for t, n in zip(exact.event_type, exact.n_users):
+        est = fwd[t].estimate()
+        small_ok.append(n >= k or est == float(n))
+        commute_ok.append(np.array_equal(fwd[t].hashes, rev[t].hashes))
+        if fwd[t].saturated:
+            assert abs(est - n) / n <= 0.5, (
+                f"KMV estimate {est} vs exact {n} for {t!r} — "
+                "hashing regression")
+    return pd.DataFrame({
+        "event_type": exact.event_type,
+        "n_users": exact.n_users.astype("int64"),
+        "kmv_small_exact": pd.Series(small_ok, dtype="bool"),
+        "kmv_merge_commutes": pd.Series(commute_ok, dtype="bool"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""

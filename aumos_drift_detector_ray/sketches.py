@@ -606,6 +606,57 @@ class MisraGries(_Serializable):
         return [(v, n, n + self.error) for v, n in items[:m]]
 
 
+class KMinValues(_Serializable):
+    """Mergeable KMV / bottom-k distinct sketch (Bar-Yossef et al.
+    RANDOM 2002; Beyer et al. SIGMOD 2007): keep the k SMALLEST
+    distinct 64-bit hash values seen.
+
+    Guarantees:
+    - while fewer than k distinct hashes exist the sketch holds ALL of
+      them, so ``estimate()`` is EXACT — the structural
+      small-cardinality regime the oracle audit pins (holds for ANY
+      input);
+    - at >= k distinct values, estimate = (k-1) * 2^64 / h_(k) (the
+      k-th smallest hash), unbiased with sigma ~ 1/sqrt(k-2) — the
+      probabilistic regime (asserted loudly, never pinned);
+    - merge = bottom-k of the hash-set union: associative, commutative,
+      duplicate-insensitive — merge ORDER cannot change the result
+      (the audit's second pinned boolean).
+
+    Updates are vectorized: callers pass pre-hashed uint64 ids
+    (sketches.hash_any_array / hash64); np.unique keeps the sorted
+    bottom-k per call."""
+
+    def __init__(self, k: int = 64) -> None:
+        if k < 2:
+            raise ValueError("KMV needs k >= 2")
+        self.k = int(k)
+        self.hashes = np.empty(0, dtype=np.uint64)
+
+    def update_hashes(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        pool = np.concatenate([self.hashes,
+                               np.asarray(h, dtype=np.uint64)])
+        self.hashes = np.unique(pool)[: self.k]
+
+    @property
+    def saturated(self) -> bool:
+        return len(self.hashes) >= self.k
+
+    def estimate(self) -> float:
+        n = len(self.hashes)
+        if n < self.k:
+            return float(n)                  # exact regime
+        return (self.k - 1) * 2.0 ** 64 / float(self.hashes[self.k - 1])
+
+    def merge(self, other: "KMinValues") -> "KMinValues":
+        if other.k != self.k:
+            raise ValueError("KMinValues k mismatch")
+        self.update_hashes(other.hashes)
+        return self
+
+
 class CountMinSketch(_Serializable):
     """Mergeable count-min sketch (Cormode & Muthukrishnan, J.
     Algorithms 2005): ``depth`` x ``width`` int64 counters; each item

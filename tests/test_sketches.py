@@ -269,6 +269,51 @@ class TestCountMinSketch:
             CountMinSketch(4, 512).merge(CountMinSketch(4, 1024))
 
 
+class TestKMinValues:
+    def test_exact_below_k_and_merge_commutes(self):
+        import pickle
+
+        from aumos_drift_detector_ray.sketches import (KMinValues,
+                                                       hash_any_array)
+
+        h = hash_any_array(np.array([f"u{i}" for i in range(40)],
+                                    dtype=object))
+        s = KMinValues(k=64)
+        s.update_hashes(h)
+        s.update_hashes(h)                   # duplicate-insensitive
+        assert s.estimate() == 40.0          # exact regime
+        assert not s.saturated
+        # saturated regime: estimate within 4 sigma of truth
+        big = hash_any_array(np.arange(20000, dtype=np.int64))
+        t = KMinValues(k=64)
+        t.update_hashes(big)
+        assert t.saturated
+        assert abs(t.estimate() - 20000) / 20000 <= 0.5
+        # merge commutes + pickle round-trip: split into 5 partials,
+        # fold forward and reversed — identical hash arrays
+        parts = []
+        for ch in np.array_split(big, 5):
+            p = KMinValues(k=64)
+            p.update_hashes(ch)
+            parts.append(pickle.dumps(p))
+        def fold(blobs):
+            acc = pickle.loads(blobs[0])
+            for raw in blobs[1:]:
+                acc.merge(pickle.loads(raw))
+            return acc
+        f, r = fold(parts), fold(parts[::-1])
+        assert np.array_equal(f.hashes, r.hashes)
+        assert np.array_equal(f.hashes, t.hashes)
+
+    def test_k_mismatch_raises(self):
+        from aumos_drift_detector_ray.sketches import KMinValues
+
+        with pytest.raises(ValueError):
+            KMinValues(64).merge(KMinValues(32))
+        with pytest.raises(ValueError):
+            KMinValues(k=1)
+
+
 class TestBroadcastCache:
     def test_memoizes_and_evicts(self, ray_session):
         import ray
