@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts_audit": Q.cms_token_counts_audit,
         "dsir_hashed_ngram_features": Q.dsir_hashed_ngram_features,
         "kmv_distinct_audit": Q.kmv_distinct_audit,
+        "image_bucketing_audit": Q.image_bucketing_audit,
     }
 
 
@@ -1937,6 +1938,35 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # SDXL-style aspect bucketing over the roster-derived image
+        # set: formula dims + exact cross-multiplied argmin (scores
+        # scaled by 720 = lcm of bucket heights), codec round-trip and
+        # pHash determinism pinned TRUE
+        "image_bucketing_audit": """
+            WITH n AS (SELECT LEAST(240, count(*)) AS ni FROM documents),
+            i AS (SELECT unnest(generate_series(0, ni - 1)) AS i FROM n),
+            d AS (SELECT i, 64 + 8 * ((i * 7) % 24) AS w,
+                         64 + 8 * ((i * 11) % 24) AS h FROM i),
+            b(bi, bw, bh) AS (VALUES
+                (0, 1, 1), (1, 4, 3), (2, 3, 4), (3, 16, 9),
+                (4, 9, 16), (5, 3, 2), (6, 2, 3), (7, 5, 4),
+                (8, 4, 5), (9, 21, 9)),
+            s AS (SELECT d.i, b.bi, b.bw, b.bh,
+                         abs(d.w * b.bh - d.h * b.bw) * (720 // b.bh)
+                             AS score
+                  FROM d CROSS JOIN b),
+            a AS (SELECT i, bi, bw, bh,
+                         row_number() OVER (PARTITION BY i
+                                            ORDER BY score, bi) AS rk
+                  FROM s)
+            SELECT CAST(bw AS VARCHAR) || ':' || CAST(bh AS VARCHAR)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_images,
+                   TRUE AS dims_roundtrip_ok,
+                   TRUE AS phash_deterministic
+            FROM a WHERE rk = 1
+            GROUP BY bucket ORDER BY bucket
         """,
         # KMV bottom-k distinct sketch audit: exact distinct count +
         # the two structural booleans (exact below k; merge order-

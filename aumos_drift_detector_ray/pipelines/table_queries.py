@@ -3052,6 +3052,85 @@ def media_feature_stats(sf_dir: str) -> pd.DataFrame:
     })
 
 
+# SDXL-style training aspect buckets (NovelAI bucketing): (bw, bh)
+# ratio list; assignment minimizes |w/h - bw/bh| EXACTLY via
+# cross-multiplied integers scaled by 720 = lcm of the bh values, so
+# the argmin (lowest-index tie-break) is bit-identical in numpy and SQL
+_ASPECT_BUCKETS = [(1, 1), (4, 3), (3, 4), (16, 9), (9, 16),
+                   (3, 2), (2, 3), (5, 4), (4, 5), (21, 9)]
+_ASPECT_LCM = 720
+
+
+def _aspect_bucket_ids(w: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact integer aspect-bucket argmin: score_b = |w*bh - h*bw| *
+    (LCM/bh) ~ |w/h - bw/bh| * h * LCM; np.argmin keeps the FIRST
+    minimum, matching the SQL row_number() ORDER BY score, bucket_idx."""
+    bw = np.array([b[0] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    bh = np.array([b[1] for b in _ASPECT_BUCKETS], dtype=np.int64)
+    scores = (np.abs(w[:, None] * bh - h[:, None] * bw)
+              * (_ASPECT_LCM // bh))
+    return np.argmin(scores, axis=1)
+
+
+def image_bucketing_audit(sf_dir: str) -> pd.DataFrame:
+    """Aspect-ratio bucketing for batched image training (the
+    SDXL/NovelAI bucketing step: group images by nearest aspect ratio
+    so each training batch shares one shape) — ORACLE-EXACT over a
+    roster-derived deterministic image set (the media_feature_audit
+    pattern): n = min(240, #docs) images with FORMULA dims
+    w = 64 + 8*((i*7) % 24), h = 64 + 8*((i*11) % 24) and fmt cycling
+    raw/png/jpg, rendered as a deterministic integer gradient and
+    round-tripped through the REAL codec tier (encode -> actor decode).
+    Bucket assignment uses the DECODED dims, so a codec/header
+    regression shifts a bucket count and the value-hash goes red;
+    SQL recomputes the formula dims + the exact cross-multiplied
+    argmin from generate_series. Booleans pinned TRUE: decoded dims ==
+    formula dims (all three codecs are dimension-exact), and pHash
+    double-pass determinism per bucket. Scale shape: synthesis,
+    encode, decode, hash and bucket-count partials are all per-block;
+    the driver folds buckets x blocks tiny rows."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(240, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def synth_decode(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            w = 64 + 8 * ((i * 7) % 24)
+            h = 64 + 8 * ((i * 11) % 24)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            img = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            blob = C.encode(img, fmt)
+            dec = C.decode(blob, fmt)
+            ph1 = C.phash64(dec)
+            ph2 = C.phash64(C.decode(blob, fmt))
+            rows.append((i, w, h, dec.shape[1], dec.shape[0],
+                         int(ph1) == int(ph2)))
+        return pd.DataFrame(rows, columns=[
+            "i", "w", "h", "dec_w", "dec_h", "ph_det"])
+
+    imgs = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(synth_decode, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    bid = _aspect_bucket_ids(imgs.dec_w.to_numpy(np.int64),
+                             imgs.dec_h.to_numpy(np.int64))
+    imgs["bucket"] = [f"{_ASPECT_BUCKETS[j][0]}:{_ASPECT_BUCKETS[j][1]}"
+                      for j in bid]
+    imgs["dims_ok"] = (imgs.w == imgs.dec_w) & (imgs.h == imgs.dec_h)
+    out = imgs.groupby("bucket", as_index=False).agg(
+        n_images=("i", "size"),
+        dims_roundtrip_ok=("dims_ok", "all"),
+        phash_deterministic=("ph_det", "all"))
+    out["n_images"] = out.n_images.astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def media_feature_audit(sf_dir: str) -> pd.DataFrame:
     """SQL-pinned invariant audit of the media decode tier
     (media_feature_stats stays the rows-only demo; THIS is the

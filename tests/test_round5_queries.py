@@ -31,6 +31,46 @@ def _write_docs(d: str, texts: list, langs: list) -> None:
     }), os.path.join(d, "documents.parquet"))
 
 
+class TestAspectBucketing:
+    def test_exact_argmin_matches_fraction_brute_force(self):
+        """The lcm-scaled integer score must realize argmin_b
+        |w/h - bw/bh| with lowest-index tie-break — checked against
+        exact Fraction arithmetic over a dense (w, h) grid, including
+        the (9, 8) midpoint tie between 1:1 and 5:4."""
+        from fractions import Fraction
+
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _ASPECT_BUCKETS, _aspect_bucket_ids)
+
+        ws, hs = np.meshgrid(np.arange(1, 60), np.arange(1, 60))
+        w = ws.ravel().astype(np.int64)
+        h = hs.ravel().astype(np.int64)
+        got = _aspect_bucket_ids(w, h)
+        for wi, hi, g in zip(w, h, got):
+            diffs = [abs(Fraction(int(wi), int(hi))
+                         - Fraction(bw, bh))
+                     for bw, bh in _ASPECT_BUCKETS]
+            assert int(g) == diffs.index(min(diffs))
+        # the planted tie: 9/8 is the exact midpoint of 1 and 5/4 (and
+        # no other bucket is nearer) — lowest index (1:1) must win
+        assert abs(Fraction(9, 8) - 1) == abs(Fraction(9, 8)
+                                              - Fraction(5, 4))
+        assert _aspect_bucket_ids(np.array([9], np.int64),
+                                  np.array([8], np.int64))[0] == 0
+
+    def test_audit_runs_all_true(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        from aumos_drift_detector_ray.sources.reader import sf_table
+
+        out = Q.image_bucketing_audit(SF)
+        n_docs = sf_table(SF, "documents", columns=["doc_id"]).count()
+        assert out.n_images.sum() == min(240, n_docs)
+        assert out.dims_roundtrip_ok.all()
+        assert out.phash_deterministic.all()
+        assert out.bucket.is_unique
+
+
 class TestDsirFeatures:
     def test_brute_force_semantics(self, ray_session):
         """Dict-loop ground truth: uni+bigram md5 buckets, target

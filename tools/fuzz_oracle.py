@@ -139,7 +139,7 @@ def synth_events(seed: int, n: int) -> pd.DataFrame:
 DOC_QUERIES = [
     "paragraph_dedup_stats", "tokenizer_fertility_by_lang",
     "ngram_decontamination_stats", "cms_token_counts_audit",
-    "dsir_hashed_ngram_features",
+    "dsir_hashed_ngram_features", "image_bucketing_audit",
     "lang_counts", "doc_token_stats", "langid_docs", "quality_docs",
     "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
     "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
