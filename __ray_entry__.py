@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_hashed_ngram_features": Q.dsir_hashed_ngram_features,
         "kmv_distinct_audit": Q.kmv_distinct_audit,
         "image_bucketing_audit": Q.image_bucketing_audit,
+        "k_anonymity_report": Q.k_anonymity_report,
     }
 
 
@@ -1564,26 +1565,49 @@ def _oracle_sql_raw() -> dict[str, str]:
                        + 0.5 * abs(ln(sp / sr)), 9) AS DOUBLE) AS shap
             FROM s ORDER BY feature
         """,
+        # OLS over the hourly volume series reduced to exact HUGEINT
+        # sufficient statistics; slope/r2 are single IEEE expressions
+        # of exact integers and the 0.005 direction threshold is an
+        # exact integer comparison — bit-identical to the engine by
+        # construction (no rounding contract; the old parallel
+        # regr_slope formulation was thread-order flaky at round(9))
         "trend_hourly_slope": """
             WITH h AS (
                 SELECT date_trunc('hour', ts) AS hour,
-                       CAST(count(*) AS BIGINT) AS n,
-                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
-                           / 100.0 AS sum_value
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS c
                 FROM events GROUP BY 1
             ),
             s AS (
-                SELECT CAST(row_number() OVER (ORDER BY hour) - 1 AS DOUBLE) AS x,
-                       sum_value / n AS y
+                SELECT CAST(row_number() OVER (ORDER BY hour) - 1
+                            AS HUGEINT) AS x, c
                 FROM h
             ),
-            r AS (SELECT regr_slope(y, x) AS slope, regr_r2(y, x) AS r2,
-                         avg(y) AS ym FROM s)
-            SELECT CAST(round(slope, 9) AS DOUBLE) AS slope,
-                   CAST(round(r2, 9) AS DOUBLE) AS r_squared,
-                   CASE WHEN abs(CASE WHEN ym != 0 THEN slope / abs(ym)
-                                      ELSE slope END) < 0.005 THEN 'stable'
-                        WHEN slope > 0 THEN 'increasing'
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         sum(c) AS s1, sum(x) AS si,
+                         sum(x * x) AS sii, sum(x * c) AS sic,
+                         sum(c * c) AS scc
+                  FROM s),
+            r AS (SELECT n, s1,
+                         n * sic - si * s1 AS num,
+                         n * sii - si * si AS dent,
+                         n * scc - s1 * s1 AS deny
+                  FROM t)
+            SELECT CASE WHEN n < 2 THEN 0.0
+                        ELSE CAST(num AS DOUBLE)
+                             / (CAST(dent AS DOUBLE) * 100.0)
+                   END AS slope,
+                   CASE WHEN n < 2 OR deny = 0 THEN 0.0
+                        ELSE (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+                             / (CAST(dent AS DOUBLE)
+                                * CAST(deny AS DOUBLE))
+                   END AS r_squared,
+                   CASE WHEN n < 2 THEN 'stable'
+                        WHEN (s1 != 0 AND
+                              200 * abs(num) * n < dent * abs(s1))
+                             OR (s1 = 0 AND 2 * abs(num) < dent)
+                            THEN 'stable'
+                        WHEN num > 0 THEN 'increasing'
                         ELSE 'decreasing' END AS direction
             FROM r
         """,
@@ -1938,6 +1962,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # k-anonymity (Sweeney 2002) + l-diversity (Machanavajjhala
+        # 2007) release audit: QI = (event_type, hour-of-day),
+        # sensitive = user_id — exact integers and plain boolean
+        # comparisons
+        "k_anonymity_report": """
+            SELECT event_type,
+                   CAST(extract(hour FROM ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   count(*) < 5 AS k_violation,
+                   count(DISTINCT user_id) < 3 AS l_violation
+            FROM events GROUP BY event_type, hour
+            ORDER BY event_type, hour
         """,
         # SDXL-style aspect bucketing over the roster-derived image
         # set: formula dims + exact cross-multiplied argmin (scores

@@ -1525,22 +1525,49 @@ def trend_events_value(sf_dir: str) -> pd.DataFrame:
 
 
 def trend_hourly_slope(sf_dir: str) -> pd.DataFrame:
-    """OLS trend of the hourly mean event value (trend_analyzer.py
-    linear-trend capability), oracle-checked: DuckDB's regr_slope /
-    regr_r2 over (row index, hourly mean) reproduce the engine's OLS
-    formulas; round(9) absorbs accumulation-order fp noise. The full
-    trend bundle (CUSUM change points, seasonality) stays in the
-    rows-only ``trend_events_value``."""
-    from ..functions import metrics as M
-
-    hourly = hourly_event_counts(sf_dir)
-    series = (hourly.sum_value / hourly.n).to_numpy()
-    t = M.linear_trend(series)
-    return pd.DataFrame({
-        "slope": [float(round_half_away(t["slope"], 9))],
-        "r_squared": [float(round_half_away(t["r_squared"], 9))],
-        "direction": [t["direction"]],
-    })
+    """OLS trend of the hourly event-value VOLUME (exact total cents
+    per hour — trend_analyzer.py's linear-trend capability over the
+    volume series). Round-5 rewrite for bit-exactness BY CONSTRUCTION:
+    the whole OLS reduces to exact integer sufficient statistics
+    (N, Σc, Σx, Σx², Σxc, Σc² over the hour-ordered cents series), so
+    slope = num / (dent·100) and r² = num² / (dent·deny) are each ONE
+    IEEE expression of exactly-represented integers — identical in
+    numpy and DuckDB with no rounding contract — and linear_trend's
+    0.005 relative-slope direction threshold is decided in EXACT
+    integer space (200·|num|·N < dent·|Σc|), immune to float
+    boundaries. The previous mean-series formulation delegated to
+    DuckDB's parallel regr_slope, whose thread-dependent summation
+    order occasionally flipped the 9th decimal at the round(9)
+    boundary (caught by events-fuzz seed 73, n=3000, planted 1e9
+    outliers). The full trend bundle (CUSUM change points,
+    seasonality) stays in the rows-only ``trend_events_value``."""
+    hourly = hourly_event_counts(sf_dir)          # hour-ascending
+    c = [int(v) for v in
+         np.rint(hourly.sum_value.to_numpy() * 100).astype(np.int64)]
+    n = len(c)
+    if n < 2:
+        return pd.DataFrame({"slope": [0.0], "r_squared": [0.0],
+                             "direction": ["stable"]})
+    s1 = sum(c)
+    si = n * (n - 1) // 2
+    sii = (n - 1) * n * (2 * n - 1) // 6
+    sic = sum(i * v for i, v in enumerate(c))
+    scc = sum(v * v for v in c)
+    num = n * sic - si * s1
+    dent = n * sii - si * si                      # > 0 for n >= 2
+    deny = n * scc - s1 * s1
+    slope = float(num) / (float(dent) * 100.0)
+    r2 = ((float(num) * float(num)) / (float(dent) * float(deny))
+          if deny else 0.0)
+    if (s1 != 0 and 200 * abs(num) * n < dent * abs(s1)) or \
+            (s1 == 0 and 2 * abs(num) < dent):
+        direction = "stable"
+    elif num > 0:
+        direction = "increasing"
+    else:
+        direction = "decreasing"
+    return pd.DataFrame({"slope": [slope], "r_squared": [r2],
+                         "direction": [direction]})
 
 
 def order_lineitem_revenue(sf_dir: str) -> pd.DataFrame:
@@ -3628,6 +3655,61 @@ def mad_value_per_type(sf_dir: str) -> pd.DataFrame:
         "median_value": mad.event_type.map(med_by_type).astype("float64"),
         "mad_value": mad.value.astype("float64"),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def k_anonymity_report(sf_dir: str, k: int = 5, l: int = 3
+                       ) -> pd.DataFrame:
+    """k-anonymity (Sweeney 2002) + l-diversity (Machanavajjhala et
+    al. 2007) release audit over the events table — the privacy gate a
+    training-data export runs before publishing interaction logs.
+    Quasi-identifier = (event_type, hour-of-day); sensitive attribute
+    = user_id. Per QI group: row count, distinct sensitive values, and
+    the two violation booleans (group smaller than k; fewer than l
+    distinct sensitive values). Exact integers end-to-end.
+
+    Scale shape: per-block pre-aggregation shrinks rows to (QI, user)
+    partials before ONE bounded groupby (QI cardinality = types x 24);
+    distinct-user counts reuse the user-hash-bucketed exact-distinct
+    exchange shape (each (QI, user) pair lands wholly in one bucket,
+    per-bucket dedup is exact, driver folds buckets x QI tiny rows)."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "ts",
+                                             "user_id"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        qi = pd.DataFrame({
+            "event_type": b.event_type,
+            "hour": b.ts.dt.hour.astype(np.int64),
+            "user_id": b.user_id.astype(np.int64),
+        })
+        g = qi.groupby(["event_type", "hour", "user_id"],
+                       as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["event_type", "hour", "user_id"],
+                      as_index=False).agg(n=("n", "sum"))
+        return m.groupby(["event_type", "hour"], as_index=False).agg(
+            n_rows=("n", "sum"), n_users=("user_id", "nunique"))
+
+    folded = parts.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas").to_pandas()
+    out = folded.groupby(["event_type", "hour"], as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_users=("n_users", "sum"))
+    out["k_violation"] = out.n_rows < k
+    out["l_violation"] = out.n_users < l
+    return out.astype({"hour": "int64", "n_rows": "int64",
+                       "n_users": "int64"}) \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
 
 
 def events_type_hour_pivot(sf_dir: str) -> pd.DataFrame:
