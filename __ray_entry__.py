@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_audit": Q.kmv_distinct_audit,
         "image_bucketing_audit": Q.image_bucketing_audit,
         "k_anonymity_report": Q.k_anonymity_report,
+        "concept_drift_struct_audit": Q.concept_drift_struct_audit,
     }
 
 
@@ -1962,6 +1963,26 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # structural audit of the streaming concept-drift tier: planted
+        # formula streams (constant / step / alternating warm) through
+        # the real global-sort + ordered-actor stage; the detectors'
+        # structural guarantees pinned to literal TRUE
+        "concept_drift_struct_audit": """
+            WITH n AS (SELECT LEAST(4000, GREATEST(400, count(*)))
+                           AS nr FROM events)
+            SELECT CAST(nr AS BIGINT) AS n_rows,
+                   CAST(nr // 2 AS BIGINT) AS midpoint,
+                   TRUE AS adwin_const_clean,
+                   TRUE AS adwin_step_detected,
+                   TRUE AS adwin_after_midpoint,
+                   TRUE AS adwin_deterministic,
+                   TRUE AS eddm_allcorrect_clean,
+                   TRUE AS eddm_step_detected,
+                   TRUE AS eddm_after_midpoint,
+                   TRUE AS ddm_prestep_clean,
+                   TRUE AS ddm_step_detected
+            FROM n
         """,
         # k-anonymity (Sweeney 2002) + l-diversity (Machanavajjhala
         # 2007) release audit: QI = (event_type, hour-of-day),

@@ -1356,6 +1356,84 @@ def concept_eddm_events(sf_dir: str) -> pd.DataFrame:
     return _concept_events(sf_dir, "eddm")
 
 
+def concept_drift_struct_audit(sf_dir: str) -> pd.DataFrame:
+    """Structural oracle anchor for the streaming concept-drift tier
+    (the ADWIN/DDM/EDDM stages are inherently sequential — their
+    rows-only queries stay; THIS makes the tier oracle-visible, the
+    graph-tier pattern): planted formula streams of length
+    n = min(4000, max(400, #events)) run through the REAL streaming
+    machinery (``ordered_concept_drift``: global sort -> single
+    ordered detector actor), and the detectors' STRUCTURAL guarantees
+    are pinned to literal TRUE in SQL:
+
+    * ADWIN on a constant stream never cuts (a cut needs a mean gap
+      > eps_cut > 0), and on a 0 -> 100 step every detection lands at
+      or after the step (identical subwindows cannot separate);
+      double-pass determinism (the stream is a pure function).
+    * EDDM on an all-correct stream never fires (it needs error
+      distances to exist); on a clean 0 -> 1 error step it fires, at
+      or after the step.
+    * DDM on an alternating 0/1 warm stream (p = 0.5, the
+      non-degenerate regime — an all-zero stream is the documented
+      zero-variance artifact where p_min = s_min = 0 makes the >=
+      drift test fire periodically) stays clean before the step and
+      fires after the all-errors step.
+
+    SQL recomputes n_rows/midpoint from the events roster and pins the
+    nine booleans. A detector/stage regression (ordering break, state
+    carry-over, threshold drift) flips a boolean and the value-hash
+    goes red."""
+    from ..stages.concept import ordered_concept_drift
+
+    n_events = sf_table(sf_dir, "events", columns=["event_id"]).count()
+    n = int(min(4000, max(400, n_events)))
+    mid = n // 2
+
+    def planted(kind: str):
+        def fn(b: pa.Table) -> pa.Table:
+            i = b["id"].to_numpy().astype(np.int64)
+            if kind == "const_one":
+                v = np.ones(len(i))
+            elif kind == "zeros":
+                v = np.zeros(len(i))
+            elif kind == "step":
+                v = np.where(i < mid, 0.0, 100.0)
+            elif kind == "err_step":
+                v = np.where(i < mid, 0.0, 1.0)
+            else:                                  # alt_step (ddm)
+                v = np.where(i < mid, (i % 2).astype(np.float64), 1.0)
+            return pa.table({"seq": pa.array(i),
+                             "err": pa.array(v, pa.float64())})
+        return fn
+
+    def run(kind: str, detector: str) -> list[int]:
+        ds = ray.data.range(n, override_num_blocks=max(1, n // 512)) \
+            .map_batches(planted(kind), batch_format="pyarrow")
+        ev = ordered_concept_drift(ds, detector)
+        return ev.seq.astype("int64").tolist() if len(ev) else []
+
+    adwin_const = run("const_one", "adwin")
+    adwin_step = run("step", "adwin")
+    adwin_step2 = run("step", "adwin")
+    eddm_zero = run("zeros", "eddm")
+    eddm_step = run("err_step", "eddm")
+    ddm_alt = run("alt_step", "ddm")
+    return pd.DataFrame({
+        "n_rows": [np.int64(n)], "midpoint": [np.int64(mid)],
+        "adwin_const_clean": [len(adwin_const) == 0],
+        "adwin_step_detected": [len(adwin_step) >= 1],
+        "adwin_after_midpoint": [bool(adwin_step)
+                                 and min(adwin_step) >= mid],
+        "adwin_deterministic": [adwin_step == adwin_step2],
+        "eddm_allcorrect_clean": [len(eddm_zero) == 0],
+        "eddm_step_detected": [len(eddm_step) >= 1],
+        "eddm_after_midpoint": [bool(eddm_step)
+                                and min(eddm_step) >= mid],
+        "ddm_prestep_clean": [all(s >= mid for s in ddm_alt)],
+        "ddm_step_detected": [len(ddm_alt) >= 1],
+    })
+
+
 _EMB_SAMPLE_CACHE: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
 

@@ -71,6 +71,32 @@ class TestAspectBucketing:
         assert out.bucket.is_unique
 
 
+class TestConceptDriftAudit:
+    def test_min_length_floor(self, ray_session):
+        """The n = max(400, ...) floor: a tiny events table still
+        yields structurally-sound detector behavior (every boolean
+        TRUE at n=400)."""
+        import tempfile
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "event_id": pa.array(np.arange(10, dtype=np.int64)),
+                "ts": pa.array(
+                    pd.date_range("2024-01-01", periods=10, freq="h")),
+                "user_id": pa.array(np.arange(10, dtype=np.int64)),
+                "event_type": pa.array(["click"] * 10),
+                "value": pa.array(np.linspace(0, 1, 10)),
+                "props": pa.array(["{}"] * 10),
+            }), os.path.join(d, "events.parquet"))
+            out = Q.concept_drift_struct_audit(d)
+        assert out.n_rows.iloc[0] == 400
+        assert out.midpoint.iloc[0] == 200
+        bools = out.drop(columns=["n_rows", "midpoint"]).iloc[0]
+        assert bools.all(), bools[~bools].index.tolist()
+
+
 class TestDsirFeatures:
     def test_brute_force_semantics(self, ray_session):
         """Dict-loop ground truth: uni+bigram md5 buckets, target
