@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_bucketing_audit": Q.image_bucketing_audit,
         "k_anonymity_report": Q.k_anonymity_report,
         "concept_drift_struct_audit": Q.concept_drift_struct_audit,
+        "drift_kernel_struct_audit": Q.drift_kernel_struct_audit,
     }
 
 
@@ -1963,6 +1964,27 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_ge_exact
             FROM toks GROUP BY token
             ORDER BY n DESC, token LIMIT 20
+        """,
+        # structural audit of the multivariate drift kernels (MMD /
+        # PCA / C2ST) + performance estimators (CBPE PAVA, DLE): pure
+        # formula inputs sized from the embeddings roster, eleven
+        # structural booleans pinned TRUE
+        "drift_kernel_struct_audit": """
+            WITH n AS (SELECT LEAST(200, GREATEST(50, count(*))) AS np_
+                       FROM embeddings)
+            SELECT CAST(np_ AS BIGINT) AS n_points,
+                   TRUE AS pava_monotone,
+                   TRUE AS pava_mean_preserved,
+                   TRUE AS cbpe_allcorrect_exact,
+                   TRUE AS mmd_self_clean,
+                   TRUE AS mmd_shift_detected,
+                   TRUE AS pca_self_zero,
+                   TRUE AS pca_shift_detected,
+                   TRUE AS c2st_self_clean,
+                   TRUE AS c2st_shift_detected,
+                   TRUE AS dle_const_exact,
+                   TRUE AS dle_deterministic
+            FROM n
         """,
         # structural audit of the streaming concept-drift tier: planted
         # formula streams (constant / step / alternating warm) through

@@ -1434,6 +1434,90 @@ def concept_drift_struct_audit(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def drift_kernel_struct_audit(sf_dir: str) -> pd.DataFrame:
+    """Structural oracle anchor for the LAST rows-only families — the
+    multivariate drift kernels (MMD / PCA-reconstruction / C2ST,
+    stats.py) and the performance estimators (CBPE PAVA calibration,
+    DLE boosted stumps, state/estimators.py). Inputs are FORMULA
+    streams (sin/cos planes, modular confidence/correctness patterns)
+    whose length n = min(200, max(50, #embeddings)) derives from the
+    roster, so every kernel run is a pure function and the pinned
+    booleans are deterministic:
+
+    * PAVA: fitted curve non-decreasing (the isotonic constraint) and
+      block pooling preserves the total (weighted-mean invariance,
+      exact arithmetic up to float ulps);
+    * CBPE on an all-correct reference: estimate == 1.0 and the
+      200-draw bootstrap CI collapses to [1.0, 1.0] (all draws of a
+      constant are the constant);
+    * MMD²_u(X, X) stays under the drift threshold (the unbiased
+      estimator's O(1/n) self-bias is small and non-positive-leaning)
+      while a +100 planted shift detects;
+    * PCA excess reconstruction error of X vs X is EXACTLY 0.0 (the
+      same bits flow through the same scoring path) and a 10x+7
+      affine shift detects;
+    * C2ST on X vs X stays under the 0.6 AUROC threshold; on the
+      separable shift it detects;
+    * DLE fit on constant loss targets predicts the constant exactly
+      (no improving split exists) and double-fit is bit-identical
+      (seeded thresholds).
+
+    SQL recomputes n from the embeddings roster and pins the eleven
+    booleans to literal TRUE."""
+    from ..functions import stats as S
+    from ..state.estimators import CBPEEstimator, DLEEstimator
+
+    n_emb = sf_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    n = int(min(200, max(50, n_emb)))
+    i = np.arange(n, dtype=np.float64)
+    X = np.stack([np.sin(i * 0.1), np.cos(i * 0.13)], axis=1)
+
+    # --- PAVA / CBPE
+    conf = 0.5 + 0.5 * ((np.arange(n) % 100) / 100.0)
+    probs = np.stack([1.0 - conf, conf], axis=1)
+    labels = ((np.arange(n) * 37) % 100 < np.arange(n) % 100).astype(int)
+    cb = CBPEEstimator().fit(probs, labels)
+    internal_correct = (probs.argmax(axis=1) == labels).astype(float)
+    pava_monotone = bool((np.diff(cb._by) >= -1e-12).all())
+    pava_mean_ok = abs(cb._by.sum() - internal_correct.sum()) < 1e-6
+    probs_ac = np.stack([np.full(n, 0.1), np.full(n, 0.9)], axis=1)
+    e_ac = CBPEEstimator().fit(probs_ac, np.ones(n, int)) \
+        .estimate(probs_ac)
+    ci = e_ac["confidence_interval_95"]
+    cbpe_ac_exact = (e_ac["estimated_value"] == 1.0
+                     and ci["lower"] == 1.0 and ci["upper"] == 1.0)
+
+    # --- multivariate kernels
+    m_self = S.mmd_test(X, X)
+    m_shift = S.mmd_test(X, X + 100.0)
+    p_self = S.pca_reconstruction_drift(X, X, n_components=1)
+    p_shift = S.pca_reconstruction_drift(X, X * 10.0 + 7.0,
+                                         n_components=1)
+    c_self = S.classifier_two_sample_test(X, X)
+    c_shift = S.classifier_two_sample_test(X, X + 100.0)
+
+    # --- DLE constant-target plant
+    feats = i.reshape(-1, 1)
+    d1 = DLEEstimator(n_estimators=5).fit(feats, np.full(n, 3.25))
+    d2 = DLEEstimator(n_estimators=5).fit(feats, np.full(n, 3.25))
+    pr1, pr2 = d1.predict(feats), d2.predict(feats)
+    return pd.DataFrame({
+        "n_points": [np.int64(n)],
+        "pava_monotone": [pava_monotone],
+        "pava_mean_preserved": [bool(pava_mean_ok)],
+        "cbpe_allcorrect_exact": [bool(cbpe_ac_exact)],
+        "mmd_self_clean": [not m_self["drift_detected"]],
+        "mmd_shift_detected": [bool(m_shift["drift_detected"])],
+        "pca_self_zero": [p_self["score"] == 0.0
+                          and not p_self["drift_detected"]],
+        "pca_shift_detected": [bool(p_shift["drift_detected"])],
+        "c2st_self_clean": [not c_self["drift_detected"]],
+        "c2st_shift_detected": [bool(c_shift["drift_detected"])],
+        "dle_const_exact": [bool((pr1 == 3.25).all())],
+        "dle_deterministic": [bool(np.array_equal(pr1, pr2))],
+    })
+
+
 _EMB_SAMPLE_CACHE: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
 

@@ -233,7 +233,7 @@ EMB_QUERIES = [
     # Lloyd monotonicity holds for ANY input; the ANN recall audit is
     # excluded for the same statistical-bound reason as ivf/lsh_topk
     "kmeans_invariant_audit", "embedding_quantization_audit",
-    "pq_codebook_audit",
+    "pq_codebook_audit", "drift_kernel_struct_audit",
 ]
 
 
