@@ -97,6 +97,17 @@ class TestConceptDriftAudit:
         assert bools.all(), bools[~bools].index.tolist()
 
 
+class TestDriftKernelAudit:
+    def test_all_booleans_true_at_sf(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.drift_kernel_struct_audit(SF)
+        assert len(out) == 1
+        bools = out.drop(columns=["n_points"]).iloc[0]
+        assert bools.all(), bools[~bools].index.tolist()
+        assert 50 <= out.n_points.iloc[0] <= 200
+
+
 class TestDsirFeatures:
     def test_brute_force_semantics(self, ray_session):
         """Dict-loop ground truth: uni+bigram md5 buckets, target
