@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_report": Q.k_anonymity_report,
         "concept_drift_struct_audit": Q.concept_drift_struct_audit,
         "drift_kernel_struct_audit": Q.drift_kernel_struct_audit,
+        "tdigest_quantile_audit": Q.tdigest_quantile_audit,
     }
 
 
@@ -815,6 +816,7 @@ _VALUE_CLEAN_QUERIES = [
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
+    "tdigest_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
@@ -3270,6 +3272,23 @@ def _oracle_sql_raw() -> dict[str, str]:
             SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS p,
                    unnest(qs) AS exact_q,
                    TRUE AS kll_ok
+            FROM q ORDER BY p
+        """,
+        # exact/sketch sandwich for the t-digest (north star's second
+        # quantile summary): exact_q is quantile_disc incl. the
+        # endpoints (where the digest must be BIT-EXACT via its
+        # vmin/vmax anchors); the rank-error gate folds into td_ok
+        "tdigest_quantile_audit": """
+            WITH q AS (
+                SELECT quantile_disc(value,
+                    [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+                    AS qs
+                FROM events
+            )
+            SELECT unnest([0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                           0.99, 1.0]) AS p,
+                   unnest(qs) AS exact_q,
+                   TRUE AS td_ok
             FROM q ORDER BY p
         """,
         # maximal duplicated spans: gaps-and-islands over duplicated

@@ -7254,6 +7254,78 @@ def kll_quantile_audit(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def tdigest_quantile_audit(sf_dir: str) -> pd.DataFrame:
+    """t-digest quantile-sketch guarantee audit — the exact/sketch
+    sandwich (kll_quantile_audit's shape) for the north star's SECOND
+    quantile summary (Dunning & Ertl 2019; the reference's exact
+    np.percentile profiling, baseline_manager.py:319-323): exact_q is
+    the EXACT distributed quantile_disc at nine probes including the
+    endpoints, and the mergeable TDigest(delta=500) path folds into
+    ``td_ok``:
+
+    - interior probes: |true_rank_interval(estimate) − p| <= 0.02, vs
+      the analytic ~2*pi/delta = 0.0126 median-cluster bound (worst
+      measured on adversarial mass-point inputs: 0.0125);
+    - p = 0.0 / 1.0: the t-digest estimate must equal exact_q
+      BIT-EXACTLY (vmin/vmax anchoring is a structural guarantee,
+      not an approximation).
+
+    Per-block partials: one ~O(delta)-float digest per block, merged
+    on the driver in block order (deterministic); the true-rank check
+    is one more vectorized count pass. Mass-point exactness depends on
+    the compress clip (sketches.TDigest._compress) — removing it flips
+    td_ok on real data, which is exactly what this audit watches."""
+    import pickle
+
+    from ..sketches import TDigest
+    from ..stages.scan import exact_quantiles
+
+    probs = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def sk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = TDigest(delta=500)
+        s.update(b.value.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"sk": [pickle.dumps(s)]})
+
+    parts = ds.map_batches(sk_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    merged = pickle.loads(parts.sk.iloc[0])
+    for raw in parts.sk.iloc[1:]:
+        merged.merge(pickle.loads(raw))
+    est = np.asarray(merged.quantile(np.asarray(probs)), dtype=np.float64)
+
+    def rank_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # rank INTERVAL [count(<), count(<=)] — ties make the point
+        # rank ill-defined; a perfect sketch lands anywhere inside it
+        v = b.value.to_numpy(dtype=np.float64)
+        lt = (v[:, None] < est[None, :]).sum(axis=0).astype(np.int64)
+        le = (v[:, None] <= est[None, :]).sum(axis=0).astype(np.int64)
+        out = {f"lt{i}": [lt[i]] for i in range(len(probs))}
+        out.update({f"le{i}": [le[i]] for i in range(len(probs))})
+        out["n"] = [np.int64(len(v))]
+        return pd.DataFrame(out)
+
+    ranks = ds.map_batches(rank_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas().sum()
+    n = float(ranks["n"])
+    exact = np.asarray(
+        exact_quantiles(ds, "value", probs, method="inverted_cdf"),
+        dtype=np.float64)
+    ok = []
+    for i, p in enumerate(probs):
+        rank_ok = ((float(ranks[f"lt{i}"]) / n - p) <= 0.02
+                   and (p - float(ranks[f"le{i}"]) / n) <= 0.02)
+        if p in (0.0, 1.0):
+            rank_ok = rank_ok and est[i] == exact[i]
+        ok.append(rank_ok)
+    return pd.DataFrame({
+        "p": np.asarray(probs, dtype=np.float64),
+        "exact_q": exact,
+        "td_ok": pd.Series(ok, dtype="bool"),
+    })
+
+
 def paragraph_dedup_stats(sf_dir: str,
                           n_buckets: int = 32) -> pd.DataFrame:
     """CCNet-style PARAGRAPH-level dedup stats (Wenzek et al. 2020 —

@@ -713,3 +713,144 @@ class CountMinSketch(_Serializable):
         self.table += other.table
         self.n += other.n
         return self
+
+
+class TDigest(_Serializable):
+    """Mergeable t-digest quantile sketch (Dunning & Ertl 2019,
+    "Computing Extremely Accurate Quantiles Using t-Digests") — the
+    north-star's second quantile summary beside :class:`KLL`, replacing
+    the reference's exact ``np.percentile`` profiling
+    (baseline_manager.py:319-323) where tail accuracy matters more
+    than uniform rank error.
+
+    Compression is the fully-vectorized k-index variant of the merging
+    digest: buffered points and existing centroids are sorted (stable),
+    each gets its midpoint quantile ``q = (cum - w/2) / n``, and points
+    are bucketed by ``floor(k1(q))`` with the k1 scale function
+    ``k1(q) = (delta / 2*pi) * (asin(2q - 1) + pi/2)``. Every bucket
+    spans k-width <= 1, which is exactly the t-digest cluster
+    invariant: cluster q-width <= ~2*pi*sqrt(q(1-q))/delta — widest at
+    the median (pi/delta), shrinking to O(1/delta^2) at the tails.
+    Interpolated quantile rank error is therefore <= ~2 cluster widths
+    (2*pi/delta at the median; delta=500 -> ~0.013), far tighter near
+    q=0/1. ``vmin``/``vmax`` are tracked exactly and anchor the
+    interpolation, so ``quantile(0.0)`` / ``quantile(1.0)`` are EXACT.
+
+    Fully deterministic: stable sort + fixed bucket arithmetic, no
+    randomness — merge-then-query is reproducible for a fixed fold
+    order. ``merge`` concatenates centroid sets and recompresses
+    (associative up to the documented rank bound; bit-reproducible for
+    a fixed order). Serialized size is O(delta) floats (~8 KB at
+    delta=500) regardless of n.
+    """
+
+    def __init__(self, delta: int = 500, buffer_size: int = 8192) -> None:
+        if delta < 20:
+            raise ValueError("delta must be >= 20")
+        self.delta = int(delta)
+        self.buffer_size = int(buffer_size)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.int64)
+        self.n = 0
+        self.vmin = math.inf
+        self.vmax = -math.inf
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+
+    # -- updates ----------------------------------------------------------
+
+    def update(self, values: np.ndarray) -> None:
+        values = np.asarray(values, dtype=np.float64).ravel()
+        if values.size == 0:
+            return
+        self.n += int(values.size)
+        self.vmin = min(self.vmin, float(values.min()))
+        self.vmax = max(self.vmax, float(values.max()))
+        self._buf.append(values)
+        self._buf_n += int(values.size)
+        if self._buf_n + self.means.size >= self.buffer_size:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if other.delta != self.delta:
+            raise ValueError("TDigest delta mismatch")
+        if other.n == 0:
+            return self
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._buf.extend(other._buf)
+        self._buf_n += other._buf_n
+        self.n += other.n
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        self._compress()
+        return self
+
+    def _kfun(self, q: np.ndarray) -> np.ndarray:
+        return (self.delta / (2.0 * np.pi)) * (
+            np.arcsin(2.0 * q - 1.0) + np.pi / 2.0)
+
+    def _compress(self) -> None:
+        if self._buf_n == 0 and self.means.size <= self.delta:
+            return
+        if self._buf:
+            buf = np.concatenate(self._buf)
+            m = np.concatenate([self.means, buf])
+            w = np.concatenate([self.weights,
+                                np.ones(buf.size, dtype=np.int64)])
+        else:
+            m, w = self.means, self.weights
+        order = np.argsort(m, kind="stable")
+        m, w = m[order], w[order]
+        cum = np.cumsum(w)
+        total = float(cum[-1])
+        qmid = (cum - 0.5 * w) / total
+        k = np.clip(np.floor(self._kfun(qmid)).astype(np.int64),
+                    0, self.delta - 1)
+        starts = np.flatnonzero(np.diff(k, prepend=k[0] - 1))
+        self.weights = np.add.reduceat(w, starts)
+        # clip each cluster mean to its exact value range: the true
+        # weighted mean always lies in [cluster min, cluster max], but
+        # float summation drift can push (v*w)/w a ulp OUTSIDE it — for
+        # a constant cluster (a heavy mass point) that 1-ulp excess
+        # jumps the estimate's rank across the entire mass, so the clip
+        # is what makes mass-point quantiles exact
+        mn = np.minimum.reduceat(m, starts)
+        mx = np.maximum.reduceat(m, starts)
+        self.means = np.clip(
+            np.add.reduceat(m * w, starts) / self.weights, mn, mx)
+        self._buf = []
+        self._buf_n = 0
+
+    # -- queries ----------------------------------------------------------
+
+    def _anchors(self) -> tuple[np.ndarray, np.ndarray]:
+        self._compress()
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        cum = np.cumsum(self.weights)
+        mids = (cum - 0.5 * self.weights) / float(cum[-1])
+        xs = np.concatenate([[0.0], mids, [1.0]])
+        ys = np.concatenate([[self.vmin], self.means, [self.vmax]])
+        return xs, ys
+
+    def quantile(self, q: float | np.ndarray) -> float | np.ndarray:
+        xs, ys = self._anchors()
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        out = np.interp(qs, xs, ys)
+        return (float(out[0])
+                if np.isscalar(q) or np.asarray(q).ndim == 0 else out)
+
+    def cdf(self, x: float | np.ndarray) -> float | np.ndarray:
+        """Approximate P(X <= x) by inverse interpolation over the same
+        centroid anchors (ys is non-decreasing by construction)."""
+        xs, ys = self._anchors()
+        vals = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        out = np.interp(vals, ys, xs, left=0.0, right=1.0)
+        return (float(out[0])
+                if np.isscalar(x) or np.asarray(x).ndim == 0 else out)
+
+    def rank_error_bound(self) -> float:
+        """Conservative additive rank-error bound at the median (~2
+        cluster widths of the k1 scale function); tails are tighter."""
+        return 2.0 * math.pi / self.delta

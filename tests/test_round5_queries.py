@@ -181,3 +181,23 @@ class TestDsirFeatures:
         # subset of raw grams, bucketwise)
         assert (out.target_hits <= out.raw_hits).all()
         assert (out.raw_hits >= out.n_grams).all()  # own grams count
+
+
+class TestTDigestQuantileAudit:
+    def test_gate_true_and_exact_matches_duckdb(self, ray_session):
+        """exact_q must equal DuckDB quantile_disc (incl. endpoints) on
+        the clean-value relation; every t-digest gate boolean holds."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tdigest_quantile_audit(SF)
+        assert out.td_ok.all()
+        exp = duckdb.sql(f"""
+            SELECT unnest(quantile_disc(value,
+                [0.0,0.01,0.1,0.25,0.5,0.75,0.9,0.99,1.0])) AS q
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        np.testing.assert_array_equal(out.exact_q.to_numpy(),
+                                      exp.q.to_numpy())

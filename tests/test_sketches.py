@@ -329,3 +329,86 @@ class TestBroadcastCache:
         # evicted entries are re-fetchable (correctness never depends on
         # cache state)
         assert B.get_broadcast(refs[0]) == {"i": 0}
+
+
+class TestTDigest:
+    def _fold(self, x: np.ndarray, nparts: int):
+        from aumos_drift_detector_ray.sketches import TDigest
+
+        sketches = []
+        for p in np.array_split(x, nparts):
+            t = TDigest(delta=500)
+            t.update(p)
+            sketches.append(t)
+        merged = sketches[0]
+        for s in sketches[1:]:
+            merged = merged.merge(s)
+        return merged
+
+    def test_rank_error_bound_large(self):
+        rng = np.random.default_rng(42)
+        x = rng.normal(size=200_000)
+        t = self._fold(x, 40)
+        xs = np.sort(x)
+        for q in (0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+            est = t.quantile(q)
+            tr = np.searchsorted(xs, est) / x.size
+            assert abs(tr - q) < 2.0 * np.pi / 500  # analytic bound
+
+    def test_endpoints_exact_and_mass_points(self):
+        """The adversarial fuzz-style input: heavy mass point, huge
+        outliers, negatives. Endpoints bit-exact; interior estimates
+        within the rank-INTERVAL gate the oracle audit uses."""
+        rng = np.random.default_rng(7)
+        n = 100_000
+        x = np.round(rng.exponential(8.0, n), 2)
+        x[rng.choice(n, n // 15, replace=False)] = 42.42
+        x[rng.choice(n, 3, replace=False)] = 1e9
+        x[rng.choice(n, n // 20, replace=False)] = -3.5
+        t = self._fold(x, 16)
+        xs = np.sort(x)
+        assert t.quantile(0.0) == xs[0]
+        assert t.quantile(1.0) == xs[-1]
+        for q in np.linspace(0.001, 0.999, 199):
+            est = t.quantile(q)
+            lt = np.searchsorted(xs, est, "left") / n
+            le = np.searchsorted(xs, est, "right") / n
+            assert lt - q <= 0.02 and q - le <= 0.02
+
+    def test_deep_merge_chain_and_determinism(self):
+        rng = np.random.default_rng(5)
+        x = np.round(rng.exponential(8.0, 60_000), 2)
+        a = self._fold(x, 200)
+        b = self._fold(x, 200)
+        qs = np.linspace(0.0, 1.0, 101)
+        np.testing.assert_array_equal(np.asarray(a.quantile(qs)),
+                                      np.asarray(b.quantile(qs)))
+        xs = np.sort(x)
+        for q in (0.01, 0.5, 0.99):
+            est = a.quantile(q)
+            lt = np.searchsorted(xs, est, "left") / x.size
+            le = np.searchsorted(xs, est, "right") / x.size
+            assert lt - q <= 0.02 and q - le <= 0.02
+
+    def test_constant_and_tiny(self):
+        from aumos_drift_detector_ray.sketches import TDigest
+
+        t = TDigest()
+        t.update(np.full(5000, 3.25))
+        assert t.quantile(0.5) == 3.25
+        assert t.quantile(0.0) == 3.25 and t.quantile(1.0) == 3.25
+        single = TDigest()
+        single.update(np.array([1.5]))
+        assert single.quantile(0.7) == 1.5
+        empty = TDigest()
+        with pytest.raises(ValueError):
+            empty.quantile(0.5)
+
+    def test_cdf_monotone_and_bounded(self):
+        rng = np.random.default_rng(11)
+        t = self._fold(rng.uniform(-5, 5, 50_000), 8)
+        probe = np.sort(rng.uniform(-10, 10, 64))
+        c = np.asarray(t.cdf(probe))
+        assert np.all(np.diff(c) >= 0)
+        assert c.min() >= 0.0 and c.max() <= 1.0
+        assert t.cdf(-10.0) == 0.0 and t.cdf(10.0) == 1.0
