@@ -235,6 +235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concept_drift_struct_audit": Q.concept_drift_struct_audit,
         "drift_kernel_struct_audit": Q.drift_kernel_struct_audit,
         "tdigest_quantile_audit": Q.tdigest_quantile_audit,
+        "image_pixel_fidelity_audit": Q.image_pixel_fidelity_audit,
+        "kmv_intersection_audit": Q.kmv_intersection_audit,
+        "image_feature_drift_audit": Q.image_feature_drift_audit,
     }
 
 
@@ -2051,9 +2054,108 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM a WHERE rk = 1
             GROUP BY bucket ORDER BY bucket
         """,
+        # image decode -> feature -> exact-integer two-sample KS: the
+        # graft cell's core composition pinned to a value hash; feature
+        # sums brute-forced from the (r, c) grid, KS in the
+        # cross-multiplied integer form with one final IEEE division
+        "image_feature_drift_audit": """
+            WITH n AS (SELECT LEAST(240, count(*)) AS ni FROM documents),
+            i AS (SELECT unnest(generate_series(0, ni - 1)) AS i FROM n),
+            d AS (SELECT i, i % 2 AS grp, 32 + 8 * ((i * 7) % 16) AS w,
+                         32 + 8 * ((i * 11) % 16) AS h
+                  FROM i),
+            f AS (SELECT d.i, d.grp,
+                         SUM(CAST(
+                             (r.r + 2 * c.c + d.i + 37 * (d.i % 2)) % 256
+                           + (r.r + 2 * c.c + d.i + 37 * (d.i % 2) + 1) % 256
+                           + (r.r + 2 * c.c + d.i + 37 * (d.i % 2) + 2) % 256
+                             AS BIGINT)) AS feat
+                  FROM d
+                  JOIN generate_series(0, 151) r(r) ON r.r < d.h
+                  JOIN generate_series(0, 151) c(c) ON c.c < d.w
+                  GROUP BY d.i, d.grp),
+            tot AS (SELECT sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS nr,
+                           sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS np
+                    FROM f),
+            e AS (SELECT feat,
+                         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                             OVER (ORDER BY feat ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cr,
+                         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                             OVER (ORDER BY feat ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cp
+                  FROM f),
+            m AS (SELECT feat, max(cr) AS cr, max(cp) AS cp
+                  FROM e GROUP BY feat),
+            dn AS (SELECT coalesce(max(abs(
+                       cr * (SELECT np FROM tot)
+                       - cp * (SELECT nr FROM tot))), 0) AS d_num
+                   FROM m)
+            SELECT CAST((SELECT nr FROM tot) AS BIGINT) AS n_ref,
+                   CAST((SELECT np FROM tot) AS BIGINT) AS n_prod,
+                   CAST((SELECT coalesce(sum(feat), 0) FROM f
+                         WHERE grp = 0) AS BIGINT) AS ref_feat_sum,
+                   CAST((SELECT coalesce(sum(feat), 0) FROM f
+                         WHERE grp = 1) AS BIGINT) AS prod_feat_sum,
+                   CAST((SELECT d_num FROM dn) AS BIGINT) AS ks_d_num,
+                   CAST((SELECT d_num FROM dn) AS DOUBLE)
+                       / greatest((SELECT nr FROM tot)
+                                  * (SELECT np FROM tot), 1) AS ks_d
+        """,
+        # per-pixel decode fidelity: src_pixel_sum recomputed exactly
+        # from the (r, c) grid (generate_series brute force); lossless
+        # dec sum must equal it, jpg's is the -1 sentinel (fidelity in
+        # the TRUE-pinned booleans: bit-equal lossless, PSNR>=40 jpg)
+        "image_pixel_fidelity_audit": """
+            WITH n AS (SELECT LEAST(180, count(*)) AS ni FROM documents),
+            i AS (SELECT unnest(generate_series(0, ni - 1)) AS i FROM n),
+            d AS (SELECT i, 32 + 8 * ((i * 7) % 16) AS w,
+                         32 + 8 * ((i * 11) % 16) AS h,
+                         CASE i % 3 WHEN 0 THEN 'raw' WHEN 1 THEN 'png'
+                              ELSE 'jpg' END AS fmt
+                  FROM i),
+            px AS (SELECT d.fmt, d.i,
+                          SUM(CAST((r.r + 2 * c.c + d.i) % 256
+                              + (r.r + 2 * c.c + d.i + 1) % 256
+                              + (r.r + 2 * c.c + d.i + 2) % 256
+                              AS BIGINT)) AS s
+                   FROM d
+                   JOIN generate_series(0, 151) r(r) ON r.r < d.h
+                   JOIN generate_series(0, 151) c(c) ON c.c < d.w
+                   GROUP BY d.fmt, d.i)
+            SELECT fmt, CAST(count(*) AS BIGINT) AS n_images,
+                   CAST(SUM(s) AS BIGINT) AS src_pixel_sum,
+                   CASE WHEN fmt = 'jpg' THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(SUM(s) AS BIGINT) END AS dec_pixel_sum,
+                   TRUE AS pixels_ok,
+                   TRUE AS psnr_floor_ok
+            FROM px GROUP BY fmt ORDER BY fmt
+        """,
         # KMV bottom-k distinct sketch audit: exact distinct count +
         # the two structural booleans (exact below k; merge order-
         # insensitive) pinned to literal TRUE for any input
+        # theta-style KMV set-intersection audit: exact distributed
+        # pair-intersection cardinality (zero pairs included) + the
+        # two structural booleans (exact when both unsaturated;
+        # self-intersection identity) pinned literal TRUE
+        "kmv_intersection_audit": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+            t AS (SELECT DISTINCT event_type FROM events),
+            c AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM tu a JOIN tu b
+                    ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                  GROUP BY ta, tb)
+            SELECT p.ta AS type_a, p.tb AS type_b,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_common,
+                   TRUE AS kmv_inter_small_exact,
+                   TRUE AS kmv_self_identity
+            FROM (SELECT a.event_type AS ta, b.event_type AS tb
+                  FROM t a JOIN t b ON a.event_type < b.event_type) p
+            LEFT JOIN c ON p.ta = c.ta AND p.tb = c.tb
+            ORDER BY type_a, type_b
+        """,
         "kmv_distinct_audit": """
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

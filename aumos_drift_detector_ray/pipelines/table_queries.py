@@ -283,6 +283,86 @@ def kmv_distinct_audit(sf_dir: str, k: int = 64) -> pd.DataFrame:
     }).sort_values("event_type").reset_index(drop=True)
 
 
+def kmv_intersection_audit(sf_dir: str, k: int = 4096) -> pd.DataFrame:
+    """Theta-sketch-style SET-INTERSECTION estimation between the
+    distinct-user sets of every event-type pair (Beyer et al. SIGMOD
+    2007; the Apache DataSketches theta composition) — the sketch tier
+    for set operations that would otherwise shuffle raw id sets
+    (``users_in_click_and_error`` / ``type_pair_user_jaccard`` are the
+    exact tier; at 10^12 rows a KB-size sketch per key replaces the
+    id exchange). SQL-matched columns: the EXACT pair-intersection
+    cardinality ``n_common`` (reusing the proven user-hash-bucketed
+    distributed pair scan, zero-intersection pairs included) plus two
+    STRUCTURAL booleans pinned literal TRUE for any input:
+
+    * ``kmv_inter_small_exact``: with BOTH sketches unsaturated the
+      samples are complete (theta = 2^64), so the intersection
+      estimate equals ``n_common`` exactly (conditional pin, the
+      ``kmv_small_exact`` pattern);
+    * ``kmv_self_identity``: ``a.intersect_estimate(a) ==
+      a.estimate()`` bit-exactly in EVERY regime (same sample count,
+      same single IEEE division).
+
+    The sampled-regime estimate is asserted loudly engine-side at an
+    ~8-sigma inverse-probability bound but kept OUT of the hashed
+    columns (probabilistic). Scale shape: per-block per-type sketch
+    partials merge on the driver (types x blocks KB blobs); the pair
+    loop is #types^2 driver rows."""
+    import math
+    import pickle
+
+    from ..sketches import KMinValues, hash64
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in b.groupby("event_type", sort=False):
+            s = KMinValues(k=k)
+            s.update_hashes(
+                hash64(sub.user_id.to_numpy(np.int64).view(np.uint64)))
+            rows.append((t, pickle.dumps(s)))
+        return pd.DataFrame(rows, columns=["event_type", "kmv"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    sk: dict[str, KMinValues] = {}
+    for t, sub in parts.groupby("event_type"):
+        acc = pickle.loads(sub.kmv.iloc[0])
+        for raw in sub.kmv.iloc[1:]:
+            acc.merge(pickle.loads(raw))
+        sk[t] = acc
+
+    pairs = type_pair_user_jaccard(sf_dir)  # exact distributed tier
+    exact = {(a, b): int(n) for a, b, n in
+             zip(pairs.t1, pairs.t2, pairs.n_common)}
+    types = sorted(sk)
+    rows = []
+    for ia, a in enumerate(types):
+        for b in types[ia + 1:]:
+            n_common = exact.get((a, b), 0)
+            est = sk[a].intersect_estimate(sk[b])
+            small_ok = (sk[a].saturated or sk[b].saturated
+                        or est == float(n_common))
+            self_ok = (
+                sk[a].intersect_estimate(sk[a]) == sk[a].estimate()
+                and sk[b].intersect_estimate(sk[b]) == sk[b].estimate())
+            if sk[a].saturated or sk[b].saturated:
+                p = min(sk[a]._theta(), sk[b]._theta()) / 2.0 ** 64
+                slack = (8.0 * math.sqrt(max(n_common, 1) * p) + 8.0) / p
+                assert abs(est - n_common) <= slack, (
+                    f"theta intersection {est} vs exact {n_common} for "
+                    f"({a!r}, {b!r}) — hashing regression")
+            rows.append((a, b, n_common, small_ok, self_ok))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_common",
+        "kmv_inter_small_exact", "kmv_self_identity"])
+    out["n_common"] = out.n_common.astype("int64")
+    out["kmv_inter_small_exact"] = out.kmv_inter_small_exact.astype(bool)
+    out["kmv_self_identity"] = out.kmv_self_identity.astype(bool)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""
@@ -3318,6 +3398,157 @@ def image_bucketing_audit(sf_dir: str) -> pd.DataFrame:
         phash_deterministic=("ph_det", "all"))
     out["n_images"] = out.n_images.astype("int64")
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def image_pixel_fidelity_audit(sf_dir: str) -> pd.DataFrame:
+    """Per-PIXEL decode-fidelity audit of the image codec tier — the
+    oracle-exact anchor for the north star's per-row invariant
+    ("decoded-pixel allclose, PSNR>=40 dB for lossy fmt"; the flagship
+    enforces it per shard, THIS pins it to a SQL value hash): n =
+    min(180, #docs) roster-derived images with FORMULA dims
+    w = 32 + 8*((i*7) % 16), h = 32 + 8*((i*11) % 16), fmt cycling
+    raw/png/jpg, rendered as the deterministic integer gradient
+    img[r,c,ch] = (r + 2c + i + ch) % 256 and round-tripped through
+    the REAL codec tier (encode -> decode).
+
+    SQL-matched columns per fmt: n_images and ``src_pixel_sum`` — the
+    exact int64 sum of every source pixel value, recomputed by DuckDB
+    from generate_series over the (r, c) grid (closed-form brute
+    force, ~4M SQL rows at the 180-image cap); for the LOSSLESS fmts
+    ``dec_pixel_sum`` must equal it (the engine reports the DECODED
+    sum, so any codec bit-flip shifts the value hash), while jpg's
+    decoded sum is codec-defined, not SQL-derivable, and is masked to
+    the ``-1`` sentinel on BOTH sides (its fidelity signal lives in
+    the booleans). Booleans pinned literal TRUE:
+    ``pixels_ok`` (raw/png: decoded array BIT-EQUAL to source; jpg:
+    decoded dims exact AND PSNR >= 40 dB) and ``psnr_floor_ok``
+    (min PSNR across the group >= 40; +inf for lossless).
+
+    Scale shape: synthesis, encode, decode, pixel-sum and PSNR are all
+    per-block (numpy-vectorized per image, Python loop per IMAGE not
+    per pixel, same as the flagship's decode actors); the driver folds
+    n tiny rows (<=180)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(180, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def roundtrip(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt)
+            ps = C.psnr(src, dec) if dec.shape == src.shape else 0.0
+            rows.append((
+                fmt,
+                int(src.sum(dtype=np.int64)),
+                int(dec.sum(dtype=np.int64)),
+                (np.array_equal(dec, src) if fmt != "jpg"
+                 else dec.shape == src.shape and ps >= 40.0),
+                ps >= 40.0,
+            ))
+        return pd.DataFrame(rows, columns=[
+            "fmt", "src_sum", "dec_sum", "pix_ok", "psnr_ok"])
+
+    imgs = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(roundtrip, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    out = imgs.groupby("fmt", as_index=False).agg(
+        n_images=("src_sum", "size"),
+        src_pixel_sum=("src_sum", "sum"),
+        dec_pixel_sum=("dec_sum", "sum"),
+        pixels_ok=("pix_ok", "all"),
+        psnr_floor_ok=("psnr_ok", "all"))
+    # jpg's decoded sum is codec-defined (not SQL-derivable): masked to
+    # the -1 sentinel on both sides; its fidelity signal is the booleans
+    out["n_images"] = out.n_images.astype("int64")
+    out["src_pixel_sum"] = out.src_pixel_sum.astype("int64")
+    out["dec_pixel_sum"] = out.dec_pixel_sum.astype("int64")
+    out.loc[out.fmt == "jpg", "dec_pixel_sum"] = np.int64(-1)
+    return out.sort_values("fmt").reset_index(drop=True)
+
+
+def image_feature_drift_audit(sf_dir: str) -> pd.DataFrame:
+    """The graft cell's core composition — image decode -> feature
+    extraction -> two-sample drift score — as ONE oracle-exact query
+    (the north star's "drift-score latency on the image table" path;
+    ``image_drift_scores`` is the rows-only flagship demo, THIS pins
+    the same shape to a SQL value hash): n = min(240, #docs)
+    roster-derived images, dims w = 32 + 8*((i*7) % 16),
+    h = 32 + 8*((i*11) % 16), gradient pixels
+    (r + 2c + i + ch + 37*(i % 2)) % 256, fmt raw for the REF group
+    (even i) and png for the PROD group (odd i) so both lossless
+    codecs sit inside the measured path.
+
+    Feature = the DECODED per-image pixel sum (int64) — SQL recomputes
+    the SOURCE sums by generate_series brute force, so any decode bit
+    flip shifts a feature, the group sums AND the KS statistic, and
+    the value hash goes red. The two-sample KS statistic is computed
+    in EXACT INTEGER space (the ks_events_value cross-multiplied form:
+    D = max|cr*np - cp*nr| / (nr*np)); ``ks_d_num`` is the exact
+    integer numerator and ``ks_d`` its single IEEE division — all
+    values <= 240^2, bit-identical on both sides, no rounding
+    contract.
+
+    Scale shape: synthesis/encode/decode/feature are per-block; the
+    KS fold runs on <= 240 (grp, feat) rows driver-side (bounded by
+    the image-roster cap — at 10^12 rows the same fold is the
+    distributed grouped-ECDF scan of stages/scan.py, proven by
+    ks_events_value)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(240, n_docs))
+
+    def feat(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            grp = i % 2
+            fmt = "raw" if grp == 0 else "png"
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch + 37 * grp) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt)
+            rows.append((grp, int(dec.sum(dtype=np.int64))))
+        return pd.DataFrame(rows, columns=["grp", "feat"])
+
+    f = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(feat, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    grp = f.grp.to_numpy(np.int64)
+    fv = f.feat.to_numpy(np.int64)
+    nr, np_ = int((grp == 0).sum()), int((grp == 1).sum())
+    order = np.argsort(fv, kind="stable")
+    sv, sg = fv[order], grp[order]
+    cr = np.cumsum(sg == 0).astype(np.int64)
+    cp = np.cumsum(sg == 1).astype(np.int64)
+    last = np.flatnonzero(np.diff(sv, append=np.int64(-1)) != 0) \
+        if len(sv) else np.empty(0, dtype=np.int64)
+    # exact integer KS numerator at the last row of each tied value
+    d_num = int(np.abs(cr[last] * np_ - cp[last] * nr).max()) \
+        if len(last) else 0
+    return pd.DataFrame({
+        "n_ref": [np.int64(nr)],
+        "n_prod": [np.int64(np_)],
+        "ref_feat_sum": [np.int64(fv[grp == 0].sum())],
+        "prod_feat_sum": [np.int64(fv[grp == 1].sum())],
+        "ks_d_num": [np.int64(d_num)],
+        # greatest(.,1) guard mirrors the SQL (degenerate one-image
+        # roster -> an empty group; d_num is 0 there anyway)
+        "ks_d": [d_num / max(nr * np_, 1)],
+    })
 
 
 def media_feature_audit(sf_dir: str) -> pd.DataFrame:

@@ -656,6 +656,42 @@ class KMinValues(_Serializable):
         self.update_hashes(other.hashes)
         return self
 
+    def _theta(self) -> int:
+        """Sampling threshold as an EXACT python int: the k-th smallest
+        hash when saturated (sample = the k-1 hashes strictly below it,
+        inclusion probability theta/2^64), else 2^64 (sample =
+        everything, probability 1)."""
+        if self.saturated:
+            return int(self.hashes[self.k - 1])
+        return 1 << 64
+
+    def intersect_estimate(self, other: "KMinValues") -> float:
+        """Theta-sketch-style set-intersection estimate (the public
+        KMV/theta composition, Beyer et al. SIGMOD 2007 / the Apache
+        DataSketches theta model): theta = min of both thresholds,
+        sample = common hashes strictly below theta, estimate =
+        |sample| / (theta / 2^64).
+
+        Structural guarantees (what the oracle audit pins):
+        - both sketches UNSATURATED -> theta = 2^64, both samples are
+          complete, so the estimate is the EXACT intersection
+          cardinality (any input, modulo 2^-64 hash collisions);
+        - self-intersection identity: ``a.intersect_estimate(a) ==
+          a.estimate()`` bit-exactly for ANY state (same |sample| and
+          the same single IEEE division);
+        - symmetric by construction (set intersection commutes).
+        """
+        if other.k != self.k:
+            raise ValueError("KMinValues k mismatch")
+        theta = min(self._theta(), other._theta())
+        common = np.intersect1d(self.hashes, other.hashes,
+                                assume_unique=True)
+        if theta >= (1 << 64):
+            n = int(common.size)
+        else:
+            n = int((common < np.uint64(theta)).sum())
+        return n * 2.0 ** 64 / float(theta)
+
 
 class CountMinSketch(_Serializable):
     """Mergeable count-min sketch (Cormode & Muthukrishnan, J.

@@ -252,6 +252,10 @@ def run_queries() -> dict[str, float]:
         "tokenizer_fertility_by_lang", "ngram_decontamination_stats",
         "pq_codebook_audit", "cms_token_counts_audit",
         "dsir_hashed_ngram_features",
+        # round-5 session-6 operators: t-digest quantile audit, image
+        # pixel fidelity + image-feature KS drift, theta intersection
+        "tdigest_quantile_audit", "image_pixel_fidelity_audit",
+        "image_feature_drift_audit", "kmv_intersection_audit",
     ]
     qs = E.queries()
     out = {}

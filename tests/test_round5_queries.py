@@ -201,3 +201,107 @@ class TestTDigestQuantileAudit:
         """).df()
         np.testing.assert_array_equal(out.exact_q.to_numpy(),
                                       exp.q.to_numpy())
+
+
+class TestImagePixelFidelityAudit:
+    def test_sums_match_bruteforce_and_gates_true(self, ray_session):
+        """src sums recomputed by straight numpy enumeration; lossless
+        decoded sums equal them; jpg is the -1 sentinel; gates TRUE."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_pixel_fidelity_audit(SF)
+        assert set(out.fmt) == {"jpg", "png", "raw"}
+        assert out.pixels_ok.all() and out.psnr_floor_ok.all()
+
+        n = int(out.n_images.sum())
+        exp = {"raw": 0, "png": 0, "jpg": 0}
+        cnt = {"raw": 0, "png": 0, "jpg": 0}
+        for i in range(n):
+            w, h = 32 + 8 * ((i * 7) % 16), 32 + 8 * ((i * 11) % 16)
+            fmt = ("raw", "png", "jpg")[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            exp[fmt] += sum(int(((r + 2 * c + i + ch) % 256).sum())
+                            for ch in range(3))
+            cnt[fmt] += 1
+        for _, row in out.iterrows():
+            assert int(row.src_pixel_sum) == exp[row.fmt]
+            assert int(row.n_images) == cnt[row.fmt]
+            assert int(row.dec_pixel_sum) == (
+                -1 if row.fmt == "jpg" else exp[row.fmt])
+
+    def test_kernel_catches_corruption(self):
+        """The per-image check itself: a single flipped pixel in a
+        lossless decode, or a heavy jpg corruption, must flip the
+        booleans the audit pins TRUE."""
+        from aumos_drift_detector_ray import codecs as C
+
+        rng = np.random.default_rng(3)
+        src = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        dec = C.decode(C.encode(src, "png"), "png")
+        assert np.array_equal(dec, src)
+        bad = dec.copy()
+        bad[7, 9, 1] ^= 1
+        assert not np.array_equal(bad, src)
+        jd = C.decode(C.encode(src, "jpg"), "jpg")
+        assert C.psnr(src, jd) >= 40.0
+        noisy = np.clip(jd.astype(np.int16)
+                        + rng.integers(-60, 61, jd.shape), 0, 255)
+        assert C.psnr(src, noisy.astype(np.uint8)) < 40.0
+
+
+class TestImageFeatureDriftAudit:
+    def test_ks_matches_scipy_form_bruteforce(self, ray_session):
+        """Exact-integer KS recomputed by a brute double loop over the
+        same formula features; single-division ks_d bit-equal."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_feature_drift_audit(SF)
+        n = int(out.n_ref[0] + out.n_prod[0])
+        feats, grps = [], []
+        for i in range(n):
+            w, h = 32 + 8 * ((i * 7) % 16), 32 + 8 * ((i * 11) % 16)
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            s = sum(int(((r + 2 * c + i + 37 * (i % 2) + ch) % 256).sum())
+                    for ch in range(3))
+            feats.append(s)
+            grps.append(i % 2)
+        feats, grps = np.asarray(feats), np.asarray(grps)
+        nr, npr = int((grps == 0).sum()), int((grps == 1).sum())
+        assert int(out.ref_feat_sum[0]) == int(feats[grps == 0].sum())
+        assert int(out.prod_feat_sum[0]) == int(feats[grps == 1].sum())
+        support = np.unique(feats)
+        d_num = max(abs(int((feats[grps == 0] <= v).sum()) * npr
+                        - int((feats[grps == 1] <= v).sum()) * nr)
+                    for v in support)
+        assert int(out.ks_d_num[0]) == d_num
+        assert float(out.ks_d[0]) == d_num / (nr * npr)
+
+
+class TestKmvIntersectionAudit:
+    def test_pairs_exact_and_gates_true(self, ray_session):
+        """Every type pair present (incl. zero-intersection), n_common
+        equals a DuckDB exact recompute, structural booleans TRUE."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kmv_intersection_audit(SF)
+        assert out.kmv_inter_small_exact.all()
+        assert out.kmv_self_identity.all()
+        exp = duckdb.sql(f"""
+            WITH tu AS (SELECT DISTINCT event_type, user_id
+                        FROM read_parquet('{SF}/events.parquet')),
+            t AS (SELECT DISTINCT event_type FROM tu)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   (SELECT count(*) FROM tu x JOIN tu y
+                    ON x.user_id = y.user_id
+                    WHERE x.event_type = a.event_type
+                      AND y.event_type = b.event_type) AS n_common
+            FROM t a JOIN t b ON a.event_type < b.event_type
+            ORDER BY type_a, type_b
+        """).df()
+        assert len(out) == len(exp)
+        np.testing.assert_array_equal(out.n_common.to_numpy(np.int64),
+                                      exp.n_common.to_numpy(np.int64))

@@ -313,6 +313,49 @@ class TestKMinValues:
         with pytest.raises(ValueError):
             KMinValues(k=1)
 
+    def test_intersection_exact_regime_and_identities(self):
+        from aumos_drift_detector_ray.sketches import (KMinValues,
+                                                       hash_any_array)
+
+        ha = hash_any_array(np.arange(0, 500, dtype=np.int64))
+        hb = hash_any_array(np.arange(380, 900, dtype=np.int64))
+        a, b = KMinValues(k=1024), KMinValues(k=1024)
+        a.update_hashes(ha)
+        b.update_hashes(hb)
+        # both unsaturated -> exact intersection (|[380, 500)| = 120)
+        assert a.intersect_estimate(b) == 120.0
+        assert b.intersect_estimate(a) == 120.0     # commutes
+        # self-intersection identity in BOTH regimes
+        assert a.intersect_estimate(a) == a.estimate()
+        big = KMinValues(k=64)
+        big.update_hashes(hash_any_array(np.arange(30000, dtype=np.int64)))
+        assert big.saturated
+        assert big.intersect_estimate(big) == big.estimate()
+        with pytest.raises(ValueError):
+            a.intersect_estimate(KMinValues(k=64))
+
+    def test_intersection_sampled_regime_accuracy(self):
+        from aumos_drift_detector_ray.sketches import (KMinValues,
+                                                       hash_any_array)
+
+        # |A| = |B| = 60k, |A ∩ B| = 20k; k = 4096 -> sampled regime
+        a, b = KMinValues(k=4096), KMinValues(k=4096)
+        a.update_hashes(hash_any_array(np.arange(0, 60_000,
+                                                 dtype=np.int64)))
+        b.update_hashes(hash_any_array(np.arange(40_000, 100_000,
+                                                 dtype=np.int64)))
+        assert a.saturated and b.saturated
+        est = a.intersect_estimate(b)
+        assert est == b.intersect_estimate(a)
+        p = min(a._theta(), b._theta()) / 2.0 ** 64
+        slack = (8.0 * np.sqrt(20_000 * p) + 8.0) / p
+        assert abs(est - 20_000) <= slack
+        # disjoint sets -> estimate exactly 0 in any regime
+        c = KMinValues(k=4096)
+        c.update_hashes(hash_any_array(np.arange(200_000, 260_000,
+                                                 dtype=np.int64)))
+        assert a.intersect_estimate(c) == 0.0
+
 
 class TestBroadcastCache:
     def test_memoizes_and_evicts(self, ray_session):

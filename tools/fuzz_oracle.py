@@ -58,6 +58,7 @@ EVENT_QUERIES = [
     "top_user_by_value_per_type", "type_pair_user_jaccard",
     "mad_value_per_type", "asof_click_before_error", "asof_next_purchase_after_signup", "hash_split_counts",
     "events_type_hour_pivot", "kmv_distinct_audit",
+    "kmv_intersection_audit",
     "k_anonymity_report", "concept_drift_struct_audit",
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
@@ -142,6 +143,7 @@ DOC_QUERIES = [
     "paragraph_dedup_stats", "tokenizer_fertility_by_lang",
     "ngram_decontamination_stats", "cms_token_counts_audit",
     "dsir_hashed_ngram_features", "image_bucketing_audit",
+    "image_pixel_fidelity_audit", "image_feature_drift_audit",
     "lang_counts", "doc_token_stats", "langid_docs", "quality_docs",
     "doc_fingerprints", "bpe_token_stats", "top_tokens_docs",
     "exact_dup_docs", "pii_redacted_docs", "curated_training_split",
