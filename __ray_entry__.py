@@ -238,6 +238,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_pixel_fidelity_audit": Q.image_pixel_fidelity_audit,
         "kmv_intersection_audit": Q.kmv_intersection_audit,
         "image_feature_drift_audit": Q.image_feature_drift_audit,
+        "lineage_resume_audit": Q.lineage_resume_audit,
+        "ddsketch_quantile_audit": Q.ddsketch_quantile_audit,
     }
 
 
@@ -819,7 +821,7 @@ _VALUE_CLEAN_QUERIES = [
     "hot_user_enriched_revenue", "daily_psi_timeline",
     "cusum_hourly_mean", "ewma_stream_value", "user_ewma_stats",
     "outlier_counts_per_type", "kll_quantile_audit",
-    "tdigest_quantile_audit",
+    "tdigest_quantile_audit", "ddsketch_quantile_audit",
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
@@ -2053,6 +2055,20 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS phash_deterministic
             FROM a WHERE rk = 1
             GROUP BY bucket ORDER BY bucket
+        """,
+        # checkpoint-resume / lineage audit: every column is fixed by
+        # the run constants (600 rows / 150 per shard -> 4 shards; 11
+        # validation checks -> 44 matrix rows) or a structural resume
+        # guarantee the engine verifies before emitting
+        "lineage_resume_audit": """
+            SELECT CAST(4 AS BIGINT) AS n_shards,
+                   CAST(4 AS BIGINT) AS n_lineage_ref,
+                   CAST(4 AS BIGINT) AS n_lineage_prod,
+                   CAST(44 AS BIGINT) AS matrix_rows,
+                   TRUE AS full_resume_identical,
+                   TRUE AS resume_skips_all,
+                   TRUE AS partial_resume_byte_identical,
+                   TRUE AS partial_reran_only_victim
         """,
         # image decode -> feature -> exact-integer two-sample KS: the
         # graft cell's core composition pinned to a value hash; feature
@@ -3391,6 +3407,24 @@ def _oracle_sql_raw() -> dict[str, str]:
                            0.99, 1.0]) AS p,
                    unnest(qs) AS exact_q,
                    TRUE AS td_ok
+            FROM q ORDER BY p
+        """,
+        # DDSketch relative-error sandwich: exact quantile_disc probes
+        # + the structural dd_ok / dd_merge_ok booleans pinned TRUE
+        # (endpoints bit-exact via vmin/vmax; interior alpha-relative
+        # vs the exact targeted order statistic; counter merges commute)
+        "ddsketch_quantile_audit": """
+            WITH q AS (
+                SELECT quantile_disc(value,
+                    [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+                    AS qs
+                FROM events
+            )
+            SELECT unnest([0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                           0.99, 1.0]) AS p,
+                   unnest(qs) AS exact_q,
+                   TRUE AS dd_ok,
+                   TRUE AS dd_merge_ok
             FROM q ORDER BY p
         """,
         # maximal duplicated spans: gaps-and-islands over duplicated

@@ -1654,6 +1654,93 @@ def flagship_validation(sf_dir: str) -> pd.DataFrame:
     return m.reset_index(drop=True)
 
 
+def lineage_resume_audit(sf_dir: str) -> pd.DataFrame:
+    """Checkpoint-resume + per-partition lineage audit — the north
+    rule's "resumable from checkpoint with per-partition lineage +
+    metrics" clause as an ORACLE-EXACT query (state/checkpoint.py is
+    pytest-proven; THIS pins the guarantees to the driver's value
+    hash). Three flagship runs against one /tmp work dir (wiped first,
+    600 rows / 150 per shard — 4 shards per window, 11 checks):
+
+    1. cold run — every shard writes outputs, then its lineage record
+       LAST (the completion marker);
+    2. full resume — ALL shards skip: the pass/fail matrix is
+       value-identical and every lineage record is untouched
+       (completed_at stamps compare equal);
+    3. partial resume — one shard's lineage + matrix are deleted
+       (simulating a mid-run crash after partial writes): ONLY that
+       shard re-executes, its rewritten matrix parquet is
+       BYTE-identical to the pre-crash file, and the other shards'
+       records remain untouched.
+
+    All columns are SQL literals (counts fixed by the run constants +
+    the check roster; booleans structural): a silent change to the
+    check set, shard addressing or resume semantics flips the hash
+    red. Scale shape: the audit drives the REAL partition-addressed
+    write path (atomic tmp+rename, lineage-last ordering) — the same
+    code the 10^12-row run uses per partition."""
+    import os
+    import shutil
+
+    from . import flagship as F
+    from ..state import checkpoint as ckpt
+
+    work = os.path.join("/tmp", "aumos_lineage_audit")
+    shutil.rmtree(work, ignore_errors=True)
+    rows, rps = 600, 150
+    n_shards = rows // rps
+
+    def matrix_of(out):
+        m = out["prod_matrix"].sort_values(
+            ["partition_id", "check"]).reset_index(drop=True)
+        return m[["partition_id", "check", "violations", "rows", "passed"]]
+
+    run = lambda: F.run_flagship(work, rows=rows, rows_per_shard=rps,  # noqa: E731
+                                 violation_rate=0.06, resume=True)
+    prod_out = os.path.join(work, "out_prod")
+    ref_out = os.path.join(work, "out_ref")
+
+    m1 = matrix_of(run())
+    lin1 = ckpt.completed_partitions(prod_out)
+    n_lineage_ref = len(ckpt.completed_partitions(ref_out))
+
+    m2 = matrix_of(run())
+    lin2 = ckpt.completed_partitions(prod_out)
+    full_resume_identical = m1.equals(m2)
+    resume_skips_all = (set(lin2) == set(lin1) and all(
+        lin2[k]["completed_at"] == lin1[k]["completed_at"] for k in lin1))
+
+    victim = n_shards - 1
+    victim_matrix = os.path.join(prod_out, "matrix",
+                                 f"shard={victim}.parquet")
+    with open(victim_matrix, "rb") as f:
+        before = f.read()
+    os.unlink(ckpt.lineage_path(prod_out, victim))
+    os.unlink(victim_matrix)
+
+    m3 = matrix_of(run())
+    with open(victim_matrix, "rb") as f:
+        after = f.read()
+    lin3 = ckpt.completed_partitions(prod_out)
+    partial_resume_byte_identical = (before == after) and m1.equals(m3)
+    partial_reran_only_victim = (
+        set(lin3) == set(lin1)
+        and lin3[victim]["completed_at"] > lin2[victim]["completed_at"]
+        and all(lin3[k]["completed_at"] == lin2[k]["completed_at"]
+                for k in lin1 if k != victim))
+
+    return pd.DataFrame({
+        "n_shards": [np.int64(n_shards)],
+        "n_lineage_ref": [np.int64(n_lineage_ref)],
+        "n_lineage_prod": [np.int64(len(lin1))],
+        "matrix_rows": [np.int64(len(m1))],
+        "full_resume_identical": [bool(full_resume_identical)],
+        "resume_skips_all": [bool(resume_skips_all)],
+        "partial_resume_byte_identical": [bool(partial_resume_byte_identical)],
+        "partial_reran_only_victim": [bool(partial_reran_only_victim)],
+    })
+
+
 def image_drift_scores(sf_dir: str) -> pd.DataFrame:
     """Per-(feature, test) drift scores of the flagship production window
     vs its reference window."""
@@ -7554,6 +7641,82 @@ def tdigest_quantile_audit(sf_dir: str) -> pd.DataFrame:
         "p": np.asarray(probs, dtype=np.float64),
         "exact_q": exact,
         "td_ok": pd.Series(ok, dtype="bool"),
+    })
+
+
+def ddsketch_quantile_audit(sf_dir: str) -> pd.DataFrame:
+    """DDSketch relative-error quantile audit (Masson et al. VLDB
+    2019) — the THIRD quantile summary's exact/sketch sandwich,
+    completing the triad (KLL: uniform rank error ``kll_quantile_audit``;
+    t-digest: tail-tight rank error ``tdigest_quantile_audit``;
+    DDSketch: VALUE-relative error — the right contract for
+    long-tailed columns where a rank bound lets tail estimates drift
+    by orders of magnitude). ``exact_q`` is the exact distributed
+    quantile_disc at nine probes; ``dd_ok`` folds the structural
+    guarantees:
+
+    - p = 0 / 1: the estimate equals exact_q BIT-EXACTLY (tracked
+      vmin/vmax anchors);
+    - interior probes: the sketch targets rank r = ceil(p*n) in EXACT
+      integer arithmetic, and |est − v_r| <= alpha*|v_r| + z against
+      the exact r-th order statistic v_r (fetched by a second exact
+      distributed scan at probe (r−0.5)/n — float-safe, the fractional
+      part is 0.5) — the geometric-bucket guarantee, which holds for
+      ANY input;
+    - ``dd_merge_ok``: forward vs reversed block-partial folds answer
+      every probe bit-identically (integer counter merges commute).
+
+    Per-block partials: one O(#occupied-buckets) counter dict per
+    block (~KB at alpha=0.01), merged on the driver in both orders;
+    v_r adds one more exact scan. alpha = 0.01, z = 1e-9."""
+    import pickle
+
+    from ..sketches import DDSketch
+    from ..stages.scan import exact_quantiles
+
+    frac = [(0, 1), (1, 100), (1, 10), (1, 4), (1, 2),
+            (3, 4), (9, 10), (99, 100), (1, 1)]
+    probs = [num / den for num, den in frac]
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def sk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = DDSketch(alpha=0.01)
+        s.update(b.value.to_numpy(dtype=np.float64))
+        return pd.DataFrame({"sk": [pickle.dumps(s)]})
+
+    parts = ds.map_batches(sk_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+
+    def fold(blobs) -> DDSketch:
+        acc = pickle.loads(blobs[0])
+        for raw in blobs[1:]:
+            acc.merge(pickle.loads(raw))
+        return acc
+
+    fwd = fold(list(parts.sk))
+    rev = fold(list(parts.sk)[::-1])
+    n = fwd.n
+    ranks = [min(max(-((-num * n) // den), 1), n) for num, den in frac]
+    exact = np.asarray(
+        exact_quantiles(ds, "value", probs, method="inverted_cdf"),
+        dtype=np.float64)
+    v_r = np.asarray(exact_quantiles(
+        ds, "value", [(r - 0.5) / n for r in ranks[1:-1]],
+        method="inverted_cdf"), dtype=np.float64)
+    ok, merge_ok = [], []
+    for j, (p, r) in enumerate(zip(probs, ranks)):
+        est = fwd.quantile_at_rank(r)
+        merge_ok.append(est == rev.quantile_at_rank(r))
+        if p in (0.0, 1.0):
+            ok.append(est == exact[j])
+        else:
+            v = float(v_r[j - 1])
+            ok.append(abs(est - v) <= fwd.value_error_bound(v))
+    return pd.DataFrame({
+        "p": np.asarray(probs, dtype=np.float64),
+        "exact_q": exact,
+        "dd_ok": pd.Series(ok, dtype="bool"),
+        "dd_merge_ok": pd.Series(merge_ok, dtype="bool"),
     })
 
 

@@ -890,3 +890,112 @@ class TDigest(_Serializable):
         """Conservative additive rank-error bound at the median (~2
         cluster widths of the k1 scale function); tails are tighter."""
         return 2.0 * math.pi / self.delta
+
+
+class DDSketch(_Serializable):
+    """Mergeable relative-error quantile sketch (Masson, Rim & Lee,
+    "DDSketch: A Fast and Fully-Mergeable Quantile Sketch with
+    Relative-Error Guarantees", VLDB 2019) — the third quantile
+    summary beside :class:`KLL` (uniform rank error) and
+    :class:`TDigest` (tail-tight rank error): DDSketch instead bounds
+    the VALUE error, ``|est - v| <= alpha * |v|``, which is the right
+    contract for long-tailed latency/size-style columns where a rank
+    bound lets tail estimates drift by orders of magnitude.
+
+    Geometric buckets: v > z maps to bucket ``i = ceil(log_gamma(v))``
+    with ``gamma = (1 + alpha) / (1 - alpha)``, so bucket i covers
+    ``(gamma^(i-1), gamma^i]`` and its midpoint estimate
+    ``2*gamma^i / (gamma + 1)`` is within alpha relative of EVERY
+    value in the bucket (exactly alpha at both edges). Negatives use a
+    mirrored store over |v|; ``|v| <= z`` collapses into a zero bucket
+    (estimate 0.0, absolute error <= z). ``vmin``/``vmax`` are tracked
+    exactly, so ``quantile_at_rank(1)`` / ``(n)`` anchor the extremes
+    BIT-EXACTLY.
+
+    Counts are plain python-int counters keyed by bucket index:
+    merging is counter addition — associative, commutative, and
+    bit-reproducible in ANY fold order (queries sort keys), which is
+    the second structural guarantee the oracle audit pins. Updates are
+    vectorized (one np.log + np.unique per batch); serialized size is
+    O(#occupied buckets) — ~log_gamma(vmax/z) entries regardless of n
+    (~4.6k buckets end-to-end at alpha=0.01, z=1e-9, |v|<=1e12).
+    """
+
+    def __init__(self, alpha: float = 0.01, min_value: float = 1e-9) -> None:
+        if not 0.0 < alpha < 1.0:
+            raise ValueError("alpha must be in (0, 1)")
+        self.alpha = float(alpha)
+        self.z = float(min_value)
+        self.gamma = (1.0 + self.alpha) / (1.0 - self.alpha)
+        self._lg = math.log(self.gamma)
+        self.pos: dict[int, int] = {}
+        self.neg: dict[int, int] = {}
+        self.zero = 0
+        self.n = 0
+        self.vmin = math.inf
+        self.vmax = -math.inf
+
+    def _bucketize(self, mag: np.ndarray, store: dict[int, int]) -> None:
+        idx = np.ceil(np.log(mag) / self._lg).astype(np.int64)
+        for i, c in zip(*np.unique(idx, return_counts=True)):
+            store[int(i)] = store.get(int(i), 0) + int(c)
+
+    def update(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64).ravel()
+        if v.size == 0:
+            return
+        self.n += int(v.size)
+        self.vmin = min(self.vmin, float(v.min()))
+        self.vmax = max(self.vmax, float(v.max()))
+        pos = v[v > self.z]
+        neg = v[v < -self.z]
+        self.zero += int(v.size - pos.size - neg.size)
+        if pos.size:
+            self._bucketize(pos, self.pos)
+        if neg.size:
+            self._bucketize(-neg, self.neg)
+
+    def merge(self, other: "DDSketch") -> "DDSketch":
+        if (other.alpha, other.z) != (self.alpha, self.z):
+            raise ValueError("DDSketch parameter mismatch")
+        for src, dst in ((other.pos, self.pos), (other.neg, self.neg)):
+            for i, c in src.items():
+                dst[i] = dst.get(i, 0) + c
+        self.zero += other.zero
+        self.n += other.n
+        self.vmin = min(self.vmin, other.vmin)
+        self.vmax = max(self.vmax, other.vmax)
+        return self
+
+    def _estimate(self, i: int, sign: float) -> float:
+        return sign * 2.0 * self.gamma ** i / (self.gamma + 1.0)
+
+    def quantile_at_rank(self, r: int) -> float:
+        """Value estimate at 1-indexed rank ``r`` (ascending order) —
+        the inverted-CDF order statistic the oracle audit targets.
+        Rank 1 returns the EXACT min and rank n the EXACT max."""
+        if not 1 <= r <= self.n:
+            raise ValueError(f"rank {r} outside [1, {self.n}]")
+        if r == 1:
+            return self.vmin
+        if r == self.n:
+            return self.vmax
+        cum = 0
+        for i in sorted(self.neg, reverse=True):  # most negative first
+            cum += self.neg[i]
+            if cum >= r:
+                return self._estimate(i, -1.0)
+        cum += self.zero
+        if cum >= r:
+            return 0.0
+        for i in sorted(self.pos):
+            cum += self.pos[i]
+            if cum >= r:
+                return self._estimate(i, 1.0)
+        raise AssertionError("rank walk overran counts")  # unreachable
+
+    def value_error_bound(self, v: float) -> float:
+        """The structural per-value tolerance the audit pins:
+        alpha-relative plus the zero-bucket absolute floor, with 1-ulp
+        headroom for the float log in bucket assignment."""
+        return self.alpha * abs(v) * (1.0 + 1e-9) + self.z

@@ -256,6 +256,7 @@ def run_queries() -> dict[str, float]:
         # pixel fidelity + image-feature KS drift, theta intersection
         "tdigest_quantile_audit", "image_pixel_fidelity_audit",
         "image_feature_drift_audit", "kmv_intersection_audit",
+        "lineage_resume_audit", "ddsketch_quantile_audit",
     ]
     qs = E.queries()
     out = {}

@@ -250,6 +250,43 @@ class TestImagePixelFidelityAudit:
         assert C.psnr(src, noisy.astype(np.uint8)) < 40.0
 
 
+class TestDDSketchQuantileAudit:
+    def test_gate_true_and_exact_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ddsketch_quantile_audit(SF)
+        assert out.dd_ok.all() and out.dd_merge_ok.all()
+        exp = duckdb.sql(f"""
+            SELECT unnest(quantile_disc(value,
+                [0.0,0.01,0.1,0.25,0.5,0.75,0.9,0.99,1.0])) AS q
+            FROM read_parquet('{SF}/events.parquet')
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        np.testing.assert_array_equal(out.exact_q.to_numpy(),
+                                      exp.q.to_numpy())
+
+
+class TestLineageResumeAudit:
+    def test_all_resume_guarantees_hold(self, ray_session):
+        """Cold run -> full resume (all skipped, matrix identical,
+        lineage untouched) -> simulated crash (one shard's lineage +
+        matrix deleted) -> partial resume re-runs ONLY that shard and
+        rewrites its matrix parquet byte-identically."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.lineage_resume_audit(SF)
+        assert int(out.n_shards[0]) == 4
+        assert int(out.n_lineage_ref[0]) == 4
+        assert int(out.n_lineage_prod[0]) == 4
+        assert int(out.matrix_rows[0]) == 44  # 4 shards x 11 checks
+        for c in ("full_resume_identical", "resume_skips_all",
+                  "partial_resume_byte_identical",
+                  "partial_reran_only_victim"):
+            assert bool(out[c][0]), c
+
+
 class TestImageFeatureDriftAudit:
     def test_ks_matches_scipy_form_bruteforce(self, ray_session):
         """Exact-integer KS recomputed by a brute double loop over the

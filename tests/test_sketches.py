@@ -374,6 +374,69 @@ class TestBroadcastCache:
         assert B.get_broadcast(refs[0]) == {"i": 0}
 
 
+class TestDDSketch:
+    def _fold(self, x: np.ndarray, nparts: int, reverse: bool = False):
+        from aumos_drift_detector_ray.sketches import DDSketch
+
+        sketches = []
+        for p in np.array_split(x, nparts):
+            s = DDSketch(alpha=0.01)
+            s.update(p)
+            sketches.append(s)
+        if reverse:
+            sketches = sketches[::-1]
+        acc = sketches[0]
+        for s in sketches[1:]:
+            acc = acc.merge(s)
+        return acc
+
+    def test_relative_error_guarantee_adversarial(self):
+        """Mass points, huge outliers, negatives, exact zeros: every
+        rank estimate within alpha*|v| + z of the true order stat."""
+        rng = np.random.default_rng(9)
+        n = 80_000
+        x = np.round(rng.exponential(40.0, n), 2)
+        x[rng.choice(n, n // 9, replace=False)] *= -1.0
+        x[rng.choice(n, n // 13, replace=False)] = 7.77
+        x[rng.choice(n, n // 17, replace=False)] = 0.0
+        x[rng.choice(n, 5, replace=False)] = 1e9
+        s = self._fold(x, 24)
+        xs = np.sort(x)
+        assert s.quantile_at_rank(1) == xs[0]        # exact endpoints
+        assert s.quantile_at_rank(n) == xs[-1]
+        for r in np.linspace(2, n - 1, 197).astype(int):
+            est = s.quantile_at_rank(int(r))
+            v = xs[r - 1]
+            assert abs(est - v) <= s.value_error_bound(v)
+
+    def test_merge_commutes_bitwise(self):
+        rng = np.random.default_rng(2)
+        x = np.round(rng.normal(0, 30, 40_000), 2)
+        f = self._fold(x, 100)
+        r = self._fold(x, 100, reverse=True)
+        for rk in (1, 7, 400, 20_000, 39_999, 40_000):
+            assert f.quantile_at_rank(rk) == r.quantile_at_rank(rk)
+
+    def test_edges_and_validation(self):
+        from aumos_drift_detector_ray.sketches import DDSketch
+
+        s = DDSketch()
+        s.update(np.full(1000, 5.5))
+        assert abs(s.quantile_at_rank(500) - 5.5) <= 0.01 * 5.5 * 1.001
+        assert s.quantile_at_rank(1) == 5.5 and s.quantile_at_rank(1000) == 5.5
+        with pytest.raises(ValueError):
+            s.quantile_at_rank(0)
+        with pytest.raises(ValueError):
+            s.quantile_at_rank(1001)
+        with pytest.raises(ValueError):
+            DDSketch(alpha=1.5)
+        with pytest.raises(ValueError):
+            DDSketch(alpha=0.01).merge(DDSketch(alpha=0.02))
+        z = DDSketch()
+        z.update(np.zeros(10))
+        assert z.quantile_at_rank(5) == 0.0
+
+
 class TestTDigest:
     def _fold(self, x: np.ndarray, nparts: int):
         from aumos_drift_detector_ray.sketches import TDigest

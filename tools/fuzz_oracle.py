@@ -75,7 +75,7 @@ EVENT_QUERIES = [
     "outlier_counts_per_type",
     # round-4: exact/sketch sandwich
     "approx_distinct_users_per_type", "kll_quantile_audit",
-    "tdigest_quantile_audit",
+    "tdigest_quantile_audit", "ddsketch_quantile_audit",
     # round-4: global rank transform (ties-min over mass points + NaN)
     "global_value_rank_sample",
     # round-4 session 4: band join (edge values / mass points / NaN)
