@@ -750,6 +750,25 @@ class CountMinSketch(_Serializable):
         self.n += other.n
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """CM inner-product / join-size estimate (Cormode &
+        Muthukrishnan 2005, §4.2): ``min over rows of
+        dot(row_self, row_other)``. STRUCTURAL guarantee — the
+        estimate is ALWAYS >= the true inner product
+        ``sum_key count_self(key) * count_other(key)`` (each row's dot
+        product collects every true key product plus non-negative
+        collision cross-terms), with the probabilistic excess bounded
+        by (e/width)*n_self*n_other per row. Both sketches must share
+        (depth, width) — the row hash functions are deterministic in
+        the class seed, so they align by construction. Exact python
+        ints (int64 rows summed as objects) — no overflow."""
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CountMinSketch shape mismatch")
+        dots = [int(np.dot(self.table[r].astype(object),
+                           other.table[r].astype(object)))
+                for r in range(self.depth)]
+        return min(dots)
+
 
 class TDigest(_Serializable):
     """Mergeable t-digest quantile sketch (Dunning & Ertl 2019,

@@ -297,8 +297,11 @@ def main() -> None:
     # `parsed` field is populated (round-4 lesson: the full line got
     # tail-truncated mid-JSON and parsed as null).
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/queries_last.json", "w") as f:
-        json.dump(result, f, indent=1)
+    if queries:
+        # scaling/spill subprocesses run with BENCH_SKIP_QUERIES=1 —
+        # don't let them clobber the full per-query record
+        with open("BENCH/queries_last.json", "w") as f:
+            json.dump(result, f, indent=1)
     compact = {k: v for k, v in result.items() if k != "queries"}
     compact["metric"] = ("flagship validate+profile+score wall (s) over "
                          f"{headline['rows']} image rows")
