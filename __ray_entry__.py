@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_feature_drift_audit": Q.image_feature_drift_audit,
         "lineage_resume_audit": Q.lineage_resume_audit,
         "ddsketch_quantile_audit": Q.ddsketch_quantile_audit,
+        "join_size_estimate_audit": Q.join_size_estimate_audit,
     }
 
 
@@ -2150,6 +2151,27 @@ def _oracle_sql_raw() -> dict[str, str]:
         # KMV bottom-k distinct sketch audit: exact distinct count +
         # the two structural booleans (exact below k; merge order-
         # insensitive) pinned to literal TRUE for any input
+        # join-cardinality estimation: exact self-join size (the F2
+        # skew moment) + the ref/prod stream-join size on user_id,
+        # both exact integers; the CM inner-product upper bounds are
+        # structural (est >= true for any input) -> TRUE pins
+        "join_size_estimate_audit": """
+            WITH c AS (
+                SELECT user_id,
+                       count(*) AS n,
+                       sum(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS ne,
+                       sum(CASE WHEN event_id % 2 = 1
+                                THEN 1 ELSE 0 END) AS no
+                FROM events GROUP BY user_id)
+            SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(n * n) AS BIGINT) AS exact_selfjoin_rows,
+                   CAST(sum(ne * no) AS BIGINT)
+                       AS exact_refprod_join_rows,
+                   TRUE AS cms_selfjoin_upper_ok,
+                   TRUE AS cms_refprod_upper_ok
+            FROM c
+        """,
         # theta-style KMV set-intersection audit: exact distributed
         # pair-intersection cardinality (zero pairs included) + the
         # two structural booleans (exact when both unsaturated;

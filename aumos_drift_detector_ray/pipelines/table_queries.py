@@ -401,15 +401,16 @@ def join_size_estimate_audit(sf_dir: str, n_buckets: int = 64
         b = b.assign(even=(b.event_id.to_numpy(np.int64) % 2 == 0))
         g = b.groupby("user_id", as_index=False).agg(
             ne=("even", "sum"), n=("even", "size"))
-        g["ne"] = g.ne.astype("int64")
-        g["no"] = (g.n - g.ne).astype("int64")
-        h = hash64(g.user_id.to_numpy(np.int64).view(np.uint64))
+        # bracket access throughout: "ne" shadows DataFrame.ne()
+        g["ne"] = g["ne"].astype("int64")
+        g["no"] = (g["n"] - g["ne"]).astype("int64")
+        h = hash64(g["user_id"].to_numpy(np.int64).view(np.uint64))
         g["bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
         ca, ce, co = (CountMinSketch(depth=4, width=2048)
                       for _ in range(3))
-        ca.update_hashed(h, g.n.to_numpy(np.int64))
-        ce.update_hashed(h, g.ne.to_numpy(np.int64))
-        co.update_hashed(h, g.no.to_numpy(np.int64))
+        ca.update_hashed(h, g["n"].to_numpy(np.int64))
+        ce.update_hashed(h, g["ne"].to_numpy(np.int64))
+        co.update_hashed(h, g["no"].to_numpy(np.int64))
         out = g[["user_id", "bucket", "ne", "no", "n"]].copy()
         blob = pickle.dumps((ca, ce, co))
         out["cms"] = ([blob] + [None] * (len(g) - 1)) if len(g) else []
@@ -424,9 +425,10 @@ def join_size_estimate_audit(sf_dir: str, n_buckets: int = 64
             ne=("ne", "sum"), no=("no", "sum"), n=("n", "sum"))
         return pd.DataFrame({
             "n_keys": [np.int64(len(m))],
-            "self_rows": [np.int64((m.n.to_numpy(np.int64) ** 2).sum())],
-            "cross_rows": [np.int64((m.ne.to_numpy(np.int64)
-                                     * m.no.to_numpy(np.int64)).sum())],
+            "self_rows": [np.int64(
+                (m["n"].to_numpy(np.int64) ** 2).sum())],
+            "cross_rows": [np.int64((m["ne"].to_numpy(np.int64)
+                                     * m["no"].to_numpy(np.int64)).sum())],
         })
 
     folds = parts.drop_columns(["cms"]).groupby("bucket").map_groups(

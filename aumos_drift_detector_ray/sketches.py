@@ -1018,3 +1018,83 @@ class DDSketch(_Serializable):
         alpha-relative plus the zero-bucket absolute floor, with 1-ulp
         headroom for the float log in bucket assignment."""
         return self.alpha * abs(v) * (1.0 + 1e-9) + self.z
+
+
+class ExpHistogram(_Serializable):
+    """Exponential histogram for SLIDING-WINDOW counting (Datar,
+    Gionis, Indyk & Motwani, SIAM J. Comput. 2002 — the DGIM
+    structure, time-window variant): count how many events arrived in
+    the last ``window_s`` seconds using O(k * log n) memory instead of
+    buffering the window.
+
+    Buckets hold (newest-event-timestamp, count) with counts in powers
+    of two, at most ``k + 1`` buckets per size; adding an event
+    appends a size-1 bucket and cascade-merges the two OLDEST buckets
+    of any overfull size (merged timestamp = the newer of the two —
+    DGIM's rule). A bucket expires when ITS timestamp leaves the
+    window, so of the oldest surviving bucket only its newest event is
+    certainly inside: the true window count lies in
+    ``[total - c0 + 1, total]`` where c0 = oldest bucket's count, and
+    ``estimate() = total - c0 // 2`` is off by at most
+    ``(c0 + 1) // 2`` — a DETERMINISTIC error bound
+    (:meth:`error_bound`), which is what the oracle audit pins; the
+    cascade invariant keeps c0 <= ~total/k, i.e. ~1/(2k) relative
+    error. Timestamps must arrive non-decreasing (the engine's
+    global-ordered stream stage guarantees this)."""
+
+    def __init__(self, window_s: int, k: int = 16) -> None:
+        if window_s <= 0 or k < 2:
+            raise ValueError("window_s must be > 0 and k >= 2")
+        self.window = int(window_s)
+        self.k = int(k)
+        self.buckets: list[list[int]] = []   # oldest first: [ts, count]
+        self.total = 0
+        self._last_ts: int | None = None
+
+    def _expire(self, now: int) -> None:
+        b = self.buckets
+        while b and b[0][0] <= now - self.window:
+            self.total -= b[0][1]
+            del b[0]
+
+    def add(self, ts: int) -> None:
+        ts = int(ts)
+        if self._last_ts is not None and ts < self._last_ts:
+            raise ValueError("timestamps must be non-decreasing")
+        self._last_ts = ts
+        self._expire(ts)
+        self.buckets.append([ts, 1])
+        self.total += 1
+        size = 1
+        while True:
+            # buckets of `size` are contiguous at the tail of the
+            # region scanned so far (counts non-increasing toward old)
+            first = None
+            cnt = 0
+            for j in range(len(self.buckets) - 1, -1, -1):
+                c = self.buckets[j][1]
+                if c == size:
+                    cnt += 1
+                    first = j
+                elif c > size:
+                    break
+            if cnt <= self.k + 1:
+                break
+            ts_new = max(self.buckets[first][0], self.buckets[first + 1][0])
+            self.buckets[first:first + 2] = [[ts_new, size * 2]]
+            size *= 2
+
+    def estimate(self, now: int) -> int:
+        """Estimated count of events with ts in (now - window, now]."""
+        self._expire(int(now))
+        if not self.buckets:
+            return 0
+        return self.total - self.buckets[0][1] // 2
+
+    def error_bound(self, now: int) -> int:
+        """Deterministic absolute error bound of :meth:`estimate` at
+        ``now`` — half the oldest surviving bucket, rounded up."""
+        self._expire(int(now))
+        if not self.buckets:
+            return 0
+        return (self.buckets[0][1] + 1) // 2

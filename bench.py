@@ -257,6 +257,7 @@ def run_queries() -> dict[str, float]:
         "tdigest_quantile_audit", "image_pixel_fidelity_audit",
         "image_feature_drift_audit", "kmv_intersection_audit",
         "lineage_resume_audit", "ddsketch_quantile_audit",
+        "join_size_estimate_audit",
     ]
     qs = E.queries()
     out = {}
@@ -419,11 +420,19 @@ def scaling() -> None:
     }
     os.makedirs("BENCH", exist_ok=True)
     # --spill appends its row to this file; a scaling re-run must not
-    # silently drop that separately-measured evidence, so carry it over.
+    # silently drop that separately-measured evidence, so carry it
+    # over — and likewise preserve the run-to-run honesty history
+    # (everything from its header line on).
     spill_rows = []
+    history = ""
     if os.path.exists("BENCH/BASELINE.md"):
         with open("BENCH/BASELINE.md") as f:
-            spill_rows = [ln for ln in f if ln.startswith("| spill row:")]
+            prev = f.read()
+        spill_rows = [ln + "\n" for ln in prev.splitlines()
+                      if ln.startswith("| spill row:")]
+        marker = "Run-to-run honesty"
+        if marker in prev:
+            history = "\n" + prev[prev.index(marker):].rstrip() + "\n"
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH/BASELINE — measured\n\n"
@@ -455,6 +464,8 @@ def scaling() -> None:
         )
         for ln in spill_rows:
             f.write(ln)
+        if history:
+            f.write(history)
     print(json.dumps(summary))
 
 

@@ -250,6 +250,29 @@ class TestImagePixelFidelityAudit:
         assert C.psnr(src, noisy.astype(np.uint8)) < 40.0
 
 
+class TestJoinSizeEstimateAudit:
+    def test_exact_sizes_match_duckdb_and_pins_true(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.join_size_estimate_audit(SF)
+        assert bool(out.cms_selfjoin_upper_ok[0])
+        assert bool(out.cms_refprod_upper_ok[0])
+        exp = duckdb.sql(f"""
+            WITH c AS (SELECT user_id, count(*) AS n,
+                              sum(CASE WHEN event_id % 2 = 0
+                                       THEN 1 ELSE 0 END) AS ne
+                       FROM read_parquet('{SF}/events.parquet')
+                       GROUP BY user_id)
+            SELECT count(*) AS k, sum(n*n) AS s, sum(ne*(n-ne)) AS x
+            FROM c
+        """).df()
+        assert int(out.n_keys[0]) == int(exp.k[0])
+        assert int(out.exact_selfjoin_rows[0]) == int(exp.s[0])
+        assert int(out.exact_refprod_join_rows[0]) == int(exp.x[0])
+
+
 class TestDDSketchQuantileAudit:
     def test_gate_true_and_exact_matches_duckdb(self, ray_session):
         import duckdb

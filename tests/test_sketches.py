@@ -267,6 +267,35 @@ class TestCountMinSketch:
 
         with pytest.raises(ValueError):
             CountMinSketch(4, 512).merge(CountMinSketch(4, 1024))
+        with pytest.raises(ValueError):
+            CountMinSketch(4, 512).inner_product(CountMinSketch(4, 1024))
+
+    def test_inner_product_upper_bounds_join_size(self):
+        """CM inner product >= true sum_k a_k*b_k ALWAYS (structural);
+        within the analytic (e/width)*nA*nB excess at modest slack;
+        exact when the sketches are collision-free."""
+        from aumos_drift_detector_ray.sketches import (CountMinSketch,
+                                                       hash_any_array)
+
+        rng = np.random.default_rng(11)
+        keys = hash_any_array(np.arange(4000, dtype=np.int64))
+        ca_counts = rng.integers(0, 50, 4000)
+        cb_counts = rng.integers(0, 50, 4000)
+        a = CountMinSketch(depth=4, width=2048)
+        b = CountMinSketch(depth=4, width=2048)
+        a.update_hashed(keys, ca_counts)
+        b.update_hashed(keys, cb_counts)
+        true = int(np.dot(ca_counts.astype(object),
+                          cb_counts.astype(object)))
+        est = a.inner_product(b)
+        assert est >= true
+        assert est <= true + 4 * np.e / 2048 * a.n * b.n + 1
+        # collision-free regime: few keys, wide table -> exact
+        small = hash_any_array(np.arange(5, dtype=np.int64))
+        sa, sb = CountMinSketch(4, 65536), CountMinSketch(4, 65536)
+        sa.update_hashed(small, np.array([3, 1, 4, 1, 5]))
+        sb.update_hashed(small, np.array([2, 7, 1, 8, 2]))
+        assert sa.inner_product(sb) == 3 * 2 + 1 * 7 + 4 * 1 + 1 * 8 + 5 * 2
 
 
 class TestKMinValues:
