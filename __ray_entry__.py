@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineage_resume_audit": Q.lineage_resume_audit,
         "ddsketch_quantile_audit": Q.ddsketch_quantile_audit,
         "join_size_estimate_audit": Q.join_size_estimate_audit,
+        "dgim_window_count_audit": Q.dgim_window_count_audit,
     }
 
 
@@ -2171,6 +2172,44 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_selfjoin_upper_ok,
                    TRUE AS cms_refprod_upper_ok
             FROM c
+        """,
+        # DGIM sliding-window counting (Datar et al. 2002): hourly
+        # probe grid (last event us of each hour), exact 6h window
+        # count per (event_type, probe); the error-bound containment
+        # and the oldest-bucket-straddles-only claims are THEOREMS of
+        # the bucket structure on sorted input -> TRUE pins
+        "dgim_window_count_audit": """
+            WITH e AS (
+                SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+                FROM events WHERE ts IS NOT NULL
+            ),
+            pr AS (
+                SELECT us // 3600000000 AS hour, max(us) AS probe_us
+                FROM e GROUP BY 1
+            ),
+            p AS (
+                SELECT probe_us,
+                       CAST(row_number() OVER (ORDER BY probe_us) - 1
+                            AS BIGINT) AS probe_idx
+                FROM pr
+            ),
+            t AS (SELECT DISTINCT event_type FROM e),
+            c AS (
+                SELECT e.event_type, p2.probe_idx, count(*) AS cnt
+                FROM e JOIN p p2
+                  ON e.us > p2.probe_us - 21600000000
+                 AND e.us <= p2.probe_us
+                GROUP BY 1, 2
+            )
+            SELECT t.event_type, p.probe_idx,
+                   CAST(p.probe_us AS BIGINT) AS probe_us,
+                   CAST(coalesce(c.cnt, 0) AS BIGINT) AS exact_cnt,
+                   TRUE AS within_bound,
+                   TRUE AS containment_ok
+            FROM t CROSS JOIN p
+            LEFT JOIN c ON c.event_type = t.event_type
+                       AND c.probe_idx = p.probe_idx
+            ORDER BY 1, 2
         """,
         # theta-style KMV set-intersection audit: exact distributed
         # pair-intersection cardinality (zero pairs included) + the

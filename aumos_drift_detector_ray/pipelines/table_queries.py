@@ -458,6 +458,137 @@ def join_size_estimate_audit(sf_dir: str, n_buckets: int = 64
     })
 
 
+def dgim_window_count_audit(sf_dir: str, window_us: int = 21_600_000_000,
+                            k: int = 16) -> pd.DataFrame:
+    """DGIM sliding-window counting audit (Datar, Gionis, Indyk &
+    Motwani, SIAM J. Comput. 2002) — the streaming-window sketch tier:
+    "how many events of type T arrived in the last 6 hours?" answered
+    from O(k log n) memory instead of buffering the window (at 10^12
+    rows a per-key window buffer is the thing that cannot exist).
+
+    Probes = the last event timestamp of every hour (hourly probe
+    grid); per (event_type, probe) the SQL-matched columns are the
+    EXACT window count (one pre-aggregated exchange) plus two
+    STRUCTURAL booleans pinned literal TRUE for ANY sorted input —
+    theorems of the bucket structure, not statistical luck:
+
+    * ``within_bound``: |estimate − exact| <= (c0+1)//2, the
+      deterministic DGIM error bound (c0 = oldest surviving bucket);
+    * ``containment_ok``: exact ∈ [total − c0 + 1, total] — only the
+      oldest bucket straddles the window boundary (bucket segments
+      are contiguous in ts order, so every newer bucket is entirely
+      in-window).
+
+    Scale shape: probes come from per-block (hour, max_us) partials
+    (one tiny grouped max); exact counts are per-block vectorized
+    searchsorted partials against the broadcast probe grid, merged by
+    one grouped sum; the DGIM fold itself is inherently sequential
+    PER KEY and runs one group per event_type inside ``map_groups``
+    (the per-key streaming bound documented at
+    per_key_concept_drift — state is O(k log n), not O(window))."""
+    from ray.data.aggregate import Max as AggMax
+
+    from ..sketches import ExpHistogram
+
+    HOUR_US = 3_600_000_000
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def to_us(b: pa.Table) -> pa.Table:
+        b = b.filter(b["ts"].is_valid())
+        return pa.table({
+            "event_type": b["event_type"],
+            "us": pc.cast(b["ts"], pa.int64()),
+        })
+
+    # three consumers (probe grid, exact counts, DGIM fold) read the
+    # converted stream — materialize once
+    base = ds.map_batches(to_us, batch_format="pyarrow").materialize()
+
+    def probe_partial(b: pa.Table) -> pd.DataFrame:
+        us = b["us"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"hour": us // HOUR_US, "us": us}) \
+            .groupby("hour", as_index=False)["us"].max()
+
+    probes = base.map_batches(probe_partial, batch_format="pyarrow") \
+        .groupby("hour").aggregate(AggMax("us", alias_name="probe_us")) \
+        .to_pandas()
+    # hour buckets are disjoint, so probe_us order == hour order
+    probe_arr = np.sort(probes.probe_us.to_numpy(np.int64))
+    bc = ray.put(probe_arr)
+
+    def count_partial(b: pa.Table) -> pd.DataFrame:
+        p = ray.get(bc)
+        df = pd.DataFrame({
+            "event_type": b["event_type"].to_pandas(),
+            "us": b["us"].to_numpy(zero_copy_only=False),
+        })
+        frames = []
+        for t, sub in df.groupby("event_type", sort=False):
+            us = np.sort(sub.us.to_numpy(np.int64))
+            cnt = (np.searchsorted(us, p, side="right")
+                   - np.searchsorted(us, p - window_us, side="right"))
+            nz = np.nonzero(cnt)[0]
+            frames.append(pd.DataFrame({
+                "event_type": t,
+                "probe_idx": nz.astype(np.int64),
+                "cnt": cnt[nz].astype(np.int64),
+            }))
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                   "probe_idx": pd.Series([], dtype="int64"),
+                                   "cnt": pd.Series([], dtype="int64")}))
+
+    # per-block partials are <= types x probes rows each and the final
+    # grid IS the result size — fold on the driver (bounded by output,
+    # not input; a per-key Ray aggregate over thousands of singleton
+    # groups is the measured-slow pattern)
+    exact = base.map_batches(count_partial, batch_format="pyarrow",
+                             batch_size=65536).to_pandas() \
+        .groupby(["event_type", "probe_idx"], as_index=False)["cnt"].sum()
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("us", kind="stable")
+        us = g.us.to_numpy(np.int64)
+        p = ray.get(bc)
+        h = ExpHistogram(window_s=window_us, k=k)
+        i = 0
+        rows = []
+        for j, pb in enumerate(p):
+            pb = int(pb)
+            while i < len(us) and us[i] <= pb:
+                h.add(int(us[i]))
+                i += 1
+            est = h.estimate(pb)
+            c0 = h.buckets[0][1] if h.buckets else 0
+            rows.append((int(j), pb, est, h.error_bound(pb),
+                         h.total, c0))
+        out = pd.DataFrame(rows, columns=[
+            "probe_idx", "probe_us", "est", "bound", "total", "c0"])
+        out.insert(0, "event_type", g.event_type.iloc[0])
+        return out
+
+    dgim = base.groupby("event_type").map_groups(
+        per_type, batch_format="pandas").to_pandas()
+
+    # full (type, probe) grid with zero-count cells, SQL's CROSS JOIN
+    merged = dgim.merge(exact, on=["event_type", "probe_idx"], how="left")
+    merged["cnt"] = merged.cnt.fillna(0).astype("int64")
+    within = (merged.est - merged.cnt).abs() <= merged.bound
+    contain = np.where(
+        merged.c0 > 0,
+        (merged.total - merged.c0 + 1 <= merged.cnt)
+        & (merged.cnt <= merged.total),
+        merged.cnt == 0)
+    return pd.DataFrame({
+        "event_type": merged.event_type,
+        "probe_idx": merged.probe_idx.astype("int64"),
+        "probe_us": merged.probe_us.astype("int64"),
+        "exact_cnt": merged.cnt,
+        "within_bound": pd.Series(within.to_numpy(), dtype="bool"),
+        "containment_ok": pd.Series(contain, dtype="bool"),
+    }).sort_values(["event_type", "probe_idx"]).reset_index(drop=True)
+
+
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""

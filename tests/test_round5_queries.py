@@ -365,3 +365,43 @@ class TestKmvIntersectionAudit:
         assert len(out) == len(exp)
         np.testing.assert_array_equal(out.n_common.to_numpy(np.int64),
                                       exp.n_common.to_numpy(np.int64))
+
+
+class TestDgimWindowCountAudit:
+    def test_exact_matches_duckdb_and_gates_true(self, ray_session):
+        """exact_cnt must equal a straight DuckDB window count per
+        (type, hourly probe); both theorem booleans hold everywhere."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.dgim_window_count_audit(SF)
+        assert out.within_bound.all() and out.containment_ok.all()
+        exp = duckdb.sql(f"""
+            WITH e AS (SELECT event_type,
+                              CAST(epoch_us(ts) AS BIGINT) AS us
+                       FROM read_parquet('{SF}/events.parquet')
+                       WHERE ts IS NOT NULL),
+            p AS (SELECT max(us) AS probe_us FROM e
+                  GROUP BY us // 3600000000)
+            SELECT count(*) AS cnt FROM e, p
+            WHERE e.us > p.probe_us - 21600000000
+              AND e.us <= p.probe_us
+        """).df()
+        assert int(out.exact_cnt.sum()) == int(exp.cnt[0])
+        # hourly probe grid: one probe per distinct event hour, all
+        # types present at every probe (zero-filled grid)
+        n_types = out.event_type.nunique()
+        n_probes = out.probe_idx.nunique()
+        assert len(out) == n_types * n_probes
+
+    def test_tight_window_forces_small_buckets(self, ray_session):
+        """With a window much shorter than the data span the DGIM
+        state must stay logarithmic while estimates stay in-bound
+        (exercises expiry, not just growth)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.dgim_window_count_audit(SF, window_us=900_000_000)  # 15min
+        assert out.within_bound.all() and out.containment_ok.all()
+        # 15-minute window at hourly probes: counts far below totals
+        assert out.exact_cnt.max() < len(out) * 50

@@ -547,3 +547,102 @@ class TestTDigest:
         assert np.all(np.diff(c) >= 0)
         assert c.min() >= 0.0 and c.max() <= 1.0
         assert t.cdf(-10.0) == 0.0 and t.cdf(10.0) == 1.0
+
+
+class TestExpHistogram:
+    """DGIM sliding-window counter (Datar et al. 2002): the two
+    deterministic theorems the oracle audit pins, brute-forced against
+    exact window counts over adversarial arrival patterns."""
+
+    def _exact(self, ts, now, w):
+        ts = np.asarray(ts)
+        return int(((ts > now - w) & (ts <= now)).sum())
+
+    def test_rejects_bad_args_and_regressions(self):
+        from aumos_drift_detector_ray.sketches import ExpHistogram
+
+        with pytest.raises(ValueError):
+            ExpHistogram(window_s=0)
+        with pytest.raises(ValueError):
+            ExpHistogram(window_s=10, k=1)
+        h = ExpHistogram(window_s=10)
+        h.add(5)
+        with pytest.raises(ValueError):
+            h.add(4)  # non-decreasing enforcement
+
+    def test_small_streams_exact(self):
+        from aumos_drift_detector_ray.sketches import ExpHistogram
+
+        # below k+1 size-1 buckets nothing merges: estimate exact
+        h = ExpHistogram(window_s=1000, k=16)
+        for t in range(10):
+            h.add(t)
+        assert h.estimate(9) == 10
+        assert h.error_bound(9) <= 1
+
+    def test_window_boundary_is_strict(self):
+        from aumos_drift_detector_ray.sketches import ExpHistogram
+
+        h = ExpHistogram(window_s=10, k=16)
+        h.add(0)          # at now-window exactly -> OUT of (now-w, now]
+        h.add(5)
+        assert h.estimate(10) == 1
+        assert h.estimate(14) == 1   # (4, 14] still holds ts=5
+        assert h.estimate(15) == 0   # ts=5 ON the boundary -> out
+
+    def test_bound_containment_bruteforce(self):
+        """|est - exact| <= (c0+1)//2 and exact in [total-c0+1, total]
+        on bursty / tied / uniform / gapped streams, probed densely."""
+        from aumos_drift_detector_ray.sketches import ExpHistogram
+
+        rng = np.random.default_rng(7)
+        streams = {
+            "uniform": np.sort(rng.integers(0, 5000, 3000)),
+            "bursty": np.sort(np.concatenate([
+                rng.integers(0, 100, 1500),
+                rng.integers(4000, 4010, 1500)])),
+            "all_tied": np.full(2000, 777),
+            "gapped": np.sort(np.concatenate([
+                rng.integers(0, 50, 500),
+                rng.integers(100000, 100100, 500)])),
+        }
+        for name, ts in streams.items():
+            for w in (10, 500, 5000):
+                h = ExpHistogram(window_s=w, k=8)
+                i = 0
+                probes = np.unique(np.concatenate([
+                    ts, ts + 1, ts + w, ts + w + 1])).tolist()
+                for now in probes:
+                    while i < len(ts) and ts[i] <= now:
+                        h.add(int(ts[i]))
+                        i += 1
+                    est = h.estimate(int(now))
+                    exact = self._exact(ts, now, w)
+                    bound = h.error_bound(int(now))
+                    assert abs(est - exact) <= bound, (name, w, now)
+                    if h.buckets:
+                        c0 = h.buckets[0][1]
+                        assert h.total - c0 + 1 <= exact <= h.total, \
+                            (name, w, now)
+                    else:
+                        assert exact == 0
+
+    def test_cascade_invariant_and_relative_error(self):
+        from aumos_drift_detector_ray.sketches import ExpHistogram
+
+        h = ExpHistogram(window_s=10**9, k=8)
+        for t in range(20000):
+            h.add(t)
+            sizes = [c for _, c in h.buckets]
+            # powers of two, non-increasing toward the tail, <= k+1 per size
+            assert all(s & (s - 1) == 0 for s in sizes)
+            assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+        from collections import Counter
+        per_size = Counter(c for _, c in h.buckets)
+        assert max(per_size.values()) <= h.k + 1
+        # long uniform stream: relative error well under the ~1/(2k)
+        # design point (asserted with 3x slack)
+        est = h.estimate(19999)
+        assert abs(est - 20000) / 20000 <= 3.0 / (2 * h.k)
+        # memory truly logarithmic
+        assert len(h.buckets) <= (h.k + 1) * (int(np.log2(20000)) + 2)
