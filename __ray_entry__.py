@@ -242,6 +242,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_quantile_audit": Q.ddsketch_quantile_audit,
         "join_size_estimate_audit": Q.join_size_estimate_audit,
         "dgim_window_count_audit": Q.dgim_window_count_audit,
+        "mannwhitney_drift_events": Q.mannwhitney_drift_events,
+        "per_type_sample_events": Q.per_type_sample_events,
+        "holt_linear_hourly": Q.holt_linear_hourly,
+        "binseg_changepoints_hourly": Q.binseg_changepoints_hourly,
+        "moods_median_drift": Q.moods_median_drift,
+        "assoc_rules_event_types": Q.assoc_rules_event_types,
+        "cramers_v_type_band": Q.cramers_v_type_band,
+        "seasonal_strength_hourly": Q.seasonal_strength_hourly,
     }
 
 
@@ -827,7 +835,10 @@ _VALUE_CLEAN_QUERIES = [
     "global_value_rank_sample", "value_band_pair_stats",
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
-    "weekly_median_value_per_type",
+    "weekly_median_value_per_type", "mannwhitney_drift_events",
+    "holt_linear_hourly", "binseg_changepoints_hourly",
+    "moods_median_drift", "cramers_v_type_band",
+    "seasonal_strength_hourly",
 ]
 
 
@@ -2172,6 +2183,338 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_selfjoin_upper_ok,
                    TRUE AS cms_refprod_upper_ok
             FROM c
+        """,
+        # Cramér's V over event_type x fixed value band: exact counts,
+        # chi2 with the chi2_events_type round(9) contract, V derived
+        # from the ROUNDED chi2 (deterministic sqrt)
+        "cramers_v_type_band": """
+            WITH u AS (
+                SELECT event_type,
+                       CASE WHEN value < 5 THEN 0
+                            WHEN value < 10 THEN 1
+                            WHEN value < 20 THEN 2 ELSE 3 END AS band
+                FROM events
+            ),
+            ct AS (SELECT event_type, band,
+                          CAST(count(*) AS BIGINT) AS o
+                   FROM u GROUP BY 1, 2),
+            rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+                   FROM ct GROUP BY 1),
+            cl AS (SELECT band, CAST(sum(o) AS BIGINT) AS c
+                   FROM ct GROUP BY 1),
+            nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM ct),
+            grid AS (
+                SELECT CAST(coalesce(ct.o, 0) AS BIGINT) AS o,
+                       CAST(rt.r * cl.c AS DOUBLE)
+                           / (SELECT n FROM nn) AS e
+                FROM rt CROSS JOIN cl
+                LEFT JOIN ct ON ct.event_type = rt.event_type
+                            AND ct.band = cl.band
+            ),
+            chi AS (
+                SELECT round(sum((CAST(o AS DOUBLE) - e)
+                                 * (CAST(o AS DOUBLE) - e) / e), 9)
+                           AS chi2,
+                       (SELECT count(*) FROM rt) AS r,
+                       (SELECT count(*) FROM cl) AS k
+                FROM grid
+            )
+            SELECT (SELECT n FROM nn) AS n,
+                   CAST(r AS BIGINT) AS n_types,
+                   CAST(k AS BIGINT) AS n_bands,
+                   CAST(chi2 AS DOUBLE) AS chi2_stat,
+                   CASE WHEN least(r - 1, k - 1) = 0 THEN 0.0
+                        ELSE round(sqrt(chi2 / ((SELECT n FROM nn)
+                                   * least(r - 1, k - 1))), 9)
+                   END AS cramers_v
+            FROM chi
+        """,
+        # hour-of-day ANOVA eta^2 seasonality strength: per-hod exact
+        # integer sufficient statistics; eta2 rounds at 6dp (24-term
+        # SSB sum order differs by ulps; eta2 in [0,1])
+        "seasonal_strength_hourly": """
+            WITH e AS (
+                SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM events
+            ),
+            g AS (SELECT hod, CAST(count(*) AS BIGINT) AS n_events,
+                         CAST(sum(c) AS BIGINT) AS sum_value_c,
+                         sum(CAST(c AS HUGEINT) * c) AS sq
+                  FROM e GROUP BY 1),
+            t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n,
+                         CAST(sum(sum_value_c) AS BIGINT) AS s,
+                         sum(sq) AS sqt,
+                         sum(CAST(CAST(sum_value_c AS HUGEINT)
+                                  * sum_value_c AS DOUBLE) / n_events)
+                             AS ssb_raw
+                  FROM g),
+            f AS (SELECT n, s, sqt,
+                         ssb_raw - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                             / n AS ssb,
+                         CAST(sqt AS DOUBLE)
+                             - CAST(CAST(s AS HUGEINT) * s AS DOUBLE)
+                               / n AS sst
+                  FROM t)
+            SELECT g.hod, g.n_events, g.sum_value_c,
+                   CASE WHEN (SELECT sst FROM f) <= 0 THEN 0.0
+                        ELSE round((SELECT ssb FROM f)
+                                   / (SELECT sst FROM f), 6)
+                   END AS eta2_value
+            FROM g ORDER BY g.hod
+        """,
+        # Mood's median test: exact global median order statistic
+        # (quantile_disc 0.5, an actual data value) -> bit-exact > m
+        # split; 2x2 chi2 is one IEEE expression of exact ints
+        "moods_median_drift": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_id % 2 = 0
+                                   THEN 1 ELSE 0 END AS is_ref
+                FROM events
+            ),
+            m AS (SELECT quantile_disc(value, 0.5) AS med FROM u),
+            ct AS (
+                SELECT
+                    CAST(sum(CASE WHEN value > (SELECT med FROM m)
+                                   AND is_ref = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS a,
+                    CAST(sum(CASE WHEN value > (SELECT med FROM m)
+                                   AND is_ref = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS b,
+                    CAST(sum(CASE WHEN value <= (SELECT med FROM m)
+                                   AND is_ref = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS c,
+                    CAST(sum(CASE WHEN value <= (SELECT med FROM m)
+                                   AND is_ref = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS d
+                FROM u
+            )
+            SELECT CAST((SELECT med FROM m) AS DOUBLE) AS median_value,
+                   a AS ref_above, b AS prod_above,
+                   c AS ref_at_or_below, d AS prod_at_or_below,
+                   CASE WHEN CAST(a + b AS HUGEINT) * (c + d)
+                             * (a + c) * (b + d) = 0 THEN 0.0
+                        ELSE CAST(CAST(a + b + c + d AS HUGEINT)
+                                  * (a * d - b * c)
+                                  * (a * d - b * c) AS DOUBLE)
+                             / CAST(CAST(a + b AS HUGEINT) * (c + d)
+                                    * (a + c) * (b + d) AS DOUBLE)
+                   END AS chi2_stat
+            FROM ct
+        """,
+        # association rules over per-user type baskets: exact counts
+        # from distinct self-join + dedup exchanges; support/
+        # confidence/lift as single IEEE expressions of exact ints
+        "assoc_rules_event_types": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+            s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nu
+                  FROM events),
+            c AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(count(*) AS BIGINT) AS nab
+                  FROM d a JOIN d b USING (user_id)
+                  WHERE a.event_type <> b.event_type GROUP BY 1, 2)
+            SELECT sa.event_type AS antecedent,
+                   sb.event_type AS consequent,
+                   CAST(coalesce(c.nab, 0) AS BIGINT) AS n_both,
+                   sa.n AS n_antecedent, sb.n AS n_consequent,
+                   (SELECT nu FROM u) AS n_users,
+                   CAST(coalesce(c.nab, 0) AS DOUBLE)
+                       / (SELECT nu FROM u) AS support,
+                   CAST(coalesce(c.nab, 0) AS DOUBLE) / sa.n
+                       AS confidence,
+                   CAST(coalesce(c.nab, 0) AS DOUBLE)
+                       * (SELECT nu FROM u)
+                       / (CAST(sa.n AS DOUBLE) * sb.n) AS lift
+            FROM s sa JOIN s sb ON sa.event_type <> sb.event_type
+            LEFT JOIN c ON c.ta = sa.event_type
+                       AND c.tb = sb.event_type
+            ORDER BY 1, 2
+        """,
+        # binary-segmentation change points over hourly cents sums:
+        # every candidate gain is the SAME fixed-shape IEEE expression
+        # of five exact ints on both sides (HUGEINT squares -> DOUBLE,
+        # three divisions), so argmax + smallest-t tie-break match
+        # deterministically
+        "binseg_changepoints_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            x AS (
+                SELECT hour,
+                       CAST(row_number() OVER (ORDER BY hour)
+                            AS BIGINT) AS idx,
+                       CAST(sum(value_c) OVER (ORDER BY hour
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS pre
+                FROM h
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS hh,
+                          CAST(coalesce(sum(value_c), 0) AS BIGINT) AS tot
+                   FROM h),
+            root AS (
+                SELECT t, hour, nl, nr, sl, sr,
+                       CAST(CAST(sl AS HUGEINT) * sl AS DOUBLE) / nl
+                       + CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / nr
+                       - CAST(CAST((SELECT tot FROM nn) AS HUGEINT)
+                              * (SELECT tot FROM nn) AS DOUBLE)
+                         / (SELECT hh FROM nn) AS gain
+                FROM (SELECT idx AS t, hour, idx AS nl,
+                             (SELECT hh FROM nn) - idx AS nr,
+                             pre AS sl,
+                             (SELECT tot FROM nn) - pre AS sr
+                      FROM x WHERE idx < (SELECT hh FROM nn))
+                ORDER BY gain DESC, t LIMIT 1
+            ),
+            lbest AS (
+                SELECT t, hour, nl, nr, sl, sr,
+                       CAST(CAST(sl AS HUGEINT) * sl AS DOUBLE) / nl
+                       + CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / nr
+                       - CAST(CAST((SELECT sl FROM root) AS HUGEINT)
+                              * (SELECT sl FROM root) AS DOUBLE)
+                         / (SELECT t FROM root) AS gain
+                FROM (SELECT idx AS t, hour, idx AS nl,
+                             (SELECT t FROM root) - idx AS nr,
+                             pre AS sl,
+                             (SELECT sl FROM root) - pre AS sr
+                      FROM x WHERE idx < (SELECT t FROM root))
+                ORDER BY gain DESC, t LIMIT 1
+            ),
+            rbest AS (
+                SELECT t, hour, nl, nr, sl, sr,
+                       CAST(CAST(sl AS HUGEINT) * sl AS DOUBLE) / nl
+                       + CAST(CAST(sr AS HUGEINT) * sr AS DOUBLE) / nr
+                       - CAST(CAST((SELECT tot FROM nn)
+                                   - (SELECT sl FROM root) AS HUGEINT)
+                              * ((SELECT tot FROM nn)
+                                 - (SELECT sl FROM root)) AS DOUBLE)
+                         / ((SELECT hh FROM nn) - (SELECT t FROM root))
+                           AS gain
+                FROM (SELECT idx AS t, hour,
+                             idx - (SELECT t FROM root) AS nl,
+                             (SELECT hh FROM nn) - idx AS nr,
+                             pre - (SELECT sl FROM root) AS sl,
+                             (SELECT tot FROM nn) - pre AS sr
+                      FROM x WHERE idx > (SELECT t FROM root)
+                              AND idx < (SELECT hh FROM nn))
+                ORDER BY gain DESC, t LIMIT 1
+            )
+            SELECT segment, CAST(t AS BIGINT) AS split_idx,
+                   hour AS split_hour,
+                   CAST(nl AS BIGINT) AS n_left,
+                   CAST(nr AS BIGINT) AS n_right,
+                   CAST(sl AS BIGINT) AS sum_left_c,
+                   CAST(sr AS BIGINT) AS sum_right_c,
+                   gain
+            FROM (SELECT 'root' AS segment, * FROM root
+                  UNION ALL SELECT 'left', * FROM lbest
+                  UNION ALL SELECT 'right', * FROM rbest)
+            ORDER BY segment
+        """,
+        # Holt linear smoothing over hourly means: the recursion runs
+        # as a recursive CTE in the engine's exact expression shapes
+        # (literal 0.3/0.7/0.2/0.8 coefficients, l_new repeated inside
+        # b_new) -> sequential IEEE ops, bit-level compare
+        "holt_linear_hourly": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       count(*) AS nh
+                FROM h
+            ),
+            rec(i, l, b) AS (
+                SELECT 1, (SELECT xs[1] FROM arr),
+                       CAST(0.0 AS DOUBLE)
+                UNION ALL
+                SELECT i + 1,
+                       0.3 * xs[i + 1] + 0.7 * (l + b),
+                       0.2 * (0.3 * xs[i + 1] + 0.7 * (l + b) - l)
+                           + 0.8 * b
+                FROM rec, arr
+                WHERE i < (SELECT nh FROM arr)
+            )
+            SELECT CAST((SELECT nh FROM arr) AS BIGINT) AS n_hours,
+                   l AS holt_level, b AS holt_trend,
+                   l + 3.0 * b AS forecast_3h
+            FROM rec WHERE i = (SELECT nh FROM arr)
+        """,
+        # deterministic per-group uniform sample: bottom-k of
+        # md5(event_id) per event_type — membership itself is
+        # SQL-recomputed, the mergeable bottom-k sketch's exactness
+        # claim value-hashed
+        "per_type_sample_events": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                    event_id) AS rk
+                FROM events)
+            SELECT event_type, CAST(rk AS BIGINT) AS sample_rank,
+                   event_id
+            FROM r WHERE rk <= 8 ORDER BY 1, 2
+        """,
+        # Mann-Whitney U rank-sum drift test: exact integer sufficient
+        # statistics (2*midrank sum via rank()+partition count, tie
+        # moment sum(t^3-t)); auc/z are single IEEE expressions of the
+        # exact ints, operand-for-operand the engine's shapes
+        "mannwhitney_drift_events": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_id % 2 = 0
+                                   THEN 1 ELSE 0 END AS is_ref
+                FROM events
+            ),
+            r AS (
+                SELECT is_ref,
+                       rank() OVER (ORDER BY value) AS rmin,
+                       count(*) OVER (PARTITION BY value) AS t
+                FROM u
+            ),
+            s AS (
+                SELECT CAST(sum(is_ref) AS BIGINT) AS n1,
+                       CAST(sum(1 - is_ref) AS BIGINT) AS n2,
+                       CAST(sum(CASE WHEN is_ref = 0
+                                     THEN 2 * rmin + t - 1
+                                     ELSE 0 END) AS BIGINT) AS two_r
+                FROM r
+            ),
+            tt AS (
+                SELECT CAST(coalesce(sum(t * t * t - t), 0) AS BIGINT)
+                           AS tie
+                FROM (SELECT count(*) AS t FROM u GROUP BY value)
+            )
+            SELECT n1 AS n_ref, n2 AS n_prod,
+                   CAST(two_r - n2 * (n2 + 1) AS BIGINT) AS two_u_prod,
+                   tie AS tie_adj,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                        ELSE CAST(two_r - n2 * (n2 + 1) AS DOUBLE)
+                             / CAST(2 * n1 * n2 AS DOUBLE)
+                   END AS auc_prod,
+                   CASE WHEN n1 = 0 OR n2 = 0
+                          OR CAST(n1 AS HUGEINT) * n2
+                             * (CAST(n1 + n2 + 1 AS HUGEINT)
+                                * (n1 + n2) * (n1 + n2 - 1) - tie) = 0
+                        THEN 0.0
+                        ELSE CAST(two_r - n2 * (n2 + 1) - n1 * n2
+                                  AS DOUBLE)
+                             / (2.0 * sqrt(
+                                 CAST(CAST(n1 AS HUGEINT) * n2
+                                      * (CAST(n1 + n2 + 1 AS HUGEINT)
+                                         * (n1 + n2) * (n1 + n2 - 1)
+                                         - tie) AS DOUBLE)
+                                 / CAST(12 * CAST(n1 + n2 AS HUGEINT)
+                                        * (n1 + n2 - 1) AS DOUBLE)))
+                   END AS z_value
+            FROM s, tt
         """,
         # DGIM sliding-window counting (Datar et al. 2002): hourly
         # probe grid (last event us of each hour), exact 6h window

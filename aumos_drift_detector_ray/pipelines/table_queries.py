@@ -589,6 +589,36 @@ def dgim_window_count_audit(sf_dir: str, window_us: int = 21_600_000_000,
     }).sort_values(["event_type", "probe_idx"]).reset_index(drop=True)
 
 
+def per_type_sample_events(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Deterministic per-group uniform sample with ORACLE-EXACT
+    membership: bottom-k of md5(event_id-as-string) per event_type —
+    the bottom-k sketch tier (stages/sample.py, Cohen & Kaplan 2007:
+    hash-order bottom-k is a uniform sample and is MERGEABLE, so
+    partials combine across blocks/partitions in any order) keyed by
+    the SQL-matched md5 recipe (the hash_split/dsir convention).
+    Per-block partials keep <= types x k rows; the driver fold is
+    bounded by OUTPUT size, never input. SQL recomputes membership
+    via row_number() over md5(CAST(event_id AS VARCHAR))."""
+    ds = sf_table(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(h=[hashlib.md5(str(int(e)).encode()).hexdigest()
+                        for e in b.event_id])
+        return (b.sort_values(["event_type", "h", "event_id"])
+                .groupby("event_type", as_index=False).head(k))
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    top = (parts.sort_values(["event_type", "h", "event_id"])
+           .groupby("event_type", as_index=False).head(k))
+    top = top.assign(sample_rank=top.groupby("event_type").cumcount() + 1)
+    return pd.DataFrame({
+        "event_type": top.event_type,
+        "sample_rank": top.sample_rank.astype("int64"),
+        "event_id": top.event_id.astype("int64"),
+    }).sort_values(["event_type", "sample_rank"]).reset_index(drop=True)
+
+
 def hourly_event_counts(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour event-time window counts (windowed aggregate as
     bucket groupby)."""
@@ -993,6 +1023,49 @@ def anderson_darling_events(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "a2akn": [float(round_half_away(r["ad_a2akn"], 6))],
         "tn": [float(round_half_away(tn, 6))],
+    })
+
+
+def mannwhitney_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum drift test between the
+    halves (event_id parity, the engine's standard ref/prod split) —
+    the rank-based two-sample tier beside KS/W1/AD (reference
+    adapters/statistical_tests family capability): 2·U, the
+    tie-corrected normal z, and the prod-side AUC (= P(prod > ref) +
+    ½·P(prod = ref), the probabilistic-index reading of U), all from
+    EXACT integer sufficient statistics via the distributed rank-sum
+    scan (stages/scan.rank_sum_stats — grouped distinct-value counts,
+    one sort, python-int partials; no overflow at any scale).
+    ``two_u_prod`` = 2·U keeps midrank halves integral; ``auc_prod``
+    and ``z_value`` are single IEEE expressions of exact ints mirrored
+    operand-for-operand in SQL (per-operand DOUBLE casts, one
+    division, one correctly-rounded sqrt — no rounding contract)."""
+    import math
+
+    from ..stages.scan import rank_sum_stats
+
+    r = rank_sum_stats(_events_two_sample(sf_dir))
+    n1, n2 = r["n_ref"], r["n_prod"]
+    n = n1 + n2
+    two_u = r["two_r_prod"] - n2 * (n2 + 1)
+    tie = r["tie_sum"]
+    if n1 == 0 or n2 == 0:
+        auc = z = 0.0
+    else:
+        auc = float(two_u) / float(2 * n1 * n2)
+        sig_num = n1 * n2 * ((n + 1) * n * (n - 1) - tie)
+        sig_den = 12 * n * (n - 1)
+        z = (0.0 if sig_num == 0 else
+             float(two_u - n1 * n2)
+             / (2.0 * math.sqrt(float(sig_num) / float(sig_den))))
+    assert 0 <= two_u <= 2 ** 62 and 0 <= tie < 2 ** 62, \
+        "rank-sum statistic exceeds int64 — widen the output columns"
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "two_u_prod": [np.int64(two_u)],
+        "tie_adj": [np.int64(tie)],
+        "auc_prod": [float(auc)],
+        "z_value": [float(z)],
     })
 
 
@@ -6949,6 +7022,334 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
         "argmax_hour": [pd.Timestamp(hourly.hour.iloc[i])
                         .to_datetime64().astype("datetime64[us]")],
     })
+
+
+def holt_linear_hourly(sf_dir: str) -> pd.DataFrame:
+    """Holt's linear (double exponential) smoothing over the hourly
+    mean-value series — the trend-analyzer tier beside OLS slope /
+    CUSUM / EWMA (reference trend_analyzer.py capability family):
+    level l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1}), trend
+    b_t = γ(l_t−l_{t−1}) + (1−γ)b_{t−1}, initialized l_1=x_1, b_1=0,
+    reporting the final level/trend and the 3-step-ahead forecast
+    l+3b. Hourly means come from exact cents partials (the
+    cusum_hourly_mean shuffle); the recursion itself is O(#hours) and
+    runs on the driver in EXACTLY the SQL oracle's recursive-CTE
+    expression shapes (α/1−α as literals, l_new expression repeated
+    inside b_new) — sequential IEEE ops, so the compare is bit-level
+    with no rounding contract. At 10^12 rows #hours stays bounded by
+    the time span, not the row count."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    l, b = float(x[0]), 0.0
+    for xv in x[1:]:
+        xv = float(xv)
+        l_new = 0.3 * xv + 0.7 * (l + b)
+        b = 0.2 * (0.3 * xv + 0.7 * (l + b) - l) + 0.8 * b
+        l = l_new
+    return pd.DataFrame({
+        "n_hours": [np.int64(len(x))],
+        "holt_level": [float(l)],
+        "holt_trend": [float(b)],
+        "forecast_3h": [float(l + 3.0 * b)],
+    })
+
+
+def moods_median_drift(sf_dir: str) -> pd.DataFrame:
+    """Mood's median two-sample drift test between the halves (Mood
+    1950; the nonparametric location test beside Mann-Whitney in the
+    rank tier): the threshold is the EXACT global median order
+    statistic (scan.exact_quantiles inverted_cdf — an actual data
+    value, so the > m split is bit-exact on both sides), the 2x2
+    contingency (above vs at-or-below × ref vs prod) folds from
+    per-block partials against the broadcast threshold, and the chi2
+    statistic (no continuity correction) is one IEEE expression of
+    the exact integer counts (HUGEINT products in SQL)."""
+    from ..stages.scan import exact_quantiles
+
+    ds = _events_two_sample(sf_dir)
+    m = float(exact_quantiles(ds, "value", [0.5], method="inverted_cdf")[0])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        above = b.value.to_numpy(np.float64) > m
+        is_ref = b.is_ref.to_numpy(bool)
+        return pd.DataFrame({
+            "a": [int((above & is_ref).sum())],
+            "b": [int((above & ~is_ref).sum())],
+            "c": [int((~above & is_ref).sum())],
+            "d": [int((~above & ~is_ref).sum())],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    a, b_, c, d = (int(p[k].sum()) for k in ("a", "b", "c", "d"))
+    n = a + b_ + c + d
+    den = (a + b_) * (c + d) * (a + c) * (b_ + d)
+    assert den < 2 ** 125, "contingency product exceeds HUGEINT"
+    chi2 = (0.0 if den == 0
+            else float(n * (a * d - b_ * c) ** 2) / float(den))
+    return pd.DataFrame({
+        "median_value": [float(m)],
+        "ref_above": [np.int64(a)], "prod_above": [np.int64(b_)],
+        "ref_at_or_below": [np.int64(c)],
+        "prod_at_or_below": [np.int64(d)],
+        "chi2_stat": [float(chi2)],
+    })
+
+
+def assoc_rules_event_types(sf_dir: str) -> pd.DataFrame:
+    """Association rules over per-user event-type baskets (Agrawal &
+    Srikant 1994): one rule per ORDERED type pair a→b with
+    support / confidence / lift. All counts come from proven
+    distributed tiers — pair intersections from the user-hash-bucketed
+    self-join (type_pair_user_jaccard's exchange), per-type and global
+    distinct users from the bucketed dedup exchange — and the three
+    metrics are single IEEE expressions of the exact integers mirrored
+    operand-for-operand in SQL. Zero-support pairs stay in the grid
+    (SQL's LEFT JOIN)."""
+    from ..sketches import hash64
+
+    pairs = type_pair_user_jaccard(sf_dir)      # t1 < t2, n_common
+    singles = distinct_users_per_type(sf_dir)   # (event_type, n_users)
+
+    ds = sf_table(sf_dir, "events", columns=["user_id"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        return d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    nu = int(ds.map_batches(dedup, batch_format="pandas",
+                            batch_size=65536)
+             .groupby("bucket").map_groups(
+                 lambda g: pd.DataFrame(
+                     {"n": [g.user_id.nunique()]}),
+                 batch_format="pandas").to_pandas().n.sum())
+
+    nab = {}
+    for t1, t2, nc in zip(pairs.t1, pairs.t2, pairs.n_common):
+        nab[(t1, t2)] = nab[(t2, t1)] = int(nc)
+    ns = dict(zip(singles.event_type, (int(v) for v in singles.n_users)))
+    types = sorted(ns)
+    rows = []
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            k = nab.get((a, b), 0)
+            rows.append({
+                "antecedent": a, "consequent": b,
+                "n_both": k, "n_antecedent": ns[a],
+                "n_consequent": ns[b], "n_users": nu,
+                "support": float(k) / float(nu),
+                "confidence": float(k) / float(ns[a]),
+                "lift": float(k) * float(nu)
+                        / (float(ns[a]) * float(ns[b])),
+            })
+    out = pd.DataFrame(rows)
+    for col in ("n_both", "n_antecedent", "n_consequent", "n_users"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values(["antecedent", "consequent"]) \
+        .reset_index(drop=True)
+
+
+def cramers_v_type_band(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V association between event_type and the fixed value
+    band (the categorical-association tier beside chi2_events_type —
+    reference chi_squared.py capability family): full contingency
+    chi2 with expected = row·col/n, V = sqrt(chi2/(n·min(r−1,k−1))).
+    Counts are exact ints from bounded per-block partials (grid-sized
+    driver fold); chi2 carries the chi2_events_type round(9) contract
+    (cell terms are fixed-shape doubles but the cell SUM order differs
+    between numpy and SQL — ulps only, counts-scale magnitudes), and V
+    derives from the ROUNDED chi2 on both sides so the sqrt stays
+    deterministic. Bands: value < 5 / < 10 / < 20 / rest (band edges
+    are fuzz-planted mass points)."""
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        band = np.searchsorted([5.0, 10.0, 20.0],
+                               b.value.to_numpy(np.float64), side="right")
+        return pd.DataFrame({"event_type": b.event_type, "band": band}) \
+            .groupby(["event_type", "band"], as_index=False).size()
+
+    ct = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas() \
+        .groupby(["event_type", "band"], as_index=False)["size"].sum() \
+        .rename(columns={"size": "o"})
+    piv = ct.pivot_table(index="event_type", columns="band", values="o",
+                         fill_value=0, aggfunc="sum").sort_index()
+    piv = piv[sorted(piv.columns)]
+    obs = piv.to_numpy(np.int64)
+    rtot = obs.sum(axis=1).astype(np.int64)
+    ctot = obs.sum(axis=0).astype(np.int64)
+    n = int(obs.sum())
+    # cell terms in (type asc, band asc) order; SQL sums the same
+    # doubles in its own order -> round(9) absorbs the ulps
+    chi2 = 0.0
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            e = float(int(rtot[i]) * int(ctot[j])) / float(n)
+            d = float(obs[i, j]) - e
+            chi2 += d * d / e  # explicit d*d: float ** may be libm pow
+    chi2_r = float(round_half_away(chi2, 9))
+    r, k = obs.shape
+    m = min(r - 1, k - 1)
+    v = (0.0 if m == 0
+         else float(round_half_away(
+             float(np.sqrt(chi2_r / float(n * m))), 9)))
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n_types": [np.int64(r)],
+        "n_bands": [np.int64(k)],
+        "chi2_stat": [chi2_r], "cramers_v": [v],
+    })
+
+
+def seasonal_strength_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hour-of-day seasonality strength (one-way ANOVA eta² with
+    hour-of-day as the factor — the seasonality-detection tier beside
+    the trend analyzer's OLS/CUSUM): per-hod exact integer sufficient
+    statistics (n_h, Σcents from int64 partials, Σcents² as
+    arbitrary-precision python ints shipped as strings), then
+    eta² = SSB/SST with SSB = Σ_h S_h²/n_h − S²/n and
+    SST = Σc² − S²/n. The per-hod (n_events, sum_value_c) columns are
+    EXACT; eta² rounds at 6 decimals on BOTH sides — the 24-term SSB
+    sum order differs between numpy and SQL by ulps, and eta² ∈ [0,1]
+    keeps 6dp ~9 orders above one ulp (the wasserstein W1 contract
+    rationale)."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"hod": b.ts.dt.hour.to_numpy(np.int64), "c": c}) \
+            .groupby("hod")
+        rows = []
+        for h, sub in g:
+            cs = sub.c.to_numpy(np.int64)
+            # exact squares: cents with planted 1e9 values square past
+            # int64 — python-int fold, shipped as a string
+            sq = sum(int(x) * int(x) for x in cs)
+            rows.append((int(h), len(cs), int(cs.sum()), str(sq)))
+        return pd.DataFrame(rows, columns=["hod", "n", "s_c", "sq"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg = parts.groupby("hod").agg(
+        n=("n", "sum"), s_c=("s_c", "sum")).sort_index()
+    sq_total = sum(int(s) for s in parts.sq)
+    n = int(agg.n.sum())
+    s = int(agg.s_c.sum())
+    ssb = sum(float(int(r.s_c) * int(r.s_c)) / float(int(r.n))
+              for r in agg.itertuples()) - float(s * s) / float(n)
+    sst = float(sq_total) - float(s * s) / float(n)
+    eta2 = 0.0 if sst <= 0.0 else float(round_half_away(ssb / sst, 6))
+    out = pd.DataFrame({
+        "hod": agg.index.to_numpy(np.int64),
+        "n_events": agg.n.to_numpy(np.int64),
+        "sum_value_c": agg.s_c.to_numpy(np.int64),
+    })
+    out["eta2_value"] = eta2
+    return out.sort_values("hod").reset_index(drop=True)
+
+
+def binseg_changepoints_hourly(sf_dir: str) -> pd.DataFrame:
+    """Binary-segmentation change-point detection (Scott & Knott 1974;
+    the top-down companion of CUSUM in the trend-analyzer tier) over
+    the hourly total-value series, depth 2 (up to 3 change points):
+    split at the t maximizing the L2 cost reduction
+    gain(t) = S_L²/n_L + S_R²/n_R − S²/n (the Σx² term cancels), then
+    split each side once more. The series is hourly CENTS SUMS — exact
+    integers from one pre-aggregated exchange — and every gain is a
+    FIXED-SHAPE IEEE expression of five exact ints (two casts, three
+    divisions), so the argmax (ties → smallest t) is deterministic and
+    the SQL oracle reproduces the exact same choice operand-for-
+    operand. Segments shorter than 2 hours are not split (row
+    omitted); #hours is bounded by the time span, so the O(H) argmax
+    runs on the driver."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    c = [int(v) for v in hourly.value_c]  # exact python ints
+    H = len(c)
+    pre = [0]
+    for v in c:
+        pre.append(pre[-1] + v)
+    assert all(abs(p) < 2 ** 62 for p in pre), \
+        "hourly cents prefix exceeds int64 — widen the output columns"
+
+    def best_split(a: int, b: int):
+        """argmax gain over t in [a, b-1] for segment [a, b], 1-based
+        inclusive; ties by smallest t. Returns None when len < 2."""
+        n = b - a + 1
+        if n < 2:
+            return None
+        s = pre[b] - pre[a - 1]
+        best = None
+        for t in range(a, b):
+            nl = t - a + 1
+            nr = b - t
+            sl = pre[t] - pre[a - 1]
+            sr = s - sl
+            gain = (float(sl * sl) / float(nl)
+                    + float(sr * sr) / float(nr)
+                    - float(s * s) / float(n))
+            if best is None or gain > best[0]:
+                best = (gain, t, nl, nr, sl, sr)
+        g, t, nl, nr, sl, sr = best
+        return {"split_idx": t, "split_hour": hourly.hour.iloc[t - 1],
+                "n_left": nl, "n_right": nr, "sum_left_c": sl,
+                "sum_right_c": sr, "gain": g}
+
+    rows = []
+    root = best_split(1, H)
+    if root is not None:
+        rows.append(("root", root))
+        t1 = root["split_idx"]
+        left = best_split(1, t1)
+        if left is not None:
+            rows.append(("left", left))
+        right = best_split(t1 + 1, H)
+        if right is not None:
+            rows.append(("right", right))
+    return pd.DataFrame({
+        "segment": [k for k, _ in rows],
+        "split_idx": pd.Series([r["split_idx"] for _, r in rows],
+                               dtype="int64"),
+        "split_hour": pd.Series(
+            [pd.Timestamp(r["split_hour"]).to_datetime64()
+             for _, r in rows], dtype="datetime64[us]"),
+        "n_left": pd.Series([r["n_left"] for _, r in rows], dtype="int64"),
+        "n_right": pd.Series([r["n_right"] for _, r in rows], dtype="int64"),
+        "sum_left_c": pd.Series([r["sum_left_c"] for _, r in rows],
+                                dtype="int64"),
+        "sum_right_c": pd.Series([r["sum_right_c"] for _, r in rows],
+                                 dtype="int64"),
+        "gain": pd.Series([r["gain"] for _, r in rows], dtype="float64"),
+    }).sort_values("segment").reset_index(drop=True)
 
 
 def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:

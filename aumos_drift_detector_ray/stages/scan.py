@@ -214,6 +214,98 @@ def two_sample_order_stats(
     }
 
 
+def rank_sum_stats(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    ref_col: str = "is_ref",
+) -> dict[str, int]:
+    """Exact Wilcoxon/Mann-Whitney rank-sum sufficient statistics in
+    one distributed scan — the rank-based two-sample drift tier beside
+    the ECDF scan (:func:`two_sample_order_stats`). Returns EXACT
+    python ints (arbitrary precision — no overflow at any scale):
+
+    * ``two_r_prod`` = 2 x the prod-sample midrank sum: per distinct
+      value v with t_v total occurrences, the average rank is
+      C_lt(v) + (t_v + 1)/2, so each prod occurrence contributes
+      2*C_le(v) − t_v + 1 — integers throughout;
+    * ``tie_sum`` = Σ_v (t_v³ − t_v), the tie-correction moment of the
+      normal approximation's variance;
+    * ``n_ref`` / ``n_prod``.
+
+    Same shape as the ECDF scan: grouped distinct-value counts, one
+    sort, pass A block summaries → offsets broadcast, pass B per-block
+    contributions. Pass-B partials fold in python-int space and ship
+    as strings (the arbitrary-precision pattern of
+    :func:`prefix_sums_at_ranks`)."""
+    counts = grouped_two_sample_counts(ds, value_col, ref_col)
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "rc": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_val": pa.array([float(v[0])], pa.float64()),
+            "rc": pa.array([int(b["rc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+            "pc": pa.array([int(b["pc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+        })
+
+    summary = (
+        sorted_counts.map_batches(summarize, batch_format="pyarrow",
+                                  batch_size=None)
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    )
+    n_ref = int(summary.rc.sum()) if len(summary) else 0
+    n_prod = int(summary.pc.sum()) if len(summary) else 0
+    if len(summary) == 0:
+        return {"two_r_prod": 0, "tie_sum": 0, "n_ref": 0, "n_prod": 0}
+    mins = summary.min_val.to_numpy()
+    rc_off = np.concatenate([[0], np.cumsum(summary.rc.to_numpy())[:-1]])
+    pc_off = np.concatenate([[0], np.cumsum(summary.pc.to_numpy())[:-1]])
+    bc = ray.put({"mins": mins, "rc_off": rc_off, "pc_off": pc_off})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({"two_r": pa.array([], pa.string()),
+                          "ties": pa.array([], pa.string())})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = b["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(info["mins"], v[0]))
+        assert i < len(info["mins"]) and info["mins"][i] == v[0], (
+            "pass-B batch does not start at a pass-A block boundary — "
+            "Ray Data bundling changed; offsets would be wrong"
+        )
+        cr = int(info["rc_off"][i]) + np.cumsum(rc)
+        cp = int(info["pc_off"][i]) + np.cumsum(pc_)
+        # python-int fold over the block's DISTINCT values (bounded by
+        # block rows; exact at any scale — n^2-sized terms overflow
+        # int64 past ~3e9 rows)
+        t = rc + pc_
+        c_le = cr + cp
+        two_r = sum(int(p) * (2 * int(c) - int(tt) + 1)
+                    for p, c, tt in zip(pc_, c_le, t) if p)
+        ties = sum(int(tt) ** 3 - int(tt) for tt in t)
+        return pa.table({"two_r": pa.array([str(two_r)], pa.string()),
+                         "ties": pa.array([str(ties)], pa.string())})
+
+    parts = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return {
+        "two_r_prod": sum(int(s) for s in parts.two_r),
+        "tie_sum": sum(int(s) for s in parts.ties),
+        "n_ref": n_ref,
+        "n_prod": n_prod,
+    }
+
+
 def grouped_distinct_counts(
     ds: ray.data.Dataset,
     cols: list[str],

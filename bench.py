@@ -258,6 +258,14 @@ def run_queries() -> dict[str, float]:
         "image_feature_drift_audit", "kmv_intersection_audit",
         "lineage_resume_audit", "ddsketch_quantile_audit",
         "join_size_estimate_audit",
+        # round-5 session-7 operators: DGIM window audit, rank-based
+        # drift (Mann-Whitney / Mood), sampling/forecast/change-point/
+        # association tiers
+        "dgim_window_count_audit", "mannwhitney_drift_events",
+        "per_type_sample_events", "holt_linear_hourly",
+        "binseg_changepoints_hourly", "moods_median_drift",
+        "assoc_rules_event_types", "cramers_v_type_band",
+        "seasonal_strength_hourly",
     ]
     qs = E.queries()
     out = {}

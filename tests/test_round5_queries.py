@@ -405,3 +405,250 @@ class TestDgimWindowCountAudit:
         assert out.within_bound.all() and out.containment_ok.all()
         # 15-minute window at hourly probes: counts far below totals
         assert out.exact_cnt.max() < len(out) * 50
+
+
+def _write_events(d: str, ts, values, types=None, users=None) -> None:
+    n = len(values)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(ts).astype("datetime64[us]")),
+        "user_id": pa.array((users if users is not None
+                             else np.zeros(n)).astype(np.int64)),
+        "event_type": pa.array(types if types is not None
+                               else ["click"] * n, pa.string()),
+        "value": pa.array(np.asarray(values, dtype=np.float64)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), os.path.join(d, "events.parquet"))
+    for f in os.listdir(SF):
+        if f.endswith(".parquet") and f != "events.parquet":
+            os.symlink(os.path.join(SF, f), os.path.join(d, f))
+
+
+class TestMannWhitneyDriftEvents:
+    def test_matches_bruteforce_pair_count(self, ray_session):
+        """2U must equal 2·#{prod>ref} + #{prod==ref} by O(n^2)
+        numpy broadcast over the clean values of the parity split."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.mannwhitney_drift_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        ref = df.loc[df.event_id % 2 == 0, "value"].to_numpy()
+        prod = df.loc[df.event_id % 2 == 1, "value"].to_numpy()
+        gt = int((prod[:, None] > ref[None, :]).sum())
+        eq = int((prod[:, None] == ref[None, :]).sum())
+        assert int(out.two_u_prod[0]) == 2 * gt + eq
+        assert (int(out.n_ref[0]), int(out.n_prod[0])) == \
+            (len(ref), len(prod))
+        assert 0.0 <= out.auc_prod[0] <= 1.0
+        assert np.isfinite(out.z_value[0])
+
+    def test_planted_shift_drives_z(self, ray_session):
+        """prod values shifted far above ref: AUC -> 1, z large
+        positive; identical halves: AUC exactly 1/2, z exactly 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=400, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            v = np.where(np.arange(400) % 2 == 0, 1.0, 100.0)
+            _write_events(d, ts, v)
+            out = Q.mannwhitney_drift_events(d)
+            assert out.auc_prod[0] == 1.0
+            assert out.z_value[0] > 10
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(400, 7.25))
+            out = Q.mannwhitney_drift_events(d)
+            assert out.auc_prod[0] == 0.5
+            assert out.z_value[0] == 0.0  # all-tied: sigma guard
+
+
+class TestPerTypeSampleEvents:
+    def test_membership_matches_md5_order(self, ray_session):
+        import hashlib as _h
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.per_type_sample_events(SF)
+        df = duckdb.sql(
+            f"SELECT event_type, event_id FROM '{SF}/events.parquet'"
+        ).df()
+        df["h"] = [_h.md5(str(int(e)).encode()).hexdigest()
+                   for e in df.event_id]
+        exp = (df.sort_values(["event_type", "h", "event_id"])
+               .groupby("event_type").head(8))
+        for t, sub in out.groupby("event_type"):
+            want = exp[exp.event_type == t].event_id.tolist()
+            assert sub.sort_values("sample_rank").event_id.tolist() == want
+        assert (out.groupby("event_type").size() <= 8).all()
+
+
+class TestHoltLinearHourly:
+    def test_tracks_linear_ramp(self, ray_session):
+        """On an exact linear hourly ramp Holt's trend converges to
+        the slope and the level to the last point."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=200, freq="h")
+        v = 10.0 + 2.0 * np.arange(200)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.holt_linear_hourly(d)
+            assert int(out.n_hours[0]) == 200
+            assert abs(out.holt_trend[0] - 2.0) < 0.01
+            assert abs(out.holt_level[0] - v[-1]) < 0.5
+            assert out.forecast_3h[0] == \
+                out.holt_level[0] + 3.0 * out.holt_trend[0]
+
+    def test_constant_series_zero_trend(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=50, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(50, 4.0))
+            out = Q.holt_linear_hourly(d)
+            assert abs(out.holt_trend[0]) < 1e-12
+            assert abs(out.holt_level[0] - 4.0) < 1e-9
+
+
+class TestBinsegChangepointsHourly:
+    def test_finds_planted_level_shifts(self, ray_session):
+        """Series with two planted level shifts: root split lands on
+        the dominant shift, child splits on the secondary ones."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=120, freq="h")
+        v = np.concatenate([np.full(40, 5.0), np.full(50, 50.0),
+                            np.full(30, 5.0)])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.binseg_changepoints_hourly(d)
+            root = out[out.segment == "root"].iloc[0]
+            # dominant boundary is one of the two planted shifts
+            assert int(root.split_idx) in (40, 90)
+            splits = set(out.split_idx.astype(int))
+            assert {40, 90} <= splits
+            # exact partition bookkeeping
+            for _, r in out.iterrows():
+                assert r.n_left + r.n_right >= 2
+                assert r.n_left >= 1 and r.n_right >= 1
+
+    def test_constant_series_ties_break_smallest_t(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=10, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(10, 3.0))
+            out = Q.binseg_changepoints_hourly(d)
+            root = out[out.segment == "root"].iloc[0]
+            assert int(root.split_idx) == 1  # all gains 0 -> smallest t
+            assert root.gain == 0.0
+            # left child segment has length 1 -> omitted
+            assert "left" not in set(out.segment)
+
+    def test_short_series_no_split(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=1, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.array([9.0]))
+            out = Q.binseg_changepoints_hourly(d)
+            assert len(out) == 0
+
+
+class TestMoodsMedianDrift:
+    def test_counts_match_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.moods_median_drift(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        m = out.median_value[0]
+        # the threshold is an actual data value at the 0.5 rank
+        v = np.sort(df.value.to_numpy())
+        assert m == v[int(np.ceil(len(v) * 0.5 - 1e-9)) - 1]
+        ref = df[df.event_id % 2 == 0].value.to_numpy()
+        prod = df[df.event_id % 2 == 1].value.to_numpy()
+        assert int(out.ref_above[0]) == int((ref > m).sum())
+        assert int(out.prod_above[0]) == int((prod > m).sum())
+        assert int(out.ref_at_or_below[0]) == int((ref <= m).sum())
+        assert out.chi2_stat[0] >= 0.0
+
+    def test_identical_halves_zero_chi2(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=200, freq="min")
+        v = np.tile([1.0, 1.0, 9.0, 9.0], 50)  # halves identical
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.moods_median_drift(d)
+            assert out.chi2_stat[0] == 0.0
+
+
+class TestAssocRulesEventTypes:
+    def test_metrics_from_exact_counts(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.assoc_rules_event_types(SF)
+        nu = int(duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+        ).fetchone()[0])
+        assert (out.n_users == nu).all()
+        # confidence(a->b)*n_a == n_both exactly; lift symmetric
+        for _, r in out.iterrows():
+            assert r.confidence == float(r.n_both) / float(r.n_antecedent)
+            rev = out[(out.antecedent == r.consequent)
+                      & (out.consequent == r.antecedent)].iloc[0]
+            assert r.n_both == rev.n_both and r.lift == rev.lift
+        # grid covers every ordered pair
+        k = out.antecedent.nunique()
+        assert len(out) == k * (k - 1)
+
+
+class TestCramersVTypeBand:
+    def test_perfect_association_is_one(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=300, freq="min")
+        types = np.where(np.arange(300) % 2 == 0, "click", "error")
+        v = np.where(np.arange(300) % 2 == 0, 1.0, 50.0)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v, types=types)
+            out = Q.cramers_v_type_band(d)
+            assert out.cramers_v[0] == 1.0
+        # independence: value band constant -> m = 0 -> V = 0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(300, 2.0), types=types)
+            out = Q.cramers_v_type_band(d)
+            assert out.cramers_v[0] == 0.0 and out.chi2_stat[0] == 0.0
+
+
+class TestSeasonalStrengthHourly:
+    def test_pure_seasonal_signal_near_one(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # value is a pure function of hour-of-day -> eta2 == 1 exactly
+        ts = pd.date_range("2024-01-01", periods=24 * 20, freq="h")
+        v = (ts.hour * 3.0 + 1.0).to_numpy(dtype=float)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.seasonal_strength_hourly(d)
+            assert len(out) == 24
+            assert (out.n_events == 20).all()
+            assert (out.eta2_value == 1.0).all()
+        # constant value -> sst = 0 -> guarded 0.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(480, 7.0))
+            out = Q.seasonal_strength_hourly(d)
+            assert (out.eta2_value == 0.0).all()

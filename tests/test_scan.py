@@ -407,3 +407,54 @@ class TestGlobalRank:
              "v": pd.Series([], dtype="float64")}))
         _, total0 = global_rank(empty, "v")
         assert total0 == 0
+
+
+class TestRankSumStats:
+    """Mann-Whitney sufficient statistics vs O(n^2) brute force —
+    2U = 2*#{prod > ref} + #{prod == ref}, tie moment from exact
+    value counts."""
+
+    def _brute(self, ref, prod):
+        gt = sum(int(p > r) for p in prod for r in ref)
+        eq = sum(int(p == r) for p in prod for r in ref)
+        vals, cnt = np.unique(np.concatenate([ref, prod]),
+                              return_counts=True)
+        return 2 * gt + eq, int((cnt.astype(object) ** 3 - cnt).sum())
+
+    @pytest.mark.parametrize("tied", [False, True])
+    def test_matches_bruteforce(self, ray_session, tied):
+        rng = np.random.default_rng(3)
+        ref = rng.normal(size=180)
+        prod = rng.normal(0.4, 1.2, size=150)
+        if tied:
+            ref = np.round(ref, 1)
+            prod = np.round(prod, 1)
+        r = scan.rank_sum_stats(_two_sample_ds(ref, prod))
+        two_u_brute, tie_brute = self._brute(ref, prod)
+        two_u = r["two_r_prod"] - r["n_prod"] * (r["n_prod"] + 1)
+        assert two_u == two_u_brute
+        assert r["tie_sum"] == tie_brute
+        assert (r["n_ref"], r["n_prod"]) == (180, 150)
+
+    def test_all_tied_and_one_sided(self, ray_session):
+        # all values identical: AUC must be exactly 1/2 (2U = n1*n2)
+        ref = np.full(60, 3.5)
+        prod = np.full(40, 3.5)
+        r = scan.rank_sum_stats(_two_sample_ds(ref, prod, blocks=5))
+        two_u = r["two_r_prod"] - r["n_prod"] * (r["n_prod"] + 1)
+        assert two_u == 60 * 40
+        n = 100
+        assert r["tie_sum"] == n ** 3 - n
+        # one-sided: empty prod -> zero statistics
+        r2 = scan.rank_sum_stats(_two_sample_ds(ref, np.array([])))
+        assert r2["n_prod"] == 0 and (
+            r2["two_r_prod"] - 0 == 0 or r2["two_r_prod"] >= 0)
+
+    def test_complete_separation(self, ray_session):
+        # prod entirely above ref: 2U = 2*n1*n2 (AUC exactly 1)
+        ref = np.arange(50, dtype=float)
+        prod = np.arange(100, 140, dtype=float)
+        r = scan.rank_sum_stats(_two_sample_ds(ref, prod, blocks=4))
+        two_u = r["two_r_prod"] - r["n_prod"] * (r["n_prod"] + 1)
+        assert two_u == 2 * 50 * 40
+        assert r["tie_sum"] == 0

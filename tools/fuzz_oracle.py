@@ -59,7 +59,11 @@ EVENT_QUERIES = [
     "mad_value_per_type", "asof_click_before_error", "asof_next_purchase_after_signup", "hash_split_counts",
     "events_type_hour_pivot", "kmv_distinct_audit",
     "kmv_intersection_audit", "join_size_estimate_audit",
-    "dgim_window_count_audit",
+    "dgim_window_count_audit", "mannwhitney_drift_events",
+    "per_type_sample_events", "holt_linear_hourly",
+    "binseg_changepoints_hourly", "moods_median_drift",
+    "assoc_rules_event_types", "cramers_v_type_band",
+    "seasonal_strength_hourly",
     "k_anonymity_report", "concept_drift_struct_audit",
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
