@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules_event_types": Q.assoc_rules_event_types,
         "cramers_v_type_band": Q.cramers_v_type_band,
         "seasonal_strength_hourly": Q.seasonal_strength_hourly,
+        "pagerank_transitions": Q.pagerank_transitions,
+        "jaro_winkler_part_names": Q.jaro_winkler_part_names,
     }
 
 
@@ -2183,6 +2185,80 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_selfjoin_upper_ok,
                    TRUE AS cms_refprod_upper_ok
             FROM c
+        """,
+        # Jaro-Winkler fuzzy matching: the engine kernel is bit-exact
+        # vs DuckDB's jaro_winkler_similarity (probed), so keep
+        # decisions and similarity values need no rounding contract
+        "jaro_winkler_part_names": """
+            WITH d AS (SELECT DISTINCT p_brand,
+                              coalesce(p_name, '') AS name
+                       FROM part)
+            SELECT a.p_brand, a.name AS name_a, b.name AS name_b,
+                   jaro_winkler_similarity(a.name, b.name) AS jw
+            FROM d a JOIN d b ON a.p_brand = b.p_brand
+                              AND a.name < b.name
+            WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+            ORDER BY 1, 2, 3
+        """,
+        # PageRank over the event-type transition graph: exact integer
+        # edge weights; the power iteration is a recursive CTE over a
+        # DOUBLE rank list with LEFT-fold list_reduce sums in node
+        # order — bit-level vs the engine's identical driver loop
+        "pagerank_transitions": """
+            WITH RECURSIVE o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            ti AS (SELECT event_type,
+                          CAST(row_number() OVER (ORDER BY event_type)
+                               AS BIGINT) AS i
+                   FROM (SELECT DISTINCT event_type FROM events)),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ti),
+            w AS (SELECT prev_type, event_type, count(*) AS c
+                  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            od AS (SELECT a.i AS k,
+                          CAST(coalesce(sum(w.c), 0) AS BIGINT) AS deg
+                   FROM ti a LEFT JOIN w ON w.prev_type = a.event_type
+                   GROUP BY a.i),
+            cell AS (SELECT a.i AS k, b.i AS j,
+                            CASE WHEN od.deg = 0 THEN CAST(0 AS DOUBLE)
+                                 ELSE CAST(coalesce(w.c, 0) AS DOUBLE)
+                                      / od.deg END AS p
+                     FROM ti a CROSS JOIN ti b
+                     JOIN od ON od.k = a.i
+                     LEFT JOIN w ON w.prev_type = a.event_type
+                                AND w.event_type = b.event_type),
+            rws AS (SELECT k, list(p ORDER BY j) AS row_p
+                    FROM cell GROUP BY k),
+            mat AS (SELECT list(row_p ORDER BY k) AS m FROM rws),
+            degl AS (SELECT list(deg ORDER BY k) AS dl FROM od),
+            init AS (SELECT list_transform(range(1, n + 1),
+                            x -> CAST(1.0 AS DOUBLE) / n) AS r0
+                     FROM nn),
+            rec(it, r) AS (
+                SELECT 1, (SELECT r0 FROM init)
+                UNION ALL
+                SELECT it + 1,
+                       list_transform(range(1, n + 1), j ->
+                           0.15 / n + 0.85 * (
+                             list_reduce(
+                               list_transform(range(1, n + 1), k ->
+                                   m[k][j] * r[k]),
+                               (a, b) -> a + b)
+                             + list_reduce(
+                               list_transform(range(1, n + 1), k ->
+                                   CASE WHEN dl[k] = 0 THEN r[k]
+                                        ELSE CAST(0 AS DOUBLE) END),
+                               (a, b) -> a + b) / n))
+                FROM rec, nn, mat, degl WHERE it < 12
+            )
+            SELECT ti.event_type,
+                   (SELECT dl FROM degl)[ti.i] AS out_transitions,
+                   (SELECT r FROM rec WHERE it = 12)[ti.i] AS pagerank,
+                   TRUE AS rank_sum_ok
+            FROM ti ORDER BY 1
         """,
         # Cramér's V over event_type x fixed value band: exact counts,
         # chi2 with the chi2_events_type round(9) contract, V derived

@@ -63,3 +63,53 @@ def levenshtein_many(a: "list[str]", b: "list[str]") -> np.ndarray:
             out[rows[done]] = cur[done, blen[done]]
         prev, cur = cur, prev
     return out
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity (Winkler 1990), mirroring DuckDB's
+    ``jaro_winkler_similarity`` BIT-EXACTLY (probed over 5000 random
+    pairs): standard Jaro with the max(l1,l2)//2 - 1 matching window,
+    t // 2 transpositions, the 0.7 boost threshold and 4-char prefix
+    at 0.1 weight; any empty side (including both-empty) scores 0.0.
+    Per-pair scalar kernel — use over vocabulary-bounded candidate
+    sets (the blocked entity-resolution shape), not raw row pairs.
+    Compared per unicode codepoint, == bytes for the ASCII inputs the
+    engine feeds it (the levenshtein_many contract)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = i - window if i > window else 0
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            p += 1
+        j = j + 0.1 * p * (1.0 - j)
+    return j

@@ -5730,6 +5730,45 @@ def fuzzy_part_name_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["a_key", "b_key"]).reset_index(drop=True)
 
 
+def jaro_winkler_part_names(sf_dir: str,
+                            threshold: float = 0.85) -> pd.DataFrame:
+    """Jaro-Winkler fuzzy matching over brand-blocked DISTINCT part
+    names (Winkler 1990) — the second edit-similarity kernel beside
+    Levenshtein in the entity-resolution tier. The engine kernel
+    (functions/textdist.jaro_winkler) mirrors DuckDB's
+    jaro_winkler_similarity BIT-EXACTLY, so the >= threshold keep
+    decision and the similarity column compare with no rounding
+    contract. Blocking: p_brand groups (the fuzzy_part_name_pairs
+    contract — compose finer keys at corpus scale); the pair loop is
+    vocabulary² per block, never rows²."""
+    from ..functions.textdist import jaro_winkler
+
+    ds = sf_table(sf_dir, "part", columns=["p_brand", "p_name"])
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        brand = g.p_brand.iloc[0]
+        uniq = sorted(set(g.p_name.fillna("").astype(str)))
+        rows = []
+        for i in range(len(uniq)):
+            for j in range(i + 1, len(uniq)):
+                s = jaro_winkler(uniq[i], uniq[j])
+                if s >= threshold:
+                    rows.append((brand, uniq[i], uniq[j], s))
+        return pd.DataFrame(
+            rows, columns=["p_brand", "name_a", "name_b", "jw"])
+
+    out = ds.groupby("p_brand").map_groups(
+        block_pairs, batch_format="pandas").to_pandas()
+    if "name_a" not in out.columns:  # no block produced a match
+        out = pd.DataFrame({"p_brand": pd.Series([], dtype=object),
+                            "name_a": pd.Series([], dtype=object),
+                            "name_b": pd.Series([], dtype=object),
+                            "jw": pd.Series([], dtype="float64")})
+    out["jw"] = out.jw.astype("float64")
+    return out.sort_values(["p_brand", "name_a", "name_b"]) \
+        .reset_index(drop=True)
+
+
 def _fuzzy_part_name_pairs_ds(sf_dir: str) -> ray.data.Dataset:
     """Blocked fuzzy matching (edit-distance record linkage): part-name
     pairs within the same p_brand block at Levenshtein distance <= 2 —
@@ -6404,10 +6443,68 @@ def event_type_transitions(sf_dir: str) -> pd.DataFrame:
                            batch_size=65536) \
         .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
         .to_pandas()
+    if "prev_type" not in parts.columns:  # zero transitions anywhere:
+        # every user has a single event; Ray's empty to_pandas drops
+        # the schema, so rebuild the empty frame explicitly
+        parts = pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                              "event_type": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
     out = parts.groupby(["prev_type", "event_type"], as_index=False) \
         .agg(n=("n", "sum"))
     out["n"] = out.n.astype("int64")
     return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def pagerank_transitions(sf_dir: str, iters: int = 12) -> pd.DataFrame:
+    """PageRank over the event-type transition graph (Page et al.
+    1999; damping 0.85, dangling mass redistributed uniformly) — the
+    stationary-behavior summary of the Markov tier
+    (event_type_transitions is the exact edge-weight input). The
+    distributed work is the transition-count exchange; the power
+    iteration is O(#types² · iters) driver math in EXACTLY the SQL
+    oracle's recursive-CTE list-fold shapes (list_reduce is a LEFT
+    fold — probed; contributions and the dangling sum fold in node
+    order, 0.15/n + 0.85·(s + dang/n) per node), so the ranks compare
+    BIT-LEVEL with no rounding contract. ``out_transitions`` is the
+    exact integer out-degree; ``rank_sum_ok`` (Σr = 1 within 1e-9,
+    conservation of probability mass under the iteration) is pinned
+    literal TRUE."""
+    trans = event_type_transitions(sf_dir)
+    ds = sf_table(sf_dir, "events", columns=["event_type"])
+    types = sorted(set(ds.map_batches(
+        lambda b: pd.DataFrame({"event_type": b.event_type.unique()}),
+        batch_format="pandas").to_pandas().event_type))
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    fn = float(n)
+    w = [[0] * n for _ in range(n)]
+    for p_, t_, c_ in zip(trans.prev_type, trans.event_type, trans.n):
+        w[idx[p_]][idx[t_]] = int(c_)
+    deg = [sum(row) for row in w]
+    mat = [[(0.0 if deg[k] == 0 else float(w[k][j]) / float(deg[k]))
+            for j in range(n)] for k in range(n)]
+    r = [1.0 / fn] * n
+    for _ in range(iters - 1):  # SQL rec rows 1..iters -> iters-1 steps
+        vals = [r[k] if deg[k] == 0 else 0.0 for k in range(n)]
+        dang = vals[0]
+        for v_ in vals[1:]:
+            dang = dang + v_
+        new = []
+        for j in range(n):
+            contribs = [mat[k][j] * r[k] for k in range(n)]
+            s = contribs[0]
+            for c_ in contribs[1:]:
+                s = s + c_
+            new.append(0.15 / fn + 0.85 * (s + dang / fn))
+        r = new
+    assert abs(sum(r) - 1.0) <= 1e-9, \
+        "PageRank mass not conserved — iteration regression"
+    return pd.DataFrame({
+        "event_type": types,
+        "out_transitions": pd.Series(deg, dtype="int64"),
+        "pagerank": pd.Series(r, dtype="float64"),
+        "rank_sum_ok": pd.Series([True] * n, dtype="bool"),
+    }).sort_values("event_type").reset_index(drop=True)
 
 
 def impute_missing_values(sf_dir: str) -> pd.DataFrame:

@@ -265,7 +265,8 @@ def run_queries() -> dict[str, float]:
         "per_type_sample_events", "holt_linear_hourly",
         "binseg_changepoints_hourly", "moods_median_drift",
         "assoc_rules_event_types", "cramers_v_type_band",
-        "seasonal_strength_hourly",
+        "seasonal_strength_hourly", "pagerank_transitions",
+        "jaro_winkler_part_names",
     ]
     qs = E.queries()
     out = {}

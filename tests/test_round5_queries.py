@@ -652,3 +652,90 @@ class TestSeasonalStrengthHourly:
             _write_events(d, ts, np.full(480, 7.0))
             out = Q.seasonal_strength_hourly(d)
             assert (out.eta2_value == 0.0).all()
+
+
+class TestPagerankTransitions:
+    def test_symmetric_cycle_uniform_ranks(self, ray_session):
+        """a->b->a->b...: perfectly symmetric 2-node cycle => equal
+        ranks (exactly, by expression symmetry)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        types = np.where(np.arange(100) % 2 == 0, "a", "b")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(100.0 if False else 100),
+                          types=types, users=np.zeros(100))
+            out = Q.pagerank_transitions(d)
+            assert len(out) == 2
+            assert out.pagerank.iloc[0] == out.pagerank.iloc[1]
+            assert out.rank_sum_ok.all()
+            assert abs(out.pagerank.sum() - 1.0) <= 1e-9
+
+    def test_sink_type_accumulates_rank(self, ray_session):
+        """Chain a->b->c where c only self-loops back to a rarely:
+        make c absorbing-ish (a->b, b->c, c->c): c ranks highest."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        seq = ["a", "b"] + ["c"] * 60
+        ts = pd.date_range("2024-01-01", periods=len(seq), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(len(seq)),
+                          types=np.array(seq), users=np.zeros(len(seq)))
+            out = Q.pagerank_transitions(d).set_index("event_type")
+            assert out.pagerank["c"] == out.pagerank.max()
+            # out-degrees are exact transition counts
+            assert int(out.out_transitions["a"]) == 1
+            assert int(out.out_transitions["b"]) == 1
+            assert int(out.out_transitions["c"]) == 59
+
+    def test_isolated_type_is_dangling(self, ray_session):
+        """A type with no outgoing transitions (each user has one
+        event) dangles: uniform ranks by symmetry of the teleport."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=40, freq="min")
+        types = np.array((["a"] * 20) + (["b"] * 20))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(40), types=types,
+                          users=np.arange(40))  # one event per user
+            out = Q.pagerank_transitions(d)
+            assert (out.out_transitions == 0).all()
+            assert out.pagerank.iloc[0] == out.pagerank.iloc[1]
+
+
+class TestJaroWinkler:
+    def test_classic_values(self):
+        from aumos_drift_detector_ray.functions.textdist import jaro_winkler
+
+        assert jaro_winkler("martha", "marhta") == (
+            0.9444444444444445 + 0.1 * 3 * (1 - 0.9444444444444445))
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("", "") == 0.0     # DuckDB convention
+        assert jaro_winkler("a", "") == 0.0
+        assert jaro_winkler("abc", "xyz") == 0.0
+
+    def test_bit_exact_vs_duckdb_random(self):
+        import random
+
+        import duckdb
+
+        from aumos_drift_detector_ray.functions.textdist import jaro_winkler
+
+        con = duckdb.connect()
+        random.seed(9)
+        for _ in range(800):
+            a = "".join(random.choices("abcdxy ", k=random.randint(0, 14)))
+            b = "".join(random.choices("abcdxy ", k=random.randint(0, 14)))
+            got = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                              [a, b]).fetchone()[0]
+            assert got == jaro_winkler(a, b), (a, b)
+
+    def test_query_threshold_and_blocking(self, ray_session):
+        from aumos_drift_detector_ray.functions.textdist import jaro_winkler
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.jaro_winkler_part_names(SF)
+        assert (out.jw >= 0.85).all()
+        # every reported pair really scores what the kernel says
+        for _, r in out.head(20).iterrows():
+            assert jaro_winkler(r.name_a, r.name_b) == r.jw

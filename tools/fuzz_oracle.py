@@ -63,7 +63,7 @@ EVENT_QUERIES = [
     "per_type_sample_events", "holt_linear_hourly",
     "binseg_changepoints_hourly", "moods_median_drift",
     "assoc_rules_event_types", "cramers_v_type_band",
-    "seasonal_strength_hourly",
+    "seasonal_strength_hourly", "pagerank_transitions",
     "k_anonymity_report", "concept_drift_struct_audit",
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
