@@ -252,6 +252,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_strength_hourly": Q.seasonal_strength_hourly,
         "pagerank_transitions": Q.pagerank_transitions,
         "jaro_winkler_part_names": Q.jaro_winkler_part_names,
+        "doc_chunking_stats": Q.doc_chunking_stats,
+        "readability_docs": Q.readability_docs,
+        "vocab_coverage_topk": Q.vocab_coverage_topk,
+        "ship_latency_quantiles": Q.ship_latency_quantiles,
     }
 
 
@@ -2185,6 +2189,123 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_selfjoin_upper_ok,
                    TRUE AS cms_refprod_upper_ok
             FROM c
+        """,
+        # order-to-first-shipment latency quantiles: per-order min
+        # ship time, day diff in exact integer us, per-priority
+        # quantile_disc = exact order statistics (bit-exact)
+        "ship_latency_quantiles": """
+            WITH m AS (
+                SELECT l_orderkey,
+                       min(CAST(epoch_us(l_shipdate) AS BIGINT))
+                           AS ship_us
+                FROM lineitem GROUP BY 1
+            ),
+            j AS (
+                SELECT o.o_orderpriority,
+                       (m.ship_us
+                        - CAST(epoch_us(o.o_orderdate) AS BIGINT))
+                       // 86400000000 AS latency_days
+                FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+            ),
+            g AS (
+                SELECT o_orderpriority,
+                       quantile_disc(latency_days,
+                                     [0.25, 0.5, 0.75, 0.9]) AS qs
+                FROM j GROUP BY 1
+            )
+            SELECT o_orderpriority,
+                   unnest([0.25, 0.5, 0.75, 0.9]) AS p,
+                   CAST(unnest(qs) AS BIGINT) AS latency_days
+            FROM g ORDER BY 1, 2
+        """,
+        # top-k vocabulary coverage: exact top-k token mass / total
+        # (ties by token text), vocab size exact; one division
+        "vocab_coverage_topk": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            ranked AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS n,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          token) AS rn
+                FROM toks GROUP BY token
+            ),
+            tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+                           CAST(count(*) AS BIGINT) AS vocab
+                    FROM ranked)
+            SELECT CAST(k.k AS BIGINT) AS k,
+                   CAST(coalesce((SELECT sum(n) FROM ranked
+                                  WHERE rn <= k.k), 0) AS BIGINT)
+                       AS topk_tokens,
+                   (SELECT total FROM tot) AS total_tokens,
+                   (SELECT vocab FROM tot) AS vocab_size,
+                   CASE WHEN (SELECT total FROM tot) = 0 THEN 0.0
+                        ELSE CAST(coalesce((SELECT sum(n) FROM ranked
+                                            WHERE rn <= k.k), 0)
+                                  AS DOUBLE)
+                             / (SELECT total FROM tot)
+                   END AS coverage
+            FROM (VALUES (10), (50), (100)) k(k)
+            ORDER BY k
+        """,
+        # RAG chunking: exact chunk boundaries value-hashed via the
+        # md5-of-chunk-md5s fingerprint; substr/slicing both
+        # codepoint-addressed; empty docs -> '' sentinel
+        "doc_chunking_stats": """
+            WITH c AS (
+                SELECT doc_id, off,
+                       md5(substr(text, CAST(off AS INTEGER) + 1, 200))
+                           AS h,
+                       length(substr(text, CAST(off AS INTEGER) + 1,
+                                     200)) AS l
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(0,
+                                 length(text) - 1, 150)) AS off
+                      FROM documents)
+            ),
+            s AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                       CAST(sum(l) AS BIGINT) AS chunk_chars,
+                       md5(string_agg(h, '' ORDER BY off)) AS chunk_fp
+                FROM c GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   CAST(coalesce(s.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(coalesce(s.chunk_chars, 0) AS BIGINT)
+                       AS chunk_chars,
+                   coalesce(s.chunk_fp, '') AS chunk_fp
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY doc_id
+        """,
+        # Flesch-Kincaid readability: exact word/sentence/vowel-group
+        # counts; fk_grade one fixed-shape IEEE expression (0.0
+        # sentinel when W or S is 0)
+        "readability_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS ws,
+                       len(regexp_extract_all(lower(coalesce(text, '')),
+                                              '[.!?]+')) AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS w,
+                       CAST(s AS BIGINT) AS s,
+                       CAST(coalesce(list_sum(list_transform(ws, wd ->
+                            greatest(1, len(regexp_extract_all(wd,
+                                '[aeiouy]+'))))), 0) AS BIGINT) AS y
+                FROM t
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_syllables,
+                   CASE WHEN w = 0 OR s = 0 THEN 0.0
+                        ELSE 0.39 * (CAST(w AS DOUBLE) / s)
+                             + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59
+                   END AS fk_grade
+            FROM c ORDER BY doc_id
         """,
         # Jaro-Winkler fuzzy matching: the engine kernel is bit-exact
         # vs DuckDB's jaro_winkler_similarity (probed), so keep

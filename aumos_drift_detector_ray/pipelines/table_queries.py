@@ -857,6 +857,81 @@ def doc_token_stats(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_chunking_stats(sf_dir: str, size: int = 200,
+                       stride: int = 150) -> pd.DataFrame:
+    """RAG-style fixed-size overlapping chunking (size 200 chars,
+    stride 150 → 50-char overlap) — the retrieval-corpus preparation
+    operator: per doc, chunk offsets 0, 150, 300, … while < n_chars,
+    chunk = text[off : off+200]. The VALUE-HASHED columns pin the
+    exact chunk CONTENT: ``chunk_fp`` = md5 of the concatenated
+    per-chunk md5s in offset order (any boundary shift or off-by-one
+    flips it), plus exact chunk count and total chunk chars (overlap
+    counted). Empty docs emit 0 chunks with the '' sentinel (the
+    NULL-vs-NaN oracle trap). Shuffle-free per-block kernel; python
+    slicing and DuckDB substr are both codepoint-addressed."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for doc_id, text in zip(b.doc_id, b.text):
+            t = text or ""
+            hs = []
+            total = 0
+            for off in range(0, len(t), stride):
+                c = t[off:off + size]
+                total += len(c)
+                hs.append(hashlib.md5(c.encode()).hexdigest())
+            fp = (hashlib.md5("".join(hs).encode()).hexdigest()
+                  if hs else "")
+            out.append((int(doc_id), len(hs), total, fp))
+        return pd.DataFrame(out, columns=[
+            "doc_id", "n_chunks", "chunk_chars", "chunk_fp"])
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    for col in ("doc_id", "n_chunks", "chunk_chars"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def readability_docs(sf_dir: str) -> pd.DataFrame:
+    """Flesch-Kincaid grade-level readability per doc (Kincaid et al.
+    1975) with the standard heuristic syllable counter (vowel groups
+    [aeiouy]+, min 1 per word) — a text-quality signal beside the
+    Gopher rules. Words use the dsir [a-z']+ lowercase convention;
+    sentences are [.!?]+ runs. Counts are EXACT ints; fk_grade =
+    0.39·(W/S) + 11.8·(Y/W) − 15.59 is one fixed-shape IEEE
+    expression of them (W=0 or S=0 → the 0.0 sentinel). Shuffle-free
+    per-block vectorized regex kernel."""
+    import re
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    word_re = re.compile(r"[a-z']+")
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b.doc_id, b.text):
+            t = (text or "").lower()
+            words = word_re.findall(t)
+            w = len(words)
+            s = len(sent_re.findall(t))
+            y = sum(max(1, len(syl_re.findall(wd))) for wd in words)
+            fk = (0.0 if w == 0 or s == 0 else
+                  0.39 * (float(w) / float(s))
+                  + 11.8 * (float(y) / float(w)) - 15.59)
+            rows.append((int(doc_id), w, s, y, fk))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            "fk_grade"])
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    for col in ("doc_id", "n_words", "n_sentences", "n_syllables"):
+        out[col] = out[col].astype("int64")
+    out["fk_grade"] = out.fk_grade.astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def exact_dup_docs(sf_dir: str) -> pd.DataFrame:
     """Exact text dedup groups: content md5 → (hash, keeper=min id, n).
     The canonical exact-dedup shuffle, bucketed: md5 keys hash into 64
@@ -4611,6 +4686,71 @@ def top_tokens_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["token", "n"]].reset_index(drop=True)
 
 
+def vocab_coverage_topk(sf_dir: str,
+                        ks: "tuple[int, ...]" = (10, 50, 100)
+                        ) -> pd.DataFrame:
+    """Top-k vocabulary coverage (what fraction of the token stream a
+    k-word vocabulary captures — the vocabulary-truncation planning
+    number for tokenizer design): exact global top-k counts via the
+    proven token-bucketed exchange (top_tokens_docs — each token lives
+    wholly in one bucket, so per-bucket top-max(k) is globally
+    sufficient); per-bucket folds also carry their exact vocab size
+    and token total, so the driver merge stays O(buckets × max k).
+    ``coverage`` is one division of exact ints; ranking ties break by
+    token text on both sides."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+    maxk = max(ks)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64),
+        })
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        top = m.sort_values(["n", "token"], ascending=[False, True],
+                            kind="stable").head(maxk)
+        top = top.assign(vocab_n=np.int64(len(m)),
+                         tot_n=np.int64(m.n.sum()),
+                         bucket=np.int64(g.bucket.iloc[0]))
+        return top
+
+    per_bucket = ds.map_batches(partial, batch_format="pandas",
+                                batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    if len(per_bucket) == 0:
+        total = vocab = 0
+        merged = pd.DataFrame({"token": [], "n": []})
+    else:
+        bs = per_bucket.drop_duplicates("bucket")
+        total = int(bs.tot_n.sum())
+        vocab = int(bs.vocab_n.sum())
+        merged = per_bucket.sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable")
+    rows = []
+    for k in ks:
+        topk = int(merged.head(k).n.sum()) if len(merged) else 0
+        rows.append((int(k), topk, total, vocab,
+                     0.0 if total == 0 else float(topk) / float(total)))
+    return pd.DataFrame(rows, columns=[
+        "k", "topk_tokens", "total_tokens", "vocab_size", "coverage"])
+
+
 def cms_token_counts_audit(sf_dir: str, k: int = 20,
                            depth: int = 4,
                            width: int = 2048) -> pd.DataFrame:
@@ -6453,6 +6593,74 @@ def event_type_transitions(sf_dir: str) -> pd.DataFrame:
         .agg(n=("n", "sum"))
     out["n"] = out.n.astype("int64")
     return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
+def ship_latency_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Order-to-first-shipment latency quantiles per order priority —
+    the join + per-key-min + grouped-exact-quantile composition: per-
+    block per-order min-shipdate partials, ONE orderkey-hash-bucketed
+    min fold, partitioned hash join back to orders (scalar columns
+    only), latency = floor day difference in exact integer
+    microseconds, then per-priority quantile_disc via the grouped
+    rank-lookup engine (exact order statistics — actual data values,
+    bit-exact against SQL with no rounding contract)."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+    from ..stages.scan import grouped_disc_quantiles
+
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "ship_us": b.l_shipdate.astype("datetime64[us]")
+            .astype("int64"),
+        }).groupby("o_orderkey", as_index=False)["ship_us"].min()
+        g["bucket"] = (
+            hash64(g.o_orderkey.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return g
+
+    def bucket_min(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False)["ship_us"].min()
+
+    first_ship = li.map_batches(li_partial, batch_format="pandas",
+                                batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_min, batch_format="pandas")
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderpriority",
+                               "o_orderdate"])
+
+    def o_prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.o_orderkey.to_numpy(np.int64),
+            "o_orderpriority": b.o_orderpriority,
+            "order_us": b.o_orderdate.astype("datetime64[us]")
+            .astype("int64"),
+        })
+
+    joined = hash_join(
+        orders.map_batches(o_prep, batch_format="pandas"),
+        first_ship, "o_orderkey", n_buckets=32)
+
+    def to_days(b: pd.DataFrame) -> pd.DataFrame:
+        ship = (b.r_ship_us if "r_ship_us" in b.columns
+                else b.ship_us).to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderpriority": b.o_orderpriority,
+            "latency_days": ((ship - b.order_us.to_numpy(np.int64))
+                             // 86_400_000_000).astype(np.int64),
+        })
+
+    days = joined.map_batches(to_days, batch_format="pandas")
+    out = grouped_disc_quantiles(days, "o_orderpriority",
+                                 "latency_days", [0.25, 0.5, 0.75, 0.9])
+    out = out.rename(columns={"value": "latency_days"})
+    out["latency_days"] = out.latency_days.astype("int64")
+    out["p"] = out.p.astype("float64")
+    return out.sort_values(["o_orderpriority", "p"]) \
+        .reset_index(drop=True)
 
 
 def pagerank_transitions(sf_dir: str, iters: int = 12) -> pd.DataFrame:

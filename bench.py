@@ -266,7 +266,9 @@ def run_queries() -> dict[str, float]:
         "binseg_changepoints_hourly", "moods_median_drift",
         "assoc_rules_event_types", "cramers_v_type_band",
         "seasonal_strength_hourly", "pagerank_transitions",
-        "jaro_winkler_part_names",
+        "jaro_winkler_part_names", "doc_chunking_stats",
+        "readability_docs", "vocab_coverage_topk",
+        "ship_latency_quantiles",
     ]
     qs = E.queries()
     out = {}

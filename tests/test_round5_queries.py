@@ -739,3 +739,113 @@ class TestJaroWinkler:
         # every reported pair really scores what the kernel says
         for _, r in out.head(20).iterrows():
             assert jaro_winkler(r.name_a, r.name_b) == r.jw
+
+
+class TestDocChunkingStats:
+    def test_boundaries_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.doc_chunking_stats(SF)
+        texts = duckdb.sql(
+            f"SELECT doc_id, text FROM '{SF}/documents.parquet'"
+        ).df().set_index("doc_id").text
+        for _, r in out.head(30).iterrows():
+            t = texts[r.doc_id] or ""
+            chunks = [t[o:o + 200] for o in range(0, len(t), 150)]
+            assert r.n_chunks == len(chunks)
+            assert r.chunk_chars == sum(len(c) for c in chunks)
+            if chunks:
+                import hashlib as _h
+                fp = _h.md5("".join(
+                    _h.md5(c.encode()).hexdigest() for c in chunks
+                ).encode()).hexdigest()
+                assert r.chunk_fp == fp
+            else:
+                assert r.chunk_fp == ""
+        # overlap accounting: chunk_chars >= n_chars always
+        assert (out.chunk_chars >= 0).all()
+
+    def test_exact_sizes(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["", "x" * 150, "y" * 151, "z" * 500],
+                        ["en"] * 4)
+            out = Q.doc_chunking_stats(d).set_index("doc_id")
+            assert out.n_chunks.tolist() == [0, 1, 2, 4]
+            # 500 chars, offsets 0/150/300/450: 200+200+200+50
+            assert out.chunk_chars[3] == 650
+            assert out.chunk_fp[0] == ""
+
+
+class TestReadabilityDocs:
+    def test_counts_and_grade(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["The cat sat. The dog ran!",
+                            "", "no sentence marker here"],
+                        ["en"] * 3)
+            out = Q.readability_docs(d).set_index("doc_id")
+            assert out.n_words[0] == 6 and out.n_sentences[0] == 2
+            assert out.n_syllables[0] == 6  # all monosyllables
+            assert out.fk_grade[0] == (0.39 * (6.0 / 2.0)
+                                       + 11.8 * (6.0 / 6.0) - 15.59)
+            assert out.n_words[1] == 0 and out.fk_grade[1] == 0.0
+            # words but no sentence marker -> 0.0 sentinel
+            assert out.n_sentences[2] == 0 and out.fk_grade[2] == 0.0
+
+
+class TestVocabCoverageTopk:
+    def test_monotone_and_bruteforce(self, ray_session):
+        import collections
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.vocab_coverage_topk(SF)
+        assert out.k.tolist() == [10, 50, 100]
+        assert (out.coverage.diff().dropna() >= 0).all()
+        assert (out.coverage <= 1.0).all()
+        texts = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df().text
+        import re
+        cnt = collections.Counter(
+            re.findall(r"[a-z']+", "\n".join(t.lower() for t in texts)))
+        total = sum(cnt.values())
+        top10 = sum(n for _, n in sorted(
+            cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+        row = out[out.k == 10].iloc[0]
+        assert row.total_tokens == total
+        assert row.topk_tokens == top10
+        assert row.vocab_size == len(cnt)
+
+
+class TestShipLatencyQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ship_latency_quantiles(SF)
+        df = duckdb.sql(f"""
+            SELECT o.o_orderpriority AS prio,
+                   (min(epoch_us(l.l_shipdate))
+                    - any_value(epoch_us(o.o_orderdate)))
+                   // 86400000000 AS days
+            FROM '{SF}/orders.parquet' o
+            JOIN '{SF}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority
+        """).df()
+        for (prio, p), sub in out.groupby(["o_orderpriority", "p"]):
+            v = np.sort(df[df.prio == prio].days.to_numpy())
+            rank = min(max(int(np.ceil(len(v) * p - 1e-9)) - 1, 0),
+                       len(v) - 1)
+            assert int(sub.latency_days.iloc[0]) == int(v[rank]), (prio, p)
+        # note: the synthetic generator does NOT order shipdate after
+        # orderdate, so negative latencies are legitimate data
+        assert (out.groupby("o_orderpriority").latency_days
+                .apply(lambda s: s.is_monotonic_increasing)).all()

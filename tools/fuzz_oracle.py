@@ -172,6 +172,8 @@ DOC_QUERIES = [
     "shingle_cosine_pairs", "neardup_triangle_stats",
     "token_source_drift", "trending_tokens_daily", "snapshot_diff_docs",
     "curation_funnel_report",
+    # session-7: RAG chunking, readability, vocabulary coverage
+    "doc_chunking_stats", "readability_docs", "vocab_coverage_topk",
 ]
 
 
