@@ -256,6 +256,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability_docs": Q.readability_docs,
         "vocab_coverage_topk": Q.vocab_coverage_topk,
         "ship_latency_quantiles": Q.ship_latency_quantiles,
+        "type_hour_information_gain": Q.type_hour_information_gain,
+        "pmi_top_bigrams": Q.pmi_top_bigrams,
+        "kmv_difference_audit": Q.kmv_difference_audit,
+        "holt_winters_hourly": Q.holt_winters_hourly,
+        "textrank_keywords": Q.textrank_keywords,
+        "gap_burstiness_per_type": Q.gap_burstiness_per_type,
+        "rfm_customer_segments": Q.rfm_customer_segments,
     }
 
 
@@ -842,7 +849,8 @@ _VALUE_CLEAN_QUERIES = [
     "ohlc_resample_events", "event_cube_stats",
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
     "weekly_median_value_per_type", "mannwhitney_drift_events",
-    "holt_linear_hourly", "binseg_changepoints_hourly",
+    "holt_linear_hourly", "holt_winters_hourly",
+    "binseg_changepoints_hourly",
     "moods_median_drift", "cramers_v_type_band",
     "seasonal_strength_hourly",
 ]
@@ -2190,6 +2198,66 @@ def _oracle_sql_raw() -> dict[str, str]:
                    TRUE AS cms_refprod_upper_ok
             FROM c
         """,
+        # information gain of type given hour-of-day: entropies from
+        # exact integer counts; log2/round(6) contract (components
+        # and difference round independently)
+        "type_hour_information_gain": """
+            WITH c AS (
+                SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+                       event_type
+                FROM events
+            ),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+            ht AS (SELECT entropy(event_type) AS h FROM c),
+            hh AS (SELECT hod, count(*) AS cnt,
+                          entropy(event_type) AS eh
+                   FROM c GROUP BY hod),
+            hc AS (SELECT sum(cnt * eh) / (SELECT n FROM tot) AS h
+                   FROM hh)
+            SELECT (SELECT n FROM tot) AS n,
+                   CAST(round((SELECT h FROM ht), 6) AS DOUBLE)
+                       AS h_type,
+                   CAST(round((SELECT h FROM hc), 6) AS DOUBLE)
+                       AS h_type_given_hour,
+                   CAST(round((SELECT h FROM ht) - (SELECT h FROM hc),
+                              6) AS DOUBLE) AS info_gain
+        """,
+        # PMI collocations as lift = P(ab)/(P(a)P(b)) — monotone to
+        # PMI with no log (the libm contract); exact counts, lift a
+        # fixed-shape IEEE expression -> bit-identical ranking
+        "pmi_top_bigrams": """
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS l
+                FROM documents
+            ),
+            uni AS (SELECT unnest(l) AS w FROM t),
+            un AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                   FROM uni GROUP BY w),
+            nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+            bi AS (
+                SELECT unnest(list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i + 1])) AS bigram
+                FROM t WHERE len(l) >= 2
+            ),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bi),
+            bn AS (SELECT bigram, CAST(count(*) AS BIGINT) AS nab
+                   FROM bi GROUP BY bigram HAVING count(*) >= 3),
+            sc AS (
+                SELECT bn.bigram, bn.nab, ua.n AS na, ub.n AS nbb,
+                       CAST(bn.nab AS DOUBLE) * (SELECT n FROM nu)
+                           * (SELECT n FROM nu)
+                       / (CAST((SELECT n FROM nb) AS DOUBLE)
+                          * ua.n * ub.n) AS lift
+                FROM bn
+                JOIN un ua ON ua.w = string_split(bn.bigram, ' ')[1]
+                JOIN un ub ON ub.w = string_split(bn.bigram, ' ')[2]
+            )
+            SELECT bigram, nab AS n_ab, na AS n_a, nbb AS n_b,
+                   (SELECT n FROM nu) AS total_tokens,
+                   (SELECT n FROM nb) AS total_bigrams, lift
+            FROM sc ORDER BY lift DESC, bigram LIMIT 20
+        """,
         # order-to-first-shipment latency quantiles: per-order min
         # ship time, day diff in exact integer us, per-priority
         # quantile_disc = exact order statistics (bit-exact)
@@ -2529,6 +2597,215 @@ def _oracle_sql_raw() -> dict[str, str]:
                        AND c.tb = sb.event_type
             ORDER BY 1, 2
         """,
+        # RFM quintile segmentation: exact per-customer metrics,
+        # quantile_disc thresholds (actual data values -> bit-exact
+        # <= banding), nonzero (r,f,m) cell counts
+        "rfm_customer_segments": """
+            WITH c AS (
+                SELECT o_custkey,
+                       ((SELECT max(CAST(epoch_us(o_orderdate)
+                                         AS BIGINT)) FROM orders)
+                        - max(CAST(epoch_us(o_orderdate) AS BIGINT)))
+                       // 86400000000 AS rec_i,
+                       count(*) AS freq_i,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS mon_i
+                FROM orders GROUP BY o_custkey
+            ),
+            m AS (SELECT CAST(rec_i AS DOUBLE) AS recency_days,
+                         CAST(freq_i AS DOUBLE) AS freq,
+                         CAST(mon_i AS DOUBLE) AS mon
+                  FROM c),
+            q AS (SELECT
+                    quantile_disc(recency_days,
+                                  [0.2, 0.4, 0.6, 0.8]) AS qr,
+                    quantile_disc(freq, [0.2, 0.4, 0.6, 0.8]) AS qf,
+                    quantile_disc(mon, [0.2, 0.4, 0.6, 0.8]) AS qm
+                  FROM m)
+            SELECT r_band, f_band, m_band,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM (
+                SELECT CAST(CASE WHEN recency_days <= qr[1] THEN 1
+                                 WHEN recency_days <= qr[2] THEN 2
+                                 WHEN recency_days <= qr[3] THEN 3
+                                 WHEN recency_days <= qr[4] THEN 4
+                                 ELSE 5 END AS BIGINT) AS r_band,
+                       CAST(CASE WHEN freq <= qf[1] THEN 1
+                                 WHEN freq <= qf[2] THEN 2
+                                 WHEN freq <= qf[3] THEN 3
+                                 WHEN freq <= qf[4] THEN 4
+                                 ELSE 5 END AS BIGINT) AS f_band,
+                       CAST(CASE WHEN mon <= qm[1] THEN 1
+                                 WHEN mon <= qm[2] THEN 2
+                                 WHEN mon <= qm[3] THEN 3
+                                 WHEN mon <= qm[4] THEN 4
+                                 ELSE 5 END AS BIGINT) AS m_band
+                FROM m, q)
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        # inter-arrival burstiness per type: exact integer gap moments
+        # (HUGEINT squares), B = (sd-m)/(sd+m) as fixed-shape IEEE
+        # expressions with 0.0 guards
+        "gap_burstiness_per_type": """
+            WITH o AS (
+                SELECT event_type,
+                       CAST(epoch_us(ts) AS BIGINT)
+                       - lag(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events
+            ),
+            g AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n_gaps,
+                         CAST(sum(gap) AS BIGINT) AS s1,
+                         sum(CAST(gap AS HUGEINT) * gap) AS s2
+                  FROM o WHERE gap IS NOT NULL GROUP BY 1),
+            f AS (SELECT event_type, n_gaps, s1,
+                         CAST(s1 AS DOUBLE) / n_gaps AS m,
+                         CAST(s2 AS DOUBLE) / n_gaps
+                         - (CAST(s1 AS DOUBLE) / n_gaps)
+                           * (CAST(s1 AS DOUBLE) / n_gaps) AS v
+                  FROM g),
+            f2 AS (SELECT event_type, n_gaps, s1, m,
+                          CASE WHEN v <= 0 THEN 0.0
+                               ELSE sqrt(v) END AS sd
+                   FROM f)
+            SELECT event_type, n_gaps, s1 AS sum_gap_us,
+                   m AS mean_gap_us,
+                   CASE WHEN sd + m = 0 THEN 0.0
+                        ELSE (sd - m) / (sd + m) END AS burstiness
+            FROM f2 ORDER BY event_type
+        """,
+        # TextRank keywords: PageRank over the word co-occurrence
+        # graph (top-30 words, exact adjacent-pair edge weights);
+        # same LEFT-fold rank-list recursion as pagerank_transitions
+        "textrank_keywords": """
+            WITH RECURSIVE t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS l
+                FROM documents
+            ),
+            toks AS (SELECT unnest(l) AS token FROM t),
+            cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                    FROM toks GROUP BY token),
+            kept AS (SELECT token, n FROM cnt
+                     ORDER BY n DESC, token LIMIT 30),
+            ti AS (SELECT token, n,
+                          CAST(row_number() OVER (ORDER BY token)
+                               AS BIGINT) AS i
+                   FROM kept),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ti),
+            adj AS (
+                SELECT unnest(l[1:len(l) - 1]) AS a,
+                       unnest(l[2:]) AS b
+                FROM t WHERE len(l) >= 2
+            ),
+            e AS (
+                SELECT least(a, b) AS a, greatest(a, b) AS b,
+                       CAST(count(*) AS BIGINT) AS w
+                FROM adj
+                WHERE a <> b
+                  AND a IN (SELECT token FROM ti)
+                  AND b IN (SELECT token FROM ti)
+                GROUP BY 1, 2
+            ),
+            cell AS (
+                SELECT ka.i AS k, kb.i AS j,
+                       CAST(coalesce(e.w, 0) AS BIGINT) AS w
+                FROM ti ka CROSS JOIN ti kb
+                LEFT JOIN e ON e.a = least(ka.token, kb.token)
+                           AND e.b = greatest(ka.token, kb.token)
+            ),
+            od AS (SELECT k, CAST(sum(w) AS BIGINT) AS deg
+                   FROM cell GROUP BY k),
+            pcell AS (SELECT c.k, c.j,
+                             CASE WHEN od.deg = 0
+                                  THEN CAST(0 AS DOUBLE)
+                                  ELSE CAST(c.w AS DOUBLE) / od.deg
+                             END AS p
+                      FROM cell c JOIN od ON od.k = c.k),
+            rws AS (SELECT k, list(p ORDER BY j) AS row_p
+                    FROM pcell GROUP BY k),
+            mat AS (SELECT list(row_p ORDER BY k) AS m FROM rws),
+            degl AS (SELECT list(deg ORDER BY k) AS dl FROM od),
+            init AS (SELECT list_transform(range(1, n + 1),
+                            x -> CAST(1.0 AS DOUBLE) / n) AS r0
+                     FROM nn),
+            rec(it, r) AS (
+                SELECT 1, (SELECT r0 FROM init)
+                UNION ALL
+                SELECT it + 1,
+                       list_transform(range(1, n + 1), j ->
+                           0.15 / n + 0.85 * (
+                             list_reduce(
+                               list_transform(range(1, n + 1), k ->
+                                   m[k][j] * r[k]),
+                               (a, b) -> a + b)
+                             + list_reduce(
+                               list_transform(range(1, n + 1), k ->
+                                   CASE WHEN dl[k] = 0 THEN r[k]
+                                        ELSE CAST(0 AS DOUBLE) END),
+                               (a, b) -> a + b) / n))
+                FROM rec, nn, mat, degl WHERE it < 12
+            )
+            SELECT ti.token, ti.n AS word_count,
+                   (SELECT dl FROM degl)[ti.i] AS degree,
+                   (SELECT r FROM rec WHERE it = 12)[ti.i] AS textrank
+            FROM ti ORDER BY token
+        """,
+        # additive Holt-Winters (24h season): recursive CTE carrying
+        # (l, b, rolling 24-seasonal DOUBLE list); left-fold slice
+        # sums + s[2:]||[new] rotation mirror the driver loop
+        # bit-for-bit; < 2 seasons -> zero rows on both sides
+        "holt_winters_hourly": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            init1 AS (
+                SELECT
+                    list_reduce(xs[1:24], (a, b) -> a + b) / 24.0
+                        AS l0,
+                    (list_reduce(xs[25:48], (a, b) -> a + b) / 24.0
+                     - list_reduce(xs[1:24], (a, b) -> a + b) / 24.0)
+                    / 24.0 AS b0
+                FROM arr WHERE nh >= 48
+            ),
+            init AS (
+                -- position-centered DETRENDED seasonal init: a ramp
+                -- left inside the seasonals is indistinguishable
+                -- from trend
+                SELECT l0, b0,
+                       list_transform(range(1, 25), i -> xs[i]
+                           - (l0 + (CAST(i - 1 AS DOUBLE) - 11.5)
+                              * b0)) AS s0
+                FROM init1, arr
+            ),
+            rec(i, l, b, s) AS (
+                SELECT 24, l0, b0, s0 FROM init
+                UNION ALL
+                SELECT i + 1,
+                       0.3 * (xs[i + 1] - s[1]) + 0.7 * (l + b),
+                       0.2 * ((0.3 * (xs[i + 1] - s[1])
+                               + 0.7 * (l + b)) - l) + 0.8 * b,
+                       s[2:] || [0.1 * (xs[i + 1]
+                                        - (0.3 * (xs[i + 1] - s[1])
+                                           + 0.7 * (l + b)))
+                                 + 0.9 * s[1]]
+                FROM rec, arr WHERE i < nh
+            )
+            SELECT nh AS n_hours, l AS hw_level, b AS hw_trend,
+                   l + b + s[1] AS hw_forecast_1h
+            FROM rec, arr WHERE i = nh
+        """,
         # binary-segmentation change points over hourly cents sums:
         # every candidate gain is the SAME fixed-shape IEEE expression
         # of five exact ints on both sides (HUGEINT squares -> DOUBLE,
@@ -2771,6 +3048,28 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM (SELECT a.event_type AS ta, b.event_type AS tb
                   FROM t a JOIN t b ON a.event_type < b.event_type) p
             LEFT JOIN c ON p.ta = c.ta AND p.tb = c.tb
+            ORDER BY type_a, type_b
+        """,
+        # theta-style KMV set-DIFFERENCE audit: exact |A \\ B| per
+        # ordered type pair (distinct minus intersection, both exact
+        # tiers) + the two structural booleans pinned literal TRUE
+        "kmv_difference_audit": """
+            WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+            t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                  FROM tu GROUP BY 1),
+            c AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM tu a JOIN tu b
+                    ON a.user_id = b.user_id
+                   AND a.event_type <> b.event_type
+                  GROUP BY ta, tb)
+            SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+                   CAST(sa.n - coalesce(c.n, 0) AS BIGINT) AS n_only_a,
+                   TRUE AS kmv_diff_small_exact,
+                   TRUE AS kmv_self_diff_zero
+            FROM t sa JOIN t sb ON sa.event_type <> sb.event_type
+            LEFT JOIN c ON c.ta = sa.event_type
+                       AND c.tb = sb.event_type
             ORDER BY type_a, type_b
         """,
         "kmv_distinct_audit": """

@@ -363,6 +363,84 @@ def kmv_intersection_audit(sf_dir: str, k: int = 4096) -> pd.DataFrame:
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
 
 
+def kmv_difference_audit(sf_dir: str, k: int = 4096) -> pd.DataFrame:
+    """Theta-sketch-style set-DIFFERENCE estimation |A \\ B| between
+    the distinct-user sets of every ORDERED event-type pair — the
+    a-not-b composition completing the sketch set algebra (union =
+    merge, intersection = kmv_intersection_audit, difference = this).
+    SQL-matched columns: the EXACT difference cardinality
+    ``n_only_a`` = |users(a)| − |users(a) ∩ users(b)| (pure integer
+    arithmetic of the two proven exact tiers) plus two STRUCTURAL
+    booleans pinned literal TRUE for any input:
+
+    * ``kmv_diff_small_exact``: both sketches unsaturated → samples
+      complete → the estimate equals ``n_only_a`` exactly;
+    * ``kmv_self_diff_zero``: ``a.difference_estimate(a) == 0.0``
+      bit-exactly in every regime (empty own-not-own sample).
+
+    The sampled-regime estimate is asserted loudly engine-side (the
+    ~8-sigma inverse-probability bound of the intersection audit) but
+    kept OUT of the hashed columns. Scale shape: same per-block
+    per-type sketch partials; the pair loop is #types² driver rows."""
+    import math
+    import pickle
+
+    from ..sketches import KMinValues, hash64
+
+    ds = sf_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, sub in b.groupby("event_type", sort=False):
+            s = KMinValues(k=k)
+            s.update_hashes(
+                hash64(sub.user_id.to_numpy(np.int64).view(np.uint64)))
+            rows.append((t, pickle.dumps(s)))
+        return pd.DataFrame(rows, columns=["event_type", "kmv"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    sk: dict[str, KMinValues] = {}
+    for t, sub in parts.groupby("event_type"):
+        acc = pickle.loads(sub.kmv.iloc[0])
+        for raw in sub.kmv.iloc[1:]:
+            acc.merge(pickle.loads(raw))
+        sk[t] = acc
+
+    pairs = type_pair_user_jaccard(sf_dir)      # t1 < t2, n_common
+    singles = distinct_users_per_type(sf_dir)   # exact distincts
+    n_common = {}
+    for t1, t2, nc in zip(pairs.t1, pairs.t2, pairs.n_common):
+        n_common[(t1, t2)] = n_common[(t2, t1)] = int(nc)
+    n_single = dict(zip(singles.event_type,
+                        (int(v) for v in singles.n_users)))
+    types = sorted(sk)
+    rows = []
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            only_a = n_single[a] - n_common.get((a, b), 0)
+            est = sk[a].difference_estimate(sk[b])
+            small_ok = (sk[a].saturated or sk[b].saturated
+                        or est == float(only_a))
+            self_ok = sk[a].difference_estimate(sk[a]) == 0.0
+            if sk[a].saturated or sk[b].saturated:
+                p = min(sk[a]._theta(), sk[b]._theta()) / 2.0 ** 64
+                slack = (8.0 * math.sqrt(max(only_a, 1) * p) + 8.0) / p
+                assert abs(est - only_a) <= slack, (
+                    f"theta difference {est} vs exact {only_a} for "
+                    f"({a!r}, {b!r}) — hashing regression")
+            rows.append((a, b, only_a, small_ok, self_ok))
+    out = pd.DataFrame(rows, columns=[
+        "type_a", "type_b", "n_only_a",
+        "kmv_diff_small_exact", "kmv_self_diff_zero"])
+    out["n_only_a"] = out.n_only_a.astype("int64")
+    out["kmv_diff_small_exact"] = out.kmv_diff_small_exact.astype(bool)
+    out["kmv_self_diff_zero"] = out.kmv_self_diff_zero.astype(bool)
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
 def join_size_estimate_audit(sf_dir: str, n_buckets: int = 64
                              ) -> pd.DataFrame:
     """Join-cardinality estimation — the sketch tier a distributed
@@ -4751,6 +4829,115 @@ def vocab_coverage_topk(sf_dir: str,
         "k", "topk_tokens", "total_tokens", "vocab_size", "coverage"])
 
 
+def textrank_keywords(sf_dir: str, n_nodes: int = 30,
+                      iters: int = 12) -> pd.DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the word co-occurrence graph — nodes are the top
+    ``n_nodes`` corpus words (exact counts, ties by token), edges are
+    UNORDERED adjacent-token co-occurrences between kept words, edge
+    weights the exact pair counts. The damping-0.85 power iteration
+    reuses the pagerank_transitions recursive-CTE list machinery
+    (LEFT-fold list_reduce sums in node order) so ranks compare
+    BIT-LEVEL. Scale shape: node selection via the token-bucketed
+    exchange; edge candidates are bounded by n_nodes² after the
+    broadcast kept-set filter; the iteration is O(n_nodes²·iters)
+    driver math."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return m.sort_values(["n", "token"], ascending=[False, True],
+                             kind="stable").head(n_nodes)
+
+    top = ds.map_batches(tok_partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_topk,
+                                      batch_format="pandas").to_pandas() \
+        .sort_values(["n", "token"], ascending=[False, True],
+                     kind="stable").head(n_nodes)
+    kept = sorted(top.token)  # node index order: alphabetical
+    counts = dict(zip(top.token, (int(v) for v in top.n)))
+    if not kept:
+        return pd.DataFrame({
+            "token": pd.Series([], dtype=object),
+            "word_count": pd.Series([], dtype="int64"),
+            "degree": pd.Series([], dtype="int64"),
+            "textrank": pd.Series([], dtype="float64")})
+    bc = ray.put(set(kept))
+
+    def edge_partial(b: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(bc)
+        from collections import Counter
+        cnt: Counter = Counter()
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks = WORD_RE.findall(t)
+            for x, y in zip(toks, toks[1:]):
+                if x != y and x in wanted and y in wanted:
+                    cnt[(min(x, y), max(x, y))] += 1
+        if not cnt:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=np.int64)})
+        ks = sorted(cnt)
+        return pd.DataFrame({
+            "a": [k[0] for k in ks], "b": [k[1] for k in ks],
+            "w": pd.Series([cnt[k] for k in ks], dtype="int64")})
+
+    edges = ds.map_batches(edge_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    if len(edges):
+        edges = edges.groupby(["a", "b"], as_index=False)["w"].sum()
+    idx = {t: i for i, t in enumerate(kept)}
+    n = len(kept)
+    w = [[0] * n for _ in range(n)]
+    for a, b_, wt in zip(edges.a, edges.b, edges.w) if len(edges) else []:
+        w[idx[a]][idx[b_]] = int(wt)
+        w[idx[b_]][idx[a]] = int(wt)
+    deg = [sum(row) for row in w]
+    fn = float(n)
+    mat = [[(0.0 if deg[k] == 0 else float(w[k][j]) / float(deg[k]))
+            for j in range(n)] for k in range(n)]
+    r = [1.0 / fn] * n
+    for _ in range(iters - 1):
+        vals = [r[k] if deg[k] == 0 else 0.0 for k in range(n)]
+        dang = vals[0]
+        for v_ in vals[1:]:
+            dang = dang + v_
+        new = []
+        for j in range(n):
+            contribs = [mat[k][j] * r[k] for k in range(n)]
+            s = contribs[0]
+            for c_ in contribs[1:]:
+                s = s + c_
+            new.append(0.15 / fn + 0.85 * (s + dang / fn))
+        r = new
+    return pd.DataFrame({
+        "token": kept,
+        "word_count": pd.Series([counts[t] for t in kept],
+                                dtype="int64"),
+        "degree": pd.Series(deg, dtype="int64"),
+        "textrank": pd.Series(r, dtype="float64"),
+    }).sort_values("token").reset_index(drop=True)
+
+
 def cms_token_counts_audit(sf_dir: str, k: int = 20,
                            depth: int = 4,
                            width: int = 2048) -> pd.DataFrame:
@@ -5798,6 +5985,158 @@ def hourly_type_entropy(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("hour_of_day").reset_index(drop=True)
 
 
+def type_hour_information_gain(sf_dir: str) -> pd.DataFrame:
+    """Information gain of event_type given hour-of-day — IG = H(type)
+    − H(type | hour), the feature-usefulness / dependency primitive
+    beside Cramér's V: all entropies from EXACT merged integer counts
+    (one pre-aggregated exchange of <= 24 × #types rows), evaluated
+    with the hourly_type_entropy log2/round(6) contract (components
+    and the difference each round independently)."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hod": b.ts.dt.hour.astype("int64"),
+            "event_type": b.event_type,
+        }).groupby(["hod", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    ct = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas() \
+        .groupby(["hod", "event_type"], as_index=False)["n"].sum()
+    n = int(ct.n.sum())
+
+    def ent(counts: np.ndarray) -> float:
+        p = counts.astype(np.float64) / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    ht = ent(ct.groupby("event_type")["n"].sum()
+             .sort_index().to_numpy(np.int64))
+    hc_num = 0.0
+    for _, g in sorted(ct.groupby("hod"), key=lambda kv: kv[0]):
+        cnt = int(g.n.sum())
+        hc_num += cnt * ent(g.sort_values("event_type")
+                            .n.to_numpy(np.int64))
+    hc = hc_num / n
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "h_type": [float(round_half_away(ht, 6))],
+        "h_type_given_hour": [float(round_half_away(hc, 6))],
+        "info_gain": [float(round_half_away(ht - hc, 6))],
+    })
+
+
+def pmi_top_bigrams(sf_dir: str, min_count: int = 3,
+                    k: int = 20) -> pd.DataFrame:
+    """Top-k collocations by PMI lift (pointwise mutual information
+    without the log — lift = P(ab)/(P(a)P(b)) is monotone to PMI, so
+    the ranking is identical while staying a fixed-shape IEEE
+    expression of EXACT integers — the libm-log contract). Counts are
+    exact: bigram totals from the bigram-bucketed exchange with a
+    min-count prune bounding the candidate set (raise min_count at
+    corpus scale — the knob trades candidate-frame size for tail
+    recall); unigram counts for candidate words only, via a broadcast
+    word-set filtered second pass. Ranking ties break by bigram
+    text — deterministic on both sides since the lift doubles are
+    bit-identical."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def bi_partial(b: pd.DataFrame) -> pd.DataFrame:
+        grams: "list[str]" = []
+        ntok = 0
+        for t in b.text.fillna("").astype(str).str.lower():
+            toks = WORD_RE.findall(t)
+            ntok += len(toks)
+            grams.extend(f"{a} {b_}" for a, b_ in zip(toks, toks[1:]))
+        if not grams:
+            # carrier row: a block can hold tokens (counted in the
+            # unigram total) yet no bigram — its ntok must still ship
+            return pd.DataFrame({
+                "bigram": pd.Series([None], dtype=object),
+                "n": pd.Series([0], dtype=np.int64),
+                "ntok": pd.Series([ntok], dtype=np.int64),
+                "bucket": pd.Series([0], dtype=np.int64)})
+        u, c = np.unique(np.asarray(grams, dtype=object),
+                         return_counts=True)
+        out = pd.DataFrame({
+            "bigram": u, "n": c.astype(np.int64),
+            "ntok": np.int64(0),
+            "bucket": (hash_any_array(u)
+                       % np.uint64(n_buckets)).astype(np.int64)})
+        out.loc[out.index[0], "ntok"] = np.int64(ntok)
+        return out
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("bigram", as_index=False).agg(n=("n", "sum"))
+        keep = m[m.n >= min_count].copy()
+        keep["tot_bi"] = np.int64(int(m.n.sum()))
+        keep["tot_tok"] = np.int64(int(g.ntok.sum()))
+        keep["bucket"] = np.int64(int(g.bucket.iloc[0]))
+        if len(keep) == 0:  # still carry this bucket's totals
+            keep = pd.DataFrame({
+                "bigram": [None], "n": [np.int64(0)],
+                "tot_bi": [np.int64(int(m.n.sum()))],
+                "tot_tok": [np.int64(int(g.ntok.sum()))],
+                "bucket": [np.int64(int(g.bucket.iloc[0]))]})
+        return keep
+
+    folded = ds.map_batches(bi_partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    bs = folded.drop_duplicates("bucket")
+    n_bi = int(bs.tot_bi.sum())
+    n_uni = int(bs.tot_tok.sum())
+    cands = folded[folded.bigram.notna() & (folded.n > 0)]
+    if len(cands) == 0 or n_bi == 0 or n_uni == 0:
+        return pd.DataFrame({
+            "bigram": pd.Series([], dtype=object),
+            "n_ab": pd.Series([], dtype="int64"),
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "total_tokens": pd.Series([], dtype="int64"),
+            "total_bigrams": pd.Series([], dtype="int64"),
+            "lift": pd.Series([], dtype="float64")})
+    words = sorted({w for bg in cands.bigram for w in bg.split(" ")})
+    bc = ray.put(set(words))
+
+    def uni_partial(b: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(bc)
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = [t for t in WORD_RE.findall(blob) if t in wanted]
+        if not toks:
+            return pd.DataFrame({"w": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({"w": u, "n": c.astype(np.int64)})
+
+    un = ds.map_batches(uni_partial, batch_format="pandas",
+                        batch_size=65536).to_pandas() \
+        .groupby("w")["n"].sum().to_dict()
+    rows = []
+    for bg, nab in zip(cands.bigram, cands.n):
+        a, b_ = bg.split(" ")
+        na, nb_ = int(un[a]), int(un[b_])
+        lift = (float(int(nab)) * float(n_uni) * float(n_uni)
+                / (float(n_bi) * float(na) * float(nb_)))
+        rows.append((bg, int(nab), na, nb_, lift))
+    out = pd.DataFrame(rows, columns=["bigram", "n_ab", "n_a", "n_b",
+                                      "lift"])
+    out = out.sort_values(["lift", "bigram"], ascending=[False, True],
+                          kind="stable").head(k)
+    out["total_tokens"] = np.int64(n_uni)
+    out["total_bigrams"] = np.int64(n_bi)
+    for col in ("n_ab", "n_a", "n_b", "total_tokens", "total_bigrams"):
+        out[col] = out[col].astype("int64")
+    return out[["bigram", "n_ab", "n_a", "n_b", "total_tokens",
+                "total_bigrams", "lift"]].reset_index(drop=True)
+
+
 def amended_events_latest_dedup(sf_dir: str) -> pd.DataFrame:
     """Multi-source union + keep-latest dedup: the late-arrival /
     amendment reconciliation pass (CDC-style upsert semantics). A
@@ -6661,6 +7000,145 @@ def ship_latency_quantiles(sf_dir: str) -> pd.DataFrame:
     out["p"] = out.p.astype("float64")
     return out.sort_values(["o_orderpriority", "p"]) \
         .reset_index(drop=True)
+
+
+def rfm_customer_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles —
+    the classic customer-analytics cube): per-customer exact metrics
+    (recency = floor days since the customer's last order vs the
+    global max order date; frequency = order count; monetary = total
+    price cents) from ONE custkey-bucketed fold; each metric banded
+    1-5 by its own quintile_disc thresholds (exact order statistics —
+    actual data values, so the <= edge comparisons are bit-exact; the
+    value_quartile_band_counts banding contract) and the output is
+    the nonzero (r, f, m) cell counts. Scale shape: the per-customer
+    frame stays a Dataset; band assignment is a broadcast-edges
+    vectorized map; the cube fold is bounded by 125 cells."""
+    from ..stages.scan import exact_quantiles
+    from ..sketches import hash64
+
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "c": b.o_custkey.to_numpy(np.int64),
+            "us": b.o_orderdate.astype("datetime64[us]").astype("int64"),
+            "cents": round_half_away(
+                b.o_totalprice.to_numpy() * 100).astype(np.int64),
+        }).groupby("c", as_index=False).agg(
+            max_us=("us", "max"), freq=("us", "size"),
+            mon=("cents", "sum"))
+        d["bucket"] = (hash64(d.c.to_numpy(np.int64).view(np.uint64))
+                       % np.uint64(64)).astype(np.int64)
+        return d
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("c", as_index=False).agg(
+            max_us=("max_us", "max"), freq=("freq", "sum"),
+            mon=("mon", "sum"))
+
+    cust = orders.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .materialize()  # three quantile scans + the banding read it
+    gmax = int(cust.max("max_us"))
+
+    def add_metrics(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "recency_days": ((gmax - b.max_us.to_numpy(np.int64))
+                             // 86_400_000_000).astype(np.float64),
+            "freq": b.freq.to_numpy(np.float64),
+            "mon": b.mon.to_numpy(np.float64),
+        })
+
+    metrics = cust.map_batches(add_metrics,
+                               batch_format="pandas").materialize()
+    ps = [0.2, 0.4, 0.6, 0.8]
+    edges = {m: exact_quantiles(metrics, m, ps, method="inverted_cdf")
+             for m in ("recency_days", "freq", "mon")}
+    bc = ray.put(edges)
+
+    def band(b: pd.DataFrame) -> pd.DataFrame:
+        e = ray.get(bc)
+        out = {}
+        for m in ("recency_days", "freq", "mon"):
+            v = b[m].to_numpy(np.float64)
+            out[m] = (np.searchsorted(e[m], v, side="left") + 1) \
+                .astype(np.int64)
+        return pd.DataFrame({
+            "r_band": out["recency_days"], "f_band": out["freq"],
+            "m_band": out["mon"],
+        }).groupby(["r_band", "f_band", "m_band"], as_index=False) \
+            .agg(n_customers=("r_band", "size"))
+
+    cells = metrics.map_batches(band, batch_format="pandas",
+                                batch_size=65536).to_pandas() \
+        .groupby(["r_band", "f_band", "m_band"], as_index=False) \
+        ["n_customers"].sum()
+    for col in cells.columns:
+        cells[col] = cells[col].astype("int64")
+    return cells.sort_values(["r_band", "f_band", "m_band"]) \
+        .reset_index(drop=True)
+
+
+def gap_burstiness_per_type(sf_dir: str) -> pd.DataFrame:
+    """Inter-arrival burstiness per event type (Goh & Barabási 2008:
+    B = (σ−μ)/(σ+μ) over same-user gaps, −1 = periodic, 0 = Poisson,
+    →1 = bursty) — the temporal-pattern drift primitive on top of
+    event_gap_stats' exact gap machinery: one user-bucketed exchange,
+    per-bucket lag over the (user, ts, event_id) sort, exact integer
+    microsecond sums (squares as arbitrary-precision python-int
+    strings — a 30-day gap squares past int64); mean/σ/B are
+    fixed-shape IEEE expressions of the exact ints (v <= 0 and
+    σ+μ = 0 guarded to 0.0 on both sides)."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events",
+                  columns=["user_id", "ts", "event_type", "event_id"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev_ts = g.ts.shift()
+        same_user = g.user_id.eq(g.user_id.shift()).to_numpy()
+        gap = (g.ts.astype("datetime64[us]").astype("int64")
+               - prev_ts.astype("datetime64[us]").astype("int64")
+               .fillna(0)).to_numpy()[same_user]
+        d = pd.DataFrame({"event_type": g.event_type.to_numpy()[same_user],
+                          "gap": gap})
+        rows = []
+        for t, sub in d.groupby("event_type", sort=False):
+            gs = sub.gap.to_numpy(np.int64)
+            rows.append((t, len(gs), int(gs.sum()),
+                         str(sum(int(x) * int(x) for x in gs))))
+        return pd.DataFrame(rows, columns=["event_type", "n", "s1", "s2"])
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .to_pandas()
+    rows = []
+    for t, sub in parts.groupby("event_type"):
+        n = int(sub.n.sum())
+        s1 = int(sub.s1.sum())
+        s2 = sum(int(s) for s in sub.s2)
+        m = float(s1) / float(n)
+        v = float(s2) / float(n) - m * m
+        sd = 0.0 if v <= 0 else float(np.sqrt(v))
+        b = 0.0 if sd + m == 0 else (sd - m) / (sd + m)
+        rows.append((t, n, s1, m, b))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "n_gaps", "sum_gap_us", "mean_gap_us",
+        "burstiness"])
+    out["n_gaps"] = out.n_gaps.astype("int64")
+    out["sum_gap_us"] = out.sum_gap_us.astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def pagerank_transitions(sf_dir: str, iters: int = 12) -> pd.DataFrame:
@@ -7655,6 +8133,82 @@ def binseg_changepoints_hourly(sf_dir: str) -> pd.DataFrame:
                                  dtype="int64"),
         "gain": pd.Series([r["gain"] for _, r in rows], dtype="float64"),
     }).sort_values("segment").reset_index(drop=True)
+
+
+def holt_winters_hourly(sf_dir: str, m: int = 24) -> pd.DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing with a
+    24-hour season over the hourly mean series — the seasonal
+    forecasting tier above holt_linear_hourly: α=0.3 level, β=0.2
+    trend, γ=0.1 seasonal, classical deterministic init (l₀ = mean of
+    the first season, b₀ = (second-season mean − first-season mean)/m,
+    s₀ᵢ = xᵢ − l₀), seasonal update s_t = γ(x_t − l_t) + (1−γ)s_{t−m}.
+    The driver recursion carries (l, b, rolling 24-seasonal list) in
+    EXACTLY the SQL recursive-CTE list shapes (left-fold slice sums,
+    s[2:] || [s_new] rotation, l_new expression repeated inside b_new)
+    — sequential IEEE ops, bit-level compare, no rounding contract.
+    Needs ≥ 2 seasons of hours; shorter inputs return zero rows on
+    both sides. #hours is bounded by the time span at any row scale."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = ((hourly.value_c.to_numpy(np.float64) / 100.0)
+         / hourly.n.to_numpy(np.float64)).tolist()
+    n = len(x)
+    empty = pd.DataFrame({
+        "n_hours": pd.Series([], dtype="int64"),
+        "hw_level": pd.Series([], dtype="float64"),
+        "hw_trend": pd.Series([], dtype="float64"),
+        "hw_forecast_1h": pd.Series([], dtype="float64"),
+    })
+    if n < 2 * m:
+        return empty
+
+    def fold_sum(vals: "list[float]") -> float:
+        s = vals[0]
+        for v in vals[1:]:
+            s = s + v
+        return s
+
+    l = fold_sum(x[:m]) / 24.0
+    b = (fold_sum(x[m:2 * m]) / 24.0 - fold_sum(x[:m]) / 24.0) / 24.0
+    # DETRENDED seasonal init: subtracting only the season mean leaves
+    # the within-season ramp inside the seasonals, and a seasonal ramp
+    # is indistinguishable from trend — measured b settling ~40% below
+    # a pure linear slope. Position-centered detrending zeroes the
+    # seasonals exactly for pure-trend input.
+    s = [x[i] - (fold_sum(x[:m]) / 24.0 + (float(i) - 11.5) * b)
+         for i in range(m)]
+    for i in range(m, n):
+        xv = x[i]
+        # every expression reads the PREVIOUS state (the recursive
+        # CTE computes all three columns from the prior row)
+        l_new = 0.3 * (xv - s[0]) + 0.7 * (l + b)
+        b_new = (0.2 * ((0.3 * (xv - s[0]) + 0.7 * (l + b)) - l)
+                 + 0.8 * b)
+        # classical form: seasonal deviation vs the CURRENT level
+        # (l_new expression repeated — the lagged (l+b) variant lets
+        # seasonals absorb a linear trend, measured drifting b)
+        s_new = (0.1 * (xv - (0.3 * (xv - s[0]) + 0.7 * (l + b)))
+                 + 0.9 * s[0])
+        s = s[1:] + [s_new]
+        l, b = l_new, b_new
+    return pd.DataFrame({
+        "n_hours": [np.int64(n)],
+        "hw_level": [float(l)],
+        "hw_trend": [float(b)],
+        "hw_forecast_1h": [float(l + b + s[0])],
+    })
 
 
 def ewma_stream_value(sf_dir: str, alpha: float = 0.02) -> pd.DataFrame:

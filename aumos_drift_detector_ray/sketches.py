@@ -692,6 +692,34 @@ class KMinValues(_Serializable):
             n = int((common < np.uint64(theta)).sum())
         return n * 2.0 ** 64 / float(theta)
 
+    def difference_estimate(self, other: "KMinValues") -> float:
+        """Theta-sketch-style set-DIFFERENCE estimate |A \\ B| (the
+        a-not-b theta composition completing the set algebra beside
+        union (merge) and intersection): theta = min of both
+        thresholds, sample = own hashes strictly below theta that are
+        NOT in the other sketch, estimate = |sample| / (theta / 2^64).
+
+        Structural guarantees (what the oracle audit pins):
+        - both sketches UNSATURATED -> both samples complete, so the
+          estimate is the EXACT difference cardinality (any input,
+          modulo 2^-64 hash collisions);
+        - self-difference identity: ``a.difference_estimate(a) == 0.0``
+          bit-exactly for ANY state (empty own-not-own sample);
+        - sum rule under a shared theta: intersect + difference
+          estimates use the same denominator, so
+          ``intersect + difference == |own sample| / (theta/2^64)``
+          exactly in counting space."""
+        if other.k != self.k:
+            raise ValueError("KMinValues k mismatch")
+        theta = min(self._theta(), other._theta())
+        own_not_other = np.setdiff1d(self.hashes, other.hashes,
+                                     assume_unique=True)
+        if theta >= (1 << 64):
+            n = int(own_not_other.size)
+        else:
+            n = int((own_not_other < np.uint64(theta)).sum())
+        return n * 2.0 ** 64 / float(theta)
+
 
 class CountMinSketch(_Serializable):
     """Mergeable count-min sketch (Cormode & Muthukrishnan, J.

@@ -268,7 +268,10 @@ def run_queries() -> dict[str, float]:
         "seasonal_strength_hourly", "pagerank_transitions",
         "jaro_winkler_part_names", "doc_chunking_stats",
         "readability_docs", "vocab_coverage_topk",
-        "ship_latency_quantiles",
+        "ship_latency_quantiles", "type_hour_information_gain",
+        "pmi_top_bigrams", "kmv_difference_audit",
+        "holt_winters_hourly", "textrank_keywords",
+        "gap_burstiness_per_type", "rfm_customer_segments",
     ]
     qs = E.queries()
     out = {}

@@ -849,3 +849,202 @@ class TestShipLatencyQuantiles:
         # orderdate, so negative latencies are legitimate data
         assert (out.groupby("o_orderpriority").latency_days
                 .apply(lambda s: s.is_monotonic_increasing)).all()
+
+
+class TestTypeHourInformationGain:
+    def test_bounds_and_bruteforce(self, ray_session):
+        import collections
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.type_hour_information_gain(SF)
+        # IG in [0, H(type)] and components consistent
+        assert 0.0 <= out.info_gain[0] <= out.h_type[0] + 1e-6
+        assert out.h_type_given_hour[0] <= out.h_type[0] + 1e-6
+        df = duckdb.sql(f"""
+            SELECT extract(hour FROM ts) AS hod, event_type
+            FROM '{SF}/events.parquet'""").df()
+        def ent(counts):
+            p = np.array(list(counts), float); p /= p.sum()
+            return float(-(p * np.log2(p)).sum())
+        ht = ent(collections.Counter(df.event_type).values())
+        assert abs(out.h_type[0] - ht) < 1e-5
+
+    def test_deterministic_feature_is_full_gain(self, ray_session):
+        """type purely determined by hour -> H(type|hour)=0, IG=H."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=240, freq="h")
+        types = np.where(ts.hour < 12, "am", "pm")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(240), types=types)
+            out = Q.type_hour_information_gain(d)
+            assert out.h_type_given_hour[0] == 0.0
+            assert out.info_gain[0] == out.h_type[0] == 1.0
+
+
+class TestPmiTopBigrams:
+    def test_bruteforce_lift(self, ray_session):
+        import collections
+        import re
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.pmi_top_bigrams(SF)
+        texts = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df().text
+        uni = collections.Counter()
+        bi = collections.Counter()
+        for t in texts:
+            toks = re.findall(r"[a-z']+", (t or "").lower())
+            uni.update(toks)
+            bi.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        nu, nb = sum(uni.values()), sum(bi.values())
+        assert (out.total_tokens == nu).all()
+        assert (out.total_bigrams == nb).all()
+        for _, r in out.iterrows():
+            a, b = r.bigram.split(" ")
+            assert r.n_ab == bi[r.bigram]
+            assert r.n_a == uni[a] and r.n_b == uni[b]
+            assert r.lift == (float(r.n_ab) * float(nu) * float(nu)
+                              / (float(nb) * float(r.n_a)
+                                 * float(r.n_b)))
+        # min-count prune respected, ranking monotone
+        assert (out.n_ab >= 3).all()
+        assert (out.lift.diff().dropna() <= 1e-12).all()
+
+
+class TestHoltWintersHourly:
+    def test_tracks_pure_seasonal_signal(self, ray_session):
+        """x a pure 24h-periodic function: after 10 seasons the 1-step
+        forecast must be close to the true next value."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=24 * 10, freq="h")
+        v = 50.0 + 10.0 * np.sin(2 * np.pi * ts.hour.to_numpy() / 24.0)
+        v = np.round(v, 2)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.holt_winters_hourly(d)
+            assert int(out.n_hours[0]) == 240
+            true_next = 50.0 + 10.0 * np.sin(2 * np.pi * 0 / 24.0)
+            assert abs(out.hw_forecast_1h[0] - true_next) < 1.0
+            assert abs(out.hw_trend[0]) < 0.1  # no trend in the signal
+
+    def test_trend_plus_season(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=24 * 12, freq="h")
+        v = (0.5 * np.arange(len(ts))
+             + 5.0 * (ts.hour.to_numpy() % 2)).round(2)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.holt_winters_hourly(d)
+            assert abs(out.hw_trend[0] - 0.5) < 0.1
+
+    def test_short_input_empty(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=30, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(30))
+            out = Q.holt_winters_hourly(d)
+            assert len(out) == 0
+            assert list(out.columns) == ["n_hours", "hw_level",
+                                         "hw_trend", "hw_forecast_1h"]
+
+
+class TestTextrankKeywords:
+    def test_hub_word_ranks_highest(self, ray_session):
+        """A hub word adjacent to many distinct words must out-rank
+        equally-frequent words with one neighbor."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = ([f"hub w{i}" for i in range(8)] * 3
+                 + ["solo pair"] * 12)
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, ["en"] * len(texts))
+            out = Q.textrank_keywords(d).set_index("token")
+            assert abs(out.textrank.sum() - 1.0) <= 1e-9
+            assert out.textrank["hub"] == out.textrank.max()
+            # degree bookkeeping: hub touches 8 distinct words x3
+            assert int(out.degree["hub"]) == 24
+            assert int(out.word_count["hub"]) == 24
+
+    def test_isolated_vocabulary_uniform(self, ray_session):
+        """No co-occurrence at all (single-word docs): every node
+        dangles -> uniform ranks."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = ["alpha", "beta", "gamma", "delta"] * 5
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, ["en"] * len(texts))
+            out = Q.textrank_keywords(d)
+            assert (out.degree == 0).all()
+            assert out.textrank.nunique() == 1
+
+
+class TestGapBurstiness:
+    def test_periodic_and_bursty_signatures(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # one user, perfectly periodic clicks: sigma=0 -> B = -1
+        ts = pd.date_range("2024-01-01", periods=100, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(100), users=np.zeros(100))
+            out = Q.gap_burstiness_per_type(d).set_index("event_type")
+            assert out.burstiness["click"] == -1.0
+            assert int(out.n_gaps["click"]) == 99
+            assert int(out.sum_gap_us["click"]) == 99 * 3_600_000_000
+        # heavy-tailed gaps: B must move above the periodic baseline
+        gaps = np.array(([1] * 80 + [100_000] * 4), dtype="int64")
+        t2 = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.concatenate([[0], np.cumsum(gaps)]), unit="s")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, t2, np.ones(len(t2)),
+                          users=np.zeros(len(t2)))
+            out = Q.gap_burstiness_per_type(d).set_index("event_type")
+            assert out.burstiness["click"] > 0.5
+
+    def test_matches_numpy_moments(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.gap_burstiness_per_type(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS gap
+            FROM '{SF}/events.parquet'
+        """).df().dropna()
+        for _, r in out.iterrows():
+            g = df[df.event_type == r.event_type].gap.to_numpy("int64")
+            assert int(r.n_gaps) == len(g)
+            assert int(r.sum_gap_us) == int(g.sum())
+            m, sd = g.mean(), g.std()
+            assert abs(r.burstiness - (sd - m) / (sd + m)) < 1e-9
+
+
+class TestRfmCustomerSegments:
+    def test_cell_totals_and_band_balance(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.rfm_customer_segments(SF)
+        n_cust = int(duckdb.sql(
+            f"SELECT count(DISTINCT o_custkey) FROM '{SF}/orders.parquet'"
+        ).fetchone()[0])
+        assert int(out.n_customers.sum()) == n_cust
+        assert out[["r_band", "f_band", "m_band"]].min().min() >= 1
+        assert out[["r_band", "f_band", "m_band"]].max().max() <= 5
+        # quintile banding: each marginal band holds >= ~1/5 of
+        # customers up to tie inflation, and band 1 is never empty
+        marg = out.groupby("m_band").n_customers.sum()
+        assert marg.get(1, 0) >= n_cust // 5  # ties only ever inflate

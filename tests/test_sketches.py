@@ -646,3 +646,47 @@ class TestExpHistogram:
         assert abs(est - 20000) / 20000 <= 3.0 / (2 * h.k)
         # memory truly logarithmic
         assert len(h.buckets) <= (h.k + 1) * (int(np.log2(20000)) + 2)
+
+
+class TestKMVDifference:
+    """a-not-b theta composition: exact in the unsaturated regime,
+    identities, and the shared-theta sum rule."""
+
+    def _sk(self, ids, k=64):
+        from aumos_drift_detector_ray.sketches import KMinValues, hash64
+
+        s = KMinValues(k=k)
+        s.update_hashes(hash64(np.asarray(ids, np.int64)
+                               .view(np.uint64)))
+        return s
+
+    def test_exact_when_unsaturated(self):
+        a = self._sk(range(0, 40))
+        b = self._sk(range(20, 70))
+        assert a.difference_estimate(b) == 20.0
+        assert b.difference_estimate(a) == 30.0
+        assert a.difference_estimate(a) == 0.0
+
+    def test_self_difference_zero_saturated(self):
+        a = self._sk(range(10_000), k=32)
+        assert a.saturated
+        assert a.difference_estimate(a) == 0.0
+
+    def test_sum_rule_and_accuracy(self):
+        rng = np.random.default_rng(3)
+        ai = rng.choice(200_000, 30_000, replace=False)
+        bi = rng.choice(200_000, 30_000, replace=False)
+        a = self._sk(ai, k=1024)
+        b = self._sk(bi, k=1024)
+        inter = a.intersect_estimate(b)
+        diff = a.difference_estimate(b)
+        # shared theta: inter + diff counts the whole own sample
+        assert abs((inter + diff) - a.estimate()) <= 1e-6 * a.estimate()
+        true_diff = len(np.setdiff1d(ai, bi))
+        assert abs(diff - true_diff) / true_diff < 0.25  # ~8 sigma
+
+    def test_k_mismatch_raises(self):
+        a = self._sk(range(10), k=32)
+        b = self._sk(range(10), k=64)
+        with pytest.raises(ValueError):
+            a.difference_estimate(b)

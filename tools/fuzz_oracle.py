@@ -58,12 +58,15 @@ EVENT_QUERIES = [
     "top_user_by_value_per_type", "type_pair_user_jaccard",
     "mad_value_per_type", "asof_click_before_error", "asof_next_purchase_after_signup", "hash_split_counts",
     "events_type_hour_pivot", "kmv_distinct_audit",
-    "kmv_intersection_audit", "join_size_estimate_audit",
+    "kmv_intersection_audit", "kmv_difference_audit",
+    "join_size_estimate_audit",
     "dgim_window_count_audit", "mannwhitney_drift_events",
     "per_type_sample_events", "holt_linear_hourly",
+    "holt_winters_hourly",
     "binseg_changepoints_hourly", "moods_median_drift",
     "assoc_rules_event_types", "cramers_v_type_band",
     "seasonal_strength_hourly", "pagerank_transitions",
+    "type_hour_information_gain", "gap_burstiness_per_type",
     "k_anonymity_report", "concept_drift_struct_audit",
     # session-3: full-outer join, JSON extraction, ROWS window, string_agg
     "active_user_outer_counts", "props_json_field_stats",
@@ -172,8 +175,9 @@ DOC_QUERIES = [
     "shingle_cosine_pairs", "neardup_triangle_stats",
     "token_source_drift", "trending_tokens_daily", "snapshot_diff_docs",
     "curation_funnel_report",
-    # session-7: RAG chunking, readability, vocabulary coverage
+    # session-7: RAG chunking, readability, vocabulary coverage, PMI
     "doc_chunking_stats", "readability_docs", "vocab_coverage_topk",
+    "pmi_top_bigrams", "textrank_keywords",
 ]
 
 
