@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "textrank_keywords": Q.textrank_keywords,
         "gap_burstiness_per_type": Q.gap_burstiness_per_type,
         "rfm_customer_segments": Q.rfm_customer_segments,
+        "image_patch_stats_audit": Q.image_patch_stats_audit,
     }
 
 
@@ -2596,6 +2597,52 @@ def _oracle_sql_raw() -> dict[str, str]:
             LEFT JOIN c ON c.ta = sa.event_type
                        AND c.tb = sb.event_type
             ORDER BY 1, 2
+        """,
+        # ViT patch-extraction stats over DECODED lossless images:
+        # every 16x16 patch sum brute-forced by SQL from the formula
+        # pixel grid; any codec bit flip shifts the value hash
+        "image_patch_stats_audit": """
+            WITH nn AS (SELECT least(120, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (
+                SELECT i, fmt, w, h,
+                       unnest(generate_series(0, h - 1)) AS r
+                FROM img
+            ),
+            px AS (
+                SELECT i, fmt, w, h, r,
+                       unnest(generate_series(0, w - 1)) AS c
+                FROM pr
+            ),
+            g AS (
+                SELECT i, fmt, h // 16 AS npr, w // 16 AS npc,
+                       r // 16 AS tr, c // 16 AS tc,
+                       CAST(sum((r + 2 * c + i + 0) % 256
+                                + (r + 2 * c + i + 1) % 256
+                                + (r + 2 * c + i + 2) % 256)
+                            AS BIGINT) AS ts
+                FROM px
+                WHERE r < (h // 16) * 16 AND c < (w // 16) * 16
+                GROUP BY 1, 2, 3, 4, 5, 6
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(npr AS BIGINT) AS n_patch_rows,
+                   CAST(npc AS BIGINT) AS n_patch_cols,
+                   CAST(count(*) AS BIGINT) AS n_patches,
+                   CAST(min(ts) AS BIGINT) AS patch_sum_min,
+                   CAST(max(ts) AS BIGINT) AS patch_sum_max,
+                   CAST(sum(ts) AS BIGINT) AS patch_sum_total
+            FROM g GROUP BY 1, 2, 3, 4 ORDER BY 1
         """,
         # RFM quintile segmentation: exact per-customer metrics,
         # quantile_disc thresholds (actual data values -> bit-exact

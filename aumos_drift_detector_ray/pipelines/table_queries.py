@@ -3939,6 +3939,60 @@ def image_bucketing_audit(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def image_patch_stats_audit(sf_dir: str, p: int = 16) -> pd.DataFrame:
+    """ViT-style patch extraction statistics over DECODED images — the
+    patch-embedding preparation op of an image-training pipeline
+    (Dosovitskiy et al. 2021 §3: non-overlapping P×P patches, partial
+    edge patches dropped), pinned oracle-exact: the
+    image_pixel_fidelity roster (formula dims, deterministic gradient
+    pixels) restricted to the LOSSLESS fmts (raw/png — decoded arrays
+    are bit-equal to source, so SQL can brute-force every patch sum
+    from the (r, c, ch) formula grid via generate_series), n =
+    min(120, #docs). Per image: patch grid dims, patch count, and the
+    min/max/total of per-patch pixel sums — all exact int64 computed
+    from the REAL decode output (any codec bit flip shifts the value
+    hash). Per-block vectorized reshape-sum; the driver folds <= n
+    tiny rows."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(120, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def patches(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt)
+            pr, pc_ = dec.shape[0] // p, dec.shape[1] // p
+            tiles = dec[:pr * p, :pc_ * p].astype(np.int64) \
+                .reshape(pr, p, pc_, p, 3).sum(axis=(1, 3, 4))
+            rows.append((i, fmt, pr, pc_, pr * pc_,
+                         int(tiles.min()), int(tiles.max()),
+                         int(tiles.sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_patch_rows", "n_patch_cols",
+            "n_patches", "patch_sum_min", "patch_sum_max",
+            "patch_sum_total"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(patches, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_patch_rows", "n_patch_cols", "n_patches",
+                "patch_sum_min", "patch_sum_max", "patch_sum_total"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
 def image_pixel_fidelity_audit(sf_dir: str) -> pd.DataFrame:
     """Per-PIXEL decode-fidelity audit of the image codec tier — the
     oracle-exact anchor for the north star's per-row invariant

@@ -1048,3 +1048,32 @@ class TestRfmCustomerSegments:
         # customers up to tie inflation, and band 1 is never empty
         marg = out.groupby("m_band").n_customers.sum()
         assert marg.get(1, 0) >= n_cust // 5  # ties only ever inflate
+
+
+class TestImagePatchStatsAudit:
+    def test_patch_sums_bruteforce_and_corruption(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_patch_stats_audit(SF)
+        assert set(out.fmt) == {"raw", "png"}
+        # brute-force one image end-to-end in the test (independent
+        # reshape-free loop)
+        r0 = out[out.img_id == 0].iloc[0]
+        i, p = 0, 16
+        w = 32 + 8 * ((i * 7) % 16)
+        h = 32 + 8 * ((i * 11) % 16)
+        rr = np.arange(h)[:, None]
+        cc = np.arange(w)[None, :]
+        src = np.stack([(rr + 2 * cc + i + ch) % 256
+                        for ch in range(3)], axis=-1)
+        sums = []
+        for tr in range(h // p):
+            for tc in range(w // p):
+                sums.append(int(src[tr*p:(tr+1)*p,
+                                    tc*p:(tc+1)*p].sum()))
+        assert int(r0.n_patches) == len(sums)
+        assert int(r0.patch_sum_min) == min(sums)
+        assert int(r0.patch_sum_max) == max(sums)
+        assert int(r0.patch_sum_total) == sum(sums)
+        # partial edge patches dropped: covered pixels <= total pixels
+        assert (out.n_patch_rows * 16 <= 32 + 8 * 15 + 120).all()

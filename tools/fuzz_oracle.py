@@ -178,6 +178,7 @@ DOC_QUERIES = [
     # session-7: RAG chunking, readability, vocabulary coverage, PMI
     "doc_chunking_stats", "readability_docs", "vocab_coverage_topk",
     "pmi_top_bigrams", "textrank_keywords",
+    "image_patch_stats_audit",
 ]
 
 
