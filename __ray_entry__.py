@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_burstiness_per_type": Q.gap_burstiness_per_type,
         "rfm_customer_segments": Q.rfm_customer_segments,
         "image_patch_stats_audit": Q.image_patch_stats_audit,
+        "theil_sen_hourly_slope": Q.theil_sen_hourly_slope,
+        "spearman_value_hour": Q.spearman_value_hour,
     }
 
 
@@ -851,7 +853,8 @@ _VALUE_CLEAN_QUERIES = [
     "ntile_value_bands_per_type", "winsorized_value_mean_per_type",
     "weekly_median_value_per_type", "mannwhitney_drift_events",
     "holt_linear_hourly", "holt_winters_hourly",
-    "binseg_changepoints_hourly",
+    "binseg_changepoints_hourly", "theil_sen_hourly_slope",
+    "spearman_value_hour",
     "moods_median_drift", "cramers_v_type_band",
     "seasonal_strength_hourly",
 ]
@@ -2597,6 +2600,75 @@ def _oracle_sql_raw() -> dict[str, str]:
             LEFT JOIN c ON c.ta = sa.event_type
                        AND c.tb = sb.event_type
             ORDER BY 1, 2
+        """,
+        # Spearman rho (tie-aware midranks): all sufficient statistics
+        # exact ints in doubled-midrank space (2*midrank = 2*rank + t
+        # - 1 via window functions); rho one fixed-shape IEEE
+        # expression with constant-column 0.0 guards
+        "spearman_value_hour": """
+            WITH u AS (
+                SELECT value,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hod
+                FROM events
+            ),
+            r AS (
+                SELECT 2 * rank() OVER (ORDER BY value)
+                       + count(*) OVER (PARTITION BY value) - 1 AS ra2,
+                       2 * rank() OVER (ORDER BY hod)
+                       + count(*) OVER (PARTITION BY hod) - 1 AS rb2
+                FROM u
+            ),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         sum(CAST(ra2 AS HUGEINT) * rb2) AS sab,
+                         sum(CAST(ra2 AS HUGEINT) * ra2) AS saa,
+                         sum(CAST(rb2 AS HUGEINT) * rb2) AS sbb
+                  FROM r)
+            SELECT n AS n_rows,
+                   CASE WHEN CAST(n AS HUGEINT) * saa
+                             - CAST(n AS HUGEINT) * (n + 1)
+                               * n * (n + 1) <= 0
+                          OR CAST(n AS HUGEINT) * sbb
+                             - CAST(n AS HUGEINT) * (n + 1)
+                               * n * (n + 1) <= 0
+                        THEN 0.0
+                        ELSE CAST(CAST(n AS HUGEINT) * sab
+                                  - CAST(n AS HUGEINT) * (n + 1)
+                                    * n * (n + 1) AS DOUBLE)
+                             / sqrt(CAST(CAST(n AS HUGEINT) * saa
+                                         - CAST(n AS HUGEINT) * (n + 1)
+                                           * n * (n + 1) AS DOUBLE)
+                                    * CAST(CAST(n AS HUGEINT) * sbb
+                                           - CAST(n AS HUGEINT)
+                                             * (n + 1) * n * (n + 1)
+                                           AS DOUBLE))
+                   END AS spearman_rho
+            FROM s
+        """,
+        # Theil-Sen robust slope: pair slopes are identical fixed-
+        # shape doubles on both sides -> the median is a
+        # deterministic order statistic (quantile_disc)
+        "theil_sen_hourly_slope": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            x AS (
+                SELECT CAST(epoch_us(hour) AS BIGINT)
+                           // 3600000000 AS hi,
+                       (CAST(value_c AS DOUBLE) / 100.0) / n AS xv
+                FROM h
+            ),
+            p AS (
+                SELECT (b.xv - a.xv) / (b.hi - a.hi) AS slope
+                FROM x a JOIN x b ON a.hi < b.hi
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM x) AS n_hours,
+                   CAST(coalesce(count(*), 0) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(quantile_disc(slope, 0.5), 0.0)
+                        AS DOUBLE) AS theil_sen_slope
+            FROM p
         """,
         # ViT patch-extraction stats over DECODED lossless images:
         # every 16x16 patch sum brute-forced by SQL from the formula

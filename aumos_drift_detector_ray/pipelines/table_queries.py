@@ -7861,6 +7861,182 @@ def cusum_hourly_mean(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def spearman_value_hour(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between value and hour-of-day
+    (tie-aware midranks — the rank-correlation member of the
+    two-sample/rank tier beside Mann-Whitney and Mood): every
+    sufficient statistic is an EXACT integer in doubled-midrank space
+    (2·midrank = 2·C_lt + t + 1 stays integral under ties), computed
+    distributed — per-value 24-wide hod count rows from one bucketed
+    exchange, one sort, the pass-A/pass-B offset scan of
+    rank_sum_stats with python-int partials shipped as strings — and
+    rho = (n·S_ab − S_a·S_b) / sqrt((n·S_aa − S_a²)·(n·S_bb − S_b²))
+    is one fixed-shape IEEE expression of those ints, mirrored in SQL
+    with HUGEINT accumulators (constant columns guard to 0.0)."""
+    import math
+
+    from ..sketches import hash64
+
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+    H = 24
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "value": b.value.to_numpy(np.float64) + 0.0,
+            "hod": b.ts.dt.hour.to_numpy(np.int64),
+        })
+        g = d.groupby(["value", "hod"]).size().unstack(
+            fill_value=0).reindex(columns=range(H), fill_value=0)
+        out = g.reset_index()
+        out.columns = ["value"] + [f"h{i}" for i in range(H)]
+        out["bucket"] = (
+            hash64(out.value.to_numpy(np.float64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("value", as_index=False)[
+            [f"h{i}" for i in range(H)]].sum()
+
+    cells = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .sort("value").materialize()
+
+    hcols = [f"h{i}" for i in range(H)]
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "t": pa.array([], pa.int64())})
+        v = b["value"].to_numpy(zero_copy_only=False)
+        t = sum(b[c].to_numpy(zero_copy_only=False).sum() for c in hcols)
+        return pa.table({"min_val": pa.array([float(v[0])], pa.float64()),
+                         "t": pa.array([int(t)], pa.int64())})
+
+    summary = cells.map_batches(summarize, batch_format="pyarrow",
+                                batch_size=None) \
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    n = int(summary.t.sum())
+    if n == 0:
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype="int64"),
+                             "spearman_rho": pd.Series([0.0],
+                                                       dtype="float64")})
+    offs = np.concatenate([[0], np.cumsum(summary.t.to_numpy())[:-1]])
+    mins = summary.min_val.to_numpy()
+    # hod marginal: tiny (24) — fold from per-block partials
+    hm = cells.map_batches(
+        lambda b: pd.DataFrame(
+            {c: [int(b[c].to_numpy(zero_copy_only=False).sum())]
+             for c in hcols}),
+        batch_format="pyarrow").to_pandas().sum()
+    hcnt = [int(hm[c]) for c in hcols]
+    # 2*midrank for each hod (ranked by hod value 0..23)
+    pref = 0
+    rb2 = []
+    for c_ in hcnt:
+        rb2.append(2 * pref + c_ + 1)
+        pref += c_
+    bc = ray.put({"mins": mins, "offs": offs, "rb2": rb2})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.string())
+                          for k in ("sab", "saa", "sbb")})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        i = int(np.searchsorted(info["mins"], float(v[0])))
+        assert i < len(info["mins"]) and info["mins"][i] == v[0], \
+            "pass-B batch not at a pass-A boundary"
+        counts = [b[c].to_numpy(zero_copy_only=False) for c in hcols]
+        t = np.zeros(len(v), dtype=np.int64)
+        for arr in counts:
+            t += arr
+        c_lt = int(info["offs"][i]) + np.concatenate(
+            [[0], np.cumsum(t)[:-1]])
+        rb2_ = info["rb2"]
+        sab = saa = sbb = 0
+        for row in range(len(v)):
+            ra2 = 2 * int(c_lt[row]) + int(t[row]) + 1
+            saa += int(t[row]) * ra2 * ra2
+            for hh in range(H):
+                cth = int(counts[hh][row])
+                if cth:
+                    sab += cth * ra2 * rb2_[hh]
+                    sbb += cth * rb2_[hh] * rb2_[hh]
+        return pa.table({"sab": pa.array([str(sab)], pa.string()),
+                         "saa": pa.array([str(saa)], pa.string()),
+                         "sbb": pa.array([str(sbb)], pa.string())})
+
+    parts = cells.map_batches(contrib, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    sab = sum(int(s) for s in parts.sab)
+    saa = sum(int(s) for s in parts.saa)
+    sbb = sum(int(s) for s in parts.sbb)
+    sa = n * (n + 1)          # sum of doubled midranks, ties or not
+    num = n * sab - sa * sa   # S_a == S_b == n(n+1) in doubled space
+    da = n * saa - sa * sa
+    db = n * sbb - sa * sa
+    rho = (0.0 if da <= 0 or db <= 0
+           else float(num) / math.sqrt(float(da) * float(db)))
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "spearman_rho": pd.Series([rho], dtype="float64"),
+    })
+
+
+def theil_sen_hourly_slope(sf_dir: str) -> pd.DataFrame:
+    """Theil-Sen robust trend estimator over the hourly mean-value
+    series (Theil 1950; Sen 1968 — the median of all pairwise slopes,
+    29%-breakdown companion of the OLS trend_hourly_slope): hourly
+    means from exact cents partials (the cusum exchange); every pair
+    slope is the SAME fixed-shape IEEE expression of exact ints on
+    both sides ((xj−xi)/(hj−hi) with xv = (cents/100)/n doubles), so
+    the slope MULTISETS are bit-identical and the median is a
+    deterministic order statistic (quantile_disc semantics, the exact
+    rank selection — no rounding contract). The O(H²) pair loop is
+    bounded by the hour count (#hours², not rows), vectorized via a
+    numpy upper-triangle product."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    hidx = (hourly.hour.astype("datetime64[us]").astype("int64")
+            // 3_600_000_000).to_numpy()
+    h = len(x)
+    if h < 2:
+        return pd.DataFrame({
+            "n_hours": pd.Series([h], dtype="int64"),
+            "n_pairs": pd.Series([0], dtype="int64"),
+            "theil_sen_slope": pd.Series([0.0], dtype="float64"),
+        })
+    ii, jj = np.triu_indices(h, k=1)
+    slopes = (x[jj] - x[ii]) / (hidx[jj] - hidx[ii]).astype(np.float64)
+    slopes.sort()
+    n_pairs = len(slopes)
+    # quantile_disc(0.5): 0-based rank ceil(n*0.5 - 1e-9) - 1
+    r = min(max(int(np.ceil(n_pairs * 0.5 - 1e-9)) - 1, 0), n_pairs - 1)
+    return pd.DataFrame({
+        "n_hours": pd.Series([h], dtype="int64"),
+        "n_pairs": pd.Series([n_pairs], dtype="int64"),
+        "theil_sen_slope": pd.Series([float(slopes[r])],
+                                     dtype="float64"),
+    })
+
+
 def holt_linear_hourly(sf_dir: str) -> pd.DataFrame:
     """Holt's linear (double exponential) smoothing over the hourly
     mean-value series — the trend-analyzer tier beside OLS slope /

@@ -272,7 +272,7 @@ def run_queries() -> dict[str, float]:
         "pmi_top_bigrams", "kmv_difference_audit",
         "holt_winters_hourly", "textrank_keywords",
         "gap_burstiness_per_type", "rfm_customer_segments",
-        "image_patch_stats_audit",
+        "image_patch_stats_audit", "theil_sen_hourly_slope",
     ]
     qs = E.queries()
     out = {}

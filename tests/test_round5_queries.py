@@ -1077,3 +1077,60 @@ class TestImagePatchStatsAudit:
         assert int(r0.patch_sum_total) == sum(sums)
         # partial edge patches dropped: covered pixels <= total pixels
         assert (out.n_patch_rows * 16 <= 32 + 8 * 15 + 120).all()
+
+
+class TestTheilSenHourlySlope:
+    def test_exact_on_clean_ramp_and_robust_to_outliers(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="h")
+        v = 10.0 + 2.0 * np.arange(100)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v)
+            out = Q.theil_sen_hourly_slope(d)
+            assert out.theil_sen_slope[0] == 2.0
+            assert int(out.n_pairs[0]) == 100 * 99 // 2
+        # 15% wild outliers: the median pair slope stays on the line
+        # (the breakdown property OLS lacks)
+        v2 = v.copy()
+        v2[::7] = 1e6
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, v2)
+            out = Q.theil_sen_hourly_slope(d)
+            assert abs(out.theil_sen_slope[0] - 2.0) < 0.2
+
+
+class TestSpearmanValueHour:
+    def test_perfect_monotone_and_antimonotone(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=240, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, ts.hour.to_numpy(dtype=float))
+            out = Q.spearman_value_hour(d)
+            assert out.spearman_rho[0] == 1.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, (23 - ts.hour).to_numpy(dtype=float))
+            out = Q.spearman_value_hour(d)
+            assert out.spearman_rho[0] == -1.0
+        with tempfile.TemporaryDirectory() as d:  # constant: guard
+            _write_events(d, ts, np.full(240, 3.0))
+            out = Q.spearman_value_hour(d)
+            assert out.spearman_rho[0] == 0.0
+
+    def test_matches_pandas_tie_aware(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.spearman_value_hour(SF)
+        df = duckdb.sql(f"""
+            SELECT value, extract(hour FROM ts) AS hod
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        ra = df.value.rank(method="average").to_numpy()
+        rb = df.hod.astype(float).rank(method="average").to_numpy()
+        exp = float(np.corrcoef(ra, rb)[0, 1])
+        assert abs(out.spearman_rho[0] - exp) < 1e-9
+        assert int(out.n_rows[0]) == len(df)
