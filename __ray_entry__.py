@@ -266,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_patch_stats_audit": Q.image_patch_stats_audit,
         "theil_sen_hourly_slope": Q.theil_sen_hourly_slope,
         "spearman_value_hour": Q.spearman_value_hour,
+        "tpch_q4_late_orders": Q.tpch_q4_late_orders,
+        "tpch_q8_market_share": Q.tpch_q8_market_share,
+        "tpch_q12_priority_classes": Q.tpch_q12_priority_classes,
+        "tpch_q19_disjunctive_revenue": Q.tpch_q19_disjunctive_revenue,
     }
 
 
@@ -2669,6 +2673,86 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(coalesce(quantile_disc(slope, 0.5), 0.0)
                         AS DOUBLE) AS theil_sen_slope
             FROM p
+        """,
+        # Q4 shape: EXISTS(late lineitem) folded to max(l_shipdate)
+        # per order; counts exact ints
+        "tpch_q4_late_orders": """
+            WITH m AS (
+                SELECT l_orderkey, max(l_shipdate) AS max_ship
+                FROM lineitem GROUP BY 1)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o JOIN m ON m.l_orderkey = o.o_orderkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+              AND m.max_ship > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q8 shape: volumes exact cents ints; mkt_share ONE IEEE
+        # division of two exact ints per year (no rounding contract)
+        "tpch_q8_market_share": """
+            WITH rn AS (
+                SELECT n_nationkey FROM nation n JOIN region r
+                    ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'AMERICA'),
+            v AS (
+                SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT) AS vol_c,
+                       s.s_nationkey = (SELECT n_nationkey FROM nation
+                                        WHERE n_name = 'NATION_1')
+                           AS is_target
+                FROM lineitem l
+                JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN part p     ON p.p_partkey = l.l_partkey
+                WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+                  AND p.p_type = 'STANDARD'
+                  AND c.c_nationkey IN (SELECT n_nationkey FROM rn))
+            SELECT o_year,
+                   CAST(sum(CASE WHEN is_target THEN vol_c ELSE 0 END)
+                        AS DOUBLE) / 10000.0 AS nation_volume,
+                   CAST(sum(vol_c) AS DOUBLE) / 10000.0 AS total_volume,
+                   CASE WHEN sum(vol_c) = 0 THEN 0.0
+                        ELSE CAST(sum(CASE WHEN is_target THEN vol_c
+                                           ELSE 0 END) AS DOUBLE)
+                             / CAST(sum(vol_c) AS DOUBLE)
+                   END AS mkt_share
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        # Q12 shape: l_returnflag stands in for the trimmed schema's
+        # missing l_shipmode; counts exact ints
+        "tpch_q12_priority_classes": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1 ORDER BY 1
+        """,
+        # Q19 shape: OR-of-ANDs over part attrs x lineitem quantity;
+        # revenue = exact scaled-int sum / 10^4
+        "tpch_q19_disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(CAST(round(l_extendedprice
+                                 * (1 - l_discount) * 10000) AS BIGINT)),
+                                 0) AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
         """,
         # ViT patch-extraction stats over DECODED lossless images:
         # every 16x16 patch sum brute-forced by SQL from the formula

@@ -5496,6 +5496,358 @@ def tpch_q14_promo_share(sf_dir: str) -> pd.DataFrame:
                          "promo_pct": [pct]})
 
 
+def tpch_q4_late_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 shape (order-priority checking, adapted to the trimmed
+    schema: no l_commitdate/l_receiptdate, so 'late' = some lineitem
+    shipped >60 days after the order date): per-priority count of
+    quarter orders with EXISTS(late lineitem). The EXISTS folds to
+    max(l_shipdate) per order — per-block Max partials then one
+    groupby — so the semi join never materializes duplicate matches;
+    ship timestamps travel as int64 µs (Ray's Max aggregate stays on a
+    native numeric) and all counts are exact ints."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1997-07-01"), pd.Timestamp("1997-10-01")
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+    orders_f = orders.map_batches(
+        lambda b: b.loc[(b.o_orderdate >= LO) & (b.o_orderdate < HI)],
+        batch_format="pandas")
+    li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": b.l_orderkey,
+            "ship_us": b.l_shipdate.astype("datetime64[us]")
+                        .astype("int64"),
+        }).groupby("o_orderkey", as_index=False).agg(
+            max_ship_us=("ship_us", "max"))
+
+    limax = li.map_batches(li_partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("o_orderkey").aggregate(
+            Max("max_ship_us", alias_name="max_ship_us"))
+    joined = hash_join(orders_f, limax, "o_orderkey", n_buckets=16)
+    SIXTY_D_US = 60 * 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cutoff = b.o_orderdate.astype("datetime64[us]").astype("int64") \
+            + SIXTY_D_US
+        late = b.loc[b.r_max_ship_us.to_numpy() > cutoff.to_numpy()]
+        return late.groupby("o_orderpriority", as_index=False).agg(
+            order_count=("o_orderkey", "size"))
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("order_count", alias_name="order_count")).to_pandas()
+    out["order_count"] = out.order_count.astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def tpch_q12_priority_classes(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority classes; the trimmed
+    schema has no l_shipmode, so the grouping key is l_returnflag):
+    1997-shipped lineitems joined to their order's priority, counting
+    critical (1-URGENT/2-HIGH) vs other lines per flag. The orders
+    side is size-gated (``_BROADCAST_JOIN_MAX_ROWS``): below the gate
+    a o_orderkey→is_critical dict resolves map-side with zero
+    shuffle; above it the bucketed ``hash_join`` runs. Counts exact."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    HIGH = ("1-URGENT", "2-HIGH")
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    li_f = li.map_batches(
+        lambda b: b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI),
+                        ["l_orderkey", "l_returnflag"]],
+        batch_format="pandas", batch_size=65536)
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderpriority"])
+
+    if orders.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        odf = orders.to_pandas()
+        ref = ray.put(dict(zip(odf.o_orderkey.astype(int),
+                               odf.o_orderpriority.isin(HIGH))))
+        del odf
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            hi = b.l_orderkey.map(get_broadcast(ref)).to_numpy(dtype=bool)
+            return pd.DataFrame({
+                "l_returnflag": b.l_returnflag, "hi": hi, "lo": ~hi,
+            }).groupby("l_returnflag", as_index=False).agg(
+                high_line_count=("hi", "sum"),
+                low_line_count=("lo", "sum"))
+
+        scored = li_f.map_batches(partial, batch_format="pandas")
+    else:
+        j = hash_join(
+            li_f.map_batches(
+                lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}),
+                batch_format="pandas"),
+            orders, "o_orderkey", n_buckets=32)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            hi = b.r_o_orderpriority.isin(HIGH).to_numpy()
+            return pd.DataFrame({
+                "l_returnflag": b.l_returnflag, "hi": hi, "lo": ~hi,
+            }).groupby("l_returnflag", as_index=False).agg(
+                high_line_count=("hi", "sum"),
+                low_line_count=("lo", "sum"))
+
+        scored = j.map_batches(partial, batch_format="pandas")
+
+    out = scored.groupby("l_returnflag").aggregate(
+        Sum("high_line_count", alias_name="high_line_count"),
+        Sum("low_line_count", alias_name="low_line_count")).to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def tpch_q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate over part attributes × lineitem quantity; the trimmed
+    schema drops the shipmode/container conjuncts): three
+    (brand, size-range, quantity-range) branches. The part side prunes
+    to rows matching ANY branch's brand+size BEFORE it moves — below
+    the size gate it ships as a partkey→(brand, size) broadcast dict
+    resolved map-side; above it the bucketed ``hash_join`` runs on the
+    pre-pruned side. The disjunction evaluates vectorized per batch;
+    each block emits one (cents, n) scalar partial and the driver
+    folds O(#blocks) rows — no final shuffle at all."""
+    from ..stages.joins import hash_join
+
+    BRANCHES = (("Brand#12", 1, 5, 1, 11),
+                ("Brand#23", 1, 10, 10, 20),
+                ("Brand#34", 1, 15, 20, 30))
+
+    def part_match(b: pd.DataFrame) -> pd.Series:
+        m = pd.Series(False, index=b.index)
+        for brand, slo, shi, _, _ in BRANCHES:
+            m |= (b.p_brand == brand) & (b.p_size >= slo) & (b.p_size <= shi)
+        return m
+
+    def branch_mask(brand: pd.Series, size: np.ndarray,
+                    qty: np.ndarray) -> np.ndarray:
+        m = np.zeros(len(brand), dtype=bool)
+        for br, slo, shi, qlo, qhi in BRANCHES:
+            m |= ((brand == br).to_numpy() & (size >= slo) & (size <= shi)
+                  & (qty >= qlo) & (qty <= qhi))
+        return m
+
+    part = sf_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_size"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice",
+                           "l_discount"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        pdf = pdf.loc[part_match(pdf)]
+        ref = ray.put({int(k): (br, int(sz)) for k, br, sz in zip(
+            pdf.p_partkey, pdf.p_brand, pdf.p_size)})
+        del pdf
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            lut = get_broadcast(ref)
+            hit = b.l_partkey.map(lut)
+            b = b.loc[hit.notna()]
+            hit = hit.dropna()
+            # .str on an all-NaN block raises — unpack tuples explicitly
+            brand = pd.Series([t[0] for t in hit], index=hit.index,
+                              dtype="object")
+            size = np.fromiter((t[1] for t in hit), dtype="int64",
+                               count=len(hit))
+            m = branch_mask(brand, size, b.l_quantity.to_numpy())
+            rev_c = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()[m]
+                * 10000).astype(np.int64)
+            return pd.DataFrame({"rev_c": [int(rev_c.sum())],
+                                 "n": [int(m.sum())]})
+
+        parts = li.map_batches(partial, batch_format="pandas",
+                               batch_size=65536).to_pandas()
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[part_match(b)].rename(
+                columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        j = hash_join(li, part_f, "l_partkey", n_buckets=16)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            m = branch_mask(b.r_p_brand,
+                            b.r_p_size.to_numpy(dtype="int64"),
+                            b.l_quantity.to_numpy())
+            rev_c = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()[m]
+                * 10000).astype(np.int64)
+            return pd.DataFrame({"rev_c": [int(rev_c.sum())],
+                                 "n": [int(m.sum())]})
+
+        parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+
+    if "rev_c" not in parts.columns:  # empty join: Ray drops the schema
+        parts = pd.DataFrame({"rev_c": [0], "n": [0]})
+    return pd.DataFrame({
+        "revenue": [float(parts.rev_c.sum()) / 10000.0],
+        "n": np.array([parts.n.sum()], dtype="int64")})
+
+
+def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape (national market share): among 1996-1997 orders
+    by AMERICA-region customers for STANDARD-type parts, NATION_1's
+    supplier share of revenue volume per order year. Scale plan
+    mirrors ``tpch_q5_region_revenue``: nation⋈region is a fixed
+    25-row driver-side lookup; customer / supplier / part are
+    size-gated — below ``_BROADCAST_JOIN_MAX_ROWS`` each becomes a
+    map-side broadcast dict (zero shuffle), above it the bucketed
+    ``hash_join`` fallback runs; lineitem⋈orders is always the
+    bucketed large-large hash join. Volumes are exact cents ints and
+    mkt_share is ONE IEEE division of two exact ints per year —
+    bit-identical to the SQL with no rounding contract."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    TARGET_NATION, REGION, PTYPE = "NATION_1", "AMERICA", "STANDARD"
+    nat = sf_table(sf_dir, "nation").to_pandas()
+    reg = sf_table(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg.r_name == REGION, "r_regionkey"].astype(int))
+    region_nk = {int(r.n_nationkey) for r in nat.itertuples()
+                 if int(r.n_regionkey) in rkeys}
+    target_nk = int(nat.loc[nat.n_name == TARGET_NATION,
+                            "n_nationkey"].iloc[0])
+
+    cust = sf_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    small = (cust.count() <= _BROADCAST_JOIN_MAX_ROWS
+             and supp.count() <= _BROADCAST_JOIN_MAX_ROWS
+             and part.count() <= _BROADCAST_JOIN_MAX_ROWS)
+
+    if small:
+        cdf = cust.to_pandas()
+        c_ref = ray.put(set(cdf.loc[cdf.c_nationkey.isin(region_nk),
+                                    "c_custkey"].astype(int)))
+        sdf = supp.to_pandas()
+        s_ref = ray.put(dict(zip(sdf.s_suppkey.astype(int),
+                                 sdf.s_nationkey.astype(int))))
+        pdf = part.to_pandas()
+        p_ref = ray.put(set(pdf.loc[pdf.p_type == PTYPE,
+                                    "p_partkey"].astype(int)))
+        del cdf, sdf, pdf
+
+        def ord_map(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            b = b.loc[(b.o_orderdate >= LO) & (b.o_orderdate < HI)]
+            b = b.loc[b.o_custkey.isin(get_broadcast(c_ref))]
+            return pd.DataFrame({
+                "o_orderkey": b.o_orderkey,
+                "o_year": b.o_orderdate.dt.year.astype("int64")})
+
+        oc = orders.map_batches(ord_map, batch_format="pandas")
+
+        def li_prep(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            b = b.loc[b.l_partkey.isin(get_broadcast(p_ref))]
+            snk = b.l_suppkey.map(get_broadcast(s_ref))
+            return pd.DataFrame({
+                "o_orderkey": b.l_orderkey,
+                "is_target": (snk.to_numpy(dtype="int64") == target_nk),
+                "vol_c": round_half_away(
+                    (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                    * 10000).astype(np.int64)})
+
+        li = sf_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_partkey", "l_suppkey",
+                               "l_extendedprice", "l_discount"])
+        lio = hash_join(li.map_batches(li_prep, batch_format="pandas",
+                                       batch_size=65536),
+                        oc, "o_orderkey", n_buckets=32)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b.vol_c.to_numpy(dtype="int64")
+            tgt = b.is_target.to_numpy(dtype=bool)
+            return pd.DataFrame({
+                "o_year": b.r_o_year, "tot_c": vc,
+                "nat_c": np.where(tgt, vc, 0),
+            }).groupby("o_year", as_index=False).agg(
+                tot_c=("tot_c", "sum"), nat_c=("nat_c", "sum"))
+
+        scored = lio.map_batches(partial, batch_format="pandas")
+    else:
+        from ..functions.broadcast import get_broadcast as _gb
+        nk_ref = ray.put(region_nk)
+        cust_r = cust.map_batches(
+            lambda b: b.loc[b.c_nationkey.isin(_gb(nk_ref)),
+                            ["c_custkey"]],
+            batch_format="pandas")
+        ord_f = orders.map_batches(
+            lambda b: pd.DataFrame({
+                "o_orderkey": (m := b.loc[(b.o_orderdate >= LO)
+                                          & (b.o_orderdate < HI)]).o_orderkey,
+                "c_custkey": m.o_custkey,
+                "o_year": m.o_orderdate.dt.year.astype("int64")}),
+            batch_format="pandas")
+        oc = hash_join(ord_f, cust_r, "c_custkey", n_buckets=16,
+                       how="semi").map_batches(
+            lambda b: b[["o_orderkey", "o_year"]], batch_format="pandas")
+        part_f = part.map_batches(
+            lambda b: b.loc[b.p_type == PTYPE, ["p_partkey"]].rename(
+                columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        li = sf_table(sf_dir, "lineitem",
+                      columns=["l_orderkey", "l_partkey", "l_suppkey",
+                               "l_extendedprice", "l_discount"])
+        li_p = hash_join(li, part_f, "l_partkey", n_buckets=16, how="semi")
+        li_s = hash_join(
+            li_p.map_batches(
+                lambda b: pd.DataFrame({
+                    "o_orderkey": b.l_orderkey, "s_suppkey": b.l_suppkey,
+                    "vol_c": round_half_away(
+                        (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                        * 10000).astype(np.int64)}),
+                batch_format="pandas", batch_size=65536),
+            supp, "s_suppkey", n_buckets=16)
+        lio = hash_join(
+            li_s.map_batches(
+                lambda b: pd.DataFrame({
+                    "o_orderkey": b.o_orderkey,
+                    "is_target": b.r_s_nationkey.astype("int64") == target_nk,
+                    "vol_c": b.vol_c}),
+                batch_format="pandas"),
+            oc, "o_orderkey", n_buckets=32)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b.vol_c.to_numpy(dtype="int64")
+            tgt = b.is_target.to_numpy(dtype=bool)
+            return pd.DataFrame({
+                "o_year": b.r_o_year, "tot_c": vc,
+                "nat_c": np.where(tgt, vc, 0),
+            }).groupby("o_year", as_index=False).agg(
+                tot_c=("tot_c", "sum"), nat_c=("nat_c", "sum"))
+
+        scored = lio.map_batches(partial, batch_format="pandas")
+
+    out = scored.groupby("o_year").aggregate(
+        Sum("tot_c", alias_name="tot_c"),
+        Sum("nat_c", alias_name="nat_c")).to_pandas()
+    out = out.sort_values("o_year").reset_index(drop=True)
+    share = np.where(out.tot_c.to_numpy() > 0,
+                     out.nat_c.to_numpy(dtype="float64")
+                     / out.tot_c.to_numpy(dtype="float64"), 0.0)
+    return pd.DataFrame({
+        "o_year": out.o_year.astype("int64"),
+        "nation_volume": out.nat_c.astype("float64") / 10000.0,
+        "total_volume": out.tot_c.astype("float64") / 10000.0,
+        "mkt_share": share.astype("float64")})
+
+
 def priority_price_dense_rank(sf_dir: str) -> pd.DataFrame:
     """Distributed ``dense_rank() <= 3`` over o_totalprice per order
     priority, ties included — WITHOUT a global sort: pass 1 collects

@@ -273,6 +273,10 @@ def run_queries() -> dict[str, float]:
         "holt_winters_hourly", "textrank_keywords",
         "gap_burstiness_per_type", "rfm_customer_segments",
         "image_patch_stats_audit", "theil_sen_hourly_slope",
+        "spearman_value_hour",
+        # round-5 session-8 operators: TPC-H shape batch 2
+        "tpch_q4_late_orders", "tpch_q8_market_share",
+        "tpch_q12_priority_classes", "tpch_q19_disjunctive_revenue",
     ]
     qs = E.queries()
     out = {}

@@ -1134,3 +1134,40 @@ class TestSpearmanValueHour:
         exp = float(np.corrcoef(ra, rb)[0, 1])
         assert abs(out.spearman_rho[0] - exp) < 1e-9
         assert int(out.n_rows[0]) == len(df)
+
+
+class TestTpchShapeBatch2:
+    """Q4/Q8/Q12/Q19 shapes: gate-forced hash_join fallbacks must match
+    the broadcast fast paths bit-for-bit, and Q4's EXISTS-as-max fold
+    must match a pandas brute force of the semi-join semantics."""
+
+    def test_q4_matches_pandas_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q4_late_orders(SF)
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey", "o_orderdate",
+                                   "o_orderpriority"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_shipdate"]).to_pandas()
+        o = o.loc[(o.o_orderdate >= "1997-07-01")
+                  & (o.o_orderdate < "1997-10-01")]
+        mx = li.groupby("l_orderkey").l_shipdate.max()
+        j = o.join(mx, on="o_orderkey", how="inner")
+        late = j.loc[j.l_shipdate > j.o_orderdate + pd.Timedelta(days=60)]
+        exp = late.groupby("o_orderpriority").size().sort_index()
+        assert out.o_orderpriority.tolist() == exp.index.tolist()
+        assert out.order_count.tolist() == exp.tolist()
+
+    def test_q8_q12_q19_hash_join_fallbacks_match_broadcast(
+            self, ray_session, monkeypatch):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        for fn in (Q.tpch_q8_market_share, Q.tpch_q12_priority_classes,
+                   Q.tpch_q19_disjunctive_revenue):
+            fast = fn(SF)
+            monkeypatch.setattr(Q, "_BROADCAST_JOIN_MAX_ROWS", 0)
+            slow = fn(SF)
+            monkeypatch.undo()
+            pd.testing.assert_frame_equal(
+                fast.reset_index(drop=True), slow.reset_index(drop=True))
