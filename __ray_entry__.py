@@ -270,6 +270,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8_market_share": Q.tpch_q8_market_share,
         "tpch_q12_priority_classes": Q.tpch_q12_priority_classes,
         "tpch_q19_disjunctive_revenue": Q.tpch_q19_disjunctive_revenue,
+        "cvm_drift_events": Q.cvm_drift_events,
+        "kuiper_drift_events": Q.kuiper_drift_events,
+        "cliffs_delta_events": Q.cliffs_delta_events,
+        "energy_distance_events": Q.energy_distance_events,
+        "page_hinkley_hourly": Q.page_hinkley_hourly,
+        "hodges_lehmann_shift_hourly": Q.hodges_lehmann_shift_hourly,
+        "kendall_tau_value_hour": Q.kendall_tau_value_hour,
     }
 
 
@@ -861,6 +868,9 @@ _VALUE_CLEAN_QUERIES = [
     "spearman_value_hour",
     "moods_median_drift", "cramers_v_type_band",
     "seasonal_strength_hourly",
+    "cvm_drift_events", "kuiper_drift_events", "cliffs_delta_events",
+    "energy_distance_events", "page_hinkley_hourly",
+    "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
 ]
 
 
@@ -2674,6 +2684,296 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS DOUBLE) AS theil_sen_slope
             FROM p
         """,
+        # Kendall tau-b from exact concordance counts over the dense
+        # (distinct value × 24-hod) grid: window cumulative c_lt per
+        # hod, left-prefix over hods per value; HUGEINT accumulators,
+        # one fixed-shape IEEE expression — no rounding contract
+        "kendall_tau_value_hour": """
+            WITH e AS (
+                SELECT value,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hod
+                FROM events
+            ),
+            c AS (SELECT value, hod, CAST(count(*) AS HUGEINT) AS cnt
+                  FROM e GROUP BY 1, 2),
+            grid AS (
+                SELECT v.value, h.hod
+                FROM (SELECT DISTINCT value FROM c) v,
+                     (SELECT unnest(generate_series(0, 23)) AS hod) h
+            ),
+            g AS (
+                SELECT grid.value, grid.hod,
+                       coalesce(c.cnt, 0) AS cnt
+                FROM grid LEFT JOIN c
+                  ON c.value = grid.value AND c.hod = grid.hod
+            ),
+            w AS (
+                SELECT value, hod, cnt,
+                       sum(cnt) OVER (PARTITION BY hod ORDER BY value)
+                           - cnt AS clt
+                FROM g
+            ),
+            x AS (
+                SELECT cnt, clt,
+                       sum(clt) OVER (PARTITION BY value ORDER BY hod)
+                           - clt AS pre,
+                       sum(clt) OVER (PARTITION BY value) AS tot
+                FROM w
+            ),
+            agg AS (SELECT
+                      CAST(coalesce(sum(cnt * pre), 0) AS HUGEINT)
+                          AS c_conc,
+                      CAST(coalesce(sum(cnt * (tot - pre - clt)), 0)
+                           AS HUGEINT) AS d_disc
+                    FROM x),
+            nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+            tv AS (SELECT CAST(coalesce(sum(t * (t - 1) / 2), 0)
+                               AS HUGEINT) AS n1
+                   FROM (SELECT CAST(count(*) AS HUGEINT) AS t
+                         FROM e GROUP BY value)),
+            th AS (SELECT CAST(coalesce(sum(u * (u - 1) / 2), 0)
+                               AS HUGEINT) AS n2
+                   FROM (SELECT CAST(count(*) AS HUGEINT) AS u
+                         FROM e GROUP BY hod))
+            SELECT CAST(nn.n AS BIGINT) AS n_rows,
+                   CASE WHEN nn.n * (nn.n - 1) / 2 - tv.n1 <= 0
+                          OR nn.n * (nn.n - 1) / 2 - th.n2 <= 0
+                        THEN 0.0
+                        ELSE CAST(agg.c_conc - agg.d_disc AS DOUBLE)
+                             / sqrt(CAST(nn.n * (nn.n - 1) / 2 - tv.n1
+                                         AS DOUBLE)
+                                    * CAST(nn.n * (nn.n - 1) / 2 - th.n2
+                                           AS DOUBLE))
+                   END AS kendall_tau_b
+            FROM agg, nn, tv, th
+        """,
+        # Page-Hinkley over hourly means: the same recursive-CTE
+        # bit-level recipe as holt_linear (every literal CAST, the
+        # mean_new/m_new expressions repeated verbatim); alarm tested
+        # against the OLD minimum — equivalent to m−M for λ>0
+        "page_hinkley_hourly": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       count(*) AS nh
+                FROM h
+            ),
+            rec(i, mu, m, mn, alarms, first_a) AS (
+                SELECT 1, (SELECT xs[1] FROM arr),
+                       CAST(-0.05 AS DOUBLE), CAST(-0.05 AS DOUBLE),
+                       0, -1
+                UNION ALL
+                SELECT i + 1,
+                       mu + (xs[i + 1] - mu) / CAST(i + 1 AS DOUBLE),
+                       m + ((xs[i + 1]
+                             - (mu + (xs[i + 1] - mu)
+                                / CAST(i + 1 AS DOUBLE))) - 0.05),
+                       least(mn,
+                             m + ((xs[i + 1]
+                                   - (mu + (xs[i + 1] - mu)
+                                      / CAST(i + 1 AS DOUBLE))) - 0.05)),
+                       alarms + CASE WHEN
+                           m + ((xs[i + 1]
+                                 - (mu + (xs[i + 1] - mu)
+                                    / CAST(i + 1 AS DOUBLE))) - 0.05)
+                           - mn > 15.0 THEN 1 ELSE 0 END,
+                       CASE WHEN first_a > 0 THEN first_a
+                            WHEN m + ((xs[i + 1]
+                                 - (mu + (xs[i + 1] - mu)
+                                    / CAST(i + 1 AS DOUBLE))) - 0.05)
+                                 - mn > 15.0 THEN i + 1
+                            ELSE -1 END
+                FROM rec, arr
+                WHERE i < (SELECT nh FROM arr)
+            )
+            SELECT CAST((SELECT nh FROM arr) AS BIGINT) AS n_hours,
+                   CAST(alarms AS BIGINT) AS n_alarms,
+                   CAST(first_a AS BIGINT) AS first_alarm_hour,
+                   m - mn AS ph_final
+            FROM rec WHERE i = (SELECT nh FROM arr)
+        """,
+        # Hodges-Lehmann shift: median of all pairwise hourly-mean
+        # differences — bit-identical multiset (fixed-shape IEEE
+        # expressions of exact cents ints), deterministic
+        # quantile_disc rank selection; no rounding contract
+        "hodges_lehmann_shift_hourly": """
+            WITH r AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS vc
+                FROM events WHERE event_id % 2 = 0 GROUP BY 1
+            ),
+            p AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS vc
+                FROM events WHERE event_id % 2 = 1 GROUP BY 1
+            ),
+            d AS (
+                SELECT ((CAST(p.vc AS DOUBLE) / 100.0) / p.n)
+                     - ((CAST(r.vc AS DOUBLE) / 100.0) / r.n) AS diff
+                FROM p, r
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM r)
+                       AS n_ref_hours,
+                   (SELECT CAST(count(*) AS BIGINT) FROM p)
+                       AS n_prod_hours,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(quantile_disc(diff, 0.5), 0.0)
+                        AS DOUBLE) AS hl_shift
+            FROM d
+        """,
+        # tie-aware two-sample Cramér-von Mises: exact HUGEINT
+        # sufficient statistics mirroring scan.cvm_kuiper_stats; ONE
+        # IEEE division of exact ints — no rounding contract
+        "cvm_drift_events": """
+            WITH c AS (
+                SELECT value,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS HUGEINT) AS rc,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS HUGEINT) AS pc
+                FROM events GROUP BY value
+            ),
+            tot AS (SELECT CAST(coalesce(sum(rc), 0) AS HUGEINT) AS n1,
+                           CAST(coalesce(sum(pc), 0) AS HUGEINT) AS n2
+                    FROM c),
+            s AS (
+                SELECT rc + pc AS tv,
+                       sum(rc) OVER (ORDER BY value) AS cr,
+                       sum(pc) OVER (ORDER BY value) AS cp
+                FROM c
+            ),
+            q AS (SELECT CAST(coalesce(sum(
+                           s.tv * (s.cr * t.n2 - s.cp * t.n1)
+                                * (s.cr * t.n2 - s.cp * t.n1)), 0)
+                          AS HUGEINT) AS sq
+                  FROM s, tot t)
+            SELECT CAST(t.n1 AS BIGINT) AS n_ref,
+                   CAST(t.n2 AS BIGINT) AS n_prod,
+                   CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0.0
+                        ELSE CAST(q.sq AS DOUBLE)
+                             / CAST((t.n1 + t.n2) * (t.n1 + t.n2)
+                                    * t.n1 * t.n2 AS DOUBLE)
+                   END AS cvm_t
+            FROM q, tot t
+        """,
+        # Kuiper V = D+ + D-: exact cross-multiplied integer
+        # numerators, single IEEE divisions — no rounding contract
+        "kuiper_drift_events": """
+            WITH c AS (
+                SELECT value,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS HUGEINT) AS rc,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS HUGEINT) AS pc
+                FROM events GROUP BY value
+            ),
+            tot AS (SELECT CAST(coalesce(sum(rc), 0) AS HUGEINT) AS n1,
+                           CAST(coalesce(sum(pc), 0) AS HUGEINT) AS n2
+                    FROM c),
+            s AS (
+                SELECT sum(rc) OVER (ORDER BY value) AS cr,
+                       sum(pc) OVER (ORDER BY value) AS cp
+                FROM c
+            ),
+            m AS (SELECT CAST(coalesce(greatest(
+                           max(s.cr * t.n2 - s.cp * t.n1), 0), 0)
+                          AS BIGINT) AS dp,
+                         CAST(coalesce(greatest(
+                           max(s.cp * t.n1 - s.cr * t.n2), 0), 0)
+                          AS BIGINT) AS dm
+                  FROM s, tot t)
+            SELECT CAST(t.n1 AS BIGINT) AS n_ref,
+                   CAST(t.n2 AS BIGINT) AS n_prod,
+                   m.dp AS dplus_num, m.dm AS dminus_num,
+                   CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0.0
+                        ELSE CAST(m.dp AS DOUBLE)
+                             / CAST(t.n1 * t.n2 AS DOUBLE) END AS dplus,
+                   CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0.0
+                        ELSE CAST(m.dm AS DOUBLE)
+                             / CAST(t.n1 * t.n2 AS DOUBLE) END AS dminus,
+                   CASE WHEN t.n1 = 0 OR t.n2 = 0 THEN 0.0
+                        ELSE CAST(m.dp + m.dm AS DOUBLE)
+                             / CAST(t.n1 * t.n2 AS DOUBLE)
+                   END AS kuiper_v
+            FROM m, tot t
+        """,
+        # Cliff's delta from the same midrank identity as Mann-Whitney;
+        # magnitude band decided in exact cross-multiplied int space
+        "cliffs_delta_events": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_id % 2 = 0
+                                   THEN 1 ELSE 0 END AS is_ref
+                FROM events
+            ),
+            r AS (
+                SELECT is_ref,
+                       rank() OVER (ORDER BY value) AS rmin,
+                       count(*) OVER (PARTITION BY value) AS t
+                FROM u
+            ),
+            s AS (
+                SELECT CAST(coalesce(sum(is_ref), 0) AS BIGINT) AS n1,
+                       CAST(coalesce(sum(1 - is_ref), 0) AS BIGINT) AS n2,
+                       CAST(coalesce(sum(CASE WHEN is_ref = 0
+                                     THEN 2 * rmin + t - 1
+                                     ELSE 0 END), 0) AS BIGINT) AS two_r
+                FROM r
+            )
+            SELECT n1 AS n_ref, n2 AS n_prod,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                        ELSE CAST(two_r - n2 * (n2 + 1) - n1 * n2
+                                  AS DOUBLE)
+                             / CAST(n1 * n2 AS DOUBLE)
+                   END AS cliffs_delta,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN 'negligible'
+                        WHEN abs(CAST(two_r - n2 * (n2 + 1) - n1 * n2
+                                      AS HUGEINT)) * 1000
+                             < 147 * CAST(n1 AS HUGEINT) * n2
+                            THEN 'negligible'
+                        WHEN abs(CAST(two_r - n2 * (n2 + 1) - n1 * n2
+                                      AS HUGEINT)) * 1000
+                             < 330 * CAST(n1 AS HUGEINT) * n2
+                            THEN 'small'
+                        WHEN abs(CAST(two_r - n2 * (n2 + 1) - n1 * n2
+                                      AS HUGEINT)) * 1000
+                             < 474 * CAST(n1 AS HUGEINT) * n2
+                            THEN 'medium'
+                        ELSE 'large'
+                   END AS magnitude
+            FROM s
+        """,
+        # squared energy distance = 2 * integral of (F_ref - F_prod)^2:
+        # the W1 oracle's window form with the squared integrand;
+        # round(6) absorbs summation-order fp noise (the W1 contract)
+        "energy_distance_events": """
+            WITH c AS (
+                SELECT value,
+                       sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS rc,
+                       sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS pc
+                FROM events GROUP BY value
+            ),
+            tot AS (SELECT CAST(sum(rc) AS DOUBLE) AS nr,
+                           CAST(sum(pc) AS DOUBLE) AS np FROM c),
+            s AS (
+                SELECT value,
+                       sum(rc) OVER (ORDER BY value) AS crc,
+                       sum(pc) OVER (ORDER BY value) AS cpc,
+                       lead(value) OVER (ORDER BY value) AS nxt
+                FROM c
+            )
+            SELECT CAST(round(coalesce(sum(
+                       2.0 * (abs(crc / t.nr - cpc / t.np)
+                              * abs(crc / t.nr - cpc / t.np))
+                           * (nxt - value)), 0.0), 6) AS DOUBLE)
+                       AS energy_dist_sq
+            FROM s, tot t WHERE nxt IS NOT NULL
+        """,
         # Q4 shape: EXISTS(late lineitem) folded to max(l_shipdate)
         # per order; counts exact ints
         "tpch_q4_late_orders": """
@@ -4183,9 +4483,13 @@ def _oracle_sql_raw() -> dict[str, str]:
             )
             SELECT event_type,
                    CAST(n_miss AS BIGINT) AS n_imputed,
-                   CAST(round(s_ok / n_ok, 6) AS DOUBLE) AS fill_mean,
-                   CAST(round((s_ok + n_miss * (s_ok / n_ok))
-                        / (n_ok + n_miss), 6) AS DOUBLE) AS mean_after
+                   CASE WHEN n_ok = 0 THEN 0.0
+                        ELSE CAST(round(s_ok / n_ok, 6) AS DOUBLE)
+                   END AS fill_mean,
+                   CASE WHEN n_ok = 0 THEN 0.0
+                        ELSE CAST(round((s_ok + n_miss * (s_ok / n_ok))
+                             / (n_ok + n_miss), 6) AS DOUBLE)
+                   END AS mean_after
             FROM m ORDER BY event_type
         """,
         "k_anonymity_events": """

@@ -1222,6 +1222,114 @@ def mannwhitney_drift_events(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def _events_cvm_kuiper(sf_dir: str) -> dict:
+    """One distributed exact CvM/Kuiper scan shared by the two queries
+    (cached per sf_dir like _events_order_stats)."""
+    if sf_dir not in _CVM_KUIPER_CACHE:
+        from ..stages.scan import cvm_kuiper_stats
+
+        _CVM_KUIPER_CACHE[sf_dir] = cvm_kuiper_stats(
+            _events_two_sample(sf_dir))
+    return _CVM_KUIPER_CACHE[sf_dir]
+
+
+_CVM_KUIPER_CACHE: dict[str, dict] = {}
+
+
+def cvm_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Tie-aware two-sample Cramér-von Mises criterion between the
+    halves (event_id parity) — the ECDF-L2 drift test beside KS
+    (sup-norm) and W1 (L1), reference adapters/statistical_tests family
+    capability. T = n·m/N² · Σ over all N sample points of
+    (F_ref − F_prod)², computed as EXACT integer sufficient statistics
+    via the distributed grouped-ECDF scan (stages/scan.cvm_kuiper_stats
+    — python-int partials, no overflow at any scale): with
+    d_v = cr·m − cp·n per distinct value, T = Σ t_v·d_v² / (N²·n·m).
+    ONE IEEE division of two exact ints — bit-identical to the SQL, no
+    rounding contract."""
+    r = _events_cvm_kuiper(sf_dir)
+    n1, n2 = r["n_ref"], r["n_prod"]
+    nn = n1 + n2
+    t = (0.0 if n1 == 0 or n2 == 0
+         else float(r["sq_sum"]) / float(nn * nn * n1 * n2))
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "cvm_t": [float(t)],
+    })
+
+
+def kuiper_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kuiper statistic V = D⁺ + D⁻ between the halves —
+    the rotation-invariant ECDF sup test (equally sensitive at the
+    distribution tails, unlike KS). D⁺/D⁻ numerators are EXACT
+    cross-multiplied integers max_v ±(cr·m − cp·n) from the same
+    distributed scan as CvM; each statistic is ONE IEEE division of
+    exact ints — bit-identical to the SQL, no rounding contract."""
+    r = _events_cvm_kuiper(sf_dir)
+    n1, n2 = r["n_ref"], r["n_prod"]
+    dp, dm = r["dplus_num"], r["dminus_num"]
+    assert 0 <= dp < 2 ** 62 and 0 <= dm < 2 ** 62, \
+        "Kuiper numerator exceeds int64 — widen the output columns"
+    if n1 == 0 or n2 == 0:
+        dplus = dminus = v = 0.0
+    else:
+        dplus = float(dp) / float(n1 * n2)
+        dminus = float(dm) / float(n1 * n2)
+        v = float(dp + dm) / float(n1 * n2)
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "dplus_num": [np.int64(dp)], "dminus_num": [np.int64(dm)],
+        "dplus": [float(dplus)], "dminus": [float(dminus)],
+        "kuiper_v": [float(v)],
+    })
+
+
+def cliffs_delta_events(sf_dir: str) -> pd.DataFrame:
+    """Cliff's delta ordinal effect size between the halves —
+    δ = P(prod > ref) − P(prod < ref) = 2U/(n·m) − 1, from the SAME
+    exact rank-sum sufficient statistics as the Mann-Whitney query
+    (stages/scan.rank_sum_stats). δ is ONE IEEE division of exact ints
+    ((two_u − n·m)/(n·m)); the Romano et al. magnitude band
+    (negligible < .147 ≤ small < .33 ≤ medium < .474 ≤ large) is
+    decided in EXACT cross-multiplied integer space (|two_u − n·m|·1000
+    vs threshold·n·m) so the label never depends on float rounding."""
+    from ..stages.scan import rank_sum_stats
+
+    r = rank_sum_stats(_events_two_sample(sf_dir))
+    n1, n2 = r["n_ref"], r["n_prod"]
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({"n_ref": [np.int64(n1)],
+                             "n_prod": [np.int64(n2)],
+                             "cliffs_delta": [0.0],
+                             "magnitude": ["negligible"]})
+    two_u = r["two_r_prod"] - n2 * (n2 + 1)
+    nm = n1 * n2
+    num = two_u - nm               # δ numerator (can be negative)
+    a = abs(num) * 1000
+    mag = ("negligible" if a < 147 * nm else
+           "small" if a < 330 * nm else
+           "medium" if a < 474 * nm else "large")
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "cliffs_delta": [float(num) / float(nm)],
+        "magnitude": [mag],
+    })
+
+
+def energy_distance_events(sf_dir: str) -> pd.DataFrame:
+    """Squared energy distance (Székely & Rizzo) between the halves in
+    its Cramér-integral form: E² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| =
+    2·∫(F_ref − F_prod)² dt — computed beside W1 in the SAME cached
+    distributed ECDF scan (stages/scan.two_sample_order_stats pass B:
+    Σ diff²·gap per sorted block). Per-term arithmetic matches the SQL
+    window form exactly; round(6) on BOTH sides absorbs
+    summation-order fp noise (the W1 contract — diff² ≤ 1 keeps the
+    magnitude at or below W1's)."""
+    r = _events_order_stats(sf_dir)
+    return pd.DataFrame({
+        "energy_dist_sq": [float(round_half_away(2.0 * r["cramer2"], 6))]})
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
@@ -7630,7 +7738,9 @@ def impute_missing_values(sf_dir: str) -> pd.DataFrame:
         n_ok = int(piv.loc[t, ("n", False)])
         n_miss = int(piv.loc[t, ("n", True)]) if ("n", True) in piv.columns else 0
         s_ok = float(piv.loc[t, ("cents", False)]) / 100.0
-        fill_mean = s_ok / n_ok
+        # a type whose every row is planted-missing has no donor mean:
+        # 0.0 sentinel on BOTH sides (fuzz seed 808's lonely type)
+        fill_mean = s_ok / n_ok if n_ok else 0.0
         total = s_ok + n_miss * fill_mean
         out_rows.append({
             "event_type": t,
@@ -8338,6 +8448,128 @@ def spearman_value_hour(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b rank correlation between value and hour-of-day
+    (tie-corrected — the concordance member of the rank tier beside
+    Spearman's rho): concordant/discordant pair counts C and D are
+    EXACT integers computed distributed over the SAME per-value
+    24-wide hod count exchange as Spearman — one sort, pass A records
+    per-block PER-HOD sums so pass B has exact exclusive per-hod
+    cumulative counts c_lt[v][h] (rows with value < v in hour h);
+    per distinct value, C += Σ_h₂ cnt[h₂]·Σ_{h₁<h₂} c_lt[h₁] and
+    D the mirror (python-int partials shipped as strings — no
+    overflow at any scale). τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) with the
+    tie terms n₁ (value ties) and n₂ (hod ties) exact ints; ONE
+    fixed-shape IEEE expression mirrored with HUGEINT accumulators
+    (degenerate constant columns guard to 0.0)."""
+    import math
+
+    from ..sketches import hash64
+
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+    H = 24
+    hcols = [f"h{i}" for i in range(H)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "value": b.value.to_numpy(np.float64) + 0.0,
+            "hod": b.ts.dt.hour.to_numpy(np.int64),
+        })
+        g = d.groupby(["value", "hod"]).size().unstack(
+            fill_value=0).reindex(columns=range(H), fill_value=0)
+        out = g.reset_index()
+        out.columns = ["value"] + hcols
+        out["bucket"] = (
+            hash64(out.value.to_numpy(np.float64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("value", as_index=False)[hcols].sum()
+
+    cells = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas") \
+        .sort("value").materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             **{c: pa.array([], pa.int64())
+                                for c in hcols}})
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_val": pa.array([float(v[0])], pa.float64()),
+            **{c: pa.array(
+                [int(b[c].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()) for c in hcols},
+        })
+
+    summary = cells.map_batches(summarize, batch_format="pyarrow",
+                                batch_size=None) \
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    if len(summary) == 0:
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype="int64"),
+                             "kendall_tau_b": pd.Series([0.0],
+                                                        dtype="float64")})
+    hsum = summary[hcols].to_numpy(np.int64)            # blocks × 24
+    hoffs = np.vstack([np.zeros(H, dtype=np.int64),
+                       np.cumsum(hsum, axis=0)[:-1]])   # per-block per-hod
+    hod_tot = hsum.sum(axis=0)                          # hod marginal
+    n = int(hod_tot.sum())
+    mins = summary.min_val.to_numpy()
+    bc = ray.put({"mins": mins, "hoffs": hoffs})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({k: pa.array([], pa.string())
+                          for k in ("c_conc", "d_disc", "tie_v")})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        i = int(np.searchsorted(info["mins"], float(v[0])))
+        assert i < len(info["mins"]) and info["mins"][i] == v[0], \
+            "pass-B batch not at a pass-A boundary"
+        counts = np.column_stack(
+            [b[c].to_numpy(zero_copy_only=False) for c in hcols])
+        run = [int(x) for x in info["hoffs"][i]]   # c_lt per hod, exact
+        c_conc = d_disc = tie_v = 0
+        for row in range(len(v)):
+            cnt = counts[row]
+            pre = 0
+            tot = sum(run)
+            t_row = 0
+            for h in range(H):
+                ch = int(cnt[h])
+                if ch:
+                    c_conc += ch * pre
+                    d_disc += ch * (tot - pre - run[h])
+                    t_row += ch
+                pre += run[h]
+            tie_v += t_row * (t_row - 1) // 2
+            for h in range(H):                      # update AFTER the row
+                run[h] += int(counts[row][h])
+        return pa.table({
+            "c_conc": pa.array([str(c_conc)], pa.string()),
+            "d_disc": pa.array([str(d_disc)], pa.string()),
+            "tie_v": pa.array([str(tie_v)], pa.string())})
+
+    parts = cells.map_batches(contrib, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    c_conc = sum(int(s) for s in parts.c_conc)
+    d_disc = sum(int(s) for s in parts.d_disc)
+    n1 = sum(int(s) for s in parts.tie_v)
+    n2 = sum(int(u) * (int(u) - 1) // 2 for u in hod_tot)
+    n0 = n * (n - 1) // 2
+    tau = (0.0 if n0 - n1 <= 0 or n0 - n2 <= 0
+           else float(c_conc - d_disc)
+           / math.sqrt(float(n0 - n1) * float(n0 - n2)))
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "kendall_tau_b": pd.Series([tau], dtype="float64"),
+    })
+
+
 def theil_sen_hourly_slope(sf_dir: str) -> pd.DataFrame:
     """Theil-Sen robust trend estimator over the hourly mean-value
     series (Theil 1950; Sen 1968 — the median of all pairwise slopes,
@@ -8430,6 +8662,110 @@ def holt_linear_hourly(sf_dir: str) -> pd.DataFrame:
         "holt_level": [float(l)],
         "holt_trend": [float(b)],
         "forecast_3h": [float(l + 3.0 * b)],
+    })
+
+
+def page_hinkley_hourly(sf_dir: str) -> pd.DataFrame:
+    """Page-Hinkley sequential change detector over the hourly
+    mean-value series (Page 1954; Mouss et al. 2004 — the classic
+    CUSUM-of-deviations sibling of DDM/EDDM/ADWIN in the
+    concept-drift tier, here over the bounded hourly aggregate):
+    mean_t updated incrementally, m_t = m_{t−1} + (x_t − mean_t − δ),
+    M_t = min(M_{t−1}, m_t), alarm when m_t − M_{t−1} > λ (δ=0.05,
+    λ=15.0). Hourly means come from exact cents partials (the
+    cusum_hourly_mean shuffle); the recursion is O(#hours) on the
+    driver in EXACTLY the SQL recursive CTE's IEEE expression shapes
+    (mean_new repeated inside m_new, alarm tested against the OLD
+    minimum — equivalent to m−M since λ>0) — bit-level compare, no
+    rounding contract."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    DELTA, LAM = 0.05, 15.0
+    mean = float(x[0])
+    m = (float(x[0]) - mean) - DELTA    # exactly -DELTA (x−x == 0)
+    mn = m
+    alarms, first = 0, -1
+    for i in range(1, len(x)):
+        xv = float(x[i])
+        mean = mean + (xv - mean) / float(i + 1)
+        m = m + ((xv - mean) - DELTA)
+        if m - mn > LAM:                 # vs the OLD minimum (== m−M)
+            alarms += 1
+            if first < 0:
+                first = i + 1
+        if m < mn:
+            mn = m
+    return pd.DataFrame({
+        "n_hours": [np.int64(len(x))],
+        "n_alarms": [np.int64(alarms)],
+        "first_alarm_hour": [np.int64(first)],
+        "ph_final": [float(m - mn)],
+    })
+
+
+def hodges_lehmann_shift_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hodges-Lehmann shift estimator between the halves' hourly mean
+    series (Hodges & Lehmann 1963 — the robust location-shift
+    companion of Mann-Whitney, as Theil-Sen is to OLS): the median of
+    ALL pairwise differences prod_mean_i − ref_mean_j. Hourly means
+    per parity come from ONE exchange keyed hour_µs·2+parity (exact
+    cents ints); each difference is the SAME fixed-shape IEEE
+    expression of exact ints on both sides, so the difference
+    MULTISETS are bit-identical and the median is a deterministic
+    order statistic (quantile_disc rank selection — no rounding
+    contract). The O(H_ref·H_prod) outer product is bounded by the
+    time span squared (#hours², not rows²), vectorized in numpy."""
+    ds = sf_events_clean(sf_dir, ["event_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        hour_us = b.ts.dt.floor("h").astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+        parity = (b.event_id.to_numpy(np.int64) % 2)
+        return pd.DataFrame({
+            "hk": hour_us * 2 + parity,
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hk", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hk").aggregate(Sum("n", alias_name="n"),
+                                 Sum("value_c", alias_name="value_c")) \
+        .to_pandas()
+    means = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    is_prod = (hourly.hk.to_numpy(np.int64) % 2) == 1
+    xr = means[~is_prod]
+    xp = means[is_prod]
+    n_pairs = len(xr) * len(xp)
+    if n_pairs == 0:
+        hl = 0.0
+    else:
+        diffs = (xp[:, None] - xr[None, :]).ravel()
+        diffs.sort()
+        # quantile_disc(0.5): 0-based rank ceil(n*0.5 - 1e-9) - 1
+        r = min(max(int(np.ceil(n_pairs * 0.5 - 1e-9)) - 1, 0),
+                n_pairs - 1)
+        hl = float(diffs[r])
+    return pd.DataFrame({
+        "n_ref_hours": [np.int64(len(xr))],
+        "n_prod_hours": [np.int64(len(xp))],
+        "n_pairs": [np.int64(n_pairs)],
+        "hl_shift": [float(hl)],
     })
 
 

@@ -121,7 +121,7 @@ def two_sample_order_stats(
         .to_pandas().sort_values("min_val").reset_index(drop=True)
     )
     if len(summary) == 0:
-        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+        return {"ks": 0.0, "w1": 0.0, "cramer2": 0.0, "ad_a2akn": 0.0,
                 "n_ref": 0, "n_prod": 0, "n_distinct": 0}
     mins = summary.min_val.to_numpy()
     rc_off = np.concatenate([[0], np.cumsum(summary.rc.to_numpy())[:-1]])
@@ -130,7 +130,7 @@ def two_sample_order_stats(
     n_prod = int(summary.pc.sum())
     n = n_ref + n_prod
     if n_ref == 0 or n_prod == 0:  # one-sided input: nothing to compare
-        return {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+        return {"ks": 0.0, "w1": 0.0, "cramer2": 0.0, "ad_a2akn": 0.0,
                 "n_ref": n_ref, "n_prod": n_prod,
                 "n_distinct": int(sorted_counts.count())}
     bc = ray.put({
@@ -143,6 +143,7 @@ def two_sample_order_stats(
         empty = pa.table({
             "ks": pa.array([], pa.float64()),
             "w1": pa.array([], pa.float64()),
+            "cramer2": pa.array([], pa.float64()),
             "ad_ref": pa.array([], pa.float64()),
             "ad_prod": pa.array([], pa.float64()),
             "n_distinct": pa.array([], pa.int64()),
@@ -175,8 +176,11 @@ def two_sample_order_stats(
         if nxt is not None:
             gaps = np.diff(np.concatenate([v, [nxt]]))
             w1_local = float(np.sum(diff * gaps))
+            cramer2_local = float(np.sum(diff * diff * gaps))
         else:
             w1_local = float(np.sum(diff[:-1] * np.diff(v))) if len(v) > 1 else 0.0
+            cramer2_local = (float(np.sum(diff[:-1] * diff[:-1] * np.diff(v)))
+                             if len(v) > 1 else 0.0)
 
         # AD midrank inner sums (Scholz & Stephens eq. 7 terms)
         lj = (rc + pc_).astype(np.float64)
@@ -193,6 +197,7 @@ def two_sample_order_stats(
         return pa.table({
             "ks": pa.array([ks_local], pa.float64()),
             "w1": pa.array([w1_local], pa.float64()),
+            "cramer2": pa.array([cramer2_local], pa.float64()),
             "ad_ref": pa.array([float(t_ref.sum())], pa.float64()),
             "ad_prod": pa.array([float(t_prod.sum())], pa.float64()),
             "n_distinct": pa.array([len(v)], pa.int64()),
@@ -207,6 +212,7 @@ def two_sample_order_stats(
     return {
         "ks": float(parts.ks.max()),
         "w1": float(parts.w1.sum()),
+        "cramer2": float(parts.cramer2.sum()),
         "ad_a2akn": a2akn,
         "n_ref": n_ref,
         "n_prod": n_prod,
@@ -301,6 +307,103 @@ def rank_sum_stats(
     return {
         "two_r_prod": sum(int(s) for s in parts.two_r),
         "tie_sum": sum(int(s) for s in parts.ties),
+        "n_ref": n_ref,
+        "n_prod": n_prod,
+    }
+
+
+def cvm_kuiper_stats(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    ref_col: str = "is_ref",
+) -> dict[str, int]:
+    """Exact integer sufficient statistics of the Cramér-von Mises
+    two-sample criterion and the Kuiper statistic in one distributed
+    scan — the remaining ECDF-based drift tests beside KS/W1/AD
+    (:func:`two_sample_order_stats`). With cumulative counts cr/cp at
+    each distinct value v of multiplicity t_v, and d_v = cr·m − cp·n
+    (the cross-multiplied ECDF gap, so F_ref − F_prod = d_v/(n·m)):
+
+    * ``sq_sum`` = Σ_v t_v · d_v²  →  T = sq_sum / (N²·n·m)
+      (Anderson's tie-aware two-sample CvM over all N sample points);
+    * ``dplus_num``  = max_v d_v   →  D⁺ = dplus_num / (n·m);
+    * ``dminus_num`` = max_v −d_v  →  D⁻; Kuiper V = D⁺ + D⁻.
+
+    Same shape as :func:`rank_sum_stats`: grouped distinct-value
+    counts, one sort, pass-A offsets broadcast, pass-B python-int folds
+    shipped as strings (exact at any scale — d² terms are n⁴-sized)."""
+    counts = grouped_two_sample_counts(ds, value_col, ref_col)
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "rc": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_val": pa.array([float(v[0])], pa.float64()),
+            "rc": pa.array([int(b["rc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+            "pc": pa.array([int(b["pc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+        })
+
+    summary = (
+        sorted_counts.map_batches(summarize, batch_format="pyarrow",
+                                  batch_size=None)
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    )
+    n_ref = int(summary.rc.sum()) if len(summary) else 0
+    n_prod = int(summary.pc.sum()) if len(summary) else 0
+    if len(summary) == 0 or n_ref == 0 or n_prod == 0:
+        return {"sq_sum": 0, "dplus_num": 0, "dminus_num": 0,
+                "n_ref": n_ref, "n_prod": n_prod}
+    mins = summary.min_val.to_numpy()
+    rc_off = np.concatenate([[0], np.cumsum(summary.rc.to_numpy())[:-1]])
+    pc_off = np.concatenate([[0], np.cumsum(summary.pc.to_numpy())[:-1]])
+    bc = ray.put({"mins": mins, "rc_off": rc_off, "pc_off": pc_off,
+                  "n_ref": n_ref, "n_prod": n_prod})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({"sq": pa.array([], pa.string()),
+                          "dplus": pa.array([], pa.string()),
+                          "dminus": pa.array([], pa.string())})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = b["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(info["mins"], v[0]))
+        assert i < len(info["mins"]) and info["mins"][i] == v[0], (
+            "pass-B batch does not start at a pass-A block boundary — "
+            "Ray Data bundling changed; offsets would be wrong"
+        )
+        nr, np_ = int(info["n_ref"]), int(info["n_prod"])
+        cr = int(info["rc_off"][i]) + np.cumsum(rc)
+        cp = int(info["pc_off"][i]) + np.cumsum(pc_)
+        # python-int fold over the block's DISTINCT values (bounded by
+        # block rows; d² is n⁴-sized — int64 overflows past ~55k rows)
+        sq = dplus = dminus = 0
+        for r_, p_, a, b_ in zip(rc, pc_, cr, cp):
+            d = int(a) * np_ - int(b_) * nr
+            sq += (int(r_) + int(p_)) * d * d
+            if d > dplus:
+                dplus = d
+            if -d > dminus:
+                dminus = -d
+        return pa.table({"sq": pa.array([str(sq)], pa.string()),
+                         "dplus": pa.array([str(dplus)], pa.string()),
+                         "dminus": pa.array([str(dminus)], pa.string())})
+
+    parts = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    return {
+        "sq_sum": sum(int(s) for s in parts.sq),
+        "dplus_num": max(int(s) for s in parts.dplus),
+        "dminus_num": max(int(s) for s in parts.dminus),
         "n_ref": n_ref,
         "n_prod": n_prod,
     }

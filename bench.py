@@ -274,9 +274,14 @@ def run_queries() -> dict[str, float]:
         "gap_burstiness_per_type", "rfm_customer_segments",
         "image_patch_stats_audit", "theil_sen_hourly_slope",
         "spearman_value_hour",
-        # round-5 session-8 operators: TPC-H shape batch 2
+        # round-5 session-8 operators: TPC-H shape batch 2 + the
+        # two-sample drift-statistics completion tier
         "tpch_q4_late_orders", "tpch_q8_market_share",
         "tpch_q12_priority_classes", "tpch_q19_disjunctive_revenue",
+        "cvm_drift_events", "kuiper_drift_events",
+        "cliffs_delta_events", "energy_distance_events",
+        "page_hinkley_hourly", "hodges_lehmann_shift_hourly",
+        "kendall_tau_value_hour",
     ]
     qs = E.queries()
     out = {}

@@ -1171,3 +1171,278 @@ class TestTpchShapeBatch2:
             monkeypatch.undo()
             pd.testing.assert_frame_equal(
                 fast.reset_index(drop=True), slow.reset_index(drop=True))
+
+
+class TestTwoSampleCompletions:
+    """CvM / Kuiper / Cliff's delta / energy distance vs O(n^2) and
+    ECDF brute forces, plus exact-zero self-drift pins."""
+
+    @staticmethod
+    def _split(values):
+        v = np.asarray(values, dtype=np.float64)
+        ids = np.arange(len(v))
+        return v[ids % 2 == 0], v[ids % 2 == 1]
+
+    def test_cvm_kuiper_match_ecdf_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(7)
+        vals = np.concatenate([rng.normal(0, 1, 301),
+                               rng.normal(0.6, 1.3, 299),
+                               np.repeat([5.0, 10.0, -0.0, 0.0], 10)])
+        rng.shuffle(vals)
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            cvm = Q.cvm_drift_events(d)
+            kui = Q.kuiper_drift_events(d)
+        x, y = self._split(vals)
+        allv = np.concatenate([x, y])
+        fx = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        fy = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        t_exp = len(x) * len(y) / len(allv) ** 2 * np.sum((fx - fy) ** 2)
+        assert abs(cvm.cvm_t[0] - t_exp) < 1e-12
+        pts = np.unique(allv)
+        fxp = np.searchsorted(np.sort(x), pts, side="right") / len(x)
+        fyp = np.searchsorted(np.sort(y), pts, side="right") / len(y)
+        assert abs(kui.dplus[0] - max((fxp - fyp).max(), 0.0)) < 1e-12
+        assert abs(kui.dminus[0] - max((fyp - fxp).max(), 0.0)) < 1e-12
+        assert abs(kui.kuiper_v[0] - (kui.dplus[0] + kui.dminus[0])) < 1e-15
+
+    def test_cliffs_delta_matches_pairwise_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(11)
+        vals = np.round(rng.normal(3, 2, 500), 1)  # heavy ties
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.cliffs_delta_events(d)
+        ref, prod = self._split(vals)
+        gt = (prod[:, None] > ref[None, :]).sum()
+        lt = (prod[:, None] < ref[None, :]).sum()
+        exp = (gt - lt) / (len(ref) * len(prod))
+        assert abs(out.cliffs_delta[0] - exp) < 1e-12
+        assert out.magnitude[0] in ("negligible", "small", "medium", "large")
+
+    def test_energy_distance_matches_pairwise_bruteforce(self, ray_session):
+        """2*integral((dF)^2) == 2E|X-Y| - E|X-X'| - E|Y-Y'| (V-statistic
+        form) — the identity the integral implementation relies on."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(13)
+        vals = np.concatenate([rng.normal(0, 1, 200),
+                               rng.normal(1.5, 0.5, 200)])
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.energy_distance_events(d)
+        x, y = self._split(vals)
+        exy = np.abs(x[:, None] - y[None, :]).mean()
+        exx = np.abs(x[:, None] - x[None, :]).mean()
+        eyy = np.abs(y[:, None] - y[None, :]).mean()
+        assert abs(out.energy_dist_sq[0] - (2 * exy - exx - eyy)) < 1e-6
+
+    def test_identical_halves_pin_exact_zero(self, ray_session):
+        """Every value planted once per parity: proportional cumulative
+        counts make every cross-multiplied d_v EXACTLY 0 — integer-space
+        zero, not an epsilon."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = np.concatenate([np.linspace(-5, 5, 100), [0.0, 0.0, 7.5]])
+        vals = np.repeat(base, 2)  # even/odd event_ids get one copy each
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            assert Q.cvm_drift_events(d).cvm_t[0] == 0.0
+            k = Q.kuiper_drift_events(d)
+            assert (int(k.dplus_num[0]), int(k.dminus_num[0])) == (0, 0)
+            c = Q.cliffs_delta_events(d)
+            assert c.cliffs_delta[0] == 0.0
+            assert c.magnitude[0] == "negligible"
+            assert Q.energy_distance_events(d).energy_dist_sq[0] == 0.0
+
+    def test_planted_shift_orders_statistics(self, ray_session):
+        """A location-shifted prod half must push every statistic above
+        its identical-halves value (detection sanity)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(17)
+        n = 400
+        base = rng.normal(0, 1, n)
+        vals = np.empty(2 * n)
+        vals[0::2] = base                # ref (even event_id)
+        vals[1::2] = base + 2.0          # prod shifted
+        ts = pd.date_range("2024-01-01", periods=2 * n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            assert Q.cvm_drift_events(d).cvm_t[0] > 0.1
+            assert Q.kuiper_drift_events(d).kuiper_v[0] > 0.5
+            cd = Q.cliffs_delta_events(d)
+            assert cd.cliffs_delta[0] > 0.5
+            assert cd.magnitude[0] == "large"
+            assert Q.energy_distance_events(d).energy_dist_sq[0] > 0.5
+
+
+class TestPageHinkleyHourly:
+    def test_constant_stream_no_alarm(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=480, freq="15min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(480, 12.5))
+            out = Q.page_hinkley_hourly(d)
+        assert int(out.n_alarms[0]) == 0
+        assert int(out.first_alarm_hour[0]) == -1
+        assert out.ph_final[0] < 1.0
+
+    def test_planted_step_alarms_after_change(self, ray_session):
+        """A +40 level step at hour 60 of 120 must raise the first
+        alarm after the step and never before (ph accumulates
+        (x − running_mean − δ) which stays ~−δ·t pre-step)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.concatenate([np.full(60 * 4, 10.0),
+                               np.full(60 * 4, 50.0)])
+        ts = pd.date_range("2024-01-01", periods=480, freq="15min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.page_hinkley_hourly(d)
+        assert int(out.n_alarms[0]) > 0
+        assert int(out.first_alarm_hour[0]) > 60
+
+    def test_matches_independent_loop(self, ray_session):
+        """Bit-level vs a brute-force driver loop over duckdb-computed
+        hourly means (independent of the engine's exchange)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.page_hinkley_hourly(SF)
+        x = duckdb.sql(f"""
+            SELECT (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY date_trunc('hour', ts) ORDER BY date_trunc('hour', ts)
+        """).df().m.to_numpy()
+        mean, m = float(x[0]), -0.05
+        mn, alarms, first = m, 0, -1
+        for i in range(1, len(x)):
+            mean = mean + (float(x[i]) - mean) / float(i + 1)
+            m = m + ((float(x[i]) - mean) - 0.05)
+            if m - mn > 15.0:
+                alarms += 1
+                if first < 0:
+                    first = i + 1
+            if m < mn:
+                mn = m
+        assert int(out.n_hours[0]) == len(x)
+        assert int(out.n_alarms[0]) == alarms
+        assert int(out.first_alarm_hour[0]) == first
+        assert out.ph_final[0] == m - mn
+
+
+class TestHodgesLehmannShiftHourly:
+    def test_exact_constant_shift(self, ray_session):
+        """prod = ref + 7.25 with constant within-hour values: every
+        pairwise difference of equal-hour means is exactly 7.25 plus
+        the cross-hour structure; with constant series both halves'
+        hourly means are constant, so HL == 7.25 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 400
+        vals = np.where(np.arange(n) % 2 == 0, 10.0, 17.25)
+        ts = pd.date_range("2024-01-01", periods=n, freq="7min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.hodges_lehmann_shift_hourly(d)
+        assert out.hl_shift[0] == 7.25
+        assert int(out.n_pairs[0]) == int(out.n_ref_hours[0]) \
+            * int(out.n_prod_hours[0])
+
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.hodges_lehmann_shift_hourly(SF)
+        df = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS h, event_id % 2 AS par,
+                   (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1, 2
+        """).df()
+        xr = df.loc[df.par == 0, "m"].to_numpy()
+        xp = df.loc[df.par == 1, "m"].to_numpy()
+        diffs = np.sort((xp[:, None] - xr[None, :]).ravel())
+        r = int(np.ceil(len(diffs) * 0.5 - 1e-9)) - 1
+        assert out.hl_shift[0] == diffs[r]
+        assert int(out.n_pairs[0]) == len(diffs)
+
+
+class TestKendallTauValueHour:
+    def test_matches_pairwise_bruteforce(self, ray_session):
+        """tau-b vs the O(n^2) definition (concordant − discordant over
+        the tie-corrected denominator) on a ties-heavy synthetic."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(23)
+        n = 600
+        ts = pd.date_range("2024-01-01", periods=n, freq="37min")
+        vals = np.round(rng.normal(10, 3, n), 0)  # heavy value ties
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.kendall_tau_value_hour(d)
+        hod = pd.to_datetime(ts).hour.to_numpy()
+        dv = np.sign(vals[:, None] - vals[None, :])
+        dh = np.sign(hod[:, None] - hod[None, :])
+        prod = dv * dh
+        c = int((prod > 0).sum() // 2)
+        disc = int((prod < 0).sum() // 2)
+        n0 = n * (n - 1) // 2
+        n1 = sum(int(t) * (int(t) - 1) // 2
+                 for t in pd.Series(vals).value_counts())
+        n2 = sum(int(t) * (int(t) - 1) // 2
+                 for t in pd.Series(hod).value_counts())
+        exp = (c - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+        assert abs(out.kendall_tau_b[0] - exp) < 1e-12
+        assert int(out.n_rows[0]) == n
+
+    def test_perfect_monotone_and_constant(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # value == hour-of-day, one event per hour, no ties across
+        # distinct hods within a day: tau-b == 1.0 exactly
+        ts = pd.date_range("2024-01-01", periods=24, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(24, dtype=float))
+            assert Q.kendall_tau_value_hour(d).kendall_tau_b[0] == 1.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(24, 0, -1).astype(float))
+            assert Q.kendall_tau_value_hour(d).kendall_tau_b[0] == -1.0
+        with tempfile.TemporaryDirectory() as d:  # constant value column
+            _write_events(d, ts, np.full(24, 3.0))
+            assert Q.kendall_tau_value_hour(d).kendall_tau_b[0] == 0.0
+
+
+def test_impute_all_missing_type_uses_zero_sentinel(ray_session):
+    """A type whose EVERY event_id is planted-missing (% 11 == 0) has
+    no donor mean — 0.0 sentinel for fill_mean/mean_after, no crash
+    (fuzz seed 808 regression)."""
+    from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+    n = 24
+    ts = pd.date_range("2024-01-01", periods=n, freq="h")
+    with tempfile.TemporaryDirectory() as d:
+        # event_ids are 0..23; type 'solo' gets only event_id 0 and 11
+        # and 22 (all % 11 == 0)
+        types = np.where(np.isin(np.arange(n), [0, 11, 22]),
+                         "solo", "click")
+        _write_events(d, ts, np.full(n, 9.0), types=list(types))
+        out = Q.impute_missing_values(d)
+    solo = out.loc[out.event_type == "solo"].iloc[0]
+    assert int(solo.n_imputed) == 3
+    assert solo.fill_mean == 0.0 and solo.mean_after == 0.0

@@ -88,6 +88,12 @@ EVENT_QUERIES = [
     "global_value_rank_sample",
     # round-4 session 4: band join (edge values / mass points / NaN)
     "value_band_pair_stats",
+    # round-5 session 7-8: robust slopes / rank correlation / ECDF-L2,
+    # Kuiper, ordinal effect size, energy distance
+    "theil_sen_hourly_slope", "spearman_value_hour",
+    "cvm_drift_events", "kuiper_drift_events", "cliffs_delta_events",
+    "energy_distance_events", "page_hinkley_hourly",
+    "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
 ]
 
 
