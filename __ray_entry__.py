@@ -277,6 +277,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_hinkley_hourly": Q.page_hinkley_hourly,
         "hodges_lehmann_shift_hourly": Q.hodges_lehmann_shift_hourly,
         "kendall_tau_value_hour": Q.kendall_tau_value_hour,
+        "quantile_shift_drift_events": Q.quantile_shift_drift_events,
+        "gini_value_per_type": Q.gini_value_per_type,
+        "benford_first_digit_audit": Q.benford_first_digit_audit,
+        "acf_hourly_means": Q.acf_hourly_means,
+        "image_channel_stats_audit": Q.image_channel_stats_audit,
+        "image_flip_crop_audit": Q.image_flip_crop_audit,
+        "tpch_q1_pricing_summary": Q.tpch_q1_pricing_summary,
+        "tpch_q13_order_count_distribution":
+            Q.tpch_q13_order_count_distribution,
+        "tpch_q22_idle_customers": Q.tpch_q22_idle_customers,
     }
 
 
@@ -871,6 +881,8 @@ _VALUE_CLEAN_QUERIES = [
     "cvm_drift_events", "kuiper_drift_events", "cliffs_delta_events",
     "energy_distance_events", "page_hinkley_hourly",
     "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
+    "quantile_shift_drift_events", "gini_value_per_type",
+    "benford_first_digit_audit", "acf_hourly_means",
 ]
 
 
@@ -962,6 +974,104 @@ def _bpe_tokenize_sql(k: int = 8) -> str:
                    / sum(length(v.s)) AS compression
         FROM docw d JOIN words{k} v ON d.w = v.w
         GROUP BY d.doc_id ORDER BY d.doc_id""")
+
+
+def _benford_sql() -> str:
+    """chi² vs Benford with log10(1+1/d) embedded as repr literals —
+    both sides parse the SAME double; the 9-term sum is an explicit
+    left chain starting at 0.0, matching the engine loop bit-for-bit.
+    The contract digit is the first char of the correctly-rounded
+    '%.15e' rendering (CPython formatting and DuckDB printf both
+    correctly rounded)."""
+    import math
+
+    chain = "0.0"
+    for d in range(1, 10):
+        p = repr(math.log10(1.0 + 1.0 / d))
+        t = (f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) * "
+             f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) / "
+             f"(CAST(nz AS DOUBLE) * {p})")
+        chain = f"({chain} + {t})"
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN dig = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}" for d in range(1, 10))
+    sel = ", ".join(f"c{d}" for d in range(1, 10))
+    return f"""
+        WITH v AS (
+            SELECT abs(value) AS av FROM events
+            WHERE value <> 0 AND isfinite(value)
+        ),
+        dd AS (
+            SELECT CAST(substr(printf('%.15e', av), 1, 1) AS BIGINT)
+                       AS dig
+            FROM v
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS nz, {cols} FROM dd)
+        SELECT nz AS n_nonzero, {sel},
+               CASE WHEN nz = 0 THEN 0.0 ELSE {chain} END
+                   AS chi2_benford
+        FROM a
+    """
+
+
+def _acf_sql() -> str:
+    """ACF lags 1-6 + Ljung-Box Q(6) over hourly means: every fold is
+    a DuckDB list_reduce LEFT fold in hour order, mirroring the
+    engine's sequential loops bit-for-bit; invalid lags and constant
+    series (c0=0) guard to 0.0 on both sides."""
+    r_cols = []
+    for lag in range(1, 7):
+        r_cols.append(f"""
+               CASE WHEN nh >= 2 AND c0 > 0.0 AND nh - {lag} >= 1
+                    THEN list_reduce(list_transform(
+                             generate_series(1, nh - {lag}),
+                             t -> (xs[t] - m) * (xs[t + {lag}] - m)),
+                         (a, b) -> a + b) / c0
+                    ELSE 0.0 END AS r{lag}""")
+    q_chain = "0.0"
+    for lag in range(1, 7):
+        q_chain = (f"({q_chain} + CASE WHEN nh - {lag} < 1 THEN 0.0 "
+                   f"ELSE (r{lag} * r{lag}) "
+                   f"/ CAST(nh - {lag} AS DOUBLE) END)")
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   count(*) AS nh
+            FROM h
+        ),
+        mm AS (
+            SELECT xs, nh,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(xs, (a, b) -> a + b)
+                             / CAST(nh AS DOUBLE)
+                        ELSE 0.0 END AS m
+            FROM arr
+        ),
+        cc AS (
+            SELECT xs, nh, m,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(list_transform(xs,
+                                 v -> (v - m) * (v - m)),
+                             (a, b) -> a + b)
+                        ELSE 0.0 END AS c0
+            FROM mm
+        ),
+        rr AS (
+            SELECT nh,{",".join(r_cols)}
+            FROM cc
+        )
+        SELECT CAST(nh AS BIGINT) AS n_hours,
+               r1, r2, r3, r4, r5, r6,
+               CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) + 2.0)
+                   * {q_chain} AS ljung_box_q6
+        FROM rr
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2683,6 +2793,229 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(coalesce(quantile_disc(slope, 0.5), 0.0)
                         AS DOUBLE) AS theil_sen_slope
             FROM p
+        """,
+        # Q1 shape: every sum an exact scaled int (10^2/10^4/10^6),
+        # averages single chained IEEE divisions — no contract
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS sum_base_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS DOUBLE) / 10000.0 AS sum_disc_price,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100)
+                                          AS BIGINT)))
+                        AS DOUBLE) / 1000000.0 AS sum_charge,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+                       AS avg_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+                       AS avg_price,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE)
+                       AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # Q13 shape: LEFT JOIN order-count histogram incl. the zero
+        # bucket; exact ints
+        "tpch_q13_order_count_distribution": """
+            WITH pc AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON o_custkey = c_custkey
+                 AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        # Q22 shape: above-average test in exact cross-multiplied int
+        # space, NOT EXISTS anti join, exact cents sums
+        "tpch_q22_idle_customers": """
+            WITH sel AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                FROM customer WHERE c_nationkey IN (0, 1, 2, 3)
+            ),
+            st AS (SELECT CAST(coalesce(sum(CASE WHEN bal_c > 0
+                                             THEN 1 ELSE 0 END), 0)
+                               AS BIGINT) AS n_pos,
+                          CAST(coalesce(sum(CASE WHEN bal_c > 0
+                                             THEN bal_c ELSE 0 END), 0)
+                               AS BIGINT) AS s_pos
+                   FROM sel),
+            idle AS (
+                SELECT s.c_nationkey, s.bal_c
+                FROM sel s, st
+                WHERE s.bal_c * st.n_pos > st.s_pos
+                  AND NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_custkey = s.c_custkey
+                                    AND o.o_orderdate >=
+                                        TIMESTAMP '2001-01-01')
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_c) AS DOUBLE) / 100.0 AS totacctbal,
+                   (CAST(sum(bal_c) AS DOUBLE) / 100.0)
+                       / CAST(count(*) AS DOUBLE) AS avg_bal
+            FROM idle GROUP BY 1 ORDER BY 1
+        """,
+        # per-channel normalization stats brute-forced from the
+        # formula pixel grid; mean/std fixed-shape IEEE of exact ints
+        "image_channel_stats_audit": """
+            WITH nn AS (SELECT least(90, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            a AS (
+                SELECT i, fmt, w * h AS n_px,
+                       CAST(sum((r + 2*c + i + 0) % 256) AS BIGINT) AS s0,
+                       CAST(sum(((r + 2*c + i + 0) % 256)
+                                * ((r + 2*c + i + 0) % 256)) AS BIGINT)
+                           AS q0,
+                       CAST(sum((r + 2*c + i + 1) % 256) AS BIGINT) AS s1,
+                       CAST(sum(((r + 2*c + i + 1) % 256)
+                                * ((r + 2*c + i + 1) % 256)) AS BIGINT)
+                           AS q1,
+                       CAST(sum((r + 2*c + i + 2) % 256) AS BIGINT) AS s2,
+                       CAST(sum(((r + 2*c + i + 2) % 256)
+                                * ((r + 2*c + i + 2) % 256)) AS BIGINT)
+                           AS q2
+                FROM px GROUP BY 1, 2, 3
+            )
+            SELECT i AS img_id, fmt, CAST(n_px AS BIGINT) AS n_px,
+                   s0 AS ch0_sum, q0 AS ch0_sumsq,
+                   CAST(s0 AS DOUBLE) / CAST(n_px AS DOUBLE) AS ch0_mean,
+                   sqrt(CAST(n_px * q0 - s0 * s0 AS DOUBLE))
+                       / CAST(n_px AS DOUBLE) AS ch0_std,
+                   s1 AS ch1_sum, q1 AS ch1_sumsq,
+                   CAST(s1 AS DOUBLE) / CAST(n_px AS DOUBLE) AS ch1_mean,
+                   sqrt(CAST(n_px * q1 - s1 * s1 AS DOUBLE))
+                       / CAST(n_px AS DOUBLE) AS ch1_std,
+                   s2 AS ch2_sum, q2 AS ch2_sumsq,
+                   CAST(s2 AS DOUBLE) / CAST(n_px AS DOUBLE) AS ch2_mean,
+                   sqrt(CAST(n_px * q2 - s2 * s2 AS DOUBLE))
+                       / CAST(n_px AS DOUBLE) AS ch2_std
+            FROM a ORDER BY 1
+        """,
+        # flip + center-crop augmentation: crop(rr,cc,ch) =
+        # src(r0+rr, w-1-(c0+cc), ch); position-weighted sum pins the
+        # exact arrangement, not just the multiset
+        "image_flip_crop_audit": """
+            WITH nn AS (SELECT least(120, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            d AS (SELECT i, fmt, w, h,
+                         (h - 16) // 2 AS r0, (w - 16) // 2 AS c0
+                  FROM img),
+            rr AS (SELECT i, fmt, w, h, r0, c0,
+                          unnest(generate_series(0, 15)) AS pr
+                   FROM d),
+            cc AS (SELECT i, fmt, w, h, r0, c0, pr,
+                          unnest(generate_series(0, 15)) AS pc
+                   FROM rr),
+            px AS (
+                SELECT i, fmt, r0, c0, pr, pc,
+                       ((r0 + pr) + 2 * (w - 1 - (c0 + pc)) + i + 0) % 256
+                     + ((r0 + pr) + 2 * (w - 1 - (c0 + pc)) + i + 1) % 256
+                     + ((r0 + pr) + 2 * (w - 1 - (c0 + pc)) + i + 2) % 256
+                           AS p
+                FROM cc
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(r0 AS BIGINT) AS r0, CAST(c0 AS BIGINT) AS c0,
+                   CAST(sum(p) AS BIGINT) AS crop_sum,
+                   CAST(sum(p * (pr * 16 + pc + 1)) AS BIGINT)
+                       AS crop_weighted_sum
+            FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1
+        """,
+        "benford_first_digit_audit": _benford_sql(),
+        "acf_hourly_means": _acf_sql(),
+        # decile-by-decile quantile shift: list quantile_disc per half,
+        # selection-only outputs — differences of selected data values
+        "quantile_shift_drift_events": """
+            WITH r AS (SELECT value FROM events WHERE event_id % 2 = 0),
+            p AS (SELECT value FROM events WHERE event_id % 2 = 1),
+            rq AS (SELECT quantile_disc(value,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                       AS qs FROM r),
+            pq AS (SELECT quantile_disc(value,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                       AS qs FROM p),
+            g AS (SELECT unnest(generate_series(1, 9)) AS i)
+            SELECT CAST(i AS DOUBLE) / 10.0 AS p,
+                   coalesce(rq.qs[i], 0.0) AS ref_q,
+                   coalesce(pq.qs[i], 0.0) AS prod_q,
+                   coalesce(pq.qs[i], 0.0) - coalesce(rq.qs[i], 0.0)
+                       AS shift
+            FROM g, rq, pq ORDER BY i
+        """,
+        # Gini per type from exact rank-weighted HUGEINT sums
+        # (tie-invariant run contributions); one IEEE division
+        "gini_value_per_type": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT event_type, cents, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY cents) - c AS clt
+                FROM c
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(sum(CAST(cents AS HUGEINT)
+                                * (c * clt + c * (c + 1) / 2))
+                            AS HUGEINT) AS rws,
+                       CAST(sum(CAST(cents AS HUGEINT) * c) AS HUGEINT)
+                           AS s,
+                       CAST(sum(c) AS HUGEINT) AS n
+                FROM w GROUP BY 1
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+                   CAST(s AS BIGINT) AS total_cents,
+                   CASE WHEN s <= 0 THEN 0.0
+                        ELSE CAST(2 * rws - (n + 1) * s AS DOUBLE)
+                             / CAST(n * s AS DOUBLE)
+                   END AS gini
+            FROM a ORDER BY event_type
         """,
         # Kendall tau-b from exact concordance counts over the dense
         # (distinct value × 24-hod) grid: window cumulative c_lt per

@@ -4101,6 +4101,113 @@ def image_patch_stats_audit(sf_dir: str, p: int = 16) -> pd.DataFrame:
     return out.sort_values("img_id").reset_index(drop=True)
 
 
+def image_channel_stats_audit(sf_dir: str) -> pd.DataFrame:
+    """Per-channel dataset-normalization statistics over DECODED
+    images — the mean/std constants every image-training pipeline
+    computes before normalizing inputs — pinned oracle-exact on the
+    lossless roster (same formula-dim gradient images as
+    image_pixel_fidelity_audit, n = min(90, #docs), raw/png only so
+    SQL can brute-force the pixel grid): per image and channel, the
+    EXACT int64 pixel sum and sum of squares from the REAL decode
+    output (any codec bit flip shifts the hash), plus mean and std as
+    fixed-shape IEEE expressions of those ints (std =
+    sqrt(n·Σx² − (Σx)²)/n — one correctly-rounded sqrt, one division;
+    no rounding contract)."""
+    import math
+
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(90, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def stats_fn(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            npx = h * w
+            row = {"img_id": i, "fmt": fmt, "n_px": npx}
+            for ch in range(3):
+                s = int(dec[:, :, ch].sum())
+                ss = int((dec[:, :, ch] ** 2).sum())
+                row[f"ch{ch}_sum"] = s
+                row[f"ch{ch}_sumsq"] = ss
+                row[f"ch{ch}_mean"] = float(s) / float(npx)
+                row[f"ch{ch}_std"] = (
+                    math.sqrt(float(npx * ss - s * s)) / float(npx))
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(stats_fn, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in out.columns:
+        if col.endswith(("_sum", "_sumsq")) or col in ("img_id", "n_px"):
+            out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def image_flip_crop_audit(sf_dir: str, k: int = 16) -> pd.DataFrame:
+    """Augmentation-determinism audit: horizontal flip + k×k center
+    crop (the two workhorse training augmentations) applied to the
+    REAL decode output of the lossless roster images, pinned
+    oracle-exact ARRANGEMENT-sensitively: per image, the exact crop
+    pixel sum AND the position-weighted sum
+    Σ (Σ_ch px[rr,cc,ch])·(rr·k + cc + 1) — a wrong flip axis, crop
+    offset or row order shifts the weighted sum even when the plain
+    sum survives. SQL brute-forces both from the closed-form flipped
+    index: crop(rr,cc,ch) = src(r0+rr, w−1−(c0+cc), ch) with
+    r0 = (h−k)//2, c0 = (w−k)//2."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(120, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def aug(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt)
+            flipped = dec[:, ::-1]
+            r0, c0 = (h - k) // 2, (w - k) // 2
+            crop = flipped[r0:r0 + k, c0:c0 + k].astype(np.int64)
+            px = crop.sum(axis=2)                      # k×k channel sums
+            wgt = (np.arange(k, dtype=np.int64)[:, None] * k
+                   + np.arange(k, dtype=np.int64)[None, :] + 1)
+            rows.append((i, fmt, r0, c0, int(px.sum()),
+                         int((px * wgt).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "r0", "c0", "crop_sum",
+            "crop_weighted_sum"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(aug, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "r0", "c0", "crop_sum", "crop_weighted_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
 def image_pixel_fidelity_audit(sf_dir: str) -> pd.DataFrame:
     """Per-PIXEL decode-fidelity audit of the image codec tier — the
     oracle-exact anchor for the north star's per-row invariant
@@ -5954,6 +6061,186 @@ def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
         "nation_volume": out.nat_c.astype("float64") / 10000.0,
         "total_volume": out.tot_c.astype("float64") / 10000.0,
         "mkt_share": share.astype("float64")})
+
+
+def tpch_q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape (pricing summary report): per (returnflag,
+    linestatus) over lineitems shipped before 1998-09-02 — sums of
+    quantity / base price / discounted price / charge plus the three
+    averages and the row count. Every sum is an EXACT integer in
+    scaled-cents space (price·(1−disc) at 10⁴, price·(1−disc)·(1+tax)
+    at 10⁶ — products of the 2-dp cents ints, never floats), folded
+    per block then through one tiny groupby; the averages are single
+    IEEE divisions of exact ints — bit-identical to the SQL, no
+    rounding contract. int64 partials asserted under 2^62 (the 10⁶
+    scale overflows int64 around 10^9 rows per combo — the at-scale
+    variant ships python-int strings like the rank scans)."""
+    ds = sf_table(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice", "l_discount", "l_tax",
+                           "l_shipdate"])
+    CUT = pd.Timestamp("1998-09-02")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b.l_shipdate < CUT]
+        p_c = round_half_away(b.l_extendedprice.to_numpy() * 100) \
+            .astype(np.int64)
+        d_c = round_half_away(b.l_discount.to_numpy() * 100) \
+            .astype(np.int64)
+        t_c = round_half_away(b.l_tax.to_numpy() * 100).astype(np.int64)
+        q_c = round_half_away(b.l_quantity.to_numpy() * 100) \
+            .astype(np.int64)
+        disc_u = p_c * (100 - d_c)                 # scale 10^4
+        charge_u = disc_u * (100 + t_c)            # scale 10^6
+        return pd.DataFrame({
+            "l_returnflag": b.l_returnflag,
+            "l_linestatus": b.l_linestatus,
+            "n": np.ones(len(b), dtype=np.int64),
+            "qty_c": q_c, "price_c": p_c,
+            "disc_u": disc_u, "charge_u": charge_u,
+            "dsum_c": d_c,
+        }).groupby(["l_returnflag", "l_linestatus"],
+                   as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    g = parts.groupby(["l_returnflag", "l_linestatus"],
+                      as_index=False).sum()
+    for c in ("qty_c", "price_c", "disc_u", "charge_u", "dsum_c", "n"):
+        assert g[c].abs().max() < 2 ** 62, "Q1 partial exceeds int64"
+    n = g.n.to_numpy(np.int64)
+    out = pd.DataFrame({
+        "l_returnflag": g.l_returnflag,
+        "l_linestatus": g.l_linestatus,
+        "sum_qty": g.qty_c.to_numpy(np.float64) / 100.0,
+        "sum_base_price": g.price_c.to_numpy(np.float64) / 100.0,
+        "sum_disc_price": g.disc_u.to_numpy(np.float64) / 10000.0,
+        "sum_charge": g.charge_u.to_numpy(np.float64) / 1000000.0,
+        "avg_qty": g.qty_c.to_numpy(np.float64) / 100.0
+                   / n.astype(np.float64),
+        "avg_price": g.price_c.to_numpy(np.float64) / 100.0
+                     / n.astype(np.float64),
+        "avg_disc": g.dsum_c.to_numpy(np.float64) / 100.0
+                    / n.astype(np.float64),
+        "count_order": n,
+    })
+    return out.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+def tpch_q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution; the comment
+    anti-pattern is replaced by excluding 1-URGENT orders in the
+    trimmed schema): histogram of per-customer order counts INCLUDING
+    the zero bucket. Per-customer counts fold from block partials
+    through one groupby; customers with no qualifying orders never
+    appear there, so the zero bucket is total customers (one pruned
+    count) minus customers seen — no left join materializes a
+    customer×orders row set. All counts exact ints."""
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderpriority"])
+    n_cust = sf_table(sf_dir, "customer", columns=["c_custkey"]).count()
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b.o_orderpriority != "1-URGENT"]
+        return b.groupby("o_custkey", as_index=False).agg(
+            c_count=("o_orderpriority", "size"))
+
+    per_cust = orders.map_batches(partial, batch_format="pandas",
+                                  batch_size=65536) \
+        .groupby("o_custkey").aggregate(
+            Sum("c_count", alias_name="c_count"))
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_count", as_index=False).agg(
+            custdist=("c_count", "size"))
+
+    h = per_cust.map_batches(hist, batch_format="pandas") \
+        .groupby("c_count").aggregate(Sum("custdist",
+                                          alias_name="custdist")) \
+        .to_pandas()
+    n_with = int(h.custdist.sum())
+    out = h
+    if n_cust - n_with > 0:   # SQL's left join emits 0 only when real
+        zero = pd.DataFrame({"c_count": [0],
+                             "custdist": [n_cust - n_with]})
+        out = pd.concat([h, zero], ignore_index=True)
+    out["c_count"] = out.c_count.astype("int64")
+    out["custdist"] = out.custdist.astype("int64")
+    return out.sort_values(["custdist", "c_count"],
+                           ascending=[False, False]) \
+        .reset_index(drop=True)
+
+
+def tpch_q22_idle_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; the phone-prefix
+    filter is replaced by a nationkey subset in the trimmed schema):
+    per nation over customers in nations {0,1,2,3} with
+    above-average positive account balance and NO orders since
+    2001-01-01 (this generator gives every customer historical
+    orders, so the lapsed-customer variant keeps the anti join
+    non-degenerate) — count and balance sum. The above-average test
+    is decided in EXACT
+    cross-multiplied integer space (bal_c·n_pos > s_pos_c, both sides
+    — never a float threshold); the no-orders test is the bucketed
+    anti join (hash_join how='anti', the scalable NOT EXISTS). Sums
+    exact cents ints; avg_bal ONE IEEE division."""
+    from ..stages.joins import hash_join
+
+    NATIONS = (0, 1, 2, 3)
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b.c_nationkey.isin(NATIONS)]
+        return pd.DataFrame({
+            "c_custkey": b.c_custkey,
+            "c_nationkey": b.c_nationkey,
+            "bal_c": round_half_away(b.c_acctbal.to_numpy() * 100)
+                .astype(np.int64)})
+
+    sel = cust.map_batches(prep, batch_format="pandas")
+    # positive-balance mean threshold: two exact scalars
+    stats_p = sel.map_batches(
+        lambda b: pd.DataFrame({
+            "n_pos": [int((b.bal_c > 0).sum())],
+            "s_pos": [int(b.bal_c.to_numpy()[b.bal_c.to_numpy() > 0]
+                          .sum())]}),
+        batch_format="pandas").to_pandas()
+    n_pos, s_pos = int(stats_p.n_pos.sum()), int(stats_p.s_pos.sum())
+    rich = sel.map_batches(
+        lambda b: b.loc[b.bal_c.to_numpy() * n_pos > s_pos],
+        batch_format="pandas")
+    RECENT = pd.Timestamp("2001-01-01")
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderdate"]) \
+        .map_batches(lambda b: b.loc[b.o_orderdate >= RECENT,
+                                     ["o_custkey"]]
+                     .rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    idle = hash_join(rich, orders, "c_custkey", n_buckets=16,
+                     how="anti")
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("c_nationkey", as_index=False).agg(
+            numcust=("c_custkey", "size"), bal_c=("bal_c", "sum"))
+
+    out = idle.map_batches(fold, batch_format="pandas") \
+        .groupby("c_nationkey").aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("bal_c", alias_name="bal_c")).to_pandas()
+    if "c_nationkey" not in out.columns:   # empty: Ray drops the schema
+        out = pd.DataFrame({"c_nationkey": pd.Series([], dtype="int64"),
+                            "numcust": pd.Series([], dtype="int64"),
+                            "bal_c": pd.Series([], dtype="int64")})
+    out = out.sort_values("c_nationkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "c_nationkey": out.c_nationkey.astype("int64"),
+        "numcust": out.numcust.astype("int64"),
+        "totacctbal": out.bal_c.astype("float64") / 100.0,
+        "avg_bal": (out.bal_c.to_numpy(np.float64) / 100.0)
+                   / out.numcust.to_numpy(np.float64),
+    })
 
 
 def priority_price_dense_rank(sf_dir: str) -> pd.DataFrame:
@@ -8568,6 +8855,179 @@ def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
         "n_rows": pd.Series([n], dtype="int64"),
         "kendall_tau_b": pd.Series([tau], dtype="float64"),
     })
+
+
+def quantile_shift_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Decile-by-decile quantile-shift drift diagnostic between the
+    halves (the quantile-drift vector practitioners read next to the
+    scalar KS/W1 statistics): ref and prod deciles p10..p90 as EXACT
+    order statistics (scan.exact_quantiles inverted_cdf == SQL
+    quantile_disc — always actual data values, bit-exact selections)
+    and their differences (one IEEE subtraction of two selected
+    doubles per row — deterministic, no rounding contract)."""
+    from ..stages.scan import exact_quantiles
+
+    ds = _events_two_sample(sf_dir)
+    probs = [i / 10.0 for i in range(1, 10)]
+    ref = ds.map_batches(lambda b: b.loc[b.is_ref, ["value"]],
+                         batch_format="pandas")
+    prod = ds.map_batches(lambda b: b.loc[~b.is_ref, ["value"]],
+                          batch_format="pandas")
+    n_ref = ref.count()
+    n_prod = prod.count()
+    rq = (exact_quantiles(ref, "value", probs, method="inverted_cdf")
+          if n_ref else np.zeros(9))
+    pq = (exact_quantiles(prod, "value", probs, method="inverted_cdf")
+          if n_prod else np.zeros(9))
+    return pd.DataFrame({
+        "p": pd.Series(probs, dtype="float64"),
+        "ref_q": pd.Series([float(v) for v in rq], dtype="float64"),
+        "prod_q": pd.Series([float(v) for v in pq], dtype="float64"),
+        "shift": pd.Series([float(b_) - float(a_)
+                            for a_, b_ in zip(rq, pq)], dtype="float64"),
+    })
+
+
+def gini_value_per_type(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration coefficient of value per event_type (the
+    Lorenz-curve scalar beside lorenz_revenue_deciles):
+    G = (2·Σi·x_(i) − (n+1)·Σx) / (n·Σx) over ascending cents with
+    1-based ranks — ALL sufficient statistics EXACT integers from the
+    distributed grouped rank-weighted fold
+    (scan.grouped_rank_weighted_sums: tie-invariant run contributions
+    v·(c·clt + c(c+1)/2), python-int partials). ONE IEEE division of
+    exact ints mirrored with HUGEINT — no rounding contract;
+    non-positive totals guard to the 0.0 sentinel (Gini is undefined
+    there and fuzz values go negative)."""
+    from ..stages.scan import grouped_rank_weighted_sums
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                .astype(np.int64).astype(np.float64),
+        })
+
+    stats_df = grouped_rank_weighted_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        "event_type", "cents")
+    rows = []
+    for _, r in stats_df.iterrows():
+        n, s, rws = int(r.n), int(r.s), int(r.rws)
+        gini = (0.0 if s <= 0
+                else float(2 * rws - (n + 1) * s) / float(n * s))
+        assert abs(s) < 2 ** 62, "total cents exceeds int64 output"
+        rows.append({"event_type": r.event_type,
+                     "n_rows": np.int64(n),
+                     "total_cents": np.int64(s),
+                     "gini": float(gini)})
+    return pd.DataFrame(rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+def benford_first_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law first-significant-digit audit of |value| (the
+    classic fabricated-data / unit-mixing validation check): digit
+    counts are EXACT ints; the contract digit is the first character
+    of the correctly-rounded 16-significant-digit scientific rendering
+    ('%.15e' — CPython float formatting and DuckDB printf are both
+    correctly rounded, so a value like 0.09999999999999999 reads 1 on
+    BOTH sides by construction). chi² against the Benford expectation
+    n·log10(1+1/d) is an explicit 9-term left-chained IEEE expression
+    with the log10 constants embedded as repr literals in the
+    generated SQL — bit-identical, no rounding contract. Zero values
+    carry no leading digit and are excluded on both sides."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(b.value.to_numpy(np.float64))
+        v = v[np.isfinite(v) & (v > 0)]
+        digs = np.frombuffer(
+            "".join(f"{x:.15e}"[0] for x in v).encode(), dtype=np.uint8
+        ).astype(np.int64) - 48 if len(v) else np.empty(0, np.int64)
+        cnt = np.bincount(digs, minlength=10)[1:10]
+        return pd.DataFrame({f"c{d}": [int(cnt[d - 1])]
+                             for d in range(1, 10)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counts = [int(parts[f"c{d}"].sum()) for d in range(1, 10)]
+    n = sum(counts)
+    if n == 0:
+        chi2 = 0.0
+    else:
+        acc = 0.0
+        for d in range(1, 10):
+            p = math.log10(1.0 + 1.0 / d)
+            e = float(n) * p
+            t = (float(counts[d - 1]) - e) * (float(counts[d - 1]) - e) / e
+            acc = acc + t
+        chi2 = acc
+    out = {"n_nonzero": [np.int64(n)]}
+    out.update({f"c{d}": [np.int64(counts[d - 1])] for d in range(1, 10)})
+    out["chi2_benford"] = [float(chi2)]
+    return pd.DataFrame(out)
+
+
+def acf_hourly_means(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation function of the hourly mean-value series at
+    lags 1-6 plus the Ljung-Box portmanteau Q(6) (Box & Pierce 1970;
+    Ljung & Box 1978 — the serial-dependence diagnostic beside the
+    trend/seasonality tier): hourly means from exact cents partials;
+    every fold (mean, c0, c_l, the Q term chain) is a SEQUENTIAL
+    left fold in hour order mirrored by DuckDB list_reduce (a LEFT
+    fold — the established bit-level recipe), so the compare is
+    bit-identical with no rounding contract. Lags past the series
+    length and constant series (c0=0) guard to 0.0 sentinels."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+    nh = len(x)
+    L = 6
+    r = [0.0] * L
+    if nh >= 2:
+        acc = float(x[0])                      # list_reduce left fold
+        for t in range(1, nh):
+            acc = acc + float(x[t])
+        m = acc / float(nh)
+        c0 = (float(x[0]) - m) * (float(x[0]) - m)
+        for t in range(1, nh):
+            c0 = c0 + (float(x[t]) - m) * (float(x[t]) - m)
+        if c0 > 0.0:
+            for lag in range(1, L + 1):
+                if nh - lag < 1:
+                    continue
+                cl = (float(x[0]) - m) * (float(x[lag]) - m)
+                for t in range(1, nh - lag):
+                    cl = cl + (float(x[t]) - m) * (float(x[t + lag]) - m)
+                r[lag - 1] = cl / c0
+    q = 0.0
+    for lag in range(1, L + 1):
+        if nh - lag < 1:
+            continue
+        q = q + (r[lag - 1] * r[lag - 1]) / float(nh - lag)
+    q = float(nh) * (float(nh) + 2.0) * q
+    out = {"n_hours": [np.int64(nh)]}
+    out.update({f"r{i}": [float(r[i - 1])] for i in range(1, L + 1)})
+    out["ljung_box_q6"] = [float(q)]
+    return pd.DataFrame(out)
 
 
 def theil_sen_hourly_slope(sf_dir: str) -> pd.DataFrame:

@@ -862,6 +862,107 @@ def _grouped_rank_values(
     return totals, val_by
 
 
+def grouped_rank_weighted_sums(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+) -> pd.DataFrame:
+    """Per-group EXACT rank-weighted integer sums — the sufficient
+    statistics of Lorenz/Gini concentration: for each group, with its
+    integer values sorted ascending and 1-based ranks i,
+
+    * ``rws`` = Σ i·x_(i)  (tie-invariant: a run of c equal values v
+      starting after clt smaller rows contributes
+      v·(c·clt + c·(c+1)/2) whatever the within-tie order),
+    * ``s`` = Σ x,  ``n`` = row count.
+
+    Same distributed shape as :func:`_grouped_rank_values`: (group,
+    value) counts → bucketed merge → sort(group, value) → per-block
+    per-group offsets → pass-B python-int folds shipped as strings
+    (exact at any scale). ``value_col`` must hold integers (e.g.
+    cents) represented exactly in float64."""
+    from ..sketches import hash64, hash_any_array
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: b[group_col],
+            value_col: b[value_col].to_numpy(dtype=np.float64) + 0.0,
+        }).groupby([group_col, value_col], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        vh = hash64(g[value_col].to_numpy(dtype=np.float64).view(np.uint64))
+        gh = hash_any_array(g[group_col].tolist())
+        with np.errstate(over="ignore"):
+            g["bucket"] = ((vh ^ gh) % np.uint64(64)).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([group_col, value_col], as_index=False).agg(n=("n", "sum"))
+
+    counts = parts.groupby("bucket").map_groups(merge, batch_format="pandas")
+    sorted_counts = counts.sort([group_col, value_col]).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "first_val": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = b.groupby(group_col, as_index=False, sort=False).agg(
+            first_val=(value_col, "first"))
+        out["n"] = b.groupby(group_col, sort=False)["n"].sum().to_numpy()
+        return out
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    ).to_pandas().sort_values([group_col, "first_val"]).reset_index(drop=True)
+    offsets: dict = {}
+    for grp, sub in summary.groupby(group_col, sort=False):
+        cum = 0
+        for _, row in sub.iterrows():
+            offsets[(grp, float(row.first_val))] = cum
+            cum += int(row.n)
+    bc = ray.put(offsets)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "rws": pd.Series([], dtype=object),
+                                 "s": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        offs = ray.get(bc)
+        gs, rws_l, s_l, n_l = [], [], [], []
+        for grp, sub in b.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy()
+            nvec = sub["n"].to_numpy()
+            clt = int(offs[(grp, float(v[0]))])
+            start = clt
+            rws = s = 0
+            for val, c in zip(v, nvec):
+                c = int(c)
+                cv = int(val)
+                rws += cv * (c * clt + c * (c + 1) // 2)
+                s += cv * c
+                clt += c
+            gs.append(grp)
+            rws_l.append(str(rws))
+            s_l.append(str(s))
+            n_l.append(clt - start)
+        return pd.DataFrame({group_col: gs, "rws": rws_l, "s": s_l,
+                             "n": pd.Series(n_l, dtype="int64")})
+
+    partsb = sorted_counts.map_batches(
+        fold, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    rows = []
+    for grp, sub in partsb.groupby(group_col, sort=False):
+        rows.append({group_col: grp,
+                     "rws": sum(int(x) for x in sub.rws),
+                     "s": sum(int(x) for x in sub.s),
+                     "n": int(sub.n.sum())})
+    return pd.DataFrame(rows)
+
+
 def grouped_exact_quantiles(
     ds: ray.data.Dataset,
     group_col: str,

@@ -281,7 +281,11 @@ def run_queries() -> dict[str, float]:
         "cvm_drift_events", "kuiper_drift_events",
         "cliffs_delta_events", "energy_distance_events",
         "page_hinkley_hourly", "hodges_lehmann_shift_hourly",
-        "kendall_tau_value_hour",
+        "kendall_tau_value_hour", "quantile_shift_drift_events",
+        "gini_value_per_type", "benford_first_digit_audit",
+        "acf_hourly_means", "image_channel_stats_audit",
+        "image_flip_crop_audit", "tpch_q1_pricing_summary",
+        "tpch_q13_order_count_distribution", "tpch_q22_idle_customers",
     ]
     qs = E.queries()
     out = {}

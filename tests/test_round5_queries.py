@@ -1446,3 +1446,204 @@ def test_impute_all_missing_type_uses_zero_sentinel(ray_session):
     solo = out.loc[out.event_type == "solo"].iloc[0]
     assert int(solo.n_imputed) == 3
     assert solo.fill_mean == 0.0 and solo.mean_after == 0.0
+
+
+class TestDistributionalAuditTier:
+    def test_quantile_shift_constant_offset(self, ray_session):
+        """prod = ref + 2.0 elementwise (exact in floats for these
+        values): every decile shift must be exactly 2.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = np.arange(200, dtype=float) / 2.0
+        vals = np.empty(400)
+        vals[0::2] = base          # ref
+        vals[1::2] = base + 2.0    # prod
+        ts = pd.date_range("2024-01-01", periods=400, freq="3min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.quantile_shift_drift_events(d)
+        assert len(out) == 9
+        assert (out["shift"] == 2.0).all()
+        assert out.p.tolist() == [0.1, 0.2, 0.3, 0.4, 0.5,
+                                  0.6, 0.7, 0.8, 0.9]
+
+    def test_gini_pins_and_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(31)
+        n = 300
+        ts = pd.date_range("2024-01-01", periods=n, freq="2min")
+        # type 'eq': all equal -> G = 0; 'one': one holder -> (n-1)/n;
+        # 'rnd': random, checked against the direct numpy formula
+        types = (["eq"] * 100) + (["one"] * 100) + (["rnd"] * 100)
+        vals = np.concatenate([
+            np.full(100, 7.0),
+            np.concatenate([[500.0], np.zeros(99)]),
+            np.round(rng.uniform(0.01, 50, 100), 2)])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=types)
+            out = Q.gini_value_per_type(d).set_index("event_type")
+        assert out.loc["eq", "gini"] == 0.0
+        assert abs(out.loc["one", "gini"] - 99 / 100) < 1e-12
+        x = np.sort(np.round(vals[200:] * 100).astype(np.int64))
+        i = np.arange(1, 101)
+        exp = (2 * int((i * x).sum()) - 101 * int(x.sum())) \
+            / (100 * int(x.sum()))
+        assert abs(out.loc["rnd", "gini"] - exp) < 1e-12
+
+    def test_benford_counts_and_ordering(self, ray_session):
+        """Digit counts match a direct formatting brute force; a
+        Benford-conforming sample scores far below a uniform-digit
+        sample on the same chi2."""
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(37)
+        benford = np.exp(rng.uniform(0, np.log(10), 3000)) \
+            * 10.0 ** rng.integers(-2, 3, 3000)
+        uniform = rng.integers(1, 10, 3000) * 10.0 \
+            ** rng.integers(-2, 3, 3000).astype(float)
+        ts = pd.date_range("2024-01-01", periods=3000, freq="min")
+        chis = {}
+        for name, vals in (("benford", benford), ("uniform", uniform)):
+            with tempfile.TemporaryDirectory() as d:
+                _write_events(d, ts, vals)
+                out = Q.benford_first_digit_audit(d)
+            digs = [int(f"{abs(x):.15e}"[0]) for x in vals if x != 0]
+            for dd in range(1, 10):
+                assert int(out[f"c{dd}"][0]) == digs.count(dd)
+            assert int(out.n_nonzero[0]) == len(digs)
+            chis[name] = float(out.chi2_benford[0])
+        assert chis["benford"] < 30 < chis["uniform"]
+
+    def test_acf_matches_numpy_and_seasonal_sign(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # alternating hourly level: r1 strongly negative, r2 positive
+        vals = np.tile([5.0, 25.0], 120)
+        ts = pd.date_range("2024-01-01", periods=240, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.acf_hourly_means(d)
+        x = vals
+        m = x.mean()
+        c0 = ((x - m) ** 2).sum()
+        for lag in range(1, 7):
+            exp = ((x[:-lag] - m) * (x[lag:] - m)).sum() / c0
+            assert abs(float(out[f"r{lag}"][0]) - exp) < 1e-9
+        assert out.r1[0] < -0.9 and out.r2[0] > 0.9
+        q = 240 * 242 * sum(float(out[f"r{k}"][0]) ** 2 / (240 - k)
+                            for k in range(1, 7))
+        assert abs(out.ljung_box_q6[0] - q) < 1e-6
+
+    def test_acf_constant_and_short_series(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=48, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(48, 3.25))
+            out = Q.acf_hourly_means(d)
+        assert all(float(out[f"r{k}"][0]) == 0.0 for k in range(1, 7))
+        assert out.ljung_box_q6[0] == 0.0
+        ts1 = pd.date_range("2024-01-01", periods=3, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts1, np.array([1.0, 2.0, 3.0]))
+            out = Q.acf_hourly_means(d)  # one hour: every lag invalid
+        assert int(out.n_hours[0]) == 1
+        assert out.ljung_box_q6[0] == 0.0
+
+
+class TestImageAugmentationAudits:
+    def test_channel_stats_bruteforce_image0(self, ray_session):
+        """Image 0's channel sums recomputed by an independent python
+        loop over the formula grid (not numpy-vectorized, not the
+        engine's path)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_channel_stats_audit(SF).set_index("img_id")
+        w = 32 + 8 * ((0 * 7) % 16)
+        h = 32 + 8 * ((0 * 11) % 16)
+        for ch in range(3):
+            s = ss = 0
+            for r in range(h):
+                for c in range(w):
+                    p = (r + 2 * c + 0 + ch) % 256
+                    s += p
+                    ss += p * p
+            assert int(out.loc[0, f"ch{ch}_sum"]) == s
+            assert int(out.loc[0, f"ch{ch}_sumsq"]) == ss
+            assert out.loc[0, f"ch{ch}_mean"] == s / (h * w)
+
+    def test_flip_crop_weighted_sum_is_arrangement_sensitive(
+            self, ray_session):
+        """The weighted sum must differ from the UNflipped crop's
+        weighted sum for image 0 (plain sums can coincide; the
+        position weighting must not), and match an independent loop."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_flip_crop_audit(SF).set_index("img_id")
+        i, k = 0, 16
+        w = 32 + 8 * ((i * 7) % 16)
+        h = 32 + 8 * ((i * 11) % 16)
+        r0, c0 = (h - k) // 2, (w - k) // 2
+        ws_flip = ws_noflip = s_flip = 0
+        for rr in range(k):
+            for cc in range(k):
+                pf = sum(((r0 + rr) + 2 * (w - 1 - (c0 + cc)) + i + ch)
+                         % 256 for ch in range(3))
+                pn = sum(((r0 + rr) + 2 * (c0 + cc) + i + ch) % 256
+                         for ch in range(3))
+                wgt = rr * k + cc + 1
+                ws_flip += pf * wgt
+                ws_noflip += pn * wgt
+                s_flip += pf
+        assert int(out.loc[i, "crop_sum"]) == s_flip
+        assert int(out.loc[i, "crop_weighted_sum"]) == ws_flip
+        assert ws_flip != ws_noflip
+
+
+class TestTpchShapeBatch3:
+    def test_q1_matches_pandas_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q1_pricing_summary(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        li = li.loc[li.l_shipdate < pd.Timestamp("1998-09-02")]
+        p_c = np.round(li.l_extendedprice * 100).astype("int64")
+        d_c = np.round(li.l_discount * 100).astype("int64")
+        t_c = np.round(li.l_tax * 100).astype("int64")
+        q_c = np.round(li.l_quantity * 100).astype("int64")
+        g = pd.DataFrame({
+            "f": li.l_returnflag, "s": li.l_linestatus, "q": q_c,
+            "p": p_c, "dp": p_c * (100 - d_c),
+            "ch": p_c * (100 - d_c) * (100 + t_c), "d": d_c,
+        }).groupby(["f", "s"]).sum()
+        for _, row in out.iterrows():
+            e = g.loc[(row.l_returnflag, row.l_linestatus)]
+            assert row.sum_qty == float(e.q) / 100.0
+            assert row.sum_disc_price == float(e.dp) / 10000.0
+            assert row.sum_charge == float(e.ch) / 1000000.0
+
+    def test_q13_and_q22_match_duckdb(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        q13 = Q.tpch_q13_order_count_distribution(SF)
+        exp = duckdb.sql(f"""
+            SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM '{SF}/customer.parquet' c LEFT JOIN
+                     '{SF}/orders.parquet' o
+                  ON o.o_custkey = c.c_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """).df()
+        assert q13.c_count.tolist() == exp.c_count.tolist()
+        assert q13.custdist.tolist() == exp.custdist.tolist()
+
+        q22 = Q.tpch_q22_idle_customers(SF)
+        assert (q22.numcust > 0).all()
+        assert int(q22.numcust.sum()) == 5  # known at sf0.001

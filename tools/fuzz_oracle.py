@@ -94,6 +94,8 @@ EVENT_QUERIES = [
     "cvm_drift_events", "kuiper_drift_events", "cliffs_delta_events",
     "energy_distance_events", "page_hinkley_hourly",
     "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
+    "quantile_shift_drift_events", "gini_value_per_type",
+    "benford_first_digit_audit", "acf_hourly_means",
 ]
 
 
@@ -184,7 +186,8 @@ DOC_QUERIES = [
     # session-7: RAG chunking, readability, vocabulary coverage, PMI
     "doc_chunking_stats", "readability_docs", "vocab_coverage_topk",
     "pmi_top_bigrams", "textrank_keywords",
-    "image_patch_stats_audit",
+    "image_patch_stats_audit", "image_channel_stats_audit",
+    "image_flip_crop_audit",
 ]
 
 
