@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13_order_count_distribution":
             Q.tpch_q13_order_count_distribution,
         "tpch_q22_idle_customers": Q.tpch_q22_idle_customers,
+        "prop_drift_per_type": Q.prop_drift_per_type,
+        "cuped_variance_reduction": Q.cuped_variance_reduction,
     }
 
 
@@ -883,6 +885,7 @@ _VALUE_CLEAN_QUERIES = [
     "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
     "quantile_shift_drift_events", "gini_value_per_type",
     "benford_first_digit_audit", "acf_hourly_means",
+    "cuped_variance_reduction",
 ]
 
 
@@ -2962,6 +2965,84 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(sum(p * (pr * 16 + pc + 1)) AS BIGINT)
                        AS crop_weighted_sum
             FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1
+        """,
+        # per-type two-proportion z: exact counts, one fixed-shape
+        # IEEE expression (pooled share, one sqrt, final division)
+        "prop_drift_per_type": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_prod
+                FROM events GROUP BY 1
+            ),
+            t AS (SELECT CAST(sum(c_ref) AS BIGINT) AS n1,
+                         CAST(sum(c_prod) AS BIGINT) AS n2 FROM g),
+            z AS (
+                SELECT event_type, c_ref, c_prod,
+                       CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                            WHEN (CAST(c_ref + c_prod AS DOUBLE)
+                                  / CAST(n1 + n2 AS DOUBLE))
+                                 * (1.0 - CAST(c_ref + c_prod AS DOUBLE)
+                                          / CAST(n1 + n2 AS DOUBLE))
+                                 * ((1.0 / CAST(n1 AS DOUBLE))
+                                    + (1.0 / CAST(n2 AS DOUBLE)))
+                                 <= 0.0 THEN 0.0
+                            ELSE (CAST(c_ref AS DOUBLE)
+                                  / CAST(n1 AS DOUBLE)
+                                  - CAST(c_prod AS DOUBLE)
+                                    / CAST(n2 AS DOUBLE))
+                                 / sqrt((CAST(c_ref + c_prod AS DOUBLE)
+                                         / CAST(n1 + n2 AS DOUBLE))
+                                        * (1.0 -
+                                           CAST(c_ref + c_prod AS DOUBLE)
+                                           / CAST(n1 + n2 AS DOUBLE))
+                                        * ((1.0 / CAST(n1 AS DOUBLE))
+                                           + (1.0 / CAST(n2 AS DOUBLE))))
+                       END AS z_value
+                FROM g, t
+            )
+            SELECT event_type, c_ref, c_prod, z_value,
+                   abs(z_value) > 1.96 AS significant
+            FROM z ORDER BY event_type
+        """,
+        # CUPED: exact HUGEINT sufficient statistics over per-user
+        # cents totals; theta one division, rho^2 squared in
+        # fixed-shape float space (num^2 exceeds int128)
+        "cuped_variance_reduction": """
+            WITH pu AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS HUGEINT) AS x,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                ELSE 0 END) AS HUGEINT) AS y
+                FROM events GROUP BY 1
+            ),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(coalesce(sum(x), 0) AS HUGEINT) AS sx,
+                         CAST(coalesce(sum(y), 0) AS HUGEINT) AS sy,
+                         CAST(coalesce(sum(x * x), 0) AS HUGEINT) AS sxx,
+                         CAST(coalesce(sum(y * y), 0) AS HUGEINT) AS syy,
+                         CAST(coalesce(sum(x * y), 0) AS HUGEINT) AS sxy
+                  FROM pu)
+            SELECT CAST(n AS BIGINT) AS n_users,
+                   CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                        ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                   END AS theta,
+                   CASE WHEN n * sxx - sx * sx = 0
+                          OR n * syy - sy * sy = 0 THEN 0.0
+                        ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                              * CAST(n * sxy - sx * sy AS DOUBLE))
+                             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+                   END AS rho_sq
+            FROM s
         """,
         "benford_first_digit_audit": _benford_sql(),
         "acf_hourly_means": _acf_sql(),

@@ -8857,6 +8857,123 @@ def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def prop_drift_per_type(sf_dir: str) -> pd.DataFrame:
+    """Two-proportion z-test per event_type between the halves — the
+    category-share drift diagnostic beside the global chi² (is THIS
+    type's share different in prod?): per type, the ref/prod counts
+    are exact ints from one pre-aggregated fold and z =
+    (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)) is ONE fixed-shape IEEE expression
+    of those ints mirrored operand-for-operand in SQL (pooled p̂, one
+    sqrt, one final division — no rounding contract). Degenerate
+    pooled shares (p̂ ∈ {0,1}) guard to the 0.0 sentinel; the
+    |z| > 1.96 flag is a comparison of the SAME double on both
+    sides."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "c_ref": is_ref.astype(np.int64),
+            "c_prod": (~is_ref).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("c_ref", alias_name="c_ref"),
+            Sum("c_prod", alias_name="c_prod")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    n1 = int(g.c_ref.sum())
+    n2 = int(g.c_prod.sum())
+    zs, sig = [], []
+    for _, r in g.iterrows():
+        c1, c2 = int(r.c_ref), int(r.c_prod)
+        if n1 == 0 or n2 == 0:
+            z = 0.0
+        else:
+            p1 = float(c1) / float(n1)
+            p2 = float(c2) / float(n2)
+            pp = float(c1 + c2) / float(n1 + n2)
+            se2 = (pp * (1.0 - pp)) * ((1.0 / float(n1))
+                                       + (1.0 / float(n2)))
+            z = 0.0 if se2 <= 0.0 else (p1 - p2) / math.sqrt(se2)
+        zs.append(float(z))
+        sig.append(abs(z) > 1.96)
+    return pd.DataFrame({
+        "event_type": g.event_type,
+        "c_ref": g.c_ref.astype("int64"),
+        "c_prod": g.c_prod.astype("int64"),
+        "z_value": pd.Series(zs, dtype="float64"),
+        "significant": pd.Series(sig, dtype="bool"),
+    })
+
+
+def cuped_variance_reduction(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013 — the
+    experimentation-platform workhorse): covariate x = per-user total
+    value cents over even event_ids (the 'pre-period' half), metric
+    y = over odd event_ids; θ = cov(x,y)/var(x) and the variance
+    reduction ρ² from EXACT integer sufficient statistics — per-user
+    totals from one user-keyed exchange, then Σx/Σy/Σx²/Σy²/Σxy
+    folded per block in python-int space (shipped as strings — the
+    n⁴-sized squares overflow int64 at scale). θ is ONE IEEE division
+    of exact ints; ρ² = num²/(dx·dy) evaluates in fixed-shape float
+    space ((f(num)·f(num))/(f(dx)·f(dy)) — num² exceeds int128, so
+    both sides square the SAME correctly-rounded double). Missing
+    halves count as 0 cents (users exist once they have any event)."""
+    ds = sf_events_clean(sf_dir, ["event_id", "user_id", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0).to_numpy()
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "user_id": b.user_id,
+            "x": np.where(is_ref, cents, 0),
+            "y": np.where(is_ref, 0, cents),
+        }).groupby("user_id", as_index=False).sum()
+
+    per_user = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("user_id").aggregate(Sum("x", alias_name="x"),
+                                      Sum("y", alias_name="y"))
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        sx = sy = sxx = syy = sxy = 0
+        for x, y in zip(b.x.to_numpy(), b.y.to_numpy()):
+            x, y = int(x), int(y)
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+        return pd.DataFrame({
+            "n": [len(b)], "sx": [str(sx)], "sy": [str(sy)],
+            "sxx": [str(sxx)], "syy": [str(syy)], "sxy": [str(sxy)]})
+
+    p = per_user.map_batches(fold, batch_format="pandas").to_pandas()
+    n = int(p.n.sum())
+    sx = sum(int(s) for s in p.sx)
+    sy = sum(int(s) for s in p.sy)
+    sxx = sum(int(s) for s in p.sxx)
+    syy = sum(int(s) for s in p.syy)
+    sxy = sum(int(s) for s in p.sxy)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    theta = 0.0 if dx == 0 else float(num) / float(dx)
+    rho_sq = (0.0 if dx == 0 or dy == 0
+              else (float(num) * float(num))
+              / (float(dx) * float(dy)))
+    return pd.DataFrame({
+        "n_users": [np.int64(n)],
+        "theta": [float(theta)],
+        "rho_sq": [float(rho_sq)],   # == CUPED variance-reduction share
+    })
+
+
 def quantile_shift_drift_events(sf_dir: str) -> pd.DataFrame:
     """Decile-by-decile quantile-shift drift diagnostic between the
     halves (the quantile-drift vector practitioners read next to the

@@ -286,6 +286,7 @@ def run_queries() -> dict[str, float]:
         "acf_hourly_means", "image_channel_stats_audit",
         "image_flip_crop_audit", "tpch_q1_pricing_summary",
         "tpch_q13_order_count_distribution", "tpch_q22_idle_customers",
+        "prop_drift_per_type", "cuped_variance_reduction",
     ]
     qs = E.queries()
     out = {}

@@ -1647,3 +1647,81 @@ class TestTpchShapeBatch3:
         q22 = Q.tpch_q22_idle_customers(SF)
         assert (q22.numcust > 0).all()
         assert int(q22.numcust.sum()) == 5  # known at sf0.001
+
+
+class TestPropDriftAndCuped:
+    def test_prop_drift_planted_imbalance(self, ray_session):
+        """A type appearing only at odd event_ids must flag
+        significant with z < 0 (prod share above ref); a balanced type
+        must not."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        types = np.where(np.arange(n) % 2 == 1, "prodonly", "balanced")
+        # make 'balanced' actually balanced: overwrite half of the even
+        # slots is unnecessary — balanced sits on even ids only, which
+        # is itself imbalanced; instead alternate pairs
+        types = np.array(["balanced"] * n, dtype=object)
+        types[1::4] = "prodonly"          # odd ids only
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=list(types))
+            out = Q.prop_drift_per_type(d).set_index("event_type")
+        assert bool(out.loc["prodonly", "significant"])
+        assert out.loc["prodonly", "z_value"] < -5
+        assert int(out.loc["prodonly", "c_ref"]) == 0
+
+    def test_prop_drift_matches_scalar_formula(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.prop_drift_per_type(SF)
+        n1, n2 = int(out.c_ref.sum()), int(out.c_prod.sum())
+        for _, r in out.iterrows():
+            p1, p2 = r.c_ref / n1, r.c_prod / n2
+            pp = (r.c_ref + r.c_prod) / (n1 + n2)
+            se2 = (pp * (1 - pp)) * (1 / n1 + 1 / n2)
+            exp = 0.0 if se2 <= 0 else (p1 - p2) / np.sqrt(se2)
+            assert abs(r.z_value - exp) < 1e-12
+
+    def test_cuped_exact_linear_covariate(self, ray_session):
+        """y = 3x per user (odd-id cents exactly 3x even-id cents):
+        rho^2 == 1.0 exactly and theta == 3.0 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n_users = 50
+        rows = []
+        for u in range(n_users):
+            rows.append((u, 10.0 + u))        # even id -> x cents
+            rows.append((u, 3 * (10.0 + u)))  # odd id  -> y = 3x
+        users = np.array([r[0] for r in rows])
+        vals = np.array([r[1] for r in rows])
+        ts = pd.date_range("2024-01-01", periods=len(rows), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, users=users)
+            out = Q.cuped_variance_reduction(d)
+        assert int(out.n_users[0]) == n_users
+        assert out.theta[0] == 3.0
+        assert out.rho_sq[0] == 1.0
+
+    def test_cuped_matches_numpy_covariance(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.cuped_variance_reduction(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id,
+              sum(CASE WHEN event_id % 2 = 0
+                  THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS x,
+              sum(CASE WHEN event_id % 2 = 1
+                  THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS y
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
+        """).df()
+        x, y = df.x.to_numpy(float), df.y.to_numpy(float)
+        theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+        rho2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert abs(out.theta[0] - theta) < 1e-9
+        assert abs(out.rho_sq[0] - rho2) < 1e-9
+        assert int(out.n_users[0]) == len(df)

@@ -247,7 +247,8 @@ class TestOneSidedInput:
         ref = np.array([1.0, 2.0, 3.0])
         r = scan.two_sample_order_stats(
             _two_sample_ds(ref, np.array([]), blocks=2))
-        assert r == {"ks": 0.0, "w1": 0.0, "ad_a2akn": 0.0,
+        assert r == {"ks": 0.0, "w1": 0.0, "cramer2": 0.0,
+                     "ad_a2akn": 0.0,
                      "n_ref": 3, "n_prod": 0, "n_distinct": 3}
 
 

@@ -96,6 +96,7 @@ EVENT_QUERIES = [
     "hodges_lehmann_shift_hourly", "kendall_tau_value_hour",
     "quantile_shift_drift_events", "gini_value_per_type",
     "benford_first_digit_audit", "acf_hourly_means",
+    "prop_drift_per_type", "cuped_variance_reduction",
 ]
 
 
