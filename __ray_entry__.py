@@ -289,6 +289,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22_idle_customers": Q.tpch_q22_idle_customers,
         "prop_drift_per_type": Q.prop_drift_per_type,
         "cuped_variance_reduction": Q.cuped_variance_reduction,
+        "welch_t_drift_events": Q.welch_t_drift_events,
+        "brown_forsythe_variance_drift": Q.brown_forsythe_variance_drift,
+        "tv_overlap_drift_events": Q.tv_overlap_drift_events,
+        "runs_test_hourly": Q.runs_test_hourly,
+        "mann_kendall_hourly": Q.mann_kendall_hourly,
+        "jarque_bera_hourly": Q.jarque_bera_hourly,
     }
 
 
@@ -886,6 +892,8 @@ _VALUE_CLEAN_QUERIES = [
     "quantile_shift_drift_events", "gini_value_per_type",
     "benford_first_digit_audit", "acf_hourly_means",
     "cuped_variance_reduction",
+    "welch_t_drift_events", "brown_forsythe_variance_drift",
+    "runs_test_hourly", "mann_kendall_hourly", "jarque_bera_hourly",
 ]
 
 
@@ -3043,6 +3051,380 @@ def _oracle_sql_raw() -> dict[str, str]:
                                 * CAST(n * syy - sy * sy AS DOUBLE))
                    END AS rho_sq
             FROM s
+        """,
+        # Welch's t: exact HUGEINT sufficient statistics per parity
+        # half; every float is ONE fixed-shape IEEE expression of the
+        # exact ints mirroring the engine operand-for-operand
+        "welch_t_drift_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                       event_id % 2 = 0 AS is_ref
+                FROM events
+            ),
+            s AS (
+                SELECT
+                    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS n1,
+                    CAST(coalesce(sum(CASE WHEN is_ref THEN c END), 0)
+                         AS HUGEINT) AS sx1,
+                    CAST(coalesce(sum(CASE WHEN is_ref
+                             THEN CAST(c AS HUGEINT) * c END), 0)
+                         AS HUGEINT) AS sxx1,
+                    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                         AS HUGEINT) AS n2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_ref THEN c END), 0)
+                         AS HUGEINT) AS sx2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_ref
+                             THEN CAST(c AS HUGEINT) * c END), 0)
+                         AS HUGEINT) AS sxx2
+                FROM u
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN n1 = 0 THEN 0.0
+                            ELSE (CAST(sx1 AS DOUBLE) / 100.0)
+                                 / CAST(n1 AS DOUBLE) END AS m1,
+                       CASE WHEN n2 = 0 THEN 0.0
+                            ELSE (CAST(sx2 AS DOUBLE) / 100.0)
+                                 / CAST(n2 AS DOUBLE) END AS m2
+                FROM s
+            ),
+            v AS (
+                SELECT *,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                                 / CAST(n1 * (n1 - 1) AS DOUBLE)
+                                 / 10000.0 END AS v1,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                                 / CAST(n2 * (n2 - 1) AS DOUBLE)
+                                 / 10000.0 END AS v2
+                FROM m
+            ),
+            e AS (
+                SELECT *,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE v1 / CAST(n1 AS DOUBLE) END AS se1,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE v2 / CAST(n2 AS DOUBLE) END AS se2
+                FROM v
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_ref,
+                   CAST(n2 AS BIGINT) AS n_prod,
+                   m1 AS mean_ref, m2 AS mean_prod,
+                   v1 AS var_ref, v2 AS var_prod,
+                   CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 <= 0.0
+                        THEN 0.0
+                        ELSE (m1 - m2) / sqrt(se1 + se2)
+                   END AS t_stat,
+                   CASE WHEN n1 < 2 OR n2 < 2
+                          OR (se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+                             + (se2 * se2) / CAST(n2 - 1 AS DOUBLE)
+                             <= 0.0 THEN 0.0
+                        ELSE ((se1 + se2) * (se1 + se2))
+                             / ((se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+                                + (se2 * se2) / CAST(n2 - 1 AS DOUBLE))
+                   END AS welch_df,
+                   CASE WHEN n1 < 2 OR n2 < 2
+                          OR (CAST(n1 - 1 AS DOUBLE) * v1
+                              + CAST(n2 - 1 AS DOUBLE) * v2)
+                             / CAST(n1 + n2 - 2 AS DOUBLE) <= 0.0
+                        THEN 0.0
+                        ELSE (m1 - m2)
+                             / sqrt((CAST(n1 - 1 AS DOUBLE) * v1
+                                     + CAST(n2 - 1 AS DOUBLE) * v2)
+                                    / CAST(n1 + n2 - 2 AS DOUBLE))
+                   END AS cohens_d
+            FROM e
+        """,
+        # Brown-Forsythe: per-half quantile_disc median (actual data
+        # value, cents-rounding bit-equal), exact |cents - med_cents|
+        # deviation folds, F a fixed-shape expression of exact ints
+        # (cents^2 units cancel); either-half-empty -> zeros row
+        "brown_forsythe_variance_drift": """
+            WITH med AS (
+                SELECT quantile_disc(CASE WHEN event_id % 2 = 0
+                                          THEN value END, 0.5) AS med1,
+                       quantile_disc(CASE WHEN event_id % 2 = 1
+                                          THEN value END, 0.5) AS med2
+                FROM events
+            ),
+            z AS (
+                SELECT CASE WHEN event_id % 2 = 0
+                            THEN abs(CAST(round(value * 100) AS BIGINT)
+                                     - CAST(round(med1 * 100) AS BIGINT))
+                            ELSE abs(CAST(round(value * 100) AS BIGINT)
+                                     - CAST(round(med2 * 100) AS BIGINT))
+                       END AS zz,
+                       event_id % 2 = 0 AS is_ref
+                FROM events, med
+            ),
+            s AS (
+                SELECT
+                    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS n1,
+                    CAST(coalesce(sum(CASE WHEN is_ref
+                             THEN CAST(zz AS HUGEINT) END), 0)
+                         AS HUGEINT) AS sz1,
+                    CAST(coalesce(sum(CASE WHEN is_ref
+                             THEN CAST(zz AS HUGEINT) * zz END), 0)
+                         AS HUGEINT) AS szz1,
+                    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                         AS HUGEINT) AS n2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_ref
+                             THEN CAST(zz AS HUGEINT) END), 0)
+                         AS HUGEINT) AS sz2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_ref
+                             THEN CAST(zz AS HUGEINT) * zz END), 0)
+                         AS HUGEINT) AS szz2
+                FROM z
+            ),
+            f AS (
+                SELECT *,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST((sz1 * n2 - sz2 * n1)
+                                      * (sz1 * n2 - sz2 * n1) AS DOUBLE)
+                                 / CAST(n1 * n2 * (n1 + n2) AS DOUBLE)
+                       END AS bss,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST(n1 * szz1 - sz1 * sz1 AS DOUBLE)
+                                 / CAST(n1 AS DOUBLE)
+                                 + CAST(n2 * szz2 - sz2 * sz2 AS DOUBLE)
+                                 / CAST(n2 AS DOUBLE)
+                       END AS wss
+                FROM s
+            )
+            SELECT CASE WHEN med1 IS NULL OR med2 IS NULL
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(n1 AS BIGINT) END AS n_ref,
+                   CASE WHEN med1 IS NULL OR med2 IS NULL
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(n2 AS BIGINT) END AS n_prod,
+                   CASE WHEN med1 IS NULL OR med2 IS NULL THEN 0.0
+                        ELSE CAST(med1 AS DOUBLE) END AS median_ref,
+                   CASE WHEN med1 IS NULL OR med2 IS NULL THEN 0.0
+                        ELSE CAST(med2 AS DOUBLE) END AS median_prod,
+                   CASE WHEN med1 IS NULL OR med2 IS NULL THEN 0.0
+                        WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                        WHEN wss <= 0.0 THEN 0.0
+                        ELSE bss / (wss / CAST(n1 + n2 - 2 AS DOUBLE))
+                   END AS bf_f_stat
+            FROM f, med
+        """,
+        # TV / histogram-intersection over event_type: entirely in
+        # cross-multiplied integer space, ONE final division each
+        "tv_overlap_drift_events": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS HUGEINT)
+                           AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS HUGEINT)
+                           AS c_prod
+                FROM events GROUP BY 1
+            ),
+            t AS (SELECT CAST(coalesce(sum(c_ref), 0) AS HUGEINT) AS n,
+                         CAST(coalesce(sum(c_prod), 0) AS HUGEINT) AS m,
+                         CAST(count(*) AS BIGINT) AS n_types FROM g),
+            a AS (
+                SELECT CAST(coalesce(sum(abs(c_ref * m - c_prod * n)), 0)
+                            AS HUGEINT) AS tv_num,
+                       CAST(coalesce(sum(least(c_ref * m, c_prod * n)), 0)
+                            AS HUGEINT) AS ov_num
+                FROM g, t
+            )
+            SELECT CAST(n AS BIGINT) AS n_ref, CAST(m AS BIGINT) AS n_prod,
+                   n_types,
+                   CASE WHEN n = 0 OR m = 0 THEN 0.0
+                        ELSE CAST(tv_num AS DOUBLE)
+                             / CAST(2 * n * m AS DOUBLE)
+                   END AS tv_distance,
+                   CASE WHEN n = 0 OR m = 0 THEN 0.0
+                        ELSE CAST(ov_num AS DOUBLE)
+                             / CAST(n * m AS DOUBLE)
+                   END AS overlap_coef
+            FROM a, t
+        """,
+        # Wald-Wolfowitz runs test over hourly means: means are
+        # fixed-shape expressions of exact cents ints (bit-identical
+        # multiset), median a quantile_disc selection, runs a lag
+        # window over the median-dropped hour-ordered sequence
+        "runs_test_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            hm AS (SELECT hour,
+                          (CAST(value_c AS DOUBLE) / 100.0) / n AS m
+                   FROM h),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                          quantile_disc(m, 0.5) AS med FROM hm),
+            k AS (
+                SELECT hour, hm.m > st.med AS above
+                FROM hm, st WHERE hm.m != st.med
+            ),
+            seq AS (SELECT above,
+                           lag(above) OVER (ORDER BY hour) AS prev
+                    FROM k),
+            agg AS (
+                SELECT CAST(count(*) AS HUGEINT) AS nk,
+                       CAST(coalesce(sum(CASE WHEN above
+                                THEN 1 ELSE 0 END), 0) AS HUGEINT) AS n1,
+                       CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                AND above != prev THEN 1 ELSE 0 END), 0)
+                            AS HUGEINT) AS nchg
+                FROM seq
+            ),
+            zc AS (
+                SELECT nk, n1, nk - n1 AS n2, nchg,
+                       CASE WHEN nk = 0 THEN CAST(0 AS HUGEINT)
+                            ELSE nchg + 1 END AS runs
+                FROM agg
+            ),
+            zv AS (
+                SELECT *,
+                       CASE WHEN n1 = 0 OR n2 = 0 OR nk < 2 THEN 0.0
+                            ELSE CAST(2 * n1 * n2
+                                      * (2 * n1 * n2 - n1 - n2)
+                                      AS DOUBLE)
+                                 / CAST(nk * nk * (nk - 1) AS DOUBLE)
+                       END AS var_r
+                FROM zc
+            )
+            SELECT st.nh AS n_hours,
+                   CASE WHEN st.nh = 0 THEN 0.0
+                        ELSE CAST(st.med AS DOUBLE) END AS median_mean,
+                   CAST(zv.n1 AS BIGINT) AS n_above,
+                   CAST(zv.n2 AS BIGINT) AS n_below,
+                   CAST(zv.runs AS BIGINT) AS n_runs,
+                   CASE WHEN zv.n1 = 0 OR zv.n2 = 0 OR zv.nk < 2
+                        THEN 0.0
+                        WHEN zv.var_r <= 0.0 THEN 0.0
+                        ELSE (CAST(zv.runs AS DOUBLE)
+                              - (CAST(2 * zv.n1 * zv.n2 AS DOUBLE)
+                                 / CAST(zv.nk AS DOUBLE) + 1.0))
+                             / sqrt(zv.var_r)
+                   END AS z_value
+            FROM st, zv
+        """,
+        # Mann-Kendall: S from pairwise comparisons of the
+        # bit-identical hourly-mean doubles (hour-ordered self join),
+        # tie-corrected Var(S) from exact ints, +-1 continuity z
+        "mann_kendall_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            hm AS (SELECT hour,
+                          (CAST(value_c AS DOUBLE) / 100.0) / n AS m
+                   FROM h),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS nh FROM hm),
+            p AS (
+                SELECT CAST(coalesce(sum(CASE WHEN b.m > a.m THEN 1
+                                              WHEN b.m < a.m THEN -1
+                                              ELSE 0 END), 0) AS BIGINT)
+                           AS s
+                FROM hm a JOIN hm b ON a.hour < b.hour
+            ),
+            ties AS (
+                SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)
+                                         * (2 * t + 5)), 0) AS HUGEINT)
+                           AS tie_term
+                FROM (SELECT count(*) AS t FROM hm GROUP BY m)
+                WHERE t > 1
+            ),
+            v AS (
+                SELECT nh, s, tie_term,
+                       CASE WHEN nh < 2 THEN 0.0
+                            ELSE CAST(CAST(nh AS HUGEINT) * (nh - 1)
+                                      * (2 * nh + 5) - tie_term
+                                      AS DOUBLE) / 18.0 END AS var_s
+                FROM st, p, ties
+            ),
+            zz AS (
+                SELECT nh,
+                       CASE WHEN nh < 2 THEN CAST(0 AS BIGINT)
+                            ELSE s END AS s_stat,
+                       var_s,
+                       CASE WHEN nh < 2 OR s = 0 OR var_s <= 0.0
+                            THEN 0.0
+                            WHEN s > 0
+                            THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+                            ELSE CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+                       END AS z_value
+                FROM v
+            )
+            SELECT nh AS n_hours, s_stat, var_s, z_value,
+                   abs(z_value) > 1.96 AS significant
+            FROM zz
+        """,
+        # Jarque-Bera over hourly means: every moment a list_reduce
+        # LEFT fold in hour order (the ACF bit-level recipe); the m4
+        # term is the engine's exact (d*d)*(d*d) association
+        "jarque_bera_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            mm AS (
+                SELECT xs, nh,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(xs, (a, b) -> a + b)
+                                 / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS m
+                FROM arr
+            ),
+            c2 AS (
+                SELECT xs, nh, m,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(xs,
+                                     v -> (v - m) * (v - m)),
+                                 (a, b) -> a + b) / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS m2
+                FROM mm
+            ),
+            c34 AS (
+                SELECT nh, m, m2,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(xs,
+                                     v -> (v - m) * (v - m) * (v - m)),
+                                 (a, b) -> a + b) / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS m3,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(xs,
+                                     v -> ((v - m) * (v - m))
+                                          * ((v - m) * (v - m))),
+                                 (a, b) -> a + b) / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS m4
+                FROM c2
+            ),
+            g AS (
+                SELECT nh, m, m2,
+                       CASE WHEN nh >= 2 AND m2 > 0.0
+                            THEN m3 / (m2 * sqrt(m2))
+                            ELSE 0.0 END AS g1,
+                       CASE WHEN nh >= 2 AND m2 > 0.0
+                            THEN m4 / (m2 * m2) - 3.0
+                            ELSE 0.0 END AS g2
+                FROM c34
+            )
+            SELECT nh AS n_hours, m AS mean_of_means, m2,
+                   g1 AS skewness, g2 AS excess_kurtosis,
+                   CASE WHEN nh >= 2 AND m2 > 0.0
+                        THEN CAST(nh AS DOUBLE) / 6.0
+                             * (g1 * g1 + (g2 * g2) / 4.0)
+                        ELSE 0.0 END AS jb_stat
+            FROM g
         """,
         "benford_first_digit_audit": _benford_sql(),
         "acf_hourly_means": _acf_sql(),

@@ -11926,3 +11926,371 @@ def order_window_overlap_stats(sf_dir: str) -> pd.DataFrame:
     out["n_pairs"] = out.n_pairs.astype("int64")
     out["n_matched"] = out.n_matched.astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-9: classical two-sample / trend statistics completion
+# ---------------------------------------------------------------------------
+
+def welch_t_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test between the halves (Welch
+    1947 — the parametric location-drift companion of Mann-Whitney /
+    Mood in the two-sample tier), plus the Welch-Satterthwaite df and
+    pooled Cohen's d effect size: per half, n / Σcents / Σcents² fold
+    per block in python-int space (the squares are shipped as strings
+    — 1e9-valued rows square past int64) and every float is ONE
+    fixed-shape IEEE expression of those exact ints mirrored
+    operand-for-operand in SQL (HUGEINT accumulators): mean =
+    (f(sx)/100)/f(n), var = f(n·sxx−sx²)/f(n·(n−1))/10⁴,
+    t = Δm/√(v₁/n₁+v₂/n₂), df = se²/(se₁²/(n₁−1)+se₂²/(n₂−1)),
+    d = Δm/√(((n₁−1)v₁+(n₂−1)v₂)/(n₁+n₂−2)). Halves with n<2 or
+    zero spread guard every statistic to the 0.0 sentinel."""
+    import math
+
+    ds = _events_two_sample(sf_dir)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        is_ref = b.is_ref.to_numpy(bool)
+        out = []
+        for flag in (True, False):
+            c = cents[is_ref == flag]
+            sxx = 0
+            for v in c:
+                v = int(v)
+                sxx += v * v
+            out.append((int(len(c)), int(c.sum()), str(sxx)))
+        return pd.DataFrame({
+            "n1": [out[0][0]], "sx1": [out[0][1]], "sxx1": [out[0][2]],
+            "n2": [out[1][0]], "sx2": [out[1][1]], "sxx2": [out[1][2]],
+        })
+
+    p = ds.map_batches(fold, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    n1 = int(p.n1.sum())
+    n2 = int(p.n2.sum())
+    sx1 = int(p.sx1.sum())
+    sx2 = int(p.sx2.sum())
+    sxx1 = sum(int(s) for s in p.sxx1)
+    sxx2 = sum(int(s) for s in p.sxx2)
+    m1 = 0.0 if n1 == 0 else (float(sx1) / 100.0) / float(n1)
+    m2 = 0.0 if n2 == 0 else (float(sx2) / 100.0) / float(n2)
+    if n1 < 2 or n2 < 2:
+        v1 = v2 = t = df = d = 0.0
+    else:
+        v1 = (float(n1 * sxx1 - sx1 * sx1)
+              / float(n1 * (n1 - 1)) / 10000.0)
+        v2 = (float(n2 * sxx2 - sx2 * sx2)
+              / float(n2 * (n2 - 1)) / 10000.0)
+        se1 = v1 / float(n1)
+        se2 = v2 / float(n2)
+        se = se1 + se2
+        t = 0.0 if se <= 0.0 else (m1 - m2) / math.sqrt(se)
+        den = ((se1 * se1) / float(n1 - 1)
+               + (se2 * se2) / float(n2 - 1))
+        df = 0.0 if den <= 0.0 else (se * se) / den
+        sp2 = ((float(n1 - 1) * v1 + float(n2 - 1) * v2)
+               / float(n1 + n2 - 2))
+        d = 0.0 if sp2 <= 0.0 else (m1 - m2) / math.sqrt(sp2)
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "mean_ref": [float(m1)], "mean_prod": [float(m2)],
+        "var_ref": [float(v1)], "var_prod": [float(v2)],
+        "t_stat": [float(t)], "welch_df": [float(df)],
+        "cohens_d": [float(d)],
+    })
+
+
+def brown_forsythe_variance_drift(sf_dir: str) -> pd.DataFrame:
+    """Brown-Forsythe scale-drift test between the halves (Brown &
+    Forsythe 1974 — Levene's test with the median center, the robust
+    variance-change companion of the location tests): per half the
+    center is the EXACT median order statistic (scan.exact_quantiles
+    inverted_cdf — an actual data value, so its cents rounding is
+    bit-equal to SQL's round(median*100)), the absolute deviations
+    z = |cents − med_cents| are EXACT integers folded per block
+    (Σz, Σz² as python-int strings / HUGEINT), and the one-way
+    F = BSS/(WSS/(N−2)) with BSS = (sz₁n₂−sz₂n₁)²/(n₁n₂(n₁+n₂)) and
+    WSS = Σ_g (n_g·Σz²_g − (Σz_g)²)/n_g is a fixed-shape IEEE
+    expression of exact ints — the cents² units cancel, so there is
+    no unit conversion and no rounding contract. Halves with n<2 or
+    zero within-group spread guard F to the 0.0 sentinel."""
+    from ..stages.scan import exact_quantiles
+
+    ds = _events_two_sample(sf_dir)
+    ref = ds.map_batches(lambda b: b.loc[b.is_ref, ["value"]],
+                         batch_format="pandas")
+    prod = ds.map_batches(lambda b: b.loc[~b.is_ref, ["value"]],
+                          batch_format="pandas")
+    med1 = float(exact_quantiles(ref, "value", [0.5],
+                                 method="inverted_cdf")[0])
+    med2 = float(exact_quantiles(prod, "value", [0.5],
+                                 method="inverted_cdf")[0])
+    if np.isnan(med1) or np.isnan(med2):
+        return pd.DataFrame({
+            "n_ref": [np.int64(0)], "n_prod": [np.int64(0)],
+            "median_ref": [0.0], "median_prod": [0.0],
+            "bf_f_stat": [0.0],
+        })
+    mc1 = int(round_half_away(np.array([med1 * 100]))[0])
+    mc2 = int(round_half_away(np.array([med2 * 100]))[0])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        is_ref = b.is_ref.to_numpy(bool)
+        out = []
+        for flag, mc in ((True, mc1), (False, mc2)):
+            z = np.abs(cents[is_ref == flag] - mc)
+            szz = 0
+            for v in z:
+                v = int(v)
+                szz += v * v
+            out.append((int(len(z)), int(z.sum()), str(szz)))
+        return pd.DataFrame({
+            "n1": [out[0][0]], "sz1": [out[0][1]], "szz1": [out[0][2]],
+            "n2": [out[1][0]], "sz2": [out[1][1]], "szz2": [out[1][2]],
+        })
+
+    p = ds.map_batches(fold, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    n1 = int(p.n1.sum())
+    n2 = int(p.n2.sum())
+    sz1 = int(p.sz1.sum())
+    sz2 = int(p.sz2.sum())
+    szz1 = sum(int(s) for s in p.szz1)
+    szz2 = sum(int(s) for s in p.szz2)
+    if n1 < 2 or n2 < 2:
+        f = 0.0
+    else:
+        num = sz1 * n2 - sz2 * n1
+        bss = float(num * num) / float(n1 * n2 * (n1 + n2))
+        wss = (float(n1 * szz1 - sz1 * sz1) / float(n1)
+               + float(n2 * szz2 - sz2 * sz2) / float(n2))
+        f = 0.0 if wss <= 0.0 else bss / (wss / float(n1 + n2 - 2))
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "median_ref": [float(med1)], "median_prod": [float(med2)],
+        "bf_f_stat": [float(f)],
+    })
+
+
+def tv_overlap_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Total-variation distance and histogram-intersection overlap
+    between the halves' event_type distributions — the L1 /
+    min-overlap pair completing the f-divergence tier beside
+    PSI/JS/Hellinger/chi²: per type the ref/prod counts are exact
+    ints from one pre-aggregated fold, TV = Σ|c_r·m − c_p·n|/(2nm)
+    and overlap = Σ min(c_r·m, c_p·n)/(nm) are computed ENTIRELY in
+    cross-multiplied integer space (the established exact recipe) with
+    ONE final IEEE division each — for probability vectors
+    TV ≡ 1 − overlap, which the outputs satisfy bit-exactly. An empty
+    half guards both to the 0.0 sentinel."""
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "c_ref": is_ref.astype(np.int64),
+            "c_prod": (~is_ref).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("c_ref", alias_name="c_ref"),
+            Sum("c_prod", alias_name="c_prod")) \
+        .to_pandas()
+    n = int(g.c_ref.sum())
+    m = int(g.c_prod.sum())
+    if n == 0 or m == 0:
+        tv = ov = 0.0
+    else:
+        tv_num = 0
+        ov_num = 0
+        for cr, cp in zip(g.c_ref.to_numpy(), g.c_prod.to_numpy()):
+            a = int(cr) * m
+            b_ = int(cp) * n
+            tv_num += abs(a - b_)
+            ov_num += min(a, b_)
+        tv = float(tv_num) / float(2 * n * m)
+        ov = float(ov_num) / float(n * m)
+    return pd.DataFrame({
+        "n_ref": [np.int64(n)], "n_prod": [np.int64(m)],
+        "n_types": [np.int64(len(g))],
+        "tv_distance": [float(tv)],
+        "overlap_coef": [float(ov)],
+    })
+
+
+def _hourly_mean_series(sf_dir: str) -> np.ndarray:
+    """Hour-ordered mean-value series from exact cents partials — the
+    shared exchange of the trend tier (cusum/acf/theil_sen/holt):
+    per-block (hour, n, Σcents) partials, one hour-keyed groupby, and
+    the mean (cents/100)/n as the established fixed-shape IEEE
+    expression, bit-identical to the SQL oracles' list construction.
+    #hours is bounded by the time span, not the row count."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    if len(hourly) == 0:
+        return np.empty(0, dtype=np.float64)
+    return (hourly.value_c.to_numpy(np.float64) / 100.0) \
+        / hourly.n.to_numpy(np.float64)
+
+
+def runs_test_hourly(sf_dir: str) -> pd.DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the hourly
+    mean-value series about its median (Wald & Wolfowitz 1940 — the
+    serial-randomness diagnostic beside ACF/Ljung-Box): the median is
+    the quantile_disc order statistic over the hour-ordered mean list
+    (means are fixed-shape IEEE expressions of exact ints, so the
+    multiset is bit-identical on both sides and the selection is
+    deterministic), hours equal to the median are DROPPED (the
+    standard convention), n_above/n_below/n_runs are exact ints over
+    the kept sequence in hour order, and z = (R−μ)/σ with
+    μ = 2n₁n₂/(n₁+n₂)+1, σ² = 2n₁n₂(2n₁n₂−n₁−n₂)/((n₁+n₂)²(n₁+n₂−1))
+    is ONE fixed-shape IEEE expression of those ints. Degenerate
+    sequences (either side empty, or n₁+n₂ < 2) guard z to 0.0."""
+    import math
+
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    if nh == 0:
+        return pd.DataFrame({
+            "n_hours": [np.int64(0)], "median_mean": [0.0],
+            "n_above": [np.int64(0)], "n_below": [np.int64(0)],
+            "n_runs": [np.int64(0)], "z_value": [0.0],
+        })
+    s = np.sort(x)
+    r = min(max(int(np.ceil(nh * 0.5 - 1e-9)) - 1, 0), nh - 1)
+    med = float(s[r])
+    kept = x[x != med] > med        # hour order preserved
+    n1 = int(kept.sum())
+    n2 = int(len(kept) - n1)
+    if len(kept) == 0:
+        runs = 0
+    else:
+        runs = 1 + int((kept[1:] != kept[:-1]).sum())
+    if n1 == 0 or n2 == 0 or n1 + n2 < 2:
+        z = 0.0
+    else:
+        nn = n1 + n2
+        mu = float(2 * n1 * n2) / float(nn) + 1.0
+        var = (float(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2))
+               / float(nn * nn * (nn - 1)))
+        z = 0.0 if var <= 0.0 else (float(runs) - mu) / math.sqrt(var)
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "median_mean": [float(med)],
+        "n_above": [np.int64(n1)], "n_below": [np.int64(n2)],
+        "n_runs": [np.int64(runs)], "z_value": [float(z)],
+    })
+
+
+def mann_kendall_hourly(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall trend test over the hourly mean-value series
+    (Mann 1945; Kendall 1975 — the nonparametric monotone-trend test
+    whose slope companion is theil_sen_hourly_slope): S = Σ_{i<j}
+    sign(m_j − m_i) over the hour-ordered means. The means are
+    fixed-shape IEEE expressions of exact ints — bit-identical on
+    both sides — so every pairwise comparison, S, and the tie groups
+    (equal doubles) are deterministic with no rounding contract.
+    Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 from exact ints
+    (tie-corrected), and z applies the standard ±1 continuity
+    correction: z = (S∓1)/√Var, 0 when S = 0 or Var ≤ 0. The O(H²)
+    pair work is bounded by the hour count, vectorized via numpy
+    broadcasting."""
+    import math
+
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    if nh < 2:
+        return pd.DataFrame({
+            "n_hours": [np.int64(nh)], "s_stat": [np.int64(0)],
+            "var_s": [0.0], "z_value": [0.0], "significant": [False],
+        })
+    s = 0
+    blk_sz = 1024                   # O(blk·H) memory, never H²
+    for i0 in range(0, nh, blk_sz):
+        blk = x[i0:i0 + blk_sz]
+        within = np.sign(blk[None, :] - blk[:, None])
+        s += int(np.triu(within, k=1).sum())
+        rest = x[i0 + blk_sz:]
+        if len(rest):
+            s += int(np.sign(rest[None, :] - blk[:, None]).sum())
+    _, counts = np.unique(x, return_counts=True)
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                   for t in counts if t > 1)
+    var_num = nh * (nh - 1) * (2 * nh + 5) - tie_term
+    var = float(var_num) / 18.0
+    if s == 0 or var <= 0.0:
+        z = 0.0
+    elif s > 0:
+        z = float(s - 1) / math.sqrt(var)
+    else:
+        z = float(s + 1) / math.sqrt(var)
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "s_stat": [np.int64(s)],
+        "var_s": [float(var)], "z_value": [float(z)],
+        "significant": [bool(abs(z) > 1.96)],
+    })
+
+
+def jarque_bera_hourly(sf_dir: str) -> pd.DataFrame:
+    """Jarque-Bera normality test of the hourly mean-value series
+    (Jarque & Bera 1980 — the moment-based distribution-shape
+    diagnostic beside Anderson-Darling): the raw values' 4th powers
+    overflow int128 at adversarial magnitudes, so the test runs over
+    the BOUNDED hourly mean series with every fold a SEQUENTIAL left
+    fold in hour order mirrored by DuckDB list_reduce (the ACF /
+    Ljung-Box bit-level recipe): mean, then central m₂/m₃/m₄ in one
+    ordered chain each; skewness g₁ = m₃/(m₂·√m₂), excess kurtosis
+    g₂ = m₄/(m₂·m₂) − 3, JB = n/6·(g₁² + g₂²/4) are fixed-shape IEEE
+    expressions of those folds. Series with n<2 or zero variance
+    guard every statistic to the 0.0 sentinel."""
+    import math
+
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    mean = m2 = m3 = m4 = g1 = g2 = jb = 0.0
+    if nh >= 2:
+        acc = float(x[0])
+        for t in range(1, nh):
+            acc = acc + float(x[t])
+        mean = acc / float(nh)
+        m2 = (float(x[0]) - mean) * (float(x[0]) - mean)
+        for t in range(1, nh):
+            m2 = m2 + (float(x[t]) - mean) * (float(x[t]) - mean)
+        m2 = m2 / float(nh)
+        m3 = ((float(x[0]) - mean) * (float(x[0]) - mean)
+              * (float(x[0]) - mean))
+        for t in range(1, nh):
+            m3 = m3 + ((float(x[t]) - mean) * (float(x[t]) - mean)
+                       * (float(x[t]) - mean))
+        m3 = m3 / float(nh)
+        m4 = (((float(x[0]) - mean) * (float(x[0]) - mean))
+              * ((float(x[0]) - mean) * (float(x[0]) - mean)))
+        for t in range(1, nh):
+            m4 = m4 + (((float(x[t]) - mean) * (float(x[t]) - mean))
+                       * ((float(x[t]) - mean) * (float(x[t]) - mean)))
+        m4 = m4 / float(nh)
+        if m2 > 0.0:
+            g1 = m3 / (m2 * math.sqrt(m2))
+            g2 = m4 / (m2 * m2) - 3.0
+            jb = float(nh) / 6.0 * (g1 * g1 + (g2 * g2) / 4.0)
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "mean_of_means": [float(mean)],
+        "m2": [float(m2)], "skewness": [float(g1)],
+        "excess_kurtosis": [float(g2)], "jb_stat": [float(jb)],
+    })

@@ -287,6 +287,11 @@ def run_queries() -> dict[str, float]:
         "image_flip_crop_audit", "tpch_q1_pricing_summary",
         "tpch_q13_order_count_distribution", "tpch_q22_idle_customers",
         "prop_drift_per_type", "cuped_variance_reduction",
+        # round-5 session-9 operators: classical two-sample / trend
+        # statistics completion
+        "welch_t_drift_events", "brown_forsythe_variance_drift",
+        "tv_overlap_drift_events", "runs_test_hourly",
+        "mann_kendall_hourly", "jarque_bera_hourly",
     ]
     qs = E.queries()
     out = {}

@@ -1725,3 +1725,327 @@ class TestPropDriftAndCuped:
         assert abs(out.theta[0] - theta) < 1e-9
         assert abs(out.rho_sq[0] - rho2) < 1e-9
         assert int(out.n_users[0]) == len(df)
+
+
+class TestWelchTDrift:
+    def test_matches_numpy_formula(self, ray_session):
+        """t / df / d recomputed from the clean parity halves' cents
+        with plain numpy float arithmetic (tolerant — the oracle gate
+        owns bit-exactness)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.welch_t_drift_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, CAST(round(value*100) AS BIGINT) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        r = df.loc[df.event_id % 2 == 0, "c"].to_numpy(float) / 100.0
+        p = df.loc[df.event_id % 2 == 1, "c"].to_numpy(float) / 100.0
+        n1, n2 = len(r), len(p)
+        m1, m2 = r.mean(), p.mean()
+        v1, v2 = r.var(ddof=1), p.var(ddof=1)
+        se1, se2 = v1 / n1, v2 / n2
+        t = (m1 - m2) / np.sqrt(se1 + se2)
+        dfree = (se1 + se2) ** 2 / (se1**2 / (n1 - 1) + se2**2 / (n2 - 1))
+        sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+        d = (m1 - m2) / np.sqrt(sp2)
+        assert int(out.n_ref[0]) == n1 and int(out.n_prod[0]) == n2
+        assert abs(out.t_stat[0] - t) < 1e-7 * max(1.0, abs(t))
+        assert abs(out.welch_df[0] - dfree) < 1e-6 * max(1.0, dfree)
+        assert abs(out.cohens_d[0] - d) < 1e-7 * max(1.0, abs(d))
+
+    def test_planted_location_shift(self, ray_session):
+        """ref ~ 10, prod ~ 20 (tiny alternating spread so variances
+        are nonzero): t strongly negative, d ~ -2/spread-scaled."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        vals = np.where(np.arange(n) % 2 == 0, 10.0, 20.0)
+        vals = vals + np.where((np.arange(n) // 2) % 2 == 0, 0.5, -0.5)
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.welch_t_drift_events(d)
+        assert out.mean_ref[0] == 10.0 and out.mean_prod[0] == 20.0
+        assert out.t_stat[0] < -100
+        assert out.cohens_d[0] < -5
+
+    def test_zero_spread_sentinel(self, ray_session):
+        """Both halves constant: variances 0 -> t/df/d all 0.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 100
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(n, 7.0))
+            out = Q.welch_t_drift_events(d)
+        assert out.t_stat[0] == 0.0
+        assert out.welch_df[0] == 0.0
+        assert out.cohens_d[0] == 0.0
+        assert out.var_ref[0] == 0.0
+
+
+class TestBrownForsythe:
+    def test_planted_scale_drift(self, ray_session):
+        """Same mean, prod spread 10x ref spread: F large — a
+        pure-location test on the means would see nothing."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        spread = np.where(np.arange(n) % 2 == 0, 1.0, 10.0)
+        sign = np.where((np.arange(n) // 2) % 2 == 0, 1.0, -1.0)
+        vals = 50.0 + sign * spread
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.brown_forsythe_variance_drift(d)
+        assert out.bf_f_stat[0] > 500
+        # two-point halves: quantile_disc selects the lower mass point
+        assert out.median_ref[0] == 49.0
+        assert out.median_prod[0] == 40.0
+
+    def test_matches_numpy_formula(self, ray_session):
+        """F recomputed from the clean halves with numpy: one-way
+        ANOVA on |x - median| deviations (tolerant cross-check)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.brown_forsythe_variance_drift(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, CAST(round(value*100) AS BIGINT) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        groups = []
+        for par, med_out in ((0, out.median_ref[0]), (1, out.median_prod[0])):
+            c = df.loc[df.event_id % 2 == par, "c"].to_numpy()
+            s = np.sort(c) / 100.0
+            r = min(max(int(np.ceil(len(s) * 0.5 - 1e-9)) - 1, 0),
+                    len(s) - 1)
+            assert float(s[r]) == med_out
+            mc = int(np.round(s[r] * 100))
+            groups.append(np.abs(c - mc).astype(float))
+        z1, z2 = groups
+        n1, n2 = len(z1), len(z2)
+        gm = (z1.sum() + z2.sum()) / (n1 + n2)
+        bss = n1 * (z1.mean() - gm) ** 2 + n2 * (z2.mean() - gm) ** 2
+        wss = ((z1 - z1.mean()) ** 2).sum() + ((z2 - z2.mean()) ** 2).sum()
+        f = bss / (wss / (n1 + n2 - 2))
+        assert abs(out.bf_f_stat[0] - f) < 1e-6 * max(1.0, f)
+
+
+class TestTvOverlapDrift:
+    def test_tv_plus_overlap_identity(self, ray_session):
+        """For probability vectors TV == 1 - overlap; both computed
+        from the same exact integer numerators."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tv_overlap_drift_events(SF)
+        assert abs(out.tv_distance[0] + out.overlap_coef[0] - 1.0) < 1e-12
+        assert 0.0 <= out.tv_distance[0] <= 1.0
+
+    def test_disjoint_type_sets(self, ray_session):
+        """Halves see disjoint event_type alphabets: TV exactly 1.0,
+        overlap exactly 0.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 1000
+        types = np.where(np.arange(n) % 2 == 0, "refonly", "prodonly")
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=list(types))
+            out = Q.tv_overlap_drift_events(d)
+        assert out.tv_distance[0] == 1.0
+        assert out.overlap_coef[0] == 0.0
+        assert int(out.n_types[0]) == 2
+
+    def test_identical_distributions(self, ray_session):
+        """Alternating-pair layout gives both halves the identical
+        type histogram: TV 0.0, overlap 1.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 1000
+        types = np.array((["a", "a", "b", "b"] * (n // 4 + 1))[:n])
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=list(types))
+            out = Q.tv_overlap_drift_events(d)
+        assert out.tv_distance[0] == 0.0
+        assert out.overlap_coef[0] == 1.0
+
+
+class TestRunsTestHourly:
+    def test_monotone_series_two_runs(self, ray_session):
+        """Strictly increasing hourly means: below-median block then
+        above-median block = exactly 2 runs, z strongly negative."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 48
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        vals = np.arange(nh, dtype=float) + 1.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.runs_test_hourly(d)
+        assert int(out.n_hours[0]) == nh
+        assert int(out.n_runs[0]) == 2
+        assert out.z_value[0] < -6
+
+    def test_matches_python_reimplementation(self, ray_session):
+        """Independent reimplementation over the hourly means derived
+        by SQL from sf0.001 (kept-sequence runs + z)."""
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.runs_test_hourly(SF)
+        hm = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = hm.m.to_numpy()
+        s = np.sort(x)
+        r = min(max(int(np.ceil(len(x) * 0.5 - 1e-9)) - 1, 0), len(x) - 1)
+        med = float(s[r])
+        kept = x[x != med] > med
+        n1 = int(kept.sum())
+        n2 = len(kept) - n1
+        runs = (1 + int((kept[1:] != kept[:-1]).sum())) if len(kept) else 0
+        assert int(out.n_hours[0]) == len(x)
+        assert out.median_mean[0] == med
+        assert int(out.n_runs[0]) == runs
+        nn = n1 + n2
+        mu = 2 * n1 * n2 / nn + 1.0
+        var = (2 * n1 * n2 * (2 * n1 * n2 - nn)) / (nn * nn * (nn - 1))
+        z = 0.0 if n1 == 0 or n2 == 0 else (runs - mu) / math.sqrt(var)
+        assert abs(out.z_value[0] - z) < 1e-9
+
+
+class TestMannKendallHourly:
+    def test_monotone_trend(self, ray_session):
+        """Strictly increasing hourly means: S = nh(nh-1)/2, z > 0,
+        significant; reversed sign for decreasing."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 40
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(nh, dtype=float) + 1.0)
+            up = Q.mann_kendall_hourly(d)
+        assert int(up.s_stat[0]) == nh * (nh - 1) // 2
+        assert up.z_value[0] > 5 and bool(up.significant[0])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, float(nh) - np.arange(nh, dtype=float))
+            dn = Q.mann_kendall_hourly(d)
+        assert int(dn.s_stat[0]) == -(nh * (nh - 1) // 2)
+        assert dn.z_value[0] < -5
+
+    def test_matches_bruteforce(self, ray_session):
+        """S / Var(S) / z by O(H^2) numpy broadcast over the hourly
+        means of sf0.001."""
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.mann_kendall_hourly(SF)
+        hm = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = hm.m.to_numpy()
+        nh = len(x)
+        s = int(np.triu(np.sign(x[None, :] - x[:, None]), k=1).sum())
+        _, counts = np.unique(x, return_counts=True)
+        tie = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                  for t in counts if t > 1)
+        var = (nh * (nh - 1) * (2 * nh + 5) - tie) / 18.0
+        if s == 0 or var <= 0:
+            z = 0.0
+        else:
+            z = (s - 1 if s > 0 else s + 1) / math.sqrt(var)
+        assert int(out.s_stat[0]) == s
+        assert abs(out.var_s[0] - var) < 1e-9
+        assert abs(out.z_value[0] - z) < 1e-12
+
+    def test_constant_series_zero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=24, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(24, 5.0))
+            out = Q.mann_kendall_hourly(d)
+        assert int(out.s_stat[0]) == 0
+        assert out.z_value[0] == 0.0
+        assert not bool(out.significant[0])
+
+
+class TestJarqueBeraHourly:
+    def test_matches_numpy_moments(self, ray_session):
+        """Skewness / kurtosis / JB recomputed with numpy vectorized
+        moments over the same hourly means (tolerant — the fold order
+        differs; the oracle owns bit-exactness)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.jarque_bera_hourly(SF)
+        hm = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1
+        """).df()
+        x = hm.m.to_numpy()
+        d = x - x.mean()
+        m2, m3, m4 = (d**2).mean(), (d**3).mean(), (d**4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        jb = len(x) / 6.0 * (g1**2 + g2**2 / 4.0)
+        assert int(out.n_hours[0]) == len(x)
+        assert abs(out.skewness[0] - g1) < 1e-9
+        assert abs(out.excess_kurtosis[0] - g2) < 1e-9
+        assert abs(out.jb_stat[0] - jb) < 1e-6 * max(1.0, jb)
+
+    def test_constant_series_sentinel(self, ray_session):
+        """Zero variance across hours: g1/g2/JB all guard to 0.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=24, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(24, 5.0))
+            out = Q.jarque_bera_hourly(d)
+        assert out.m2[0] == 0.0
+        assert out.skewness[0] == 0.0
+        assert out.jb_stat[0] == 0.0
+        assert out.mean_of_means[0] == 5.0
+
+    def test_heavy_tail_positive_kurtosis(self, ray_session):
+        """One extreme hourly mean in an otherwise tight series:
+        excess kurtosis and JB strongly positive."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 48
+        vals = np.full(nh, 10.0)
+        vals[::2] = 10.5
+        vals[7] = 200.0
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.jarque_bera_hourly(d)
+        assert out.excess_kurtosis[0] > 10
+        assert out.jb_stat[0] > 100

@@ -97,6 +97,10 @@ EVENT_QUERIES = [
     "quantile_shift_drift_events", "gini_value_per_type",
     "benford_first_digit_audit", "acf_hourly_means",
     "prop_drift_per_type", "cuped_variance_reduction",
+    # session-9: classical two-sample / trend statistics completion
+    "welch_t_drift_events", "brown_forsythe_variance_drift",
+    "tv_overlap_drift_events", "runs_test_hourly",
+    "mann_kendall_hourly", "jarque_bera_hourly",
 ]
 
 
