@@ -295,6 +295,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test_hourly": Q.runs_test_hourly,
         "mann_kendall_hourly": Q.mann_kendall_hourly,
         "jarque_bera_hourly": Q.jarque_bera_hourly,
+        "tpch_q3_shipping_priority": Q.tpch_q3_shipping_priority,
+        "tpch_q6_forecast_revenue": Q.tpch_q6_forecast_revenue,
+        "tpch_q9_product_type_profit": Q.tpch_q9_product_type_profit,
+        "tpch_q14_promo_effect": Q.tpch_q14_promo_effect,
+        "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
+        "tpch_q17_small_quantity_revenue":
+            Q.tpch_q17_small_quantity_revenue,
     }
 
 
@@ -3425,6 +3432,123 @@ def _oracle_sql_raw() -> dict[str, str]:
                              * (g1 * g1 + (g2 * g2) / 4.0)
                         ELSE 0.0 END AS jb_stat
             FROM g
+        """,
+        # TPC-H Q3 shape: exact revenue cents rank the top-10, ties
+        # broken by (o_orderdate, o_orderkey)
+        "tpch_q3_shipping_priority": """
+            SELECT o.o_orderkey,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1996-03-15'
+              AND l.l_shipdate > TIMESTAMP '1996-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY sum(CAST(round(l.l_extendedprice
+                         * (1 - l.l_discount) * 10000) AS BIGINT)) DESC,
+                     o.o_orderdate, o.o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(coalesce(sum(CAST(round(l_extendedprice
+                                 * l_discount * 10000) AS BIGINT)), 0)
+                        AS DOUBLE) / 10000.0 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24
+        """,
+        # Q9 shape: no ps_supplycost in the trimmed schema — profit
+        # is discounted revenue; the five-way join shape is the point
+        "tpch_q9_product_type_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS sum_profit
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
+        """,
+        # Q14: promo share as ONE fixed-shape division of exact ints
+        "tpch_q14_promo_effect": """
+            WITH s AS (
+                SELECT
+                    CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(round(l.l_extendedprice
+                                  * (1 - l.l_discount) * 10000)
+                                  AS BIGINT) ELSE 0 END), 0)
+                         AS BIGINT) AS promo_c,
+                    CAST(coalesce(sum(CAST(round(l.l_extendedprice
+                             * (1 - l.l_discount) * 10000) AS BIGINT)),
+                         0) AS BIGINT) AS total_c
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+            )
+            SELECT CAST(promo_c AS DOUBLE) / 10000.0 AS promo_revenue,
+                   CAST(total_c AS DOUBLE) / 10000.0 AS total_revenue,
+                   CASE WHEN total_c = 0 THEN 0.0
+                        ELSE (100.0 * CAST(promo_c AS DOUBLE))
+                             / CAST(total_c AS DOUBLE)
+                   END AS promo_pct
+            FROM s
+        """,
+        # Q15: all argmax suppliers (exact-int ties), ordered by key
+        "tpch_q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                * 10000) AS BIGINT)) AS rev_c
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.rev_c AS DOUBLE) / 10000.0 AS total_revenue
+            FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.rev_c = (SELECT max(rev_c) FROM r)
+            ORDER BY s.s_suppkey
+        """,
+        # Q17 shape: the < 0.2*avg test is the exact integer
+        # cross-multiplication 5*qty*n < sum_qty (qty scale cancels)
+        "tpch_q17_small_quantity_revenue": """
+            WITH lf AS (
+                SELECT l.l_partkey,
+                       CAST(round(l.l_quantity * 100) AS BIGINT) AS q,
+                       CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                           AS ep_c
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_brand = 'Brand#13'
+            ),
+            st AS (
+                SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(q) AS BIGINT) AS sq
+                FROM lf GROUP BY 1
+            ),
+            sm AS (
+                SELECT lf.ep_c
+                FROM lf JOIN st ON st.l_partkey = lf.l_partkey
+                WHERE 5 * lf.q * st.n < st.sq
+            )
+            SELECT (CAST(coalesce((SELECT sum(ep_c) FROM sm), 0)
+                         AS DOUBLE) / 100.0) / 7.0 AS avg_yearly,
+                   CAST((SELECT count(*) FROM sm) AS BIGINT)
+                       AS n_small_lines
         """,
         "benford_first_digit_audit": _benford_sql(),
         "acf_hourly_means": _acf_sql(),

@@ -12294,3 +12294,464 @@ def jarque_bera_hourly(sf_dir: str) -> pd.DataFrame:
         "m2": [float(m2)], "skewness": [float(g1)],
         "excess_kurtosis": [float(g2)], "jb_stat": [float(jb)],
     })
+
+
+# ---------------------------------------------------------------------------
+# session-9: TPC-H completion batch (Q3 / Q6 / Q9 / Q14 / Q15 / Q17)
+# ---------------------------------------------------------------------------
+
+def tpch_q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape (shipping-priority top-10, trimmed schema: no
+    o_shippriority column): BUILDING-segment customer keys broadcast
+    as a set below ``_BROADCAST_JOIN_MAX_ROWS`` (bucketed semi
+    ``hash_join`` above), date-window orders semi-filtered map-side,
+    per-order revenue folded per block in exact 10^-4-scaled ints
+    before ONE orderkey-keyed exchange, and the top-10 selected by
+    (revenue cents DESC, o_orderdate, o_orderkey) — exact ints, so
+    the ranking is deterministic. Per-block top-10 then a <=10·blocks
+    driver fold; nothing order-book-sized lands on the driver."""
+    from ..stages.joins import hash_join
+
+    CUT = pd.Timestamp("1996-03-15")
+    SEG = "BUILDING"
+    cust = sf_table(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"])
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"])
+
+    if cust.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        cdf = cust.to_pandas()
+        keys = ray.put(set(cdf.loc[cdf.c_mktsegment == SEG,
+                                   "c_custkey"].astype(int)))
+        del cdf
+
+        def o_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            ks = get_broadcast(keys)
+            m = b.o_custkey.isin(ks) & (b.o_orderdate < CUT)
+            return b.loc[m, ["o_orderkey", "o_orderdate"]]
+
+        orders_f = orders.map_batches(o_filter, batch_format="pandas")
+    else:
+        cust_f = cust.map_batches(
+            lambda b: b.loc[b.c_mktsegment == SEG, ["c_custkey"]]
+                       .rename(columns={"c_custkey": "o_custkey"}),
+            batch_format="pandas")
+        of = orders.map_batches(lambda b: b.loc[b.o_orderdate < CUT],
+                                batch_format="pandas")
+        orders_f = hash_join(of, cust_f, "o_custkey",
+                             n_buckets=32, how="semi") \
+            .map_batches(lambda b: b[["o_orderkey", "o_orderdate"]],
+                         batch_format="pandas")
+
+    from ..sketches import hash64
+    n_buckets = 32
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        bb = b.loc[b.l_shipdate > CUT]
+        rev = round_half_away(
+            (bb.l_extendedprice * (1 - bb.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        g = pd.DataFrame({"o_orderkey": bb.l_orderkey.to_numpy(np.int64),
+                          "rev_c": rev}) \
+            .groupby("o_orderkey", as_index=False).sum()
+        # orderkey cardinality is unbounded: bucket the exchange (the
+        # q18 pattern — Ray's aggregate is per-group Python, so a
+        # high-cardinality groupby must fold inside pandas per bucket)
+        g["bucket"] = (hash64(g.o_orderkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def li_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False) \
+            .agg(rev_c=("rev_c", "sum"))
+
+    li_rev = li.map_batches(li_partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(li_fold, batch_format="pandas")
+    j = hash_join(orders_f, li_rev, "o_orderkey", n_buckets=16,
+                  right_fields={"o_orderkey": pa.int64(),
+                                "rev_c": pa.int64()})
+
+    def top10(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["r_rev_c", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(10)
+
+    cand = j.map_batches(top10, batch_format="pandas").to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+            "o_orderdate": pd.Series([], dtype=object),
+        })
+    out = cand.sort_values(["r_rev_c", "o_orderdate", "o_orderkey"],
+                           ascending=[False, True, True]).head(10)
+    return pd.DataFrame({
+        "o_orderkey": out.o_orderkey.astype("int64").to_numpy(),
+        "revenue": out.r_rev_c.to_numpy(np.int64).astype(np.float64)
+                   / 10000.0,
+        "o_orderdate": out.o_orderdate.dt.strftime("%Y-%m-%d").to_numpy(),
+    }).reset_index(drop=True)
+
+
+def tpch_q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 (forecast-revenue-change): one vectorized filter-sum —
+    1996 ship year, discount in [0.05, 0.07] (double comparisons
+    against the same literals both sides), quantity < 24; revenue =
+    Σ round(l_extendedprice·l_discount·10^4) folded per block as
+    exact ints, ONE final division. No shuffle at all: per-block
+    scalar partials, driver adds a handful of ints."""
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_shipdate", "l_discount", "l_quantity",
+                           "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        m = ((b.l_shipdate >= LO) & (b.l_shipdate < HI)
+             & (b.l_discount >= 0.05) & (b.l_discount <= 0.07)
+             & (b.l_quantity < 24))
+        bb = b.loc[m]
+        rev = round_half_away(
+            (bb.l_extendedprice * bb.l_discount).to_numpy() * 10000
+        ).astype(np.int64)
+        return pd.DataFrame({"rev_c": [int(rev.sum())],
+                             "n": [int(len(bb))]})
+
+    p = li.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    rev_c = int(p.rev_c.sum())
+    n = int(p.n.sum())
+    return pd.DataFrame({
+        "revenue": [float(rev_c) / 10000.0],
+        "n_lines": [np.int64(n)],
+    })
+
+
+def tpch_q14_promo_effect(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 (promotion effect): September-1996 lineitems scored
+    against a size-gated p_partkey → (p_type == 'PROMO') broadcast
+    dict (bucketed ``hash_join`` fallback above the gate); promo and
+    total revenue are exact 10^-4-scaled int folds and promo_pct is
+    ONE fixed-shape IEEE expression (100.0·promo)/total of those
+    exact ints. Empty window guards to the 0.0 sentinel."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1996-09-01"), pd.Timestamp("1996-10-01")
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+    li_f = li.map_batches(
+        lambda b: b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI),
+                        ["l_partkey", "l_extendedprice", "l_discount"]],
+        batch_format="pandas", batch_size=65536)
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        promo = ray.put(dict(zip(pdf.p_partkey.astype(int),
+                                 (pdf.p_type == "PROMO"))))
+        del pdf
+
+        def scored(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            is_promo = b.l_partkey.map(get_broadcast(promo)) \
+                        .to_numpy(dtype=bool)
+            rev = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
+            ).astype(np.int64)
+            return pd.DataFrame({
+                "promo_c": [int(rev[is_promo].sum())],
+                "total_c": [int(rev.sum())],
+            })
+
+        p = li_f.map_batches(scored, batch_format="pandas")
+    else:
+        j = hash_join(
+            li_f.map_batches(
+                lambda b: b.rename(columns={"l_partkey": "p_partkey"}),
+                batch_format="pandas"),
+            part, "p_partkey", n_buckets=32)
+
+        def scored(b: pd.DataFrame) -> pd.DataFrame:
+            is_promo = (b.r_p_type == "PROMO").to_numpy()
+            rev = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
+            ).astype(np.int64)
+            return pd.DataFrame({
+                "promo_c": [int(rev[is_promo].sum())],
+                "total_c": [int(rev.sum())],
+            })
+
+        p = j.map_batches(scored, batch_format="pandas")
+
+    f = p.to_pandas()
+    promo_c = int(f.promo_c.sum())
+    total_c = int(f.total_c.sum())
+    pct = 0.0 if total_c == 0 else \
+        (100.0 * float(promo_c)) / float(total_c)
+    return pd.DataFrame({
+        "promo_revenue": [float(promo_c) / 10000.0],
+        "total_revenue": [float(total_c) / 10000.0],
+        "promo_pct": [pct],
+    })
+
+
+def tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier Q1-1996 revenue from
+    exact 10^-4-scaled int partials through ONE suppkey-keyed
+    exchange; the per-supplier revenue frame is bounded by the
+    supplier count, the max and the == max filter are exact-int
+    selections (deterministic under ties — ALL argmax suppliers
+    return, as in the spec's view formulation), names resolved from a
+    size-gated broadcast dict (bucketed join fallback)."""
+    from ..stages.joins import hash_join
+
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+
+    from ..sketches import hash64
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bb = b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI)]
+        rev = round_half_away(
+            (bb.l_extendedprice * (1 - bb.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_suppkey": bb.l_suppkey.to_numpy(np.int64),
+                          "rev_c": rev}) \
+            .groupby("l_suppkey", as_index=False).sum()
+        g["bucket"] = (hash64(g.l_suppkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_suppkey", as_index=False) \
+            .agg(rev_c=("rev_c", "sum"))
+
+    rev = li.map_batches(partial, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()          # bounded by #suppliers
+    if len(rev) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "total_revenue": pd.Series([], dtype="float64"),
+        })
+    mx = int(rev.rev_c.max())
+    top = rev.loc[rev.rev_c == mx].copy()
+
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    if supp.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        sdf = supp.to_pandas()
+        names = dict(zip(sdf.s_suppkey.astype(int), sdf.s_name))
+        top["s_name"] = top.l_suppkey.map(names)
+    else:
+        top_ds = ray.data.from_pandas(
+            top.rename(columns={"l_suppkey": "s_suppkey"}))
+        top = hash_join(top_ds, supp, "s_suppkey", n_buckets=4) \
+            .to_pandas().rename(columns={"s_suppkey": "l_suppkey",
+                                         "r_s_name": "s_name"})
+    top = top.sort_values("l_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": top.l_suppkey.astype("int64").to_numpy(),
+        "s_name": top.s_name.to_numpy(),
+        "total_revenue": top.rev_c.to_numpy(np.int64).astype(np.float64)
+                         / 10000.0,
+    })
+
+
+def tpch_q17_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue; trimmed schema
+    has no p_container, so the filter is one brand): lineitems of
+    Brand#13 parts (size-gated partkey broadcast set / semi-join
+    fallback), per-part (n, Σqty) aggregated through ONE partkey
+    exchange — bounded by the brand's part count — then re-broadcast
+    so the l_quantity < 0.2·avg(qty) test is the EXACT integer
+    cross-multiplication 5·qty·n < Σqty (the 10^-2 qty scale
+    cancels); avg_yearly = (Σcents/100)/7 — fixed-shape divisions of
+    exact ints. Cites TPC-H spec §2.17 semantics."""
+    from ..stages.joins import hash_join
+
+    BRAND = "Brand#13"
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        keys = ray.put(set(pdf.loc[pdf.p_brand == BRAND,
+                                   "p_partkey"].astype(int)))
+        del pdf
+
+        def li_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            return b.loc[b.l_partkey.isin(get_broadcast(keys))]
+
+        li_f = li.map_batches(li_filter, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[b.p_brand == BRAND, ["p_partkey"]]
+                       .rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        li_f = hash_join(li, part_f, "l_partkey", n_buckets=32,
+                         how="semi")
+    li_f = li_f.materialize()     # consumed twice below
+
+    from ..sketches import hash64
+    n_buckets = 16
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = round_half_away(b.l_quantity.to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({"l_partkey": b.l_partkey.to_numpy(np.int64),
+                          "q": q}) \
+            .groupby("l_partkey", as_index=False).agg(
+                n=("q", "size"), sq=("q", "sum"))
+        g["bucket"] = (hash64(g.l_partkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def qty_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_partkey", as_index=False) \
+            .agg(n=("n", "sum"), sq=("sq", "sum"))
+
+    stats = li_f.map_batches(qty_partial, batch_format="pandas",
+                             batch_size=65536) \
+        .groupby("bucket").map_groups(qty_fold, batch_format="pandas") \
+        .to_pandas()              # bounded by the brand's part count
+    lut = ray.put((dict(zip(stats.l_partkey.astype(int),
+                            stats.n.astype(int))),
+                   dict(zip(stats.l_partkey.astype(int),
+                            stats.sq.astype(int)))))
+
+    def small_partial(b: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.broadcast import get_broadcast
+        n_d, s_d = get_broadcast(lut)
+        q = round_half_away(b.l_quantity.to_numpy() * 100) \
+            .astype(np.int64)
+        ns = b.l_partkey.map(n_d).to_numpy(np.int64)
+        sq = b.l_partkey.map(s_d).to_numpy(np.int64)
+        small = 5 * q * ns < sq
+        ep = round_half_away(
+            b.l_extendedprice.to_numpy()[small] * 100).astype(np.int64)
+        return pd.DataFrame({"ep_c": [int(ep.sum())],
+                             "n_small": [int(small.sum())]})
+
+    f = li_f.map_batches(small_partial, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    ep_c = int(f.ep_c.sum())
+    n_small = int(f.n_small.sum())
+    return pd.DataFrame({
+        "avg_yearly": [(float(ep_c) / 100.0) / 7.0],
+        "n_small_lines": [np.int64(n_small)],
+    })
+
+
+def tpch_q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year; the
+    trimmed schema has no partsupp/ps_supplycost, so profit =
+    l_extendedprice·(1−l_discount) — the join/group shape is the
+    point): 'bolt'-named part keys as a size-gated broadcast set
+    (semi-join fallback), supplier→nation names resolved through the
+    25-row nation driver lookup composed with a size-gated supplier
+    broadcast (bucketed join fallback), then per-(nation, ship-year)
+    exact 10^-4-scaled int folds through ONE small groupby."""
+    from ..stages.joins import hash_join
+
+    SUB = "bolt"
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"])
+    nation = sf_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nation.n_nationkey.astype(int), nation.n_name))
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_discount", "l_shipdate"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        pkeys = ray.put(set(
+            pdf.loc[pdf.p_name.str.contains(SUB, regex=False),
+                    "p_partkey"].astype(int)))
+        del pdf
+
+        def li_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            return b.loc[b.l_partkey.isin(get_broadcast(pkeys))]
+
+        li_f = li.map_batches(li_filter, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[b.p_name.str.contains(SUB, regex=False),
+                            ["p_partkey"]]
+                       .rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        li_f = hash_join(li, part_f, "l_partkey", n_buckets=32,
+                         how="semi")
+
+    if supp.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        sdf = supp.to_pandas()
+        smap = ray.put({int(k): nmap[int(nk)] for k, nk
+                        in zip(sdf.s_suppkey, sdf.s_nationkey)})
+        del sdf
+
+        def scored(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            nat = b.l_suppkey.map(get_broadcast(smap))
+            profit = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                * 10000).astype(np.int64)
+            return pd.DataFrame({
+                "nation": nat,
+                "o_year": b.l_shipdate.dt.year.astype(np.int64),
+                "profit_c": profit,
+            }).groupby(["nation", "o_year"], as_index=False).sum()
+
+        parts = li_f.map_batches(scored, batch_format="pandas",
+                                 batch_size=65536)
+    else:
+        j = hash_join(
+            li_f.map_batches(
+                lambda b: b.rename(columns={"l_suppkey": "s_suppkey"}),
+                batch_format="pandas"),
+            supp, "s_suppkey", n_buckets=32)
+
+        def scored(b: pd.DataFrame) -> pd.DataFrame:
+            nat = b.r_s_nationkey.map(nmap)
+            profit = round_half_away(
+                (b.l_extendedprice * (1 - b.l_discount)).to_numpy()
+                * 10000).astype(np.int64)
+            return pd.DataFrame({
+                "nation": nat,
+                "o_year": b.l_shipdate.dt.year.astype(np.int64),
+                "profit_c": profit,
+            }).groupby(["nation", "o_year"], as_index=False).sum()
+
+        parts = j.map_batches(scored, batch_format="pandas")
+
+    out = parts.groupby(["nation", "o_year"]).aggregate(
+        Sum("profit_c", alias_name="profit_c")).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "nation": pd.Series([], dtype=object),
+            "o_year": pd.Series([], dtype="int64"),
+            "sum_profit": pd.Series([], dtype="float64"),
+        })
+    out["sum_profit"] = out.profit_c.to_numpy(np.int64) \
+        .astype(np.float64) / 10000.0
+    out["o_year"] = out.o_year.astype("int64")
+    return out.sort_values(["nation", "o_year"],
+                           ascending=[True, False]) \
+        [["nation", "o_year", "sum_profit"]].reset_index(drop=True)

@@ -292,6 +292,9 @@ def run_queries() -> dict[str, float]:
         "welch_t_drift_events", "brown_forsythe_variance_drift",
         "tv_overlap_drift_events", "runs_test_hourly",
         "mann_kendall_hourly", "jarque_bera_hourly",
+        "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
+        "tpch_q9_product_type_profit", "tpch_q14_promo_effect",
+        "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
     ]
     qs = E.queries()
     out = {}

@@ -2049,3 +2049,125 @@ class TestJarqueBeraHourly:
             out = Q.jarque_bera_hourly(d)
         assert out.excess_kurtosis[0] > 10
         assert out.jb_stat[0] > 100
+
+
+class TestTpchShapeBatch3:
+    """Q3/Q6/Q9/Q14/Q15/Q17: gate-forced hash_join fallbacks must
+    match the broadcast fast paths bit-for-bit, plus pandas brute
+    forces of the Q17 0.2*avg rule and Q3's ranking."""
+
+    def test_gate_forced_fallbacks_match_broadcast(
+            self, ray_session, monkeypatch):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        for fn in (Q.tpch_q3_shipping_priority,
+                   Q.tpch_q9_product_type_profit,
+                   Q.tpch_q14_promo_effect,
+                   Q.tpch_q15_top_supplier,
+                   Q.tpch_q17_small_quantity_revenue):
+            fast = fn(SF)
+            monkeypatch.setattr(Q, "_BROADCAST_JOIN_MAX_ROWS", 0)
+            slow = fn(SF)
+            monkeypatch.undo()
+            pd.testing.assert_frame_equal(
+                fast.reset_index(drop=True), slow.reset_index(drop=True))
+
+    def test_q17_matches_pandas_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.tpch_q17_small_quantity_revenue(SF)
+        part = pq.read_table(f"{SF}/part.parquet",
+                             columns=["p_partkey", "p_brand"]).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity",
+                                    "l_extendedprice"]).to_pandas()
+        keys = set(part.loc[part.p_brand == "Brand#13", "p_partkey"])
+        li = li.loc[li.l_partkey.isin(keys)].copy()
+        li["q"] = round_half_away(
+            li.l_quantity.to_numpy() * 100).astype(np.int64)
+        st = li.groupby("l_partkey").q.agg(["size", "sum"])
+        n = li.l_partkey.map(st["size"]).to_numpy(np.int64)
+        sq = li.l_partkey.map(st["sum"]).to_numpy(np.int64)
+        small = 5 * li.q.to_numpy() * n < sq
+        ep = round_half_away(
+            li.l_extendedprice.to_numpy()[small] * 100).astype(np.int64)
+        assert int(out.n_small_lines[0]) == int(small.sum())
+        assert out.avg_yearly[0] == (float(int(ep.sum())) / 100.0) / 7.0
+
+    def test_q3_ranking_matches_pandas(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.tpch_q3_shipping_priority(SF)
+        cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        keys = set(cust.loc[cust.c_mktsegment == "BUILDING", "c_custkey"])
+        o = orders.loc[orders.o_custkey.isin(keys)
+                       & (orders.o_orderdate < "1996-03-15")]
+        lf = li.loc[li.l_shipdate > "1996-03-15"].copy()
+        lf["rev_c"] = round_half_away(
+            (lf.l_extendedprice * (1 - lf.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        j = o.merge(lf.groupby("l_orderkey", as_index=False)
+                    .rev_c.sum(),
+                    left_on="o_orderkey", right_on="l_orderkey")
+        j = j.sort_values(["rev_c", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True]).head(10)
+        assert out.o_orderkey.tolist() == j.o_orderkey.tolist()
+        assert np.allclose(out.revenue.to_numpy(),
+                           j.rev_c.to_numpy() / 10000.0)
+
+    def test_q6_matches_pandas_filter_sum(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.tpch_q6_forecast_revenue(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        m = ((li.l_shipdate >= "1996-01-01")
+             & (li.l_shipdate < "1997-01-01")
+             & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+             & (li.l_quantity < 24))
+        rev = round_half_away(
+            (li.l_extendedprice * li.l_discount).to_numpy()[m] * 10000
+        ).astype(np.int64)
+        assert int(out.n_lines[0]) == int(m.sum())
+        assert out.revenue[0] == float(int(rev.sum())) / 10000.0
+
+    def test_q14_promo_identity(self, ray_session):
+        """promo <= total, and pct equals the one-division formula of
+        the returned exact revenues."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q14_promo_effect(SF)
+        p = int(round(out.promo_revenue[0] * 10000))
+        t = int(round(out.total_revenue[0] * 10000))
+        assert 0 <= p <= t
+        exp = 0.0 if t == 0 else (100.0 * float(p)) / float(t)
+        assert out.promo_pct[0] == exp
+
+    def test_q15_winner_is_argmax(self, ray_session):
+        """Every returned supplier's revenue equals the global max of
+        the per-supplier revenue frame recomputed by pandas."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.tpch_q15_top_supplier(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        lf = li.loc[(li.l_shipdate >= "1996-01-01")
+                    & (li.l_shipdate < "1996-04-01")].copy()
+        lf["rev_c"] = round_half_away(
+            (lf.l_extendedprice * (1 - lf.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        per = lf.groupby("l_suppkey").rev_c.sum()
+        assert len(out) >= 1
+        mx = int(per.max())
+        for _, r in out.iterrows():
+            assert int(round(r.total_revenue * 10000)) == mx
+        assert sorted(out.s_suppkey) == \
+            sorted(per.index[per == mx].tolist())
