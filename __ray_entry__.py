@@ -302,6 +302,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15_top_supplier": Q.tpch_q15_top_supplier,
         "tpch_q17_small_quantity_revenue":
             Q.tpch_q17_small_quantity_revenue,
+        "tpch_q2_min_cost_supplier": Q.tpch_q2_min_cost_supplier,
+        "tpch_q11_important_parts": Q.tpch_q11_important_parts,
+        "tpch_q16_supplier_part_counts": Q.tpch_q16_supplier_part_counts,
+        "tpch_q20_part_promotion": Q.tpch_q20_part_promotion,
+        "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
     }
 
 
@@ -3549,6 +3554,124 @@ def _oracle_sql_raw() -> dict[str, str]:
                          AS DOUBLE) / 100.0) / 7.0 AS avg_yearly,
                    CAST((SELECT count(*) FROM sm) AS BIGINT)
                        AS n_small_lines
+        """,
+        # Q21 shape: 'late' reuses Q4's >60d-after-orderdate convention
+        "tpch_q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(l_shipdate) AS max_ship
+                FROM lineitem GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT ls.l_orderkey, ls.l_suppkey,
+                       CASE WHEN ls.max_ship
+                                 > o.o_orderdate + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders o ON o.o_orderkey = ls.l_orderkey
+            ),
+            po AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       sum(late) AS n_late
+                FROM j GROUP BY 1
+            ),
+            ch AS (
+                SELECT j.l_suppkey, count(*) AS numwait
+                FROM j JOIN po ON po.l_orderkey = j.l_orderkey
+                WHERE po.n_supp >= 2 AND po.n_late = 1 AND j.late = 1
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(ch.numwait AS BIGINT) AS numwait
+            FROM ch JOIN supplier s ON s.s_suppkey = ch.l_suppkey
+            ORDER BY numwait DESC, s.s_suppkey
+        """,
+        # Q16 shape: supplier-part relation = the one observed in
+        # lineitem (no partsupp in the trimmed schema)
+        "tpch_q16_supplier_part_counts": """
+            SELECT p.p_brand, p.p_type,
+                   CAST(p.p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand <> 'Brand#13'
+              AND p.p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        # Q11 shape: >1% rule decided by exact HUGEINT
+        # cross-multiplication in basis-point space
+        "tpch_q11_important_parts": """
+            WITH lf AS (
+                SELECT l.l_partkey,
+                       CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                            * 10000) AS BIGINT) AS v
+                FROM lineitem l
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            pv AS (SELECT l_partkey, CAST(sum(v) AS HUGEINT) AS val_c
+                   FROM lf GROUP BY 1),
+            t AS (SELECT CAST(coalesce(sum(v), 0) AS HUGEINT) AS total
+                  FROM lf)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(val_c AS DOUBLE) / 10000.0 AS value
+            FROM pv, t
+            WHERE val_c * 10000 > 100 * total
+            ORDER BY val_c DESC, l_partkey
+        """,
+        # Q20 shape: promotable = >50 units of a red part shipped 1996
+        "tpch_q20_part_promotion": """
+            WITH lf AS (
+                SELECT l.l_suppkey, l.l_partkey,
+                       CAST(round(l.l_quantity * 100) AS BIGINT) AS q
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_name LIKE '%red%'
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+            ),
+            w AS (
+                SELECT DISTINCT l_suppkey FROM (
+                    SELECT l_suppkey, l_partkey, sum(q) AS qq
+                    FROM lf GROUP BY 1, 2
+                ) WHERE qq > 5000
+            )
+            SELECT s.s_suppkey, s.s_name
+            FROM w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            ORDER BY s.s_suppkey
+        """,
+        # Q2 shape: cost proxy = s_acctbal; argmin ties break on the
+        # exact int suppkey; TPC-H top-100 ordering
+        "tpch_q2_min_cost_supplier": """
+            WITH eu AS (
+                SELECT s.s_suppkey, s.s_acctbal, s.s_name,
+                       n.n_name AS nation
+                FROM supplier s
+                JOIN nation n ON n.n_nationkey = s.s_nationkey
+                JOIN region r ON r.r_regionkey = n.n_regionkey
+                WHERE r.r_name = 'EUROPE'
+            ),
+            pr AS (
+                SELECT DISTINCT l.l_partkey, l.l_suppkey
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE p.p_size = 15
+            ),
+            am AS (
+                SELECT pr.l_partkey, pr.l_suppkey, eu.s_acctbal,
+                       eu.s_name, eu.nation,
+                       row_number() OVER (PARTITION BY pr.l_partkey
+                           ORDER BY eu.s_acctbal, pr.l_suppkey) AS rn
+                FROM pr JOIN eu ON eu.s_suppkey = pr.l_suppkey
+            )
+            SELECT s_acctbal, s_name, nation,
+                   CAST(l_partkey AS BIGINT) AS p_partkey,
+                   CAST(l_suppkey AS BIGINT) AS s_suppkey
+            FROM am WHERE rn = 1
+            ORDER BY s_acctbal DESC, nation, s_name, l_partkey
+            LIMIT 100
         """,
         "benford_first_digit_audit": _benford_sql(),
         "acf_hourly_means": _acf_sql(),

@@ -12755,3 +12755,618 @@ def tpch_q9_product_type_profit(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["nation", "o_year"],
                            ascending=[True, False]) \
         [["nation", "o_year", "sum_profit"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-9: TPC-H completion batch 4 (Q2 / Q11 / Q16 / Q20 / Q21 shapes
+# — partsupp is absent from the trimmed schema, so the supplier-part
+# relation is the one OBSERVED in lineitem; the join/group/threshold
+# shapes are the point)
+# ---------------------------------------------------------------------------
+
+def tpch_q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; no
+    l_receiptdate/commitdate, so 'late' reuses Q4's convention —
+    shipped >60 days after the order date): per (orderkey, suppkey)
+    the max ship timestamp folds per block then through ONE
+    orderkey-bucketed exchange (every supplier of an order co-locates
+    in its bucket), order dates resolve from a size-gated broadcast
+    dict (bucketed ``hash_join`` fallback), and the charge rule —
+    order has >=2 distinct suppliers, EXACTLY ONE of them late, count
+    the lone late supplier — evaluates inside the bucket with exact
+    int counts. Per-supplier numwait totals flow through a suppkey
+    second exchange; output is bounded by the supplier count."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    SIXTY_D_US = 60 * 86_400_000_000
+    n_buckets = 32
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = sf_table(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderdate"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
+            "l_suppkey": b.l_suppkey.to_numpy(np.int64),
+            "ship_us": b.l_shipdate.astype("datetime64[us]")
+                        .astype("int64"),
+        }).groupby(["o_orderkey", "l_suppkey"], as_index=False).agg(
+            max_ship_us=("ship_us", "max"))
+        g["bucket"] = (hash64(g.o_orderkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    pairs = li.map_batches(pair_partial, batch_format="pandas",
+                           batch_size=65536)
+
+    broadcast = orders.count() <= _BROADCAST_JOIN_MAX_ROWS
+    if broadcast:
+        odf = orders.to_pandas()
+        odates = ray.put(dict(zip(
+            odf.o_orderkey.astype(int),
+            odf.o_orderdate.astype("datetime64[us]").astype("int64"))))
+        del odf
+
+        def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            m = g.groupby(["o_orderkey", "l_suppkey"],
+                          as_index=False).agg(
+                max_ship_us=("max_ship_us", "max"))
+            od = m.o_orderkey.map(get_broadcast(odates)) \
+                  .to_numpy(np.int64)
+            m["late"] = (m.max_ship_us.to_numpy() > od + SIXTY_D_US) \
+                .astype(np.int64)
+            per = m.groupby("o_orderkey").agg(
+                n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+            ok = per.index[(per.n_supp >= 2) & (per.n_late == 1)]
+            hit = m.loc[m.o_orderkey.isin(ok) & (m.late == 1)]
+            out = hit.groupby("l_suppkey", as_index=False).agg(
+                numwait=("late", "sum"))
+            out["sbucket"] = (hash64(out.l_suppkey.to_numpy(np.int64)
+                                     .view(np.uint64))
+                              % np.uint64(n_buckets)).astype(np.int64)
+            return out
+
+        charged = pairs.groupby("bucket").map_groups(
+            bucket_fold, batch_format="pandas")
+    else:
+        merged = hash_join(pairs, orders, "o_orderkey", n_buckets=32)
+
+        def bucket_fold2(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.groupby(["o_orderkey", "l_suppkey"],
+                          as_index=False).agg(
+                max_ship_us=("max_ship_us", "max"),
+                od_us=("r_o_orderdate", "first"))
+            od = m.od_us.astype("datetime64[us]").astype("int64") \
+                  .to_numpy()
+            m["late"] = (m.max_ship_us.to_numpy() > od + SIXTY_D_US) \
+                .astype(np.int64)
+            per = m.groupby("o_orderkey").agg(
+                n_supp=("l_suppkey", "size"), n_late=("late", "sum"))
+            ok = per.index[(per.n_supp >= 2) & (per.n_late == 1)]
+            hit = m.loc[m.o_orderkey.isin(ok) & (m.late == 1)]
+            out = hit.groupby("l_suppkey", as_index=False).agg(
+                numwait=("late", "sum"))
+            out["sbucket"] = (hash64(out.l_suppkey.to_numpy(np.int64)
+                                     .view(np.uint64))
+                              % np.uint64(n_buckets)).astype(np.int64)
+            return out
+
+        # re-bucket by orderkey after the join (join buckets are by
+        # o_orderkey already — every supplier of an order co-locates)
+        charged = merged.map_batches(
+            lambda b: b.assign(bucket=(hash64(
+                b.o_orderkey.to_numpy(np.int64).view(np.uint64))
+                % np.uint64(n_buckets)).astype(np.int64)),
+            batch_format="pandas") \
+            .groupby("bucket").map_groups(bucket_fold2,
+                                          batch_format="pandas")
+
+    def supp_fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("l_suppkey", as_index=False).agg(
+            numwait=("numwait", "sum"))
+
+    per_supp = charged.groupby("sbucket").map_groups(
+        supp_fold, batch_format="pandas").to_pandas()
+    if len(per_supp) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+            "numwait": pd.Series([], dtype="int64"),
+        })
+
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    if supp.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        sdf = supp.to_pandas()
+        names = dict(zip(sdf.s_suppkey.astype(int), sdf.s_name))
+        per_supp["s_name"] = per_supp.l_suppkey.map(names)
+    else:
+        per_supp = hash_join(
+            ray.data.from_pandas(per_supp.rename(
+                columns={"l_suppkey": "s_suppkey"})),
+            supp, "s_suppkey", n_buckets=4).to_pandas() \
+            .rename(columns={"s_suppkey": "l_suppkey",
+                             "r_s_name": "s_name"})
+    per_supp = per_supp.sort_values(["numwait", "l_suppkey"],
+                                    ascending=[False, True]) \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": per_supp.l_suppkey.astype("int64").to_numpy(),
+        "s_name": per_supp.s_name.to_numpy(),
+        "numwait": per_supp.numwait.astype("int64").to_numpy(),
+    })
+
+
+def tpch_q16_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship counting; the
+    supplier-part relation is the one observed in lineitem): distinct
+    (partkey, suppkey) pairs fold through a partkey-bucketed exchange,
+    part attributes (brand <> 'Brand#13', size in 1..8) resolve from a
+    size-gated broadcast dict (semi ``hash_join`` fallback), and the
+    DISTINCT suppkey count per (brand, type, size) dedupes through a
+    SECOND exchange bucketed by the group key hash — suppliers of the
+    same group arriving from different parts co-locate, so the count
+    is exact. Output bounded by the attribute-combination count."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    BRAND_NOT = "Brand#13"
+    SIZES = (1, 2, 3, 4, 5, 6, 7, 8)
+    n_buckets = 16
+    part = sf_table(sf_dir, "part",
+                    columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b[["l_partkey", "l_suppkey"]].drop_duplicates()
+        g = pd.DataFrame({
+            "l_partkey": g.l_partkey.to_numpy(np.int64),
+            "l_suppkey": g.l_suppkey.to_numpy(np.int64)})
+        g["bucket"] = (hash64(g.l_partkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    pairs = li.map_batches(pair_partial, batch_format="pandas",
+                           batch_size=65536)
+
+    broadcast = part.count() <= _BROADCAST_JOIN_MAX_ROWS
+    pdf = part.to_pandas() if broadcast else None
+    if broadcast:
+        keep = pdf.loc[(pdf.p_brand != BRAND_NOT)
+                       & (pdf.p_size.isin(SIZES))]
+        attrs = ray.put({int(k): (b, t, int(s)) for k, b, t, s
+                         in zip(keep.p_partkey, keep.p_brand,
+                                keep.p_type, keep.p_size)})
+        del pdf, keep
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            d = get_broadcast(attrs)
+            g = g.drop_duplicates(["l_partkey", "l_suppkey"])
+            m = g.l_partkey.isin(d.keys())
+            g = g.loc[m]
+            trip = g.l_partkey.map(d)
+            out = pd.DataFrame({
+                "p_brand": trip.str[0], "p_type": trip.str[1],
+                "p_size": trip.str[2].astype(np.int64),
+                "l_suppkey": g.l_suppkey,
+            }).drop_duplicates()
+            key = (out.p_brand + "|" + out.p_type + "|"
+                   + out.p_size.astype(str))
+            # deterministic across workers (python hash() is per-
+            # process salted): pandas siphash with the fixed key
+            out["gbucket"] = (pd.util.hash_pandas_object(
+                key, index=False).to_numpy(np.uint64)
+                % np.uint64(n_buckets)).astype(np.int64)
+            return out
+
+        tagged = pairs.groupby("bucket").map_groups(
+            attach, batch_format="pandas")
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[(b.p_brand != BRAND_NOT)
+                            & (b.p_size.isin(SIZES))]
+                       .rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        dpairs = pairs.groupby("bucket").map_groups(
+            lambda g: g.drop_duplicates(["l_partkey", "l_suppkey"])
+                       [["l_partkey", "l_suppkey"]],
+            batch_format="pandas")
+        j = hash_join(dpairs, part_f, "l_partkey", n_buckets=16)
+
+        def attach2(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({
+                "p_brand": b.r_p_brand, "p_type": b.r_p_type,
+                "p_size": b.r_p_size.astype(np.int64),
+                "l_suppkey": b.l_suppkey,
+            }).drop_duplicates()
+            key = (out.p_brand + "|" + out.p_type + "|"
+                   + out.p_size.astype(str))
+            out["gbucket"] = (pd.util.hash_pandas_object(
+                key, index=False).to_numpy(np.uint64)
+                % np.uint64(n_buckets)).astype(np.int64)
+            return out
+
+        tagged = j.map_batches(attach2, batch_format="pandas")
+
+    def group_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["p_brand", "p_type", "p_size",
+                               "l_suppkey"])
+        return d.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False).agg(
+            supplier_cnt=("l_suppkey", "size"))
+
+    out = tagged.groupby("gbucket").map_groups(
+        group_fold, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "p_brand": pd.Series([], dtype=object),
+            "p_type": pd.Series([], dtype=object),
+            "p_size": pd.Series([], dtype="int64"),
+            "supplier_cnt": pd.Series([], dtype="int64"),
+        })
+    out["p_size"] = out.p_size.astype("int64")
+    out["supplier_cnt"] = out.supplier_cnt.astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+
+
+def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape (important stock; value = discounted lineitem
+    revenue of EUROPE-region suppliers): the region's suppkeys come
+    from supplier ⋈ 25-row nation/region driver lookups as a
+    size-gated broadcast set (semi-join fallback); the global value
+    total folds as per-block scalar int partials; per-part values
+    fold through ONE partkey-bucketed exchange where the >1%% rule is
+    decided IN the bucket against the broadcast exact-int total by
+    cross-multiplication (value·10000 > 100·total — one basis-point
+    space, no floats), so only qualifying parts (< 100 by
+    construction) ever reach the driver."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    REGION = "EUROPE"
+    BPS = 100            # threshold: value > (BPS/10000) of total
+    n_buckets = 16
+    nation = sf_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = sf_table(sf_dir, "region",
+                      columns=["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(region.loc[region.r_name == REGION,
+                           "r_regionkey"].astype(int))
+    nkeys = set(nation.loc[nation.n_regionkey.isin(rkeys),
+                           "n_nationkey"].astype(int))
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_nationkey"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"])
+
+    if supp.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        sdf = supp.to_pandas()
+        skeys = ray.put(set(
+            sdf.loc[sdf.s_nationkey.isin(nkeys), "s_suppkey"]
+               .astype(int)))
+        del sdf
+
+        def li_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            return b.loc[b.l_suppkey.isin(get_broadcast(skeys))]
+
+        li_f = li.map_batches(li_filter, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        supp_f = supp.map_batches(
+            lambda b: b.loc[b.s_nationkey.isin(nkeys), ["s_suppkey"]]
+                       .rename(columns={"s_suppkey": "l_suppkey"}),
+            batch_format="pandas")
+        li_f = hash_join(li, supp_f, "l_suppkey", n_buckets=32,
+                         how="semi")
+    li_f = li_f.materialize()     # consumed twice (total + per-part)
+
+    def val_partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = round_half_away(
+            (b.l_extendedprice * (1 - b.l_discount)).to_numpy() * 10000
+        ).astype(np.int64)
+        g = pd.DataFrame({"l_partkey": b.l_partkey.to_numpy(np.int64),
+                          "val_c": v}) \
+            .groupby("l_partkey", as_index=False).sum()
+        g["bucket"] = (hash64(g.l_partkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    partials = li_f.map_batches(val_partial, batch_format="pandas",
+                                batch_size=65536).materialize()
+    total = int(sum(int(x) for x in
+                    partials.map_batches(
+                        lambda b: pd.DataFrame(
+                            {"t": [int(b.val_c.sum())]}),
+                        batch_format="pandas").to_pandas().t))
+
+    def part_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("l_partkey", as_index=False).agg(
+            val_c=("val_c", "sum"))
+        # exact basis-point rule: val*10000 > BPS*total (python ints)
+        keep = [i for i, v in enumerate(m.val_c)
+                if int(v) * 10000 > BPS * total]
+        return m.iloc[keep]
+
+    out = partials.groupby("bucket").map_groups(
+        part_fold, batch_format="pandas").to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({
+            "l_partkey": pd.Series([], dtype="int64"),
+            "value": pd.Series([], dtype="float64"),
+        })
+    out = out.sort_values(["val_c", "l_partkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return pd.DataFrame({
+        "l_partkey": out.l_partkey.astype("int64").to_numpy(),
+        "value": out.val_c.to_numpy(np.int64).astype(np.float64)
+                 / 10000.0,
+    })
+
+
+def tpch_q20_part_promotion(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape (suppliers with excess promotable stock; no
+    partsupp, so the rule is '1996 shipped quantity of some
+    red-named part exceeds 50 units'): red partkeys as a size-gated
+    broadcast set (semi-join fallback), per (suppkey, partkey)
+    quantity folded through ONE suppkey-bucketed exchange (the
+    qualifying-pair test and the per-supplier dedupe both happen in
+    the bucket), names from a size-gated supplier broadcast. Exact
+    integer quantities at the 10^-2 scale throughout."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    SUB = "red"
+    QTY_C = 5000          # 50 units at the 10^-2 scale
+    LO, HI = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    n_buckets = 16
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_name"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey", "l_quantity",
+                           "l_shipdate"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        pkeys = ray.put(set(
+            pdf.loc[pdf.p_name.str.contains(SUB, regex=False),
+                    "p_partkey"].astype(int)))
+        del pdf
+
+        def li_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            m = (b.l_partkey.isin(get_broadcast(pkeys))
+                 & (b.l_shipdate >= LO) & (b.l_shipdate < HI))
+            return b.loc[m, ["l_partkey", "l_suppkey", "l_quantity"]]
+
+        li_f = li.map_batches(li_filter, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[b.p_name.str.contains(SUB, regex=False),
+                            ["p_partkey"]]
+                       .rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        li_d = li.map_batches(
+            lambda b: b.loc[(b.l_shipdate >= LO) & (b.l_shipdate < HI),
+                            ["l_partkey", "l_suppkey", "l_quantity"]],
+            batch_format="pandas")
+        li_f = hash_join(li_d, part_f, "l_partkey", n_buckets=32,
+                         how="semi")
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = round_half_away(b.l_quantity.to_numpy() * 100) \
+            .astype(np.int64)
+        g = pd.DataFrame({
+            "l_suppkey": b.l_suppkey.to_numpy(np.int64),
+            "l_partkey": b.l_partkey.to_numpy(np.int64),
+            "q": q,
+        }).groupby(["l_suppkey", "l_partkey"], as_index=False).sum()
+        g["bucket"] = (hash64(g.l_suppkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def supp_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["l_suppkey", "l_partkey"], as_index=False).agg(
+            q=("q", "sum"))
+        hit = m.loc[m.q > QTY_C]
+        return pd.DataFrame({
+            "l_suppkey": hit.l_suppkey.drop_duplicates()
+                            .to_numpy(np.int64)})
+
+    winners = li_f.map_batches(qty_partial, batch_format="pandas",
+                               batch_size=65536) \
+        .groupby("bucket").map_groups(supp_fold, batch_format="pandas") \
+        .to_pandas()       # bounded by #suppliers
+    if len(winners) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype="int64"),
+            "s_name": pd.Series([], dtype=object),
+        })
+    winners = winners.drop_duplicates("l_suppkey")
+
+    supp = sf_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    if supp.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        sdf = supp.to_pandas()
+        names = dict(zip(sdf.s_suppkey.astype(int), sdf.s_name))
+        winners = winners.assign(s_name=winners.l_suppkey.map(names))
+    else:
+        winners = hash_join(
+            ray.data.from_pandas(winners.rename(
+                columns={"l_suppkey": "s_suppkey"})),
+            supp, "s_suppkey", n_buckets=4).to_pandas() \
+            .rename(columns={"s_suppkey": "l_suppkey",
+                             "r_s_name": "s_name"})
+    winners = winners.sort_values("l_suppkey").reset_index(drop=True)
+    return pd.DataFrame({
+        "s_suppkey": winners.l_suppkey.astype("int64").to_numpy(),
+        "s_name": winners.s_name.to_numpy(),
+    })
+
+
+def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier; no partsupp/
+    ps_supplycost, so the cost proxy is s_acctbal and the
+    supplier-part relation is the one observed in lineitem): size-15
+    partkeys and the EUROPE-region supplier attribute dict are both
+    size-gated broadcasts (join fallbacks), distinct (partkey,
+    suppkey) pairs fold through a partkey-bucketed exchange, the
+    per-part argmin — (s_acctbal, s_suppkey) lexicographic, so double
+    ties break on the exact int key — resolves inside the bucket,
+    and the final TPC-H top-100 by (s_acctbal DESC, nation, s_name,
+    p_partkey) is a per-block top-k + driver fold."""
+    from ..sketches import hash64
+    from ..stages.joins import hash_join
+
+    SIZE = 15
+    REGION = "EUROPE"
+    K = 100
+    n_buckets = 16
+    nation = sf_table(sf_dir, "nation",
+                      columns=["n_nationkey", "n_name",
+                               "n_regionkey"]).to_pandas()
+    region = sf_table(sf_dir, "region",
+                      columns=["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(region.loc[region.r_name == REGION,
+                           "r_regionkey"].astype(int))
+    nat = nation.loc[nation.n_regionkey.isin(rkeys)]
+    nmap = dict(zip(nat.n_nationkey.astype(int), nat.n_name))
+    part = sf_table(sf_dir, "part", columns=["p_partkey", "p_size"])
+    supp = sf_table(sf_dir, "supplier",
+                    columns=["s_suppkey", "s_name", "s_nationkey",
+                             "s_acctbal"])
+    li = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_suppkey"])
+
+    if part.count() <= _BROADCAST_JOIN_MAX_ROWS:
+        pdf = part.to_pandas()
+        pkeys = ray.put(set(pdf.loc[pdf.p_size == SIZE,
+                                    "p_partkey"].astype(int)))
+        del pdf
+
+        def li_filter(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            return b.loc[b.l_partkey.isin(get_broadcast(pkeys))]
+
+        li_f = li.map_batches(li_filter, batch_format="pandas",
+                              batch_size=65536)
+    else:
+        part_f = part.map_batches(
+            lambda b: b.loc[b.p_size == SIZE, ["p_partkey"]]
+                       .rename(columns={"p_partkey": "l_partkey"}),
+            batch_format="pandas")
+        li_f = hash_join(li, part_f, "l_partkey", n_buckets=32,
+                         how="semi")
+
+    sdf = supp.to_pandas() if supp.count() <= _BROADCAST_JOIN_MAX_ROWS \
+        else None
+    if sdf is not None:
+        eu = sdf.loc[sdf.s_nationkey.isin(nmap.keys())]
+        sattr = ray.put({int(k): (float(a), str(n), nmap[int(nk)])
+                         for k, a, n, nk
+                         in zip(eu.s_suppkey, eu.s_acctbal,
+                                eu.s_name, eu.s_nationkey)})
+        del sdf, eu
+
+        def pair_partial(b: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            d = get_broadcast(sattr)
+            g = b[["l_partkey", "l_suppkey"]].drop_duplicates()
+            g = g.loc[g.l_suppkey.isin(d.keys())]
+            g = pd.DataFrame({
+                "l_partkey": g.l_partkey.to_numpy(np.int64),
+                "l_suppkey": g.l_suppkey.to_numpy(np.int64)})
+            g["bucket"] = (hash64(g.l_partkey.to_numpy(np.int64)
+                                  .view(np.uint64))
+                           % np.uint64(n_buckets)).astype(np.int64)
+            return g
+
+        pairs = li_f.map_batches(pair_partial, batch_format="pandas",
+                                 batch_size=65536)
+
+        def part_fold(g: pd.DataFrame) -> pd.DataFrame:
+            from ..functions.broadcast import get_broadcast
+            d = get_broadcast(sattr)
+            m = g.drop_duplicates(["l_partkey", "l_suppkey"]).copy()
+            trip = m.l_suppkey.map(d)
+            m["s_acctbal"] = trip.str[0].astype(np.float64)
+            m["s_name"] = trip.str[1]
+            m["nation"] = trip.str[2]
+            m = m.sort_values(["l_partkey", "s_acctbal", "l_suppkey"])
+            m = m.drop_duplicates("l_partkey", keep="first")
+            return m.sort_values(
+                ["s_acctbal", "nation", "s_name", "l_partkey"],
+                ascending=[False, True, True, True]).head(K) \
+                [["l_partkey", "l_suppkey", "s_acctbal", "s_name",
+                  "nation"]]
+
+        cand = pairs.groupby("bucket").map_groups(
+            part_fold, batch_format="pandas").to_pandas()
+    else:
+        supp_f = supp.map_batches(
+            lambda b: b.loc[b.s_nationkey.isin(nmap.keys())]
+                       .assign(nation=lambda x:
+                               x.s_nationkey.map(nmap))
+                       .rename(columns={"s_suppkey": "l_suppkey"})
+                       [["l_suppkey", "s_acctbal", "s_name", "nation"]],
+            batch_format="pandas")
+        dpairs = li_f.map_batches(
+            lambda b: b[["l_partkey", "l_suppkey"]].drop_duplicates(),
+            batch_format="pandas")
+        j = hash_join(dpairs, supp_f, "l_suppkey", n_buckets=16)
+
+        def part_fold2(b: pd.DataFrame) -> pd.DataFrame:
+            m = pd.DataFrame({
+                "l_partkey": b.l_partkey.to_numpy(np.int64),
+                "l_suppkey": b.l_suppkey.to_numpy(np.int64),
+                "s_acctbal": b.r_s_acctbal.astype(np.float64),
+                "s_name": b.r_s_name, "nation": b.r_nation,
+            }).drop_duplicates(["l_partkey", "l_suppkey"])
+            m["bucket"] = (hash64(m.l_partkey.to_numpy(np.int64)
+                                  .view(np.uint64))
+                           % np.uint64(n_buckets)).astype(np.int64)
+            return m
+
+        def part_fold3(g: pd.DataFrame) -> pd.DataFrame:
+            m = g.drop_duplicates(["l_partkey", "l_suppkey"])
+            m = m.sort_values(["l_partkey", "s_acctbal", "l_suppkey"])
+            m = m.drop_duplicates("l_partkey", keep="first")
+            return m.sort_values(
+                ["s_acctbal", "nation", "s_name", "l_partkey"],
+                ascending=[False, True, True, True]).head(K) \
+                [["l_partkey", "l_suppkey", "s_acctbal", "s_name",
+                  "nation"]]
+
+        cand = j.map_batches(part_fold2, batch_format="pandas") \
+            .groupby("bucket").map_groups(part_fold3,
+                                          batch_format="pandas") \
+            .to_pandas()
+
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "s_acctbal": pd.Series([], dtype="float64"),
+            "s_name": pd.Series([], dtype=object),
+            "nation": pd.Series([], dtype=object),
+            "p_partkey": pd.Series([], dtype="int64"),
+            "s_suppkey": pd.Series([], dtype="int64"),
+        })
+    out = cand.sort_values(
+        ["s_acctbal", "nation", "s_name", "l_partkey"],
+        ascending=[False, True, True, True]).head(K)
+    return pd.DataFrame({
+        "s_acctbal": out.s_acctbal.to_numpy(np.float64),
+        "s_name": out.s_name.to_numpy(),
+        "nation": out.nation.to_numpy(),
+        "p_partkey": out.l_partkey.astype("int64").to_numpy(),
+        "s_suppkey": out.l_suppkey.astype("int64").to_numpy(),
+    }).reset_index(drop=True)

@@ -295,6 +295,9 @@ def run_queries() -> dict[str, float]:
         "tpch_q3_shipping_priority", "tpch_q6_forecast_revenue",
         "tpch_q9_product_type_profit", "tpch_q14_promo_effect",
         "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+        "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
+        "tpch_q16_supplier_part_counts", "tpch_q20_part_promotion",
+        "tpch_q21_waiting_suppliers",
     ]
     qs = E.queries()
     out = {}

@@ -2171,3 +2171,95 @@ class TestTpchShapeBatch3:
             assert int(round(r.total_revenue * 10000)) == mx
         assert sorted(out.s_suppkey) == \
             sorted(per.index[per == mx].tolist())
+
+
+class TestTpchShapeBatch4:
+    """Q2/Q11/Q16/Q20/Q21 shapes: gate-forced fallbacks must match
+    the broadcast fast paths bit-for-bit, plus a pandas brute force
+    of Q21's lone-late-supplier rule."""
+
+    def test_gate_forced_fallbacks_match_broadcast(
+            self, ray_session, monkeypatch):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        for fn in (Q.tpch_q2_min_cost_supplier,
+                   Q.tpch_q11_important_parts,
+                   Q.tpch_q16_supplier_part_counts,
+                   Q.tpch_q20_part_promotion,
+                   Q.tpch_q21_waiting_suppliers):
+            fast = fn(SF)
+            monkeypatch.setattr(Q, "_BROADCAST_JOIN_MAX_ROWS", 0)
+            slow = fn(SF)
+            monkeypatch.undo()
+            pd.testing.assert_frame_equal(
+                fast.reset_index(drop=True), slow.reset_index(drop=True))
+
+    def test_q21_matches_pandas_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q21_waiting_suppliers(SF)
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_suppkey",
+                                    "l_shipdate"]).to_pandas()
+        o = pq.read_table(f"{SF}/orders.parquet",
+                          columns=["o_orderkey",
+                                   "o_orderdate"]).to_pandas()
+        m = li.groupby(["l_orderkey", "l_suppkey"], as_index=False) \
+            .l_shipdate.max()
+        m = m.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+        m["late"] = m.l_shipdate > m.o_orderdate + pd.Timedelta(days=60)
+        per = m.groupby("l_orderkey").agg(n_supp=("l_suppkey", "size"),
+                                          n_late=("late", "sum"))
+        ok = per.index[(per.n_supp >= 2) & (per.n_late == 1)]
+        hit = m.loc[m.l_orderkey.isin(ok) & m.late]
+        exp = hit.groupby("l_suppkey").size()
+        got = dict(zip(out.s_suppkey, out.numwait))
+        assert got == {int(k): int(v) for k, v in exp.items()}
+        # sorted by numwait desc then suppkey
+        key = list(zip(-out.numwait, out.s_suppkey))
+        assert key == sorted(key)
+
+    def test_q11_threshold_is_exact_share(self, ray_session):
+        """Every returned part's value share exceeds 1% of the
+        recomputed exact total; every omitted part's does not."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q11_important_parts(SF)
+        pv = duckdb.sql(f"""
+            SELECT l.l_partkey,
+                   sum(CAST(round(l.l_extendedprice*(1-l.l_discount)
+                       *10000) AS BIGINT)) AS val
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+            JOIN '{SF}/nation.parquet' n ON n.n_nationkey = s.s_nationkey
+            JOIN '{SF}/region.parquet' r ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'EUROPE' GROUP BY 1
+        """).df()
+        total = int(pv.val.sum())
+        exp = {int(k) for k, v in zip(pv.l_partkey, pv.val)
+               if int(v) * 10000 > 100 * total}
+        assert set(out.l_partkey) == exp
+
+    def test_q2_argmin_tiebreak(self, ray_session):
+        """Per returned part, no EUROPE supplier observed for that
+        part has a smaller (acctbal, suppkey) pair."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.tpch_q2_min_cost_supplier(SF)
+        pairs = duckdb.sql(f"""
+            SELECT DISTINCT l.l_partkey, l.l_suppkey, s.s_acctbal
+            FROM '{SF}/lineitem.parquet' l
+            JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+            JOIN '{SF}/supplier.parquet' s ON s.s_suppkey = l.l_suppkey
+            JOIN '{SF}/nation.parquet' n ON n.n_nationkey = s.s_nationkey
+            JOIN '{SF}/region.parquet' r ON r.r_regionkey = n.n_regionkey
+            WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+        """).df()
+        for _, row in out.iterrows():
+            cand = pairs.loc[pairs.l_partkey == row.p_partkey]
+            best = min(zip(cand.s_acctbal, cand.l_suppkey))
+            assert (row.s_acctbal, row.s_suppkey) == best
