@@ -307,6 +307,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16_supplier_part_counts": Q.tpch_q16_supplier_part_counts,
         "tpch_q20_part_promotion": Q.tpch_q20_part_promotion,
         "tpch_q21_waiting_suppliers": Q.tpch_q21_waiting_suppliers,
+        "durbin_watson_hourly": Q.durbin_watson_hourly,
+        "grubbs_hourly": Q.grubbs_hourly,
+        "zero_share_drift_events": Q.zero_share_drift_events,
+        "cochran_armitage_error_trend": Q.cochran_armitage_error_trend,
+        "hapax_vocab_stats": Q.hapax_vocab_stats,
+        "token_burstiness_stats": Q.token_burstiness_stats,
+        "poisson_dispersion_hourly": Q.poisson_dispersion_hourly,
+        "hod_uniformity_chi2": Q.hod_uniformity_chi2,
+        "doc_length_gini": Q.doc_length_gini,
+        "source_lang_cramers_v": Q.source_lang_cramers_v,
     }
 
 
@@ -906,6 +916,7 @@ _VALUE_CLEAN_QUERIES = [
     "cuped_variance_reduction",
     "welch_t_drift_events", "brown_forsythe_variance_drift",
     "runs_test_hourly", "mann_kendall_hourly", "jarque_bera_hourly",
+    "durbin_watson_hourly", "grubbs_hourly", "zero_share_drift_events",
 ]
 
 
@@ -3598,8 +3609,9 @@ def _oracle_sql_raw() -> dict[str, str]:
             GROUP BY 1, 2, 3
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
-        # Q11 shape: >1% rule decided by exact HUGEINT
-        # cross-multiplication in basis-point space
+        # Q11 shape: 'important' = value > 1.5x mean part value (the
+        # scale-invariant analogue of the fraction*total cut), decided
+        # by exact HUGEINT cross-multiplication 2*val*P > 3*total
         "tpch_q11_important_parts": """
             WITH lf AS (
                 SELECT l.l_partkey,
@@ -3613,12 +3625,14 @@ def _oracle_sql_raw() -> dict[str, str]:
             ),
             pv AS (SELECT l_partkey, CAST(sum(v) AS HUGEINT) AS val_c
                    FROM lf GROUP BY 1),
-            t AS (SELECT CAST(coalesce(sum(v), 0) AS HUGEINT) AS total
+            t AS (SELECT CAST(coalesce(sum(v), 0) AS HUGEINT) AS total,
+                         CAST(count(DISTINCT l_partkey) AS HUGEINT)
+                             AS p
                   FROM lf)
             SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
                    CAST(val_c AS DOUBLE) / 10000.0 AS value
             FROM pv, t
-            WHERE val_c * 10000 > 100 * total
+            WHERE 2 * val_c * p > 3 * total
             ORDER BY val_c DESC, l_partkey
         """,
         # Q20 shape: promotable = >50 units of a red part shipped 1996
@@ -3672,6 +3686,374 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM am WHERE rn = 1
             ORDER BY s_acctbal DESC, nation, s_name, l_partkey
             LIMIT 100
+        """,
+        # Durbin-Watson over hourly means: sequential list_reduce
+        # LEFT folds in hour order (the ACF bit-level recipe)
+        "durbin_watson_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            mm AS (
+                SELECT xs, nh,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(xs, (a, b) -> a + b)
+                                 / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS m
+                FROM arr
+            ),
+            dd AS (
+                SELECT xs, nh, m,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(xs,
+                                     v -> (v - m) * (v - m)),
+                                 (a, b) -> a + b)
+                            ELSE 0.0 END AS den,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(
+                                     generate_series(2, nh),
+                                     t -> (xs[t] - xs[t - 1])
+                                          * (xs[t] - xs[t - 1])),
+                                 (a, b) -> a + b)
+                            ELSE 0.0 END AS num
+                FROM mm
+            )
+            SELECT nh AS n_hours, m AS mean_of_means,
+                   den AS ss_resid,
+                   CASE WHEN nh >= 2 AND den > 0.0 THEN num / den
+                        ELSE 0.0 END AS dw_stat
+            FROM dd
+        """,
+        # Grubbs: fold-derived mean/sd; the argmax deviation hour is
+        # a deterministic selection over bit-identical doubles
+        "grubbs_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+                FROM events GROUP BY 1
+            ),
+            hm AS (SELECT hour,
+                          (CAST(value_c AS DOUBLE) / 100.0) / n AS m
+                   FROM h),
+            arr AS (
+                SELECT list(m ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM hm
+            ),
+            mm AS (
+                SELECT xs, nh,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(xs, (a, b) -> a + b)
+                                 / CAST(nh AS DOUBLE)
+                            ELSE 0.0 END AS mean
+                FROM arr
+            ),
+            sv AS (
+                SELECT nh, mean,
+                       CASE WHEN nh >= 2
+                            THEN list_reduce(list_transform(xs,
+                                     v -> (v - mean) * (v - mean)),
+                                 (a, b) -> a + b)
+                                 / CAST(nh - 1 AS DOUBLE)
+                            ELSE 0.0 END AS var
+                FROM mm
+            ),
+            pk AS (
+                SELECT hm.hour, abs(hm.m - sv.mean) AS dev
+                FROM hm, sv
+                ORDER BY abs(hm.m - sv.mean) DESC, hm.hour
+                LIMIT 1
+            )
+            SELECT sv.nh AS n_hours, sv.mean AS mean_of_means,
+                   CASE WHEN sv.nh >= 2 AND sv.var > 0.0
+                        THEN sqrt(sv.var) ELSE 0.0 END AS sd,
+                   CASE WHEN sv.nh >= 2 AND sv.var > 0.0
+                        THEN (SELECT dev FROM pk) / sqrt(sv.var)
+                        ELSE 0.0 END AS g_stat,
+                   CASE WHEN sv.nh >= 2 AND sv.var > 0.0
+                        THEN (SELECT strftime(hour,
+                                  '%Y-%m-%d %H:%M:%S') FROM pk)
+                        ELSE '' END AS peak_hour
+            FROM sv
+        """,
+        # zero-inflation drift: exact counts, prop_drift's fixed shape
+        "zero_share_drift_events": """
+            WITH u AS (
+                SELECT value, event_id % 2 = 0 AS is_ref FROM events
+            ),
+            s AS (
+                SELECT
+                    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n1,
+                    CAST(coalesce(sum(CASE WHEN is_ref
+                             AND value = CAST(0.0 AS DOUBLE)
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS z1,
+                    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END)
+                         AS BIGINT) AS n2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_ref
+                             AND value = CAST(0.0 AS DOUBLE)
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS z2
+                FROM u
+            ),
+            e AS (
+                SELECT *,
+                       CASE WHEN n1 = 0 THEN 0.0
+                            ELSE CAST(z1 AS DOUBLE)
+                                 / CAST(n1 AS DOUBLE) END AS s1,
+                       CASE WHEN n2 = 0 THEN 0.0
+                            ELSE CAST(z2 AS DOUBLE)
+                                 / CAST(n2 AS DOUBLE) END AS s2,
+                       CASE WHEN n1 = 0 OR n2 = 0 THEN 0.0
+                            ELSE (CAST(z1 + z2 AS DOUBLE)
+                                  / CAST(n1 + n2 AS DOUBLE)
+                                  * (1.0 - CAST(z1 + z2 AS DOUBLE)
+                                           / CAST(n1 + n2 AS DOUBLE)))
+                                 * (1.0 / CAST(n1 AS DOUBLE)
+                                    + 1.0 / CAST(n2 AS DOUBLE))
+                       END AS se2
+                FROM s
+            ),
+            zc AS (
+                SELECT *,
+                       CASE WHEN n1 = 0 OR n2 = 0 OR se2 <= 0.0
+                            THEN 0.0
+                            ELSE (s1 - s2) / sqrt(se2) END AS zv
+                FROM e
+            )
+            SELECT n1 AS n_ref, n2 AS n_prod,
+                   z1 AS zero_ref, z2 AS zero_prod,
+                   s1 AS share_ref, s2 AS share_prod,
+                   zv AS z_value, abs(zv) > 1.96 AS significant
+            FROM zc
+        """,
+        # Cochran-Armitage linear trend in the hourly error share:
+        # exact HUGEINT sufficient statistics, ONE fixed-shape z
+        "cochran_armitage_error_trend": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN event_type = 'error'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS r
+                FROM events GROUP BY 1
+            ),
+            o AS (
+                SELECT n, r,
+                       CAST(row_number() OVER (ORDER BY hour) - 1
+                            AS HUGEINT) AS t
+                FROM h
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS nh,
+                       CAST(coalesce(sum(n), 0) AS HUGEINT) AS nn,
+                       CAST(coalesce(sum(r), 0) AS HUGEINT) AS rr,
+                       CAST(coalesce(sum(t * r), 0) AS HUGEINT) AS s1,
+                       CAST(coalesce(sum(t * n), 0) AS HUGEINT) AS s2,
+                       CAST(coalesce(sum(t * t * n), 0) AS HUGEINT)
+                           AS s3
+                FROM o
+            ),
+            v AS (
+                SELECT nh, nn, rr,
+                       nn * s1 - rr * s2 AS num,
+                       rr * (nn - rr) * (nn * s3 - s2 * s2) AS vv
+                FROM s
+            ),
+            zc AS (
+                SELECT nh, nn, rr,
+                       CASE WHEN nn = 0 OR vv <= 0 THEN 0.0
+                            ELSE CAST(num AS DOUBLE)
+                                 / sqrt(CAST(vv AS DOUBLE)
+                                        / CAST(nn AS DOUBLE))
+                       END AS z
+                FROM v
+            )
+            SELECT nh AS n_hours, CAST(nn AS BIGINT) AS n_total,
+                   CAST(rr AS BIGINT) AS n_error, z AS z_value,
+                   abs(z) > 1.96 AS significant
+            FROM zc
+        """,
+        # corpus vocabulary profile: exact token counts, ONE divisions
+        "hapax_vocab_stats": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            per AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+            s AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS total,
+                       CAST(count(*) AS BIGINT) AS vocab,
+                       CAST(coalesce(sum(CASE WHEN n = 1
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS hapax
+                FROM per
+            )
+            SELECT total AS n_tokens, vocab AS n_vocab,
+                   hapax AS n_hapax,
+                   CASE WHEN total = 0 THEN 0.0
+                        ELSE CAST(vocab AS DOUBLE)
+                             / CAST(total AS DOUBLE)
+                   END AS type_token_ratio,
+                   CASE WHEN vocab = 0 THEN 0.0
+                        ELSE CAST(hapax AS DOUBLE)
+                             / CAST(vocab AS DOUBLE)
+                   END AS hapax_share
+            FROM s
+        """,
+        # token burstiness cf/df: exact ints, deterministic top-k
+        "token_burstiness_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            per AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cf,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM toks GROUP BY 1
+            )
+            SELECT token, cf, df,
+                   CAST(cf AS DOUBLE) / CAST(df AS DOUBLE)
+                       AS burstiness
+            FROM per ORDER BY cf DESC, token LIMIT 20
+        """,
+        # Fisher dispersion of hourly counts: D and VMR each ONE
+        # division of exact HUGEINT statistics
+        "poisson_dispersion_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(coalesce(sum(CAST(c AS HUGEINT)), 0)
+                            AS HUGEINT) AS s,
+                       CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0)
+                            AS HUGEINT) AS s2
+                FROM h
+            )
+            SELECT n AS n_hours, CAST(s AS BIGINT) AS n_events,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS mean_per_hour,
+                   CASE WHEN s <= 0 THEN 0.0
+                        ELSE CAST(n * s2 - s * s AS DOUBLE)
+                             / CAST(s AS DOUBLE)
+                   END AS dispersion_d,
+                   CASE WHEN n < 2 OR s <= 0 THEN 0.0
+                        ELSE CAST(n * s2 - s * s AS DOUBLE)
+                             / CAST((n - 1) * s AS DOUBLE)
+                   END AS vmr
+            FROM s
+        """,
+        # hour-of-day uniformity: chi2 = (24*sum(o^2) - N^2)/N exact;
+        # absent hods count 0 and cannot win the argmax unless N = 0
+        "hod_uniformity_chi2": """
+            WITH h AS (
+                SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                       CAST(count(*) AS BIGINT) AS o
+                FROM events GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(coalesce(sum(CAST(o AS HUGEINT)), 0)
+                            AS HUGEINT) AS n,
+                       CAST(coalesce(sum(CAST(o AS HUGEINT) * o), 0)
+                            AS HUGEINT) AS s2
+                FROM h
+            ),
+            pk AS (SELECT hod, o FROM h ORDER BY o DESC, hod LIMIT 1)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(24 * s2 - n * n AS DOUBLE)
+                             / CAST(n AS DOUBLE)
+                   END AS chi2_stat,
+                   CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                        ELSE (SELECT hod FROM pk) END AS peak_hod,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST((SELECT o FROM pk) AS DOUBLE)
+                             / CAST(n AS DOUBLE)
+                   END AS peak_share
+            FROM s
+        """,
+        # corpus-length Gini: the gini_value_per_type recipe with ONE
+        # group and n_chars as the exact integer value
+        "doc_length_gini": """
+            WITH c AS (
+                SELECT CAST(n_chars AS BIGINT) AS v,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM documents GROUP BY 1
+            ),
+            w AS (
+                SELECT v, c, sum(c) OVER (ORDER BY v) - c AS clt
+                FROM c
+            ),
+            a AS (
+                SELECT CAST(coalesce(sum(CAST(v AS HUGEINT)
+                                * (c * clt + c * (c + 1) / 2)), 0)
+                            AS HUGEINT) AS rws,
+                       CAST(coalesce(sum(CAST(v AS HUGEINT) * c), 0)
+                            AS HUGEINT) AS s,
+                       CAST(coalesce(sum(c), 0) AS HUGEINT) AS n
+                FROM w
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CAST(s AS BIGINT) AS total_chars,
+                   CASE WHEN s <= 0 THEN 0.0
+                        ELSE CAST(2 * rws - (n + 1) * s AS DOUBLE)
+                             / CAST(n * s AS DOUBLE)
+                   END AS gini
+            FROM a
+        """,
+        # source x lang association: the cramers_v_type_band grid
+        # recipe (round(9) contract) over the documents dimensions
+        "source_lang_cramers_v": """
+            WITH u AS (
+                SELECT coalesce(source, '') AS source,
+                       coalesce(lang, '') AS lang
+                FROM documents
+            ),
+            ct AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+                   FROM u GROUP BY 1, 2),
+            rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+                   FROM ct GROUP BY 1),
+            cl AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c
+                   FROM ct GROUP BY 1),
+            nn AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n
+                   FROM ct),
+            grid AS (
+                SELECT CAST(coalesce(ct.o, 0) AS BIGINT) AS o,
+                       CAST(rt.r * cl.c AS DOUBLE)
+                           / (SELECT n FROM nn) AS e
+                FROM rt CROSS JOIN cl
+                LEFT JOIN ct ON ct.source = rt.source
+                            AND ct.lang = cl.lang
+            ),
+            chi AS (
+                SELECT round(sum((CAST(o AS DOUBLE) - e)
+                                 * (CAST(o AS DOUBLE) - e) / e), 9)
+                           AS chi2,
+                       (SELECT count(*) FROM rt) AS r,
+                       (SELECT count(*) FROM cl) AS k
+                FROM grid
+            )
+            SELECT (SELECT n FROM nn) AS n,
+                   CAST(r AS BIGINT) AS n_sources,
+                   CAST(k AS BIGINT) AS n_langs,
+                   CAST(chi2 AS DOUBLE) AS chi2_stat,
+                   CASE WHEN least(r - 1, k - 1) = 0 THEN 0.0
+                        ELSE round(sqrt(chi2 / ((SELECT n FROM nn)
+                                   * least(r - 1, k - 1))), 9)
+                   END AS cramers_v
+            FROM chi
         """,
         "benford_first_digit_audit": _benford_sql(),
         "acf_hourly_means": _acf_sql(),

@@ -12150,6 +12150,34 @@ def _hourly_mean_series(sf_dir: str) -> np.ndarray:
         / hourly.n.to_numpy(np.float64)
 
 
+def _hourly_means_frame(sf_dir: str) -> pd.DataFrame:
+    """(hour, m) frame variant of ``_hourly_mean_series`` for the
+    statistics that also report WHICH hour (Grubbs peak). Same exact
+    exchange and the identical per-element IEEE mean expression."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "value_c": round_half_away(b.value.to_numpy() * 100).astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("value_c", "size"), value_c=("value_c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    if len(hourly) == 0:
+        return pd.DataFrame({"hour": pd.Series([], dtype="datetime64[us]"),
+                             "m": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({
+        "hour": hourly.hour,
+        "m": (hourly.value_c.to_numpy(np.float64) / 100.0)
+             / hourly.n.to_numpy(np.float64),
+    })
+
+
 def runs_test_hourly(sf_dir: str) -> pd.DataFrame:
     """Wald-Wolfowitz runs test for randomness of the hourly
     mean-value series about its median (Wald & Wolfowitz 1940 — the
@@ -13022,17 +13050,18 @@ def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
     revenue of EUROPE-region suppliers): the region's suppkeys come
     from supplier ⋈ 25-row nation/region driver lookups as a
     size-gated broadcast set (semi-join fallback); the global value
-    total folds as per-block scalar int partials; per-part values
-    fold through ONE partkey-bucketed exchange where the >1%% rule is
-    decided IN the bucket against the broadcast exact-int total by
-    cross-multiplication (value·10000 > 100·total — one basis-point
-    space, no floats), so only qualifying parts (< 100 by
-    construction) ever reach the driver."""
+    total and the part count fold as per-block partials; per-part
+    values fold through ONE partkey-bucketed exchange where the
+    'important' rule — value > 1.5× the mean part value, the
+    scale-invariant analogue of Q11's fraction·total cut (a fixed
+    fraction goes empty at every SF since shares shrink as 1/#parts)
+    — is decided IN the bucket by exact integer cross-multiplication
+    2·val·P > 3·total, so only the concentrated tail (< 2P/3 rows by
+    Markov, in practice a small fraction) reaches the driver."""
     from ..sketches import hash64
     from ..stages.joins import hash_join
 
     REGION = "EUROPE"
-    BPS = 100            # threshold: value > (BPS/10000) of total
     n_buckets = 16
     nation = sf_table(sf_dir, "nation",
                       columns=["n_nationkey", "n_regionkey"]).to_pandas()
@@ -13084,18 +13113,28 @@ def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
 
     partials = li_f.map_batches(val_partial, batch_format="pandas",
                                 batch_size=65536).materialize()
-    total = int(sum(int(x) for x in
-                    partials.map_batches(
-                        lambda b: pd.DataFrame(
-                            {"t": [int(b.val_c.sum())]}),
-                        batch_format="pandas").to_pandas().t))
+    scal = partials.map_batches(
+        lambda b: pd.DataFrame({
+            "t": [int(b.val_c.sum())],
+            # buckets partition partkeys, but a partkey repeats across
+            # BLOCKS — count distinct per (block, bucket) here and
+            # dedupe exactly in the bucket pass below
+        }), batch_format="pandas").to_pandas()
+    total = int(scal.t.sum())
+    # exact global part count: per-bucket distinct partkeys (buckets
+    # partition the key space, so the sum is exact)
+    pcounts = partials.groupby("bucket").map_groups(
+        lambda g: pd.DataFrame(
+            {"p": [int(g.l_partkey.nunique())]}),
+        batch_format="pandas").to_pandas()
+    n_parts = int(pcounts.p.sum())
 
     def part_fold(g: pd.DataFrame) -> pd.DataFrame:
         m = g.groupby("l_partkey", as_index=False).agg(
             val_c=("val_c", "sum"))
-        # exact basis-point rule: val*10000 > BPS*total (python ints)
+        # exact mean-relative rule: 2*val*P > 3*total (python ints)
         keep = [i for i, v in enumerate(m.val_c)
-                if int(v) * 10000 > BPS * total]
+                if 2 * int(v) * n_parts > 3 * total]
         return m.iloc[keep]
 
     out = partials.groupby("bucket").map_groups(
@@ -13370,3 +13409,447 @@ def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
         "p_partkey": out.l_partkey.astype("int64").to_numpy(),
         "s_suppkey": out.l_suppkey.astype("int64").to_numpy(),
     }).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-9: residual-diagnostics / trend completion tier
+# ---------------------------------------------------------------------------
+
+def durbin_watson_hourly(sf_dir: str) -> pd.DataFrame:
+    """Durbin-Watson first-order autocorrelation diagnostic over the
+    hourly mean-value series (Durbin & Watson 1950 — the residual
+    serial-correlation companion of ACF/Ljung-Box): DW =
+    Σ(x_t − x_{t−1})² / Σ(x_t − mean)², every sum a SEQUENTIAL left
+    fold in hour order mirrored by DuckDB list_reduce (the ACF
+    bit-level recipe); the hourly means are fixed-shape IEEE
+    expressions of exact cents ints, so the whole statistic is
+    bit-deterministic. n<2 or zero variance guards DW to 0.0."""
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    mean = den = num = dw = 0.0
+    if nh >= 2:
+        acc = float(x[0])
+        for t in range(1, nh):
+            acc = acc + float(x[t])
+        mean = acc / float(nh)
+        den = (float(x[0]) - mean) * (float(x[0]) - mean)
+        for t in range(1, nh):
+            den = den + (float(x[t]) - mean) * (float(x[t]) - mean)
+        num = ((float(x[1]) - float(x[0]))
+               * (float(x[1]) - float(x[0])))
+        for t in range(2, nh):
+            num = num + ((float(x[t]) - float(x[t - 1]))
+                         * (float(x[t]) - float(x[t - 1])))
+        dw = 0.0 if den <= 0.0 else num / den
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "mean_of_means": [float(mean)],
+        "ss_resid": [float(den)], "dw_stat": [float(dw)],
+    })
+
+
+def grubbs_hourly(sf_dir: str) -> pd.DataFrame:
+    """Grubbs' max-studentized-deviation outlier test over the hourly
+    means (Grubbs 1950): mean and Σ(x−mean)² are sequential left
+    folds in hour order (bit-level vs list_reduce), the sample sd
+    uses ddof=1, G = max|x−mean|/sd, and the peak hour is the
+    EARLIEST hour attaining the max — deviations are deterministic
+    doubles, so the argmax selection is exact on both sides. n<2 or
+    zero sd guards G to 0.0 and the peak to the '' sentinel."""
+    import math
+
+    hm = _hourly_means_frame(sf_dir)
+    x = hm.m.to_numpy()
+    nh = len(x)
+    mean = sd = g = 0.0
+    peak = ""
+    if nh >= 2:
+        acc = float(x[0])
+        for t in range(1, nh):
+            acc = acc + float(x[t])
+        mean = acc / float(nh)
+        ss = (float(x[0]) - mean) * (float(x[0]) - mean)
+        for t in range(1, nh):
+            ss = ss + (float(x[t]) - mean) * (float(x[t]) - mean)
+        var = ss / float(nh - 1)
+        if var > 0.0:
+            sd = math.sqrt(var)
+            dev = np.abs(x - mean)
+            i = int(np.argmax(dev))        # first max in hour order
+            g = float(dev[i]) / sd
+            peak = hm.hour.iloc[i].strftime("%Y-%m-%d %H:%M:%S")
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "mean_of_means": [float(mean)],
+        "sd": [float(sd)], "g_stat": [float(g)], "peak_hour": [peak],
+    })
+
+
+def zero_share_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Zero-inflation drift between the parity halves: the share of
+    exactly-zero values (0.0 and -0.0 compare equal on both sides)
+    per half from exact int counts, and the two-proportion z of
+    prop_drift_per_type's fixed-shape recipe — pooled share, one
+    sqrt, one final division, all operands exact ints."""
+    import math
+
+    ds = _events_two_sample(sf_dir)
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        v = b.value.to_numpy()
+        is_ref = b.is_ref.to_numpy(bool)
+        z = v == 0.0
+        return pd.DataFrame({
+            "n1": [int(is_ref.sum())], "z1": [int(z[is_ref].sum())],
+            "n2": [int((~is_ref).sum())], "z2": [int(z[~is_ref].sum())],
+        })
+
+    p = ds.map_batches(fold, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    n1, z1 = int(p.n1.sum()), int(p.z1.sum())
+    n2, z2 = int(p.n2.sum()), int(p.z2.sum())
+    s1 = 0.0 if n1 == 0 else float(z1) / float(n1)
+    s2 = 0.0 if n2 == 0 else float(z2) / float(n2)
+    if n1 == 0 or n2 == 0:
+        zv = 0.0
+    else:
+        pp = float(z1 + z2) / float(n1 + n2)
+        se2 = (pp * (1.0 - pp)) * (1.0 / float(n1) + 1.0 / float(n2))
+        zv = 0.0 if se2 <= 0.0 else (s1 - s2) / math.sqrt(se2)
+    return pd.DataFrame({
+        "n_ref": [np.int64(n1)], "n_prod": [np.int64(n2)],
+        "zero_ref": [np.int64(z1)], "zero_prod": [np.int64(z2)],
+        "share_ref": [float(s1)], "share_prod": [float(s2)],
+        "z_value": [float(zv)],
+        "significant": [bool(abs(zv) > 1.96)],
+    })
+
+
+def cochran_armitage_error_trend(sf_dir: str) -> pd.DataFrame:
+    """Cochran-Armitage trend test (Cochran 1954; Armitage 1955) for
+    a linear time trend in the hourly 'error'-event share: per hour
+    (in hour order, score t_i = 0..H−1) the exact counts n_i (all
+    events) and r_i (errors) fold per block through ONE hour groupby;
+    every sufficient statistic — N, R, S1=Σt·r, S2=Σt·n, S3=Σt²·n —
+    is an exact python int (HUGEINT in SQL: R(N−R)(N·S3−S2²) passes
+    int64), and z = (N·S1 − R·S2) / sqrt(V/N) with V =
+    R·(N−R)·(N·S3 − S2²) is ONE fixed-shape IEEE expression of those
+    ints. Degenerate cases (R=0, R=N, one hour) guard z to 0.0."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "n": np.ones(len(b), dtype=np.int64),
+            "r": (b.event_type == "error").to_numpy()
+                 .astype(np.int64),
+        }).groupby("hour", as_index=False).agg(
+            n=("n", "sum"), r=("r", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("r", alias_name="r")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    nh = len(hourly)
+    N = R = S1 = S2 = S3 = 0
+    for t, (n_i, r_i) in enumerate(zip(hourly.n, hourly.r)):
+        n_i, r_i = int(n_i), int(r_i)
+        N += n_i
+        R += r_i
+        S1 += t * r_i
+        S2 += t * n_i
+        S3 += t * t * n_i
+    num = N * S1 - R * S2
+    v = R * (N - R) * (N * S3 - S2 * S2)
+    if N == 0 or v <= 0:
+        z = 0.0
+    else:
+        z = float(num) / math.sqrt(float(v) / float(N))
+    return pd.DataFrame({
+        "n_hours": [np.int64(nh)], "n_total": [np.int64(N)],
+        "n_error": [np.int64(R)], "z_value": [float(z)],
+        "significant": [bool(abs(z) > 1.96)],
+    })
+
+
+# ---------------------------------------------------------------------------
+# session-9: corpus vocabulary statistics tier
+# ---------------------------------------------------------------------------
+
+def hapax_vocab_stats(sf_dir: str) -> pd.DataFrame:
+    """Corpus vocabulary profile — total tokens, vocabulary size,
+    hapax legomena count (frequency exactly 1), type-token ratio and
+    hapax share (the classic Zipf-tail health indicators for a
+    training corpus): per-block token-count partials flow through ONE
+    token-hash-bucketed exchange (a token lives wholly in one bucket,
+    so per-bucket sums are exact global counts); each bucket returns
+    THREE ints and the driver adds O(buckets) rows. TTR and hapax
+    share are ONE divisions of exact ints."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(32))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame({
+            "n_tokens": [int(m.n.sum())],
+            "n_vocab": [int(len(m))],
+            "n_hapax": [int((m.n == 1).sum())],
+        })
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .to_pandas()
+    total = int(f.n_tokens.sum())
+    vocab = int(f.n_vocab.sum())
+    hapax = int(f.n_hapax.sum())
+    return pd.DataFrame({
+        "n_tokens": [np.int64(total)], "n_vocab": [np.int64(vocab)],
+        "n_hapax": [np.int64(hapax)],
+        "type_token_ratio": [0.0 if total == 0
+                             else float(vocab) / float(total)],
+        "hapax_share": [0.0 if vocab == 0
+                        else float(hapax) / float(vocab)],
+    })
+
+
+def token_burstiness_stats(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Token burstiness — collection frequency over document
+    frequency (Church & Gale 1995: bursty content words have
+    cf/df >> 1, function words ~ uniform): per-block per-doc token
+    multisets fold to (token, cf, df) partials, ONE token-bucketed
+    exchange makes both counts exact global ints, the top-k by
+    (cf DESC, token) is a per-bucket k + driver fold, and burstiness
+    is ONE division of exact ints."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks, cfs, dfs = [], [], []
+        agg: dict = {}
+        for txt in b.text.fillna("").astype(str):
+            u, c = np.unique(np.asarray(
+                WORD_RE.findall(txt.lower()), dtype=object),
+                return_counts=True)
+            for tok, cnt in zip(u, c):
+                e = agg.get(tok)
+                if e is None:
+                    agg[tok] = [int(cnt), 1]
+                else:
+                    e[0] += int(cnt)
+                    e[1] += 1
+        if not agg:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "cf": pd.Series([], dtype=np.int64),
+                                 "df": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        toks = np.asarray(list(agg.keys()), dtype=object)
+        cfs = np.asarray([v[0] for v in agg.values()], dtype=np.int64)
+        dfs = np.asarray([v[1] for v in agg.values()], dtype=np.int64)
+        return pd.DataFrame({
+            "token": toks, "cf": cfs, "df": dfs,
+            "bucket": (hash_any_array(toks) % np.uint64(32))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(cf=("cf", "sum"),
+                                                   df=("df", "sum"))
+        return m.sort_values(["cf", "token"],
+                             ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "token": pd.Series([], dtype=object),
+            "cf": pd.Series([], dtype="int64"),
+            "df": pd.Series([], dtype="int64"),
+            "burstiness": pd.Series([], dtype="float64"),
+        })
+    top = cand.sort_values(["cf", "token"],
+                           ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "token": top.token.to_numpy(),
+        "cf": top.cf.astype("int64").to_numpy(),
+        "df": top.df.astype("int64").to_numpy(),
+        "burstiness": (top.cf.to_numpy(np.int64).astype(np.float64)
+                       / top.df.to_numpy(np.int64).astype(np.float64)),
+    }).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-9: count-process diagnostics + corpus-shape tier
+# ---------------------------------------------------------------------------
+
+def poisson_dispersion_hourly(sf_dir: str) -> pd.DataFrame:
+    """Poisson over/under-dispersion diagnostic of the hourly event
+    COUNT process (Fisher's index of dispersion — the arrival-rate
+    health check beside the value-drift tier): with hourly counts c_i
+    exact ints, D = Σ(c−mean)²/mean = (n·Σc² − (Σc)²)/Σc and the
+    sample variance-to-mean ratio VMR = (n·Σc² − (Σc)²)/((n−1)·Σc)
+    are each ONE IEEE division of exact python ints (HUGEINT in SQL —
+    no rounding contract). Count rows only (no value column), so the
+    raw events table is the contract surface."""
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": np.ones(len(b), dtype=np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")).to_pandas()
+    n = len(hourly)
+    s = int(hourly.c.sum()) if n else 0
+    s2 = sum(int(c) * int(c) for c in hourly.c) if n else 0
+    mean = 0.0 if n == 0 else float(s) / float(n)
+    num = n * s2 - s * s
+    d = 0.0 if s <= 0 else float(num) / float(s)
+    vmr = 0.0 if n < 2 or s <= 0 else float(num) / float((n - 1) * s)
+    return pd.DataFrame({
+        "n_hours": [np.int64(n)], "n_events": [np.int64(s)],
+        "mean_per_hour": [float(mean)],
+        "dispersion_d": [float(d)], "vmr": [float(vmr)],
+    })
+
+
+def hod_uniformity_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square goodness-of-fit of the hour-of-day event histogram
+    against the uniform 1/24 load profile (the diurnal-skew detector
+    beside seasonal_strength): with o_h exact counts over ALL 24
+    buckets (absent hours count 0) and N = Σo, chi² =
+    Σ(o−N/24)²/(N/24) = (24·Σo² − N²)/N — ONE division of exact
+    python ints / HUGEINT. The peak hod is an exact-int argmax
+    (smallest hod on ties) and its share ONE more division."""
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.bincount(b.ts.dt.hour.to_numpy(np.int64),
+                          minlength=24).astype(np.int64)
+        return pd.DataFrame({f"h{h}": [int(cnt[h])] for h in range(24)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    o = [int(parts[f"h{h}"].sum()) for h in range(24)]
+    n = sum(o)
+    s2 = sum(c * c for c in o)
+    chi2 = 0.0 if n == 0 else float(24 * s2 - n * n) / float(n)
+    peak = int(np.argmax(np.asarray(o, dtype=np.int64)))
+    share = 0.0 if n == 0 else float(o[peak]) / float(n)
+    return pd.DataFrame({
+        "n_events": [np.int64(n)], "chi2_stat": [float(chi2)],
+        "peak_hod": [np.int64(peak if n else 0)],
+        "peak_share": [float(share)],
+    })
+
+
+def doc_length_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini concentration of document lengths (n_chars) — the
+    corpus-balance indicator flagging a few giant documents
+    dominating the token budget: the whole corpus is ONE group of the
+    distributed grouped rank-weighted fold
+    (scan.grouped_rank_weighted_sums — tie-invariant exact integer
+    Σi·x_(i)), G = (2·Σi·x_(i) − (n+1)·Σx)/(n·Σx) is ONE IEEE
+    division of exact ints mirrored with HUGEINT; zero total guards
+    to the 0.0 sentinel."""
+    from ..stages.scan import grouped_rank_weighted_sums
+
+    ds = sf_table(sf_dir, "documents", columns=["n_chars"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": np.repeat("all", len(b)),
+            "chars": b.n_chars.to_numpy(np.int64).astype(np.float64),
+        })
+
+    stats_df = grouped_rank_weighted_sums(
+        ds.map_batches(prep, batch_format="pandas"), "g", "chars")
+    if len(stats_df) == 0:
+        return pd.DataFrame({
+            "n_docs": [np.int64(0)], "total_chars": [np.int64(0)],
+            "gini": [0.0],
+        })
+    r = stats_df.iloc[0]
+    n, s, rws = int(r.n), int(r.s), int(r.rws)
+    gini = 0.0 if s <= 0 else float(2 * rws - (n + 1) * s) / float(n * s)
+    return pd.DataFrame({
+        "n_docs": [np.int64(n)], "total_chars": [np.int64(s)],
+        "gini": [float(gini)],
+    })
+
+
+def source_lang_cramers_v(sf_dir: str) -> pd.DataFrame:
+    """Cramér's V association between the documents' source and lang
+    columns (the corpus-stratification balance check — a high V means
+    languages are siloed by source, a sampling hazard): exact
+    contingency counts from bounded per-block partials, chi² over the
+    full r×k grid with expected = row·col/N, and V =
+    sqrt(chi²/(N·min(r−1,k−1))) — both carried at the established
+    round(9) contract (cell SUM order differs between numpy and SQL
+    by ulps only; counts-scale magnitudes)."""
+    ds = sf_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b.source.fillna(""), "lang": b.lang.fillna(""),
+        }).groupby(["source", "lang"], as_index=False).size()
+
+    ct = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536).to_pandas() \
+        .groupby(["source", "lang"], as_index=False)["size"].sum() \
+        .rename(columns={"size": "o"})
+    piv = ct.pivot_table(index="source", columns="lang", values="o",
+                         fill_value=0, aggfunc="sum").sort_index()
+    piv = piv[sorted(piv.columns)]
+    obs = piv.to_numpy(np.int64)
+    if obs.size == 0:
+        return pd.DataFrame({
+            "n": [np.int64(0)], "n_sources": [np.int64(0)],
+            "n_langs": [np.int64(0)], "chi2_stat": [0.0],
+            "cramers_v": [0.0],
+        })
+    rtot = obs.sum(axis=1).astype(np.int64)
+    ctot = obs.sum(axis=0).astype(np.int64)
+    n = int(obs.sum())
+    chi2 = 0.0
+    for i in range(obs.shape[0]):
+        for j in range(obs.shape[1]):
+            e = float(int(rtot[i]) * int(ctot[j])) / float(n)
+            d = float(obs[i, j]) - e
+            chi2 += d * d / e
+    chi2_r = float(round_half_away(chi2, 9))
+    r, k = obs.shape
+    m = min(r - 1, k - 1)
+    v = (0.0 if m == 0
+         else float(round_half_away(
+             float(np.sqrt(chi2_r / float(n * m))), 9)))
+    return pd.DataFrame({
+        "n": [np.int64(n)], "n_sources": [np.int64(r)],
+        "n_langs": [np.int64(k)],
+        "chi2_stat": [chi2_r], "cramers_v": [v],
+    })

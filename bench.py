@@ -298,6 +298,11 @@ def run_queries() -> dict[str, float]:
         "tpch_q2_min_cost_supplier", "tpch_q11_important_parts",
         "tpch_q16_supplier_part_counts", "tpch_q20_part_promotion",
         "tpch_q21_waiting_suppliers",
+        "durbin_watson_hourly", "grubbs_hourly",
+        "zero_share_drift_events", "cochran_armitage_error_trend",
+        "hapax_vocab_stats", "token_burstiness_stats",
+        "poisson_dispersion_hourly", "hod_uniformity_chi2",
+        "doc_length_gini", "source_lang_cramers_v",
     ]
     qs = E.queries()
     out = {}

@@ -2219,9 +2219,10 @@ class TestTpchShapeBatch4:
         key = list(zip(-out.numwait, out.s_suppkey))
         assert key == sorted(key)
 
-    def test_q11_threshold_is_exact_share(self, ray_session):
-        """Every returned part's value share exceeds 1% of the
-        recomputed exact total; every omitted part's does not."""
+    def test_q11_threshold_is_exact_mean_rule(self, ray_session):
+        """Every returned part's value exceeds 1.5x the mean part
+        value by the exact cross-multiplication; omitted parts do
+        not; the cut is non-trivial at sf0.001 (some in, some out)."""
         import duckdb
 
         from aumos_drift_detector_ray.pipelines import table_queries as Q
@@ -2238,9 +2239,11 @@ class TestTpchShapeBatch4:
             WHERE r.r_name = 'EUROPE' GROUP BY 1
         """).df()
         total = int(pv.val.sum())
+        p = len(pv)
         exp = {int(k) for k, v in zip(pv.l_partkey, pv.val)
-               if int(v) * 10000 > 100 * total}
+               if 2 * int(v) * p > 3 * total}
         assert set(out.l_partkey) == exp
+        assert 0 < len(exp) < p
 
     def test_q2_argmin_tiebreak(self, ray_session):
         """Per returned part, no EUROPE supplier observed for that
@@ -2263,3 +2266,349 @@ class TestTpchShapeBatch4:
             cand = pairs.loc[pairs.l_partkey == row.p_partkey]
             best = min(zip(cand.s_acctbal, cand.l_suppkey))
             assert (row.s_acctbal, row.s_suppkey) == best
+
+
+class TestDurbinWatsonHourly:
+    def test_alternating_series_dw_near_4(self, ray_session):
+        """Perfectly alternating hourly means: strong negative
+        autocorrelation, DW -> 4."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 48
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        vals = np.where(np.arange(nh) % 2 == 0, 10.0, 20.0)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals.astype(float))
+            out = Q.durbin_watson_hourly(d)
+        assert out.dw_stat[0] > 3.5
+
+    def test_smooth_trend_dw_near_0(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 48
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(nh, dtype=float))
+            out = Q.durbin_watson_hourly(d)
+        assert out.dw_stat[0] < 0.1
+
+    def test_matches_statsmodels_formula(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.durbin_watson_hourly(SF)
+        hm = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   (CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+                    / 100.0) / count(*) AS m
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = hm.m.to_numpy()
+        e = x - x.mean()
+        dw = (np.diff(x) ** 2).sum() / (e ** 2).sum()
+        assert abs(out.dw_stat[0] - dw) < 1e-9
+
+
+class TestGrubbsHourly:
+    def test_planted_outlier_hour(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 48
+        vals = np.full(nh, 10.0)
+        vals[::2] = 10.5
+        vals[13] = 500.0
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.grubbs_hourly(d)
+        assert out.g_stat[0] > 5
+        assert out.peak_hour[0] == ts[13].strftime("%Y-%m-%d %H:%M:%S")
+
+    def test_constant_series_sentinel(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=24, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(24, 5.0))
+            out = Q.grubbs_hourly(d)
+        assert out.g_stat[0] == 0.0
+        assert out.peak_hour[0] == ""
+        assert out.sd[0] == 0.0
+
+
+class TestZeroShareDrift:
+    def test_planted_zero_inflation(self, ray_session):
+        """Prod half has 50% zeros, ref none: z strongly negative,
+        shares exact."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        vals = np.ones(n)
+        vals[1::4] = 0.0                       # odd ids only
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.zero_share_drift_events(d)
+        assert out.zero_ref[0] == 0
+        assert out.share_prod[0] == 0.5
+        assert out.z_value[0] < -10
+        assert bool(out.significant[0])
+
+    def test_negative_zero_counts_as_zero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 100
+        vals = np.ones(n)
+        vals[0] = -0.0
+        vals[1] = -0.0
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.zero_share_drift_events(d)
+        assert int(out.zero_ref[0]) == 1      # event_id 0
+        assert int(out.zero_prod[0]) == 1     # event_id 1
+
+
+class TestCochranArmitageTrend:
+    def test_planted_rising_error_share(self, ray_session):
+        """Error share ramps 0 -> ~1 across hours: z strongly
+        positive and significant."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh, per = 24, 50
+        rows_t, rows_ty = [], []
+        for h in range(nh):
+            n_err = (h * per) // nh
+            for i in range(per):
+                rows_t.append(pd.Timestamp("2024-01-01")
+                              + pd.Timedelta(hours=h, seconds=i))
+                rows_ty.append("error" if i < n_err else "click")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, rows_t, np.ones(len(rows_t)),
+                          types=rows_ty)
+            out = Q.cochran_armitage_error_trend(d)
+        assert out.z_value[0] > 5
+        assert bool(out.significant[0])
+
+    def test_uniform_share_near_zero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh, per = 24, 40
+        ts, ty = [], []
+        for h in range(nh):
+            for i in range(per):
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h, seconds=i))
+                ty.append("error" if i % 4 == 0 else "view")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(len(ts)), types=ty)
+            out = Q.cochran_armitage_error_trend(d)
+        assert abs(out.z_value[0]) < 1e-9
+
+
+class TestVocabularyStats:
+    def test_hapax_known_corpus(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["the cat sat", "the dog", "unique"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * len(docs))
+            out = Q.hapax_vocab_stats(d)
+        # tokens: the x2, cat, sat, dog, unique -> 6 tokens, 5 vocab,
+        # 4 hapax
+        assert int(out.n_tokens[0]) == 6
+        assert int(out.n_vocab[0]) == 5
+        assert int(out.n_hapax[0]) == 4
+        assert out.type_token_ratio[0] == 5.0 / 6.0
+        assert out.hapax_share[0] == 4.0 / 5.0
+
+    def test_burstiness_known_corpus(self, ray_session):
+        """'aa' appears 4x in one doc (bursty, cf/df=4); 'bb' once in
+        each of 4 docs (uniform, cf/df=1)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["aa aa aa aa", "bb x", "bb y", "bb z", "bb w"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * len(docs))
+            out = Q.token_burstiness_stats(d).set_index("token")
+        assert out.loc["aa", "burstiness"] == 4.0
+        assert int(out.loc["aa", "df"]) == 1
+        assert out.loc["bb", "burstiness"] == 1.0
+        assert int(out.loc["bb", "df"]) == 4
+
+    def test_burstiness_ordering_deterministic(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.token_burstiness_stats(SF)
+        key = list(zip(-out.cf, out.token))
+        assert key == sorted(key)
+        assert (out.cf >= out.df).all()
+
+
+class TestCountProcessDiagnostics:
+    def test_poisson_dispersion_constant_counts(self, ray_session):
+        """Exactly equal hourly counts: D = 0, VMR = 0 (zero
+        variance)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rows = []
+        for h in range(24):
+            for i in range(10):
+                rows.append(pd.Timestamp("2024-01-01")
+                            + pd.Timedelta(hours=h, seconds=i))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, rows, np.ones(len(rows)))
+            out = Q.poisson_dispersion_hourly(d)
+        assert int(out.n_hours[0]) == 24
+        assert out.mean_per_hour[0] == 10.0
+        assert out.dispersion_d[0] == 0.0
+        assert out.vmr[0] == 0.0
+
+    def test_poisson_dispersion_matches_numpy(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.poisson_dispersion_hourly(SF)
+        c = duckdb.sql(f"""
+            SELECT count(*) AS c FROM '{SF}/events.parquet'
+            GROUP BY date_trunc('hour', ts)
+        """).df().c.to_numpy(np.float64)
+        d = ((c - c.mean()) ** 2).sum() / c.mean()
+        vmr = c.var(ddof=1) / c.mean()
+        assert abs(out.dispersion_d[0] - d) < 1e-6 * max(1.0, d)
+        assert abs(out.vmr[0] - vmr) < 1e-9 * max(1.0, vmr)
+
+    def test_hod_uniformity_planted_spike(self, ray_session):
+        """All events in hod 7 plus one elsewhere: chi2 huge, peak 7
+        with share ~1."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rows = [pd.Timestamp("2024-01-01 07:00:00")
+                + pd.Timedelta(seconds=i) for i in range(500)]
+        rows.append(pd.Timestamp("2024-01-01 03:00:00"))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, rows, np.ones(len(rows)))
+            out = Q.hod_uniformity_chi2(d)
+        assert int(out.peak_hod[0]) == 7
+        assert out.peak_share[0] > 0.99
+        assert out.chi2_stat[0] > 5000
+
+    def test_hod_uniformity_exact_uniform(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rows = []
+        for hd in range(24):
+            for i in range(5):
+                rows.append(pd.Timestamp("2024-01-01")
+                            + pd.Timedelta(hours=hd, seconds=i))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, rows, np.ones(len(rows)))
+            out = Q.hod_uniformity_chi2(d)
+        assert out.chi2_stat[0] == 0.0
+        assert int(out.peak_hod[0]) == 0     # all tie -> smallest hod
+
+
+class TestCorpusShape:
+    def test_doc_length_gini_known(self, ray_session):
+        """Lengths (1,1,1,1,16): G = (2*rws-(n+1)*s)/(n*s) with
+        rws = 1+2+3+4+5*16 = 90, s = 20, n = 5 -> 0.6 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["a", "b", "c", "d", "x" * 16]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 5)
+            out = Q.doc_length_gini(d)
+        assert int(out.n_docs[0]) == 5
+        assert int(out.total_chars[0]) == 20
+        assert out.gini[0] == (2 * 90 - 6 * 20) / (5 * 20)
+
+    def test_doc_length_gini_equal_lengths_zero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["abcd"] * 8
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 8)
+            out = Q.doc_length_gini(d)
+        assert out.gini[0] == 0.0
+
+    def test_source_lang_cramers_v_perfect_association(
+            self, ray_session):
+        """Each source maps to exactly one lang: V = 1."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = ["t"] * 40
+        langs = (["en"] * 20) + (["fr"] * 20)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs),
+                "source": pa.array((["s1"] * 20) + (["s2"] * 20)),
+                "n_chars": pa.array([1] * 40, pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.source_lang_cramers_v(d)
+        assert out.cramers_v[0] == 1.0
+        assert int(out.n_sources[0]) == 2 and int(out.n_langs[0]) == 2
+
+    def test_source_lang_cramers_v_independence(self, ray_session):
+        """Balanced independent grid: chi2 = 0, V = 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        langs, sources = [], []
+        for lg in ("en", "fr"):
+            for sc in ("s1", "s2"):
+                langs += [lg] * 10
+                sources += [sc] * 10
+        n = len(langs)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(["t"] * n, pa.string()),
+                "lang": pa.array(langs),
+                "source": pa.array(sources),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.source_lang_cramers_v(d)
+        assert out.chi2_stat[0] == 0.0
+        assert out.cramers_v[0] == 0.0
+
+
+class TestEmbeddingNeardupPlanted:
+    def test_planted_pairs_recall_and_precision(self, ray_session):
+        """The sf oracle is empty==empty at every test scale (max
+    testdata cosine ~0.51), so plant real near-dup pairs: 40 random
+    unit-ish vectors plus 6 planted pairs at cosine >= 0.95. The
+    query must return exactly the numpy brute-force >= 0.95 pair set
+    — LSH recall AND exact-verify precision at the query level."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(7)
+        dim = 16
+        base = rng.normal(size=(40, dim))
+        vecs = [v for v in base]
+        # planted twins: tiny perturbation keeps cosine ~0.999
+        for i in range(6):
+            v = base[i] / np.linalg.norm(base[i])
+            vecs.append(v * 3.0 + rng.normal(size=dim) * 0.01)
+        vecs = np.array(vecs)
+        n = len(vecs)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array([list(map(float, v))
+                                       for v in vecs],
+                                      pa.list_(pa.float64())),
+                "label": pa.array(["x"] * n),
+            }), os.path.join(d, "embeddings.parquet"))
+            out = Q.embedding_neardup(d)
+        norms = np.linalg.norm(vecs, axis=1)
+        cos = (vecs @ vecs.T) / np.outer(norms, norms)
+        exp = {(i, j) for i in range(n) for j in range(i + 1, n)
+               if cos[i, j] >= 0.95}
+        got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
+        assert got == exp
+        assert len(exp) >= 6

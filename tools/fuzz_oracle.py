@@ -101,6 +101,9 @@ EVENT_QUERIES = [
     "welch_t_drift_events", "brown_forsythe_variance_drift",
     "tv_overlap_drift_events", "runs_test_hourly",
     "mann_kendall_hourly", "jarque_bera_hourly",
+    "durbin_watson_hourly", "grubbs_hourly",
+    "zero_share_drift_events", "cochran_armitage_error_trend",
+    "poisson_dispersion_hourly", "hod_uniformity_chi2",
 ]
 
 
@@ -193,6 +196,9 @@ DOC_QUERIES = [
     "pmi_top_bigrams", "textrank_keywords",
     "image_patch_stats_audit", "image_channel_stats_audit",
     "image_flip_crop_audit",
+    # session-9: corpus vocabulary / shape statistics
+    "hapax_vocab_stats", "token_burstiness_stats",
+    "doc_length_gini", "source_lang_cramers_v",
 ]
 
 
