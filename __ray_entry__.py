@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hod_uniformity_chi2": Q.hod_uniformity_chi2,
         "doc_length_gini": Q.doc_length_gini,
         "source_lang_cramers_v": Q.source_lang_cramers_v,
+        "sign_test_hourly": Q.sign_test_hourly,
+        "wilcoxon_signed_rank_hourly": Q.wilcoxon_signed_rank_hourly,
+        "benford_second_digit_audit": Q.benford_second_digit_audit,
     }
 
 
@@ -917,6 +920,8 @@ _VALUE_CLEAN_QUERIES = [
     "welch_t_drift_events", "brown_forsythe_variance_drift",
     "runs_test_hourly", "mann_kendall_hourly", "jarque_bera_hourly",
     "durbin_watson_hourly", "grubbs_hourly", "zero_share_drift_events",
+    "sign_test_hourly", "wilcoxon_signed_rank_hourly",
+    "benford_second_digit_audit",
 ]
 
 
@@ -1044,6 +1049,42 @@ def _benford_sql() -> str:
         SELECT nz AS n_nonzero, {sel},
                CASE WHEN nz = 0 THEN 0.0 ELSE {chain} END
                    AS chi2_benford
+        FROM a
+    """
+
+
+def _benford2_sql() -> str:
+    """Second-digit Benford: the contract digit is 1-based substr
+    position 3 of the '%.15e' rendering (d.ddd…e±XX); chi² a 10-term
+    left chain with P(d) = Σ_k log10(1+1/(10k+d)) as repr literals."""
+    import math
+
+    chain = "0.0"
+    for d in range(10):
+        p = repr(sum(math.log10(1.0 + 1.0 / (10 * k + d))
+                     for k in range(1, 10)))
+        t = (f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) * "
+             f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) / "
+             f"(CAST(nz AS DOUBLE) * {p})")
+        chain = f"({chain} + {t})"
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN dig = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}" for d in range(10))
+    sel = ", ".join(f"c{d}" for d in range(10))
+    return f"""
+        WITH v AS (
+            SELECT abs(value) AS av FROM events
+            WHERE value <> 0 AND isfinite(value)
+        ),
+        dd AS (
+            SELECT CAST(substr(printf('%.15e', av), 3, 1) AS BIGINT)
+                       AS dig
+            FROM v
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS nz, {cols} FROM dd)
+        SELECT nz AS n_nonzero, {sel},
+               CASE WHEN nz = 0 THEN 0.0 ELSE {chain} END
+                   AS chi2_benford2
         FROM a
     """
 
@@ -4055,7 +4096,117 @@ def _oracle_sql_raw() -> dict[str, str]:
                    END AS cramers_v
             FROM chi
         """,
+        # paired sign test over hour-matched half means
+        "sign_test_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                END), 0) AS BIGINT) AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_prod,
+                       CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                END), 0) AS BIGINT) AS c_prod
+                FROM events GROUP BY 1
+            ),
+            p AS (
+                SELECT (CAST(c_prod AS DOUBLE) / 100.0) / n_prod
+                       - (CAST(c_ref AS DOUBLE) / 100.0) / n_ref AS d
+                FROM h WHERE n_ref > 0 AND n_prod > 0
+            ),
+            s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_hours,
+                       CAST(coalesce(sum(CASE WHEN d > 0.0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_pos,
+                       CAST(coalesce(sum(CASE WHEN d < 0.0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_neg,
+                       CAST(coalesce(sum(CASE WHEN d = 0.0
+                                THEN 1 ELSE 0 END), 0) AS BIGINT)
+                           AS n_zero
+                FROM p
+            ),
+            zc AS (
+                SELECT *,
+                       CASE WHEN n_pos + n_neg = 0 THEN 0.0
+                            ELSE CAST(n_pos - n_neg AS DOUBLE)
+                                 / sqrt(CAST(n_pos + n_neg AS DOUBLE))
+                       END AS z
+                FROM s
+            )
+            SELECT n_hours, n_pos, n_neg, n_zero, z AS z_value,
+                   abs(z) > 1.96 AS significant
+            FROM zc
+        """,
+        # Wilcoxon signed-rank over the same pairs: doubled midranks
+        # (2*minrank + t - 1) are exact ints over the bit-identical
+        # |d| multiset; z from exact HUGEINT statistics
+        "wilcoxon_signed_rank_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                       CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                END), 0) AS BIGINT) AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_prod,
+                       CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+                                THEN CAST(round(value * 100) AS BIGINT)
+                                END), 0) AS BIGINT) AS c_prod
+                FROM events GROUP BY 1
+            ),
+            p AS (
+                SELECT (CAST(c_prod AS DOUBLE) / 100.0) / n_prod
+                       - (CAST(c_ref AS DOUBLE) / 100.0) / n_ref AS d
+                FROM h WHERE n_ref > 0 AND n_prod > 0
+            ),
+            r AS (SELECT d, abs(d) AS ad FROM p WHERE d != 0.0),
+            rk AS (
+                SELECT d,
+                       CAST(rank() OVER (ORDER BY ad) AS HUGEINT)
+                           AS minrank,
+                       CAST(count(*) OVER (PARTITION BY ad) AS HUGEINT)
+                           AS t
+                FROM r
+            ),
+            agg AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(coalesce(sum(CASE WHEN d > 0.0
+                                THEN 2 * minrank + t - 1 END), 0)
+                            AS HUGEINT) AS w2
+                FROM rk
+            ),
+            tt AS (
+                SELECT CAST(coalesce(sum(t * t * t - t), 0) AS HUGEINT)
+                           AS tie_term
+                FROM (SELECT CAST(count(*) AS HUGEINT) AS t
+                      FROM r GROUP BY ad)
+                WHERE t > 1
+            ),
+            zc AS (
+                SELECT n, w2,
+                       CASE WHEN n = 0
+                              OR 2 * n * (n + 1) * (2 * n + 1)
+                                 - tie_term <= 0 THEN 0.0
+                            ELSE CAST(2 * w2 - n * (n + 1) AS DOUBLE)
+                                 / sqrt(CAST(2 * n * (n + 1)
+                                        * (2 * n + 1) - tie_term
+                                        AS DOUBLE) / 3.0)
+                       END AS z
+                FROM agg, tt
+            )
+            SELECT CAST(n AS BIGINT) AS n_pairs,
+                   CAST(w2 AS BIGINT) AS w_plus2,
+                   z AS z_value, abs(z) > 1.96 AS significant
+            FROM zc
+        """,
         "benford_first_digit_audit": _benford_sql(),
+        "benford_second_digit_audit": _benford2_sql(),
         "acf_hourly_means": _acf_sql(),
         # decile-by-decile quantile shift: list quantile_disc per half,
         # selection-only outputs — differences of selected data values

@@ -5732,18 +5732,30 @@ def tpch_q4_late_orders(sf_dir: str) -> pd.DataFrame:
     li = sf_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "o_orderkey": b.l_orderkey,
+        g = pd.DataFrame({
+            "o_orderkey": b.l_orderkey.to_numpy(np.int64),
             "ship_us": b.l_shipdate.astype("datetime64[us]")
                         .astype("int64"),
         }).groupby("o_orderkey", as_index=False).agg(
             max_ship_us=("ship_us", "max"))
+        # orderkey cardinality is unbounded: bucket the exchange (Ray's
+        # aggregate is per-group Python — 147k orderkeys cost ~300 s at
+        # sf0.1 before this; measured in the round-5 HEAD bench)
+        from ..sketches import hash64
+        g["bucket"] = (hash64(g.o_orderkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
 
     limax = li.map_batches(li_partial, batch_format="pandas",
                            batch_size=65536) \
-        .groupby("o_orderkey").aggregate(
-            Max("max_ship_us", alias_name="max_ship_us"))
-    joined = hash_join(orders_f, limax, "o_orderkey", n_buckets=16)
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_orderkey", as_index=False).agg(
+                max_ship_us=("max_ship_us", "max")),
+            batch_format="pandas")
+    joined = hash_join(orders_f, limax, "o_orderkey", n_buckets=16,
+                       right_fields={"o_orderkey": pa.int64(),
+                                     "max_ship_us": pa.int64()})
     SIXTY_D_US = 60 * 86_400_000_000
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -6143,13 +6155,22 @@ def tpch_q13_order_count_distribution(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.loc[b.o_orderpriority != "1-URGENT"]
-        return b.groupby("o_custkey", as_index=False).agg(
+        g = b.groupby("o_custkey", as_index=False).agg(
             c_count=("o_orderpriority", "size"))
+        # custkey cardinality is unbounded: bucketed fold (15k custkeys
+        # cost ~30 s through Ray's per-group aggregate at sf0.1)
+        from ..sketches import hash64
+        g["bucket"] = (hash64(g.o_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
 
     per_cust = orders.map_batches(partial, batch_format="pandas",
                                   batch_size=65536) \
-        .groupby("o_custkey").aggregate(
-            Sum("c_count", alias_name="c_count"))
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_custkey", as_index=False).agg(
+                c_count=("c_count", "sum")),
+            batch_format="pandas")
 
     def hist(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("c_count", as_index=False).agg(
@@ -8929,16 +8950,25 @@ def cuped_variance_reduction(sf_dir: str) -> pd.DataFrame:
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         is_ref = (b.event_id % 2 == 0).to_numpy()
         cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
-        return pd.DataFrame({
-            "user_id": b.user_id,
+        g = pd.DataFrame({
+            "user_id": b.user_id.to_numpy(np.int64),
             "x": np.where(is_ref, cents, 0),
             "y": np.where(is_ref, 0, cents),
         }).groupby("user_id", as_index=False).sum()
+        # user cardinality is unbounded: bucketed fold (Ray's
+        # aggregate is per-group Python)
+        from ..sketches import hash64
+        g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
 
     per_user = ds.map_batches(partial, batch_format="pandas",
                               batch_size=65536) \
-        .groupby("user_id").aggregate(Sum("x", alias_name="x"),
-                                      Sum("y", alias_name="y"))
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("user_id", as_index=False).agg(
+                x=("x", "sum"), y=("y", "sum")),
+            batch_format="pandas")
 
     def fold(b: pd.DataFrame) -> pd.DataFrame:
         sx = sy = sxx = syy = sxy = 0
@@ -13853,3 +13883,169 @@ def source_lang_cramers_v(sf_dir: str) -> pd.DataFrame:
         "n_langs": [np.int64(k)],
         "chi2_stat": [chi2_r], "cramers_v": [v],
     })
+
+
+# ---------------------------------------------------------------------------
+# session-9: paired two-sample tests over hour-matched half means
+# ---------------------------------------------------------------------------
+
+def _paired_hourly_means(sf_dir: str) -> pd.DataFrame:
+    """(hour, m_ref, m_prod) for hours with rows in BOTH parity
+    halves — the paired-design exchange of the sign /
+    Wilcoxon-signed-rank tier: one hour-keyed groupby of exact
+    (n, Σcents) per half, means the established fixed-shape IEEE
+    expressions, hour-ascending order."""
+    ds = sf_events_clean(sf_dir, ["event_id", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id.to_numpy(np.int64) % 2 == 0)
+        c = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "n_ref": is_ref.astype(np.int64),
+            "c_ref": np.where(is_ref, c, 0),
+            "n_prod": (~is_ref).astype(np.int64),
+            "c_prod": np.where(~is_ref, c, 0),
+        }).groupby("hour", as_index=False).sum()
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(
+            Sum("n_ref", alias_name="n_ref"),
+            Sum("c_ref", alias_name="c_ref"),
+            Sum("n_prod", alias_name="n_prod"),
+            Sum("c_prod", alias_name="c_prod")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    hourly = hourly.loc[(hourly.n_ref > 0) & (hourly.n_prod > 0)]
+    return pd.DataFrame({
+        "hour": hourly.hour,
+        "m_ref": (hourly.c_ref.to_numpy(np.float64) / 100.0)
+                 / hourly.n_ref.to_numpy(np.float64),
+        "m_prod": (hourly.c_prod.to_numpy(np.float64) / 100.0)
+                  / hourly.n_prod.to_numpy(np.float64),
+    }).reset_index(drop=True)
+
+
+def sign_test_hourly(sf_dir: str) -> pd.DataFrame:
+    """Paired sign test of prod-vs-ref hourly means (the
+    distribution-free location companion of welch/mannwhitney, paired
+    by hour): d = m_prod − m_ref per both-present hour, exact counts
+    of d>0 / d<0 / d=0 (double comparisons of bit-identical
+    fixed-shape means), z = (n_pos − n_neg)/√(n_pos + n_neg) — ONE
+    IEEE expression of exact ints, 0.0 when no nonzero pairs."""
+    import math
+
+    hm = _paired_hourly_means(sf_dir)
+    d = hm.m_prod.to_numpy() - hm.m_ref.to_numpy()
+    n_pos = int((d > 0).sum())
+    n_neg = int((d < 0).sum())
+    n_zero = int((d == 0).sum())
+    nn = n_pos + n_neg
+    z = 0.0 if nn == 0 else float(n_pos - n_neg) / math.sqrt(float(nn))
+    return pd.DataFrame({
+        "n_hours": [np.int64(len(hm))],
+        "n_pos": [np.int64(n_pos)], "n_neg": [np.int64(n_neg)],
+        "n_zero": [np.int64(n_zero)], "z_value": [float(z)],
+        "significant": [bool(abs(z) > 1.96)],
+    })
+
+
+def wilcoxon_signed_rank_hourly(sf_dir: str) -> pd.DataFrame:
+    """Wilcoxon signed-rank test of prod-vs-ref hourly means
+    (Wilcoxon 1945 — the rank-based paired-location test; the paired
+    analogue of mannwhitney_drift_events): zero differences drop, |d|
+    midranks live in DOUBLED integer space (2·midrank = 2·minrank +
+    tiecount − 1 — exact ints since the |d| double multiset is
+    bit-identical on both sides), W2 = Σ doubled midranks over d>0,
+    and with the tie term T = Σ(t³−t) the z uses the exact-integer
+    numerator 2·W2 − n(n+1) over √((2n(n+1)(2n+1) − T)/3) — ONE
+    fixed-shape IEEE expression of exact ints (HUGEINT in SQL).
+    Degenerate cases (no nonzero pairs, zero variance) guard to 0.0."""
+    import math
+
+    hm = _paired_hourly_means(sf_dir)
+    d = hm.m_prod.to_numpy() - hm.m_ref.to_numpy()
+    d = d[d != 0.0]
+    n = len(d)
+    if n == 0:
+        return pd.DataFrame({
+            "n_pairs": [np.int64(0)], "w_plus2": [np.int64(0)],
+            "z_value": [0.0], "significant": [False],
+        })
+    absd = np.abs(d)
+    order = np.argsort(absd, kind="stable")
+    s = absd[order]
+    # doubled midranks per tie run of bit-equal doubles
+    w2 = 0
+    tie_term = 0
+    i = 0
+    dm = np.empty(n, dtype=np.int64)
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            j += 1
+        t = j - i
+        dm[i:j] = 2 * (i + 1) + t - 1     # 2*minrank + t - 1
+        if t > 1:
+            tie_term += t * t * t - t
+        i = j
+    back = np.empty(n, dtype=np.int64)
+    back[order] = dm
+    w2 = int(back[d > 0].sum())
+    v = 2 * n * (n + 1) * (2 * n + 1) - tie_term
+    if v <= 0:
+        z = 0.0
+    else:
+        z = float(2 * w2 - n * (n + 1)) / math.sqrt(float(v) / 3.0)
+    return pd.DataFrame({
+        "n_pairs": [np.int64(n)], "w_plus2": [np.int64(w2)],
+        "z_value": [float(z)],
+        "significant": [bool(abs(z) > 1.96)],
+    })
+
+
+def benford_second_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford second-significant-digit audit of |value| (the
+    forensic companion of benford_first_digit_audit — second-digit
+    deviations catch rounding/price-point manipulation the first
+    digit misses): the contract digit is character index 2 of the
+    correctly-rounded '%.15e' rendering (format d.ddd…e±XX, so index
+    2 IS the second significant digit on BOTH sides — CPython
+    formatting and DuckDB printf are both correctly rounded); digit
+    counts exact ints, chi² against P(d) = Σ_{k=1..9} log10(1+1/(10k+d))
+    an explicit 10-term left chain with the probabilities embedded as
+    repr literals in the generated SQL — bit-identical, no rounding
+    contract. Zero values carry no digits and are excluded."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(b.value.to_numpy(np.float64))
+        v = v[np.isfinite(v) & (v > 0)]
+        digs = np.frombuffer(
+            "".join(f"{x:.15e}"[2] for x in v).encode(), dtype=np.uint8
+        ).astype(np.int64) - 48 if len(v) else np.empty(0, np.int64)
+        cnt = np.bincount(digs, minlength=10)
+        return pd.DataFrame({f"c{d}": [int(cnt[d])]
+                             for d in range(10)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counts = [int(parts[f"c{d}"].sum()) for d in range(10)]
+    n = sum(counts)
+    probs = [sum(math.log10(1.0 + 1.0 / (10 * k + d))
+                 for k in range(1, 10)) for d in range(10)]
+    if n == 0:
+        chi2 = 0.0
+    else:
+        chi2 = 0.0
+        for d in range(10):
+            e = float(n) * probs[d]
+            diff = float(counts[d]) - e
+            chi2 = chi2 + diff * diff / e
+    out = {"n_nonzero": [np.int64(n)]}
+    for d in range(10):
+        out[f"c{d}"] = [np.int64(counts[d])]
+    out["chi2_benford2"] = [float(chi2)]
+    return pd.DataFrame(out)

@@ -303,6 +303,8 @@ def run_queries() -> dict[str, float]:
         "hapax_vocab_stats", "token_burstiness_stats",
         "poisson_dispersion_hourly", "hod_uniformity_chi2",
         "doc_length_gini", "source_lang_cramers_v",
+        "sign_test_hourly", "wilcoxon_signed_rank_hourly",
+        "benford_second_digit_audit",
     ]
     qs = E.queries()
     out = {}

@@ -2612,3 +2612,143 @@ class TestEmbeddingNeardupPlanted:
         got = set(zip(out.id_a.astype(int), out.id_b.astype(int)))
         assert got == exp
         assert len(exp) >= 6
+
+
+class TestPairedHourlyTests:
+    def test_sign_test_planted_shift(self, ray_session):
+        """Prod (odd ids) always above ref within each hour: every
+        paired difference positive, z = sqrt(n_hours)."""
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 36
+        ts, vals = [], []
+        for h in range(nh):
+            for i in range(4):
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h, minutes=i))
+                vals.append(10.0 if i % 2 == 0 else 20.0)
+        # event ids are positional: even slots (ref) = 10, odd = 20
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.array(vals))
+            out = Q.sign_test_hourly(d)
+        assert int(out.n_pos[0]) == nh
+        assert int(out.n_neg[0]) == 0
+        assert out.z_value[0] == math.sqrt(float(nh))
+        assert bool(out.significant[0])
+
+    def test_wilcoxon_planted_shift_and_bruteforce(self, ray_session):
+        """Uniform positive shift: W2 = 2 * n(n+1)/2, z maximal; and
+        on sf0.001 the statistic matches an independent midrank
+        reimplementation."""
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 30
+        ts, vals = [], []
+        for h in range(nh):
+            for i in range(4):
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h, minutes=i))
+                # distinct |d| per hour: shift grows with h
+                vals.append(10.0 if i % 2 == 0 else 20.0 + h)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.array(vals))
+            up = Q.wilcoxon_signed_rank_hourly(d)
+        assert int(up.n_pairs[0]) == nh
+        assert int(up.w_plus2[0]) == nh * (nh + 1)   # 2 * n(n+1)/2
+        assert up.z_value[0] > 4 and bool(up.significant[0])
+
+        out = Q.wilcoxon_signed_rank_hourly(SF)
+        hm = duckdb.sql(f"""
+            SELECT
+              (CAST(sum(CASE WHEN event_id % 2 = 1
+                   THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
+               / 100.0) / sum(CASE WHEN event_id % 2 = 1
+                              THEN 1 ELSE 0 END)
+              - (CAST(sum(CASE WHEN event_id % 2 = 0
+                   THEN CAST(round(value*100) AS BIGINT) END) AS DOUBLE)
+                 / 100.0) / sum(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS d
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY date_trunc('hour', ts)
+            HAVING sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) > 0
+        """).df().d.to_numpy()
+        dd = hm[hm != 0.0]
+        n = len(dd)
+        absd = np.abs(dd)
+        order = np.argsort(absd, kind="stable")
+        s = absd[order]
+        dm = np.empty(n, dtype=np.int64)
+        i = 0
+        tie = 0
+        while i < n:
+            j = i
+            while j < n and s[j] == s[i]:
+                j += 1
+            t = j - i
+            dm[i:j] = 2 * (i + 1) + t - 1
+            if t > 1:
+                tie += t**3 - t
+            i = j
+        back = np.empty(n, dtype=np.int64)
+        back[order] = dm
+        w2 = int(back[dd > 0].sum())
+        v = 2 * n * (n + 1) * (2 * n + 1) - tie
+        z = (2 * w2 - n * (n + 1)) / math.sqrt(v / 3.0)
+        assert int(out.n_pairs[0]) == n
+        assert int(out.w_plus2[0]) == w2
+        assert abs(out.z_value[0] - z) < 1e-12
+
+    def test_wilcoxon_symmetric_null(self, ray_session):
+        """Antisymmetric differences (+delta, -delta alternating
+        across hours, same magnitudes): W2 = half the total doubled
+        rank mass, z == 0 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 20
+        ts, vals = [], []
+        for h in range(nh):
+            sign = 1.0 if h % 2 == 0 else -1.0
+            for i in range(4):
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h, minutes=i))
+                vals.append(10.0 if i % 2 == 0
+                            else 10.0 + sign * (1.0 + h // 2))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.array(vals))
+            out = Q.wilcoxon_signed_rank_hourly(d)
+        assert int(out.n_pairs[0]) == nh
+        assert out.z_value[0] == 0.0
+
+
+class TestBenfordSecondDigit:
+    def test_known_digits(self, ray_session):
+        """Planted values with known second significant digits,
+        including the rounding-boundary rendering case."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.array([12.0, 1.25, 0.034, 905.0, 19.99,
+                         7.0, 3.1e9, 0.000456])
+        # second digits: 2, 2, 4, 0, 9, 0 (7.000...), 1, 5
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.benford_second_digit_audit(d)
+        exp = {0: 2, 1: 1, 2: 2, 4: 1, 5: 1, 9: 1}
+        for dd in range(10):
+            assert int(out[f"c{dd}"][0]) == exp.get(dd, 0)
+        assert int(out.n_nonzero[0]) == len(vals)
+
+    def test_counts_partition_nonzero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.benford_second_digit_audit(SF)
+        total = sum(int(out[f"c{d}"][0]) for d in range(10))
+        assert total == int(out.n_nonzero[0])
+        assert out.chi2_benford2[0] >= 0.0

@@ -104,6 +104,8 @@ EVENT_QUERIES = [
     "durbin_watson_hourly", "grubbs_hourly",
     "zero_share_drift_events", "cochran_armitage_error_trend",
     "poisson_dispersion_hourly", "hod_uniformity_chi2",
+    "sign_test_hourly", "wilcoxon_signed_rank_hourly",
+    "benford_second_digit_audit",
 ]
 
 
