@@ -6328,13 +6328,24 @@ def active_user_outer_counts(sf_dir: str) -> pd.DataFrame:
     ev = sf_events_clean(sf_dir, ["user_id", "event_type", "value"])
 
     def side(etype: str, name: str) -> ray.data.Dataset:
+        from ..sketches import hash64
+
         def partial(b: pd.DataFrame) -> pd.DataFrame:
             b = b.loc[(b.event_type == etype) & (b.value > 150.0)]
-            return b.groupby("user_id", as_index=False).agg(
+            g = b.groupby("user_id", as_index=False).agg(
                 **{name: ("value", "size")})
+            # user cardinality unbounded: bucketed fold, not Ray's
+            # per-group-Python aggregate
+            g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                                  .view(np.uint64))
+                           % np.uint64(16)).astype(np.int64)
+            return g
 
         return ev.map_batches(partial, batch_format="pandas") \
-            .groupby("user_id").aggregate(Sum(name, alias_name=name))
+            .groupby("bucket").map_groups(
+                lambda g: g.groupby("user_id", as_index=False).agg(
+                    **{name: (name, "sum")}),
+                batch_format="pandas")
 
     joined = hash_join(
         side("purchase", "n_purchase"), side("error", "n_error"),
@@ -7645,13 +7656,23 @@ def key_skew_stats(sf_dir: str) -> pd.DataFrame:
     ds = sf_table(sf_dir, "events", columns=["user_id"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+        from ..sketches import hash64
+        g = b.groupby("user_id", as_index=False).agg(
+            n=("user_id", "size"))
+        g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(16)).astype(np.int64)
+        return g
 
     # column named "key_n", not "n": scan.exact_quantiles uses "n" as
-    # its internal count column and a clash makes the frame ambiguous
+    # its internal count column and a clash makes the frame ambiguous;
+    # user cardinality unbounded -> bucketed fold
     counts = ds.map_batches(partial, batch_format="pandas",
                             batch_size=65536) \
-        .groupby("user_id").aggregate(Sum("n", alias_name="key_n")) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("user_id", as_index=False)
+                       .agg(key_n=("n", "sum"))[["user_id", "key_n"]],
+            batch_format="pandas") \
         .materialize()
     q = exact_quantiles(counts, "key_n", [0.5, 0.9, 0.99])
     agg = counts.aggregate(Count(), Max("key_n"), Sum("key_n"))
@@ -8209,13 +8230,21 @@ def hot_user_enriched_revenue(sf_dir: str) -> pd.DataFrame:
     ds = sf_events_clean(sf_dir, ["user_id", "event_type", "value"])
 
     def count_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("user_id", as_index=False).agg(
+        from ..sketches import hash64
+        g = b.groupby("user_id", as_index=False).agg(
             user_n=("user_id", "size"))
+        g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(16)).astype(np.int64)
+        return g
 
     dim = ds.select_columns(["user_id"]) \
         .map_batches(count_partial, batch_format="pandas",
                      batch_size=65536) \
-        .groupby("user_id").aggregate(Sum("user_n", alias_name="user_n"))
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("user_id", as_index=False).agg(
+                user_n=("user_n", "sum")),
+            batch_format="pandas")
 
     def fact_prep(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -10046,12 +10075,20 @@ def order_count_histogram(sf_dir: str) -> pd.DataFrame:
     orders = sf_table(sf_dir, "orders", columns=["o_custkey"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("o_custkey", as_index=False).agg(
+        from ..sketches import hash64
+        g = b.groupby("o_custkey", as_index=False).agg(
             k=("o_custkey", "size"))
+        g["bucket"] = (hash64(g.o_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(16)).astype(np.int64)
+        return g
 
     per_cust = orders.map_batches(partial, batch_format="pandas",
                                   batch_size=65536) \
-        .groupby("o_custkey").aggregate(Sum("k", alias_name="k"))
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_custkey", as_index=False).agg(
+                k=("k", "sum")),
+            batch_format="pandas")
 
     def hist_partial(b: pd.DataFrame) -> pd.DataFrame:
         return b.groupby("k", as_index=False).agg(
@@ -11162,21 +11199,30 @@ def _bigram_score_join(ds: ray.data.Dataset, counts_ds: ray.data.Dataset,
 
     def partial_sums(b: pd.DataFrame) -> pd.DataFrame:
         if len(b) == 0:
-            return pd.DataFrame(_BIGRAM_EMPTY)
+            return pd.DataFrame({**_BIGRAM_EMPTY,
+                                 "bucket": pd.Series([], dtype=np.int64)})
         d = pd.DataFrame({"doc_id": b.doc_id.to_numpy(np.int64),
                           "c": b.r_c.to_numpy(np.int64),
                           "cp": b.r_cp.to_numpy(np.int64)})
         d["hap"] = (d.c == 1).astype(np.int64)
-        return d.groupby("doc_id", as_index=False).agg(
+        from ..sketches import hash64
+        g = d.groupby("doc_id", as_index=False).agg(
             n_bigrams=("c", "size"), sum_bg_count=("c", "sum"),
-            sum_prefix_count=("cp", "sum"), n_hapax_bigrams=("hap", "sum"))
+            sum_prefix_count=("cp", "sum"),
+            n_hapax_bigrams=("hap", "sum"))
+        g["bucket"] = (hash64(g.doc_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(16)).astype(np.int64)
+        return g
 
     out = j2.map_batches(partial_sums, batch_format="pandas") \
-        .groupby("doc_id").aggregate(
-            Sum("n_bigrams", alias_name="n_bigrams"),
-            Sum("sum_bg_count", alias_name="sum_bg_count"),
-            Sum("sum_prefix_count", alias_name="sum_prefix_count"),
-            Sum("n_hapax_bigrams", alias_name="n_hapax_bigrams")) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("doc_id", as_index=False).agg(
+                n_bigrams=("n_bigrams", "sum"),
+                sum_bg_count=("sum_bg_count", "sum"),
+                sum_prefix_count=("sum_prefix_count", "sum"),
+                n_hapax_bigrams=("n_hapax_bigrams", "sum")),
+            batch_format="pandas") \
         .to_pandas()
     return out
 
