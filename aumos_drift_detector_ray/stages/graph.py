@@ -34,7 +34,35 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Min
+
+
+def _bucketed_node_fold(ds: "ray.data.Dataset", col: str, how: str,
+                        n_buckets: int) -> "ray.data.Dataset":
+    """(node, col) fold through a node-hash-bucketed exchange — Ray's
+    groupby().aggregate() runs a Python combine per distinct group
+    (~2.5 ms/group measured), which at graph scale (millions of nodes
+    per CC round) would dominate the loop; the bucketed pandas fold is
+    the q18-pattern replacement. Per-block pre-fold shrinks the
+    exchange to distinct nodes per block first."""
+    from ..sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "node": np.asarray(t["node"].to_numpy(zero_copy_only=False),
+                               np.int64),
+            col: np.asarray(t[col].to_numpy(zero_copy_only=False),
+                            np.int64),
+        }).groupby("node", as_index=False).agg(**{col: (col, how)})
+        b = (hash64(df.node.to_numpy(np.int64).view(np.uint64))
+             % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({"node": pa.array(df.node.to_numpy(np.int64)),
+                         col: pa.array(df[col].to_numpy(np.int64)),
+                         "bucket": pa.array(b)})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", as_index=False).agg(**{col: (col, how)})
+
+    return ds.map_batches(tag, batch_format="pyarrow")         .groupby("bucket").map_groups(fold, batch_format="pandas")
 
 
 def _label_sum(labels: ray.data.Dataset) -> int:
@@ -86,9 +114,9 @@ def cc_labels(edges: ray.data.Dataset, a: str = "a", b: str = "b",
         return pa.table({"node": pa.array(u, pa.int64()),
                          "lbl": pa.array(u, pa.int64())})
 
-    labels = edge_ds.map_batches(init_labels, batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("lbl", alias_name="lbl")) \
-        .materialize()
+    labels = _bucketed_node_fold(
+        edge_ds.map_batches(init_labels, batch_format="pyarrow"),
+        "lbl", "min", n_buckets).materialize()
     prev_sum = _label_sum(labels)
 
     def as_src(t: pa.Table) -> pa.Table:
@@ -114,8 +142,7 @@ def cc_labels(edges: ray.data.Dataset, a: str = "a", b: str = "b",
             right_fields={"src": pa.int64(), "lbl": pa.int64()})
         cand = joined.map_batches(prop_out, batch_format="pyarrow") \
             .union(labels)
-        stepped = cand.groupby("node") \
-            .aggregate(Min("lbl", alias_name="lbl"))
+        stepped = _bucketed_node_fold(cand, "lbl", "min", n_buckets)
         # (2) pointer doubling: lbl(v) <- lbl(lbl(v))
         stepped = stepped.materialize()
         jumped = hash_join(
@@ -300,9 +327,11 @@ def _dist_triangles(edges: ray.data.Dataset,
                          "one": pa.array(np.ones(len(n), np.int64),
                                          pa.int64())})
 
-    from ray.data.aggregate import Sum
-    deg = edges.map_batches(sym, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("one", alias_name="degree"))
+    deg = _bucketed_node_fold(
+        edges.map_batches(sym, batch_format="pyarrow"),
+        "one", "sum", n_buckets).map_batches(
+            lambda t: t.rename_columns(["node", "degree"]),
+            batch_format="pyarrow")
 
     # orient: join degree onto both endpoints
     j1 = hash_join(edges, deg.map_batches(
@@ -393,9 +422,11 @@ def _dist_triangles(edges: ray.data.Dataset,
                          "one": pa.array(np.ones(len(n), np.int64),
                                          pa.int64())})
 
-    tri = closed.map_batches(emit, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("one", alias_name="n_triangles")) \
-        .to_pandas()
+    tri = _bucketed_node_fold(
+        closed.map_batches(emit, batch_format="pyarrow"),
+        "one", "sum", n_buckets).map_batches(
+            lambda t: t.rename_columns(["node", "n_triangles"]),
+            batch_format="pyarrow").to_pandas()
     if "node" not in tri.columns:      # zero closed wedges: empty fold
         tri = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                             "n_triangles": pd.Series([], dtype=np.int64)})
