@@ -320,6 +320,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sign_test_hourly": Q.sign_test_hourly,
         "wilcoxon_signed_rank_hourly": Q.wilcoxon_signed_rank_hourly,
         "benford_second_digit_audit": Q.benford_second_digit_audit,
+        "ttr_by_source": Q.ttr_by_source,
+        "weekday_weekend_drift": Q.weekday_weekend_drift,
+        "kruskal_wallis_types": Q.kruskal_wallis_types,
+        "anova_f_types": Q.anova_f_types,
+        "friedman_hourly_types": Q.friedman_hourly_types,
     }
 
 
@@ -921,7 +926,8 @@ _VALUE_CLEAN_QUERIES = [
     "runs_test_hourly", "mann_kendall_hourly", "jarque_bera_hourly",
     "durbin_watson_hourly", "grubbs_hourly", "zero_share_drift_events",
     "sign_test_hourly", "wilcoxon_signed_rank_hourly",
-    "benford_second_digit_audit",
+    "benford_second_digit_audit", "weekday_weekend_drift",
+    "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
 ]
 
 
@@ -4204,6 +4210,288 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(w2 AS BIGINT) AS w_plus2,
                    z AS z_value, abs(z) > 1.96 AS significant
             FROM zc
+        """,
+
+        # weekday-vs-weekend Welch: the parity-Welch recipe with the
+        # isodow <= 5 calendar split (pandas dayofweek < 5 == Mon-Fri)
+        "weekday_weekend_drift": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c,
+                       isodow(ts) <= 5 AS is_wd
+                FROM events
+            ),
+            s AS (
+                SELECT
+                    CAST(sum(CASE WHEN is_wd THEN 1 ELSE 0 END)
+                         AS HUGEINT) AS n1,
+                    CAST(coalesce(sum(CASE WHEN is_wd THEN c END), 0)
+                         AS HUGEINT) AS sx1,
+                    CAST(coalesce(sum(CASE WHEN is_wd
+                             THEN CAST(c AS HUGEINT) * c END), 0)
+                         AS HUGEINT) AS sxx1,
+                    CAST(sum(CASE WHEN is_wd THEN 0 ELSE 1 END)
+                         AS HUGEINT) AS n2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_wd THEN c END), 0)
+                         AS HUGEINT) AS sx2,
+                    CAST(coalesce(sum(CASE WHEN NOT is_wd
+                             THEN CAST(c AS HUGEINT) * c END), 0)
+                         AS HUGEINT) AS sxx2
+                FROM u
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN n1 = 0 THEN 0.0
+                            ELSE (CAST(sx1 AS DOUBLE) / 100.0)
+                                 / CAST(n1 AS DOUBLE) END AS m1,
+                       CASE WHEN n2 = 0 THEN 0.0
+                            ELSE (CAST(sx2 AS DOUBLE) / 100.0)
+                                 / CAST(n2 AS DOUBLE) END AS m2
+                FROM s
+            ),
+            v AS (
+                SELECT *,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE)
+                                 / CAST(n1 * (n1 - 1) AS DOUBLE)
+                                 / 10000.0 END AS v1,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE)
+                                 / CAST(n2 * (n2 - 1) AS DOUBLE)
+                                 / 10000.0 END AS v2
+                FROM m
+            ),
+            e AS (
+                SELECT *,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE v1 / CAST(n1 AS DOUBLE) END AS se1,
+                       CASE WHEN n1 < 2 OR n2 < 2 THEN 0.0
+                            ELSE v2 / CAST(n2 AS DOUBLE) END AS se2
+                FROM v
+            )
+            SELECT CAST(n1 AS BIGINT) AS n_weekday,
+                   CAST(n2 AS BIGINT) AS n_weekend,
+                   m1 AS mean_weekday, m2 AS mean_weekend,
+                   v1 AS var_weekday, v2 AS var_weekend,
+                   CASE WHEN n1 < 2 OR n2 < 2 OR se1 + se2 <= 0.0
+                        THEN 0.0
+                        ELSE (m1 - m2) / sqrt(se1 + se2)
+                   END AS t_stat,
+                   CASE WHEN n1 < 2 OR n2 < 2
+                          OR (se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+                             + (se2 * se2) / CAST(n2 - 1 AS DOUBLE)
+                             <= 0.0 THEN 0.0
+                        ELSE ((se1 + se2) * (se1 + se2))
+                             / ((se1 * se1) / CAST(n1 - 1 AS DOUBLE)
+                                + (se2 * se2) / CAST(n2 - 1 AS DOUBLE))
+                   END AS welch_df,
+                   CASE WHEN n1 < 2 OR n2 < 2
+                          OR (CAST(n1 - 1 AS DOUBLE) * v1
+                              + CAST(n2 - 1 AS DOUBLE) * v2)
+                             / CAST(n1 + n2 - 2 AS DOUBLE) <= 0.0
+                        THEN 0.0
+                        ELSE (m1 - m2)
+                             / sqrt((CAST(n1 - 1 AS DOUBLE) * v1
+                                     + CAST(n2 - 1 AS DOUBLE) * v2)
+                                    / CAST(n1 + n2 - 2 AS DOUBLE))
+                   END AS cohens_d
+            FROM e
+        """,
+        # per-source vocabulary profile (sources with zero tokens are
+        # absent on both sides)
+        "ttr_by_source": """
+            WITH toks AS (
+                SELECT coalesce(source, '') AS source,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            per AS (SELECT source, token, count(*) AS n
+                    FROM toks GROUP BY 1, 2),
+            s AS (
+                SELECT source,
+                       CAST(sum(n) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_vocab,
+                       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM per GROUP BY 1
+            )
+            SELECT source, n_tokens, n_vocab, n_hapax,
+                   CASE WHEN n_tokens = 0 THEN 0.0
+                        ELSE CAST(n_vocab AS DOUBLE)
+                             / CAST(n_tokens AS DOUBLE)
+                   END AS type_token_ratio,
+                   CASE WHEN n_vocab = 0 THEN 0.0
+                        ELSE CAST(n_hapax AS DOUBLE)
+                             / CAST(n_vocab AS DOUBLE)
+                   END AS hapax_share
+            FROM s ORDER BY source
+        """,
+
+        # Kruskal-Wallis: exact doubled-midrank sums per type over the
+        # global value order; H from a type-ordered left fold
+        "kruskal_wallis_types": """
+            WITH c AS (
+                SELECT value, event_type, CAST(count(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            tv AS (SELECT value, CAST(sum(c) AS HUGEINT) AS t
+                   FROM c GROUP BY 1),
+            w AS (SELECT value, t,
+                         CAST(sum(t) OVER (ORDER BY value) - t
+                              AS HUGEINT) AS clt
+                  FROM tv),
+            r AS (
+                SELECT c.event_type,
+                       CAST(sum(c.c * (2 * w.clt + w.t + 1))
+                            AS HUGEINT) AS r2,
+                       CAST(sum(c.c) AS HUGEINT) AS n_g
+                FROM c JOIN w ON w.value = c.value GROUP BY 1
+            ),
+            tt AS (SELECT CAST(coalesce(sum(t * t * t - t), 0)
+                               AS HUGEINT) AS tie_sum,
+                          CAST(coalesce(sum(t), 0) AS HUGEINT) AS n
+                   FROM tv),
+            ac AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       list_reduce(list(CAST(r2 * r2 AS DOUBLE)
+                                        / CAST(4 * n_g AS DOUBLE)
+                                        ORDER BY event_type),
+                                   (a, b) -> a + b) AS acc
+                FROM r
+            ),
+            hh AS (
+                SELECT k, n, tie_sum,
+                       CASE WHEN n = 0 THEN 0.0
+                            ELSE 12.0 * acc
+                                 / CAST(n * (n + 1) AS DOUBLE)
+                                 - 3.0 * CAST(n + 1 AS DOUBLE)
+                       END AS h,
+                       CASE WHEN n >= 2 AND tie_sum > 0
+                            THEN 1.0 - CAST(tie_sum AS DOUBLE)
+                                       / CAST(n * n * n - n AS DOUBLE)
+                            ELSE 1.0 END AS corr
+                FROM ac, tt
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows, k AS n_groups,
+                   h AS h_stat, corr AS tie_correction,
+                   CASE WHEN corr > 0.0 THEN h / corr ELSE 0.0 END
+                       AS h_adjusted
+            FROM hh
+        """,
+
+        # one-way ANOVA F across types: exact per-type sufficient
+        # statistics; sum S_g^2/n_g a type-ordered left fold
+        "anova_f_types": """
+            WITH g AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS s,
+                       CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                     AS HUGEINT)
+                                * CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS sq
+                FROM events GROUP BY 1
+            ),
+            t AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS n,
+                         CAST(coalesce(sum(s), 0) AS HUGEINT) AS s,
+                         CAST(coalesce(sum(sq), 0) AS HUGEINT) AS sq,
+                         CAST(count(*) AS BIGINT) AS k
+                  FROM g),
+            ac AS (
+                SELECT list_reduce(list(CAST(g.s * g.s AS DOUBLE)
+                                        / CAST(g.n AS DOUBLE)
+                                        ORDER BY event_type),
+                                   (a, b) -> a + b) AS acc
+                FROM g
+            ),
+            e AS (
+                SELECT t.n, t.k,
+                       CASE WHEN t.n = 0 THEN 0.0
+                            ELSE acc - CAST(t.s * t.s AS DOUBLE)
+                                       / CAST(t.n AS DOUBLE)
+                       END AS ssb,
+                       CASE WHEN t.n = 0 THEN 0.0
+                            ELSE CAST(t.sq AS DOUBLE) - acc
+                       END AS ssw,
+                       CASE WHEN t.n = 0 THEN 0.0
+                            ELSE CAST(t.sq AS DOUBLE)
+                                 - CAST(t.s * t.s AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE)
+                       END AS sst
+                FROM t, ac
+            )
+            SELECT CAST(n AS BIGINT) AS n_rows, k AS n_groups,
+                   CASE WHEN k < 2 OR n <= k OR ssw <= 0.0 THEN 0.0
+                        ELSE (ssb / CAST(k - 1 AS DOUBLE))
+                             / (ssw / CAST(n - k AS DOUBLE))
+                   END AS f_stat,
+                   CASE WHEN sst <= 0.0 THEN 0.0
+                        ELSE ssb / sst END AS eta_sq
+            FROM e
+        """,
+        # Friedman: within complete hours, doubled midranks of the k
+        # type means = 2*rank() + tiecount - 1 (exact ints)
+        "friedman_hourly_types": """
+            WITH ht AS (
+                SELECT date_trunc('hour', ts) AS hour, event_type,
+                       count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM events GROUP BY 1, 2
+            ),
+            kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT)
+                       AS k FROM ht),
+            hm AS (SELECT hour, event_type,
+                          (CAST(c AS DOUBLE) / 100.0) / n AS m
+                   FROM ht),
+            fh AS (SELECT hour FROM hm GROUP BY 1
+                   HAVING count(*) = (SELECT k FROM kk)),
+            rk AS (
+                SELECT event_type,
+                       CAST(2 * rank() OVER (PARTITION BY hour
+                                             ORDER BY m)
+                            + count(*) OVER (PARTITION BY hour, m) - 1
+                            AS HUGEINT) AS dm
+                FROM hm WHERE hour IN (SELECT hour FROM fh)
+            ),
+            r2 AS (SELECT event_type, CAST(sum(dm) AS HUGEINT) AS r2
+                   FROM rk GROUP BY 1),
+            tt AS (
+                SELECT CAST(coalesce(sum(t * t * t - t), 0) AS HUGEINT)
+                           AS ties
+                FROM (SELECT hour, m, CAST(count(*) AS HUGEINT) AS t
+                      FROM hm WHERE hour IN (SELECT hour FROM fh)
+                      GROUP BY 1, 2)
+                WHERE t > 1
+            ),
+            nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM fh),
+            sr AS (SELECT CAST(coalesce(sum(r2 * r2), 0) AS HUGEINT)
+                       AS sum_r2sq FROM r2),
+            res AS (
+                SELECT nb.nb, kk.k, sr.sum_r2sq, tt.ties,
+                       CASE WHEN nb.nb = 0 OR kk.k < 2 THEN 0.0
+                            ELSE 3.0 * CAST(sr.sum_r2sq AS DOUBLE)
+                                 / CAST(nb.nb * kk.k * (kk.k + 1)
+                                        AS DOUBLE)
+                                 - 3.0 * CAST(nb.nb * (kk.k + 1)
+                                              AS DOUBLE)
+                       END AS chi2,
+                       CASE WHEN nb.nb = 0 OR kk.k < 2 THEN 1.0
+                            WHEN tt.ties > 0
+                                 AND nb.nb * kk.k * (kk.k * kk.k - 1)
+                                     > 0
+                            THEN 1.0 - CAST(tt.ties AS DOUBLE)
+                                       / CAST(nb.nb * kk.k
+                                              * (kk.k * kk.k - 1)
+                                              AS DOUBLE)
+                            ELSE 1.0 END AS corr
+                FROM nb, kk, sr, tt
+            )
+            SELECT nb AS n_blocks, k AS n_groups, chi2 AS chi2_stat,
+                   corr AS tie_correction,
+                   CASE WHEN corr > 0.0 THEN chi2 / corr ELSE 0.0 END
+                       AS chi2_adjusted
+            FROM res
         """,
         "benford_first_digit_audit": _benford_sql(),
         "benford_second_digit_audit": _benford2_sql(),

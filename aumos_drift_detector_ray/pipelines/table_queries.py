@@ -14095,3 +14095,354 @@ def benford_second_digit_audit(sf_dir: str) -> pd.DataFrame:
         out[f"c{d}"] = [np.int64(counts[d])]
     out["chi2_benford2"] = [float(chi2)]
     return pd.DataFrame(out)
+
+
+def ttr_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source vocabulary profile (the stratified companion of
+    hapax_vocab_stats — catches one source's boilerplate collapsing
+    its type-token ratio): per-block (source, token) count partials
+    through ONE (source, token)-hash-bucketed exchange — a (source,
+    token) pair lives wholly in one bucket, so per-bucket sums are
+    exact global counts; each bucket returns per-source scalar
+    partials and the driver folds O(buckets × sources) rows. TTR and
+    hapax share are ONE divisions of exact ints per source."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        srcs, toks, cnts = [], [], []
+        for src, g in b.groupby(b.source.fillna("")):
+            blob = "\n".join(g.text.fillna("").astype(str).str.lower())
+            tt = WORD_RE.findall(blob)
+            if not tt:
+                continue
+            u, c = np.unique(np.asarray(tt, dtype=object),
+                             return_counts=True)
+            srcs.extend([src] * len(u))
+            toks.extend(u)
+            cnts.extend(c)
+        if not toks:
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "token": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        key = np.asarray([f"{s}\x1f{t}" for s, t in zip(srcs, toks)],
+                         dtype=object)
+        return pd.DataFrame({
+            "source": np.asarray(srcs, dtype=object),
+            "token": np.asarray(toks, dtype=object),
+            "n": np.asarray(cnts, dtype=np.int64),
+            "bucket": (hash_any_array(key) % np.uint64(32))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["source", "token"], as_index=False).agg(
+            n=("n", "sum"))
+        m["hap"] = (m.n == 1).astype(np.int64)
+        return m.groupby("source", as_index=False).agg(
+            n_tokens=("n", "sum"), n_vocab=("n", "size"),
+            n_hapax=("hap", "sum"))
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if len(f) == 0:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_tokens": pd.Series([], dtype="int64"),
+            "n_vocab": pd.Series([], dtype="int64"),
+            "n_hapax": pd.Series([], dtype="int64"),
+            "type_token_ratio": pd.Series([], dtype="float64"),
+            "hapax_share": pd.Series([], dtype="float64"),
+        })
+    agg = f.groupby("source", as_index=False).agg(
+        n_tokens=("n_tokens", "sum"), n_vocab=("n_vocab", "sum"),
+        n_hapax=("n_hapax", "sum")).sort_values("source") \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "source": agg.source.to_numpy(),
+        "n_tokens": agg.n_tokens.astype("int64").to_numpy(),
+        "n_vocab": agg.n_vocab.astype("int64").to_numpy(),
+        "n_hapax": agg.n_hapax.astype("int64").to_numpy(),
+        "type_token_ratio": np.where(
+            agg.n_tokens.to_numpy(np.int64) == 0, 0.0,
+            agg.n_vocab.to_numpy(np.int64).astype(np.float64)
+            / agg.n_tokens.to_numpy(np.int64).astype(np.float64)),
+        "hapax_share": np.where(
+            agg.n_vocab.to_numpy(np.int64) == 0, 0.0,
+            agg.n_hapax.to_numpy(np.int64).astype(np.float64)
+            / agg.n_vocab.to_numpy(np.int64).astype(np.float64)),
+    })
+
+
+def weekday_weekend_drift(sf_dir: str) -> pd.DataFrame:
+    """Weekday-vs-weekend value drift — Welch's t between the two
+    calendar strata (the calendar-seasonality companion of
+    welch_t_drift_events' parity split): the strata are
+    dayofweek < 5 vs >= 5, the sufficient statistics exact
+    n/Σcents/Σcents² folds (python-int squares as strings / HUGEINT),
+    and every float the SAME fixed-shape expressions as the parity
+    Welch — mean, var, t, Welch-Satterthwaite df, Cohen's d."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        is_wd = (b.ts.dt.dayofweek < 5).to_numpy(bool)
+        out = []
+        for flag in (True, False):
+            c = cents[is_wd == flag]
+            sxx = 0
+            for v in c:
+                v = int(v)
+                sxx += v * v
+            out.append((int(len(c)), int(c.sum()), str(sxx)))
+        return pd.DataFrame({
+            "n1": [out[0][0]], "sx1": [out[0][1]], "sxx1": [out[0][2]],
+            "n2": [out[1][0]], "sx2": [out[1][1]], "sxx2": [out[1][2]],
+        })
+
+    p = ds.map_batches(fold, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    n1 = int(p.n1.sum())
+    n2 = int(p.n2.sum())
+    sx1 = int(p.sx1.sum())
+    sx2 = int(p.sx2.sum())
+    sxx1 = sum(int(s) for s in p.sxx1)
+    sxx2 = sum(int(s) for s in p.sxx2)
+    m1 = 0.0 if n1 == 0 else (float(sx1) / 100.0) / float(n1)
+    m2 = 0.0 if n2 == 0 else (float(sx2) / 100.0) / float(n2)
+    if n1 < 2 or n2 < 2:
+        v1 = v2 = t = df = d = 0.0
+    else:
+        v1 = (float(n1 * sxx1 - sx1 * sx1)
+              / float(n1 * (n1 - 1)) / 10000.0)
+        v2 = (float(n2 * sxx2 - sx2 * sx2)
+              / float(n2 * (n2 - 1)) / 10000.0)
+        se1 = v1 / float(n1)
+        se2 = v2 / float(n2)
+        se = se1 + se2
+        t = 0.0 if se <= 0.0 else (m1 - m2) / math.sqrt(se)
+        den = ((se1 * se1) / float(n1 - 1)
+               + (se2 * se2) / float(n2 - 1))
+        df = 0.0 if den <= 0.0 else (se * se) / den
+        sp2 = ((float(n1 - 1) * v1 + float(n2 - 1) * v2)
+               / float(n1 + n2 - 2))
+        d = 0.0 if sp2 <= 0.0 else (m1 - m2) / math.sqrt(sp2)
+    return pd.DataFrame({
+        "n_weekday": [np.int64(n1)], "n_weekend": [np.int64(n2)],
+        "mean_weekday": [float(m1)], "mean_weekend": [float(m2)],
+        "var_weekday": [float(v1)], "var_weekend": [float(v2)],
+        "t_stat": [float(t)], "welch_df": [float(df)],
+        "cohens_d": [float(d)],
+    })
+
+
+def kruskal_wallis_types(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis k-sample rank test of value across event types
+    (Kruskal & Wallis 1952 — the k-sample generalization of
+    mannwhitney_drift_events): per-type DOUBLED midrank sums R2_g and
+    the tie moment come EXACT from one distributed scan
+    (scan.k_sample_rank_sums — one row per distinct value carrying
+    the bounded type alphabet's count columns, pass-A offsets, pass-B
+    python-int folds), Σ R_g²/n_g is a left fold of
+    R2_g²/(4·n_g) terms in type order (exact ints → fixed-shape
+    doubles, mirrored by list_reduce), H = 12·acc/(N(N+1)) − 3(N+1),
+    and the tie correction 1 − Σ(t³−t)/(N³−N) divides it. Empty input
+    guards to the zeros row."""
+    from ..stages.scan import k_sample_rank_sums
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+    types = sorted(
+        ds.map_batches(lambda b: b[["event_type"]].drop_duplicates(),
+                       batch_format="pandas")
+        .to_pandas().event_type.unique().tolist())
+    if not types:
+        return pd.DataFrame({
+            "n_rows": [np.int64(0)], "n_groups": [np.int64(0)],
+            "h_stat": [0.0], "tie_correction": [1.0],
+            "h_adjusted": [0.0],
+        })
+    st = k_sample_rank_sums(ds, "value", "event_type", types)
+    n = st["n_total"]
+    terms = [float(st["r2"][g] * st["r2"][g])
+             / float(4 * st["n"][g]) for g in types]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    h = (0.0 if n == 0
+         else 12.0 * acc / float(n * (n + 1)) - 3.0 * float(n + 1))
+    tie = st["tie_sum"]
+    corr = (1.0 - float(tie) / float(n * n * n - n)
+            if n >= 2 and tie > 0 else 1.0)
+    return pd.DataFrame({
+        "n_rows": [np.int64(n)], "n_groups": [np.int64(len(types))],
+        "h_stat": [float(h)], "tie_correction": [float(corr)],
+        "h_adjusted": [float(h / corr) if corr > 0.0 else 0.0],
+    })
+
+
+def anova_f_types(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F of value across event types (Fisher — the
+    parametric k-sample companion of kruskal_wallis_types; the
+    between/within decomposition whose hour-of-day analogue is
+    seasonal_strength_hourly): per-type exact n/Σcents/Σcents² folds
+    (python-int squares as strings / HUGEINT), SSB = Σ S_g²/n_g − S²/N
+    and SSW = Σc² − Σ S_g²/n_g with Σ S_g²/n_g a type-ordered left
+    fold of fixed-shape terms (mirrored by list_reduce), and
+    F = (SSB/(k−1))/(SSW/(N−k)) — the cents² units cancel.
+    Degenerate cases (k < 2, N <= k, zero within-variance) guard F
+    to the 0.0 sentinel."""
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        c = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        rows = []
+        for g, sub in pd.DataFrame({"g": b.event_type, "c": c}) \
+                .groupby("g"):
+            cs = sub.c.to_numpy(np.int64)
+            sq = 0
+            for x in cs:
+                x = int(x)
+                sq += x * x
+            rows.append((g, len(cs), int(cs.sum()), str(sq)))
+        return pd.DataFrame(rows, columns=["event_type", "n", "s", "sq"])
+
+    parts = ds.map_batches(fold, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({
+            "n_rows": [np.int64(0)], "n_groups": [np.int64(0)],
+            "f_stat": [0.0], "eta_sq": [0.0],
+        })
+    agg = {}
+    for g, n_i, s_i, sq_i in zip(parts.event_type, parts.n,
+                                 parts.s, parts.sq):
+        e = agg.setdefault(g, [0, 0, 0])
+        e[0] += int(n_i)
+        e[1] += int(s_i)
+        e[2] += int(sq_i)
+    types = sorted(agg)
+    n = sum(e[0] for e in agg.values())
+    s = sum(e[1] for e in agg.values())
+    sq = sum(e[2] for e in agg.values())
+    k = len(types)
+    # type-ordered left fold of S_g^2/n_g (exact ints -> doubles)
+    terms = [float(agg[g][1] * agg[g][1]) / float(agg[g][0])
+             for g in types]
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    gm = float(s * s) / float(n)
+    ssb = acc - gm
+    ssw = float(sq) - acc
+    if k < 2 or n <= k or ssw <= 0.0:
+        f = 0.0
+    else:
+        f = (ssb / float(k - 1)) / (ssw / float(n - k))
+    sst = float(sq) - gm
+    eta = 0.0 if sst <= 0.0 else ssb / sst
+    return pd.DataFrame({
+        "n_rows": [np.int64(n)], "n_groups": [np.int64(k)],
+        "f_stat": [float(f)], "eta_sq": [float(eta)],
+    })
+
+
+def friedman_hourly_types(sf_dir: str) -> pd.DataFrame:
+    """Friedman blocked-rank test (Friedman 1937): do the event types
+    differ in hourly mean value once the hour (block) effect is
+    removed — the repeated-measures companion of kruskal_wallis.
+    Blocks are COMPLETE hours (all k global types present); within
+    each block the k type means (fixed-shape doubles from exact cents
+    — bit-identical both sides) get doubled midranks 2·rank + t − 1,
+    per-type doubled rank sums R2_j and the within-block tie moment
+    Σ(t³−t) are exact ints, chi² = 3·ΣR2_j²/(n·k·(k+1)) − 3·n·(k+1)
+    with the tie divisor 1 − Σties/(n·k·(k²−1)). Blocks × types is
+    bounded by the time span, so the ranking folds on the driver over
+    the one hour-keyed exchange. n=0 or k<2 guards to the zeros row."""
+    ds = sf_events_clean(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        from ..sketches import hash64
+        g = pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "event_type": b.event_type,
+            "n": np.ones(len(b), dtype=np.int64),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby(["hour", "event_type"], as_index=False).agg(
+            n=("n", "sum"), c=("c", "sum"))
+        # (hour, type) cardinality is span x alphabet — bucketed fold
+        # keyed by hour so a block holds whole blocks of the design
+        g["bucket"] = (hash64(g.hour.astype("datetime64[us]")
+                              .astype("int64").to_numpy()
+                              .view(np.uint64))
+                       % np.uint64(16)).astype(np.int64)
+        return g
+
+    hm = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby(["hour", "event_type"],
+                                as_index=False).agg(
+                n=("n", "sum"), c=("c", "sum")),
+            batch_format="pandas") \
+        .to_pandas()
+    if len(hm) == 0:
+        return pd.DataFrame({
+            "n_blocks": [np.int64(0)], "n_groups": [np.int64(0)],
+            "chi2_stat": [0.0], "tie_correction": [1.0],
+            "chi2_adjusted": [0.0],
+        })
+    types = sorted(hm.event_type.unique())
+    k = len(types)
+    hm["m"] = (hm.c.to_numpy(np.float64) / 100.0) \
+        / hm.n.to_numpy(np.float64)
+    # complete blocks only
+    cnt = hm.groupby("hour").event_type.nunique()
+    full = set(cnt.index[cnt == k])
+    hm = hm.loc[hm.hour.isin(full)]
+    nb = len(full)
+    if nb == 0 or k < 2:
+        return pd.DataFrame({
+            "n_blocks": [np.int64(nb)], "n_groups": [np.int64(k)],
+            "chi2_stat": [0.0], "tie_correction": [1.0],
+            "chi2_adjusted": [0.0],
+        })
+    r2 = {g: 0 for g in types}
+    ties = 0
+    for _, blk in hm.groupby("hour"):
+        blk = blk.sort_values("m", kind="stable")
+        ms = blk.m.to_numpy()
+        gs = blk.event_type.to_numpy()
+        i = 0
+        while i < k:
+            j = i
+            while j < k and ms[j] == ms[i]:
+                j += 1
+            t = j - i
+            dm = 2 * (i + 1) + t - 1
+            for idx in range(i, j):
+                r2[gs[idx]] += dm
+            if t > 1:
+                ties += t * t * t - t
+            i = j
+    sum_r2sq = 0
+    for g in types:
+        sum_r2sq += r2[g] * r2[g]
+    chi2 = (3.0 * float(sum_r2sq) / float(nb * k * (k + 1))
+            - 3.0 * float(nb * (k + 1)))
+    denom = nb * k * (k * k - 1)
+    corr = (1.0 - float(ties) / float(denom)
+            if ties > 0 and denom > 0 else 1.0)
+    return pd.DataFrame({
+        "n_blocks": [np.int64(nb)], "n_groups": [np.int64(k)],
+        "chi2_stat": [float(chi2)], "tie_correction": [float(corr)],
+        "chi2_adjusted": [float(chi2 / corr) if corr > 0.0 else 0.0],
+    })

@@ -1183,3 +1183,112 @@ def global_rank(
               .groupby("__rbucket")
               .map_groups(rank_group, batch_format="pyarrow"))
     return ranked, total
+
+
+def k_sample_rank_sums(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    groups: "list[str]",
+    n_buckets: int = 64,
+) -> dict:
+    """Exact k-sample midrank sufficient statistics (Kruskal-Wallis
+    tier) in one distributed scan: for each group g the DOUBLED
+    midrank sum R2_g = Σ over rows of 2·midrank (per distinct value v
+    with t occurrences and C_lt smaller rows, every occurrence
+    contributes 2·C_lt + t + 1 — integers throughout), plus
+    tie_sum = Σ(t³−t) and per-group counts. Same shape as
+    :func:`rank_sum_stats` generalized to a bounded group list: one
+    row per distinct value carrying k count columns (so no value can
+    straddle a sort block), pass A block summaries → offsets, pass B
+    python-int folds shipped as strings. ``groups`` must be the full
+    sorted group alphabet (bounded — the caller collects it with a
+    tiny distinct pass)."""
+    from ..sketches import hash64
+
+    k = len(groups)
+    gidx = {g: i for i, g in enumerate(groups)}
+    ccols = [f"c{i}" for i in range(k)]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        gi = b[group_col].map(gidx).to_numpy(np.int64)
+        frame = {value_col: b[value_col].to_numpy(np.float64) + 0.0}
+        for i in range(k):
+            frame[ccols[i]] = (gi == i).astype(np.int64)
+        g = pd.DataFrame(frame).groupby(value_col, as_index=False).sum()
+        g["bucket"] = (
+            hash64(g[value_col].to_numpy(np.float64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(value_col, as_index=False).agg(
+            **{c: (c, "sum") for c in ccols})
+
+    counts = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "t": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        tot = 0
+        for c in ccols:
+            tot += int(b[c].to_numpy(zero_copy_only=False).sum())
+        return pa.table({"min_val": pa.array([float(v[0])], pa.float64()),
+                         "t": pa.array([tot], pa.int64())})
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pyarrow", batch_size=None) \
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    if len(summary) == 0:
+        return {"r2": {g: 0 for g in groups},
+                "n": {g: 0 for g in groups}, "tie_sum": 0, "n_total": 0}
+    offs = np.concatenate([[0], np.cumsum(summary.t.to_numpy())[:-1]])
+    bc = ray.put({"mins": summary.min_val.to_numpy(), "offs": offs})
+
+    def contrib(b: pa.Table) -> pa.Table:
+        cols = ([f"r2_{i}" for i in range(k)]
+                + [f"n_{i}" for i in range(k)] + ["ties"])
+        if len(b) == 0:
+            return pa.table({c: pa.array([], pa.string()) for c in cols})
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cmat = np.stack([np.asarray(
+            b[c].to_numpy(zero_copy_only=False), np.int64)
+            for c in ccols], axis=1)
+        t = cmat.sum(axis=1)
+        bi = int(np.searchsorted(info["mins"], float(v[0]),
+                                 side="right") - 1)
+        off = int(info["offs"][bi])
+        # local prefix of totals within the sorted block
+        clt = off + np.concatenate([[0], np.cumsum(t)[:-1]])
+        dm = 2 * clt + t + 1       # doubled midrank per distinct value
+        out = {}
+        for i in range(k):
+            acc = 0
+            ci = cmat[:, i]
+            for j in range(len(t)):
+                acc += int(ci[j]) * int(dm[j])
+            out[f"r2_{i}"] = [str(acc)]
+            out[f"n_{i}"] = [str(int(ci.sum()))]
+        ties = 0
+        for tv in t:
+            tv = int(tv)
+            ties += tv * tv * tv - tv
+        out["ties"] = [str(ties)]
+        return pa.table({c: pa.array(vv, pa.string())
+                         for c, vv in out.items()})
+
+    parts = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None).to_pandas()
+    r2 = {g: sum(int(x) for x in parts[f"r2_{i}"])
+          for i, g in enumerate(groups)}
+    n = {g: sum(int(x) for x in parts[f"n_{i}"])
+         for i, g in enumerate(groups)}
+    tie_sum = sum(int(x) for x in parts.ties)
+    return {"r2": r2, "n": n, "tie_sum": tie_sum,
+            "n_total": sum(n.values())}

@@ -304,7 +304,9 @@ def run_queries() -> dict[str, float]:
         "poisson_dispersion_hourly", "hod_uniformity_chi2",
         "doc_length_gini", "source_lang_cramers_v",
         "sign_test_hourly", "wilcoxon_signed_rank_hourly",
-        "benford_second_digit_audit",
+        "benford_second_digit_audit", "ttr_by_source",
+        "weekday_weekend_drift", "kruskal_wallis_types",
+        "anova_f_types", "friedman_hourly_types",
     ]
     qs = E.queries()
     out = {}

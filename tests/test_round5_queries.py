@@ -2752,3 +2752,203 @@ class TestBenfordSecondDigit:
         total = sum(int(out[f"c{d}"][0]) for d in range(10))
         assert total == int(out.n_nonzero[0])
         assert out.chi2_benford2[0] >= 0.0
+
+
+class TestStratifiedProfiles:
+    def test_ttr_by_source_known(self, ray_session):
+        """Two sources with known vocab shapes; a source with only
+        empty docs is absent on both sides."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = ["aa aa aa", "aa bb", "xx yy zz", ""]
+        sources = ["s1", "s1", "s2", "s3"]
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(sources),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.ttr_by_source(d).set_index("source")
+        assert list(out.index) == ["s1", "s2"]     # s3 tokenless
+        assert int(out.loc["s1", "n_tokens"]) == 5
+        assert int(out.loc["s1", "n_vocab"]) == 2
+        assert int(out.loc["s1", "n_hapax"]) == 1  # bb
+        assert out.loc["s1", "type_token_ratio"] == 2.0 / 5.0
+        assert out.loc["s2", "type_token_ratio"] == 1.0
+        assert out.loc["s2", "hapax_share"] == 1.0
+
+    def test_weekday_weekend_planted_shift(self, ray_session):
+        """2024-01-01 is a Monday: plant weekday values ~10 and
+        weekend values ~20 and the t must be strongly negative."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=14 * 24, freq="h")
+        is_wd = ts.dayofweek < 5
+        vals = np.where(is_wd, 10.0, 20.0)
+        vals = vals + np.where(np.arange(len(ts)) % 2 == 0, 0.25, -0.25)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.weekday_weekend_drift(d)
+        assert int(out.n_weekday[0]) == int(is_wd.sum())
+        assert out.mean_weekday[0] == 10.0
+        assert out.mean_weekend[0] == 20.0
+        assert out.t_stat[0] < -50
+        assert out.cohens_d[0] < -5
+
+
+class TestKruskalWallis:
+    def test_planted_separation(self, ray_session):
+        """Three types on disjoint value ranges: H ~ maximal for
+        k=3 (N-1 scaled), strongly significant territory."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 900
+        types = np.array(["a", "b", "c"])[np.arange(n) % 3]
+        vals = (np.arange(n) % 3) * 100.0 + (np.arange(n) // 3) * 0.01
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=list(types))
+            out = Q.kruskal_wallis_types(d)
+        assert int(out.n_groups[0]) == 3
+        assert out.h_stat[0] > 700           # near (N-1) = 899
+        assert out.tie_correction[0] == 1.0  # all values distinct
+
+    def test_matches_bruteforce_midranks(self, ray_session):
+        """H and the tie correction recomputed on sf0.001 with a
+        direct midrank implementation (scipy-free)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kruskal_wallis_types(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        v = df.value.to_numpy()
+        order = np.argsort(v, kind="stable")
+        s = v[order]
+        ranks = np.empty(len(v))
+        i = 0
+        tie = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and s[j] == s[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0
+            t = j - i
+            if t > 1:
+                tie += t**3 - t
+            i = j
+        n = len(v)
+        acc = 0.0
+        for g in sorted(df.event_type.unique()):
+            r = ranks[(df.event_type == g).to_numpy()]
+            acc += r.sum() ** 2 / len(r)
+        h = 12.0 * acc / (n * (n + 1)) - 3.0 * (n + 1)
+        corr = 1.0 - tie / (n**3 - n) if tie else 1.0
+        assert int(out.n_rows[0]) == n
+        assert abs(out.h_stat[0] - h) < 1e-7 * max(1.0, abs(h))
+        assert abs(out.tie_correction[0] - corr) < 1e-12
+        assert abs(out.h_adjusted[0] - h / corr) < 1e-7 * max(1.0, abs(h))
+
+    def test_identical_groups_small_h(self, ray_session):
+        """Every type sees the same value multiset: H ~ 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 600
+        types = np.array(["a", "b", "c"])[np.arange(n) % 3]
+        vals = (np.arange(n) // 3 % 50).astype(float)
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=list(types))
+            out = Q.kruskal_wallis_types(d)
+        assert abs(out.h_adjusted[0]) < 1e-6
+
+
+class TestAnovaFriedman:
+    def test_anova_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.anova_f_types(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        c = round_half_away(df.value.to_numpy() * 100).astype(np.int64)
+        groups = [c[(df.event_type == g).to_numpy()]
+                  for g in sorted(df.event_type.unique())]
+        n = len(c)
+        k = len(groups)
+        gm = c.astype(float).mean()
+        ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+        ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert int(out.n_rows[0]) == n and int(out.n_groups[0]) == k
+        assert abs(out.f_stat[0] - f) < 1e-6 * max(1.0, f)
+        assert abs(out.eta_sq[0] - ssb / (ssb + ssw)) < 1e-9
+
+    def test_anova_planted_separation(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 600
+        types = np.array(["a", "b", "c"])[np.arange(n) % 3]
+        vals = (np.arange(n) % 3) * 100.0 \
+            + np.where(np.arange(n) % 2 == 0, 0.5, -0.5)
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=list(types))
+            out = Q.anova_f_types(d)
+        assert out.f_stat[0] > 10000
+        assert out.eta_sq[0] > 0.99
+
+    def test_friedman_planted_consistent_ordering(self, ray_session):
+        """Type 'c' always above 'b' always above 'a' within every
+        hour: chi2 = maximal nb*(k-1)... for k=3, 2*nb."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 30
+        ts, ty, vals = [], [], []
+        for h in range(nh):
+            for i, (t, v) in enumerate(
+                    [("a", 10.0), ("b", 20.0), ("c", 30.0)]):
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h, minutes=i))
+                ty.append(t)
+                vals.append(v + h * 0.001)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.array(vals), types=ty)
+            out = Q.friedman_hourly_types(d)
+        assert int(out.n_blocks[0]) == nh
+        assert int(out.n_groups[0]) == 3
+        # perfect consistency: chi2 = nb * (k - 1) * ... = 2 * nb
+        assert abs(out.chi2_stat[0] - 2.0 * nh) < 1e-9
+        assert out.tie_correction[0] == 1.0
+
+    def test_friedman_incomplete_blocks_dropped(self, ray_session):
+        """Hours missing a type are excluded from the blocks."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts, ty, vals = [], [], []
+        for h in range(10):
+            for t, v in [("a", 1.0), ("b", 2.0)]:
+                ts.append(pd.Timestamp("2024-01-01")
+                          + pd.Timedelta(hours=h))
+                ty.append(t)
+                vals.append(v)
+        # an extra hour with only type 'a'
+        ts.append(pd.Timestamp("2024-01-02 05:00:00"))
+        ty.append("a")
+        vals.append(9.0)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts), np.array(vals),
+                          types=ty)
+            out = Q.friedman_hourly_types(d)
+        assert int(out.n_blocks[0]) == 10
+        assert int(out.n_groups[0]) == 2

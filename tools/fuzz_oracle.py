@@ -105,7 +105,8 @@ EVENT_QUERIES = [
     "zero_share_drift_events", "cochran_armitage_error_trend",
     "poisson_dispersion_hourly", "hod_uniformity_chi2",
     "sign_test_hourly", "wilcoxon_signed_rank_hourly",
-    "benford_second_digit_audit",
+    "benford_second_digit_audit", "weekday_weekend_drift",
+    "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
 ]
 
 
@@ -201,6 +202,7 @@ DOC_QUERIES = [
     # session-9: corpus vocabulary / shape statistics
     "hapax_vocab_stats", "token_burstiness_stats",
     "doc_length_gini", "source_lang_cramers_v",
+    "ttr_by_source",
 ]
 
 
