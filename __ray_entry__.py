@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kruskal_wallis_types": Q.kruskal_wallis_types,
         "anova_f_types": Q.anova_f_types,
         "friedman_hourly_types": Q.friedman_hourly_types,
+        "ordinal_assoc_value_hour": Q.ordinal_assoc_value_hour,
+        "bowley_moors_shape_events": Q.bowley_moors_shape_events,
+        "trimmed_mean_drift_events": Q.trimmed_mean_drift_events,
     }
 
 
@@ -928,6 +931,8 @@ _VALUE_CLEAN_QUERIES = [
     "sign_test_hourly", "wilcoxon_signed_rank_hourly",
     "benford_second_digit_audit", "weekday_weekend_drift",
     "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
+    "ordinal_assoc_value_hour", "bowley_moors_shape_events",
+    "trimmed_mean_drift_events",
 ]
 
 
@@ -4491,6 +4496,156 @@ def _oracle_sql_raw() -> dict[str, str]:
                    corr AS tie_correction,
                    CASE WHEN corr > 0.0 THEN chi2 / corr ELSE 0.0 END
                        AS chi2_adjusted
+            FROM res
+        """,
+        # concordance family over the same dense (value × hod) grid as
+        # Kendall: exact HUGEINT C/D/tie counts, every statistic ONE
+        # fixed-shape IEEE expression (n0 via exact integer //)
+        "ordinal_assoc_value_hour": """
+            WITH e AS (
+                SELECT value,
+                       CAST(extract(hour FROM ts) AS BIGINT) AS hod
+                FROM events
+            ),
+            c AS (SELECT value, hod, CAST(count(*) AS HUGEINT) AS cnt
+                  FROM e GROUP BY 1, 2),
+            grid AS (
+                SELECT v.value, h.hod
+                FROM (SELECT DISTINCT value FROM c) v,
+                     (SELECT unnest(generate_series(0, 23)) AS hod) h
+            ),
+            g AS (
+                SELECT grid.value, grid.hod,
+                       coalesce(c.cnt, 0) AS cnt
+                FROM grid LEFT JOIN c
+                  ON c.value = grid.value AND c.hod = grid.hod
+            ),
+            w AS (
+                SELECT value, hod, cnt,
+                       sum(cnt) OVER (PARTITION BY hod ORDER BY value)
+                           - cnt AS clt
+                FROM g
+            ),
+            x AS (
+                SELECT cnt, clt,
+                       sum(clt) OVER (PARTITION BY value ORDER BY hod)
+                           - clt AS pre,
+                       sum(clt) OVER (PARTITION BY value) AS tot
+                FROM w
+            ),
+            agg AS (SELECT
+                      CAST(coalesce(sum(cnt * pre), 0) AS HUGEINT)
+                          AS c,
+                      CAST(coalesce(sum(cnt * (tot - pre - clt)), 0)
+                           AS HUGEINT) AS d
+                    FROM x),
+            nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM e),
+            tv AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+                               AS HUGEINT) AS n1
+                   FROM (SELECT CAST(count(*) AS HUGEINT) AS t
+                         FROM e GROUP BY value)),
+            th AS (SELECT CAST(coalesce(sum(u * (u - 1) // 2), 0)
+                               AS HUGEINT) AS n2
+                   FROM (SELECT CAST(count(*) AS HUGEINT) AS u
+                         FROM e GROUP BY hod)),
+            dims AS (SELECT CAST(count(DISTINCT value) AS BIGINT)
+                         AS nv,
+                     CAST(count(DISTINCT hod) AS BIGINT) AS nh
+                     FROM e),
+            st AS (SELECT nn.n, agg.c, agg.d,
+                          nn.n * (nn.n - 1) // 2 AS n0,
+                          tv.n1, th.n2,
+                          least(dims.nv, dims.nh) AS m
+                   FROM agg, nn, tv, th, dims)
+            SELECT CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN c + d = 0 THEN 0.0
+                        ELSE CAST(c - d AS DOUBLE)
+                             / CAST(c + d AS DOUBLE) END AS gamma,
+                   CASE WHEN n0 - n1 <= 0 THEN 0.0
+                        ELSE CAST(c - d AS DOUBLE)
+                             / CAST(n0 - n1 AS DOUBLE)
+                   END AS somers_d_hod,
+                   CASE WHEN n0 - n2 <= 0 THEN 0.0
+                        ELSE CAST(c - d AS DOUBLE)
+                             / CAST(n0 - n2 AS DOUBLE)
+                   END AS somers_d_value,
+                   CASE WHEN m < 2 OR n = 0 THEN 0.0
+                        ELSE ((2.0 * CAST(m AS DOUBLE))
+                              * CAST(c - d AS DOUBLE))
+                             / ((CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                                * CAST(m - 1 AS DOUBLE))
+                   END AS stuart_tau_c
+            FROM st
+        """,
+        # Bowley/Moors robust shape: octiles are quantile_disc
+        # selections (exact data values; i/8 probes are exact binary
+        # fractions), each statistic one fixed-shape expression
+        "bowley_moors_shape_events": """
+            WITH q AS (
+                SELECT quantile_disc(value, [0.125, 0.25, 0.375, 0.5,
+                                             0.625, 0.75, 0.875]) AS qs,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events
+            )
+            SELECT n AS n_rows,
+                   coalesce(qs[1], 0.0) AS e1,
+                   coalesce(qs[2], 0.0) AS e2,
+                   coalesce(qs[3], 0.0) AS e3,
+                   coalesce(qs[4], 0.0) AS e4,
+                   coalesce(qs[5], 0.0) AS e5,
+                   coalesce(qs[6], 0.0) AS e6,
+                   coalesce(qs[7], 0.0) AS e7,
+                   CASE WHEN n = 0 OR qs[6] - qs[2] = 0.0 THEN 0.0
+                        ELSE ((qs[6] + qs[2]) - 2.0 * qs[4])
+                             / (qs[6] - qs[2])
+                   END AS bowley_skew,
+                   CASE WHEN n = 0 OR qs[6] - qs[2] = 0.0 THEN 0.0
+                        ELSE ((qs[7] - qs[5]) + (qs[3] - qs[1]))
+                             / (qs[6] - qs[2])
+                   END AS moors_kurtosis
+            FROM q
+        """,
+        # trimmed means: the sum of the lowest r cents is tie-invariant
+        # so the row_number window needs no tie-break; g = n // 10
+        "trimmed_mean_drift_events": """
+            WITH r AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events WHERE event_id % 2 = 0),
+            p AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE event_id % 2 = 1),
+            rc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+            pc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+            rw AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                   FROM r),
+            pw AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                   FROM p),
+            rt AS (SELECT CAST(coalesce(sum(CAST(rw.c AS HUGEINT)), 0)
+                               AS HUGEINT) AS s,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM rw, rc
+                   WHERE rw.rn > rc.n // 10
+                     AND rw.rn <= rc.n - rc.n // 10),
+            pt AS (SELECT CAST(coalesce(sum(CAST(pw.c AS HUGEINT)), 0)
+                               AS HUGEINT) AS s,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM pw, pc
+                   WHERE pw.rn > pc.n // 10
+                     AND pw.rn <= pc.n - pc.n // 10),
+            res AS (
+                SELECT rc.n AS n_ref, rc.n // 10 AS g_ref,
+                       CASE WHEN rt.cnt = 0 THEN 0.0
+                            ELSE (CAST(rt.s AS DOUBLE)
+                                  / CAST(rt.cnt AS DOUBLE)) / 100.0
+                       END AS trimmed_mean_ref,
+                       pc.n AS n_prod, pc.n // 10 AS g_prod,
+                       CASE WHEN pt.cnt = 0 THEN 0.0
+                            ELSE (CAST(pt.s AS DOUBLE)
+                                  / CAST(pt.cnt AS DOUBLE)) / 100.0
+                       END AS trimmed_mean_prod
+                FROM rc, pc, rt, pt
+            )
+            SELECT n_ref, g_ref, trimmed_mean_ref,
+                   n_prod, g_prod, trimmed_mean_prod,
+                   trimmed_mean_prod - trimmed_mean_ref AS shift
             FROM res
         """,
         "benford_first_digit_audit": _benford_sql(),

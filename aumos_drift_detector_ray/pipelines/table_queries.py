@@ -8785,22 +8785,20 @@ def spearman_value_hour(sf_dir: str) -> pd.DataFrame:
     })
 
 
-def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
-    """Kendall tau-b rank correlation between value and hour-of-day
-    (tie-corrected — the concordance member of the rank tier beside
-    Spearman's rho): concordant/discordant pair counts C and D are
-    EXACT integers computed distributed over the SAME per-value
-    24-wide hod count exchange as Spearman — one sort, pass A records
-    per-block PER-HOD sums so pass B has exact exclusive per-hod
-    cumulative counts c_lt[v][h] (rows with value < v in hour h);
-    per distinct value, C += Σ_h₂ cnt[h₂]·Σ_{h₁<h₂} c_lt[h₁] and
-    D the mirror (python-int partials shipped as strings — no
-    overflow at any scale). τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) with the
-    tie terms n₁ (value ties) and n₂ (hod ties) exact ints; ONE
-    fixed-shape IEEE expression mirrored with HUGEINT accumulators
-    (degenerate constant columns guard to 0.0)."""
-    import math
-
+def _value_hod_concordance(sf_dir: str) -> "dict | None":
+    """Shared exact concordance scan over the (value, hour-of-day)
+    ordinal pair — the sufficient statistics for the whole
+    concordance-based association family (Kendall τ_b, Goodman-Kruskal
+    γ, Somers' D, Stuart's τ_c): concordant/discordant pair counts C
+    and D as EXACT integers over the per-value 24-wide hod count
+    exchange (one sort; pass A records per-block PER-HOD sums so pass
+    B has exact exclusive per-hod cumulative counts c_lt[v][h]; per
+    distinct value, C += Σ_h₂ cnt[h₂]·Σ_{h₁<h₂} c_lt[h₁] and D the
+    mirror — python-int partials shipped as strings, no overflow at
+    any scale). Returns None on an empty stream, else a dict with n,
+    c_conc, d_disc, the tie pair counts n1 (value ties) / n2 (hod
+    ties), and the table dimensions n_vals (distinct values) / n_hods
+    (non-empty hours) that Stuart's τ_c needs."""
     from ..sketches import hash64
 
     ds = sf_events_clean(sf_dir, ["ts", "value"])
@@ -8832,11 +8830,13 @@ def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
     def summarize(b: pa.Table) -> pa.Table:
         if len(b) == 0:
             return pa.table({"min_val": pa.array([], pa.float64()),
+                             "n_distinct": pa.array([], pa.int64()),
                              **{c: pa.array([], pa.int64())
                                 for c in hcols}})
         v = b["value"].to_numpy(zero_copy_only=False)
         return pa.table({
             "min_val": pa.array([float(v[0])], pa.float64()),
+            "n_distinct": pa.array([len(b)], pa.int64()),
             **{c: pa.array(
                 [int(b[c].to_numpy(zero_copy_only=False).sum())],
                 pa.int64()) for c in hcols},
@@ -8846,9 +8846,7 @@ def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
                                 batch_size=None) \
         .to_pandas().sort_values("min_val").reset_index(drop=True)
     if len(summary) == 0:
-        return pd.DataFrame({"n_rows": pd.Series([0], dtype="int64"),
-                             "kendall_tau_b": pd.Series([0.0],
-                                                        dtype="float64")})
+        return None
     hsum = summary[hcols].to_numpy(np.int64)            # blocks × 24
     hoffs = np.vstack([np.zeros(H, dtype=np.int64),
                        np.cumsum(hsum, axis=0)[:-1]])   # per-block per-hod
@@ -8893,17 +8891,180 @@ def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
 
     parts = cells.map_batches(contrib, batch_format="pyarrow",
                               batch_size=None).to_pandas()
-    c_conc = sum(int(s) for s in parts.c_conc)
-    d_disc = sum(int(s) for s in parts.d_disc)
-    n1 = sum(int(s) for s in parts.tie_v)
-    n2 = sum(int(u) * (int(u) - 1) // 2 for u in hod_tot)
+    return {
+        "n": n,
+        "c_conc": sum(int(s) for s in parts.c_conc),
+        "d_disc": sum(int(s) for s in parts.d_disc),
+        "n1": sum(int(s) for s in parts.tie_v),
+        "n2": sum(int(u) * (int(u) - 1) // 2 for u in hod_tot),
+        "n_vals": int(summary.n_distinct.sum()),
+        "n_hods": int((hod_tot > 0).sum()),
+    }
+
+
+def kendall_tau_value_hour(sf_dir: str) -> pd.DataFrame:
+    """Kendall tau-b rank correlation between value and hour-of-day
+    (tie-corrected — the concordance member of the rank tier beside
+    Spearman's rho): C/D and the tie terms n₁ (value ties) and n₂
+    (hod ties) are EXACT integers from the shared distributed
+    concordance scan (:func:`_value_hod_concordance`);
+    τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) is ONE fixed-shape IEEE expression
+    mirrored with HUGEINT accumulators (degenerate constant columns
+    guard to 0.0)."""
+    import math
+
+    st = _value_hod_concordance(sf_dir)
+    if st is None:
+        return pd.DataFrame({"n_rows": pd.Series([0], dtype="int64"),
+                             "kendall_tau_b": pd.Series([0.0],
+                                                        dtype="float64")})
+    n, n1, n2 = st["n"], st["n1"], st["n2"]
     n0 = n * (n - 1) // 2
     tau = (0.0 if n0 - n1 <= 0 or n0 - n2 <= 0
-           else float(c_conc - d_disc)
+           else float(st["c_conc"] - st["d_disc"])
            / math.sqrt(float(n0 - n1) * float(n0 - n2)))
     return pd.DataFrame({
         "n_rows": pd.Series([n], dtype="int64"),
         "kendall_tau_b": pd.Series([tau], dtype="float64"),
+    })
+
+
+def ordinal_assoc_value_hour(sf_dir: str) -> pd.DataFrame:
+    """The rest of the concordance-based ordinal association family
+    over the same (value, hour-of-day) pair — Goodman-Kruskal γ
+    (Goodman & Kruskal 1954), both Somers' D directions (Somers 1962)
+    and Stuart's τ_c (Stuart 1953), the monotone-association panel a
+    drift analyst reads next to τ_b when tie structure differs between
+    the axes: ALL sufficient statistics (C, D, tie pair counts n₁/n₂,
+    table dimensions) are EXACT integers from the SAME shared
+    distributed concordance scan as Kendall
+    (:func:`_value_hod_concordance` — one sort, python-int partials).
+    Every statistic is ONE fixed-shape IEEE expression of those exact
+    ints mirrored operand-for-operand with HUGEINT accumulators in
+    SQL: γ = (C−D)/(C+D); D_hod|value = (C−D)/(n₀−n₁);
+    D_value|hod = (C−D)/(n₀−n₂); τ_c = (2m·(C−D))/(n²·(m−1)) with
+    m = min(distinct values, non-empty hods). Degenerate denominators
+    guard to the 0.0 sentinel — no rounding contract."""
+    st = _value_hod_concordance(sf_dir)
+    if st is None:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            "gamma": pd.Series([0.0], dtype="float64"),
+            "somers_d_hod": pd.Series([0.0], dtype="float64"),
+            "somers_d_value": pd.Series([0.0], dtype="float64"),
+            "stuart_tau_c": pd.Series([0.0], dtype="float64"),
+        })
+    n, c, d = st["n"], st["c_conc"], st["d_disc"]
+    n0 = n * (n - 1) // 2
+    cd = c - d
+    gamma = 0.0 if c + d == 0 else float(cd) / float(c + d)
+    dy = n0 - st["n1"]
+    dx = n0 - st["n2"]
+    somers_hod = 0.0 if dy <= 0 else float(cd) / float(dy)
+    somers_val = 0.0 if dx <= 0 else float(cd) / float(dx)
+    m = min(st["n_vals"], st["n_hods"])
+    tau_c = (0.0 if m < 2 or n == 0
+             else ((2.0 * float(m)) * float(cd))
+             / ((float(n) * float(n)) * float(m - 1)))
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        "gamma": pd.Series([gamma], dtype="float64"),
+        "somers_d_hod": pd.Series([somers_hod], dtype="float64"),
+        "somers_d_value": pd.Series([somers_val], dtype="float64"),
+        "stuart_tau_c": pd.Series([tau_c], dtype="float64"),
+    })
+
+
+def bowley_moors_shape_events(sf_dir: str) -> pd.DataFrame:
+    """Quantile-based robust distribution-shape panel over value —
+    Bowley's quartile skewness (Bowley 1901) and Moors' octile
+    kurtosis (Moors 1988), the outlier-immune companions to the
+    moment-based Jarque-Bera tier (a single corrupted extreme value
+    moves moment skew/kurtosis arbitrarily but CANNOT move these):
+    the seven octiles E1..E7 are EXACT order statistics
+    (scan.exact_quantiles inverted_cdf == SQL quantile_disc — always
+    actual data values, bit-exact selections; the probe fractions
+    i/8 are exact binary fractions on both sides), Bowley =
+    ((E6+E2) − 2·E4)/(E6−E2) and Moors = ((E7−E5)+(E3−E1))/(E6−E2)
+    are each ONE fixed-shape IEEE expression of selected doubles —
+    no rounding contract; a degenerate interquartile range (E6==E2)
+    guards both to the 0.0 sentinel."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_events_clean(sf_dir, ["value"])
+    n = ds.count()
+    if n == 0:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            **{f"e{i}": pd.Series([0.0], dtype="float64")
+               for i in range(1, 8)},
+            "bowley_skew": pd.Series([0.0], dtype="float64"),
+            "moors_kurtosis": pd.Series([0.0], dtype="float64"),
+        })
+    probs = [i / 8.0 for i in range(1, 8)]
+    e = [float(v) for v in exact_quantiles(ds, "value", probs,
+                                           method="inverted_cdf")]
+    den = e[5] - e[1]
+    bowley = 0.0 if den == 0.0 else ((e[5] + e[1]) - 2.0 * e[3]) / den
+    moors = 0.0 if den == 0.0 else ((e[6] - e[4]) + (e[2] - e[0])) / den
+    return pd.DataFrame({
+        "n_rows": pd.Series([n], dtype="int64"),
+        **{f"e{i}": pd.Series([e[i - 1]], dtype="float64")
+           for i in range(1, 8)},
+        "bowley_skew": pd.Series([bowley], dtype="float64"),
+        "moors_kurtosis": pd.Series([moors], dtype="float64"),
+    })
+
+
+def trimmed_mean_drift_events(sf_dir: str) -> pd.DataFrame:
+    """10%-trimmed-mean location drift between the halves (Tukey &
+    McLaughlin 1963 — the robust location contrast beside the
+    mean/median drift tier; each tail's g = ⌊n/10⌋ most extreme rows
+    are dropped so gross outliers cannot move the contrast): per half,
+    the trimmed sum is the EXACT integer difference of two rank-bounded
+    prefix sums over cents — prefix(n−g) − prefix(g) from
+    scan.prefix_sums_at_ranks with EXPLICIT integer ranks (rank_fn —
+    tie-invariant: the sum of the lowest r values is the same under
+    any tie order, which is exactly why the SQL row_number window
+    needs no tie-break). Each trimmed mean is (s/cnt)/100 — one
+    division of exact ints then one exact scale division; the shift is
+    one IEEE subtraction. Empty halves guard to the 0.0 sentinel."""
+    from ..stages.scan import prefix_sums_at_ranks
+
+    ds = _events_two_sample(sf_dir)
+
+    def half(ref: bool) -> ray.data.Dataset:
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            m = b.is_ref.to_numpy()
+            if not ref:
+                m = ~m
+            return pd.DataFrame({
+                "cents": round_half_away(
+                    b.value.to_numpy()[m] * 100).astype(np.int64),
+            })
+        return ds.map_batches(prep, batch_format="pandas")
+
+    def tmean(h: ray.data.Dataset) -> "tuple[int, int, float]":
+        n, _total, pref = prefix_sums_at_ranks(
+            h, "cents", [],
+            rank_fn=lambda nn: [nn // 10, nn - nn // 10])
+        if n == 0:
+            return 0, 0, 0.0
+        g = n // 10
+        s = pref[n - g] - pref.get(g, 0)     # rank 0 reads as sum 0
+        cnt = n - 2 * g
+        return n, g, (float(s) / float(cnt)) / 100.0
+
+    n_ref, g_ref, tm_ref = tmean(half(True))
+    n_prod, g_prod, tm_prod = tmean(half(False))
+    return pd.DataFrame({
+        "n_ref": pd.Series([n_ref], dtype="int64"),
+        "g_ref": pd.Series([g_ref], dtype="int64"),
+        "trimmed_mean_ref": pd.Series([tm_ref], dtype="float64"),
+        "n_prod": pd.Series([n_prod], dtype="int64"),
+        "g_prod": pd.Series([g_prod], dtype="int64"),
+        "trimmed_mean_prod": pd.Series([tm_prod], dtype="float64"),
+        "shift": pd.Series([tm_prod - tm_ref], dtype="float64"),
     })
 
 

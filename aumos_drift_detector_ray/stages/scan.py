@@ -542,7 +542,8 @@ def weighted_rank_sum(ds: ray.data.Dataset,
 
 
 def prefix_sums_at_ranks(ds: ray.data.Dataset, value_col: str,
-                         fracs: "list[float]") \
+                         fracs: "list[float]",
+                         rank_fn=None) \
         -> "tuple[int, int, dict[int, int]]":
     """EXACT value prefix sums at fractional rank boundaries of an
     int64 column — the Lorenz-curve moment: for each f the sum of the
@@ -596,10 +597,18 @@ def prefix_sums_at_ranks(ds: ray.data.Dataset, value_col: str,
     total_n = int(offs[-1])
     bsums = [int(x) for x in summary.vsum]
     total = sum(bsums)
-    # 1-based boundary ranks ceil(f*n) with the usual half-ulp guard
-    targets = sorted({int(r) for r in np.clip(
-        np.ceil(np.asarray(fracs, dtype=float) * total_n - 1e-9),
-        1, total_n).astype(np.int64)})
+    # 1-based boundary ranks: ceil(f*n) with the usual half-ulp guard,
+    # or EXACT integer ranks from rank_fn(n) (the trimmed-mean caller
+    # needs rank = n//10 exactly — frac*n round-trip drift would move
+    # the cut by one row); out-of-range ranks (e.g. rank 0 when the
+    # trim count g is 0) are dropped and read as prefix sum 0
+    if rank_fn is not None:
+        targets = sorted({int(r) for r in rank_fn(total_n)
+                          if 1 <= int(r) <= total_n})
+    else:
+        targets = sorted({int(r) for r in np.clip(
+            np.ceil(np.asarray(fracs, dtype=float) * total_n - 1e-9),
+            1, total_n).astype(np.int64)})
     # whole blocks strictly below each target's block
     below: "dict[int, int]" = {}
     blk_of: "dict[int, int]" = {}

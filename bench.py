@@ -307,6 +307,10 @@ def run_queries() -> dict[str, float]:
         "benford_second_digit_audit", "ttr_by_source",
         "weekday_weekend_drift", "kruskal_wallis_types",
         "anova_f_types", "friedman_hourly_types",
+        # round-5 session-10: concordance panel, robust shape,
+        # trimmed-mean drift
+        "ordinal_assoc_value_hour", "bowley_moors_shape_events",
+        "trimmed_mean_drift_events",
     ]
     qs = E.queries()
     out = {}

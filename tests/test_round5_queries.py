@@ -2952,3 +2952,194 @@ class TestAnovaFriedman:
             out = Q.friedman_hourly_types(d)
         assert int(out.n_blocks[0]) == 10
         assert int(out.n_groups[0]) == 2
+
+
+class TestOrdinalAssocValueHour:
+    def test_matches_bruteforce(self, ray_session):
+        """γ / Somers' D / τ_c recomputed from an O(n²)-free direct
+        contingency-table concordance count on sf0.001."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ordinal_assoc_value_hour(SF)
+        df = duckdb.sql(f"""
+            SELECT value, CAST(extract(hour FROM ts) AS BIGINT) AS hod
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        tab = df.groupby(["value", "hod"]).size().unstack(fill_value=0) \
+            .reindex(columns=range(24), fill_value=0) \
+            .sort_index().to_numpy()
+        # concordant: pairs in strictly-SE cells; discordant: SW
+        below_lt = np.cumsum(tab, axis=0) - tab      # rows above (value <)
+        pre = np.cumsum(below_lt, axis=1) - below_lt  # hods before
+        tot = below_lt.sum(axis=1, keepdims=True)
+        C = int((tab * pre).sum())
+        D = int((tab * (tot - pre - below_lt)).sum())
+        n = int(tab.sum())
+        n0 = n * (n - 1) // 2
+        rt = tab.sum(axis=1)
+        ct = tab.sum(axis=0)
+        n1 = int((rt * (rt - 1) // 2).sum())
+        n2 = int((ct * (ct - 1) // 2).sum())
+        m = min((rt > 0).sum(), (ct > 0).sum())
+        assert int(out.n_rows[0]) == n
+        assert out.gamma[0] == (C - D) / (C + D)
+        assert out.somers_d_hod[0] == (C - D) / (n0 - n1)
+        assert out.somers_d_value[0] == (C - D) / (n0 - n2)
+        exp_tc = ((2.0 * float(m)) * float(C - D)) \
+            / ((float(n) * float(n)) * float(m - 1))
+        assert out.stuart_tau_c[0] == exp_tc
+
+    def test_perfect_monotone(self, ray_session):
+        """value strictly increasing with hod → every statistic +1-ish
+        (γ exactly 1; Somers/τ_c bounded by tie structure)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 480
+        hod = np.arange(n) % 24
+        ts = pd.to_datetime("2024-01-01") \
+            + pd.to_timedelta(hod, unit="h") \
+            + pd.to_timedelta(np.arange(n) // 24, unit="D")
+        vals = hod * 10.0 + (np.arange(n) // 24) * 0.001
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.ordinal_assoc_value_hour(d)
+        assert out.gamma[0] == 1.0
+        assert out.somers_d_hod[0] > 0.9
+        assert out.somers_d_value[0] > 0.9
+        assert out.stuart_tau_c[0] > 0.9
+
+    def test_kendall_consistency(self, ray_session):
+        """τ_b from the shared scan still matches its own query (the
+        refactor is observationally identical)."""
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        tb = Q.kendall_tau_value_hour(SF)
+        df = duckdb.sql(f"""
+            SELECT value, CAST(extract(hour FROM ts) AS BIGINT) AS hod
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        tab = df.groupby(["value", "hod"]).size().unstack(fill_value=0) \
+            .reindex(columns=range(24), fill_value=0) \
+            .sort_index().to_numpy()
+        below_lt = np.cumsum(tab, axis=0) - tab
+        pre = np.cumsum(below_lt, axis=1) - below_lt
+        tot = below_lt.sum(axis=1, keepdims=True)
+        C = int((tab * pre).sum())
+        D = int((tab * (tot - pre - below_lt)).sum())
+        n = int(tab.sum())
+        n0 = n * (n - 1) // 2
+        rt = tab.sum(axis=1)
+        ct = tab.sum(axis=0)
+        n1 = int((rt * (rt - 1) // 2).sum())
+        n2 = int((ct * (ct - 1) // 2).sum())
+        exp = float(C - D) / math.sqrt(float(n0 - n1) * float(n0 - n2))
+        assert tb.kendall_tau_b[0] == exp
+
+
+class TestBowleyMoorsShape:
+    def test_matches_numpy_octiles(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.bowley_moors_shape_events(SF)
+        v = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        s = np.sort(v)
+        n = len(s)
+        e = [float(s[int(np.ceil(p * n - 1e-9)) - 1])
+             for p in [i / 8.0 for i in range(1, 8)]]
+        for i in range(7):
+            assert float(out[f"e{i+1}"][0]) == e[i]
+        den = e[5] - e[1]
+        assert out.bowley_skew[0] == ((e[5] + e[1]) - 2.0 * e[3]) / den
+        assert out.moors_kurtosis[0] == \
+            ((e[6] - e[4]) + (e[2] - e[0])) / den
+
+    def test_outlier_immunity(self, ray_session):
+        """A 10^6-sized outlier cannot move either statistic (the
+        whole point vs the moment-based Jarque-Bera tier)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 800
+        base = np.concatenate([np.arange(n - 1) * 0.5, [1e6]])
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d1, \
+                tempfile.TemporaryDirectory() as d2:
+            _write_events(d1, ts, base)
+            clean = base.copy()
+            clean[-1] = (n - 2) * 0.5 + 0.5
+            _write_events(d2, ts, clean)
+            a = Q.bowley_moors_shape_events(d1)
+            b = Q.bowley_moors_shape_events(d2)
+        assert a.bowley_skew[0] == b.bowley_skew[0]
+        assert a.moors_kurtosis[0] == b.moors_kurtosis[0]
+
+    def test_degenerate_constant(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 100
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(n, 7.0))
+            out = Q.bowley_moors_shape_events(d)
+        assert out.bowley_skew[0] == 0.0
+        assert out.moors_kurtosis[0] == 0.0
+        assert out.e4[0] == 7.0
+
+
+class TestTrimmedMeanDrift:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.trimmed_mean_drift_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        for half, nm in [(0, "ref"), (1, "prod")]:
+            c = np.sort(round_half_away(
+                df.loc[df.event_id % 2 == half, "value"].to_numpy()
+                * 100).astype(np.int64))
+            n = len(c)
+            g = n // 10
+            tm = (float(int(c[g:n - g].sum())) / float(n - 2 * g)) / 100.0
+            assert int(out[f"n_{nm}"][0]) == n
+            assert int(out[f"g_{nm}"][0]) == g
+            assert float(out[f"trimmed_mean_{nm}"][0]) == tm
+        assert out["shift"][0] == \
+            out.trimmed_mean_prod[0] - out.trimmed_mean_ref[0]
+
+    def test_outlier_robustness(self, ray_session):
+        """Planting 5% gross outliers in prod moves the raw mean but
+        not the 10%-trimmed mean."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        vals = np.tile(np.arange(100, dtype=float), n // 100)
+        corrupt = vals.copy()
+        # corrupt 5% of ODD event_ids (the prod half) with huge spikes
+        odd = np.arange(1, n, 2)
+        corrupt[odd[:len(odd) // 10]] = 1e9
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d1, \
+                tempfile.TemporaryDirectory() as d2:
+            _write_events(d1, ts, vals)
+            _write_events(d2, ts, corrupt)
+            a = Q.trimmed_mean_drift_events(d1)
+            b = Q.trimmed_mean_drift_events(d2)
+        assert abs(b["shift"][0] - a["shift"][0]) < 10.0  # raw: ~5e7

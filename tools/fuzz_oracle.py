@@ -107,6 +107,8 @@ EVENT_QUERIES = [
     "sign_test_hourly", "wilcoxon_signed_rank_hourly",
     "benford_second_digit_audit", "weekday_weekend_drift",
     "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
+    "ordinal_assoc_value_hour", "bowley_moors_shape_events",
+    "trimmed_mean_drift_events",
 ]
 
 
