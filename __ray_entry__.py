@@ -328,6 +328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordinal_assoc_value_hour": Q.ordinal_assoc_value_hour,
         "bowley_moors_shape_events": Q.bowley_moors_shape_events,
         "trimmed_mean_drift_events": Q.trimmed_mean_drift_events,
+        "rank_scale_drift_events": Q.rank_scale_drift_events,
+        "kaplan_meier_gaps": Q.kaplan_meier_gaps,
+        "logrank_gap_drift": Q.logrank_gap_drift,
     }
 
 
@@ -932,7 +935,7 @@ _VALUE_CLEAN_QUERIES = [
     "benford_second_digit_audit", "weekday_weekend_drift",
     "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
     "ordinal_assoc_value_hour", "bowley_moors_shape_events",
-    "trimmed_mean_drift_events",
+    "trimmed_mean_drift_events", "rank_scale_drift_events",
 ]
 
 
@@ -4647,6 +4650,199 @@ def _oracle_sql_raw() -> dict[str, str]:
                    n_prod, g_prod, trimmed_mean_prod,
                    trimmed_mean_prod - trimmed_mean_ref AS shift
             FROM res
+        """,
+        # rank-based scale tests: Mood + midrank Ansari-Bradley — every
+        # sufficient statistic an exact HUGEINT sum in doubled midrank
+        # space; each z ONE fixed-shape IEEE expression mirroring
+        # table_queries.rank_scale_drift_events operand-for-operand
+        "rank_scale_drift_events": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_id % 2 = 0
+                                   THEN 1 ELSE 0 END AS is_ref
+                FROM events
+            ),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(coalesce(sum(is_ref), 0) AS BIGINT) AS n1,
+                          CAST(coalesce(sum(1 - is_ref), 0) AS BIGINT)
+                              AS n2
+                   FROM u),
+            r AS (
+                SELECT is_ref,
+                       2 * rank() OVER (ORDER BY value)
+                           + count(*) OVER (PARTITION BY value) - 1
+                           AS two_r
+                FROM u
+            ),
+            s AS (
+                SELECT is_ref,
+                       CAST(two_r - (nn.n + 1) AS HUGEINT) AS s2,
+                       CAST(least(two_r, 2 * (nn.n + 1) - two_r)
+                            AS HUGEINT) AS a2
+                FROM r, nn
+            ),
+            a AS (
+                SELECT CAST(coalesce(sum(CASE WHEN is_ref = 0
+                                THEN s2 * s2 ELSE 0 END), 0)
+                            AS HUGEINT) AS m4,
+                       CAST(coalesce(sum(s2 * s2), 0) AS HUGEINT) AS s4,
+                       CAST(coalesce(sum(s2 * s2 * s2 * s2), 0)
+                            AS HUGEINT) AS q4,
+                       CAST(coalesce(sum(CASE WHEN is_ref = 0
+                                THEN a2 ELSE 0 END), 0)
+                            AS HUGEINT) AS a2p,
+                       CAST(coalesce(sum(a2), 0) AS HUGEINT) AS sa,
+                       CAST(coalesce(sum(a2 * a2), 0) AS HUGEINT) AS qa
+                FROM s
+            )
+            SELECT nn.n1 AS n_ref, nn.n2 AS n_prod,
+                   CAST(a.m4 AS DOUBLE) / 4.0 AS mood_m,
+                   CASE WHEN nn.n < 2 OR nn.n1 = 0 OR nn.n2 = 0
+                          OR nn.n1 * nn.n2
+                             * (nn.n * a.q4 - a.s4 * a.s4) <= 0
+                        THEN 0.0
+                        ELSE CAST(nn.n * a.m4 - nn.n2 * a.s4 AS DOUBLE)
+                             * sqrt(CAST(nn.n - 1 AS DOUBLE))
+                             / sqrt(CAST(nn.n1 * nn.n2
+                                 * (nn.n * a.q4 - a.s4 * a.s4)
+                                 AS DOUBLE))
+                   END AS z_mood,
+                   CAST(a.a2p AS DOUBLE) / 2.0 AS ab_stat,
+                   CASE WHEN nn.n < 2 OR nn.n1 = 0 OR nn.n2 = 0
+                          OR nn.n1 * nn.n2
+                             * (nn.n * a.qa - a.sa * a.sa) <= 0
+                        THEN 0.0
+                        ELSE CAST(nn.n * a.a2p - nn.n2 * a.sa AS DOUBLE)
+                             * sqrt(CAST(nn.n - 1 AS DOUBLE))
+                             / sqrt(CAST(nn.n1 * nn.n2
+                                 * (nn.n * a.qa - a.sa * a.sa)
+                                 AS DOUBLE))
+                   END AS z_ansari_bradley
+            FROM nn, a
+        """,
+        # Kaplan-Meier over right-censored time-to-next-event: exact
+        # integer d/n counts per distinct death minute; S and H are
+        # list_reduce LEFT folds over ascending death times mirroring
+        # the engine's sequential loop bit-for-bit
+        "kaplan_meier_gaps": """
+            WITH e AS (SELECT user_id, ts, event_id FROM events),
+            mxx AS (SELECT max(ts) AS m FROM e),
+            g AS (SELECT user_id, ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+                  FROM e),
+            durs AS (
+                SELECT CASE WHEN nxt IS NULL
+                            THEN (epoch_us(mxx.m) - epoch_us(ts))
+                                 // 60000000
+                            ELSE (epoch_us(nxt) - epoch_us(ts))
+                                 // 60000000 END AS dur,
+                       CASE WHEN nxt IS NULL THEN 0 ELSE 1 END
+                           AS observed
+                FROM g, mxx
+            ),
+            cnt AS (SELECT dur,
+                           CAST(sum(observed) AS BIGINT) AS d,
+                           CAST(sum(1 - observed) AS BIGINT) AS c
+                    FROM durs GROUP BY dur),
+            tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS t FROM cnt),
+            w AS (SELECT dur, d, c,
+                         tot.t - CAST(coalesce(sum(d + c) OVER (
+                             ORDER BY dur ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                             AS n_risk
+                  FROM cnt, tot),
+            death AS (SELECT dur, d, c, n_risk,
+                             row_number() OVER (ORDER BY dur) AS rn
+                      FROM w WHERE d > 0),
+            terms AS (SELECT
+                list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     ORDER BY dur) AS st,
+                list(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     ORDER BY dur) AS ht
+                FROM death)
+            SELECT dur AS dur_min, n_risk, d AS d_events,
+                   c AS c_censored,
+                   list_reduce(list_prepend(1.0, st[1:rn]),
+                               (a, b) -> a * b) AS s_km,
+                   list_reduce(list_prepend(0.0, ht[1:rn]),
+                               (a, b) -> a + b) AS na_cumhaz
+            FROM death, terms
+        """,
+        # log-rank between the user-parity halves: hypergeometric O-E
+        # and variance folds over ascending death times — exact integer
+        # inputs, term shapes mirrored operand-for-operand
+        "logrank_gap_drift": """
+            WITH e AS (SELECT user_id, ts, event_id FROM events),
+            mxx AS (SELECT max(ts) AS m FROM e),
+            g AS (SELECT user_id, ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+                  FROM e),
+            durs AS (
+                SELECT user_id % 2 AS grp,
+                       CASE WHEN nxt IS NULL
+                            THEN (epoch_us(mxx.m) - epoch_us(ts))
+                                 // 60000000
+                            ELSE (epoch_us(nxt) - epoch_us(ts))
+                                 // 60000000 END AS dur,
+                       CASE WHEN nxt IS NULL THEN 0 ELSE 1 END
+                           AS observed
+                FROM g, mxx
+            ),
+            cnt AS (SELECT dur,
+                CAST(sum(CASE WHEN grp = 0 THEN observed ELSE 0 END)
+                     AS BIGINT) AS d1,
+                CAST(sum(CASE WHEN grp = 0 THEN 1 - observed ELSE 0
+                             END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN grp = 1 THEN observed ELSE 0 END)
+                     AS BIGINT) AS d2,
+                CAST(sum(CASE WHEN grp = 1 THEN 1 - observed ELSE 0
+                             END) AS BIGINT) AS c2
+                FROM durs GROUP BY dur),
+            tots AS (SELECT
+                CAST(coalesce(sum(d1 + c1), 0) AS BIGINT) AS t1,
+                CAST(coalesce(sum(d2 + c2), 0) AS BIGINT) AS t2,
+                CAST(coalesce(sum(d1), 0) AS BIGINT) AS sd1,
+                CAST(coalesce(sum(d1 + d2), 0) AS BIGINT) AS sdd
+                FROM cnt),
+            w AS (SELECT dur, d1, d2,
+                tots.t1 - CAST(coalesce(sum(d1 + c1) OVER (
+                    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n1,
+                tots.t2 - CAST(coalesce(sum(d2 + c2) OVER (
+                    ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS n2
+                FROM cnt, tots),
+            death AS (SELECT * FROM w WHERE d1 + d2 > 0),
+            terms AS (SELECT
+                list(CAST(d1 AS DOUBLE)
+                     - CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                       / CAST(n1 + n2 AS DOUBLE)
+                     ORDER BY dur) AS oet,
+                list(CASE WHEN n1 + n2 > 1 THEN
+                        ((CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE))
+                         * (CAST(n2 AS DOUBLE)
+                            / CAST(n1 + n2 AS DOUBLE)))
+                        * (CAST(n1 + n2 - (d1 + d2) AS DOUBLE)
+                           / CAST(n1 + n2 - 1 AS DOUBLE))
+                     ELSE 0.0 END ORDER BY dur) AS vt
+                FROM death),
+            f AS (SELECT
+                coalesce(list_reduce(list_prepend(0.0, oet),
+                                     (a, b) -> a + b), 0.0) AS oe,
+                coalesce(list_reduce(list_prepend(0.0, vt),
+                                     (a, b) -> a + b), 0.0) AS v
+                FROM terms)
+            SELECT tots.t1 AS n_ref_durs, tots.t2 AS n_prod_durs,
+                   tots.sdd AS deaths_total, tots.sd1 AS d_ref,
+                   f.oe AS oe_ref, f.v AS var_hyp,
+                   CASE WHEN f.v <= 0.0 THEN 0.0
+                        ELSE f.oe / sqrt(f.v) END AS z_logrank,
+                   CASE WHEN f.v <= 0.0 THEN 0.0
+                        ELSE (f.oe / sqrt(f.v)) * (f.oe / sqrt(f.v))
+                   END AS chi2_logrank
+            FROM tots, f
         """,
         "benford_first_digit_audit": _benford_sql(),
         "benford_second_digit_audit": _benford2_sql(),

@@ -14607,3 +14607,252 @@ def friedman_hourly_types(sf_dir: str) -> pd.DataFrame:
         "chi2_stat": [float(chi2)], "tie_correction": [float(corr)],
         "chi2_adjusted": [float(chi2 / corr) if corr > 0.0 else 0.0],
     })
+
+
+def rank_scale_drift_events(sf_dir: str) -> pd.DataFrame:
+    """Rank-based SCALE (dispersion) drift between the event halves —
+    Mood's squared-rank test (Mood 1954) and the midrank-scored
+    Ansari-Bradley test (Ansari & Bradley 1960), the nonparametric
+    variance-drift canon beside the Brown-Forsythe moment tier (rank
+    scores are outlier-immune where BF's |x − median| is not): all
+    sufficient statistics are EXACT integers in doubled midrank space
+    from ONE distributed scan (scan.two_sample_scale_stats — AB ties
+    scored AT the midrank, the integral convention, identical to the
+    classic rank-from-both-ends scores whenever values are untied);
+    each z is the permutation-null standardization of a linear rank
+    statistic, ONE fixed-shape IEEE expression of exact
+    HUGEINT-mirrored ints — z = (N·T − n_p·Σa)·√(N−1) / √(n_p·n_r·
+    (N·Σa² − (Σa)²)) — with degenerate designs (empty half, constant
+    values ⇒ zero score variance) guarded to the 0.0 sentinel."""
+    import math
+
+    from ..stages.scan import two_sample_scale_stats
+
+    st = two_sample_scale_stats(_events_two_sample(sf_dir))
+    n1, n2 = st["n_ref"], st["n_prod"]
+    n = n1 + n2
+
+    def zstat(t_prod: int, s_all: int, q_all: int) -> float:
+        if n < 2 or n1 == 0 or n2 == 0:
+            return 0.0
+        x = n * t_prod - n2 * s_all
+        y = n1 * n2 * (n * q_all - s_all * s_all)
+        if y <= 0:
+            return 0.0
+        return float(x) * math.sqrt(float(n - 1)) / math.sqrt(float(y))
+
+    return pd.DataFrame({
+        "n_ref": pd.Series([n1], dtype="int64"),
+        "n_prod": pd.Series([n2], dtype="int64"),
+        "mood_m": pd.Series([float(st["m4_prod"]) / 4.0],
+                            dtype="float64"),
+        "z_mood": pd.Series([zstat(st["m4_prod"], st["s4_all"],
+                                   st["q4_all"])], dtype="float64"),
+        "ab_stat": pd.Series([float(st["a2_prod"]) / 2.0],
+                             dtype="float64"),
+        "z_ansari_bradley": pd.Series(
+            [zstat(st["a2_prod"], st["sa_all"], st["qa_all"])],
+            dtype="float64"),
+    })
+
+
+def _user_gap_counts(sf_dir: str, with_grp: bool) -> pd.DataFrame:
+    """Right-censored time-to-next-event durations, as exact grouped
+    counts — the shared extraction for the survival tier
+    (:func:`kaplan_meier_gaps`, :func:`logrank_gap_drift`): per user
+    (events ordered by ts then event_id — the unique key pins ties on
+    BOTH sides), each consecutive gap is an OBSERVED duration and the
+    tail from the user's last event to the global max ts is a CENSORED
+    one, floored to whole minutes (integer µs arithmetic — the time
+    grid is calendar-bounded, so the distinct-duration domain stays
+    bounded at any row scale). Two bucketed exchanges: user-hash
+    co-locates each user's stream (vectorized sort+shift per bucket),
+    then duration-hash merges the per-bucket partial counts so the
+    driver only ever sees one row per distinct (dur, observed[, grp])
+    cell."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def ts_max(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"m": pa.array([], pa.int64())})
+        t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"m": pa.array([int(t.max())], pa.int64())})
+
+    mx = ds.map_batches(ts_max, batch_format="pyarrow").to_pandas()
+    if len(mx) == 0:
+        cols = {"dur_min": pd.Series([], dtype="int64"),
+                "observed": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}
+        if with_grp:
+            cols["grp"] = pd.Series([], dtype="int64")
+        return pd.DataFrame(cols)
+    max_us = int(mx.m.max())
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g.user_id.to_numpy()
+        nxt_same = np.zeros(len(g), dtype=bool)
+        if len(g) > 1:
+            nxt_same[:-1] = uid[1:] == uid[:-1]
+        dur_us = np.where(
+            nxt_same,
+            np.concatenate([us[1:], [0]]) - us,
+            max_us - us)
+        out = pd.DataFrame({
+            "dur_min": dur_us // 60_000_000,
+            "observed": nxt_same.astype(np.int64),
+        })
+        keys = ["dur_min", "observed"]
+        if with_grp:
+            out["grp"] = (uid % 2).astype(np.int64)
+            keys.append("grp")
+        p = out.groupby(keys, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        p["dbucket"] = (
+            hash64(p.dur_min.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(32)).astype(np.int64)
+        return p
+
+    keys = ["dur_min", "observed"] + (["grp"] if with_grp else [])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False).agg(n=("n", "sum"))
+
+    out = ds.map_batches(add_bucket, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("dbucket").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    out = out[keys + ["n"]].astype("int64") \
+        .sort_values(keys, kind="stable").reset_index(drop=True)
+    return out
+
+
+def kaplan_meier_gaps(sf_dir: str) -> pd.DataFrame:
+    """Kaplan-Meier survival curve of the time-to-next-event (Kaplan &
+    Meier 1958 — the survival-analysis tier: product-limit estimate
+    under RIGHT CENSORING, which naive gap averages get wrong because a
+    user's final open-ended wait is informative but unobserved): one
+    row per distinct death time (minute grid, calendar-bounded) with
+    the at-risk count, event/censor counts, the KM survivor S(t) and
+    the Nelson-Aalen cumulative hazard (Aalen 1978). All counts are
+    EXACT ints from the distributed two-exchange extraction
+    (:func:`_user_gap_counts`; deaths and censorings at t count as at
+    risk AT t — the standard convention); S and H are SEQUENTIAL left
+    folds over death times in ascending order (S ← S·(1 − d/n),
+    H ← H + d/n — each term ONE division of exact ints), mirrored
+    bit-for-bit by DuckDB list_reduce over the same ordered term
+    lists."""
+    cnt = _user_gap_counts(sf_dir, with_grp=False)
+    if len(cnt) == 0:
+        return pd.DataFrame({
+            "dur_min": pd.Series([], dtype="int64"),
+            "n_risk": pd.Series([], dtype="int64"),
+            "d_events": pd.Series([], dtype="int64"),
+            "c_censored": pd.Series([], dtype="int64"),
+            "s_km": pd.Series([], dtype="float64"),
+            "na_cumhaz": pd.Series([], dtype="float64"),
+        })
+    g = cnt.pivot_table(index="dur_min", columns="observed", values="n",
+                        aggfunc="sum", fill_value=0)
+    d = g[1].to_numpy(np.int64) if 1 in g.columns else \
+        np.zeros(len(g), dtype=np.int64)
+    c = g[0].to_numpy(np.int64) if 0 in g.columns else \
+        np.zeros(len(g), dtype=np.int64)
+    durs = g.index.to_numpy(np.int64)
+    total = int(d.sum() + c.sum())
+    removed = np.concatenate([[0], np.cumsum(d + c)[:-1]])
+    n_risk = total - removed
+    rows = []
+    s, h = 1.0, 0.0
+    for j in range(len(durs)):
+        dj, nj = int(d[j]), int(n_risk[j])
+        if dj == 0:
+            continue
+        frac = float(dj) / float(nj)
+        s = s * (1.0 - frac)
+        h = h + frac
+        rows.append((int(durs[j]), nj, dj, int(c[j]), s, h))
+    return pd.DataFrame(rows, columns=[
+        "dur_min", "n_risk", "d_events", "c_censored", "s_km",
+        "na_cumhaz",
+    ]).astype({"dur_min": "int64", "n_risk": "int64",
+               "d_events": "int64", "c_censored": "int64",
+               "s_km": "float64", "na_cumhaz": "float64"})
+
+
+def logrank_gap_drift(sf_dir: str) -> pd.DataFrame:
+    """Log-rank (Mantel-Cox) test between the user-parity halves'
+    censored time-to-next-event distributions (Mantel 1966; Peto &
+    Peto 1972 — did prod users' waiting times drift, accounting for
+    censoring?): at each distinct death time the ref half's observed
+    deaths are compared to the hypergeometric expectation d·n₁/n given
+    the at-risk split, with variance d·(n₁/n)·(n₂/n)·(n−d)/(n−1). All
+    d/n counts are EXACT ints from one distributed extraction
+    (:func:`_user_gap_counts` with the user_id%2 group flag); O−E and
+    V are SEQUENTIAL left folds over ascending death times whose terms
+    are fixed-shape IEEE expressions of those ints, mirrored
+    operand-for-operand by DuckDB list_reduce; z = (O−E)/√V (one
+    division, one sqrt), χ² = z². Death times where n − 1 = 0
+    contribute zero variance by the standard convention."""
+    import math
+
+    cnt = _user_gap_counts(sf_dir, with_grp=True)
+    if len(cnt) == 0 or int(cnt.n.sum()) == 0:
+        return pd.DataFrame({
+            "n_ref_durs": pd.Series([0], dtype="int64"),
+            "n_prod_durs": pd.Series([0], dtype="int64"),
+            "deaths_total": pd.Series([0], dtype="int64"),
+            "d_ref": pd.Series([0], dtype="int64"),
+            "oe_ref": pd.Series([0.0], dtype="float64"),
+            "var_hyp": pd.Series([0.0], dtype="float64"),
+            "z_logrank": pd.Series([0.0], dtype="float64"),
+            "chi2_logrank": pd.Series([0.0], dtype="float64"),
+        })
+    piv = cnt.pivot_table(index="dur_min", columns=["grp", "observed"],
+                          values="n", aggfunc="sum", fill_value=0)
+
+    def col(grp: int, obs: int) -> np.ndarray:
+        if (grp, obs) in piv.columns:
+            return piv[(grp, obs)].to_numpy(np.int64)
+        return np.zeros(len(piv), dtype=np.int64)
+
+    d1, c1 = col(0, 1), col(0, 0)
+    d2, c2 = col(1, 1), col(1, 0)
+    tot1, tot2 = int(d1.sum() + c1.sum()), int(d2.sum() + c2.sum())
+    rem1 = np.concatenate([[0], np.cumsum(d1 + c1)[:-1]])
+    rem2 = np.concatenate([[0], np.cumsum(d2 + c2)[:-1]])
+    n1 = tot1 - rem1
+    n2 = tot2 - rem2
+    oe, var = 0.0, 0.0
+    for j in range(len(piv)):
+        dd1, dd = int(d1[j]), int(d1[j] + d2[j])
+        nn1, nn2 = int(n1[j]), int(n2[j])
+        nn = nn1 + nn2
+        if dd == 0:
+            continue
+        oe = oe + (float(dd1) - float(dd) * float(nn1) / float(nn))
+        if nn > 1:
+            var = var + ((float(dd) * float(nn1) / float(nn))
+                         * (float(nn2) / float(nn))
+                         * (float(nn - dd) / float(nn - 1)))
+    z = 0.0 if var <= 0.0 else oe / math.sqrt(var)
+    return pd.DataFrame({
+        "n_ref_durs": pd.Series([tot1], dtype="int64"),
+        "n_prod_durs": pd.Series([tot2], dtype="int64"),
+        "deaths_total": pd.Series([int(d1.sum() + d2.sum())],
+                                  dtype="int64"),
+        "d_ref": pd.Series([int(d1.sum())], dtype="int64"),
+        "oe_ref": pd.Series([oe], dtype="float64"),
+        "var_hyp": pd.Series([var], dtype="float64"),
+        "z_logrank": pd.Series([z], dtype="float64"),
+        "chi2_logrank": pd.Series([z * z], dtype="float64"),
+    })

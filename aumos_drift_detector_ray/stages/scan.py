@@ -1301,3 +1301,117 @@ def k_sample_rank_sums(
     tie_sum = sum(int(x) for x in parts.ties)
     return {"r2": r2, "n": n, "tie_sum": tie_sum,
             "n_total": sum(n.values())}
+
+
+def two_sample_scale_stats(
+    ds: ray.data.Dataset,
+    value_col: str = "value",
+    ref_col: str = "is_ref",
+) -> dict[str, int]:
+    """Exact sufficient statistics for the rank-based SCALE (dispersion)
+    tests — Mood's squared-rank test (Mood 1954) and the midrank-scored
+    Ansari-Bradley test (Ansari & Bradley 1960) — in one distributed
+    scan, the scale companion to the location tier
+    (:func:`rank_sum_stats`). All outputs are EXACT python ints
+    (arbitrary precision — no overflow at any scale), in DOUBLED
+    midrank space so ties stay integral:
+
+    with ``two_r(v) = 2*C_le(v) − t_v + 1`` (the doubled midrank) and
+    ``N`` the total count,
+
+    * Mood doubled score  ``s2(v) = two_r(v) − (N + 1)``  (note
+      Σ_all s2 = 0 identically, so only the square sums are needed):
+      ``m4_prod`` = Σ_prod s2², ``s4_all`` = Σ_all s2²,
+      ``q4_all`` = Σ_all s2⁴;
+    * Ansari-Bradley doubled score ``a2(v) = min(two_r, 2(N+1) −
+      two_r)`` (ties scored AT the midrank — identical to the classic
+      rank-from-both-ends scores whenever values are untied; under
+      ties this is the midrank-scored convention, documented in place
+      of Hollander & Wolfe's tie-range average which is not integral):
+      ``a2_prod`` = Σ_prod a2, ``sa_all`` = Σ_all a2,
+      ``qa_all`` = Σ_all a2².
+
+    The permutation-null moments of a linear rank statistic
+    T = Σ_{i∈prod} a_i under sampling n_prod of N without replacement
+    are E[T] = n_p·Σa/N and Var[T] = n_p·n_r·(N·Σa² − (Σa)²) /
+    (N²(N−1)) — every operand above is one of the exact integers
+    returned here. Same two-pass shape as :func:`rank_sum_stats`
+    (grouped distinct counts → sort → pass-A offsets → pass-B
+    python-int block folds shipped as strings)."""
+    counts = grouped_two_sample_counts(ds, value_col, ref_col)
+    sorted_counts = counts.sort(value_col).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table({"min_val": pa.array([], pa.float64()),
+                             "rc": pa.array([], pa.int64()),
+                             "pc": pa.array([], pa.int64())})
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "min_val": pa.array([float(v[0])], pa.float64()),
+            "rc": pa.array([int(b["rc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+            "pc": pa.array([int(b["pc"].to_numpy(zero_copy_only=False).sum())],
+                           pa.int64()),
+        })
+
+    summary = (
+        sorted_counts.map_batches(summarize, batch_format="pyarrow",
+                                  batch_size=None)
+        .to_pandas().sort_values("min_val").reset_index(drop=True)
+    )
+    n_ref = int(summary.rc.sum()) if len(summary) else 0
+    n_prod = int(summary.pc.sum()) if len(summary) else 0
+    n_tot = n_ref + n_prod
+    zero = {"m4_prod": 0, "s4_all": 0, "q4_all": 0,
+            "a2_prod": 0, "sa_all": 0, "qa_all": 0,
+            "n_ref": n_ref, "n_prod": n_prod}
+    if len(summary) == 0:
+        return zero
+    mins = summary.min_val.to_numpy()
+    rc_off = np.concatenate([[0], np.cumsum(summary.rc.to_numpy())[:-1]])
+    pc_off = np.concatenate([[0], np.cumsum(summary.pc.to_numpy())[:-1]])
+    bc = ray.put({"mins": mins, "rc_off": rc_off, "pc_off": pc_off,
+                  "n_tot": n_tot})
+
+    cols = ("m4_prod", "s4_all", "q4_all", "a2_prod", "sa_all", "qa_all")
+
+    def contrib(b: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.string()) for c in cols})
+        if len(b) == 0:
+            return empty
+        info = ray.get(bc)
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        rc = b["rc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = b["pc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(info["mins"], v[0]))
+        assert i < len(info["mins"]) and info["mins"][i] == v[0], (
+            "pass-B batch does not start at a pass-A block boundary — "
+            "Ray Data bundling changed; offsets would be wrong"
+        )
+        c_le = (int(info["rc_off"][i]) + np.cumsum(rc)) \
+            + (int(info["pc_off"][i]) + np.cumsum(pc_))
+        nt = int(info["n_tot"])
+        acc = dict.fromkeys(cols, 0)
+        # python-int fold over the block's DISTINCT values (bounded by
+        # block rows; exact at any scale)
+        for p, r, c, tt in zip(pc_, rc, c_le, rc + pc_):
+            p, r, c, tt = int(p), int(r), int(c), int(tt)
+            two_r = 2 * c - tt + 1
+            s2 = two_r - (nt + 1)
+            a2 = min(two_r, 2 * (nt + 1) - two_r)
+            acc["m4_prod"] += p * s2 * s2
+            acc["s4_all"] += tt * s2 * s2
+            acc["q4_all"] += tt * s2 * s2 * s2 * s2
+            acc["a2_prod"] += p * a2
+            acc["sa_all"] += tt * a2
+            acc["qa_all"] += tt * a2 * a2
+        return pa.table({c: pa.array([str(acc[c])], pa.string())
+                         for c in cols})
+
+    parts = sorted_counts.map_batches(
+        contrib, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = {c: sum(int(s) for s in parts[c]) for c in cols}
+    out["n_ref"] = n_ref
+    out["n_prod"] = n_prod
+    return out

@@ -311,6 +311,9 @@ def run_queries() -> dict[str, float]:
         # trimmed-mean drift
         "ordinal_assoc_value_hour", "bowley_moors_shape_events",
         "trimmed_mean_drift_events",
+        # round-5 session-11: rank-based scale tests + survival tier
+        "rank_scale_drift_events", "kaplan_meier_gaps",
+        "logrank_gap_drift",
     ]
     qs = E.queries()
     out = {}

@@ -3143,3 +3143,203 @@ class TestTrimmedMeanDrift:
             a = Q.trimmed_mean_drift_events(d1)
             b = Q.trimmed_mean_drift_events(d2)
         assert abs(b["shift"][0] - a["shift"][0]) < 10.0  # raw: ~5e7
+
+
+class TestRankScaleDrift:
+    def test_matches_midrank_bruteforce(self, ray_session):
+        """Mood M and the midrank-scored AB statistic recomputed by a
+        direct pandas midrank over the clean parity split — exact in
+        doubled-score integer space."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.rank_scale_drift_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        n = len(df)
+        two_r = (2.0 * df.value.rank(method="average")).astype(np.int64)
+        is_prod = (df.event_id % 2 == 1).to_numpy()
+        s2 = two_r.to_numpy() - (n + 1)
+        a2 = np.minimum(two_r.to_numpy(), 2 * (n + 1) - two_r.to_numpy())
+        m4 = int((s2[is_prod].astype(object) ** 2).sum())
+        assert float(out.mood_m[0]) == float(m4) / 4.0
+        assert float(out.ab_stat[0]) == float(int(a2[is_prod].sum())) / 2.0
+        assert int(out.n_prod[0]) == int(is_prod.sum())
+
+    def test_untied_ab_equals_classic_scores(self, ray_session):
+        """With all-distinct values the midrank convention IS the
+        classic Ansari-Bradley rank-from-both-ends score."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 400
+        rng = np.random.default_rng(7)
+        vals = rng.permutation(np.arange(n, dtype=float) + 0.25)
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.rank_scale_drift_events(d)
+        order = np.argsort(vals)
+        score = np.empty(n, dtype=np.int64)
+        score[order] = np.minimum(np.arange(1, n + 1),
+                                  n + 1 - np.arange(1, n + 1))
+        prod = np.arange(n) % 2 == 1
+        assert float(out.ab_stat[0]) == float(int(score[prod].sum()))
+
+    def test_scale_shift_detected_with_signs(self, ray_session):
+        """prod spread x5 around the shared center: Mood (squared
+        scores) goes strongly positive, AB (center-peaked scores)
+        strongly negative; the identical-halves design gives exactly
+        z = 0 on both."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 2000
+        base = np.tile(np.linspace(-1.0, 1.0, 100), n // 100)
+        spread = base.copy()
+        odd = np.arange(n) % 2 == 1
+        spread[odd] = base[odd] * 5.0
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d1, \
+                tempfile.TemporaryDirectory() as d2:
+            _write_events(d1, ts, base)
+            _write_events(d2, ts, spread)
+            same = Q.rank_scale_drift_events(d1)
+            drift = Q.rank_scale_drift_events(d2)
+        assert same.z_mood[0] == 0.0
+        assert same.z_ansari_bradley[0] == 0.0
+        assert drift.z_mood[0] > 5.0
+        assert drift.z_ansari_bradley[0] < -5.0
+
+
+def _km_bruteforce(events: pd.DataFrame):
+    """Independent in-test KM/at-risk computation from raw events."""
+    e = events.sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True)
+    us = e.ts.astype("datetime64[us]").astype("int64").to_numpy()
+    uid = e.user_id.to_numpy()
+    mx = int(us.max())
+    rows = []
+    for i in range(len(e)):
+        if i + 1 < len(e) and uid[i + 1] == uid[i]:
+            rows.append(((int(us[i + 1]) - int(us[i])) // 60_000_000, 1))
+        else:
+            rows.append(((mx - int(us[i])) // 60_000_000, 0))
+    df = pd.DataFrame(rows, columns=["dur", "obs"])
+    cnt = df.groupby("dur").agg(
+        d=("obs", "sum"), tot=("obs", "size")).reset_index() \
+        .sort_values("dur").reset_index(drop=True)
+    total = int(cnt.tot.sum())
+    removed = np.concatenate([[0], np.cumsum(cnt.tot.to_numpy())[:-1]])
+    out = []
+    s = 1.0
+    for j in range(len(cnt)):
+        d = int(cnt.d[j])
+        if d == 0:
+            continue
+        nr = total - int(removed[j])
+        s = s * (1.0 - float(d) / float(nr))
+        out.append((int(cnt.dur[j]), nr, d, s))
+    return out
+
+
+class TestKaplanMeierGaps:
+    def test_matches_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kaplan_meier_gaps(SF)
+        raw = pd.read_parquet(f"{SF}/events.parquet",
+                              columns=["user_id", "ts", "event_id"])
+        ref = _km_bruteforce(raw)
+        assert len(out) == len(ref)
+        for j, (dur, nr, d, s) in enumerate(ref):
+            assert int(out.dur_min[j]) == dur
+            assert int(out.n_risk[j]) == nr
+            assert int(out.d_events[j]) == d
+            assert float(out.s_km[j]) == s
+
+    def test_survival_invariants(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kaplan_meier_gaps(SF)
+        assert (out.d_events >= 1).all()
+        assert (np.diff(out.n_risk.to_numpy()) < 0).all()
+        s = out.s_km.to_numpy()
+        # the final death time can take S to exactly 0 (everyone
+        # still at risk dies there)
+        assert ((s >= 0) & (s <= 1.0)).all()
+        assert (np.diff(s) <= 0).all()
+        assert (np.diff(out.na_cumhaz.to_numpy()) > 0).all()
+
+    def test_censoring_lifts_survival(self, ray_session):
+        """Heavily censored design (many single-event users whose only
+        duration is censored): KM at the max death time stays well
+        above the naive fraction-dead estimate — the reason the
+        product-limit estimator exists."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 300
+        # user 0: 100 events 1 min apart (99 observed 1-min gaps);
+        # users 1..200: one event each at t=0 (censored full-window)
+        ts0 = pd.date_range("2024-01-01", periods=100, freq="min")
+        ts = list(ts0) + [pd.Timestamp("2024-01-01")] * 200
+        users = np.array([0] * 100 + list(range(1, 201)))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts), np.ones(n, dtype=float),
+                          users=users)
+            out = Q.kaplan_meier_gaps(d)
+        # deaths all at dur=1 except user 0's final censoring
+        assert int(out.d_events.sum()) == 99
+        # naive death fraction would be 99/300; KM at t=1 is
+        # 1 - 99/n_risk with n_risk = 300 (all at risk at 1 min)
+        assert float(out.s_km.iloc[-1]) > 0.6
+
+
+class TestLogrankGapDrift:
+    def test_counts_identity(self, ray_session):
+        """Every event contributes exactly one duration; every user
+        exactly one censored tail — so deaths = rows − users."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.logrank_gap_drift(SF)
+        raw = pd.read_parquet(f"{SF}/events.parquet",
+                              columns=["user_id"])
+        n_rows = len(raw)
+        n_users = raw.user_id.nunique()
+        assert int(out.n_ref_durs[0] + out.n_prod_durs[0]) == n_rows
+        assert int(out.deaths_total[0]) == n_rows - n_users
+        assert float(out.chi2_logrank[0]) == \
+            float(out.z_logrank[0]) ** 2 or out.var_hyp[0] <= 0.0
+
+    def test_planted_hazard_drift(self, ray_session):
+        """Even-id users fire every minute, odd-id users every 10
+        minutes: the ref (even) half dies much faster — large
+        positive z; the same-process design stays |z| small."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rows_ts, rows_u = [], []
+        for u in range(40):
+            step = 1 if u % 2 == 0 else 10
+            t = pd.date_range("2024-01-01", periods=50,
+                              freq=f"{step}min")
+            rows_ts.extend(t)
+            rows_u.extend([u] * 50)
+        n = len(rows_u)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(rows_ts),
+                          np.ones(n, dtype=float),
+                          users=np.array(rows_u))
+            drift = Q.logrank_gap_drift(d)
+        assert drift.z_logrank[0] > 5.0
+
+        rows_ts2 = []
+        for u in range(40):
+            t = pd.date_range("2024-01-01", periods=50, freq="5min")
+            rows_ts2.extend(t)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(rows_ts2),
+                          np.ones(n, dtype=float),
+                          users=np.array(rows_u))
+            null = Q.logrank_gap_drift(d)
+        assert abs(null.z_logrank[0]) < 1e-12  # identical processes

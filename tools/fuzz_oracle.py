@@ -109,6 +109,8 @@ EVENT_QUERIES = [
     "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
     "ordinal_assoc_value_hour", "bowley_moors_shape_events",
     "trimmed_mean_drift_events",
+    # session-11: rank-based scale tests + the survival tier
+    "rank_scale_drift_events", "kaplan_meier_gaps", "logrank_gap_drift",
 ]
 
 
