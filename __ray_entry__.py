@@ -331,6 +331,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_scale_drift_events": Q.rank_scale_drift_events,
         "kaplan_meier_gaps": Q.kaplan_meier_gaps,
         "logrank_gap_drift": Q.logrank_gap_drift,
+        "dtw_daily_types": Q.dtw_daily_types,
+        "pacf_hourly_means": Q.pacf_hourly_means,
+        "xcorr_hourly_types": Q.xcorr_hourly_types,
+        "fourfold_flag_drift": Q.fourfold_flag_drift,
     }
 
 
@@ -936,6 +940,7 @@ _VALUE_CLEAN_QUERIES = [
     "kruskal_wallis_types", "anova_f_types", "friedman_hourly_types",
     "ordinal_assoc_value_hour", "bowley_moors_shape_events",
     "trimmed_mean_drift_events", "rank_scale_drift_events",
+    "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
 ]
 
 
@@ -1103,6 +1108,55 @@ def _benford2_sql() -> str:
     """
 
 
+def _hourly_r_ctes() -> str:
+    """The shared CTE prefix of the serial-dependence oracles (ACF /
+    PACF): hourly means from exact cents sums, then mean / c0 / r1..r6
+    as list_reduce LEFT folds in hour order — bit-level mirrors of
+    table_queries._hourly_acf."""
+    r_cols = []
+    for lag in range(1, 7):
+        r_cols.append(f"""
+               CASE WHEN nh >= 2 AND c0 > 0.0 AND nh - {lag} >= 1
+                    THEN list_reduce(list_transform(
+                             generate_series(1, nh - {lag}),
+                             t -> (xs[t] - m) * (xs[t + {lag}] - m)),
+                         (a, b) -> a + b) / c0
+                    ELSE 0.0 END AS r{lag}""")
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   count(*) AS nh
+            FROM h
+        ),
+        mm AS (
+            SELECT xs, nh,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(xs, (a, b) -> a + b)
+                             / CAST(nh AS DOUBLE)
+                        ELSE 0.0 END AS m
+            FROM arr
+        ),
+        cc AS (
+            SELECT xs, nh, m,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(list_transform(xs,
+                                 v -> (v - m) * (v - m)),
+                             (a, b) -> a + b)
+                        ELSE 0.0 END AS c0
+            FROM mm
+        ),
+        rr AS (
+            SELECT nh,{",".join(r_cols)}
+            FROM cc
+        )"""
+
+
 def _acf_sql() -> str:
     """ACF lags 1-6 + Ljung-Box Q(6) over hourly means: every fold is
     a DuckDB list_reduce LEFT fold in hour order, mirroring the
@@ -1159,6 +1213,242 @@ def _acf_sql() -> str:
                r1, r2, r3, r4, r5, r6,
                CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) + 2.0)
                    * {q_chain} AS ljung_box_q6
+        FROM rr
+    """
+
+
+def _pacf_sql() -> str:
+    """PACF lags 1-6 via the Durbin-Levinson recursion, unrolled as a
+    generated CTE chain over the shared hourly-r prefix
+    (:func:`_hourly_r_ctes`): each level's num/den are explicit
+    LEFT-associated chains mirroring table_queries.pacf_hourly_means'
+    sequential loops operand-for-operand; the alive flag cascades a
+    failed level (series too short / zero denominator / all-zero ACF)
+    into 0.0 for every later lag on BOTH sides."""
+    # level 1: alive iff nh >= 2, any r nonzero, and nh - 1 >= 1
+    any_r = " OR ".join(f"r{i} <> 0.0" for i in range(1, 7))
+    ctes = [f"""
+        l1 AS (
+            SELECT nh, r1, r2, r3, r4, r5, r6,
+                   (nh >= 2 AND ({any_r}) AND nh - 1 >= 1) AS a1,
+                   CASE WHEN (nh >= 2 AND ({any_r}) AND nh - 1 >= 1)
+                        THEN r1 ELSE 0.0 END AS p1,
+                   CASE WHEN (nh >= 2 AND ({any_r}) AND nh - 1 >= 1)
+                        THEN r1 ELSE 0.0 END AS f1_1
+            FROM rr
+        )"""]
+    for k in range(2, 7):
+        prior = "l1" if k == 2 else f"l{k-1}phi"
+        num = f"r{k}"
+        for j in range(1, k):
+            num = f"({num} - f{k-1}_{j} * r{k-j})"
+        den = "1.0"
+        for j in range(1, k):
+            den = f"({den} - f{k-1}_{j} * r{j})"
+        phi_cols = []
+        for j in range(1, k):
+            phi_cols.append(
+                f"CASE WHEN a{k} THEN f{k-1}_{j} - p{k} * f{k-1}_{k-j} "
+                f"ELSE 0.0 END AS f{k}_{j}")
+        phi_cols.append(f"p{k} AS f{k}_{k}")
+        ctes.append(f"""
+        l{k}pre AS (
+            SELECT *, (a{k-1} AND nh - {k} >= 1) AS pre{k},
+                   {num} AS num{k}, {den} AS den{k}
+            FROM {prior}
+        ),
+        l{k} AS (
+            SELECT *, (pre{k} AND den{k} <> 0.0) AS a{k},
+                   CASE WHEN (pre{k} AND den{k} <> 0.0)
+                        THEN num{k} / den{k} ELSE 0.0 END AS p{k}
+            FROM l{k}pre
+        ),
+        l{k}phi AS (
+            SELECT *, {", ".join(phi_cols)}
+            FROM l{k}
+        )""")
+    body = ",".join(ctes)
+    sel = ", ".join(f"p{i} AS pacf{i}" for i in range(1, 7))
+    return f"""{_hourly_r_ctes()},{body}
+        SELECT CAST(nh AS BIGINT) AS n_hours, {sel}
+        FROM l6phi
+    """
+
+
+def _fourfold_sql() -> str:
+    """2×2 fourfold drift panel: exact integer cells, Haldane-corrected
+    OR + Wald CI (ln/exp are glibc-parity with math.log/exp —
+    bit-exact), HUGEINT phi denominator, and the Fisher exact
+    two-sided p under the repo's round-9 contract (libm lgamma differs
+    ~1 ulp from python's at small args; the 1e-7 inclusion tolerance
+    absorbs it in the tail-membership booleans)."""
+    def lp(karg: str) -> str:
+        return (
+            f"((((lgamma(CAST(row1 + 1 AS DOUBLE))"
+            f" - lgamma(CAST({karg} + 1 AS DOUBLE)))"
+            f" - lgamma(CAST(row1 - {karg} + 1 AS DOUBLE)))"
+            f" + ((lgamma(CAST(row2 + 1 AS DOUBLE))"
+            f" - lgamma(CAST(col1 - {karg} + 1 AS DOUBLE)))"
+            f" - lgamma(CAST(row2 - col1 + {karg} + 1 AS DOUBLE))))"
+            f" - ((lgamma(CAST(nn + 1 AS DOUBLE))"
+            f" - lgamma(CAST(col1 + 1 AS DOUBLE)))"
+            f" - lgamma(CAST(nn - col1 + 1 AS DOUBLE))))")
+
+    return f"""
+        WITH cnt AS (
+            SELECT CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+                      AND event_type = 'error' THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS a,
+                   CAST(coalesce(sum(CASE WHEN event_id % 2 = 0
+                      AND event_type <> 'error' THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS b,
+                   CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+                      AND event_type = 'error' THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS c,
+                   CAST(coalesce(sum(CASE WHEN event_id % 2 = 1
+                      AND event_type <> 'error' THEN 1 ELSE 0 END), 0)
+                      AS BIGINT) AS d
+            FROM events
+        ),
+        h AS (
+            SELECT *,
+                CASE WHEN least(a, b, c, d) = 0
+                     THEN CAST(a AS DOUBLE) + 0.5
+                     ELSE CAST(a AS DOUBLE) END AS aa,
+                CASE WHEN least(a, b, c, d) = 0
+                     THEN CAST(b AS DOUBLE) + 0.5
+                     ELSE CAST(b AS DOUBLE) END AS bb,
+                CASE WHEN least(a, b, c, d) = 0
+                     THEN CAST(c AS DOUBLE) + 0.5
+                     ELSE CAST(c AS DOUBLE) END AS cc,
+                CASE WHEN least(a, b, c, d) = 0
+                     THEN CAST(d AS DOUBLE) + 0.5
+                     ELSE CAST(d AS DOUBLE) END AS dd
+            FROM cnt
+        ),
+        e1 AS (SELECT *, (aa * dd) / (bb * cc) AS odds_ratio FROM h),
+        e2 AS (SELECT *, ln(odds_ratio) AS log_or,
+                      sqrt(((1.0 / aa + 1.0 / bb) + 1.0 / cc)
+                           + 1.0 / dd) AS se,
+                      CASE WHEN a + b = 0 THEN 0.0
+                           ELSE CAST(a AS DOUBLE)
+                                / CAST(a + b AS DOUBLE) END AS rr1,
+                      CASE WHEN c + d = 0 THEN 0.0
+                           ELSE CAST(c AS DOUBLE)
+                                / CAST(c + d AS DOUBLE) END AS rr2
+               FROM e1),
+        fm AS (SELECT *, a + b AS row1, c + d AS row2, a + c AS col1,
+                      a + b + c + d AS nn
+               FROM e2),
+        ks AS (SELECT fm.*,
+                      unnest(generate_series(greatest(0, col1 - row2),
+                                             least(row1, col1))) AS k
+               FROM fm),
+        lps AS (SELECT {lp('k')} AS lpk, {lp('a')} AS lpo FROM ks),
+        pf AS (SELECT coalesce(sum(CASE WHEN lpk <= lpo + 1e-7
+                                        THEN exp(lpk) END), 0.0)
+                   AS praw
+               FROM lps)
+        SELECT fm.a AS n_ref_flag, fm.b AS n_ref_other,
+               fm.c AS n_prod_flag, fm.d AS n_prod_other,
+               fm.odds_ratio, fm.log_or,
+               exp(fm.log_or - 1.96 * fm.se) AS or_ci_lo,
+               exp(fm.log_or + 1.96 * fm.se) AS or_ci_hi,
+               CASE WHEN fm.rr2 = 0.0 THEN 0.0
+                    ELSE fm.rr1 / fm.rr2 END AS risk_ratio,
+               fm.rr1 - fm.rr2 AS risk_diff,
+               CASE WHEN fm.a * fm.d + fm.b * fm.c = 0 THEN 0.0
+                    ELSE CAST(fm.a * fm.d - fm.b * fm.c AS DOUBLE)
+                         / CAST(fm.a * fm.d + fm.b * fm.c AS DOUBLE)
+               END AS yule_q,
+               CASE WHEN (CAST(fm.a AS HUGEINT) + fm.b)
+                         * (fm.c + fm.d) * (fm.a + fm.c)
+                         * (fm.b + fm.d) = 0 THEN 0.0
+                    ELSE CAST(fm.a * fm.d - fm.b * fm.c AS DOUBLE)
+                         / sqrt(CAST((CAST(fm.a AS HUGEINT) + fm.b)
+                                     * (fm.c + fm.d) * (fm.a + fm.c)
+                                     * (fm.b + fm.d) AS DOUBLE))
+               END AS phi_coef,
+               round(pf.praw, 9) AS p_fisher
+        FROM fm, pf
+    """
+
+
+def _xcorr_sql() -> str:
+    """Cross-correlation click→purchase at lags 0-6 over hourly means:
+    the shared hour grid (absent type-hours read 0.0), every moment a
+    list_reduce LEFT fold in hour order mirroring
+    table_queries.xcorr_hourly_types bit-for-bit; best_lag is the
+    1st-index-of-max over bit-identical |r| doubles."""
+    lag_cols = []
+    for lag in range(0, 7):
+        lag_cols.append(f"""
+               CASE WHEN nh >= 2 AND sxx > 0.0 AND syy > 0.0
+                         AND nh - {lag} >= 1
+                    THEN list_reduce(list_transform(
+                             generate_series(1, nh - {lag}),
+                             t -> (xs[t] - mx) * (ys[t + {lag}] - my)),
+                         (a, b) -> a + b)
+                         / (sqrt(sxx) * sqrt(syy))
+                    ELSE 0.0 END AS x{lag}""")
+    absl = ", ".join(f"abs(x{i})" for i in range(0, 7))
+    sel = ", ".join(f"x{i} AS xcorr{i}" for i in range(0, 7))
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END), 0) AS BIGINT) AS ca,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                   CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT)
+                        ELSE 0 END), 0) AS BIGINT) AS cb
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list(CASE WHEN na = 0 THEN 0.0
+                             ELSE (CAST(ca AS DOUBLE) / 100.0)
+                                  / CAST(na AS DOUBLE) END
+                        ORDER BY hour) AS xs,
+                   list(CASE WHEN nb = 0 THEN 0.0
+                             ELSE (CAST(cb AS DOUBLE) / 100.0)
+                                  / CAST(nb AS DOUBLE) END
+                        ORDER BY hour) AS ys,
+                   count(*) AS nh
+            FROM h
+        ),
+        mm AS (
+            SELECT xs, ys, nh,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(xs, (a, b) -> a + b)
+                             / CAST(nh AS DOUBLE) ELSE 0.0 END AS mx,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(ys, (a, b) -> a + b)
+                             / CAST(nh AS DOUBLE) ELSE 0.0 END AS my
+            FROM arr
+        ),
+        cc AS (
+            SELECT xs, ys, nh, mx, my,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(list_transform(xs,
+                                 v -> (v - mx) * (v - mx)),
+                             (a, b) -> a + b) ELSE 0.0 END AS sxx,
+                   CASE WHEN nh >= 2
+                        THEN list_reduce(list_transform(ys,
+                                 v -> (v - my) * (v - my)),
+                             (a, b) -> a + b) ELSE 0.0 END AS syy
+            FROM mm
+        ),
+        rr AS (
+            SELECT nh,{",".join(lag_cols)}
+            FROM cc
+        )
+        SELECT CAST(nh AS BIGINT) AS n_hours, {sel},
+               CAST(list_position([{absl}],
+                    list_max([{absl}])) - 1 AS BIGINT) AS best_lag
         FROM rr
     """
 
@@ -4844,9 +5134,91 @@ def _oracle_sql_raw() -> dict[str, str]:
                    END AS chi2_logrank
             FROM tots, f
         """,
+        # DTW between the click/purchase daily cents series: the exact
+        # integer DP replayed as a recursive CTE carrying the trailing
+        # W+1 cells as a HUGEINT list (boundary cells min against an
+        # INF sentinel that is never selected and never added to)
+        "dtw_daily_types": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END), 0) AS HUGEINT) AS ca,
+                       CAST(coalesce(sum(CASE WHEN event_type =
+                            'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END), 0) AS HUGEINT) AS cb
+                FROM events GROUP BY 1
+            ),
+            grid AS (SELECT list(ca ORDER BY day) AS a,
+                            list(cb ORDER BY day) AS b,
+                            CAST(count(*) AS BIGINT) AS w
+                     FROM h),
+            dp AS (
+                SELECT 0 AS k,
+                       list_transform(
+                           generate_series(1, (SELECT w FROM grid) + 1),
+                           x -> CAST(
+                               1000000000000000000000000000000
+                               AS HUGEINT)) AS L
+                UNION ALL
+                SELECT k + 1, list_append(L[2:], nd)
+                FROM (
+                    SELECT k, L,
+                           abs(g.a[(k // g.w) + 1]
+                               - g.b[(k % g.w) + 1])
+                           + least(
+                               CASE WHEN (k % g.w) = 0
+                                    THEN CAST(
+                                      1000000000000000000000000000000
+                                      AS HUGEINT)
+                                    ELSE L[g.w + 1] END,
+                               CASE WHEN (k // g.w) = 0
+                                      OR (k % g.w) = 0
+                                    THEN CASE WHEN k = 0
+                                         THEN CAST(0 AS HUGEINT)
+                                         ELSE CAST(
+                                      1000000000000000000000000000000
+                                           AS HUGEINT) END
+                                    ELSE L[1] END,
+                               CASE WHEN (k // g.w) = 0
+                                    THEN CAST(
+                                      1000000000000000000000000000000
+                                      AS HUGEINT)
+                                    ELSE L[2] END) AS nd
+                    FROM dp, grid g
+                    WHERE k < g.w * g.w
+                )
+            ),
+            fin AS (
+                SELECT g.w,
+                       CASE WHEN g.w = 0 THEN CAST(0 AS HUGEINT)
+                            ELSE (SELECT L[g.w + 1] FROM dp
+                                  WHERE k = g.w * g.w) END AS dtw,
+                       CASE WHEN g.w = 0 THEN CAST(0 AS HUGEINT)
+                            ELSE list_reduce(list_prepend(
+                                CAST(0 AS HUGEINT),
+                                list_transform(
+                                    generate_series(1, g.w),
+                                    i -> abs(g.a[i] - g.b[i]))),
+                                (x, y) -> x + y) END AS diag
+                FROM grid g
+            )
+            SELECT w AS n_days,
+                   CAST(dtw AS DOUBLE) AS dtw_cost,
+                   CAST(diag AS DOUBLE) AS diag_cost,
+                   CASE WHEN w = 0 THEN 0.0
+                        ELSE CAST(dtw AS DOUBLE) / CAST(w AS DOUBLE)
+                   END AS dtw_per_day,
+                   dtw <= diag AS dtw_le_diag
+            FROM fin
+        """,
         "benford_first_digit_audit": _benford_sql(),
         "benford_second_digit_audit": _benford2_sql(),
         "acf_hourly_means": _acf_sql(),
+        "pacf_hourly_means": _pacf_sql(),
+        "xcorr_hourly_types": _xcorr_sql(),
+        "fourfold_flag_drift": _fourfold_sql(),
         # decile-by-decile quantile shift: list quantile_disc per half,
         # selection-only outputs — differences of selected data values
         "quantile_shift_drift_events": """

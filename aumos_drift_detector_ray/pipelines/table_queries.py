@@ -9320,6 +9320,24 @@ def acf_hourly_means(sf_dir: str) -> pd.DataFrame:
     fold — the established bit-level recipe), so the compare is
     bit-identical with no rounding contract. Lags past the series
     length and constant series (c0=0) guard to 0.0 sentinels."""
+    nh, r = _hourly_acf(sf_dir, 6)
+    out = {"n_hours": [np.int64(nh)]}
+    out.update({f"r{i}": [float(r[i - 1])] for i in range(1, 7)})
+    q = 0.0
+    for lag in range(1, 7):
+        if nh - lag < 1:
+            continue
+        q = q + (r[lag - 1] * r[lag - 1]) / float(nh - lag)
+    q = float(nh) * (float(nh) + 2.0) * q
+    out["ljung_box_q6"] = [float(q)]
+    return pd.DataFrame(out)
+
+
+def _hourly_mean_series(sf_dir: str) -> np.ndarray:
+    """Hourly mean-value series from exact cents partials, in hour
+    order — the shared input of the serial-dependence tier (ACF /
+    PACF / Ljung-Box). Bounded-cardinality groupby (hours are
+    calendar-bounded)."""
     ds = sf_events_clean(sf_dir, ["ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -9334,10 +9352,16 @@ def acf_hourly_means(sf_dir: str) -> pd.DataFrame:
         .groupby("hour").aggregate(Sum("n", alias_name="n"),
                                    Sum("value_c", alias_name="value_c")) \
         .to_pandas().sort_values("hour").reset_index(drop=True)
-    x = (hourly.value_c.to_numpy(np.float64) / 100.0) \
+    return (hourly.value_c.to_numpy(np.float64) / 100.0) \
         / hourly.n.to_numpy(np.float64)
+
+
+def _hourly_acf(sf_dir: str, L: int) -> "tuple[int, list[float]]":
+    """(n_hours, [r1..rL]) with every fold a sequential left fold in
+    hour order (the list_reduce bit-level recipe) — extracted verbatim
+    from acf_hourly_means so PACF shares bit-identical autocorrelations."""
+    x = _hourly_mean_series(sf_dir)
     nh = len(x)
-    L = 6
     r = [0.0] * L
     if nh >= 2:
         acc = float(x[0])                      # list_reduce left fold
@@ -9355,16 +9379,7 @@ def acf_hourly_means(sf_dir: str) -> pd.DataFrame:
                 for t in range(1, nh - lag):
                     cl = cl + (float(x[t]) - m) * (float(x[t + lag]) - m)
                 r[lag - 1] = cl / c0
-    q = 0.0
-    for lag in range(1, L + 1):
-        if nh - lag < 1:
-            continue
-        q = q + (r[lag - 1] * r[lag - 1]) / float(nh - lag)
-    q = float(nh) * (float(nh) + 2.0) * q
-    out = {"n_hours": [np.int64(nh)]}
-    out.update({f"r{i}": [float(r[i - 1])] for i in range(1, L + 1)})
-    out["ljung_box_q6"] = [float(q)]
-    return pd.DataFrame(out)
+    return nh, r
 
 
 def theil_sen_hourly_slope(sf_dir: str) -> pd.DataFrame:
@@ -14855,4 +14870,288 @@ def logrank_gap_drift(sf_dir: str) -> pd.DataFrame:
         "var_hyp": pd.Series([var], dtype="float64"),
         "z_logrank": pd.Series([z], dtype="float64"),
         "chi2_logrank": pd.Series([z * z], dtype="float64"),
+    })
+
+
+def dtw_daily_types(sf_dir: str) -> pd.DataFrame:
+    """Dynamic-time-warping alignment cost (Sakoe & Chiba 1978)
+    between the click and purchase DAILY revenue-cents series — the
+    elastic-alignment companion to the lag-grid cross-correlation tier
+    (DTW sees 'purchase follows click by a varying lag' where a fixed
+    lag can't): the day grid is every day with ≥1 clean event
+    (calendar-bounded — the DP is O(days²) on the driver at ANY row
+    scale), each series the EXACT integer cents sum per day (absent
+    type-days are exact 0), the |a−b| move costs and the full DP
+    table therefore stay in exact integer space end-to-end — the
+    oracle replays the identical DP as a recursive CTE carrying the
+    trailing W+1 cells as a HUGEINT list. Outputs cast the exact ints
+    to double (correctly rounded on both sides); dtw ≤ the lag-0
+    diagonal cost is a structural invariant pinned TRUE; empty grids
+    guard to the 0-row-count sentinel."""
+    ds = sf_events_clean(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        et = b.event_type.to_numpy()
+        return pd.DataFrame({
+            "day": b.ts.dt.floor("D"),
+            "c_click": np.where(et == "click", cents, 0),
+            "c_purchase": np.where(et == "purchase", cents, 0),
+        }).groupby("day", as_index=False).sum()
+
+    daily = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("day").aggregate(
+            Sum("c_click", alias_name="c_click"),
+            Sum("c_purchase", alias_name="c_purchase")) \
+        .to_pandas().sort_values("day").reset_index(drop=True)
+    w = len(daily)
+    if w == 0:
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype="int64"),
+            "dtw_cost": pd.Series([0.0], dtype="float64"),
+            "diag_cost": pd.Series([0.0], dtype="float64"),
+            "dtw_per_day": pd.Series([0.0], dtype="float64"),
+            "dtw_le_diag": pd.Series([True], dtype="bool"),
+        })
+    a = [int(v) for v in daily.c_click]
+    b = [int(v) for v in daily.c_purchase]
+    prev: "list[int]" = []
+    for i in range(w):
+        cur: "list[int]" = []
+        for j in range(w):
+            cost = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                d = cost
+            elif i == 0:
+                d = cost + cur[j - 1]
+            elif j == 0:
+                d = cost + prev[0]
+            else:
+                d = cost + min(cur[j - 1], prev[j - 1], prev[j])
+            cur.append(d)
+        prev = cur
+    dtw = prev[w - 1]
+    diag = sum(abs(x - y) for x, y in zip(a, b))
+    return pd.DataFrame({
+        "n_days": pd.Series([w], dtype="int64"),
+        "dtw_cost": pd.Series([float(dtw)], dtype="float64"),
+        "diag_cost": pd.Series([float(diag)], dtype="float64"),
+        "dtw_per_day": pd.Series([float(dtw) / float(w)],
+                                 dtype="float64"),
+        "dtw_le_diag": pd.Series([dtw <= diag], dtype="bool"),
+    })
+
+
+def pacf_hourly_means(sf_dir: str) -> pd.DataFrame:
+    """Partial autocorrelation function of the hourly mean-value
+    series at lags 1-6 via the Durbin-Levinson recursion (Durbin 1960;
+    Levinson 1947 — the AR-order diagnostic beside the ACF tier: pacf
+    at lag k is the k-step correlation with the intermediate lags
+    regressed out): the autocorrelations come from the SAME sequential
+    left folds as acf_hourly_means (shared _hourly_acf, bit-identical),
+    and each DL level is a bounded fixed-shape IEEE recursion —
+    num/den are LEFT folds over at most 5 prior coefficients, one
+    division per level — mirrored operand-for-operand by a generated
+    SQL CTE chain. Validity cascades: a level with nh − k < 1 or a
+    zero denominator zeroes that and EVERY later level (documented
+    sentinel), so both sides agree without branch drift."""
+    nh, r = _hourly_acf(sf_dir, 6)
+    pacf = [0.0] * 6
+    valid = nh >= 2 and any(v != 0.0 for v in r)
+    phi_prev: "list[float]" = []
+    for k in range(1, 7):
+        if not valid or nh - k < 1:
+            valid = False
+            break
+        if k == 1:
+            pk = r[0]
+            phi_prev = [pk]
+        else:
+            num = r[k - 1]
+            for j in range(1, k):
+                num = num - phi_prev[j - 1] * r[k - j - 1]
+            den = 1.0
+            for j in range(1, k):
+                den = den - phi_prev[j - 1] * r[j - 1]
+            if den == 0.0:
+                valid = False
+                break
+            pk = num / den
+            phi_new = [phi_prev[j - 1] - pk * phi_prev[k - 1 - j]
+                       for j in range(1, k)]
+            phi_new.append(pk)
+            phi_prev = phi_new
+        pacf[k - 1] = pk
+    out = {"n_hours": [np.int64(nh)]}
+    out.update({f"pacf{i}": [float(pacf[i - 1])] for i in range(1, 7)})
+    return pd.DataFrame(out)
+
+
+def xcorr_hourly_types(sf_dir: str) -> pd.DataFrame:
+    """Cross-correlation between the click and purchase hourly
+    mean-value series at forward lags 0-6 (does purchase track click
+    l hours later?) — the two-series companion of the ACF tier: the
+    hour grid is every hour with ≥1 clean event (type-hours with no
+    rows read as the 0.0 mean sentinel, documented), means come from
+    exact cents partials, and every moment (both means, both central
+    sum-of-squares, each lagged cross product) is a SEQUENTIAL left
+    fold in hour order mirrored bit-for-bit by DuckDB list_reduce.
+    r_l = num_l / (sqrt(sxx)·sqrt(syy)) is one fixed-shape IEEE
+    expression; degenerate series (zero variance) and lags past the
+    series guard to 0.0. best_lag is the first index of the max |r_l|
+    — a comparison of bit-identical doubles on both sides."""
+    ds = sf_events_clean(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        et = b.event_type.to_numpy()
+        isa = et == "click"
+        isb = et == "purchase"
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "na": isa.astype(np.int64),
+            "ca": np.where(isa, cents, 0),
+            "nb": isb.astype(np.int64),
+            "cb": np.where(isb, cents, 0),
+        }).groupby("hour", as_index=False).sum()
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(
+            Sum("na", alias_name="na"), Sum("ca", alias_name="ca"),
+            Sum("nb", alias_name="nb"), Sum("cb", alias_name="cb")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    nh = len(hourly)
+    xs = [0.0 if int(na) == 0
+          else (float(int(ca)) / 100.0) / float(int(na))
+          for na, ca in zip(hourly.na, hourly.ca)]
+    ys = [0.0 if int(nb) == 0
+          else (float(int(cb)) / 100.0) / float(int(nb))
+          for nb, cb in zip(hourly.nb, hourly.cb)]
+    import math
+
+    r = [0.0] * 7
+    if nh >= 2:
+        mx = xs[0]
+        for t in range(1, nh):
+            mx = mx + xs[t]
+        mx = mx / float(nh)
+        my = ys[0]
+        for t in range(1, nh):
+            my = my + ys[t]
+        my = my / float(nh)
+        sxx = (xs[0] - mx) * (xs[0] - mx)
+        for t in range(1, nh):
+            sxx = sxx + (xs[t] - mx) * (xs[t] - mx)
+        syy = (ys[0] - my) * (ys[0] - my)
+        for t in range(1, nh):
+            syy = syy + (ys[t] - my) * (ys[t] - my)
+        if sxx > 0.0 and syy > 0.0:
+            for lag in range(0, 7):
+                if nh - lag < 1:
+                    continue
+                num = (xs[0] - mx) * (ys[lag] - my)
+                for t in range(1, nh - lag):
+                    num = num + (xs[t] - mx) * (ys[t + lag] - my)
+                r[lag] = num / (math.sqrt(sxx) * math.sqrt(syy))
+    absr = [abs(v) for v in r]
+    best = absr.index(max(absr))
+    out = {"n_hours": [np.int64(nh)]}
+    out.update({f"xcorr{i}": [float(r[i])] for i in range(0, 7)})
+    out["best_lag"] = [np.int64(best)]
+    return pd.DataFrame(out)
+
+
+def fourfold_flag_drift(sf_dir: str) -> pd.DataFrame:
+    """2×2 fourfold-table drift panel — did the error share move
+    between the halves? ref/prod (event_id parity) × error-flag
+    (event_type == 'error') with the epidemiology effect-size canon:
+    odds ratio with the Haldane-Anscombe +0.5 correction when any cell
+    is empty (Haldane 1956), Wald log-OR 95% CI (ln/exp are
+    bit-parity with DuckDB's glibc libm — verified, so the CI is
+    fixed-shape EXACT), risk ratio / difference, Yule's Q and the phi
+    coefficient from exact integer cross products, plus Fisher's exact
+    two-sided p (Fisher 1935) via the lgamma hypergeometric sum — the
+    ONE column under a round-9 contract (libm lgamma differs ~1 ulp
+    from DuckDB at small args; the R-style 1+1e-7 inclusion tolerance
+    makes the tail-membership booleans robust to that noise). Counts
+    fold distributed (per-block partial sums, four scalars ship)."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0).to_numpy()
+        flag = (b.event_type == "error").to_numpy()
+        return pd.DataFrame({
+            "a": [int((is_ref & flag).sum())],
+            "b": [int((is_ref & ~flag).sum())],
+            "c": [int((~is_ref & flag).sum())],
+            "d": [int((~is_ref & ~flag).sum())],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    a, b = int(p.a.sum()), int(p.b.sum())
+    c, d = int(p.c.sum()), int(p.d.sum())
+
+    if min(a, b, c, d) == 0:
+        aa, bb = float(a) + 0.5, float(b) + 0.5
+        cc_, dd = float(c) + 0.5, float(d) + 0.5
+    else:
+        aa, bb, cc_, dd = float(a), float(b), float(c), float(d)
+    odds_ratio = (aa * dd) / (bb * cc_)
+    log_or = math.log(odds_ratio)
+    se = math.sqrt(((1.0 / aa + 1.0 / bb) + 1.0 / cc_) + 1.0 / dd)
+    ci_lo = math.exp(log_or - 1.96 * se)
+    ci_hi = math.exp(log_or + 1.96 * se)
+
+    risk_ref = 0.0 if a + b == 0 else float(a) / float(a + b)
+    risk_prod = 0.0 if c + d == 0 else float(c) / float(c + d)
+    risk_ratio = 0.0 if risk_prod == 0.0 else risk_ref / risk_prod
+    risk_diff = risk_ref - risk_prod
+    ad_bc = a * d - b * c
+    yule_q = (0.0 if a * d + b * c == 0
+              else float(ad_bc) / float(a * d + b * c))
+    den2 = (a + b) * (c + d) * (a + c) * (b + d)
+    phi = 0.0 if den2 == 0 else float(ad_bc) / math.sqrt(float(den2))
+
+    # Fisher exact (two-sided): hypergeometric over the fixed margins
+    row1, row2, col1 = a + b, c + d, a + c
+    n = row1 + row2
+    lg = math.lgamma
+
+    def lp(k: int) -> float:
+        return ((((lg(float(row1 + 1)) - lg(float(k + 1)))
+                  - lg(float(row1 - k + 1)))
+                 + ((lg(float(row2 + 1)) - lg(float(col1 - k + 1)))
+                    - lg(float(row2 - col1 + k + 1))))
+                - ((lg(float(n + 1)) - lg(float(col1 + 1)))
+                   - lg(float(n - col1 + 1))))
+
+    kmin = max(0, col1 - row2)
+    kmax = min(row1, col1)
+    lpo = lp(a)
+    praw = 0.0
+    for k in range(kmin, kmax + 1):
+        v = lp(k)
+        if v <= lpo + 1e-7:
+            praw = praw + math.exp(v)
+    p_fisher = float(round_half_away(np.float64(praw), 9))
+
+    return pd.DataFrame({
+        "n_ref_flag": pd.Series([a], dtype="int64"),
+        "n_ref_other": pd.Series([b], dtype="int64"),
+        "n_prod_flag": pd.Series([c], dtype="int64"),
+        "n_prod_other": pd.Series([d], dtype="int64"),
+        "odds_ratio": pd.Series([odds_ratio], dtype="float64"),
+        "log_or": pd.Series([log_or], dtype="float64"),
+        "or_ci_lo": pd.Series([ci_lo], dtype="float64"),
+        "or_ci_hi": pd.Series([ci_hi], dtype="float64"),
+        "risk_ratio": pd.Series([risk_ratio], dtype="float64"),
+        "risk_diff": pd.Series([risk_diff], dtype="float64"),
+        "yule_q": pd.Series([yule_q], dtype="float64"),
+        "phi_coef": pd.Series([phi], dtype="float64"),
+        "p_fisher": pd.Series([p_fisher], dtype="float64"),
     })

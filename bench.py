@@ -314,6 +314,10 @@ def run_queries() -> dict[str, float]:
         # round-5 session-11: rank-based scale tests + survival tier
         "rank_scale_drift_events", "kaplan_meier_gaps",
         "logrank_gap_drift",
+        # round-5 session-12: sequence alignment, serial dependence,
+        # 2x2 panel
+        "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
+        "fourfold_flag_drift",
     ]
     qs = E.queries()
     out = {}

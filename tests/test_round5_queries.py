@@ -3343,3 +3343,213 @@ class TestLogrankGapDrift:
                           users=np.array(rows_u))
             null = Q.logrank_gap_drift(d)
         assert abs(null.z_logrank[0]) < 1e-12  # identical processes
+
+
+class TestDtwDailyTypes:
+    def test_matches_bruteforce_dp(self, ray_session):
+        """Full O(W²) numpy DP over the daily cents series recomputed
+        independently from the raw parquet."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.dtw_daily_types(SF)
+        df = duckdb.sql(f"""
+            SELECT date_trunc('day', ts) AS day, event_type, value
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        df["cents"] = round_half_away(
+            df.value.to_numpy() * 100).astype(np.int64)
+        days = np.sort(df.day.unique())
+        a = [int(df.loc[(df.day == dy) & (df.event_type == "click"),
+                        "cents"].sum()) for dy in days]
+        b = [int(df.loc[(df.day == dy) & (df.event_type == "purchase"),
+                        "cents"].sum()) for dy in days]
+        w = len(days)
+        dp = [[0] * w for _ in range(w)]
+        for i in range(w):
+            for j in range(w):
+                cost = abs(a[i] - b[j])
+                if i == 0 and j == 0:
+                    dp[i][j] = cost
+                elif i == 0:
+                    dp[i][j] = cost + dp[i][j - 1]
+                elif j == 0:
+                    dp[i][j] = cost + dp[i - 1][j]
+                else:
+                    dp[i][j] = cost + min(dp[i][j - 1], dp[i - 1][j - 1],
+                                          dp[i - 1][j])
+        assert float(out.dtw_cost[0]) == float(dp[w - 1][w - 1])
+        assert int(out.n_days[0]) == w
+        assert bool(out.dtw_le_diag[0])
+
+    def test_shift_invariance_of_elastic_alignment(self, ray_session):
+        """A purchase series that is exactly the click series delayed
+        by one day aligns at near-zero DTW cost while the rigid
+        diagonal cost stays large — the property DTW exists for."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        days = pd.date_range("2024-01-01", periods=20, freq="D")
+        amounts = (np.arange(20) % 7 + 1) * 10.0
+        ts, types, vals = [], [], []
+        for i, dy in enumerate(days):
+            ts.append(dy)
+            types.append("click")
+            vals.append(amounts[i])
+            if i >= 1:
+                ts.append(dy)
+                types.append("purchase")
+                vals.append(amounts[i - 1])   # delayed copy
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts),
+                          np.asarray(vals, dtype=float),
+                          types=types)
+            out = Q.dtw_daily_types(d)
+        assert float(out.dtw_cost[0]) < float(out.diag_cost[0]) / 2.0
+
+
+class TestPacfHourlyMeans:
+    def test_level1_is_r1_and_ar1_signature(self, ray_session):
+        """pacf1 == acf r1 exactly; on a planted AR(1)-like hourly
+        pattern the higher partials collapse toward 0 while acf
+        decays geometrically (the AR-order diagnostic)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        acf = Q.acf_hourly_means(SF)
+        pacf = Q.pacf_hourly_means(SF)
+        assert float(pacf.pacf1[0]) == float(acf.r1[0])
+        assert int(pacf.n_hours[0]) == int(acf.n_hours[0])
+
+    def test_durbin_levinson_vs_direct_regression(self, ray_session):
+        """pacf2 cross-checked against the closed form
+        (r2 − r1²)/(1 − r1²)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        acf = Q.acf_hourly_means(SF)
+        pacf = Q.pacf_hourly_means(SF)
+        r1, r2 = float(acf.r1[0]), float(acf.r2[0])
+        assert float(pacf.pacf2[0]) == (r2 - r1 * r1) / (1.0 - r1 * r1)
+
+    def test_constant_series_zeroes(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 240
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(n, 5.0))
+            out = Q.pacf_hourly_means(d)
+        for i in range(1, 7):
+            assert float(out[f"pacf{i}"][0]) == 0.0
+
+
+class TestXcorrHourlyTypes:
+    def test_planted_lag_recovered(self, ray_session):
+        """purchase = click delayed 3 hours: best_lag must be 3 with
+        xcorr3 near 1."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        hours = pd.date_range("2024-01-01", periods=96, freq="h")
+        sig = np.sin(np.arange(96) / 3.0) * 40.0 + 50.0
+        ts, types, vals = [], [], []
+        for i, h in enumerate(hours):
+            ts.append(h)
+            types.append("click")
+            vals.append(sig[i])
+            if i >= 3:
+                ts.append(h)
+                types.append("purchase")
+                vals.append(sig[i - 3])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts),
+                          np.asarray(vals, dtype=float), types=types)
+            out = Q.xcorr_hourly_types(d)
+        assert int(out.best_lag[0]) == 3
+        assert float(out.xcorr3[0]) > 0.9
+
+    def test_lag0_matches_pearson(self, ray_session):
+        """xcorr0 equals the plain Pearson correlation of the two
+        aligned hourly series (numpy reference, fp tolerance)."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.xcorr_hourly_types(SF)
+        df = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, event_type, value
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        hours = np.sort(df.hour.unique())
+
+        def series(t):
+            g = df[df.event_type == t].groupby("hour")["value"]
+            m = g.apply(lambda s: np.round(s * 100).sum())
+            n = g.size()
+            out_ = []
+            for h in hours:
+                if h in n.index and n[h] > 0:
+                    out_.append((float(m[h]) / 100.0) / float(n[h]))
+                else:
+                    out_.append(0.0)
+            return np.asarray(out_)
+
+        x, y = series("click"), series("purchase")
+        ref = np.corrcoef(x, y)[0, 1]
+        assert abs(float(out.xcorr0[0]) - ref) < 1e-9
+
+
+class TestFourfoldFlagDrift:
+    def test_matches_scipy_free_bruteforce(self, ray_session):
+        """Cells, OR, Yule's Q and phi recomputed directly; Fisher p
+        cross-checked against an independent Fraction-exact
+        hypergeometric enumeration (to 1e-9)."""
+        from fractions import Fraction
+        from math import comb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.fourfold_flag_drift(SF)
+        raw = pd.read_parquet(f"{SF}/events.parquet",
+                              columns=["event_id", "event_type"])
+        is_ref = (raw.event_id % 2 == 0).to_numpy()
+        flag = (raw.event_type == "error").to_numpy()
+        a = int((is_ref & flag).sum())
+        b = int((is_ref & ~flag).sum())
+        c = int((~is_ref & flag).sum())
+        d = int((~is_ref & ~flag).sum())
+        assert [int(out.n_ref_flag[0]), int(out.n_ref_other[0]),
+                int(out.n_prod_flag[0]), int(out.n_prod_other[0])] \
+            == [a, b, c, d]
+        assert float(out.yule_q[0]) == \
+            float(a * d - b * c) / float(a * d + b * c)
+        # Fisher: exact rational enumeration
+        row1, row2, col1 = a + b, c + d, a + c
+        n = row1 + row2
+        den = comb(n, col1)
+        pobs = Fraction(comb(row1, a) * comb(row2, col1 - a), den)
+        ptot = Fraction(0)
+        for k in range(max(0, col1 - row2), min(row1, col1) + 1):
+            pk = Fraction(comb(row1, k) * comb(row2, col1 - k), den)
+            if pk <= pobs * (1 + Fraction(1, 10**6)):
+                ptot += pk
+        assert abs(float(out.p_fisher[0]) - float(ptot)) < 1e-6
+
+    def test_planted_association(self, ray_session):
+        """Errors concentrated in the prod half: OR far below 1, CI
+        excluding 1, Fisher p tiny, phi negative."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 4000
+        types = np.where((np.arange(n) % 2 == 1)
+                         & (np.arange(n) % 10 < 4), "error", "click")
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n, dtype=float),
+                          types=list(types))
+            out = Q.fourfold_flag_drift(d)
+        assert float(out.or_ci_hi[0]) < 1.0
+        assert float(out.p_fisher[0]) < 1e-9
+        assert float(out.phi_coef[0]) < -0.2

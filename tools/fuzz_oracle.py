@@ -111,6 +111,9 @@ EVENT_QUERIES = [
     "trimmed_mean_drift_events",
     # session-11: rank-based scale tests + the survival tier
     "rank_scale_drift_events", "kaplan_meier_gaps", "logrank_gap_drift",
+    # session-11: sequence alignment, serial dependence, 2x2 panel
+    "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
+    "fourfold_flag_drift",
 ]
 
 
