@@ -1277,11 +1277,14 @@ def _pacf_sql() -> str:
 
 def _fourfold_sql() -> str:
     """2×2 fourfold drift panel: exact integer cells, Haldane-corrected
-    OR + Wald CI (ln/exp are glibc-parity with math.log/exp —
-    bit-exact), HUGEINT phi denominator, and the Fisher exact
-    two-sided p under the repo's round-9 contract (libm lgamma differs
-    ~1 ulp from python's at small args; the 1e-7 inclusion tolerance
-    absorbs it in the tail-membership booleans)."""
+    OR (one division, bit-exact), log_or under the round-9 contract
+    (DuckDB ln is up to ~256 ulps off libm but |ln| <= 745 bounds the
+    absolute noise at ~4e-11 — absorbed at every input), Wald CI in
+    LOG-OR space built from the ROUNDED log_or (fixed shape, no exp),
+    HUGEINT phi denominator, and the Fisher exact two-sided p under
+    round-9 (libm lgamma differs ~1 ulp from DuckDB's at small args;
+    the 1e-7 inclusion tolerance absorbs it in the tail-membership
+    booleans)."""
     def lp(karg: str) -> str:
         return (
             f"((((lgamma(CAST(row1 + 1 AS DOUBLE))"
@@ -1327,7 +1330,7 @@ def _fourfold_sql() -> str:
             FROM cnt
         ),
         e1 AS (SELECT *, (aa * dd) / (bb * cc) AS odds_ratio FROM h),
-        e2 AS (SELECT *, ln(odds_ratio) AS log_or,
+        e2 AS (SELECT *, round(ln(odds_ratio), 9) AS log_or,
                       sqrt(((1.0 / aa + 1.0 / bb) + 1.0 / cc)
                            + 1.0 / dd) AS se,
                       CASE WHEN a + b = 0 THEN 0.0
@@ -1352,8 +1355,8 @@ def _fourfold_sql() -> str:
         SELECT fm.a AS n_ref_flag, fm.b AS n_ref_other,
                fm.c AS n_prod_flag, fm.d AS n_prod_other,
                fm.odds_ratio, fm.log_or,
-               exp(fm.log_or - 1.96 * fm.se) AS or_ci_lo,
-               exp(fm.log_or + 1.96 * fm.se) AS or_ci_hi,
+               fm.log_or - 1.96 * fm.se AS log_or_ci_lo,
+               fm.log_or + 1.96 * fm.se AS log_or_ci_hi,
                CASE WHEN fm.rr2 = 0.0 THEN 0.0
                     ELSE fm.rr1 / fm.rr2 END AS risk_ratio,
                fm.rr1 - fm.rr2 AS risk_diff,

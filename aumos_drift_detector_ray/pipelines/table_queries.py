@@ -15068,15 +15068,21 @@ def fourfold_flag_drift(sf_dir: str) -> pd.DataFrame:
     between the halves? ref/prod (event_id parity) × error-flag
     (event_type == 'error') with the epidemiology effect-size canon:
     odds ratio with the Haldane-Anscombe +0.5 correction when any cell
-    is empty (Haldane 1956), Wald log-OR 95% CI (ln/exp are
-    bit-parity with DuckDB's glibc libm — verified, so the CI is
-    fixed-shape EXACT), risk ratio / difference, Yule's Q and the phi
-    coefficient from exact integer cross products, plus Fisher's exact
-    two-sided p (Fisher 1935) via the lgamma hypergeometric sum — the
-    ONE column under a round-9 contract (libm lgamma differs ~1 ulp
-    from DuckDB at small args; the R-style 1+1e-7 inclusion tolerance
-    makes the tail-membership booleans robust to that noise). Counts
-    fold distributed (per-block partial sums, four scalars ship)."""
+    is empty (Haldane 1956) — the OR itself is one division of exact
+    doubles, bit-exact; log_or carries the tier's round-9 contract
+    (DuckDB's ln differs from libm by up to ~256 ulps — measured —
+    but |ln x| <= 745 for any double, so the absolute noise is
+    <= ~4e-11 and round-9 absorbs it at EVERY input), and the Wald
+    95% CI is reported in LOG-OR space (lo/hi = rounded log_or ∓
+    1.96·se with se fixed-shape exact — no exp call, whose up-to-16-ulp
+    divergence would NOT be absorbable on large ORs), risk ratio /
+    difference, Yule's Q and the phi coefficient from exact integer
+    cross products, plus Fisher's exact two-sided p (Fisher 1935) via
+    the lgamma hypergeometric sum under the same round-9 contract
+    (libm lgamma differs ~1 ulp from DuckDB at small args; the R-style
+    1+1e-7 inclusion tolerance makes the tail-membership booleans
+    robust to that noise). Counts fold distributed (per-block partial
+    sums, four scalars ship)."""
     import math
 
     ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
@@ -15102,10 +15108,10 @@ def fourfold_flag_drift(sf_dir: str) -> pd.DataFrame:
     else:
         aa, bb, cc_, dd = float(a), float(b), float(c), float(d)
     odds_ratio = (aa * dd) / (bb * cc_)
-    log_or = math.log(odds_ratio)
+    log_or = float(round_half_away(np.float64(math.log(odds_ratio)), 9))
     se = math.sqrt(((1.0 / aa + 1.0 / bb) + 1.0 / cc_) + 1.0 / dd)
-    ci_lo = math.exp(log_or - 1.96 * se)
-    ci_hi = math.exp(log_or + 1.96 * se)
+    ci_lo = log_or - 1.96 * se
+    ci_hi = log_or + 1.96 * se
 
     risk_ref = 0.0 if a + b == 0 else float(a) / float(a + b)
     risk_prod = 0.0 if c + d == 0 else float(c) / float(c + d)
@@ -15147,8 +15153,8 @@ def fourfold_flag_drift(sf_dir: str) -> pd.DataFrame:
         "n_prod_other": pd.Series([d], dtype="int64"),
         "odds_ratio": pd.Series([odds_ratio], dtype="float64"),
         "log_or": pd.Series([log_or], dtype="float64"),
-        "or_ci_lo": pd.Series([ci_lo], dtype="float64"),
-        "or_ci_hi": pd.Series([ci_hi], dtype="float64"),
+        "log_or_ci_lo": pd.Series([ci_lo], dtype="float64"),
+        "log_or_ci_hi": pd.Series([ci_hi], dtype="float64"),
         "risk_ratio": pd.Series([risk_ratio], dtype="float64"),
         "risk_diff": pd.Series([risk_diff], dtype="float64"),
         "yule_q": pd.Series([yule_q], dtype="float64"),

@@ -3550,6 +3550,6 @@ class TestFourfoldFlagDrift:
             _write_events(d, ts, np.ones(n, dtype=float),
                           types=list(types))
             out = Q.fourfold_flag_drift(d)
-        assert float(out.or_ci_hi[0]) < 1.0
+        assert float(out.log_or_ci_hi[0]) < 0.0   # CI excludes OR=1
         assert float(out.p_fisher[0]) < 1e-9
         assert float(out.phi_coef[0]) < -0.2
