@@ -335,6 +335,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pacf_hourly_means": Q.pacf_hourly_means,
         "xcorr_hourly_types": Q.xcorr_hourly_types,
         "fourfold_flag_drift": Q.fourfold_flag_drift,
+        "image_conv_edge_audit": Q.image_conv_edge_audit,
+        "image_downsample_audit": Q.image_downsample_audit,
+        "zipf_token_slope": Q.zipf_token_slope,
+        "cohen_kappa_flags": Q.cohen_kappa_flags,
     }
 
 
@@ -1374,6 +1378,58 @@ def _fourfold_sql() -> str:
                END AS phi_coef,
                round(pf.praw, 9) AS p_fisher
         FROM fm, pf
+    """
+
+
+def _sobel_sql() -> str:
+    """Sobel 3×3 over the lossless roster's closed-form pixel grid:
+    the intensity p(r,c) = Σ_ch (r+2c+i+ch)%256 depends on (r,c) only
+    through s = r+2c+i, so every neighbor is F(s+δ) with
+    F(t) = t%256 + (t+1)%256 + (t+2)%256 and the 2-D convolution the
+    engine runs on the REAL decode output reduces (for an uncorrupted
+    decode — that's the pin) to gx = F(s+1)+2F(s+2)+F(s+3)−F(s−3)
+    −2F(s−2)−F(s−1), gy = F(s+1)+F(s+3)−F(s−3)−F(s−1); r ≥ 1, c ≥ 1
+    keep every argument non-negative so SQL %% matches python."""
+    def F(off: int) -> str:
+        t = f"(s + {off})" if off >= 0 else f"(s - {-off})"
+        return (f"({t} % 256 + ({t} + 1) % 256"
+                f" + ({t} + 2) % 256)")
+
+    gx = (f"({F(1)} + 2 * {F(2)} + {F(3)}"
+          f" - {F(-3)} - 2 * {F(-2)} - {F(-1)})")
+    gy = f"({F(1)} + {F(3)} - {F(-3)} - {F(-1)})"
+    return f"""
+        WITH nn AS (SELECT least(80, (SELECT count(*)
+                                      FROM documents)) AS n),
+        img AS (
+            SELECT i,
+                   CASE WHEN i % 3 = 0 THEN 'raw'
+                        ELSE 'png' END AS fmt,
+                   32 + 8 * ((i * 7) % 16) AS w,
+                   32 + 8 * ((i * 11) % 16) AS h
+            FROM (SELECT unnest(generate_series(0,
+                      CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+            WHERE i % 3 <> 2
+        ),
+        pr AS (SELECT i, fmt, w, h,
+                      unnest(generate_series(1, h - 2)) AS r
+               FROM img),
+        px AS (SELECT i, fmt, w, h, r,
+                      unnest(generate_series(1, w - 2)) AS c
+               FROM pr),
+        sg AS (SELECT i, fmt, w, h, r, c, r + 2 * c + i AS s
+               FROM px),
+        mg AS (SELECT i, fmt, w, h, r, c,
+                      abs({gx}) + abs({gy}) AS mag
+               FROM sg)
+        SELECT i AS img_id, fmt,
+               CAST((h - 2) * (w - 2) AS BIGINT) AS n_interior,
+               CAST(sum(mag) AS BIGINT) AS edge_sum,
+               CAST(max(mag) AS BIGINT) AS edge_max,
+               CAST(sum(mag * (r * w + c)) AS BIGINT) AS edge_pos_sum,
+               CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_strong
+        FROM mg GROUP BY 1, 2, 3 ORDER BY 1
     """
 
 
@@ -5222,6 +5278,160 @@ def _oracle_sql_raw() -> dict[str, str]:
         "pacf_hourly_means": _pacf_sql(),
         "xcorr_hourly_types": _xcorr_sql(),
         "fourfold_flag_drift": _fourfold_sql(),
+        "image_conv_edge_audit": _sobel_sql(),
+        # 2x box pool: exact 2x2x3 block sums grouped by (r//2, c//2)
+        # from the formula grid; mass conservation is an engine-side
+        # reshape-vs-whole-image identity, pinned literal TRUE here
+        "image_downsample_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt, w, h, r // 2 AS br, c // 2 AS bc,
+                          (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                          + (r + 2*c + i + 2) % 256 AS p
+                   FROM px),
+            bl AS (SELECT i, fmt, w, h, br, bc,
+                          CAST(sum(p) AS BIGINT) AS bs
+                   FROM pv GROUP BY 1, 2, 3, 4, 5, 6)
+            SELECT i AS img_id, fmt,
+                   CAST(h // 2 AS BIGINT) AS out_h,
+                   CAST(w // 2 AS BIGINT) AS out_w,
+                   CAST(sum(bs) AS BIGINT) AS ds_total,
+                   CAST(min(bs) AS BIGINT) AS ds_min,
+                   CAST(max(bs) AS BIGINT) AS ds_max,
+                   CAST(sum(bs * (br * (w // 2) + bc)) AS BIGINT)
+                       AS ds_pos_sum,
+                   TRUE AS mass_conserved
+            FROM bl GROUP BY 1, 2, 3, 4 ORDER BY 1
+        """,
+        # Zipf rank-frequency OLS: exact counts, round-9 ln contract
+        # on BOTH axes (DuckDB ln is up to ~513 ulps off libm), then
+        # sequential left folds in rank order mirrored by list_reduce
+        "zipf_token_slope": """
+            WITH per AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cf
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                             '[a-z'']+')) AS token FROM documents)
+                GROUP BY 1
+            ),
+            topk AS (
+                SELECT cf, row_number()
+                           OVER (ORDER BY cf DESC, token) AS rnk
+                FROM per ORDER BY cf DESC, token LIMIT 50
+            ),
+            l AS (
+                SELECT CAST(count(*) AS BIGINT) AS kk,
+                       coalesce(max(CASE WHEN rnk = 1 THEN cf END), 0)
+                           AS topcf,
+                       list(round(ln(CAST(rnk AS DOUBLE)), 9)
+                            ORDER BY rnk) AS xs,
+                       list(round(ln(CAST(cf AS DOUBLE)), 9)
+                            ORDER BY rnk) AS ys
+                FROM topk
+            ),
+            f AS (
+                SELECT kk, topcf,
+                       list_reduce(xs, (a, b) -> a + b) AS sx,
+                       list_reduce(ys, (a, b) -> a + b) AS sy,
+                       list_reduce(list_transform(
+                           generate_series(1, CAST(kk AS BIGINT)),
+                           t -> xs[t] * ys[t]), (a, b) -> a + b) AS sxy,
+                       list_reduce(list_transform(
+                           generate_series(1, CAST(kk AS BIGINT)),
+                           t -> xs[t] * xs[t]), (a, b) -> a + b) AS sxx
+                FROM l WHERE kk >= 2
+            ),
+            g AS (
+                SELECT kk, topcf, sx, sy, sxy, sxx,
+                       CAST(kk AS DOUBLE) * sxx - sx * sx AS den
+                FROM f
+            ),
+            h AS (
+                SELECT kk, topcf,
+                       CASE WHEN den = 0.0 THEN 0.0
+                            ELSE (CAST(kk AS DOUBLE) * sxy - sx * sy)
+                                 / den END AS slope,
+                       sx, sy, den
+                FROM g
+            )
+            SELECT kk AS n_topk, CAST(topcf AS BIGINT) AS top_cf,
+                   slope AS zipf_slope,
+                   CASE WHEN den = 0.0 THEN 0.0
+                        ELSE (sy - slope * sx) / CAST(kk AS DOUBLE)
+                   END AS zipf_intercept
+            FROM h
+            UNION ALL
+            SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
+            FROM l WHERE kk < 2
+        """,
+        # agreement panel: exact-median rater x purchase rater; kappa,
+        # Scott's pi and McNemar each ONE division of exact HUGEINTs
+        "cohen_kappa_flags": """
+            WITH u AS (
+                SELECT value, CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END AS fb
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            m AS (SELECT quantile_disc(value, 0.5) AS med FROM u),
+            ct AS (
+                SELECT
+                    CAST(coalesce(sum(CASE WHEN value > (SELECT med FROM m)
+                              AND fb = 1 THEN 1 ELSE 0 END), 0)
+                         AS HUGEINT) AS a,
+                    CAST(coalesce(sum(CASE WHEN value > (SELECT med FROM m)
+                              AND fb = 0 THEN 1 ELSE 0 END), 0)
+                         AS HUGEINT) AS b,
+                    CAST(coalesce(sum(CASE WHEN value <= (SELECT med FROM m)
+                              AND fb = 1 THEN 1 ELSE 0 END), 0)
+                         AS HUGEINT) AS c,
+                    CAST(coalesce(sum(CASE WHEN value <= (SELECT med FROM m)
+                              AND fb = 0 THEN 1 ELSE 0 END), 0)
+                         AS HUGEINT) AS d
+                FROM u
+            ),
+            e AS (SELECT *, a + b + c + d AS n,
+                         (a + b) * (a + c) + (c + d) * (b + d) AS pen,
+                         (2*a + b + c) * (2*a + b + c)
+                         + (2*d + b + c) * (2*d + b + c) AS s
+                  FROM ct)
+            SELECT CAST((SELECT med FROM m) AS DOUBLE) AS median_value,
+                   CAST(a AS BIGINT) AS n_both,
+                   CAST(b AS BIGINT) AS n_a_only,
+                   CAST(c AS BIGINT) AS n_b_only,
+                   CAST(d AS BIGINT) AS n_neither,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS observed_agreement,
+                   CASE WHEN n * n - pen = 0 THEN 0.0
+                        ELSE CAST(n * (a + d) - pen AS DOUBLE)
+                             / CAST(n * n - pen AS DOUBLE)
+                   END AS cohen_kappa,
+                   CASE WHEN 4 * n * n - s = 0 THEN 0.0
+                        ELSE CAST(4 * n * (a + d) - s AS DOUBLE)
+                             / CAST(4 * n * n - s AS DOUBLE)
+                   END AS scott_pi,
+                   CASE WHEN b + c = 0 THEN 0.0
+                        ELSE CAST((b - c) * (b - c) AS DOUBLE)
+                             / CAST(b + c AS DOUBLE)
+                   END AS mcnemar_chi2
+            FROM e
+        """,
         # decile-by-decile quantile shift: list quantile_disc per half,
         # selection-only outputs — differences of selected data values
         "quantile_shift_drift_events": """

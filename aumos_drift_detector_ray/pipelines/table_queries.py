@@ -15161,3 +15161,265 @@ def fourfold_flag_drift(sf_dir: str) -> pd.DataFrame:
         "phi_coef": pd.Series([phi], dtype="float64"),
         "p_fisher": pd.Series([p_fisher], dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-13: image feature-extraction anchors + corpus power law +
+# inter-rater agreement
+# ---------------------------------------------------------------------------
+
+def image_conv_edge_audit(sf_dir: str) -> pd.DataFrame:
+    """Sobel 3×3 edge-convolution audit over DECODED images — the
+    feature-extraction convolution every vision pipeline runs (Sobel
+    1968 operator on the channel-sum intensity grid), pinned
+    oracle-exact on the lossless roster (the image_pixel_fidelity
+    formula-dim gradient images, raw/png only, n = min(80, #docs)):
+    per image, over the (h−2)×(w−2) interior, the EXACT int64 sum and
+    max of |Gx|+|Gy| plus the (r·w+c)-position-weighted magnitude sum
+    that pins the ARRANGEMENT (not just the multiset) and the count of
+    strong-edge pixels (mag > 1000). The engine runs the REAL 2-D
+    convolution on the REAL decode output via vectorized slicing (any
+    codec bit flip shifts the hash); SQL brute-forces each magnitude
+    from the closed-form pixel grid. Per-block actor-free map; the
+    driver folds <= n tiny rows."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(80, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def edges(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            g = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+            gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+            mag = np.abs(gx) + np.abs(gy)
+            rr = np.arange(1, h - 1, dtype=np.int64)[:, None]
+            cc = np.arange(1, w - 1, dtype=np.int64)[None, :]
+            rows.append((i, fmt, (h - 2) * (w - 2),
+                         int(mag.sum()), int(mag.max()),
+                         int((mag * (rr * w + cc)).sum()),
+                         int((mag > 1000).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_interior", "edge_sum", "edge_max",
+            "edge_pos_sum", "n_strong"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(edges, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_interior", "edge_sum", "edge_max",
+                "edge_pos_sum", "n_strong"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def image_downsample_audit(sf_dir: str) -> pd.DataFrame:
+    """2× box-downsample (average-pool) audit over DECODED images —
+    the resize/pooling op of every image-preprocessing pipeline,
+    pinned oracle-exact on the lossless roster (n = min(100, #docs),
+    raw/png; every roster dim is 32+8k so the 2×2 tiling is exact):
+    per image, the EXACT int64 per-block sums over 2×2×3 pixel blocks
+    reported as total (pinned IDENTICAL to the whole-image pixel sum —
+    a conservation invariant), min, max, and the (br·(w/2)+bc)-
+    position-weighted block-sum that pins the output ARRANGEMENT.
+    Engine: one reshape-sum per image on the REAL decode output; SQL
+    groups the formula pixel grid by (r//2, c//2)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def pool(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            blocks = dec.reshape(h // 2, 2, w // 2, 2, 3) \
+                .sum(axis=(1, 3, 4))
+            br = np.arange(h // 2, dtype=np.int64)[:, None]
+            bc = np.arange(w // 2, dtype=np.int64)[None, :]
+            rows.append((i, fmt, h // 2, w // 2,
+                         int(blocks.sum()), int(blocks.min()),
+                         int(blocks.max()),
+                         int((blocks * (br * (w // 2) + bc)).sum()),
+                         bool(int(blocks.sum()) == int(dec.sum()))))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "out_h", "out_w", "ds_total", "ds_min",
+            "ds_max", "ds_pos_sum", "mass_conserved"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(pool, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "out_h", "out_w", "ds_total", "ds_min",
+                "ds_max", "ds_pos_sum"):
+        out[col] = out[col].astype("int64")
+    out["mass_conserved"] = out["mass_conserved"].astype(bool)
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def zipf_token_slope(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Zipf power-law fit of the token rank-frequency curve (Zipf
+    1949) — the corpus-health scaling exponent beside the
+    hapax/burstiness tier: exact global token counts flow through the
+    proven token-hash-bucketed exchange (per-bucket top-k + driver
+    fold, deterministic (cf DESC, token) order), ranks 1..K are exact
+    ints, and the OLS of y = ln(cf) on x = ln(rank) runs over
+    ROUND-9-CONTRACTED logs on BOTH sides (measured: DuckDB ln
+    diverges from libm by up to ~513 ulps on ~1.6% of inputs; the
+    rounded values are bit-identical because |ln| here is <= ~40 so
+    the absolute noise ~1e-12 is absorbed) — after which every moment
+    is a sequential left fold in rank order mirrored by list_reduce
+    and slope/intercept are fixed-shape IEEE expressions. Fewer than
+    2 distinct-rank tokens guards to 0.0 sentinels."""
+    import math
+
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(32))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return m.sort_values(["n", "token"],
+                             ascending=[False, True]).head(k)
+
+    cand = ds.map_batches(partial, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .to_pandas()
+    top = cand.sort_values(["n", "token"],
+                           ascending=[False, True]).head(k) \
+        if len(cand) else cand
+    kk = len(top)
+    if kk < 2:
+        return pd.DataFrame({
+            "n_topk": pd.Series([kk], dtype="int64"),
+            "top_cf": pd.Series([0 if kk == 0 else int(top.n.iloc[0])],
+                                dtype="int64"),
+            "zipf_slope": pd.Series([0.0], dtype="float64"),
+            "zipf_intercept": pd.Series([0.0], dtype="float64"),
+        })
+    xs = [float(round_half_away(np.float64(math.log(float(r))), 9))
+          for r in range(1, kk + 1)]
+    ys = [float(round_half_away(np.float64(math.log(float(int(cf)))), 9))
+          for cf in top.n]
+    sx = xs[0]
+    for t in range(1, kk):
+        sx = sx + xs[t]
+    sy = ys[0]
+    for t in range(1, kk):
+        sy = sy + ys[t]
+    sxy = xs[0] * ys[0]
+    for t in range(1, kk):
+        sxy = sxy + xs[t] * ys[t]
+    sxx = xs[0] * xs[0]
+    for t in range(1, kk):
+        sxx = sxx + xs[t] * xs[t]
+    den = float(kk) * sxx - sx * sx
+    if den == 0.0:
+        slope, intercept = 0.0, 0.0
+    else:
+        slope = (float(kk) * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / float(kk)
+    return pd.DataFrame({
+        "n_topk": pd.Series([kk], dtype="int64"),
+        "top_cf": pd.Series([int(top.n.iloc[0])], dtype="int64"),
+        "zipf_slope": pd.Series([float(slope)], dtype="float64"),
+        "zipf_intercept": pd.Series([float(intercept)],
+                                    dtype="float64"),
+    })
+
+
+def cohen_kappa_flags(sf_dir: str) -> pd.DataFrame:
+    """Inter-rater agreement panel between two binary labelings of
+    every clean event — rater A: value above the EXACT global median
+    order statistic (the bit-exact split of the Mood tier); rater B:
+    event_type == 'purchase' — the annotation-quality canon of a
+    labeling pipeline: Cohen's kappa (1960), Scott's pi (1955) and
+    McNemar's chi2 (1947), EACH one IEEE division of exact integer
+    sufficient statistics (kappa = (n(a+d) − (a+b)(a+c) − (c+d)(b+d))
+    / (n² − ...), pi via S = (2a+b+c)² + (2d+b+c)², McNemar
+    (b−c)²/(b+c); HUGEINT mirrors in SQL), plus the observed agreement
+    share. Degenerate denominators guard to 0.0 sentinels. Counts fold
+    distributed; four scalars ship."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_events_clean(sf_dir, ["value", "event_type"])
+    m = float(exact_quantiles(ds, "value", [0.5],
+                              method="inverted_cdf")[0])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        fa = b.value.to_numpy(np.float64) > m
+        fb = (b.event_type == "purchase").to_numpy()
+        return pd.DataFrame({
+            "a": [int((fa & fb).sum())],
+            "b": [int((fa & ~fb).sum())],
+            "c": [int((~fa & fb).sum())],
+            "d": [int((~fa & ~fb).sum())],
+        })
+
+    p = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    a, b_ = int(p.a.sum()), int(p.b.sum())
+    c, d = int(p.c.sum()), int(p.d.sum())
+    n = a + b_ + c + d
+    po = 0.0 if n == 0 else float(a + d) / float(n)
+    pe_num = (a + b_) * (a + c) + (c + d) * (b_ + d)
+    kden = n * n - pe_num
+    kappa = (0.0 if kden == 0
+             else float(n * (a + d) - pe_num) / float(kden))
+    s = (2 * a + b_ + c) ** 2 + (2 * d + b_ + c) ** 2
+    pden = 4 * n * n - s
+    pi = 0.0 if pden == 0 else float(4 * n * (a + d) - s) / float(pden)
+    mc = (0.0 if b_ + c == 0
+          else float((b_ - c) * (b_ - c)) / float(b_ + c))
+    return pd.DataFrame({
+        "median_value": pd.Series([m], dtype="float64"),
+        "n_both": pd.Series([a], dtype="int64"),
+        "n_a_only": pd.Series([b_], dtype="int64"),
+        "n_b_only": pd.Series([c], dtype="int64"),
+        "n_neither": pd.Series([d], dtype="int64"),
+        "observed_agreement": pd.Series([po], dtype="float64"),
+        "cohen_kappa": pd.Series([kappa], dtype="float64"),
+        "scott_pi": pd.Series([pi], dtype="float64"),
+        "mcnemar_chi2": pd.Series([mc], dtype="float64"),
+    })

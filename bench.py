@@ -318,6 +318,9 @@ def run_queries() -> dict[str, float]:
         # 2x2 panel
         "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
         "fourfold_flag_drift",
+        # round-5 session-13: image conv/pool anchors, Zipf, agreement
+        "image_conv_edge_audit", "image_downsample_audit",
+        "zipf_token_slope", "cohen_kappa_flags",
     ]
     qs = E.queries()
     out = {}

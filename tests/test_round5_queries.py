@@ -3553,3 +3553,190 @@ class TestFourfoldFlagDrift:
         assert float(out.log_or_ci_hi[0]) < 0.0   # CI excludes OR=1
         assert float(out.p_fisher[0]) < 1e-9
         assert float(out.phi_coef[0]) < -0.2
+
+
+class TestImageConvEdgeAudit:
+    def test_matches_explicit_loop_bruteforce(self, ray_session):
+        """Per-pixel Sobel recomputed with explicit python loops over
+        the source formula grid for two roster images (raw + png)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_conv_edge_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            g = [[sum((r + 2 * c + img_id + ch) % 256
+                      for ch in range(3))
+                  for c in range(w)] for r in range(h)]
+            es = em = ps = ns = 0
+            for r in range(1, h - 1):
+                for c in range(1, w - 1):
+                    gx = (g[r-1][c+1] + 2*g[r][c+1] + g[r+1][c+1]
+                          - g[r-1][c-1] - 2*g[r][c-1] - g[r+1][c-1])
+                    gy = (g[r+1][c-1] + 2*g[r+1][c] + g[r+1][c+1]
+                          - g[r-1][c-1] - 2*g[r-1][c] - g[r-1][c+1])
+                    mag = abs(gx) + abs(gy)
+                    es += mag
+                    em = max(em, mag)
+                    ps += mag * (r * w + c)
+                    ns += mag > 1000
+            assert int(row.edge_sum) == es
+            assert int(row.edge_max) == em
+            assert int(row.edge_pos_sum) == ps
+            assert int(row.n_strong) == ns
+            assert int(row.n_interior) == (h - 2) * (w - 2)
+
+    def test_decode_corruption_shifts_sums(self, ray_session):
+        """The audit reads the REAL decode output: flipping one pixel
+        of a decoded image changes the Sobel magnitudes around it."""
+        import numpy as np
+
+        src = np.zeros((8, 8, 3), dtype=np.int64)
+        src[:, :, 0] = np.arange(8)[:, None] + 2 * np.arange(8)[None, :]
+        g = src.sum(axis=2)
+
+        def sobel_sum(gg):
+            gx = ((gg[:-2, 2:] + 2 * gg[1:-1, 2:] + gg[2:, 2:])
+                  - (gg[:-2, :-2] + 2 * gg[1:-1, :-2] + gg[2:, :-2]))
+            gy = ((gg[2:, :-2] + 2 * gg[2:, 1:-1] + gg[2:, 2:])
+                  - (gg[:-2, :-2] + 2 * gg[:-2, 1:-1] + gg[:-2, 2:]))
+            return int((np.abs(gx) + np.abs(gy)).sum())
+
+        base = sobel_sum(g)
+        bad = g.copy()
+        bad[4, 4] += 100
+        assert sobel_sum(bad) != base
+
+
+class TestImageDownsampleAudit:
+    def test_matches_explicit_loop_bruteforce(self, ray_session):
+        """2x2x3 block sums recomputed with explicit loops for two
+        roster images; conservation + arrangement pins."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_downsample_audit(SF)
+        assert bool(out.mass_conserved.all())
+        for img_id in (0, 3):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            bs = [[0] * (w // 2) for _ in range(h // 2)]
+            for r in range(h):
+                for c in range(w):
+                    for ch in range(3):
+                        bs[r // 2][c // 2] += \
+                            (r + 2 * c + img_id + ch) % 256
+            flat = [v for rr in bs for v in rr]
+            assert int(row.ds_total) == sum(flat)
+            assert int(row.ds_min) == min(flat)
+            assert int(row.ds_max) == max(flat)
+            assert int(row.ds_pos_sum) == sum(
+                bs[br][bc] * (br * (w // 2) + bc)
+                for br in range(h // 2) for bc in range(w // 2))
+            assert (int(row.out_h), int(row.out_w)) == (h // 2, w // 2)
+
+    def test_position_weight_pins_arrangement(self, ray_session):
+        """The pos-weighted sum differs from the transposed-weight sum
+        on a non-symmetric roster image — the arrangement is pinned,
+        not just the block-sum multiset."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_downsample_audit(SF)
+        row = out[out.img_id == 3].iloc[0]
+        img_id, w, h = 3, 32 + 8 * ((3 * 7) % 16), 32 + 8 * ((3 * 11) % 16)
+        bs = np.zeros((h // 2, w // 2), dtype=np.int64)
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        g = sum((r + 2 * c + img_id + ch) % 256 for ch in range(3))
+        bs = g.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+        br = np.arange(h // 2)[:, None]
+        bc = np.arange(w // 2)[None, :]
+        transposed = int((bs * (bc * (h // 2) + br)).sum())
+        assert int(row.ds_pos_sum) != transposed
+
+
+class TestZipfTokenSlope:
+    def test_planted_power_law(self, ray_session):
+        """A corpus with exactly geometric token counts: slope matches
+        an independent numpy lstsq fit of ln(cf) on ln(rank) and is
+        negative."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = []
+        for tok, cnt in [("aa", 64), ("bb", 32), ("cc", 16),
+                         ("dd", 8), ("ee", 4), ("ff", 2), ("gg", 1)]:
+            texts.extend([tok] * cnt)
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, ["en"] * len(texts))
+            out = Q.zipf_token_slope(d)
+        assert int(out.n_topk[0]) == 7
+        assert int(out.top_cf[0]) == 64
+        x = np.log(np.arange(1, 8, dtype=np.float64))
+        y = np.log(np.array([64, 32, 16, 8, 4, 2, 1], np.float64))
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(float(out.zipf_slope[0]) - slope) < 1e-9
+        assert abs(float(out.zipf_intercept[0]) - intercept) < 1e-9
+        assert float(out.zipf_slope[0]) < 0.0
+
+    def test_single_token_sentinel(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["solo solo solo"], ["en"])
+            out = Q.zipf_token_slope(d)
+        assert int(out.n_topk[0]) == 1
+        assert float(out.zipf_slope[0]) == 0.0
+
+
+class TestCohenKappaFlags:
+    def test_matches_bruteforce(self, ray_session):
+        """Cells + all three statistics recomputed from the raw
+        parquet with the same exact-median split."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.cohen_kappa_flags(SF)
+        df = duckdb.sql(f"""
+            SELECT value, event_type FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        med = float(duckdb.sql(f"""
+            SELECT quantile_disc(value, 0.5)
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).fetchone()[0])
+        fa = df.value.to_numpy() > med
+        fb = (df.event_type == "purchase").to_numpy()
+        a = int((fa & fb).sum()); b = int((fa & ~fb).sum())
+        c = int((~fa & fb).sum()); d = int((~fa & ~fb).sum())
+        n = a + b + c + d
+        assert [int(out.n_both[0]), int(out.n_a_only[0]),
+                int(out.n_b_only[0]), int(out.n_neither[0])] \
+            == [a, b, c, d]
+        pen = (a + b) * (a + c) + (c + d) * (b + d)
+        assert float(out.cohen_kappa[0]) == \
+            float(n * (a + d) - pen) / float(n * n - pen)
+        s = (2*a + b + c) ** 2 + (2*d + b + c) ** 2
+        assert float(out.scott_pi[0]) == \
+            float(4 * n * (a + d) - s) / float(4 * n * n - s)
+        assert float(out.mcnemar_chi2[0]) == \
+            float((b - c) ** 2) / float(b + c)
+
+    def test_perfect_agreement_kappa_one(self, ray_session):
+        """Values above the median exactly when purchase: kappa ==
+        pi == 1.0 bit-exact, observed agreement 1.0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 10
+        types = ["purchase" if i >= 5 else "click" for i in range(n)]
+        vals = [10.0 if i >= 5 else 1.0 for i in range(n)]
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.asarray(vals), types=types)
+            out = Q.cohen_kappa_flags(d)
+        assert float(out.cohen_kappa[0]) == 1.0
+        assert float(out.scott_pi[0]) == 1.0
+        assert float(out.observed_agreement[0]) == 1.0
+        assert float(out.mcnemar_chi2[0]) == 0.0

@@ -114,6 +114,8 @@ EVENT_QUERIES = [
     # session-11: sequence alignment, serial dependence, 2x2 panel
     "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
     "fourfold_flag_drift",
+    # session-13: inter-rater agreement panel
+    "cohen_kappa_flags",
 ]
 
 
@@ -210,6 +212,9 @@ DOC_QUERIES = [
     "hapax_vocab_stats", "token_burstiness_stats",
     "doc_length_gini", "source_lang_cramers_v",
     "ttr_by_source",
+    # session-13: image feature-extraction anchors + Zipf power law
+    "image_conv_edge_audit", "image_downsample_audit",
+    "zipf_token_slope",
 ]
 
 
