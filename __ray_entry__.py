@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_downsample_audit": Q.image_downsample_audit,
         "zipf_token_slope": Q.zipf_token_slope,
         "cohen_kappa_flags": Q.cohen_kappa_flags,
+        "dickey_fuller_hourly": Q.dickey_fuller_hourly,
+        "haar_energy_hourly": Q.haar_energy_hourly,
+        "image_gray_hist_audit": Q.image_gray_hist_audit,
+        "image_rot90_audit": Q.image_rot90_audit,
     }
 
 
@@ -5378,6 +5382,261 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # Dickey-Fuller: delta-x on lagged-x OLS over the ACF tier's
+        # bit-identical hourly mean series; every moment a list_reduce
+        # left fold, beta/alpha/se/t fixed-shape; validity cascades
+        "dickey_fuller_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS value_c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            d1 AS (SELECT xs, nh, nh - 1 AS n FROM arr),
+            f AS (
+                SELECT xs, nh, n,
+                    CASE WHEN n >= 3 THEN list_reduce(list_transform(
+                        generate_series(1, CAST(n AS BIGINT)),
+                        t -> xs[t]), (a, b) -> a + b)
+                    ELSE 0.0 END AS sz,
+                    CASE WHEN n >= 3 THEN list_reduce(list_transform(
+                        generate_series(1, CAST(n AS BIGINT)),
+                        t -> xs[t + 1] - xs[t]), (a, b) -> a + b)
+                    ELSE 0.0 END AS sy,
+                    CASE WHEN n >= 3 THEN list_reduce(list_transform(
+                        generate_series(1, CAST(n AS BIGINT)),
+                        t -> xs[t] * (xs[t + 1] - xs[t])),
+                        (a, b) -> a + b)
+                    ELSE 0.0 END AS szy,
+                    CASE WHEN n >= 3 THEN list_reduce(list_transform(
+                        generate_series(1, CAST(n AS BIGINT)),
+                        t -> xs[t] * xs[t]), (a, b) -> a + b)
+                    ELSE 0.0 END AS szz
+                FROM d1
+            ),
+            g AS (SELECT *, CASE WHEN n >= 3
+                                 THEN CAST(n AS DOUBLE) * szz - sz * sz
+                                 ELSE 0.0 END AS den
+                  FROM f),
+            hh AS (
+                SELECT *,
+                    CASE WHEN n >= 3 AND den <> 0.0
+                         THEN (CAST(n AS DOUBLE) * szy - sz * sy) / den
+                         ELSE 0.0 END AS be
+                FROM g
+            ),
+            ii AS (
+                SELECT *,
+                    CASE WHEN n >= 3 AND den <> 0.0
+                         THEN (sy - be * sz) / CAST(n AS DOUBLE)
+                         ELSE 0.0 END AS al
+                FROM hh
+            ),
+            jj AS (
+                SELECT *,
+                    CASE WHEN n >= 3 AND den <> 0.0
+                         THEN list_reduce(list_transform(
+                             generate_series(1, CAST(n AS BIGINT)),
+                             t -> (xs[t + 1] - xs[t] - al - be * xs[t])
+                                  * (xs[t + 1] - xs[t] - al
+                                     - be * xs[t])), (a, b) -> a + b)
+                         ELSE 0.0 END AS sse
+                FROM ii
+            ),
+            kk AS (
+                SELECT *,
+                    CASE WHEN n >= 3 AND den <> 0.0
+                         THEN sse / CAST(n - 2 AS DOUBLE)
+                              * CAST(n AS DOUBLE) / den
+                         ELSE 0.0 END AS seb2
+                FROM jj
+            )
+            SELECT nh AS n_hours,
+                   CASE WHEN n >= 3 AND den <> 0.0 AND seb2 > 0.0
+                        THEN be ELSE 0.0 END AS df_beta,
+                   CASE WHEN n >= 3 AND den <> 0.0 AND seb2 > 0.0
+                        THEN al ELSE 0.0 END AS df_alpha,
+                   CASE WHEN n >= 3 AND den <> 0.0 AND seb2 > 0.0
+                        THEN sqrt(seb2) ELSE 0.0 END AS df_se,
+                   CASE WHEN n >= 3 AND den <> 0.0 AND seb2 > 0.0
+                        THEN be / sqrt(seb2) ELSE 0.0 END AS df_t,
+                   CASE WHEN n >= 3 AND den <> 0.0 AND seb2 > 0.0
+                        THEN 1.0 + be ELSE 0.0 END AS ar_root
+            FROM kk
+        """,
+        # Haar pyramid: exact HUGEINT pairwise sums/diffs level by
+        # level via a recursive CTE carrying (k, a, energies)
+        "haar_energy_hourly": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            arr AS (
+                SELECT list(CAST(c AS HUGEINT) ORDER BY hour) AS a0,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            mm AS (
+                SELECT a0, nh,
+                       CASE WHEN nh >= 2 THEN (
+                           SELECT max(1 << g)
+                           FROM generate_series(1, 40) AS t(g)
+                           WHERE (1 << g) <= nh)
+                            ELSE 0 END AS m
+                FROM arr
+            ),
+            st AS (
+                SELECT 0 AS k, list_slice(a0, 1, m) AS a,
+                       CAST([] AS HUGEINT[]) AS es, nh, m
+                FROM mm WHERE m >= 2
+                UNION ALL
+                SELECT k + 1,
+                       list_transform(generate_series(1,
+                           CAST(len(a) // 2 AS BIGINT)),
+                           j -> a[2 * j - 1] + a[2 * j]),
+                       list_append(es, list_reduce(list_transform(
+                           generate_series(1,
+                               CAST(len(a) // 2 AS BIGINT)),
+                           j -> (a[2 * j - 1] - a[2 * j])
+                                * (a[2 * j - 1] - a[2 * j])),
+                           (x, y) -> x + y)),
+                       nh, m
+                FROM st WHERE len(a) >= 2 AND k < 6
+            ),
+            fin AS (
+                SELECT nh, m, es,
+                       list_reduce(list_transform(
+                           generate_series(1, CAST(len(a) AS BIGINT)),
+                           j -> a[j] * a[j]), (x, y) -> x + y) AS asq
+                FROM st ORDER BY k DESC LIMIT 1
+            )
+            SELECT nh AS n_hours, m AS m_used,
+                   CAST(coalesce(es[1], 0) AS DOUBLE) AS haar_e1,
+                   CAST(coalesce(es[2], 0) AS DOUBLE) AS haar_e2,
+                   CAST(coalesce(es[3], 0) AS DOUBLE) AS haar_e3,
+                   CAST(coalesce(es[4], 0) AS DOUBLE) AS haar_e4,
+                   CAST(coalesce(es[5], 0) AS DOUBLE) AS haar_e5,
+                   CAST(coalesce(es[6], 0) AS DOUBLE) AS haar_e6,
+                   CAST(asq AS DOUBLE) AS approx_energy
+            FROM fin
+            UNION ALL
+            SELECT nh, 0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0
+            FROM mm WHERE m < 2
+        """,
+        # 8-bin intensity histogram of the channel-sum grid; mode =
+        # first max (lowest bin); low-half CDF anchor
+        "image_gray_hist_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt,
+                          ((r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                           + (r + 2*c + i + 2) % 256) // 96 AS b
+                   FROM px),
+            ct AS (
+                SELECT i, fmt,
+                       CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b0,
+                       CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b1,
+                       CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b2,
+                       CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b3,
+                       CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b4,
+                       CAST(sum(CASE WHEN b = 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b5,
+                       CAST(sum(CASE WHEN b = 6 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b6,
+                       CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS b7
+                FROM pv GROUP BY 1, 2
+            )
+            SELECT i AS img_id, fmt, b0, b1, b2, b3, b4, b5, b6, b7,
+                   CAST(CASE
+                        WHEN b0 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 0
+                        WHEN b1 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 1
+                        WHEN b2 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 2
+                        WHEN b3 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 3
+                        WHEN b4 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 4
+                        WHEN b5 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 5
+                        WHEN b6 = greatest(b0,b1,b2,b3,b4,b5,b6,b7)
+                             THEN 6
+                        ELSE 7 END AS BIGINT) AS mode_bin,
+                   b0 + b1 + b2 + b3 AS low_half_count
+            FROM ct ORDER BY 1
+        """,
+        # rot90 arrangement pin: out[i,j] = src[j, w-1-i]; weighted
+        # sum over the ROTATED grid recomputed from the source formula
+        "image_rot90_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            ri AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, w - 1)) AS oi
+                   FROM img),
+            rj AS (SELECT i, fmt, w, h, oi,
+                          unnest(generate_series(0, h - 1)) AS oj
+                   FROM ri),
+            pv AS (SELECT i, fmt, w, h, oi, oj,
+                          (oj + 2*(w - 1 - oi) + i) % 256
+                          + (oj + 2*(w - 1 - oi) + i + 1) % 256
+                          + (oj + 2*(w - 1 - oi) + i + 2) % 256 AS p
+                   FROM rj)
+            SELECT i AS img_id, fmt,
+                   CAST(w AS BIGINT) AS out_h,
+                   CAST(h AS BIGINT) AS out_w,
+                   CAST(sum(p * (oi * h + oj)) AS BIGINT)
+                       AS rot_pos_sum,
+                   CAST(max(CASE WHEN oi = 0 AND oj = 0 THEN p END)
+                        AS BIGINT) AS corner_p,
+                   CAST(sum(p) AS BIGINT) AS rot_total,
+                   TRUE AS mass_conserved,
+                   TRUE AS rot4_identity
+            FROM pv GROUP BY 1, 2, 3, 4 ORDER BY 1
         """,
         # agreement panel: exact-median rater x purchase rater; kappa,
         # Scott's pi and McNemar each ONE division of exact HUGEINTs

@@ -15423,3 +15423,244 @@ def cohen_kappa_flags(sf_dir: str) -> pd.DataFrame:
         "scott_pi": pd.Series([pi], dtype="float64"),
         "mcnemar_chi2": pd.Series([mc], dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-14: stationarity + multiresolution tiers, image intensity
+# distribution + rotation augmentation anchors
+# ---------------------------------------------------------------------------
+
+def dickey_fuller_hourly(sf_dir: str) -> pd.DataFrame:
+    """Dickey-Fuller unit-root test (Dickey & Fuller 1979, the
+    stationarity canon beside the trend/changepoint tier) over the
+    hourly mean-value series: regress Δx_t on x_{t−1} with intercept —
+    β̂, α̂, the residual variance and the DF t-statistic
+    β̂/se(β̂) — where the series is the SAME bit-identical hourly
+    construction as the ACF tier and EVERY moment (Σz, Σy, Σzy, Σzz,
+    then the residual sum of squares with each term the fixed-shape
+    (y−α−βz)²) is a sequential left fold in hour order mirrored
+    bit-for-bit by DuckDB list_reduce; β̂/α̂/se/t are fixed-shape IEEE
+    expressions — no rounding contract. rho = 1+β̂ is the implied AR
+    root. n−1 < 3 or degenerate denominators guard to 0.0 sentinels
+    (validity cascades to every output)."""
+    import math
+
+    x = [float(v) for v in _hourly_mean_series(sf_dir)]
+    nh = len(x)
+    n = nh - 1
+    beta = alpha = se = t_df = 0.0
+    ok = n >= 3
+    if ok:
+        zs = x[:-1]
+        ys = [x[t + 1] - x[t] for t in range(n)]
+        sz = zs[0]
+        for t in range(1, n):
+            sz = sz + zs[t]
+        sy = ys[0]
+        for t in range(1, n):
+            sy = sy + ys[t]
+        szy = zs[0] * ys[0]
+        for t in range(1, n):
+            szy = szy + zs[t] * ys[t]
+        szz = zs[0] * zs[0]
+        for t in range(1, n):
+            szz = szz + zs[t] * zs[t]
+        den = float(n) * szz - sz * sz
+        if den == 0.0:
+            ok = False
+        else:
+            beta = (float(n) * szy - sz * sy) / den
+            alpha = (sy - beta * sz) / float(n)
+            e0 = ys[0] - alpha - beta * zs[0]
+            sse = e0 * e0
+            for t in range(1, n):
+                e = ys[t] - alpha - beta * zs[t]
+                sse = sse + e * e
+            s2 = sse / float(n - 2)
+            seb2 = s2 * float(n) / den
+            if seb2 <= 0.0:
+                ok = False
+            else:
+                se = math.sqrt(seb2)
+                t_df = beta / se
+    if not ok:
+        beta = alpha = se = t_df = 0.0
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "df_beta": pd.Series([beta], dtype="float64"),
+        "df_alpha": pd.Series([alpha], dtype="float64"),
+        "df_se": pd.Series([se], dtype="float64"),
+        "df_t": pd.Series([t_df], dtype="float64"),
+        "ar_root": pd.Series([0.0 if not ok else 1.0 + beta],
+                             dtype="float64"),
+    })
+
+
+def haar_energy_hourly(sf_dir: str) -> pd.DataFrame:
+    """Unnormalized Haar wavelet multiresolution energy decomposition
+    (Haar 1910; Mallat 1989 pyramid) of the hourly revenue-cents
+    series — which time scales carry the variation? The series is the
+    EXACT per-hour integer cents sum in hour order, truncated to the
+    leading m = 2^L hours (L = ⌊log2 nh⌋, capped at 6 reported
+    levels): level k pairs a[2j]±a[2j+1] stay EXACT python ints (no
+    normalization — √2 factors would leave integer space), each
+    detail energy Σd² a python-int left fold in j order (values exceed
+    int64 — HUGEINT mirrors in SQL), reported as correctly-rounded
+    DOUBLE casts. The final approximation energy a² and the Parseval
+    check are engine-side; absent levels (k > L) read the 0.0
+    sentinel. Driver work is O(m) on a calendar-bounded series."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    nh = len(hourly)
+    energies = [0] * 6
+    m = 0
+    approx_sq = 0
+    if nh >= 2:
+        lvl = 0
+        t = nh
+        while t >= 2:
+            t //= 2
+            lvl += 1
+        m = 1 << lvl
+        a = [int(v) for v in hourly.c.iloc[:m]]
+        k = 0
+        while len(a) >= 2 and k < 6:
+            nxt, det = [], []
+            for j in range(len(a) // 2):
+                nxt.append(a[2 * j] + a[2 * j + 1])
+                det.append(a[2 * j] - a[2 * j + 1])
+            e = det[0] * det[0]
+            for j in range(1, len(det)):
+                e = e + det[j] * det[j]
+            energies[k] = e
+            a = nxt
+            k += 1
+        sq = a[0] * a[0]
+        for j in range(1, len(a)):
+            sq = sq + a[j] * a[j]
+        approx_sq = sq
+    out = {"n_hours": pd.Series([np.int64(nh)], dtype="int64"),
+           "m_used": pd.Series([np.int64(m)], dtype="int64")}
+    for k in range(6):
+        out[f"haar_e{k + 1}"] = pd.Series([float(energies[k])],
+                                          dtype="float64")
+    out["approx_energy"] = pd.Series([float(approx_sq)],
+                                     dtype="float64")
+    return pd.DataFrame(out)
+
+
+def image_gray_hist_audit(sf_dir: str) -> pd.DataFrame:
+    """Intensity-distribution audit over DECODED images — the
+    contrast/exposure histogram every image-curation pipeline computes
+    (8 bins of the channel-sum intensity p ∈ [0, 765], bin = p // 96),
+    pinned oracle-exact on the lossless roster (n = min(100, #docs),
+    raw/png): per image the EXACT bin counts b0..b7 from the REAL
+    decode output, the mode bin (lowest-bin tie-break — a comparison
+    of exact ints), and the low-half CDF count (bins 0-3, the
+    equalization-map anchor). SQL groups the formula pixel grid by
+    p // 96."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def hist(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            counts = np.bincount((p // 96).ravel(), minlength=8)
+            mode = int(np.argmax(counts))     # first max = lowest bin
+            rows.append((i, fmt, *(int(v) for v in counts[:8]),
+                         mode, int(counts[:4].sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt"] + [f"b{k}" for k in range(8)]
+            + ["mode_bin", "low_half_count"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(hist, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in out.columns:
+        if col != "fmt":
+            out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def image_rot90_audit(sf_dir: str) -> pd.DataFrame:
+    """90°-rotation augmentation audit over DECODED images — the
+    geometric-transform arrangement check beside flip/crop: the engine
+    runs the REAL np.rot90 on the REAL decode output (lossless roster,
+    n = min(100, #docs)) and reports the rotated dims, the EXACT
+    position-weighted intensity sum Σ P(i,j)·(i·out_w + j) that pins
+    the rotated ARRANGEMENT (out[i,j] = src[j, w−1−i]), the corner
+    probe P(0,0), the conservation identity rotated-total ==
+    source-total, and the rot90⁴ == identity boolean (engine-side
+    np.array_equal; SQL pins TRUE). SQL recomputes the weighted sum
+    from the closed-form source grid under the index map."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def rot(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt)
+            rot1 = np.rot90(dec, 1, axes=(0, 1))
+            p = rot1.astype(np.int64).sum(axis=2)
+            oh, ow = p.shape
+            ii = np.arange(oh, dtype=np.int64)[:, None]
+            jj = np.arange(ow, dtype=np.int64)[None, :]
+            rot4 = np.rot90(dec, 4, axes=(0, 1))
+            rows.append((i, fmt, oh, ow,
+                         int((p * (ii * ow + jj)).sum()),
+                         int(p[0, 0]), int(p.sum()),
+                         bool(int(p.sum())
+                              == int(dec.astype(np.int64).sum())),
+                         bool(np.array_equal(rot4, dec))))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "out_h", "out_w", "rot_pos_sum",
+            "corner_p", "rot_total", "mass_conserved", "rot4_identity"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(rot, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "out_h", "out_w", "rot_pos_sum", "corner_p",
+                "rot_total"):
+        out[col] = out[col].astype("int64")
+    for col in ("mass_conserved", "rot4_identity"):
+        out[col] = out[col].astype(bool)
+    return out.sort_values("img_id").reset_index(drop=True)

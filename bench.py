@@ -321,6 +321,10 @@ def run_queries() -> dict[str, float]:
         # round-5 session-13: image conv/pool anchors, Zipf, agreement
         "image_conv_edge_audit", "image_downsample_audit",
         "zipf_token_slope", "cohen_kappa_flags",
+        # round-5 session-14: stationarity, Haar pyramid, image
+        # histogram + rotation anchors
+        "dickey_fuller_hourly", "haar_energy_hourly",
+        "image_gray_hist_audit", "image_rot90_audit",
     ]
     qs = E.queries()
     out = {}

@@ -3740,3 +3740,170 @@ class TestCohenKappaFlags:
         assert float(out.scott_pi[0]) == 1.0
         assert float(out.observed_agreement[0]) == 1.0
         assert float(out.mcnemar_chi2[0]) == 0.0
+
+
+class TestDickeyFullerHourly:
+    def test_matches_numpy_ols(self, ray_session):
+        """beta/alpha/t recomputed with an independent numpy OLS over
+        the same hourly series."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.dickey_fuller_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        z = x[:-1]
+        y = np.diff(x)
+        A = np.column_stack([np.ones_like(z), z])
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        alpha, beta = coef
+        e = y - alpha - beta * z
+        n = len(z)
+        s2 = float((e * e).sum()) / (n - 2)
+        se = np.sqrt(s2 * n / (n * float((z * z).sum())
+                               - float(z.sum()) ** 2))
+        assert abs(float(out.df_beta[0]) - beta) < 1e-9
+        assert abs(float(out.df_alpha[0]) - alpha) < 1e-9
+        assert abs(float(out.df_t[0]) - beta / se) < 1e-6
+        assert float(out.ar_root[0]) == 1.0 + float(out.df_beta[0])
+
+    def test_stationary_vs_random_walk(self, ray_session):
+        """A strongly mean-reverting series rejects the unit root
+        (df_t << 0) while a pure random walk does not."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(99)
+        nh = 200
+        eps = rng.normal(0, 1, nh)
+        ar = np.zeros(nh)
+        walk = np.zeros(nh)
+        for t in range(1, nh):
+            ar[t] = 0.2 * ar[t - 1] + eps[t]
+            walk[t] = walk[t - 1] + eps[t]
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+
+        def run(series):
+            with tempfile.TemporaryDirectory() as d:
+                _write_events(d, ts, np.round(series, 2) + 100.0)
+                return float(Q.dickey_fuller_hourly(d).df_t[0])
+
+        t_ar, t_walk = run(ar), run(walk)
+        assert t_ar < -5.0
+        assert t_ar < t_walk
+
+
+class TestHaarEnergyHourly:
+    def test_matches_bruteforce_and_parseval(self, ray_session):
+        """Level energies recomputed with explicit loops; the
+        unnormalized-Haar Parseval identity
+        sum(x^2) == sum_k E_k/2^k + A/2^K holds in exact Fractions."""
+        from fractions import Fraction
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.haar_energy_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        nh = len(h)
+        m = 1
+        while m * 2 <= nh:
+            m *= 2
+        a = [int(v) for v in h.c.iloc[:m]]
+        x0 = list(a)
+        energies, k = [], 0
+        while len(a) >= 2 and k < 6:
+            det = [a[2*j] - a[2*j+1] for j in range(len(a) // 2)]
+            a = [a[2*j] + a[2*j+1] for j in range(len(a) // 2)]
+            energies.append(sum(d * d for d in det))
+            k += 1
+        assert int(out.m_used[0]) == m
+        for lev in range(6):
+            want = energies[lev] if lev < len(energies) else 0
+            assert float(out[f"haar_e{lev+1}"][0]) == float(want)
+        approx = sum(v * v for v in a)
+        assert float(out.approx_energy[0]) == float(approx)
+        lhs = Fraction(sum(v * v for v in x0))
+        rhs = sum(Fraction(e, 2 ** (i + 1))
+                  for i, e in enumerate(energies)) \
+            + Fraction(approx, 2 ** len(energies))
+        assert lhs == rhs
+
+    def test_constant_and_alternating_series(self, ray_session):
+        """Constant hours: zero detail energy everywhere; strict
+        alternation: ALL energy at level 1."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=64, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(64, 7.0))
+            const = Q.haar_energy_hourly(d)
+        assert all(float(const[f"haar_e{k}"][0]) == 0.0
+                   for k in range(1, 7))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts,
+                          np.where(np.arange(64) % 2 == 0, 10.0, 2.0))
+            alt = Q.haar_energy_hourly(d)
+        assert float(alt.haar_e1[0]) == 32 * 800.0 ** 2
+        assert all(float(alt[f"haar_e{k}"][0]) == 0.0
+                   for k in range(2, 7))
+
+
+class TestImageGrayHistAudit:
+    def test_matches_explicit_loop_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_gray_hist_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            counts = [0] * 8
+            for r in range(h):
+                for c in range(w):
+                    p = sum((r + 2*c + img_id + ch) % 256
+                            for ch in range(3))
+                    counts[p // 96] += 1
+            for k in range(8):
+                assert int(row[f"b{k}"]) == counts[k]
+            assert int(row.mode_bin) == counts.index(max(counts))
+            assert int(row.low_half_count) == sum(counts[:4])
+            assert sum(counts) == h * w
+
+
+class TestImageRot90Audit:
+    def test_matches_numpy_rot90(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_rot90_audit(SF)
+        assert bool(out.mass_conserved.all())
+        assert bool(out.rot4_identity.all())
+        for img_id in (0, 3):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2*c + img_id + ch) % 256
+                            for ch in range(3)], axis=-1)
+            p = np.rot90(src, 1, axes=(0, 1)).sum(axis=2)
+            oh, ow = p.shape
+            assert (int(row.out_h), int(row.out_w)) == (oh, ow)
+            ii = np.arange(oh)[:, None]
+            jj = np.arange(ow)[None, :]
+            assert int(row.rot_pos_sum) == int((p * (ii * ow + jj)).sum())
+            assert int(row.corner_p) == int(p[0, 0])
+            assert int(row.rot_total) == int(src.sum())

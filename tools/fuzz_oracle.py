@@ -116,6 +116,8 @@ EVENT_QUERIES = [
     "fourfold_flag_drift",
     # session-13: inter-rater agreement panel
     "cohen_kappa_flags",
+    # session-14: stationarity + multiresolution tiers
+    "dickey_fuller_hourly", "haar_energy_hourly",
 ]
 
 
@@ -215,6 +217,8 @@ DOC_QUERIES = [
     # session-13: image feature-extraction anchors + Zipf power law
     "image_conv_edge_audit", "image_downsample_audit",
     "zipf_token_slope",
+    # session-14: intensity histogram + rotation arrangement anchors
+    "image_gray_hist_audit", "image_rot90_audit",
 ]
 
 
