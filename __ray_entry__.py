@@ -343,6 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy_hourly": Q.haar_energy_hourly,
         "image_gray_hist_audit": Q.image_gray_hist_audit,
         "image_rot90_audit": Q.image_rot90_audit,
+        "isotonic_hourly_trend": Q.isotonic_hourly_trend,
+        "winsorized_drift_events": Q.winsorized_drift_events,
+        "chao1_vocab_estimate": Q.chao1_vocab_estimate,
     }
 
 
@@ -5382,6 +5385,161 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # PAVA isotonic fit: the identical merge-if-violation-else-push
+        # stack machine as a recursive CTE over HUGEINT (weight, sum)
+        # stacks; pool-mean comparisons by exact cross-multiplication
+        "isotonic_hourly_trend": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            blk AS (
+                SELECT list(CAST(n AS HUGEINT) ORDER BY hour) AS wb,
+                       list(CAST(c AS HUGEINT) ORDER BY hour) AS tb,
+                       CAST(count(*) AS BIGINT) AS hn
+                FROM h
+            ),
+            st AS (
+                SELECT 1 AS i, CAST([] AS HUGEINT[]) AS ws,
+                       CAST([] AS HUGEINT[]) AS ts, wb, tb, hn
+                FROM blk
+                UNION ALL
+                SELECT CASE WHEN viol THEN i ELSE i + 1 END,
+                       CASE WHEN viol
+                            THEN list_append(
+                                list_slice(ws, 1, len(ws) - 2),
+                                ws[-1] + ws[-2])
+                            ELSE list_append(ws, wb[i]) END,
+                       CASE WHEN viol
+                            THEN list_append(
+                                list_slice(ts, 1, len(ts) - 2),
+                                ts[-1] + ts[-2])
+                            ELSE list_append(ts, tb[i]) END,
+                       wb, tb, hn
+                FROM (SELECT *, (len(ws) >= 2
+                                 AND ts[-1] * ws[-2] < ts[-2] * ws[-1])
+                                AS viol
+                      FROM st) s
+                WHERE viol OR i <= hn
+            ),
+            term AS (
+                SELECT ws, ts FROM st
+                WHERE i > hn
+                  AND NOT (len(ws) >= 2
+                           AND ts[-1] * ws[-2] < ts[-2] * ws[-1])
+            ),
+            idx AS (
+                SELECT unnest(generate_series(1,
+                           CAST(len(ws) AS BIGINT))) AS j, ws, ts
+                FROM term
+            )
+            SELECT j AS pool_idx,
+                   CAST(ws[j] AS BIGINT) AS pool_w,
+                   CAST(ts[j] AS BIGINT) AS pool_cents,
+                   (CAST(ts[j] AS DOUBLE) / CAST(ws[j] AS DOUBLE))
+                       / 100.0 AS pool_fit
+            FROM idx ORDER BY 1
+        """,
+        # winsorized mean: rank-window middle sum + g*(clamp order
+        # statistics), all exact ints; mean = (W/n)/100
+        "winsorized_drift_events": """
+            WITH r AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                       FROM (SELECT * FROM events
+                             WHERE value IS NOT NULL
+                               AND NOT isnan(value))
+                       WHERE event_id % 2 = 0),
+            p AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                  FROM (SELECT * FROM events
+                        WHERE value IS NOT NULL AND NOT isnan(value))
+                  WHERE event_id % 2 = 1),
+            rc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+            pc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+            rw AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                   FROM r),
+            pw AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                   FROM p),
+            rcl AS (SELECT
+                       (SELECT rw.c FROM rw, rc
+                        WHERE rw.rn = rc.n // 10 + 1) AS lo,
+                       (SELECT rw.c FROM rw, rc
+                        WHERE rw.rn = rc.n - rc.n // 10) AS hi),
+            pcl AS (SELECT
+                       (SELECT pw.c FROM pw, pc
+                        WHERE pw.rn = pc.n // 10 + 1) AS lo,
+                       (SELECT pw.c FROM pw, pc
+                        WHERE pw.rn = pc.n - pc.n // 10) AS hi),
+            rt AS (SELECT CAST(coalesce(sum(CAST(rw.c AS HUGEINT)), 0)
+                               AS HUGEINT) AS s
+                   FROM rw, rc
+                   WHERE rw.rn > rc.n // 10
+                     AND rw.rn <= rc.n - rc.n // 10),
+            pt AS (SELECT CAST(coalesce(sum(CAST(pw.c AS HUGEINT)), 0)
+                               AS HUGEINT) AS s
+                   FROM pw, pc
+                   WHERE pw.rn > pc.n // 10
+                     AND pw.rn <= pc.n - pc.n // 10)
+            SELECT rc.n AS n_ref, rc.n // 10 AS g_ref,
+                   CAST(coalesce(rcl.lo, 0) AS BIGINT) AS clamp_lo_ref,
+                   CAST(coalesce(rcl.hi, 0) AS BIGINT) AS clamp_hi_ref,
+                   CASE WHEN rc.n = 0 THEN 0.0
+                        ELSE (CAST(rt.s + CAST(rc.n // 10 AS HUGEINT)
+                                   * (rcl.lo + rcl.hi) AS DOUBLE)
+                              / CAST(rc.n AS DOUBLE)) / 100.0
+                   END AS winsor_mean_ref,
+                   pc.n AS n_prod, pc.n // 10 AS g_prod,
+                   CAST(coalesce(pcl.lo, 0) AS BIGINT) AS clamp_lo_prod,
+                   CAST(coalesce(pcl.hi, 0) AS BIGINT) AS clamp_hi_prod,
+                   CASE WHEN pc.n = 0 THEN 0.0
+                        ELSE (CAST(pt.s + CAST(pc.n // 10 AS HUGEINT)
+                                   * (pcl.lo + pcl.hi) AS DOUBLE)
+                              / CAST(pc.n AS DOUBLE)) / 100.0
+                   END AS winsor_mean_prod,
+                   CASE WHEN pc.n = 0 THEN 0.0
+                        ELSE (CAST(pt.s + CAST(pc.n // 10 AS HUGEINT)
+                                   * (pcl.lo + pcl.hi) AS DOUBLE)
+                              / CAST(pc.n AS DOUBLE)) / 100.0
+                   END
+                   - CASE WHEN rc.n = 0 THEN 0.0
+                          ELSE (CAST(rt.s + CAST(rc.n // 10 AS HUGEINT)
+                                     * (rcl.lo + rcl.hi) AS DOUBLE)
+                                / CAST(rc.n AS DOUBLE)) / 100.0
+                     END AS shift
+            FROM rc, pc, rcl, pcl, rt, pt
+        """,
+        # Chao1 richness + Good-Turing unseen mass from exact
+        # frequency-of-frequencies ints
+        "chao1_vocab_estimate": """
+            WITH per AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS cf
+                FROM (SELECT unnest(regexp_extract_all(lower(text),
+                             '[a-z'']+')) AS token FROM documents)
+                GROUP BY 1
+            ),
+            s AS (
+                SELECT CAST(coalesce(sum(cf), 0) AS BIGINT) AS nt,
+                       CAST(count(*) AS BIGINT) AS v,
+                       CAST(coalesce(sum(CASE WHEN cf = 1
+                                              THEN 1 END), 0)
+                            AS BIGINT) AS f1,
+                       CAST(coalesce(sum(CASE WHEN cf = 2
+                                              THEN 1 END), 0)
+                            AS BIGINT) AS f2
+                FROM per
+            )
+            SELECT nt AS n_tokens, v AS n_vocab, f1 AS f1_hapax,
+                   f2 AS f2_dis,
+                   CAST(v AS DOUBLE)
+                   + CAST(f1 * (f1 - 1) AS DOUBLE)
+                     / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_estimate,
+                   CASE WHEN nt = 0 THEN 0.0
+                        ELSE CAST(f1 AS DOUBLE) / CAST(nt AS DOUBLE)
+                   END AS good_turing_unseen
+            FROM s
         """,
         # Dickey-Fuller: delta-x on lagged-x OLS over the ACF tier's
         # bit-identical hourly mean series; every moment a list_reduce

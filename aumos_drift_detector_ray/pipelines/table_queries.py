@@ -15664,3 +15664,177 @@ def image_rot90_audit(sf_dir: str) -> pd.DataFrame:
     for col in ("mass_conserved", "rot4_identity"):
         out[col] = out[col].astype(bool)
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-15: isotonic regression, winsorized drift, species richness
+# ---------------------------------------------------------------------------
+
+def isotonic_hourly_trend(sf_dir: str) -> pd.DataFrame:
+    """Weighted isotonic (non-decreasing) regression of the hourly
+    mean value on the hour index via pool-adjacent-violators (Barlow,
+    Bartholomew, Bremner & Brunk 1972; the PAVA every calibration /
+    monotone-trend stage runs): per-hour exact (count, cents-sum)
+    blocks fold distributed, then the PAVA stack machine runs on the
+    calendar-bounded driver with EVERY pool mean comparison decided by
+    EXACT integer cross-multiplication T₁·W₂ < T₂·W₁ (weights
+    positive, so direction is preserved for negative sums; ties do NOT
+    merge — equal means are already monotone). The oracle replays the
+    identical small-step machine (merge-if-violation else push) as a
+    recursive CTE carrying the (weights, sums) HUGEINT stacks and
+    selects the unique terminal state. One row per pool: exact weight,
+    exact cents sum, and the fitted value — ONE division of exact ints
+    then the /100 scale (fit = (T/W)/100). The full pool list pins the
+    entire fitted function."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "n": np.ones(len(b), dtype=np.int64),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby("hour", as_index=False).sum()
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    ws: "list[int]" = []
+    ts: "list[int]" = []
+    for nn, cc in zip(hourly.n, hourly.c):
+        ws.append(int(nn))
+        ts.append(int(cc))
+        # merge while the last pool mean is strictly below the previous
+        while len(ws) >= 2 and ts[-1] * ws[-2] < ts[-2] * ws[-1]:
+            w2, t2 = ws.pop(), ts.pop()
+            ws[-1] += w2
+            ts[-1] += t2
+    return pd.DataFrame({
+        "pool_idx": pd.Series(range(1, len(ws) + 1), dtype="int64"),
+        "pool_w": pd.Series(ws, dtype="int64"),
+        "pool_cents": pd.Series(ts, dtype="int64"),
+        "pool_fit": pd.Series(
+            [(float(t) / float(w)) / 100.0
+             for w, t in zip(ws, ts)], dtype="float64"),
+    })
+
+
+def winsorized_drift_events(sf_dir: str) -> pd.DataFrame:
+    """10%-winsorized-mean location drift between the halves (Tukey
+    1962; Dixon & Tukey 1968 — the clamp-the-tails robust companion of
+    the trimmed-mean tier: each tail's g = ⌊n/10⌋ most extreme cents
+    are REPLACED by the order statistics x₍g+1₎ / x₍n−g₎ instead of
+    dropped): the winsorized sum is the EXACT integer
+    prefix(n−g) − prefix(g) + g·(x₍g+1₎ + x₍n−g₎) — rank-bounded
+    prefix sums from scan.prefix_sums_at_ranks (tie-invariant) and the
+    two clamp values exact order-statistic selections
+    (scan.exact_quantiles inverted_cdf at (g+1)/n and (n−g)/n, actual
+    data values) — and each winsorized mean is (W/n)/100, one division
+    of exact ints then one exact scale division. Empty halves guard to
+    0.0 sentinels."""
+    from ..stages.scan import exact_quantiles, prefix_sums_at_ranks
+
+    ds = _events_two_sample(sf_dir)
+
+    def half(ref: bool) -> ray.data.Dataset:
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            m = b.is_ref.to_numpy()
+            if not ref:
+                m = ~m
+            return pd.DataFrame({
+                "cents": round_half_away(
+                    b.value.to_numpy()[m] * 100).astype(np.int64),
+            })
+        return ds.map_batches(prep, batch_format="pandas")
+
+    def wmean(h: ray.data.Dataset) -> "tuple[int, int, int, int, float]":
+        n, _total, pref = prefix_sums_at_ranks(
+            h, "cents", [],
+            rank_fn=lambda nn: [nn // 10, nn - nn // 10])
+        if n == 0:
+            return 0, 0, 0, 0, 0.0
+        g = n // 10
+        lo_hi = exact_quantiles(
+            h, "cents", [(g + 1) / n, (n - g) / n],
+            method="inverted_cdf")
+        lo, hi = int(lo_hi[0]), int(lo_hi[1])
+        w = pref[n - g] - pref.get(g, 0) + g * (lo + hi)
+        return n, g, lo, hi, (float(w) / float(n)) / 100.0
+
+    n_ref, g_ref, lo_r, hi_r, wm_ref = wmean(half(True))
+    n_prod, g_prod, lo_p, hi_p, wm_prod = wmean(half(False))
+    return pd.DataFrame({
+        "n_ref": pd.Series([n_ref], dtype="int64"),
+        "g_ref": pd.Series([g_ref], dtype="int64"),
+        "clamp_lo_ref": pd.Series([lo_r], dtype="int64"),
+        "clamp_hi_ref": pd.Series([hi_r], dtype="int64"),
+        "winsor_mean_ref": pd.Series([wm_ref], dtype="float64"),
+        "n_prod": pd.Series([n_prod], dtype="int64"),
+        "g_prod": pd.Series([g_prod], dtype="int64"),
+        "clamp_lo_prod": pd.Series([lo_p], dtype="int64"),
+        "clamp_hi_prod": pd.Series([hi_p], dtype="int64"),
+        "winsor_mean_prod": pd.Series([wm_prod], dtype="float64"),
+        "shift": pd.Series([wm_prod - wm_ref], dtype="float64"),
+    })
+
+
+def chao1_vocab_estimate(sf_dir: str) -> pd.DataFrame:
+    """Chao1 species-richness estimate of the TRUE vocabulary size
+    (Chao 1984, bias-corrected form) + the Good-Turing unseen-mass
+    estimate (Good 1953) — how much vocabulary has the corpus NOT yet
+    seen? The frequency-of-frequencies statistics (V, N, F1 = hapax,
+    F2 = dis legomena) are exact ints from ONE token-hash-bucketed
+    exchange (each bucket owns its tokens wholly, returns four ints);
+    chao1 = V + F1(F1−1)/(2(F2+1)) is one division then one addition
+    of exact ints and the Good-Turing P₀ = F1/N is one division —
+    fixed-shape IEEE, no rounding contract. Empty corpus guards to
+    0.0 sentinels."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(32))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame({
+            "n_tokens": [int(m.n.sum())],
+            "n_vocab": [int(len(m))],
+            "f1": [int((m.n == 1).sum())],
+            "f2": [int((m.n == 2).sum())],
+        })
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .to_pandas()
+    nt = int(f.n_tokens.sum())
+    v = int(f.n_vocab.sum())
+    f1 = int(f.f1.sum())
+    f2 = int(f.f2.sum())
+    chao1 = float(v) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+    p0 = 0.0 if nt == 0 else float(f1) / float(nt)
+    return pd.DataFrame({
+        "n_tokens": pd.Series([nt], dtype="int64"),
+        "n_vocab": pd.Series([v], dtype="int64"),
+        "f1_hapax": pd.Series([f1], dtype="int64"),
+        "f2_dis": pd.Series([f2], dtype="int64"),
+        "chao1_estimate": pd.Series([chao1], dtype="float64"),
+        "good_turing_unseen": pd.Series([p0], dtype="float64"),
+    })

@@ -325,6 +325,9 @@ def run_queries() -> dict[str, float]:
         # histogram + rotation anchors
         "dickey_fuller_hourly", "haar_energy_hourly",
         "image_gray_hist_audit", "image_rot90_audit",
+        # round-5 session-15: PAVA isotonic, winsorized drift, Chao1
+        "isotonic_hourly_trend", "winsorized_drift_events",
+        "chao1_vocab_estimate",
     ]
     qs = E.queries()
     out = {}

@@ -3907,3 +3907,143 @@ class TestImageRot90Audit:
             assert int(row.rot_pos_sum) == int((p * (ii * ow + jj)).sum())
             assert int(row.corner_p) == int(p[0, 0])
             assert int(row.rot_total) == int(src.sum())
+
+
+class TestIsotonicHourlyTrend:
+    def test_matches_independent_quadratic_pava(self, ray_session):
+        """The stack-machine result must equal the textbook O(H^2)
+        'repeatedly merge any adjacent violation' algorithm computed
+        in exact Fractions (the isotonic solution is unique)."""
+        from fractions import Fraction
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.isotonic_hourly_trend(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        pools = [(int(n), int(c)) for n, c in zip(h.n, h.c)]
+        changed = True
+        while changed:
+            changed = False
+            for k in range(len(pools) - 1):
+                (w1, t1), (w2, t2) = pools[k], pools[k + 1]
+                if Fraction(t2, w2) < Fraction(t1, w1):
+                    pools[k: k + 2] = [(w1 + w2, t1 + t2)]
+                    changed = True
+                    break
+        assert list(out.pool_w) == [w for w, _ in pools]
+        assert list(out.pool_cents) == [t for _, t in pools]
+        fits = out.pool_fit.to_numpy()
+        assert bool((np.diff(fits) >= 0).all())
+        assert int(out.pool_w.sum()) == int(h.n.sum())
+        assert int(out.pool_cents.sum()) == int(h.c.sum())
+
+    def test_planted_monotone_and_antitone(self, ray_session):
+        """Strictly increasing hourly means: H singleton pools.
+        Strictly decreasing: ONE pool at the global weighted mean."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 24
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(nh, dtype=float) + 1.0)
+            inc = Q.isotonic_hourly_trend(d)
+        assert len(inc) == nh
+        assert bool((inc.pool_w == 1).all())
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, nh - np.arange(nh, dtype=float))
+            dec = Q.isotonic_hourly_trend(d)
+        assert len(dec) == 1
+        assert int(dec.pool_w[0]) == nh
+        assert float(dec.pool_fit[0]) == \
+            (float(sum(range(1, nh + 1)) * 100) / nh) / 100.0
+
+
+class TestWinsorizedDriftEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.winsorized_drift_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        for half, pre in ((0, "ref"), (1, "prod")):
+            cents = np.sort(round_half_away(
+                df.loc[df.event_id % 2 == half, "value"].to_numpy()
+                * 100).astype(np.int64))
+            n = len(cents)
+            g = n // 10
+            w = cents.copy()
+            w[:g] = cents[g]
+            w[n - g:] = cents[n - g - 1]
+            assert int(out[f"clamp_lo_{pre}"][0]) == int(cents[g])
+            assert int(out[f"clamp_hi_{pre}"][0]) == int(cents[n-g-1])
+            assert float(out[f"winsor_mean_{pre}"][0]) == \
+                (float(int(w.sum())) / float(n)) / 100.0
+
+    def test_outlier_immunity(self, ray_session):
+        """A 1e6 spike moves the raw mean by ~250 but the winsorized
+        mean barely at all."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 4000
+        vals = np.full(n, 10.0)
+        vals[2] = 1e6          # ref-half (even id) outlier
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.winsorized_drift_events(d)
+        assert abs(float(out.winsor_mean_ref[0]) - 10.0) < 1e-9
+        assert abs(float(out["shift"][0])) < 1e-9
+
+
+class TestChao1VocabEstimate:
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+        import re
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.chao1_vocab_estimate(SF)
+        texts = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df().text
+        cnt = collections.Counter()
+        for t in texts:
+            cnt.update(re.findall(r"[a-z']+", str(t).lower()))
+        v = len(cnt)
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        f2 = sum(1 for c in cnt.values() if c == 2)
+        assert int(out.n_vocab[0]) == v
+        assert int(out.f1_hapax[0]) == f1
+        assert int(out.f2_dis[0]) == f2
+        assert int(out.n_tokens[0]) == sum(cnt.values())
+        assert float(out.chao1_estimate[0]) == \
+            float(v) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+
+    def test_no_hapax_means_no_unseen(self, ray_session):
+        """Every token seen twice: chao1 == V exactly and the
+        Good-Turing unseen mass is 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["alpha beta alpha beta", "gamma gamma"],
+                        ["en", "en"])
+            out = Q.chao1_vocab_estimate(d)
+        assert float(out.chao1_estimate[0]) == 3.0
+        assert float(out.good_turing_unseen[0]) == 0.0
+        assert int(out.f1_hapax[0]) == 0

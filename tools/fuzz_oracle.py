@@ -118,6 +118,8 @@ EVENT_QUERIES = [
     "cohen_kappa_flags",
     # session-14: stationarity + multiresolution tiers
     "dickey_fuller_hourly", "haar_energy_hourly",
+    # session-15: isotonic regression + winsorized drift
+    "isotonic_hourly_trend", "winsorized_drift_events",
 ]
 
 
@@ -219,6 +221,8 @@ DOC_QUERIES = [
     "zipf_token_slope",
     # session-14: intensity histogram + rotation arrangement anchors
     "image_gray_hist_audit", "image_rot90_audit",
+    # session-15: species richness / unseen-mass estimation
+    "chao1_vocab_estimate",
 ]
 
 
