@@ -346,6 +346,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_hourly_trend": Q.isotonic_hourly_trend,
         "winsorized_drift_events": Q.winsorized_drift_events,
         "chao1_vocab_estimate": Q.chao1_vocab_estimate,
+        "lorenz_curve_events": Q.lorenz_curve_events,
+        "hurst_rs_hourly": Q.hurst_rs_hourly,
+        "image_cutmix_audit": Q.image_cutmix_audit,
+        "image_brightness_audit": Q.image_brightness_audit,
     }
 
 
@@ -1437,6 +1441,134 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _hurst_sql() -> str:
+    """R/S over the dyadic window grid: per window size m the segment
+    folds (mean, prefix-deviation extremes, population sigma) are
+    generated per-m as list_reduce left folds over the shared hourly
+    series; valid (sigma>0) segment R/S values fold in segment order;
+    the Hurst OLS runs over round-9-ln grid points kept in list order
+    by list_filter."""
+    per_m = []
+    for m in (8, 16, 32, 64):
+        per_m.append(f"""
+            sidx{m} AS (
+                SELECT unnest(generate_series(0,
+                           CAST(nh // {m} AS BIGINT) - 1)) AS s, xs
+                FROM arr WHERE nh >= {m}
+            ),
+            seg{m} AS (
+                SELECT s,
+                       list_reduce(list_transform(
+                           generate_series(1, {m}),
+                           t -> xs[s * {m} + t]), (a, b) -> a + b)
+                       / {float(m)!r} AS mu,
+                       xs
+                FROM sidx{m}
+            ),
+            dev{m} AS (
+                SELECT s,
+                       list_transform(generate_series(1, {m}),
+                           j -> list_reduce(list_transform(
+                               generate_series(1, CAST(j AS BIGINT)),
+                               t -> xs[s * {m} + t] - mu),
+                               (a, b) -> a + b)) AS zl,
+                       list_reduce(list_transform(
+                           generate_series(1, {m}),
+                           t -> (xs[s * {m} + t] - mu)
+                                * (xs[s * {m} + t] - mu)),
+                           (a, b) -> a + b) AS ssq,
+                       mu
+                FROM seg{m}
+            ),
+            rs{m} AS (
+                SELECT s,
+                       sqrt(ssq / {float(m)!r}) AS sd,
+                       list_reduce(zl, (a, b) ->
+                           CASE WHEN b > a THEN b ELSE a END)
+                       - list_reduce(zl, (a, b) ->
+                           CASE WHEN b < a THEN b ELSE a END) AS rng
+                FROM dev{m}
+            ),
+            agg{m} AS (
+                SELECT coalesce((SELECT CASE WHEN len(l) = 0 THEN 0.0
+                           ELSE list_reduce(l, (a, b) -> a + b)
+                                / CAST(len(l) AS DOUBLE) END
+                        FROM (SELECT list(rng / sd ORDER BY s) AS l
+                              FROM rs{m} WHERE sd > 0.0)), 0.0)
+                           AS rs_m{m},
+                       coalesce((SELECT count(*) FROM rs{m}
+                                 WHERE sd > 0.0), 0) AS nseg_m{m}
+            )""")
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM (SELECT * FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   CAST(count(*) AS BIGINT) AS nh
+            FROM h
+        ),
+        {",".join(per_m)},
+        pts AS (
+            SELECT list_filter([
+                {{'x': round(ln(8.0), 9),
+                  'y': round(ln(CASE WHEN rs_m8 > 0.0
+                       THEN rs_m8 ELSE 1.0 END), 9),
+                  'ok': nseg_m8 > 0 AND rs_m8 > 0.0}},
+                {{'x': round(ln(16.0), 9),
+                  'y': round(ln(CASE WHEN rs_m16 > 0.0
+                       THEN rs_m16 ELSE 1.0 END), 9),
+                  'ok': nseg_m16 > 0 AND rs_m16 > 0.0}},
+                {{'x': round(ln(32.0), 9),
+                  'y': round(ln(CASE WHEN rs_m32 > 0.0
+                       THEN rs_m32 ELSE 1.0 END), 9),
+                  'ok': nseg_m32 > 0 AND rs_m32 > 0.0}},
+                {{'x': round(ln(64.0), 9),
+                  'y': round(ln(CASE WHEN rs_m64 > 0.0
+                       THEN rs_m64 ELSE 1.0 END), 9),
+                  'ok': nseg_m64 > 0 AND rs_m64 > 0.0}}],
+                p -> p.ok) AS pl,
+                rs_m8, nseg_m8, rs_m16, nseg_m16,
+                rs_m32, nseg_m32, rs_m64, nseg_m64
+            FROM agg8, agg16, agg32, agg64
+        ),
+        ols AS (
+            SELECT *, CAST(len(pl) AS BIGINT) AS kk,
+                CASE WHEN len(pl) >= 2 THEN list_reduce(
+                    list_transform(pl, p -> p.x), (a, b) -> a + b)
+                ELSE 0.0 END AS sx,
+                CASE WHEN len(pl) >= 2 THEN list_reduce(
+                    list_transform(pl, p -> p.y), (a, b) -> a + b)
+                ELSE 0.0 END AS sy,
+                CASE WHEN len(pl) >= 2 THEN list_reduce(
+                    list_transform(pl, p -> p.x * p.y),
+                    (a, b) -> a + b)
+                ELSE 0.0 END AS sxy,
+                CASE WHEN len(pl) >= 2 THEN list_reduce(
+                    list_transform(pl, p -> p.x * p.x),
+                    (a, b) -> a + b)
+                ELSE 0.0 END AS sxx
+            FROM pts
+        )
+        SELECT (SELECT nh FROM arr) AS n_hours,
+               rs_m8, CAST(nseg_m8 AS BIGINT) AS nseg_m8,
+               rs_m16, CAST(nseg_m16 AS BIGINT) AS nseg_m16,
+               rs_m32, CAST(nseg_m32 AS BIGINT) AS nseg_m32,
+               rs_m64, CAST(nseg_m64 AS BIGINT) AS nseg_m64,
+               CASE WHEN kk >= 2
+                         AND CAST(kk AS DOUBLE) * sxx - sx * sx <> 0.0
+                    THEN (CAST(kk AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(kk AS DOUBLE) * sxx - sx * sx)
+                    ELSE 0.0 END AS hurst_h
+        FROM ols
     """
 
 
@@ -5385,6 +5517,153 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # Lorenz decile ordinates from rank-bounded exact prefix sums;
+        # Pietra = max(0, max decile gaps) over fixed-shape doubles
+        "lorenz_curve_events": """
+            WITH u AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                       FROM (SELECT * FROM events
+                             WHERE value IS NOT NULL
+                               AND NOT isnan(value))),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST(coalesce(sum(CAST(c AS HUGEINT)), 0)
+                               AS HUGEINT) AS total
+                   FROM u),
+            w AS (SELECT c, row_number() OVER (ORDER BY c) AS rn
+                  FROM u),
+            pre AS (
+                SELECT k,
+                       CAST(coalesce(sum(CAST(w.c AS HUGEINT)), 0)
+                            AS HUGEINT) AS s
+                FROM (SELECT unnest(generate_series(1, 9)) AS k), w, nn
+                WHERE w.rn <= k * nn.n // 10
+                GROUP BY k
+            ),
+            lk AS (
+                SELECT k.k,
+                       CASE WHEN nn.n = 0 OR nn.total <= 0 THEN 0.0
+                            ELSE CAST(coalesce(pre.s, 0) AS DOUBLE)
+                                 / CAST(nn.total AS DOUBLE)
+                       END AS l,
+                       nn.n, nn.total
+                FROM (SELECT unnest(generate_series(1, 9)) AS k) k
+                CROSS JOIN nn
+                LEFT JOIN pre ON pre.k = k.k
+            )
+            SELECT max(n) AS n_events,
+                   CAST(max(total) AS BIGINT) AS total_cents,
+                   max(CASE WHEN k = 1 THEN l END) AS lorenz_d1,
+                   max(CASE WHEN k = 2 THEN l END) AS lorenz_d2,
+                   max(CASE WHEN k = 3 THEN l END) AS lorenz_d3,
+                   max(CASE WHEN k = 4 THEN l END) AS lorenz_d4,
+                   max(CASE WHEN k = 5 THEN l END) AS lorenz_d5,
+                   max(CASE WHEN k = 6 THEN l END) AS lorenz_d6,
+                   max(CASE WHEN k = 7 THEN l END) AS lorenz_d7,
+                   max(CASE WHEN k = 8 THEN l END) AS lorenz_d8,
+                   max(CASE WHEN k = 9 THEN l END) AS lorenz_d9,
+                   CASE WHEN max(n) = 0 OR max(total) <= 0 THEN 0.0
+                        ELSE greatest(0.0, max(
+                            CAST(k AS DOUBLE) / 10.0 - l))
+                   END AS pietra_index
+            FROM lk
+        """,
+        "hurst_rs_hourly": _hurst_sql(),
+        # CutMix: mixed aggregates recomputed from the TWO closed-form
+        # grids under the paste map; composition identity pinned TRUE
+        "image_cutmix_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN (i + 1) % 3 <> 2 THEN i + 1
+                            ELSE i + 2 END AS j,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt_a,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            im2 AS (SELECT *,
+                           CASE WHEN j % 3 = 0 THEN 'raw'
+                                ELSE 'png' END AS fmt_b,
+                           (least(h, 32 + 8 * ((j * 11) % 16)) - 16)
+                               // 2 AS r0,
+                           (least(w, 32 + 8 * ((j * 7) % 16)) - 16)
+                               // 2 AS c0
+                    FROM img),
+            pr AS (SELECT i, j, fmt_a, fmt_b, w, h, r0, c0,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM im2),
+            px AS (SELECT i, j, fmt_a, fmt_b, w, h, r0, c0, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, j, fmt_a, fmt_b, w, h, r0, c0, r, c,
+                       (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                       + (r + 2*c + i + 2) % 256 AS pa,
+                       (r + 2*c + j) % 256 + (r + 2*c + j + 1) % 256
+                       + (r + 2*c + j + 2) % 256 AS pb,
+                       (r BETWEEN r0 AND r0 + 15
+                        AND c BETWEEN c0 AND c0 + 15) AS inside
+                FROM px
+            )
+            SELECT i AS img_a, CAST(j AS BIGINT) AS img_b,
+                   fmt_a, fmt_b,
+                   CAST(r0 AS BIGINT) AS r0, CAST(c0 AS BIGINT) AS c0,
+                   CAST(sum(CASE WHEN inside THEN pb ELSE pa END)
+                        AS BIGINT) AS mixed_total,
+                   CAST(sum(CASE WHEN inside THEN pa ELSE 0 END)
+                        AS BIGINT) AS a_patch_sum,
+                   CAST(sum(CASE WHEN inside THEN pb ELSE 0 END)
+                        AS BIGINT) AS b_patch_sum,
+                   CAST(sum(CASE WHEN inside THEN pb ELSE pa END
+                            * (r * w + c)) AS BIGINT) AS mixed_pos_sum,
+                   TRUE AS composition_ok,
+                   1.0 - 256.0 / CAST(h * w AS DOUBLE) AS lambda_weight
+            FROM pv GROUP BY 1, 2, 3, 4, 5, 6, h, w ORDER BY 1
+        """,
+        # photometric LUT v' = least(255, 6v//5) replayed per channel
+        "image_brightness_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       least(255, 6 * ((r + 2*c + i) % 256) // 5)
+                     + least(255, 6 * ((r + 2*c + i + 1) % 256) // 5)
+                     + least(255, 6 * ((r + 2*c + i + 2) % 256) // 5)
+                           AS p,
+                       (CASE WHEN 6 * ((r + 2*c + i) % 256) // 5
+                                  >= 255 THEN 1 ELSE 0 END)
+                     + (CASE WHEN 6 * ((r + 2*c + i + 1) % 256) // 5
+                                  >= 255 THEN 1 ELSE 0 END)
+                     + (CASE WHEN 6 * ((r + 2*c + i + 2) % 256) // 5
+                                  >= 255 THEN 1 ELSE 0 END) AS nsat
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(p) AS BIGINT) AS bright_total,
+                   CAST(sum(nsat) AS BIGINT) AS n_saturated,
+                   CAST(sum(p * (r * w + c)) AS BIGINT)
+                       AS bright_pos_sum
+            FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # PAVA isotonic fit: the identical merge-if-violation-else-push
         # stack machine as a recursive CTE over HUGEINT (weight, sum)

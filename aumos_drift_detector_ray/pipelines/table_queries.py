@@ -15838,3 +15838,255 @@ def chao1_vocab_estimate(sf_dir: str) -> pd.DataFrame:
         "chao1_estimate": pd.Series([chao1], dtype="float64"),
         "good_turing_unseen": pd.Series([p0], dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-16: inequality curve, long-memory diagnostic, two more
+# augmentation anchors
+# ---------------------------------------------------------------------------
+
+def lorenz_curve_events(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve decile ordinates of the clean value distribution
+    (Lorenz 1905 — the inequality profile the Gini tier summarizes in
+    one number): L(k/10) = (sum of the lowest ⌊k·n/10⌋ cents) / total
+    for k = 1..9, each the ratio of two EXACT integers from ONE
+    rank-bounded prefix-sum scan (scan.prefix_sums_at_ranks with
+    explicit integer ranks — tie-invariant), plus the Pietra/Hoover
+    index approximated on the decile grid max_k(k/10 − L_k) — a max
+    over fixed-shape doubles, bit-identical both sides. Non-positive
+    totals (cents can be negative) guard every ratio to the 0.0
+    sentinel, mirroring the Gini convention."""
+    from ..stages.scan import prefix_sums_at_ranks
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                     .astype(np.int64),
+        })
+
+    h = ds.map_batches(prep, batch_format="pandas")
+    n, total, pref = prefix_sums_at_ranks(
+        h, "cents", [],
+        rank_fn=lambda nn: sorted({k * nn // 10 for k in range(1, 10)}))
+    out = {"n_events": pd.Series([n], dtype="int64"),
+           "total_cents": pd.Series([int(total)], dtype="int64")}
+    pietra = 0.0
+    for k in range(1, 10):
+        if n == 0 or total <= 0:
+            lk = 0.0
+        else:
+            lk = float(pref.get(k * n // 10, 0)) / float(total)
+        out[f"lorenz_d{k}"] = pd.Series([lk], dtype="float64")
+        gap = float(k) / 10.0 - lk
+        if n > 0 and total > 0 and gap > pietra:
+            pietra = gap
+    out["pietra_index"] = pd.Series([pietra], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def hurst_rs_hourly(sf_dir: str) -> pd.DataFrame:
+    """Rescaled-range (R/S) long-memory diagnostic of the hourly mean
+    series (Hurst 1951; Mandelbrot & Wallis 1969 — H > 0.5 means
+    persistent trends, < 0.5 mean reversion): over the fixed dyadic
+    window grid m ∈ {8, 16, 32, 64}, each complete window's rescaled
+    range R/S uses the segment mean, the cumulative-deviation running
+    extremes and the population σ — EVERY fold a sequential left fold
+    over the ACF tier's bit-identical hourly series mirrored by
+    list_reduce (the SQL prefix z_j = left fold of the first j
+    deviations is the same association as the engine's running sum;
+    max/min are exact), σ one sqrt; zero-σ windows are EXCLUDED (count
+    carried); RS(m) is the left-fold mean over valid windows and the
+    Hurst exponent the OLS slope of round-9-contracted ln RS(m) on
+    ln m over grid points with RS > 0 (the measured DuckDB-ln-vs-libm
+    contract). Fewer than 2 usable grid points guards H to the 0.0
+    sentinel."""
+    import math
+
+    x = [float(v) for v in _hourly_mean_series(sf_dir)]
+    nh = len(x)
+    grid = [8, 16, 32, 64]
+    out = {"n_hours": pd.Series([nh], dtype="int64")}
+    pts = []
+    for m in grid:
+        nseg = nh // m
+        rs_sum, valid = 0.0, 0
+        for s_i in range(nseg):
+            seg = x[s_i * m:(s_i + 1) * m]
+            mu = seg[0]
+            for t in range(1, m):
+                mu = mu + seg[t]
+            mu = mu / float(m)
+            z = seg[0] - mu
+            zmax = z
+            zmin = z
+            ssq = (seg[0] - mu) * (seg[0] - mu)
+            for t in range(1, m):
+                z = z + (seg[t] - mu)
+                if z > zmax:
+                    zmax = z
+                if z < zmin:
+                    zmin = z
+                ssq = ssq + (seg[t] - mu) * (seg[t] - mu)
+            sd = math.sqrt(ssq / float(m))
+            if sd > 0.0:
+                rs = (zmax - zmin) / sd
+                if valid == 0:
+                    rs_sum = rs
+                else:
+                    rs_sum = rs_sum + rs
+                valid += 1
+        rsm = rs_sum / float(valid) if valid > 0 else 0.0
+        out[f"rs_m{m}"] = pd.Series([rsm], dtype="float64")
+        out[f"nseg_m{m}"] = pd.Series([valid], dtype="int64")
+        if valid > 0 and rsm > 0.0:
+            pts.append((
+                float(round_half_away(np.float64(math.log(float(m))), 9)),
+                float(round_half_away(np.float64(math.log(rsm)), 9))))
+    hurst = 0.0
+    if len(pts) >= 2:
+        kk = len(pts)
+        sx = pts[0][0]
+        for t in range(1, kk):
+            sx = sx + pts[t][0]
+        sy = pts[0][1]
+        for t in range(1, kk):
+            sy = sy + pts[t][1]
+        sxy = pts[0][0] * pts[0][1]
+        for t in range(1, kk):
+            sxy = sxy + pts[t][0] * pts[t][1]
+        sxx = pts[0][0] * pts[0][0]
+        for t in range(1, kk):
+            sxx = sxx + pts[t][0] * pts[t][0]
+        den = float(kk) * sxx - sx * sx
+        if den != 0.0:
+            hurst = (float(kk) * sxy - sx * sy) / den
+    out["hurst_h"] = pd.Series([hurst], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def image_cutmix_audit(sf_dir: str) -> pd.DataFrame:
+    """CutMix augmentation audit (Yun et al. 2019 — paste a patch of
+    image B into image A, the label-mixing augmentation of image
+    training): consecutive lossless roster pairs (A = img i, B = the
+    next lossless img), a FIXED 16×16 patch anchored at the center of
+    the A/B dimension OVERLAP replaced by B's same-coordinate patch,
+    both operands the REAL decode outputs. Reported exact ints pin the composition: the mixed
+    total equals A_total − A_patch + B_patch (identity asserted
+    engine-side from the actual mixed array, recomputed by SQL from
+    the two closed-form grids), the position-weighted mixed-intensity
+    sum pins WHERE the patch landed, and the mixed-area fraction λ =
+    1 − 256/(h·w) is one division of exact ints (the CutMix label
+    weight)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def grid(i: int) -> "tuple[int, int, np.ndarray]":
+        w = 32 + 8 * ((i * 7) % 16)
+        h = 32 + 8 * ((i * 11) % 16)
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        src = np.stack([(r + 2 * c + i + ch) % 256
+                        for ch in range(3)], axis=-1).astype(np.uint8)
+        return w, h, src
+
+    def mix(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg A: excluded
+                continue
+            j = i + 1 if (i + 1) % 3 != 2 else i + 2   # next lossless
+            wa, ha, srca = grid(i)
+            wb, hb, srcb = grid(j)
+            fa = fmts[i % 3]
+            fb = fmts[j % 3]
+            deca = C.decode(C.encode(srca, fa), fa).astype(np.int64)
+            decb = C.decode(C.encode(srcb, fb), fb).astype(np.int64)
+            # the patch anchors at the center of the A/B OVERLAP so
+            # the same coordinates exist in both (every roster dim is
+            # >= 32 >= 16, so the window always fits)
+            r0 = (min(ha, hb) - 16) // 2
+            c0 = (min(wa, wb) - 16) // 2
+            mixed = deca.copy()
+            mixed[r0:r0 + 16, c0:c0 + 16, :] = \
+                decb[r0:r0 + 16, c0:c0 + 16, :]
+            p = mixed.sum(axis=2)
+            rr = np.arange(ha, dtype=np.int64)[:, None]
+            cc = np.arange(wa, dtype=np.int64)[None, :]
+            a_total = int(deca.sum())
+            a_patch = int(deca[r0:r0 + 16, c0:c0 + 16, :].sum())
+            b_patch = int(decb[r0:r0 + 16, c0:c0 + 16, :].sum())
+            mixed_total = int(mixed.sum())
+            rows.append((
+                i, j, fa, fb, r0, c0, mixed_total, a_patch, b_patch,
+                int((p * (rr * wa + cc)).sum()),
+                bool(mixed_total == a_total - a_patch + b_patch),
+                float(1.0 - 256.0 / float(ha * wa))))
+        return pd.DataFrame(rows, columns=[
+            "img_a", "img_b", "fmt_a", "fmt_b", "r0", "c0",
+            "mixed_total", "a_patch_sum", "b_patch_sum",
+            "mixed_pos_sum", "composition_ok", "lambda_weight"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(mix, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_a", "img_b", "r0", "c0", "mixed_total",
+                "a_patch_sum", "b_patch_sum", "mixed_pos_sum"):
+        out[col] = out[col].astype("int64")
+    out["composition_ok"] = out["composition_ok"].astype(bool)
+    return out.sort_values("img_a").reset_index(drop=True)
+
+
+def image_brightness_audit(sf_dir: str) -> pd.DataFrame:
+    """Photometric brightness-jitter audit — the per-pixel LUT
+    v' = min(255, (6·v)//5) (a +20% integer brightness lift with
+    saturation, the photometric companion of the geometric
+    augmentation anchors): applied channel-wise to the REAL decode
+    output of the lossless roster; reported exact ints are the
+    brightened total, the saturated channel-value count (v' == 255 ⟺
+    v ≥ 213, an exact integer rule), and the position-weighted
+    brightened intensity sum. SQL replays the LUT on the closed-form
+    grid (least(255, 6·v // 5) per channel)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def bright(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            lut = np.minimum(255, (6 * dec) // 5)
+            p = lut.sum(axis=2)
+            rr = np.arange(h, dtype=np.int64)[:, None]
+            cc = np.arange(w, dtype=np.int64)[None, :]
+            rows.append((i, fmt, int(lut.sum()),
+                         int((lut == 255).sum()),
+                         int((p * (rr * w + cc)).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "bright_total", "n_saturated",
+            "bright_pos_sum"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(bright, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "bright_total", "n_saturated",
+                "bright_pos_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

@@ -328,6 +328,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-15: PAVA isotonic, winsorized drift, Chao1
         "isotonic_hourly_trend", "winsorized_drift_events",
         "chao1_vocab_estimate",
+        # round-5 session-16: Lorenz, Hurst R/S, CutMix, brightness
+        "lorenz_curve_events", "hurst_rs_hourly",
+        "image_cutmix_audit", "image_brightness_audit",
     ]
     qs = E.queries()
     out = {}

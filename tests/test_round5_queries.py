@@ -4047,3 +4047,170 @@ class TestChao1VocabEstimate:
         assert float(out.chao1_estimate[0]) == 3.0
         assert float(out.good_turing_unseen[0]) == 0.0
         assert int(out.f1_hapax[0]) == 0
+
+
+class TestLorenzCurveEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.lorenz_curve_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        cents = np.sort(round_half_away(vals * 100).astype(np.int64))
+        n, total = len(cents), int(cents.sum())
+        assert int(out.n_events[0]) == n
+        assert int(out.total_cents[0]) == total
+        pietra = 0.0
+        for k in range(1, 10):
+            lk = float(int(cents[: k * n // 10].sum())) / float(total)
+            assert float(out[f"lorenz_d{k}"][0]) == lk
+            pietra = max(pietra, k / 10 - lk)
+        assert abs(float(out.pietra_index[0]) - pietra) < 1e-12
+        # Lorenz curve of a nonneg-dominated distribution: monotone
+        ds = [float(out[f"lorenz_d{k}"][0]) for k in range(1, 10)]
+        assert all(b >= a for a, b in zip(ds, ds[1:]))
+
+    def test_perfect_equality(self, ray_session):
+        """Identical values: L(k/10) == floor(k*n/10)/n exactly and
+        Pietra ~ 0 (grid roundoff only)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 1000
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(n, 5.0))
+            out = Q.lorenz_curve_events(d)
+        for k in range(1, 10):
+            assert float(out[f"lorenz_d{k}"][0]) == (k * n // 10) / n
+        assert float(out.pietra_index[0]) == 0.0
+
+
+class TestHurstRsHourly:
+    def test_matches_independent_vectorized_rs(self, ray_session):
+        """R/S per window recomputed with vectorized numpy (different
+        association order — compare to 1e-9) and H to the same OLS."""
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.hurst_rs_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        pts = []
+        for m in (8, 16, 32, 64):
+            nseg = len(x) // m
+            rss = []
+            for s in range(nseg):
+                seg = x[s * m:(s + 1) * m]
+                dev = seg - seg.mean()
+                z = np.cumsum(dev)
+                sd = np.sqrt((dev * dev).sum() / m)
+                if sd > 0:
+                    rss.append((z.max() - z.min()) / sd)
+            want = float(np.mean(rss)) if rss else 0.0
+            assert abs(float(out[f"rs_m{m}"][0]) - want) < 1e-9
+            assert int(out[f"nseg_m{m}"][0]) == len(rss)
+            if rss and want > 0:
+                pts.append((np.log(m), np.log(want)))
+        slope = np.polyfit([p[0] for p in pts],
+                           [p[1] for p in pts], 1)[0]
+        assert abs(float(out.hurst_h[0]) - slope) < 1e-6
+
+    def test_persistent_vs_antipersistent(self, ray_session):
+        """A trending (persistent) series scores H near 1; a strictly
+        alternating (anti-persistent) one scores H near 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 256
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+
+        def run(vals):
+            with tempfile.TemporaryDirectory() as d:
+                _write_events(d, ts, vals)
+                return float(Q.hurst_rs_hourly(d).hurst_h[0])
+
+        h_trend = run(np.arange(nh, dtype=float))
+        h_alt = run(np.where(np.arange(nh) % 2 == 0, 10.0, 2.0))
+        assert h_trend > 0.9
+        assert h_alt < 0.2
+        assert h_trend > h_alt
+
+
+class TestImageCutmixAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_cutmix_audit(SF)
+        assert bool(out.composition_ok.all())
+        for img_a in (0, 3):
+            row = out[out.img_a == img_a].iloc[0]
+            j = img_a + 1 if (img_a + 1) % 3 != 2 else img_a + 2
+            assert int(row.img_b) == j
+
+            def grid(i):
+                w = 32 + 8 * ((i * 7) % 16)
+                h = 32 + 8 * ((i * 11) % 16)
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                return w, h, sum((r + 2*c + i + ch) % 256
+                                 for ch in range(3))
+
+            wa, ha, pa = grid(img_a)
+            wb, hb, pb = grid(j)
+            r0 = (min(ha, hb) - 16) // 2
+            c0 = (min(wa, wb) - 16) // 2
+            mixed = pa.copy()
+            mixed[r0:r0+16, c0:c0+16] = pb[r0:r0+16, c0:c0+16]
+            rr = np.arange(ha)[:, None]
+            cc = np.arange(wa)[None, :]
+            assert int(row.mixed_total) == int(mixed.sum())
+            assert int(row.a_patch_sum) == \
+                int(pa[r0:r0+16, c0:c0+16].sum())
+            assert int(row.b_patch_sum) == \
+                int(pb[r0:r0+16, c0:c0+16].sum())
+            assert int(row.mixed_pos_sum) == \
+                int((mixed * (rr * wa + cc)).sum())
+            assert float(row.lambda_weight) == 1.0 - 256.0 / (ha * wa)
+
+
+class TestImageBrightnessAudit:
+    def test_matches_explicit_lut_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_brightness_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            tot = sat = pos = 0
+            for r in range(h):
+                for c in range(w):
+                    p = 0
+                    for ch in range(3):
+                        v = (r + 2*c + img_id + ch) % 256
+                        vv = min(255, 6 * v // 5)
+                        p += vv
+                        sat += vv == 255
+                    tot += p
+                    pos += p * (r * w + c)
+            assert int(row.bright_total) == tot
+            assert int(row.n_saturated) == sat
+            assert int(row.bright_pos_sum) == pos
+
+    def test_saturation_rule_exact(self, ray_session):
+        """min(255, 6v//5) == 255 exactly when v >= 213."""
+        v = np.arange(256)
+        lut = np.minimum(255, 6 * v // 5)
+        assert bool(((lut == 255) == (v >= 213)).all())

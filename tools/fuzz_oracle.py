@@ -120,6 +120,8 @@ EVENT_QUERIES = [
     "dickey_fuller_hourly", "haar_energy_hourly",
     # session-15: isotonic regression + winsorized drift
     "isotonic_hourly_trend", "winsorized_drift_events",
+    # session-16: inequality curve + long-memory diagnostic
+    "lorenz_curve_events", "hurst_rs_hourly",
 ]
 
 
@@ -223,6 +225,8 @@ DOC_QUERIES = [
     "image_gray_hist_audit", "image_rot90_audit",
     # session-15: species richness / unseen-mass estimation
     "chao1_vocab_estimate",
+    # session-16: CutMix + photometric augmentation anchors
+    "image_cutmix_audit", "image_brightness_audit",
 ]
 
 
