@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hurst_rs_hourly": Q.hurst_rs_hourly,
         "image_cutmix_audit": Q.image_cutmix_audit,
         "image_brightness_audit": Q.image_brightness_audit,
+        "type_run_length_stats": Q.type_run_length_stats,
+        "control_chart_hourly": Q.control_chart_hourly,
+        "turning_points_hourly": Q.turning_points_hourly,
+        "record_count_hourly": Q.record_count_hourly,
     }
 
 
@@ -5517,6 +5521,186 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # global run-length profile: gaps-and-islands over the total
+        # (ts, event_id) order — exact ints
+        "type_run_length_stats": """
+            WITH t AS (
+                SELECT event_type,
+                       row_number() OVER (ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, rn,
+                       CASE WHEN lag(event_type) OVER
+                                 (ORDER BY rn)
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS brk
+                FROM t
+            ),
+            r AS (
+                SELECT event_type,
+                       sum(brk) OVER (ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS rid
+                FROM s
+            ),
+            g AS (SELECT rid, CAST(count(*) AS BIGINT) AS len
+                  FROM r GROUP BY 1)
+            SELECT CAST(coalesce(sum(len), 0) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_runs,
+                   CAST(coalesce(max(len), 0) AS BIGINT)
+                       AS max_run_len
+            FROM g
+        """,
+        # Shewhart c-chart: center/limits fixed-shape of exact ints,
+        # OOC comparisons on the same doubles both sides
+        "control_chart_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            idx AS (SELECT c, row_number() OVER (ORDER BY hour) AS i
+                    FROM h),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                          CAST(coalesce(sum(c), 0) AS BIGINT) AS nev
+                   FROM h),
+            lim AS (
+                SELECT nh, nev,
+                       CASE WHEN nh = 0 THEN 0.0
+                            ELSE CAST(nev AS DOUBLE)
+                                 / CAST(nh AS DOUBLE) END AS cbar
+                FROM st
+            ),
+            lm2 AS (
+                SELECT *, cbar + 3.0 * sqrt(cbar) AS ucl,
+                       greatest(0.0, cbar - 3.0 * sqrt(cbar)) AS lcl
+                FROM lim
+            )
+            SELECT lm2.nh AS n_hours, lm2.nev AS n_events,
+                   lm2.cbar AS c_bar,
+                   CASE WHEN lm2.nh = 0 THEN 0.0
+                        ELSE lm2.ucl END AS ucl,
+                   CASE WHEN lm2.nh = 0 THEN 0.0
+                        ELSE lm2.lcl END AS lcl,
+                   CAST(coalesce(sum(CASE WHEN CAST(idx.c AS DOUBLE)
+                                               > lm2.ucl
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_ooc_high,
+                   CAST(coalesce(sum(CASE WHEN CAST(idx.c AS DOUBLE)
+                                               < lm2.lcl
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_ooc_low,
+                   CAST(coalesce(min(CASE WHEN CAST(idx.c AS DOUBLE)
+                                               > lm2.ucl
+                                            OR CAST(idx.c AS DOUBLE)
+                                               < lm2.lcl
+                                          THEN idx.i END), 0)
+                        AS BIGINT) AS first_ooc_idx
+            FROM lm2 LEFT JOIN idx ON TRUE
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        # Kendall turning points: strict local extrema of the
+        # bit-identical hourly means; z fixed-shape
+        "turning_points_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS value_c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            tc AS (
+                SELECT nh,
+                    CASE WHEN nh < 3 THEN 0
+                         ELSE list_reduce(list_transform(
+                             generate_series(2, CAST(nh - 1 AS BIGINT)),
+                             t -> CASE WHEN (xs[t] > xs[t - 1]
+                                             AND xs[t] > xs[t + 1])
+                                         OR (xs[t] < xs[t - 1]
+                                             AND xs[t] < xs[t + 1])
+                                       THEN 1 ELSE 0 END),
+                             (a, b) -> a + b)
+                    END AS tt
+                FROM arr
+            )
+            SELECT nh AS n_hours, CAST(tt AS BIGINT) AS n_turning,
+                   CASE WHEN nh < 3 THEN 0.0
+                        ELSE (2.0 * CAST(nh - 2 AS DOUBLE)) / 3.0
+                   END AS expected_turning,
+                   CASE WHEN nh < 3 THEN 0.0
+                        ELSE (CAST(tt AS DOUBLE)
+                              - (2.0 * CAST(nh - 2 AS DOUBLE)) / 3.0)
+                             / sqrt((16.0 * CAST(nh AS DOUBLE) - 29.0)
+                                    / 90.0)
+                   END AS z_turning
+            FROM tc
+        """,
+        # record counts vs the harmonic expectation; longest strict
+        # increase run via gaps-and-islands on exact comparisons
+        "record_count_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS value_c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            x AS (
+                SELECT (CAST(value_c AS DOUBLE) / 100.0) / n AS v,
+                       row_number() OVER (ORDER BY hour) AS i
+                FROM h
+            ),
+            w AS (
+                SELECT v, i,
+                       max(v) OVER (ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmax,
+                       min(v) OVER (ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS pmin,
+                       lag(v) OVER (ORDER BY i) AS pv
+                FROM x
+            ),
+            runs AS (
+                SELECT sum(CASE WHEN pv IS NULL OR v <= pv
+                                THEN 1 ELSE 0 END)
+                           OVER (ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS rid
+                FROM w
+            ),
+            rl AS (SELECT rid, CAST(count(*) AS BIGINT) AS len
+                   FROM runs GROUP BY 1),
+            agg AS (
+                SELECT
+                    (SELECT CAST(count(*) AS BIGINT) FROM x) AS nh,
+                    (SELECT CAST(coalesce(sum(CASE WHEN pmax IS NULL
+                                 OR v > pmax THEN 1 END), 0)
+                            AS BIGINT) FROM w) AS rh,
+                    (SELECT CAST(coalesce(sum(CASE WHEN pmin IS NULL
+                                 OR v < pmin THEN 1 END), 0)
+                            AS BIGINT) FROM w) AS rlo,
+                    (SELECT CAST(coalesce(max(len), 0) AS BIGINT)
+                     FROM rl) AS mir
+            )
+            SELECT nh AS n_hours, rh AS n_records_high,
+                   rlo AS n_records_low,
+                   CASE WHEN nh = 0 THEN 0.0
+                        ELSE list_reduce(list_transform(
+                            generate_series(1, CAST(nh AS BIGINT)),
+                            k -> 1.0 / CAST(k AS DOUBLE)),
+                            (a, b) -> a + b)
+                   END AS expected_records,
+                   mir AS max_increase_run
+            FROM agg
         """,
         # Lorenz decile ordinates from rank-bounded exact prefix sums;
         # Pietra = max(0, max decile gaps) over fixed-shape doubles

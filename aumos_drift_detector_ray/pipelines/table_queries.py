@@ -16090,3 +16090,269 @@ def image_brightness_audit(sf_dir: str) -> pd.DataFrame:
                 "bright_pos_sum"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-17: distributed segmented scan + monitoring classics
+# ---------------------------------------------------------------------------
+
+def _run_block_summary(et: np.ndarray, first_id: int,
+                       first_ts=None) -> dict:
+    """Constant-size run summary of one contiguous block of the global
+    type sequence (the segmented-scan block reduce). first_ts/first_id
+    are the block's first SORT KEY — the driver orders summaries by
+    (ts, id), the same compound key the dataset is sorted by (id alone
+    is wrong: ids are not correlated with ts, so a later-ts block can
+    hold smaller ids — caught by events fuzz seed 10417)."""
+    n = len(et)
+    idx = np.flatnonzero(et[1:] != et[:-1])
+    starts = np.concatenate([[0], idx + 1])
+    ends = np.concatenate([idx, [n - 1]])
+    lens = (ends - starts + 1).astype(np.int64)
+    return {
+        "first_ts": first_ts,
+        "first_id": np.int64(first_id), "n": np.int64(n),
+        "first_type": et[0], "last_type": et[-1],
+        "prefix_len": np.int64(lens[0]),
+        "suffix_len": np.int64(lens[-1]),
+        "best_mid": np.int64(int(lens[1:-1].max())
+                             if len(lens) >= 3 else 0),
+        "n_runs": np.int64(len(lens)),
+    }
+
+
+def _stitch_run_summaries(s: pd.DataFrame) -> "tuple[int, int, int]":
+    """Fold block run-summaries (already in global order) into exact
+    (n_rows, n_runs, max_run_len) — a run spanning any number of block
+    boundaries is reassembled exactly."""
+    total_rows = 0
+    total_runs = 0
+    max_len = 0
+    cur_type = None
+    cur_len = 0
+    for row in s.itertuples(index=False):
+        total_rows += int(row.n)
+        nb = int(row.n_runs)
+        if cur_type is not None and row.first_type == cur_type:
+            if nb == 1:
+                cur_len += int(row.n)
+                continue
+            # the open run closes with this block's first run
+            max_len = max(max_len, cur_len + int(row.prefix_len))
+            max_len = max(max_len, int(row.best_mid))
+            cur_type = row.last_type
+            cur_len = int(row.suffix_len)
+            total_runs += nb - 1
+        else:
+            if cur_type is not None:
+                max_len = max(max_len, cur_len)
+            if nb == 1:
+                cur_type = row.first_type
+                cur_len = int(row.n)
+                total_runs += 1
+                continue
+            max_len = max(max_len, int(row.prefix_len))
+            max_len = max(max_len, int(row.best_mid))
+            cur_type = row.last_type
+            cur_len = int(row.suffix_len)
+            total_runs += nb
+    if cur_type is not None:
+        max_len = max(max_len, cur_len)
+    return total_rows, total_runs, max_len
+
+
+def type_run_length_stats(sf_dir: str) -> pd.DataFrame:
+    """Run-length profile of the GLOBAL event-type sequence under the
+    deterministic (ts, event_id) total order — the segmented-scan
+    primitive (Blelloch 1990) behind streak/session analytics, and the
+    canonical 'runs can span block boundaries' distributed exercise:
+    the dataset is range-sorted by (ts, event_id), each block reduces
+    to a CONSTANT-size summary (first key, row count, first/last run
+    type+length, interior max, runs-in-block), and the driver stitches
+    O(blocks) summaries in key order — a run crossing any number of
+    block boundaries is reassembled exactly, so n_rows / n_runs /
+    max_run_len are EXACT ints at any scale. SQL mirrors with the
+    gaps-and-islands window recipe."""
+    ds = sf_table(sf_dir, "events", columns=["ts", "event_id",
+                                             "event_type"])
+    sorted_ds = ds.sort(["ts", "event_id"])
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        if n == 0:
+            return pd.DataFrame({
+                "first_ts": pd.Series([], dtype="datetime64[us]"),
+                "first_id": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "first_type": pd.Series([], dtype=object),
+                "last_type": pd.Series([], dtype=object),
+                "prefix_len": pd.Series([], dtype=np.int64),
+                "suffix_len": pd.Series([], dtype=np.int64),
+                "best_mid": pd.Series([], dtype=np.int64),
+                "n_runs": pd.Series([], dtype=np.int64),
+            })
+        d = _run_block_summary(b.event_type.to_numpy(),
+                               int(b.event_id.iloc[0]),
+                               first_ts=b.ts.iloc[0])
+        return pd.DataFrame({k: [v] for k, v in d.items()})
+
+    # batch_size=None: one batch per BLOCK — a bundled batch could
+    # stitch two non-adjacent ranges and the summary must cover a
+    # contiguous slice of the global order
+    s = sorted_ds.map_batches(summarize, batch_format="pandas",
+                              batch_size=None).to_pandas()
+    if len(s) == 0 or "first_id" not in s.columns:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            "n_runs": pd.Series([0], dtype="int64"),
+            "max_run_len": pd.Series([0], dtype="int64"),
+        })
+    s = s.sort_values(["first_ts", "first_id"]).reset_index(drop=True)
+    total_rows, total_runs, max_len = _stitch_run_summaries(s)
+    return pd.DataFrame({
+        "n_rows": pd.Series([total_rows], dtype="int64"),
+        "n_runs": pd.Series([total_runs], dtype="int64"),
+        "max_run_len": pd.Series([max_len], dtype="int64"),
+    })
+
+
+def control_chart_hourly(sf_dir: str) -> pd.DataFrame:
+    """Shewhart c-chart over the hourly event-count process (Shewhart
+    1931 — the SPC arrival-rate monitor beside the Poisson-dispersion
+    tier): center c̄ = N/H is one division of exact ints, the 3σ
+    limits UCL/LCL = c̄ ± 3√c̄ (LCL floored at 0 — max is exact) are
+    fixed-shape IEEE, and the out-of-control counts compare each exact
+    integer count (cast to double, exact) against the SAME limit
+    doubles on both sides. first_ooc_idx is the 1-based index of the
+    earliest OOC hour in hour order (0 = in control throughout)."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": np.ones(len(b), dtype=np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    nh = len(hourly)
+    nev = int(hourly.c.sum()) if nh else 0
+    if nh == 0:
+        return pd.DataFrame({
+            "n_hours": pd.Series([0], dtype="int64"),
+            "n_events": pd.Series([0], dtype="int64"),
+            "c_bar": pd.Series([0.0], dtype="float64"),
+            "ucl": pd.Series([0.0], dtype="float64"),
+            "lcl": pd.Series([0.0], dtype="float64"),
+            "n_ooc_high": pd.Series([0], dtype="int64"),
+            "n_ooc_low": pd.Series([0], dtype="int64"),
+            "first_ooc_idx": pd.Series([0], dtype="int64"),
+        })
+    cbar = float(nev) / float(nh)
+    s = math.sqrt(cbar)
+    ucl = cbar + 3.0 * s
+    lcl = max(0.0, cbar - 3.0 * s)
+    hi = lo = 0
+    first = 0
+    for i, c in enumerate(hourly.c, start=1):
+        fc = float(int(c))
+        oh = fc > ucl
+        ol = fc < lcl
+        hi += oh
+        lo += ol
+        if first == 0 and (oh or ol):
+            first = i
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "n_events": pd.Series([nev], dtype="int64"),
+        "c_bar": pd.Series([cbar], dtype="float64"),
+        "ucl": pd.Series([ucl], dtype="float64"),
+        "lcl": pd.Series([lcl], dtype="float64"),
+        "n_ooc_high": pd.Series([int(hi)], dtype="int64"),
+        "n_ooc_low": pd.Series([int(lo)], dtype="int64"),
+        "first_ooc_idx": pd.Series([first], dtype="int64"),
+    })
+
+
+def turning_points_hourly(sf_dir: str) -> pd.DataFrame:
+    """Kendall turning-points randomness test over the hourly mean
+    series (Kendall & Stuart 1966 — too FEW turning points = trend,
+    too MANY = oscillation): a turning point is a STRICT local
+    extremum (x_{t−1} < x_t > x_{t+1} or mirrored; plateau edges are
+    not counted — comparisons of bit-identical doubles), the exact
+    count T is standardized against E[T] = 2(n−2)/3 and
+    Var[T] = (16n−29)/90 with z ONE fixed-shape expression. n < 3
+    guards to 0 sentinels."""
+    import math
+
+    x = [float(v) for v in _hourly_mean_series(sf_dir)]
+    nh = len(x)
+    t_count = 0
+    for t in range(1, nh - 1):
+        if (x[t] > x[t - 1] and x[t] > x[t + 1]) \
+                or (x[t] < x[t - 1] and x[t] < x[t + 1]):
+            t_count += 1
+    if nh < 3:
+        z = 0.0
+        mean = var = 0.0
+    else:
+        mean = (2.0 * float(nh - 2)) / 3.0
+        var = (16.0 * float(nh) - 29.0) / 90.0
+        z = (float(t_count) - mean) / math.sqrt(var)
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "n_turning": pd.Series([t_count], dtype="int64"),
+        "expected_turning": pd.Series([mean], dtype="float64"),
+        "z_turning": pd.Series([z], dtype="float64"),
+    })
+
+
+def record_count_hourly(sf_dir: str) -> pd.DataFrame:
+    """Record statistics of the hourly mean series (Rényi 1962 record
+    theorem: an i.i.d. series has E[records] = H_n, the harmonic
+    number — record excess is a trend/drift signal): exact counts of
+    strict upper and lower records (the first observation is a record
+    by convention; comparisons on bit-identical doubles against the
+    running extremum, which is exact), the harmonic expectation as a
+    sequential left fold of 1/k, and the longest STRICTLY increasing
+    run length (gaps-and-islands over exact comparisons)."""
+    x = [float(v) for v in _hourly_mean_series(sf_dir)]
+    nh = len(x)
+    if nh == 0:
+        return pd.DataFrame({
+            "n_hours": pd.Series([0], dtype="int64"),
+            "n_records_high": pd.Series([0], dtype="int64"),
+            "n_records_low": pd.Series([0], dtype="int64"),
+            "expected_records": pd.Series([0.0], dtype="float64"),
+            "max_increase_run": pd.Series([0], dtype="int64"),
+        })
+    hi_cnt = lo_cnt = 1
+    hi = lo = x[0]
+    run = best = 1
+    for t in range(1, nh):
+        if x[t] > hi:
+            hi_cnt += 1
+            hi = x[t]
+        if x[t] < lo:
+            lo_cnt += 1
+            lo = x[t]
+        if x[t] > x[t - 1]:
+            run += 1
+            if run > best:
+                best = run
+        else:
+            run = 1
+    harm = 1.0
+    for k in range(2, nh + 1):
+        harm = harm + 1.0 / float(k)
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "n_records_high": pd.Series([hi_cnt], dtype="int64"),
+        "n_records_low": pd.Series([lo_cnt], dtype="int64"),
+        "expected_records": pd.Series([harm], dtype="float64"),
+        "max_increase_run": pd.Series([best], dtype="int64"),
+    })

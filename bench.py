@@ -331,6 +331,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-16: Lorenz, Hurst R/S, CutMix, brightness
         "lorenz_curve_events", "hurst_rs_hourly",
         "image_cutmix_audit", "image_brightness_audit",
+        # round-5 session-17: segmented scan + monitoring classics
+        "type_run_length_stats", "control_chart_hourly",
+        "turning_points_hourly", "record_count_hourly",
     ]
     qs = E.queries()
     out = {}

@@ -4214,3 +4214,144 @@ class TestImageBrightnessAudit:
         v = np.arange(256)
         lut = np.minimum(255, 6 * v // 5)
         assert bool(((lut == 255) == (v >= 213)).all())
+
+
+class TestTypeRunLengthStats:
+    def test_matches_single_pass_bruteforce(self, ray_session):
+        import duckdb
+        import itertools
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.type_run_length_stats(SF)
+        et = duckdb.sql(f"""
+            SELECT event_type FROM '{SF}/events.parquet'
+            ORDER BY ts, event_id
+        """).df().event_type.tolist()
+        runs = [len(list(g)) for _, g in itertools.groupby(et)]
+        assert int(out.n_rows[0]) == len(et)
+        assert int(out.n_runs[0]) == len(runs)
+        assert int(out.max_run_len[0]) == max(runs)
+
+    def test_stitch_reassembles_boundary_spanning_runs(self):
+        """Exhaustive chunking torture: a seeded 400-symbol sequence
+        split into chunks of size 1..7 (runs span many boundaries)
+        must stitch to the same (rows, runs, max) as the single-pass
+        answer — incl. the all-one-type sequence."""
+        import itertools
+
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _run_block_summary, _stitch_run_summaries)
+
+        rng = np.random.default_rng(31)
+
+        def check(seq):
+            want_runs = [len(list(g)) for _, g in itertools.groupby(seq)]
+            pos = 0
+            rows = []
+            while pos < len(seq):
+                size = int(rng.integers(1, 8))
+                chunk = np.asarray(seq[pos:pos + size], dtype=object)
+                rows.append(_run_block_summary(chunk, pos))
+                pos += size
+            got = _stitch_run_summaries(pd.DataFrame(rows))
+            assert got == (len(seq), len(want_runs), max(want_runs))
+
+        seq = [("a", "b", "c")[int(v)]
+               for v in rng.integers(0, 3, 400)]
+        check(seq)
+        check(["x"] * 100)                      # one run, many blocks
+        check([("a", "b")[i % 2] for i in range(50)])   # all runs len 1
+
+
+class TestControlChartHourly:
+    def test_matches_bruteforce_and_planted_spike(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # planted: steady 60/h for 48h, one 600-event spike hour
+        ts = []
+        for h in range(48):
+            k = 600 if h == 30 else 60
+            ts.extend(pd.date_range(
+                f"2024-01-01 {0:02d}:00",
+                periods=k, freq="s") + pd.Timedelta(hours=h))
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts),
+                          np.ones(len(ts), dtype=float))
+            out = Q.control_chart_hourly(d)
+        n, nev = 48, 60 * 47 + 600
+        cbar = nev / n
+        assert float(out.c_bar[0]) == cbar
+        assert int(out.n_ooc_high[0]) == 1
+        assert int(out.first_ooc_idx[0]) == 31
+        assert float(out.ucl[0]) == cbar + 3.0 * np.sqrt(cbar)
+
+
+class TestTurningPointsHourly:
+    def test_matches_bruteforce_and_extremes(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.turning_points_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        tt = sum(1 for t in range(1, len(x) - 1)
+                 if (x[t] > x[t-1] and x[t] > x[t+1])
+                 or (x[t] < x[t-1] and x[t] < x[t+1]))
+        assert int(out.n_turning[0]) == tt
+        # monotone series: zero turning points, z << 0
+        nh = 60
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(nh, dtype=float))
+            mono = Q.turning_points_hourly(d)
+        assert int(mono.n_turning[0]) == 0
+        assert float(mono.z_turning[0]) < -5.0
+        # alternating: every interior point turns, z >> 0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts,
+                          np.where(np.arange(nh) % 2 == 0, 9.0, 1.0))
+            alt = Q.turning_points_hourly(d)
+        assert int(alt.n_turning[0]) == nh - 2
+        assert float(alt.z_turning[0]) > 5.0
+
+
+class TestRecordCountHourly:
+    def test_matches_bruteforce_and_trend(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.record_count_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        rh = 1 + sum(1 for t in range(1, len(x))
+                     if x[t] > x[:t].max())
+        rl = 1 + sum(1 for t in range(1, len(x))
+                     if x[t] < x[:t].min())
+        assert int(out.n_records_high[0]) == rh
+        assert int(out.n_records_low[0]) == rl
+        assert abs(float(out.expected_records[0])
+                   - sum(1.0 / k for k in range(1, len(x) + 1))) < 1e-9
+        # strictly increasing: every point a high record, run == n
+        nh = 40
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.arange(nh, dtype=float))
+            inc = Q.record_count_hourly(d)
+        assert int(inc.n_records_high[0]) == nh
+        assert int(inc.n_records_low[0]) == 1
+        assert int(inc.max_increase_run[0]) == nh

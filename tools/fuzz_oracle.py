@@ -122,6 +122,9 @@ EVENT_QUERIES = [
     "isotonic_hourly_trend", "winsorized_drift_events",
     # session-16: inequality curve + long-memory diagnostic
     "lorenz_curve_events", "hurst_rs_hourly",
+    # session-17: segmented scan + monitoring classics
+    "type_run_length_stats", "control_chart_hourly",
+    "turning_points_hourly", "record_count_hourly",
 ]
 
 
