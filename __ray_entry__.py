@@ -354,6 +354,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "control_chart_hourly": Q.control_chart_hourly,
         "turning_points_hourly": Q.turning_points_hourly,
         "record_count_hourly": Q.record_count_hourly,
+        "funnel_conversion_stats": Q.funnel_conversion_stats,
+        "markov_entropy_rate": Q.markov_entropy_rate,
+        "g_test_types": Q.g_test_types,
+        "image_contrast_norm_audit": Q.image_contrast_norm_audit,
     }
 
 
@@ -5521,6 +5525,176 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # ordered funnel: first-touch anchors, strictly-after steps,
+        # rates single divisions of exact ints
+        "funnel_conversion_stats": """
+            WITH su AS (SELECT user_id, min(ts) AS t_s FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            cl AS (SELECT e.user_id, min(e.ts) AS t_c
+                   FROM events e JOIN su ON su.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > su.t_s
+                   GROUP BY 1),
+            pu AS (SELECT e.user_id, min(e.ts) AS t_p
+                   FROM events e JOIN cl ON cl.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > cl.t_c
+                   GROUP BY 1),
+            agg AS (
+                SELECT
+                    (SELECT CAST(count(DISTINCT user_id) AS BIGINT)
+                     FROM events) AS nu,
+                    (SELECT CAST(count(*) AS BIGINT) FROM su) AS ns,
+                    (SELECT CAST(count(*) AS BIGINT) FROM cl) AS nc,
+                    (SELECT CAST(count(*) AS BIGINT) FROM pu) AS np
+            )
+            SELECT nu AS n_users, ns AS n_signup,
+                   nc AS n_click_after, np AS n_purchase_after,
+                   CASE WHEN nu = 0 THEN 0.0
+                        ELSE CAST(ns AS DOUBLE) / CAST(nu AS DOUBLE)
+                   END AS rate_signup,
+                   CASE WHEN ns = 0 THEN 0.0
+                        ELSE CAST(nc AS DOUBLE) / CAST(ns AS DOUBLE)
+                   END AS rate_click,
+                   CASE WHEN nc = 0 THEN 0.0
+                        ELSE CAST(np AS DOUBLE) / CAST(nc AS DOUBLE)
+                   END AS rate_purchase
+            FROM agg
+        """,
+        # Markov information profile under the entropy()/round(6)
+        # contract, weighted by exact transition counts
+        "markov_entropy_rate": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            tr AS (SELECT prev_type, event_type FROM o
+                   WHERE prev_type IS NOT NULL),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tr),
+            hn AS (SELECT entropy(event_type) AS h FROM tr),
+            hp AS (SELECT prev_type, count(*) AS cnt,
+                          entropy(event_type) AS eh
+                   FROM tr GROUP BY 1),
+            hc AS (SELECT CASE WHEN (SELECT n FROM tot) = 0 THEN 0.0
+                               ELSE sum(cnt * eh)
+                                    / (SELECT n FROM tot) END AS h
+                   FROM hp)
+            SELECT (SELECT n FROM tot) AS n_transitions,
+                   CASE WHEN (SELECT n FROM tot) = 0 THEN 0.0
+                        ELSE CAST(round((SELECT h FROM hn), 6)
+                                  AS DOUBLE) END AS h_next,
+                   CASE WHEN (SELECT n FROM tot) = 0 THEN 0.0
+                        ELSE CAST(round((SELECT h FROM hc), 6)
+                                  AS DOUBLE) END AS h_next_given_prev,
+                   CASE WHEN (SELECT n FROM tot) = 0 THEN 0.0
+                        ELSE CAST(round((SELECT h FROM hn)
+                                        - (SELECT h FROM hc), 6)
+                                  AS DOUBLE) END AS mutual_info
+        """,
+        # Wilks G: per-type (ref term + prod term) left-folded in type
+        # order; zero cells contribute 0; round-6 final contract
+        "g_test_types": """
+            WITH ct AS (
+                SELECT event_type,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_prod
+                FROM events GROUP BY 1
+            ),
+            m AS (SELECT CAST(coalesce(sum(c_ref + c_prod), 0)
+                              AS BIGINT) AS n,
+                         CAST(coalesce(sum(c_ref), 0) AS BIGINT)
+                             AS col_ref,
+                         CAST(coalesce(sum(c_prod), 0) AS BIGINT)
+                             AS col_prod,
+                         CAST(count(*) AS BIGINT) AS k
+                  FROM ct),
+            cell AS (
+                SELECT list(
+                    (CASE WHEN c_ref > 0 AND c_ref + c_prod > 0
+                               AND m.col_ref > 0
+                          THEN CAST(c_ref AS DOUBLE)
+                               * ln(CAST(CAST(c_ref AS HUGEINT)
+                                         * m.n AS DOUBLE)
+                                    / CAST(CAST(c_ref + c_prod
+                                                AS HUGEINT)
+                                           * m.col_ref AS DOUBLE))
+                          ELSE 0.0 END)
+                    + (CASE WHEN c_prod > 0 AND c_ref + c_prod > 0
+                                 AND m.col_prod > 0
+                            THEN CAST(c_prod AS DOUBLE)
+                                 * ln(CAST(CAST(c_prod AS HUGEINT)
+                                           * m.n AS DOUBLE)
+                                      / CAST(CAST(c_ref + c_prod
+                                                  AS HUGEINT)
+                                             * m.col_prod AS DOUBLE))
+                            ELSE 0.0 END)
+                    ORDER BY event_type) AS terms
+                FROM ct, m GROUP BY m.n, m.col_ref, m.col_prod
+            )
+            SELECT m.n AS n_events, m.k AS n_types,
+                   greatest(0, m.k - 1) AS df,
+                   CASE WHEN m.k = 0 THEN 0.0
+                        ELSE CAST(round(2.0 * list_reduce(cell.terms,
+                                 (a, b) -> a + b), 6) AS DOUBLE)
+                   END AS g_stat
+            FROM m LEFT JOIN cell ON TRUE
+        """,
+        # min-max contrast LUT replayed on the closed-form grid; exact
+        # integer arithmetic end-to-end
+        "image_contrast_norm_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt, w, h, r, c,
+                          (r + 2*c + i) % 256 AS v0,
+                          (r + 2*c + i + 1) % 256 AS v1,
+                          (r + 2*c + i + 2) % 256 AS v2
+                   FROM px),
+            mx AS (SELECT i, min(least(v0, v1, v2)) AS vmin,
+                          max(greatest(v0, v1, v2)) AS vmax
+                   FROM pv GROUP BY 1),
+            nv AS (
+                SELECT pv.i, pv.fmt, pv.w, pv.h, pv.r, pv.c,
+                       mx.vmin, mx.vmax,
+                       CASE WHEN mx.vmax = mx.vmin THEN 0
+                            ELSE (pv.v0 - mx.vmin) * 255
+                                 // (mx.vmax - mx.vmin) END
+                     + CASE WHEN mx.vmax = mx.vmin THEN 0
+                            ELSE (pv.v1 - mx.vmin) * 255
+                                 // (mx.vmax - mx.vmin) END
+                     + CASE WHEN mx.vmax = mx.vmin THEN 0
+                            ELSE (pv.v2 - mx.vmin) * 255
+                                 // (mx.vmax - mx.vmin) END AS p
+                FROM pv JOIN mx ON mx.i = pv.i
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(vmin AS BIGINT) AS vmin,
+                   CAST(vmax AS BIGINT) AS vmax,
+                   CAST(sum(p) AS BIGINT) AS norm_total,
+                   CAST(sum(p * (r * w + c)) AS BIGINT)
+                       AS norm_pos_sum,
+                   (vmin = 0 AND vmax = 255) AS full_range
+            FROM nv GROUP BY 1, 2, 3, 4, vmin, vmax ORDER BY 1
         """,
         # global run-length profile: gaps-and-islands over the total
         # (ts, event_id) order — exact ints

@@ -16356,3 +16356,234 @@ def record_count_hourly(sf_dir: str) -> pd.DataFrame:
         "expected_records": pd.Series([harm], dtype="float64"),
         "max_increase_run": pd.Series([best], dtype="int64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-18: funnel analytics, Markov information, likelihood-ratio
+# test, contrast normalization
+# ---------------------------------------------------------------------------
+
+def funnel_conversion_stats(sf_dir: str) -> pd.DataFrame:
+    """Ordered funnel conversion signup → click → purchase with
+    first-touch semantics (the product-analytics staple): per user the
+    anchor is the EARLIEST signup, the second step the earliest click
+    STRICTLY after it, the third the earliest purchase strictly after
+    that click — equal-timestamp events do not advance the funnel
+    (deterministic, mirrored by SQL's > on the same microsecond
+    timestamps). Each user's whole event stream co-locates through ONE
+    user-hash-bucketed exchange; inside a bucket the three steps are
+    vectorized min-merges (no per-user Python loop); the driver adds
+    O(buckets) count rows and the conversion rates are single
+    divisions of exact ints."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts",
+                                             "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        users = g.user_id.nunique()
+        su = g.loc[g.event_type == "signup", ["user_id", "ts"]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_s"})
+        cl = g.loc[g.event_type == "click", ["user_id", "ts"]] \
+            .merge(su, on="user_id")
+        cl = cl[cl.ts > cl.t_s] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_c"})
+        pu = g.loc[g.event_type == "purchase", ["user_id", "ts"]] \
+            .merge(cl, on="user_id")
+        pu = pu[pu.ts > pu.t_c] \
+            .groupby("user_id", as_index=False)["ts"].min()
+        return pd.DataFrame({
+            "n_users": [int(users)],
+            "n_signup": [int(len(su))],
+            "n_click_after": [int(len(cl))],
+            "n_purchase_after": [int(len(pu))],
+        })
+
+    f = ds.map_batches(add_bucket, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .to_pandas()
+    nu = int(f.n_users.sum()) if len(f) else 0
+    ns = int(f.n_signup.sum()) if len(f) else 0
+    nc = int(f.n_click_after.sum()) if len(f) else 0
+    npu = int(f.n_purchase_after.sum()) if len(f) else 0
+    return pd.DataFrame({
+        "n_users": pd.Series([nu], dtype="int64"),
+        "n_signup": pd.Series([ns], dtype="int64"),
+        "n_click_after": pd.Series([nc], dtype="int64"),
+        "n_purchase_after": pd.Series([npu], dtype="int64"),
+        "rate_signup": pd.Series(
+            [0.0 if nu == 0 else float(ns) / float(nu)],
+            dtype="float64"),
+        "rate_click": pd.Series(
+            [0.0 if ns == 0 else float(nc) / float(ns)],
+            dtype="float64"),
+        "rate_purchase": pd.Series(
+            [0.0 if nc == 0 else float(npu) / float(nc)],
+            dtype="float64"),
+    })
+
+
+def markov_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """Information profile of the per-user event-type Markov chain —
+    conditional entropy H(next | prev) and the transition mutual
+    information I = H(next) − H(next | prev) (how predictable is the
+    next action?): all from the EXACT transition counts of the proven
+    event_type_transitions exchange, evaluated under the established
+    entropy log2/round(6) contract (DuckDB entropy() mirrored; the
+    components and the difference each round independently)."""
+    tr = event_type_transitions(sf_dir)     # (prev_type, type, n) exact
+    n = int(tr.n.sum()) if len(tr) else 0
+    if n == 0:
+        return pd.DataFrame({
+            "n_transitions": pd.Series([0], dtype="int64"),
+            "h_next": pd.Series([0.0], dtype="float64"),
+            "h_next_given_prev": pd.Series([0.0], dtype="float64"),
+            "mutual_info": pd.Series([0.0], dtype="float64"),
+        })
+
+    def ent(counts: np.ndarray) -> float:
+        p = counts.astype(np.float64) / counts.sum()
+        return float(-(p * np.log2(p)).sum())
+
+    hn = ent(tr.groupby("event_type")["n"].sum()
+             .sort_index().to_numpy(np.int64))
+    num = 0.0
+    for _, g in sorted(tr.groupby("prev_type"), key=lambda kv: kv[0]):
+        cnt = int(g.n.sum())
+        num += cnt * ent(g.sort_values("event_type")
+                         .n.to_numpy(np.int64))
+    hc = num / n
+    return pd.DataFrame({
+        "n_transitions": pd.Series([n], dtype="int64"),
+        "h_next": pd.Series([float(round_half_away(hn, 6))],
+                            dtype="float64"),
+        "h_next_given_prev": pd.Series(
+            [float(round_half_away(hc, 6))], dtype="float64"),
+        "mutual_info": pd.Series(
+            [float(round_half_away(hn - hc, 6))], dtype="float64"),
+    })
+
+
+def g_test_types(sf_dir: str) -> pd.DataFrame:
+    """Likelihood-ratio G-test of event-type homogeneity between the
+    parity halves (Wilks 1938 — the LR companion of chi2_events_type;
+    asymptotically equivalent, better behaved at small expected
+    counts): G = 2 Σ o·ln(o·N/(row·col)) over cells in deterministic
+    (type, half) order with EXACT integer o/N/row/col (products bounded
+    past int64 by HUGEINT in SQL; zero cells contribute 0 by the
+    o·ln o → 0 convention on both sides), under the final round-6
+    contract that absorbs DuckDB's measured ln divergence. df =
+    #types − 1."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "c_ref": is_ref.astype(np.int64),
+            "c_prod": (~is_ref).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("c_ref", alias_name="c_ref"),
+            Sum("c_prod", alias_name="c_prod")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = int(g.c_ref.sum() + g.c_prod.sum())
+    col_ref = int(g.c_ref.sum())
+    col_prod = int(g.c_prod.sum())
+    # per-type contribution = ref term + prod term (one local add),
+    # then a left fold in type order — the exact association the SQL
+    # list_reduce replays
+    acc = 0.0
+    first = True
+    for row in g.itertuples(index=False):
+        rt = int(row.c_ref) + int(row.c_prod)
+
+        def term(o: int, ct: int) -> float:
+            if o > 0 and rt > 0 and ct > 0:
+                return float(o) * math.log(float(o * n)
+                                           / float(rt * ct))
+            return 0.0
+
+        cell = term(int(row.c_ref), col_ref) \
+            + term(int(row.c_prod), col_prod)
+        if first:
+            acc = cell
+            first = False
+        else:
+            acc = acc + cell
+    gstat = 2.0 * acc
+    return pd.DataFrame({
+        "n_events": pd.Series([n], dtype="int64"),
+        "n_types": pd.Series([len(g)], dtype="int64"),
+        "df": pd.Series([max(0, len(g) - 1)], dtype="int64"),
+        "g_stat": pd.Series([float(round_half_away(
+            np.float64(gstat), 6))], dtype="float64"),
+    })
+
+
+def image_contrast_norm_audit(sf_dir: str) -> pd.DataFrame:
+    """Min-max contrast-normalization audit — the per-image intensity
+    rescale v' = (v − vmin)·255 // (vmax − vmin) every preprocessing
+    stack applies before training (exact INTEGER LUT, so the audit is
+    contract-free): vmin/vmax are the REAL decode output's global
+    channel-value extremes (exact ints — any codec bit flip moves
+    them), and the reported normalized total + position-weighted sum
+    replay the LUT over every pixel-channel. Degenerate flat images
+    (vmax == vmin) map to all-zero (guarded identically in SQL)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def norm(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            vmin, vmax = int(dec.min()), int(dec.max())
+            if vmax == vmin:
+                lut = np.zeros_like(dec)
+            else:
+                lut = (dec - vmin) * 255 // (vmax - vmin)
+            p = lut.sum(axis=2)
+            rr = np.arange(h, dtype=np.int64)[:, None]
+            cc = np.arange(w, dtype=np.int64)[None, :]
+            rows.append((i, fmt, vmin, vmax, int(lut.sum()),
+                         int((p * (rr * w + cc)).sum()),
+                         bool(vmin == 0 and vmax == 255)))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "vmin", "vmax", "norm_total",
+            "norm_pos_sum", "full_range"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(norm, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "vmin", "vmax", "norm_total",
+                "norm_pos_sum"):
+        out[col] = out[col].astype("int64")
+    out["full_range"] = out["full_range"].astype(bool)
+    return out.sort_values("img_id").reset_index(drop=True)

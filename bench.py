@@ -334,6 +334,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-17: segmented scan + monitoring classics
         "type_run_length_stats", "control_chart_hourly",
         "turning_points_hourly", "record_count_hourly",
+        # round-5 session-18: funnel, Markov info, G-test, contrast
+        "funnel_conversion_stats", "markov_entropy_rate",
+        "g_test_types", "image_contrast_norm_audit",
     ]
     qs = E.queries()
     out = {}

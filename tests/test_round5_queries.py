@@ -4355,3 +4355,158 @@ class TestRecordCountHourly:
         assert int(inc.n_records_high[0]) == nh
         assert int(inc.n_records_low[0]) == 1
         assert int(inc.max_increase_run[0]) == nh
+
+
+class TestFunnelConversionStats:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.funnel_conversion_stats(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_type
+            FROM '{SF}/events.parquet'
+        """).df()
+        ns = nc = npu = 0
+        for _, g in df.groupby("user_id"):
+            s = g[g.event_type == "signup"].ts
+            if len(s) == 0:
+                continue
+            ns += 1
+            ts_ = s.min()
+            c = g[(g.event_type == "click") & (g.ts > ts_)].ts
+            if len(c) == 0:
+                continue
+            nc += 1
+            tc = c.min()
+            p = g[(g.event_type == "purchase") & (g.ts > tc)]
+            npu += len(p) > 0
+        assert int(out.n_signup[0]) == ns
+        assert int(out.n_click_after[0]) == nc
+        assert int(out.n_purchase_after[0]) == npu
+        assert int(out.n_users[0]) == df.user_id.nunique()
+
+    def test_strictly_after_semantics(self, ray_session):
+        """A click AT the signup timestamp does not advance the
+        funnel; one a microsecond later does."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = pd.Timestamp("2024-01-01")
+        rows = [
+            (1, base, "signup"), (1, base, "click"),             # tie
+            (2, base, "signup"),
+            (2, base + pd.Timedelta(microseconds=1), "click"),         # after
+        ]
+        ts = [r[1] for r in rows]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts),
+                          np.ones(len(rows)),
+                          types=[r[2] for r in rows],
+                          users=np.array([r[0] for r in rows]))
+            out = Q.funnel_conversion_stats(d)
+        assert int(out.n_signup[0]) == 2
+        assert int(out.n_click_after[0]) == 1
+
+
+class TestMarkovEntropyRate:
+    def test_deterministic_vs_uniform_chain(self, ray_session):
+        """A deterministic cycle has H(next|prev) == 0 and MI ==
+        H(next); per-user i.i.d. uniform types leave MI ~ 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 900
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        cyc = [("click", "view", "purchase")[i % 3] for i in range(n)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=cyc,
+                          users=np.zeros(n))
+            det = Q.markov_entropy_rate(d)
+        assert float(det.h_next_given_prev[0]) == 0.0
+        assert float(det.mutual_info[0]) == float(det.h_next[0])
+        rng = np.random.default_rng(5)
+        iid = [("click", "view", "purchase")[v]
+               for v in rng.integers(0, 3, n)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=iid,
+                          users=np.zeros(n))
+            u = Q.markov_entropy_rate(d)
+        assert abs(float(u.mutual_info[0])) < 0.02
+
+
+class TestGTestTypes:
+    def test_matches_scipy_free_bruteforce(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.g_test_types(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type,
+                   sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS r,
+                   sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS p
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        n = int(df.r.sum() + df.p.sum())
+        cr, cp = int(df.r.sum()), int(df.p.sum())
+        g = 0.0
+        for _, row in df.iterrows():
+            rt = int(row.r) + int(row.p)
+            for o, ct in ((int(row.r), cr), (int(row.p), cp)):
+                if o > 0:
+                    g += o * math.log(o * n / (rt * ct))
+        assert abs(float(out.g_stat[0]) - 2.0 * g) < 1e-5
+        assert int(out.df[0]) == len(df) - 1
+
+    def test_identical_halves_g_zero(self, ray_session):
+        """Type counts identical in both halves: G == 0 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 600
+        types = [("click", "view", "error")[(i // 2) % 3]
+                 for i in range(n)]     # each pair split across halves
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=types)
+            out = Q.g_test_types(d)
+        assert float(out.g_stat[0]) == 0.0
+
+
+class TestImageContrastNormAudit:
+    def test_matches_explicit_lut_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_contrast_norm_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            vals = [((r + 2*c + img_id + ch) % 256)
+                    for r in range(h) for c in range(w)
+                    for ch in range(3)]
+            vmin, vmax = min(vals), max(vals)
+            assert (int(row.vmin), int(row.vmax)) == (vmin, vmax)
+            tot = pos = 0
+            for r in range(h):
+                for c in range(w):
+                    p = 0
+                    for ch in range(3):
+                        v = (r + 2*c + img_id + ch) % 256
+                        p += (v - vmin) * 255 // (vmax - vmin)
+                    tot += p
+                    pos += p * (r * w + c)
+            assert int(row.norm_total) == tot
+            assert int(row.norm_pos_sum) == pos
+            assert bool(row.full_range) == (vmin == 0 and vmax == 255)
+
+    def test_flat_image_maps_to_zero(self):
+        """The degenerate vmax == vmin guard: LUT of a flat array is
+        all zeros (unit-level, mirrors the engine branch)."""
+        flat = np.full((4, 4, 3), 77, dtype=np.int64)
+        vmin, vmax = int(flat.min()), int(flat.max())
+        lut = (np.zeros_like(flat) if vmax == vmin
+               else (flat - vmin) * 255 // (vmax - vmin))
+        assert int(lut.sum()) == 0

@@ -125,6 +125,9 @@ EVENT_QUERIES = [
     # session-17: segmented scan + monitoring classics
     "type_run_length_stats", "control_chart_hourly",
     "turning_points_hourly", "record_count_hourly",
+    # session-18: funnel, Markov information, G-test
+    "funnel_conversion_stats", "markov_entropy_rate",
+    "g_test_types",
 ]
 
 
@@ -230,6 +233,8 @@ DOC_QUERIES = [
     "chao1_vocab_estimate",
     # session-16: CutMix + photometric augmentation anchors
     "image_cutmix_audit", "image_brightness_audit",
+    # session-18: contrast normalization anchor
+    "image_contrast_norm_audit",
 ]
 
 
