@@ -358,6 +358,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_entropy_rate": Q.markov_entropy_rate,
         "g_test_types": Q.g_test_types,
         "image_contrast_norm_audit": Q.image_contrast_norm_audit,
+        "cohort_retention_matrix": Q.cohort_retention_matrix,
+        "value_mode_events": Q.value_mode_events,
+        "funnel_latency_quantiles": Q.funnel_latency_quantiles,
     }
 
 
@@ -5525,6 +5528,80 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # day-cohort retention: calendar-day equality flags folded per
+        # cohort; rates single divisions of exact ints
+        "cohort_retention_matrix": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              date_trunc('day', ts) AS day
+                       FROM events),
+            fu AS (SELECT user_id, min(day) AS cohort
+                   FROM d GROUP BY 1),
+            fl AS (SELECT fu.user_id, fu.cohort,
+                          max(CASE WHEN d.day = fu.cohort
+                                        + INTERVAL 1 DAY
+                                   THEN 1 ELSE 0 END) AS d1,
+                          max(CASE WHEN d.day = fu.cohort
+                                        + INTERVAL 7 DAY
+                                   THEN 1 ELSE 0 END) AS d7
+                   FROM fu JOIN d ON d.user_id = fu.user_id
+                   GROUP BY 1, 2)
+            SELECT cohort AS cohort_day,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(d1) AS BIGINT) AS n_d1,
+                   CAST(sum(d7) AS BIGINT) AS n_d7,
+                   CAST(sum(d1) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS rate_d1,
+                   CAST(sum(d7) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS rate_d7
+            FROM fl GROUP BY 1 ORDER BY 1
+        """,
+        # exact mode of cents with (count DESC, value ASC) choice
+        "value_mode_events": """
+            WITH u AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                       FROM (SELECT * FROM events
+                             WHERE value IS NOT NULL
+                               AND NOT isnan(value))),
+            g AS (SELECT c, CAST(count(*) AS BIGINT) AS n
+                  FROM u GROUP BY 1),
+            t AS (SELECT c, n FROM g ORDER BY n DESC, c LIMIT 1)
+            SELECT t.c AS mode_cents,
+                   CAST(t.c AS DOUBLE) / 100.0 AS mode_value,
+                   t.n AS n_mode,
+                   (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_total
+            FROM t
+            UNION ALL
+            SELECT 0, 0.0, 0, 0
+            WHERE NOT EXISTS (SELECT 1 FROM u)
+        """,
+        # funnel latency: exact integer minutes, quantile_disc probes
+        "funnel_latency_quantiles": """
+            WITH su AS (SELECT user_id, min(ts) AS t_s FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            cl AS (SELECT e.user_id, min(e.ts) AS t_c,
+                          min(su.t_s) AS t_s
+                   FROM events e JOIN su ON su.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > su.t_s
+                   GROUP BY 1),
+            lat AS (SELECT (epoch_us(t_c) - epoch_us(t_s))
+                           // 60000000 AS m
+                    FROM cl),
+            q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         quantile_disc(m, 0.25) AS q25,
+                         quantile_disc(m, 0.5) AS q50,
+                         quantile_disc(m, 0.75) AS q75,
+                         quantile_disc(m, 0.9) AS q90
+                  FROM lat)
+            SELECT n AS n_converting,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(q25 AS DOUBLE) END AS p25_min,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(q50 AS DOUBLE) END AS p50_min,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(q75 AS DOUBLE) END AS p75_min,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(q90 AS DOUBLE) END AS p90_min
+            FROM q
         """,
         # ordered funnel: first-touch anchors, strictly-after steps,
         # rates single divisions of exact ints

@@ -16587,3 +16587,183 @@ def image_contrast_norm_audit(sf_dir: str) -> pd.DataFrame:
         out[col] = out[col].astype("int64")
     out["full_range"] = out["full_range"].astype(bool)
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-19: cohort retention, exact mode, funnel latency
+# ---------------------------------------------------------------------------
+
+def cohort_retention_matrix(sf_dir: str) -> pd.DataFrame:
+    """Day-cohort retention matrix (the growth-analytics staple): a
+    user's cohort is the calendar day of their FIRST event, and the
+    D1/D7 columns count cohort members with ≥1 event exactly 1 / 7
+    days after the cohort day (calendar-day equality on microsecond
+    timestamps — deterministic on both sides). Per-user streams
+    co-locate through ONE user-hash-bucketed exchange; a bucket emits
+    per-cohort partial counts and the driver folds O(days) rows.
+    Retention rates are single divisions of exact ints."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"user_id": g.user_id,
+                          "day": g.ts.dt.floor("D")}).drop_duplicates()
+        first = d.groupby("user_id", as_index=False)["day"].min() \
+            .rename(columns={"day": "cohort"})
+        m = d.merge(first, on="user_id")
+        m["is_d1"] = m.day == m.cohort + pd.Timedelta(days=1)
+        m["is_d7"] = m.day == m.cohort + pd.Timedelta(days=7)
+        per_user = m.groupby(["user_id", "cohort"], as_index=False) \
+            .agg(d1=("is_d1", "any"), d7=("is_d7", "any"))
+        return per_user.groupby("cohort", as_index=False).agg(
+            n_users=("user_id", "size"),
+            n_d1=("d1", "sum"), n_d7=("d7", "sum"))
+
+    f = ds.map_batches(add_bucket, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if len(f) == 0 or "cohort" not in f.columns:
+        return pd.DataFrame({
+            "cohort_day": pd.Series([], dtype="datetime64[us]"),
+            "n_users": pd.Series([], dtype="int64"),
+            "n_d1": pd.Series([], dtype="int64"),
+            "n_d7": pd.Series([], dtype="int64"),
+            "rate_d1": pd.Series([], dtype="float64"),
+            "rate_d7": pd.Series([], dtype="float64"),
+        })
+    out = f.groupby("cohort", as_index=False).agg(
+        n_users=("n_users", "sum"), n_d1=("n_d1", "sum"),
+        n_d7=("n_d7", "sum")).sort_values("cohort") \
+        .reset_index(drop=True)
+    return pd.DataFrame({
+        "cohort_day": out.cohort.astype("datetime64[us]"),
+        "n_users": out.n_users.astype("int64"),
+        "n_d1": out.n_d1.astype("int64"),
+        "n_d7": out.n_d7.astype("int64"),
+        "rate_d1": (out.n_d1.to_numpy(np.int64).astype(np.float64)
+                    / out.n_users.to_numpy(np.int64)
+                    .astype(np.float64)),
+        "rate_d7": (out.n_d7.to_numpy(np.int64).astype(np.float64)
+                    / out.n_users.to_numpy(np.int64)
+                    .astype(np.float64)),
+    })
+
+
+def value_mode_events(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed mode of the clean value distribution (in
+    cents — the most common price point): per-block value counts flow
+    through the value-hash-bucketed exchange (a value lives wholly in
+    one bucket so per-bucket counts are exact global counts), each
+    bucket emits its (count DESC, cents ASC) champion, and the driver
+    picks the global argmax with the lowest-value tie-break over
+    O(buckets) rows. Empty input guards to the 0-count sentinel."""
+    from ..sketches import hash64
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                     .astype(np.int64),
+        }).groupby("cents", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["bucket"] = (
+            hash64(g.cents.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return g
+
+    def champion(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("cents", as_index=False).agg(n=("n", "sum"))
+        m = m.sort_values(["n", "cents"],
+                          ascending=[False, True]).head(1)
+        m["total"] = int(g.n.sum())
+        return m
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(champion,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if len(f) == 0 or "cents" not in f.columns:
+        return pd.DataFrame({
+            "mode_cents": pd.Series([0], dtype="int64"),
+            "mode_value": pd.Series([0.0], dtype="float64"),
+            "n_mode": pd.Series([0], dtype="int64"),
+            "n_total": pd.Series([0], dtype="int64"),
+        })
+    top = f.sort_values(["n", "cents"],
+                        ascending=[False, True]).iloc[0]
+    return pd.DataFrame({
+        "mode_cents": pd.Series([int(top.cents)], dtype="int64"),
+        "mode_value": pd.Series([float(int(top.cents)) / 100.0],
+                                dtype="float64"),
+        "n_mode": pd.Series([int(top.n)], dtype="int64"),
+        "n_total": pd.Series([int(f.total.sum())], dtype="int64"),
+    })
+
+
+def funnel_latency_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Signup-to-first-click conversion latency quantiles over the
+    funnel's converting users (the time-to-convert profile beside the
+    conversion-rate funnel): latencies are EXACT integer minutes
+    ((t_click − t_signup) microseconds // 60e6, first-touch anchors
+    with the funnel's strictly-after semantics) computed inside the
+    same user-bucketed exchange, and the p25/p50/p75/p90 probes are
+    exact quantile_disc order-statistic selections (actual data
+    values — no rounding contract). No converting users guards to the
+    0-row sentinel shape."""
+    from ..sketches import hash64
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts",
+                                             "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        su = g.loc[g.event_type == "signup", ["user_id", "ts"]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "t_s"})
+        cl = g.loc[g.event_type == "click", ["user_id", "ts"]] \
+            .merge(su, on="user_id")
+        cl = cl[cl.ts > cl.t_s] \
+            .groupby(["user_id"], as_index=False) \
+            .agg(t_c=("ts", "min"), t_s=("t_s", "first"))
+        lat = ((cl.t_c.astype("datetime64[us]").astype("int64")
+                - cl.t_s.astype("datetime64[us]").astype("int64"))
+               // 60_000_000)
+        return pd.DataFrame({"lat_min": lat.astype(np.int64)})
+
+    lats = ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas")
+    n = lats.count()
+    if n == 0:
+        return pd.DataFrame({
+            "n_converting": pd.Series([0], dtype="int64"),
+            "p25_min": pd.Series([0.0], dtype="float64"),
+            "p50_min": pd.Series([0.0], dtype="float64"),
+            "p75_min": pd.Series([0.0], dtype="float64"),
+            "p90_min": pd.Series([0.0], dtype="float64"),
+        })
+    q = exact_quantiles(lats, "lat_min", [0.25, 0.5, 0.75, 0.9],
+                        method="inverted_cdf")
+    return pd.DataFrame({
+        "n_converting": pd.Series([int(n)], dtype="int64"),
+        "p25_min": pd.Series([float(q[0])], dtype="float64"),
+        "p50_min": pd.Series([float(q[1])], dtype="float64"),
+        "p75_min": pd.Series([float(q[2])], dtype="float64"),
+        "p90_min": pd.Series([float(q[3])], dtype="float64"),
+    })

@@ -337,6 +337,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-18: funnel, Markov info, G-test, contrast
         "funnel_conversion_stats", "markov_entropy_rate",
         "g_test_types", "image_contrast_norm_audit",
+        # round-5 session-19: cohort retention, mode, funnel latency
+        "cohort_retention_matrix", "value_mode_events",
+        "funnel_latency_quantiles",
     ]
     qs = E.queries()
     out = {}

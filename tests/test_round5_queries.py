@@ -4510,3 +4510,115 @@ class TestImageContrastNormAudit:
         lut = (np.zeros_like(flat) if vmax == vmin
                else (flat - vmin) * 255 // (vmax - vmin))
         assert int(lut.sum()) == 0
+
+
+class TestCohortRetentionMatrix:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.cohort_retention_matrix(SF)
+        df = duckdb.sql(f"""
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM '{SF}/events.parquet'
+        """).df()
+        first = df.groupby("user_id")["day"].min()
+        want = {}
+        for uid, g in df.groupby("user_id"):
+            c = first[uid]
+            days = set(g.day)
+            e = want.setdefault(c, [0, 0, 0])
+            e[0] += 1
+            e[1] += (c + pd.Timedelta(days=1)) in days
+            e[2] += (c + pd.Timedelta(days=7)) in days
+        for _, row in out.iterrows():
+            u, d1, d7 = want[row.cohort_day]
+            assert (int(row.n_users), int(row.n_d1),
+                    int(row.n_d7)) == (u, d1, d7)
+        assert len(out) == len(want)
+
+    def test_planted_retention(self, ray_session):
+        """User A returns on day 1, user B on day 7, user C never."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = pd.Timestamp("2024-01-01 10:00")
+        rows = [(1, base), (1, base + pd.Timedelta(days=1)),
+                (2, base), (2, base + pd.Timedelta(days=7)),
+                (3, base)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime([r[1] for r in rows]),
+                          np.ones(len(rows)),
+                          users=np.array([r[0] for r in rows]))
+            out = Q.cohort_retention_matrix(d)
+        assert len(out) == 1
+        assert int(out.n_users[0]) == 3
+        assert int(out.n_d1[0]) == 1
+        assert int(out.n_d7[0]) == 1
+        assert float(out.rate_d1[0]) == 1.0 / 3.0
+
+
+class TestValueModeEvents:
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.value_mode_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        cnt = collections.Counter(
+            round_half_away(vals * 100).astype(np.int64).tolist())
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert int(out.mode_cents[0]) == best[0]
+        assert int(out.n_mode[0]) == best[1]
+        assert int(out.n_total[0]) == len(vals)
+
+    def test_lowest_value_tie_break(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = [3.0, 3.0, 1.0, 1.0, 2.0]   # tie between 100 and 300
+        ts = pd.date_range("2024-01-01", periods=5, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.asarray(vals))
+            out = Q.value_mode_events(d)
+        assert int(out.mode_cents[0]) == 100
+        assert int(out.n_mode[0]) == 2
+
+
+class TestFunnelLatencyQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.funnel_latency_quantiles(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_type
+            FROM '{SF}/events.parquet'
+        """).df()
+        lats = []
+        for _, g in df.groupby("user_id"):
+            s = g[g.event_type == "signup"].ts
+            if len(s) == 0:
+                continue
+            ts_ = s.min()
+            c = g[(g.event_type == "click") & (g.ts > ts_)].ts
+            if len(c) == 0:
+                continue
+            lats.append(int((c.min() - ts_).value // 1000 // 60000000))
+        lats.sort()
+        assert int(out.n_converting[0]) == len(lats)
+        if lats:
+            n = len(lats)
+            for p, col in ((0.25, "p25_min"), (0.5, "p50_min"),
+                           (0.75, "p75_min"), (0.9, "p90_min")):
+                import math
+                want = lats[max(0, math.ceil(p * n) - 1)]
+                assert float(out[col][0]) == float(want)

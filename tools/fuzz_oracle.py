@@ -128,6 +128,9 @@ EVENT_QUERIES = [
     # session-18: funnel, Markov information, G-test
     "funnel_conversion_stats", "markov_entropy_rate",
     "g_test_types",
+    # session-19: cohort retention, exact mode, funnel latency
+    "cohort_retention_matrix", "value_mode_events",
+    "funnel_latency_quantiles",
 ]
 
 
