@@ -361,6 +361,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_matrix": Q.cohort_retention_matrix,
         "value_mode_events": Q.value_mode_events,
         "funnel_latency_quantiles": Q.funnel_latency_quantiles,
+        "image_otsu_threshold_audit": Q.image_otsu_threshold_audit,
+        "image_integral_audit": Q.image_integral_audit,
+        "source_concentration_hhi": Q.source_concentration_hhi,
     }
 
 
@@ -5528,6 +5531,153 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        # Otsu: exact-integer argmax of between-class variance via the
+        # pairwise cross-multiplication A^2*ww' vs A'^2*ww (HUGEINT);
+        # cumulative histogram states fetched per threshold by ASOF
+        "image_otsu_threshold_audit": """
+            WITH nn AS (SELECT least(60, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            hist AS (
+                SELECT i, fmt,
+                       (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                       + (r + 2*c + i + 2) % 256 AS p,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM px GROUP BY 1, 2, 3
+            ),
+            cumh AS (
+                SELECT i, fmt, p,
+                       CAST(sum(cnt) OVER (PARTITION BY i ORDER BY p
+                           ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                           AS w0,
+                       CAST(sum(cnt * p) OVER (PARTITION BY i
+                           ORDER BY p ROWS UNBOUNDED PRECEDING)
+                           AS HUGEINT) AS s0
+                FROM hist
+            ),
+            tot AS (SELECT i,
+                           CAST(sum(cnt) AS HUGEINT) AS ntot,
+                           CAST(sum(cnt * p) AS HUGEINT) AS stot
+                    FROM hist GROUP BY 1),
+            th AS (SELECT img.i, img.fmt,
+                          unnest(generate_series(0, 764)) AS t
+                   FROM img),
+            sc0 AS (
+                SELECT th.i, th.fmt, th.t, c.w0, c.s0
+                FROM th ASOF LEFT JOIN cumh c
+                    ON th.i = c.i AND th.t >= c.p
+            ),
+            sc AS (
+                SELECT sc0.i, sc0.fmt, sc0.t,
+                       sc0.w0, sc0.s0, tot.ntot, tot.stot,
+                       (sc0.s0 * (tot.ntot - sc0.w0)
+                        - (tot.stot - sc0.s0) * sc0.w0) AS a,
+                       sc0.w0 * (tot.ntot - sc0.w0) AS ww
+                FROM sc0 JOIN tot ON tot.i = sc0.i
+                WHERE sc0.w0 IS NOT NULL AND sc0.w0 > 0
+                  AND sc0.w0 < tot.ntot
+            ),
+            best AS (
+                SELECT s.*, s.a * s.a AS a2
+                FROM sc s
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sc s2
+                    WHERE s2.i = s.i
+                      AND (s2.a * s2.a * s.ww > s.a * s.a * s2.ww
+                           OR (s2.a * s2.a * s.ww
+                               = s.a * s.a * s2.ww AND s2.t < s.t)))
+            )
+            SELECT img.i AS img_id, img.fmt,
+                   CAST(coalesce(best.t, -1) AS BIGINT) AS otsu_t,
+                   CAST(coalesce(best.ntot - best.w0, 0) AS BIGINT)
+                       AS n_foreground,
+                   CAST(coalesce(best.stot - best.s0, 0) AS BIGINT)
+                       AS foreground_sum,
+                   coalesce(CAST(best.a2 AS DOUBLE), 0.0)
+                       AS score_num,
+                   coalesce(CAST(best.ww AS DOUBLE), 0.0)
+                       AS score_den
+            FROM img LEFT JOIN best ON best.i = img.i
+            ORDER BY 1
+        """,
+        # integral-image probes are plain rectangle sums of the grid;
+        # the 4-corner identity is an engine-side boolean, pinned TRUE
+        "image_integral_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt, w, h, r, c,
+                          (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                          + (r + 2*c + i + 2) % 256 AS p
+                   FROM px)
+            SELECT i AS img_id, fmt,
+                   CAST(sum(CASE WHEN r <= h // 2 AND c <= w // 2
+                                 THEN p ELSE 0 END) AS BIGINT)
+                       AS sat_center,
+                   CAST(sum(p) AS BIGINT) AS sat_corner,
+                   CAST(sum(CASE WHEN r BETWEEN (h - 16) // 2
+                                     AND (h - 16) // 2 + 15
+                                  AND c BETWEEN (w - 16) // 2
+                                     AND (w - 16) // 2 + 15
+                                 THEN p ELSE 0 END) AS BIGINT)
+                       AS center_rect_sum,
+                   TRUE AS rect_identity_ok,
+                   TRUE AS corner_is_total
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # HHI of source mix: one division of exact integer squares
+        "source_concentration_hhi": """
+            WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY 1),
+            s AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS n,
+                         CAST(coalesce(sum(CAST(n AS HUGEINT) * n), 0)
+                              AS HUGEINT) AS sq,
+                         CAST(coalesce(max(n), 0) AS HUGEINT) AS mx,
+                         CAST(count(*) AS BIGINT) AS k
+                  FROM g)
+            SELECT CAST(n AS BIGINT) AS n_docs, k AS n_sources,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(sq AS DOUBLE)
+                             / CAST(n * n AS DOUBLE) END AS hhi,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(n * n AS DOUBLE)
+                             / CAST(sq AS DOUBLE)
+                   END AS effective_sources,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(mx AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS max_share
+            FROM s
         """,
         # day-cohort retention: calendar-day equality flags folded per
         # cohort; rates single divisions of exact ints

@@ -16767,3 +16767,181 @@ def funnel_latency_quantiles(sf_dir: str) -> pd.DataFrame:
         "p75_min": pd.Series([float(q[2])], dtype="float64"),
         "p90_min": pd.Series([float(q[3])], dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-20: Otsu threshold, integral image, source concentration
+# ---------------------------------------------------------------------------
+
+def image_otsu_threshold_audit(sf_dir: str) -> pd.DataFrame:
+    """Otsu global threshold (Otsu 1979 — THE classic binarization /
+    foreground-split op) over the channel-sum intensity of the REAL
+    decode output, decided ENTIRELY in exact integer space: for every
+    candidate threshold t the between-class variance ordering
+    w0·w1·(μ0−μ1)² reduces to comparing A²·(w0'·w1') vs A'²·(w0·w1)
+    with A = s0·w1 − s1·w0 (counts and intensity sums exact ints —
+    python ints engine-side, HUGEINT in SQL), so the selected
+    threshold is EXACT with the lowest-t tie-break and needs no
+    floating point at all. Reported: the threshold, the foreground
+    pixel count and intensity sum at that threshold (p > t =
+    foreground), and the score numerator/denominator as DOUBLE casts.
+    Degenerate flat images (no valid split) report t = -1 sentinels."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(60, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def otsu(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2).ravel()
+            hist = np.bincount(p, minlength=766)
+            cw = np.cumsum(hist)                  # w0 at threshold t
+            cs = np.cumsum(hist * np.arange(766, dtype=np.int64))
+            ntot = int(cw[-1])
+            stot = int(cs[-1])
+            best_t = -1
+            best_a2 = 0      # A^2 as python int
+            best_ww = 1      # w0*w1 as python int
+            for t in range(0, 765):
+                w0 = int(cw[t])
+                w1 = ntot - w0
+                if w0 == 0 or w1 == 0:
+                    continue
+                s0 = int(cs[t])
+                s1 = stot - s0
+                a = s0 * w1 - s1 * w0
+                a2 = a * a
+                # score(t) > score(best) <=> a2*best_ww > best_a2*ww
+                ww = w0 * w1
+                if best_t == -1 or a2 * best_ww > best_a2 * ww:
+                    best_t, best_a2, best_ww = t, a2, ww
+            if best_t == -1:
+                rows.append((i, fmt, -1, 0, 0, 0.0, 0.0))
+            else:
+                fg = p > best_t
+                rows.append((i, fmt, best_t, int(fg.sum()),
+                             int(p[fg].sum()),
+                             float(best_a2), float(best_ww)))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "otsu_t", "n_foreground",
+            "foreground_sum", "score_num", "score_den"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(otsu, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "otsu_t", "n_foreground", "foreground_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def image_integral_audit(sf_dir: str) -> pd.DataFrame:
+    """Summed-area-table audit (Crow 1984; Viola-Jones 2001 — the
+    integral image behind box filters and Haar features): the engine
+    builds the REAL SAT of the channel-sum intensity with np.cumsum
+    (exact int64) over the REAL decode output, probes it at the
+    center and the bottom-right corner (SAT[h−1, w−1] == whole-image
+    sum — conservation), and verifies the 4-corner rectangle identity
+    on the center 16×16 window against the directly-summed patch
+    (engine boolean; SQL pins TRUE and recomputes every reported
+    quantity from the closed-form grid as plain rectangle sums)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def sat_fn(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            sat = p.cumsum(axis=0).cumsum(axis=1)
+            r0, c0 = (h - 16) // 2, (w - 16) // 2
+            r1, c1 = r0 + 15, c0 + 15
+            rect = int(sat[r1, c1]
+                       - (sat[r0 - 1, c1] if r0 > 0 else 0)
+                       - (sat[r1, c0 - 1] if c0 > 0 else 0)
+                       + (sat[r0 - 1, c0 - 1]
+                          if r0 > 0 and c0 > 0 else 0))
+            direct = int(p[r0:r1 + 1, c0:c1 + 1].sum())
+            rows.append((i, fmt,
+                         int(sat[h // 2, w // 2]),
+                         int(sat[h - 1, w - 1]),
+                         rect,
+                         bool(rect == direct),
+                         bool(int(sat[h - 1, w - 1]) == int(p.sum()))))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "sat_center", "sat_corner",
+            "center_rect_sum", "rect_identity_ok", "corner_is_total"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(sat_fn, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "sat_center", "sat_corner",
+                "center_rect_sum"):
+        out[col] = out[col].astype("int64")
+    for col in ("rect_identity_ok", "corner_is_total"):
+        out[col] = out[col].astype(bool)
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def source_concentration_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl-Hirschman concentration of the corpus across
+    sources (the data-mixture balance check of a training-data
+    pipeline): HHI = Σ (n_s/N)² computed as ONE division of exact
+    integers Σn_s² / N² (python-int/HUGEINT squares), the effective
+    source count 1/HHI = N²/Σn_s², and the max share — each a single
+    exact-int division. Empty corpus guards to 0.0 sentinels."""
+    ds = sf_table(sf_dir, "documents", columns=["source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("source", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("source").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n = int(g.n.sum()) if len(g) else 0
+    if n == 0:
+        return pd.DataFrame({
+            "n_docs": pd.Series([0], dtype="int64"),
+            "n_sources": pd.Series([0], dtype="int64"),
+            "hhi": pd.Series([0.0], dtype="float64"),
+            "effective_sources": pd.Series([0.0], dtype="float64"),
+            "max_share": pd.Series([0.0], dtype="float64"),
+        })
+    sq = sum(int(v) * int(v) for v in g.n)
+    mx = int(g.n.max())
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "n_sources": pd.Series([len(g)], dtype="int64"),
+        "hhi": pd.Series([float(sq) / float(n * n)], dtype="float64"),
+        "effective_sources": pd.Series([float(n * n) / float(sq)],
+                                       dtype="float64"),
+        "max_share": pd.Series([float(mx) / float(n)],
+                               dtype="float64"),
+    })

@@ -340,6 +340,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-19: cohort retention, mode, funnel latency
         "cohort_retention_matrix", "value_mode_events",
         "funnel_latency_quantiles",
+        # round-5 session-20: Otsu, integral image, source HHI
+        "image_otsu_threshold_audit", "image_integral_audit",
+        "source_concentration_hhi",
     ]
     qs = E.queries()
     out = {}

@@ -4622,3 +4622,125 @@ class TestFunnelLatencyQuantiles:
                 import math
                 want = lats[max(0, math.ceil(p * n) - 1)]
                 assert float(out[col][0]) == float(want)
+
+
+class TestImageOtsuThresholdAudit:
+    def test_matches_fraction_exact_bruteforce(self, ray_session):
+        """Best threshold recomputed with exact Fractions of the
+        classical between-class-variance formula for two images."""
+        from fractions import Fraction
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_otsu_threshold_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2*c + img_id + ch) % 256
+                    for ch in range(3)).ravel()
+            hist = np.bincount(p, minlength=766)
+            ntot, stot = int(hist.sum()), int((hist
+                          * np.arange(766)).sum())
+            best_t, best_score = -1, Fraction(-1)
+            cw = cs = 0
+            for t in range(0, 765):
+                cw += int(hist[t])
+                cs += int(hist[t]) * t
+                w1 = ntot - cw
+                if cw == 0 or w1 == 0:
+                    continue
+                mu0 = Fraction(cs, cw)
+                mu1 = Fraction(stot - cs, w1)
+                score = Fraction(cw * w1) * (mu0 - mu1) ** 2
+                if score > best_score:
+                    best_t, best_score = t, score
+            assert int(row.otsu_t) == best_t
+            fg = p > best_t
+            assert int(row.n_foreground) == int(fg.sum())
+            assert int(row.foreground_sum) == int(p[fg].sum())
+
+    def test_bimodal_split(self, ray_session):
+        """A perfectly bimodal array thresholds between the modes
+        with zero within-class spread (unit-level kernel check via
+        the same cross-multiplication rule)."""
+        p = np.array([10] * 50 + [700] * 50)
+        hist = np.bincount(p, minlength=766)
+        ntot = 100
+        stot = int((hist * np.arange(766)).sum())
+        best_t, best_a2, best_ww = -1, 0, 1
+        cw = cs = 0
+        for t in range(0, 765):
+            cw += int(hist[t])
+            cs += int(hist[t]) * t
+            w1 = ntot - cw
+            if cw == 0 or w1 == 0:
+                continue
+            a = cs * w1 - (stot - cs) * cw
+            if best_t == -1 or a * a * best_ww > best_a2 * (cw * w1):
+                best_t, best_a2, best_ww = t, a * a, cw * w1
+        assert 10 <= best_t < 700
+
+
+class TestImageIntegralAudit:
+    def test_matches_numpy_sat(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_integral_audit(SF)
+        assert bool(out.rect_identity_ok.all())
+        assert bool(out.corner_is_total.all())
+        for img_id in (0, 3):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2*c + img_id + ch) % 256 for ch in range(3))
+            sat = p.cumsum(axis=0).cumsum(axis=1)
+            assert int(row.sat_center) == int(sat[h // 2, w // 2])
+            assert int(row.sat_corner) == int(p.sum())
+            r0, c0 = (h - 16) // 2, (w - 16) // 2
+            assert int(row.center_rect_sum) == \
+                int(p[r0:r0+16, c0:c0+16].sum())
+
+
+class TestSourceConcentrationHhi:
+    def test_matches_bruteforce_and_bounds(self, ray_session):
+        import collections
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.source_concentration_hhi(SF)
+        src = duckdb.sql(
+            f"SELECT source FROM '{SF}/documents.parquet'"
+        ).df().source
+        cnt = collections.Counter(src)
+        n = sum(cnt.values())
+        sq = sum(v * v for v in cnt.values())
+        assert float(out.hhi[0]) == sq / (n * n)
+        assert float(out.effective_sources[0]) == (n * n) / sq
+        assert 1.0 / len(cnt) <= float(out.hhi[0]) <= 1.0
+        assert float(out.max_share[0]) == max(cnt.values()) / n
+
+    def test_uniform_mix_effective_equals_k(self, ray_session):
+        """K equal sources: HHI == 1/K, effective count == K
+        bit-exact."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        import pyarrow.parquet as _pq
+
+        with tempfile.TemporaryDirectory() as d:
+            texts = ["doc"] * 40
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 40),
+                "source": pa.array([f"s{i % 4}" for i in range(40)]),
+                "n_chars": pa.array([3] * 40, pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.source_concentration_hhi(d)
+        assert float(out.hhi[0]) == 0.25
+        assert float(out.effective_sources[0]) == 4.0

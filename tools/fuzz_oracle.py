@@ -238,6 +238,9 @@ DOC_QUERIES = [
     "image_cutmix_audit", "image_brightness_audit",
     # session-18: contrast normalization anchor
     "image_contrast_norm_audit",
+    # session-20: Otsu threshold, integral image, source HHI
+    "image_otsu_threshold_audit", "image_integral_audit",
+    "source_concentration_hhi",
 ]
 
 
