@@ -364,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_otsu_threshold_audit": Q.image_otsu_threshold_audit,
         "image_integral_audit": Q.image_integral_audit,
         "source_concentration_hhi": Q.source_concentration_hhi,
+        "daily_harmonic_power": Q.daily_harmonic_power,
+        "image_equalize_audit": Q.image_equalize_audit,
+        "image_haar2d_audit": Q.image_haar2d_audit,
     }
 
 
@@ -1455,6 +1458,69 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _harmonic_sql() -> str:
+    """Daily/half-day Fourier folds: the 24-entry trig tables come
+    from the ENGINE's _harmonic_tables and are embedded as repr
+    literals, so SQL multiplies bit-identical doubles with zero
+    runtime libm exposure; folds are list_reduce left folds in hour
+    order over the ACF tier's series."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _harmonic_tables)
+
+    parts = []
+    for k in (1, 2):
+        cs, sn = _harmonic_tables(k)
+        cl = "[" + ", ".join(repr(v) for v in cs) + "]"
+        sl = "[" + ", ".join(repr(v) for v in sn) + "]"
+        parts.append(f"""
+               CASE WHEN nh = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(
+                        generate_series(1, CAST(nh AS BIGINT)),
+                        t -> xs[t] * ({cl})[hs[t] + 1]),
+                        (a, b) -> a + b) END AS a{k},
+               CASE WHEN nh = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(
+                        generate_series(1, CAST(nh AS BIGINT)),
+                        t -> xs[t] * ({sl})[hs[t] + 1]),
+                        (a, b) -> a + b) END AS b{k}""")
+    folds = ",".join(parts)
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM (SELECT * FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   list(CAST(extract(hour FROM hour) AS BIGINT)
+                        ORDER BY hour) AS hs,
+                   CAST(count(*) AS BIGINT) AS nh
+            FROM h
+        ),
+        f AS (
+            SELECT nh, xs, {folds}
+            FROM arr
+        ),
+        mm AS (
+            SELECT *, CASE WHEN nh = 0 THEN 0.0
+                           ELSE list_reduce(xs, (a, b) -> a + b)
+                                / CAST(nh AS DOUBLE) END AS m
+            FROM f
+        )
+        SELECT nh AS n_hours,
+               a1, b1, a1 * a1 + b1 * b1 AS power1,
+               a2, b2, a2 * a2 + b2 * b2 AS power2,
+               CASE WHEN nh = 0 THEN 0.0
+                    ELSE list_reduce(list_transform(xs,
+                        v -> (v - m) * (v - m)), (a, b) -> a + b)
+               END AS total_ss
+        FROM mm
     """
 
 
@@ -5531,6 +5597,113 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT kk, CAST(topcf AS BIGINT), 0.0, 0.0
             FROM l WHERE kk < 2
+        """,
+        "daily_harmonic_power": _harmonic_sql(),
+        # histogram equalization: exact INTEGER LUT from the image's
+        # own cumulative histogram, joined back per pixel value
+        "image_equalize_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt, w, h, r, c,
+                          (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                          + (r + 2*c + i + 2) % 256 AS p
+                   FROM px),
+            hist AS (SELECT i, p, CAST(count(*) AS BIGINT) AS cnt
+                     FROM pv GROUP BY 1, 2),
+            cdf AS (SELECT i, p,
+                           sum(cnt) OVER (PARTITION BY i ORDER BY p
+                               ROWS UNBOUNDED PRECEDING) AS cd
+                    FROM hist),
+            cm AS (SELECT i, min(cd) AS cdmin FROM cdf GROUP BY 1),
+            lut AS (
+                SELECT cdf.i, cdf.p,
+                       CASE WHEN img.h * img.w = cm.cdmin THEN 0
+                            ELSE (cdf.cd - cm.cdmin) * 765
+                                 // (img.h * img.w - cm.cdmin)
+                       END AS ep
+                FROM cdf JOIN cm ON cm.i = cdf.i
+                JOIN img ON img.i = cdf.i
+            ),
+            ev AS (
+                SELECT pv.i, pv.fmt, pv.w, pv.h, pv.r, pv.c, lut.ep
+                FROM pv JOIN lut ON lut.i = pv.i AND lut.p = pv.p
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(ep) AS BIGINT) AS eq_total,
+                   CAST(sum(ep * (r * w + c)) AS BIGINT)
+                       AS eq_pos_sum,
+                   CAST(min(ep) AS BIGINT) AS eq_min,
+                   CAST(max(ep) AS BIGINT) AS eq_max
+            FROM ev GROUP BY 1, 2 ORDER BY 1
+        """,
+        # level-1 2D Haar band energies: per-pixel signed
+        # contributions grouped by 2x2 block, then exact square sums
+        "image_haar2d_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (SELECT i, fmt, r // 2 AS br, c // 2 AS bc,
+                          (r + 2*c + i) % 256 + (r + 2*c + i + 1) % 256
+                          + (r + 2*c + i + 2) % 256 AS p,
+                          r % 2 AS rp, c % 2 AS cp
+                   FROM px),
+            bl AS (
+                SELECT i, fmt, br, bc,
+                       CAST(sum(p) AS BIGINT) AS ll,
+                       CAST(sum(CASE WHEN cp = 0 THEN p ELSE -p END)
+                            AS BIGINT) AS lh,
+                       CAST(sum(CASE WHEN rp = 0 THEN p ELSE -p END)
+                            AS BIGINT) AS hl,
+                       CAST(sum(CASE WHEN rp = cp THEN p ELSE -p END)
+                            AS BIGINT) AS hh
+                FROM pv GROUP BY 1, 2, 3, 4
+            ),
+            en AS (
+                SELECT i, fmt,
+                       CAST(sum(CAST(ll AS HUGEINT) * ll) AS BIGINT)
+                           AS e_ll,
+                       CAST(sum(CAST(lh AS HUGEINT) * lh) AS BIGINT)
+                           AS e_lh,
+                       CAST(sum(CAST(hl AS HUGEINT) * hl) AS BIGINT)
+                           AS e_hl,
+                       CAST(sum(CAST(hh AS HUGEINT) * hh) AS BIGINT)
+                           AS e_hh
+                FROM bl GROUP BY 1, 2
+            )
+            SELECT i AS img_id, fmt, e_ll, e_lh, e_hl, e_hh,
+                   (e_ll > e_lh + e_hl + e_hh) AS ll_dominant
+            FROM en ORDER BY 1
         """,
         # Otsu: exact-integer argmax of between-class variance via the
         # pairwise cross-multiplication A^2*ww' vs A'^2*ww (HUGEINT);

@@ -16945,3 +16945,197 @@ def source_concentration_hhi(sf_dir: str) -> pd.DataFrame:
         "max_share": pd.Series([float(mx) / float(n)],
                                dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-21: spectral seasonality + image equalization + 2D wavelet
+# ---------------------------------------------------------------------------
+
+def _harmonic_tables(k: int) -> "tuple[list[float], list[float]]":
+    """cos/sin tables at the 24 hour-of-day phases for harmonic k —
+    computed ONCE here and embedded as repr literals in the generated
+    SQL, so both sides fold the IDENTICAL doubles (no libm-parity
+    exposure at query time)."""
+    import math
+
+    cs = [math.cos(2.0 * math.pi * k * h / 24.0) for h in range(24)]
+    sn = [math.sin(2.0 * math.pi * k * h / 24.0) for h in range(24)]
+    return cs, sn
+
+
+def daily_harmonic_power(sf_dir: str) -> pd.DataFrame:
+    """Fourier power of the hourly mean series at the daily (k=1) and
+    half-day (k=2) harmonics — the spectral seasonality detector
+    beside the hour-of-day ANOVA tier: a_k = Σ x_t·cos(2πk·hod_t/24),
+    b_k the sine fold, power_k = a²+b² — where the trig factors are a
+    FIXED 24-entry table embedded as repr literals in the generated
+    SQL (both sides multiply the identical doubles; no runtime libm
+    call), x is the ACF tier's bit-identical hourly mean series and
+    every fold is a sequential left fold in hour order mirrored by
+    list_reduce. Contract-free. Also reports the mean-removed total
+    sum of squares so power can be read as a share."""
+    ds = sf_events_clean(sf_dir, ["ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "n": np.ones(len(b), dtype=np.int64),
+            "value_c": round_half_away(b.value.to_numpy() * 100)
+                       .astype(np.int64),
+        }).groupby("hour", as_index=False).sum()
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("value_c", alias_name="value_c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    x = ((hourly.value_c.to_numpy(np.float64) / 100.0)
+         / hourly.n.to_numpy(np.float64)).tolist()
+    hods = hourly.hour.dt.hour.astype(int).tolist()
+    nh = len(x)
+    out = {"n_hours": pd.Series([nh], dtype="int64")}
+    if nh == 0:
+        for k in (1, 2):
+            out[f"a{k}"] = pd.Series([0.0], dtype="float64")
+            out[f"b{k}"] = pd.Series([0.0], dtype="float64")
+            out[f"power{k}"] = pd.Series([0.0], dtype="float64")
+        out["total_ss"] = pd.Series([0.0], dtype="float64")
+        return pd.DataFrame(out)
+    for k in (1, 2):
+        cs, sn = _harmonic_tables(k)
+        a = x[0] * cs[hods[0]]
+        for t in range(1, nh):
+            a = a + x[t] * cs[hods[t]]
+        b = x[0] * sn[hods[0]]
+        for t in range(1, nh):
+            b = b + x[t] * sn[hods[t]]
+        out[f"a{k}"] = pd.Series([a], dtype="float64")
+        out[f"b{k}"] = pd.Series([b], dtype="float64")
+        out[f"power{k}"] = pd.Series([a * a + b * b], dtype="float64")
+    m = x[0]
+    for t in range(1, nh):
+        m = m + x[t]
+    m = m / float(nh)
+    ss = (x[0] - m) * (x[0] - m)
+    for t in range(1, nh):
+        ss = ss + (x[t] - m) * (x[t] - m)
+    out["total_ss"] = pd.Series([ss], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def image_equalize_audit(sf_dir: str) -> pd.DataFrame:
+    """Histogram-equalization audit — the classic contrast transform
+    v' = (cdf(v) − cdf_min)·765 // (n_px − cdf_min) over the
+    channel-sum intensity (exact INTEGER LUT derived from the REAL
+    decode output's own histogram, so the audit is contract-free):
+    reported are the equalized total, position-weighted sum, and the
+    equalized min/max (0 and 765 whenever the image isn't flat —
+    the full-stretch property equalization exists for). Flat images
+    (single intensity) map to all-zero (guarded identically in
+    SQL)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def eq(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            npx = h * w
+            hist = np.bincount(p.ravel(), minlength=766)
+            cdf = np.cumsum(hist)
+            occupied = np.flatnonzero(hist)
+            cdf_min = int(cdf[occupied[0]])
+            if npx == cdf_min:
+                lut766 = np.zeros(766, dtype=np.int64)
+            else:
+                lut766 = (cdf - cdf_min) * 765 // (npx - cdf_min)
+                lut766 = np.maximum(lut766, 0)
+            ep = lut766[p]
+            rr = np.arange(h, dtype=np.int64)[:, None]
+            cc = np.arange(w, dtype=np.int64)[None, :]
+            rows.append((i, fmt, int(ep.sum()),
+                         int((ep * (rr * w + cc)).sum()),
+                         int(ep.min()), int(ep.max())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "eq_total", "eq_pos_sum", "eq_min",
+            "eq_max"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(eq, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "eq_total", "eq_pos_sum", "eq_min",
+                "eq_max"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def image_haar2d_audit(sf_dir: str) -> pd.DataFrame:
+    """Level-1 2-D Haar decomposition band energies over the REAL
+    decode output (Mallat 1989 — the multiresolution image transform
+    behind wavelet codecs and texture features): for each 2×2 block
+    [a b; c d] the four unnormalized band coefficients LL = a+b+c+d,
+    LH = a−b+c−d, HL = a+b−c−d, HH = a−b−c+d stay EXACT ints, and
+    each band energy Σcoef² is an exact int64 sum (HUGEINT mirror).
+    A gradient image concentrates energy in LL (pinned structurally:
+    e_ll > e_lh + e_hl + e_hh on the roster)."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def haar(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            a = p[0::2, 0::2]
+            bb = p[0::2, 1::2]
+            cc_ = p[1::2, 0::2]
+            d = p[1::2, 1::2]
+            ll = a + bb + cc_ + d
+            lh = a - bb + cc_ - d
+            hl = a + bb - cc_ - d
+            hh = a - bb - cc_ + d
+            rows.append((i, fmt,
+                         int((ll * ll).sum()), int((lh * lh).sum()),
+                         int((hl * hl).sum()), int((hh * hh).sum()),
+                         bool(int((ll * ll).sum())
+                              > int((lh * lh).sum())
+                              + int((hl * hl).sum())
+                              + int((hh * hh).sum()))))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "e_ll", "e_lh", "e_hl", "e_hh",
+            "ll_dominant"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(haar, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "e_ll", "e_lh", "e_hl", "e_hh"):
+        out[col] = out[col].astype("int64")
+    out["ll_dominant"] = out["ll_dominant"].astype(bool)
+    return out.sort_values("img_id").reset_index(drop=True)

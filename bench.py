@@ -343,6 +343,9 @@ def run_queries() -> dict[str, float]:
         # round-5 session-20: Otsu, integral image, source HHI
         "image_otsu_threshold_audit", "image_integral_audit",
         "source_concentration_hhi",
+        # round-5 session-21: harmonics, equalization, 2D Haar
+        "daily_harmonic_power", "image_equalize_audit",
+        "image_haar2d_audit",
     ]
     qs = E.queries()
     out = {}

@@ -4744,3 +4744,103 @@ class TestSourceConcentrationHhi:
             out = Q.source_concentration_hhi(d)
         assert float(out.hhi[0]) == 0.25
         assert float(out.effective_sources[0]) == 4.0
+
+
+class TestDailyHarmonicPower:
+    def test_planted_daily_cycle(self, ray_session):
+        """A pure 24h cosine pattern: power1 captures (n/2·A)² while
+        power2 ~ 0; matched against a direct numpy DFT bin."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 240
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        vals = 100.0 + 50.0 * np.cos(
+            2 * np.pi * np.arange(nh) / 24.0)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.daily_harmonic_power(d)
+        assert float(out.power1[0]) > 100 * float(out.power2[0])
+        # amplitude recovery: a1 ~ nh/2 * 50
+        amp = 2.0 * np.sqrt(float(out.power1[0])) / nh
+        assert abs(amp - 50.0) < 0.5
+
+    def test_matches_numpy_fold(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _harmonic_tables)
+
+        out = Q.daily_harmonic_power(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        x = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        hod = h.hour.dt.hour.to_numpy()
+        cs, sn = _harmonic_tables(1)
+        a = float((x * np.asarray(cs)[hod]).sum())
+        b = float((x * np.asarray(sn)[hod]).sum())
+        assert abs(float(out.a1[0]) - a) < 1e-9
+        assert abs(float(out.b1[0]) - b) < 1e-9
+        assert abs(float(out.power1[0]) - (a * a + b * b)) < 1e-6
+
+
+class TestImageEqualizeAudit:
+    def test_matches_explicit_bruteforce_and_stretch(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_equalize_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2*c + img_id + ch) % 256 for ch in range(3))
+            npx = h * w
+            hist = np.bincount(p.ravel(), minlength=766)
+            cdf = np.cumsum(hist)
+            cdf_min = int(cdf[np.flatnonzero(hist)[0]])
+            lut = (cdf - cdf_min) * 765 // (npx - cdf_min)
+            ep = lut[p]
+            rr = np.arange(h)[:, None]
+            cc = np.arange(w)[None, :]
+            assert int(row.eq_total) == int(ep.sum())
+            assert int(row.eq_pos_sum) == \
+                int((ep * (rr * w + cc)).sum())
+            assert int(row.eq_min) == 0       # full stretch: min -> 0
+            assert int(row.eq_max) == 765     # and max -> 765
+
+
+class TestImageHaar2dAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_haar2d_audit(SF)
+        assert bool(out.ll_dominant.all())
+        for img_id in (0, 3):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2*c + img_id + ch) % 256 for ch in range(3))
+            e = {"ll": 0, "lh": 0, "hl": 0, "hh": 0}
+            for br in range(h // 2):
+                for bc in range(w // 2):
+                    a = int(p[2*br, 2*bc])
+                    b = int(p[2*br, 2*bc+1])
+                    cc_ = int(p[2*br+1, 2*bc])
+                    d = int(p[2*br+1, 2*bc+1])
+                    e["ll"] += (a + b + cc_ + d) ** 2
+                    e["lh"] += (a - b + cc_ - d) ** 2
+                    e["hl"] += (a + b - cc_ - d) ** 2
+                    e["hh"] += (a - b - cc_ + d) ** 2
+            assert int(row.e_ll) == e["ll"]
+            assert int(row.e_lh) == e["lh"]
+            assert int(row.e_hl) == e["hl"]
+            assert int(row.e_hh) == e["hh"]

@@ -131,6 +131,8 @@ EVENT_QUERIES = [
     # session-19: cohort retention, exact mode, funnel latency
     "cohort_retention_matrix", "value_mode_events",
     "funnel_latency_quantiles",
+    # session-21: spectral seasonality
+    "daily_harmonic_power",
 ]
 
 
@@ -241,6 +243,8 @@ DOC_QUERIES = [
     # session-20: Otsu threshold, integral image, source HHI
     "image_otsu_threshold_audit", "image_integral_audit",
     "source_concentration_hhi",
+    # session-21: equalization + 2D Haar anchors
+    "image_equalize_audit", "image_haar2d_audit",
 ]
 
 
