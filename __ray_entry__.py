@@ -367,6 +367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_harmonic_power": Q.daily_harmonic_power,
         "image_equalize_audit": Q.image_equalize_audit,
         "image_haar2d_audit": Q.image_haar2d_audit,
+        "burst_pair_counts": Q.burst_pair_counts,
+        "lincoln_petersen_users": Q.lincoln_petersen_users,
+        "sorted_neighborhood_pairs": Q.sorted_neighborhood_pairs,
     }
 
 
@@ -5599,6 +5602,71 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM l WHERE kk < 2
         """,
         "daily_harmonic_power": _harmonic_sql(),
+        # interval-bounded temporal self-join on microsecond ts
+        "burst_pair_counts": """
+            WITH pp AS (
+                SELECT e1.user_id,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events e1 JOIN events e2
+                    ON e2.user_id = e1.user_id
+                   AND e2.ts > e1.ts
+                   AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+                GROUP BY 1
+            )
+            SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_pairs,
+                   CAST(count(*) AS BIGINT) AS n_users_with,
+                   CAST(coalesce(max(n), 0) AS BIGINT)
+                       AS max_user_pairs
+            FROM pp
+        """,
+        # capture-recapture from the parity halves: LP + Chapman each
+        # one fixed-shape expression of exact ints
+        "lincoln_petersen_users": """
+            WITH f AS (
+                SELECT user_id,
+                       max(CASE WHEN event_id % 2 = 0
+                                THEN 1 ELSE 0 END) AS in_ref,
+                       max(CASE WHEN event_id % 2 = 1
+                                THEN 1 ELSE 0 END) AS in_prod
+                FROM events GROUP BY 1
+            ),
+            s AS (SELECT CAST(coalesce(sum(in_ref), 0) AS BIGINT)
+                             AS n1,
+                         CAST(coalesce(sum(in_prod), 0) AS BIGINT)
+                             AS n2,
+                         CAST(coalesce(sum(CASE WHEN in_ref = 1
+                                  AND in_prod = 1 THEN 1 END), 0)
+                              AS BIGINT) AS m
+                  FROM f)
+            SELECT n1 AS n_ref_users, n2 AS n_prod_users,
+                   m AS n_common,
+                   CASE WHEN m = 0 THEN 0.0
+                        ELSE CAST(n1 * n2 AS DOUBLE)
+                             / CAST(m AS DOUBLE) END AS lp_estimate,
+                   CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                       / CAST(m + 1 AS DOUBLE) - 1.0
+                       AS chapman_estimate
+            FROM s
+        """,
+        # sorted-neighborhood window join over distinct names; the
+        # Jaro-Winkler kernel is bit-parity with DuckDB's
+        "sorted_neighborhood_pairs": """
+            WITH u AS (SELECT DISTINCT coalesce(p_name, '') AS name
+                       FROM part),
+            rw AS (SELECT name,
+                          row_number() OVER (ORDER BY name) AS rn
+                   FROM u),
+            pr AS (
+                SELECT a.name AS name_a, b.name AS name_b,
+                       CAST(b.rn - a.rn AS BIGINT) AS gap,
+                       jaro_winkler_similarity(a.name, b.name) AS jw
+                FROM rw a JOIN rw b
+                    ON b.rn > a.rn AND b.rn <= a.rn + 4
+            )
+            SELECT name_a, name_b, gap, jw
+            FROM pr WHERE jw >= 0.92
+            ORDER BY 1, 2
+        """,
         # histogram equalization: exact INTEGER LUT from the image's
         # own cumulative histogram, joined back per pixel value
         "image_equalize_audit": """

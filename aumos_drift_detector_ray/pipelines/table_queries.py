@@ -17139,3 +17139,227 @@ def image_haar2d_audit(sf_dir: str) -> pd.DataFrame:
         out[col] = out[col].astype("int64")
     out["ll_dominant"] = out["ll_dominant"].astype(bool)
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-22: temporal self-join, capture-recapture, sorted-
+# neighborhood blocking
+# ---------------------------------------------------------------------------
+
+def burst_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Bounded temporal self-join — same-user event pairs with
+    0 < Δts ≤ 5 minutes (the burst/rapid-fire detector; the
+    interval-bounded self-join primitive): every user's stream
+    co-locates through ONE user-hash-bucketed exchange, and inside a
+    bucket each user segment answers all its pairs with TWO
+    searchsorted calls over the sorted microsecond timestamps (equal
+    timestamps do NOT pair — strict >, mirroring SQL's e2.ts > e1.ts
+    AND e2.ts <= e1.ts + 5 min). Buckets emit three scalars (pair
+    total, users with ≥1 pair, max per-user pairs) and the driver
+    folds O(buckets)."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts"])
+    win = 5 * 60 * 1_000_000      # 5 minutes in microseconds
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        us = g.user_id.to_numpy(np.int64)
+        ts = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        total = 0
+        users_with = 0
+        mx = 0
+        bounds = np.flatnonzero(np.concatenate(
+            [[True], us[1:] != us[:-1], [True]]))
+        for k in range(len(bounds) - 1):
+            lo_i, hi_i = bounds[k], bounds[k + 1]
+            seg = ts[lo_i:hi_i]
+            hi = np.searchsorted(seg, seg + win, side="right")
+            lo = np.searchsorted(seg, seg, side="right")
+            cnt = int((hi - lo).sum())
+            total += cnt
+            users_with += cnt > 0
+            if cnt > mx:
+                mx = cnt
+        return pd.DataFrame({
+            "n_pairs": [int(total)],
+            "n_users_with": [int(users_with)],
+            "max_user_pairs": [int(mx)],
+        })
+
+    f = ds.map_batches(add_bucket, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(f.n_pairs.sum()) if len(f) else 0],
+                             dtype="int64"),
+        "n_users_with": pd.Series(
+            [int(f.n_users_with.sum()) if len(f) else 0],
+            dtype="int64"),
+        "max_user_pairs": pd.Series(
+            [int(f.max_user_pairs.max()) if len(f) else 0],
+            dtype="int64"),
+    })
+
+
+def lincoln_petersen_users(sf_dir: str) -> pd.DataFrame:
+    """Capture-recapture estimate of the true user population from
+    the two parity halves (Lincoln 1930 / Petersen 1896; Chapman 1951
+    bias-corrected form — the dedup-coverage estimator: how many users
+    exist that NEITHER half saw?): per-user presence flags fold
+    through ONE user-hash-bucketed exchange (a user lives wholly in
+    one bucket), each bucket ships three exact counts, and both
+    estimators are fixed-shape expressions of exact ints —
+    N̂ = n₁n₂/m (0.0 when m = 0) and Chapman's
+    (n₁+1)(n₂+1)/(m+1) − 1 (always defined)."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0).to_numpy()
+        d = pd.DataFrame({
+            "user_id": b.user_id,
+            "in_ref": is_ref.astype(np.int64),
+            "in_prod": (~is_ref).astype(np.int64),
+        }).groupby("user_id", as_index=False).max()
+        d["bucket"] = (
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64)
+        return d
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).max()
+        return pd.DataFrame({
+            "n_ref": [int(m.in_ref.sum())],
+            "n_prod": [int(m.in_prod.sum())],
+            "n_common": [int((m.in_ref.to_numpy(bool)
+                              & m.in_prod.to_numpy(bool)).sum())],
+        })
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(fold, batch_format="pandas") \
+        .to_pandas()
+    n1 = int(f.n_ref.sum()) if len(f) else 0
+    n2 = int(f.n_prod.sum()) if len(f) else 0
+    m = int(f.n_common.sum()) if len(f) else 0
+    lp = 0.0 if m == 0 else float(n1 * n2) / float(m)
+    ch = float((n1 + 1) * (n2 + 1)) / float(m + 1) - 1.0
+    return pd.DataFrame({
+        "n_ref_users": pd.Series([n1], dtype="int64"),
+        "n_prod_users": pd.Series([n2], dtype="int64"),
+        "n_common": pd.Series([m], dtype="int64"),
+        "lp_estimate": pd.Series([lp], dtype="float64"),
+        "chapman_estimate": pd.Series([ch], dtype="float64"),
+    })
+
+
+def _stitch_window_pair_summaries(s: pd.DataFrame, window: int,
+                                  threshold: float, sim_fn) \
+        -> "list[tuple[str, str, int]]":
+    """Fold sorted-neighborhood block summaries (first, head, tail,
+    n, pairs) into the global window-pair list: in-block pairs are
+    deserialized verbatim; boundary pairs pair the running carry (the
+    last `window` names of the stream so far) against the next
+    block's head, at the TRUE global rank gap — a window pair can
+    span any number of tiny blocks."""
+    out: "list[tuple[str, str, int]]" = []
+    s = s[s.n > 0].sort_values("first").reset_index(drop=True)
+    carry: "list[str]" = []
+    for row in s.itertuples(index=False):
+        if row.pairs:
+            for item in row.pairs.split("\x1e"):
+                a, bb, gp = item.split("\x1f")
+                out.append((a, bb, int(gp)))
+        head = row.head.split("\x1f") if row.head else []
+        merged = carry + head
+        base = len(carry)
+        for i in range(len(carry)):
+            for j in range(base, min(len(merged), i + window + 1)):
+                gap = j - i
+                if 1 <= gap <= window \
+                        and sim_fn(merged[i], merged[j]) >= threshold:
+                    out.append((merged[i], merged[j], gap))
+        tail = row.tail.split("\x1f") if row.tail else []
+        if int(row.n) >= window:
+            carry = tail
+        else:
+            carry = (carry + tail)[-window:]
+    return out
+
+
+def sorted_neighborhood_pairs(sf_dir: str, window: int = 4,
+                              threshold: float = 0.92) -> pd.DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995 — the sliding-window alternative to key blocking):
+    DISTINCT part names sort globally, every pair within `window`
+    positions is compared with the Jaro-Winkler kernel that mirrors
+    DuckDB's jaro_winkler_similarity BIT-EXACTLY (no rounding
+    contract), and pairs at sim ≥ threshold are kept with their rank
+    gap. Distributed shape: distinct names dedupe through a
+    name-hash-bucketed exchange, the sorted stream is window-joined
+    per BLOCK, and each block's first/last `window` names stitch the
+    boundary pairs on the driver (O(blocks·window²) — a window pair
+    can span any number of tiny blocks). Output ordered by
+    (name_a, name_b)."""
+    from ..functions.textdist import jaro_winkler
+    from ..sketches import hash_any_array
+
+    ds = sf_table(sf_dir, "part", columns=["p_name"])
+
+    def dedup(b: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(b.p_name.fillna("").astype(str).to_numpy(
+            dtype=object))
+        return pd.DataFrame({
+            "name": u,
+            "bucket": (hash_any_array(u) % np.uint64(32))
+                      .astype(np.int64)})
+
+    names_ds = ds.map_batches(dedup, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.drop_duplicates("name")[["name"]],
+            batch_format="pandas") \
+        .sort("name")
+
+    # one batch per block so boundary stitching sees contiguous ranges
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        u = [str(v) for v in b.name.to_numpy(dtype=object)]
+        rows = []
+        for gap in range(1, window + 1):
+            for i in range(len(u) - gap):
+                if jaro_winkler(u[i], u[i + gap]) >= threshold:
+                    rows.append((u[i], u[i + gap], gap))
+        head = u[:window]
+        tail = u[-window:]
+        return pd.DataFrame({
+            "first": [head[0] if head else ""],
+            "head": ["\x1f".join(head)],
+            "tail": ["\x1f".join(tail)],
+            "n": [np.int64(len(u))],
+            "pairs": ["\x1e".join(f"{a}\x1f{bb}\x1f{gp}"
+                                  for a, bb, gp in rows)],
+        })
+
+    s = names_ds.map_batches(summarize, batch_format="pandas",
+                             batch_size=None).to_pandas()
+    all_pairs: "list[tuple[str, str, int]]" = []
+    if len(s) and "first" in s.columns:
+        all_pairs = _stitch_window_pair_summaries(
+            s, window, threshold, jaro_winkler)
+    out_rows = sorted(set(all_pairs))
+    return pd.DataFrame({
+        "name_a": pd.Series([r[0] for r in out_rows], dtype=object),
+        "name_b": pd.Series([r[1] for r in out_rows], dtype=object),
+        "gap": pd.Series([r[2] for r in out_rows], dtype="int64"),
+        "jw": pd.Series([jaro_winkler(r[0], r[1])
+                         for r in out_rows], dtype="float64"),
+    })

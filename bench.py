@@ -346,6 +346,10 @@ def run_queries() -> dict[str, float]:
         # round-5 session-21: harmonics, equalization, 2D Haar
         "daily_harmonic_power", "image_equalize_audit",
         "image_haar2d_audit",
+        # round-5 session-22: burst self-join, capture-recapture,
+        # sorted-neighborhood blocking
+        "burst_pair_counts", "lincoln_petersen_users",
+        "sorted_neighborhood_pairs",
     ]
     qs = E.queries()
     out = {}

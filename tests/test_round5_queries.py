@@ -4844,3 +4844,134 @@ class TestImageHaar2dAudit:
             assert int(row.e_lh) == e["lh"]
             assert int(row.e_hl) == e["hl"]
             assert int(row.e_hh) == e["hh"]
+
+
+class TestBurstPairCounts:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.burst_pair_counts(SF)
+        want = duckdb.sql(f"""
+            WITH pp AS (
+                SELECT e1.user_id, count(*) AS n
+                FROM '{SF}/events.parquet' e1
+                JOIN '{SF}/events.parquet' e2
+                  ON e2.user_id = e1.user_id AND e2.ts > e1.ts
+                 AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+                GROUP BY 1)
+            SELECT coalesce(sum(n), 0), count(*), coalesce(max(n), 0)
+            FROM pp
+        """).fetchone()
+        assert (int(out.n_pairs[0]), int(out.n_users_with[0]),
+                int(out.max_user_pairs[0])) == \
+            (int(want[0]), int(want[1]), int(want[2]))
+
+    def test_window_edge_semantics(self, ray_session):
+        """Pairs at exactly +5min count; at +5min+1us and at equal
+        timestamps they don't."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = pd.Timestamp("2024-01-01")
+        ts = [base, base,                                 # equal: no
+              base + pd.Timedelta(minutes=5),             # edge: yes
+              base + pd.Timedelta(minutes=5,
+                                  microseconds=1)]        # past: -
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts), np.ones(4),
+                          users=np.zeros(4))
+            out = Q.burst_pair_counts(d)
+        # pairs: (t0,a)->edge yes x2 sources, edge->+1us yes,
+        # (t0)->(+5min+1us) no, equal pair no
+        assert int(out.n_pairs[0]) == 3
+
+
+class TestLincolnPetersenUsers:
+    def test_matches_bruteforce_and_full_overlap(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.lincoln_petersen_users(SF)
+        n1, n2, m = duckdb.sql(f"""
+            WITH f AS (SELECT user_id,
+                              max(CASE WHEN event_id % 2 = 0
+                                       THEN 1 ELSE 0 END) AS r,
+                              max(CASE WHEN event_id % 2 = 1
+                                       THEN 1 ELSE 0 END) AS p
+                       FROM '{SF}/events.parquet' GROUP BY 1)
+            SELECT sum(r), sum(p),
+                   sum(CASE WHEN r = 1 AND p = 1 THEN 1 ELSE 0 END)
+            FROM f
+        """).fetchone()
+        assert (int(out.n_ref_users[0]), int(out.n_prod_users[0]),
+                int(out.n_common[0])) == (int(n1), int(n2), int(m))
+        assert float(out.lp_estimate[0]) == n1 * n2 / m
+        # both halves saw every user => estimate equals the truth
+        nu = duckdb.sql(f"""SELECT count(DISTINCT user_id)
+                            FROM '{SF}/events.parquet'""").fetchone()[0]
+        if m == n1 == n2:
+            assert float(out.lp_estimate[0]) == float(nu)
+
+
+class TestSortedNeighborhoodPairs:
+    def test_matches_window_join_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.sorted_neighborhood_pairs(SF)
+        want = duckdb.sql(f"""
+            WITH u AS (SELECT DISTINCT coalesce(p_name, '') AS name
+                       FROM '{SF}/part.parquet'),
+            rw AS (SELECT name, row_number() OVER (ORDER BY name) rn
+                   FROM u)
+            SELECT a.name, b.name, b.rn - a.rn,
+                   jaro_winkler_similarity(a.name, b.name) AS jw
+            FROM rw a JOIN rw b ON b.rn > a.rn AND b.rn <= a.rn + 4
+            WHERE jw >= 0.92 ORDER BY 1, 2
+        """).df()
+        assert len(out) == len(want)
+        assert list(out.name_a) == list(want.iloc[:, 0])
+        assert list(out.jw) == list(want.jw)
+
+    def test_stitch_reassembles_boundary_pairs(self):
+        """Chunking torture for the window stitch: chunk sizes 1..5
+        must reproduce the single-list window pairs exactly."""
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _stitch_window_pair_summaries)
+        from aumos_drift_detector_ray.functions.textdist import (
+            jaro_winkler)
+
+        rng = np.random.default_rng(77)
+        names = sorted({f"part {chr(97 + int(v))} variant {int(w)}"
+                        for v, w in zip(rng.integers(0, 8, 120),
+                                        rng.integers(0, 9, 120))})
+        window, thr = 4, 0.92
+        want = set()
+        for gap in range(1, window + 1):
+            for i in range(len(names) - gap):
+                if jaro_winkler(names[i], names[i + gap]) >= thr:
+                    want.add((names[i], names[i + gap], gap))
+        pos = 0
+        rows = []
+        while pos < len(names):
+            size = int(rng.integers(1, 6))
+            chunk = names[pos:pos + size]
+            pairs = []
+            for gap in range(1, window + 1):
+                for i in range(len(chunk) - gap):
+                    if jaro_winkler(chunk[i],
+                                    chunk[i + gap]) >= thr:
+                        pairs.append((chunk[i], chunk[i + gap], gap))
+            rows.append({
+                "first": chunk[0], "head": "\x1f".join(chunk[:window]),
+                "tail": "\x1f".join(chunk[-window:]),
+                "n": len(chunk),
+                "pairs": "\x1e".join(f"{a}\x1f{b}\x1f{g}"
+                                     for a, b, g in pairs)})
+            pos += size
+        got = set(_stitch_window_pair_summaries(
+            pd.DataFrame(rows), window, thr, jaro_winkler))
+        assert got == want

@@ -133,6 +133,8 @@ EVENT_QUERIES = [
     "funnel_latency_quantiles",
     # session-21: spectral seasonality
     "daily_harmonic_power",
+    # session-22: temporal self-join + capture-recapture
+    "burst_pair_counts", "lincoln_petersen_users",
 ]
 
 
