@@ -370,6 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_pair_counts": Q.burst_pair_counts,
         "lincoln_petersen_users": Q.lincoln_petersen_users,
         "sorted_neighborhood_pairs": Q.sorted_neighborhood_pairs,
+        "bhattacharyya_types": Q.bhattacharyya_types,
+        "tukey_fences_events": Q.tukey_fences_events,
+        "ols_influence_hourly": Q.ols_influence_hourly,
     }
 
 
@@ -5602,6 +5605,188 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM l WHERE kk < 2
         """,
         "daily_harmonic_power": _harmonic_sql(),
+        # Bhattacharyya affinity: one sqrt per type over exact-ratio
+        # doubles, type-order fold; Hellinger clamps the 1-ulp overshoot
+        "bhattacharyya_types": """
+            WITH ct AS (
+                SELECT event_type,
+                       CAST(sum(CASE WHEN event_id % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_ref,
+                       CAST(sum(CASE WHEN event_id % 2 = 1
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS c_prod
+                FROM events GROUP BY 1
+            ),
+            m AS (SELECT CAST(coalesce(sum(c_ref), 0) AS BIGINT)
+                             AS n1,
+                         CAST(coalesce(sum(c_prod), 0) AS BIGINT)
+                             AS n2
+                  FROM ct),
+            f AS (
+                SELECT m.n1, m.n2,
+                       list(sqrt((CAST(c_ref AS DOUBLE)
+                                  / CAST(m.n1 AS DOUBLE))
+                                 * (CAST(c_prod AS DOUBLE)
+                                    / CAST(m.n2 AS DOUBLE)))
+                            ORDER BY event_type) AS terms
+                FROM ct, m
+                WHERE m.n1 > 0 AND m.n2 > 0
+                GROUP BY 1, 2
+            )
+            SELECT n1 AS n_ref, n2 AS n_prod,
+                   list_reduce(terms, (a, b) -> a + b)
+                       AS bc_coefficient,
+                   sqrt(greatest(0.0, 1.0 - list_reduce(terms,
+                        (a, b) -> a + b))) AS hellinger_types
+            FROM f
+            UNION ALL
+            SELECT n1, n2, 0.0, 0.0 FROM m
+            WHERE n1 = 0 OR n2 = 0
+        """,
+        # Tukey 1.5*IQR fences from exact quartile selections; counts
+        # compare identical doubles both sides
+        "tukey_fences_events": """
+            WITH u AS (SELECT CAST(round(value * 100) AS BIGINT) AS c
+                       FROM (SELECT * FROM events
+                             WHERE value IS NOT NULL
+                               AND NOT isnan(value))),
+            q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(c, 0.25) AS DOUBLE) AS q1,
+                         CAST(quantile_disc(c, 0.75) AS DOUBLE) AS q3
+                  FROM u),
+            fe AS (SELECT n, q1, q3, q3 - q1 AS iqr,
+                          q1 - 1.5 * (q3 - q1) AS lo,
+                          q3 + 1.5 * (q3 - q1) AS hi
+                   FROM q)
+            SELECT fe.n AS n_events,
+                   CASE WHEN fe.n = 0 THEN 0.0 ELSE fe.q1 END AS q1,
+                   CASE WHEN fe.n = 0 THEN 0.0 ELSE fe.q3 END AS q3,
+                   CASE WHEN fe.n = 0 THEN 0.0 ELSE fe.iqr END AS iqr,
+                   CASE WHEN fe.n = 0 THEN 0.0
+                        ELSE fe.lo END AS fence_lo,
+                   CASE WHEN fe.n = 0 THEN 0.0
+                        ELSE fe.hi END AS fence_hi,
+                   CAST(coalesce((SELECT sum(CASE WHEN
+                            CAST(u.c AS DOUBLE) < fe.lo
+                            THEN 1 END) FROM u), 0) AS BIGINT)
+                       AS n_low,
+                   CAST(coalesce((SELECT sum(CASE WHEN
+                            CAST(u.c AS DOUBLE) > fe.hi
+                            THEN 1 END) FROM u), 0) AS BIGINT)
+                       AS n_high,
+                   CASE WHEN fe.n = 0 THEN 0.0
+                        ELSE CAST(coalesce((SELECT sum(CASE WHEN
+                                 CAST(u.c AS DOUBLE) < fe.lo
+                                 OR CAST(u.c AS DOUBLE) > fe.hi
+                                 THEN 1 END) FROM u), 0) AS DOUBLE)
+                             / CAST(fe.n AS DOUBLE)
+                   END AS outlier_share
+            FROM fe
+        """,
+        # Cook's distance / hat values over the hourly OLS trend:
+        # per-t fixed-shape doubles, first-max via list_position
+        "ols_influence_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS value_c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            c1 AS (
+                SELECT xs, nh,
+                       CAST(nh - 1 AS DOUBLE) / 2.0 AS xbar,
+                       CAST(nh * (nh * nh - 1) AS DOUBLE) / 12.0
+                           AS sxx
+                FROM arr WHERE nh >= 4
+            ),
+            c2 AS (
+                SELECT *,
+                       list_reduce(xs, (a, b) -> a + b)
+                           / CAST(nh AS DOUBLE) AS ybar,
+                       list_reduce(list_transform(
+                           generate_series(1, CAST(nh AS BIGINT)),
+                           t -> (CAST(t - 1 AS DOUBLE) - xbar)
+                                * xs[t]), (a, b) -> a + b) / sxx
+                           AS sl
+                FROM c1
+            ),
+            c3 AS (SELECT *, ybar - sl * xbar AS ic FROM c2),
+            c4 AS (
+                SELECT *,
+                       list_reduce(list_transform(
+                           generate_series(1, CAST(nh AS BIGINT)),
+                           t -> (xs[t] - (ic + sl
+                                 * CAST(t - 1 AS DOUBLE)))
+                                * (xs[t] - (ic + sl
+                                   * CAST(t - 1 AS DOUBLE)))),
+                           (a, b) -> a + b)
+                       / CAST(nh - 2 AS DOUBLE) AS s2
+                FROM c3
+            ),
+            c5 AS (
+                SELECT *,
+                       list_transform(
+                           generate_series(1, CAST(nh AS BIGINT)),
+                           t -> ((xs[t] - (ic + sl
+                                  * CAST(t - 1 AS DOUBLE)))
+                                 * (xs[t] - (ic + sl
+                                    * CAST(t - 1 AS DOUBLE)))
+                                 / (2.0 * s2))
+                                * ((1.0 / CAST(nh AS DOUBLE)
+                                    + (CAST(t - 1 AS DOUBLE) - xbar)
+                                      * (CAST(t - 1 AS DOUBLE) - xbar)
+                                      / sxx)
+                                   / ((1.0 - (1.0 / CAST(nh AS DOUBLE)
+                                       + (CAST(t - 1 AS DOUBLE) - xbar)
+                                         * (CAST(t - 1 AS DOUBLE)
+                                            - xbar) / sxx))
+                                      * (1.0 - (1.0
+                                         / CAST(nh AS DOUBLE)
+                                         + (CAST(t - 1 AS DOUBLE)
+                                            - xbar)
+                                           * (CAST(t - 1 AS DOUBLE)
+                                              - xbar) / sxx)))))
+                           AS ds_list,
+                       list_transform(
+                           generate_series(1, CAST(nh AS BIGINT)),
+                           t -> 1.0 / CAST(nh AS DOUBLE)
+                                + (CAST(t - 1 AS DOUBLE) - xbar)
+                                  * (CAST(t - 1 AS DOUBLE) - xbar)
+                                  / sxx) AS hs_list
+                FROM c4 WHERE s2 <> 0.0
+            )
+            SELECT nh AS n_hours, sl AS slope,
+                   list_reduce(ds_list, (a, b) ->
+                       CASE WHEN b > a THEN b ELSE a END)
+                       AS max_cooks_d,
+                   CAST(list_position(ds_list,
+                       list_reduce(ds_list, (a, b) ->
+                           CASE WHEN b > a THEN b ELSE a END)) - 1
+                       AS BIGINT) AS argmax_cooks,
+                   list_reduce(hs_list, (a, b) ->
+                       CASE WHEN b > a THEN b ELSE a END)
+                       AS max_leverage,
+                   CAST(list_reduce(list_transform(ds_list,
+                       d -> CASE WHEN d > 4.0 / CAST(nh AS DOUBLE)
+                                 THEN 1 ELSE 0 END),
+                       (a, b) -> a + b) AS BIGINT) AS n_influential
+            FROM c5
+            UNION ALL
+            SELECT nh, CASE WHEN nh >= 4 THEN
+                       (SELECT sl FROM c3) ELSE 0.0 END,
+                   0.0, 0, 0.0, 0
+            FROM arr
+            WHERE nh < 4 OR (SELECT count(*) FROM c5) = 0
+        """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """
             WITH pp AS (

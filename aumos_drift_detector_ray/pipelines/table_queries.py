@@ -17363,3 +17363,200 @@ def sorted_neighborhood_pairs(sf_dir: str, window: int = 4,
         "jw": pd.Series([jaro_winkler(r[0], r[1])
                          for r in out_rows], dtype="float64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-23: Bhattacharyya affinity, Tukey fences, OLS influence
+# ---------------------------------------------------------------------------
+
+def bhattacharyya_types(sf_dir: str) -> pd.DataFrame:
+    """Bhattacharyya affinity between the halves' event-type
+    distributions (Bhattacharyya 1943 — the overlap coefficient the
+    Hellinger tier is built on, here over the categorical axis):
+    BC = Σ √(p_t·q_t) with p, q exact-integer-ratio doubles, one sqrt
+    per type (correctly rounded on identical inputs — contract-free),
+    folded in type order; the Hellinger distance √(max(0, 1−BC))
+    clamps the 1-ulp overshoot a mathematically-≤1 sum can pick up.
+    Zero-count halves guard to 0.0 sentinels."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        is_ref = (b.event_id % 2 == 0)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "c_ref": is_ref.astype(np.int64),
+            "c_prod": (~is_ref).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("c_ref", alias_name="c_ref"),
+            Sum("c_prod", alias_name="c_prod")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    n1 = int(g.c_ref.sum()) if len(g) else 0
+    n2 = int(g.c_prod.sum()) if len(g) else 0
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({
+            "n_ref": pd.Series([n1], dtype="int64"),
+            "n_prod": pd.Series([n2], dtype="int64"),
+            "bc_coefficient": pd.Series([0.0], dtype="float64"),
+            "hellinger_types": pd.Series([0.0], dtype="float64"),
+        })
+    bc = 0.0
+    first = True
+    for row in g.itertuples(index=False):
+        term = math.sqrt((float(int(row.c_ref)) / float(n1))
+                         * (float(int(row.c_prod)) / float(n2)))
+        if first:
+            bc = term
+            first = False
+        else:
+            bc = bc + term
+    return pd.DataFrame({
+        "n_ref": pd.Series([n1], dtype="int64"),
+        "n_prod": pd.Series([n2], dtype="int64"),
+        "bc_coefficient": pd.Series([bc], dtype="float64"),
+        "hellinger_types": pd.Series(
+            [math.sqrt(max(0.0, 1.0 - bc))], dtype="float64"),
+    })
+
+
+def tukey_fences_events(sf_dir: str) -> pd.DataFrame:
+    """Tukey boxplot-fence outlier census (Tukey 1977 — the 1.5·IQR
+    rule every EDA stack draws): Q1/Q3 are EXACT order-statistic
+    selections over the clean cents (quantile_disc — actual data
+    values, bit-exact both sides), the fences Q1−1.5·IQR / Q3+1.5·IQR
+    fixed-shape doubles, and the outlier counts compare every exact
+    integer cents value (cast to double, exact) against the SAME
+    fence doubles via distributed per-block folds. The share is one
+    division. Empty input guards to 0 sentinels."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                     .astype(np.int64)})
+
+    h = ds.map_batches(prep, batch_format="pandas")
+    n = h.count()
+    if n == 0:
+        return pd.DataFrame({
+            "n_events": pd.Series([0], dtype="int64"),
+            "q1": pd.Series([0.0], dtype="float64"),
+            "q3": pd.Series([0.0], dtype="float64"),
+            "iqr": pd.Series([0.0], dtype="float64"),
+            "fence_lo": pd.Series([0.0], dtype="float64"),
+            "fence_hi": pd.Series([0.0], dtype="float64"),
+            "n_low": pd.Series([0], dtype="int64"),
+            "n_high": pd.Series([0], dtype="int64"),
+            "outlier_share": pd.Series([0.0], dtype="float64"),
+        })
+    qq = exact_quantiles(h, "cents", [0.25, 0.75],
+                         method="inverted_cdf")
+    q1, q3 = float(qq[0]), float(qq[1])
+    iqr = q3 - q1
+    lo = q1 - 1.5 * iqr
+    hi = q3 + 1.5 * iqr
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.cents.to_numpy(np.int64).astype(np.float64)
+        return pd.DataFrame({"nl": [int((c < lo).sum())],
+                             "nh": [int((c > hi).sum())]})
+
+    f = h.map_batches(count_out, batch_format="pandas",
+                      batch_size=65536).to_pandas()
+    nl, nhh = int(f.nl.sum()), int(f.nh.sum())
+    return pd.DataFrame({
+        "n_events": pd.Series([int(n)], dtype="int64"),
+        "q1": pd.Series([q1], dtype="float64"),
+        "q3": pd.Series([q3], dtype="float64"),
+        "iqr": pd.Series([iqr], dtype="float64"),
+        "fence_lo": pd.Series([lo], dtype="float64"),
+        "fence_hi": pd.Series([hi], dtype="float64"),
+        "n_low": pd.Series([nl], dtype="int64"),
+        "n_high": pd.Series([nhh], dtype="int64"),
+        "outlier_share": pd.Series([float(nl + nhh) / float(int(n))],
+                                   dtype="float64"),
+    })
+
+
+def ols_influence_hourly(sf_dir: str) -> pd.DataFrame:
+    """Regression-influence diagnostics of the hourly-mean OLS trend
+    (Cook 1977; Hoaglin & Welsch 1978 hat values): x is the hour
+    index 0..n−1 so x̄ = (n−1)/2 and Sxx = n(n²−1)/12 are closed
+    forms of exact ints; slope/intercept/SSE come from sequential
+    left folds over the ACF tier's bit-identical hourly series;
+    leverage h_t = 1/n + (t−x̄)²/Sxx and Cook's
+    D_t = (e_t²/(2s²))·(h_t/(1−h_t)²) are fixed-shape per-t doubles —
+    bit-identical both sides, so the argmax (first-max) and the
+    D > 4/n influence census need no contract. n < 4 or a perfect
+    fit (s² = 0) guards to 0 sentinels."""
+    import math
+
+    x = [float(v) for v in _hourly_mean_series(sf_dir)]
+    nh = len(x)
+    if nh < 4:
+        return pd.DataFrame({
+            "n_hours": pd.Series([nh], dtype="int64"),
+            "slope": pd.Series([0.0], dtype="float64"),
+            "max_cooks_d": pd.Series([0.0], dtype="float64"),
+            "argmax_cooks": pd.Series([0], dtype="int64"),
+            "max_leverage": pd.Series([0.0], dtype="float64"),
+            "n_influential": pd.Series([0], dtype="int64"),
+        })
+    xbar = float(nh - 1) / 2.0
+    sxx = float(nh * (nh * nh - 1)) / 12.0
+    sy = x[0]
+    for t in range(1, nh):
+        sy = sy + x[t]
+    ybar = sy / float(nh)
+    sxy = (0.0 - xbar) * x[0]
+    for t in range(1, nh):
+        sxy = sxy + (float(t) - xbar) * x[t]
+    slope = sxy / sxx
+    intercept = ybar - slope * xbar
+    e0 = x[0] - (intercept + slope * 0.0)
+    sse = e0 * e0
+    for t in range(1, nh):
+        e = x[t] - (intercept + slope * float(t))
+        sse = sse + e * e
+    s2 = sse / float(nh - 2)
+    if s2 == 0.0:
+        return pd.DataFrame({
+            "n_hours": pd.Series([nh], dtype="int64"),
+            "slope": pd.Series([slope], dtype="float64"),
+            "max_cooks_d": pd.Series([0.0], dtype="float64"),
+            "argmax_cooks": pd.Series([0], dtype="int64"),
+            "max_leverage": pd.Series([0.0], dtype="float64"),
+            "n_influential": pd.Series([0], dtype="int64"),
+        })
+    thr = 4.0 / float(nh)
+    best_d = -1.0
+    best_i = 0
+    max_h = 0.0
+    n_inf = 0
+    for t in range(nh):
+        e = x[t] - (intercept + slope * float(t))
+        h_t = 1.0 / float(nh) \
+            + (float(t) - xbar) * (float(t) - xbar) / sxx
+        d = (e * e / (2.0 * s2)) \
+            * (h_t / ((1.0 - h_t) * (1.0 - h_t)))
+        if d > best_d:
+            best_d = d
+            best_i = t
+        if h_t > max_h:
+            max_h = h_t
+        n_inf += d > thr
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "slope": pd.Series([slope], dtype="float64"),
+        "max_cooks_d": pd.Series([best_d], dtype="float64"),
+        "argmax_cooks": pd.Series([best_i], dtype="int64"),
+        "max_leverage": pd.Series([max_h], dtype="float64"),
+        "n_influential": pd.Series([int(n_inf)], dtype="int64"),
+    })

@@ -350,6 +350,9 @@ def run_queries() -> dict[str, float]:
         # sorted-neighborhood blocking
         "burst_pair_counts", "lincoln_petersen_users",
         "sorted_neighborhood_pairs",
+        # round-5 session-23: affinity, fences, regression influence
+        "bhattacharyya_types", "tukey_fences_events",
+        "ols_influence_hourly",
     ]
     qs = E.queries()
     out = {}

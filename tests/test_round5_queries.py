@@ -4975,3 +4975,126 @@ class TestSortedNeighborhoodPairs:
         got = set(_stitch_window_pair_summaries(
             pd.DataFrame(rows), window, thr, jaro_winkler))
         assert got == want
+
+
+class TestBhattacharyyaTypes:
+    def test_matches_bruteforce_and_identity(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.bhattacharyya_types(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type,
+                   sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS r,
+                   sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                       AS p
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        n1, n2 = int(df.r.sum()), int(df.p.sum())
+        bc = sum(math.sqrt((int(r) / n1) * (int(p) / n2))
+                 for r, p in zip(df.r, df.p))
+        assert abs(float(out.bc_coefficient[0]) - bc) < 1e-12
+        assert 0.0 < float(out.bc_coefficient[0]) <= 1.0 + 1e-12
+        assert float(out.hellinger_types[0]) == \
+            math.sqrt(max(0.0, 1.0 - float(out.bc_coefficient[0])))
+
+    def test_identical_distributions_bc_one(self, ray_session):
+        """Type counts identical in both halves: BC == 1 (ulp), the
+        Hellinger distance ~ 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 600
+        types = [("click", "view", "error")[(i // 2) % 3]
+                 for i in range(n)]
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(n), types=types)
+            out = Q.bhattacharyya_types(d)
+        assert abs(float(out.bc_coefficient[0]) - 1.0) < 1e-12
+        assert float(out.hellinger_types[0]) < 1e-6
+
+
+class TestTukeyFencesEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.tukey_fences_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        cents = np.sort(round_half_away(vals * 100).astype(np.int64))
+        import math
+        n = len(cents)
+        q1 = float(cents[max(0, math.ceil(0.25 * n) - 1)])
+        q3 = float(cents[max(0, math.ceil(0.75 * n) - 1)])
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        assert float(out.q1[0]) == q1
+        assert float(out.q3[0]) == q3
+        assert int(out.n_low[0]) == int((cents < lo).sum())
+        assert int(out.n_high[0]) == int((cents > hi).sum())
+
+    def test_planted_outliers(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.full(1000, 50.0)
+        vals[:10] = 10000.0
+        vals[10:15] = -10000.0
+        ts = pd.date_range("2024-01-01", periods=1000, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.tukey_fences_events(d)
+        assert int(out.n_high[0]) == 10
+        assert int(out.n_low[0]) == 5
+        assert float(out.outlier_share[0]) == 15.0 / 1000.0
+
+
+class TestOlsInfluenceHourly:
+    def test_matches_statsmodels_free_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ols_influence_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        y = (h.c.to_numpy(np.float64) / 100.0) / h.n.to_numpy(np.float64)
+        n = len(y)
+        t = np.arange(n, dtype=np.float64)
+        slope, ic = np.polyfit(t, y, 1)
+        e = y - (ic + slope * t)
+        s2 = float((e * e).sum()) / (n - 2)
+        ht = 1.0 / n + (t - t.mean()) ** 2 / float(((t - t.mean())**2).sum())
+        d = (e * e / (2 * s2)) * (ht / (1 - ht) ** 2)
+        assert abs(float(out.slope[0]) - slope) < 1e-9
+        assert abs(float(out.max_cooks_d[0]) - d.max()) < 1e-9
+        assert int(out.argmax_cooks[0]) == int(np.argmax(d))
+        assert int(out.n_influential[0]) == int((d > 4.0 / n).sum())
+        assert abs(float(out.max_leverage[0]) - ht.max()) < 1e-12
+
+    def test_planted_spike_is_most_influential(self, ray_session):
+        """One wild hour at the end (high leverage + high residual)
+        dominates Cook's distance."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 100
+        vals = np.full(nh, 20.0) + 0.01 * np.arange(nh)
+        vals[-1] = 500.0
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.ols_influence_hourly(d)
+        assert int(out.argmax_cooks[0]) == nh - 1
+        assert float(out.max_cooks_d[0]) > 1.0

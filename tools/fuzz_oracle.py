@@ -135,6 +135,9 @@ EVENT_QUERIES = [
     "daily_harmonic_power",
     # session-22: temporal self-join + capture-recapture
     "burst_pair_counts", "lincoln_petersen_users",
+    # session-23: affinity, fences, regression influence
+    "bhattacharyya_types", "tukey_fences_events",
+    "ols_influence_hourly",
 ]
 
 
