@@ -373,6 +373,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bhattacharyya_types": Q.bhattacharyya_types,
         "tukey_fences_events": Q.tukey_fences_events,
         "ols_influence_hourly": Q.ols_influence_hourly,
+        "lmoments_events": Q.lmoments_events,
+        "yule_k_docs": Q.yule_k_docs,
+        "image_glcm_audit": Q.image_glcm_audit,
+        "vonneumann_allan_hourly": Q.vonneumann_allan_hourly,
+        "hampel_outliers_per_type": Q.hampel_outliers_per_type,
+        "image_mixup_audit": Q.image_mixup_audit,
     }
 
 
@@ -5786,6 +5792,290 @@ def _oracle_sql_raw() -> dict[str, str]:
                    0.0, 0, 0.0, 0
             FROM arr
             WHERE nh < 4 OR (SELECT count(*) FROM c5) = 0
+        """,
+        # L-moment ratios per type: exact falling-factorial rank sums
+        # (tie-invariant closed forms), every float ONE division of
+        # exact HUGEINT numerators — no rounding contract
+        "lmoments_events": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT event_type, cents, c,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY cents) - c AS m0,
+                       sum(c) OVER (PARTITION BY event_type
+                                    ORDER BY cents) AS m1
+                FROM c
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(sum(c) AS HUGEINT) AS n,
+                       CAST(sum(CAST(cents AS HUGEINT) * c)
+                            AS HUGEINT) AS s0,
+                       CAST(sum(CAST(cents AS HUGEINT)
+                                * (m1 * (m1 - 1) // 2
+                                   - m0 * (m0 - 1) // 2))
+                            AS HUGEINT) AS s1,
+                       CAST(sum(CAST(cents AS HUGEINT)
+                                * (m1 * (m1 - 1) * (m1 - 2) // 3
+                                   - m0 * (m0 - 1) * (m0 - 2) // 3))
+                            AS HUGEINT) AS s2,
+                       CAST(sum(CAST(cents AS HUGEINT)
+                                * (m1 * (m1 - 1) * (m1 - 2)
+                                      * (m1 - 3) // 4
+                                   - m0 * (m0 - 1) * (m0 - 2)
+                                      * (m0 - 3) // 4))
+                            AS HUGEINT) AS s3
+                FROM w GROUP BY 1
+            ),
+            nm AS (
+                SELECT event_type, n, s0,
+                       2 * s1 - (n - 1) * s0 AS num2,
+                       6 * s2 - 6 * (n - 2) * s1
+                           + (n - 1) * (n - 2) * s0 AS num3,
+                       20 * s3 - 30 * (n - 3) * s2
+                           + 12 * (n - 2) * (n - 3) * s1
+                           - (n - 1) * (n - 2) * (n - 3) * s0 AS num4
+                FROM a
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n_rows,
+                   CASE WHEN n >= 1
+                        THEN CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)
+                        ELSE 0.0 END AS l1,
+                   CASE WHEN n >= 2
+                        THEN CAST(num2 AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE)
+                        ELSE 0.0 END AS l2,
+                   CASE WHEN n >= 2 AND s0 > 0
+                        THEN CAST(num2 AS DOUBLE)
+                             / CAST((n - 1) * s0 AS DOUBLE)
+                        ELSE 0.0 END AS l_cv,
+                   CASE WHEN n >= 3 AND num2 <> 0
+                        THEN CAST(num3 AS DOUBLE)
+                             / CAST((n - 2) * num2 AS DOUBLE)
+                        ELSE 0.0 END AS l_skew,
+                   CASE WHEN n >= 4 AND num2 <> 0
+                        THEN CAST(num4 AS DOUBLE)
+                             / CAST((n - 2) * (n - 3) * num2 AS DOUBLE)
+                        ELSE 0.0 END AS l_kurt
+            FROM nm ORDER BY event_type
+        """,
+        # Yule's K / Simpson repeat rate: exact token-count second
+        # moment, three single divisions of exact ints
+        "yule_k_docs": """
+            WITH t AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            tc AS (SELECT token, CAST(count(*) AS HUGEINT) AS c
+                   FROM t GROUP BY 1),
+            a AS (SELECT CAST(coalesce(sum(c), 0) AS HUGEINT) AS n,
+                         CAST(count(*) AS HUGEINT) AS v,
+                         CAST(coalesce(sum(c * c), 0) AS HUGEINT)
+                             AS s2
+                  FROM tc)
+            SELECT CAST(n AS BIGINT) AS n_tokens,
+                   CAST(v AS BIGINT) AS vocab_size,
+                   CAST(s2 AS BIGINT) AS sum_c2,
+                   CASE WHEN n > 0
+                        THEN 10000.0 * (CAST(s2 - n AS DOUBLE)
+                                        / CAST(n * n AS DOUBLE))
+                        ELSE 0.0 END AS yule_k,
+                   CASE WHEN n >= 2
+                        THEN CAST(s2 - n AS DOUBLE)
+                             / CAST(n * (n - 1) AS DOUBLE)
+                        ELSE 0.0 END AS simpson_d,
+                   CASE WHEN n > 0
+                        THEN CAST(s2 AS DOUBLE)
+                             / CAST(n * n AS DOUBLE)
+                        ELSE 0.0 END AS repeat_rate
+            FROM a
+        """,
+        # Haralick GLCM over the lossless roster: horizontal pairs of
+        # 8-level channel-0 quantizations, exact integer
+        # contrast/diag/energy; SQL brute-forces the closed-form grid
+        "image_glcm_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 2)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h,
+                       ((r + 2 * c + i) % 256) // 32 AS a,
+                       ((r + 2 * (c + 1) + i) % 256) // 32 AS b
+                FROM px
+            ),
+            cells AS (
+                SELECT i, fmt, a, b, CAST(count(*) AS BIGINT) AS cnt
+                FROM pv GROUP BY 1, 2, 3, 4
+            ),
+            per_img AS (
+                SELECT i, fmt,
+                       CAST(sum(cnt) AS BIGINT) AS n_pairs,
+                       CAST(sum(cnt * (a - b) * (a - b)) AS BIGINT)
+                           AS glcm_contrast,
+                       CAST(coalesce(sum(cnt) FILTER (WHERE a = b),
+                                     0) AS BIGINT) AS glcm_diag,
+                       CAST(sum(cnt * cnt) AS BIGINT) AS glcm_energy
+                FROM cells GROUP BY 1, 2
+            )
+            SELECT i AS img_id, fmt, n_pairs, glcm_contrast,
+                   glcm_diag, glcm_energy,
+                   CAST(glcm_diag AS DOUBLE)
+                       / CAST(n_pairs AS DOUBLE) AS diag_share
+            FROM per_img ORDER BY img_id
+        """,
+        # von Neumann ratio + Allan variance over observed hourly
+        # counts: exact-int ratios; z fixed-shape with a correctly
+        # rounded sqrt of an identical exact-ratio operand
+        "vonneumann_allan_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1
+            ),
+            d AS (
+                SELECT c,
+                       c - lag(c) OVER (ORDER BY hour) AS df
+                FROM h
+            ),
+            a AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(c) AS HUGEINT) AS s1,
+                       CAST(sum(c * c) AS HUGEINT) AS s2,
+                       CAST(coalesce(sum(df * df), 0) AS HUGEINT)
+                           AS ssd
+                FROM d
+            )
+            SELECT CAST(n AS BIGINT) AS n_hours,
+                   CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(ssd AS BIGINT) END AS ssd,
+                   CASE WHEN n < 2 OR n * s2 - s1 * s1 = 0 THEN 0.0
+                        ELSE CAST(n * ssd AS DOUBLE)
+                             / CAST(n * s2 - s1 * s1 AS DOUBLE)
+                   END AS von_neumann,
+                   CASE WHEN n < 2 THEN 0.0
+                        ELSE CAST(ssd AS DOUBLE)
+                             / CAST(2 * (n - 1) AS DOUBLE)
+                   END AS allan_var,
+                   CASE WHEN n < 3 OR n * s2 - s1 * s1 = 0 THEN 0.0
+                        ELSE (CAST(n * ssd AS DOUBLE)
+                              / CAST(n * s2 - s1 * s1 AS DOUBLE)
+                              - 2.0)
+                             / sqrt(CAST(4 * (n - 2) AS DOUBLE)
+                                    / CAST(n * n - 1 AS DOUBLE))
+                   END AS vn_z
+            FROM a
+        """,
+        # Hampel 3*MAD census: exact quantile_disc median + MAD, the
+        # rule decided in exact integer space (10000*|d| > 44478*mad)
+        "hampel_outliers_per_type": """
+            WITH u AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            med AS (SELECT event_type,
+                           CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                               AS m
+                    FROM u GROUP BY 1),
+            d AS (SELECT u.event_type, med.m,
+                         abs(u.cents - med.m) AS dev
+                  FROM u JOIN med USING (event_type)),
+            mad AS (SELECT event_type,
+                           CAST(quantile_disc(dev, 0.5) AS BIGINT)
+                               AS md
+                    FROM d GROUP BY 1)
+            SELECT d.event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(any_value(d.m) AS BIGINT) AS median_cents,
+                   CAST(any_value(mad.md) AS BIGINT) AS mad_cents,
+                   CAST(coalesce(sum(CASE WHEN 10000 * d.dev
+                                               > 44478 * mad.md
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_outliers,
+                   CAST(coalesce(sum(CASE WHEN 10000 * d.dev
+                                               > 44478 * mad.md
+                                          THEN 1 END), 0) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS outlier_share
+            FROM d JOIN mad USING (event_type)
+            GROUP BY 1 ORDER BY 1
+        """,
+        # mixup lambda=1/2 integer blend over the pair overlap; SQL
+        # recomputes both closed-form grids; conservation identity
+        "image_mixup_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            pairs AS (
+                SELECT i,
+                       CASE WHEN (i + 1) % 3 <> 2 THEN i + 1
+                            ELSE i + 2 END AS j,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt_a,
+                       32 + 8 * ((i * 7) % 16) AS wa,
+                       32 + 8 * ((i * 11) % 16) AS ha
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            geo AS (
+                SELECT i, j, fmt_a,
+                       CASE WHEN j % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt_b,
+                       least(wa, 32 + 8 * ((j * 7) % 16)) AS ow,
+                       least(ha, 32 + 8 * ((j * 11) % 16)) AS oh
+                FROM pairs
+            ),
+            pr AS (SELECT *, unnest(generate_series(0, oh - 1)) AS r
+                   FROM geo),
+            px AS (SELECT *, unnest(generate_series(0, ow - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, j, fmt_a, fmt_b, ow, oh, r, c,
+                       (((r + 2*c + i) % 256)
+                        + ((r + 2*c + j) % 256)) // 2
+                     + (((r + 2*c + i + 1) % 256)
+                        + ((r + 2*c + j + 1) % 256)) // 2
+                     + (((r + 2*c + i + 2) % 256)
+                        + ((r + 2*c + j + 2) % 256)) // 2 AS p,
+                       (((r + 2*c + i) % 256)
+                        + ((r + 2*c + j) % 256)) % 2
+                     + (((r + 2*c + i + 1) % 256)
+                        + ((r + 2*c + j + 1) % 256)) % 2
+                     + (((r + 2*c + i + 2) % 256)
+                        + ((r + 2*c + j + 2) % 256)) % 2 AS odd
+                FROM px
+            )
+            SELECT i AS img_a, j AS img_b, fmt_a, fmt_b, ow AS ov_w,
+                   oh AS ov_h,
+                   CAST(sum(p) AS BIGINT) AS mixed_total,
+                   CAST(sum(odd) AS BIGINT) AS n_odd,
+                   CAST(sum(p * (r * ow + c)) AS BIGINT)
+                       AS mixed_pos_sum,
+                   TRUE AS blend_ok
+            FROM pv GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY img_a
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

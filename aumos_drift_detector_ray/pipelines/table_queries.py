@@ -17560,3 +17560,421 @@ def ols_influence_hourly(sf_dir: str) -> pd.DataFrame:
         "max_leverage": pd.Series([max_h], dtype="float64"),
         "n_influential": pd.Series([int(n_inf)], dtype="int64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# session-24: L-moments, lexical concentration, GLCM texture
+# ---------------------------------------------------------------------------
+
+def lmoments_events(sf_dir: str) -> pd.DataFrame:
+    """Sample L-moment ratios per event_type (Hosking 1990, JRSS-B —
+    the order-statistics moment family: robust scale/shape companions
+    to the classical moment tier, standard in hydrology/extreme-value
+    QA): L-CV = l2/l1, L-skewness tau3 = l3/l2, L-kurtosis
+    tau4 = l4/l2. ALL sufficient statistics are the EXACT
+    falling-factorial rank-weighted integer sums S0..S3 from the
+    distributed fold (scan.grouped_rank_falling_factorial_sums —
+    tie-invariant closed-form run contributions, python-int partials
+    shipped as strings). Each output is ONE IEEE division of two
+    exact integers via the common-denominator forms
+
+        l1   = S0/n
+        l2   = num2/(n(n-1)),            num2 = 2*S1 - (n-1)*S0
+        lcv  = num2/((n-1)*S0)
+        tau3 = num3/((n-2)*num2),        num3 = 6*S2 - 6(n-2)*S1
+                                                + (n-1)(n-2)*S0
+        tau4 = num4/((n-2)(n-3)*num2),   num4 = 20*S3 - 30(n-3)*S2
+                                                + 12(n-2)(n-3)*S1
+                                                - (n-1)(n-2)(n-3)*S0
+
+    so there is NO rounding contract (a symmetric multiset has
+    num3 == 0 exactly — pytest-pinned). Guards: l1 needs n>=1, l2
+    n>=2, L-CV additionally S0>0 (undefined for non-positive totals,
+    the gini_value_per_type convention), tau3 n>=3, tau4 n>=4, both
+    num2 != 0 (constant groups) — each 0.0 when unmet. SQL mirrors
+    the integer numerators in HUGEINT (exact to |num4| < 1.7e38,
+    ~n^4*max_cents — generous at fuzz/bench scale; the engine's
+    python ints are unbounded)."""
+    from ..stages.scan import grouped_rank_falling_factorial_sums
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                .astype(np.int64).astype(np.float64),
+        })
+
+    stats_df = grouped_rank_falling_factorial_sums(
+        ds.map_batches(prep, batch_format="pandas"),
+        "event_type", "cents")
+    rows = []
+    for _, r in stats_df.iterrows():
+        n = int(r.n)
+        s0, s1, s2, s3 = int(r.s0), int(r.s1), int(r.s2), int(r.s3)
+        l1 = float(s0) / float(n) if n >= 1 else 0.0
+        num2 = 2 * s1 - (n - 1) * s0
+        num3 = 6 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0
+        num4 = (20 * s3 - 30 * (n - 3) * s2
+                + 12 * (n - 2) * (n - 3) * s1
+                - (n - 1) * (n - 2) * (n - 3) * s0)
+        l2 = (float(num2) / float(n * (n - 1))) if n >= 2 else 0.0
+        lcv = (float(num2) / float((n - 1) * s0)
+               if n >= 2 and s0 > 0 else 0.0)
+        tau3 = (float(num3) / float((n - 2) * num2)
+                if n >= 3 and num2 != 0 else 0.0)
+        tau4 = (float(num4) / float((n - 2) * (n - 3) * num2)
+                if n >= 4 and num2 != 0 else 0.0)
+        rows.append({"event_type": r.event_type,
+                     "n_rows": np.int64(n),
+                     "l1": float(l1), "l2": float(l2),
+                     "l_cv": float(lcv), "l_skew": float(tau3),
+                     "l_kurt": float(tau4)})
+    return pd.DataFrame(rows).sort_values("event_type") \
+        .reset_index(drop=True)
+
+
+def yule_k_docs(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-concentration second moment of the corpus token
+    frequency spectrum (Yule 1944 characteristic K; Simpson 1949
+    repeat rate — the lexical-diversity pair beside
+    hapax_vocab_stats' first-moment profile; a corpus whose K climbs
+    between snapshots is collapsing onto fewer types): with exact
+    per-token counts c_t, N = sum c_t, V = #types, S2 = sum c_t^2,
+
+        yule_k      = 10^4 * (S2 - N)/N^2
+        simpson_d   = (S2 - N)/(N(N-1))   (repeat prob., w/o replacement)
+        repeat_rate = S2/N^2              (with replacement)
+
+    Per-block token-count partials flow through ONE token-hash-
+    bucketed exchange (a token lives wholly in one bucket, so
+    per-bucket sums are exact global counts); each bucket ships THREE
+    scalars (token total, vocab size, c^2 sum as a python-int string
+    — exact at any corpus scale) and the driver adds O(buckets) rows.
+    Every float is one division of exact ints (the 10^4 factor is an
+    exact power of ten multiply) — no rounding contract. All-distinct
+    corpus => yule_k == 0.0 exactly; single repeated type =>
+    simpson_d == 1.0 exactly (both pytest-pinned). N==0/N<2 guard to
+    0.0 sentinels."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        s2 = sum(int(x) * int(x) for x in m.n)
+        return pd.DataFrame({
+            "bucket": [np.int64(g.bucket.iloc[0])],
+            "tot_n": [np.int64(m.n.sum())],
+            "vocab_n": [np.int64(len(m))],
+            "s2": [str(s2)]})
+
+    per_bucket = ds.map_batches(partial, batch_format="pandas",
+                                batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    if len(per_bucket) == 0:
+        n = v = s2 = 0
+    else:
+        n = int(per_bucket.tot_n.sum())
+        v = int(per_bucket.vocab_n.sum())
+        s2 = sum(int(x) for x in per_bucket.s2)
+    assert s2 < 2 ** 62, "sum of squared counts exceeds int64 output"
+    yk = (10000.0 * (float(s2 - n) / float(n * n))) if n > 0 else 0.0
+    sd = (float(s2 - n) / float(n * (n - 1))) if n >= 2 else 0.0
+    rr = (float(s2) / float(n * n)) if n > 0 else 0.0
+    return pd.DataFrame({
+        "n_tokens": pd.Series([n], dtype="int64"),
+        "vocab_size": pd.Series([v], dtype="int64"),
+        "sum_c2": pd.Series([s2], dtype="int64"),
+        "yule_k": pd.Series([yk], dtype="float64"),
+        "simpson_d": pd.Series([sd], dtype="float64"),
+        "repeat_rate": pd.Series([rr], dtype="float64"),
+    })
+
+
+def image_glcm_audit(sf_dir: str) -> pd.DataFrame:
+    """Gray-level co-occurrence texture statistics (Haralick,
+    Distante & Shanmugam 1973 — the classical texture-feature family;
+    here the horizontal offset-(0,1) matrix at 8 gray levels over
+    channel 0 of the REAL decode output of the lossless roster, jpg
+    excluded as codec-defined): level = v // 32, pairs are
+    (level[r,c], level[r,c+1]) for c < w-1. Reported per image, all
+    EXACT integers — pair count h*(w-1), contrast = sum (a-b)^2,
+    diagonal count = sum (a == b), energy numerator = sum over cells
+    of C[a,b]^2 (angular second moment * n_pairs^2) — plus
+    diag_share, ONE division of exact ints. SQL brute-forces every
+    pair from the closed-form pixel grid ((r + 2c + i) % 256 // 32)
+    and recomputes the cell histogram with a two-level GROUP BY; any
+    codec bit flip shifts contrast/energy and the value-hash compare
+    goes red."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def glcm(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            lvl = dec[:, :, 0] // 32
+            a, bb = lvl[:, :-1], lvl[:, 1:]
+            cells = np.bincount((a * 8 + bb).ravel(), minlength=64)
+            rows.append((i, fmt, int(h * (w - 1)),
+                         int(((a - bb) ** 2).sum()),
+                         int((a == bb).sum()),
+                         int((cells.astype(object) ** 2).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_pairs", "glcm_contrast", "glcm_diag",
+            "glcm_energy"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(glcm, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_pairs", "glcm_contrast", "glcm_diag",
+                "glcm_energy"):
+        out[col] = out[col].astype("int64")
+    out["diag_share"] = (out.glcm_diag.to_numpy(np.float64)
+                         / out.n_pairs.to_numpy(np.float64))
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def vonneumann_allan_hourly(sf_dir: str) -> pd.DataFrame:
+    """Successive-difference dispersion of the hourly event-count
+    process — the von Neumann ratio (von Neumann 1941; Young 1941
+    trend test: VN ≈ 2 for white noise, < 2 under positive serial
+    correlation) and the Allan variance (Allan 1966, the
+    clock-stability two-sample variance): over the OBSERVED hourly
+    counts c_t in hour order (empty hours carry no row — the
+    poisson_dispersion_hourly contract surface),
+
+        ssd   = Σ (c_{t+1} − c_t)²                (exact int)
+        VN    = n·ssd / (n·S2 − S1²)              (MSSD / sample var)
+        allan = ssd / (2(n−1))
+
+    — each ONE IEEE division of exact python ints (HUGEINT in SQL).
+    The trend z-score (VN−2)/√(4(n−2)/(n²−1)) is fixed-shape: the
+    sqrt's operand is one division of exact ints, so both sides take
+    a correctly-rounded sqrt of the identical double. Hourly counts
+    are O(hours) — bounded — so the fold runs on the driver after a
+    distributed per-hour count. Guards: n < 2 or zero variance →
+    0.0 sentinels (VN undefined)."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": np.ones(len(b), dtype=np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum"))
+
+    hourly = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    n = len(hourly)
+    if n < 2:
+        return pd.DataFrame({
+            "n_hours": pd.Series([n], dtype="int64"),
+            "ssd": pd.Series([0], dtype="int64"),
+            "von_neumann": pd.Series([0.0], dtype="float64"),
+            "allan_var": pd.Series([0.0], dtype="float64"),
+            "vn_z": pd.Series([0.0], dtype="float64"),
+        })
+    c = [int(x) for x in hourly.c]
+    s1 = sum(c)
+    s2 = sum(x * x for x in c)
+    ssd = sum((c[t + 1] - c[t]) * (c[t + 1] - c[t])
+              for t in range(n - 1))
+    den = n * s2 - s1 * s1
+    vn = float(n * ssd) / float(den) if den != 0 else 0.0
+    allan = float(ssd) / float(2 * (n - 1))
+    if den != 0 and n >= 3:
+        se = math.sqrt(float(4 * (n - 2)) / float(n * n - 1))
+        vz = (vn - 2.0) / se
+    else:
+        vz = 0.0
+    assert ssd < 2 ** 62, "ssd exceeds int64 output"
+    return pd.DataFrame({
+        "n_hours": pd.Series([n], dtype="int64"),
+        "ssd": pd.Series([ssd], dtype="int64"),
+        "von_neumann": pd.Series([vn], dtype="float64"),
+        "allan_var": pd.Series([allan], dtype="float64"),
+        "vn_z": pd.Series([vz], dtype="float64"),
+    })
+
+
+def hampel_outliers_per_type(sf_dir: str) -> pd.DataFrame:
+    """Hampel identifier outlier census per event_type (Hampel 1974;
+    Davies & Gather 1993 — the robust 3·MAD rule, the
+    median-based companion of tukey_fences_events): median and MAD
+    are EXACT per-group quantile_disc order-statistic selections
+    (actual data values — scan.grouped_disc_quantiles both passes;
+    deviations |cents − med| stay exact ints), and the outlier rule
+    |x − med| > 3·1.4826·MAD is decided ENTIRELY in exact integer
+    space as 10000·|d| > 44478·mad (3·1.4826 = 44478/10000 exactly in
+    decimal) — contract-free end-to-end; the share is one division.
+    MAD == 0 (a majority mass point) degenerates to flagging every
+    off-median value — the textbook caveat, kept deliberately."""
+    from ..stages.scan import grouped_disc_quantiles
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def prep(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                .astype(np.int64).astype(np.float64),
+        })
+
+    h = ds.map_batches(prep, batch_format="pandas").materialize()
+    med_df = grouped_disc_quantiles(h, "event_type", "cents", [0.5])
+    med = {str(r.event_type): int(r.value)
+           for _, r in med_df.iterrows()}
+    if not med:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_rows": pd.Series([], dtype="int64"),
+            "median_cents": pd.Series([], dtype="int64"),
+            "mad_cents": pd.Series([], dtype="int64"),
+            "n_outliers": pd.Series([], dtype="int64"),
+            "outlier_share": pd.Series([], dtype="float64"),
+        })
+    bc = ray.put(med)
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(bc)
+        md = b.event_type.map(m).to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "d": np.abs(b.cents.to_numpy(np.int64) - md)
+                 .astype(np.float64),
+        })
+
+    devs = h.map_batches(dev, batch_format="pandas",
+                         batch_size=65536).materialize()
+    mad_df = grouped_disc_quantiles(devs, "event_type", "d", [0.5])
+    mad = {str(r.event_type): int(r.value)
+           for _, r in mad_df.iterrows()}
+    bc2 = ray.put(mad)
+
+    def count_out(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(bc2)
+        md = b.event_type.map(m).to_numpy(np.int64)
+        d = b.d.to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "n": np.ones(len(b), dtype=np.int64),
+            "out": (10000 * d > 44478 * md).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = devs.map_batches(count_out, batch_format="pandas",
+                         batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("out", alias_name="out")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pd.DataFrame({
+        "event_type": g.event_type,
+        "n_rows": g.n.astype("int64"),
+        "median_cents": g.event_type.map(med).astype("int64"),
+        "mad_cents": g.event_type.map(mad).astype("int64"),
+        "n_outliers": g.out.astype("int64"),
+        "outlier_share": (g.out.to_numpy(np.float64)
+                          / g.n.to_numpy(np.float64)),
+    })
+
+
+def image_mixup_audit(sf_dir: str) -> pd.DataFrame:
+    """Mixup augmentation audit (Zhang et al., ICLR 2018 — the convex
+    image-blending companion of image_cutmix_audit): consecutive
+    lossless roster pairs (A = img i, B = the next lossless img),
+    blended at the EXACT integer λ = 1/2 rule (vA + vB) // 2 over the
+    top-left A/B dimension OVERLAP, both operands the REAL decode
+    outputs. Exact ints pin the blend: mixed_total, the truncation
+    census n_odd (# channel values with vA+vB odd), the conservation
+    identity a_ov_total + b_ov_total == 2·mixed_total + n_odd
+    (asserted engine-side from the actual arrays, recomputed by SQL
+    from both closed-form grids), and the position-weighted mixed
+    intensity sum pinning the ARRANGEMENT."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def grid(i: int) -> "tuple[int, int, np.ndarray]":
+        w = 32 + 8 * ((i * 7) % 16)
+        h = 32 + 8 * ((i * 11) % 16)
+        r = np.arange(h, dtype=np.int64)[:, None]
+        c = np.arange(w, dtype=np.int64)[None, :]
+        src = np.stack([(r + 2 * c + i + ch) % 256
+                        for ch in range(3)], axis=-1).astype(np.uint8)
+        return w, h, src
+
+    def mix(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg A: excluded
+                continue
+            j = i + 1 if (i + 1) % 3 != 2 else i + 2   # next lossless
+            wa, ha, srca = grid(i)
+            wb, hb, srcb = grid(j)
+            fa = fmts[i % 3]
+            fb = fmts[j % 3]
+            deca = C.decode(C.encode(srca, fa), fa).astype(np.int64)
+            decb = C.decode(C.encode(srcb, fb), fb).astype(np.int64)
+            oh, ow = min(ha, hb), min(wa, wb)
+            a = deca[:oh, :ow, :]
+            bb = decb[:oh, :ow, :]
+            mixed = (a + bb) // 2
+            n_odd = int(((a + bb) % 2).sum())
+            mt = int(mixed.sum())
+            ok = bool(int(a.sum()) + int(bb.sum()) == 2 * mt + n_odd)
+            p = mixed.sum(axis=2)
+            rr = np.arange(oh, dtype=np.int64)[:, None]
+            cc = np.arange(ow, dtype=np.int64)[None, :]
+            rows.append((i, j, fa, fb, ow, oh, mt, n_odd,
+                         int((p * (rr * ow + cc)).sum()), ok))
+        return pd.DataFrame(rows, columns=[
+            "img_a", "img_b", "fmt_a", "fmt_b", "ov_w", "ov_h",
+            "mixed_total", "n_odd", "mixed_pos_sum", "blend_ok"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(mix, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_a", "img_b", "ov_w", "ov_h", "mixed_total",
+                "n_odd", "mixed_pos_sum"):
+        out[col] = out[col].astype("int64")
+    out["blend_ok"] = out["blend_ok"].astype(bool)
+    return out.sort_values("img_a").reset_index(drop=True)

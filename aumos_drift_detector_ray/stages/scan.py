@@ -972,6 +972,134 @@ def grouped_rank_weighted_sums(
     return pd.DataFrame(rows)
 
 
+def grouped_rank_falling_factorial_sums(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+) -> pd.DataFrame:
+    """Per-group EXACT falling-factorial rank-weighted integer sums —
+    the sufficient statistics of the first four sample L-moments
+    (Hosking 1990): with each group's integer values sorted ascending
+    and 1-based ranks i, writing j = i−1,
+
+    * ``s0`` = Σ x,
+    * ``s1`` = Σ j·x_(i),
+    * ``s2`` = Σ j(j−1)·x_(i),
+    * ``s3`` = Σ j(j−1)(j−2)·x_(i),
+    * ``n``  = row count.
+
+    Tie-invariant by construction: a run of c equal values v starting
+    after ``clt`` smaller rows spans j ∈ [clt, clt+c), and each weight
+    sum has the closed prefix form G1(m) = m(m−1)/2,
+    G2(m) = m(m−1)(m−2)/3, G3(m) = m(m−1)(m−2)(m−3)/4 (products of
+    consecutive integers — the divisions are exact), so the run
+    contributes v·(Gk(clt+c) − Gk(clt)) whatever the within-tie order.
+    Same distributed shape as :func:`grouped_rank_weighted_sums`:
+    (group, value) counts → bucketed merge → sort(group, value) →
+    per-block per-group offsets → pass-B python-int folds shipped as
+    strings (exact at any scale). ``value_col`` must hold integers
+    (e.g. cents) represented exactly in float64."""
+    from ..sketches import hash64, hash_any_array
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            group_col: b[group_col],
+            value_col: b[value_col].to_numpy(dtype=np.float64) + 0.0,
+        }).groupby([group_col, value_col], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        vh = hash64(g[value_col].to_numpy(dtype=np.float64).view(np.uint64))
+        gh = hash_any_array(g[group_col].tolist())
+        with np.errstate(over="ignore"):
+            g["bucket"] = ((vh ^ gh) % np.uint64(64)).astype(np.int64)
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def merge(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([group_col, value_col], as_index=False).agg(n=("n", "sum"))
+
+    counts = parts.groupby("bucket").map_groups(merge, batch_format="pandas")
+    sorted_counts = counts.sort([group_col, value_col]).materialize()
+
+    def summarize(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "first_val": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = b.groupby(group_col, as_index=False, sort=False).agg(
+            first_val=(value_col, "first"))
+        out["n"] = b.groupby(group_col, sort=False)["n"].sum().to_numpy()
+        return out
+
+    summary = sorted_counts.map_batches(
+        summarize, batch_format="pandas", batch_size=None
+    ).to_pandas().sort_values([group_col, "first_val"]).reset_index(drop=True)
+    offsets: dict = {}
+    for grp, sub in summary.groupby(group_col, sort=False):
+        cum = 0
+        for _, row in sub.iterrows():
+            offsets[(grp, float(row.first_val))] = cum
+            cum += int(row.n)
+    bc = ray.put(offsets)
+
+    def _g1(m: int) -> int:
+        return m * (m - 1) // 2
+
+    def _g2(m: int) -> int:
+        return m * (m - 1) * (m - 2) // 3
+
+    def _g3(m: int) -> int:
+        return m * (m - 1) * (m - 2) * (m - 3) // 4
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return pd.DataFrame({group_col: pd.Series([], dtype=object),
+                                 "s0": pd.Series([], dtype=object),
+                                 "s1": pd.Series([], dtype=object),
+                                 "s2": pd.Series([], dtype=object),
+                                 "s3": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        offs = ray.get(bc)
+        gs, s0_l, s1_l, s2_l, s3_l, n_l = [], [], [], [], [], []
+        for grp, sub in b.groupby(group_col, sort=False):
+            v = sub[value_col].to_numpy()
+            nvec = sub["n"].to_numpy()
+            clt = int(offs[(grp, float(v[0]))])
+            start = clt
+            s0 = s1 = s2 = s3 = 0
+            for val, c in zip(v, nvec):
+                c = int(c)
+                cv = int(val)
+                hi = clt + c
+                s0 += cv * c
+                s1 += cv * (_g1(hi) - _g1(clt))
+                s2 += cv * (_g2(hi) - _g2(clt))
+                s3 += cv * (_g3(hi) - _g3(clt))
+                clt = hi
+            gs.append(grp)
+            s0_l.append(str(s0))
+            s1_l.append(str(s1))
+            s2_l.append(str(s2))
+            s3_l.append(str(s3))
+            n_l.append(clt - start)
+        return pd.DataFrame({group_col: gs, "s0": s0_l, "s1": s1_l,
+                             "s2": s2_l, "s3": s3_l,
+                             "n": pd.Series(n_l, dtype="int64")})
+
+    partsb = sorted_counts.map_batches(
+        fold, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    rows = []
+    for grp, sub in partsb.groupby(group_col, sort=False):
+        rows.append({group_col: grp,
+                     "s0": sum(int(x) for x in sub.s0),
+                     "s1": sum(int(x) for x in sub.s1),
+                     "s2": sum(int(x) for x in sub.s2),
+                     "s3": sum(int(x) for x in sub.s3),
+                     "n": int(sub.n.sum())})
+    return pd.DataFrame(rows)
+
+
 def grouped_exact_quantiles(
     ds: ray.data.Dataset,
     group_col: str,

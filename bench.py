@@ -353,6 +353,11 @@ def run_queries() -> dict[str, float]:
         # round-5 session-23: affinity, fences, regression influence
         "bhattacharyya_types", "tukey_fences_events",
         "ols_influence_hourly",
+        # round-5 session-24: L-moments, Yule's K, GLCM texture,
+        # von Neumann/Allan dispersion, Hampel census, mixup
+        "lmoments_events", "yule_k_docs", "image_glcm_audit",
+        "vonneumann_allan_hourly", "hampel_outliers_per_type",
+        "image_mixup_audit",
     ]
     qs = E.queries()
     out = {}

@@ -5098,3 +5098,284 @@ class TestOlsInfluenceHourly:
             out = Q.ols_influence_hourly(d)
         assert int(out.argmax_cooks[0]) == nh - 1
         assert float(out.max_cooks_d[0]) > 1.0
+
+
+class TestLmomentsEvents:
+    def test_matches_fraction_bruteforce(self, ray_session):
+        """l1/l2/L-CV/tau3/tau4 must equal the exact-Fraction direct
+        b_r estimators (Hosking 1990) evaluated per type, with each
+        output reproduced as float(num)/float(den)."""
+        from fractions import Fraction
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.lmoments_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        for et, sub in df.groupby("event_type"):
+            x = np.sort(round_half_away(
+                sub.value.to_numpy() * 100).astype(np.int64))
+            n = len(x)
+            if n < 4:
+                continue
+            j = np.arange(n, dtype=object)
+            s0 = int(x.sum())
+            s1 = int((j * x).sum())
+            s2 = int((j * (j - 1) * x).sum())
+            s3 = int((j * (j - 1) * (j - 2) * x).sum())
+            b0 = Fraction(s0, n)
+            b1 = Fraction(s1, n * (n - 1))
+            b2 = Fraction(s2, n * (n - 1) * (n - 2))
+            b3 = Fraction(s3, n * (n - 1) * (n - 2) * (n - 3))
+            l1, l2 = b0, 2 * b1 - b0
+            l3 = 6 * b2 - 6 * b1 + b0
+            l4 = 20 * b3 - 30 * b2 + 12 * b1 - b0
+            row = out[out.event_type == et].iloc[0]
+            assert float(row.l1) == float(
+                l1.numerator) / float(l1.denominator)
+            # engine emits ONE division of the common-denominator ints
+            num2 = 2 * s1 - (n - 1) * s0
+            assert float(row.l2) == float(num2) / float(n * (n - 1))
+            if s0 > 0:
+                assert abs(float(row.l_cv) - float(l2 / l1)) < 1e-12
+            if num2 != 0:
+                assert abs(float(row.l_skew) - float(l3 / l2)) < 1e-12
+                assert abs(float(row.l_kurt) - float(l4 / l2)) < 1e-12
+
+    def test_symmetric_multiset_has_exact_zero_lskew(self, ray_session):
+        """A symmetric value multiset makes the integer numerator
+        num3 identically 0, so tau3 == 0.0 EXACTLY (no tolerance)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        k = np.arange(1, 51)
+        cents = np.concatenate([1000 - k, 1000 + k, [1000] * 7])
+        vals = cents / 100.0
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.lmoments_events(d)
+        assert float(out.l_skew[0]) == 0.0
+        assert float(out.l2[0]) > 0.0
+
+    def test_constant_group_sentinels(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.full(20, 7.25)
+        ts = pd.date_range("2024-01-01", periods=20, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.lmoments_events(d)
+        assert float(out.l1[0]) == 725.0
+        assert float(out.l2[0]) == 0.0
+        assert float(out.l_skew[0]) == 0.0
+        assert float(out.l_kurt[0]) == 0.0
+
+
+class TestYuleKDocs:
+    def test_matches_counter_bruteforce(self, ray_session):
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.yule_k_docs(SF)
+        texts = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        cnt = Counter()
+        for t in texts.text:
+            cnt.update(WORD_RE.findall(str(t or "").lower()))
+        n = sum(cnt.values())
+        v = len(cnt)
+        s2 = sum(c * c for c in cnt.values())
+        assert int(out.n_tokens[0]) == n
+        assert int(out.vocab_size[0]) == v
+        assert int(out.sum_c2[0]) == s2
+        assert float(out.yule_k[0]) == 10000.0 * (
+            float(s2 - n) / float(n * n))
+        assert float(out.simpson_d[0]) == float(s2 - n) / float(
+            n * (n - 1))
+
+    def test_all_distinct_k_zero_and_single_type_simpson_one(
+            self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["alpha beta gamma delta", "eps zeta"],
+                        ["en", "en"])
+            out = Q.yule_k_docs(d)
+        assert float(out.yule_k[0]) == 0.0
+        assert float(out.simpson_d[0]) == 0.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["same same same", "same same"],
+                        ["en", "en"])
+            out = Q.yule_k_docs(d)
+        assert float(out.simpson_d[0]) == 1.0
+        assert int(out.vocab_size[0]) == 1
+
+
+class TestImageGlcmAudit:
+    def test_matches_explicit_pair_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_glcm_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            lvl = ((r + 2 * c + img_id) % 256) // 32
+            a, b = lvl[:, :-1], lvl[:, 1:]
+            cells = np.bincount((a * 8 + b).ravel(), minlength=64)
+            assert int(row.n_pairs) == h * (w - 1)
+            assert int(row.glcm_contrast) == int(((a - b) ** 2).sum())
+            assert int(row.glcm_diag) == int((a == b).sum())
+            assert int(row.glcm_energy) == int(
+                (cells.astype(np.int64) ** 2).sum())
+            assert float(row.diag_share) == float(
+                int((a == b).sum())) / float(h * (w - 1))
+
+    def test_jpg_excluded_and_levels_bounded(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_glcm_audit(SF)
+        assert set(out.fmt) <= {"raw", "png"}
+        assert (out.img_id % 3 != 2).all()
+        # contrast per pair is at most (7-0)^2
+        assert (out.glcm_contrast <= 49 * out.n_pairs).all()
+
+
+class TestVonNeumannAllanHourly:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.vonneumann_allan_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        c = h.c.to_numpy(np.int64)
+        n = len(c)
+        d = np.diff(c)
+        ssd = int((d * d).sum())
+        s1, s2 = int(c.sum()), int((c.astype(object) ** 2).sum())
+        assert int(out.ssd[0]) == ssd
+        assert float(out.von_neumann[0]) == float(n * ssd) / float(
+            n * s2 - s1 * s1)
+        assert float(out.allan_var[0]) == float(ssd) / float(
+            2 * (n - 1))
+        # white-noise-ish series should land in a broad band around 2
+        assert 0.5 < float(out.von_neumann[0]) < 3.5
+
+    def test_alternating_maximizes_trendless_vn(self, ray_session):
+        """A strict 2-cycle gives VN -> 4 (the anti-persistent
+        extreme); a monotone ramp gives VN -> 0 (trend)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 240
+        with tempfile.TemporaryDirectory() as d:
+            reps = np.where(np.arange(nh) % 2 == 0, 1, 5)
+            ts = np.repeat(
+                pd.date_range("2024-01-01", periods=nh, freq="h"),
+                reps)
+            _write_events(d, ts, np.full(len(ts), 1.0))
+            out = Q.vonneumann_allan_hourly(d)
+            assert float(out.von_neumann[0]) > 3.5
+        with tempfile.TemporaryDirectory() as d:
+            reps = 1 + np.arange(nh)
+            ts = np.repeat(
+                pd.date_range("2024-01-01", periods=nh, freq="h"),
+                reps)
+            _write_events(d, ts, np.full(len(ts), 1.0))
+            out = Q.vonneumann_allan_hourly(d)
+            assert float(out.von_neumann[0]) < 0.2
+            assert float(out.vn_z[0]) < -5.0
+
+
+class TestHampelOutliersPerType:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.hampel_outliers_per_type(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        for et, sub in df.groupby("event_type"):
+            c = np.sort(round_half_away(
+                sub.value.to_numpy() * 100).astype(np.int64))
+            n = len(c)
+            med = int(c[max(0, math.ceil(0.5 * n) - 1)])
+            dev = np.sort(np.abs(c - med))
+            mad = int(dev[max(0, math.ceil(0.5 * n) - 1)])
+            n_out = int((10000 * np.abs(c - med) > 44478 * mad).sum())
+            row = out[out.event_type == et].iloc[0]
+            assert int(row.median_cents) == med
+            assert int(row.mad_cents) == mad
+            assert int(row.n_outliers) == n_out
+
+    def test_planted_spikes_flagged(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.concatenate([np.arange(1, 101, dtype=np.float64),
+                               np.full(5, 1e6)])
+        ts = pd.date_range("2024-01-01", periods=len(vals), freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.hampel_outliers_per_type(d)
+        # median 53, MAD 26 (in whole units x100 cents): only the
+        # five 1e6 spikes exceed 3*1.4826*MAD
+        assert int(out.n_outliers[0]) == 5
+
+
+class TestImageMixupAudit:
+    def test_matches_explicit_blend_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_mixup_audit(SF)
+        assert bool(out.blend_ok.all())
+        for img_id in (0, 1):
+            row = out[out.img_a == img_id].iloc[0]
+            j = int(row.img_b)
+            wa = 32 + 8 * ((img_id * 7) % 16)
+            ha = 32 + 8 * ((img_id * 11) % 16)
+            wb = 32 + 8 * ((j * 7) % 16)
+            hb = 32 + 8 * ((j * 11) % 16)
+            oh, ow = min(ha, hb), min(wa, wb)
+            r = np.arange(oh)[:, None]
+            c = np.arange(ow)[None, :]
+            a = np.stack([(r + 2 * c + img_id + ch) % 256
+                          for ch in range(3)], axis=-1)
+            b = np.stack([(r + 2 * c + j + ch) % 256
+                          for ch in range(3)], axis=-1)
+            mixed = (a + b) // 2
+            assert int(row.ov_w) == ow and int(row.ov_h) == oh
+            assert int(row.mixed_total) == int(mixed.sum())
+            assert int(row.n_odd) == int(((a + b) % 2).sum())
+            p = mixed.sum(axis=2)
+            assert int(row.mixed_pos_sum) == int(
+                (p * (r * ow + c)).sum())
+
+    def test_pairs_skip_jpg(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_mixup_audit(SF)
+        assert (out.img_a % 3 != 2).all()
+        assert (out.img_b % 3 != 2).all()
+        assert set(out.fmt_a) <= {"raw", "png"}
+        assert set(out.fmt_b) <= {"raw", "png"}

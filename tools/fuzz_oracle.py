@@ -138,6 +138,10 @@ EVENT_QUERIES = [
     # session-23: affinity, fences, regression influence
     "bhattacharyya_types", "tukey_fences_events",
     "ols_influence_hourly",
+    # session-24: L-moment ratios, successive-difference dispersion,
+    # Hampel census
+    "lmoments_events", "vonneumann_allan_hourly",
+    "hampel_outliers_per_type",
 ]
 
 
@@ -250,6 +254,8 @@ DOC_QUERIES = [
     "source_concentration_hhi",
     # session-21: equalization + 2D Haar anchors
     "image_equalize_audit", "image_haar2d_audit",
+    # session-24: lexical concentration + GLCM texture + mixup
+    "yule_k_docs", "image_glcm_audit", "image_mixup_audit",
 ]
 
 
