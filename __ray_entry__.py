@@ -379,6 +379,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vonneumann_allan_hourly": Q.vonneumann_allan_hourly,
         "hampel_outliers_per_type": Q.hampel_outliers_per_type,
         "image_mixup_audit": Q.image_mixup_audit,
+        "sigma_coverage_events": Q.sigma_coverage_events,
+        "burrows_delta_docs": Q.burrows_delta_docs,
+        "image_solarize_posterize_audit":
+            Q.image_solarize_posterize_audit,
+        "pot_mean_excess_events": Q.pot_mean_excess_events,
+        "transition_drift_chi2": Q.transition_drift_chi2,
+        "image_grayworld_audit": Q.image_grayworld_audit,
+        "drawdown_hourly": Q.drawdown_hourly,
+        "bigram_novelty_docs": Q.bigram_novelty_docs,
+        "image_laplacian_audit": Q.image_laplacian_audit,
+        "sample_entropy_hourly": Q.sample_entropy_hourly,
+        "theil_index_customers": Q.theil_index_customers,
+        "image_nn_resize_audit": Q.image_nn_resize_audit,
+        "classical_decomposition_hourly":
+            Q.classical_decomposition_hourly,
+        "abc_analysis_parts": Q.abc_analysis_parts,
+        "image_orientation_hist_audit":
+            Q.image_orientation_hist_audit,
     }
 
 
@@ -1089,7 +1107,10 @@ def _benford_sql() -> str:
 
     chain = "0.0"
     for d in range(1, 10):
-        p = repr(math.log10(1.0 + 1.0 / d))
+        # CAST('<repr>' AS DOUBLE): the string parse is correctly
+        # rounded; a bare literal would go through DECIMAL(17,16)
+        # whose ->DOUBLE conversion can be 1 ulp off (fuzz 86307)
+        p = f"CAST('{math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"
         t = (f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) * "
              f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) / "
              f"(CAST(nz AS DOUBLE) * {p})")
@@ -1124,8 +1145,9 @@ def _benford2_sql() -> str:
 
     chain = "0.0"
     for d in range(10):
-        p = repr(sum(math.log10(1.0 + 1.0 / (10 * k + d))
-                     for k in range(1, 10)))
+        pv = sum(math.log10(1.0 + 1.0 / (10 * k + d))
+                 for k in range(1, 10))
+        p = f"CAST('{pv!r}' AS DOUBLE)"   # string parse: see above
         t = (f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) * "
              f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) / "
              f"(CAST(nz AS DOUBLE) * {p})")
@@ -1485,8 +1507,13 @@ def _harmonic_sql() -> str:
     parts = []
     for k in (1, 2):
         cs, sn = _harmonic_tables(k)
-        cl = "[" + ", ".join(repr(v) for v in cs) + "]"
-        sl = "[" + ", ".join(repr(v) for v in sn) + "]"
+        # string-parse each entry: a bare 17-digit literal types as
+        # DECIMAL(17,16) and its ->DOUBLE conversion can be 1 ulp off
+        # (caught live by events fuzz seed 86307 on sin(2*pi*5/24))
+        cl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                             for v in cs) + "]"
+        sl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                             for v in sn) + "]"
         parts.append(f"""
                CASE WHEN nh = 0 THEN 0.0
                     ELSE list_reduce(list_transform(
@@ -6076,6 +6103,818 @@ def _oracle_sql_raw() -> dict[str, str]:
                        AS mixed_pos_sum,
                    TRUE AS blend_ok
             FROM pv GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY img_a
+        """,
+        # Chebyshev coverage census: membership decided in exact
+        # integer space (n*x - S1)^2 < k^2*(n*S2 - S1^2); k=2,3 bound
+        # booleans structural TRUE; sigma one correctly-rounded sqrt
+        "sigma_coverage_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            a AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(coalesce(sum(c), 0) AS HUGEINT) AS s1,
+                       CAST(coalesce(sum(CAST(c AS HUGEINT) * c), 0)
+                            AS HUGEINT) AS s2
+                FROM u
+            ),
+            v AS (SELECT n, s1, s2, n * s2 - s1 * s1 AS vn FROM a),
+            w AS (
+                SELECT v.n, v.s1, v.vn,
+                       CASE WHEN v.vn = 0 THEN v.n
+                            ELSE (SELECT CAST(coalesce(sum(CASE WHEN
+                                 (v.n * u.c - v.s1)
+                                 * (v.n * u.c - v.s1) < 1 * v.vn
+                                 THEN 1 END), 0) AS HUGEINT) FROM u)
+                       END AS w1,
+                       CASE WHEN v.vn = 0 THEN v.n
+                            ELSE (SELECT CAST(coalesce(sum(CASE WHEN
+                                 (v.n * u.c - v.s1)
+                                 * (v.n * u.c - v.s1) < 4 * v.vn
+                                 THEN 1 END), 0) AS HUGEINT) FROM u)
+                       END AS w2,
+                       CASE WHEN v.vn = 0 THEN v.n
+                            ELSE (SELECT CAST(coalesce(sum(CASE WHEN
+                                 (v.n * u.c - v.s1)
+                                 * (v.n * u.c - v.s1) < 9 * v.vn
+                                 THEN 1 END), 0) AS HUGEINT) FROM u)
+                       END AS w3
+                FROM v
+            )
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS mean_cents,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE sqrt(CAST(vn AS DOUBLE)
+                                  / CAST(n * n AS DOUBLE))
+                   END AS sigma_cents,
+                   CAST(w1 AS BIGINT) AS within_1,
+                   CAST(w2 AS BIGINT) AS within_2,
+                   CAST(w3 AS BIGINT) AS within_3,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(w1 AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS share_1,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(w2 AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS share_2,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(w3 AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS share_3,
+                   4 * w2 >= 3 * n AS cheb2_ok,
+                   9 * w3 >= 8 * n AS cheb3_ok
+            FROM w
+        """,
+        # Burrows's Delta between sources over the exact corpus top-k
+        # words: rates one division each, mean/sd/delta LEFT folds in
+        # source / word-rank order, z fixed-shape
+        "burrows_delta_docs": """
+            WITH toks AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            ranked AS (
+                SELECT token,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          token) AS rnk
+                FROM toks GROUP BY token
+            ),
+            kept AS (SELECT token, rnk FROM ranked WHERE rnk <= 20),
+            kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM kept),
+            st AS (SELECT source, CAST(count(*) AS BIGINT) AS nt
+                   FROM toks GROUP BY 1),
+            csw AS (
+                SELECT st.source, kept.token, kept.rnk,
+                       CAST(coalesce(c.c, 0) AS BIGINT) AS c,
+                       st.nt
+                FROM st CROSS JOIN kept
+                LEFT JOIN (
+                    SELECT source, token,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM toks
+                    WHERE token IN (SELECT token FROM kept)
+                    GROUP BY 1, 2
+                ) c ON c.source = st.source AND c.token = kept.token
+            ),
+            rt AS (SELECT source, token, rnk,
+                          CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS r
+                   FROM csw),
+            ws AS (
+                SELECT token, rnk,
+                       list(r ORDER BY source) AS rs,
+                       CAST(count(*) AS BIGINT) AS s
+                FROM rt GROUP BY 1, 2
+            ),
+            mu AS (
+                SELECT token, rnk, rs, s,
+                       list_reduce(rs, (a, b) -> a + b)
+                           / CAST(s AS DOUBLE) AS mu
+                FROM ws
+            ),
+            sg AS (
+                SELECT token, rnk, mu,
+                       sqrt(list_reduce(list_transform(rs,
+                                x -> (x - mu) * (x - mu)),
+                            (a, b) -> a + b)
+                            / CAST(s AS DOUBLE)) AS sig
+                FROM mu
+            ),
+            z AS (
+                SELECT rt.source, rt.token, rt.rnk,
+                       CASE WHEN sg.sig = 0.0 THEN 0.0
+                            ELSE (rt.r - sg.mu) / sg.sig END AS z
+                FROM rt JOIN sg ON rt.token = sg.token
+            ),
+            pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       list(abs(a.z - b.z) ORDER BY a.rnk) AS dz
+                FROM z a JOIN z b
+                    ON a.token = b.token AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT source_a, source_b,
+                   (SELECT k FROM kk) AS n_words,
+                   list_reduce(dz, (a, b) -> a + b)
+                       / CAST((SELECT k FROM kk) AS DOUBLE) AS delta
+            FROM pairs ORDER BY source_a, source_b
+        """,
+        # solarize (invert >= 128; output ceiling 127 structural) +
+        # posterize (top-3-bit LUT) over the closed-form grid
+        "image_solarize_posterize_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            ch AS (SELECT i, fmt, w, h, r, c,
+                          unnest([0, 1, 2]) AS k
+                   FROM px),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       (r + 2 * c + i + k) % 256 AS v
+                FROM ch
+            ),
+            lut AS (
+                SELECT i, fmt, w, h, r, c,
+                       CASE WHEN v < 128 THEN v ELSE 255 - v END
+                           AS sol,
+                       (v // 32) * 32 AS post,
+                       CASE WHEN v >= 128 THEN 1 ELSE 0 END AS inv,
+                       CASE WHEN v % 32 <> 0 THEN 1 ELSE 0 END AS tr
+                FROM pv
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(sol) AS BIGINT) AS sol_total,
+                   CAST(max(sol) AS BIGINT) AS sol_max,
+                   CAST(sum(inv) AS BIGINT) AS n_inverted,
+                   CAST(sum(post) AS BIGINT) AS post_total,
+                   CAST(sum(tr) AS BIGINT) AS n_truncated,
+                   CAST(sum(CAST(sol AS BIGINT) * (r * w + c))
+                        AS BIGINT) AS sol_pos_sum
+            FROM lut GROUP BY 1, 2 ORDER BY 1
+        """,
+        # POT mean-excess at exact p90/p95 order-statistic thresholds:
+        # strict exceedances, exact integer excess mass, one division
+        "pot_mean_excess_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(c, 0.90) AS BIGINT) AS u90,
+                         CAST(quantile_disc(c, 0.95) AS BIGINT) AS u95
+                  FROM u),
+            g AS (
+                SELECT p.p,
+                       CASE WHEN q.n = 0 THEN 0
+                            WHEN p.p = 0.90 THEN q.u90
+                            ELSE q.u95 END AS threshold_cents,
+                       q.n
+                FROM (VALUES (0.90), (0.95)) p(p), q
+            ),
+            e AS (
+                SELECT g.p, g.threshold_cents, g.n,
+                       CAST(coalesce((SELECT count(*) FROM u
+                            WHERE u.c > g.threshold_cents), 0)
+                            AS BIGINT) AS ne,
+                       CAST(coalesce((SELECT sum(CAST(u.c AS HUGEINT)
+                                 - g.threshold_cents) FROM u
+                            WHERE u.c > g.threshold_cents), 0)
+                            AS BIGINT) AS se
+                FROM g
+            )
+            SELECT CAST(p AS DOUBLE) AS p, threshold_cents,
+                   ne AS n_exceed, se AS sum_excess_cents,
+                   CASE WHEN ne = 0 THEN 0.0
+                        ELSE CAST(se AS DOUBLE) / CAST(ne AS DOUBLE)
+                   END AS mean_excess,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(ne AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS exceed_share
+            FROM e ORDER BY p
+        """,
+        # transition homogeneity chi2 between early/late halves split
+        # at the exact median ts: N*sum(o^2/(row*col)) - N with each
+        # o>0 cell term one exact-int division, left-folded in
+        # (prev, type, late) order
+        "transition_drift_chi2": """
+            WITH med AS (
+                SELECT CAST(quantile_disc(CAST(epoch_us(ts) AS BIGINT),
+                                          0.5) AS BIGINT) AS m
+                FROM events
+            ),
+            o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                                 >= (SELECT m FROM med)
+                            THEN 1 ELSE 0 END AS late
+                FROM events
+            ),
+            cells AS (
+                SELECT prev_type, event_type, late,
+                       CAST(count(*) AS HUGEINT) AS n
+                FROM o WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2, 3
+            ),
+            tot AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT) AS nt
+                    FROM cells),
+            rt AS (SELECT prev_type, event_type,
+                          CAST(sum(n) AS HUGEINT) AS r
+                   FROM cells GROUP BY 1, 2),
+            ct AS (SELECT late, CAST(sum(n) AS HUGEINT) AS c
+                   FROM cells GROUP BY 1),
+            terms AS (
+                SELECT list(CAST(cells.n * cells.n * tot.nt AS DOUBLE)
+                            / CAST(rt.r * ct.c AS DOUBLE)
+                            ORDER BY cells.prev_type,
+                                     cells.event_type, cells.late)
+                           AS ts_list,
+                       any_value(tot.nt) AS nt,
+                       CAST(count(*) AS BIGINT) AS n_cells
+                FROM cells
+                JOIN rt ON rt.prev_type = cells.prev_type
+                       AND rt.event_type = cells.event_type
+                JOIN ct ON ct.late = cells.late
+                CROSS JOIN tot
+            )
+            SELECT CAST(nt AS BIGINT) AS n_transitions, n_cells,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT)
+                       AS df,
+                   list_reduce(ts_list, (a, b) -> a + b)
+                       - CAST(nt AS DOUBLE) AS chi2_transitions
+            FROM terms
+            WHERE n_cells > 0
+            UNION ALL
+            SELECT 0, 0, 0, 0.0 FROM tot WHERE nt = 0
+        """,
+        # gray-world white balance: integer LUT v*S//(3*S_ch) derived
+        # from the grid's own channel sums; clip census
+        "image_grayworld_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            ch AS (SELECT i, fmt, r, c, unnest([0, 1, 2]) AS k
+                   FROM px),
+            pv AS (SELECT i, fmt, k,
+                          CAST((r + 2 * c + i + k) % 256 AS BIGINT)
+                              AS v
+                   FROM ch),
+            sums AS (
+                SELECT i, fmt,
+                       sum(v) FILTER (WHERE k = 0) AS s0,
+                       sum(v) FILTER (WHERE k = 1) AS s1,
+                       sum(v) FILTER (WHERE k = 2) AS s2
+                FROM pv GROUP BY 1, 2
+            ),
+            lut AS (
+                SELECT pv.i, pv.fmt, pv.k,
+                       pv.v * (sums.s0 + sums.s1 + sums.s2)
+                       // (3 * (CASE pv.k WHEN 0 THEN sums.s0
+                                          WHEN 1 THEN sums.s1
+                                          ELSE sums.s2 END)) AS raw
+                FROM pv JOIN sums ON sums.i = pv.i
+            ),
+            agg AS (
+                SELECT i, fmt,
+                       sum(least(255, raw))
+                           FILTER (WHERE k = 0) AS bal0,
+                       sum(least(255, raw))
+                           FILTER (WHERE k = 1) AS bal1,
+                       sum(least(255, raw))
+                           FILTER (WHERE k = 2) AS bal2,
+                       CAST(coalesce(sum(CASE WHEN raw > 255
+                                              THEN 1 END), 0)
+                            AS BIGINT) AS n_clipped
+                FROM lut GROUP BY 1, 2
+            )
+            SELECT sums.i AS img_id, sums.fmt,
+                   CAST(sums.s0 AS BIGINT) AS s0,
+                   CAST(sums.s1 AS BIGINT) AS s1,
+                   CAST(sums.s2 AS BIGINT) AS s2,
+                   CAST(agg.bal0 AS BIGINT) AS bal0,
+                   CAST(agg.bal1 AS BIGINT) AS bal1,
+                   CAST(agg.bal2 AS BIGINT) AS bal2,
+                   agg.n_clipped
+            FROM sums JOIN agg ON agg.i = sums.i
+            ORDER BY img_id
+        """,
+        # max drawdown of the cumulative hourly cents process: exact
+        # integers end-to-end, first-argmax tie-break
+        "drawdown_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS s
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            w AS (
+                SELECT hour,
+                       row_number() OVER (ORDER BY hour) - 1 AS t,
+                       sum(s) OVER (ORDER BY hour) AS cum
+                FROM h
+            ),
+            w2 AS (
+                SELECT t, cum,
+                       max(cum) OVER (ORDER BY hour) AS runmax
+                FROM w
+            ),
+            d AS (SELECT t, cum, runmax, runmax - cum AS dd FROM w2),
+            agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_hours,
+                       CAST(max(cum) FILTER (WHERE t = (SELECT max(t)
+                            FROM d)) AS BIGINT) AS final_cum_cents,
+                       CAST(max(runmax) AS BIGINT) AS peak_cum_cents,
+                       CAST(max(dd) AS BIGINT) AS max_drawdown_cents
+                FROM d
+            )
+            SELECT n_hours, final_cum_cents, peak_cum_cents,
+                   max_drawdown_cents,
+                   CAST((SELECT min(t) FROM d
+                         WHERE d.dd = (SELECT max(dd) FROM d))
+                        AS BIGINT) AS argmax_drawdown
+            FROM agg
+            WHERE n_hours > 0
+            UNION ALL
+            SELECT 0, 0, 0, 0, 0
+            WHERE (SELECT count(*) FROM h) = 0
+        """,
+        # bigram novelty between doc_id-parity halves: exact joined
+        # counts, novelty rates single divisions
+        "bigram_novelty_docs": """
+            WITH dt AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z'']+') AS ts
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id % 2 AS half,
+                       unnest(list_transform(
+                           generate_series(1, len(ts) - 1),
+                           i -> ts[i] || ' ' || ts[i + 1])) AS bg
+                FROM dt WHERE len(ts) >= 2
+            ),
+            bc AS (
+                SELECT bg,
+                       CAST(count(*) FILTER (WHERE half = 0)
+                            AS BIGINT) AS e,
+                       CAST(count(*) FILTER (WHERE half = 1)
+                            AS BIGINT) AS l
+                FROM pos GROUP BY 1
+            ),
+            a AS (
+                SELECT CAST(coalesce(sum(e), 0) AS BIGINT) AS eb,
+                       CAST(coalesce(sum(CASE WHEN e > 0 THEN 1 END),
+                                     0) AS BIGINT) AS et,
+                       CAST(coalesce(sum(l), 0) AS BIGINT) AS lb,
+                       CAST(coalesce(sum(CASE WHEN l > 0 THEN 1 END),
+                                     0) AS BIGINT) AS lt,
+                       CAST(coalesce(sum(l) FILTER (WHERE e = 0), 0)
+                            AS BIGINT) AS nb,
+                       CAST(coalesce(sum(CASE WHEN e = 0 AND l > 0
+                                              THEN 1 END), 0)
+                            AS BIGINT) AS nt
+                FROM bc
+            )
+            SELECT eb AS early_bigrams, et AS early_types,
+                   lb AS late_bigrams, lt AS late_types,
+                   nb AS novel_bigrams, nt AS novel_types,
+                   CASE WHEN lb = 0 THEN 0.0
+                        ELSE CAST(nb AS DOUBLE) / CAST(lb AS DOUBLE)
+                   END AS novelty_token_rate,
+                   CASE WHEN lt = 0 THEN 0.0
+                        ELSE CAST(nt AS DOUBLE) / CAST(lt AS DOUBLE)
+                   END AS novelty_type_rate
+            FROM a
+        """,
+        # 4-neighbor Laplacian over the closed-form channel-sum grid:
+        # exact interior response census
+        "image_laplacian_audit": """
+            WITH nn AS (SELECT least(80, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(1, h - 2)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(1, w - 2)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       abs(4 * (((r + 2*c + i) % 256)
+                                + ((r + 2*c + i + 1) % 256)
+                                + ((r + 2*c + i + 2) % 256))
+                           - (((r - 1 + 2*c + i) % 256)
+                              + ((r - 1 + 2*c + i + 1) % 256)
+                              + ((r - 1 + 2*c + i + 2) % 256))
+                           - (((r + 1 + 2*c + i) % 256)
+                              + ((r + 1 + 2*c + i + 1) % 256)
+                              + ((r + 1 + 2*c + i + 2) % 256))
+                           - (((r + 2*(c - 1) + i) % 256)
+                              + ((r + 2*(c - 1) + i + 1) % 256)
+                              + ((r + 2*(c - 1) + i + 2) % 256))
+                           - (((r + 2*(c + 1) + i) % 256)
+                              + ((r + 2*(c + 1) + i + 1) % 256)
+                              + ((r + 2*(c + 1) + i + 2) % 256)))
+                           AS al
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(al) AS BIGINT) AS abs_sum,
+                   CAST(sum(CAST(al AS HUGEINT) * al) AS BIGINT)
+                       AS sq_sum,
+                   CAST(max(al) AS BIGINT) AS max_abs,
+                   CAST(coalesce(sum(CASE WHEN al > 0 THEN 1 END), 0)
+                        AS BIGINT) AS n_nonzero,
+                   CAST(sum(CAST(al AS HUGEINT) * (r * w + c))
+                        AS BIGINT) AS pos_sum
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # sample-entropy template matches: integer cross-multiplied
+        # tolerance r=50 cents, HUGEINT pair grid over hourly lists
+        "sample_entropy_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS s,
+                       CAST(count(*) AS HUGEINT) AS n
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            arr AS (
+                SELECT list(s ORDER BY hour) AS ss,
+                       list(n ORDER BY hour) AS ns,
+                       CAST(count(*) AS BIGINT) AS hh
+                FROM h
+            ),
+            gi AS (SELECT hh, ss, ns,
+                          unnest(generate_series(1, hh)) AS i
+                   FROM arr WHERE hh >= 4),
+            pj AS (SELECT hh, ss, ns, i,
+                          unnest(generate_series(i + 1, hh)) AS j
+                   FROM gi),
+            c AS (
+                SELECT any_value(hh) AS hh,
+                       CAST(coalesce(sum(CASE WHEN
+                            i <= hh - 2 AND j <= hh - 2
+                            AND abs(ss[i] * ns[j] - ss[j] * ns[i])
+                                < 50 * ns[i] * ns[j]
+                            AND abs(ss[i + 1] * ns[j + 1]
+                                    - ss[j + 1] * ns[i + 1])
+                                < 50 * ns[i + 1] * ns[j + 1]
+                            THEN 1 END), 0) AS BIGINT) AS b2,
+                       CAST(coalesce(sum(CASE WHEN
+                            i <= hh - 2 AND j <= hh - 2
+                            AND abs(ss[i] * ns[j] - ss[j] * ns[i])
+                                < 50 * ns[i] * ns[j]
+                            AND abs(ss[i + 1] * ns[j + 1]
+                                    - ss[j + 1] * ns[i + 1])
+                                < 50 * ns[i + 1] * ns[j + 1]
+                            AND abs(ss[i + 2] * ns[j + 2]
+                                    - ss[j + 2] * ns[i + 2])
+                                < 50 * ns[i + 2] * ns[j + 2]
+                            THEN 1 END), 0) AS BIGINT) AS a3
+                FROM pj
+            )
+            SELECT hh AS n_hours, b2 AS b_m2, a3 AS a_m3,
+                   CASE WHEN b2 = 0 THEN 0.0
+                        ELSE CAST(a3 AS DOUBLE) / CAST(b2 AS DOUBLE)
+                   END AS match_ratio
+            FROM c
+            UNION ALL
+            SELECT hh, 0, 0, 0.0 FROM arr WHERE hh < 4
+        """,
+        # Theil T + mean log deviation over per-customer revenue:
+        # terms folded in ascending-revenue order (tie-invariant),
+        # entropy-tier round-6 contract on the two ln folds
+        "theil_index_customers": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS rev_c
+                FROM orders GROUP BY 1
+            ),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(coalesce(sum(rev_c), 0) AS HUGEINT)
+                             AS x
+                  FROM pc),
+            t AS (
+                SELECT a.n, a.x,
+                       list((CAST(rev_c AS DOUBLE)
+                             / CAST(a.x AS DOUBLE))
+                            * ln((CAST(rev_c AS DOUBLE)
+                                  * CAST(a.n AS DOUBLE))
+                                 / CAST(a.x AS DOUBLE))
+                            ORDER BY rev_c) AS tl,
+                       list(ln(CAST(a.x AS DOUBLE)
+                               / (CAST(a.n AS DOUBLE)
+                                  * CAST(rev_c AS DOUBLE)))
+                            / CAST(a.n AS DOUBLE)
+                            ORDER BY rev_c) AS ll
+                FROM pc, a
+                WHERE a.n > 0
+                GROUP BY 1, 2
+            )
+            SELECT n AS n_customers, CAST(x AS BIGINT) AS total_cents,
+                   CAST(round(list_reduce(tl, (p, q) -> p + q), 6)
+                        AS DOUBLE) AS theil_t,
+                   CAST(round(list_reduce(ll, (p, q) -> p + q), 6)
+                        AS DOUBLE) AS theil_l
+            FROM t
+            UNION ALL
+            SELECT 0, 0, 0.0, 0.0 FROM a WHERE n = 0
+        """,
+        # nearest-neighbor 64x64 thumbnail: exact integer index map
+        # over the closed-form grid, corner probes + arrangement pin
+        "image_nn_resize_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, 63)) AS ro
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, ro,
+                          unnest(generate_series(0, 63)) AS co
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, ro, co,
+                       ((ro * h // 64) + 2 * (co * w // 64) + i) % 256
+                     + ((ro * h // 64) + 2 * (co * w // 64) + i + 1)
+                           % 256
+                     + ((ro * h // 64) + 2 * (co * w // 64) + i + 2)
+                           % 256 AS p
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(p) AS BIGINT) AS resized_total,
+                   CAST(sum(p * (ro * 64 + co)) AS BIGINT)
+                       AS resized_pos_sum,
+                   CAST(max(CASE WHEN ro = 0 AND co = 0
+                                 THEN p END) AS BIGINT) AS tl,
+                   CAST(max(CASE WHEN ro = 0 AND co = 63
+                                 THEN p END) AS BIGINT) AS tr,
+                   CAST(max(CASE WHEN ro = 63 AND co = 0
+                                 THEN p END) AS BIGINT) AS bl,
+                   CAST(max(CASE WHEN ro = 63 AND co = 63
+                                 THEN p END) AS BIGINT) AS br
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # classical 2x24 MA additive decomposition: exact integer
+        # trend numerators over denominator 48, seasonal indices one
+        # division of exact ints
+        "classical_decomposition_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT))
+                            AS HUGEINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                GROUP BY 1
+            ),
+            w AS (
+                SELECT hour,
+                       CAST(extract(hour FROM hour) AS BIGINT)
+                           AS hod,
+                       row_number() OVER (ORDER BY hour) AS t,
+                       c,
+                       sum(c) OVER (ORDER BY hour
+                           ROWS BETWEEN 11 PRECEDING
+                           AND 11 FOLLOWING) AS mid,
+                       lag(c, 12) OVER (ORDER BY hour) AS lo,
+                       lead(c, 12) OVER (ORDER BY hour) AS hi,
+                       count(*) OVER () AS n
+                FROM h
+            ),
+            d AS (
+                SELECT hod,
+                       48 * c - (lo + 2 * mid + hi) AS det
+                FROM w
+                WHERE t > 12 AND t <= n - 12 AND n >= 25
+            )
+            SELECT hod AS hour_of_day,
+                   CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(sum(det) AS BIGINT) AS seasonal_num,
+                   CAST(sum(det) AS DOUBLE)
+                       / CAST(48 * count(*) AS DOUBLE)
+                       AS seasonal_index
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        # ABC Pareto classification by part revenue: boundaries are
+        # exact integer prefix-sum comparisons 5*cum<=4*tot /
+        # 20*cum<=19*tot under the (rev DESC, partkey) order
+        "abc_analysis_parts": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                                * (1 - l_discount) * 100) AS BIGINT))
+                            AS HUGEINT) AS rev_c
+                FROM lineitem GROUP BY 1
+            ),
+            t AS (SELECT CAST(coalesce(sum(rev_c), 0) AS HUGEINT)
+                      AS tot FROM pp),
+            r AS (
+                SELECT rev_c,
+                       sum(rev_c) OVER (ORDER BY rev_c DESC,
+                                        l_partkey) AS cum
+                FROM pp
+            ),
+            cl AS (
+                SELECT CASE WHEN 5 * cum <= 4 * (SELECT tot FROM t)
+                            THEN 'A'
+                            WHEN 20 * cum <= 19 * (SELECT tot FROM t)
+                            THEN 'B' ELSE 'C' END AS abc_class,
+                       rev_c
+                FROM r
+            ),
+            g AS (
+                SELECT k.abc_class,
+                       CAST(coalesce(c.n, 0) AS BIGINT) AS n_parts,
+                       CAST(coalesce(c.rev, 0) AS BIGINT)
+                           AS class_revenue_cents
+                FROM (VALUES ('A'), ('B'), ('C')) k(abc_class)
+                LEFT JOIN (
+                    SELECT abc_class, count(*) AS n,
+                           sum(rev_c) AS rev
+                    FROM cl GROUP BY 1
+                ) c ON c.abc_class = k.abc_class
+                WHERE (SELECT count(*) FROM pp) > 0
+            )
+            SELECT abc_class, n_parts, class_revenue_cents,
+                   CASE WHEN (SELECT tot FROM t) = 0 THEN 0.0
+                        ELSE CAST(class_revenue_cents AS DOUBLE)
+                             / CAST((SELECT tot FROM t) AS DOUBLE)
+                   END AS revenue_share
+            FROM g ORDER BY abc_class
+        """,
+        # Sobel-gradient orientation octants via the integer quadrant
+        # x axis-dominance code; L1-magnitude-weighted masses
+        "image_orientation_hist_audit": """
+            WITH nn AS (SELECT least(80, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(1, h - 2)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(1, w - 2)) AS c
+                   FROM pr),
+            gv AS (
+                SELECT i, fmt, r, c,
+                       ((((r - 1 + 2*(c + 1) + i) % 256)
+                         + ((r - 1 + 2*(c + 1) + i + 1) % 256)
+                         + ((r - 1 + 2*(c + 1) + i + 2) % 256))
+                        + 2 * (((r + 2*(c + 1) + i) % 256)
+                               + ((r + 2*(c + 1) + i + 1) % 256)
+                               + ((r + 2*(c + 1) + i + 2) % 256))
+                        + (((r + 1 + 2*(c + 1) + i) % 256)
+                           + ((r + 1 + 2*(c + 1) + i + 1) % 256)
+                           + ((r + 1 + 2*(c + 1) + i + 2) % 256)))
+                       - ((((r - 1 + 2*(c - 1) + i) % 256)
+                           + ((r - 1 + 2*(c - 1) + i + 1) % 256)
+                           + ((r - 1 + 2*(c - 1) + i + 2) % 256))
+                          + 2 * (((r + 2*(c - 1) + i) % 256)
+                                 + ((r + 2*(c - 1) + i + 1) % 256)
+                                 + ((r + 2*(c - 1) + i + 2) % 256))
+                          + (((r + 1 + 2*(c - 1) + i) % 256)
+                             + ((r + 1 + 2*(c - 1) + i + 1) % 256)
+                             + ((r + 1 + 2*(c - 1) + i + 2) % 256)))
+                           AS gx,
+                       ((((r + 1 + 2*(c - 1) + i) % 256)
+                         + ((r + 1 + 2*(c - 1) + i + 1) % 256)
+                         + ((r + 1 + 2*(c - 1) + i + 2) % 256))
+                        + 2 * (((r + 1 + 2*c + i) % 256)
+                               + ((r + 1 + 2*c + i + 1) % 256)
+                               + ((r + 1 + 2*c + i + 2) % 256))
+                        + (((r + 1 + 2*(c + 1) + i) % 256)
+                           + ((r + 1 + 2*(c + 1) + i + 1) % 256)
+                           + ((r + 1 + 2*(c + 1) + i + 2) % 256)))
+                       - ((((r - 1 + 2*(c - 1) + i) % 256)
+                           + ((r - 1 + 2*(c - 1) + i + 1) % 256)
+                           + ((r - 1 + 2*(c - 1) + i + 2) % 256))
+                          + 2 * (((r - 1 + 2*c + i) % 256)
+                                 + ((r - 1 + 2*c + i + 1) % 256)
+                                 + ((r - 1 + 2*c + i + 2) % 256))
+                          + (((r - 1 + 2*(c + 1) + i) % 256)
+                             + ((r - 1 + 2*(c + 1) + i + 1) % 256)
+                             + ((r - 1 + 2*(c + 1) + i + 2) % 256)))
+                           AS gy
+                FROM px
+            ),
+            oc AS (
+                SELECT i, fmt,
+                       abs(gx) + abs(gy) AS mag,
+                       (CASE WHEN gy < 0 THEN 4 ELSE 0 END)
+                     + (CASE WHEN gx < 0 THEN 2 ELSE 0 END)
+                     + (CASE WHEN abs(gy) >= abs(gx)
+                             THEN 1 ELSE 0 END) AS k
+                FROM gv
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 0), 0) AS BIGINT) AS o0,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 1), 0) AS BIGINT) AS o1,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 2), 0) AS BIGINT) AS o2,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 3), 0) AS BIGINT) AS o3,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 4), 0) AS BIGINT) AS o4,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 5), 0) AS BIGINT) AS o5,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 6), 0) AS BIGINT) AS o6,
+                   CAST(coalesce(sum(mag) FILTER (WHERE mag > 0
+                        AND k = 7), 0) AS BIGINT) AS o7,
+                   CAST(coalesce(sum(CASE WHEN mag = 0
+                        THEN 1 END), 0) AS BIGINT) AS n_zero
+            FROM oc GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

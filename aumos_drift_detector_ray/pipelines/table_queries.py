@@ -17978,3 +17978,1252 @@ def image_mixup_audit(sf_dir: str) -> pd.DataFrame:
         out[col] = out[col].astype("int64")
     out["blend_ok"] = out["blend_ok"].astype(bool)
     return out.sort_values("img_a").reset_index(drop=True)
+
+
+def sigma_coverage_events(sf_dir: str) -> pd.DataFrame:
+    """Chebyshev / empirical-rule coverage census of the clean value
+    distribution (Chebyshev 1867; the sample form of Saw-Yang-Mo
+    1984): counts strictly within k·sigma of the mean for k = 1, 2, 3
+    with sigma the POPULATION sd of the sample itself, for which the
+    sample Chebyshev bound  within_k >= n·(1 − 1/k²)  holds for ANY
+    input — the k = 2, 3 bound booleans are pinned literal TRUE (an
+    engine regression flips them red). The membership rule
+    (x − mean)² < k²·sigma² is decided ENTIRELY in exact integer
+    space: (n·x − S1)² < k²·(n·S2 − S1²) — the engine inverts it to
+    |n·x − S1| <= isqrt(K−1) so the per-row compare stays a
+    vectorized int64 test (SQL mirrors the HUGEINT square directly;
+    the two forms are exactly equivalent). S2 ships as python-int
+    strings (squares pass int64 under planted 1e9 values); the bound
+    booleans are exact integer comparisons 4·w2 >= 3·n / 9·w3 >= 8·n.
+    sigma is ONE correctly-rounded sqrt of the identical exact-ratio
+    double; shares one division each. Degenerate zero-variance input
+    (every value at the mean) reports within = n by convention
+    (distance 0), guarded on both sides; n == 0 zero-sentinels."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    h = ds.map_batches(lambda b: pd.DataFrame({
+        "cents": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64)}), batch_format="pandas") \
+        .materialize()
+    parts = h.map_batches(
+        lambda b: pd.DataFrame({
+            "n": [np.int64(len(b))],
+            "s1": [str(int(b.cents.sum()))],
+            "s2": [str(sum(int(x) * int(x) for x in b.cents))],
+            "m": [np.int64(np.abs(b.cents.to_numpy()).max()
+                           if len(b) else 0)]}),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    n = int(parts.n.sum())
+    if n == 0:
+        return pd.DataFrame({
+            "n_events": pd.Series([0], dtype="int64"),
+            "mean_cents": pd.Series([0.0], dtype="float64"),
+            "sigma_cents": pd.Series([0.0], dtype="float64"),
+            "within_1": pd.Series([0], dtype="int64"),
+            "within_2": pd.Series([0], dtype="int64"),
+            "within_3": pd.Series([0], dtype="int64"),
+            "share_1": pd.Series([0.0], dtype="float64"),
+            "share_2": pd.Series([0.0], dtype="float64"),
+            "share_3": pd.Series([0.0], dtype="float64"),
+            "cheb2_ok": pd.Series([True], dtype=bool),
+            "cheb3_ok": pd.Series([True], dtype=bool),
+        })
+    s1 = sum(int(x) for x in parts.s1)
+    s2 = sum(int(x) for x in parts.s2)
+    var_num = n * s2 - s1 * s1          # n^2 * population variance
+    mean = float(s1) / float(n)
+    sigma = math.sqrt(float(var_num) / float(n * n))
+    if var_num == 0:
+        w = [n, n, n]
+    else:
+        # |d| <= isqrt(K-1)  <=>  d^2 < K, exact for K >= 1
+        maxc = int(parts.m.max())
+        d_bound = abs(s1) + n * maxc        # |n*x - S1| can't exceed it
+        assert d_bound < 2 ** 63, \
+            "n*cents exceeds int64 — widen d to python ints"
+        # clip thresholds to the attainable |d| bound so the int64
+        # vectorized compare never sees an over-wide python int
+        # (d <= t is trivially all-True past d_bound)
+        ts = [min(math.isqrt(k * k * var_num - 1), d_bound)
+              for k in (1, 2, 3)]
+
+        def count_within(b: pd.DataFrame) -> pd.DataFrame:
+            d = np.abs(n * b.cents.to_numpy(np.int64) - s1)
+            return pd.DataFrame({
+                f"w{k}": [int((d <= t).sum())]
+                for k, t in zip((1, 2, 3), ts)})
+
+        f = h.map_batches(count_within, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+        w = [int(f[f"w{k}"].sum()) for k in (1, 2, 3)]
+    return pd.DataFrame({
+        "n_events": pd.Series([n], dtype="int64"),
+        "mean_cents": pd.Series([mean], dtype="float64"),
+        "sigma_cents": pd.Series([sigma], dtype="float64"),
+        "within_1": pd.Series([w[0]], dtype="int64"),
+        "within_2": pd.Series([w[1]], dtype="int64"),
+        "within_3": pd.Series([w[2]], dtype="int64"),
+        "share_1": pd.Series([float(w[0]) / float(n)],
+                             dtype="float64"),
+        "share_2": pd.Series([float(w[1]) / float(n)],
+                             dtype="float64"),
+        "share_3": pd.Series([float(w[2]) / float(n)],
+                             dtype="float64"),
+        "cheb2_ok": pd.Series([4 * w[1] >= 3 * n], dtype=bool),
+        "cheb3_ok": pd.Series([9 * w[2] >= 8 * n], dtype=bool),
+    })
+
+
+def burrows_delta_docs(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Burrows's Delta stylometric distance between sources (Burrows
+    2002; Argamon 2008 — the standard authorship/provenance
+    attribution measure, here the per-source corpus-mix drift check):
+    over the EXACT corpus top-k words (count desc, token tie-break —
+    the established top_tokens recipe), per-source relative rates
+    r = c/N_s (one division of exact ints each), per-word mean and
+    POPULATION sd folded across sources in LEXICOGRAPHIC source order
+    (mirrored by DuckDB list(... ORDER BY source) + list_reduce LEFT
+    folds — bit-identical, the established recipe), z-scores
+    fixed-shape, and Delta(a,b) = (1/k)·Σ_w |z_a − z_w,b| folded in
+    word-rank order. Sources with zero tokens carry no row on either
+    side; sigma == 0 words contribute z = 0.0; < 2 token-bearing
+    sources => empty frame."""
+    import math
+
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text", "source"])
+    n_buckets = 32
+
+    def tok_partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        if not toks:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "bucket": pd.Series([], dtype=np.int64)})
+        u, c = np.unique(np.asarray(toks, dtype=object),
+                         return_counts=True)
+        return pd.DataFrame({
+            "token": u, "n": c.astype(np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("token", as_index=False).agg(n=("n", "sum"))
+        return m.sort_values(["n", "token"], ascending=[False, True],
+                             kind="stable").head(k)
+
+    per_bucket = ds.map_batches(tok_partial, batch_format="pandas",
+                                batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_topk,
+                                      batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "source_a": pd.Series([], dtype=object),
+        "source_b": pd.Series([], dtype=object),
+        "n_words": pd.Series([], dtype="int64"),
+        "delta": pd.Series([], dtype="float64"),
+    })
+    if len(per_bucket) == 0:
+        return empty
+    top = per_bucket.sort_values(["n", "token"],
+                                 ascending=[False, True],
+                                 kind="stable").head(k)
+    words = list(top.token)          # in rank order
+    kk = len(words)
+    kept = set(words)
+    bc = ray.put(kept)
+
+    def src_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(bc)
+        rows = []
+        for src, sub in b.groupby("source", sort=False):
+            blob = "\n".join(sub.text.fillna("").astype(str)
+                             .str.lower())
+            toks = WORD_RE.findall(blob)
+            if not toks:
+                continue
+            rows.append((src, "\x00TOTAL", len(toks)))
+            u, c = np.unique(np.asarray(
+                [t for t in toks if t in ks], dtype=object),
+                return_counts=True)
+            rows.extend((src, t, int(x)) for t, x in zip(u, c))
+        return pd.DataFrame(rows, columns=["source", "token", "c"]) \
+            if rows else pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "token": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype=np.int64)})
+
+    g = ds.map_batches(src_partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby(["source", "token"]).aggregate(
+            Sum("c", alias_name="c")).to_pandas()
+    if len(g) == 0:
+        return empty
+    totals = {str(r.source): int(r.c)
+              for _, r in g[g.token == "\x00TOTAL"].iterrows()}
+    sources = sorted(totals)        # lexicographic fold order
+    if len(sources) < 2:
+        return empty
+    cnt = {(str(r.source), str(r.token)): int(r.c)
+           for _, r in g[g.token != "\x00TOTAL"].iterrows()}
+    s_cnt = len(sources)
+    # per-word rates, mean/sd folded in source order, z fixed-shape
+    z = {}
+    for wrd in words:
+        rates = [float(cnt.get((s, wrd), 0)) / float(totals[s])
+                 for s in sources]
+        mu = 0.0
+        for r in rates:
+            mu = mu + r
+        mu = mu / float(s_cnt)
+        acc = 0.0
+        for r in rates:
+            t = (r - mu) * (r - mu)
+            acc = acc + t
+        sig = math.sqrt(acc / float(s_cnt))
+        for s, r in zip(sources, rates):
+            z[(s, wrd)] = 0.0 if sig == 0.0 else (r - mu) / sig
+    rows = []
+    for i in range(s_cnt):
+        for j in range(i + 1, s_cnt):
+            a, b_ = sources[i], sources[j]
+            acc = 0.0
+            for wrd in words:           # rank-order fold
+                acc = acc + abs(z[(a, wrd)] - z[(b_, wrd)])
+            rows.append((a, b_, kk, acc / float(kk)))
+    return pd.DataFrame(rows, columns=[
+        "source_a", "source_b", "n_words", "delta"]) \
+        .astype({"n_words": "int64"}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def image_solarize_posterize_audit(sf_dir: str) -> pd.DataFrame:
+    """Solarize + posterize photometric augmentation audit (the two
+    classical AutoAugment ops, Cubuk et al. 2019 — both EXACT integer
+    LUTs applied to the REAL decode output of the lossless roster):
+    solarize inverts above the 128 threshold (v' = v if v < 128 else
+    255 − v, so EVERY output value is <= 127 — sol_max is a
+    structural ceiling the SQL recomputes as the actual max),
+    posterize keeps the top 3 bits (v'' = (v // 32) * 32). Reported
+    exact ints: solarized/posterized totals, the position-weighted
+    solarized sum pinning the arrangement, the inversion census
+    (# channel values >= 128) and the posterize truncation census
+    (# channel values with v % 32 != 0); SQL replays both LUTs on the
+    closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def aug(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            sol = np.where(dec < 128, dec, 255 - dec)
+            post = (dec // 32) * 32
+            p = sol.sum(axis=2)
+            rows.append((i, fmt, int(sol.sum()), int(sol.max()),
+                         int((dec >= 128).sum()),
+                         int(post.sum()),
+                         int((dec % 32 != 0).sum()),
+                         int((p * (r * w + c)).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "sol_total", "sol_max", "n_inverted",
+            "post_total", "n_truncated", "sol_pos_sum"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(aug, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "sol_total", "sol_max", "n_inverted",
+                "post_total", "n_truncated", "sol_pos_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def pot_mean_excess_events(sf_dir: str) -> pd.DataFrame:
+    """Peaks-over-threshold mean-excess profile (Pickands 1975;
+    Davison & Smith 1990 — the mean-residual-life numbers an EVT tail
+    fit starts from): thresholds are the EXACT p90/p95 quantile_disc
+    order statistics of the clean cents (actual data values — the
+    tukey_fences_events recipe, bit-exact both sides), exceedances
+    are the STRICT x > u census, and the excess mass Σ(x − u) stays
+    an exact integer through distributed per-block folds (shipped as
+    python-int strings). mean_excess and exceed_share are ONE
+    division of exact ints each — no rounding contract. Two rows
+    (p = 0.9, 0.95); empty input yields the 0-sentinel rows."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    h = ds.map_batches(lambda b: pd.DataFrame({
+        "cents": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64)}), batch_format="pandas") \
+        .materialize()
+    n = h.count()
+    probs = [0.9, 0.95]
+    if n == 0:
+        return pd.DataFrame({
+            "p": pd.Series(probs, dtype="float64"),
+            "threshold_cents": pd.Series([0, 0], dtype="int64"),
+            "n_exceed": pd.Series([0, 0], dtype="int64"),
+            "sum_excess_cents": pd.Series([0, 0], dtype="int64"),
+            "mean_excess": pd.Series([0.0, 0.0], dtype="float64"),
+            "exceed_share": pd.Series([0.0, 0.0], dtype="float64"),
+        })
+    qq = exact_quantiles(h, "cents", probs, method="inverted_cdf")
+    us = [int(q) for q in qq]
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        c = b.cents.to_numpy(np.int64)
+        row = {}
+        for i, u in enumerate(us):
+            ex = c[c > u]
+            row[f"n{i}"] = [np.int64(len(ex))]
+            row[f"s{i}"] = [str(int(ex.sum()) - len(ex) * u)]
+        return pd.DataFrame(row)
+
+    f = h.map_batches(fold, batch_format="pandas",
+                      batch_size=65536).to_pandas()
+    rows = []
+    for i, (p, u) in enumerate(zip(probs, us)):
+        ne = int(f[f"n{i}"].sum())
+        se = sum(int(x) for x in f[f"s{i}"])
+        assert se < 2 ** 62, "excess mass exceeds int64 output"
+        rows.append((p, u, ne, se,
+                     float(se) / float(ne) if ne > 0 else 0.0,
+                     float(ne) / float(int(n))))
+    return pd.DataFrame(rows, columns=[
+        "p", "threshold_cents", "n_exceed", "sum_excess_cents",
+        "mean_excess", "exceed_share"]) \
+        .astype({"threshold_cents": "int64", "n_exceed": "int64",
+                 "sum_excess_cents": "int64"})
+
+
+def transition_drift_chi2(sf_dir: str) -> pd.DataFrame:
+    """Markov transition-structure drift — chi² homogeneity of the
+    (prev_type → type) transition distribution between the early and
+    late halves of the stream (the sequence-level companion of the
+    marginal chi2 drift tier; a policy change that reorders user
+    journeys moves transition mass even when type marginals hold):
+    a transition belongs to the half of its LATER event, split at the
+    EXACT median event timestamp (quantile_disc over microsecond ints
+    — an actual data value, bit-exact both sides; late = ts >=
+    median). Transition counts flow through the proven user-bucketed
+    lag exchange (event_type_transitions) extended with the half
+    flag. chi² uses the algebraic form N·Σ o²/(row·col) − N: each
+    o > 0 cell term is ONE division of exact ints (o²·N HUGEINT
+    numerator), LEFT-folded in (prev, type, half) order — mirrored by
+    DuckDB list_reduce — so the statistic carries NO rounding
+    contract. df = (active cells' row count − 1)·(halves present − 1)
+    exact ints. Zero transitions => 0-sentinel row."""
+    from ..sketches import hash64
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts",
+                                             "event_id", "event_type"])
+
+    tsd = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "us": b.ts.astype("datetime64[us]").astype("int64")
+                  .astype(np.float64)}),
+        batch_format="pandas").materialize()
+    if tsd.count() == 0:
+        med = 0
+    else:
+        med = int(exact_quantiles(tsd, "us", [0.5],
+                                  method="inverted_cdf")[0])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        prev = g.event_type.shift()
+        same_user = g.user_id.eq(g.user_id.shift())
+        late = (g.ts.astype("datetime64[us]").astype("int64")
+                >= med).astype(np.int64)
+        d = pd.DataFrame({"prev_type": prev[same_user],
+                          "event_type": g.event_type[same_user],
+                          "late": late[same_user]})
+        return d.groupby(["prev_type", "event_type", "late"],
+                         as_index=False) \
+            .agg(n=("event_type", "size"))
+
+    parts = ds.map_batches(add_bucket, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .to_pandas()
+    if "prev_type" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({
+            "n_transitions": pd.Series([0], dtype="int64"),
+            "n_cells": pd.Series([0], dtype="int64"),
+            "df": pd.Series([0], dtype="int64"),
+            "chi2_transitions": pd.Series([0.0], dtype="float64"),
+        })
+    cells = parts.groupby(["prev_type", "event_type", "late"],
+                          as_index=False).agg(n=("n", "sum")) \
+        .sort_values(["prev_type", "event_type", "late"]) \
+        .reset_index(drop=True)
+    ntot = int(cells.n.sum())
+    row_tot = cells.groupby(["prev_type", "event_type"])["n"] \
+        .sum().to_dict()
+    col_tot = cells.groupby("late")["n"].sum().to_dict()
+    acc = 0.0
+    for _, r in cells.iterrows():
+        o = int(r.n)
+        rt = int(row_tot[(r.prev_type, r.event_type)])
+        ct = int(col_tot[int(r.late)])
+        t = float(o * o * ntot) / float(rt * ct)
+        acc = acc + t
+    chi2 = acc - float(ntot)
+    n_rows_active = len(row_tot)
+    n_cols_active = len(col_tot)
+    df = max(0, (n_rows_active - 1)) * max(0, (n_cols_active - 1))
+    return pd.DataFrame({
+        "n_transitions": pd.Series([ntot], dtype="int64"),
+        "n_cells": pd.Series([len(cells)], dtype="int64"),
+        "df": pd.Series([df], dtype="int64"),
+        "chi2_transitions": pd.Series([chi2], dtype="float64"),
+    })
+
+
+def image_grayworld_audit(sf_dir: str) -> pd.DataFrame:
+    """Gray-world white-balance audit (Buchsbaum 1980 — the classical
+    illuminant-correction assumption: scale each channel so all three
+    share the global mean): gains applied as the EXACT integer LUT
+    v' = min(255, v·S // (3·S_ch)) with S = S_0+S_1+S_2 and S_ch the
+    REAL decode output's own channel sums — integer arithmetic
+    end-to-end, contract-free (the image_equalize_audit recipe:
+    the LUT derives from the decoded image itself, so any codec bit
+    flip shifts both the gains and the censuses). Reported exact
+    ints per image: the three channel sums, the balanced totals per
+    channel, and the clip census (v·S // (3·S_ch) > 255). SQL
+    recomputes channel sums from the closed-form grid and replays
+    the LUT per pixel."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def wb(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            s_ch = [int(dec[:, :, ch].sum()) for ch in range(3)]
+            s = sum(s_ch)
+            bal = []
+            clipped = 0
+            for ch in range(3):
+                raw = dec[:, :, ch] * s // (3 * s_ch[ch])
+                clipped += int((raw > 255).sum())
+                bal.append(int(np.minimum(255, raw).sum()))
+            rows.append((i, fmt, s_ch[0], s_ch[1], s_ch[2],
+                         bal[0], bal[1], bal[2], clipped))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "s0", "s1", "s2",
+            "bal0", "bal1", "bal2", "n_clipped"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(wb, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "s0", "s1", "s2", "bal0", "bal1", "bal2",
+                "n_clipped"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def drawdown_hourly(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the cumulative hourly value process (the
+    classical running-peak-to-trough monitoring statistic; Magdon-
+    Ismail & Atiya 2004 for the distributional treatment): over the
+    hourly CENTS SUMS in hour order (exact ints), C_t = Σ_{u<=t} s_u,
+    M_t = max_{u<=t} C_u and D_t = M_t − C_t are ALL exact integers,
+    so max drawdown, the FIRST hour index attaining it (smallest t
+    tie-break), the peak value and the final cumulative total carry
+    no rounding contract at all. Hourly sums are O(hours) — bounded —
+    so the scan folds on the driver after a distributed per-hour
+    partial (the established hourly-series recipe). Empty input =>
+    0-sentinel row."""
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum"))
+
+    hourly = sf_events_clean(sf_dir, ["ts", "value"]) \
+        .map_batches(partial, batch_format="pandas",
+                     batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    n = len(hourly)
+    if n == 0:
+        return pd.DataFrame({
+            "n_hours": pd.Series([0], dtype="int64"),
+            "final_cum_cents": pd.Series([0], dtype="int64"),
+            "peak_cum_cents": pd.Series([0], dtype="int64"),
+            "max_drawdown_cents": pd.Series([0], dtype="int64"),
+            "argmax_drawdown": pd.Series([0], dtype="int64"),
+        })
+    cum = 0
+    runmax = None
+    best_dd = -1
+    best_i = 0
+    peak = None
+    for t, s in enumerate(int(x) for x in hourly.c):
+        cum += s
+        if runmax is None or cum > runmax:
+            runmax = cum
+        if peak is None or runmax > peak:
+            peak = runmax
+        dd = runmax - cum
+        if dd > best_dd:
+            best_dd = dd
+            best_i = t
+    for v in (cum, peak, best_dd):
+        assert abs(v) < 2 ** 62, "cumulative cents exceeds int64"
+    return pd.DataFrame({
+        "n_hours": pd.Series([n], dtype="int64"),
+        "final_cum_cents": pd.Series([cum], dtype="int64"),
+        "peak_cum_cents": pd.Series([peak], dtype="int64"),
+        "max_drawdown_cents": pd.Series([best_dd], dtype="int64"),
+        "argmax_drawdown": pd.Series([best_i], dtype="int64"),
+    })
+
+
+def bigram_novelty_docs(sf_dir: str) -> pd.DataFrame:
+    """Bigram novelty between the doc_id-parity corpus halves (the
+    n-gram novelty/memorization metric of McCoy et al. 2023 "How much
+    do language models copy?" framing — what fraction of the late
+    half's word-bigram stream is UNSEEN in the early half): per-doc
+    adjacent word pairs (the proven bigram recipe) flow as (bigram,
+    half) count partials through ONE bigram-hash-bucketed exchange —
+    a bigram lives wholly in one bucket, so per-bucket joins are
+    exact global joins; each bucket ships FOUR ints (late tokens /
+    types, unseen-in-early tokens / types) and the driver adds
+    O(buckets) rows. Novelty rates are ONE division of exact ints
+    each. Empty halves guard to 0.0 sentinels."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_bg, rows_half, rows_n = [], [], []
+        for did, txt in zip(b.doc_id.to_numpy(np.int64),
+                            b.text.fillna("").astype(str)):
+            toks = WORD_RE.findall(txt.lower())
+            if len(toks) < 2:
+                continue
+            a = np.asarray(toks[:-1], dtype=object)
+            bb = np.asarray(toks[1:], dtype=object)
+            bg = np.char.add(np.char.add(a.astype(str), " "),
+                             bb.astype(str)).astype(object)
+            u, c = np.unique(bg, return_counts=True)
+            rows_bg.extend(u.tolist())
+            rows_half.extend([int(did) % 2] * len(u))
+            rows_n.extend(c.tolist())
+        if not rows_bg:
+            return pd.DataFrame({
+                "bigram": pd.Series([], dtype=object),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        u = np.asarray(rows_bg, dtype=object)
+        return pd.DataFrame({
+            "bigram": u,
+            "half": pd.Series(rows_half, dtype=np.int64),
+            "n": pd.Series(rows_n, dtype=np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["bigram", "half"], as_index=False) \
+            .agg(n=("n", "sum"))
+        p = m.pivot_table(index="bigram", columns="half", values="n",
+                          aggfunc="sum", fill_value=0)
+        early = p[0] if 0 in p.columns else pd.Series(0, index=p.index)
+        late = p[1] if 1 in p.columns else pd.Series(0, index=p.index)
+        unseen = early.eq(0) & late.gt(0)
+        return pd.DataFrame({
+            "late_tokens": [np.int64(late.sum())],
+            "late_types": [np.int64(int(late.gt(0).sum()))],
+            "novel_tokens": [np.int64(late[unseen].sum())],
+            "novel_types": [np.int64(int(unseen.sum()))],
+            "early_tokens": [np.int64(early.sum())],
+            "early_types": [np.int64(int(early.gt(0).sum()))],
+        })
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    cols = ["late_tokens", "late_types", "novel_tokens",
+            "novel_types", "early_tokens", "early_types"]
+    v = {c: (int(f[c].sum()) if len(f) else 0) for c in cols}
+    return pd.DataFrame({
+        "early_bigrams": pd.Series([v["early_tokens"]], dtype="int64"),
+        "early_types": pd.Series([v["early_types"]], dtype="int64"),
+        "late_bigrams": pd.Series([v["late_tokens"]], dtype="int64"),
+        "late_types": pd.Series([v["late_types"]], dtype="int64"),
+        "novel_bigrams": pd.Series([v["novel_tokens"]], dtype="int64"),
+        "novel_types": pd.Series([v["novel_types"]], dtype="int64"),
+        "novelty_token_rate": pd.Series(
+            [float(v["novel_tokens"]) / float(v["late_tokens"])
+             if v["late_tokens"] else 0.0], dtype="float64"),
+        "novelty_type_rate": pd.Series(
+            [float(v["novel_types"]) / float(v["late_types"])
+             if v["late_types"] else 0.0], dtype="float64"),
+    })
+
+
+def image_laplacian_audit(sf_dir: str) -> pd.DataFrame:
+    """Discrete 4-neighbor Laplacian response census over the REAL
+    decode output of the lossless roster (the sharpening / blur-
+    detection kernel L = 4v − v↑ − v↓ − v← − v→, Rosenfeld & Kak
+    1982; on the mod-256 gradient grid the response is zero except at
+    the wrap seams, so the census pins exactly WHERE the 256-cycle
+    folds land after the codec round-trip): over the (h−2)×(w−2)
+    interior of the channel-sum intensity grid, exact ints — Σ|L|,
+    ΣL² (HUGEINT in SQL), max |L|, the nonzero-response count and the
+    position-weighted |L| sum pinning the arrangement. SQL
+    brute-forces every response from the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(80, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def lap(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            g = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            lp = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                  - g[1:-1, :-2] - g[1:-1, 2:])
+            al = np.abs(lp)
+            rr = np.arange(1, h - 1, dtype=np.int64)[:, None]
+            cc = np.arange(1, w - 1, dtype=np.int64)[None, :]
+            rows.append((i, fmt, int(al.sum()),
+                         int((al.astype(object) ** 2).sum()),
+                         int(al.max()), int((al > 0).sum()),
+                         int((al * (rr * w + cc)).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "abs_sum", "sq_sum", "max_abs",
+            "n_nonzero", "pos_sum"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(lap, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "abs_sum", "sq_sum", "max_abs",
+                "n_nonzero", "pos_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def sample_entropy_hourly(sf_dir: str) -> pd.DataFrame:
+    """Sample-entropy template matching over the hourly mean series
+    (Richman & Moorman 2000 — the regularity statistic; reported in
+    its contract-free sufficient form): a pair of hours (i, j) match
+    at offset k when |mean_{i+k} − mean_{j+k}| < r with the FIXED
+    absolute tolerance r = 50 cents, decided ENTIRELY in exact
+    integer space by cross-multiplication
+    |s_{i+k}·n_{j+k} − s_{j+k}·n_{i+k}| < 50·n_{i+k}·n_{j+k}
+    (hourly cents sums s and counts n are exact ints). Per the
+    Richman-Moorman convention BOTH counts run over the SAME
+    template starts [0, H−3]: B counts i < j matches of length
+    m = 2, A of length m + 1 = 3 (constant series => A == B);
+    the conditional match ratio A/B (SampEn = −ln of it — the log
+    left to the reader per the libm contract) is ONE division of
+    exact ints. Hours are O(720) — the engine evaluates the pair
+    grid with vectorized int64 broadcasts (products asserted within
+    int64), SQL with a HUGEINT self-join over the hour-ordered
+    lists. n_hours < 4 or B == 0 guard to 0.0."""
+    hourly = sf_events_clean(sf_dir, ["ts", "value"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+            "n": np.ones(len(b), dtype=np.int64),
+        }).groupby("hour", as_index=False).sum(),
+            batch_format="pandas", batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c"),
+                                   Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    hh = len(hourly)
+    if hh < 4:
+        return pd.DataFrame({
+            "n_hours": pd.Series([hh], dtype="int64"),
+            "b_m2": pd.Series([0], dtype="int64"),
+            "a_m3": pd.Series([0], dtype="int64"),
+            "match_ratio": pd.Series([0.0], dtype="float64"),
+        })
+    s = hourly.c.to_numpy(np.int64)
+    n = hourly.n.to_numpy(np.int64)
+    assert int(np.abs(s).max()) * int(n.max()) < 2 ** 62, \
+        "cross-multiplied means exceed int64"
+    lhs = np.abs(s[:, None] * n[None, :] - s[None, :] * n[:, None])
+    rhs = 50 * n[:, None] * n[None, :]
+    m = lhs < rhs                          # symmetric match matrix
+    # Richman-Moorman convention: BOTH counts run over the SAME
+    # template starts [0, H-3], so a constant series gives A == B
+    m2 = (m[: hh - 1, : hh - 1] & m[1:, 1:])[: hh - 2, : hh - 2]
+    b2 = int(np.triu(m2, k=1).sum())
+    m3 = m2 & m[2:, 2:]
+    a3 = int(np.triu(m3, k=1).sum())
+    return pd.DataFrame({
+        "n_hours": pd.Series([hh], dtype="int64"),
+        "b_m2": pd.Series([b2], dtype="int64"),
+        "a_m3": pd.Series([a3], dtype="int64"),
+        "match_ratio": pd.Series(
+            [float(a3) / float(b2) if b2 > 0 else 0.0],
+            dtype="float64"),
+    })
+
+
+def theil_index_customers(sf_dir: str) -> pd.DataFrame:
+    """Theil inequality indices of per-customer revenue (Theil 1967:
+    the T index Σ(x/X)·ln(Nx/X) and the L mean-log-deviation
+    Σ(1/N)·ln(X/(Nx)) — the decomposable entropy-family companions of
+    customer_revenue_gini): per-customer exact cents totals via the
+    proven custkey-bucketed exchange; both folds run over terms in
+    ASCENDING revenue order (ties contribute identical doubles, so
+    the fold is tie-order invariant; SQL mirrors with
+    list(term ORDER BY rev_c) + list_reduce LEFT folds) and carry
+    the entropy tier's round-6 contract (ln is libm territory — the
+    hourly_type_entropy precedent). Exact ints: customer count,
+    total cents. Equal revenues => T == L == 0.0 exactly (ln 1 = 0);
+    zero customers => 0-sentinel row."""
+    import math
+
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "orders", columns=["o_custkey",
+                                             "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "o_custkey": b.o_custkey.to_numpy(np.int64),
+            "rev_c": round_half_away(
+                b.o_totalprice.to_numpy() * 100).astype(np.int64)}) \
+            .groupby("o_custkey", as_index=False).agg(rev_c=("rev_c",
+                                                             "sum"))
+        g["bucket"] = (hash64(g.o_custkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    per_cust = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("o_custkey", as_index=False)
+            .agg(rev_c=("rev_c", "sum")).astype({"rev_c": "int64"}),
+            batch_format="pandas") \
+        .select_columns(["rev_c"]).to_pandas()
+    n = len(per_cust)
+    if n == 0:
+        return pd.DataFrame({
+            "n_customers": pd.Series([0], dtype="int64"),
+            "total_cents": pd.Series([0], dtype="int64"),
+            "theil_t": pd.Series([0.0], dtype="float64"),
+            "theil_l": pd.Series([0.0], dtype="float64"),
+        })
+    xs = np.sort(per_cust.rev_c.to_numpy(np.int64))
+    total = int(xs.sum())
+    assert total < 2 ** 62, "total cents exceeds int64 output"
+    ft, fn = float(total), float(n)
+    t_acc = 0.0
+    l_acc = 0.0
+    for x in xs:
+        fx = float(int(x))
+        tt = (fx / ft) * math.log((fx * fn) / ft)
+        t_acc = t_acc + tt
+        ll = math.log(ft / (fn * fx)) / fn
+        l_acc = l_acc + ll
+    return pd.DataFrame({
+        "n_customers": pd.Series([n], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "theil_t": pd.Series(round_half_away([t_acc], 6),
+                             dtype="float64"),
+        "theil_l": pd.Series(round_half_away([l_acc], 6),
+                             dtype="float64"),
+    })
+
+
+def image_nn_resize_audit(sf_dir: str) -> pd.DataFrame:
+    """Nearest-neighbor 64×64 thumbnail audit (the standard index-map
+    resize every preprocessing stack runs; the geometric companion of
+    image_rot90/flip_crop): source index map r_src = r_out·h // 64,
+    c_src = c_out·w // 64 — EXACT integer arithmetic, applied to the
+    REAL decode output of the lossless roster. Reported exact ints:
+    resized channel-sum total, the (r·64+c)-position-weighted sum
+    pinning the ARRANGEMENT, and the four corner probes (the corner
+    map hits (0,0) and the floor-mapped far edges). SQL replays the
+    index map on the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def resize(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            g = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            ri = (np.arange(64, dtype=np.int64) * h) // 64
+            ci = (np.arange(64, dtype=np.int64) * w) // 64
+            t = g[np.ix_(ri, ci)]
+            rr = np.arange(64, dtype=np.int64)[:, None]
+            cc = np.arange(64, dtype=np.int64)[None, :]
+            rows.append((i, fmt, int(t.sum()),
+                         int((t * (rr * 64 + cc)).sum()),
+                         int(t[0, 0]), int(t[0, 63]),
+                         int(t[63, 0]), int(t[63, 63])))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "resized_total", "resized_pos_sum",
+            "tl", "tr", "bl", "br"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(resize, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "resized_total", "resized_pos_sum",
+                "tl", "tr", "bl", "br"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# session-24 (cont.): decomposition, ABC analysis, orientation histogram
+# ---------------------------------------------------------------------------
+
+def classical_decomposition_hourly(sf_dir: str) -> pd.DataFrame:
+    """Classical additive seasonal decomposition of the hourly cents
+    process at the 24-hour period (the Macaulay 1931 ratio-to-moving-
+    average family, additive form; what STL generalizes): the centered
+    2×24 moving-average trend at hour t has the EXACT integer
+    numerator  T_t = c_{t−12} + 2·Σ_{u=t−11}^{t+11} c_u + c_{t+12}
+    over the constant denominator 48, so the detrended series
+    48·c_t − T_t is an exact integer, and each hour-of-day seasonal
+    index  S_h = Σ(48·c_t − T_t) / (48·n_h)  is ONE IEEE division of
+    exact ints — no rounding contract anywhere. Hourly sums are
+    O(hours), so the window fold runs on the driver after the
+    distributed per-hour partial. Hours without a full ±12 window
+    carry no term (the classical edge rule). < 25 observed hours =>
+    empty frame (fixed schema)."""
+    hourly = sf_events_clean(sf_dir, ["ts", "value"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "hour": b.ts.dt.floor("h"),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby("hour", as_index=False).agg(c=("c", "sum")),
+            batch_format="pandas", batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    n = len(hourly)
+    empty = pd.DataFrame({
+        "hour_of_day": pd.Series([], dtype="int64"),
+        "n_windows": pd.Series([], dtype="int64"),
+        "seasonal_num": pd.Series([], dtype="int64"),
+        "seasonal_index": pd.Series([], dtype="float64"),
+    })
+    if n < 25:
+        return empty
+    c = [int(x) for x in hourly.c]
+    hod = hourly.hour.dt.hour.to_numpy(np.int64)
+    acc: dict = {}
+    cnt: dict = {}
+    win = sum(c[0:25]) + sum(c[1:24])      # T_12 numerator
+    for t in range(12, n - 12):
+        if t > 12:
+            win += c[t + 12] + c[t + 11] - c[t - 13] - c[t - 12]
+        h = int(hod[t])
+        acc[h] = acc.get(h, 0) + (48 * c[t] - win)
+        cnt[h] = cnt.get(h, 0) + 1
+    rows = []
+    for h in sorted(acc):
+        s = acc[h]
+        assert abs(s) < 2 ** 62, "seasonal numerator exceeds int64"
+        rows.append((h, cnt[h], s,
+                     float(s) / float(48 * cnt[h])))
+    return pd.DataFrame(rows, columns=[
+        "hour_of_day", "n_windows", "seasonal_num",
+        "seasonal_index"]) \
+        .astype({"hour_of_day": "int64", "n_windows": "int64",
+                 "seasonal_num": "int64"})
+
+
+def abc_analysis_parts(sf_dir: str) -> pd.DataFrame:
+    """ABC inventory classification of parts by lineitem revenue
+    (the Pareto 80/15/5 concentration partition; Dickie 1951 —
+    the operational face of the Gini/Lorenz tier): per-part EXACT
+    revenue cents via a partkey-bucketed exchange, parts sorted by
+    (revenue DESC, partkey ASC), and the class boundaries decided by
+    EXACT integer comparisons on the inclusive prefix sum — class A
+    while 5·cum <= 4·total (<= 80%), B while 20·cum <= 19·total
+    (<= 95%), else C — so counts and class revenues carry no rounding
+    contract; the revenue shares are ONE division each. Distinct
+    parts are bounded (dimension table) so the ranked fold runs on
+    the driver after the distributed exchange. Ties inside a class
+    boundary follow the deterministic (rev DESC, partkey) order on
+    both sides."""
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice",
+                           "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = round_half_away(
+            b.l_extendedprice.to_numpy()
+            * (1.0 - b.l_discount.to_numpy()) * 100).astype(np.int64)
+        g = pd.DataFrame({
+            "l_partkey": b.l_partkey.to_numpy(np.int64),
+            "rev_c": rev}).groupby("l_partkey", as_index=False) \
+            .agg(rev_c=("rev_c", "sum"))
+        g["bucket"] = (hash64(g.l_partkey.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    per_part = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536) \
+        .groupby("bucket").map_groups(
+            lambda g: g.groupby("l_partkey", as_index=False)
+            .agg(rev_c=("rev_c", "sum")).astype({"rev_c": "int64"}),
+            batch_format="pandas") \
+        .to_pandas()
+    if len(per_part) == 0:
+        return pd.DataFrame({
+            "abc_class": pd.Series([], dtype=object),
+            "n_parts": pd.Series([], dtype="int64"),
+            "class_revenue_cents": pd.Series([], dtype="int64"),
+            "revenue_share": pd.Series([], dtype="float64"),
+        })
+    pp = per_part.sort_values(["rev_c", "l_partkey"],
+                              ascending=[False, True], kind="stable")
+    total = int(pp.rev_c.sum())
+    cum = 0
+    agg = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+    for r in pp.rev_c:
+        r = int(r)
+        cum += r
+        if 5 * cum <= 4 * total:
+            k = "A"
+        elif 20 * cum <= 19 * total:
+            k = "B"
+        else:
+            k = "C"
+        agg[k][0] += 1
+        agg[k][1] += r
+    rows = []
+    for k in ("A", "B", "C"):
+        npn, rev = agg[k]
+        assert abs(rev) < 2 ** 62
+        rows.append((k, npn, rev,
+                     float(rev) / float(total) if total != 0 else 0.0))
+    return pd.DataFrame(rows, columns=[
+        "abc_class", "n_parts", "class_revenue_cents",
+        "revenue_share"]) \
+        .astype({"n_parts": "int64", "class_revenue_cents": "int64"})
+
+
+def image_orientation_hist_audit(sf_dir: str) -> pd.DataFrame:
+    """Gradient-orientation histogram audit (the HOG descriptor's
+    binning stage, Dalal & Triggs 2005, in its exact-integer octant
+    form): Sobel gx/gy over the (h−2)×(w−2) interior of the REAL
+    decode output's channel-sum grid (the image_conv_edge_audit
+    kernel), each nonzero gradient assigned to one of 8 angular
+    octants by the INTEGER quadrant × axis-dominance code
+    oct = 4·[gy<0] + 2·[gx<0] + [|gy|>=|gx|] (each code is one
+    angular sector; no atan2, no libm), weighted by the exact L1
+    magnitude |gx| + |gy|. Reported per image: the 8 octant mass
+    sums (exact ints) and the zero-gradient count; SQL brute-forces
+    every gradient from the closed-form grid and replays the code."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(80, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def hist(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            g = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+            gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+            mag = np.abs(gx) + np.abs(gy)
+            nz = mag > 0
+            octant = ((gy < 0).astype(np.int64) * 4
+                      + (gx < 0).astype(np.int64) * 2
+                      + (np.abs(gy) >= np.abs(gx)).astype(np.int64))
+            masses = [int(mag[nz & (octant == k)].sum())
+                      for k in range(8)]
+            rows.append((i, fmt, *masses, int((~nz).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "o0", "o1", "o2", "o3", "o4", "o5",
+            "o6", "o7", "n_zero"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(hist, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "o0", "o1", "o2", "o3", "o4", "o5", "o6",
+                "o7", "n_zero"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def gumbel_daily_max_fit(sf_dir: str) -> pd.DataFrame:
+    """Gumbel extreme-value fit of the daily block maxima by the
+    method of L-moments (Gumbel 1958; Hosking 1990 §4 — THE classical
+    EVT recipe: β = l2/ln2, μ = l1 − γ·β with Euler's constant):
+    block maxima are the EXACT per-day max of hourly cents sums
+    (integer order statistics through a per-day fold), l1/l2 come
+    from the falling-factorial rank sums over the O(days) maxima
+    (exact integer numerators — scan helper shape, driver-folded
+    since days are bounded), and the two constants ln2 / γ are
+    embedded as CAST('<repr>' AS DOUBLE) string literals in the
+    generated SQL so both sides multiply identical doubles (the
+    literal-typing lesson of events fuzz seed 86307). β and μ are
+    fixed-shape expressions of the exact ints and those constants;
+    the 10-day return level μ − β·ln(ln(10/9)) uses a third embedded
+    constant. < 2 days => 0-sentinels."""
+    hourly = sf_events_clean(sf_dir, ["ts", "value"]) \
+        .map_batches(lambda b: pd.DataFrame({
+            "day": b.ts.dt.floor("D"),
+            "hour": b.ts.dt.floor("h"),
+            "c": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64),
+        }).groupby(["day", "hour"], as_index=False).agg(
+            c=("c", "sum")),
+            batch_format="pandas", batch_size=65536) \
+        .groupby(["day", "hour"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()
+    if len(hourly) == 0:
+        return pd.DataFrame({
+            "n_days": pd.Series([0], dtype="int64"),
+            "l1": pd.Series([0.0], dtype="float64"),
+            "l2": pd.Series([0.0], dtype="float64"),
+            "gumbel_beta": pd.Series([0.0], dtype="float64"),
+            "gumbel_mu": pd.Series([0.0], dtype="float64"),
+            "return_level_10": pd.Series([0.0], dtype="float64"),
+        })
+    dmax = hourly.groupby("day")["c"].max()
+    xs = np.sort(dmax.to_numpy(np.int64))
+    n = len(xs)
+    s0 = int(xs.sum())
+    j = np.arange(n, dtype=object)
+    s1 = int((j * xs).sum())
+    l1 = float(s0) / float(n)
+    if n < 2:
+        return pd.DataFrame({
+            "n_days": pd.Series([n], dtype="int64"),
+            "l1": pd.Series([l1], dtype="float64"),
+            "l2": pd.Series([0.0], dtype="float64"),
+            "gumbel_beta": pd.Series([0.0], dtype="float64"),
+            "gumbel_mu": pd.Series([0.0], dtype="float64"),
+            "return_level_10": pd.Series([0.0], dtype="float64"),
+        })
+    num2 = 2 * s1 - (n - 1) * s0
+    l2 = float(num2) / float(n * (n - 1))
+    beta = l2 / _GUMBEL_LN2
+    mu = l1 - _GUMBEL_GAMMA * beta
+    rl10 = mu - beta * _GUMBEL_LLN10
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "l1": pd.Series([l1], dtype="float64"),
+        "l2": pd.Series([l2], dtype="float64"),
+        "gumbel_beta": pd.Series([beta], dtype="float64"),
+        "gumbel_mu": pd.Series([mu], dtype="float64"),
+        "return_level_10": pd.Series([rl10], dtype="float64"),
+    })
+
+
+# Gumbel L-moment constants (module-level so the oracle-SQL generator
+# embeds the IDENTICAL doubles as CAST('<repr>' AS DOUBLE) literals)
+import math as _math  # noqa: E402
+_GUMBEL_LN2 = _math.log(2.0)
+_GUMBEL_GAMMA = 0.5772156649015329          # Euler-Mascheroni
+_GUMBEL_LLN10 = _math.log(_math.log(10.0 / 9.0))
+
+
+def session_duration_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Session-duration profile under 30-minute-gap sessionization
+    (the user_session_stats sessionizer, duration-valued): sessions
+    close after a >30 min inactivity gap inside each user's
+    (ts, event_id)-ordered stream; a session's duration is the EXACT
+    integer second difference last_ts − first_ts (microsecond ints //
+    1e6 after subtraction — single-event sessions are 0). Per-user
+    streams co-locate through ONE user-hash-bucketed exchange; the
+    bucket sessionizer is fully vectorized (gap flags + cumsum); the
+    p50/p90 duration selections are exact order statistics via
+    scan.exact_quantiles over the distributed session set (scale-safe
+    — sessions are NOT driver-collected). Counts exact; the mean is
+    one division of exact ints."""
+    from ..sketches import hash64
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "ts",
+                                             "event_id"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(bucket=(
+            hash64(b.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(64)).astype(np.int64))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        us = g.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g.user_id.to_numpy(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = uid[1:] == uid[:-1]
+            close = (us[1:] - us[:-1]) <= 30 * 60 * 1_000_000
+            new[1:] = ~(same & close)
+        sid = np.cumsum(new)
+        f = pd.DataFrame({"sid": sid, "us": us}).groupby("sid") \
+            .agg(lo=("us", "min"), hi=("us", "max"))
+        return pd.DataFrame({
+            "dur_s": ((f.hi - f.lo) // 1_000_000).astype(np.float64)})
+
+    sess = ds.map_batches(add_bucket, batch_format="pandas",
+                          batch_size=65536) \
+        .groupby("bucket").map_groups(per_bucket,
+                                      batch_format="pandas") \
+        .materialize()
+    n = sess.count()
+    if n == 0:
+        return pd.DataFrame({
+            "n_sessions": pd.Series([0], dtype="int64"),
+            "total_duration_s": pd.Series([0], dtype="int64"),
+            "mean_duration_s": pd.Series([0.0], dtype="float64"),
+            "p50_duration_s": pd.Series([0], dtype="int64"),
+            "p90_duration_s": pd.Series([0], dtype="int64"),
+        })
+    tot = sess.map_batches(
+        lambda b: pd.DataFrame({"t": [str(int(b.dur_s.sum()))]}),
+        batch_format="pandas", batch_size=65536).to_pandas()
+    total = sum(int(x) for x in tot.t)
+    assert total < 2 ** 62
+    qq = exact_quantiles(sess, "dur_s", [0.5, 0.9],
+                         method="inverted_cdf")
+    return pd.DataFrame({
+        "n_sessions": pd.Series([int(n)], dtype="int64"),
+        "total_duration_s": pd.Series([total], dtype="int64"),
+        "mean_duration_s": pd.Series(
+            [float(total) / float(int(n))], dtype="float64"),
+        "p50_duration_s": pd.Series([int(qq[0])], dtype="int64"),
+        "p90_duration_s": pd.Series([int(qq[1])], dtype="int64"),
+    })
+
+
+def image_luma_audit(sf_dir: str) -> pd.DataFrame:
+    """ITU-R BT.601 integer luma audit (the RGB→gray conversion of
+    every vision preprocessing stack, in its exact fixed-point form
+    Y = (299·R + 587·G + 114·B) // 1000): applied to the REAL decode
+    output of the lossless roster. Reported exact ints per image:
+    luma total, the (r·w+c)-position-weighted luma sum, the max luma,
+    and the truncation census (pixels where 299R+587G+114B is not a
+    multiple of 1000 — mass lost to the fixed-point floor). SQL
+    replays the weighted sum per pixel from the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def luma(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            wsum = (299 * dec[:, :, 0] + 587 * dec[:, :, 1]
+                    + 114 * dec[:, :, 2])
+            y = wsum // 1000
+            rows.append((i, fmt, int(y.sum()),
+                         int((y * (r * w + c)).sum()),
+                         int(y.max()),
+                         int((wsum % 1000 != 0).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "luma_total", "luma_pos_sum",
+            "luma_max", "n_truncated"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(luma, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "luma_total", "luma_pos_sum", "luma_max",
+                "n_truncated"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

@@ -357,7 +357,14 @@ def run_queries() -> dict[str, float]:
         # von Neumann/Allan dispersion, Hampel census, mixup
         "lmoments_events", "yule_k_docs", "image_glcm_audit",
         "vonneumann_allan_hourly", "hampel_outliers_per_type",
-        "image_mixup_audit",
+        "image_mixup_audit", "sigma_coverage_events",
+        "burrows_delta_docs", "image_solarize_posterize_audit",
+        "pot_mean_excess_events", "transition_drift_chi2",
+        "image_grayworld_audit", "drawdown_hourly",
+        "bigram_novelty_docs", "image_laplacian_audit",
+        "sample_entropy_hourly", "theil_index_customers",
+        "image_nn_resize_audit", "classical_decomposition_hourly",
+        "abc_analysis_parts", "image_orientation_hist_audit",
     ]
     qs = E.queries()
     out = {}

@@ -5379,3 +5379,690 @@ class TestImageMixupAudit:
         assert (out.img_b % 3 != 2).all()
         assert set(out.fmt_a) <= {"raw", "png"}
         assert set(out.fmt_b) <= {"raw", "png"}
+
+
+class TestSigmaCoverageEvents:
+    def test_matches_numpy_bruteforce_and_cheb_bounds(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.sigma_coverage_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = round_half_away(vals * 100).astype(np.int64).astype(object)
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        vn = n * s2 - s1 * s1
+        d2 = (n * c - s1) ** 2
+        for k in (1, 2, 3):
+            w = int((d2 < k * k * vn).sum())
+            assert int(out[f"within_{k}"][0]) == w
+        assert bool(out.cheb2_ok[0]) and bool(out.cheb3_ok[0])
+        assert float(out.sigma_cents[0]) == math.sqrt(
+            float(vn) / float(n * n))
+
+    def test_zero_variance_convention_and_spike(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=50, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(50, 3.0))
+            out = Q.sigma_coverage_events(d)
+        assert int(out.within_3[0]) == 50
+        assert float(out.share_1[0]) == 1.0
+        # one extreme spike drags the mean/sigma so hard that the
+        # spike itself is the only point outside 1 sigma... verify
+        # against the exact rule instead of intuition
+        vals = np.concatenate([np.full(99, 10.0), [1e6]])
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.sigma_coverage_events(d)
+        c = (vals * 100).astype(np.int64).astype(object)
+        n, s1 = 100, int(c.sum())
+        s2 = int((c * c).sum())
+        vn = n * s2 - s1 * s1
+        d2 = (n * c - s1) ** 2
+        assert int(out.within_1[0]) == int((d2 < vn).sum())
+        assert bool(out.cheb2_ok[0]) and bool(out.cheb3_ok[0])
+
+
+class TestBurrowsDeltaDocs:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.burrows_delta_docs(SF)
+        df = duckdb.sql(f"""
+            SELECT source, text FROM '{SF}/documents.parquet'
+        """).df()
+        corpus = Counter()
+        per_src: dict = {}
+        tot: dict = {}
+        for _, row in df.iterrows():
+            toks = WORD_RE.findall(str(row.text or "").lower())
+            if not toks:
+                continue
+            corpus.update(toks)
+            per_src.setdefault(row.source, Counter()).update(toks)
+            tot[row.source] = tot.get(row.source, 0) + len(toks)
+        words = sorted(corpus, key=lambda t: (-corpus[t], t))[:20]
+        srcs = sorted(tot)
+        z = {}
+        for wd in words:
+            rates = [per_src[s][wd] / tot[s] for s in srcs]
+            mu = sum(rates) / len(srcs)
+            sig = math.sqrt(sum((r - mu) ** 2 for r in rates)
+                            / len(srcs))
+            for s, r in zip(srcs, rates):
+                z[(s, wd)] = 0.0 if sig == 0 else (r - mu) / sig
+        got = {(r.source_a, r.source_b): float(r.delta)
+               for _, r in out.iterrows()}
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                a, b = srcs[i], srcs[j]
+                want = sum(abs(z[(a, wd)] - z[(b, wd)])
+                           for wd in words) / len(words)
+                assert abs(got[(a, b)] - want) < 1e-9
+
+    def test_identical_sources_have_zero_delta(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        txt = "the quick brown fox jumps over the lazy dog " * 5
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                "text": pa.array([txt] * 4, pa.string()),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["a", "a", "b", "b"]),
+                "n_chars": pa.array([len(txt)] * 4, pa.int64()),
+            }), os.path.join(d, "documents.parquet"))
+            out = Q.burrows_delta_docs(d)
+        assert len(out) == 1
+        assert float(out.delta[0]) == 0.0
+
+
+class TestImageSolarizePosterizeAudit:
+    def test_matches_explicit_lut_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_solarize_posterize_audit(SF)
+        assert (out.sol_max <= 127).all()    # structural ceiling
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            dec = np.stack([(r + 2 * c + img_id + ch) % 256
+                            for ch in range(3)], axis=-1)
+            sol = np.where(dec < 128, dec, 255 - dec)
+            post = (dec // 32) * 32
+            assert int(row.sol_total) == int(sol.sum())
+            assert int(row.sol_max) == int(sol.max())
+            assert int(row.n_inverted) == int((dec >= 128).sum())
+            assert int(row.post_total) == int(post.sum())
+            assert int(row.n_truncated) == int((dec % 32 != 0).sum())
+            p = sol.sum(axis=2)
+            assert int(row.sol_pos_sum) == int(
+                (p * (r * w + c)).sum())
+
+
+class TestPotMeanExcessEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.pot_mean_excess_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = np.sort(round_half_away(vals * 100).astype(np.int64))
+        n = len(c)
+        for p in (0.90, 0.95):
+            u = int(c[max(0, math.ceil(p * n) - 1)])
+            ex = c[c > u]
+            row = out[out.p == p].iloc[0]
+            assert int(row.threshold_cents) == u
+            assert int(row.n_exceed) == len(ex)
+            assert int(row.sum_excess_cents) == int(
+                (ex - u).sum())
+            if len(ex):
+                assert float(row.mean_excess) == float(
+                    int((ex - u).sum())) / float(len(ex))
+
+    def test_planted_tail(self, ray_session):
+        """900 values at 1.00 + 100 at 200.00: u90 is the 900th order
+        statistic (= 1.00), so all 100 tail values exceed with excess
+        exactly 19900 cents each; u95 lands ON the tail value, so the
+        STRICT exceedance count there is 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.concatenate([np.full(900, 1.0), np.full(100, 200.0)])
+        ts = pd.date_range("2024-01-01", periods=1000, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.pot_mean_excess_events(d)
+        r90 = out[out.p == 0.90].iloc[0]
+        assert int(r90.threshold_cents) == 100
+        assert int(r90.n_exceed) == 100
+        assert float(r90.mean_excess) == 19900.0
+        r95 = out[out.p == 0.95].iloc[0]
+        assert int(r95.threshold_cents) == 20000
+        assert int(r95.n_exceed) == 0
+
+
+class TestTransitionDriftChi2:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.transition_drift_chi2(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_id, event_type
+            FROM '{SF}/events.parquet'
+        """).df().sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        med = int(np.quantile(
+            df.ts.astype("datetime64[us]").astype("int64"), 0.5,
+            method="inverted_cdf"))
+        prev = df.event_type.shift()
+        same = df.user_id.eq(df.user_id.shift())
+        late = (df.ts.astype("datetime64[us]").astype("int64")
+                >= med).astype(int)
+        t = pd.DataFrame({"p": prev[same], "e": df.event_type[same],
+                          "l": late[same]})
+        cells = t.groupby(["p", "e", "l"]).size()
+        ntot = int(cells.sum())
+        rt = t.groupby(["p", "e"]).size()
+        ct = t.groupby("l").size()
+        acc = 0.0
+        for (p_, e_, l_), o in cells.sort_index().items():
+            acc += float(o * o * ntot) / float(
+                int(rt[(p_, e_)]) * int(ct[l_]))
+        assert int(out.n_transitions[0]) == ntot
+        assert abs(float(out.chi2_transitions[0])
+                   - (acc - ntot)) < 1e-9
+        assert int(out.df[0]) == (len(rt) - 1) * (len(ct) - 1)
+
+    def test_identical_halves_zero_chi2(self, ray_session):
+        """A per-user sequence repeated identically in both halves
+        makes the two halves' transition distributions equal =>
+        chi2 == 0 (up to the fixed-shape fold, exactly 0 here since
+        every cell's o*N == row*col... verified to tight tolerance)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        types = ["click", "view"] * 10
+        ts1 = pd.date_range("2024-01-01", periods=20, freq="min")
+        ts2 = pd.date_range("2024-06-01", periods=20, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, list(ts1) + list(ts2),
+                          np.ones(40), types=types + types,
+                          users=np.zeros(40))
+            out = Q.transition_drift_chi2(d)
+        # one cross-boundary transition makes halves nearly (not
+        # perfectly) identical; chi2 must still be tiny
+        assert float(out.chi2_transitions[0]) < 0.3
+
+
+class TestImageGrayworldAudit:
+    def test_matches_explicit_lut_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_grayworld_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            dec = np.stack([(r + 2 * c + img_id + ch) % 256
+                            for ch in range(3)], axis=-1).astype(object)
+            s_ch = [int(dec[:, :, ch].sum()) for ch in range(3)]
+            s = sum(s_ch)
+            assert [int(row.s0), int(row.s1), int(row.s2)] == s_ch
+            clipped = 0
+            for ch in range(3):
+                raw = dec[:, :, ch] * s // (3 * s_ch[ch])
+                clipped += int((raw > 255).sum())
+                assert int(row[f"bal{ch}"]) == int(
+                    np.minimum(255, raw.astype(np.int64)).sum())
+            assert int(row.n_clipped) == clipped
+
+    def test_unclipped_totals_within_truncation_bound(self, ray_session):
+        """Without clipping, bal_ch = Σ floor(v·S/(3·S_ch)) lies in
+        (S/3 − npx, S/3] (each pixel truncates < 1), so the three
+        balanced totals agree to within npx — the gray-world
+        convergence property in its exact integer form. (Clipped
+        images trade that for the 255 ceiling; the brute-force test
+        pins those.)"""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_grayworld_audit(SF)
+        clean = out[out.n_clipped == 0]
+        for _, row in clean.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            npx = w * h
+            s3 = (int(row.s0) + int(row.s1) + int(row.s2)) / 3.0
+            for ch in range(3):
+                assert s3 - npx < int(row[f"bal{ch}"]) <= s3
+        # every balanced total respects the hard 255 ceiling
+        for _, row in out.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            for ch in range(3):
+                assert int(row[f"bal{ch}"]) <= 255 * w * h
+
+
+class TestDrawdownHourly:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.drawdown_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        cum = np.cumsum(h.s.to_numpy(np.int64))
+        runmax = np.maximum.accumulate(cum)
+        dd = runmax - cum
+        assert int(out.final_cum_cents[0]) == int(cum[-1])
+        assert int(out.peak_cum_cents[0]) == int(runmax[-1])
+        assert int(out.max_drawdown_cents[0]) == int(dd.max())
+        assert int(out.argmax_drawdown[0]) == int(np.argmax(dd))
+
+    def test_planted_crash(self, ray_session):
+        """Ramp up 100 hours of +10.00, crash with 50 hours of -15.00,
+        recover: max drawdown is exactly 50*1500 cents at the trough."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.concatenate([np.full(100, 10.0), np.full(50, -15.0),
+                               np.full(30, 20.0)])
+        ts = pd.date_range("2024-01-01", periods=180, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.drawdown_hourly(d)
+        assert int(out.max_drawdown_cents[0]) == 50 * 1500
+        assert int(out.argmax_drawdown[0]) == 149
+        assert int(out.peak_cum_cents[0]) == 100 * 1000
+
+
+class TestBigramNoveltyDocs:
+    def test_matches_counter_bruteforce(self, ray_session):
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.bigram_novelty_docs(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        early, late = Counter(), Counter()
+        for _, row in df.iterrows():
+            toks = WORD_RE.findall(str(row.text or "").lower())
+            tgt = early if int(row.doc_id) % 2 == 0 else late
+            tgt.update(zip(toks[:-1], toks[1:]))
+        novel_tok = sum(c for bg, c in late.items()
+                        if bg not in early)
+        novel_typ = sum(1 for bg in late if bg not in early)
+        assert int(out.early_bigrams[0]) == sum(early.values())
+        assert int(out.late_bigrams[0]) == sum(late.values())
+        assert int(out.novel_bigrams[0]) == novel_tok
+        assert int(out.novel_types[0]) == novel_typ
+        assert float(out.novelty_token_rate[0]) == float(
+            novel_tok) / float(sum(late.values()))
+
+    def test_disjoint_and_identical_corpora(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["alpha beta gamma", "delta epsilon zeta"],
+                        ["en", "en"])
+            out = Q.bigram_novelty_docs(d)
+        assert float(out.novelty_token_rate[0]) == 1.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["same text here", "same text here"],
+                        ["en", "en"])
+            out = Q.bigram_novelty_docs(d)
+        assert float(out.novelty_token_rate[0]) == 0.0
+
+
+class TestImageLaplacianAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_laplacian_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            g = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            lp = (4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                  - g[1:-1, :-2] - g[1:-1, 2:])
+            al = np.abs(lp)
+            assert int(row.abs_sum) == int(al.sum())
+            assert int(row.sq_sum) == int((al.astype(object)**2).sum())
+            assert int(row.max_abs) == int(al.max())
+            assert int(row.n_nonzero) == int((al > 0).sum())
+
+    def test_wrap_seams_only(self, ray_session):
+        """On the mod-256 gradient the Laplacian vanishes off the wrap
+        seams, so nonzero responses are a strict minority of interior
+        pixels, and every |L| is a multiple conditioned by the 256
+        fold (max 4*256*3 bound)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_laplacian_audit(SF)
+        for _, row in out.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            interior = (h - 2) * (w - 2)
+            assert int(row.n_nonzero) < interior // 2
+            assert int(row.max_abs) <= 4 * 256 * 3
+
+
+class TestSampleEntropyHourly:
+    def test_matches_bruteforce_pair_scan(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.sample_entropy_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                   count(*) AS n
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        s = [int(x) for x in h.s]
+        n = [int(x) for x in h.n]
+        hh = len(s)
+
+        def match(i, j):
+            return abs(s[i] * n[j] - s[j] * n[i]) < 50 * n[i] * n[j]
+
+        b2 = a3 = 0
+        for i in range(hh - 2):
+            for j in range(i + 1, hh - 2):
+                if match(i, j) and match(i + 1, j + 1):
+                    b2 += 1
+                    if match(i + 2, j + 2):
+                        a3 += 1
+        assert int(out.b_m2[0]) == b2
+        assert int(out.a_m3[0]) == a3
+        if b2:
+            assert float(out.match_ratio[0]) == float(a3) / float(b2)
+
+    def test_constant_vs_wild_series(self, ray_session):
+        """A constant series matches every template (ratio 1.0); a
+        wildly alternating series with amplitude >> 50 cents matches
+        none."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 60
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(nh, 5.0))
+            out = Q.sample_entropy_hourly(d)
+        assert float(out.match_ratio[0]) == 1.0
+        assert int(out.b_m2[0]) == (nh - 2) * (nh - 3) // 2
+        with tempfile.TemporaryDirectory() as d:
+            vals = np.where(np.arange(nh) % 2 == 0, 1.0, 1000.0)
+            _write_events(d, ts, vals)
+            out = Q.sample_entropy_hourly(d)
+        # alternating: (i,j) matches only when j-i even; templates
+        # of length 2 then also match, so B > 0 — but the planted
+        # 50-cent tolerance keeps odd offsets out
+        assert int(out.b_m2[0]) == sum(
+            1 for i in range(nh - 2) for j in range(i + 1, nh - 2)
+            if (j - i) % 2 == 0)
+
+
+class TestTheilIndexCustomers:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.theil_index_customers(SF)
+        pc = duckdb.sql(f"""
+            SELECT o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+            FROM '{SF}/orders.parquet' GROUP BY 1
+        """).df()
+        x = pc.c.to_numpy(np.float64)
+        n, tot = len(x), x.sum()
+        t = float((x / tot * np.log(x * n / tot)).sum())
+        ll = float((np.log(tot / (n * x)) / n).sum())
+        assert int(out.n_customers[0]) == n
+        assert abs(float(out.theil_t[0]) - t) < 1e-5
+        assert abs(float(out.theil_l[0]) - ll) < 1e-5
+        assert float(out.theil_t[0]) > 0.0
+
+    def test_equal_revenues_zero(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "o_orderkey": pa.array(np.arange(8, dtype=np.int64)),
+                "o_custkey": pa.array(
+                    np.arange(8, dtype=np.int64) % 4),
+                "o_orderstatus": pa.array(["O"] * 8),
+                "o_totalprice": pa.array(np.full(8, 100.0)),
+                "o_orderdate": pa.array(
+                    pd.to_datetime(["2024-01-01"] * 8)
+                    .astype("datetime64[us]")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 8),
+                "o_comment": pa.array(["x"] * 8),
+            }), os.path.join(d, "orders.parquet"))
+            for f in os.listdir(SF):
+                if f.endswith(".parquet") and f != "orders.parquet":
+                    os.symlink(os.path.join(SF, f),
+                               os.path.join(d, f))
+            out = Q.theil_index_customers(d)
+        assert float(out.theil_t[0]) == 0.0
+        assert float(out.theil_l[0]) == 0.0
+        assert int(out.n_customers[0]) == 4
+
+
+class TestImageNnResizeAudit:
+    def test_matches_explicit_index_map(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_nn_resize_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            g = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            ri = (np.arange(64) * h) // 64
+            ci = (np.arange(64) * w) // 64
+            t = g[np.ix_(ri, ci)]
+            assert int(row.resized_total) == int(t.sum())
+            assert int(row.tl) == int(t[0, 0])
+            assert int(row.br) == int(t[63, 63])
+            rr = np.arange(64)[:, None]
+            cc = np.arange(64)[None, :]
+            assert int(row.resized_pos_sum) == int(
+                (t * (rr * 64 + cc)).sum())
+
+    def test_corner_map_hits_origin(self, ray_session):
+        """r_src(0) == c_src(0) == 0 always — the top-left corner of
+        the thumbnail is the top-left source pixel."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_nn_resize_audit(SF)
+        for _, row in out.head(10).iterrows():
+            i = int(row.img_id)
+            expect = sum((0 + 0 + i + ch) % 256 for ch in range(3))
+            assert int(row.tl) == expect
+
+
+class TestClassicalDecompositionHourly:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.classical_decomposition_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY 1 ORDER BY 1
+        """).df()
+        c = h.c.to_numpy(np.int64)
+        hod = h.hour.dt.hour.to_numpy(np.int64)
+        n = len(c)
+        acc, cnt = {}, {}
+        for t in range(12, n - 12):
+            num = int(c[t - 12]) + 2 * int(c[t - 11:t + 12].sum()) \
+                + int(c[t + 12])
+            k = int(hod[t])
+            acc[k] = acc.get(k, 0) + (48 * int(c[t]) - num)
+            cnt[k] = cnt.get(k, 0) + 1
+        for _, row in out.iterrows():
+            k = int(row.hour_of_day)
+            assert int(row.seasonal_num) == acc[k]
+            assert int(row.n_windows) == cnt[k]
+            assert float(row.seasonal_index) == float(
+                acc[k]) / float(48 * cnt[k])
+
+    def test_planted_diurnal_cycle_recovered(self, ray_session):
+        """A pure 24h cosine in the hourly sums has a linear-free
+        trend, so the seasonal indices reproduce the cycle shape:
+        the peak hour's index is maximal and ~amplitude-sized."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 24 * 20
+        t = np.arange(nh)
+        vals = 100.0 + 50.0 * np.cos(2 * np.pi * (t % 24) / 24.0)
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.classical_decomposition_hourly(d)
+        idx = {int(r.hour_of_day): float(r.seasonal_index)
+               for _, r in out.iterrows()}
+        assert max(idx, key=idx.get) == 0           # cosine peak at 0
+        assert abs(idx[0] - 5000.0) < 100.0          # 50 units = 5000c
+        assert abs(idx[12] + 5000.0) < 100.0
+
+
+class TestAbcAnalysisParts:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.abc_analysis_parts(SF)
+        pp = duckdb.sql(f"""
+            SELECT l_partkey,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS rev
+            FROM '{SF}/lineitem.parquet' GROUP BY 1
+            ORDER BY rev DESC, l_partkey
+        """).df()
+        total = int(pp.rev.sum())
+        cum = 0
+        agg = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+        for r in pp.rev:
+            cum += int(r)
+            k = ("A" if 5 * cum <= 4 * total
+                 else "B" if 20 * cum <= 19 * total else "C")
+            agg[k][0] += 1
+            agg[k][1] += int(r)
+        for _, row in out.iterrows():
+            k = row.abc_class
+            assert int(row.n_parts) == agg[k][0]
+            assert int(row.class_revenue_cents) == agg[k][1]
+        # Pareto sanity: A holds <= 80% of revenue in far fewer parts
+        a = out[out.abc_class == "A"].iloc[0]
+        assert float(a.revenue_share) <= 0.8
+
+    def test_class_partition_is_total(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.abc_analysis_parts(SF)
+        import duckdb
+        tot = duckdb.sql(f"""
+            SELECT sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                  * 100) AS BIGINT)) AS t,
+                   count(DISTINCT l_partkey) AS np
+            FROM '{SF}/lineitem.parquet'
+        """).df()
+        assert int(out.class_revenue_cents.sum()) == int(tot.t[0])
+        assert int(out.n_parts.sum()) == int(tot.np[0])
+
+
+class TestImageOrientationHistAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_orientation_hist_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            g = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            gx = ((g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2]))
+            gy = ((g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
+                  - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:]))
+            mag = np.abs(gx) + np.abs(gy)
+            octant = ((gy < 0) * 4 + (gx < 0) * 2
+                      + (np.abs(gy) >= np.abs(gx)) * 1)
+            for k in range(8):
+                assert int(row[f"o{k}"]) == int(
+                    mag[(mag > 0) & (octant == k)].sum())
+            assert int(row.n_zero) == int((mag == 0).sum())
+
+    def test_mass_conservation(self, ray_session):
+        """Octant masses partition the total L1 gradient mass."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_orientation_hist_audit(SF)
+        edge = Q.image_conv_edge_audit(SF)
+        merged = out.merge(edge[["img_id", "edge_sum"]], on="img_id")
+        assert len(merged) > 0
+        for _, row in merged.iterrows():
+            total = sum(int(row[f"o{k}"]) for k in range(8))
+            assert total == int(row.edge_sum)

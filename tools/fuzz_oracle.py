@@ -141,7 +141,10 @@ EVENT_QUERIES = [
     # session-24: L-moment ratios, successive-difference dispersion,
     # Hampel census
     "lmoments_events", "vonneumann_allan_hourly",
-    "hampel_outliers_per_type",
+    "hampel_outliers_per_type", "sigma_coverage_events",
+    "pot_mean_excess_events", "transition_drift_chi2",
+    "drawdown_hourly", "sample_entropy_hourly",
+    "classical_decomposition_hourly",
 ]
 
 
@@ -254,8 +257,13 @@ DOC_QUERIES = [
     "source_concentration_hhi",
     # session-21: equalization + 2D Haar anchors
     "image_equalize_audit", "image_haar2d_audit",
-    # session-24: lexical concentration + GLCM texture + mixup
+    # session-24: lexical concentration + GLCM texture + mixup +
+    # stylometry + solarize/posterize
     "yule_k_docs", "image_glcm_audit", "image_mixup_audit",
+    "burrows_delta_docs", "image_solarize_posterize_audit",
+    "image_grayworld_audit", "bigram_novelty_docs",
+    "image_laplacian_audit", "image_nn_resize_audit",
+    "image_orientation_hist_audit",
 ]
 
 
