@@ -397,6 +397,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abc_analysis_parts": Q.abc_analysis_parts,
         "image_orientation_hist_audit":
             Q.image_orientation_hist_audit,
+        "gumbel_daily_max_fit": Q.gumbel_daily_max_fit,
+        "session_duration_quantiles": Q.session_duration_quantiles,
+        "image_luma_audit": Q.image_luma_audit,
+        "bartlett_variance_types": Q.bartlett_variance_types,
+        "char_trigram_js_halves": Q.char_trigram_js_halves,
+        "image_morphology_audit": Q.image_morphology_audit,
     }
 
 
@@ -1492,6 +1498,73 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _gumbel_sql() -> str:
+    """Gumbel L-moment fit over daily block maxima: exact integer
+    rank sums (the falling-factorial clt-window recipe), the ln2 /
+    Euler-gamma / lnln(10/9) constants embedded as CAST('<repr>' AS
+    DOUBLE) STRING literals (correctly-rounded parse — the fuzz-86307
+    literal-typing lesson), every float a fixed-shape expression."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _GUMBEL_GAMMA, _GUMBEL_LLN10, _GUMBEL_LN2)
+
+    ln2 = f"CAST('{_GUMBEL_LN2!r}' AS DOUBLE)"
+    gam = f"CAST('{_GUMBEL_GAMMA!r}' AS DOUBLE)"
+    lln = f"CAST('{_GUMBEL_LLN10!r}' AS DOUBLE)"
+    return f"""
+        WITH hh AS (
+            SELECT date_trunc('day', ts) AS d,
+                   date_trunc('hour', ts) AS hour,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM (SELECT * FROM events
+                  WHERE value IS NOT NULL AND NOT isnan(value))
+            GROUP BY 1, 2
+        ),
+        dm AS (SELECT d, CAST(max(c) AS BIGINT) AS mx
+               FROM hh GROUP BY 1),
+        c2 AS (SELECT mx, CAST(count(*) AS HUGEINT) AS cc
+               FROM dm GROUP BY 1),
+        w AS (
+            SELECT mx, cc,
+                   sum(cc) OVER (ORDER BY mx) - cc AS m0,
+                   sum(cc) OVER (ORDER BY mx) AS m1
+            FROM c2
+        ),
+        a AS (
+            SELECT CAST(coalesce(sum(cc), 0) AS HUGEINT) AS n,
+                   CAST(coalesce(sum(CAST(mx AS HUGEINT) * cc), 0)
+                        AS HUGEINT) AS s0,
+                   CAST(coalesce(sum(CAST(mx AS HUGEINT)
+                        * (m1 * (m1 - 1) // 2
+                           - m0 * (m0 - 1) // 2)), 0) AS HUGEINT)
+                       AS s1
+            FROM w
+        ),
+        f AS (
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE) AS l1,
+                   CAST(2 * s1 - (n - 1) * s0 AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE) AS l2
+            FROM a WHERE n >= 2
+        ),
+        g AS (
+            SELECT n_days, l1, l2, l2 / {ln2} AS beta
+            FROM f
+        )
+        SELECT n_days, l1, l2, beta AS gumbel_beta,
+               l1 - {gam} * beta AS gumbel_mu,
+               (l1 - {gam} * beta) - beta * {lln}
+                   AS return_level_10
+        FROM g
+        UNION ALL
+        SELECT CAST(n AS BIGINT),
+               CASE WHEN n = 1
+                    THEN CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)
+                    ELSE 0.0 END,
+               0.0, 0.0, 0.0, 0.0
+        FROM a WHERE n < 2
     """
 
 
@@ -6915,6 +6988,254 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(coalesce(sum(CASE WHEN mag = 0
                         THEN 1 END), 0) AS BIGINT) AS n_zero
             FROM oc GROUP BY 1, 2 ORDER BY 1
+        """,
+        "gumbel_daily_max_fit": _gumbel_sql(),
+        # 30-min-gap sessionization durations: exact integer seconds,
+        # exact quantile_disc selections, mean one division
+        "session_duration_quantiles": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS us,
+                       CASE WHEN lag(CAST(epoch_us(ts) AS BIGINT))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) IS NULL
+                                 OR CAST(epoch_us(ts) AS BIGINT)
+                                    - lag(CAST(epoch_us(ts)
+                                               AS BIGINT))
+                                      OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT us,
+                       sum(new_s) OVER (ORDER BY user_id, ts,
+                           event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+                FROM o
+            ),
+            d AS (
+                SELECT sid,
+                       (max(us) - min(us)) // 1000000 AS dur
+                FROM s GROUP BY 1
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(coalesce(sum(dur), 0) AS BIGINT) AS tot,
+                       CAST(coalesce(quantile_disc(dur, 0.5), 0)
+                            AS BIGINT) AS p50,
+                       CAST(coalesce(quantile_disc(dur, 0.9), 0)
+                            AS BIGINT) AS p90
+                FROM d
+            )
+            SELECT n AS n_sessions, tot AS total_duration_s,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS mean_duration_s,
+                   p50 AS p50_duration_s, p90 AS p90_duration_s
+            FROM a
+        """,
+        # BT.601 integer luma over the closed-form grid: fixed-point
+        # floor LUT, truncation census
+        "image_luma_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       299 * ((r + 2*c + i) % 256)
+                     + 587 * ((r + 2*c + i + 1) % 256)
+                     + 114 * ((r + 2*c + i + 2) % 256) AS ws
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(ws // 1000) AS BIGINT) AS luma_total,
+                   CAST(sum((ws // 1000) * (r * w + c)) AS BIGINT)
+                       AS luma_pos_sum,
+                   CAST(max(ws // 1000) AS BIGINT) AS luma_max,
+                   CAST(coalesce(sum(CASE WHEN ws % 1000 <> 0
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_truncated
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Bartlett variance homogeneity: exact per-type sufficient
+        # stats, type-order ln folds, round-6 entropy-tier contract
+        "bartlett_variance_types": """
+            WITH u AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT)
+                           AS s1,
+                       CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT)
+                           AS s2
+                FROM u GROUP BY 1 HAVING count(*) >= 2
+            ),
+            kk AS (
+                SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(coalesce(sum(n), 0) AS BIGINT) AS nn,
+                       CAST(coalesce(sum(CASE WHEN
+                            n * s2 - s1 * s1 = 0 THEN 1 END), 0)
+                            AS BIGINT) AS ndeg
+                FROM a
+            ),
+            f AS (
+                SELECT kk.k, kk.nn, kk.ndeg,
+                       list(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                            / CAST(n AS DOUBLE)
+                            ORDER BY event_type) AS ssds,
+                       list(CAST(n - 1 AS DOUBLE)
+                            * ln(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                 / CAST(n * (n - 1) AS DOUBLE))
+                            ORDER BY event_type) AS lns,
+                       list(1.0 / CAST(n - 1 AS DOUBLE)
+                            ORDER BY event_type) AS invs
+                FROM a, kk
+                WHERE kk.k >= 2 AND kk.ndeg = 0
+                GROUP BY 1, 2, 3
+            ),
+            g AS (
+                SELECT k, nn, ndeg,
+                       CAST(nn - k AS DOUBLE)
+                           * ln(list_reduce(ssds, (a, b) -> a + b)
+                                / CAST(nn - k AS DOUBLE))
+                           - list_reduce(lns, (a, b) -> a + b) AS b,
+                       1.0 + (list_reduce(invs, (a, b) -> a + b)
+                              - 1.0 / CAST(nn - k AS DOUBLE))
+                             / (3.0 * CAST(k - 1 AS DOUBLE)) AS cc
+                FROM f
+            )
+            SELECT k AS k_groups, nn AS n_rows, ndeg AS n_degenerate,
+                   CAST(round(b, 6) AS DOUBLE) AS bartlett_b,
+                   CAST(round(b / cc, 6) AS DOUBLE) AS bartlett_stat
+            FROM g
+            UNION ALL
+            SELECT k, nn, ndeg, 0.0, 0.0 FROM kk
+            WHERE k < 2 OR ndeg > 0
+        """,
+        # char-trigram JS divergence between doc-parity halves over
+        # the normalized token stream; round-6 entropy contract
+        "char_trigram_js_halves": """
+            WITH s AS (
+                SELECT doc_id % 2 AS half,
+                       array_to_string(regexp_extract_all(
+                           lower(text), '[a-z'']+'), ' ') AS t
+                FROM documents
+            ),
+            gi AS (
+                SELECT half, t,
+                       unnest(generate_series(1,
+                           CAST(len(t) AS BIGINT) - 2)) AS i
+                FROM s WHERE len(t) >= 3
+            ),
+            tg AS (SELECT half, substr(t, CAST(i AS BIGINT), 3) AS g
+                   FROM gi),
+            c AS (
+                SELECT g,
+                       CAST(count(*) FILTER (WHERE half = 0)
+                            AS BIGINT) AS e,
+                       CAST(count(*) FILTER (WHERE half = 1)
+                            AS BIGINT) AS l
+                FROM tg GROUP BY 1
+            ),
+            tot AS (SELECT CAST(coalesce(sum(e), 0) AS BIGINT) AS ne,
+                           CAST(coalesce(sum(l), 0) AS BIGINT) AS nl,
+                           CAST(count(*) AS BIGINT) AS nt
+                    FROM c)
+            SELECT tot.ne AS n_early, tot.nl AS n_late,
+                   tot.nt AS n_types,
+                   CASE WHEN tot.ne = 0 OR tot.nl = 0 THEN 0.0
+                        ELSE CAST(round(coalesce((
+                            SELECT sum(CASE WHEN c.e > 0 THEN
+                                (CAST(c.e AS DOUBLE)
+                                 / CAST(tot.ne AS DOUBLE))
+                                * log2((CAST(c.e AS DOUBLE)
+                                        / CAST(tot.ne AS DOUBLE))
+                                       / ((CAST(c.e AS DOUBLE)
+                                           / CAST(tot.ne AS DOUBLE)
+                                           + CAST(c.l AS DOUBLE)
+                                           / CAST(tot.nl AS DOUBLE))
+                                          / 2.0)) ELSE 0.0 END) / 2.0
+                               + sum(CASE WHEN c.l > 0 THEN
+                                (CAST(c.l AS DOUBLE)
+                                 / CAST(tot.nl AS DOUBLE))
+                                * log2((CAST(c.l AS DOUBLE)
+                                        / CAST(tot.nl AS DOUBLE))
+                                       / ((CAST(c.e AS DOUBLE)
+                                           / CAST(tot.ne AS DOUBLE)
+                                           + CAST(c.l AS DOUBLE)
+                                           / CAST(tot.nl AS DOUBLE))
+                                          / 2.0)) ELSE 0.0 END) / 2.0
+                            FROM c), 0.0), 6) AS DOUBLE)
+                   END AS js_trigram
+            FROM tot
+        """,
+        # 4-neighbor binary morphology at threshold >= 128: interior
+        # set/eroded/dilated counts, exact ints
+        "image_morphology_audit": """
+            WITH nn AS (SELECT least(80, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(1, h - 2)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(1, w - 2)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256) >= 128 AS s,
+                       ((r - 1 + 2*c + i) % 256) >= 128 AS up,
+                       ((r + 1 + 2*c + i) % 256) >= 128 AS dn,
+                       ((r + 2*(c - 1) + i) % 256) >= 128 AS lf,
+                       ((r + 2*(c + 1) + i) % 256) >= 128 AS rt
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(CASE WHEN s THEN 1 END), 0)
+                        AS BIGINT) AS n_set,
+                   CAST(coalesce(sum(CASE WHEN s AND up AND dn
+                        AND lf AND rt THEN 1 END), 0) AS BIGINT)
+                       AS n_eroded,
+                   CAST(coalesce(sum(CASE WHEN s OR up OR dn
+                        OR lf OR rt THEN 1 END), 0) AS BIGINT)
+                       AS n_dilated,
+                   CAST(coalesce(sum(CASE WHEN s OR up OR dn
+                        OR lf OR rt THEN 1 END), 0)
+                        - coalesce(sum(CASE WHEN s AND up AND dn
+                        AND lf AND rt THEN 1 END), 0) AS BIGINT)
+                       AS n_boundary
+            FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -19227,3 +19227,235 @@ def image_luma_audit(sf_dir: str) -> pd.DataFrame:
                 "n_truncated"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def bartlett_variance_types(sf_dir: str) -> pd.DataFrame:
+    """Bartlett's test of variance homogeneity across event types
+    (Bartlett 1937 — the classical k-group scale test; the
+    brown_forsythe tier's parametric ancestor): per-type exact
+    integer sufficient statistics n/Σc/Σc² (python-int strings
+    through the distributed fold), each sample variance ONE division
+    of exact ints, the pooled variance and both ln folds evaluated in
+    TYPE order, and the statistic B/C under the entropy tier's
+    round-6 contract (ln is libm territory). Only types with n >= 2
+    enter (k counts those); ANY zero-variance group makes ln
+    undefined — reported via the n_degenerate column with stat 0.0
+    sentinels (the textbook precondition)."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": b.event_type,
+            "cents": round_half_away(b.value.to_numpy() * 100)
+                .astype(np.int64)})
+        rows = []
+        for et, sub in g.groupby("event_type", sort=False):
+            c = sub.cents.to_numpy(np.int64)
+            rows.append((et, len(c), str(int(c.sum())),
+                         str(sum(int(x) * int(x) for x in c))))
+        return pd.DataFrame(rows, columns=["event_type", "n", "s1",
+                                           "s2"])
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    agg: dict = {}
+    for _, r in parts.iterrows():
+        a = agg.setdefault(r.event_type, [0, 0, 0])
+        a[0] += int(r.n)
+        a[1] += int(r.s1)
+        a[2] += int(r.s2)
+    types = sorted(t for t in agg if agg[t][0] >= 2)
+    k = len(types)
+    nn = sum(agg[t][0] for t in types)
+    if k < 2:
+        return pd.DataFrame({
+            "k_groups": pd.Series([k], dtype="int64"),
+            "n_rows": pd.Series([nn], dtype="int64"),
+            "n_degenerate": pd.Series([0], dtype="int64"),
+            "bartlett_b": pd.Series([0.0], dtype="float64"),
+            "bartlett_stat": pd.Series([0.0], dtype="float64"),
+        })
+    n_deg = sum(1 for t in types
+                if agg[t][0] * agg[t][2] - agg[t][1] ** 2 == 0)
+    if n_deg > 0:
+        return pd.DataFrame({
+            "k_groups": pd.Series([k], dtype="int64"),
+            "n_rows": pd.Series([nn], dtype="int64"),
+            "n_degenerate": pd.Series([n_deg], dtype="int64"),
+            "bartlett_b": pd.Series([0.0], dtype="float64"),
+            "bartlett_stat": pd.Series([0.0], dtype="float64"),
+        })
+    sp_acc = 0.0
+    lns = 0.0
+    inv = 0.0
+    for t in types:          # TYPE-order folds, mirrored by SQL
+        n_i, s1_i, s2_i = agg[t]
+        ssd = float(n_i * s2_i - s1_i * s1_i) / float(n_i)
+        sp_acc = sp_acc + ssd
+        var_i = float(n_i * s2_i - s1_i * s1_i) \
+            / float(n_i * (n_i - 1))
+        lns = lns + float(n_i - 1) * math.log(var_i)
+        inv = inv + 1.0 / float(n_i - 1)
+    sp2 = sp_acc / float(nn - k)
+    b = float(nn - k) * math.log(sp2) - lns
+    c = 1.0 + (inv - 1.0 / float(nn - k)) / (3.0 * float(k - 1))
+    return pd.DataFrame({
+        "k_groups": pd.Series([k], dtype="int64"),
+        "n_rows": pd.Series([nn], dtype="int64"),
+        "n_degenerate": pd.Series([0], dtype="int64"),
+        "bartlett_b": pd.Series(round_half_away([b], 6),
+                                dtype="float64"),
+        "bartlett_stat": pd.Series(round_half_away([b / c], 6),
+                                   dtype="float64"),
+    })
+
+
+def char_trigram_js_halves(sf_dir: str) -> pd.DataFrame:
+    """Jensen-Shannon divergence of CHARACTER trigram distributions
+    between the doc_id-parity corpus halves (the CCNet-style
+    character-LM drift check one level below the token tier; Lin 1991
+    for JS): the contract stream is the normalized token text
+    ' '.join(WORD_RE tokens) per doc, so both sides trigram the
+    IDENTICAL strings; counts are exact via a trigram-hash-bucketed
+    exchange (per-bucket joins are exact global joins). JS =
+    Σ p·log2(p/m)/2 + q·log2(q/m)/2 (0·log ≡ 0) over exact-ratio
+    doubles under the entropy tier's round-6 contract (term order is
+    free there — the hourly_type_entropy precedent). Empty halves
+    guard to 0.0."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_g, rows_h, rows_n = [], [], []
+        for did, txt in zip(b.doc_id.to_numpy(np.int64),
+                            b.text.fillna("").astype(str)):
+            s = " ".join(WORD_RE.findall(txt.lower()))
+            if len(s) < 3:
+                continue
+            grams = np.asarray([s[i:i + 3]
+                                for i in range(len(s) - 2)],
+                               dtype=object)
+            u, c = np.unique(grams, return_counts=True)
+            rows_g.extend(u.tolist())
+            rows_h.extend([int(did) % 2] * len(u))
+            rows_n.extend(c.tolist())
+        if not rows_g:
+            return pd.DataFrame({
+                "g": pd.Series([], dtype=object),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        u = np.asarray(rows_g, dtype=object)
+        return pd.DataFrame({
+            "g": u, "half": pd.Series(rows_h, dtype=np.int64),
+            "n": pd.Series(rows_n, dtype=np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["g", "half"], as_index=False).agg(n=("n", "sum"))
+        p = m.pivot_table(index="g", columns="half", values="n",
+                          aggfunc="sum", fill_value=0)
+        e = (p[0] if 0 in p.columns
+             else pd.Series(0, index=p.index)).to_numpy(np.int64)
+        l_ = (p[1] if 1 in p.columns
+              else pd.Series(0, index=p.index)).to_numpy(np.int64)
+        return pd.DataFrame({
+            "ne": [str(int(e.sum()))], "nl": [str(int(l_.sum()))],
+            "e_list": [",".join(map(str, e))],
+            "l_list": [",".join(map(str, l_))],
+        })
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    if len(f) == 0:
+        return pd.DataFrame({
+            "n_early": pd.Series([0], dtype="int64"),
+            "n_late": pd.Series([0], dtype="int64"),
+            "n_types": pd.Series([0], dtype="int64"),
+            "js_trigram": pd.Series([0.0], dtype="float64"),
+        })
+    ne = sum(int(x) for x in f["ne"])
+    nl = sum(int(x) for x in f["nl"])
+    es, ls = [], []
+    for _, r in f.iterrows():
+        es.extend(int(x) for x in r.e_list.split(","))
+        ls.extend(int(x) for x in r.l_list.split(","))
+    e = np.asarray(es, dtype=np.float64)
+    l_ = np.asarray(ls, dtype=np.float64)
+    js = 0.0
+    if ne > 0 and nl > 0:
+        p = e / float(ne)
+        q = l_ / float(nl)
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0, p * np.log2(p / m), 0.0)
+            tq = np.where(q > 0, q * np.log2(q / m), 0.0)
+        js = float(tp.sum() / 2.0 + tq.sum() / 2.0)
+    return pd.DataFrame({
+        "n_early": pd.Series([ne], dtype="int64"),
+        "n_late": pd.Series([nl], dtype="int64"),
+        "n_types": pd.Series([len(e)], dtype="int64"),
+        "js_trigram": pd.Series(round_half_away([js], 6),
+                                dtype="float64"),
+    })
+
+
+def image_morphology_audit(sf_dir: str) -> pd.DataFrame:
+    """Binary morphology census (erosion / dilation with the
+    4-neighbor cross structuring element — Serra 1982; the
+    segmentation-mask hygiene op): binarize channel 0 of the REAL
+    decode output at the fixed v >= 128 threshold, then over the
+    (h−2)×(w−2) interior count the set pixels, the eroded set (self
+    AND all 4 neighbors) and the dilated set (self OR any neighbor) —
+    ALL exact integers; the morphological gradient n_dilated −
+    n_eroded is the boundary census. Erosion ⊆ set ⊆ dilation is a
+    structural invariant (pytest-pinned). SQL replays the threshold
+    and neighbor logic on the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(80, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def morph(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            bi = dec[:, :, 0] >= 128
+            s = bi[1:-1, 1:-1]
+            up, dn = bi[:-2, 1:-1], bi[2:, 1:-1]
+            lf, rt = bi[1:-1, :-2], bi[1:-1, 2:]
+            ero = s & up & dn & lf & rt
+            dil = s | up | dn | lf | rt
+            rows.append((i, fmt, int(s.sum()), int(ero.sum()),
+                         int(dil.sum()),
+                         int(dil.sum()) - int(ero.sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_set", "n_eroded", "n_dilated",
+            "n_boundary"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(morph, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_set", "n_eroded", "n_dilated",
+                "n_boundary"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

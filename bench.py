@@ -365,6 +365,9 @@ def run_queries() -> dict[str, float]:
         "sample_entropy_hourly", "theil_index_customers",
         "image_nn_resize_audit", "classical_decomposition_hourly",
         "abc_analysis_parts", "image_orientation_hist_audit",
+        "gumbel_daily_max_fit", "session_duration_quantiles",
+        "image_luma_audit", "bartlett_variance_types",
+        "char_trigram_js_halves", "image_morphology_audit",
     ]
     qs = E.queries()
     out = {}

@@ -6066,3 +6066,260 @@ class TestImageOrientationHistAudit:
         for _, row in merged.iterrows():
             total = sum(int(row[f"o{k}"]) for k in range(8))
             assert total == int(row.edge_sum)
+
+
+class TestGumbelDailyMaxFit:
+    def test_matches_fraction_and_closed_form(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.gumbel_daily_max_fit(SF)
+        dm = duckdb.sql(f"""
+            WITH h AS (
+                SELECT date_trunc('day', ts) AS d,
+                       date_trunc('hour', ts) AS hour,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM '{SF}/events.parquet'
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                GROUP BY 1, 2
+            )
+            SELECT max(c) AS mx FROM h GROUP BY d ORDER BY 1
+        """).df()
+        xs = np.sort(dm.mx.to_numpy(np.int64))
+        n = len(xs)
+        j = np.arange(n, dtype=object)
+        s0, s1 = int(xs.sum()), int((j * xs).sum())
+        l1 = s0 / n
+        l2 = float(2 * s1 - (n - 1) * s0) / float(n * (n - 1))
+        beta = l2 / math.log(2.0)
+        mu = l1 - 0.5772156649015329 * beta
+        assert int(out.n_days[0]) == n
+        assert abs(float(out.gumbel_beta[0]) - beta) < 1e-9
+        assert abs(float(out.gumbel_mu[0]) - mu) < 1e-6
+        # 10-day return level exceeds the location parameter
+        assert float(out.return_level_10[0]) > float(out.gumbel_mu[0])
+
+    def test_planted_heavy_tail_raises_beta(self, ray_session):
+        """Daily maxima alternating 100 vs 10000 give a much larger
+        scale than constant maxima (beta == 0 exactly there)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        days = 20
+        ts, vals = [], []
+        for d in range(days):
+            base = pd.Timestamp("2024-01-01") + pd.Timedelta(days=d)
+            ts.append(base)
+            vals.append(100.0 if d % 2 == 0 else 10000.0)
+        with tempfile.TemporaryDirectory() as dd:
+            _write_events(dd, pd.to_datetime(ts), np.array(vals))
+            out = Q.gumbel_daily_max_fit(dd)
+        assert float(out.gumbel_beta[0]) > 1e5
+        with tempfile.TemporaryDirectory() as dd:
+            _write_events(dd, pd.to_datetime(ts),
+                          np.full(days, 50.0))
+            out = Q.gumbel_daily_max_fit(dd)
+        assert float(out.gumbel_beta[0]) == 0.0
+
+
+class TestSessionDurationQuantiles:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.session_duration_quantiles(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_id FROM '{SF}/events.parquet'
+        """).df().sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        us = df.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df.user_id.to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = ~((uid[1:] == uid[:-1])
+                    & ((us[1:] - us[:-1]) <= 1800000000))
+        sid = np.cumsum(new)
+        g = pd.DataFrame({"sid": sid, "us": us}).groupby("sid") \
+            .agg(lo=("us", "min"), hi=("us", "max"))
+        dur = np.sort(((g.hi - g.lo) // 1000000).to_numpy(np.int64))
+        n = len(dur)
+        assert int(out.n_sessions[0]) == n
+        assert int(out.total_duration_s[0]) == int(dur.sum())
+        assert int(out.p50_duration_s[0]) == int(
+            dur[max(0, math.ceil(0.5 * n) - 1)])
+        assert int(out.p90_duration_s[0]) == int(
+            dur[max(0, math.ceil(0.9 * n) - 1)])
+
+    def test_gap_boundary_exact(self, ray_session):
+        """A 30:00.000000 gap stays in-session; 30:00.000001 splits."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        base = pd.Timestamp("2024-01-01")
+        ts = [base, base + pd.Timedelta(minutes=30),
+              base + pd.Timedelta(minutes=60, microseconds=1)]
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, pd.to_datetime(ts), np.ones(3),
+                          users=np.zeros(3))
+            out = Q.session_duration_quantiles(d)
+        assert int(out.n_sessions[0]) == 2
+        assert int(out.total_duration_s[0]) == 1800
+
+
+class TestImageLumaAudit:
+    def test_matches_explicit_lut_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_luma_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            ws = (299 * ((r + 2 * c + img_id) % 256)
+                  + 587 * ((r + 2 * c + img_id + 1) % 256)
+                  + 114 * ((r + 2 * c + img_id + 2) % 256))
+            y = ws // 1000
+            assert int(row.luma_total) == int(y.sum())
+            assert int(row.luma_max) == int(y.max())
+            assert int(row.n_truncated) == int((ws % 1000 != 0).sum())
+            assert int(row.luma_pos_sum) == int(
+                (y * (r * w + c)).sum())
+        # luma is bounded by max channel value
+        assert (out.luma_max <= 255).all()
+
+
+class TestBartlettVarianceTypes:
+    def test_matches_scipy_free_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.bartlett_variance_types(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        groups = []
+        for _, sub in df.groupby("event_type"):
+            c = round_half_away(sub.value.to_numpy() * 100) \
+                .astype(np.int64)
+            if len(c) >= 2:
+                groups.append(c.astype(np.float64))
+        k = len(groups)
+        nn = sum(len(g) for g in groups)
+        sp2 = sum(((g - g.mean()) ** 2).sum() for g in groups) \
+            / (nn - k)
+        b = (nn - k) * math.log(sp2) - sum(
+            (len(g) - 1) * math.log(g.var(ddof=1)) for g in groups)
+        c_ = 1.0 + (sum(1.0 / (len(g) - 1) for g in groups)
+                    - 1.0 / (nn - k)) / (3.0 * (k - 1))
+        assert int(out.k_groups[0]) == k
+        assert int(out.n_rows[0]) == nn
+        assert abs(float(out.bartlett_b[0]) - b) < 1e-5
+        assert abs(float(out.bartlett_stat[0]) - b / c_) < 1e-5
+
+    def test_equal_variances_near_zero_and_degenerate_guard(
+            self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        n = 400
+        rng = np.random.default_rng(5)
+        vals = np.round(rng.normal(50, 5, n), 2)
+        types = np.array(["a", "b"])[np.arange(n) % 2]
+        ts = pd.date_range("2024-01-01", periods=n, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=list(types))
+            out = Q.bartlett_variance_types(d)
+        # same-distribution halves: stat small (chi2_1 scale)
+        assert abs(float(out.bartlett_stat[0])) < 8.0
+        # a constant group trips the degenerate guard
+        vals2 = vals.copy()
+        vals2[types == "a"] = 7.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals2, types=list(types))
+            out = Q.bartlett_variance_types(d)
+        assert int(out.n_degenerate[0]) == 1
+        assert float(out.bartlett_stat[0]) == 0.0
+
+
+class TestCharTrigramJsHalves:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.char_trigram_js_halves(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        e, l_ = Counter(), Counter()
+        for _, row in df.iterrows():
+            s = " ".join(WORD_RE.findall(str(row.text or "").lower()))
+            tgt = e if int(row.doc_id) % 2 == 0 else l_
+            for i in range(len(s) - 2):
+                tgt[s[i:i + 3]] += 1
+        ne, nl = sum(e.values()), sum(l_.values())
+        js = 0.0
+        for g in set(e) | set(l_):
+            p, q = e[g] / ne, l_[g] / nl
+            m = (p + q) / 2
+            if p > 0:
+                js += p * math.log2(p / m) / 2
+            if q > 0:
+                js += q * math.log2(q / m) / 2
+        assert int(out.n_early[0]) == ne
+        assert int(out.n_late[0]) == nl
+        assert int(out.n_types[0]) == len(set(e) | set(l_))
+        assert abs(float(out.js_trigram[0]) - js) < 1e-5
+
+    def test_identical_and_disjoint_halves(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["hello world text", "hello world text"],
+                        ["en", "en"])
+            out = Q.char_trigram_js_halves(d)
+        assert float(out.js_trigram[0]) == 0.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["aaaa aaaa", "zzzz zzzz"], ["en", "en"])
+            out = Q.char_trigram_js_halves(d)
+        assert float(out.js_trigram[0]) == 1.0  # disjoint => log2(2)
+
+
+class TestImageMorphologyAudit:
+    def test_matches_explicit_bruteforce_and_nesting(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_morphology_audit(SF)
+        # structural nesting: erosion <= set <= dilation
+        assert (out.n_eroded <= out.n_set).all()
+        assert (out.n_set <= out.n_dilated).all()
+        assert (out.n_boundary
+                == out.n_dilated - out.n_eroded).all()
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            bi = ((r + 2 * c + img_id) % 256) >= 128
+            s = bi[1:-1, 1:-1]
+            up, dn = bi[:-2, 1:-1], bi[2:, 1:-1]
+            lf, rt = bi[1:-1, :-2], bi[1:-1, 2:]
+            assert int(row.n_set) == int(s.sum())
+            assert int(row.n_eroded) == int(
+                (s & up & dn & lf & rt).sum())
+            assert int(row.n_dilated) == int(
+                (s | up | dn | lf | rt).sum())

@@ -144,7 +144,8 @@ EVENT_QUERIES = [
     "hampel_outliers_per_type", "sigma_coverage_events",
     "pot_mean_excess_events", "transition_drift_chi2",
     "drawdown_hourly", "sample_entropy_hourly",
-    "classical_decomposition_hourly",
+    "classical_decomposition_hourly", "gumbel_daily_max_fit",
+    "session_duration_quantiles", "bartlett_variance_types",
 ]
 
 
@@ -263,7 +264,8 @@ DOC_QUERIES = [
     "burrows_delta_docs", "image_solarize_posterize_audit",
     "image_grayworld_audit", "bigram_novelty_docs",
     "image_laplacian_audit", "image_nn_resize_audit",
-    "image_orientation_hist_audit",
+    "image_orientation_hist_audit", "image_luma_audit",
+    "char_trigram_js_halves", "image_morphology_audit",
 ]
 
 
