@@ -403,6 +403,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bartlett_variance_types": Q.bartlett_variance_types,
         "char_trigram_js_halves": Q.char_trigram_js_halves,
         "image_morphology_audit": Q.image_morphology_audit,
+        "embedding_norm_band_counts": Q.embedding_norm_band_counts,
+        "embedding_sign_census": Q.embedding_sign_census,
+        "charset_hygiene_docs": Q.charset_hygiene_docs,
+        "ams_f2_audit": Q.ams_f2_audit,
+        "last_digit_uniformity_events":
+            Q.last_digit_uniformity_events,
+        "image_run_length_audit": Q.image_run_length_audit,
     }
 
 
@@ -7235,6 +7242,205 @@ def _oracle_sql_raw() -> dict[str, str]:
                         - coalesce(sum(CASE WHEN s AND up AND dn
                         AND lf AND rt THEN 1 END), 0) AS BIGINT)
                        AS n_boundary
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # L2-norm^2 bands: index-order left fold over exactly-widened
+        # float32 values — bit-identical doubles, exact censuses
+        "embedding_norm_band_counts": """
+            WITH n2 AS (
+                SELECT list_reduce(list_transform(embedding,
+                           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                           (a, b) -> a + b) AS norm2
+                FROM embeddings
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(coalesce(sum(CASE WHEN norm2 = 0.0
+                            THEN 1 END), 0) AS BIGINT) AS b0,
+                       CAST(coalesce(sum(CASE WHEN norm2 > 0.0
+                            AND norm2 <= 0.25 THEN 1 END), 0)
+                            AS BIGINT) AS b1,
+                       CAST(coalesce(sum(CASE WHEN norm2 > 0.25
+                            AND norm2 <= 1.0 THEN 1 END), 0)
+                            AS BIGINT) AS b2,
+                       CAST(coalesce(sum(CASE WHEN norm2 > 1.0
+                            AND norm2 <= 4.0 THEN 1 END), 0)
+                            AS BIGINT) AS b3,
+                       CAST(coalesce(sum(CASE WHEN norm2 > 4.0
+                            AND norm2 <= 16.0 THEN 1 END), 0)
+                            AS BIGINT) AS b4,
+                       CAST(coalesce(sum(CASE WHEN norm2 > 16.0
+                            THEN 1 END), 0) AS BIGINT) AS b5,
+                       min(norm2) AS mn, max(norm2) AS mx
+                FROM n2
+            )
+            SELECT n AS n_vectors, b0 AS n_zero, b1 AS b_quarter,
+                   b2 AS b_unit, b3 AS b_four, b4 AS b_sixteen,
+                   b5 AS b_large,
+                   CASE WHEN n = 0 THEN 0.0 ELSE mn END AS min_norm2,
+                   CASE WHEN n = 0 THEN 0.0 ELSE mx END AS max_norm2
+            FROM a
+        """,
+        # per-dimension sign census: exact comparisons against 0.0
+        "embedding_sign_census": """
+            WITH u AS (
+                SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                       unnest(embedding) AS v
+                FROM embeddings
+            )
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(coalesce(sum(CASE WHEN v < 0.0 THEN 1 END),
+                                 0) AS BIGINT) AS n_neg,
+                   CAST(coalesce(sum(CASE WHEN v = 0.0 THEN 1 END),
+                                 0) AS BIGINT) AS n_zero,
+                   CAST(coalesce(sum(CASE WHEN v > 0.0 THEN 1 END),
+                                 0) AS BIGINT) AS n_pos,
+                   coalesce(sum(CASE WHEN v < 0.0 THEN 1 END), 0) = 0
+                   AND coalesce(sum(CASE WHEN v > 0.0 THEN 1 END),
+                                0) = 0 AS dead_dim
+            FROM u GROUP BY 1 ORDER BY 1
+        """,
+        # charset hygiene: exact codepoint-class censuses (C0 minus
+        # tab/newline plus DEL; non-ASCII)
+        "charset_hygiene_docs": """
+            WITH t AS (SELECT coalesce(text, '') AS x
+                       FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(CASE WHEN contains(x, chr(0))
+                        THEN 1 END), 0) AS BIGINT) AS n_with_nul,
+                   CAST(coalesce(sum(CASE WHEN contains(x, chr(9))
+                        THEN 1 END), 0) AS BIGINT) AS n_with_tab,
+                   CAST(coalesce(sum(CASE WHEN contains(x, chr(10))
+                        THEN 1 END), 0) AS BIGINT) AS n_with_newline,
+                   CAST(coalesce(sum(CASE WHEN regexp_matches(x,
+                        '[\\x00-\\x08\\x0B-\\x1F\\x7F]')
+                        THEN 1 END), 0) AS BIGINT) AS n_with_control,
+                   CAST(coalesce(sum(CASE WHEN regexp_matches(x,
+                        '[^\\x00-\\x7F]')
+                        THEN 1 END), 0) AS BIGINT) AS n_with_nonascii,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x,
+                          '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g'))),
+                        0) AS BIGINT) AS total_control_chars,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x,
+                          '[^\\x00-\\x7F]', '', 'g'))), 0) AS BIGINT)
+                       AS total_nonascii_chars
+            FROM t
+        """,
+        # AMS tug-of-war F2: every counter recomputed EXACTLY from
+        # the shared md5-hex sign recipe; estimator one division;
+        # exact F2 from per-user counts
+        "ams_f2_audit": """
+            WITH s AS (
+                SELECT md5(CAST(user_id AS VARCHAR)) AS h
+                FROM events
+            ),
+            cs AS (
+                SELECT """ + ", ".join(
+                    f"CAST(coalesce(sum(CASE WHEN substr(h, {j + 1},"
+                    f" 1) >= '8' THEN 1 ELSE -1 END), 0) AS HUGEINT)"
+                    f" AS c{j}" for j in range(16)) + """
+                FROM s
+            ),
+            pu AS (
+                SELECT user_id, CAST(count(*) AS HUGEINT) AS c
+                FROM events GROUP BY 1
+            ),
+            f2t AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
+                        AS n_events,
+                        CAST(count(*) AS BIGINT) AS n_users,
+                        CAST(coalesce(sum(c * c), 0) AS HUGEINT)
+                            AS f2
+                    FROM pu),
+            ss AS (
+                SELECT (""" + " + ".join(
+                    f"c{j} * c{j}" for j in range(16)) + """)
+                    AS sumsq
+                FROM cs
+            )
+            SELECT f2t.n_events, f2t.n_users,
+                   CAST(f2t.f2 AS BIGINT) AS f2_exact,
+                   CAST(ss.sumsq AS BIGINT) AS ams_sumsq,
+                   CAST(ss.sumsq AS DOUBLE) / 16.0 AS ams_estimate
+            FROM f2t, ss
+        """,
+        # last-digit uniformity: chi2 = (10*sum(c^2) - n^2)/n exact;
+        # abs() both sides (SQL % keeps the dividend sign)
+        "last_digit_uniformity_events": """
+            WITH u AS (
+                SELECT abs(CAST(round(value * 100) AS BIGINT)) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            a AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n, """ \
+            + ", ".join(
+                f"CAST(coalesce(sum(CASE WHEN c % 10 = {k} THEN 1 "
+                f"END), 0) AS HUGEINT) AS c{k}" for k in range(10)) \
+            + """,
+                       CAST(coalesce(sum(CASE WHEN c % 100 = 0
+                            THEN 1 END), 0) AS BIGINT) AS n100,
+                       CAST(coalesce(sum(CASE WHEN c % 25 = 0
+                            THEN 1 END), 0) AS BIGINT) AS n25
+                FROM u
+            )
+            SELECT CAST(n AS BIGINT) AS n_events, """ \
+            + ", ".join(f"CAST(c{k} AS BIGINT) AS c{k}"
+                        for k in range(10)) + """,
+                   n100 AS n_round_unit, n25 AS n_quarter,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(10 * (""" + " + ".join(
+                            f"c{k} * c{k}" for k in range(10)) + """)
+                             - n * n AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS chi2_last_digit
+            FROM a
+        """,
+        # binary RLE census: exact transition counts on the
+        # closed-form grid
+        "image_run_length_audit": """
+            WITH nn AS (SELECT least(80, (SELECT count(*)
+                                          FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       ((r + 2*c + i) % 256) >= 128 AS s,
+                       CASE WHEN c < w - 1 THEN
+                            (((r + 2*c + i) % 256) >= 128)
+                            <> (((r + 2*(c+1) + i) % 256) >= 128)
+                       END AS htr,
+                       CASE WHEN r < h - 1 THEN
+                            (((r + 2*c + i) % 256) >= 128)
+                            <> (((r + 1 + 2*c + i) % 256) >= 128)
+                       END AS vtr
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(CASE WHEN s THEN 1 END), 0)
+                        AS BIGINT) AS n_set,
+                   CAST(coalesce(sum(CASE WHEN htr THEN 1 END), 0)
+                        AS BIGINT) AS h_transitions,
+                   CAST(coalesce(sum(CASE WHEN vtr THEN 1 END), 0)
+                        AS BIGINT) AS v_transitions,
+                   CAST(any_value(h) + coalesce(sum(CASE WHEN htr
+                        THEN 1 END), 0) AS BIGINT) AS n_h_runs,
+                   CAST(any_value(w) + coalesce(sum(CASE WHEN vtr
+                        THEN 1 END), 0) AS BIGINT) AS n_v_runs
             FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts

@@ -19459,3 +19459,319 @@ def image_morphology_audit(sf_dir: str) -> pd.DataFrame:
                 "n_boundary"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def embedding_norm_band_counts(sf_dir: str) -> pd.DataFrame:
+    """Embedding L2-norm² profile in fixed magnitude bands (the
+    vector-hygiene check before any cosine/ANN stage — zero vectors
+    and magnitude blow-ups break normalization): norm² is computed as
+    the INDEX-ORDER left fold ((x₀²+x₁²)+x₂²)+… over the float32
+    values widened exactly to float64 — the engine folds column-wise
+    across the batch (vectorized, same shape), DuckDB with
+    list_reduce(list_transform(emb, v -> v·v)) — so every norm² is
+    the bit-identical double on both sides and the band censuses
+    (0, (0,0.25], (0.25,1], (1,4], (4,16], >16 — boundaries exact
+    powers of two compared on identical doubles), the zero-vector
+    count and min/max norm² carry no rounding contract."""
+    ds = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def fold(b: pd.DataFrame) -> pd.DataFrame:
+        e = np.stack(b.embedding.to_numpy()).astype(np.float64)
+        acc = e[:, 0] * e[:, 0]
+        for j in range(1, e.shape[1]):
+            acc = acc + e[:, j] * e[:, j]
+        bands = [np.int64((acc == 0.0).sum()),
+                 np.int64(((acc > 0.0) & (acc <= 0.25)).sum()),
+                 np.int64(((acc > 0.25) & (acc <= 1.0)).sum()),
+                 np.int64(((acc > 1.0) & (acc <= 4.0)).sum()),
+                 np.int64(((acc > 4.0) & (acc <= 16.0)).sum()),
+                 np.int64((acc > 16.0).sum())]
+        return pd.DataFrame({
+            "n": [np.int64(len(acc))],
+            "b0": [bands[0]], "b1": [bands[1]], "b2": [bands[2]],
+            "b3": [bands[3]], "b4": [bands[4]], "b5": [bands[5]],
+            "mn": [float(acc.min())], "mx": [float(acc.max())]})
+
+    f = ds.map_batches(fold, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    if len(f) == 0:
+        return pd.DataFrame({
+            "n_vectors": pd.Series([0], dtype="int64"),
+            "n_zero": pd.Series([0], dtype="int64"),
+            "b_quarter": pd.Series([0], dtype="int64"),
+            "b_unit": pd.Series([0], dtype="int64"),
+            "b_four": pd.Series([0], dtype="int64"),
+            "b_sixteen": pd.Series([0], dtype="int64"),
+            "b_large": pd.Series([0], dtype="int64"),
+            "min_norm2": pd.Series([0.0], dtype="float64"),
+            "max_norm2": pd.Series([0.0], dtype="float64"),
+        })
+    return pd.DataFrame({
+        "n_vectors": pd.Series([int(f.n.sum())], dtype="int64"),
+        "n_zero": pd.Series([int(f.b0.sum())], dtype="int64"),
+        "b_quarter": pd.Series([int(f.b1.sum())], dtype="int64"),
+        "b_unit": pd.Series([int(f.b2.sum())], dtype="int64"),
+        "b_four": pd.Series([int(f.b3.sum())], dtype="int64"),
+        "b_sixteen": pd.Series([int(f.b4.sum())], dtype="int64"),
+        "b_large": pd.Series([int(f.b5.sum())], dtype="int64"),
+        "min_norm2": pd.Series([float(f.mn.min())], dtype="float64"),
+        "max_norm2": pd.Series([float(f.mx.max())], dtype="float64"),
+    })
+
+
+def embedding_sign_census(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension sign census of the embedding matrix (the
+    quantization/pruning planning profile — a dimension that is
+    all-nonnegative halves the sign bit budget; dead dimensions are
+    prunable): EXACT integer counts of negative / zero / positive
+    entries per dimension (float comparisons against 0.0 are exact),
+    plus the dead-dimension boolean (all entries exactly 0.0).
+    Per-block count partials fold through one tiny grouped Sum —
+    the shuffle is O(blocks × dims)."""
+    ds = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        e = np.stack(b.embedding.to_numpy()).astype(np.float64)
+        d = e.shape[1]
+        return pd.DataFrame({
+            "dim": np.arange(d, dtype=np.int64),
+            "n_neg": (e < 0.0).sum(axis=0).astype(np.int64),
+            "n_zero": (e == 0.0).sum(axis=0).astype(np.int64),
+            "n_pos": (e > 0.0).sum(axis=0).astype(np.int64),
+        })
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("dim").aggregate(
+            Sum("n_neg", alias_name="n_neg"),
+            Sum("n_zero", alias_name="n_zero"),
+            Sum("n_pos", alias_name="n_pos")) \
+        .to_pandas().sort_values("dim").reset_index(drop=True)
+    out = pd.DataFrame({
+        "dim": g.dim.astype("int64"),
+        "n_neg": g.n_neg.astype("int64"),
+        "n_zero": g.n_zero.astype("int64"),
+        "n_pos": g.n_pos.astype("int64"),
+    })
+    out["dead_dim"] = (out.n_neg == 0) & (out.n_pos == 0)
+    return out
+
+
+def charset_hygiene_docs(sf_dir: str) -> pd.DataFrame:
+    """Character-set hygiene census over the raw document text (the
+    ingestion-time data-quality scan a 100 TB text pipeline runs
+    before tokenization — NULs and control characters break
+    downstream tokenizers, non-ASCII volume sizes transcoding work):
+    EXACT integer counts — documents containing NUL / TAB / newline /
+    any C0 control other than tab+newline / any non-ASCII byte point,
+    plus total non-ASCII and control character volumes. Vectorized
+    per-block numpy over UTF-32 codepoint views; SQL mirrors with
+    regexp_matches / length(regexp_replace) on the same class
+    definitions. NULL text counts as empty."""
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        n_nul = n_tab = n_nl = n_ctl = n_na = 0
+        tot_na = 0
+        tot_ctl = 0
+        for txt in b.text.fillna(""):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"),
+                               dtype=np.uint32)
+            has_nul = bool((cp == 0).any())
+            has_tab = bool((cp == 9).any())
+            has_nl = bool((cp == 10).any())
+            ctl = ((cp < 32) & (cp != 9) & (cp != 10)) | (cp == 127)
+            na = cp > 127
+            n_nul += has_nul
+            n_tab += has_tab
+            n_nl += has_nl
+            n_ctl += bool(ctl.any())
+            n_na += bool(na.any())
+            tot_ctl += int(ctl.sum())
+            tot_na += int(na.sum())
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(b))],
+            "n_with_nul": [np.int64(n_nul)],
+            "n_with_tab": [np.int64(n_tab)],
+            "n_with_newline": [np.int64(n_nl)],
+            "n_with_control": [np.int64(n_ctl)],
+            "n_with_nonascii": [np.int64(n_na)],
+            "total_control_chars": [np.int64(tot_ctl)],
+            "total_nonascii_chars": [np.int64(tot_na)],
+        })
+
+    f = ds.map_batches(census, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    cols = ["n_docs", "n_with_nul", "n_with_tab", "n_with_newline",
+            "n_with_control", "n_with_nonascii",
+            "total_control_chars", "total_nonascii_chars"]
+    return pd.DataFrame({c: pd.Series([int(f[c].sum())
+                                       if len(f) else 0],
+                                      dtype="int64")
+                         for c in cols})
+
+
+def ams_f2_audit(sf_dir: str) -> pd.DataFrame:
+    """AMS second-frequency-moment sketch audit (Alon, Matias &
+    Szegedy, STOC 1996 — the tug-of-war sketch that started streaming
+    moments; completes the mergeable-summary family beside
+    MG/CMS/HLL/KMV/KLL/DGIM): 16 counters, counter_j = Σ_events
+    sign_j(user), with sign_j = +1 iff the j-th hex digit of
+    md5(str(user_id)) is >= '8' (the repo's SQL-matched md5 recipe —
+    hash_split/dsir convention), so EVERY counter is an EXACT integer
+    the oracle recomputes verbatim; the estimator Σ counter²/16 is
+    ONE division of an exact int, and the ground truth F2 =
+    Σ_u count_u² comes exact from the user-bucketed exchange (squares
+    as python-int strings). The E[est] = F2 guarantee is asserted
+    engine-side at ~8σ (Var = 2(F2²−F4)/k ≤ 2F2²/k) and kept OUT of
+    the hashed columns (the kmv/cms convention). Per-block partials
+    are 16 python-int strings; merge is elementwise addition —
+    order-insensitive by construction."""
+    import hashlib
+
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id"])
+
+    def sketch_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("user_id").size()
+        cnt = [0] * 16
+        for u, c in g.items():
+            h = hashlib.md5(str(int(u)).encode()).hexdigest()
+            c = int(c)
+            for j in range(16):
+                cnt[j] += c if h[j] >= "8" else -c
+        return pd.DataFrame({f"c{j}": [str(cnt[j])]
+                             for j in range(16)})
+
+    parts = ds.map_batches(sketch_partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counters = [sum(int(x) for x in parts[f"c{j}"])
+                if len(parts) else 0 for j in range(16)]
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"user_id": b.user_id.to_numpy(np.int64),
+                          "n": np.ones(len(b), dtype=np.int64)}) \
+            .groupby("user_id", as_index=False).sum()
+        g["bucket"] = (hash64(g.user_id.to_numpy(np.int64)
+                              .view(np.uint64))
+                       % np.uint64(32)).astype(np.int64)
+        return g
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", as_index=False).agg(n=("n", "sum"))
+        return pd.DataFrame({
+            "nu": [np.int64(len(m))],
+            "ne": [str(int(m.n.sum()))],
+            "f2": [str(sum(int(x) * int(x) for x in m.n))]})
+
+    f = ds.map_batches(count_partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas").to_pandas()
+    n_users = int(f.nu.sum()) if len(f) else 0
+    n_events = sum(int(x) for x in f["ne"]) if len(f) else 0
+    f2 = sum(int(x) for x in f["f2"]) if len(f) else 0
+    sumsq = sum(c * c for c in counters)
+    assert f2 < 2 ** 62 and sumsq < 2 ** 62
+    est = float(sumsq) / 16.0
+    if f2 > 0:
+        sigma = (2.0 / 16.0) ** 0.5 * float(f2)
+        assert abs(est - float(f2)) <= 8.0 * sigma + 1.0, \
+            "AMS estimate left its 8-sigma envelope"
+    return pd.DataFrame({
+        "n_events": pd.Series([n_events], dtype="int64"),
+        "n_users": pd.Series([n_users], dtype="int64"),
+        "f2_exact": pd.Series([f2], dtype="int64"),
+        "ams_sumsq": pd.Series([sumsq], dtype="int64"),
+        "ams_estimate": pd.Series([est], dtype="float64"),
+    })
+
+
+def last_digit_uniformity_events(sf_dir: str) -> pd.DataFrame:
+    """Forensic last-digit uniformity test (the round-number-bias
+    companion of the Benford tier — Nigrini 1996 digital analysis:
+    genuine measurement processes spread the final cents digit
+    uniformly; fabricated or price-pointed data piles on 0/5): digit
+    = |cents| % 10 (abs on BOTH sides — SQL %% keeps the dividend's
+    sign), counts exact ints, and the uniformity chi² collapses
+    algebraically to (10·Σc² − n²)/n — ONE division of exact integers,
+    contract-free. Round-value censuses (|cents| divisible by 100 /
+    25) ride along. Empty input zero-sentinels."""
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = np.abs(round_half_away(b.value.to_numpy() * 100)
+                   .astype(np.int64))
+        d = np.bincount((c % 10).astype(np.int64), minlength=10)
+        row = {f"c{k}": [np.int64(int(d[k]))] for k in range(10)}
+        row["n100"] = [np.int64(int((c % 100 == 0).sum()))]
+        row["n25"] = [np.int64(int((c % 25 == 0).sum()))]
+        return pd.DataFrame(row)
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    counts = [int(f[f"c{k}"].sum()) if len(f) else 0
+              for k in range(10)]
+    n = sum(counts)
+    s2 = sum(c * c for c in counts)
+    chi2 = (float(10 * s2 - n * n) / float(n)) if n > 0 else 0.0
+    out = {"n_events": pd.Series([n], dtype="int64")}
+    for k in range(10):
+        out[f"c{k}"] = pd.Series([counts[k]], dtype="int64")
+    out["n_round_unit"] = pd.Series(
+        [int(f.n100.sum()) if len(f) else 0], dtype="int64")
+    out["n_quarter"] = pd.Series(
+        [int(f.n25.sum()) if len(f) else 0], dtype="int64")
+    out["chi2_last_digit"] = pd.Series([chi2], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def image_run_length_audit(sf_dir: str) -> pd.DataFrame:
+    """Binary run-length census (the RLE compressibility proxy and
+    mask-fragmentation check beside the morphology tier): binarize
+    channel 0 of the REAL decode output at v >= 128, then count —
+    all EXACT integers — the set pixels, the horizontal runs
+    (h + Σ row-wise transitions), the vertical runs (w + Σ
+    column-wise transitions), and both transition totals. A solid
+    mask gives h/w runs exactly; heavy fragmentation approaches one
+    run per pixel (pytest sanity bounds). SQL counts transitions from
+    the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(80, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def rle(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            bi = dec[:, :, 0] >= 128
+            ht = int((bi[:, 1:] != bi[:, :-1]).sum())
+            vt = int((bi[1:, :] != bi[:-1, :]).sum())
+            rows.append((i, fmt, int(bi.sum()), ht, vt,
+                         h + ht, w + vt))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_set", "h_transitions",
+            "v_transitions", "n_h_runs", "n_v_runs"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(rle, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_set", "h_transitions", "v_transitions",
+                "n_h_runs", "n_v_runs"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

@@ -368,6 +368,9 @@ def run_queries() -> dict[str, float]:
         "gumbel_daily_max_fit", "session_duration_quantiles",
         "image_luma_audit", "bartlett_variance_types",
         "char_trigram_js_halves", "image_morphology_audit",
+        "embedding_norm_band_counts", "embedding_sign_census",
+        "charset_hygiene_docs", "ams_f2_audit",
+        "last_digit_uniformity_events", "image_run_length_audit",
     ]
     qs = E.queries()
     out = {}

@@ -6323,3 +6323,192 @@ class TestImageMorphologyAudit:
                 (s & up & dn & lf & rt).sum())
             assert int(row.n_dilated) == int(
                 (s | up | dn | lf | rt).sum())
+
+
+class TestEmbeddingNormBandCounts:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.embedding_norm_band_counts(SF)
+        df = duckdb.sql(f"""
+            SELECT embedding FROM '{SF}/embeddings.parquet'
+        """).df()
+        e = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        acc = e[:, 0] * e[:, 0]
+        for j in range(1, e.shape[1]):
+            acc = acc + e[:, j] * e[:, j]
+        assert int(out.n_vectors[0]) == len(acc)
+        assert int(out.n_zero[0]) == int((acc == 0.0).sum())
+        assert int(out.b_large[0]) == int((acc > 16.0).sum())
+        assert float(out.min_norm2[0]) == float(acc.min())
+        assert float(out.max_norm2[0]) == float(acc.max())
+        total = (int(out.n_zero[0]) + int(out.b_quarter[0])
+                 + int(out.b_unit[0]) + int(out.b_four[0])
+                 + int(out.b_sixteen[0]) + int(out.b_large[0]))
+        assert total == len(acc)   # bands partition the vectors
+
+
+class TestEmbeddingSignCensus:
+    def test_matches_numpy_and_partition(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.embedding_sign_census(SF)
+        df = duckdb.sql(f"""
+            SELECT embedding FROM '{SF}/embeddings.parquet'
+        """).df()
+        e = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        assert len(out) == e.shape[1]
+        for _, row in out.iterrows():
+            d = int(row.dim)
+            assert int(row.n_neg) == int((e[:, d] < 0).sum())
+            assert int(row.n_zero) == int((e[:, d] == 0).sum())
+            assert int(row.n_pos) == int((e[:, d] > 0).sum())
+            assert (int(row.n_neg) + int(row.n_zero)
+                    + int(row.n_pos)) == e.shape[0]
+            assert bool(row.dead_dim) == (
+                int(row.n_neg) == 0 and int(row.n_pos) == 0)
+
+
+class TestCharsetHygieneDocs:
+    def test_matches_python_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.charset_hygiene_docs(SF)
+        df = duckdb.sql(f"""
+            SELECT text FROM '{SF}/documents.parquet'
+        """).df()
+        n_na = tot_na = 0
+        for t in df.text:
+            s = str(t or "")
+            na = sum(1 for ch in s if ord(ch) > 127)
+            n_na += na > 0
+            tot_na += na
+        assert int(out.n_docs[0]) == len(df)
+        assert int(out.n_with_nonascii[0]) == n_na
+        assert int(out.total_nonascii_chars[0]) == tot_na
+
+    def test_planted_control_chars(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["clean text", "tab\there",
+                            "nul\x00inside", "bell\x07ring\x07s",
+                            "café ☃"],
+                        ["en"] * 5)
+            out = Q.charset_hygiene_docs(d)
+        assert int(out.n_with_nul[0]) == 1
+        assert int(out.n_with_tab[0]) == 1
+        # NUL and the two bells count as control; tab/newline do not
+        assert int(out.n_with_control[0]) == 2
+        assert int(out.total_control_chars[0]) == 3
+        assert int(out.n_with_nonascii[0]) == 1
+        assert int(out.total_nonascii_chars[0]) == 2
+
+
+class TestAmsF2Audit:
+    def test_counters_match_md5_bruteforce(self, ray_session):
+        import hashlib
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ams_f2_audit(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, count(*) AS c FROM '{SF}/events.parquet'
+            GROUP BY 1
+        """).df()
+        counters = [0] * 16
+        f2 = 0
+        for _, row in df.iterrows():
+            h = hashlib.md5(str(int(row.user_id)).encode()).hexdigest()
+            c = int(row.c)
+            f2 += c * c
+            for j in range(16):
+                counters[j] += c if h[j] >= "8" else -c
+        assert int(out.f2_exact[0]) == f2
+        assert int(out.ams_sumsq[0]) == sum(c * c for c in counters)
+        assert float(out.ams_estimate[0]) == float(
+            sum(c * c for c in counters)) / 16.0
+        assert int(out.n_users[0]) == len(df)
+
+    def test_single_user_exact(self, ray_session):
+        """One user with m events: every counter is ±m, so the
+        estimate is EXACTLY m² = F2 — the k=1-item identity."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=50, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(50), users=np.full(50, 7))
+            out = Q.ams_f2_audit(d)
+        assert int(out.f2_exact[0]) == 2500
+        assert float(out.ams_estimate[0]) == 2500.0
+
+
+class TestLastDigitUniformityEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.last_digit_uniformity_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = np.abs(round_half_away(vals * 100).astype(np.int64))
+        d = np.bincount(c % 10, minlength=10)
+        n = len(c)
+        for k in range(10):
+            assert int(out[f"c{k}"][0]) == int(d[k])
+        s2 = int((d.astype(object) ** 2).sum())
+        assert float(out.chi2_last_digit[0]) == float(
+            10 * s2 - n * n) / float(n)
+        assert int(out.n_round_unit[0]) == int((c % 100 == 0).sum())
+
+    def test_planted_price_pointing(self, ray_session):
+        """All values ending in .x0 cents: chi2 is exactly
+        (10n² − n²)/n = 9n (the maximal concentration)."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.arange(1, 501, dtype=np.float64) / 10.0  # .x0 cents
+        ts = pd.date_range("2024-01-01", periods=500, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.last_digit_uniformity_events(d)
+        assert int(out.c0[0]) == 500
+        assert float(out.chi2_last_digit[0]) == 9.0 * 500.0
+
+
+class TestImageRunLengthAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_run_length_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            bi = ((r + 2 * c + img_id) % 256) >= 128
+            ht = int((bi[:, 1:] != bi[:, :-1]).sum())
+            vt = int((bi[1:, :] != bi[:-1, :]).sum())
+            assert int(row.n_set) == int(bi.sum())
+            assert int(row.h_transitions) == ht
+            assert int(row.n_h_runs) == h + ht
+            assert int(row.n_v_runs) == w + vt
+        # run counts are bounded by pixels
+        for _, row in out.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            assert h <= int(row.n_h_runs) <= h * w
+            assert w <= int(row.n_v_runs) <= h * w

@@ -146,7 +146,11 @@ EVENT_QUERIES = [
     "drawdown_hourly", "sample_entropy_hourly",
     "classical_decomposition_hourly", "gumbel_daily_max_fit",
     "session_duration_quantiles", "bartlett_variance_types",
+    "ams_f2_audit", "last_digit_uniformity_events",
 ]
+
+# NOTE: embedding_norm_band_counts / embedding_sign_census join
+# EMB_QUERIES below; charset_hygiene_docs joins DOC_QUERIES.
 
 
 def synth_events(seed: int, n: int) -> pd.DataFrame:
@@ -266,6 +270,7 @@ DOC_QUERIES = [
     "image_laplacian_audit", "image_nn_resize_audit",
     "image_orientation_hist_audit", "image_luma_audit",
     "char_trigram_js_halves", "image_morphology_audit",
+    "charset_hygiene_docs", "image_run_length_audit",
 ]
 
 
@@ -336,6 +341,8 @@ EMB_QUERIES = [
     # excluded for the same statistical-bound reason as ivf/lsh_topk
     "kmeans_invariant_audit", "embedding_quantization_audit",
     "pq_codebook_audit", "drift_kernel_struct_audit",
+    # session-24: vector hygiene censuses
+    "embedding_norm_band_counts", "embedding_sign_census",
 ]
 
 
