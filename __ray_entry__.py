@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_digit_uniformity_events":
             Q.last_digit_uniformity_events,
         "image_run_length_audit": Q.image_run_length_audit,
+        "rbo_token_halves": Q.rbo_token_halves,
+        "qty_discount_independence": Q.qty_discount_independence,
+        "image_bayer_audit": Q.image_bayer_audit,
+        "hill_tail_index_events": Q.hill_tail_index_events,
+        "arch_effect_hourly": Q.arch_effect_hourly,
+        "image_palette_audit": Q.image_palette_audit,
     }
 
 
@@ -1016,6 +1022,7 @@ _VALUE_CLEAN_QUERIES = [
     "ordinal_assoc_value_hour", "bowley_moors_shape_events",
     "trimmed_mean_drift_events", "rank_scale_drift_events",
     "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
+    "arch_effect_hourly",
 ]
 
 
@@ -1505,6 +1512,138 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _arch_sql() -> str:
+    """McLeod-Li ARCH diagnostic: the squared-first-difference series
+    derives from the SAME hourly-mean list as _acf_sql (value-clean
+    contract applied via _VALUE_CLEAN_QUERIES), then the exact ACF
+    fold recipe at lags 1-3 — every fold a list_reduce LEFT fold."""
+    r_cols = []
+    for lag in range(1, 4):
+        r_cols.append(f"""
+               CASE WHEN nu >= 2 AND c0 > 0.0 AND nu - {lag} >= 1
+                    THEN list_reduce(list_transform(
+                             generate_series(1, nu - {lag}),
+                             t -> (us[t] - m) * (us[t + {lag}] - m)),
+                         (a, b) -> a + b) / c0
+                    ELSE 0.0 END AS r{lag}""")
+    q_chain = "0.0"
+    for lag in range(1, 4):
+        q_chain = (f"({q_chain} + CASE WHEN nu - {lag} < 1 THEN 0.0 "
+                   f"ELSE (r{lag} * r{lag}) "
+                   f"/ CAST(nu - {lag} AS DOUBLE) END)")
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   count(*) AS nh
+            FROM h
+        ),
+        dd AS (
+            SELECT nh,
+                   CASE WHEN nh >= 2
+                        THEN list_transform(
+                                 generate_series(1, nh - 1),
+                                 t -> (xs[t + 1] - xs[t])
+                                      * (xs[t + 1] - xs[t]))
+                        ELSE [] END AS us,
+                   greatest(nh - 1, 0) AS nu
+            FROM arr
+        ),
+        mm AS (
+            SELECT nh, us, nu,
+                   CASE WHEN nu >= 2
+                        THEN list_reduce(us, (a, b) -> a + b)
+                             / CAST(nu AS DOUBLE)
+                        ELSE 0.0 END AS m
+            FROM dd
+        ),
+        cc AS (
+            SELECT nh, us, nu, m,
+                   CASE WHEN nu >= 2
+                        THEN list_reduce(list_transform(us,
+                                 v -> (v - m) * (v - m)),
+                             (a, b) -> a + b)
+                        ELSE 0.0 END AS c0
+            FROM mm
+        ),
+        rr AS (
+            SELECT nh, nu,{",".join(r_cols)}
+            FROM cc
+        )
+        SELECT CAST(nh AS BIGINT) AS n_hours,
+               r1 AS r1_sq, r2 AS r2_sq, r3 AS r3_sq,
+               CAST(nu AS DOUBLE) * (CAST(nu AS DOUBLE) + 2.0)
+                   * {q_chain} AS mcleod_li_q3
+        FROM rr
+    """
+
+
+def _rbo_sql() -> str:
+    """Truncated RBO of the halves' top-20 token rankings: the
+    p-power constants come from the ENGINE's _RBO_POWS table as
+    CAST('<repr>' AS DOUBLE) string parses; terms fold in depth
+    order; each X_d is an exact join count."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _RBO_K, _RBO_ONE_MINUS_P, _RBO_POWS)
+
+    depths = ", ".join(
+        f"({d + 1}, CAST('{_RBO_POWS[d]!r}' AS DOUBLE))"
+        for d in range(_RBO_K))
+    omp = f"CAST('{_RBO_ONE_MINUS_P!r}' AS DOUBLE)"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id % 2 AS half,
+                   unnest(regexp_extract_all(lower(text),
+                          '[a-z'']+')) AS token
+            FROM documents
+        ),
+        rk AS (
+            SELECT half, token,
+                   row_number() OVER (PARTITION BY half
+                       ORDER BY count(*) DESC, token) AS rn
+            FROM toks GROUP BY half, token
+        ),
+        a AS (SELECT token, rn AS ra FROM rk
+              WHERE half = 0 AND rn <= {_RBO_K}),
+        b AS (SELECT token, rn AS rb FROM rk
+              WHERE half = 1 AND rn <= {_RBO_K}),
+        j AS (SELECT ra, rb FROM a JOIN b USING (token)),
+        ln AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS la,
+                      (SELECT CAST(count(*) AS BIGINT) FROM b) AS lb,
+                      (SELECT CAST(count(*) AS BIGINT) FROM j) AS xk),
+        dd AS (SELECT * FROM (VALUES {depths}) v(d, pc)),
+        xd AS (
+            SELECT dd.d, dd.pc,
+                   CAST(coalesce((SELECT count(*) FROM j
+                        WHERE greatest(j.ra, j.rb) <= dd.d), 0)
+                        AS BIGINT) AS x
+            FROM dd
+        ),
+        f AS (
+            SELECT list(pc * (CAST(x AS DOUBLE)
+                              / CAST(d AS DOUBLE))
+                        ORDER BY d) AS terms
+            FROM xd
+        )
+        SELECT CAST({_RBO_K} AS BIGINT) AS k,
+               ln.xk AS overlap_k,
+               CASE WHEN ln.la = 0 OR ln.lb = 0 THEN 0.0
+                    ELSE CAST(ln.xk AS DOUBLE)
+                         / CAST(ln.la + ln.lb - ln.xk AS DOUBLE)
+               END AS jaccard_k,
+               CASE WHEN ln.la = 0 OR ln.lb = 0 THEN 0.0
+                    ELSE {omp} * list_reduce(f.terms,
+                                             (p, q) -> p + q)
+               END AS rbo
+        FROM ln, f
     """
 
 
@@ -7441,6 +7580,183 @@ def _oracle_sql_raw() -> dict[str, str]:
                         THEN 1 END), 0) AS BIGINT) AS n_h_runs,
                    CAST(any_value(w) + coalesce(sum(CASE WHEN vtr
                         THEN 1 END), 0) AS BIGINT) AS n_v_runs
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        "arch_effect_hourly": _arch_sql(),
+        # Hill tail index over exact top-(k+1) order statistics; each
+        # ratio one exact-int division, ln fold under round-6
+        "hill_tail_index_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+                WHERE round(value * 100) > 0
+            ),
+            np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u),
+            arr AS (
+                SELECT list(c ORDER BY c DESC) AS t
+                FROM (SELECT c FROM u ORDER BY c DESC LIMIT 51)
+            ),
+            f AS (
+                SELECT np.n,
+                       CAST(arr.t[51] AS BIGINT) AS xk,
+                       list_reduce(list_transform(
+                           generate_series(1, 50),
+                           i -> ln(CAST(arr.t[i] AS DOUBLE)
+                                   / CAST(arr.t[51] AS DOUBLE))),
+                           (a, b) -> a + b) / 50.0 AS h
+                FROM arr, np WHERE np.n >= 51
+            )
+            SELECT CAST(50 AS BIGINT) AS k, n AS n_positive,
+                   xk AS threshold_cents,
+                   CAST(round(h, 6) AS DOUBLE) AS hill_h,
+                   CASE WHEN h > 0.0
+                        THEN CAST(round(1.0 / h, 6) AS DOUBLE)
+                        ELSE 0.0 END AS alpha_hat
+            FROM f
+            UNION ALL
+            SELECT 50, n, 0, 0.0, 0.0 FROM np WHERE n < 51
+        """,
+        # palette census: packed colors from the closed-form grid,
+        # modal color with smallest-value tie-break
+        "image_palette_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256) * 65536
+                     + ((r + 2*c + i + 1) % 256) * 256
+                     + ((r + 2*c + i + 2) % 256) AS packed
+                FROM px
+            ),
+            pc AS (
+                SELECT i, fmt, packed,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM pv GROUP BY 1, 2, 3
+            ),
+            md AS (
+                SELECT i, fmt,
+                       CAST(count(*) AS BIGINT) AS palette_size,
+                       CAST(min(packed) AS BIGINT) AS min_color,
+                       CAST(max(packed) AS BIGINT) AS max_color,
+                       CAST(max(cnt) AS BIGINT) AS modal_count
+                FROM pc GROUP BY 1, 2
+            )
+            SELECT md.i AS img_id, md.fmt, md.palette_size,
+                   md.min_color, md.max_color,
+                   CAST((SELECT min(pc.packed) FROM pc
+                         WHERE pc.i = md.i
+                           AND pc.cnt = md.modal_count) AS BIGINT)
+                       AS modal_color,
+                   md.modal_count
+            FROM md ORDER BY img_id
+        """,
+        "rbo_token_halves": _rbo_sql(),
+        # quantity-band x discount-cents independence chi2: the
+        # transition_drift_chi2 algebraic recipe, cell-order fold
+        "qty_discount_independence": """
+            WITH u AS (
+                SELECT (CAST(l_quantity AS BIGINT) - 1) // 10
+                           AS qband,
+                       CAST(round(l_discount * 100) AS BIGINT)
+                           AS dcents
+                FROM lineitem
+            ),
+            cells AS (
+                SELECT qband, dcents,
+                       CAST(count(*) AS HUGEINT) AS n
+                FROM u GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT)
+                        AS nt FROM cells),
+            rt AS (SELECT qband, CAST(sum(n) AS HUGEINT) AS r
+                   FROM cells GROUP BY 1),
+            ct AS (SELECT dcents, CAST(sum(n) AS HUGEINT) AS c
+                   FROM cells GROUP BY 1),
+            terms AS (
+                SELECT list(CAST(cells.n * cells.n * tot.nt
+                                 AS DOUBLE)
+                            / CAST(rt.r * ct.c AS DOUBLE)
+                            ORDER BY cells.qband, cells.dcents)
+                           AS ts_list,
+                       any_value(tot.nt) AS nt,
+                       CAST(count(*) AS BIGINT) AS n_cells
+                FROM cells
+                JOIN rt ON rt.qband = cells.qband
+                JOIN ct ON ct.dcents = cells.dcents
+                CROSS JOIN tot
+            )
+            SELECT CAST(nt AS BIGINT) AS n_rows, n_cells,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT)
+                       AS df,
+                   list_reduce(ts_list, (a, b) -> a + b)
+                       - CAST(nt AS DOUBLE) AS chi2_independence
+            FROM terms WHERE n_cells > 0
+            UNION ALL
+            SELECT 0, 0, 0, 0.0 FROM tot WHERE nt = 0
+        """,
+        # Bayer RGGB mosaic sampling: parity-to-channel map on the
+        # closed-form grid; cell sums partition the total
+        "image_bayer_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       (r + 2 * c + i
+                        + (CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN 0
+                                WHEN r % 2 = 1 AND c % 2 = 1 THEN 2
+                                ELSE 1 END)) % 256 AS m,
+                       CASE WHEN r % 2 = 0 AND c % 2 = 0 THEN 'r'
+                            WHEN r % 2 = 0 THEN 'ge'
+                            WHEN c % 2 = 0 THEN 'go'
+                            ELSE 'b' END AS cell
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(m) AS BIGINT) AS mosaic_total,
+                   CAST(coalesce(sum(m) FILTER (WHERE cell = 'r'),
+                                 0) AS BIGINT) AS r_sum,
+                   CAST(coalesce(sum(m) FILTER (WHERE cell = 'ge'),
+                                 0) AS BIGINT) AS g_even_sum,
+                   CAST(coalesce(sum(m) FILTER (WHERE cell = 'go'),
+                                 0) AS BIGINT) AS g_odd_sum,
+                   CAST(coalesce(sum(m) FILTER (WHERE cell = 'b'),
+                                 0) AS BIGINT) AS b_sum,
+                   CAST(sum(m * (r * w + c)) AS BIGINT)
+                       AS mosaic_pos_sum
             FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts

@@ -19775,3 +19775,371 @@ def image_run_length_audit(sf_dir: str) -> pd.DataFrame:
                 "n_h_runs", "n_v_runs"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+# p-power table for truncated RBO (module-level so the oracle-SQL
+# generator embeds the IDENTICAL doubles as string-parse literals)
+_RBO_P = 0.9
+_RBO_K = 20
+_RBO_POWS = [1.0]
+for _ in range(1, _RBO_K):
+    _RBO_POWS.append(_RBO_POWS[-1] * _RBO_P)
+_RBO_ONE_MINUS_P = 1.0 - _RBO_P
+
+
+def rbo_token_halves(sf_dir: str) -> pd.DataFrame:
+    """Rank-biased overlap of the top-20 token rankings between the
+    doc_id-parity corpus halves (Webber, Moffat & Zobel, TOIS 2010 —
+    the top-weighted list-churn metric; the ranking-level companion
+    of the count-level token drift tier): each half's ranking is the
+    EXACT (count DESC, token) top-20 via the proven token-bucketed
+    exchange; the truncated RBO
+    (1−p)·Σ_{d=1..20} p^{d−1}·X_d/d with X_d = |A[:d] ∩ B[:d]|
+    folds in depth order with the p-powers precomputed ONCE
+    engine-side and embedded as CAST('<repr>' AS DOUBLE) string
+    parses in the generated SQL (the literal-typing lesson), so both
+    sides multiply identical doubles — each term is one exact-int
+    division times a shared constant, contract-free. Also reports
+    the depth-20 overlap and its Jaccard. Empty halves => 0.0."""
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_h, rows_n = [], [], []
+        for did, txt in zip(b.doc_id.to_numpy(np.int64),
+                            b.text.fillna("").astype(str)):
+            toks = WORD_RE.findall(txt.lower())
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            rows_t.extend(u.tolist())
+            rows_h.extend([int(did) % 2] * len(u))
+            rows_n.extend(c.tolist())
+        if not rows_t:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        u = np.asarray(rows_t, dtype=object)
+        return pd.DataFrame({
+            "token": u, "half": pd.Series(rows_h, dtype=np.int64),
+            "n": pd.Series(rows_n, dtype=np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["token", "half"], as_index=False) \
+            .agg(n=("n", "sum"))
+        out = []
+        for hf, sub in m.groupby("half"):
+            out.append(sub.sort_values(
+                ["n", "token"], ascending=[False, True],
+                kind="stable").head(_RBO_K))
+        return pd.concat(out) if out else m
+
+    pb = ds.map_batches(partial, batch_format="pandas",
+                        batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_topk,
+                                      batch_format="pandas").to_pandas()
+    ranks: dict = {}
+    for hf in (0, 1):
+        sub = pb[pb.half == hf].sort_values(
+            ["n", "token"], ascending=[False, True],
+            kind="stable").head(_RBO_K)
+        ranks[hf] = {t: i + 1 for i, t in enumerate(sub.token)}
+    if not ranks[0] or not ranks[1]:
+        return pd.DataFrame({
+            "k": pd.Series([_RBO_K], dtype="int64"),
+            "overlap_k": pd.Series([0], dtype="int64"),
+            "jaccard_k": pd.Series([0.0], dtype="float64"),
+            "rbo": pd.Series([0.0], dtype="float64"),
+        })
+    pairs = [(ranks[0][t], ranks[1][t])
+             for t in set(ranks[0]) & set(ranks[1])]
+    acc = 0.0
+    for d in range(1, _RBO_K + 1):
+        xd = sum(1 for ra, rb in pairs if ra <= d and rb <= d)
+        t = _RBO_POWS[d - 1] * (float(xd) / float(d))
+        acc = acc + t
+    rbo = _RBO_ONE_MINUS_P * acc
+    xk = len(pairs)
+    la, lb = len(ranks[0]), len(ranks[1])
+    return pd.DataFrame({
+        "k": pd.Series([_RBO_K], dtype="int64"),
+        "overlap_k": pd.Series([xk], dtype="int64"),
+        "jaccard_k": pd.Series(
+            [float(xk) / float(la + lb - xk)], dtype="float64"),
+        "rbo": pd.Series([rbo], dtype="float64"),
+    })
+
+
+def qty_discount_independence(sf_dir: str) -> pd.DataFrame:
+    """Quantity-band × discount-level independence chi² over lineitem
+    (the pricing-policy sanity check: are discounts handed out
+    independently of order size?): quantity bands are the exact
+    integer rule (qty−1)//10 (1..50 → 5 bands), discount levels the
+    exact cents 0..10, the contingency chi² in the algebraic form
+    N·Σ o²/(row·col) − N with each o > 0 cell term ONE division of
+    exact HUGEINT products, LEFT-folded in (band, cents) cell order
+    (the transition_drift_chi2 recipe — contract-free). Exact df from
+    active rows/cols."""
+    ds = sf_table(sf_dir, "lineitem",
+                  columns=["l_quantity", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        q = b.l_quantity.to_numpy(np.float64).astype(np.int64)
+        dc = round_half_away(b.l_discount.to_numpy() * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "qband": (q - 1) // 10,
+            "dcents": dc,
+        }).groupby(["qband", "dcents"], as_index=False) \
+            .agg(n=("qband", "size"))
+
+    cells = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby(["qband", "dcents"]).aggregate(
+            Sum("n", alias_name="n")) \
+        .to_pandas().sort_values(["qband", "dcents"]) \
+        .reset_index(drop=True)
+    if len(cells) == 0:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            "n_cells": pd.Series([0], dtype="int64"),
+            "df": pd.Series([0], dtype="int64"),
+            "chi2_independence": pd.Series([0.0], dtype="float64"),
+        })
+    ntot = int(cells.n.sum())
+    row_tot = cells.groupby("qband")["n"].sum().to_dict()
+    col_tot = cells.groupby("dcents")["n"].sum().to_dict()
+    acc = 0.0
+    for _, r in cells.iterrows():
+        o = int(r.n)
+        t = float(o * o * ntot) / float(
+            int(row_tot[int(r.qband)]) * int(col_tot[int(r.dcents)]))
+        acc = acc + t
+    chi2 = acc - float(ntot)
+    df = max(0, len(row_tot) - 1) * max(0, len(col_tot) - 1)
+    return pd.DataFrame({
+        "n_rows": pd.Series([ntot], dtype="int64"),
+        "n_cells": pd.Series([len(cells)], dtype="int64"),
+        "df": pd.Series([df], dtype="int64"),
+        "chi2_independence": pd.Series([chi2], dtype="float64"),
+    })
+
+
+def image_bayer_audit(sf_dir: str) -> pd.DataFrame:
+    """Bayer RGGB mosaic-sampling audit (Bayer 1976 — the CFA
+    sampling every camera pipeline starts from; here the
+    mosaic-plumbing census over the REAL decode output): the mosaic
+    value at (r, c) samples channel R at (even, even), G at
+    (even, odd) and (odd, even), B at (odd, odd). Reported exact
+    ints per image: the mosaic total, the four cell sums (R / G_even
+    / G_odd / B — their sum equals the total, engine-asserted), and
+    the (r·w+c)-position-weighted mosaic sum pinning the
+    arrangement. SQL replays the parity-to-channel map on the
+    closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def bayer(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            rp = (r % 2).astype(bool)
+            cpar = (c % 2).astype(bool)
+            ch_idx = np.where(~rp & ~cpar, 0,
+                              np.where(rp & cpar, 2, 1))
+            mosaic = np.take_along_axis(
+                dec, ch_idx[:, :, None], axis=2)[:, :, 0]
+            r_sum = int(mosaic[~rp[:, 0]][:, ~cpar[0]].sum())
+            g_even = int(mosaic[~rp[:, 0]][:, cpar[0]].sum())
+            g_odd = int(mosaic[rp[:, 0]][:, ~cpar[0]].sum())
+            b_sum = int(mosaic[rp[:, 0]][:, cpar[0]].sum())
+            total = int(mosaic.sum())
+            assert total == r_sum + g_even + g_odd + b_sum
+            rows.append((i, fmt, total, r_sum, g_even, g_odd, b_sum,
+                         int((mosaic * (r * w + c)).sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "mosaic_total", "r_sum", "g_even_sum",
+            "g_odd_sum", "b_sum", "mosaic_pos_sum"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(bayer, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "mosaic_total", "r_sum", "g_even_sum",
+                "g_odd_sum", "b_sum", "mosaic_pos_sum"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def hill_tail_index_events(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Hill tail-index estimator over the positive clean cents (Hill
+    1975 — the standard Pareto-tail heaviness gauge; completes the
+    EVT corner with pot_mean_excess and gumbel_daily_max_fit):
+    H = (1/k)·Σ_{i=1..k} ln(x_(n−i+1)/x_(n−k)) over the EXACT top
+    k+1 order statistics (distributed per-block top-(k+1) merge — a
+    block's top set is globally sufficient), each ratio ONE division
+    of exact ints so both sides take ln of identical doubles, folded
+    in descending-rank order under the entropy tier's round-6
+    contract; alpha_hat = 1/H is one more division. Fewer than k+1
+    positive values or a zero threshold => 0.0 sentinels."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def topk_partial(b: pd.DataFrame) -> pd.DataFrame:
+        c = round_half_away(b.value.to_numpy() * 100).astype(np.int64)
+        pos = c[c > 0]
+        top = np.sort(pos)[::-1][: k + 1]
+        return pd.DataFrame({
+            "c": np.concatenate([top, [-1]]),     # carrier for npos
+            "npos": np.concatenate([
+                np.zeros(len(top), dtype=np.int64),
+                [np.int64(len(pos))]]),
+        })
+
+    f = ds.map_batches(topk_partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    npos = int(f.npos.sum())
+    tops = f[f.c >= 0]
+    if npos < k + 1:
+        return pd.DataFrame({
+            "k": pd.Series([k], dtype="int64"),
+            "n_positive": pd.Series([npos], dtype="int64"),
+            "threshold_cents": pd.Series([0], dtype="int64"),
+            "hill_h": pd.Series([0.0], dtype="float64"),
+            "alpha_hat": pd.Series([0.0], dtype="float64"),
+        })
+    top = np.sort(tops.c.to_numpy(np.int64))[::-1][: k + 1]
+    xk = int(top[k])          # the (k+1)-th largest = threshold
+    acc = 0.0
+    for i in range(k):        # descending-rank fold
+        t = math.log(float(int(top[i])) / float(xk))
+        acc = acc + t
+    h = acc / float(k)
+    alpha = (1.0 / h) if h > 0.0 else 0.0
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype="int64"),
+        "n_positive": pd.Series([npos], dtype="int64"),
+        "threshold_cents": pd.Series([xk], dtype="int64"),
+        "hill_h": pd.Series(round_half_away([h], 6),
+                            dtype="float64"),
+        "alpha_hat": pd.Series(round_half_away([alpha], 6),
+                               dtype="float64"),
+    })
+
+
+def arch_effect_hourly(sf_dir: str) -> pd.DataFrame:
+    """ARCH-effect diagnostic over the hourly mean series (Engle 1982
+    via the McLeod-Li 1983 recipe: autocorrelation of SQUARED first
+    differences — volatility clustering that value-level ACF misses):
+    the squared-change series u_t = (x_{t+1} − x_t)² derives from the
+    ACF tier's bit-identical hourly means, and r1..r3 + the Ljung-Box
+    Q(3) run the exact acf_hourly_means fold recipe (every fold a
+    sequential left fold in hour order mirrored by list_reduce —
+    bit-identical, no rounding contract). n_hours < 5 or constant u
+    guard to 0.0 sentinels."""
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    out = {"n_hours": pd.Series([nh], dtype="int64")}
+    u = [0.0] * max(0, nh - 1)
+    for t in range(nh - 1):
+        d = float(x[t + 1]) - float(x[t])
+        u[t] = d * d
+    nu = len(u)
+    r = [0.0, 0.0, 0.0]
+    if nu >= 2:
+        acc = u[0]
+        for t in range(1, nu):
+            acc = acc + u[t]
+        m = acc / float(nu)
+        c0 = (u[0] - m) * (u[0] - m)
+        for t in range(1, nu):
+            c0 = c0 + (u[t] - m) * (u[t] - m)
+        if c0 > 0.0:
+            for lag in (1, 2, 3):
+                if nu - lag < 1:
+                    continue
+                cl = (u[0] - m) * (u[lag] - m)
+                for t in range(1, nu - lag):
+                    cl = cl + (u[t] - m) * (u[t + lag] - m)
+                r[lag - 1] = cl / c0
+    q = 0.0
+    for lag in (1, 2, 3):
+        if nu - lag < 1:
+            continue
+        q = q + (r[lag - 1] * r[lag - 1]) / float(nu - lag)
+    q = float(nu) * float(nu + 2) * q
+    out["r1_sq"] = pd.Series([r[0]], dtype="float64")
+    out["r2_sq"] = pd.Series([r[1]], dtype="float64")
+    out["r3_sq"] = pd.Series([r[2]], dtype="float64")
+    out["mcleod_li_q3"] = pd.Series([q], dtype="float64")
+    return pd.DataFrame(out)
+
+
+def image_palette_audit(sf_dir: str) -> pd.DataFrame:
+    """Distinct-color palette census over the REAL decode output (the
+    GIF/8-bit palettization planning number and a sensitive
+    whole-image codec checksum — one bit flip adds or removes a
+    palette entry): colors pack exactly as v0·65536 + v1·256 + v2;
+    reported exact ints per image — palette size (distinct packed
+    colors), the min/max packed color, and the count of the modal
+    color (ties broken by smallest packed value on both sides). SQL
+    recomputes the packs from the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def palette(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            packed = (dec[:, :, 0] * 65536 + dec[:, :, 1] * 256
+                      + dec[:, :, 2]).ravel()
+            u, cts = np.unique(packed, return_counts=True)
+            mx = int(cts.max())
+            modal = int(u[cts == mx].min())
+            rows.append((i, fmt, int(len(u)), int(u.min()),
+                         int(u.max()), modal, mx))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "palette_size", "min_color",
+            "max_color", "modal_color", "modal_count"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(palette, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "palette_size", "min_color", "max_color",
+                "modal_color", "modal_count"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

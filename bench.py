@@ -371,6 +371,9 @@ def run_queries() -> dict[str, float]:
         "embedding_norm_band_counts", "embedding_sign_census",
         "charset_hygiene_docs", "ams_f2_audit",
         "last_digit_uniformity_events", "image_run_length_audit",
+        "rbo_token_halves", "qty_discount_independence",
+        "image_bayer_audit", "hill_tail_index_events",
+        "arch_effect_hourly", "image_palette_audit",
     ]
     qs = E.queries()
     out = {}

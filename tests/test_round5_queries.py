@@ -6512,3 +6512,225 @@ class TestImageRunLengthAudit:
             h = 32 + 8 * ((int(row.img_id) * 11) % 16)
             assert h <= int(row.n_h_runs) <= h * w
             assert w <= int(row.n_v_runs) <= h * w
+
+
+class TestRboTokenHalves:
+    def test_matches_counter_bruteforce(self, ray_session):
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.rbo_token_halves(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        halves = [Counter(), Counter()]
+        for _, row in df.iterrows():
+            halves[int(row.doc_id) % 2].update(
+                WORD_RE.findall(str(row.text or "").lower()))
+        tops = [sorted(h, key=lambda t: (-h[t], t))[:20]
+                for h in halves]
+        ra = {t: i + 1 for i, t in enumerate(tops[0])}
+        rb = {t: i + 1 for i, t in enumerate(tops[1])}
+        common = set(ra) & set(rb)
+        acc = 0.0
+        p = 1.0
+        for d in range(1, 21):
+            xd = sum(1 for t in common
+                     if ra[t] <= d and rb[t] <= d)
+            acc += p * xd / d
+            p *= 0.9
+        want = (1.0 - 0.9) * acc
+        assert int(out.overlap_k[0]) == len(common)
+        assert abs(float(out.rbo[0]) - want) < 1e-12
+
+    def test_identical_and_disjoint_rankings(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        txt = "alpha beta gamma delta epsilon " * 3
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, [txt, txt], ["en", "en"])
+            out = Q.rbo_token_halves(d)
+        # identical rankings of 5 tokens: X_d = min(d, 5)
+        acc = 0.0
+        p = 1.0
+        for dd in range(1, 21):
+            acc += p * min(dd, 5) / dd
+            p *= 0.9
+        assert abs(float(out.rbo[0]) - 0.1 * acc) < 1e-12
+        assert float(out.jaccard_k[0]) == 1.0
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["aa bb cc", "xx yy zz"], ["en", "en"])
+            out = Q.rbo_token_halves(d)
+        assert float(out.rbo[0]) == 0.0
+        assert int(out.overlap_k[0]) == 0
+
+
+class TestQtyDiscountIndependence:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.qty_discount_independence(SF)
+        df = duckdb.sql(f"""
+            SELECT l_quantity, l_discount
+            FROM '{SF}/lineitem.parquet'
+        """).df()
+        qb = (df.l_quantity.to_numpy(np.float64).astype(np.int64)
+              - 1) // 10
+        dc = round_half_away(df.l_discount.to_numpy() * 100) \
+            .astype(np.int64)
+        t = pd.crosstab(qb, dc)
+        n = t.to_numpy().sum()
+        exp = np.outer(t.sum(axis=1), t.sum(axis=0)) / n
+        chi2 = float(((t.to_numpy() - exp) ** 2 / exp).sum())
+        assert int(out.n_rows[0]) == int(n)
+        assert abs(float(out.chi2_independence[0]) - chi2) < 1e-7
+        assert int(out.df[0]) == (t.shape[0] - 1) * (t.shape[1] - 1)
+
+
+class TestImageBayerAudit:
+    def test_matches_explicit_mosaic_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_bayer_audit(SF)
+        # conservation: cells partition the mosaic
+        assert ((out.r_sum + out.g_even_sum + out.g_odd_sum
+                 + out.b_sum) == out.mosaic_total).all()
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            tot = rs = ge = go = bs = pos = 0
+            for r in range(h):
+                for c in range(w):
+                    if r % 2 == 0 and c % 2 == 0:
+                        ch = 0
+                    elif r % 2 == 1 and c % 2 == 1:
+                        ch = 2
+                    else:
+                        ch = 1
+                    v = (r + 2 * c + img_id + ch) % 256
+                    tot += v
+                    pos += v * (r * w + c)
+                    if ch == 0:
+                        rs += v
+                    elif ch == 2:
+                        bs += v
+                    elif r % 2 == 0:
+                        ge += v
+                    else:
+                        go += v
+            assert int(row.mosaic_total) == tot
+            assert int(row.r_sum) == rs
+            assert int(row.g_even_sum) == ge
+            assert int(row.g_odd_sum) == go
+            assert int(row.b_sum) == bs
+            assert int(row.mosaic_pos_sum) == pos
+
+
+class TestHillTailIndexEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.hill_tail_index_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = round_half_away(vals * 100).astype(np.int64)
+        c = np.sort(c[c > 0])[::-1]
+        assert int(out.n_positive[0]) == len(c)
+        xk = int(c[50])
+        h = sum(math.log(float(int(c[i])) / float(xk))
+                for i in range(50)) / 50.0
+        assert int(out.threshold_cents[0]) == xk
+        assert abs(float(out.hill_h[0]) - h) < 1e-5
+        assert abs(float(out.alpha_hat[0]) - 1.0 / h) < 1e-4
+
+    def test_exact_pareto_recovers_alpha(self, ray_session):
+        """x = (1/U)^(1/2) tail has alpha = 2; the Hill estimate on
+        5000 draws lands near 2."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        rng = np.random.default_rng(11)
+        vals = np.round((1.0 / rng.uniform(0.0001, 1, 5000))
+                        ** 0.5 * 10, 2)
+        ts = pd.date_range("2024-01-01", periods=5000, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.hill_tail_index_events(d)
+        assert 1.2 < float(out.alpha_hat[0]) < 3.0
+
+
+class TestArchEffectHourly:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _hourly_mean_series)
+
+        out = Q.arch_effect_hourly(SF)
+        x = _hourly_mean_series(SF)
+        u = np.diff(x) ** 2
+        nu = len(u)
+        m = u.mean()
+        c0 = ((u - m) ** 2).sum()
+        for lag in (1, 2, 3):
+            rl = float(((u[:-lag] - m) * (u[lag:] - m)).sum() / c0)
+            assert abs(float(out[f"r{lag}_sq"][0]) - rl) < 1e-9
+        q = nu * (nu + 2) * sum(
+            float(out[f"r{lag}_sq"][0]) ** 2 / (nu - lag)
+            for lag in (1, 2, 3))
+        assert abs(float(out.mcleod_li_q3[0]) - q) < 1e-6
+
+    def test_planted_volatility_clustering(self, ray_session):
+        """Alternating calm/volatile regimes give strongly positive
+        autocorrelation of squared changes."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 240
+        rng = np.random.default_rng(3)
+        regime = (np.arange(nh) // 24) % 2        # 24h volatile blocks
+        vals = 50.0 + rng.normal(0, 1, nh) * np.where(regime, 30, 0.2)
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.arch_effect_hourly(d)
+        assert float(out.mcleod_li_q3[0]) > 20.0
+
+
+class TestImagePaletteAudit:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_palette_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            packed = (((r + 2 * c + img_id) % 256) * 65536
+                      + ((r + 2 * c + img_id + 1) % 256) * 256
+                      + ((r + 2 * c + img_id + 2) % 256)).ravel()
+            u, cts = np.unique(packed, return_counts=True)
+            assert int(row.palette_size) == len(u)
+            assert int(row.min_color) == int(u.min())
+            assert int(row.max_color) == int(u.max())
+            mx = int(cts.max())
+            assert int(row.modal_count) == mx
+            assert int(row.modal_color) == int(u[cts == mx].min())
+        # gradient images: palette is bounded by 256 base values
+        assert (out.palette_size <= 256).all()

@@ -147,7 +147,8 @@ EVENT_QUERIES = [
     "classical_decomposition_hourly", "gumbel_daily_max_fit",
     "session_duration_quantiles", "bartlett_variance_types",
     "ams_f2_audit", "last_digit_uniformity_events",
-]
+    "hill_tail_index_events", "arch_effect_hourly",
+]  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
 # EMB_QUERIES below; charset_hygiene_docs joins DOC_QUERIES.
@@ -271,6 +272,8 @@ DOC_QUERIES = [
     "image_orientation_hist_audit", "image_luma_audit",
     "char_trigram_js_halves", "image_morphology_audit",
     "charset_hygiene_docs", "image_run_length_audit",
+    "rbo_token_halves", "image_bayer_audit",
+    "image_palette_audit",
 ]
 
 
