@@ -416,6 +416,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index_events": Q.hill_tail_index_events,
         "arch_effect_hourly": Q.arch_effect_hourly,
         "image_palette_audit": Q.image_palette_audit,
+        "minhash_halves_jaccard_audit":
+            Q.minhash_halves_jaccard_audit,
+        "langid_confusion_matrix": Q.langid_confusion_matrix,
+        "priority_week_independence": Q.priority_week_independence,
+        "doc_length_w1_halves": Q.doc_length_w1_halves,
+        "type_pair_overlap_cosine": Q.type_pair_overlap_cosine,
+        "image_zigzag_audit": Q.image_zigzag_audit,
     }
 
 
@@ -1512,6 +1519,86 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _zigzag_sql() -> str:
+    """Zigzag audit: the engine's walk table embedded as a VALUES
+    lookup — traversal cannot desynchronize."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _zigzag_table)
+
+    vals = ", ".join(f"({u}, {v}, {i})"
+                     for u, v, i in _zigzag_table())
+    return f"""
+        WITH nn AS (SELECT least(100, (SELECT count(*)
+                                       FROM documents)) AS n),
+        img AS (
+            SELECT i,
+                   CASE WHEN i % 3 = 0 THEN 'raw'
+                        ELSE 'png' END AS fmt,
+                   32 + 8 * ((i * 7) % 16) AS w,
+                   32 + 8 * ((i * 11) % 16) AS h
+            FROM (SELECT unnest(generate_series(0,
+                      CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+            WHERE i % 3 <> 2
+        ),
+        pr AS (SELECT i, fmt, w, h,
+                      unnest(generate_series(0, h - 1)) AS r
+               FROM img),
+        px AS (SELECT i, fmt, w, h, r,
+                      unnest(generate_series(0, w - 1)) AS c
+               FROM pr),
+        zz AS (SELECT * FROM (VALUES {vals}) t(u, v, zi)),
+        pv AS (
+            SELECT px.i, px.fmt, px.w, px.h, px.r, px.c,
+                   ((px.r + 2*px.c + px.i) % 256)
+                 + ((px.r + 2*px.c + px.i + 1) % 256)
+                 + ((px.r + 2*px.c + px.i + 2) % 256) AS p,
+                   zz.zi,
+                   (px.r // 8) * (px.w // 8) + (px.c // 8) AS blk
+            FROM px JOIN zz ON zz.u = px.r % 8 AND zz.v = px.c % 8
+        )
+        SELECT i AS img_id, fmt,
+               CAST(sum(p * zi) AS BIGINT) AS zigzag_weighted_sum,
+               CAST(sum(p * blk) AS BIGINT) AS block_weighted_sum,
+               CAST((any_value(h) // 8) * (any_value(w) // 8)
+                    AS BIGINT) AS n_blocks,
+               CAST(sum(p) AS BIGINT) AS gray_total
+        FROM pv GROUP BY 1, 2 ORDER BY 1
+    """
+
+
+def _langid_confusion_sql() -> str:
+    """Confusion matrix: the shared langid CTE fragments joined back
+    to the label column — profile edits cannot desynchronize."""
+    stop, frac_cols, best, lang_case = _langid_sql_parts()
+    return f"""
+        WITH padded AS (
+            SELECT doc_id, ' ' || lower(text) || ' ' AS t
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) < 3 THEN []
+                        ELSE list_transform(range(1, length(t) - 1),
+                                            i -> substr(t, i, 3))
+                   END AS tris
+            FROM padded
+        ),
+        scored AS (
+            SELECT doc_id,
+{frac_cols}
+            FROM tri
+        ),
+        pred AS (
+            SELECT doc_id, {lang_case} AS lang_pred
+            FROM scored
+        )
+        SELECT d.lang AS lang_label, p.lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 
@@ -7668,6 +7755,181 @@ def _oracle_sql_raw() -> dict[str, str]:
             FROM md ORDER BY img_id
         """,
         "rbo_token_halves": _rbo_sql(),
+        "langid_confusion_matrix": _langid_confusion_sql(),
+        "image_zigzag_audit": _zigzag_sql(),
+        # exact W1 between halves' n_chars distributions:
+        # cross-multiplied integer ECDF numerator, one division
+        "doc_length_w1_halves": """
+            WITH c AS (
+                SELECT n_chars AS v, doc_id % 2 AS half,
+                       CAST(count(*) AS HUGEINT) AS n
+                FROM documents GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT CAST(coalesce(sum(n) FILTER (WHERE half = 0),
+                                     0) AS HUGEINT) AS na,
+                       CAST(coalesce(sum(n) FILTER (WHERE half = 1),
+                                     0) AS HUGEINT) AS nb
+                FROM c
+            ),
+            sup AS (
+                SELECT v,
+                       CAST(coalesce(sum(n) FILTER (WHERE half = 0),
+                                     0) AS HUGEINT) AS a,
+                       CAST(coalesce(sum(n) FILTER (WHERE half = 1),
+                                     0) AS HUGEINT) AS b
+                FROM c GROUP BY 1
+            ),
+            w AS (
+                SELECT v,
+                       sum(a) OVER (ORDER BY v) AS ca,
+                       sum(b) OVER (ORDER BY v) AS cb,
+                       lead(v) OVER (ORDER BY v) AS nv
+                FROM sup
+            ),
+            s AS (
+                SELECT CAST(coalesce(sum(abs(ca * tot.nb
+                            - cb * tot.na)
+                            * CAST(nv - v AS HUGEINT)), 0)
+                            AS HUGEINT) AS num,
+                       any_value(tot.na) AS na,
+                       any_value(tot.nb) AS nb,
+                       CAST(count(*) AS BIGINT) AS ns
+                FROM w, tot WHERE nv IS NOT NULL
+            )
+            SELECT CAST(tot.na AS BIGINT) AS n_early,
+                   CAST(tot.nb AS BIGINT) AS n_late,
+                   CAST(coalesce((SELECT count(*) FROM sup), 0)
+                        AS BIGINT) AS n_support,
+                   CASE WHEN tot.na = 0 OR tot.nb = 0 THEN 0.0
+                        ELSE CAST(coalesce((SELECT num FROM s), 0)
+                                  AS DOUBLE)
+                             / CAST(tot.na * tot.nb AS DOUBLE)
+                   END AS w1_chars
+            FROM tot
+        """,
+        # overlap + Ochiai coefficients over the distinct-user pair
+        # machinery; ochiai's sqrt is of an exact integer product
+        "type_pair_overlap_cosine": """
+            WITH d AS (
+                SELECT DISTINCT event_type, user_id FROM events
+            ),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY 1),
+            p AS (
+                SELECT a.event_type AS t1, b.event_type AS t2,
+                       CAST(count(*) AS BIGINT) AS inter
+                FROM d a JOIN d b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT sa.event_type AS t1, sb.event_type AS t2,
+                   sa.n AS n_users_1, sb.n AS n_users_2,
+                   CAST(coalesce(p.inter, 0) AS BIGINT) AS n_common,
+                   CAST(coalesce(p.inter, 0) AS DOUBLE)
+                       / CAST(least(sa.n, sb.n) AS DOUBLE)
+                       AS overlap_coef,
+                   CAST(coalesce(p.inter, 0) AS DOUBLE)
+                       / sqrt(CAST(sa.n * sb.n AS DOUBLE))
+                       AS ochiai
+            FROM s sa JOIN s sb ON sa.event_type < sb.event_type
+            LEFT JOIN p ON p.t1 = sa.event_type
+                       AND p.t2 = sb.event_type
+            ORDER BY t1, t2
+        """,
+        # MinHash signature audit: every signature entry recomputed
+        # verbatim (lexicographic min of md5('{i}:'||token)); exact
+        # Jaccard beside the m/k estimate
+        "minhash_halves_jaccard_audit": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id % 2 AS half,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            perms AS (SELECT unnest(generate_series(0, 31)) AS i),
+            sig AS (
+                SELECT half, i,
+                       min(md5(CAST(i AS VARCHAR) || ':' || token))
+                           AS s
+                FROM tok CROSS JOIN perms GROUP BY 1, 2
+            ),
+            mm AS (
+                SELECT CAST(coalesce(sum(CASE WHEN a.s = b.s
+                            THEN 1 END), 0) AS BIGINT) AS m
+                FROM sig a JOIN sig b ON a.i = b.i
+                WHERE a.half = 0 AND b.half = 1
+            ),
+            vv AS (
+                SELECT CAST(coalesce(sum(CASE WHEN half = 0
+                            THEN 1 END), 0) AS BIGINT) AS va,
+                       CAST(coalesce(sum(CASE WHEN half = 1
+                            THEN 1 END), 0) AS BIGINT) AS vb
+                FROM (SELECT DISTINCT half, token FROM tok)
+            ),
+            ii AS (
+                SELECT CAST(count(*) AS BIGINT) AS inter
+                FROM (SELECT token FROM tok WHERE half = 0)
+                JOIN (SELECT token FROM tok WHERE half = 1)
+                    USING (token)
+            )
+            SELECT vv.va AS vocab_early, vv.vb AS vocab_late,
+                   ii.inter AS n_inter,
+                   vv.va + vv.vb - ii.inter AS n_union,
+                   CASE WHEN vv.va = 0 OR vv.vb = 0 THEN 0.0
+                        ELSE CAST(ii.inter AS DOUBLE)
+                             / CAST(vv.va + vv.vb - ii.inter
+                                    AS DOUBLE)
+                   END AS jaccard_exact,
+                   mm.m AS minhash_matches,
+                   CASE WHEN vv.va = 0 OR vv.vb = 0 THEN 0.0
+                        ELSE CAST(mm.m AS DOUBLE) / 32.0
+                   END AS minhash_estimate
+            FROM vv, ii, mm
+        """,
+        # priority x epoch-week independence chi2 (orders axis), the
+        # transition-recipe algebraic form
+        "priority_week_independence": """
+            WITH u AS (
+                SELECT o_orderpriority AS prio,
+                       (CAST(epoch_us(o_orderdate) AS BIGINT)
+                        // 86400000000) // 7 AS week
+                FROM orders
+            ),
+            cells AS (
+                SELECT prio, week, CAST(count(*) AS HUGEINT) AS n
+                FROM u GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(coalesce(sum(n), 0) AS HUGEINT)
+                        AS nt FROM cells),
+            rt AS (SELECT prio, CAST(sum(n) AS HUGEINT) AS r
+                   FROM cells GROUP BY 1),
+            ct AS (SELECT week, CAST(sum(n) AS HUGEINT) AS c
+                   FROM cells GROUP BY 1),
+            terms AS (
+                SELECT list(CAST(cells.n * cells.n * tot.nt
+                                 AS DOUBLE)
+                            / CAST(rt.r * ct.c AS DOUBLE)
+                            ORDER BY cells.prio, cells.week)
+                           AS ts_list,
+                       any_value(tot.nt) AS nt,
+                       CAST(count(*) AS BIGINT) AS n_cells
+                FROM cells
+                JOIN rt ON rt.prio = cells.prio
+                JOIN ct ON ct.week = cells.week
+                CROSS JOIN tot
+            )
+            SELECT CAST(nt AS BIGINT) AS n_rows, n_cells,
+                   CAST(((SELECT count(*) FROM rt) - 1)
+                        * ((SELECT count(*) FROM ct) - 1) AS BIGINT)
+                       AS df,
+                   list_reduce(ts_list, (a, b) -> a + b)
+                       - CAST(nt AS DOUBLE) AS chi2_independence
+            FROM terms WHERE n_cells > 0
+            UNION ALL
+            SELECT 0, 0, 0, 0.0 FROM tot WHERE nt = 0
+        """,
         # quantity-band x discount-cents independence chi2: the
         # transition_drift_chi2 algebraic recipe, cell-order fold
         "qty_discount_independence": """

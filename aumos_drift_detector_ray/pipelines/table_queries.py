@@ -20143,3 +20143,367 @@ def image_palette_audit(sf_dir: str) -> pd.DataFrame:
                 "modal_color", "modal_count"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def minhash_halves_jaccard_audit(sf_dir: str, k: int = 32
+                                 ) -> pd.DataFrame:
+    """MinHash Jaccard-estimation audit between the doc_id-parity
+    halves' token SETS (Broder 1997 — the resemblance sketch under
+    every near-dup tier, here with ZERO statistical slack in the
+    hashed columns, the ams_f2_audit pattern): permutation i hashes a
+    token to the hex string md5(f'{i}:{token}') and the signature
+    entry is the LEXICOGRAPHIC minimum — a per-block partial-min fold
+    (shuffle-free: 2·k scalars per block) whose driver merge the
+    oracle recomputes VERBATIM with min(md5(...)). The match count,
+    the estimate m/k, and the exact Jaccard (distinct-token exchange)
+    are all exact; E[m/k] = J is asserted engine-side at ~5σ binomial
+    slack only. Either half empty => 0-sentinels."""
+    import hashlib
+
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mins: dict = {}
+        toks_rows: list = []
+        for did, txt in zip(b.doc_id.to_numpy(np.int64),
+                            b.text.fillna("").astype(str)):
+            toks = set(WORD_RE.findall(txt.lower()))
+            hf = int(did) % 2
+            for t in toks:
+                toks_rows.append((t, hf))
+                for i in range(k):
+                    h = hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                    key = (hf, i)
+                    if key not in mins or h < mins[key]:
+                        mins[key] = h
+        sig = pd.DataFrame(
+            [(hf, i, h) for (hf, i), h in mins.items()],
+            columns=["half", "perm", "sig"]) if mins else \
+            pd.DataFrame({"half": pd.Series([], dtype=np.int64),
+                          "perm": pd.Series([], dtype=np.int64),
+                          "sig": pd.Series([], dtype=object)})
+        sig["kind"] = "sig"
+        sig["token"] = ""
+        tk = pd.DataFrame(toks_rows, columns=["token", "half"]) \
+            if toks_rows else pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "half": pd.Series([], dtype=np.int64)})
+        tk = tk.drop_duplicates()
+        tk["perm"] = np.int64(-1)
+        tk["sig"] = ""
+        tk["kind"] = "tok"
+        return pd.concat([sig, tk], ignore_index=True)[
+            ["kind", "half", "perm", "sig", "token"]]
+
+    f = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    sigs = f[f.kind == "sig"]
+    sig_min: dict = {}
+    for _, r in sigs.iterrows():
+        key = (int(r.half), int(r.perm))
+        if key not in sig_min or r.sig < sig_min[key]:
+            sig_min[key] = r.sig
+    toks = f[f.kind == "tok"][["token", "half"]].drop_duplicates()
+    sets = {hf: set(toks[toks.half == hf].token) for hf in (0, 1)}
+    va, vb = len(sets[0]), len(sets[1])
+    if va == 0 or vb == 0:
+        return pd.DataFrame({
+            "vocab_early": pd.Series([va], dtype="int64"),
+            "vocab_late": pd.Series([vb], dtype="int64"),
+            "n_inter": pd.Series([0], dtype="int64"),
+            "n_union": pd.Series([va + vb], dtype="int64"),
+            "jaccard_exact": pd.Series([0.0], dtype="float64"),
+            "minhash_matches": pd.Series([0], dtype="int64"),
+            "minhash_estimate": pd.Series([0.0], dtype="float64"),
+        })
+    inter = len(sets[0] & sets[1])
+    union = va + vb - inter
+    jac = float(inter) / float(union)
+    m = sum(1 for i in range(k)
+            if sig_min.get((0, i)) == sig_min.get((1, i)))
+    est = float(m) / float(k)
+    sd = (jac * (1 - jac) / k) ** 0.5
+    assert abs(est - jac) <= 5.0 * sd + 2.0 / k, \
+        "MinHash estimate left its 5-sigma binomial envelope"
+    return pd.DataFrame({
+        "vocab_early": pd.Series([va], dtype="int64"),
+        "vocab_late": pd.Series([vb], dtype="int64"),
+        "n_inter": pd.Series([inter], dtype="int64"),
+        "n_union": pd.Series([union], dtype="int64"),
+        "jaccard_exact": pd.Series([jac], dtype="float64"),
+        "minhash_matches": pd.Series([m], dtype="int64"),
+        "minhash_estimate": pd.Series([est], dtype="float64"),
+    })
+
+
+def langid_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix of the n-gram language identifier against the
+    labeled lang column (the langid-health census — which labeled
+    languages leak into which predictions): composes the REAL
+    language_id stage output with the label by doc_id and counts
+    EXACT integers per (lang_label, lang_pred) cell; the oracle
+    recomputes predictions with the SHARED langid CTE fragments
+    (profile edits cannot desynchronize — the
+    tokenizer_fertility_by_lang precedent) and joins the label."""
+    from ..stages import textops as text_mod
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text",
+                                                "lang"])
+    pred = text_mod.language_id(
+        ds.select_columns(["doc_id", "text"])) \
+        .select_columns(["doc_id", "lang_pred"])
+    lab = ds.select_columns(["doc_id", "lang"])
+    p = pred.to_pandas()
+    l_ = lab.to_pandas()
+    j = p.merge(l_, on="doc_id")
+    out = j.groupby(["lang", "lang_pred"], as_index=False) \
+        .agg(n=("doc_id", "size"))
+    out["n"] = out.n.astype("int64")
+    return out.rename(columns={"lang": "lang_label"}) \
+        .sort_values(["lang_label", "lang_pred"]) \
+        .reset_index(drop=True)
+
+
+def priority_week_independence(sf_dir: str) -> pd.DataFrame:
+    """Order-priority × ISO-week independence chi² over orders (the
+    seasonality-of-mix check on the orders axis): weeks are the exact
+    integer epoch-day // 7 (no calendar library divergence), the
+    contingency chi² the algebraic N·Σ o²/(row·col) − N recipe with
+    each o > 0 cell term ONE division of exact HUGEINT products,
+    LEFT-folded in (priority, week) order — contract-free; exact
+    df."""
+    ds = sf_table(sf_dir, "orders", columns=["o_orderpriority",
+                                             "o_orderdate"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        days = (b.o_orderdate.astype("datetime64[us]")
+                .astype("int64") // 86_400_000_000)
+        return pd.DataFrame({
+            "prio": b.o_orderpriority,
+            "week": (days // 7).astype(np.int64),
+        }).groupby(["prio", "week"], as_index=False) \
+            .agg(n=("prio", "size"))
+
+    cells = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536) \
+        .groupby(["prio", "week"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values(["prio", "week"]) \
+        .reset_index(drop=True)
+    if len(cells) == 0:
+        return pd.DataFrame({
+            "n_rows": pd.Series([0], dtype="int64"),
+            "n_cells": pd.Series([0], dtype="int64"),
+            "df": pd.Series([0], dtype="int64"),
+            "chi2_independence": pd.Series([0.0], dtype="float64"),
+        })
+    ntot = int(cells.n.sum())
+    row_tot = cells.groupby("prio")["n"].sum().to_dict()
+    col_tot = cells.groupby("week")["n"].sum().to_dict()
+    acc = 0.0
+    for _, r in cells.iterrows():
+        o = int(r.n)
+        t = float(o * o * ntot) / float(
+            int(row_tot[r.prio]) * int(col_tot[int(r.week)]))
+        acc = acc + t
+    chi2 = acc - float(ntot)
+    df = max(0, len(row_tot) - 1) * max(0, len(col_tot) - 1)
+    return pd.DataFrame({
+        "n_rows": pd.Series([ntot], dtype="int64"),
+        "n_cells": pd.Series([len(cells)], dtype="int64"),
+        "df": pd.Series([df], dtype="int64"),
+        "chi2_independence": pd.Series([chi2], dtype="float64"),
+    })
+
+
+def doc_length_w1_halves(sf_dir: str) -> pd.DataFrame:
+    """1-Wasserstein distance between the doc_id-parity halves'
+    document-length (n_chars) distributions, EXACT: with integer
+    support values v_1 < … < v_m and per-half counts, W1 =
+    Σ_i |cumA_i·nB − cumB_i·nA|·(v_{i+1} − v_i) / (nA·nB) — the
+    numerator is an EXACT python integer (cross-multiplied ECDF
+    differences folded over the sorted support), the result ONE IEEE
+    division — no rounding contract (stronger than the events W1
+    tier's 6-dp contract, possible here because n_chars is already
+    integer). Per-block (value, half) count partials shrink the
+    exchange to the distinct support; the support is driver-folded
+    (bounded by distinct lengths). Either half empty => 0.0."""
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": b.n_chars.to_numpy(np.int64),
+            "half": (b.doc_id.to_numpy(np.int64) % 2),
+        }).groupby(["v", "half"], as_index=False) \
+            .agg(n=("v", "size"))
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby(["v", "half"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("v").reset_index(drop=True)
+    na = int(g[g.half == 0].n.sum())
+    nb = int(g[g.half == 1].n.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame({
+            "n_early": pd.Series([na], dtype="int64"),
+            "n_late": pd.Series([nb], dtype="int64"),
+            "n_support": pd.Series([0], dtype="int64"),
+            "w1_chars": pd.Series([0.0], dtype="float64"),
+        })
+    p = g.pivot_table(index="v", columns="half", values="n",
+                      aggfunc="sum", fill_value=0).sort_index()
+    vs = [int(v) for v in p.index]
+    ca = cb = 0
+    num = 0
+    arr_a = (p[0] if 0 in p.columns
+             else pd.Series(0, index=p.index)).tolist()
+    arr_b = (p[1] if 1 in p.columns
+             else pd.Series(0, index=p.index)).tolist()
+    for i in range(len(vs) - 1):
+        ca += int(arr_a[i])
+        cb += int(arr_b[i])
+        num += abs(ca * nb - cb * na) * (vs[i + 1] - vs[i])
+    assert num < 2 ** 127, "W1 numerator exceeds HUGEINT mirror"
+    return pd.DataFrame({
+        "n_early": pd.Series([na], dtype="int64"),
+        "n_late": pd.Series([nb], dtype="int64"),
+        "n_support": pd.Series([len(vs)], dtype="int64"),
+        "w1_chars": pd.Series([float(num) / float(na * nb)],
+                              dtype="float64"),
+    })
+
+
+def type_pair_overlap_cosine(sf_dir: str) -> pd.DataFrame:
+    """Overlap (Szymkiewicz-Simpson) and Ochiai/cosine set
+    coefficients of the distinct-user sets between event-type pairs
+    (the containment-vs-balance companions of type_pair_user_jaccard
+    — overlap detects subset relations Jaccard hides): reuses the
+    SAME user-hash-bucketed distinct exchange; overlap =
+    |A∩B|/min(|A|,|B|) is ONE division of exact ints, ochiai =
+    |A∩B|/√(|A|·|B|) one division by a correctly-rounded sqrt of an
+    exact integer product (identical double both sides — no rounding
+    contract). Zero pairs are kept with 0.0."""
+    import math
+
+    from ..sketches import hash64
+
+    ds = sf_table(sf_dir, "events", columns=["user_id", "event_type"])
+    n_buckets = 64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        d = b.drop_duplicates()
+        return d.assign(bucket=(
+            hash64(d.user_id.to_numpy(np.int64).view(np.uint64))
+            % np.uint64(n_buckets)).astype(np.int64))
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["user_id", "event_type"])
+        m = d.merge(d, on="user_id")
+        m = m[m.event_type_x < m.event_type_y]
+        pairs = m.groupby(["event_type_x", "event_type_y"],
+                          as_index=False).size()
+        singles = d.groupby("event_type", as_index=False).size()
+        return pd.concat([
+            pd.DataFrame({"t1": pairs.event_type_x,
+                          "t2": pairs.event_type_y,
+                          "n": pairs["size"].astype("int64")}),
+            pd.DataFrame({"t1": singles.event_type, "t2": "",
+                          "n": singles["size"].astype("int64")}),
+        ], ignore_index=True)
+
+    merged = ds.map_batches(partial, batch_format="pandas",
+                            batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_counts,
+                                      batch_format="pandas") \
+        .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    singles = dict(zip(merged.loc[merged.t2 == "", "t1"],
+                       merged.loc[merged.t2 == "", "n"]))
+    pc = {(a, b): int(n) for a, b, n in
+          zip(merged.t1, merged.t2, merged.n) if b != ""}
+    types = sorted(singles)
+    rows = []
+    for i in range(len(types)):
+        for j in range(i + 1, len(types)):
+            a, b = types[i], types[j]
+            inter = pc.get((a, b), 0)
+            sa, sb = int(singles[a]), int(singles[b])
+            ov = float(inter) / float(min(sa, sb))
+            oc = float(inter) / math.sqrt(float(sa * sb))
+            rows.append((a, b, sa, sb, inter, ov, oc))
+    return pd.DataFrame(rows, columns=[
+        "t1", "t2", "n_users_1", "n_users_2", "n_common",
+        "overlap_coef", "ochiai"]) \
+        .astype({"n_users_1": "int64", "n_users_2": "int64",
+                 "n_common": "int64"}) \
+        .sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
+def _zigzag_table() -> "list[tuple[int, int, int]]":
+    """(u, v, index) for the standard JPEG 8×8 zigzag scan — built by
+    the classic anti-diagonal walk; shared with the oracle SQL as a
+    VALUES lookup so the traversal cannot desynchronize."""
+    out = []
+    idx = 0
+    for d in range(15):
+        rng = range(d + 1) if d % 2 == 1 else range(d, -1, -1)
+        for u in rng:
+            v = d - u
+            if u < 8 and v < 8:
+                out.append((u, v, idx))
+                idx += 1
+    return out
+
+
+def image_zigzag_audit(sf_dir: str) -> pd.DataFrame:
+    """JPEG zigzag-traversal audit (the 8×8 block scan order of every
+    DCT codec — ISO/IEC 10918; a wrong walk reorders coefficients
+    silently): over the channel-sum grid of the REAL decode output
+    (all roster dims are multiples of 8), each pixel's in-block
+    position (r%8, c%8) maps to its zigzag index through the SHARED
+    table (engine walk == SQL VALUES lookup). Reported exact ints:
+    the zigzag-weighted intensity sum Σ p·zz, the block-arrangement
+    pin Σ p·block_index, and the block count. Conservation: the
+    unweighted total equals image_gray-tier totals (pytest)."""
+    from .. import codecs as C
+
+    zz = {(u, v): i for u, v, i in _zigzag_table()}
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def audit(b: pa.Table) -> pd.DataFrame:
+        zmat = np.zeros((8, 8), dtype=np.int64)
+        for (u, v), i in zz.items():
+            zmat[u, v] = i
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            zw = zmat[r % 8, c % 8]
+            blk = (r // 8) * (w // 8) + (c // 8)
+            rows.append((i, fmt, int((p * zw).sum()),
+                         int((p * blk).sum()),
+                         (h // 8) * (w // 8), int(p.sum())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "zigzag_weighted_sum",
+            "block_weighted_sum", "n_blocks", "gray_total"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(audit, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "zigzag_weighted_sum", "block_weighted_sum",
+                "n_blocks", "gray_total"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

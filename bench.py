@@ -374,6 +374,9 @@ def run_queries() -> dict[str, float]:
         "rbo_token_halves", "qty_discount_independence",
         "image_bayer_audit", "hill_tail_index_events",
         "arch_effect_hourly", "image_palette_audit",
+        "minhash_halves_jaccard_audit", "langid_confusion_matrix",
+        "priority_week_independence", "doc_length_w1_halves",
+        "type_pair_overlap_cosine", "image_zigzag_audit",
     ]
     qs = E.queries()
     out = {}

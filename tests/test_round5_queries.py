@@ -6734,3 +6734,197 @@ class TestImagePaletteAudit:
             assert int(row.modal_color) == int(u[cts == mx].min())
         # gradient images: palette is bounded by 256 base values
         assert (out.palette_size <= 256).all()
+
+
+class TestMinhashHalvesJaccardAudit:
+    def test_matches_hashlib_bruteforce(self, ray_session):
+        import hashlib
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.minhash_halves_jaccard_audit(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        sets = [set(), set()]
+        for _, row in df.iterrows():
+            sets[int(row.doc_id) % 2].update(
+                WORD_RE.findall(str(row.text or "").lower()))
+        inter = len(sets[0] & sets[1])
+        union = len(sets[0] | sets[1])
+        assert int(out.n_inter[0]) == inter
+        assert int(out.n_union[0]) == union
+        assert float(out.jaccard_exact[0]) == inter / union
+        m = 0
+        for i in range(32):
+            sa = min(hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                     for t in sets[0])
+            sb = min(hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                     for t in sets[1])
+            m += sa == sb
+        assert int(out.minhash_matches[0]) == m
+
+    def test_identical_halves_match_all(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        txt = "the quick brown fox " * 4
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, [txt, txt], ["en", "en"])
+            out = Q.minhash_halves_jaccard_audit(d)
+        assert int(out.minhash_matches[0]) == 32
+        assert float(out.minhash_estimate[0]) == 1.0
+        assert float(out.jaccard_exact[0]) == 1.0
+
+
+class TestLangidConfusionMatrix:
+    def test_matches_stage_composition(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.langid_confusion_matrix(SF)
+        pred = Q.langid_docs(SF)
+        lab = duckdb.sql(f"""
+            SELECT doc_id, lang FROM '{SF}/documents.parquet'
+        """).df()
+        j = pred.merge(lab, on="doc_id")
+        want = j.groupby(["lang", "lang_pred"]).size()
+        got = {(r.lang_label, r.lang_pred): int(r.n)
+               for _, r in out.iterrows()}
+        assert got == {k: int(v) for k, v in want.items()}
+        # row sums conserve the doc count
+        assert int(out.n.sum()) == len(lab)
+
+
+class TestPriorityWeekIndependence:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.priority_week_independence(SF)
+        df = duckdb.sql(f"""
+            SELECT o_orderpriority AS prio,
+                   (epoch_us(o_orderdate) // 86400000000) // 7
+                       AS week
+            FROM '{SF}/orders.parquet'
+        """).df()
+        t = pd.crosstab(df.prio, df.week)
+        n = t.to_numpy().sum()
+        exp = np.outer(t.sum(axis=1), t.sum(axis=0)) / n
+        tn = t.to_numpy()
+        mask = exp > 0
+        chi2 = float(((tn - exp)[mask] ** 2 / exp[mask]).sum())
+        assert int(out.n_rows[0]) == int(n)
+        assert abs(float(out.chi2_independence[0]) - chi2) < 1e-7
+        assert int(out.df[0]) == (t.shape[0] - 1) * (t.shape[1] - 1)
+
+
+class TestDocLengthW1Halves:
+    def test_matches_scipy_free_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.doc_length_w1_halves(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, n_chars FROM '{SF}/documents.parquet'
+        """).df()
+        a = np.sort(df[df.doc_id % 2 == 0].n_chars.to_numpy(np.int64))
+        b = np.sort(df[df.doc_id % 2 == 1].n_chars.to_numpy(np.int64))
+        # brute-force W1 via the quantile integral on a fine grid of
+        # all support points
+        vs = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(a, vs, side="right") / len(a)
+        fb = np.searchsorted(b, vs, side="right") / len(b)
+        w1 = float((np.abs(fa - fb)[:-1] * np.diff(vs)).sum())
+        assert abs(float(out.w1_chars[0]) - w1) < 1e-9
+        assert int(out.n_early[0]) == len(a)
+        assert int(out.n_late[0]) == len(b)
+
+    def test_identical_and_shifted(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        texts = ["x" * 100, "x" * 100, "y" * 100, "y" * 100]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, ["en"] * 4)
+            out = Q.doc_length_w1_halves(d)
+        assert float(out.w1_chars[0]) == 0.0
+        texts = ["x" * 100, "x" * 150]       # halves differ by 50
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, texts, ["en"] * 2)
+            out = Q.doc_length_w1_halves(d)
+        assert float(out.w1_chars[0]) == 50.0
+
+
+class TestTypePairOverlapCosine:
+    def test_matches_set_bruteforce_and_jaccard_consistency(
+            self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.type_pair_overlap_cosine(SF)
+        df = duckdb.sql(f"""
+            SELECT DISTINCT event_type, user_id
+            FROM '{SF}/events.parquet'
+        """).df()
+        sets = {t: set(s.user_id)
+                for t, s in df.groupby("event_type")}
+        for _, row in out.iterrows():
+            a, b = sets[row.t1], sets[row.t2]
+            inter = len(a & b)
+            assert int(row.n_common) == inter
+            assert float(row.overlap_coef) == inter / min(
+                len(a), len(b))
+            assert float(row.ochiai) == inter / math.sqrt(
+                float(len(a) * len(b)))
+            # overlap >= ochiai >= jaccard always
+            jac = inter / len(a | b)
+            assert float(row.overlap_coef) >= float(row.ochiai) - 1e-15
+            assert float(row.ochiai) >= jac - 1e-15
+
+
+class TestImageZigzagAudit:
+    def test_zigzag_table_is_the_jpeg_walk(self, ray_session):
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _zigzag_table)
+
+        zz = {(u, v): i for u, v, i in _zigzag_table()}
+        assert len(zz) == 64
+        assert sorted(zz.values()) == list(range(64))
+        # canonical prefix of the JPEG zigzag scan
+        want = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2),
+                (0, 3), (1, 2), (2, 1), (3, 0)]
+        inv = {i: uv for uv, i in zz.items()}
+        assert [inv[i] for i in range(10)] == want
+        assert inv[63] == (7, 7)
+
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _zigzag_table)
+
+        out = Q.image_zigzag_audit(SF)
+        zz = np.zeros((8, 8), dtype=np.int64)
+        for u, v, i in _zigzag_table():
+            zz[u, v] = i
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            assert int(row.zigzag_weighted_sum) == int(
+                (p * zz[r % 8, c % 8]).sum())
+            blk = (r // 8) * (w // 8) + (c // 8)
+            assert int(row.block_weighted_sum) == int((p * blk).sum())
+            assert int(row.n_blocks) == (h // 8) * (w // 8)
+            assert int(row.gray_total) == int(p.sum())

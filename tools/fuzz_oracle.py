@@ -148,7 +148,8 @@ EVENT_QUERIES = [
     "session_duration_quantiles", "bartlett_variance_types",
     "ams_f2_audit", "last_digit_uniformity_events",
     "hill_tail_index_events", "arch_effect_hourly",
-]  # (qty_discount_independence is lineitem-only — outside fuzz axes)
+    "type_pair_overlap_cosine",
+]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
 # EMB_QUERIES below; charset_hygiene_docs joins DOC_QUERIES.
@@ -273,7 +274,9 @@ DOC_QUERIES = [
     "char_trigram_js_halves", "image_morphology_audit",
     "charset_hygiene_docs", "image_run_length_audit",
     "rbo_token_halves", "image_bayer_audit",
-    "image_palette_audit",
+    "image_palette_audit", "minhash_halves_jaccard_audit",
+    "langid_confusion_matrix", "doc_length_w1_halves",
+    "image_zigzag_audit",
 ]
 
 
