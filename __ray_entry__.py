@@ -423,6 +423,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_w1_halves": Q.doc_length_w1_halves,
         "type_pair_overlap_cosine": Q.type_pair_overlap_cosine,
         "image_zigzag_audit": Q.image_zigzag_audit,
+        "countsketch_token_audit": Q.countsketch_token_audit,
+        "seasonal_naive_error_hourly": Q.seasonal_naive_error_hourly,
+        "image_symmetry_audit": Q.image_symmetry_audit,
+        "keyness_top_tokens": Q.keyness_top_tokens,
+        "hoover_index_per_type": Q.hoover_index_per_type,
+        "image_moments_audit": Q.image_moments_audit,
+        "rayleigh_hod_uniformity": Q.rayleigh_hod_uniformity,
+        "char_entropy_conditional": Q.char_entropy_conditional,
+        "image_ring_profile_audit": Q.image_ring_profile_audit,
     }
 
 
@@ -1029,7 +1038,7 @@ _VALUE_CLEAN_QUERIES = [
     "ordinal_assoc_value_hour", "bowley_moors_shape_events",
     "trimmed_mean_drift_events", "rank_scale_drift_events",
     "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
-    "arch_effect_hourly",
+    "arch_effect_hourly", "seasonal_naive_error_hourly",
 ]
 
 
@@ -1519,6 +1528,52 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _rayleigh_sql() -> str:
+    """Rayleigh resultant: the SAME embedded trig tables as the
+    harmonic tier, folds in hod order, fixed-shape outputs."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _harmonic_tables)
+
+    cs, sn = _harmonic_tables(1)
+    cl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                         for v in cs) + "]"
+    sl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                         for v in sn) + "]"
+    return f"""
+        WITH hod AS (
+            SELECT CAST(extract(hour FROM ts) AS BIGINT) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list(CAST(n AS DOUBLE) * ({cl})[h + 1]
+                        ORDER BY h) AS tcs,
+                   list(CAST(n AS DOUBLE) * ({sl})[h + 1]
+                        ORDER BY h) AS tss,
+                   CAST(coalesce(sum(n), 0) AS BIGINT) AS nt
+            FROM hod
+        ),
+        f AS (
+            SELECT nt,
+                   list_reduce(tcs, (a, b) -> a + b) AS c_acc,
+                   list_reduce(tss, (a, b) -> a + b) AS s_acc
+            FROM arr WHERE nt > 0
+        )
+        SELECT nt AS n_events, c_acc AS c_resultant,
+               s_acc AS s_resultant,
+               (c_acc * c_acc + s_acc * s_acc)
+                   / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+                   AS rbar_sq,
+               CAST(nt AS DOUBLE)
+                   * ((c_acc * c_acc + s_acc * s_acc)
+                      / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+                   AS rayleigh_z
+        FROM f
+        UNION ALL
+        SELECT 0, 0.0, 0.0, 0.0, 0.0 FROM arr WHERE nt = 0
     """
 
 
@@ -7757,6 +7812,142 @@ def _oracle_sql_raw() -> dict[str, str]:
         "rbo_token_halves": _rbo_sql(),
         "langid_confusion_matrix": _langid_confusion_sql(),
         "image_zigzag_audit": _zigzag_sql(),
+        # Count-Sketch: every signed counter recomputed verbatim via
+        # md5 hex-digit arithmetic; full (row, bucket) grid
+        "countsketch_token_audit": """
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            jj AS (SELECT unnest(generate_series(0, 3)) AS j),
+            hh AS (
+                SELECT jj.j,
+                       md5(CAST(jj.j AS VARCHAR) || ':' || token)
+                           AS h
+                FROM toks CROSS JOIN jj
+            ),
+            sg AS (
+                SELECT j,
+                       (16 * (strpos('0123456789abcdef',
+                                     substr(h, 1, 1)) - 1)
+                        + (strpos('0123456789abcdef',
+                                  substr(h, 2, 1)) - 1)) % 32
+                           AS bucket,
+                       CASE WHEN substr(h, 3, 1) >= '8'
+                            THEN 1 ELSE -1 END AS s
+                FROM hh
+            ),
+            cs AS (
+                SELECT j, bucket,
+                       CAST(sum(s) AS BIGINT) AS counter
+                FROM sg GROUP BY 1, 2
+            ),
+            grid AS (
+                SELECT j.j AS hash_row, b.b AS gbucket
+                FROM (SELECT unnest(generate_series(0, 3)) AS j) j
+                CROSS JOIN (SELECT unnest(generate_series(0, 31))
+                                AS b) b
+            )
+            SELECT grid.hash_row, grid.gbucket AS bucket,
+                   CAST(coalesce(cs.counter, 0) AS BIGINT)
+                       AS counter
+            FROM grid LEFT JOIN cs ON cs.j = grid.hash_row
+                                  AND cs.bucket = grid.gbucket
+            ORDER BY hash_row, gbucket
+        """,
+        # seasonal-naive baseline: left folds over the hourly means
+        # (value-clean contract), RMSE one correctly-rounded sqrt
+        "seasonal_naive_error_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                       sum(CAST(round(value * 100) AS BIGINT))
+                           AS value_c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                            ORDER BY hour) AS xs,
+                       CAST(count(*) AS BIGINT) AS nh
+                FROM h
+            ),
+            f AS (
+                SELECT nh, nh - 24 AS ne,
+                       list_reduce(list_transform(
+                           generate_series(1, nh - 24),
+                           t -> abs(xs[t + 24] - xs[t])),
+                           (a, b) -> a + b) AS acc_a,
+                       list_reduce(list_transform(
+                           generate_series(1, nh - 24),
+                           t -> (xs[t + 24] - xs[t])
+                                * (xs[t + 24] - xs[t])),
+                           (a, b) -> a + b) AS acc_s
+                FROM arr WHERE nh >= 25
+            )
+            SELECT nh AS n_hours, CAST(ne AS BIGINT) AS n_forecasts,
+                   acc_a / CAST(ne AS DOUBLE) AS mae,
+                   sqrt(acc_s / CAST(ne AS DOUBLE)) AS rmse
+            FROM f
+            UNION ALL
+            SELECT nh, 0, 0.0, 0.0 FROM arr WHERE nh < 25
+        """,
+        # mirror-asymmetry folds over the closed-form grid; shares
+        # one division each
+        "image_symmetry_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, w, h, r, c,
+                       ((r + 2*c + i) % 256)
+                     + ((r + 2*c + i + 1) % 256)
+                     + ((r + 2*c + i + 2) % 256) AS p,
+                       ((r + 2*(w - 1 - c) + i) % 256)
+                     + ((r + 2*(w - 1 - c) + i + 1) % 256)
+                     + ((r + 2*(w - 1 - c) + i + 2) % 256) AS pm,
+                       (((h - 1 - r) + 2*c + i) % 256)
+                     + (((h - 1 - r) + 2*c + i + 1) % 256)
+                     + (((h - 1 - r) + 2*c + i + 2) % 256) AS pv_
+                FROM px
+            ),
+            agg AS (
+                SELECT i, fmt,
+                       CAST(sum(p) AS BIGINT) AS gray_total,
+                       CAST(coalesce(sum(abs(p - pm))
+                            FILTER (WHERE c < w // 2), 0) AS BIGINT)
+                           AS h_asymmetry,
+                       CAST(coalesce(sum(abs(p - pv_))
+                            FILTER (WHERE r < h // 2), 0) AS BIGINT)
+                           AS v_asymmetry
+                FROM pv GROUP BY 1, 2
+            )
+            SELECT img_id, fmt, gray_total, h_asymmetry,
+                   v_asymmetry,
+                   CAST(h_asymmetry AS DOUBLE)
+                       / (2.0 * CAST(gray_total AS DOUBLE))
+                       AS h_asym_share,
+                   CAST(v_asymmetry AS DOUBLE)
+                       / (2.0 * CAST(gray_total AS DOUBLE))
+                       AS v_asym_share
+            FROM (SELECT i AS img_id, fmt, gray_total, h_asymmetry,
+                         v_asymmetry FROM agg)
+            ORDER BY img_id
+        """,
         # exact W1 between halves' n_chars distributions:
         # cross-multiplied integer ECDF numerator, one division
         "doc_length_w1_halves": """
@@ -8020,6 +8211,248 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(sum(m * (r * w + c)) AS BIGINT)
                        AS mosaic_pos_sum
             FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # Dunning G2 keyness over the exact corpus top-10 tokens:
+        # per-token 2x2 likelihood ratio, round-6 entropy contract
+        "keyness_top_tokens": """
+            WITH toks AS (
+                SELECT doc_id % 2 AS half,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            ha AS (
+                SELECT CAST(coalesce(sum(CASE WHEN half = 0
+                            THEN 1 END), 0) AS BIGINT) AS na,
+                       CAST(coalesce(sum(CASE WHEN half = 1
+                            THEN 1 END), 0) AS BIGINT) AS nb
+                FROM toks
+            ),
+            tc AS (
+                SELECT token,
+                       CAST(coalesce(sum(CASE WHEN half = 0
+                            THEN 1 END), 0) AS BIGINT) AS a,
+                       CAST(coalesce(sum(CASE WHEN half = 1
+                            THEN 1 END), 0) AS BIGINT) AS b,
+                       CAST(count(*) AS BIGINT) AS nt
+                FROM toks GROUP BY 1
+            ),
+            top AS (SELECT * FROM tc
+                    ORDER BY nt DESC, token LIMIT 10),
+            f AS (
+                SELECT top.token, top.a, top.b, ha.na, ha.nb,
+                       ha.na + ha.nb AS nn
+                FROM top, ha WHERE ha.na > 0 AND ha.nb > 0
+            )
+            SELECT token, a AS count_early, b AS count_late,
+                   CAST(round(2.0 * ((0.0
+                       + CASE WHEN a > 0 THEN CAST(a AS DOUBLE)
+                              * ln(CAST(a AS DOUBLE)
+                                   / (CAST(na AS DOUBLE)
+                                      * (CAST(a + b AS DOUBLE)
+                                         / CAST(nn AS DOUBLE))))
+                              ELSE 0.0 END)
+                       + CASE WHEN b > 0 THEN CAST(b AS DOUBLE)
+                              * ln(CAST(b AS DOUBLE)
+                                   / (CAST(nb AS DOUBLE)
+                                      * (CAST(a + b AS DOUBLE)
+                                         / CAST(nn AS DOUBLE))))
+                              ELSE 0.0 END), 6) AS DOUBLE)
+                       AS g2_keyness,
+                   (CAST(a AS DOUBLE) / CAST(na AS DOUBLE))
+                       > (CAST(b AS DOUBLE) / CAST(nb AS DOUBLE))
+                       AS over_early
+            FROM f ORDER BY token
+        """,
+        # Hoover index per type: numerator sum |n*x - S| in exact
+        # integer space, ONE division
+        "hoover_index_per_type": """
+            WITH u AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT)
+                           AS s
+                FROM u GROUP BY 1
+            ),
+            d AS (
+                SELECT u.event_type,
+                       CAST(sum(abs(st.n * u.cents - st.s))
+                            AS HUGEINT) AS dev
+                FROM u JOIN st USING (event_type)
+                GROUP BY 1
+            )
+            SELECT st.event_type,
+                   CAST(st.n AS BIGINT) AS n_rows,
+                   CAST(st.s AS BIGINT) AS total_cents,
+                   CASE WHEN st.s <= 0 THEN 0.0
+                        ELSE CAST(d.dev AS DOUBLE)
+                             / CAST(2 * st.n * st.s AS DOUBLE)
+                   END AS hoover_index
+            FROM st JOIN d USING (event_type)
+            ORDER BY st.event_type
+        """,
+        # raw image moments from the closed-form grid; centroids one
+        # division each
+        "image_moments_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt, r, c,
+                       ((r + 2*c + i) % 256)
+                     + ((r + 2*c + i + 1) % 256)
+                     + ((r + 2*c + i + 2) % 256) AS p
+                FROM px
+            ),
+            m AS (
+                SELECT i, fmt,
+                       CAST(sum(p) AS BIGINT) AS m00,
+                       CAST(sum(p * r) AS BIGINT) AS m10,
+                       CAST(sum(p * c) AS BIGINT) AS m01,
+                       CAST(sum(p * r * c) AS BIGINT) AS m11,
+                       CAST(sum(p * r * r) AS BIGINT) AS m20,
+                       CAST(sum(p * c * c) AS BIGINT) AS m02
+                FROM pv GROUP BY 1, 2
+            )
+            SELECT i AS img_id, fmt, m00, m10, m01, m11, m20, m02,
+                   CAST(m10 AS DOUBLE) / CAST(m00 AS DOUBLE)
+                       AS centroid_r,
+                   CAST(m01 AS DOUBLE) / CAST(m00 AS DOUBLE)
+                       AS centroid_c
+            FROM m ORDER BY img_id
+        """,
+        "rayleigh_hod_uniformity": _rayleigh_sql(),
+        # Shannon unigram + conditional char entropies over the
+        # normalized token stream; round-6 entropy contract
+        "char_entropy_conditional": """
+            WITH s AS (
+                SELECT array_to_string(regexp_extract_all(
+                           lower(text), '[a-z'']+'), ' ') AS t
+                FROM documents
+            ),
+            ui AS (
+                SELECT substr(t, CAST(i AS BIGINT), 1) AS g
+                FROM (SELECT t, unnest(generate_series(1,
+                          CAST(len(t) AS BIGINT))) AS i
+                      FROM s WHERE len(t) >= 1)
+            ),
+            bi AS (
+                SELECT substr(t, CAST(i AS BIGINT), 2) AS g
+                FROM (SELECT t, unnest(generate_series(1,
+                          CAST(len(t) AS BIGINT) - 1)) AS i
+                      FROM s WHERE len(t) >= 2)
+            ),
+            uc AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+                   FROM ui GROUP BY 1),
+            bc AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+                   FROM bi GROUP BY 1),
+            pc AS (SELECT substr(g, 1, 1) AS g,
+                          CAST(sum(n) AS BIGINT) AS n
+                   FROM bc GROUP BY 1),
+            tot AS (
+                SELECT CAST(coalesce((SELECT sum(n) FROM uc), 0)
+                            AS BIGINT) AS nu,
+                       CAST(coalesce((SELECT sum(n) FROM bc), 0)
+                            AS BIGINT) AS nb
+            )
+            SELECT tot.nu AS n_chars, tot.nb AS n_bigrams,
+                   CASE WHEN tot.nu = 0 THEN 0.0
+                        ELSE CAST(round(coalesce((SELECT
+                            -sum((CAST(n AS DOUBLE)
+                                  / CAST(tot.nu AS DOUBLE))
+                                 * log2(CAST(n AS DOUBLE)
+                                        / CAST(tot.nu AS DOUBLE)))
+                            FROM uc), 0.0), 6) AS DOUBLE)
+                   END AS h_unigram,
+                   CASE WHEN tot.nb = 0 THEN 0.0
+                        ELSE CAST(round(coalesce((SELECT
+                            -sum((CAST(n AS DOUBLE)
+                                  / CAST(tot.nb AS DOUBLE))
+                                 * log2(CAST(n AS DOUBLE)
+                                        / CAST(tot.nb AS DOUBLE)))
+                            FROM bc), 0.0)
+                            - coalesce((SELECT
+                            -sum((CAST(n AS DOUBLE)
+                                  / CAST(tot.nb AS DOUBLE))
+                                 * log2(CAST(n AS DOUBLE)
+                                        / CAST(tot.nb AS DOUBLE)))
+                            FROM pc), 0.0), 6) AS DOUBLE)
+                   END AS h_conditional
+            FROM tot
+        """,
+        # Chebyshev-ring profile: doubled-coordinate integer ring id
+        "image_ring_profile_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256)
+                     + ((r + 2*c + i + 1) % 256)
+                     + ((r + 2*c + i + 2) % 256) AS p,
+                       greatest(abs(2*r - (h - 1)),
+                                abs(2*c - (w - 1))) AS ring
+                FROM px
+            ),
+            agg AS (
+                SELECT i, fmt,
+                       CAST(sum(p) AS BIGINT) AS gray_total,
+                       CAST(coalesce(sum(p)
+                            FILTER (WHERE ring < 16), 0) AS BIGINT)
+                           AS center_sum,
+                       CAST(max(ring) AS BIGINT) AS ring_max,
+                       CAST(sum(p * ring) AS BIGINT)
+                           AS ring_weighted_sum
+                FROM pv GROUP BY 1, 2
+            ),
+            outer_s AS (
+                SELECT pv.i,
+                       CAST(coalesce(sum(pv.p), 0) AS BIGINT) AS os
+                FROM pv JOIN agg ON agg.i = pv.i
+                WHERE pv.ring >= agg.ring_max - 16
+                GROUP BY 1
+            )
+            SELECT agg.i AS img_id, agg.fmt, agg.gray_total,
+                   agg.center_sum, outer_s.os AS outer_sum,
+                   agg.ring_weighted_sum, agg.ring_max
+            FROM agg JOIN outer_s ON outer_s.i = agg.i
+            ORDER BY img_id
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -20507,3 +20507,550 @@ def image_zigzag_audit(sf_dir: str) -> pd.DataFrame:
                 "n_blocks", "gray_total"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def countsketch_token_audit(sf_dir: str) -> pd.DataFrame:
+    """Count-Sketch audit over document tokens (Charikar, Chen &
+    Farach-Colton, ICALP 2002 — the signed-bucket frequency sketch
+    between CMS and AMS; here with ZERO statistical slack in the
+    hashed columns, the ams_f2_audit pattern): 4 hash rows × 32
+    buckets; for row j, token t derives ONE md5 hex h = md5(f'{j}:{t}')
+    — bucket = (16·hex(h[0]) + hex(h[1])) mod 32, sign = +1 iff
+    h[2] >= '8' — so EVERY counter is an exact integer the oracle
+    recomputes verbatim (hex-digit arithmetic via strpos in SQL).
+    Per-block partials are 128 python-int strings; merge is
+    elementwise addition — order-insensitive by construction (the
+    estimate-quality guarantee is exercised by the pytest
+    median-of-rows check against exact counts). Output: one row per
+    (hash_row, bucket) counter."""
+    import hashlib
+
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+    D, W = 4, 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        blob = "\n".join(b.text.fillna("").astype(str).str.lower())
+        toks = WORD_RE.findall(blob)
+        cnt = [[0] * W for _ in range(D)]
+        if toks:
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            hexv = "0123456789abcdef"
+            for t, n in zip(u, c):
+                n = int(n)
+                for j in range(D):
+                    h = hashlib.md5(f"{j}:{t}".encode()).hexdigest()
+                    bkt = (16 * hexv.index(h[0])
+                           + hexv.index(h[1])) % W
+                    cnt[j][bkt] += n if h[2] >= "8" else -n
+        return pd.DataFrame({f"c{j}_{b_}": [str(cnt[j][b_])]
+                             for j in range(D) for b_ in range(W)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counters = {(j, b_): (sum(int(x) for x in parts[f"c{j}_{b_}"])
+                          if len(parts) else 0)
+                for j in range(D) for b_ in range(W)}
+    rows = [(j, b_, counters[(j, b_)])
+            for j in range(D) for b_ in range(W)]
+    for _, _, v in rows:
+        assert abs(v) < 2 ** 62
+    return pd.DataFrame(rows, columns=["hash_row", "bucket",
+                                       "counter"]) \
+        .astype({"hash_row": "int64", "bucket": "int64",
+                 "counter": "int64"})
+
+
+def seasonal_naive_error_hourly(sf_dir: str) -> pd.DataFrame:
+    """Seasonal-naive forecast baseline error over the hourly mean
+    series (the M-competition benchmark every forecaster must beat:
+    x̂_t = x_{t−24}): errors derive from the ACF tier's bit-identical
+    hourly means; MAE and MSE are sequential left folds in hour order
+    (mirrored by list_reduce — bit-identical), RMSE ONE correctly
+    rounded sqrt of the identical MSE double — no rounding contract.
+    Fewer than 25 hours => 0-sentinels."""
+    import math
+
+    x = _hourly_mean_series(sf_dir)
+    nh = len(x)
+    if nh < 25:
+        return pd.DataFrame({
+            "n_hours": pd.Series([nh], dtype="int64"),
+            "n_forecasts": pd.Series([0], dtype="int64"),
+            "mae": pd.Series([0.0], dtype="float64"),
+            "rmse": pd.Series([0.0], dtype="float64"),
+        })
+    ne = nh - 24
+    acc_a = abs(float(x[24]) - float(x[0]))
+    acc_s = (float(x[24]) - float(x[0])) * (float(x[24]) - float(x[0]))
+    for t in range(1, ne):
+        e = float(x[t + 24]) - float(x[t])
+        acc_a = acc_a + abs(e)
+        acc_s = acc_s + e * e
+    mae = acc_a / float(ne)
+    rmse = math.sqrt(acc_s / float(ne))
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "n_forecasts": pd.Series([ne], dtype="int64"),
+        "mae": pd.Series([mae], dtype="float64"),
+        "rmse": pd.Series([rmse], dtype="float64"),
+    })
+
+
+def image_symmetry_audit(sf_dir: str) -> pd.DataFrame:
+    """Mirror-asymmetry census over the REAL decode output (the
+    symmetry prior of aesthetic/layout models; also a sensitive
+    arrangement checksum — any misplaced pixel breaks a fold):
+    horizontal asymmetry Σ_{c<w/2} |p(r,c) − p(r,w−1−c)| and vertical
+    Σ_{r<h/2} |p(r,c) − p(h−1−r,c)| over the channel-sum grid — ALL
+    exact integers (every roster dim is even, so no middle
+    row/column ambiguity); asym shares are one division each against
+    2·gray_total. SQL folds the same |differences| from the
+    closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def sym(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            ah = int(np.abs(p[:, : w // 2]
+                            - p[:, ::-1][:, : w // 2]).sum())
+            av = int(np.abs(p[: h // 2, :]
+                            - p[::-1, :][: h // 2, :]).sum())
+            tot = int(p.sum())
+            rows.append((i, fmt, tot, ah, av))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "gray_total", "h_asymmetry",
+            "v_asymmetry"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(sym, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "gray_total", "h_asymmetry",
+                "v_asymmetry"):
+        out[col] = out[col].astype("int64")
+    out["h_asym_share"] = (out.h_asymmetry.to_numpy(np.float64)
+                           / (2.0 * out.gray_total
+                              .to_numpy(np.float64)))
+    out["v_asym_share"] = (out.v_asymmetry.to_numpy(np.float64)
+                           / (2.0 * out.gray_total
+                              .to_numpy(np.float64)))
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def keyness_top_tokens(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Log-likelihood keyness of the corpus top-k tokens between the
+    doc_id-parity halves (Dunning 1993 — the corpus-linguistics
+    G² keyword statistic; which frequent words shifted between
+    snapshots): the token panel is the EXACT corpus top-10 (count
+    DESC, token — deterministic), per-half counts exact via the
+    token-bucketed exchange, and per token the 2×2 likelihood ratio
+    G² = 2·[a·ln(a/eA) + b·ln(b/eB)] (expecteds eX = NX·(a+b)/N,
+    0·ln ≡ 0) under the entropy tier's round-6 contract; the
+    over_early boolean compares the two exact-ratio rate doubles
+    (identical both sides). Empty halves => empty frame."""
+    import math
+
+    from ..sketches import hash_any_array
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_buckets = 32
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows_t, rows_h, rows_n = [], [], []
+        for did, txt in zip(b.doc_id.to_numpy(np.int64),
+                            b.text.fillna("").astype(str)):
+            toks = WORD_RE.findall(txt.lower())
+            if not toks:
+                continue
+            u, c = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+            rows_t.extend(u.tolist())
+            rows_h.extend([int(did) % 2] * len(u))
+            rows_n.extend(c.tolist())
+        if not rows_t:
+            return pd.DataFrame({
+                "token": pd.Series([], dtype=object),
+                "half": pd.Series([], dtype=np.int64),
+                "n": pd.Series([], dtype=np.int64),
+                "bucket": pd.Series([], dtype=np.int64)})
+        u = np.asarray(rows_t, dtype=object)
+        return pd.DataFrame({
+            "token": u, "half": pd.Series(rows_h, dtype=np.int64),
+            "n": pd.Series(rows_n, dtype=np.int64),
+            "bucket": (hash_any_array(u) % np.uint64(n_buckets))
+                      .astype(np.int64)})
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["token", "half"], as_index=False) \
+            .agg(n=("n", "sum"))
+        tot = m.groupby("token", as_index=False).agg(nt=("n", "sum"))
+        top = tot.sort_values(["nt", "token"],
+                              ascending=[False, True],
+                              kind="stable").head(k)
+        keep = m[m.token.isin(set(top.token))]
+        ha = m.groupby("half", as_index=False).agg(n=("n", "sum"))
+        ha = ha.assign(token="\x00TOTAL")
+        return pd.concat([keep, ha[["token", "half", "n"]]],
+                         ignore_index=True)
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .groupby(["token", "half"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    tot = {0: 0, 1: 0}
+    for _, r in g[g.token == "\x00TOTAL"].iterrows():
+        tot[int(r.half)] += int(r.n)
+    na, nb = tot[0], tot[1]
+    empty = pd.DataFrame({
+        "token": pd.Series([], dtype=object),
+        "count_early": pd.Series([], dtype="int64"),
+        "count_late": pd.Series([], dtype="int64"),
+        "g2_keyness": pd.Series([], dtype="float64"),
+        "over_early": pd.Series([], dtype=bool),
+    })
+    if na == 0 or nb == 0:
+        return empty
+    m = g[g.token != "\x00TOTAL"]
+    cnts: dict = {}
+    for _, r in m.iterrows():
+        d = cnts.setdefault(str(r.token), [0, 0])
+        d[int(r.half)] += int(r.n)
+    totals = sorted(cnts.items(),
+                    key=lambda kv: (-(kv[1][0] + kv[1][1]), kv[0]))[:k]
+    nn = na + nb
+    rows = []
+    for t, (a, b_) in totals:
+        ab = a + b_
+        ea = float(na) * (float(ab) / float(nn))
+        eb = float(nb) * (float(ab) / float(nn))
+        g2 = 0.0
+        if a > 0:
+            g2 = g2 + float(a) * math.log(float(a) / ea)
+        if b_ > 0:
+            g2 = g2 + float(b_) * math.log(float(b_) / eb)
+        g2 = 2.0 * g2
+        over = (float(a) / float(na)) > (float(b_) / float(nb))
+        rows.append((t, a, b_,
+                     float(round_half_away([g2], 6)[0]), over))
+    return pd.DataFrame(rows, columns=[
+        "token", "count_early", "count_late", "g2_keyness",
+        "over_early"]) \
+        .astype({"count_early": "int64", "count_late": "int64",
+                 "over_early": bool}) \
+        .sort_values("token").reset_index(drop=True)
+
+
+def hoover_index_per_type(sf_dir: str) -> pd.DataFrame:
+    """Hoover / Robin Hood index of value concentration per event
+    type (Hoover 1936 — the maximal Lorenz gap: the share of total
+    value that would have to move to equalize; the third inequality
+    scalar beside Gini and Theil): H = Σ|x_i − μ| / (2·Σx) computed
+    ENTIRELY in exact integer space as Σ|n·x_i − S| / (2·n·S) — the
+    numerator folds per block with python-int strings (n·x can pass
+    int64 under planted extremes), the result is ONE IEEE division —
+    contract-free. Non-positive totals guard to the 0.0 sentinel
+    (the gini convention). Two distributed passes: exact (n, S) per
+    type, then the broadcast-moment deviation fold."""
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    h = ds.map_batches(lambda b: pd.DataFrame({
+        "event_type": b.event_type,
+        "cents": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64)}), batch_format="pandas") \
+        .materialize()
+    stats = h.map_batches(
+        lambda b: b.groupby("event_type", as_index=False)
+        .agg(n=("cents", "size"), s=("cents", "sum")),
+        batch_format="pandas", batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("s", alias_name="s")) \
+        .to_pandas()
+    ns = {str(r.event_type): (int(r.n), int(r.s))
+          for _, r in stats.iterrows()}
+    bc = ray.put(ns)
+
+    def dev(b: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(bc)
+        rows = []
+        for et, sub in b.groupby("event_type", sort=False):
+            n, s = m[str(et)]
+            c = sub.cents.to_numpy(np.int64)
+            # vectorized int64 |n*x - s|; guard the SUM's attainable
+            # bound (len(c) block-local terms, each <= |s| + n*maxc)
+            assert len(c) * (abs(s) + n * int(np.abs(c).max())) \
+                < 2 ** 63, "deviation sum exceeds int64 — widen"
+            acc = int(np.abs(n * c - s).sum())
+            rows.append((et, str(acc)))
+        return pd.DataFrame(rows, columns=["event_type", "d"])
+
+    f = h.map_batches(dev, batch_format="pandas",
+                      batch_size=65536).to_pandas()
+    dev_tot: dict = {}
+    for _, r in f.iterrows():
+        dev_tot[str(r.event_type)] = \
+            dev_tot.get(str(r.event_type), 0) + int(r.d)
+    rows = []
+    for et in sorted(ns):
+        n, s = ns[et]
+        d = dev_tot.get(et, 0)
+        hoover = (float(d) / float(2 * n * s)) if s > 0 else 0.0
+        rows.append((et, n, s, hoover))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "n_rows", "total_cents", "hoover_index"]) \
+        .astype({"n_rows": "int64", "total_cents": "int64"})
+
+
+def image_moments_audit(sf_dir: str) -> pd.DataFrame:
+    """Raw image-moment audit (the m_pq spatial moments under every
+    centroid/orientation feature — Hu 1962's first stage): over the
+    channel-sum grid of the REAL decode output, the EXACT integers
+    m00 = Σp, m10 = Σp·r, m01 = Σp·c, m11 = Σp·r·c, m20 = Σp·r²,
+    m02 = Σp·c²; the intensity centroid (m10/m00, m01/m00) is one
+    division each. SQL recomputes every moment from the closed-form
+    grid — a misplaced pixel shifts m11/m20/m02 even when totals
+    agree."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def moments(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            m00 = int(p.sum())
+            m10 = int((p * r).sum())
+            m01 = int((p * c).sum())
+            m11 = int((p * r * c).sum())
+            m20 = int((p * r * r).sum())
+            m02 = int((p * c * c).sum())
+            rows.append((i, fmt, m00, m10, m01, m11, m20, m02,
+                         float(m10) / float(m00),
+                         float(m01) / float(m00)))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "m00", "m10", "m01", "m11", "m20",
+            "m02", "centroid_r", "centroid_c"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(moments, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "m00", "m10", "m01", "m11", "m20", "m02"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def rayleigh_hod_uniformity(sf_dir: str) -> pd.DataFrame:
+    """Rayleigh test of hour-of-day uniformity in its circular-
+    statistics form (Lord Rayleigh 1880; Fisher, Statistical Analysis
+    of Circular Data 1993 — the directional companion of the
+    hod_uniformity chi²; catches a smooth diurnal drift a 24-bin chi²
+    dilutes): with exact integer hod counts n_h, the resultant
+    components C = Σ n_h·cos(2πh/24), S = Σ n_h·sin(2πh/24) fold in
+    hod order over the SAME embedded trig tables as
+    daily_harmonic_power (CAST('<repr>' AS DOUBLE) string parses —
+    contract-free); R̄² = (C²+S²)/n², Rayleigh z = n·R̄² — fixed-shape
+    expressions. Empty input => 0-sentinels."""
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    hod = ds.map_batches(lambda b: pd.DataFrame({
+        "h": b.ts.dt.hour.astype("int64"),
+        "n": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas", batch_size=65536) \
+        .groupby("h").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("h").reset_index(drop=True)
+    n = int(hod.n.sum()) if len(hod) else 0
+    if n == 0:
+        return pd.DataFrame({
+            "n_events": pd.Series([0], dtype="int64"),
+            "c_resultant": pd.Series([0.0], dtype="float64"),
+            "s_resultant": pd.Series([0.0], dtype="float64"),
+            "rbar_sq": pd.Series([0.0], dtype="float64"),
+            "rayleigh_z": pd.Series([0.0], dtype="float64"),
+        })
+    cs, sn = _harmonic_tables(1)
+    counts = {int(r.h): int(r.n) for _, r in hod.iterrows()}
+    first = True
+    c_acc = s_acc = 0.0
+    for h in range(24):
+        if h not in counts:
+            continue
+        tc = float(counts[h]) * cs[h]
+        ts_ = float(counts[h]) * sn[h]
+        if first:
+            c_acc, s_acc = tc, ts_
+            first = False
+        else:
+            c_acc = c_acc + tc
+            s_acc = s_acc + ts_
+    rbar_sq = (c_acc * c_acc + s_acc * s_acc) / (float(n) * float(n))
+    return pd.DataFrame({
+        "n_events": pd.Series([n], dtype="int64"),
+        "c_resultant": pd.Series([c_acc], dtype="float64"),
+        "s_resultant": pd.Series([s_acc], dtype="float64"),
+        "rbar_sq": pd.Series([rbar_sq], dtype="float64"),
+        "rayleigh_z": pd.Series([float(n) * rbar_sq],
+                                dtype="float64"),
+    })
+
+
+def char_entropy_conditional(sf_dir: str) -> pd.DataFrame:
+    """Shannon's printed-text entropy pair over the normalized token
+    stream (Shannon 1951 "Prediction and Entropy of Printed English"
+    — the unigram character entropy H(X) and the conditional bigram
+    entropy H(X|prev), whose gap is the first-order redundancy): the
+    contract stream is ' '.join(WORD_RE tokens) per doc (the
+    char_trigram_js recipe — both sides see identical ≤28-symbol
+    text); unigram/bigram counts are exact via char-keyed exchanges;
+    H(X) = −Σ p·log2 p and H(X|prev) = H(pair) − H(prev) evaluate
+    from EXACT merged integer counts under the entropy tier's
+    round-6 contract. Empty corpus => 0-sentinels."""
+    from ..stages.textops import WORD_RE
+
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        uni: dict = {}
+        bi: dict = {}
+        for txt in b.text.fillna("").astype(str):
+            s = " ".join(WORD_RE.findall(txt.lower()))
+            for ch in s:
+                uni[ch] = uni.get(ch, 0) + 1
+            for i in range(len(s) - 1):
+                g = s[i:i + 2]
+                bi[g] = bi.get(g, 0) + 1
+        rows = [("u", k, v) for k, v in uni.items()]
+        rows += [("b", k, v) for k, v in bi.items()]
+        if not rows:
+            return pd.DataFrame({
+                "kind": pd.Series([], dtype=object),
+                "g": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(rows, columns=["kind", "g", "n"]) \
+            .astype({"n": "int64"})
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby(["kind", "g"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    uni = {str(r.g): int(r.n) for _, r in g[g.kind == "u"].iterrows()}
+    bi = {str(r.g): int(r.n) for _, r in g[g.kind == "b"].iterrows()}
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    if nu == 0:
+        return pd.DataFrame({
+            "n_chars": pd.Series([0], dtype="int64"),
+            "n_bigrams": pd.Series([0], dtype="int64"),
+            "h_unigram": pd.Series([0.0], dtype="float64"),
+            "h_conditional": pd.Series([0.0], dtype="float64"),
+        })
+    cu = np.array(sorted(uni.values(), reverse=True), np.float64)
+    pu = cu / float(nu)
+    h_uni = float(-(pu * np.log2(pu)).sum())
+    if nb > 0:
+        cb = np.array(sorted(bi.values(), reverse=True), np.float64)
+        pb = cb / float(nb)
+        h_pair = float(-(pb * np.log2(pb)).sum())
+        # H(prev) over the bigram-PREFIX marginal (may differ from
+        # the unigram distribution at doc boundaries)
+        pref: dict = {}
+        for k, v in bi.items():
+            pref[k[0]] = pref.get(k[0], 0) + v
+        cp = np.array(sorted(pref.values(), reverse=True), np.float64)
+        pp = cp / float(nb)
+        h_prev = float(-(pp * np.log2(pp)).sum())
+        h_cond = h_pair - h_prev
+    else:
+        h_cond = 0.0
+    return pd.DataFrame({
+        "n_chars": pd.Series([nu], dtype="int64"),
+        "n_bigrams": pd.Series([nb], dtype="int64"),
+        "h_unigram": pd.Series(round_half_away([h_uni], 6),
+                               dtype="float64"),
+        "h_conditional": pd.Series(round_half_away([h_cond], 6),
+                                   dtype="float64"),
+    })
+
+
+def image_ring_profile_audit(sf_dir: str) -> pd.DataFrame:
+    """Chebyshev-ring radial profile over the REAL decode output (the
+    center-weighted exposure/vignetting probe in its exact integer
+    form — rings are max(|dr·2+adj|)-style square shells, NOT
+    Euclidean, precisely so every ring id is integer arithmetic:
+    ring = max(|2r−(h−1)|, |2c−(w−1)|) — the doubled-coordinate trick
+    keeps half-pixel centers exact): reported exact ints per image —
+    the center 8-ring intensity sum (ring id < 16 in doubled units),
+    the outermost-shell sum (ring id ≥ max−16), the ring-id-weighted
+    intensity sum (the radial arrangement pin), and the total. SQL
+    replays the doubled-coordinate ring id on the closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def rings(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            ring = np.maximum(np.abs(2 * r - (h - 1)),
+                              np.abs(2 * c - (w - 1)))
+            rmax = int(ring.max())
+            rows.append((i, fmt, int(p.sum()),
+                         int(p[ring < 16].sum()),
+                         int(p[ring >= rmax - 16].sum()),
+                         int((p * ring).sum()), rmax))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "gray_total", "center_sum",
+            "outer_sum", "ring_weighted_sum", "ring_max"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(rings, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "gray_total", "center_sum", "outer_sum",
+                "ring_weighted_sum", "ring_max"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

@@ -377,6 +377,11 @@ def run_queries() -> dict[str, float]:
         "minhash_halves_jaccard_audit", "langid_confusion_matrix",
         "priority_week_independence", "doc_length_w1_halves",
         "type_pair_overlap_cosine", "image_zigzag_audit",
+        "countsketch_token_audit", "seasonal_naive_error_hourly",
+        "image_symmetry_audit", "keyness_top_tokens",
+        "hoover_index_per_type", "image_moments_audit",
+        "rayleigh_hod_uniformity", "char_entropy_conditional",
+        "image_ring_profile_audit",
     ]
     qs = E.queries()
     out = {}

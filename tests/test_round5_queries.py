@@ -6928,3 +6928,328 @@ class TestImageZigzagAudit:
             assert int(row.block_weighted_sum) == int((p * blk).sum())
             assert int(row.n_blocks) == (h // 8) * (w // 8)
             assert int(row.gray_total) == int(p.sum())
+
+
+class TestCountsketchTokenAudit:
+    def test_counters_match_md5_bruteforce_and_estimates(
+            self, ray_session):
+        import hashlib
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.countsketch_token_audit(SF)
+        texts = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        cnt = Counter()
+        for t in texts.text:
+            cnt.update(WORD_RE.findall(str(t or "").lower()))
+        hexv = "0123456789abcdef"
+        counters = {(j, b): 0 for j in range(4) for b in range(32)}
+        for t, n in cnt.items():
+            for j in range(4):
+                h = hashlib.md5(f"{j}:{t}".encode()).hexdigest()
+                b = (16 * hexv.index(h[0]) + hexv.index(h[1])) % 32
+                counters[(j, b)] += n if h[2] >= "8" else -n
+        got = {(int(r.hash_row), int(r.bucket)): int(r.counter)
+               for _, r in out.iterrows()}
+        assert got == counters
+        assert len(out) == 128
+        # median-of-rows estimate recovers the top token within the
+        # analytic CS error (checked loosely: right order of magnitude)
+        top, n_top = cnt.most_common(1)[0]
+        ests = []
+        for j in range(4):
+            h = hashlib.md5(f"{j}:{top}".encode()).hexdigest()
+            b = (16 * hexv.index(h[0]) + hexv.index(h[1])) % 32
+            s = 1 if h[2] >= "8" else -1
+            ests.append(s * counters[(j, b)])
+        est = float(np.median(ests))
+        l2 = float(np.sqrt(sum(c * c for c in cnt.values())))
+        assert abs(est - n_top) <= 3.0 * l2 / np.sqrt(32)
+
+
+class TestSeasonalNaiveErrorHourly:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _hourly_mean_series)
+
+        out = Q.seasonal_naive_error_hourly(SF)
+        x = _hourly_mean_series(SF)
+        e = x[24:] - x[:-24]
+        assert int(out.n_forecasts[0]) == len(e)
+        assert abs(float(out.mae[0]) - float(np.abs(e).mean())) < 1e-12
+        assert abs(float(out.rmse[0])
+                   - float(np.sqrt((e * e).mean()))) < 1e-12
+
+    def test_pure_daily_cycle_is_perfectly_forecast(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 24 * 5
+        vals = 10.0 + 5.0 * np.cos(2 * np.pi * (np.arange(nh) % 24)
+                                   / 24.0)
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.seasonal_naive_error_hourly(d)
+        assert float(out.mae[0]) == 0.0
+        assert float(out.rmse[0]) == 0.0
+
+
+class TestImageSymmetryAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_symmetry_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            ah = int(np.abs(p[:, : w // 2]
+                            - p[:, ::-1][:, : w // 2]).sum())
+            av = int(np.abs(p[: h // 2]
+                            - p[::-1][: h // 2]).sum())
+            assert int(row.h_asymmetry) == ah
+            assert int(row.v_asymmetry) == av
+            assert int(row.gray_total) == int(p.sum())
+            assert float(row.h_asym_share) == ah / (2.0 * p.sum())
+
+
+class TestKeynessTopTokens:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.keyness_top_tokens(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        halves = [Counter(), Counter()]
+        for _, row in df.iterrows():
+            halves[int(row.doc_id) % 2].update(
+                WORD_RE.findall(str(row.text or "").lower()))
+        tot = halves[0] + halves[1]
+        top = sorted(tot, key=lambda t: (-tot[t], t))[:10]
+        na, nb = sum(halves[0].values()), sum(halves[1].values())
+        nn = na + nb
+        assert sorted(out.token) == sorted(top)
+        for _, row in out.iterrows():
+            a, b = halves[0][row.token], halves[1][row.token]
+            assert int(row.count_early) == a
+            assert int(row.count_late) == b
+            g2 = 0.0
+            if a:
+                g2 += a * math.log(a / (na * ((a + b) / nn)))
+            if b:
+                g2 += b * math.log(b / (nb * ((a + b) / nn)))
+            assert abs(float(row.g2_keyness) - 2 * g2) < 1e-5
+            assert bool(row.over_early) == (a / na > b / nb)
+
+    def test_balanced_token_has_tiny_g2(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["same same same word", "same same same"],
+                        ["en", "en"])
+            out = Q.keyness_top_tokens(d)
+        r = out[out.token == "same"].iloc[0]
+        # 3-3 split over 4-3 totals: small but nonzero G2
+        assert float(r.g2_keyness) < 0.5
+
+
+class TestHooverIndexPerType:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.hoover_index_per_type(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        for et, sub in df.groupby("event_type"):
+            c = round_half_away(sub.value.to_numpy() * 100) \
+                .astype(np.int64).astype(object)
+            n, s = len(c), int(c.sum())
+            dev = int(np.abs(n * c - s).sum())
+            row = out[out.event_type == et].iloc[0]
+            assert int(row.total_cents) == s
+            if s > 0:
+                assert float(row.hoover_index) == float(dev) / float(
+                    2 * n * s)
+            # Hoover is a share in [0, 1)
+            assert 0.0 <= float(row.hoover_index) < 1.0
+
+    def test_equal_values_zero_and_concentrated_high(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(100, 7.0))
+            out = Q.hoover_index_per_type(d)
+        assert float(out.hoover_index[0]) == 0.0
+        vals = np.concatenate([np.full(99, 0.01), [10000.0]])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.hoover_index_per_type(d)
+        assert float(out.hoover_index[0]) > 0.9
+
+
+class TestImageMomentsAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_moments_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * cc + img_id + ch) % 256
+                    for ch in range(3)
+                    for cc in [c])
+            assert int(row.m00) == int(p.sum())
+            assert int(row.m10) == int((p * r).sum())
+            assert int(row.m01) == int((p * c).sum())
+            assert int(row.m11) == int((p * r * c).sum())
+            assert int(row.m20) == int((p * r * r).sum())
+            assert int(row.m02) == int((p * c * c).sum())
+            assert float(row.centroid_r) == float(
+                int((p * r).sum())) / float(int(p.sum()))
+        # centroid lies inside the image
+        for _, row in out.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            assert 0 <= float(row.centroid_r) <= h - 1
+            assert 0 <= float(row.centroid_c) <= w - 1
+
+
+class TestRayleighHodUniformity:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _harmonic_tables)
+
+        out = Q.rayleigh_hod_uniformity(SF)
+        h = duckdb.sql(f"""
+            SELECT extract(hour FROM ts) AS h, count(*) AS n
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        cs, sn = _harmonic_tables(1)
+        c = sum(float(r.n) * cs[int(r.h)] for _, r in h.iterrows())
+        s = sum(float(r.n) * sn[int(r.h)] for _, r in h.iterrows())
+        n = int(h.n.sum())
+        assert abs(float(out.c_resultant[0]) - c) < 1e-9
+        assert abs(float(out.s_resultant[0]) - s) < 1e-9
+        assert abs(float(out.rayleigh_z[0])
+                   - n * (c * c + s * s) / (n * n)) < 1e-9
+
+    def test_concentrated_vs_uniform(self, ray_session):
+        """All events in one hour => rbar^2 == 1 exactly (resultant
+        of identical unit vectors); a uniform 24-hour grid => z ~ 0."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.to_datetime(["2024-01-01 09:30:00"] * 200)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(200))
+            out = Q.rayleigh_hod_uniformity(d)
+        assert abs(float(out.rbar_sq[0]) - 1.0) < 1e-12
+        ts = pd.date_range("2024-01-01", periods=240, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(240))
+            out = Q.rayleigh_hod_uniformity(d)
+        assert float(out.rayleigh_z[0]) < 1e-12
+
+
+class TestCharEntropyConditional:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.char_entropy_conditional(SF)
+        df = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        uni, bi = Counter(), Counter()
+        for t in df.text:
+            s = " ".join(WORD_RE.findall(str(t or "").lower()))
+            uni.update(s)
+            bi.update(s[i:i + 2] for i in range(len(s) - 1))
+        nu, nb = sum(uni.values()), sum(bi.values())
+
+        def ent(c, n):
+            return -sum(v / n * math.log2(v / n) for v in c.values())
+
+        pref = Counter()
+        for g, v in bi.items():
+            pref[g[0]] += v
+        assert int(out.n_chars[0]) == nu
+        assert abs(float(out.h_unigram[0]) - ent(uni, nu)) < 1e-5
+        assert abs(float(out.h_conditional[0])
+                   - (ent(bi, nb) - ent(pref, nb))) < 1e-5
+        # conditioning can only reduce entropy
+        assert float(out.h_conditional[0]) \
+            <= float(out.h_unigram[0]) + 1e-6
+
+    def test_deterministic_text_has_zero_conditional(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["ababababab abababab"], ["en"])
+            out = Q.char_entropy_conditional(d)
+        # after 'a' always 'b'; after 'b' always 'a' or space...
+        # space transitions make it nonzero; use a strict cycle:
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["abababababababab"], ["en"])
+            out = Q.char_entropy_conditional(d)
+        assert float(out.h_conditional[0]) == 0.0
+        assert float(out.h_unigram[0]) == 1.0
+
+
+class TestImageRingProfileAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_ring_profile_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            ring = np.maximum(np.abs(2 * r - (h - 1)),
+                              np.abs(2 * c - (w - 1)))
+            rmax = int(ring.max())
+            assert int(row.ring_max) == rmax == max(h, w) - 1
+            assert int(row.center_sum) == int(p[ring < 16].sum())
+            assert int(row.outer_sum) == int(
+                p[ring >= rmax - 16].sum())
+            assert int(row.ring_weighted_sum) == int(
+                (p * ring).sum())
+            # shells partition: center + middle + outer == total
+            assert int(row.center_sum) <= int(row.gray_total)

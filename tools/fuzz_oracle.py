@@ -148,7 +148,8 @@ EVENT_QUERIES = [
     "session_duration_quantiles", "bartlett_variance_types",
     "ams_f2_audit", "last_digit_uniformity_events",
     "hill_tail_index_events", "arch_effect_hourly",
-    "type_pair_overlap_cosine",
+    "type_pair_overlap_cosine", "seasonal_naive_error_hourly",
+    "hoover_index_per_type", "rayleigh_hod_uniformity",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -276,7 +277,10 @@ DOC_QUERIES = [
     "rbo_token_halves", "image_bayer_audit",
     "image_palette_audit", "minhash_halves_jaccard_audit",
     "langid_confusion_matrix", "doc_length_w1_halves",
-    "image_zigzag_audit",
+    "image_zigzag_audit", "countsketch_token_audit",
+    "image_symmetry_audit", "keyness_top_tokens",
+    "image_moments_audit", "char_entropy_conditional",
+    "image_ring_profile_audit",
 ]
 
 
