@@ -432,6 +432,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rayleigh_hod_uniformity": Q.rayleigh_hod_uniformity,
         "char_entropy_conditional": Q.char_entropy_conditional,
         "image_ring_profile_audit": Q.image_ring_profile_audit,
+        "gini_split_gain_events": Q.gini_split_gain_events,
+        "embedding_clip_census": Q.embedding_clip_census,
+        "image_exposure_audit": Q.image_exposure_audit,
     }
 
 
@@ -8453,6 +8456,134 @@ def _oracle_sql_raw() -> dict[str, str]:
                    agg.ring_weighted_sum, agg.ring_max
             FROM agg JOIN outer_s ON outer_s.i = agg.i
             ORDER BY img_id
+        """,
+        # CART Gini split gain at the exact median: exact side/type
+        # counts, type-order impurity folds, fixed-shape gain
+        "gini_split_gain_events": """
+            WITH u AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            med AS (SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                        AS m,
+                        CAST(count(*) AS BIGINT) AS n
+                    FROM u),
+            cnt AS (
+                SELECT event_type,
+                       CAST(coalesce(sum(CASE WHEN cents
+                            <= (SELECT m FROM med) THEN 1 END), 0)
+                            AS BIGINT) AS l,
+                       CAST(coalesce(sum(CASE WHEN cents
+                            > (SELECT m FROM med) THEN 1 END), 0)
+                            AS BIGINT) AS r
+                FROM u GROUP BY 1
+            ),
+            tt AS (SELECT CAST(coalesce(sum(l), 0) AS BIGINT) AS nl,
+                          CAST(coalesce(sum(r), 0) AS BIGINT) AS nr
+                   FROM cnt),
+            f AS (
+                SELECT tt.nl, tt.nr, tt.nl + tt.nr AS nt,
+                       1.0 - list_reduce(list_transform(
+                           list(CAST(l + r AS BIGINT)
+                                ORDER BY event_type),
+                           c -> (CAST(c AS DOUBLE)
+                                 / CAST(tt.nl + tt.nr AS DOUBLE))
+                                * (CAST(c AS DOUBLE)
+                                   / CAST(tt.nl + tt.nr AS DOUBLE))),
+                           (a, b) -> a + b) AS gp,
+                       CASE WHEN tt.nl = 0 THEN 0.0
+                            ELSE 1.0 - list_reduce(list_transform(
+                                list(l ORDER BY event_type),
+                                c -> (CAST(c AS DOUBLE)
+                                      / CAST(tt.nl AS DOUBLE))
+                                     * (CAST(c AS DOUBLE)
+                                        / CAST(tt.nl AS DOUBLE))),
+                                (a, b) -> a + b)
+                       END AS gl,
+                       CASE WHEN tt.nr = 0 THEN 0.0
+                            ELSE 1.0 - list_reduce(list_transform(
+                                list(r ORDER BY event_type),
+                                c -> (CAST(c AS DOUBLE)
+                                      / CAST(tt.nr AS DOUBLE))
+                                     * (CAST(c AS DOUBLE)
+                                        / CAST(tt.nr AS DOUBLE))),
+                                (a, b) -> a + b)
+                       END AS gr
+                FROM cnt, tt
+                WHERE tt.nl + tt.nr > 0
+                GROUP BY tt.nl, tt.nr
+            )
+            SELECT nt AS n_events,
+                   (SELECT m FROM med) AS median_cents,
+                   nl AS n_left, gp AS gini_parent,
+                   gl AS gini_left, gr AS gini_right,
+                   gp - ((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * gl
+                         + (CAST(nr AS DOUBLE) / CAST(nt AS DOUBLE))
+                           * gr) AS split_gain
+            FROM f
+            UNION ALL
+            SELECT 0, 0, 0, 0.0, 0.0, 0.0, 0.0
+            FROM med WHERE n = 0
+        """,
+        # clip census at the exactly-representable +-2.0 bound
+        "embedding_clip_census": """
+            WITH u AS (SELECT unnest(embedding) AS v
+                       FROM embeddings),
+            a AS (
+                SELECT CAST(coalesce(sum(CASE WHEN v < -2.0
+                            THEN 1 END), 0) AS BIGINT) AS lo,
+                       CAST(coalesce(sum(CASE WHEN v >= -2.0
+                            AND v <= 2.0 THEN 1 END), 0) AS BIGINT)
+                           AS inr,
+                       CAST(coalesce(sum(CASE WHEN v > 2.0
+                            THEN 1 END), 0) AS BIGINT) AS hi,
+                       min(CAST(v AS DOUBLE)) AS mn,
+                       max(CAST(v AS DOUBLE)) AS mx,
+                       count(*) AS n
+                FROM u
+            )
+            SELECT lo AS n_below, inr AS n_within, hi AS n_above,
+                   CASE WHEN n = 0 THEN 0.0 ELSE mn END AS min_entry,
+                   CASE WHEN n = 0 THEN 0.0 ELSE mx END AS max_entry
+            FROM a
+        """,
+        # exposure bands + dynamic range on the closed-form grid
+        "image_exposure_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            ch AS (SELECT i, fmt, r, c, unnest([0, 1, 2]) AS k
+                   FROM px),
+            pv AS (SELECT i, fmt,
+                          (r + 2 * c + i + k) % 256 AS v
+                   FROM ch)
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(CASE WHEN v <= 15
+                        THEN 1 END), 0) AS BIGINT) AS n_shadow,
+                   CAST(coalesce(sum(CASE WHEN v >= 240
+                        THEN 1 END), 0) AS BIGINT) AS n_highlight,
+                   CAST(min(v) AS BIGINT) AS v_min,
+                   CAST(max(v) AS BIGINT) AS v_max,
+                   CAST(max(v) - min(v) AS BIGINT) AS dynamic_range
+            FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -21054,3 +21054,164 @@ def image_ring_profile_audit(sf_dir: str) -> pd.DataFrame:
                 "ring_weighted_sum", "ring_max"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def gini_split_gain_events(sf_dir: str) -> pd.DataFrame:
+    """CART Gini-impurity split gain at the exact median value
+    (Breiman et al. 1984 — THE decision-tree split criterion; here
+    the one-split audit: how much does knowing value <= median purify
+    the event_type mix): the split point is the EXACT quantile_disc
+    median of the clean cents (an actual data value — bit-exact
+    comparisons), per-side per-type counts are exact ints, each
+    impurity 1 − Σ (c/n)² folds exact-ratio squares in type order,
+    and the gain parent − (nL/n)·L − (nR/n)·R is a fixed-shape
+    expression — contract-free. Empty / one-sided splits guard to
+    0.0 sentinels."""
+    from ..stages.scan import exact_quantiles
+
+    ds = sf_events_clean(sf_dir, ["event_type", "value"])
+
+    h = ds.map_batches(lambda b: pd.DataFrame({
+        "event_type": b.event_type,
+        "cents": round_half_away(b.value.to_numpy() * 100)
+                 .astype(np.int64)}), batch_format="pandas") \
+        .materialize()
+    n = h.count()
+    if n == 0:
+        return pd.DataFrame({
+            "n_events": pd.Series([0], dtype="int64"),
+            "median_cents": pd.Series([0], dtype="int64"),
+            "n_left": pd.Series([0], dtype="int64"),
+            "gini_parent": pd.Series([0.0], dtype="float64"),
+            "gini_left": pd.Series([0.0], dtype="float64"),
+            "gini_right": pd.Series([0.0], dtype="float64"),
+            "split_gain": pd.Series([0.0], dtype="float64"),
+        })
+    med = int(exact_quantiles(h, "cents", [0.5],
+                              method="inverted_cdf")[0])
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        left = b.cents.to_numpy(np.int64) <= med
+        return pd.DataFrame({
+            "event_type": b.event_type,
+            "l": left.astype(np.int64),
+            "r": (~left).astype(np.int64),
+        }).groupby("event_type", as_index=False).sum()
+
+    g = h.map_batches(counts, batch_format="pandas",
+                      batch_size=65536) \
+        .groupby("event_type").aggregate(
+            Sum("l", alias_name="l"), Sum("r", alias_name="r")) \
+        .to_pandas().sort_values("event_type").reset_index(drop=True)
+    nl = int(g.l.sum())
+    nr = int(g.r.sum())
+    ntot = nl + nr
+
+    def gini(col_counts, tot):
+        if tot == 0:
+            return 0.0
+        acc = 0.0
+        for c in col_counts:       # type-order fold
+            p = float(int(c)) / float(tot)
+            acc = acc + p * p
+        return 1.0 - acc
+
+    gp = gini((g.l + g.r).tolist(), ntot)
+    gl = gini(g.l.tolist(), nl)
+    gr = gini(g.r.tolist(), nr)
+    gain = gp - ((float(nl) / float(ntot)) * gl
+                 + (float(nr) / float(ntot)) * gr)
+    return pd.DataFrame({
+        "n_events": pd.Series([ntot], dtype="int64"),
+        "median_cents": pd.Series([med], dtype="int64"),
+        "n_left": pd.Series([nl], dtype="int64"),
+        "gini_parent": pd.Series([gp], dtype="float64"),
+        "gini_left": pd.Series([gl], dtype="float64"),
+        "gini_right": pd.Series([gr], dtype="float64"),
+        "split_gain": pd.Series([gain], dtype="float64"),
+    })
+
+
+def embedding_clip_census(sf_dir: str) -> pd.DataFrame:
+    """Clipping census of the embedding matrix at the standard ±2.0
+    activation bound (the pre-quantization saturation check — how
+    much mass a hard clip would destroy): EXACT integer counts of
+    entries below −2.0 / inside / above +2.0 (float comparisons
+    against the exactly-representable constant 2.0), plus the global
+    min/max entries (exact float extremes — identical doubles both
+    sides). One shuffle-free pass of per-block scalars."""
+    ds = sf_table(sf_dir, "embeddings", columns=["embedding"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        e = np.stack(b.embedding.to_numpy()).astype(np.float64)
+        return pd.DataFrame({
+            "lo": [np.int64((e < -2.0).sum())],
+            "inr": [np.int64(((e >= -2.0) & (e <= 2.0)).sum())],
+            "hi": [np.int64((e > 2.0).sum())],
+            "mn": [float(e.min())],
+            "mx": [float(e.max())],
+        })
+
+    f = ds.map_batches(census, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    if len(f) == 0:
+        return pd.DataFrame({
+            "n_below": pd.Series([0], dtype="int64"),
+            "n_within": pd.Series([0], dtype="int64"),
+            "n_above": pd.Series([0], dtype="int64"),
+            "min_entry": pd.Series([0.0], dtype="float64"),
+            "max_entry": pd.Series([0.0], dtype="float64"),
+        })
+    return pd.DataFrame({
+        "n_below": pd.Series([int(f.lo.sum())], dtype="int64"),
+        "n_within": pd.Series([int(f.inr.sum())], dtype="int64"),
+        "n_above": pd.Series([int(f.hi.sum())], dtype="int64"),
+        "min_entry": pd.Series([float(f.mn.min())], dtype="float64"),
+        "max_entry": pd.Series([float(f.mx.max())], dtype="float64"),
+    })
+
+
+def image_exposure_audit(sf_dir: str) -> pd.DataFrame:
+    """Exposure-clipping census over the REAL decode output (the
+    photography QC every ingestion pipeline runs: crushed shadows
+    and blown highlights are unrecoverable): EXACT integer counts of
+    channel values in the shadow band (v <= 15) and highlight band
+    (v >= 240), the per-image channel-value extremes, and the
+    dynamic-range span max − min. SQL replays the band rules on the
+    closed-form grid."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def expo(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            dec = C.decode(C.encode(src, fmt), fmt).astype(np.int64)
+            rows.append((i, fmt,
+                         int((dec <= 15).sum()),
+                         int((dec >= 240).sum()),
+                         int(dec.min()), int(dec.max()),
+                         int(dec.max()) - int(dec.min())))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_shadow", "n_highlight", "v_min",
+            "v_max", "dynamic_range"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(expo, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_shadow", "n_highlight", "v_min",
+                "v_max", "dynamic_range"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)

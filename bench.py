@@ -381,7 +381,8 @@ def run_queries() -> dict[str, float]:
         "image_symmetry_audit", "keyness_top_tokens",
         "hoover_index_per_type", "image_moments_audit",
         "rayleigh_hod_uniformity", "char_entropy_conditional",
-        "image_ring_profile_audit",
+        "image_ring_profile_audit", "gini_split_gain_events",
+        "embedding_clip_census", "image_exposure_audit",
     ]
     qs = E.queries()
     out = {}

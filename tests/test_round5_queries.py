@@ -7253,3 +7253,101 @@ class TestImageRingProfileAudit:
                 (p * ring).sum())
             # shells partition: center + middle + outer == total
             assert int(row.center_sum) <= int(row.gray_total)
+
+
+class TestGiniSplitGainEvents:
+    def test_matches_sklearn_free_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.gini_split_gain_events(SF)
+        df = duckdb.sql(f"""
+            SELECT event_type, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        c = round_half_away(df.value.to_numpy() * 100).astype(np.int64)
+        n = len(c)
+        med = int(np.sort(c)[max(0, math.ceil(0.5 * n) - 1)])
+        left = c <= med
+
+        def gini(mask):
+            if mask.sum() == 0:
+                return 0.0
+            _, counts = np.unique(df.event_type[mask],
+                                  return_counts=True)
+            p = counts / mask.sum()
+            return 1.0 - float((p * p).sum())
+
+        gl = gini(left)
+        gr = gini(~left)
+        gp = gini(np.ones(n, dtype=bool))
+        gain = gp - (left.sum() / n * gl + (~left).sum() / n * gr)
+        assert int(out.median_cents[0]) == med
+        assert int(out.n_left[0]) == int(left.sum())
+        assert abs(float(out.gini_parent[0]) - gp) < 1e-12
+        assert abs(float(out.split_gain[0]) - gain) < 1e-12
+        assert float(out.split_gain[0]) >= -1e-12   # gain >= 0
+
+    def test_perfect_split_recovers_full_impurity(self, ray_session):
+        """Two types perfectly separated by the median: children are
+        pure, so gain == parent impurity == 0.5 exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        types = ["a"] * 100 + ["b"] * 100
+        vals = np.concatenate([np.full(100, 1.0), np.full(100, 9.0)])
+        ts = pd.date_range("2024-01-01", periods=200, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals, types=types)
+            out = Q.gini_split_gain_events(d)
+        assert float(out.gini_left[0]) == 0.0
+        assert float(out.gini_right[0]) == 0.0
+        assert float(out.split_gain[0]) == 0.5
+
+
+class TestEmbeddingClipCensus:
+    def test_matches_numpy_and_partition(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.embedding_clip_census(SF)
+        df = duckdb.sql(f"""
+            SELECT embedding FROM '{SF}/embeddings.parquet'
+        """).df()
+        e = np.stack(df.embedding.to_numpy()).astype(np.float64)
+        assert int(out.n_below[0]) == int((e < -2.0).sum())
+        assert int(out.n_above[0]) == int((e > 2.0).sum())
+        assert (int(out.n_below[0]) + int(out.n_within[0])
+                + int(out.n_above[0])) == e.size
+        assert float(out.min_entry[0]) == float(e.min())
+        assert float(out.max_entry[0]) == float(e.max())
+
+
+class TestImageExposureAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_exposure_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            dec = np.stack([(r + 2 * c + img_id + ch) % 256
+                            for ch in range(3)], axis=-1)
+            assert int(row.n_shadow) == int((dec <= 15).sum())
+            assert int(row.n_highlight) == int((dec >= 240).sum())
+            assert int(row.v_min) == int(dec.min())
+            assert int(row.v_max) == int(dec.max())
+            assert int(row.dynamic_range) == int(
+                dec.max() - dec.min())
+        # small tiles may not wrap the 256 cycle; range is bounded
+        # by the r+2c+ch extent, large tiles reach the full span
+        assert (out.dynamic_range <= 255).all()
+        assert (out.dynamic_range >= 90).all()

@@ -150,6 +150,7 @@ EVENT_QUERIES = [
     "hill_tail_index_events", "arch_effect_hourly",
     "type_pair_overlap_cosine", "seasonal_naive_error_hourly",
     "hoover_index_per_type", "rayleigh_hod_uniformity",
+    "gini_split_gain_events",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -280,7 +281,7 @@ DOC_QUERIES = [
     "image_zigzag_audit", "countsketch_token_audit",
     "image_symmetry_audit", "keyness_top_tokens",
     "image_moments_audit", "char_entropy_conditional",
-    "image_ring_profile_audit",
+    "image_ring_profile_audit", "image_exposure_audit",
 ]
 
 
@@ -353,6 +354,7 @@ EMB_QUERIES = [
     "pq_codebook_audit", "drift_kernel_struct_audit",
     # session-24: vector hygiene censuses
     "embedding_norm_band_counts", "embedding_sign_census",
+    "embedding_clip_census",
 ]
 
 
