@@ -435,6 +435,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_split_gain_events": Q.gini_split_gain_events,
         "embedding_clip_census": Q.embedding_clip_census,
         "image_exposure_audit": Q.image_exposure_audit,
+        "benford_two_digit_audit": Q.benford_two_digit_audit,
+        "image_entropy_audit": Q.image_entropy_audit,
+        "western_electric_rules_hourly":
+            Q.western_electric_rules_hourly,
+        "hits_transitions": Q.hits_transitions,
+        "casing_profile_docs": Q.casing_profile_docs,
+        "reading_ease_docs": Q.reading_ease_docs,
+        "jl_projection_audit": Q.jl_projection_audit,
+        "soundex_part_blocks": Q.soundex_part_blocks,
+        "transition_graph_stats": Q.transition_graph_stats,
     }
 
 
@@ -1531,6 +1541,238 @@ def _sobel_sql() -> str:
                CAST(sum(CASE WHEN mag > 1000 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_strong
         FROM mg GROUP BY 1, 2, 3 ORDER BY 1
+    """
+
+
+def _jl_sql(k: int = 8) -> str:
+    """JL ±1 projection: signs from md5('{j}:{d}') computed IN SQL
+    (the zero-slack recipe), folds in dimension order."""
+    cols = []
+    for j in range(k):
+        cols.append(f"""
+               list_reduce(list_transform(
+                   range(1, len(embedding) + 1),
+                   d -> CAST(embedding[d] AS DOUBLE)
+                        * (CASE WHEN substr(md5('{j}:'
+                               || CAST(d - 1 AS VARCHAR)), 1, 1)
+                               >= '8'
+                               THEN 1.0 ELSE -1.0 END)),
+                   (a, b) -> a + b) AS p{j}""")
+    return f"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,{",".join(cols)},
+               list_reduce(list_transform(embedding,
+                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+                   (a, b) -> a + b) AS norm2
+        FROM embeddings ORDER BY vec_id
+    """
+
+
+def _hits_sql(iters: int = 12) -> str:
+    """HITS over the transition graph: raw-count weight matrix, the
+    pagerank recursive-CTE list recipe carrying (hub, authority)
+    lists; a updates from h, then h from the NEW a, L1-normalized,
+    uniform fallback on zero mass — every fold a LEFT fold."""
+    return f"""
+        WITH RECURSIVE o AS (
+            SELECT event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        ti AS (SELECT event_type,
+                      CAST(row_number() OVER (ORDER BY event_type)
+                           AS BIGINT) AS i
+               FROM (SELECT DISTINCT event_type FROM events)),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ti),
+        w AS (SELECT prev_type, event_type, count(*) AS c
+              FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        cell AS (SELECT a.i AS k, b.i AS j,
+                        CAST(coalesce(w.c, 0) AS DOUBLE) AS p
+                 FROM ti a CROSS JOIN ti b
+                 LEFT JOIN w ON w.prev_type = a.event_type
+                            AND w.event_type = b.event_type),
+        rws AS (SELECT k, list(p ORDER BY j) AS row_p
+                FROM cell GROUP BY k),
+        mat AS (SELECT list(row_p ORDER BY k) AS m FROM rws),
+        outd AS (SELECT a.i AS k,
+                        CAST(coalesce(sum(w.c), 0) AS BIGINT) AS deg
+                 FROM ti a LEFT JOIN w ON w.prev_type = a.event_type
+                 GROUP BY a.i),
+        ind AS (SELECT b.i AS j,
+                       CAST(coalesce(sum(w.c), 0) AS BIGINT) AS deg
+                FROM ti b LEFT JOIN w ON w.event_type = b.event_type
+                GROUP BY b.i),
+        init AS (SELECT list_transform(range(1, n + 1),
+                        x -> CAST(1.0 AS DOUBLE) / n) AS r0
+                 FROM nn),
+        rec(it, hv, av) AS (
+            SELECT 1, (SELECT r0 FROM init), (SELECT r0 FROM init)
+            UNION ALL
+            SELECT it + 1,
+                   CASE WHEN sh = 0 THEN uni
+                        ELSE list_transform(hraw, x -> x / sh) END,
+                   av2
+            FROM (
+                SELECT it, uni, av2, hraw,
+                       list_reduce(hraw, (a, b) -> a + b) AS sh
+                FROM (
+                    SELECT it, n, uni, av2, m,
+                           list_transform(range(1, n + 1), k ->
+                               list_reduce(
+                                 list_transform(range(1, n + 1),
+                                     j -> m[k][j] * av2[j]),
+                                 (a, b) -> a + b)) AS hraw
+                    FROM (
+                        SELECT it, n, m, uni,
+                               CASE WHEN sa = 0 THEN uni
+                                    ELSE list_transform(araw,
+                                         x -> x / sa) END AS av2
+                        FROM (
+                            SELECT it, n, m, uni, araw,
+                                   list_reduce(araw,
+                                       (a, b) -> a + b) AS sa
+                            FROM (
+                                SELECT rec.it, nn.n, mat.m,
+                                       (SELECT r0 FROM init) AS uni,
+                                       list_transform(
+                                         range(1, nn.n + 1),
+                                         j -> list_reduce(
+                                           list_transform(
+                                             range(1, nn.n + 1),
+                                             k -> mat.m[k][j]
+                                                  * rec.hv[k]),
+                                           (a, b) -> a + b)) AS araw
+                                FROM rec, nn, mat
+                                WHERE rec.it < {iters}
+                            )
+                        )
+                    )
+                )
+            )
+        )
+        SELECT ti.event_type,
+               (SELECT list(deg ORDER BY k) FROM outd)[ti.i]
+                   AS out_transitions,
+               (SELECT list(deg ORDER BY j) FROM ind)[ti.i]
+                   AS in_transitions,
+               (SELECT hv FROM rec WHERE it = {iters})[ti.i] AS hub,
+               (SELECT av FROM rec WHERE it = {iters})[ti.i]
+                   AS authority
+        FROM ti ORDER BY 1
+    """
+
+
+def _benford_two_digit_sql() -> str:
+    """First-two-digit Benford chi²: 90 expectations embedded as
+    string-parse literals, left-chained; digits from the %.15e
+    rendering; modal pair with smallest-D tie-break."""
+    import math
+
+    chain = "0.0"
+    for d in range(10, 100):
+        p = f"CAST('{math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"
+        t = (f"(CAST(coalesce(c{d}, 0) AS DOUBLE)"
+             f" - CAST(nz AS DOUBLE) * {p}) * "
+             f"(CAST(coalesce(c{d}, 0) AS DOUBLE)"
+             f" - CAST(nz AS DOUBLE) * {p}) / "
+             f"(CAST(nz AS DOUBLE) * {p})")
+        chain = f"({chain} + {t})"
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN dd = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}" for d in range(10, 100))
+    return f"""
+        WITH v AS (
+            SELECT abs(value) AS av FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND value <> 0 AND isfinite(value)
+        ),
+        dd AS (
+            SELECT CAST(substr(printf('%.15e', av), 1, 1) AS BIGINT)
+                       * 10
+                 + CAST(substr(printf('%.15e', av), 3, 1) AS BIGINT)
+                       AS dd
+            FROM v
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS nz, {cols} FROM dd),
+        md AS (
+            SELECT dd AS d, CAST(count(*) AS BIGINT) AS c
+            FROM dd GROUP BY 1 ORDER BY c DESC, d ASC LIMIT 1
+        )
+        SELECT nz AS n_nonzero,
+               CAST(coalesce((SELECT d FROM md), 0) AS BIGINT)
+                   AS modal_two_digit,
+               CAST(coalesce((SELECT c FROM md), 0) AS BIGINT)
+                   AS modal_count,
+               CASE WHEN nz = 0 THEN 0.0 ELSE {chain} END
+                   AS chi2_benford2
+        FROM a
+    """
+
+
+def _we_rules_sql() -> str:
+    """Western Electric rule censuses over the hourly c-chart: the
+    same doubles as the engine, window indicators via list
+    indexing."""
+    def two_sided(k: int, lo_t: int, need: int, width: int) -> str:
+        # count windows where EITHER side trips — one transform so a
+        # both-sides window is never double-counted
+        terms_h = " + ".join(
+            f"(CASE WHEN cs[t - {kk}] > cbar + {k}.0 * s "
+            f"THEN 1 ELSE 0 END)" for kk in range(width - 1, -1, -1))
+        terms_l = " + ".join(
+            f"(CASE WHEN cs[t - {kk}] < cbar - {k}.0 * s "
+            f"THEN 1 ELSE 0 END)" for kk in range(width - 1, -1, -1))
+        # guard: DuckDB list_reduce RAISES on the empty list a
+        # short series produces (caught live by events fuzz 97407)
+        return (f"CAST(CASE WHEN nh < {lo_t} THEN 0 ELSE "
+                f"coalesce(list_reduce(list_transform("
+                f"generate_series({lo_t}, nh), t -> CASE WHEN "
+                f"({terms_h}) >= {need} OR ({terms_l}) >= {need} "
+                f"THEN 1 ELSE 0 END), (a, b) -> a + b), 0) END"
+                f" AS BIGINT)")
+
+    r1 = ("CAST(coalesce(list_reduce(list_transform("
+          "generate_series(1, nh), t -> CASE WHEN "
+          "cs[t] > cbar + 3.0 * s OR cs[t] < cbar - 3.0 * s "
+          "THEN 1 ELSE 0 END), (a, b) -> a + b), 0) AS BIGINT)")
+    r2 = two_sided(2, 3, 2, 3)
+    r3 = two_sided(1, 5, 4, 5)
+    terms_a = " + ".join(f"(CASE WHEN cs[t - {k}] > cbar "
+                         f"THEN 1 ELSE 0 END)" for k in range(8))
+    terms_b = " + ".join(f"(CASE WHEN cs[t - {k}] < cbar "
+                         f"THEN 1 ELSE 0 END)" for k in range(8))
+    r4 = (f"CAST(CASE WHEN nh < 8 THEN 0 ELSE "
+          f"coalesce(list_reduce(list_transform("
+          f"generate_series(8, nh), t -> CASE WHEN "
+          f"({terms_a}) >= 8 OR ({terms_b}) >= 8 "
+          f"THEN 1 ELSE 0 END), (a, b) -> a + b), 0) END AS BIGINT)")
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list(CAST(c AS DOUBLE) ORDER BY hour) AS cs,
+                   CAST(count(*) AS BIGINT) AS nh,
+                   CAST(coalesce(sum(c), 0) AS BIGINT) AS nev
+            FROM h
+        ),
+        st AS (
+            SELECT cs, nh,
+                   CAST(nev AS DOUBLE) / CAST(nh AS DOUBLE) AS cbar,
+                   sqrt(CAST(nev AS DOUBLE) / CAST(nh AS DOUBLE))
+                       AS s
+            FROM arr WHERE nh > 0
+        )
+        SELECT nh AS n_hours,
+               {r1} AS r1_beyond_3s,
+               {r2} AS r2_2of3_beyond_2s,
+               {r3} AS r3_4of5_beyond_1s,
+               {r4} AS r4_run_of_8
+        FROM st
+        UNION ALL
+        SELECT 0, 0, 0, 0, 0 FROM arr WHERE nh = 0
     """
 
 
@@ -8584,6 +8826,233 @@ def _oracle_sql_raw() -> dict[str, str]:
                    CAST(max(v) AS BIGINT) AS v_max,
                    CAST(max(v) - min(v) AS BIGINT) AS dynamic_range
             FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        "benford_two_digit_audit": _benford_two_digit_sql(),
+        "western_electric_rules_hourly": _we_rules_sql(),
+        "hits_transitions": _hits_sql(),
+        "jl_projection_audit": _jl_sql(),
+        # simplified-Soundex blocking: the documented recipe replayed
+        # symbol-for-symbol in list machinery
+        "soundex_part_blocks": """
+            WITH u AS (SELECT DISTINCT p_name AS name FROM part),
+            s1 AS (
+                SELECT name,
+                       regexp_replace(lower(name), '[^a-z]', '',
+                                      'g') AS s
+                FROM u
+            ),
+            s2 AS (
+                SELECT name, s,
+                       list_filter(list_transform(
+                           range(2, len(s) + 1),
+                           i -> CASE
+                               WHEN strpos('bfpv',
+                                    substr(s, i, 1)) > 0 THEN '1'
+                               WHEN strpos('cgjkqsxz',
+                                    substr(s, i, 1)) > 0 THEN '2'
+                               WHEN strpos('dt',
+                                    substr(s, i, 1)) > 0 THEN '3'
+                               WHEN substr(s, i, 1) = 'l' THEN '4'
+                               WHEN strpos('mn',
+                                    substr(s, i, 1)) > 0 THEN '5'
+                               WHEN substr(s, i, 1) = 'r' THEN '6'
+                               ELSE '' END),
+                           x -> x <> '') AS dl
+                FROM s1 WHERE s <> ''
+            ),
+            s3 AS (
+                SELECT name,
+                       substr(substr(s, 1, 1)
+                              || (CASE WHEN len(dl) = 0 THEN ''
+                                  ELSE list_reduce(dl, (a, b) ->
+                                      CASE WHEN right(a, 1) = b
+                                           THEN a ELSE a || b END)
+                                  END)
+                              || '000', 1, 4) AS code
+                FROM s2
+            ),
+            blocks AS (
+                SELECT code, CAST(count(*) AS BIGINT) AS n
+                FROM s3 GROUP BY 1
+            ),
+            meta AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                       CAST(coalesce(sum(CASE WHEN n = 1
+                            THEN 1 END), 0) AS BIGINT)
+                           AS n_singletons
+                FROM blocks
+            )
+            SELECT b.code, b.n AS block_size,
+                   meta.n_blocks, meta.n_singletons
+            FROM (SELECT * FROM blocks
+                  ORDER BY n DESC, code LIMIT 15) b, meta
+            ORDER BY block_size DESC, code
+        """,
+        # transition digraph health: exact integer weights, shares
+        # one division each
+        "transition_graph_stats": """
+            WITH o AS (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type
+                FROM events
+            ),
+            w AS (SELECT prev_type, event_type,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM o WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+            nodes AS (SELECT CAST(count(DISTINCT event_type)
+                          AS BIGINT) AS n
+                      FROM events),
+            agg AS (
+                SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS total,
+                       CAST(coalesce(sum(CASE WHEN prev_type
+                            = event_type THEN c END), 0) AS BIGINT)
+                           AS self_w,
+                       CAST(count(*) AS BIGINT) AS n_edges
+                FROM w
+            ),
+            rec AS (
+                SELECT CAST(coalesce(sum(2 * least(a.c, b.c)), 0)
+                            AS BIGINT) AS r
+                FROM w a JOIN w b
+                    ON a.prev_type = b.event_type
+                   AND a.event_type = b.prev_type
+                   AND a.prev_type < a.event_type
+            )
+            SELECT nodes.n AS n_nodes, agg.n_edges,
+                   agg.total AS total_weight,
+                   agg.self_w AS self_loop_weight,
+                   rec.r AS reciprocated_weight,
+                   CASE WHEN nodes.n = 0 THEN 0.0
+                        ELSE CAST(agg.n_edges AS DOUBLE)
+                             / CAST(nodes.n * nodes.n AS DOUBLE)
+                   END AS edge_density,
+                   CASE WHEN agg.total = 0 THEN 0.0
+                        ELSE CAST(agg.self_w AS DOUBLE)
+                             / CAST(agg.total AS DOUBLE)
+                   END AS self_loop_share,
+                   CASE WHEN agg.total = 0 THEN 0.0
+                        ELSE CAST(rec.r AS DOUBLE)
+                             / CAST(agg.total AS DOUBLE)
+                   END AS reciprocity
+            FROM nodes, agg, rec
+        """,
+        # ASCII casing / character-class censuses on the RAW text
+        "casing_profile_docs": """
+            WITH t AS (SELECT coalesce(text, '') AS x
+                       FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x, '[A-Z]', '',
+                                                'g'))), 0)
+                        AS BIGINT) AS n_upper,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x, '[a-z]', '',
+                                                'g'))), 0)
+                        AS BIGINT) AS n_lower,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x, '[0-9]', '',
+                                                'g'))), 0)
+                        AS BIGINT) AS n_digit,
+                   CAST(coalesce(sum(length(x)
+                        - length(regexp_replace(x,
+                          '[ \\t\\n\\r]', '', 'g'))), 0)
+                        AS BIGINT) AS n_space,
+                   CAST(coalesce(sum(CASE WHEN regexp_matches(x,
+                        '[A-Z]') THEN 1 END), 0) AS BIGINT)
+                       AS docs_with_upper,
+                   CAST(coalesce(sum(CASE WHEN substr(x, 1, 1)
+                        BETWEEN 'A' AND 'Z' THEN 1 END), 0)
+                        AS BIGINT) AS docs_first_upper,
+                   CAST(coalesce(sum(CASE WHEN regexp_matches(x,
+                        '[A-Z]') AND NOT regexp_matches(x, '[a-z]')
+                        THEN 1 END), 0) AS BIGINT) AS docs_all_caps
+            FROM t
+        """,
+        # Flesch Reading Ease: the readability_docs counts with the
+        # three constants string-parsed to DOUBLE
+        "reading_ease_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS ws,
+                       len(regexp_extract_all(
+                           lower(coalesce(text, '')),
+                           '[.!?]+')) AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS w,
+                       CAST(s AS BIGINT) AS s,
+                       CAST(coalesce(list_sum(list_transform(ws,
+                            wd -> greatest(1,
+                                len(regexp_extract_all(wd,
+                                    '[aeiouy]+'))))), 0) AS BIGINT)
+                           AS y
+                FROM t
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_syllables,
+                   CASE WHEN w = 0 OR s = 0 THEN 0.0
+                        ELSE CAST('206.835' AS DOUBLE)
+                             - CAST('1.015' AS DOUBLE)
+                               * (CAST(w AS DOUBLE) / CAST(s
+                                  AS DOUBLE))
+                             - CAST('84.6' AS DOUBLE)
+                               * (CAST(y AS DOUBLE) / CAST(w
+                                  AS DOUBLE))
+                   END AS reading_ease
+            FROM c ORDER BY doc_id
+        """,
+        # per-image gray-level entropy from exact histogram counts;
+        # round-6 entropy contract
+        "image_entropy_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256)
+                     + ((r + 2*c + i + 1) % 256)
+                     + ((r + 2*c + i + 2) % 256) AS p
+                FROM px
+            ),
+            hist AS (
+                SELECT i, fmt, p, CAST(count(*) AS BIGINT) AS c
+                FROM pv GROUP BY 1, 2, 3
+            ),
+            agg AS (
+                SELECT i, fmt,
+                       CAST(count(*) AS BIGINT) AS n_levels,
+                       CAST(max(c) AS BIGINT) AS modal_count,
+                       CAST(sum(c) AS BIGINT) AS nt
+                FROM hist GROUP BY 1, 2
+            )
+            SELECT agg.i AS img_id, agg.fmt, agg.n_levels,
+                   agg.modal_count,
+                   CAST(round((SELECT -sum(
+                       (CAST(hist.c AS DOUBLE)
+                        / CAST(agg.nt AS DOUBLE))
+                       * log2(CAST(hist.c AS DOUBLE)
+                              / CAST(agg.nt AS DOUBLE)))
+                       FROM hist WHERE hist.i = agg.i), 6)
+                       AS DOUBLE) AS gray_entropy
+            FROM agg ORDER BY img_id
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

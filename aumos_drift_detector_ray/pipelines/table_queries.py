@@ -21215,3 +21215,486 @@ def image_exposure_audit(sf_dir: str) -> pd.DataFrame:
                 "v_max", "dynamic_range"):
         out[col] = out[col].astype("int64")
     return out.sort_values("img_id").reset_index(drop=True)
+
+
+def benford_two_digit_audit(sf_dir: str) -> pd.DataFrame:
+    """Benford first-TWO-significant-digit audit (the second-order
+    forensic test, Nigrini 2012 §6 — price-pointing and fabricated
+    tails that pass the single-digit screens concentrate on specific
+    two-digit onsets): the contract digits are the 1st and 3rd
+    characters of the correctly-rounded '%.15e' scientific rendering
+    (the benford_first_digit recipe — CPython and DuckDB printf are
+    both correctly rounded), giving D ∈ [10, 99] counts as EXACT
+    ints; the chi² against n·log10(1+1/D) is a 90-term LEFT chain
+    with each expectation embedded as a CAST('<repr>' AS DOUBLE)
+    string parse (the literal-typing lesson). Zero values carry no
+    digits; empty => 0-sentinel."""
+    import math
+
+    ds = sf_events_clean(sf_dir, ["value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        v = np.abs(b.value.to_numpy(np.float64))
+        v = v[np.isfinite(v) & (v > 0)]
+        dd = np.array([int(f"{x:.15e}"[0]) * 10 + int(f"{x:.15e}"[2])
+                       for x in v], dtype=np.int64) \
+            if len(v) else np.empty(0, np.int64)
+        cnt = np.bincount(dd, minlength=100)[10:100]
+        return pd.DataFrame({f"c{d}": [int(cnt[d - 10])]
+                             for d in range(10, 100)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+    counts = [int(parts[f"c{d}"].sum()) if len(parts) else 0
+              for d in range(10, 100)]
+    n = sum(counts)
+    if n == 0:
+        chi2 = 0.0
+    else:
+        acc = 0.0
+        for i, d in enumerate(range(10, 100)):
+            p = math.log10(1.0 + 1.0 / d)
+            e = float(n) * p
+            t = ((float(counts[i]) - e) * (float(counts[i]) - e)) / e
+            acc = acc + t
+        chi2 = acc
+    top = max(range(90), key=lambda i: (counts[i], -i)) \
+        if n > 0 else 0
+    return pd.DataFrame({
+        "n_nonzero": pd.Series([n], dtype="int64"),
+        "modal_two_digit": pd.Series(
+            [10 + top if n > 0 else 0], dtype="int64"),
+        "modal_count": pd.Series([counts[top] if n > 0 else 0],
+                                 dtype="int64"),
+        "chi2_benford2": pd.Series([chi2], dtype="float64"),
+    })
+
+
+def image_entropy_audit(sf_dir: str) -> pd.DataFrame:
+    """Gray-level histogram entropy per image (the uniformity/texture
+    scalar of classical image QC — a flat histogram maximizes it, a
+    posterized or clipped image collapses it): the 766-bin channel-sum
+    histogram of the REAL decode output gives EXACT integer counts;
+    H = −Σ p·log2 p evaluates from those merged ints under the
+    entropy tier's round-6 contract; the exact distinct-level count
+    and modal-level count ride along (ints). SQL recomputes the
+    histogram from the closed-form grid and DuckDB's entropy()."""
+    from .. import codecs as C
+
+    n_docs = sf_table(sf_dir, "documents", columns=["doc_id"]).count()
+    n = int(min(100, n_docs))
+    fmts = ("raw", "png", "jpg")
+
+    def ent(b: pa.Table) -> pd.DataFrame:
+        rows = []
+        for i in b["id"].to_numpy():
+            i = int(i)
+            if i % 3 == 2:      # jpg: codec-defined pixels, excluded
+                continue
+            w = 32 + 8 * ((i * 7) % 16)
+            h = 32 + 8 * ((i * 11) % 16)
+            fmt = fmts[i % 3]
+            r = np.arange(h, dtype=np.int64)[:, None]
+            c = np.arange(w, dtype=np.int64)[None, :]
+            src = np.stack([(r + 2 * c + i + ch) % 256
+                            for ch in range(3)], axis=-1).astype(np.uint8)
+            p = C.decode(C.encode(src, fmt), fmt).astype(np.int64) \
+                .sum(axis=2)
+            cnt = np.bincount(p.ravel(), minlength=766)
+            nz = cnt[cnt > 0].astype(np.float64)
+            pr = nz / nz.sum()
+            hh = float(-(pr * np.log2(pr)).sum())
+            rows.append((i, fmt, int((cnt > 0).sum()),
+                         int(cnt.max()),
+                         float(round_half_away([hh], 6)[0])))
+        return pd.DataFrame(rows, columns=[
+            "img_id", "fmt", "n_levels", "modal_count",
+            "gray_entropy"])
+
+    out = ray.data.range(n, override_num_blocks=max(1, n // 64)) \
+        .map_batches(ent, batch_format="pyarrow",
+                     batch_size=4096).to_pandas()
+    for col in ("img_id", "n_levels", "modal_count"):
+        out[col] = out[col].astype("int64")
+    return out.sort_values("img_id").reset_index(drop=True)
+
+
+def western_electric_rules_hourly(sf_dir: str) -> pd.DataFrame:
+    """Western Electric run rules over the hourly-count c-chart
+    (Western Electric SQC Handbook 1956 — the four classic zone
+    rules on top of control_chart_hourly's Shewhart limits): with
+    cbar = n/H and s = √cbar (fixed-shape doubles of exact ints),
+    the per-hour comparisons c vs cbar ± k·s for k = 1, 2, 3 are
+    identical doubles on both sides, and the rule censuses are EXACT
+    ints — R1: |dev| beyond 3σ; R2: 2-of-3 consecutive beyond 2σ on
+    the same side; R3: 4-of-5 beyond 1σ same side; R4: 8 consecutive
+    on the same side of center. Windows fold over the O(hours)
+    driver series; SQL mirrors with list indexing. < 1 hour =>
+    0-sentinels."""
+    import math
+
+    ds = sf_table(sf_dir, "events", columns=["ts"])
+
+    hourly = ds.map_batches(lambda b: pd.DataFrame({
+        "hour": b.ts.dt.floor("h"),
+        "c": np.ones(len(b), dtype=np.int64)})
+        .groupby("hour", as_index=False).agg(c=("c", "sum")),
+        batch_format="pandas", batch_size=65536) \
+        .groupby("hour").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("hour").reset_index(drop=True)
+    nh = len(hourly)
+    if nh == 0:
+        return pd.DataFrame({
+            "n_hours": pd.Series([0], dtype="int64"),
+            "r1_beyond_3s": pd.Series([0], dtype="int64"),
+            "r2_2of3_beyond_2s": pd.Series([0], dtype="int64"),
+            "r3_4of5_beyond_1s": pd.Series([0], dtype="int64"),
+            "r4_run_of_8": pd.Series([0], dtype="int64"),
+        })
+    cs = [float(int(x)) for x in hourly.c]
+    nev = sum(int(x) for x in hourly.c)
+    cbar = float(nev) / float(nh)
+    s = math.sqrt(cbar)
+    hi1 = [c > cbar + 1.0 * s for c in cs]
+    lo1 = [c < cbar - 1.0 * s for c in cs]
+    hi2 = [c > cbar + 2.0 * s for c in cs]
+    lo2 = [c < cbar - 2.0 * s for c in cs]
+    hi3 = [c > cbar + 3.0 * s for c in cs]
+    lo3 = [c < cbar - 3.0 * s for c in cs]
+    above = [c > cbar for c in cs]
+    below = [c < cbar for c in cs]
+    r1 = sum(1 for t in range(nh) if hi3[t] or lo3[t])
+    r2 = sum(1 for t in range(2, nh)
+             if sum(hi2[t - 2:t + 1]) >= 2
+             or sum(lo2[t - 2:t + 1]) >= 2)
+    r3 = sum(1 for t in range(4, nh)
+             if sum(hi1[t - 4:t + 1]) >= 4
+             or sum(lo1[t - 4:t + 1]) >= 4)
+    r4 = sum(1 for t in range(7, nh)
+             if all(above[t - 7:t + 1]) or all(below[t - 7:t + 1]))
+    return pd.DataFrame({
+        "n_hours": pd.Series([nh], dtype="int64"),
+        "r1_beyond_3s": pd.Series([r1], dtype="int64"),
+        "r2_2of3_beyond_2s": pd.Series([r2], dtype="int64"),
+        "r3_4of5_beyond_1s": pd.Series([r3], dtype="int64"),
+        "r4_run_of_8": pd.Series([r4], dtype="int64"),
+    })
+
+
+def hits_transitions(sf_dir: str, iters: int = 12) -> pd.DataFrame:
+    """HITS hubs & authorities over the event-type transition graph
+    (Kleinberg, JACM 1999 — which types FEED activity (hubs) vs
+    RECEIVE it (authorities); the bipartite companion of
+    pagerank_transitions): edge weights are the EXACT integer
+    transition counts; each iteration updates a from h then h from
+    the NEW a, with L1 normalization, every fold a sequential LEFT
+    fold in index order mirrored by the proven recursive-CTE
+    list_reduce recipe — bit-level, no rounding contract.
+    Zero-mass normalizations fall back to the uniform vector on both
+    sides; Σa = Σh = 1 asserted engine-side at 1e-9."""
+    trans = event_type_transitions(sf_dir)
+    ds = sf_table(sf_dir, "events", columns=["event_type"])
+    types = sorted(set(ds.map_batches(
+        lambda b: pd.DataFrame({"event_type": b.event_type.unique()}),
+        batch_format="pandas").to_pandas().event_type))
+    idx = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    fn_ = float(n)
+    w = [[0] * n for _ in range(n)]
+    for p_, t_, c_ in zip(trans.prev_type, trans.event_type, trans.n):
+        w[idx[p_]][idx[t_]] = int(c_)
+    outd = [sum(row) for row in w]
+    ind = [sum(w[k][j] for k in range(n)) for j in range(n)]
+    h = [1.0 / fn_] * n
+    a = [1.0 / fn_] * n
+    for _ in range(iters - 1):
+        a_raw = []
+        for j in range(n):
+            s = float(w[0][j]) * h[0]
+            for k in range(1, n):
+                s = s + float(w[k][j]) * h[k]
+            a_raw.append(s)
+        sa = a_raw[0]
+        for v_ in a_raw[1:]:
+            sa = sa + v_
+        a = ([1.0 / fn_] * n if sa == 0.0
+             else [x / sa for x in a_raw])
+        h_raw = []
+        for k in range(n):
+            s = float(w[k][0]) * a[0]
+            for j in range(1, n):
+                s = s + float(w[k][j]) * a[j]
+            h_raw.append(s)
+        sh = h_raw[0]
+        for v_ in h_raw[1:]:
+            sh = sh + v_
+        h = ([1.0 / fn_] * n if sh == 0.0
+             else [x / sh for x in h_raw])
+    acc_a = a[0]
+    for v_ in a[1:]:
+        acc_a = acc_a + v_
+    assert abs(acc_a - 1.0) <= 1e-9, "HITS authority mass drifted"
+    return pd.DataFrame({
+        "event_type": types,
+        "out_transitions": pd.Series(outd, dtype="int64"),
+        "in_transitions": pd.Series(ind, dtype="int64"),
+        "hub": pd.Series(h, dtype="float64"),
+        "authority": pd.Series(a, dtype="float64"),
+    }).sort_values("event_type").reset_index(drop=True)
+
+
+def casing_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """Casing / character-class profile over the RAW document text
+    (the shouting/boilerplate detector quality scorers build on —
+    ALL-CAPS floods and digit walls mark low-quality spans): EXACT
+    corpus-level integer censuses — uppercase, lowercase, digit and
+    whitespace codepoint totals, documents that contain ANY uppercase,
+    documents whose first codepoint is uppercase, and ALL-CAPS
+    documents (>= 1 letter, no lowercase). Vectorized numpy UTF-32
+    class tests per block (the charset_hygiene recipe); SQL mirrors
+    with RE2 classes (ASCII A-Z/a-z — the contract is explicit ASCII
+    casing, not Unicode case folding). NULL text counts as empty."""
+    ds = sf_table(sf_dir, "documents", columns=["text"])
+
+    def census(b: pd.DataFrame) -> pd.DataFrame:
+        up = lo = dg = ws = 0
+        d_up = d_first = d_caps = 0
+        for txt in b.text.fillna(""):
+            if not txt:
+                continue
+            cp = np.frombuffer(txt.encode("utf-32-le"),
+                               dtype=np.uint32)
+            isu = (cp >= 65) & (cp <= 90)
+            isl = (cp >= 97) & (cp <= 122)
+            isd = (cp >= 48) & (cp <= 57)
+            isw = (cp == 32) | (cp == 9) | (cp == 10) | (cp == 13)
+            nu = int(isu.sum())
+            nl = int(isl.sum())
+            up += nu
+            lo += nl
+            dg += int(isd.sum())
+            ws += int(isw.sum())
+            d_up += nu > 0
+            d_first += bool(isu[0])
+            d_caps += (nu > 0 and nl == 0)
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(b))],
+            "n_upper": [np.int64(up)], "n_lower": [np.int64(lo)],
+            "n_digit": [np.int64(dg)], "n_space": [np.int64(ws)],
+            "docs_with_upper": [np.int64(d_up)],
+            "docs_first_upper": [np.int64(d_first)],
+            "docs_all_caps": [np.int64(d_caps)],
+        })
+
+    f = ds.map_batches(census, batch_format="pandas",
+                       batch_size=65536).to_pandas()
+    cols = ["n_docs", "n_upper", "n_lower", "n_digit", "n_space",
+            "docs_with_upper", "docs_first_upper", "docs_all_caps"]
+    return pd.DataFrame({c: pd.Series([int(f[c].sum())
+                                       if len(f) else 0],
+                                      dtype="int64")
+                         for c in cols})
+
+
+def reading_ease_docs(sf_dir: str) -> pd.DataFrame:
+    """Flesch Reading Ease per document (Flesch 1948 — the companion
+    scale of readability_docs' FK grade; higher = easier): the SAME
+    word / sentence / vowel-group-syllable counts as readability_docs
+    (exact ints, shuffle-free per-block regex kernel), with
+    RE = 206.835 − 1.015·(W/S) − 84.6·(Y/W) as ONE fixed-shape IEEE
+    expression whose three constants are embedded as
+    CAST('<repr>' AS DOUBLE) string parses in the SQL (the
+    literal-typing lesson — 206.835 parses as DECIMAL otherwise).
+    W=0 or S=0 => the 0.0 sentinel."""
+    import re
+
+    ds = sf_table(sf_dir, "documents", columns=["doc_id", "text"])
+    word_re = re.compile(r"[a-z']+")
+    sent_re = re.compile(r"[.!?]+")
+    syl_re = re.compile(r"[aeiouy]+")
+
+    def fn(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(b.doc_id, b.text):
+            t = (text or "").lower()
+            words = word_re.findall(t)
+            w = len(words)
+            s = len(sent_re.findall(t))
+            y = sum(max(1, len(syl_re.findall(wd))) for wd in words)
+            re_ = (0.0 if w == 0 or s == 0 else
+                   _FLESCH_BASE
+                   - _FLESCH_WS * (float(w) / float(s))
+                   - _FLESCH_YW * (float(y) / float(w)))
+            rows.append((int(doc_id), w, s, y, re_))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "n_words", "n_sentences", "n_syllables",
+            "reading_ease"])
+
+    out = ds.map_batches(fn, batch_format="pandas").to_pandas()
+    for col in ("doc_id", "n_words", "n_sentences", "n_syllables"):
+        out[col] = out[col].astype("int64")
+    out["reading_ease"] = out.reading_ease.astype("float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_FLESCH_BASE = 206.835
+_FLESCH_WS = 1.015
+_FLESCH_YW = 84.6
+
+
+def jl_projection_audit(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Johnson-Lindenstrauss ±1 random-projection audit (Achlioptas
+    2003's database-friendly signs; JL 1984 for the lemma — the
+    dimensionality-reduction primitive under every sketch-based ANN):
+    the k×d sign matrix derives from the SHARED md5 recipe
+    (sign(j,d) = +1 iff md5(f'{j}:{d}')[0] >= '8' — the
+    ams_f2_audit zero-slack pattern), and every projection
+    p_j = Σ_d sign·x_d folds in DIMENSION order over exactly-widened
+    float32 values — the engine folds column-wise across the batch,
+    the oracle with list_reduce — so each projected coordinate is the
+    bit-identical double. Output: per-vector projected coordinates
+    (value-hashed — a sign flip or reorder goes red) plus norm²; the
+    E[‖p‖²/k] = ‖x‖² distortion guarantee is exercised by pytest."""
+    import hashlib
+
+    ds = sf_table(sf_dir, "embeddings", columns=["vec_id",
+                                                 "embedding"])
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        e = np.stack(b.embedding.to_numpy()).astype(np.float64)
+        d = e.shape[1]
+        out = {"vec_id": b.vec_id.to_numpy(np.int64)}
+        for j in range(k):
+            signs = [1.0 if hashlib.md5(f"{j}:{dd}".encode())
+                     .hexdigest()[0] >= "8" else -1.0
+                     for dd in range(d)]
+            acc = e[:, 0] * signs[0]
+            for dd in range(1, d):
+                acc = acc + e[:, dd] * signs[dd]
+            out[f"p{j}"] = acc
+        acc2 = e[:, 0] * e[:, 0]
+        for dd in range(1, e.shape[1]):
+            acc2 = acc2 + e[:, dd] * e[:, dd]
+        out["norm2"] = acc2
+        return pd.DataFrame(out)
+
+    out = ds.map_batches(project, batch_format="pandas",
+                         batch_size=65536).to_pandas()
+    out["vec_id"] = out.vec_id.astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _soundex_like(name: str) -> str:
+    """Simplified Soundex-style phonetic blocking code (Russell 1918
+    family; this exact simplified recipe is the CONTRACT — letter
+    classes b f p v→1, c g j k q s x z→2, d t→3, l→4, m n→5, r→6;
+    vowels+h w y drop; adjacent duplicate digits collapse AFTER the
+    drop; first letter keeps its char; pad/truncate to 4): mirrored
+    symbol-for-symbol by the oracle's list pipeline."""
+    s = "".join(ch for ch in name.lower() if "a" <= ch <= "z")
+    if not s:
+        return ""
+    table = {}
+    for grp, dig in (("bfpv", "1"), ("cgjkqsxz", "2"), ("dt", "3"),
+                     ("l", "4"), ("mn", "5"), ("r", "6")):
+        for ch in grp:
+            table[ch] = dig
+    digits = [table.get(ch, "") for ch in s[1:]]
+    digits = [d for d in digits if d]
+    dedup = []
+    for d in digits:
+        if not dedup or dedup[-1] != d:
+            dedup.append(d)
+    return (s[0] + "".join(dedup) + "000")[:4]
+
+
+def soundex_part_blocks(sf_dir: str, m: int = 15) -> pd.DataFrame:
+    """Phonetic blocking census over DISTINCT part names (the
+    Soundex-family ER blocking key — Russell 1918 / the classic
+    record-linkage first stage beside the Jaro-Winkler and
+    sorted-neighborhood tiers): each distinct name maps to the
+    documented simplified code (:func:`_soundex_like` — the recipe IS
+    the contract, replicated symbol-for-symbol in SQL list
+    machinery); reported are the top-m blocks by (size DESC, code)
+    with exact sizes, plus the block count and the singleton census.
+    Distinct names flow through one bucketed dedup; codes are
+    map-side."""
+    from ..sketches import hash_any_array
+
+    ds = sf_table(sf_dir, "part", columns=["p_name"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b.p_name.drop_duplicates()
+        codes = u.map(_soundex_like)
+        f = pd.DataFrame({"name": u, "code": codes})
+        f = f[f.code != ""]
+        f["bucket"] = (hash_any_array(f.name.tolist())
+                       % np.uint64(32)).astype(np.int64)
+        return f
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["name"])
+        return d.groupby("code", as_index=False) \
+            .agg(n=("name", "size"))
+
+    g = ds.map_batches(partial, batch_format="pandas",
+                       batch_size=65536) \
+        .groupby("bucket").map_groups(bucket_fold,
+                                      batch_format="pandas") \
+        .groupby("code").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    n_blocks = len(g)
+    n_single = int((g.n == 1).sum()) if len(g) else 0
+    top = g.sort_values(["n", "code"], ascending=[False, True],
+                        kind="stable").head(m)
+    rows = [(str(r.code), int(r.n), n_blocks, n_single)
+            for _, r in top.iterrows()]
+    return pd.DataFrame(rows, columns=[
+        "code", "block_size", "n_blocks", "n_singletons"]) \
+        .astype({"block_size": "int64", "n_blocks": "int64",
+                 "n_singletons": "int64"}) \
+        .sort_values(["block_size", "code"],
+                     ascending=[False, True]).reset_index(drop=True)
+
+
+def transition_graph_stats(sf_dir: str) -> pd.DataFrame:
+    """Structural statistics of the event-type transition digraph
+    (reciprocity — Garlaschelli & Loffredo 2004 — density, and the
+    self-loop share; the one-glance health panel over the proven
+    transition exchange): ALL exact integers — total transition
+    weight, self-loop weight, reciprocated weight Σ min(w_ij, w_ji)
+    over ordered off-diagonal pairs, distinct edges, and the node
+    count — with the three shares ONE division each. Contract-free."""
+    trans = event_type_transitions(sf_dir)
+    ds = sf_table(sf_dir, "events", columns=["event_type"])
+    n_types = len(set(ds.map_batches(
+        lambda b: pd.DataFrame({"event_type": b.event_type.unique()}),
+        batch_format="pandas").to_pandas().event_type))
+    w: dict = {}
+    for p_, t_, c_ in zip(trans.prev_type, trans.event_type,
+                          trans.n):
+        w[(str(p_), str(t_))] = int(c_)
+    total = sum(w.values())
+    self_w = sum(c for (a, b), c in w.items() if a == b)
+    recip = 0
+    for (a, b), c in w.items():
+        if a < b and (b, a) in w:
+            recip += 2 * min(c, w[(b, a)])
+    n_edges = len(w)
+    possible = n_types * n_types
+    return pd.DataFrame({
+        "n_nodes": pd.Series([n_types], dtype="int64"),
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "total_weight": pd.Series([total], dtype="int64"),
+        "self_loop_weight": pd.Series([self_w], dtype="int64"),
+        "reciprocated_weight": pd.Series([recip], dtype="int64"),
+        "edge_density": pd.Series(
+            [float(n_edges) / float(possible) if possible else 0.0],
+            dtype="float64"),
+        "self_loop_share": pd.Series(
+            [float(self_w) / float(total) if total else 0.0],
+            dtype="float64"),
+        "reciprocity": pd.Series(
+            [float(recip) / float(total) if total else 0.0],
+            dtype="float64"),
+    })

@@ -383,6 +383,11 @@ def run_queries() -> dict[str, float]:
         "rayleigh_hod_uniformity", "char_entropy_conditional",
         "image_ring_profile_audit", "gini_split_gain_events",
         "embedding_clip_census", "image_exposure_audit",
+        "benford_two_digit_audit", "image_entropy_audit",
+        "western_electric_rules_hourly", "hits_transitions",
+        "casing_profile_docs", "reading_ease_docs",
+        "jl_projection_audit", "soundex_part_blocks",
+        "transition_graph_stats",
     ]
     qs = E.queries()
     out = {}

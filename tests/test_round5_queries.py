@@ -7351,3 +7351,311 @@ class TestImageExposureAudit:
         # by the r+2c+ch extent, large tiles reach the full span
         assert (out.dynamic_range <= 255).all()
         assert (out.dynamic_range >= 90).all()
+
+
+class TestBenfordTwoDigitAudit:
+    def test_matches_python_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.benford_two_digit_audit(SF)
+        vals = duckdb.sql(f"""
+            SELECT abs(value) AS v FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+              AND value <> 0 AND isfinite(value)
+        """).df().v.to_numpy()
+        dd = np.array([int(f"{x:.15e}"[0]) * 10 + int(f"{x:.15e}"[2])
+                       for x in vals])
+        n = len(dd)
+        counts = np.bincount(dd, minlength=100)[10:100]
+        chi2 = sum(
+            (int(c) - n * math.log10(1 + 1 / d)) ** 2
+            / (n * math.log10(1 + 1 / d))
+            for d, c in zip(range(10, 100), counts))
+        assert int(out.n_nonzero[0]) == n
+        assert abs(float(out.chi2_benford2[0]) - chi2) < 1e-6
+        mx = int(counts.max())
+        assert int(out.modal_count[0]) == mx
+        assert int(out.modal_two_digit[0]) == 10 + int(
+            np.flatnonzero(counts == mx)[0])
+
+    def test_planted_price_points(self, ray_session):
+        """Values all starting '19...' make 19 the modal pair."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        vals = np.full(300, 19.99)
+        ts = pd.date_range("2024-01-01", periods=300, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.benford_two_digit_audit(d)
+        assert int(out.modal_two_digit[0]) == 19
+        assert int(out.modal_count[0]) == 300
+
+
+class TestImageEntropyAudit:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_entropy_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            cnt = np.bincount(p.ravel(), minlength=766)
+            nz = cnt[cnt > 0].astype(np.float64)
+            pr = nz / nz.sum()
+            hh = float(-(pr * np.log2(pr)).sum())
+            assert int(row.n_levels) == int((cnt > 0).sum())
+            assert int(row.modal_count) == int(cnt.max())
+            assert abs(float(row.gray_entropy) - hh) < 1e-5
+            # entropy bounded by log2(levels)
+            assert float(row.gray_entropy) <= np.log2(
+                int(row.n_levels)) + 1e-9
+
+
+class TestWesternElectricRulesHourly:
+    def test_matches_python_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.western_electric_rules_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        cs = [float(int(x)) for x in h.c]
+        nh = len(cs)
+        cbar = sum(int(x) for x in h.c) / nh
+        s = math.sqrt(cbar)
+        r1 = sum(1 for c in cs
+                 if c > cbar + 3 * s or c < cbar - 3 * s)
+        r4 = sum(1 for t in range(7, nh)
+                 if all(c > cbar for c in cs[t - 7:t + 1])
+                 or all(c < cbar for c in cs[t - 7:t + 1]))
+        assert int(out.r1_beyond_3s[0]) == r1
+        assert int(out.r4_run_of_8[0]) == r4
+
+    def test_planted_shift_trips_rules(self, ray_session):
+        """A sustained mean shift trips R4 (runs of 8) and R2."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 100
+        reps = np.concatenate([np.full(50, 10), np.full(50, 40)])
+        ts = np.repeat(pd.date_range("2024-01-01", periods=nh,
+                                     freq="h"), reps)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(len(ts)))
+            out = Q.western_electric_rules_hourly(d)
+        assert int(out.r4_run_of_8[0]) >= 80
+        assert int(out.r2_2of3_beyond_2s[0]) >= 40
+
+
+class TestHitsTransitions:
+    def test_matches_numpy_power_iteration(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.hits_transitions(SF)
+        trans = Q.event_type_transitions(SF)
+        types = sorted(out.event_type)
+        idx = {t: i for i, t in enumerate(types)}
+        n = len(types)
+        w = np.zeros((n, n))
+        for _, r in trans.iterrows():
+            w[idx[r.prev_type], idx[r.event_type]] = int(r.n)
+        h = np.full(n, 1.0 / n)
+        a = np.full(n, 1.0 / n)
+        for _ in range(11):
+            a_raw = w.T @ h
+            a = a_raw / a_raw.sum() if a_raw.sum() else np.full(
+                n, 1.0 / n)
+            h_raw = w @ a
+            h = h_raw / h_raw.sum() if h_raw.sum() else np.full(
+                n, 1.0 / n)
+        got_a = out.sort_values("event_type").authority.to_numpy()
+        got_h = out.sort_values("event_type").hub.to_numpy()
+        assert np.allclose(got_a, a, atol=1e-9)
+        assert np.allclose(got_h, h, atol=1e-9)
+        assert abs(got_a.sum() - 1.0) < 1e-9
+        assert abs(got_h.sum() - 1.0) < 1e-9
+
+    def test_pure_source_sink_graph(self, ray_session):
+        """click -> view only: click is the pure hub, view the pure
+        authority."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        types = ["click", "view"] * 50
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(100), types=types,
+                          users=np.zeros(100))
+            out = Q.hits_transitions(d)
+        a = {r.event_type: float(r.authority)
+             for _, r in out.iterrows()}
+        h = {r.event_type: float(r.hub) for _, r in out.iterrows()}
+        # both transitions exist (view->click too), but click->view
+        # dominates 50 vs 49
+        assert a["view"] > a["click"] or h["click"] > h["view"]
+
+
+class TestCasingProfileDocs:
+    def test_matches_python_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.casing_profile_docs(SF)
+        df = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        up = lo = dg = 0
+        d_up = d_caps = 0
+        for t in df.text:
+            s = str(t or "")
+            nu = sum(1 for ch in s if "A" <= ch <= "Z")
+            nl = sum(1 for ch in s if "a" <= ch <= "z")
+            up += nu
+            lo += nl
+            dg += sum(1 for ch in s if ch.isdigit()
+                      and ord(ch) < 128)
+            d_up += nu > 0
+            d_caps += (nu > 0 and nl == 0)
+        assert int(out.n_upper[0]) == up
+        assert int(out.n_lower[0]) == lo
+        assert int(out.n_digit[0]) == dg
+        assert int(out.docs_with_upper[0]) == d_up
+        assert int(out.docs_all_caps[0]) == d_caps
+
+    def test_planted_cases(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["ALL CAPS DOC", "Mixed Case doc",
+                            "lower only", "1234 5678"],
+                        ["en"] * 4)
+            out = Q.casing_profile_docs(d)
+        assert int(out.docs_all_caps[0]) == 1
+        assert int(out.docs_first_upper[0]) == 2
+        assert int(out.n_digit[0]) == 8
+
+
+class TestReadingEaseDocs:
+    def test_matches_formula_and_fk_counts(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.reading_ease_docs(SF)
+        fk = Q.readability_docs(SF)
+        j = out.merge(fk, on="doc_id", suffixes=("", "_fk"))
+        # identical count columns (same kernels)
+        assert (j.n_words == j.n_words_fk).all()
+        assert (j.n_syllables == j.n_syllables_fk).all()
+        for _, r in j.head(50).iterrows():
+            w, s, y = int(r.n_words), int(r.n_sentences), int(
+                r.n_syllables)
+            if w == 0 or s == 0:
+                assert float(r.reading_ease) == 0.0
+            else:
+                want = 206.835 - 1.015 * (w / s) - 84.6 * (y / w)
+                assert abs(float(r.reading_ease) - want) < 1e-9
+
+
+class TestJlProjectionAudit:
+    def test_matches_hashlib_bruteforce_and_distortion(
+            self, ray_session):
+        import hashlib
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.jl_projection_audit(SF)
+        df = duckdb.sql(f"""
+            SELECT vec_id, embedding
+            FROM '{SF}/embeddings.parquet' ORDER BY vec_id LIMIT 5
+        """).df()
+        for _, row in df.iterrows():
+            e = np.asarray(row.embedding, dtype=np.float64)
+            got = out[out.vec_id == int(row.vec_id)].iloc[0]
+            for j in range(8):
+                signs = [1.0 if hashlib.md5(f"{j}:{d}".encode())
+                         .hexdigest()[0] >= "8" else -1.0
+                         for d in range(len(e))]
+                acc = e[0] * signs[0]
+                for d in range(1, len(e)):
+                    acc = acc + e[d] * signs[d]
+                assert float(got[f"p{j}"]) == acc
+        # JL guarantee: mean over vectors of (||p||^2/k) / ||x||^2
+        # concentrates near 1
+        p = out[[f"p{j}" for j in range(8)]].to_numpy()
+        n2 = out.norm2.to_numpy()
+        ok = n2 > 0
+        ratios = (p[ok] ** 2).sum(axis=1) / 8.0 / n2[ok]
+        assert 0.7 < float(ratios.mean()) < 1.3
+
+
+class TestSoundexPartBlocks:
+    def test_code_recipe_and_census(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _soundex_like)
+
+        # classic fixtures under the SIMPLIFIED recipe
+        assert _soundex_like("Robert") == "r163"
+        assert _soundex_like("Rupert") == "r163"
+        assert _soundex_like("aeiou") == "a000"
+        assert _soundex_like("") == ""
+        out = Q.soundex_part_blocks(SF)
+        names = duckdb.sql(f"""
+            SELECT DISTINCT p_name FROM '{SF}/part.parquet'
+        """).df().p_name
+        from collections import Counter
+        blocks = Counter(_soundex_like(n) for n in names)
+        blocks.pop("", None)
+        assert int(out.n_blocks[0]) == len(blocks)
+        assert int(out.n_singletons[0]) == sum(
+            1 for v in blocks.values() if v == 1)
+        top = sorted(blocks.items(), key=lambda kv: (-kv[1], kv[0]))
+        for i, (_, row) in enumerate(out.iterrows()):
+            assert (row.code, int(row.block_size)) == top[i]
+
+
+class TestTransitionGraphStats:
+    def test_matches_dict_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.transition_graph_stats(SF)
+        trans = Q.event_type_transitions(SF)
+        w = {(r.prev_type, r.event_type): int(r.n)
+             for _, r in trans.iterrows()}
+        total = sum(w.values())
+        self_w = sum(c for (a, b), c in w.items() if a == b)
+        recip = sum(2 * min(c, w[(b, a)])
+                    for (a, b), c in w.items()
+                    if a < b and (b, a) in w)
+        assert int(out.total_weight[0]) == total
+        assert int(out.self_loop_weight[0]) == self_w
+        assert int(out.reciprocated_weight[0]) == recip
+        assert 0.0 <= float(out.reciprocity[0]) <= 1.0
+
+    def test_one_way_chain_has_zero_reciprocity(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        types = ["a", "b", "c"] * 30
+        ts = pd.date_range("2024-01-01", periods=90, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(90), types=types,
+                          users=np.zeros(90))
+            out = Q.transition_graph_stats(d)
+        # a->b->c->a cycle: no reciprocated pairs, no self loops
+        assert float(out.reciprocity[0]) == 0.0
+        assert int(out.self_loop_weight[0]) == 0

@@ -150,7 +150,9 @@ EVENT_QUERIES = [
     "hill_tail_index_events", "arch_effect_hourly",
     "type_pair_overlap_cosine", "seasonal_naive_error_hourly",
     "hoover_index_per_type", "rayleigh_hod_uniformity",
-    "gini_split_gain_events",
+    "gini_split_gain_events", "benford_two_digit_audit",
+    "western_electric_rules_hourly", "hits_transitions",
+    "transition_graph_stats",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -282,6 +284,8 @@ DOC_QUERIES = [
     "image_symmetry_audit", "keyness_top_tokens",
     "image_moments_audit", "char_entropy_conditional",
     "image_ring_profile_audit", "image_exposure_audit",
+    "image_entropy_audit", "casing_profile_docs",
+    "reading_ease_docs",
 ]
 
 
@@ -354,7 +358,7 @@ EMB_QUERIES = [
     "pq_codebook_audit", "drift_kernel_struct_audit",
     # session-24: vector hygiene censuses
     "embedding_norm_band_counts", "embedding_sign_census",
-    "embedding_clip_census",
+    "embedding_clip_census", "jl_projection_audit",
 ]
 
 
