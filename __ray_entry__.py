@@ -445,6 +445,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_projection_audit": Q.jl_projection_audit,
         "soundex_part_blocks": Q.soundex_part_blocks,
         "transition_graph_stats": Q.transition_graph_stats,
+        "lorenz_asymmetry_events": Q.lorenz_asymmetry_events,
+        "smog_index_docs": Q.smog_index_docs,
+        "image_ordered_dither_audit": Q.image_ordered_dither_audit,
+        "full_spectrum_hourly": Q.full_spectrum_hourly,
+        "heaps_exponent_halves": Q.heaps_exponent_halves,
+        "image_rgb565_audit": Q.image_rgb565_audit,
+        "markdown_structure_docs": Q.markdown_structure_docs,
+        "benford_orders_totalprice": Q.benford_orders_totalprice,
+        "type_evenness_events": Q.type_evenness_events,
     }
 
 
@@ -1052,6 +1061,7 @@ _VALUE_CLEAN_QUERIES = [
     "trimmed_mean_drift_events", "rank_scale_drift_events",
     "dtw_daily_types", "pacf_hourly_means", "xcorr_hourly_types",
     "arch_effect_hourly", "seasonal_naive_error_hourly",
+    "full_spectrum_hourly",
 ]
 
 
@@ -1773,6 +1783,105 @@ def _we_rules_sql() -> str:
         FROM st
         UNION ALL
         SELECT 0, 0, 0, 0, 0 FROM arr WHERE nh = 0
+    """
+
+
+def _benford_orders_sql() -> str:
+    """Benford first-digit on o_totalprice: the events-tier recipe
+    verbatim (%.15e digit, string-parse expectations, left chain)."""
+    import math
+
+    chain = "0.0"
+    for d in range(1, 10):
+        p = f"CAST('{math.log10(1.0 + 1.0 / d)!r}' AS DOUBLE)"
+        t = (f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) * "
+             f"(CAST(c{d} AS DOUBLE) - CAST(nz AS DOUBLE) * {p}) / "
+             f"(CAST(nz AS DOUBLE) * {p})")
+        chain = f"({chain} + {t})"
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN dig = {d} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS c{d}" for d in range(1, 10))
+    sel = ", ".join(f"c{d}" for d in range(1, 10))
+    return f"""
+        WITH v AS (
+            SELECT abs(o_totalprice) AS av FROM orders
+            WHERE o_totalprice <> 0 AND isfinite(o_totalprice)
+        ),
+        dd AS (
+            SELECT CAST(substr(printf('%.15e', av), 1, 1) AS BIGINT)
+                       AS dig
+            FROM v
+        ),
+        a AS (SELECT CAST(count(*) AS BIGINT) AS nz, {cols} FROM dd)
+        SELECT nz AS n_orders, {sel},
+               CASE WHEN nz = 0 THEN 0.0 ELSE {chain} END
+                   AS chi2_benford
+        FROM a
+    """
+
+
+def _full_spectrum_sql() -> str:
+    """Periodogram k=1..11 with embedded trig tables (a*a + b*b —
+    the engine's exact product shape, NOT pow()); flatness under
+    round-6 with zero powers dropped from the geometric mean."""
+    from aumos_drift_detector_ray.pipelines.table_queries import (
+        _harmonic_tables)
+
+    ab = []
+    pw = []
+    for k in range(1, 12):
+        cs, sn = _harmonic_tables(k)
+        cl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                             for v in cs) + "]"
+        sl = "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)"
+                             for v in sn) + "]"
+        ab.append(f"""
+               CASE WHEN nh < 2 THEN 0.0 ELSE
+                   list_reduce(list_transform(
+                       generate_series(1, CAST(nh AS BIGINT)),
+                       t -> xs[t] * ({cl})[hs[t] + 1]),
+                       (a, b) -> a + b) END AS a{k},
+               CASE WHEN nh < 2 THEN 0.0 ELSE
+                   list_reduce(list_transform(
+                       generate_series(1, CAST(nh AS BIGINT)),
+                       t -> xs[t] * ({sl})[hs[t] + 1]),
+                       (a, b) -> a + b) END AS b{k}""")
+        pw.append(f"CASE WHEN nh < 2 THEN 0.0 "
+                  f"ELSE a{k} * a{k} + b{k} * b{k} END AS power{k}")
+    plist = "[" + ", ".join(f"power{k}" for k in range(1, 12)) + "]"
+    return f"""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS value_c
+            FROM events GROUP BY 1
+        ),
+        arr AS (
+            SELECT list((CAST(value_c AS DOUBLE) / 100.0) / n
+                        ORDER BY hour) AS xs,
+                   list(CAST(extract(hour FROM hour) AS BIGINT)
+                        ORDER BY hour) AS hs,
+                   CAST(count(*) AS BIGINT) AS nh
+            FROM h
+        ),
+        f0 AS (SELECT nh,{",".join(ab)} FROM arr),
+        f AS (SELECT nh, {", ".join(pw)} FROM f0),
+        g AS (
+            SELECT *, list_filter({plist}, p -> p > 0.0) AS nzp
+            FROM f
+        )
+        SELECT nh AS n_hours,
+               {", ".join(f"power{k}" for k in range(1, 12))},
+               CAST(11 - len(nzp) AS BIGINT) AS n_zero_powers,
+               CASE WHEN nh < 2 OR len(nzp) = 0 THEN 0.0
+                    ELSE CAST(round(
+                        exp(coalesce(list_sum(list_transform(nzp,
+                                p -> ln(p))), 0.0)
+                            / CAST(len(nzp) AS DOUBLE))
+                        / (coalesce(list_sum(nzp), 0.0)
+                           / CAST(len(nzp) AS DOUBLE)), 6)
+                        AS DOUBLE)
+               END AS spectral_flatness
+        FROM g
     """
 
 
@@ -9053,6 +9162,268 @@ def _oracle_sql_raw() -> dict[str, str]:
                        FROM hist WHERE hist.i = agg.i), 6)
                        AS DOUBLE) AS gray_entropy
             FROM agg ORDER BY img_id
+        """,
+        # Lorenz asymmetry: below-mean test in exact integer space
+        # (n*x < S), shares one division each; at-mean excluded
+        "lorenz_asymmetry_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            t AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(coalesce(sum(CAST(c AS HUGEINT)), 0)
+                              AS HUGEINT) AS s
+                  FROM u),
+            b AS (
+                SELECT CAST(coalesce(sum(CASE WHEN t.n * u.c < t.s
+                            THEN 1 END), 0) AS BIGINT) AS nb,
+                       CAST(coalesce(sum(CASE WHEN t.n * u.c < t.s
+                            THEN CAST(u.c AS HUGEINT) END), 0)
+                            AS BIGINT) AS sb
+                FROM u, t
+            )
+            SELECT CAST(t.n AS BIGINT) AS n_events,
+                   b.nb AS n_below_mean, b.sb AS mass_below_mean,
+                   CASE WHEN t.n = 0 OR t.s <= 0 THEN 0.0
+                        ELSE CAST(b.nb AS DOUBLE)
+                             / CAST(t.n AS DOUBLE) END AS f_mu,
+                   CASE WHEN t.n = 0 OR t.s <= 0 THEN 0.0
+                        ELSE CAST(b.sb AS DOUBLE)
+                             / CAST(t.s AS DOUBLE) END AS l_mu,
+                   CASE WHEN t.n = 0 OR t.s <= 0 THEN 0.0
+                        ELSE CAST(b.nb AS DOUBLE)
+                             / CAST(t.n AS DOUBLE)
+                             + CAST(b.sb AS DOUBLE)
+                               / CAST(t.s AS DOUBLE)
+                   END AS lorenz_asymmetry
+            FROM t, b
+        """,
+        # SMOG grade: polysyllable counts via the shared kernels, one
+        # correctly rounded sqrt, constants string-parsed
+        "smog_index_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS ws,
+                       len(regexp_extract_all(
+                           lower(coalesce(text, '')),
+                           '[.!?]+')) AS s
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, CAST(len(ws) AS BIGINT) AS w,
+                       CAST(s AS BIGINT) AS s,
+                       CAST(coalesce(len(list_filter(ws, wd ->
+                            len(regexp_extract_all(wd,
+                                '[aeiouy]+')) >= 3)), 0) AS BIGINT)
+                           AS poly
+                FROM t
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   poly AS n_polysyllables,
+                   CASE WHEN w = 0 OR s = 0 THEN 0.0
+                        ELSE CAST('1.043' AS DOUBLE)
+                             * sqrt(CAST(poly AS DOUBLE) * 30.0
+                                    / CAST(s AS DOUBLE))
+                             + CAST('3.1291' AS DOUBLE)
+                   END AS smog_grade
+            FROM c ORDER BY doc_id
+        """,
+        # Bayer 4x4 ordered dither: the matrix as a VALUES lookup,
+        # exact integer thresholds
+        "image_ordered_dither_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            bay AS (SELECT * FROM (VALUES
+                (0,0,0),(0,1,8),(0,2,2),(0,3,10),
+                (1,0,12),(1,1,4),(1,2,14),(1,3,6),
+                (2,0,3),(2,1,11),(2,2,1),(2,3,9),
+                (3,0,15),(3,1,7),(3,2,13),(3,3,5)) t(br, bc, bi)),
+            pv AS (
+                SELECT px.i, px.fmt, px.w, px.r, px.c, bay.bi,
+                       ((px.r + 2*px.c + px.i) % 256)
+                           > bay.bi * 16 + 8 AS white
+                FROM px JOIN bay ON bay.br = px.r % 4
+                               AND bay.bc = px.c % 4
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(CASE WHEN white THEN 1 END), 0)
+                        AS BIGINT) AS n_white,
+                   CAST(coalesce(sum(CASE WHEN white
+                        THEN r * w + c END), 0) AS BIGINT)
+                       AS white_pos_sum,
+                   CAST(coalesce(sum(CASE WHEN white AND bi = 0
+                        THEN 1 END), 0) AS BIGINT) AS cell0_white,
+                   CAST(coalesce(sum(CASE WHEN white AND bi = 8
+                        THEN 1 END), 0) AS BIGINT) AS cell8_white,
+                   CAST(coalesce(sum(CASE WHEN white AND bi = 12
+                        THEN 1 END), 0) AS BIGINT) AS cell12_white,
+                   CAST(coalesce(sum(CASE WHEN white AND bi = 15
+                        THEN 1 END), 0) AS BIGINT) AS cell15_white
+            FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        "full_spectrum_hourly": _full_spectrum_sql(),
+        # Heaps two-point exponent: exact half/whole token+vocab
+        # counts, beta = ln ratio / ln ratio under round-6
+        "heaps_exponent_halves": """
+            WITH toks AS (
+                SELECT doc_id % 2 AS half,
+                       unnest(regexp_extract_all(lower(text),
+                              '[a-z'']+')) AS token
+                FROM documents
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS nt,
+                       CAST(count(DISTINCT token) AS BIGINT) AS vt,
+                       CAST(coalesce(sum(CASE WHEN half = 0
+                            THEN 1 END), 0) AS BIGINT) AS n1,
+                       CAST(count(DISTINCT CASE WHEN half = 0
+                            THEN token END) AS BIGINT) AS v1
+                FROM toks
+            )
+            SELECT n1 AS n_tokens_half, v1 AS vocab_half,
+                   nt AS n_tokens_all, vt AS vocab_all,
+                   CASE WHEN n1 <= 0 OR v1 <= 0 OR nt <= n1
+                             OR vt < v1 THEN 0.0
+                        ELSE CAST(round(
+                            ln(CAST(vt AS DOUBLE)
+                               / CAST(v1 AS DOUBLE))
+                            / ln(CAST(nt AS DOUBLE)
+                                 / CAST(n1 AS DOUBLE)), 6)
+                            AS DOUBLE)
+                   END AS heaps_beta
+            FROM a
+        """,
+        # RGB565 quantization: shifts as integer division, packed
+        # sums, distinct colors, bit-replication reconstruction error
+        "image_rgb565_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256) AS v0,
+                       ((r + 2*c + i + 1) % 256) AS v1,
+                       ((r + 2*c + i + 2) % 256) AS v2
+                FROM px
+            ),
+            q AS (
+                SELECT i, fmt,
+                       (v0 // 8) * 2048 + (v1 // 4) * 32 + v2 // 8
+                           AS packed,
+                       abs(v0 - ((v0 // 8) * 8 + (v0 // 8) // 4))
+                     + abs(v1 - ((v1 // 4) * 4 + (v1 // 4) // 16))
+                     + abs(v2 - ((v2 // 8) * 8 + (v2 // 8) // 4))
+                           AS err
+                FROM pv
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(sum(packed) AS BIGINT) AS packed_sum,
+                   CAST(count(DISTINCT packed) AS BIGINT)
+                       AS n_packed_colors,
+                   CAST(sum(err) AS BIGINT) AS recon_error
+            FROM q GROUP BY 1, 2 ORDER BY 1
+        """,
+        # markdown structural censuses: multiline-anchored RE2
+        # classes mirroring the engine regexes
+        "markdown_structure_docs": """
+            WITH t AS (SELECT coalesce(text, '') AS x
+                       FROM documents),
+            c AS (
+                SELECT
+                    CAST(len(regexp_extract_all(x,
+                        '(?m)^#{1,6} ')) AS BIGINT) AS nh,
+                    CAST(len(regexp_extract_all(x,
+                        '(?m)^```')) AS BIGINT) AS nf,
+                    CAST(len(regexp_extract_all(x,
+                        '(?m)^[-*+] ')) AS BIGINT) AS nb,
+                    CAST(len(regexp_extract_all(x,
+                        '\\[[^\\]\\n]*\\]\\([^)\\n]*\\)'))
+                        AS BIGINT) AS nl
+                FROM t
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(nh), 0) AS BIGINT)
+                       AS heading_lines,
+                   CAST(coalesce(sum(nf), 0) AS BIGINT)
+                       AS fence_markers,
+                   CAST(coalesce(sum(nb), 0) AS BIGINT)
+                       AS bullet_lines,
+                   CAST(coalesce(sum(nl), 0) AS BIGINT)
+                       AS inline_links,
+                   CAST(coalesce(sum(CASE WHEN nh > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_heading,
+                   CAST(coalesce(sum(CASE WHEN nf > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_fence,
+                   CAST(coalesce(sum(CASE WHEN nb > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_bullet,
+                   CAST(coalesce(sum(CASE WHEN nl > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_link
+            FROM c
+        """,
+        "benford_orders_totalprice": _benford_orders_sql(),
+        # Pielou evenness: exact type counts, type-order ln fold,
+        # round-6
+        "type_evenness_events": """
+            WITH g AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         CAST(coalesce(sum(n), 0) AS BIGINT) AS nt
+                  FROM g),
+            f AS (
+                SELECT a.k, a.nt,
+                       -list_reduce(list((CAST(n AS DOUBLE)
+                                / CAST(a.nt AS DOUBLE))
+                               * ln(CAST(n AS DOUBLE)
+                                    / CAST(a.nt AS DOUBLE))
+                            ORDER BY event_type),
+                           (p, q) -> p + q) AS hh
+                FROM g, a
+                WHERE a.nt > 0 AND a.k >= 2
+                GROUP BY a.k, a.nt
+            )
+            SELECT nt AS n_events, k AS n_types,
+                   CAST(round(hh, 6) AS DOUBLE) AS shannon_h,
+                   CAST(round(hh / ln(CAST(k AS DOUBLE)), 6)
+                        AS DOUBLE) AS pielou_j
+            FROM f
+            UNION ALL
+            SELECT nt, k, 0.0, 0.0 FROM a
+            WHERE nt = 0 OR k < 2
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -387,7 +387,11 @@ def run_queries() -> dict[str, float]:
         "western_electric_rules_hourly", "hits_transitions",
         "casing_profile_docs", "reading_ease_docs",
         "jl_projection_audit", "soundex_part_blocks",
-        "transition_graph_stats",
+        "transition_graph_stats", "lorenz_asymmetry_events",
+        "smog_index_docs", "image_ordered_dither_audit",
+        "full_spectrum_hourly", "heaps_exponent_halves",
+        "image_rgb565_audit", "markdown_structure_docs",
+        "benford_orders_totalprice", "type_evenness_events",
     ]
     qs = E.queries()
     out = {}

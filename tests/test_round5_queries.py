@@ -7659,3 +7659,282 @@ class TestTransitionGraphStats:
         # a->b->c->a cycle: no reciprocated pairs, no self loops
         assert float(out.reciprocity[0]) == 0.0
         assert int(out.self_loop_weight[0]) == 0
+
+
+class TestLorenzAsymmetryEvents:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.lorenz_asymmetry_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = round_half_away(vals * 100).astype(np.int64).astype(object)
+        n, s = len(c), int(c.sum())
+        m = (n * c) < s
+        assert int(out.n_below_mean[0]) == int(m.sum())
+        assert int(out.mass_below_mean[0]) == int(c[m].sum())
+        assert float(out.lorenz_asymmetry[0]) == float(
+            int(m.sum())) / n + float(int(c[m].sum())) / s
+
+    def test_all_equal_gives_zero_and_giant_gives_high(
+            self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(100, 5.0))
+            out = Q.lorenz_asymmetry_events(d)
+        assert float(out.lorenz_asymmetry[0]) == 0.0  # all AT mean
+        vals = np.concatenate([np.full(99, 1.0), [100000.0]])
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.lorenz_asymmetry_events(d)
+        # 99 tiny values below the giant-dragged mean: F ~ 0.99
+        assert float(out.f_mu[0]) == 0.99
+
+
+class TestSmogIndexDocs:
+    def test_matches_formula_bruteforce(self, ray_session):
+        import math
+        import re
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.smog_index_docs(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+            ORDER BY doc_id LIMIT 50
+        """).df()
+        word_re = re.compile(r"[a-z']+")
+        sent_re = re.compile(r"[.!?]+")
+        syl_re = re.compile(r"[aeiouy]+")
+        for _, row in df.iterrows():
+            t = str(row.text or "").lower()
+            words = word_re.findall(t)
+            w, s = len(words), len(sent_re.findall(t))
+            poly = sum(1 for wd in words
+                       if len(syl_re.findall(wd)) >= 3)
+            got = out[out.doc_id == int(row.doc_id)].iloc[0]
+            assert int(got.n_polysyllables) == poly
+            if w and s:
+                want = 1.043 * math.sqrt(poly * 30.0 / s) + 3.1291
+                assert float(got.smog_grade) == want
+            else:
+                assert float(got.smog_grade) == 0.0
+
+
+class TestImageOrderedDitherAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _BAYER4)
+
+        out = Q.image_ordered_dither_audit(SF)
+        bay = np.asarray(_BAYER4)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            v = (r + 2 * c + img_id) % 256
+            thr = bay[r % 4, c % 4] * 16 + 8
+            white = v > thr
+            assert int(row.n_white) == int(white.sum())
+            assert int(row.white_pos_sum) == int(
+                (white * (r * w + c)).sum())
+            assert int(row.cell15_white) == int(
+                (white & (bay[r % 4, c % 4] == 15)).sum())
+        # lower-threshold cells whiten at least as often as the
+        # highest-threshold cell (per-cell pixel counts are equal on
+        # the 4-divisible grids)
+        assert (out.cell0_white >= out.cell15_white).all()
+
+    def test_bayer_matrix_is_a_permutation(self, ray_session):
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _BAYER4)
+
+        flat = sorted(x for rowv in _BAYER4 for x in rowv)
+        assert flat == list(range(16))
+
+
+class TestFullSpectrumHourly:
+    def test_powers_match_fft(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.pipelines.table_queries import (
+            _harmonic_tables, _hourly_mean_series)
+
+        out = Q.full_spectrum_hourly(SF)
+        h = Q.daily_harmonic_power(SF)
+        # k=1,2 must agree with the established harmonic tier
+        assert float(out.power1[0]) == float(h.power1[0])
+        assert float(out.power2[0]) == float(h.power2[0])
+        assert 0.0 <= float(out.spectral_flatness[0]) <= 1.0 + 1e-9
+
+    def test_pure_tone_has_low_flatness(self, ray_session):
+        """A clean 24h cosine concentrates power at k=1 =>
+        near-zero flatness; white noise spreads it => higher."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 24 * 10
+        t = np.arange(nh)
+        vals = 100.0 + 50.0 * np.cos(2 * np.pi * (t % 24) / 24.0)
+        ts = pd.date_range("2024-01-01", periods=nh, freq="h")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.round(vals, 2))
+            out = Q.full_spectrum_hourly(d)
+        assert float(out.spectral_flatness[0]) < 0.01
+        rng = np.random.default_rng(9)
+        vals = np.round(100.0 + rng.normal(0, 10, nh), 2)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, vals)
+            out = Q.full_spectrum_hourly(d)
+        assert float(out.spectral_flatness[0]) > 0.2
+
+
+class TestHeapsExponentHalves:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.heaps_exponent_halves(SF)
+        df = duckdb.sql(f"""
+            SELECT doc_id, text FROM '{SF}/documents.parquet'
+        """).df()
+        early, al = Counter(), Counter()
+        for _, row in df.iterrows():
+            toks = WORD_RE.findall(str(row.text or "").lower())
+            al.update(toks)
+            if int(row.doc_id) % 2 == 0:
+                early.update(toks)
+        n1, v1 = sum(early.values()), len(early)
+        nt, vt = sum(al.values()), len(al)
+        assert int(out.n_tokens_half[0]) == n1
+        assert int(out.vocab_all[0]) == vt
+        want = math.log(vt / v1) / math.log(nt / n1)
+        assert abs(float(out.heaps_beta[0]) - want) < 1e-5
+        # bounded synthetic vocab can saturate (vt == v1 => beta 0);
+        # growth can never be superlinear
+        assert 0.0 <= float(out.heaps_beta[0]) < 1.0
+
+
+class TestImageRgb565Audit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_rgb565_audit(SF)
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            dec = np.stack([(r + 2 * c + img_id + ch) % 256
+                            for ch in range(3)], axis=-1)
+            r5, g6, b5 = dec[..., 0] // 8, dec[..., 1] // 4, \
+                dec[..., 2] // 8
+            packed = r5 * 2048 + g6 * 32 + b5
+            err = (np.abs(dec[..., 0] - (r5 * 8 + r5 // 4))
+                   + np.abs(dec[..., 1] - (g6 * 4 + g6 // 16))
+                   + np.abs(dec[..., 2] - (b5 * 8 + b5 // 4)))
+            assert int(row.packed_sum) == int(packed.sum())
+            assert int(row.n_packed_colors) == len(np.unique(packed))
+            assert int(row.recon_error) == int(err.sum())
+        # bit replication keeps error small: < 8 per channel
+        for _, row in out.iterrows():
+            w = 32 + 8 * ((int(row.img_id) * 7) % 16)
+            h = 32 + 8 * ((int(row.img_id) * 11) % 16)
+            assert int(row.recon_error) <= 3 * 8 * w * h
+
+
+class TestMarkdownStructureDocs:
+    def test_planted_markdown(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["# Title\n\nplain text",
+                "## Sub\n- item one\n- item two\n* third",
+                "```\ncode here\n```\nsee [link](http://x) and "
+                "[two](y)",
+                "no structure at all"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 4)
+            out = Q.markdown_structure_docs(d)
+        assert int(out.heading_lines[0]) == 2
+        assert int(out.fence_markers[0]) == 2
+        assert int(out.bullet_lines[0]) == 3
+        assert int(out.inline_links[0]) == 2
+        assert int(out.docs_with_heading[0]) == 2
+        assert int(out.docs_with_fence[0]) == 1
+
+    def test_counts_are_nonnegative_and_docs_bounded(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.markdown_structure_docs(SF)
+        nd = int(out.n_docs[0])
+        for c in ("docs_with_heading", "docs_with_fence",
+                  "docs_with_bullet", "docs_with_link"):
+            assert 0 <= int(out[c][0]) <= nd
+
+
+class TestBenfordOrdersTotalprice:
+    def test_matches_python_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.benford_orders_totalprice(SF)
+        vals = duckdb.sql(f"""
+            SELECT abs(o_totalprice) AS v FROM '{SF}/orders.parquet'
+            WHERE o_totalprice <> 0 AND isfinite(o_totalprice)
+        """).df().v.to_numpy()
+        digs = np.array([int(f"{x:.15e}"[0]) for x in vals])
+        n = len(digs)
+        counts = np.bincount(digs, minlength=10)[1:10]
+        for d in range(1, 10):
+            assert int(out[f"c{d}"][0]) == int(counts[d - 1])
+        chi2 = sum((int(c) - n * math.log10(1 + 1 / d)) ** 2
+                   / (n * math.log10(1 + 1 / d))
+                   for d, c in zip(range(1, 10), counts))
+        assert abs(float(out.chi2_benford[0]) - chi2) < 1e-6
+
+
+class TestTypeEvennessEvents:
+    def test_matches_formula_and_uniform_pin(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.type_evenness_events(SF)
+        g = duckdb.sql(f"""
+            SELECT event_type, count(*) AS n
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        n = int(g.n.sum())
+        hh = -sum((int(c) / n) * math.log(int(c) / n) for c in g.n)
+        assert abs(float(out.shannon_h[0]) - hh) < 1e-5
+        assert abs(float(out.pielou_j[0])
+                   - hh / math.log(len(g))) < 1e-5
+        # perfectly uniform mix pins J' == 1.0 (round-6)
+        types = ["a", "b", "c", "d"] * 100
+        ts = pd.date_range("2024-01-01", periods=400, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(400), types=types)
+            out = Q.type_evenness_events(d)
+        assert float(out.pielou_j[0]) == 1.0

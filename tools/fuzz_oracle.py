@@ -152,7 +152,8 @@ EVENT_QUERIES = [
     "hoover_index_per_type", "rayleigh_hod_uniformity",
     "gini_split_gain_events", "benford_two_digit_audit",
     "western_electric_rules_hourly", "hits_transitions",
-    "transition_graph_stats",
+    "transition_graph_stats", "lorenz_asymmetry_events",
+    "full_spectrum_hourly", "type_evenness_events",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -285,7 +286,9 @@ DOC_QUERIES = [
     "image_moments_audit", "char_entropy_conditional",
     "image_ring_profile_audit", "image_exposure_audit",
     "image_entropy_audit", "casing_profile_docs",
-    "reading_ease_docs",
+    "reading_ease_docs", "smog_index_docs",
+    "image_ordered_dither_audit", "heaps_exponent_halves",
+    "image_rgb565_audit", "markdown_structure_docs",
 ]
 
 
