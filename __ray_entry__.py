@@ -454,6 +454,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markdown_structure_docs": Q.markdown_structure_docs,
         "benford_orders_totalprice": Q.benford_orders_totalprice,
         "type_evenness_events": Q.type_evenness_events,
+        "ewma_control_chart_hourly": Q.ewma_control_chart_hourly,
+        "hourly_load_panel": Q.hourly_load_panel,
+        "line_dedup_stats": Q.line_dedup_stats,
     }
 
 
@@ -9424,6 +9427,140 @@ def _oracle_sql_raw() -> dict[str, str]:
             UNION ALL
             SELECT nt, k, 0.0, 0.0 FROM a
             WHERE nt = 0 OR k < 2
+        """,
+        # Roberts 1959 EWMA chart: scalar recursion (z, v) with the
+        # string-parsed lambda; OOC compares identical doubles
+        "ewma_control_chart_hourly": """
+            WITH RECURSIVE h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            arr AS (
+                SELECT list(CAST(c AS DOUBLE) ORDER BY hour) AS cs,
+                       CAST(count(*) AS BIGINT) AS nh,
+                       CAST(coalesce(sum(c), 0) AS BIGINT) AS nev
+                FROM h
+            ),
+            st AS (
+                SELECT cs, nh,
+                       CAST(nev AS DOUBLE) / CAST(nh AS DOUBLE)
+                           AS cbar
+                FROM arr WHERE nh > 0
+            ),
+            rec(t, z, v, hi, lo, fst) AS (
+                SELECT 0, (SELECT cbar FROM st), CAST(0.0 AS DOUBLE),
+                       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT)
+                UNION ALL
+                SELECT t + 1, z2, v2,
+                       hi + CASE WHEN z2 > cb + 3.0 * sqrt(cb * v2)
+                                 THEN 1 ELSE 0 END,
+                       lo + CASE WHEN z2 < cb - 3.0 * sqrt(cb * v2)
+                                 THEN 1 ELSE 0 END,
+                       CASE WHEN fst = 0
+                                 AND (z2 > cb + 3.0 * sqrt(cb * v2)
+                                      OR z2 < cb
+                                         - 3.0 * sqrt(cb * v2))
+                            THEN t + 1 ELSE fst END
+                FROM (
+                    SELECT rec.t, rec.hi, rec.lo, rec.fst,
+                           st.cbar AS cb,
+                           CAST('0.2' AS DOUBLE) * st.cs[rec.t + 1]
+                           + (1.0 - CAST('0.2' AS DOUBLE)) * rec.z
+                               AS z2,
+                           (1.0 - CAST('0.2' AS DOUBLE))
+                           * (1.0 - CAST('0.2' AS DOUBLE)) * rec.v
+                           + CAST('0.2' AS DOUBLE)
+                             * CAST('0.2' AS DOUBLE) AS v2
+                    FROM rec, st WHERE rec.t < st.nh
+                ) s
+            )
+            SELECT st.nh AS n_hours,
+                   (SELECT z FROM rec WHERE t = st.nh)
+                       AS final_ewma,
+                   (SELECT hi FROM rec WHERE t = st.nh)
+                       AS n_ooc_high,
+                   (SELECT lo FROM rec WHERE t = st.nh)
+                       AS n_ooc_low,
+                   (SELECT fst FROM rec WHERE t = st.nh)
+                       AS first_ooc_idx
+            FROM st
+            UNION ALL
+            SELECT 0, 0.0, 0, 0, 0 FROM arr WHERE nh = 0
+        """,
+        # capacity panel: exact peak/trough geometry, first-index
+        # tie-breaks, crest factor one division
+        "hourly_load_panel": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            r AS (
+                SELECT c,
+                       row_number() OVER (ORDER BY hour) - 1 AS idx
+                FROM h
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS nh,
+                       CAST(coalesce(sum(c), 0) AS BIGINT) AS total,
+                       CAST(max(c) AS BIGINT) AS peak,
+                       CAST(min(c) AS BIGINT) AS trough
+                FROM r
+            )
+            SELECT a.nh AS n_hours, a.total AS n_events,
+                   a.peak AS peak_count,
+                   CAST((SELECT min(idx) FROM r
+                         WHERE r.c = a.peak) AS BIGINT) AS peak_idx,
+                   a.trough AS trough_count,
+                   CAST((SELECT min(idx) FROM r
+                         WHERE r.c = a.trough) AS BIGINT)
+                       AS trough_idx,
+                   CAST(a.peak * a.nh AS DOUBLE)
+                       / CAST(a.total AS DOUBLE) AS crest_factor,
+                   CASE WHEN a.trough > 0
+                        THEN CAST(a.peak AS DOUBLE)
+                             / CAST(a.trough AS DOUBLE)
+                        ELSE 0.0 END AS peak_to_trough
+            FROM a WHERE a.nh > 0
+            UNION ALL
+            SELECT 0, 0, 0, 0, 0, 0, 0.0, 0.0
+            FROM a WHERE a.nh = 0
+        """,
+        # line-level exact-dup census: md5 line hashes, modal line
+        # with smallest-hash tie-break
+        "line_dedup_stats": """
+            WITH ln AS (
+                SELECT rtrim(unnest(string_split(
+                           coalesce(text, ''), chr(10))), chr(13))
+                           AS l
+                FROM documents
+            ),
+            lc AS (
+                SELECT md5(l) AS h, CAST(count(*) AS BIGINT) AS n
+                FROM ln WHERE l <> '' GROUP BY 1
+            ),
+            a AS (
+                SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot,
+                       CAST(count(*) AS BIGINT) AS dist,
+                       CAST(coalesce(sum(n) FILTER (WHERE n > 1),
+                            0) AS BIGINT) AS dup_occ,
+                       CAST(coalesce(sum(CASE WHEN n > 1
+                            THEN 1 END), 0) AS BIGINT) AS dup_types
+                FROM lc
+            ),
+            md AS (SELECT n FROM lc ORDER BY n DESC, h LIMIT 1)
+            SELECT a.tot AS n_lines, a.dist AS n_distinct_lines,
+                   a.dup_occ AS dup_occurrences,
+                   a.dup_types AS dup_line_types,
+                   CAST(coalesce((SELECT n FROM md), 0) AS BIGINT)
+                       AS modal_line_count,
+                   CASE WHEN a.tot = 0 THEN 0.0
+                        ELSE CAST(a.dup_occ AS DOUBLE)
+                             / CAST(a.tot AS DOUBLE)
+                   END AS dup_line_share
+            FROM a
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -392,6 +392,8 @@ def run_queries() -> dict[str, float]:
         "full_spectrum_hourly", "heaps_exponent_halves",
         "image_rgb565_audit", "markdown_structure_docs",
         "benford_orders_totalprice", "type_evenness_events",
+        "ewma_control_chart_hourly", "hourly_load_panel",
+        "line_dedup_stats",
     ]
     qs = E.queries()
     out = {}

@@ -7938,3 +7938,104 @@ class TestTypeEvennessEvents:
             _write_events(d, ts, np.ones(400), types=types)
             out = Q.type_evenness_events(d)
         assert float(out.pielou_j[0]) == 1.0
+
+
+class TestEwmaControlChartHourly:
+    def test_matches_python_recursion(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.ewma_control_chart_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        cs = [float(int(x)) for x in h.c]
+        nh = len(cs)
+        cbar = sum(int(x) for x in h.c) / nh
+        z, v = cbar, 0.0
+        hi = lo = 0
+        for t in range(nh):
+            z = 0.2 * cs[t] + 0.8 * z
+            v = 0.64 * v + 0.04
+            lim = 3.0 * math.sqrt(cbar * v)
+            hi += z > cbar + lim
+            lo += z < cbar - lim
+        assert abs(float(out.final_ewma[0]) - z) < 1e-9
+        assert int(out.n_ooc_high[0]) == hi
+        assert int(out.n_ooc_low[0]) == lo
+
+    def test_planted_shift_detected_early(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        nh = 100
+        reps = np.concatenate([np.full(80, 20), np.full(20, 35)])
+        ts = np.repeat(pd.date_range("2024-01-01", periods=nh,
+                                     freq="h"), reps)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(len(ts)))
+            out = Q.ewma_control_chart_hourly(d)
+        assert int(out.n_ooc_high[0]) >= 10
+        assert 80 < int(out.first_ooc_idx[0]) <= 90
+
+
+class TestHourlyLoadPanel:
+    def test_matches_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.hourly_load_panel(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        cs = [int(x) for x in h.c]
+        assert int(out.peak_count[0]) == max(cs)
+        assert int(out.peak_idx[0]) == cs.index(max(cs))
+        assert int(out.trough_count[0]) == min(cs)
+        assert float(out.crest_factor[0]) == float(
+            max(cs) * len(cs)) / float(sum(cs))
+        assert float(out.crest_factor[0]) >= 1.0
+
+
+class TestLineDedupStats:
+    def test_matches_counter_bruteforce(self, ray_session):
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.line_dedup_stats(SF)
+        df = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        cnt = Counter()
+        for t in df.text:
+            for ln in str(t or "").split("\n"):
+                ln = ln.rstrip("\r")
+                if ln:
+                    cnt[ln] += 1
+        tot = sum(cnt.values())
+        dup = {k: v for k, v in cnt.items() if v > 1}
+        assert int(out.n_lines[0]) == tot
+        assert int(out.n_distinct_lines[0]) == len(cnt)
+        assert int(out.dup_occurrences[0]) == sum(dup.values())
+        assert int(out.modal_line_count[0]) == (
+            max(cnt.values()) if cnt else 0)
+
+    def test_planted_boilerplate(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["nav\ncontent one\nfooter",
+                "nav\ncontent two\nfooter",
+                "nav\nunique middle\nfooter"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 3)
+            out = Q.line_dedup_stats(d)
+        assert int(out.modal_line_count[0]) == 3
+        assert int(out.dup_line_types[0]) == 2       # nav, footer
+        assert int(out.dup_occurrences[0]) == 6

@@ -154,6 +154,7 @@ EVENT_QUERIES = [
     "western_electric_rules_hourly", "hits_transitions",
     "transition_graph_stats", "lorenz_asymmetry_events",
     "full_spectrum_hourly", "type_evenness_events",
+    "ewma_control_chart_hourly", "hourly_load_panel",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -289,6 +290,7 @@ DOC_QUERIES = [
     "reading_ease_docs", "smog_index_docs",
     "image_ordered_dither_audit", "heaps_exponent_halves",
     "image_rgb565_audit", "markdown_structure_docs",
+    "line_dedup_stats",
 ]
 
 
