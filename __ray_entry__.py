@@ -457,6 +457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_control_chart_hourly": Q.ewma_control_chart_hourly,
         "hourly_load_panel": Q.hourly_load_panel,
         "line_dedup_stats": Q.line_dedup_stats,
+        "customer_freq_value_corr": Q.customer_freq_value_corr,
+        "greenwood_km_variance": Q.greenwood_km_variance,
+        "above_mean_spells_hourly": Q.above_mean_spells_hourly,
     }
 
 
@@ -9560,6 +9563,149 @@ def _oracle_sql_raw() -> dict[str, str]:
                         ELSE CAST(a.dup_occ AS DOUBLE)
                              / CAST(a.tot AS DOUBLE)
                    END AS dup_line_share
+            FROM a
+        """,
+        # Pearson r of per-customer (order count, revenue): exact
+        # HUGEINT sufficient stats, one sqrt of the exact product
+        "customer_freq_value_corr": """
+            WITH pc AS (
+                SELECT o_custkey,
+                       CAST(count(*) AS HUGEINT) AS k,
+                       CAST(sum(CAST(round(o_totalprice * 100)
+                                     AS BIGINT)) AS HUGEINT) AS s
+                FROM orders GROUP BY 1
+            ),
+            a AS (
+                SELECT CAST(count(*) AS HUGEINT) AS n,
+                       CAST(coalesce(sum(k), 0) AS HUGEINT) AS sk,
+                       CAST(coalesce(sum(s), 0) AS HUGEINT) AS ss,
+                       CAST(coalesce(sum(k * k), 0) AS HUGEINT)
+                           AS skk,
+                       CAST(coalesce(sum(s * s), 0) AS HUGEINT)
+                           AS sss,
+                       CAST(coalesce(sum(k * s), 0) AS HUGEINT)
+                           AS sks
+                FROM pc
+            )
+            SELECT CAST(n AS BIGINT) AS n_customers,
+                   CASE WHEN n < 2
+                             OR n * skk - sk * sk <= 0
+                             OR n * sss - ss * ss <= 0 THEN 0.0
+                        ELSE CAST(n * sks - sk * ss AS DOUBLE)
+                             / sqrt(CAST((n * skk - sk * sk)
+                                    * (n * sss - ss * ss)
+                                    AS DOUBLE))
+                   END AS pearson_r
+            FROM a
+        """,
+        # Greenwood 1926 KM variance: the KM prefix folds extended
+        # with the degenerate-term flag cascade
+        "greenwood_km_variance": """
+            WITH e AS (SELECT user_id, ts, event_id FROM events),
+            mxx AS (SELECT max(ts) AS m FROM e),
+            g AS (SELECT user_id, ts,
+                         lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS nxt
+                  FROM e),
+            durs AS (
+                SELECT CASE WHEN nxt IS NULL
+                            THEN (epoch_us(mxx.m) - epoch_us(ts))
+                                 // 60000000
+                            ELSE (epoch_us(nxt) - epoch_us(ts))
+                                 // 60000000 END AS dur,
+                       CASE WHEN nxt IS NULL THEN 0 ELSE 1 END
+                           AS observed
+                FROM g, mxx
+            ),
+            cnt AS (SELECT dur,
+                           CAST(sum(observed) AS BIGINT) AS d,
+                           CAST(sum(1 - observed) AS BIGINT) AS c
+                    FROM durs GROUP BY dur),
+            tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS t FROM cnt),
+            w AS (SELECT dur, d, c,
+                         tot.t - CAST(coalesce(sum(d + c) OVER (
+                             ORDER BY dur ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                             AS n_risk
+                  FROM cnt, tot),
+            death AS (SELECT dur, d, c, n_risk,
+                             row_number() OVER (ORDER BY dur) AS rn
+                      FROM w WHERE d > 0),
+            terms AS (SELECT
+                list(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                     ORDER BY dur) AS st,
+                list(CASE WHEN n_risk - d = 0 THEN 0.0
+                          ELSE CAST(d AS DOUBLE)
+                               / CAST(n_risk * (n_risk - d)
+                                      AS DOUBLE) END
+                     ORDER BY dur) AS gt,
+                list(CASE WHEN n_risk - d = 0 THEN 1 ELSE 0 END
+                     ORDER BY dur) AS dg
+                FROM death)
+            SELECT dur AS dur_min, n_risk, d AS d_events,
+                   list_reduce(list_prepend(1.0, st[1:rn]),
+                               (a, b) -> a * b) AS s_km,
+                   CASE WHEN list_reduce(list_prepend(0, dg[1:rn]),
+                                         (a, b) -> a + b) = 0
+                        THEN sqrt((list_reduce(list_prepend(1.0,
+                                 st[1:rn]), (a, b) -> a * b)
+                              * list_reduce(list_prepend(1.0,
+                                 st[1:rn]), (a, b) -> a * b))
+                             * list_reduce(list_prepend(0.0,
+                                 gt[1:rn]), (a, b) -> a + b))
+                        ELSE 0.0 END AS greenwood_se,
+                   list_reduce(list_prepend(0, dg[1:rn]),
+                               (a, b) -> a + b) = 0 AS se_defined
+            FROM death, terms
+        """,
+        # above-mean spell census: membership in exact integer space
+        # (H*c > N), lag-based spell assembly
+        "above_mean_spells_hourly": """
+            WITH h AS (
+                SELECT date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS nh,
+                         CAST(coalesce(sum(c), 0) AS BIGINT) AS tot
+                  FROM h),
+            r AS (
+                SELECT h.c, a.nh, a.tot,
+                       row_number() OVER (ORDER BY hour) - 1 AS idx,
+                       a.nh * h.c > a.tot AS ab,
+                       coalesce(lag(a.nh * h.c > a.tot)
+                           OVER (ORDER BY hour), FALSE) AS prev_ab
+                FROM h, a
+            ),
+            marked AS (
+                SELECT idx, ab,
+                       CASE WHEN ab AND NOT prev_ab
+                            THEN 1 ELSE 0 END AS is_start
+                FROM r
+            ),
+            sp AS (
+                SELECT idx, ab,
+                       sum(is_start) OVER (ORDER BY idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+                FROM marked
+            ),
+            spells AS (
+                SELECT sid, CAST(count(*) AS BIGINT) AS len,
+                       CAST(min(idx) AS BIGINT) AS start
+                FROM sp WHERE ab GROUP BY sid
+            ),
+            best AS (SELECT len, start FROM spells
+                     ORDER BY len DESC, start ASC LIMIT 1)
+            SELECT a.nh AS n_hours,
+                   CAST(coalesce((SELECT sum(len) FROM spells), 0)
+                        AS BIGINT) AS n_above,
+                   CAST(coalesce((SELECT count(*) FROM spells), 0)
+                        AS BIGINT) AS n_spells,
+                   CAST(coalesce((SELECT len FROM best), 0)
+                        AS BIGINT) AS longest_spell,
+                   CAST(coalesce((SELECT start FROM best), 0)
+                        AS BIGINT) AS longest_spell_start
             FROM a
         """,
         # interval-bounded temporal self-join on microsecond ts

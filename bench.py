@@ -393,7 +393,8 @@ def run_queries() -> dict[str, float]:
         "image_rgb565_audit", "markdown_structure_docs",
         "benford_orders_totalprice", "type_evenness_events",
         "ewma_control_chart_hourly", "hourly_load_panel",
-        "line_dedup_stats",
+        "line_dedup_stats", "customer_freq_value_corr",
+        "greenwood_km_variance", "above_mean_spells_hourly",
     ]
     qs = E.queries()
     out = {}

@@ -8039,3 +8039,132 @@ class TestLineDedupStats:
         assert int(out.modal_line_count[0]) == 3
         assert int(out.dup_line_types[0]) == 2       # nav, footer
         assert int(out.dup_occurrences[0]) == 6
+
+
+class TestCustomerFreqValueCorr:
+    def test_matches_numpy_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.customer_freq_value_corr(SF)
+        df = duckdb.sql(f"""
+            SELECT o_custkey, count(*) AS k,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS s
+            FROM '{SF}/orders.parquet' GROUP BY 1
+        """).df()
+        k = df.k.to_numpy(np.float64)
+        s = df.s.to_numpy(np.float64)
+        r = float(np.corrcoef(k, s)[0, 1])
+        assert int(out.n_customers[0]) == len(df)
+        assert abs(float(out.pearson_r[0]) - r) < 1e-9
+        # count and revenue are strongly positively linked
+        assert float(out.pearson_r[0]) > 0.5
+        _ = round_half_away  # imported for parity with siblings
+
+    def test_perfect_linear_r_one(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            n = 40
+            ck = np.repeat(np.arange(10, dtype=np.int64),
+                           np.arange(1, 11))
+            pq.write_table(pa.table({
+                "o_orderkey": pa.array(np.arange(len(ck),
+                                                 dtype=np.int64)),
+                "o_custkey": pa.array(ck),
+                "o_orderstatus": pa.array(["O"] * len(ck)),
+                "o_totalprice": pa.array(np.full(len(ck), 100.0)),
+                "o_orderdate": pa.array(
+                    pd.to_datetime(["2024-01-01"] * len(ck))
+                    .astype("datetime64[us]")),
+                "o_orderpriority": pa.array(["1-URGENT"] * len(ck)),
+                "o_comment": pa.array(["x"] * len(ck)),
+            }), os.path.join(d, "orders.parquet"))
+            for f in os.listdir(SF):
+                if f.endswith(".parquet") and f != "orders.parquet":
+                    os.symlink(os.path.join(SF, f),
+                               os.path.join(d, f))
+            out = Q.customer_freq_value_corr(d)
+        # revenue = 100 * count => perfectly linear
+        assert abs(float(out.pearson_r[0]) - 1.0) < 1e-12
+
+
+class TestGreenwoodKmVariance:
+    def test_consistent_with_km_and_monotone(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.greenwood_km_variance(SF)
+        km = Q.kaplan_meier_gaps(SF)
+        j = out.merge(km[["dur_min", "s_km"]], on="dur_min",
+                      suffixes=("", "_km"))
+        assert np.allclose(j.s_km, j.s_km_km, atol=0)
+        # the Greenwood sum only grows, so se/s is non-decreasing
+        ok = out[out.se_defined]
+        rel = ok.greenwood_se.to_numpy() / ok.s_km.to_numpy()
+        assert (np.diff(rel) >= -1e-12).all()
+
+    def test_matches_direct_formula(self, ray_session):
+        import math
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.greenwood_km_variance(SF)
+        s = 1.0
+        acc = 0.0
+        for _, r in out.iterrows():
+            d, n = int(r.d_events), int(r.n_risk)
+            s = s * (1.0 - d / n)
+            if n - d > 0:
+                acc = acc + d / (n * (n - d))
+                assert float(r.greenwood_se) == math.sqrt(
+                    (s * s) * acc)
+
+
+class TestAboveMeanSpellsHourly:
+    def test_matches_python_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.above_mean_spells_hourly(SF)
+        h = duckdb.sql(f"""
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS c
+            FROM '{SF}/events.parquet' GROUP BY 1 ORDER BY 1
+        """).df()
+        cs = [int(x) for x in h.c]
+        nh, tot = len(cs), sum(cs)
+        above = [nh * x > tot for x in cs]
+        spells = []
+        run = 0
+        for t, a in enumerate(above):
+            if a:
+                run += 1
+            else:
+                if run:
+                    spells.append((run, t - run))
+                run = 0
+        if run:
+            spells.append((run, nh - run))
+        assert int(out.n_above[0]) == sum(above)
+        assert int(out.n_spells[0]) == len(spells)
+        if spells:
+            best = max(spells, key=lambda x: (x[0], -x[1]))
+            assert int(out.longest_spell[0]) == best[0]
+
+    def test_planted_spell(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        reps = np.concatenate([np.full(40, 10), np.full(20, 50),
+                               np.full(40, 10)])
+        ts = np.repeat(pd.date_range("2024-01-01", periods=100,
+                                     freq="h"), reps)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(len(ts)))
+            out = Q.above_mean_spells_hourly(d)
+        assert int(out.n_spells[0]) == 1
+        assert int(out.longest_spell[0]) == 20
+        assert int(out.longest_spell_start[0]) == 40

@@ -155,6 +155,7 @@ EVENT_QUERIES = [
     "transition_graph_stats", "lorenz_asymmetry_events",
     "full_spectrum_hourly", "type_evenness_events",
     "ewma_control_chart_hourly", "hourly_load_panel",
+    "greenwood_km_variance", "above_mean_spells_hourly",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
