@@ -460,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_freq_value_corr": Q.customer_freq_value_corr,
         "greenwood_km_variance": Q.greenwood_km_variance,
         "above_mean_spells_hourly": Q.above_mean_spells_hourly,
+        "expected_shortfall_events": Q.expected_shortfall_events,
+        "word_entropy_conditional": Q.word_entropy_conditional,
+        "intersession_gap_quantiles": Q.intersession_gap_quantiles,
     }
 
 
@@ -9706,6 +9709,135 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS BIGINT) AS longest_spell,
                    CAST(coalesce((SELECT start FROM best), 0)
                         AS BIGINT) AS longest_spell_start
+            FROM a
+        """,
+        # CVaR/expected shortfall at 95%: exact order-statistic
+        # threshold, strict-above partials + tie top-up, one division
+        "expected_shortfall_events": """
+            WITH u AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            q AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(quantile_disc(c, 0.95) AS BIGINT)
+                             AS u95
+                  FROM u),
+            kk AS (SELECT n, u95,
+                          n - (CAST(ceil(CAST('0.95' AS DOUBLE)
+                               * CAST(n AS DOUBLE)) AS BIGINT) - 1)
+                              AS k
+                   FROM q),
+            ab AS (
+                SELECT CAST(coalesce(sum(CASE WHEN u.c > kk.u95
+                            THEN 1 END), 0) AS BIGINT) AS na,
+                       CAST(coalesce(sum(CASE WHEN u.c > kk.u95
+                            THEN CAST(u.c AS HUGEINT) END), 0)
+                            AS BIGINT) AS sa
+                FROM u, kk
+            )
+            SELECT kk.n AS n_events,
+                   CASE WHEN kk.n = 0 THEN 0
+                        ELSE kk.u95 END AS var95_cents,
+                   CASE WHEN kk.n = 0 THEN 0
+                        ELSE kk.k END AS tail_k,
+                   CASE WHEN kk.n = 0 THEN 0
+                        ELSE ab.sa + (kk.k - ab.na) * kk.u95
+                   END AS tail_sum_cents,
+                   CASE WHEN kk.n = 0 OR kk.k <= 0 THEN 0.0
+                        ELSE CAST(ab.sa + (kk.k - ab.na) * kk.u95
+                                  AS DOUBLE) / CAST(kk.k AS DOUBLE)
+                   END AS expected_shortfall
+            FROM kk, ab
+        """,
+        # word-level H(X) and H(X|prev): exact counts, scale-safe
+        # c*ln(c) partials, round-6 entropy contract
+        "word_entropy_conditional": """
+            WITH dt AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z'']+') AS ts
+                FROM documents
+            ),
+            uni AS (SELECT unnest(ts) AS w FROM dt),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+                   FROM uni GROUP BY 1),
+            pos AS (
+                SELECT ts,
+                       unnest(generate_series(1,
+                           CAST(len(ts) AS BIGINT) - 1)) AS i
+                FROM dt WHERE len(ts) >= 2
+            ),
+            bc AS (SELECT ts[CAST(i AS BIGINT)] || ' '
+                          || ts[CAST(i AS BIGINT) + 1] AS g,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM pos GROUP BY 1),
+            pc AS (SELECT ts[CAST(i AS BIGINT)] AS w,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM pos GROUP BY 1),
+            tot AS (
+                SELECT CAST(coalesce((SELECT sum(n) FROM uc), 0)
+                            AS BIGINT) AS nu,
+                       CAST(coalesce((SELECT sum(n) FROM bc), 0)
+                            AS BIGINT) AS nb
+            )
+            SELECT tot.nu AS n_tokens, tot.nb AS n_bigrams,
+                   CASE WHEN tot.nu = 0 THEN 0.0
+                        ELSE CAST(round(ln(CAST(tot.nu AS DOUBLE))
+                            - coalesce((SELECT sum(
+                                CAST(n AS DOUBLE)
+                                * ln(CAST(n AS DOUBLE))) FROM uc),
+                                0.0) / CAST(tot.nu AS DOUBLE), 6)
+                            AS DOUBLE)
+                   END AS h_word,
+                   CASE WHEN tot.nb = 0 THEN 0.0
+                        ELSE CAST(round(
+                            (ln(CAST(tot.nb AS DOUBLE))
+                             - coalesce((SELECT sum(
+                                 CAST(n AS DOUBLE)
+                                 * ln(CAST(n AS DOUBLE))) FROM bc),
+                                 0.0) / CAST(tot.nb AS DOUBLE))
+                            - (ln(CAST(tot.nb AS DOUBLE))
+                               - coalesce((SELECT sum(
+                                   CAST(n AS DOUBLE)
+                                   * ln(CAST(n AS DOUBLE)))
+                                   FROM pc), 0.0)
+                                 / CAST(tot.nb AS DOUBLE)), 6)
+                            AS DOUBLE)
+                   END AS h_conditional
+            FROM tot
+        """,
+        # between-session gaps: strict > 30 min same-user distances,
+        # exact integer seconds, exact quantile selections
+        "intersession_gap_quantiles": """
+            WITH o AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS us,
+                       lag(CAST(epoch_us(ts) AS BIGINT))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_us
+                FROM events
+            ),
+            g AS (
+                SELECT (us - prev_us) // 1000000 AS gap_s
+                FROM o
+                WHERE prev_us IS NOT NULL
+                  AND us - prev_us > 1800000000
+            ),
+            a AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(coalesce(sum(gap_s), 0) AS BIGINT)
+                           AS tot,
+                       CAST(coalesce(quantile_disc(gap_s, 0.5), 0)
+                            AS BIGINT) AS p50,
+                       CAST(coalesce(quantile_disc(gap_s, 0.9), 0)
+                            AS BIGINT) AS p90
+                FROM g
+            )
+            SELECT n AS n_gaps, tot AS total_gap_s,
+                   CASE WHEN n = 0 THEN 0.0
+                        ELSE CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                   END AS mean_gap_s,
+                   p50 AS p50_gap_s, p90 AS p90_gap_s
             FROM a
         """,
         # interval-bounded temporal self-join on microsecond ts

@@ -395,6 +395,8 @@ def run_queries() -> dict[str, float]:
         "ewma_control_chart_hourly", "hourly_load_panel",
         "line_dedup_stats", "customer_freq_value_corr",
         "greenwood_km_variance", "above_mean_spells_hourly",
+        "expected_shortfall_events", "word_entropy_conditional",
+        "intersession_gap_quantiles",
     ]
     qs = E.queries()
     out = {}

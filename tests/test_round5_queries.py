@@ -8168,3 +8168,123 @@ class TestAboveMeanSpellsHourly:
         assert int(out.n_spells[0]) == 1
         assert int(out.longest_spell[0]) == 20
         assert int(out.longest_spell_start[0]) == 40
+
+
+class TestExpectedShortfallEvents:
+    def test_matches_sorted_tail_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.expected_shortfall_events(SF)
+        vals = duckdb.sql(f"""
+            SELECT value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df().value.to_numpy()
+        c = np.sort(round_half_away(vals * 100).astype(np.int64))
+        n = len(c)
+        k = n - (math.ceil(0.95 * n) - 1)
+        tail = c[-k:]
+        assert int(out.tail_k[0]) == k
+        assert int(out.tail_sum_cents[0]) == int(tail.sum())
+        assert float(out.expected_shortfall[0]) == float(
+            int(tail.sum())) / float(k)
+        # ES dominates VaR
+        assert float(out.expected_shortfall[0]) >= float(
+            out.var95_cents[0])
+
+    def test_ties_at_threshold(self, ray_session):
+        """Values all equal: the tail is k copies of the common
+        value, ES == that value exactly."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=100, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(100, 7.0))
+            out = Q.expected_shortfall_events(d)
+        assert float(out.expected_shortfall[0]) == 700.0
+        # k = n - (ceil(.95n) - 1): the p95 order statistic itself
+        # belongs to the tail => 6 points at n=100
+        assert int(out.tail_k[0]) == 6
+
+
+class TestWordEntropyConditional:
+    def test_matches_counter_bruteforce(self, ray_session):
+        import math
+        from collections import Counter
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.stages.textops import WORD_RE
+
+        out = Q.word_entropy_conditional(SF)
+        df = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        uni, bi, pref = Counter(), Counter(), Counter()
+        for t in df.text:
+            toks = WORD_RE.findall(str(t or "").lower())
+            uni.update(toks)
+            bi.update(zip(toks[:-1], toks[1:]))
+            pref.update(toks[:-1])
+
+        def ent(cnt):
+            n = sum(cnt.values())
+            return math.log(n) - sum(
+                c * math.log(c) for c in cnt.values()) / n
+
+        assert int(out.n_tokens[0]) == sum(uni.values())
+        assert abs(float(out.h_word[0]) - ent(uni)) < 1e-5
+        assert abs(float(out.h_conditional[0])
+                   - (ent(bi) - ent(pref))) < 1e-5
+        # conditioning reduces entropy
+        assert float(out.h_conditional[0]) \
+            <= float(out.h_word[0]) + 1e-6
+
+    def test_deterministic_chain_zero_conditional(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, ["a b c a b c a b c a b c"], ["en"])
+            out = Q.word_entropy_conditional(d)
+        # after 'a' always 'b', after 'b' always 'c', after 'c'
+        # always 'a' => H(next|prev) == 0 exactly (round-6)
+        assert float(out.h_conditional[0]) == 0.0
+        assert float(out.h_word[0]) > 1.0
+
+
+class TestIntersessionGapQuantiles:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.intersession_gap_quantiles(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_id FROM '{SF}/events.parquet'
+        """).df().sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        us = df.ts.astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df.user_id.to_numpy(np.int64)
+        same = uid[1:] == uid[:-1]
+        d = us[1:] - us[:-1]
+        gaps = np.sort(d[same & (d > 1800000000)] // 1000000)
+        n = len(gaps)
+        assert int(out.n_gaps[0]) == n
+        if n:
+            assert int(out.total_gap_s[0]) == int(gaps.sum())
+            assert int(out.p50_gap_s[0]) == int(
+                gaps[max(0, math.ceil(0.5 * n) - 1)])
+
+    def test_all_gaps_exceed_session_threshold(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.intersession_gap_quantiles(SF)
+        if int(out.n_gaps[0]):
+            assert int(out.p50_gap_s[0]) > 1800

@@ -156,6 +156,7 @@ EVENT_QUERIES = [
     "full_spectrum_hourly", "type_evenness_events",
     "ewma_control_chart_hourly", "hourly_load_panel",
     "greenwood_km_variance", "above_mean_spells_hourly",
+    "expected_shortfall_events", "intersession_gap_quantiles",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -291,7 +292,7 @@ DOC_QUERIES = [
     "reading_ease_docs", "smog_index_docs",
     "image_ordered_dither_audit", "heaps_exponent_halves",
     "image_rgb565_audit", "markdown_structure_docs",
-    "line_dedup_stats",
+    "line_dedup_stats", "word_entropy_conditional",
 ]
 
 
