@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expected_shortfall_events": Q.expected_shortfall_events,
         "word_entropy_conditional": Q.word_entropy_conditional,
         "intersession_gap_quantiles": Q.intersession_gap_quantiles,
+        "error_mtbf_stats": Q.error_mtbf_stats,
     }
 
 
@@ -9838,6 +9839,37 @@ def _oracle_sql_raw() -> dict[str, str]:
                         ELSE CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
                    END AS mean_gap_s,
                    p50 AS p50_gap_s, p90 AS p90_gap_s
+            FROM a
+        """,
+        # MTBF panel: telescoped mean gap, lag-based max gap, exact
+        # integer seconds
+        "error_mtbf_stats": """
+            WITH e AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+                FROM events WHERE event_type = 'error'
+            ),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(coalesce(min(us), 0) AS BIGINT) AS mn,
+                         CAST(coalesce(max(us), 0) AS BIGINT) AS mx
+                  FROM e),
+            g AS (
+                SELECT us - lag(us) OVER (ORDER BY us, event_id)
+                           AS d
+                FROM e
+            )
+            SELECT a.n AS n_errors,
+                   CASE WHEN a.n < 2 THEN 0
+                        ELSE (a.mx - a.mn) // 1000000
+                   END AS span_s,
+                   CASE WHEN a.n < 2 THEN 0.0
+                        ELSE CAST((a.mx - a.mn) // 1000000
+                                  AS DOUBLE)
+                             / CAST(a.n - 1 AS DOUBLE)
+                   END AS mtbf_s,
+                   CASE WHEN a.n < 2 THEN 0
+                        ELSE CAST(coalesce((SELECT max(d) FROM g),
+                                           0) // 1000000 AS BIGINT)
+                   END AS max_gap_s
             FROM a
         """,
         # interval-bounded temporal self-join on microsecond ts

@@ -396,7 +396,7 @@ def run_queries() -> dict[str, float]:
         "line_dedup_stats", "customer_freq_value_corr",
         "greenwood_km_variance", "above_mean_spells_hourly",
         "expected_shortfall_events", "word_entropy_conditional",
-        "intersession_gap_quantiles",
+        "intersession_gap_quantiles", "error_mtbf_stats",
     ]
     qs = E.queries()
     out = {}

@@ -8288,3 +8288,43 @@ class TestIntersessionGapQuantiles:
         out = Q.intersession_gap_quantiles(SF)
         if int(out.n_gaps[0]):
             assert int(out.p50_gap_s[0]) > 1800
+
+
+class TestErrorMtbfStats:
+    def test_matches_bruteforce_and_telescoping(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.error_mtbf_stats(SF)
+        df = duckdb.sql(f"""
+            SELECT epoch_us(ts) AS us FROM '{SF}/events.parquet'
+            WHERE event_type = 'error' ORDER BY us
+        """).df()
+        us = df.us.to_numpy(np.int64)
+        n = len(us)
+        assert int(out.n_errors[0]) == n
+        span = (int(us[-1]) - int(us[0])) // 1_000_000
+        assert int(out.span_s[0]) == span
+        assert float(out.mtbf_s[0]) == float(span) / float(n - 1)
+        assert int(out.max_gap_s[0]) == int(
+            np.diff(us).max()) // 1_000_000
+        # telescoping: mean gap * (n-1) == span (integer-division
+        # applied before the mean on both sides)
+        assert float(out.mtbf_s[0]) * (n - 1) == float(span)
+
+    def test_planted_outage(self, ray_session):
+        """Errors every minute with one 3-hour hole: max gap is the
+        hole."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        t1 = pd.date_range("2024-01-01 00:00", periods=60,
+                           freq="min")
+        t2 = pd.date_range("2024-01-01 04:00", periods=60,
+                           freq="min")
+        ts = t1.append(t2)
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.ones(120),
+                          types=["error"] * 120)
+            out = Q.error_mtbf_stats(d)
+        assert int(out.max_gap_s[0]) == 3 * 3600 + 60
