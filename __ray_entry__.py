@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_entropy_conditional": Q.word_entropy_conditional,
         "intersession_gap_quantiles": Q.intersession_gap_quantiles,
         "error_mtbf_stats": Q.error_mtbf_stats,
+        "band_transition_matrix": Q.band_transition_matrix,
     }
 
 
@@ -9871,6 +9872,43 @@ def _oracle_sql_raw() -> dict[str, str]:
                                            0) // 1000000 AS BIGINT)
                    END AS max_gap_s
             FROM a
+        """,
+        # value-band migration matrix: per-user lag pairs, NaN/NULL
+        # pairs dropped, exact counts + row-conditional shares
+        "band_transition_matrix": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN value IS NULL OR isnan(value)
+                            THEN -1
+                            WHEN value < 5 THEN 0
+                            WHEN value < 10 THEN 1
+                            WHEN value < 20 THEN 2 ELSE 3 END
+                           AS band
+                FROM events
+            ),
+            lg AS (
+                SELECT band AS band_to,
+                       lag(band) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS band_from
+                FROM o
+            ),
+            cells AS (
+                SELECT band_from, band_to,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM lg
+                WHERE band_from IS NOT NULL AND band_from >= 0
+                  AND band_to >= 0
+                GROUP BY 1, 2
+            ),
+            rt AS (SELECT band_from, CAST(sum(n) AS BIGINT) AS r
+                   FROM cells GROUP BY 1)
+            SELECT CAST(cells.band_from AS BIGINT) AS band_from,
+                   CAST(cells.band_to AS BIGINT) AS band_to,
+                   cells.n,
+                   CAST(cells.n AS DOUBLE) / CAST(rt.r AS DOUBLE)
+                       AS row_share
+            FROM cells JOIN rt USING (band_from)
+            ORDER BY band_from, band_to
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

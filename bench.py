@@ -397,6 +397,7 @@ def run_queries() -> dict[str, float]:
         "greenwood_km_variance", "above_mean_spells_hourly",
         "expected_shortfall_events", "word_entropy_conditional",
         "intersession_gap_quantiles", "error_mtbf_stats",
+        "band_transition_matrix",
     ]
     qs = E.queries()
     out = {}

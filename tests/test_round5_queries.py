@@ -8328,3 +8328,47 @@ class TestErrorMtbfStats:
                           types=["error"] * 120)
             out = Q.error_mtbf_stats(d)
         assert int(out.max_gap_s[0]) == 3 * 3600 + 60
+
+
+class TestBandTransitionMatrix:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.band_transition_matrix(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, ts, event_id, value
+            FROM '{SF}/events.parquet'
+        """).df().sort_values(["user_id", "ts", "event_id"],
+                              kind="stable")
+        v = df.value.to_numpy(np.float64)
+        band = np.where(np.isnan(v), -1,
+                        np.where(v < 5, 0,
+                                 np.where(v < 10, 1,
+                                          np.where(v < 20, 2, 3))))
+        prev = np.concatenate([[-2], band[:-1]])
+        same = df.user_id.eq(df.user_id.shift()).to_numpy()
+        keep = same & (band >= 0) & (prev >= 0)
+        t = pd.DataFrame({"f": prev[keep], "t": band[keep]})
+        want = t.groupby(["f", "t"]).size()
+        got = {(int(r.band_from), int(r.band_to)): int(r.n)
+               for _, r in out.iterrows()}
+        assert got == {(int(f), int(tt)): int(n)
+                       for (f, tt), n in want.items()}
+        # row shares sum to 1 per origin band
+        for f, sub in out.groupby("band_from"):
+            assert abs(float(sub.row_share.sum()) - 1.0) < 1e-12
+
+    def test_single_band_user_is_diagonal(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        ts = pd.date_range("2024-01-01", periods=50, freq="min")
+        with tempfile.TemporaryDirectory() as d:
+            _write_events(d, ts, np.full(50, 7.0),
+                          users=np.zeros(50))
+            out = Q.band_transition_matrix(d)
+        assert len(out) == 1
+        assert (int(out.band_from[0]), int(out.band_to[0])) == (1, 1)
+        assert int(out.n[0]) == 49
+        assert float(out.row_share[0]) == 1.0

@@ -157,7 +157,7 @@ EVENT_QUERIES = [
     "ewma_control_chart_hourly", "hourly_load_panel",
     "greenwood_km_variance", "above_mean_spells_hourly",
     "expected_shortfall_events", "intersession_gap_quantiles",
-    "error_mtbf_stats",
+    "error_mtbf_stats", "band_transition_matrix",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
