@@ -465,6 +465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersession_gap_quantiles": Q.intersession_gap_quantiles,
         "error_mtbf_stats": Q.error_mtbf_stats,
         "band_transition_matrix": Q.band_transition_matrix,
+        "new_user_daily_counts": Q.new_user_daily_counts,
+        "digit_run_stats": Q.digit_run_stats,
+        "image_quadrant_audit": Q.image_quadrant_audit,
     }
 
 
@@ -9909,6 +9912,105 @@ def _oracle_sql_raw() -> dict[str, str]:
                        AS row_share
             FROM cells JOIN rt USING (band_from)
             ORDER BY band_from, band_to
+        """,
+        # new-vs-returning per epoch day: exact first-seen mins,
+        # share one division
+        "new_user_daily_counts": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CAST(epoch_us(ts) AS BIGINT))
+                           // 86400000000 AS day
+                FROM events GROUP BY 1
+            ),
+            nu AS (SELECT day, CAST(count(*) AS BIGINT)
+                       AS new_users
+                   FROM f GROUP BY 1),
+            d AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT d.day, d.n_events,
+                   CAST(coalesce(nu.new_users, 0) AS BIGINT)
+                       AS new_users,
+                   CAST(coalesce(nu.new_users, 0) AS DOUBLE)
+                       / CAST(d.n_events AS DOUBLE)
+                       AS new_user_share
+            FROM d LEFT JOIN nu USING (day)
+            ORDER BY d.day
+        """,
+        # digit-run censuses: RE2 [0-9]+ runs, block-max stitch
+        "digit_run_stats": """
+            WITH t AS (SELECT coalesce(text, '') AS x
+                       FROM documents),
+            c AS (
+                SELECT regexp_extract_all(x, '[0-9]+') AS runs
+                FROM t
+            ),
+            pc AS (
+                SELECT CAST(len(runs) AS BIGINT) AS nr,
+                       CAST(coalesce(list_sum(list_transform(runs,
+                            r -> len(r))), 0) AS BIGINT) AS tl,
+                       CAST(coalesce(list_max(list_transform(runs,
+                            r -> len(r))), 0) AS BIGINT) AS mx
+                FROM c
+            )
+            SELECT CAST((SELECT count(*) FROM t) AS BIGINT)
+                       AS n_docs,
+                   CAST(coalesce(sum(nr), 0) AS BIGINT) AS n_runs,
+                   CAST(coalesce(sum(tl), 0) AS BIGINT)
+                       AS total_digit_chars,
+                   CAST(coalesce(max(mx), 0) AS BIGINT)
+                       AS max_run_len,
+                   CAST(coalesce(sum(CASE WHEN nr > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_digits
+            FROM pc
+        """,
+        # quadrant balance on the closed-form grid; conservation by
+        # construction
+        "image_quadrant_audit": """
+            WITH nn AS (SELECT least(100, (SELECT count(*)
+                                           FROM documents)) AS n),
+            img AS (
+                SELECT i,
+                       CASE WHEN i % 3 = 0 THEN 'raw'
+                            ELSE 'png' END AS fmt,
+                       32 + 8 * ((i * 7) % 16) AS w,
+                       32 + 8 * ((i * 11) % 16) AS h
+                FROM (SELECT unnest(generate_series(0,
+                          CAST((SELECT n FROM nn) AS BIGINT) - 1)) AS i)
+                WHERE i % 3 <> 2
+            ),
+            pr AS (SELECT i, fmt, w, h,
+                          unnest(generate_series(0, h - 1)) AS r
+                   FROM img),
+            px AS (SELECT i, fmt, w, h, r,
+                          unnest(generate_series(0, w - 1)) AS c
+                   FROM pr),
+            pv AS (
+                SELECT i, fmt,
+                       ((r + 2*c + i) % 256)
+                     + ((r + 2*c + i + 1) % 256)
+                     + ((r + 2*c + i + 2) % 256) AS p,
+                       CASE WHEN r < h // 2 THEN 0 ELSE 1 END AS qr,
+                       CASE WHEN c < w // 2 THEN 0 ELSE 1 END AS qc
+                FROM px
+            )
+            SELECT i AS img_id, fmt,
+                   CAST(coalesce(sum(p) FILTER (WHERE qr = 0
+                        AND qc = 0), 0) AS BIGINT) AS q00,
+                   CAST(coalesce(sum(p) FILTER (WHERE qr = 0
+                        AND qc = 1), 0) AS BIGINT) AS q01,
+                   CAST(coalesce(sum(p) FILTER (WHERE qr = 1
+                        AND qc = 0), 0) AS BIGINT) AS q10,
+                   CAST(coalesce(sum(p) FILTER (WHERE qr = 1
+                        AND qc = 1), 0) AS BIGINT) AS q11,
+                   CAST(sum(p) AS BIGINT) AS gray_total,
+                   CAST(coalesce(sum(p) FILTER (WHERE qr = qc), 0)
+                        AS DOUBLE) / CAST(sum(p) AS DOUBLE)
+                       AS diag_share
+            FROM pv GROUP BY 1, 2 ORDER BY 1
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

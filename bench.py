@@ -397,7 +397,8 @@ def run_queries() -> dict[str, float]:
         "greenwood_km_variance", "above_mean_spells_hourly",
         "expected_shortfall_events", "word_entropy_conditional",
         "intersession_gap_quantiles", "error_mtbf_stats",
-        "band_transition_matrix",
+        "band_transition_matrix", "new_user_daily_counts",
+        "digit_run_stats", "image_quadrant_audit",
     ]
     qs = E.queries()
     out = {}

@@ -8372,3 +8372,90 @@ class TestBandTransitionMatrix:
         assert (int(out.band_from[0]), int(out.band_to[0])) == (1, 1)
         assert int(out.n[0]) == 49
         assert float(out.row_share[0]) == 1.0
+
+
+class TestNewUserDailyCounts:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.new_user_daily_counts(SF)
+        df = duckdb.sql(f"""
+            SELECT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM '{SF}/events.parquet'
+        """).df()
+        firsts = df.groupby("user_id")["day"].min()
+        want_new = firsts.value_counts().to_dict()
+        want_n = df.groupby("day").size().to_dict()
+        for _, r in out.iterrows():
+            d = int(r.day)
+            assert int(r.n_events) == int(want_n[d])
+            assert int(r.new_users) == int(want_new.get(d, 0))
+        # every user is new exactly once
+        assert int(out.new_users.sum()) == df.user_id.nunique()
+
+    def test_first_day_all_new(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.new_user_daily_counts(SF)
+        first = out.iloc[0]
+        # day one: every active user is by definition new
+        assert int(first.new_users) >= 1
+
+
+class TestDigitRunStats:
+    def test_planted_runs(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ["order 12345 shipped 2024",
+                "no digits here",
+                "id 987654321098765 end",
+                "a1b22c333"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 4)
+            out = Q.digit_run_stats(d)
+        assert int(out.n_runs[0]) == 2 + 0 + 1 + 3
+        assert int(out.max_run_len[0]) == 15
+        assert int(out.docs_with_digits[0]) == 3
+        assert int(out.total_digit_chars[0]) == (5 + 4) + 15 + (
+            1 + 2 + 3)
+
+    def test_matches_python_bruteforce(self, ray_session):
+        import re
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.digit_run_stats(SF)
+        df = duckdb.sql(
+            f"SELECT text FROM '{SF}/documents.parquet'").df()
+        rr = re.compile(r"[0-9]+")
+        runs = [rr.findall(str(t or "")) for t in df.text]
+        assert int(out.n_runs[0]) == sum(len(r) for r in runs)
+        assert int(out.docs_with_digits[0]) == sum(
+            1 for r in runs if r)
+
+
+class TestImageQuadrantAudit:
+    def test_matches_explicit_bruteforce(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.image_quadrant_audit(SF)
+        assert ((out.q00 + out.q01 + out.q10 + out.q11)
+                == out.gray_total).all()
+        for img_id in (0, 1):
+            row = out[out.img_id == img_id].iloc[0]
+            w = 32 + 8 * ((img_id * 7) % 16)
+            h = 32 + 8 * ((img_id * 11) % 16)
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            p = sum((r + 2 * c + img_id + ch) % 256
+                    for ch in range(3))
+            hh, hw = h // 2, w // 2
+            assert int(row.q00) == int(p[:hh, :hw].sum())
+            assert int(row.q11) == int(p[hh:, hw:].sum())
+            assert float(row.diag_share) == float(
+                int(p[:hh, :hw].sum()) + int(p[hh:, hw:].sum())) \
+                / float(int(p.sum()))

@@ -158,6 +158,7 @@ EVENT_QUERIES = [
     "greenwood_km_variance", "above_mean_spells_hourly",
     "expected_shortfall_events", "intersession_gap_quantiles",
     "error_mtbf_stats", "band_transition_matrix",
+    "new_user_daily_counts",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
@@ -294,6 +295,7 @@ DOC_QUERIES = [
     "image_ordered_dither_audit", "heaps_exponent_halves",
     "image_rgb565_audit", "markdown_structure_docs",
     "line_dedup_stats", "word_entropy_conditional",
+    "digit_run_stats", "image_quadrant_audit",
 ]
 
 
