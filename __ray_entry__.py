@@ -468,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_user_daily_counts": Q.new_user_daily_counts,
         "digit_run_stats": Q.digit_run_stats,
         "image_quadrant_audit": Q.image_quadrant_audit,
+        "monthly_customer_retention": Q.monthly_customer_retention,
+        "quote_ratio_docs": Q.quote_ratio_docs,
     }
 
 
@@ -10011,6 +10013,64 @@ def _oracle_sql_raw() -> dict[str, str]:
                         AS DOUBLE) / CAST(sum(p) AS DOUBLE)
                        AS diag_share
             FROM pv GROUP BY 1, 2 ORDER BY 1
+        """,
+        # MAU/churn on orders: exact month codes, distinct presence,
+        # consecutive-month retained join, rate one division
+        "monthly_customer_retention": """
+            WITH p AS (
+                SELECT DISTINCT o_custkey,
+                       CAST(date_part('year', o_orderdate)
+                            AS BIGINT) * 12
+                       + (CAST(date_part('month', o_orderdate)
+                               AS BIGINT) - 1) AS m
+                FROM orders
+            ),
+            act AS (SELECT m, CAST(count(*) AS BIGINT) AS active
+                    FROM p GROUP BY 1),
+            ret AS (
+                SELECT b.m, CAST(count(*) AS BIGINT) AS retained
+                FROM p a JOIN p b ON b.o_custkey = a.o_custkey
+                                 AND b.m = a.m + 1
+                GROUP BY 1
+            )
+            SELECT act.m AS month_code, act.active,
+                   CAST(coalesce(ret.retained, 0) AS BIGINT)
+                       AS retained,
+                   CASE WHEN prev.active IS NULL
+                             OR prev.active = 0 THEN 0.0
+                        ELSE CAST(coalesce(ret.retained, 0)
+                                  AS DOUBLE)
+                             / CAST(prev.active AS DOUBLE)
+                   END AS retention_rate
+            FROM act
+            LEFT JOIN ret ON ret.m = act.m
+            LEFT JOIN act prev ON prev.m = act.m - 1
+            ORDER BY act.m
+        """,
+        # quotation censuses: ASCII double quote only (documented)
+        "quote_ratio_docs": """
+            WITH t AS (SELECT coalesce(text, '') AS x
+                       FROM documents),
+            c AS (
+                SELECT CAST(length(x) - length(replace(x, '\"', ''))
+                            AS BIGINT) AS q
+                FROM t
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(q), 0) AS BIGINT) AS n_quotes,
+                   CAST(coalesce(sum(q), 0) // 2 AS BIGINT)
+                       AS n_quote_pairs,
+                   CAST(coalesce(sum(CASE WHEN q > 0 THEN 1 END),
+                        0) AS BIGINT) AS docs_with_quotes,
+                   CAST(coalesce(sum(CASE WHEN q % 2 = 1
+                        THEN 1 END), 0) AS BIGINT)
+                       AS docs_unbalanced,
+                   CASE WHEN count(*) = 0 THEN 0.0
+                        ELSE CAST(coalesce(sum(CASE WHEN q > 0
+                                 THEN 1 END), 0) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)
+                   END AS quoted_doc_share
+            FROM c
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -399,6 +399,7 @@ def run_queries() -> dict[str, float]:
         "intersession_gap_quantiles", "error_mtbf_stats",
         "band_transition_matrix", "new_user_daily_counts",
         "digit_run_stats", "image_quadrant_audit",
+        "monthly_customer_retention", "quote_ratio_docs",
     ]
     qs = E.queries()
     out = {}

@@ -8459,3 +8459,76 @@ class TestImageQuadrantAudit:
             assert float(row.diag_share) == float(
                 int(p[:hh, :hw].sum()) + int(p[hh:, hw:].sum())) \
                 / float(int(p.sum()))
+
+
+class TestMonthlyCustomerRetention:
+    def test_matches_pandas_bruteforce(self, ray_session):
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.monthly_customer_retention(SF)
+        df = duckdb.sql(f"""
+            SELECT DISTINCT o_custkey,
+                   date_part('year', o_orderdate) * 12
+                   + (date_part('month', o_orderdate) - 1) AS m
+            FROM '{SF}/orders.parquet'
+        """).df()
+        active = df.groupby("m").size().to_dict()
+        sets = {int(m): set(s.o_custkey)
+                for m, s in df.groupby("m")}
+        for _, r in out.iterrows():
+            m = int(r.month_code)
+            assert int(r.active) == int(active[m])
+            want_ret = len(sets.get(m, set())
+                           & sets.get(m - 1, set()))
+            assert int(r.retained) == want_ret
+            if (m - 1) in active:
+                assert float(r.retention_rate) == want_ret / int(
+                    active[m - 1])
+        # retained never exceeds either month's active
+        assert (out.retained <= out.active).all()
+
+    def test_planted_churn(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        # month 1: customers 0-9; month 2: 5-9 (50% retained)
+        ck = np.concatenate([np.arange(10), np.arange(5, 10)])
+        dates = pd.to_datetime(["2024-01-15"] * 10
+                               + ["2024-02-15"] * 5)
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(pa.table({
+                "o_orderkey": pa.array(np.arange(15, dtype=np.int64)),
+                "o_custkey": pa.array(ck.astype(np.int64)),
+                "o_orderstatus": pa.array(["O"] * 15),
+                "o_totalprice": pa.array(np.full(15, 10.0)),
+                "o_orderdate": pa.array(
+                    dates.astype("datetime64[us]")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 15),
+                "o_comment": pa.array(["x"] * 15),
+            }), os.path.join(d, "orders.parquet"))
+            for f in os.listdir(SF):
+                if f.endswith(".parquet") and f != "orders.parquet":
+                    os.symlink(os.path.join(SF, f),
+                               os.path.join(d, f))
+            out = Q.monthly_customer_retention(d)
+        feb = out[out.month_code == 2024 * 12 + 1].iloc[0]
+        assert int(feb.retained) == 5
+        assert float(feb.retention_rate) == 0.5
+
+
+class TestQuoteRatioDocs:
+    def test_planted_quotes(self, ray_session):
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        docs = ['she said "hello" and "bye"',
+                'unbalanced " quote',
+                "no quotes at all"]
+        with tempfile.TemporaryDirectory() as d:
+            _write_docs(d, docs, ["en"] * 3)
+            out = Q.quote_ratio_docs(d)
+        assert int(out.n_quotes[0]) == 5
+        assert int(out.n_quote_pairs[0]) == 2
+        assert int(out.docs_with_quotes[0]) == 2
+        assert int(out.docs_unbalanced[0]) == 1
+        assert abs(float(out.quoted_doc_share[0]) - 2 / 3) < 1e-12

@@ -296,6 +296,7 @@ DOC_QUERIES = [
     "image_rgb565_audit", "markdown_structure_docs",
     "line_dedup_stats", "word_entropy_conditional",
     "digit_run_stats", "image_quadrant_audit",
+    "quote_ratio_docs",
 ]
 
 
