@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quadrant_audit": Q.image_quadrant_audit,
         "monthly_customer_retention": Q.monthly_customer_retention,
         "quote_ratio_docs": Q.quote_ratio_docs,
+        "kupiec_var_backtest": Q.kupiec_var_backtest,
     }
 
 
@@ -10071,6 +10072,51 @@ def _oracle_sql_raw() -> dict[str, str]:
                              / CAST(count(*) AS DOUBLE)
                    END AS quoted_doc_share
             FROM c
+        """,
+        # Kupiec POF backtest: ref-half exact p95, strict prod
+        # breaches, LR round-6 with the 0*ln convention
+        "kupiec_var_backtest": """
+            WITH u AS (
+                SELECT event_id,
+                       CAST(round(value * 100) AS BIGINT) AS c
+                FROM (SELECT * FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))
+            ),
+            q AS (SELECT CAST(count(*) AS BIGINT) AS n_ref,
+                         CAST(quantile_disc(c, 0.95) AS BIGINT)
+                             AS u95
+                  FROM u WHERE event_id % 2 = 0),
+            b AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(coalesce(sum(CASE WHEN u.c > q.u95
+                            THEN 1 END), 0) AS BIGINT) AS x
+                FROM u, q WHERE u.event_id % 2 = 1
+            )
+            SELECT q.n_ref, b.n AS n_prod,
+                   CASE WHEN q.n_ref = 0 THEN 0
+                        ELSE q.u95 END AS var95_cents,
+                   b.x AS n_breaches,
+                   CASE WHEN b.n = 0 THEN 0.0
+                        ELSE CAST(b.x AS DOUBLE)
+                             / CAST(b.n AS DOUBLE)
+                   END AS breach_rate,
+                   CASE WHEN q.n_ref = 0 OR b.n = 0 THEN 0.0
+                        ELSE CAST(round(2.0 * ((0.0
+                            + CASE WHEN b.x > 0 THEN
+                                CAST(b.x AS DOUBLE)
+                                * ln((CAST(b.x AS DOUBLE)
+                                      / CAST(b.n AS DOUBLE))
+                                     / CAST('0.05' AS DOUBLE))
+                              ELSE 0.0 END)
+                            + CASE WHEN b.n - b.x > 0 THEN
+                                CAST(b.n - b.x AS DOUBLE)
+                                * ln((1.0 - CAST(b.x AS DOUBLE)
+                                      / CAST(b.n AS DOUBLE))
+                                     / (1.0 - CAST('0.05'
+                                        AS DOUBLE)))
+                              ELSE 0.0 END), 6) AS DOUBLE)
+                   END AS kupiec_lr
+            FROM q, b
         """,
         # interval-bounded temporal self-join on microsecond ts
         "burst_pair_counts": """

@@ -400,6 +400,7 @@ def run_queries() -> dict[str, float]:
         "band_transition_matrix", "new_user_daily_counts",
         "digit_run_stats", "image_quadrant_audit",
         "monthly_customer_retention", "quote_ratio_docs",
+        "kupiec_var_backtest",
     ]
     qs = E.queries()
     out = {}

@@ -8532,3 +8532,41 @@ class TestQuoteRatioDocs:
         assert int(out.docs_with_quotes[0]) == 2
         assert int(out.docs_unbalanced[0]) == 1
         assert abs(float(out.quoted_doc_share[0]) - 2 / 3) < 1e-12
+
+
+class TestKupiecVarBacktest:
+    def test_matches_bruteforce(self, ray_session):
+        import math
+
+        import duckdb
+
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+        from aumos_drift_detector_ray.functions.rounding import (
+            round_half_away)
+
+        out = Q.kupiec_var_backtest(SF)
+        df = duckdb.sql(f"""
+            SELECT event_id, value FROM '{SF}/events.parquet'
+            WHERE value IS NOT NULL AND NOT isnan(value)
+        """).df()
+        c = round_half_away(df.value.to_numpy() * 100) \
+            .astype(np.int64)
+        ref = np.sort(c[df.event_id.to_numpy() % 2 == 0])
+        prod = c[df.event_id.to_numpy() % 2 == 1]
+        u = int(ref[max(0, math.ceil(0.95 * len(ref)) - 1)])
+        x = int((prod > u).sum())
+        n = len(prod)
+        assert int(out.var95_cents[0]) == u
+        assert int(out.n_breaches[0]) == x
+        ph = x / n
+        lr = 2 * (x * math.log(ph / 0.05)
+                  + (n - x) * math.log((1 - ph) / 0.95))
+        assert abs(float(out.kupiec_lr[0]) - lr) < 1e-5
+
+    def test_same_distribution_low_lr(self, ray_session):
+        """Identical halves: breach rate ~5%, LR small."""
+        from aumos_drift_detector_ray.pipelines import table_queries as Q
+
+        out = Q.kupiec_var_backtest(SF)
+        assert 0.0 <= float(out.breach_rate[0]) <= 0.12
+        assert float(out.kupiec_lr[0]) >= -1e-9

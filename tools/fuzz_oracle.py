@@ -158,7 +158,7 @@ EVENT_QUERIES = [
     "greenwood_km_variance", "above_mean_spells_hourly",
     "expected_shortfall_events", "intersession_gap_quantiles",
     "error_mtbf_stats", "band_transition_matrix",
-    "new_user_daily_counts",
+    "new_user_daily_counts", "kupiec_var_backtest",
 ]  # (priority_week_independence is orders-only — outside fuzz axes)  # (qty_discount_independence is lineitem-only — outside fuzz axes)
 
 # NOTE: embedding_norm_band_counts / embedding_sign_census join
